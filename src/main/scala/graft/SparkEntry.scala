@@ -1,13 +1,276 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + §5.
+  *
+  * Every implemented operator registers here; `oracleSql` carries the
+  * DuckDB-equivalent ANSI SQL with IDENTICAL column aliases (the
+  * driver's compare hashes values under sorted column names).
+  * Non-SQL-expressible ops (MinHash/SimHash/LSH-ANN) register without
+  * an oracle → rows-only check + scalatest coverage.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Report.dailyReport(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference surface (SURVEY.md §2 #1-13, #27)
+    "report_flatten"   -> (Report.reportFlatten(_, _)),
+    "variant_extract"  -> (Report.variantExtract(_, _)),
+    "display_coalesce" -> (Report.displayCoalesceQ(_, _)),
+    "date_iso"         -> (Report.dateIso(_, _)),
+    "dim_filter_in"    -> (Report.dimFilterIn(_, _)),
+    "daily_report"     -> (Report.dailyReport(_, _)),
+    "earnings_total"   -> (Report.earningsTotal(_, _)),
+    "earnings_usd"     -> (Report.earningsUsd(_, _)),
+    "monthly_rollup"   -> (Report.monthlyRollup(_, _)),
+    "window_running"   -> (Report.windowRunning(_, _)),
+    "ctr_by_group"     -> (CtrAlerts.ctrByGroup(_, _)),
+    "ctr_spike"        -> (CtrAlerts.ctrSpike(_, _)),
+    "distinct_units"   -> (CtrAlerts.distinctUnits(_, _)),
+    "alert_report"     -> (CtrAlerts.alertReport(_, _)),
+    // LLM-data-pipeline operators (#15-26)
+    "dedup_exact"      -> (Dedup.dedupExact(_, _)),
+    "dedup_minhash"    -> (Dedup.dedupMinhash(_, _)),
+    "dedup_jaccard"    -> (Dedup.dedupJaccard(_, _)),
+    "dedup_simhash"    -> (Dedup.dedupSimhash(_, _)),
+    "dedup_cosine"     -> (Similarity.dedupCosine(_, _)),
+    "knn_topk"         -> (Similarity.knnTopk(_, _)),
+    "ann_lsh"          -> (Similarity.annLsh(_, _)),
+    "token_count"      -> (TextAnalysis.tokenCount(_, _)),
+    "text_stats"       -> (TextAnalysis.textStats(_, _)),
+    "quality_score"    -> (TextAnalysis.qualityScore(_, _)),
+    "doc_fingerprint"  -> (TextAnalysis.docFingerprint(_, _)),
+    "lang_id"          -> (TextAnalysis.langId(_, _)),
+    "multimodal_meta"  -> (Multimodal.multimodalMeta(_, _))
+  )
+
+  // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
+  // through integer micros (floor then int64 SUM), single final
+  // divisions, explicit rounding before ranking.
+  def oracleSql: Map[String, String] = Map(
+    "report_flatten" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS date, event_type, user_id,
+        |  COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k, value
+        |FROM events""".stripMargin,
+
+    "variant_extract" ->
+      """WITH f AS (
+        |  SELECT event_id, event_type,
+        |    COALESCE(TRY_CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS k
+        |  FROM events
+        |), m AS (
+        |  SELECT event_id,
+        |    CASE event_type
+        |      WHEN 'click'    THEN '{"integerValue":"' || CAST(k AS VARCHAR) || '"}'
+        |      WHEN 'view'     THEN '{"microsValue":"'  || CAST(k AS VARCHAR) || '000000"}'
+        |      WHEN 'purchase' THEN '{"decimalValue":"' || CAST(k AS VARCHAR) || '.75"}'
+        |      WHEN 'signup'   THEN '{"value":"'        || CAST(k AS VARCHAR) || '.25"}'
+        |      ELSE '{}' END AS mv
+        |  FROM f)
+        |SELECT event_id,
+        |  COALESCE(TRY_CAST(json_extract_string(mv,'$.integerValue') AS BIGINT),
+        |           TRY_CAST(json_extract_string(mv,'$.microsValue') AS BIGINT),
+        |           CAST(trunc(TRY_CAST(json_extract_string(mv,'$.decimalValue') AS DOUBLE)) AS BIGINT),
+        |           CAST(trunc(TRY_CAST(json_extract_string(mv,'$.value') AS DOUBLE)) AS BIGINT),
+        |           0) AS vi,
+        |  COALESCE(TRY_CAST(json_extract_string(mv,'$.doubleValue') AS DOUBLE),
+        |           TRY_CAST(json_extract_string(mv,'$.decimalValue') AS DOUBLE),
+        |           TRY_CAST(json_extract_string(mv,'$.value') AS DOUBLE),
+        |           0.0) AS vf
+        |FROM m""".stripMargin,
+
+    "display_coalesce" ->
+      """SELECT c_custkey,
+        |  COALESCE(
+        |    NULLIF(CASE WHEN c_custkey % 3 = 0 THEN ''
+        |                WHEN c_custkey % 3 = 1 THEN NULL
+        |                ELSE c_name END, ''),
+        |    NULLIF(c_mktsegment, ''), '') AS display
+        |FROM customer""".stripMargin,
+
+    "date_iso" ->
+      """SELECT raw_date,
+        |  CASE WHEN length(raw_date) = 8
+        |    THEN substr(raw_date,1,4) || '-' || substr(raw_date,5,2) || '-' || substr(raw_date,7,2)
+        |    ELSE raw_date END AS iso_date
+        |FROM (SELECT DISTINCT strftime(l_shipdate, '%Y%m%d') AS raw_date FROM lineitem)
+        |ORDER BY raw_date""".stripMargin,
+
+    "dim_filter_in" ->
+      "SELECT event_id, event_type, user_id FROM events WHERE event_type IN ('click','view')",
+
+    "daily_report" ->
+      """SELECT strftime(l_shipdate,'%Y-%m-%d') AS date, l_orderkey, l_linenumber,
+        |  l_returnflag AS app_name, l_linestatus AS ad_unit_name,
+        |  l_quantity, l_extendedprice, l_discount,
+        |  CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT) AS estimated_earnings_micros
+        |FROM lineitem WHERE l_returnflag IN ('A','R')
+        |ORDER BY date, l_orderkey, l_linenumber""".stripMargin,
+
+    "earnings_total" ->
+      """SELECT CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |  AS total_earnings_micros
+        |FROM lineitem""".stripMargin,
+
+    "earnings_usd" ->
+      """SELECT ROUND(CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1e6, 2)
+        |  AS total_earnings_usd
+        |FROM lineitem""".stripMargin,
+
+    "monthly_rollup" ->
+      """SELECT strftime(l_shipdate,'%Y-%m') AS month, CAST(weekofyear(l_shipdate) AS INT) AS week,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS BIGINT) AS earnings_micros,
+        |  CAST(COUNT(*) AS BIGINT) AS line_count
+        |FROM lineitem GROUP BY month, week ORDER BY month, week""".stripMargin,
+
+    "window_running" ->
+      """SELECT event_id, user_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+        |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov_avg7
+        |FROM events""".stripMargin,
+
+    "ctr_by_group" ->
+      """SELECT user_id, clicks, impressions,
+        |  ROUND(CAST(clicks AS DOUBLE) / NULLIF(CAST(impressions AS DOUBLE), 0.0), 6) AS ctr
+        |FROM (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS impressions
+        |  FROM events GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "ctr_spike" ->
+      """WITH d AS (
+        |  SELECT ts::DATE AS day, user_id,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+        |  FROM events),
+        |rd AS (SELECT MAX(ts::DATE) AS report_date FROM events),
+        |last7 AS (
+        |  SELECT user_id,
+        |    CAST(SUM(is_click) AS DOUBLE) / NULLIF(CAST(SUM(is_view) AS DOUBLE), 0.0) AS avg_ctr_7d
+        |  FROM d, rd
+        |  WHERE day BETWEEN report_date - 7 AND report_date - 1
+        |  GROUP BY user_id),
+        |today AS (
+        |  SELECT user_id,
+        |    CAST(SUM(is_click) AS DOUBLE) / NULLIF(CAST(SUM(is_view) AS DOUBLE), 0.0) AS today_ctr
+        |  FROM d, rd WHERE day = report_date GROUP BY user_id)
+        |SELECT t.user_id,
+        |  ROUND(l.avg_ctr_7d, 4) AS avg_ctr_7d,
+        |  ROUND(t.today_ctr, 4) AS today_ctr,
+        |  ROUND((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0.0) * 100, 2) AS pct_change
+        |FROM today t JOIN last7 l USING (user_id)
+        |WHERE ABS((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0.0) * 100) > 25
+        |ORDER BY pct_change DESC, user_id""".stripMargin,
+
+    "distinct_units" ->
+      """SELECT DISTINCT event_type
+        |FROM events, (SELECT MAX(ts::DATE) AS report_date FROM events)
+        |WHERE ts::DATE = report_date ORDER BY event_type""".stripMargin,
+
+    "alert_report" ->
+      """WITH d AS (
+        |  SELECT ts::DATE AS day, user_id,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+        |  FROM events),
+        |rd AS (SELECT MAX(ts::DATE) AS report_date FROM events),
+        |last7 AS (
+        |  SELECT user_id,
+        |    CAST(SUM(is_click) AS DOUBLE) / NULLIF(CAST(SUM(is_view) AS DOUBLE), 0.0) AS avg_ctr_7d
+        |  FROM d, rd
+        |  WHERE day BETWEEN report_date - 7 AND report_date - 1
+        |  GROUP BY user_id),
+        |today AS (
+        |  SELECT user_id,
+        |    CAST(SUM(is_click) AS DOUBLE) / NULLIF(CAST(SUM(is_view) AS DOUBLE), 0.0) AS today_ctr
+        |  FROM d, rd WHERE day = report_date GROUP BY user_id),
+        |spike AS (
+        |  SELECT t.user_id,
+        |    ROUND((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0.0) * 100, 2) AS pct_change
+        |  FROM today t JOIN last7 l USING (user_id)
+        |  WHERE ABS((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0.0) * 100) > 25),
+        |lines AS (
+        |  SELECT 'app_' || CAST(user_id % 5 AS VARCHAR) AS app_name, user_id,
+        |    '- user_' || CAST(user_id AS VARCHAR) || ' is ' ||
+        |    CASE WHEN pct_change > 0 THEN 'above' ELSE 'below' END ||
+        |    ' 25% of 7-day avg' AS line
+        |  FROM spike)
+        |SELECT app_name, CAST(COUNT(*) AS BIGINT) AS alert_count,
+        |  string_agg(line, chr(10) ORDER BY user_id) AS report
+        |FROM lines GROUP BY app_name ORDER BY app_name""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY sha256(text) ORDER BY content_hash""".stripMargin,
+
+    "knn_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 8),
+        |n AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb FROM embeddings),
+        |s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 6) AS score
+        |      FROM q, n WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
+        |      FROM s)
+        |SELECT q_id, n_id, score, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "token_count" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(MAX(len(regexp_split_to_array(trim(text), '\s+'))) AS INT) AS max_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, docs, total_chars, total_tokens,
+        |  ROUND(CAST(total_chars AS DOUBLE) / CAST(docs AS DOUBLE), 4) AS avg_chars,
+        |  ROUND(CAST(total_tokens AS DOUBLE) / CAST(docs AS DOUBLE), 4) AS avg_tokens
+        |FROM (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY lang)
+        |ORDER BY lang""".stripMargin,
+
+    "quality_score" ->
+      """SELECT doc_id,
+        |  ROUND((
+        |    LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
+        |    (1.0 - ABS(
+        |      CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                           t -> t IN ('the','a'))) AS DOUBLE) /
+        |      NULLIF(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.0)
+        |      - 0.15)) +
+        |    (1.0 - LEAST(
+        |      CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) /
+        |      NULLIF(CAST(length(text) AS DOUBLE), 0.0) * 10, 1.0))
+        |  ) / 3.0, 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |        t -> CAST(length(t) AS BIGINT) * 131 +
+        |             CAST(ascii(substr(t, 1, 1)) AS BIGINT) * 31 +
+        |             CAST(ascii(substr(t, -1, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 1000003 + c) % 2147483647) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  hex(encode(left(text, 4))) AS prefix_hex, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

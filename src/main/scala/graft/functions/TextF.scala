@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline operators, all as
+  * Column expressions so they stay inside Catalyst (pushdown, pruning)
+  * and scale to 100 TB without serialization overhead.
+  */
+object TextF {
+
+  /** Whitespace tokenization (matches DuckDB
+    * `regexp_split_to_array(trim(x), '\s+')` for the oracle). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Token n-gram shingles joined by a single space; empty array when
+    * the document has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") /
+      nullif(length(text).cast("double"), lit(0.0))
+
+  /** Ratio of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+      .cast("double") / nullif(size(toks).cast("double"), lit(0.0))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      nullif(size(toks).cast("double"), lit(0.0))
+  }
+
+  /** Heuristic quality score in [0,1]: favors mid-length docs with low
+    * punctuation noise and a sane stopword ratio. Deterministic and
+    * SQL-expressible (oracle-checkable). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val sw = stopwordRatio(text, stopwords)
+    val swScore = lit(1.0) - abs(sw - lit(0.15))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 10, lit(1.0))
+    round((lenScore + swScore + punctScore) / 3.0, 4)
+  }
+
+  /** Rolling polynomial fingerprint over tokens (left fold), kept inside
+    * int64 via a Mersenne-prime modulus each step so Spark and DuckDB
+    * (which errors on int64 overflow) agree bit-for-bit.
+    * tokcode = len*131 + 31*ascii(first) + ascii(last). */
+  def rollingFingerprint(text: Column): Column = {
+    val toks = tokens(text)
+    val codes = transform(toks, t =>
+      length(t).cast("long") * 131L +
+        ascii(substring(t, 1, 1)).cast("long") * 31L +
+        ascii(substring(t, -1, 1)).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 1000003L + c) % 2147483647L)
+  }
+
+  /** High-quality 64-bit content fingerprint (Spark-native xxhash64);
+    * use for exact dedup keys at scale. Not oracle-matched (DuckDB has
+    * no xxhash64) — covered by scalatest instead. */
+  def contentFingerprint(text: Column): Column = xxhash64(text)
+
+  /** Character n-gram profile for the language-ID heuristic: top
+    * character trigrams of the lowercased text. */
+  def charTrigrams(text: Column): Column = {
+    val t = lower(regexp_replace(text, "\\s+", " "))
+    when(length(t) >= 3,
+      transform(sequence(lit(0), length(t) - 3), i => t.substr(i + lit(1), lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VariantF.safeDivide
+import graft.sources.Tables
+
+/** The reference's one real analytic: the native-CTR spike detector
+  * (native_CTR_alerts.py:215-329), mapped onto the `events` stream:
+  * clicks = event_type 'click', impressions = 'view', the (app_name,
+  * ad_unit_name) group key = user_id, report_date = the max event day.
+  *
+  * Scale design: the "today" side is one day of data — tiny relative to
+  * the stream — so it is explicitly `broadcast()` into the join; only
+  * the trailing-7-day aggregate shuffles, once, on the group key.
+  */
+object CtrAlerts {
+
+  private def dailyCtr(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      to_date(col("ts")).as("day"),
+      col("user_id"),
+      when(col("event_type") === "click", 1L).otherwise(0L).as("is_click"),
+      when(col("event_type") === "view", 1L).otherwise(0L).as("is_view"))
+
+  /** Max event day as a 1-row broadcastable frame (no driver collect). */
+  private def reportDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(max(to_date(col("ts"))).as("report_date"))
+
+  /** Grouped CTR with SAFE_DIVIDE semantics
+    * (native_CTR_alerts.py:228-241): clicks/impressions per group. */
+  def ctrByGroup(spark: SparkSession, dir: String): DataFrame =
+    dailyCtr(spark, dir)
+      .groupBy("user_id")
+      .agg(sum("is_click").as("clicks"), sum("is_view").as("impressions"))
+      .select(col("user_id"), col("clicks"), col("impressions"),
+        round(safeDivide(col("clicks"), col("impressions")), 6).as("ctr"))
+      .orderBy("user_id")
+
+  /** The spike detector (native_CTR_alerts.py:226-268): trailing-7-day
+    * avg CTR vs report-day CTR per group, |pct_change| > 25, ordered by
+    * pct_change DESC. */
+  def ctrSpike(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCtr(spark, dir)
+    val rd = reportDate(spark, dir)
+
+    val withRd = daily.crossJoin(broadcast(rd))
+
+    val last7 = withRd
+      .filter(col("day").between(date_sub(col("report_date"), 7),
+        date_sub(col("report_date"), 1)))
+      .groupBy("user_id")
+      .agg(safeDivide(sum("is_click"), sum("is_view")).as("avg_ctr_7d"))
+
+    val today = withRd
+      .filter(col("day") === col("report_date"))
+      .groupBy("user_id")
+      .agg(safeDivide(sum("is_click"), sum("is_view")).as("today_ctr"))
+
+    val pct = safeDivide(col("today_ctr") - col("avg_ctr_7d"),
+      col("avg_ctr_7d")) * 100
+
+    today.join(broadcast(last7), "user_id")
+      .filter(abs(pct) > 25)
+      .select(
+        col("user_id"),
+        round(col("avg_ctr_7d"), 4).as("avg_ctr_7d"),
+        round(col("today_ctr"), 4).as("today_ctr"),
+        round(pct, 2).as("pct_change"))
+      .orderBy(col("pct_change").desc, col("user_id"))
+  }
+
+  /** DISTINCT ad-unit projection for the report date
+    * (native_CTR_alerts.py:287-294). */
+  def distinctUnits(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .crossJoin(broadcast(reportDate(spark, dir)))
+      .filter(to_date(col("ts")) === col("report_date"))
+      .select(col("event_type")).distinct()
+      .orderBy("event_type")
+
+  /** Per-app alert report formatting (native_CTR_alerts.py:273-322):
+    * group alert lines by app into one text blob. Numeric values are
+    * kept out of the text so the blob is float-formatting independent. */
+  def alertReport(spark: SparkSession, dir: String): DataFrame = {
+    val spikes = ctrSpike(spark, dir)
+      .select(
+        concat(lit("app_"), (col("user_id") % 5).cast("string")).as("app_name"),
+        col("user_id"),
+        concat(lit("- user_"), col("user_id").cast("string"), lit(" is "),
+          when(col("pct_change") > 0, "above").otherwise("below"),
+          lit(" 25% of 7-day avg")).as("line"))
+    spikes.groupBy("app_name")
+      .agg(
+        count(lit(1)).as("alert_count"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("user_id"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("report"))
+      .orderBy("app_name")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextF
+import graft.sources.Tables
+
+/** Deduplication family over the `documents` table.
+  *
+  * Scale design (100 TB): every near-dup variant shuffles ONLY on
+  * band/bucket keys — never an all-pairs crossJoin. The candidate set
+  * after LSH banding is linear-ish in input size, so the verify joins
+  * stay proportional to real duplicates, not O(n^2).
+  */
+object Dedup {
+
+  /** Exact content-hash dedup: group by sha256(text), keep the lowest
+    * doc_id (keep-first), count members. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy("content_hash")
+
+  // ---- MinHash + LSH ----------------------------------------------------
+  // k hash functions as affine permutations (a*h+b mod p) of one base
+  // xxhash64, reduced to 31 bits first so the products stay inside
+  // int64 under ANSI arithmetic. b bands of r rows; threshold ~
+  // (1/b)^(1/r) = 0.5 with b=16, r=4.
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+  private val P = 2147483647L // 2^31 - 1
+  private val perm: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42L)
+    Seq.fill(NumHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+  }
+
+  /** MinHash signature (array<long> of length NumHashes) of a text
+    * column, built from token 3-gram shingles. Pure expressions. */
+  def minhashSignature(text: Column): Column = {
+    val hashes31 = transform(array_distinct(TextF.shingles(text, 3)),
+      s => pmod(xxhash64(s), lit(P)))
+    array(perm.map { case (a, b) =>
+      array_min(transform(hashes31, h => pmod(h * a + b, lit(P))))
+    }: _*)
+  }
+
+  /** (doc_id, band, band_hash) — one row per band per doc. Empty-shingle
+    * docs hash their empty band deterministically. */
+  def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+    val bands = transform(sequence(lit(0), lit(Bands - 1)), i =>
+      struct(i.as("band"),
+        xxhash64(slice(col("sig"), i * RowsPerBand + 1, lit(RowsPerBand))).as("band_hash")))
+    docs.select(col("doc_id"), explode(bands).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+  }
+
+  /** One-pass LSH clustering: docs sharing any band bucket take the
+    * bucket's min doc_id as cluster id; singletons keep their own id.
+    * Shuffles on (band, band_hash) then doc_id only. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandedSignatures(spark, dir)
+    val buckets = banded.groupBy("band", "band_hash")
+      .agg(min("doc_id").as("bucket_min"))
+    banded.join(buckets, Seq("band", "band_hash"))
+      .groupBy("doc_id")
+      .agg(min("bucket_min").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Candidate pairs from LSH buckets verified with exact token-3-gram
+    * Jaccard >= threshold. The self-join runs per-bucket (tiny groups),
+    * not all-pairs. */
+  def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val banded = bandedSignatures(spark, dir)
+    val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+    val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
+    val cand = a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(TextF.shingles(col("text"), 3)).as("sh"))
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb"))).cast("double")
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens. Typed Dataset map: map-only
+    * (no shuffle), deterministic MurmurHash3-based token hashes. */
+  def simhashOf(tokens: Array[String]): Long = {
+    val counts = new Array[Int](64)
+    tokens.foreach { t =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+    }
+    var sig = 0L; var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** (doc_id, simhash, cluster_id): cluster = min doc_id sharing any of
+    * the four 16-bit simhash bands (hamming-adjacent docs collide on at
+    * least one band with high probability). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, simhashOf(text.trim.split("\\s+"))) }
+      .toDF("doc_id", "simhash")
+    // 16-bit band extraction: band i value = (simhash >>> 16i) & 0xffff.
+    val banded = (0 until 4).map { i =>
+      sigs.select(col("doc_id"), col("simhash"), lit(i).as("band"),
+        shiftrightunsigned(col("simhash"), 16 * i).bitwiseAND(lit(0xffffL)).as("band_val"))
+    }.reduce(_ union _)
+    val buckets = banded.groupBy("band", "band_val").agg(min("doc_id").as("bucket_min"))
+    banded.join(buckets, Seq("band", "band_val"))
+      .groupBy("doc_id")
+      .agg(min("simhash").as("simhash"), min("bucket_min").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column handling: media payloads as opaque `binary`
+  * columns with typed metadata alongside. The decode step is STUBBED
+  * (no image/audio libraries in this environment) — the Spark-side
+  * plumbing (schema, batching, partition-parallel map, feature schema)
+  * is real and tested.
+  */
+object Multimodal {
+
+  /** Typed metadata extraction over a binary payload column — byte
+    * length and magic-prefix, the schema a real media table carries.
+    * `documents.text` (UTF-8 encoded) stands in for the media bytes. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("n_chars"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("byte_len"),
+        hex(substring(col("payload"), 1, 4)).as("prefix_hex"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Feature-extraction plumbing: batch-parallel "decode" over binary
+    * payloads via mapPartitions. The decoder itself is a deterministic
+    * STUB (real deployments plug in an image/audio codec here); the
+    * partitioning, batch shape, and output schema are production-real.
+    */
+  def extractFeatures(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decoder: a real implementation would decode the media
+          // and emit model features. Deterministic fake: width/height
+          // from leading bytes, a fixed-length "embedding" from a
+          // rolling byte hash.
+          val w = if (bytes.length > 0) (bytes(0) & 0xff) + 1 else 0
+          val h = if (bytes.length > 1) (bytes(1) & 0xff) + 1 else 0
+          val feat = new Array[Float](8)
+          var acc = 17L
+          var i = 0
+          while (i < bytes.length) {
+            acc = acc * 31 + (bytes(i) & 0xff)
+            feat(i % 8) += ((acc % 1000) / 1000.0f)
+            i += 1
+          }
+          (id, w, h, bytes.length, feat)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_bytes", "features")
+  }
+}

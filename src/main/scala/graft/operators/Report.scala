@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VariantF._
+import graft.sources.Tables
+
+/** The reference's daily-report ETL surface, Spark-first.
+  *
+  * The AdMob report stream (nested `dimensionValues`/`metricValues`
+  * rows — main.py:58-87) is modeled by the `events` table whose `props`
+  * column carries the variant-typed JSON payload; the earnings facts
+  * (README.md §Sample SQL Queries) by `lineitem`.
+  *
+  * All money math goes through integer micros
+  * (`FLOOR(price*(1-disc)*1e6)`) so sums are exact and engine-order
+  * independent — at 100 TB a double SUM is not reproducible across
+  * partitionings; an int64 SUM is.
+  */
+object Report {
+
+  /** Earnings expression in exact integer micros. */
+  def earningsMicros = // FLOOR then cast: deterministic across engines
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1000000.0))
+      .cast("long")
+
+  /** Report-row ingest + flatten (main.py:58-87): nested variant payload
+    * -> typed flat columns, date dim -> ISO string. */
+  def reportFlatten(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("date"),
+      col("event_type"),
+      col("user_id"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k"),
+      col("value")
+    )
+
+  /** Variant-typed extraction fallback chains (save_CSV.py:73-101)
+    * exercised over a payload synthesized per event_type so every
+    * branch of get_int/get_float is hit. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = reportFlatten(spark, dir)
+    val k = col("k").cast("string")
+    val mv = when(col("event_type") === "click",
+        concat(lit("{\"integerValue\":\""), k, lit("\"}")))
+      .when(col("event_type") === "view",
+        concat(lit("{\"microsValue\":\""), k, lit("000000\"}")))
+      .when(col("event_type") === "purchase",
+        concat(lit("{\"decimalValue\":\""), k, lit(".75\"}")))
+      .when(col("event_type") === "signup",
+        concat(lit("{\"value\":\""), k, lit(".25\"}")))
+      .otherwise(lit("{}"))
+    ev.select(col("event_id"), mv.as("mv"))
+      .select(col("event_id"),
+        getIntVariant(col("mv")).as("vi"),
+        getFloatVariant(col("mv")).as("vf"))
+  }
+
+  /** displayLabel-else-value-else-"" coalesce (save_CSV.py:165-167)
+    * over a label column with planted empties/nulls. */
+  def displayCoalesceQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val label = when(col("c_custkey") % 3 === 0, lit(""))
+      .when(col("c_custkey") % 3 === 1, lit(null).cast("string"))
+      .otherwise(col("c_name"))
+    c.select(col("c_custkey"),
+      displayCoalesce(label, col("c_mktsegment")).as("display"))
+  }
+
+  /** YYYYMMDD -> ISO date transform (save_CSV.py:160-162) over the
+    * distinct ship dates. */
+  def dateIso(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(date_format(col("l_shipdate"), "yyyyMMdd").as("raw_date"))
+      .distinct()
+      .select(col("raw_date"), yyyymmddToIso(col("raw_date")).as("iso_date"))
+      .orderBy("raw_date")
+
+  /** Dimension filter `matchesAny` (IN-list — save_CSV.py:121-131). */
+  def dimFilterIn(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_id", "event_type", "user_id")
+
+  /** The daily report: flat schema, IN-list dimension filter, ISO date,
+    * sorted by date ASC (save_CSV.py:104-189 + main.py:135). Row-level
+    * passthrough like the reference CSV — no aggregation. */
+  def dailyReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("date"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag").as("app_name"),
+        col("l_linestatus").as("ad_unit_name"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        earningsMicros.as("estimated_earnings_micros"))
+      .orderBy(col("date"), col("l_orderkey"), col("l_linenumber"))
+
+  /** Total estimated earnings in micros (README.md §Sample SQL). */
+  def earningsTotal(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(sum(earningsMicros).as("total_earnings_micros"))
+
+  /** Total estimated earnings in USD: ROUND(SUM(micros)/1e6, 2). */
+  def earningsUsd(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(round(sum(earningsMicros) / lit(1e6), 2).as("total_earnings_usd"))
+
+  /** MONTH/WEEK dimension rollup (main.py:127-130 dims DATE/MONTH/WEEK). */
+  def monthlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        weekofyear(col("l_shipdate")).as("week"))
+      .agg(
+        sum(earningsMicros).as("earnings_micros"),
+        count(lit(1)).as("line_count"))
+      .orderBy("month", "week")
+
+  /** Running/moving window aggregates over event time (generic OLAP
+    * surface a report consumer needs). */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Order on the exact nanosecond long (ts_ns) — the µs-truncated
+    // timestamp could tie where the ns column doesn't.
+    val w = Window.partitionBy("user_id").orderBy("ts_ns")
+    Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+        .as("running_sum"),
+      round(avg("value").over(w.rowsBetween(-6, 0)), 4).as("mov_avg7"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorF
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (array<float>[64]).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * and relies on Catalyst's WindowGroupLimit rewrite of
+  * `row_number() <= k` — partition-local top-k before the shuffle, so
+  * no executor ever materializes the full score matrix and nothing is
+  * collected to the driver. The LSH path prunes candidates to one
+  * hyperplane bucket before scoring.
+  */
+object Similarity {
+
+  val TopK = 10
+  val QuerySetSize = 8
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Brute-force cosine top-k per query vector, via the native codegen
+    * [[graft.plans.CosineSimilarity]] expression. Scores are rounded
+    * before ranking so rank order is reproducible bit-for-bit across
+    * engines; ties break on neighbor id. */
+  def knnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val neighbors = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = broadcast(queriesDf(spark, dir))
+      .join(neighbors, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorF.cosineSim(col("q_emb"), col("n_emb")), 6).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
+
+  val LshPlanes = 6 // 64 buckets
+
+  /** LSH-bucketed approximate NN: candidates share the query's
+    * random-hyperplane sign bucket; only those are scored. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val planes = VectorF.hyperplanes(64, LshPlanes)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorF.lshBucket(col("embedding"), planes).as("bucket"))
+    val q = broadcast(emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket")))
+    val scored = q.join(
+        emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorF.cosineSim(col("q_emb"), col("n_emb")), 6).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Embedding-cosine near-dup: per vector, the nearest neighbor inside
+    * its LSH bucket (8 planes → finer buckets). A full-scale dedup
+    * would multi-probe adjacent buckets; the bucket-local pass is the
+    * O(n·bucket) core. */
+  def dedupCosine(spark: SparkSession, dir: String): DataFrame = {
+    val planes = VectorF.hyperplanes(64, 5) // 32 buckets, ~n/32 per bucket
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorF.lshBucket(col("embedding"), planes).as("bucket"))
+    val a = emb.select(col("bucket"), col("vec_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("bucket"), col("vec_id").as("nn_id"), col("embedding").as("b_emb"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        round(VectorF.cosineSim(col("a_emb"), col("b_emb")), 6).as("cosine"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nn_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("vec_id")
+  }
+}

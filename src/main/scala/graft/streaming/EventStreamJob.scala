@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming form of the CTR pipeline: the reference runs
+  * its detector as a daily cron (native_CTR_alerts.py); here the same
+  * clicks/impressions ratio is maintained continuously over event-time
+  * windows with a watermark bounding state.
+  *
+  * The transform is source-agnostic: feed it a streaming DataFrame
+  * (Kafka, files, MemoryStream in tests) with (ts, user_id,
+  * event_type) and write the result with `writeStream`.
+  */
+object EventStreamJob {
+
+  /** Windowed CTR per user: 1-hour tumbling event-time windows, 2-hour
+    * watermark (late events beyond that are dropped and state is
+    * reclaimed — unbounded state would OOM a 100 TB stream). */
+  def windowedCtr(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("impressions"))
+      .select(
+        col("window.start").as("window_start"),
+        col("user_id"), col("clicks"), col("impressions"),
+        (col("clicks").cast("double") /
+          nullif(col("impressions").cast("double"), lit(0.0))).as("ctr"))
+}
