@@ -15,14 +15,16 @@ object TextF {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Token n-gram shingles joined by a single space; empty array when
-    * the document has fewer than n tokens. */
+  /** Token n-gram shingles joined by a single space. Documents with
+    * fewer than n tokens fall back to whole-token shingles — an empty
+    * shingle set would give every short doc an identical (NULL) MinHash
+    * signature and silently cluster distinct short docs as duplicates. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
-    ).otherwise(array().cast("array<string>"))
+    ).otherwise(toks)
   }
 
   /** Ratio of punctuation characters to total characters. */

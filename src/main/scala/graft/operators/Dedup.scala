@@ -31,27 +31,36 @@ object Dedup {
   val NumHashes = 64
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
-  private val P = 2147483647L // 2^31 - 1
-  private val perm: Seq[(Long, Long)] = {
+  private[graft] val P = 2147483647L // 2^31 - 1
+  private[graft] val perm: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42L)
     Seq.fill(NumHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
   }
 
-  /** MinHash signature (array<long> of length NumHashes) of a text
-    * column, built from token 3-gram shingles. Pure expressions. */
-  def minhashSignature(text: Column): Column = {
-    val hashes31 = transform(array_distinct(TextF.shingles(text, 3)),
+  /** Distinct token-3-gram shingle hashes reduced below P (31 bits) so
+    * affine permutations stay inside int64. Computed ONCE per row in its
+    * own projection — CollapseProject keeps a non-cheap alias that's
+    * referenced once, so the interpreted HOF runs a single pass. */
+  def shingleHashes(text: Column): Column =
+    transform(array_distinct(TextF.shingles(text, 3)),
       s => pmod(xxhash64(s), lit(P)))
-    array(perm.map { case (a, b) =>
-      array_min(transform(hashes31, h => pmod(h * a + b, lit(P))))
-    }: _*)
-  }
 
-  /** (doc_id, band, band_hash) — one row per band per doc. Empty-shingle
-    * docs hash their empty band deterministically. */
+  /** MinHash signature (array<long> of length NumHashes) over a
+    * pre-reduced hash array, via the native one-pass codegen
+    * [[graft.plans.MinHashSignature]] (the HOF formulation recomputed
+    * the shingle subtree 64× per row — see that class's scaladoc). */
+  def minhashSignature(hashes: Column): Column =
+    graft.plans.ColumnBridge.column(graft.plans.MinHashSignature(
+      graft.plans.ColumnBridge.expression(hashes),
+      perm.map(_._1), perm.map(_._2), P))
+
+  /** (doc_id, band, band_hash) — one row per band per doc. Short docs
+    * fall back to whole-token shingles (TextF.shingles), so only
+    * null-text docs can yield a NULL signature. */
   def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+      .select(col("doc_id"), shingleHashes(col("text")).as("hashes"))
+      .select(col("doc_id"), minhashSignature(col("hashes")).as("sig"))
     val bands = transform(sequence(lit(0), lit(Bands - 1)), i =>
       struct(i.as("band"),
         xxhash64(slice(col("sig"), i * RowsPerBand + 1, lit(RowsPerBand))).as("band_hash")))
@@ -74,7 +83,9 @@ object Dedup {
 
   /** Candidate pairs from LSH buckets verified with exact token-3-gram
     * Jaccard >= threshold. The self-join runs per-bucket (tiny groups),
-    * not all-pairs. */
+    * not all-pairs. The two banded sides are identical subplans shuffled
+    * on the same keys, so Spark's ReuseExchange computes the signature
+    * pipeline once and replays the shuffle for the other side. */
   def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val banded = bandedSignatures(spark, dir)
     val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))

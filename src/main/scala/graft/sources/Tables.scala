@@ -19,16 +19,18 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark rejects by
-    * default. Read it as long nanos (`nanosAsLong`), expose `ts` as a
+    * default. The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Bench/Verify/test
+    * fixtures all do); the loader itself never mutates session state —
+    * a hidden `conf.set` here would leak into unrelated reads and hide
+    * the requirement from other callers. `ts` is exposed as a
     * microsecond timestamp plus `ts_ns` (the exact long) for
     * total-order semantics. Integer `div` keeps the conversion exact.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "events")
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
