@@ -54,11 +54,12 @@ object Dedup {
       graft.plans.ColumnBridge.expression(hashes),
       perm.map(_._1), perm.map(_._2), P))
 
-  /** (doc_id, band, band_hash) — one row per band per doc. Short docs
-    * fall back to whole-token shingles (TextF.shingles), so only
-    * null-text docs can yield a NULL signature. */
-  def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** (doc_id, band, band_hash) — one row per band per doc, over any
+    * frame with (doc_id, text). Short docs fall back to whole-token
+    * shingles (TextF.shingles), so only null-text docs can yield a
+    * NULL signature. */
+  def bandedSignaturesOf(docs0: DataFrame): DataFrame = {
+    val docs = docs0
       .select(col("doc_id"), shingleHashes(col("text")).as("hashes"))
       .select(col("doc_id"), minhashSignature(col("hashes")).as("sig"))
     val bands = transform(sequence(lit(0), lit(Bands - 1)), i =>
@@ -68,11 +69,14 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
   }
 
+  def bandedSignatures(spark: SparkSession, dir: String): DataFrame =
+    bandedSignaturesOf(Tables.documents(spark, dir))
+
   /** One-pass LSH clustering: docs sharing any band bucket take the
     * bucket's min doc_id as cluster id; singletons keep their own id.
     * Shuffles on (band, band_hash) then doc_id only. */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val banded = bandedSignatures(spark, dir)
+  def dedupMinhashOf(docs: DataFrame): DataFrame = {
+    val banded = bandedSignaturesOf(docs)
     val buckets = banded.groupBy("band", "band_hash")
       .agg(min("doc_id").as("bucket_min"))
     banded.join(buckets, Seq("band", "band_hash"))
@@ -81,19 +85,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashOf(Tables.documents(spark, dir))
+
   /** Candidate pairs from LSH buckets verified with exact token-3-gram
     * Jaccard >= threshold. The self-join runs per-bucket (tiny groups),
     * not all-pairs. The two banded sides are identical subplans shuffled
     * on the same keys, so Spark's ReuseExchange computes the signature
     * pipeline once and replays the shuffle for the other side. */
-  def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val banded = bandedSignatures(spark, dir)
+  def dedupJaccardOf(docs: DataFrame, threshold: Double): DataFrame = {
+    val banded = bandedSignaturesOf(docs)
     val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
     val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
     val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val sh = Tables.documents(spark, dir)
+    val sh = docs
       .select(col("doc_id"), array_distinct(TextF.shingles(col("text"), 3)).as("sh"))
     val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_union(col("sa"), col("sb"))).cast("double")
@@ -104,6 +111,9 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy("a_id", "b_id")
   }
+
+  def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    dedupJaccardOf(Tables.documents(spark, dir), threshold)
 
   // ---- SimHash ----------------------------------------------------------
 

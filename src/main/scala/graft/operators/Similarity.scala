@@ -45,15 +45,23 @@ object Similarity {
 
   val LshPlanes = 6 // 64 buckets
 
-  /** LSH-bucketed approximate NN: candidates share the query's
-    * random-hyperplane sign bucket; only those are scored. */
+  /** LSH-bucketed approximate NN with hamming-1 multiprobe: each query
+    * scores candidates in its own sign bucket plus the LshPlanes
+    * buckets one bit away (a borderline neighbor flips exactly the
+    * planes it sits closest to). Single-bucket probing measured 2.5%
+    * recall@10 vs brute force on the test embeddings; multiprobe takes
+    * the candidate set to (planes+1)/2^planes of the data per query —
+    * still ~11% of rows, not O(n) — while recovering useful recall. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val planes = VectorF.hyperplanes(64, LshPlanes)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VectorF.lshBucket(col("embedding"), planes).as("bucket"))
+    val probeMasks = 0 +: (0 until LshPlanes).map(1 << _)
     val q = broadcast(emb.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(array(probeMasks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket")))
     val scored = q.join(
         emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket")),
         Seq("bucket"))

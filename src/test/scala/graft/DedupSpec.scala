@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def docsDf(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  test("native MinHashSignature matches the composable HOF formulation") {
+    val df = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs",
+      3L -> "a b", // short-doc fallback path
+      4L -> "sphinx of black quartz judge my vow now and always forever")
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hashes"))
+
+    val native = df.select(col("doc_id"),
+      Dedup.minhashSignature(col("hashes")).as("sig"))
+    // Round 2's formulation: one array_min(transform(...)) per permutation.
+    val hof = df.select(col("doc_id"), array(Dedup.perm.map { case (a, b) =>
+      array_min(transform(col("hashes"), h => pmod(h * a + b, lit(Dedup.P))))
+    }: _*).as("sig"))
+
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(n == h)
+    assert(n.values.forall(_.length == Dedup.NumHashes))
+  }
+
+  test("identical docs share a cluster; distinct docs do not") {
+    val df = docsDf(
+      1L -> "spark is a unified analytics engine for large scale data",
+      2L -> "spark is a unified analytics engine for large scale data",
+      3L -> "completely different content about cooking pasta al dente tonight",
+      4L -> "near duplicate spark is a unified analytics engine for large scale data")
+    val clusters = Dedup.dedupMinhashOf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == clusters(2L))
+    assert(clusters(3L) != clusters(1L))
+    // doc 4 shares 8 of its shingles with 1/2 — banding at threshold
+    // ~0.5 should catch it (8/11 shingles shared)
+    assert(clusters(4L) == clusters(1L))
+  }
+
+  test("distinct short docs (< shingle width) keep distinct clusters") {
+    val df = docsDf(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "alpha beta")
+    val clusters = Dedup.dedupMinhashOf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == clusters(3L), "identical short docs must cluster")
+    assert(clusters(1L) != clusters(2L), "distinct short docs must NOT cluster")
+  }
+
+  test("signature agreement estimates Jaccard within MinHash error bounds") {
+    // 12 tokens, 6 shared between a and b in shingle space
+    val a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    val b = "t1 t2 t3 t4 t5 t6 t7 t8 x9 x10 x11 x12"
+    val df = docsDf(1L -> a, 2L -> b)
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hashes"))
+      .select(col("doc_id"), Dedup.minhashSignature(col("hashes")).as("sig"))
+    val Array(s1, s2) = df.orderBy("doc_id").collect()
+      .map(_.getSeq[Long](1).toArray)
+    val agree = s1.zip(s2).count { case (x, y) => x == y }.toDouble / s1.length
+    // true shingle jaccard: shingles(a) has 10, shingles(b) has 10, 6 shared
+    val trueJac = 6.0 / 14.0
+    assert(math.abs(agree - trueJac) < 0.25,
+      s"minhash estimate $agree too far from true jaccard $trueJac")
+  }
+
+  test("dedupJaccard emits only pairs above threshold with exact jaccard") {
+    val df = docsDf(
+      1L -> "one two three four five six seven eight nine ten",
+      2L -> "one two three four five six seven eight nine eleven",
+      3L -> "unrelated words entirely disjoint from anything else here now")
+    val pairs = Dedup.dedupJaccardOf(df, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // shingle sets: 8 each, 7 shared -> jaccard 7/9
+    assert(math.abs(pairs.head._3 - 7.0 / 9.0) < 1e-3)
+  }
+
+  test("dedupExact groups byte-identical docs over the real table") {
+    val out = Dedup.dedupExact(spark, Sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getLong(2)).sum == docs, "dup_counts must partition the table")
+  }
+}

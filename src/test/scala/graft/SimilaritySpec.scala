@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorF
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("codegen CosineSimilarity agrees with the HOF cross-check on real embeddings") {
+    val e = Tables.embeddings(spark, Sf).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id")).limit(200)
+    val diffs = pairs.select(
+      abs(VectorF.cosineSim(col("a"), col("b")) -
+        VectorF.cosineSimHof(col("a"), col("b"))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(diffs < 1e-9, s"codegen vs HOF max diff $diffs")
+  }
+
+  test("CosineSimilarity: identical vectors score 1, orthogonal 0, zero-norm NULL") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),
+      (Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
+      (Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0))
+    ).toDF("a", "b").select(VectorF.cosineSim(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(rows(1).getDouble(0)) < 1e-12)
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("knnTopk returns exactly k ranked neighbors per query, scores non-increasing") {
+    val out = Similarity.knnTopk(spark, Sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == Similarity.QuerySetSize)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == Similarity.TopK, s"query $q row count")
+      val scores = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y },
+        s"query $q scores not non-increasing")
+      assert(rows.forall(r => r.getLong(1) != q), "self-match leaked")
+    }
+  }
+
+  test("annLsh scores are exact for the pairs it returns, with nonzero recall vs brute force") {
+    val ann = Similarity.annLsh(spark, Sf)
+      .select("q_id", "n_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ann.nonEmpty)
+    // exact-score check: recompute each returned pair's cosine directly
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    ann.foreach { case ((q, n), s) =>
+      assert(math.abs(s - BigDecimal(cos(e(q), e(n))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6,
+        s"pair ($q,$n) score mismatch")
+    }
+    // recall floor: every ANN hit must be a real neighbor; overlap with
+    // exact top-k should be well above zero even with 6 planes
+    val exact = Similarity.knnTopk(spark, Sf).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.keySet.count(exact.contains).toDouble / exact.size
+    assert(recall > 0.05, s"ANN recall $recall vs brute force")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sinks
+
+class SinksSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("idempotentDailyAppend: re-running a day replaces only that day") {
+    val path = tmp("graft-daily") + "/table"
+    val day1 = Seq(("2026-01-01", 1L, 10.0), ("2026-01-01", 2L, 20.0)).toDF("date", "id", "v")
+    val day2 = Seq(("2026-01-02", 3L, 30.0)).toDF("date", "id", "v")
+    Sinks.idempotentDailyAppend(day1, path, "date")
+    Sinks.idempotentDailyAppend(day2, path, "date")
+    // rerun day 2 with corrected rows — must replace, not duplicate
+    val day2fix = Seq(("2026-01-02", 3L, 33.0), ("2026-01-02", 4L, 40.0)).toDF("date", "id", "v")
+    Sinks.idempotentDailyAppend(day2fix, path, "date")
+
+    val back = spark.read.parquet(path)
+    assert(back.count() == 4, "day-1 untouched + day-2 replaced")
+    assert(back.filter(col("date") === "2026-01-01").count() == 2)
+    val d2 = back.filter(col("date") === "2026-01-02")
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d2 == Map(3L -> 33.0, 4L -> 40.0), "day-2 rows must be the rerun's rows only")
+  }
+
+  test("CSV sink writes a header row and round-trips") {
+    val path = tmp("graft-csv") + "/out"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Sinks.writeCsvWithHeader(df, path)
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.nonEmpty)
+    val firstLines = files.toSeq.flatMap(f =>
+      scala.io.Source.fromFile(f).getLines().toSeq.headOption)
+    assert(firstLines.forall(_ == "id,name"), s"headers were $firstLines")
+    val back = spark.read.option("header", "true").csv(path)
+    assert(back.count() == 2 && back.columns.toSeq == Seq("id", "name"))
+  }
+
+  test("JSONL sink emits one JSON object per line; append mode appends") {
+    val path = tmp("graft-jsonl") + "/out"
+    Sinks.writeJsonl(Seq((1L, "x")).toDF("id", "name"), path)
+    Sinks.writeJsonl(Seq((2L, "y")).toDF("id", "name"), path, append = true)
+    val back = spark.read.json(path)
+    assert(back.count() == 2)
+    val lines = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+    assert(lines.length == 2 && lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreamJob
+
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  test("windowedCtr maintains per-user hourly click/view ratios over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+
+    val query = EventStreamJob.windowedCtr(events).writeStream
+      .format("memory").queryName("ctr_test").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("10:05"), 1L, "view"), (ts("10:10"), 1L, "view"),
+        (ts("10:20"), 1L, "click"),
+        (ts("10:15"), 2L, "view"),
+        (ts("11:05"), 1L, "click")) // second window: click with no views
+      query.processAllAvailable()
+
+      val out = spark.table("ctr_test")
+        .select(date_format(col("window_start"), "HH:mm").as("w"),
+          col("user_id"), col("clicks"), col("impressions"), col("ctr"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+        .toMap
+
+      assert(out(("10:00", 1L)) == ((1L, 2L, Some(0.5))))
+      assert(out(("10:00", 2L)) == ((0L, 1L, Some(0.0))))
+      assert(out(("11:00", 1L))._1 == 1L)
+      assert(out(("11:00", 1L))._3.isEmpty, "0 impressions must give NULL ctr, not a division error")
+    } finally query.stop()
+  }
+}

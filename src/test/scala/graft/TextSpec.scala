@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextF
+import graft.operators.Dedup
+
+class TextSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("shingles: n-grams when long enough, whole tokens as fallback") {
+    val df = Seq("a b c d", "a b", "", "  x  ").toDF("text")
+      .select(TextF.shingles(col("text"), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq("a", "b"), "short doc must fall back to tokens")
+    assert(rows(2) == Seq(""), "empty doc tokenizes to one empty token")
+    assert(rows(3) == Seq("x"))
+  }
+
+  test("simhashOf: deterministic, identical inputs collide, empty is zero") {
+    val a = "the quick brown fox".split(" ")
+    assert(Dedup.simhashOf(a) == Dedup.simhashOf("the quick brown fox".split(" ")))
+    assert(Dedup.simhashOf(Array.empty[String]) == 0L)
+  }
+
+  test("simhashOf: near-identical docs are hamming-closer than unrelated docs") {
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val base = "spark sql catalyst tungsten codegen shuffle partition broadcast join agg".split(" ")
+    val near = "spark sql catalyst tungsten codegen shuffle partition broadcast join filter".split(" ")
+    val far = "cooking pasta requires salted boiling water and eleven minutes patience".split(" ")
+    val (hNear, hFar) = (ham(Dedup.simhashOf(base), Dedup.simhashOf(near)),
+      ham(Dedup.simhashOf(base), Dedup.simhashOf(far)))
+    assert(hNear < hFar, s"near=$hNear far=$hFar")
+  }
+
+  test("rollingFingerprint matches a scalar reimplementation") {
+    def scalar(text: String): Long =
+      text.trim.split("\\s+").foldLeft(0L) { (acc, t) =>
+        val code = t.length.toLong * 131 + t.head.toLong * 31 + t.last.toLong
+        (acc * 1000003L + code) % 2147483647L
+      }
+    val texts = Seq("hello world", "a bb ccc dddd", "spark")
+    val got = texts.toDF("text")
+      .select(TextF.rollingFingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == texts.map(scalar))
+  }
+
+  test("tokenCount matches whitespace split semantics") {
+    val got = Seq("one two  three", " padded ", "")
+      .toDF("text").select(TextF.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(3, 1, 1))
+  }
+}
