@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.operators.Dedup
+import graft.plans.{CosineSimilarity, MinHashSignature}
+
+/** SQL-surface registration for the engine's native expressions, so
+  * `spark.sql("SELECT cosine_sim(a, b) ...")` works like any built-in.
+  *
+  * Two entry points:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (the standard plugin path — [[GraftExtensions]] is a pure
+  *    `SparkSessionExtensions => Unit`);
+  *  - [[GraftFunctions.register]] for an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  /** (identifier, info, builder) triples — the exact shape
+    * `SparkSessionExtensions.injectFunction` takes. */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinHashSignature(children.head, Dedup.perm.map(_._1), Dedup.perm.map(_._2), Dedup.P)))
+
+  /** Register on a live session. `sessionState`/`functionRegistry` are
+    * Scala-`private[sql]` but bytecode-public (same situation as
+    * [[graft.plans.ColumnBridge]]); bound reflectively, driver-side
+    * only, zero per-row cost. */
+  def register(spark: SparkSession): Unit = {
+    val ss = spark.getClass.getMethod("sessionState").invoke(spark)
+    val fr = ss.getClass.getMethod("functionRegistry").invoke(ss)
+    val m = fr.getClass.getMethods.find(m =>
+      m.getName == "registerFunction" && m.getParameterCount == 3 &&
+        m.getParameterTypes()(1) == classOf[ExpressionInfo])
+      .getOrElse(sys.error("no (FunctionIdentifier, ExpressionInfo, builder) registerFunction found"))
+    descriptors.foreach { case (id, inf, builder) => m.invoke(fr, id, inf, builder) }
+  }
+}

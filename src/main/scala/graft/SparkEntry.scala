@@ -43,6 +43,8 @@ object SparkEntry {
     "knn_topk"         -> (Similarity.knnTopk(_, _)),
     "ann_lsh"          -> (Similarity.annLsh(_, _)),
     "token_count"      -> (TextAnalysis.tokenCount(_, _)),
+    "token_count_bpe"  -> (TextAnalysis.tokenCountBpe(_, _)),
+    "ann_ivf"          -> (Similarity.annIvf(_, _)),
     "text_stats"       -> (TextAnalysis.textStats(_, _)),
     "quality_score"    -> (TextAnalysis.qualityScore(_, _)),
     "doc_fingerprint"  -> (TextAnalysis.docFingerprint(_, _)),
@@ -220,6 +222,31 @@ object SparkEntry {
         |n AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb FROM embeddings),
         |s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 6) AS score
         |      FROM q, n WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
+        |      FROM s)
+        |SELECT q_id, n_id, score, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "token_count_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |sc AS (SELECT e.vec_id, e.emb, c.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) AS cs
+        |       FROM e, c),
+        |cellr AS (SELECT vec_id, emb, c_id,
+        |            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |          FROM sc),
+        |cell AS (SELECT vec_id AS n_id, emb AS n_emb, c_id FROM cellr WHERE rn = 1),
+        |qc AS (SELECT vec_id AS q_id, emb AS q_emb, c_id
+        |       FROM cellr WHERE rn <= 2 AND vec_id < 8),
+        |s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 6) AS score
+        |      FROM qc JOIN cell USING (c_id) WHERE q_id <> n_id),
         |r AS (SELECT q_id, n_id, score,
         |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
         |      FROM s)

@@ -15,6 +15,19 @@ object TextF {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenization regex (the GPT-2 pattern family,
+    * simplified): runs of letters, runs of digits, runs of other
+    * non-space symbols — each optionally absorbing one leading space —
+    * or a whitespace run. No lookahead, and the alternatives are
+    * first-char-disjoint, so Java regex (Spark) and RE2 (DuckDB
+    * oracle) tokenize identically. */
+  val BpeTokenPattern: String = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token count under BPE-ish pre-tokenization — the corpus-costing
+    * number an LLM-data pipeline budgets by, vs whitespace counting. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Token n-gram shingles joined by a single space. Documents with
     * fewer than n tokens fall back to whole-token shingles — an empty
     * shingle set would give every short doc an identical (NULL) MinHash

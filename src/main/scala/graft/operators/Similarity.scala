@@ -74,6 +74,46 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  val IvfCells = 16
+  val IvfProbes = 2
+
+  /** IVF-style approximate NN: vectors are assigned to the nearest of
+    * `IvfCells` coarse centroids (deterministically the first IvfCells
+    * vectors — a k-means stand-in with identical plumbing), queries
+    * probe their `IvfProbes` nearest cells and score only those cells'
+    * members. The 100 TB shape: the centroid set broadcasts, cell
+    * assignment is one map-side pass, and the probe join shuffles on
+    * cell id only — candidates are nprobe/cells of the data, never
+    * O(n) per query. Scores round to 6 places before ranking with id
+    * tie-breaks so rank order is engine-reproducible. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = broadcast(emb.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+    val scoredC = emb.join(cents)
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        round(VectorF.cosineSim(col("embedding"), col("c_emb")), 6).as("cscore"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("c_id"))
+    val cells = scoredC.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("c_id"))
+    val probes = broadcast(
+      scoredC.filter(col("vec_id") < QuerySetSize)
+        .withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") <= IvfProbes)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("c_id")))
+    val scored = probes.join(cells, Seq("c_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorF.cosineSim(col("q_emb"), col("n_emb")), 6).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("n_id"), col("score"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding-cosine near-dup: per vector, the nearest neighbor inside
     * its LSH bucket (8 planes → finer buckets). A full-scale dedup
     * would multi-probe adjacent buckets; the bucket-local pass is the

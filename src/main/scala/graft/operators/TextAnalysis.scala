@@ -24,6 +24,16 @@ object TextAnalysis {
         max(TextF.tokenCount(col("text"))).as("max_tokens"))
       .orderBy("source")
 
+  /** Whitespace vs BPE-ish token counts per document — the number a
+    * training-data pipeline budgets corpus cost by. One map-side pass,
+    * no shuffle except the output sort. */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextF.tokenCount(col("text")).as("n_tokens_ws"),
+        TextF.bpeTokenCount(col("text")).as("n_tokens_bpe"))
+      .orderBy("doc_id")
+
   /** Per-language corpus stats. Ratios are single divisions of exact
     * integer sums — reproducible across engines and partitionings. */
   def textStats(spark: SparkSession, dir: String): DataFrame =

@@ -48,6 +48,26 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("annIvf returns ranked per-query results whose scores the brute-force path confirms") {
+    val ivf = Similarity.annIvf(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(ivf.nonEmpty)
+    val exactScores = Similarity.knnTopk(spark, Sf)
+      .select("q_id", "n_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Every IVF hit that brute-force also ranked must carry the same score
+    ivf.foreach { case (q, n, s, _) =>
+      exactScores.get((q, n)).foreach(es => assert(math.abs(s - es) < 1e-9)) }
+    // per-query: ranks contiguous from 1, scores non-increasing
+    ivf.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length).toSeq, s"ranks for $q")
+      val sc = sorted.map(_._3)
+      assert(sc.zip(sc.tail).forall { case (x, y) => x >= y }, s"scores for $q") }
+    val recall = ivf.map(t => (t._1, t._2)).count(p => exactScores.contains(p)).toDouble / exactScores.size
+    assert(recall > 0.05, s"IVF recall $recall vs brute force")
+  }
+
   test("annLsh scores are exact for the pairs it returns, with nonzero recall vs brute force") {
     val ann = Similarity.annLsh(spark, Sf)
       .select("q_id", "n_id", "score").collect()
