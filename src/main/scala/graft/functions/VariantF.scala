@@ -45,6 +45,33 @@ object VariantF {
   def variantField(mapJson: Column, key: String): Column =
     get_json_object(mapJson, s"$$.$key")
 
+  /** Parse a variant payload ONCE into a typed struct. Each
+    * `get_json_object` call above re-parses the JSON string (one
+    * Jackson parse per extracted key per row); in a hot path parse
+    * with this and run the fallback chains over struct fields —
+    * materialize the struct in its own projection so it isn't inlined
+    * per consumer. */
+  def parseVariant(mv: Column): Column =
+    from_json(mv, org.apache.spark.sql.types.StructType(
+      Seq("integerValue", "microsValue", "decimalValue", "doubleValue", "value")
+        .map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType))))
+
+  /** get_int fallback chain over a [[parseVariant]] struct. */
+  def getIntFromStruct(v: Column): Column = coalesce(
+    v.getField("integerValue").cast("long"),
+    v.getField("microsValue").cast("long"),
+    v.getField("decimalValue").cast("double").cast("long"),
+    v.getField("value").cast("double").cast("long"),
+    lit(0L))
+
+  /** get_float fallback chain over a [[parseVariant]] struct. */
+  def getFloatFromStruct(v: Column): Column = coalesce(
+    v.getField("doubleValue").cast("double"),
+    v.getField("decimalValue").cast("double"),
+    v.getField("value").cast("double"),
+    lit(0.0))
+
   /** disp() semantics (native_CTR_alerts.py:104-106): displayLabel if
     * non-empty, else value if non-empty, else "". Python `or` treats
     * empty string as falsy, hence the nullif-empty steps. */

@@ -38,12 +38,13 @@ object Dedup {
   }
 
   /** Distinct token-3-gram shingle hashes reduced below P (31 bits) so
-    * affine permutations stay inside int64. Computed ONCE per row in its
-    * own projection — CollapseProject keeps a non-cheap alias that's
-    * referenced once, so the interpreted HOF runs a single pass. */
+    * affine permutations stay inside int64, via the native one-pass
+    * [[graft.plans.ShingleHashes]] (byte-identical to the composable
+    * `transform(array_distinct(shingles), pmod(xxhash64, P))`, minus
+    * its interpreted per-shingle lambda evals and string arrays). */
   def shingleHashes(text: Column): Column =
-    transform(array_distinct(TextF.shingles(text, 3)),
-      s => pmod(xxhash64(s), lit(P)))
+    graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
+      graft.plans.ColumnBridge.expression(text), 3, P))
 
   /** MinHash signature (array<long> of length NumHashes) over a
     * pre-reduced hash array, via the native one-pass codegen
@@ -100,8 +101,12 @@ object Dedup {
     val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    // Exact Jaccard over the 31-bit shingle hash sets instead of the
+    // shingle strings: collision odds per doc are ~|shingles|²/2³² —
+    // negligible at document scale — and long-array intersection is far
+    // cheaper than string-array intersection.
     val sh = docs
-      .select(col("doc_id"), array_distinct(TextF.shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
     val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_union(col("sa"), col("sb"))).cast("double")
     cand

@@ -52,10 +52,12 @@ object Report {
       .when(col("event_type") === "signup",
         concat(lit("{\"value\":\""), k, lit(".25\"}")))
       .otherwise(lit("{}"))
-    ev.select(col("event_id"), mv.as("mv"))
+    // Parse once per row (from_json struct), not once per extracted
+    // key: the get_json_object chains cost 7 JSON parses per row.
+    ev.select(col("event_id"), parseVariant(mv).as("v"))
       .select(col("event_id"),
-        getIntVariant(col("mv")).as("vi"),
-        getFloatVariant(col("mv")).as("vf"))
+        getIntFromStruct(col("v")).as("vi"),
+        getFloatFromStruct(col("v")).as("vf"))
   }
 
   /** displayLabel-else-value-else-"" coalesce (save_CSV.py:165-167)

@@ -80,18 +80,21 @@ object TextAnalysis {
     * columns — inlined the tokenization into every language (no CSE for
     * interpreted HOFs) and cost 13.5 s at sf0.1. */
   private val LangBits = 12
-  private lazy val langMaskMap: Column = {
+  private lazy val langMasks: Seq[(String, Long)] = {
     val entries = scala.collection.mutable.LinkedHashMap[String, Long]()
     LangProfiles.zipWithIndex.foreach { case ((_, words), i) =>
       words.foreach { w => entries(w) = entries.getOrElse(w, 0L) + (1L << (LangBits * i)) }
     }
-    map(entries.toSeq.flatMap { case (w, m) => Seq(lit(w), lit(m)) }: _*)
+    entries.toSeq
   }
 
-  /** One-pass packed language scores of a text column (see above). */
+  /** One-pass packed language scores of a text column via the native
+    * [[graft.plans.PackedWordScore]] expression — hash lookup per
+    * token inside whole-stage codegen (the interpreted
+    * aggregate+element_at form scanned all map entries per token). */
   def langScores(text: Column): Column =
-    aggregate(TextF.tokens(lower(text)), lit(0L),
-      (acc, t) => acc + coalesce(element_at(langMaskMap, t), lit(0L)))
+    graft.plans.ColumnBridge.column(graft.plans.PackedWordScore(
+      graft.plans.ColumnBridge.expression(lower(text)), langMasks))
 
   /** Argmax language from a packed-scores column (ties break on
     * language code; "und" when no profile word matched). Cheap bit
