@@ -49,7 +49,10 @@ object SparkEntry {
     "quality_score"    -> (TextAnalysis.qualityScore(_, _)),
     "doc_fingerprint"  -> (TextAnalysis.docFingerprint(_, _)),
     "lang_id"          -> (TextAnalysis.langId(_, _)),
-    "multimodal_meta"  -> (Multimodal.multimodalMeta(_, _))
+    "multimodal_meta"  -> (Multimodal.multimodalMeta(_, _)),
+    "multimodal_features" -> (Multimodal.multimodalFeatures(_, _)),
+    "asof_attribution" -> (AsofJoin.clickAttribution(_, _)),
+    "earnings_percentiles" -> (Report.earningsPercentiles(_, _))
   )
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
@@ -298,6 +301,23 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |  hex(encode(left(text, 4))) AS prefix_hex, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "asof_attribution" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, ts FROM events
+        |      WHERE event_type = 'view')
+        |SELECT c.click_id, c.user_id, v.view_id AS attributed_view_id
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY click_id""".stripMargin,
+
+    "earnings_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  CAST(COUNT(*) AS BIGINT) AS line_count
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

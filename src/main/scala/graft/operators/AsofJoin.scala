@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Scalable as-of join: for each left row, the most recent right row
+  * with the same key and time <= the left row's time.
+  *
+  * Spark has no ASOF JOIN operator; the naive formulations are a range
+  * join (O(n·m) per key after the equi-part) or a per-left-row
+  * subquery. This one is the union-and-carry form: tag both sides,
+  * union, ONE shuffle on the key, and a running `last(_, ignoreNulls)`
+  * over (time, side) order carries the latest right payload forward
+  * into each left row. Cost is a single sort-shuffle of left+right —
+  * the only shape that survives 100 TB event streams (no range
+  * explosion, no per-key quadratic pairing, skew handled by AQE like
+  * any other sort).
+  *
+  * Right rows sort before left rows at equal time (`side` 0 < 1), so
+  * a right row exactly at the left row's time matches, = the `<=` of
+  * SQL ASOF JOIN semantics. Left rows with no prior right row keep
+  * NULL (ASOF LEFT JOIN).
+  */
+object AsofJoin {
+
+  /** @param valueCols right-side columns to carry into each left row */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, time: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == time)
+    val l = left
+      .withColumn("__side", lit(1))
+      .select((Seq(col(key), col(time), col("__side")) ++
+        leftCols.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .select((Seq(col(key), col(time), col("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col)): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Click attribution (the ad-domain as-of): each click joined to the
+    * user's most recent impression at or before it. */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ns"), col("event_id").as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_ns"), col("event_id").as("view_id"))
+    asofJoin(clicks, views, "user_id", "ts_ns", Seq("view_id"))
+      .select(col("click_id"), col("user_id"), col("view_id").as("attributed_view_id"))
+      .orderBy("click_id")
+  }
+}

@@ -27,6 +27,15 @@ object Multimodal {
         col("n_chars"))
       .orderBy("doc_id")
 
+  /** The feature-extraction pipeline as a registered query (rows-only
+    * check: the stub decoder's rolling-hash features aren't
+    * SQL-expressible; MultimodalSpec covers determinism and shape). */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark,
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+      .orderBy("doc_id")
+
   /** Feature-extraction plumbing: batch-parallel "decode" over binary
     * payloads via mapPartitions. The decoder itself is a deterministic
     * STUB (real deployments plug in an image/audio codec here); the

@@ -122,6 +122,21 @@ object Report {
         count(lit(1)).as("line_count"))
       .orderBy("month", "week")
 
+  /** Exact percentile distribution of line earnings per return flag —
+    * the spread stats a revenue report carries next to SUMs. Exact
+    * `percentile` (linear interpolation between order statistics), not
+    * approx sketches, so the DuckDB `quantile_cont` oracle matches
+    * bit-for-bit after rounding. One aggregation shuffle. */
+  def earningsPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("line_count"))
+      .orderBy("l_returnflag")
+
   /** Running/moving window aggregates over event time (generic OLAP
     * surface a report consumer needs). */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {

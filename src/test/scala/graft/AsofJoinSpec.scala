@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("asofJoin attaches the most recent right row at or before each left row") {
+    val clicks = Seq(
+      (1L, 100L, 1001L), // after views 10,50,60 -> latest is 53
+      (1L, 55L, 1002L),  // between 50 and 60 -> 52
+      (1L, 50L, 1003L),  // exactly at view ts 50 -> 52 (<= semantics)
+      (1L, 5L, 1004L),   // before any view -> null
+      (2L, 100L, 2001L)  // user with no views at all -> null
+    ).toDF("user_id", "ts_ns", "click_id")
+    val views = Seq(
+      (1L, 10L, 51L),
+      (1L, 50L, 52L),
+      (1L, 60L, 53L)
+    ).toDF("user_id", "ts_ns", "view_id")
+
+    val got = AsofJoin.asofJoin(clicks, views, "user_id", "ts_ns", Seq("view_id"))
+      .select("click_id", "view_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    assert(got == Map(
+      1001L -> Some(53L), 1002L -> Some(52L), 1003L -> Some(52L),
+      1004L -> None, 2001L -> None))
+  }
+
+  test("clickAttribution over the real events table: attributed view precedes its click") {
+    val out = AsofJoin.clickAttribution(spark, Sf)
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select($"event_id", $"ts_ns").as[(Long, Long)].collect().toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      val (clickTs, viewTs) = (ev(r.getLong(0)), ev(r.getLong(2)))
+      assert(viewTs <= clickTs, s"view ${r.getLong(2)} after click ${r.getLong(0)}")
+    }
+  }
+}

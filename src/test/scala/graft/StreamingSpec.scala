@@ -42,4 +42,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(out(("11:00", 1L))._3.isEmpty, "0 impressions must give NULL ctr, not a division error")
     } finally query.stop()
   }
+
+  test("StreamingDedup.firstSeen emits each key once across batches with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    val docs = input.toDF().toDF("key", "ts", "payload")
+
+    val query = graft.streaming.StreamingDedup.firstSeen(docs).writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      input.addData(("hashA", ts("10:00"), "first-a"), ("hashB", ts("10:01"), "first-b"))
+      query.processAllAvailable()
+      input.addData(("hashA", ts("10:05"), "dup-a"), ("hashC", ts("10:06"), "first-c"))
+      query.processAllAvailable()
+
+      val out = spark.table("dedup_test")
+        .select("key", "payload").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out == Map("hashA" -> "first-a", "hashB" -> "first-b", "hashC" -> "first-c"),
+        "duplicates within the TTL horizon must be suppressed, first payload kept")
+    } finally query.stop()
+  }
 }
