@@ -52,6 +52,7 @@ object SparkEntry {
     "multimodal_meta"  -> (Multimodal.multimodalMeta(_, _)),
     "multimodal_features" -> (Multimodal.multimodalFeatures(_, _)),
     "asof_attribution" -> (AsofJoin.clickAttribution(_, _)),
+    "approx_distinct_users" -> (CtrAlerts.approxDistinctUsers(_, _)),
     "earnings_percentiles" -> (Report.earningsPercentiles(_, _))
   )
 
