@@ -131,10 +131,16 @@ object Report {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        // ONE percentile agg with an array of fractions: a separate
+        // percentile() per fraction buffers the group's values once
+        // per call (3× memory + 3 sorts; 4.5 s vs 1.5 s at sf0.1).
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"),
         count(lit(1)).as("line_count"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p90"),
+        round(element_at(col("ps"), 3), 4).as("p99"),
+        col("line_count"))
       .orderBy("l_returnflag")
 
   /** Running/moving window aggregates over event time (generic OLAP
