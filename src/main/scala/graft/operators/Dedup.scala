@@ -143,13 +143,14 @@ object Dedup {
 
   /** (doc_id, simhash, cluster_id): cluster = min doc_id sharing any of
     * the four 16-bit simhash bands (hamming-adjacent docs collide on at
-    * least one band with high probability). */
+    * least one band with high probability). The signature runs as the
+    * native [[graft.plans.SimHash64]] expression — the earlier typed
+    * `Dataset.map` encoded/decoded every row and left codegen. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => (id, simhashOf(text.trim.split("\\s+"))) }
-      .toDF("doc_id", "simhash")
+      .select(col("doc_id"),
+        graft.plans.ColumnBridge.column(graft.plans.SimHash64(
+          graft.plans.ColumnBridge.expression(col("text")))).as("simhash"))
     // 16-bit band extraction: band i value = (simhash >>> 16i) & 0xffff.
     val banded = (0 until 4).map { i =>
       sigs.select(col("doc_id"), col("simhash"), lit(i).as("band"),

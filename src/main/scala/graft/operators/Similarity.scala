@@ -114,16 +114,21 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Embedding-cosine near-dup: per vector, the nearest neighbor inside
-    * its LSH bucket (8 planes → finer buckets). A full-scale dedup
-    * would multi-probe adjacent buckets; the bucket-local pass is the
-    * O(n·bucket) core. */
+  /** Embedding-cosine near-dup: per vector, the nearest neighbor among
+    * its LSH bucket plus the hamming-1 buckets (multiprobe on the
+    * probe side only — a borderline near-dup flips the planes it sits
+    * closest to, and single-bucket probing misses it). Candidates per
+    * vector stay (planes+1)/2^planes of the data, never O(n). */
   def dedupCosine(spark: SparkSession, dir: String): DataFrame = {
-    val planes = VectorF.hyperplanes(64, 5) // 32 buckets, ~n/32 per bucket
+    val nPlanes = 5 // 32 buckets
+    val planes = VectorF.hyperplanes(64, nPlanes)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VectorF.lshBucket(col("embedding"), planes).as("bucket"))
-    val a = emb.select(col("bucket"), col("vec_id"), col("embedding").as("a_emb"))
+    val probeMasks = 0 +: (0 until nPlanes).map(1 << _)
+    val a = emb.select(col("vec_id"), col("embedding").as("a_emb"),
+      explode(array(probeMasks.map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val b = emb.select(col("bucket"), col("vec_id").as("nn_id"), col("embedding").as("b_emb"))
     val scored = a.join(b, Seq("bucket"))
       .filter(col("vec_id") =!= col("nn_id"))

@@ -84,6 +84,43 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(pairs.head._3 - 7.0 / 9.0) < 1e-3)
   }
 
+  test("SimHash64 expression is bit-identical to the scalar simhashOf") {
+    val texts = Seq("a b c", "  spaced   out  tokens ", "", "single",
+      "the quick brown fox jumps over the lazy dog")
+    val got = texts.toDF("text")
+      .select(graft.plans.ColumnBridge.column(graft.plans.SimHash64(
+        graft.plans.ColumnBridge.expression(col("text")))).as("s"))
+      .collect().map(_.getLong(0))
+    val want = texts.map(t => Dedup.simhashOf(t.trim.split("\\s+")))
+    assert(got.toSeq == want)
+  }
+
+  test("minhash estimate tracks true shingle jaccard across seeded random doc pairs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 50).map(i => s"w$i")
+    val pairs = (0 until 20).map { i =>
+      val base = Seq.fill(20 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      val mutRate = rnd.nextDouble() * 0.5
+      val mutated = base.map(t =>
+        if (rnd.nextDouble() < mutRate) vocab(rnd.nextInt(vocab.size)) else t)
+      (i.toLong, base.mkString(" "), mutated.mkString(" "))
+    }
+    def shingleSet(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sigs = pairs.flatMap { case (i, a, b) => Seq((i * 2, a), (i * 2 + 1, b)) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingleHashes(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    pairs.foreach { case (i, a, b) =>
+      val (sa, sb) = (shingleSet(a), shingleSet(b))
+      val truth = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      val (s1, s2) = (sigs(i * 2), sigs(i * 2 + 1))
+      val est = s1.zip(s2).count { case (x, y) => x == y }.toDouble / s1.length
+      // ~4.8 sigma for 64 permutations
+      assert(math.abs(est - truth) < 0.3, s"pair $i: estimate $est vs true $truth")
+    }
+  }
+
   test("dedupExact groups byte-identical docs over the real table") {
     val out = Dedup.dedupExact(spark, Sf)
     val rows = out.collect()
