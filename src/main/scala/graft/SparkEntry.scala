@@ -53,7 +53,8 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.multimodalFeatures(_, _)),
     "asof_attribution" -> (AsofJoin.clickAttribution(_, _)),
     "approx_distinct_users" -> (CtrAlerts.approxDistinctUsers(_, _)),
-    "earnings_percentiles" -> (Report.earningsPercentiles(_, _))
+    "earnings_percentiles" -> (Report.earningsPercentiles(_, _)),
+    "report_spec_demo" -> (ReportSpecs.reportSpecDemo(_, _))
   )
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
@@ -312,6 +313,15 @@ object SparkEntry {
         |SELECT c.click_id, c.user_id, v.view_id AS attributed_view_id
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY click_id""".stripMargin,
+
+    "report_spec_demo" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS date, l_returnflag AS app_name,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS estimated_earnings_micros,
+        |  CAST(COUNT(*) AS BIGINT) AS matched_requests
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |GROUP BY date, app_name ORDER BY date, app_name""".stripMargin,
 
     "earnings_percentiles" ->
       """SELECT l_returnflag,

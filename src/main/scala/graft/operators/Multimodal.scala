@@ -36,6 +36,52 @@ object Multimodal {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
       .orderBy("doc_id")
 
+  /** Resize plumbing: binary-in/binary-out media transform with typed
+    * target metadata. The resampler is a deterministic STUB (byte
+    * stride-sampling — a real deployment plugs in an image codec); the
+    * schema contract (payload + target dims in, payload + actual dims
+    * out) and the map-only, no-shuffle shape are production-real. */
+  def resizeStub(spark: SparkSession, payloads: DataFrame,
+                 targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val target = targetW * targetH
+        it.map { case (id, bytes) =>
+          val out =
+            if (bytes.length <= target) bytes
+            else {
+              // STUB: stride-sample down to the target byte budget
+              val stride = bytes.length.toDouble / target
+              Array.tabulate(target)(i => bytes((i * stride).toInt))
+            }
+          (id, targetW, targetH, out)
+        }
+      }
+      .toDF("doc_id", "width", "height", "payload")
+  }
+
+  /** Frame-sampling plumbing: one media payload → every n-th "frame",
+    * emitted one row per frame (the explode shape a video pipeline
+    * feeds to per-frame feature extraction). Frame boundaries are a
+    * deterministic STUB (fixed-size byte windows standing in for
+    * decoded frames); the row-explosion contract and ordering column
+    * are real. */
+  def sampleFrames(spark: SparkSession, payloads: DataFrame,
+                   frameBytes: Int, everyNth: Int): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = math.max(1, bytes.length / frameBytes)
+        (0 until nFrames by everyNth).map { f =>
+          val start = f * frameBytes
+          val end = math.min(bytes.length, start + frameBytes)
+          (id, f, java.util.Arrays.copyOfRange(bytes, start, end))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_payload")
+  }
+
   /** Feature-extraction plumbing: batch-parallel "decode" over binary
     * payloads via mapPartitions. The decoder itself is a deterministic
     * STUB (real deployments plug in an image/audio codec here); the

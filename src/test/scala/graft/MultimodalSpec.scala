@@ -26,6 +26,32 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(r2.getInt(1) == 0 && r2.getInt(2) == 0 && r2.getInt(3) == 0)
   }
 
+  test("resizeStub honors the byte budget and passes small payloads through") {
+    val payloads = Seq(
+      (1L, Array.tabulate(100)(_.toByte)), // above budget -> sampled down
+      (2L, Array[Byte](1, 2, 3))           // below budget -> untouched
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.resizeStub(spark, payloads, 4, 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Array[Byte]](3).length == 16)
+    assert(out(1L).getInt(1) == 4 && out(1L).getInt(2) == 4)
+    assert(out(2L).getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3))
+    // determinism
+    val again = Multimodal.resizeStub(spark, payloads, 4, 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](3).toSeq).toMap
+    assert(again(1L) == out(1L).getAs[Array[Byte]](3).toSeq)
+  }
+
+  test("sampleFrames explodes one row per sampled frame window") {
+    val payloads = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(spark, payloads, frameBytes = 10, everyNth = 2)
+      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+    assert(frames.map(_._1).toSeq.sorted == Seq(0, 2, 4, 6, 8), "every 2nd of 10 frames")
+    assert(frames.forall(_._2.length == 10))
+    val f2 = frames.find(_._1 == 2).get._2
+    assert(f2 == (20 until 30).map(_.toByte).toSeq, "frame 2 = bytes [20,30)")
+  }
+
   test("multimodalFeatures runs partition-parallel over the documents table") {
     val out = Multimodal.multimodalFeatures(spark, Sf)
     assert(out.columns.toSeq == Seq("doc_id", "width", "height", "n_bytes", "features"))
