@@ -48,6 +48,18 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == texts.map(scalar))
   }
 
+  test("contentFingerprint is deterministic and separates distinct texts") {
+    val texts = Seq("alpha beta gamma", "alpha beta gamma", "alpha beta delta", "")
+    val got = texts.toDF("text")
+      .select(TextF.contentFingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(got(0) == got(1), "identical texts must share a fingerprint")
+    assert(got(0) != got(2), "distinct texts must differ")
+    val again = texts.toDF("text")
+      .select(TextF.contentFingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(got.toSeq == again.toSeq, "stable across runs")
+  }
+
   test("tokenCount matches whitespace split semantics") {
     val got = Seq("one two  three", " padded ", "")
       .toDF("text").select(TextF.tokenCount(col("text"))).collect().map(_.getInt(0))
