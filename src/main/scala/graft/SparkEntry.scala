@@ -54,7 +54,8 @@ object SparkEntry {
     "asof_attribution" -> (AsofJoin.clickAttribution(_, _)),
     "approx_distinct_users" -> (CtrAlerts.approxDistinctUsers(_, _)),
     "earnings_percentiles" -> (Report.earningsPercentiles(_, _)),
-    "report_spec_demo" -> (ReportSpecs.reportSpecDemo(_, _))
+    "report_spec_demo" -> (ReportSpecs.reportSpecDemo(_, _)),
+    "corpus_clean" -> (TextAnalysis.corpusClean(_, _))
   )
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
@@ -322,6 +323,25 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
         |GROUP BY date, app_name ORDER BY date, app_name""".stripMargin,
+
+    "corpus_clean" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROUND((
+        |      LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
+        |      (1.0 - ABS(
+        |        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             t -> t IN ('the','a'))) AS DOUBLE) /
+        |        NULLIF(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.0)
+        |        - 0.15)) +
+        |      (1.0 - LEAST(
+        |        CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) /
+        |        NULLIF(CAST(length(text) AS DOUBLE), 0.0) * 10, 1.0))
+        |    ) / 3.0, 4) AS quality
+        |  FROM documents
+        |  WHERE lang IN ('en','es','de','fr') AND n_chars BETWEEN 100 AND 500)
+        |SELECT doc_id, lang, n_chars, quality FROM scored
+        |WHERE quality >= 0.9 ORDER BY doc_id""".stripMargin,
 
     "earnings_percentiles" ->
       """SELECT l_returnflag,

@@ -64,6 +64,24 @@ object TextAnalysis {
       .select(col("doc_id"), TextF.rollingFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** The composite corpus-cleaning pass an LLM-data pipeline runs
+    * before training: quality threshold + length band + language
+    * allowlist, composed from the primitives above so the whole
+    * predicate evaluates in ONE map-side pass over the scan (no
+    * intermediate materialization; the lang/length filters reach the
+    * parquet reader as pushed filters). */
+  def corpusClean(spark: SparkSession, dir: String,
+                  minQuality: Double = 0.9, minChars: Int = 100,
+                  maxChars: Int = 500,
+                  langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("lang").isin(langs.map(_.asInstanceOf[Any]): _*) &&
+        col("n_chars").between(minChars, maxChars))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextF.qualityScore(col("text"), Stopwords).as("quality"))
+      .filter(col("quality") >= minQuality)
+      .orderBy("doc_id")
+
   /** Common-word profiles for the language-ID heuristic (public
     * most-frequent-words lists, truncated). */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(

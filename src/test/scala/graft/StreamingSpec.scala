@@ -43,6 +43,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("windowedCtr finalizes windows at the watermark and drops later events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+
+    val query = EventStreamJob.windowedCtr(events).writeStream
+      .format("memory").queryName("ctr_late").outputMode("append").start()
+    try {
+      input.addData((ts("10:05"), 1L, "view"), (ts("10:20"), 1L, "click"))
+      query.processAllAvailable()
+      assert(spark.table("ctr_late").isEmpty,
+        "append mode must not emit before the watermark passes the window")
+
+      // 13:30 event → watermark 11:30 → the 10:00 window finalizes
+      input.addData((ts("13:30"), 2L, "view"))
+      query.processAllAvailable()
+      val emitted = spark.table("ctr_late")
+        .select(date_format(col("window_start"), "HH:mm"), col("user_id"),
+          col("clicks"), col("impressions")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(emitted.toSet == Set(("10:00", 1L, 1L, 1L)))
+
+      // later than the watermark → dropped, the finalized window stays as-is
+      input.addData((ts("10:40"), 1L, "view"))
+      query.processAllAvailable()
+      val after = spark.table("ctr_late").count()
+      assert(after == emitted.length, "late event must not re-emit or mutate the window")
+    } finally query.stop()
+  }
+
   test("StreamingDedup.firstSeen emits each key once across batches with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, String)]
