@@ -55,7 +55,8 @@ object SparkEntry {
     "approx_distinct_users" -> (CtrAlerts.approxDistinctUsers(_, _)),
     "earnings_percentiles" -> (Report.earningsPercentiles(_, _)),
     "report_spec_demo" -> (ReportSpecs.reportSpecDemo(_, _)),
-    "corpus_clean" -> (TextAnalysis.corpusClean(_, _))
+    "corpus_clean" -> (TextAnalysis.corpusClean(_, _)),
+    "earnings_cube" -> (Report.earningsCube(_, _))
   )
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
@@ -323,6 +324,16 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
         |GROUP BY date, app_name ORDER BY date, app_name""".stripMargin,
+
+    "earnings_cube" ->
+      """SELECT l_returnflag AS app_name, l_linestatus AS ad_unit_name,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS earnings_micros,
+        |  CAST(COUNT(*) AS BIGINT) AS line_count,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, app_name ASC NULLS FIRST, ad_unit_name ASC NULLS FIRST""".stripMargin,
 
     "corpus_clean" ->
       """WITH scored AS (

@@ -122,6 +122,24 @@ object Report {
         count(lit(1)).as("line_count"))
       .orderBy("month", "week")
 
+  /** CUBE over (app, ad_unit): every dimension combination — per-pair,
+    * per-app, per-unit, grand total — in ONE pass (Spark expands the
+    * grouping sets map-side; no per-combination rescan). The
+    * multi-dimension rollup surface the reference's 5-dim report spec
+    * (main.py:127-130) implies. `grouping_id` disambiguates CUBE
+    * nulls from (nonexistent) null dimension values. */
+  def earningsCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag").as("app_name"), col("l_linestatus").as("ad_unit_name"))
+      .agg(
+        sum(earningsMicros).as("earnings_micros"),
+        count(lit(1)).as("line_count"),
+        // must be computed inside the agg — grouping_id() is only
+        // resolvable against the Cube node itself
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("app_name").asc_nulls_first,
+        col("ad_unit_name").asc_nulls_first)
+
   /** Exact percentile distribution of line earnings per return flag —
     * the spread stats a revenue report carries next to SUMs. Exact
     * `percentile` (linear interpolation between order statistics), not
