@@ -56,7 +56,8 @@ object SparkEntry {
     "earnings_percentiles" -> (Report.earningsPercentiles(_, _)),
     "report_spec_demo" -> (ReportSpecs.reportSpecDemo(_, _)),
     "corpus_clean" -> (TextAnalysis.corpusClean(_, _)),
-    "earnings_cube" -> (Report.earningsCube(_, _))
+    "earnings_cube" -> (Report.earningsCube(_, _)),
+    "top_customers" -> (Report.topCustomers(_, _))
   )
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
@@ -324,6 +325,17 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
         |GROUP BY date, app_name ORDER BY date, app_name""".stripMargin,
+
+    "top_customers" ->
+      """SELECT o.o_custkey AS custkey, c.c_name, c.c_mktsegment,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_micros,
+        |  CAST(COUNT(*) AS BIGINT) AS line_count
+        |FROM orders o
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY custkey, c.c_name, c.c_mktsegment
+        |ORDER BY revenue_micros DESC, custkey LIMIT 10""".stripMargin,
 
     "earnings_cube" ->
       """SELECT l_returnflag AS app_name, l_linestatus AS ad_unit_name,

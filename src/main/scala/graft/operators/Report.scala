@@ -122,6 +122,28 @@ object Report {
         count(lit(1)).as("line_count"))
       .orderBy("month", "week")
 
+  /** Top customers by revenue: the canonical fact⋈fact analytic. The
+    * orders⋈lineitem join shuffles both sides on the join key (AQE
+    * sizes/coalesces the partitions); the customer dimension is
+    * explicitly broadcast; ranking is a partition-local sort-limit
+    * (TakeOrderedAndProject), never a full global sort. */
+  def topCustomers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val revenue = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), earningsMicros.as("m")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("m").as("revenue_micros"), count(lit(1)).as("line_count"))
+    revenue
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_name"), col("c_mktsegment"),
+        col("revenue_micros"), col("line_count"))
+      .orderBy(col("revenue_micros").desc, col("custkey"))
+      .limit(k)
+  }
+
   /** CUBE over (app, ad_unit): every dimension combination — per-pair,
     * per-app, per-unit, grand total — in ONE pass (Spark expands the
     * grouping sets map-side; no per-combination rescan). The
