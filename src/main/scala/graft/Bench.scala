@@ -16,7 +16,10 @@ object Bench {
     // init) so the first timed query doesn't absorb ~4 s of one-time
     // startup that has nothing to do with its plan.
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/nation.parquet").limit(1).collect()
+    // Guarded: a missing table must surface as per-query errors below,
+    // not abort the run before any JSON is emitted.
+    try spark.read.parquet(s"$sfDir/nation.parquet").limit(1).collect()
+    catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -30,23 +30,31 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, time: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == key || c == time)
+    // Carry the right payload as ONE struct: every right row's struct
+    // is non-null even when its fields are null, so last(ignoreNulls)
+    // matches the nearest right ROW — carrying raw columns would skip
+    // a matched row's genuinely-NULL value and attribute an older one.
+    val rvType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(right.schema.fieldIndex(c))))
     val l = left
       .withColumn("__side", lit(1))
       .select((Seq(col(key), col(time), col("__side")) ++
-        leftCols.map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+        leftCols.map(col) :+
+        lit(null).cast(rvType).as("__rv")): _*)
     val r = right
       .withColumn("__side", lit(0))
       .select((Seq(col(key), col(time), col("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col)): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as("__rv")): _*)
     val w = Window.partitionBy(key)
       .orderBy(col(time), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    l.unionByName(r)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((Seq(col(key), col(time)) ++
+        leftCols.map(col) ++
+        valueCols.map(c => col("__rv").getField(c).as(c))): _*)
   }
 
   /** Click attribution (the ad-domain as-of): each click joined to the

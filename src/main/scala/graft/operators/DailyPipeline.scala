@@ -18,28 +18,31 @@ import graft.sources.Sinks
   */
 object DailyPipeline {
 
+  /** @param reportRows rows THIS run produced (not warehouse total) */
   case class RunResult(reportRows: Long, alertGroups: Long, warehousePath: String)
 
   def run(spark: SparkSession, dir: String, outDir: String,
           writeCsv: Boolean = true): RunResult = {
-    val report = Report.dailyReport(spark, dir)
+    // One materialization feeds all three sinks — without the cache the
+    // scan+filter+sort plan executes once per artifact.
+    val report = Report.dailyReport(spark, dir).cache()
+    try {
+      val reportRows = report.count()
 
-    // 1. artifacts (save_CSV.py:141-216 / main.py:89-95)
-    if (writeCsv) {
-      Sinks.writeCsvWithHeader(report, s"$outDir/csv")
-      Sinks.writeJsonl(report, s"$outDir/jsonl")
-    }
+      // 1. artifacts (save_CSV.py:141-216 / main.py:89-95)
+      if (writeCsv) {
+        Sinks.writeCsvWithHeader(report, s"$outDir/csv")
+        Sinks.writeJsonl(report, s"$outDir/jsonl")
+      }
 
-    // 2. idempotent warehouse load (native_CTR_alerts.py:182-212)
-    val warehouse = s"$outDir/warehouse"
-    Sinks.idempotentDailyAppend(report, warehouse, "date")
+      // 2. idempotent warehouse load (native_CTR_alerts.py:182-212)
+      val warehouse = s"$outDir/warehouse"
+      Sinks.idempotentDailyAppend(report, warehouse, "date")
 
-    // 3. the analytic + alert formatting (native_CTR_alerts.py:215-329)
-    val alerts = CtrAlerts.alertReport(spark, dir)
+      // 3. the analytic + alert formatting (native_CTR_alerts.py:215-329)
+      val alerts = CtrAlerts.alertReport(spark, dir)
 
-    RunResult(
-      reportRows = spark.read.parquet(warehouse).count(),
-      alertGroups = alerts.count(),
-      warehousePath = warehouse)
+      RunResult(reportRows, alerts.count(), warehouse)
+    } finally report.unpersist()
   }
 }

@@ -46,6 +46,17 @@ object ReportSpecs {
     "QUANTITY" -> ("quantity" -> sum(col("l_quantity"))))
 
   def run(spark: SparkSession, dir: String, spec: ReportSpec): DataFrame = {
+    // Validate the spec up front with field-level messages — like the
+    // reference API does — instead of dying deep in plan construction.
+    require(spec.metrics.nonEmpty, "report spec needs at least one metric")
+    spec.dimensions.foreach(d => require(dimensionExprs.contains(d),
+      s"unknown dimension '$d' (known: ${dimensionExprs.keys.mkString(", ")})"))
+    spec.metrics.foreach(m => require(metricExprs.contains(m),
+      s"unknown metric '$m' (known: ${metricExprs.keys.mkString(", ")})"))
+    val outCols = (spec.dimensions.map(dimensionExprs(_)._1) ++
+      spec.metrics.map(metricExprs(_)._1)).toSet
+    spec.sortConditions.foreach { case (c, _) => require(outCols.contains(c),
+      s"sort column '$c' is not an emitted column (${outCols.mkString(", ")})") }
     val dims = spec.dimensions.map(d => dimensionExprs(d) match {
       case (name, e) => e.as(name)
     })

@@ -20,8 +20,10 @@ object Skew {
     * the plain join (SkewSpec asserts it). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int): DataFrame = {
-    // Any salt assignment is correct (it only spreads rows); derive it
-    // from the key bytes so it's stable and needs no row id.
+    // Any salt assignment is correct (it only spreads rows) — but it
+    // MUST vary within a key, so the row id goes into the hash; a salt
+    // of the key alone would send every row of a hot key to one
+    // reducer and defeat the whole mitigation.
     val l = left.withColumn("__salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
     val r = right.withColumn("__salt",

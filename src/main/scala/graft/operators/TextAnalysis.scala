@@ -112,7 +112,7 @@ object TextAnalysis {
     * aggregate+element_at form scanned all map entries per token). */
   def langScores(text: Column): Column =
     graft.plans.ColumnBridge.column(graft.plans.PackedWordScore(
-      graft.plans.ColumnBridge.expression(lower(text)), langMasks))
+      graft.plans.ColumnBridge.expression(lower(text)), langMasks, LangBits))
 
   /** Argmax language from a packed-scores column (ties break on
     * language code; "und" when no profile word matched). Cheap bit

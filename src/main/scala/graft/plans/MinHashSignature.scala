@@ -47,15 +47,20 @@ case class MinHashSignature(
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val v = (h * aArr(j) + bArr(j)) % prime
-        if (v < sig(j)) sig(j) = v
-        j += 1
+      // NULL elements are skipped, matching array_min semantics in the
+      // composable formulation (SQL callers can pass arrays with NULLs).
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (h * aArr(j) + bArr(j)) % prime
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
       }
       i += 1
     }
+    if (sig(0) == Long.MaxValue) return null // all elements were NULL
     new GenericArrayData(sig)
   }
 
@@ -72,13 +77,15 @@ case class MinHashSignature(
         |  long[] $sig = new long[$k];
         |  java.util.Arrays.fill($sig, Long.MAX_VALUE);
         |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($c.isNullAt($i)) continue; // skip NULLs like array_min
         |    long $h = $c.getLong($i);
         |    for (int $j = 0; $j < $k; $j++) {
         |      long $v = ($h * $aRef[$j] + $bRef[$j]) % ${prime}L;
         |      if ($v < $sig[$j]) $sig[$j] = $v;
         |    }
         |  }
-        |  ${ev.value} = ${classOf[UnsafeArrayData].getName}.fromPrimitiveArray($sig);
+        |  if ($sig[0] == Long.MAX_VALUE) { ${ev.isNull} = true; } // all NULL
+        |  else { ${ev.value} = ${classOf[UnsafeArrayData].getName}.fromPrimitiveArray($sig); }
         |}
       """.stripMargin
     })

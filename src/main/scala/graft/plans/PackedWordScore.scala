@@ -18,12 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * collide with ASCII whitespace) and the whole operator remains
   * map-side inside whole-stage codegen.
   */
-case class PackedWordScore(child: Expression, words: Seq[(String, Long)])
+case class PackedWordScore(child: Expression, words: Seq[(String, Long)], laneBits: Int)
   extends UnaryExpression with ExpectsInputTypes {
+
+  require(laneBits > 0 && laneBits <= 32, "laneBits must be in [1, 32]")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "packed_word_score"
+
+  private def laneCount = 64 / laneBits // floor: trailing bits unused
+  private def laneMask = (1L << laneBits) - 1
 
   @transient private lazy val lookup: java.util.HashMap[UTF8String, java.lang.Long] = {
     val m = new java.util.HashMap[UTF8String, java.lang.Long](words.size * 2)
@@ -34,10 +39,14 @@ case class PackedWordScore(child: Expression, words: Seq[(String, Long)])
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
 
-  /** Public so generated code can call it through the reference obj. */
+  /** Public so generated code can call it through the reference obj.
+    * Counters accumulate per lane in full longs and saturate at the
+    * lane maximum when packed — a naive packed add carries a >4095
+    * count into the neighboring lane (a 16k-token doc would corrupt
+    * the adjacent language's score). */
   def score(u: UTF8String): Long = {
     val bytes = u.getBytes
-    var acc = 0L
+    val counters = new Array[Long](laneCount)
     var i = 0
     val n = bytes.length
     while (i < n) {
@@ -46,8 +55,21 @@ case class PackedWordScore(child: Expression, words: Seq[(String, Long)])
       while (i < n && !isWs(bytes(i))) i += 1
       if (i > start) {
         val v = lookup.get(UTF8String.fromBytes(bytes, start, i - start))
-        if (v != null) acc += v.longValue()
+        if (v != null) {
+          val mask = v.longValue()
+          var j = 0
+          while (j < laneCount) {
+            counters(j) += (mask >>> (j * laneBits)) & laneMask
+            j += 1
+          }
+        }
       }
+    }
+    var acc = 0L
+    var j = 0
+    while (j < laneCount) {
+      acc |= math.min(counters(j), laneMask) << (j * laneBits)
+      j += 1
     }
     acc
   }

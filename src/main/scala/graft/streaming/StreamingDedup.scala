@@ -39,7 +39,9 @@ object StreamingDedup {
           } else if (state.exists) {
             Iterator.empty // key already emitted within the TTL horizon
           } else if (docs.hasNext) {
-            val first = docs.next()
+            // The per-key batch iterator arrives in arbitrary shuffle
+            // order — take the earliest by event time, not docs.next().
+            val first = docs.minBy(_.ts.getTime)
             state.update(Seen(first.ts))
             state.setTimeoutTimestamp(first.ts.getTime, stateTtl)
             Iterator.single(first)

@@ -30,6 +30,18 @@ class AsofJoinSpec extends AnyFunSuite with SparkFixture {
       1004L -> None, 2001L -> None))
   }
 
+  test("a matched right row with a NULL payload yields NULL, not an older value") {
+    val clicks = Seq((1L, 100L, 9001L)).toDF("user_id", "ts_ns", "click_id")
+    val views = Seq(
+      (1L, 10L, Some(51L)),
+      (1L, 80L, None) // nearest prior view exists but its value is NULL
+    ).toDF("user_id", "ts_ns", "view_id")
+    val got = AsofJoin.asofJoin(clicks, views, "user_id", "ts_ns", Seq("view_id"))
+      .select("click_id", "view_id").head()
+    assert(got.getLong(0) == 9001L && got.isNullAt(1),
+      "carrying raw columns would skip the NULL and wrongly attribute view 51")
+  }
+
   test("clickAttribution over the real events table: attributed view precedes its click") {
     val out = AsofJoin.clickAttribution(spark, Sf)
     val ev = graft.sources.Tables.events(spark, Sf)

@@ -25,4 +25,15 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     val r = spark.sql("SELECT minhash_sig(array()::ARRAY<BIGINT>) AS s").head()
     assert(r.isNullAt(0))
   }
+
+  test("minhash_sig skips NULL elements like array_min; all-NULL input is NULL") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT minhash_sig(array(17L, CAST(NULL AS BIGINT))) AS a,
+        |       minhash_sig(array(17L)) AS b,
+        |       minhash_sig(array(CAST(NULL AS BIGINT))) AS c""".stripMargin).head()
+    assert(rows.getSeq[Long](0) == rows.getSeq[Long](1),
+      "a NULL element must not contribute a bogus hash")
+    assert(rows.isNullAt(2))
+  }
 }

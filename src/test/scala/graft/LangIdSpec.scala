@@ -27,6 +27,15 @@ class LangIdSpec extends AnyFunSuite with SparkFixture {
     assert(got.forall(_.getString(0) == "und"))
   }
 
+  test("per-language counters saturate instead of overflowing into the next lane") {
+    // >4095 hits of an en profile word: a packed add would carry into
+    // the es lane and flip the prediction
+    val long = ("the " * 5000) + "words here"
+    val pred = Seq(long).toDF("text")
+      .select(TextAnalysis.langIdCol(col("text"))).head().getString(0)
+    assert(pred == "en")
+  }
+
   test("two-projection split (langScores → langPred) equals the single-column form") {
     val df = graft.sources.Tables.documents(spark, Sf).limit(100)
     val split = df

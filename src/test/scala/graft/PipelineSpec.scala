@@ -26,7 +26,9 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .agg(expr("bit_xor(h)")).head().getLong(0)
     val h1 = warehouseHash()
     val r2 = DailyPipeline.run(spark, Sf, out, writeCsv = false)
-    assert(r2.reportRows == r1.reportRows, "rerun must not duplicate any date partition")
+    assert(r2.reportRows == r1.reportRows)
+    assert(spark.read.parquet(r1.warehousePath).count() == r1.reportRows,
+      "rerun must not duplicate any date partition")
     assert(warehouseHash() == h1, "rerun must leave identical content")
   }
 }

@@ -86,11 +86,17 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       input.addData(("hashA", ts("10:05"), "dup-a"), ("hashC", ts("10:06"), "first-c"))
       query.processAllAvailable()
 
+      // hashD arrives twice IN ONE batch, later-timestamp first — the
+      // earliest by event time must win, not iterator order
+      input.addData(("hashD", ts("10:10"), "late-d"), ("hashD", ts("10:08"), "first-d"))
+      query.processAllAvailable()
+
       val out = spark.table("dedup_test")
         .select("key", "payload").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
-      assert(out == Map("hashA" -> "first-a", "hashB" -> "first-b", "hashC" -> "first-c"),
-        "duplicates within the TTL horizon must be suppressed, first payload kept")
+      assert(out == Map("hashA" -> "first-a", "hashB" -> "first-b",
+        "hashC" -> "first-c", "hashD" -> "first-d"),
+        "duplicates within the TTL horizon must be suppressed, earliest payload kept")
     } finally query.stop()
   }
 }
