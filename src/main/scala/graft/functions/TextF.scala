@@ -18,10 +18,13 @@ object TextF {
   /** BPE-style pre-tokenization regex (the GPT-2 pattern family,
     * simplified): runs of letters, runs of digits, runs of other
     * non-space symbols — each optionally absorbing one leading space —
-    * or a whitespace run. No lookahead, and the alternatives are
-    * first-char-disjoint, so Java regex (Spark) and RE2 (DuckDB
-    * oracle) tokenize identically. */
-  val BpeTokenPattern: String = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    * or a whitespace run. No lookahead, alternatives are
+    * first-char-disjoint, and whitespace is an EXPLICIT class rather
+    * than `\s` (Java's `\s` includes vertical tab, RE2's does not),
+    * so Java regex (Spark) and RE2 (DuckDB oracle) tokenize
+    * identically on every input. */
+  val BpeTokenPattern: String =
+    " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   /** Token count under BPE-ish pre-tokenization — the corpus-costing
     * number an LLM-data pipeline budgets by, vs whitespace counting. */

@@ -57,12 +57,16 @@ object Dedup {
 
   /** (doc_id, band, band_hash) — one row per band per doc, over any
     * frame with (doc_id, text). Short docs fall back to whole-token
-    * shingles (TextF.shingles), so only null-text docs can yield a
-    * NULL signature. */
+    * shingles, so only null-text docs yield a NULL signature — those
+    * are EXCLUDED here: xxhash64 over a NULL slice degrades to the
+    * hash seed, which would give every no-content doc identical band
+    * hashes and cluster unrelated docs together. Callers route
+    * unbanded docs to singleton clusters. */
   def bandedSignaturesOf(docs0: DataFrame): DataFrame = {
     val docs = docs0
       .select(col("doc_id"), shingleHashes(col("text")).as("hashes"))
       .select(col("doc_id"), minhashSignature(col("hashes")).as("sig"))
+      .filter(col("sig").isNotNull)
     val bands = transform(sequence(lit(0), lit(Bands - 1)), i =>
       struct(i.as("band"),
         xxhash64(slice(col("sig"), i * RowsPerBand + 1, lit(RowsPerBand))).as("band_hash")))
@@ -80,9 +84,14 @@ object Dedup {
     val banded = bandedSignaturesOf(docs)
     val buckets = banded.groupBy("band", "band_hash")
       .agg(min("doc_id").as("bucket_min"))
-    banded.join(buckets, Seq("band", "band_hash"))
+    val clustered = banded.join(buckets, Seq("band", "band_hash"))
       .groupBy("doc_id")
       .agg(min("bucket_min").as("cluster_id"))
+    // null-text docs never banded → each is its own singleton cluster
+    docs.select(col("doc_id"))
+      .join(clustered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
   }
 

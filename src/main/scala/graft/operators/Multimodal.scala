@@ -48,14 +48,15 @@ object Multimodal {
       .mapPartitions { it =>
         val target = targetW * targetH
         it.map { case (id, bytes) =>
-          val out =
-            if (bytes.length <= target) bytes
-            else {
-              // STUB: stride-sample down to the target byte budget
-              val stride = bytes.length.toDouble / target
-              Array.tabulate(target)(i => bytes((i * stride).toInt))
-            }
-          (id, targetW, targetH, out)
+          // Invariant: emitted width*height == payload length, so
+          // downstream consumers can index by the typed dims. A
+          // passed-through payload reports ITS dims, not the target's.
+          if (bytes.length <= target) (id, bytes.length, 1, bytes)
+          else {
+            // STUB: stride-sample down to the target byte budget
+            val stride = bytes.length.toDouble / target
+            (id, targetW, targetH, Array.tabulate(target)(i => bytes((i * stride).toInt)))
+          }
         }
       }
       .toDF("doc_id", "width", "height", "payload")

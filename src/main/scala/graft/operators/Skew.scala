@@ -38,8 +38,7 @@ object Skew {
     * min, max) compose this way. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      salts: Int): DataFrame =
-    df.withColumn("__salt",
-        pmod(xxhash64(col(valueCol).cast("string"), monotonically_increasing_id()), lit(salts)))
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

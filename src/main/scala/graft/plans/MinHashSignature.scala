@@ -17,10 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * O(n·k) arithmetic inside whole-stage codegen, the form that survives
   * a 100 TB scan.
   *
-  * Input MUST be hashes already reduced below `prime` (< 2^31): with
-  * a,b < 2^31 the product stays under 2^62 — no int64 overflow.
-  * NULL input → NULL; empty array (doc with no shingles) → NULL, so
-  * callers can route empty docs to singleton clusters explicitly.
+  * Each element is reduced below `prime` (< 2^31) with floorMod
+  * before the permutations, so arbitrary 64-bit hashes are safe at
+  * the SQL surface (with a,b < 2^31 the product then stays under
+  * 2^62 — no int64 overflow); pre-reduced inputs pass through
+  * unchanged. NULL input → NULL; NULL elements are skipped like
+  * array_min; an empty/all-NULL array (doc with no shingles) → NULL,
+  * so callers can route empty docs to singleton clusters explicitly.
   */
 case class MinHashSignature(
     child: Expression,
@@ -50,7 +53,7 @@ case class MinHashSignature(
       // NULL elements are skipped, matching array_min semantics in the
       // composable formulation (SQL callers can pass arrays with NULLs).
       if (!arr.isNullAt(i)) {
-        val h = arr.getLong(i)
+        val h = java.lang.Math.floorMod(arr.getLong(i), prime)
         var j = 0
         while (j < k) {
           val v = (h * aArr(j) + bArr(j)) % prime
@@ -78,7 +81,7 @@ case class MinHashSignature(
         |  java.util.Arrays.fill($sig, Long.MAX_VALUE);
         |  for (int $i = 0; $i < $n; $i++) {
         |    if ($c.isNullAt($i)) continue; // skip NULLs like array_min
-        |    long $h = $c.getLong($i);
+        |    long $h = java.lang.Math.floorMod($c.getLong($i), ${prime}L);
         |    for (int $j = 0; $j < $k; $j++) {
         |      long $v = ($h * $aRef[$j] + $bRef[$j]) % ${prime}L;
         |      if ($v < $sig[$j]) $sig[$j] = $v;

@@ -24,6 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the hash of the empty string, matching `split(trim(""), "\\s+") =
   * [""]` — so every doc has a non-empty, content-determined shingle
   * set and empty docs (which ARE byte-identical) cluster together.
+  *
+  * Tokenization differs from the composable `split(trim(text),
+  * "\\s+")` (TextF.shingles — kept as the composable API) in ONE
+  * edge: text starting with non-space whitespace (e.g. a tab) gives
+  * the split form a phantom leading empty token, which this scanner
+  * correctly does not emit.
   */
 case class ShingleHashes(child: Expression, n: Int, prime: Long)
   extends UnaryExpression with ExpectsInputTypes {

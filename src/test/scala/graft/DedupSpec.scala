@@ -48,6 +48,19 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(clusters(4L) == clusters(1L))
   }
 
+  test("null-text docs become singleton clusters, never grouped with each other") {
+    val df = Seq(
+      (1L, Some("real content words here for a normal document today")),
+      (2L, None: Option[String]),
+      (3L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.dedupMinhashOf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.keySet == Set(1L, 2L, 3L), "every doc must appear in the output")
+    assert(clusters(2L) == 2L && clusters(3L) == 3L,
+      "no-content docs must not cluster together via degenerate band hashes")
+  }
+
   test("distinct short docs (< shingle width) keep distinct clusters") {
     val df = docsDf(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "alpha beta")
     val clusters = Dedup.dedupMinhashOf(df).collect()

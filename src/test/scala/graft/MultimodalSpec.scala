@@ -36,6 +36,8 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L).getAs[Array[Byte]](3).length == 16)
     assert(out(1L).getInt(1) == 4 && out(1L).getInt(2) == 4)
     assert(out(2L).getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3))
+    // pass-through must report ITS dims (w*h == payload length), not the target's
+    assert(out(2L).getInt(1) * out(2L).getInt(2) == 3)
     // determinism
     val again = Multimodal.resizeStub(spark, payloads, 4, 4).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](3).toSeq).toMap

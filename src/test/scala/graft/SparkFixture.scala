@@ -7,14 +7,8 @@ import org.scalatest.Suite
   * JVM). Built with the same confs the Bench/Verify mains use —
   * notably nanosAsLong, which any `events.parquet` read requires. */
 object SparkFixture {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession =
+    Sessions.builder("4").appName("graft-test").getOrCreate()
 }
 
 trait SparkFixture { this: Suite =>
