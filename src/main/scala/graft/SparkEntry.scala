@@ -372,6 +372,31 @@ object SparkEntry {
         |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
         |  CAST(COUNT(*) AS BIGINT) AS line_count
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Argmax over per-language profile-word hits; ties break on the
+    // GREATEST language code (= Spark's array_max over struct(score,
+    // lang)), 'und' when nothing matched.
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','you','that'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','ser','se','no'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','in','den','von','zu','das','mit','sich'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','est','un','une','que'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('的','一','是','不','了','人','我','在','有','他'))) AS s_zh
+        |  FROM t),
+        |m AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM s)
+        |SELECT doc_id, lang,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN s_zh = best THEN 'zh'
+        |       WHEN s_fr = best THEN 'fr'
+        |       WHEN s_es = best THEN 'es'
+        |       WHEN s_en = best THEN 'en'
+        |       ELSE 'de' END AS pred_lang
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

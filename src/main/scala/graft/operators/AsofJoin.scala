@@ -29,7 +29,16 @@ object AsofJoin {
   /** @param valueCols right-side columns to carry into each left row */
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, time: String, valueCols: Seq[String]): DataFrame = {
+    val reserved = Seq("__side", "__rv")
+    val clashes = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"asofJoin reserves internal column names ${reserved.mkString(", ")}; " +
+        s"rename input column(s) ${clashes.distinct.mkString(", ")}")
     val leftCols = left.columns.filterNot(c => c == key || c == time)
+    val dupOut = valueCols.filter(leftCols.contains)
+    require(dupOut.isEmpty,
+      s"valueCols ${dupOut.mkString(", ")} also exist on the left side; " +
+        "alias one side before joining so output column names stay unique")
     // Carry the right payload as ONE struct: every right row's struct
     // is non-null even when its fields are null, so last(ignoreNulls)
     // matches the nearest right ROW — carrying raw columns would skip

@@ -29,11 +29,17 @@ object Multimodal {
 
   /** The feature-extraction pipeline as a registered query (rows-only
     * check: the stub decoder's rolling-hash features aren't
-    * SQL-expressible; MultimodalSpec covers determinism and shape). */
+    * SQL-expressible; MultimodalSpec covers determinism and shape).
+    * The float[] features column is projected as an xxhash64
+    * fingerprint — the raw array isn't hashable by the driver's
+    * rows-compare, and the fingerprint still pins the exact feature
+    * values across runs. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark,
       Tables.documents(spark, dir)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+        xxhash64(col("features")).as("features_fp"))
       .orderBy("doc_id")
 
   /** Resize plumbing: binary-in/binary-out media transform with typed
@@ -43,6 +49,8 @@ object Multimodal {
     * out) and the map-only, no-shuffle shape are production-real. */
   def resizeStub(spark: SparkSession, payloads: DataFrame,
                  targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"target dims must be positive, got ${targetW}x$targetH")
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -70,6 +78,8 @@ object Multimodal {
     * are real. */
   def sampleFrames(spark: SparkSession, payloads: DataFrame,
                    frameBytes: Int, everyNth: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>

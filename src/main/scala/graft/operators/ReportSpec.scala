@@ -53,8 +53,12 @@ object ReportSpecs {
       s"unknown dimension '$d' (known: ${dimensionExprs.keys.mkString(", ")})"))
     spec.metrics.foreach(m => require(metricExprs.contains(m),
       s"unknown metric '$m' (known: ${metricExprs.keys.mkString(", ")})"))
-    val outCols = (spec.dimensions.map(dimensionExprs(_)._1) ++
-      spec.metrics.map(metricExprs(_)._1)).toSet
+    val outNames = spec.dimensions.map(dimensionExprs(_)._1) ++
+      spec.metrics.map(metricExprs(_)._1)
+    val dupNames = outNames.diff(outNames.distinct).distinct
+    require(dupNames.isEmpty, // registries are extensible; don't assume disjoint
+      s"spec emits duplicate output column(s): ${dupNames.mkString(", ")}")
+    val outCols = outNames.toSet
     spec.sortConditions.foreach { case (c, _) => require(outCols.contains(c),
       s"sort column '$c' is not an emitted column (${outCols.mkString(", ")})") }
     val dims = spec.dimensions.map(d => dimensionExprs(d) match {
@@ -67,7 +71,8 @@ object ReportSpecs {
       .filter(col("l_shipdate") >= to_date(lit(spec.dateStart)) &&
         col("l_shipdate") < date_add(to_date(lit(spec.dateEnd)), 1))
     val grouped = base.groupBy(dims: _*).agg(mets.head, mets.tail: _*)
-    grouped.orderBy(spec.sortConditions.map { case (c, asc) =>
+    if (spec.sortConditions.isEmpty) grouped // unsorted report, like the API
+    else grouped.orderBy(spec.sortConditions.map { case (c, asc) =>
       if (asc) col(c).asc else col(c).desc
     }: _*)
   }

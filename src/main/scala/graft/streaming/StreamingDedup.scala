@@ -40,8 +40,10 @@ object StreamingDedup {
             Iterator.empty // key already emitted within the TTL horizon
           } else if (docs.hasNext) {
             // The per-key batch iterator arrives in arbitrary shuffle
-            // order — take the earliest by event time, not docs.next().
-            val first = docs.minBy(_.ts.getTime)
+            // order — take the earliest by event time, not docs.next(),
+            // with the payload as tiebreak so equal-timestamp docs pick
+            // the same winner on every run.
+            val first = docs.minBy(d => (d.ts.getTime, d.payload))
             state.update(Seen(first.ts))
             state.setTimeoutTimestamp(first.ts.getTime, stateTtl)
             Iterator.single(first)

@@ -42,6 +42,20 @@ class AsofJoinSpec extends AnyFunSuite with SparkFixture {
       "carrying raw columns would skip the NULL and wrongly attribute view 51")
   }
 
+  test("name collisions with reserved or left-side columns are rejected up front") {
+    val left = Seq((1L, 10L, "x")).toDF("user_id", "ts_ns", "payload")
+    val right = Seq((1L, 5L, "y")).toDF("user_id", "ts_ns", "payload")
+    // valueCol also exists on the left -> duplicate output names
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofJoin(left, right, "user_id", "ts_ns", Seq("payload")))
+      .getMessage.contains("alias one side"))
+    // a reserved internal name on an input would be clobbered
+    val poisoned = left.withColumnRenamed("payload", "__side")
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofJoin(poisoned, right, "user_id", "ts_ns", Seq("payload")))
+      .getMessage.contains("__side"))
+  }
+
   test("clickAttribution over the real events table: attributed view precedes its click") {
     val out = AsofJoin.clickAttribution(spark, Sf)
     val ev = graft.sources.Tables.events(spark, Sf)

@@ -56,8 +56,26 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
 
   test("multimodalFeatures runs partition-parallel over the documents table") {
     val out = Multimodal.multimodalFeatures(spark, Sf)
-    assert(out.columns.toSeq == Seq("doc_id", "width", "height", "n_bytes", "features"))
+    assert(out.columns.toSeq == Seq("doc_id", "width", "height", "n_bytes", "features_fp"))
     val n = out.count()
     assert(n == graft.sources.Tables.documents(spark, Sf).count())
+    // the fingerprint pins exact feature values run-over-run
+    val a = out.select("doc_id", "features_fp").as[(Long, Long)].collect().toMap
+    val b = Multimodal.multimodalFeatures(spark, Sf)
+      .select("doc_id", "features_fp").as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("bad parameters fail at call time with a clear message") {
+    val payloads = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(intercept[IllegalArgumentException](
+      Multimodal.sampleFrames(spark, payloads, frameBytes = 0, everyNth = 1))
+      .getMessage.contains("frameBytes"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.sampleFrames(spark, payloads, frameBytes = 10, everyNth = 0))
+      .getMessage.contains("everyNth"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.resizeStub(spark, payloads, 0, 4))
+      .getMessage.contains("target dims"))
   }
 }

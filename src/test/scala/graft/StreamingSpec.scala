@@ -91,11 +91,16 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       input.addData(("hashD", ts("10:10"), "late-d"), ("hashD", ts("10:08"), "first-d"))
       query.processAllAvailable()
 
+      // hashE: two docs with the IDENTICAL timestamp in one batch —
+      // the payload tiebreak must pick the same winner every run
+      input.addData(("hashE", ts("10:12"), "tie-z"), ("hashE", ts("10:12"), "tie-a"))
+      query.processAllAvailable()
+
       val out = spark.table("dedup_test")
         .select("key", "payload").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(out == Map("hashA" -> "first-a", "hashB" -> "first-b",
-        "hashC" -> "first-c", "hashD" -> "first-d"),
+        "hashC" -> "first-c", "hashD" -> "first-d", "hashE" -> "tie-a"),
         "duplicates within the TTL horizon must be suppressed, earliest payload kept")
     } finally query.stop()
   }
