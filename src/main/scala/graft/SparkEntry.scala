@@ -57,7 +57,18 @@ object SparkEntry {
     "report_spec_demo" -> (ReportSpecs.reportSpecDemo(_, _)),
     "corpus_clean" -> (TextAnalysis.corpusClean(_, _)),
     "earnings_cube" -> (Report.earningsCube(_, _)),
-    "top_customers" -> (Report.topCustomers(_, _))
+    "top_customers" -> (Report.topCustomers(_, _)),
+    // Round-4 tranche: event analytics, corpus prep, exact ssjoin,
+    // embedding quantization (#46-54)
+    "sessionize"        -> (EventAnalytics.sessionize(_, _)),
+    "zscore_outliers"   -> (EventAnalytics.zscoreOutliers(_, _)),
+    "interval_join"     -> (EventAnalytics.intervalJoin(_, _)),
+    "pii_redact"        -> (Corpus.piiRedact(_, _)),
+    "decontaminate"     -> (Corpus.decontaminate(_, _)),
+    "vocab_df"          -> (Corpus.vocabDf(_, _)),
+    "stratified_sample" -> (Corpus.stratifiedSample(_, _)),
+    "jaccard_pairs"     -> (Dedup.jaccardPairs(_, _)),
+    "embed_quantize"    -> (Similarity.embedQuantize(_, _))
   )
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
@@ -397,6 +408,138 @@ object SparkEntry {
         |       WHEN s_es = best THEN 'es'
         |       WHEN s_en = best THEN 'en'
         |       ELSE 'de' END AS pred_lang
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us,
+        |  ROUND(CAST(MAX(us) - MIN(us) AS DOUBLE) / 1e6, 3) AS duration_sec
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT user_id, AVG(value) AS mu, STDDEV_SAMP(value) AS sd, COUNT(*) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.value,
+        |  ROUND((e.value - s.mu) / s.sd, 4) AS z
+        |FROM events e JOIN s USING (user_id)
+        |WHERE s.n > 1 AND s.sd > 0 AND ABS((e.value - s.mu) / s.sd) > 3
+        |ORDER BY event_id""".stripMargin,
+
+    "interval_join" ->
+      """WITH d0 AS (SELECT MIN(ts::DATE) AS day0 FROM events),
+        |c AS (SELECT CAST(r.range AS BIGINT) AS campaign_id,
+        |        day0 + CAST(2 * r.range AS INTEGER) AS start_day,
+        |        day0 + CAST(2 * r.range + 4 AS INTEGER) AS end_day
+        |      FROM range(10) r, d0)
+        |SELECT c.campaign_id, e.event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(SUM(e.value), 4) AS total_value
+        |FROM events e JOIN c ON e.ts::DATE BETWEEN c.start_day AND c.end_day
+        |GROUP BY c.campaign_id, e.event_type
+        |ORDER BY campaign_id, event_type""".stripMargin,
+
+    "pii_redact" ->
+      """WITH s AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 > 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+        |      ELSE '' END AS synth
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(synth, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(synth, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(synth,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')) AS redacted_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(t) >= 8
+        |      THEN list_distinct(list_transform(generate_series(1, len(t) - 7),
+        |             i -> array_to_string(t[i:i+7], ' ')))
+        |      ELSE [] END AS gs
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'),
+        |corp AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE source <> 'src0'),
+        |m AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS shared
+        |      FROM corp c JOIN bench b USING (gram) GROUP BY c.doc_id)
+        |SELECT d.doc_id, COALESCE(m.shared, 0) AS shared_grams,
+        |  COALESCE(m.shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        |WHERE d.source <> 'src0'
+        |ORDER BY doc_id""".stripMargin,
+
+    "vocab_df" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+        |FROM tf GROUP BY token
+        |ORDER BY df DESC, cf DESC, token LIMIT 100""".stripMargin,
+
+    "stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rn,
+        |        COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |      FROM h)
+        |SELECT doc_id, lang, rn FROM r WHERE rn <= (cnt + 4) // 5
+        |ORDER BY lang, rn""".stripMargin,
+
+    // Brute-force all-pairs ground truth over STRING shingle sets; the
+    // Spark side prunes candidates with prefix filtering and verifies
+    // on 31-bit shingle hashes — identical output absent hash
+    // collisions (none at this SF; checked by the hash compare itself).
+    "jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) >= 3
+        |           THEN list_transform(generate_series(1, len(t) - 2),
+        |                  i -> array_to_string(t[i:i+2], ' '))
+        |           ELSE t END) AS s
+        |       FROM toks),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |              CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS maxabs
+        |      FROM e),
+        |s AS (SELECT vec_id, emb,
+        |        CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+        |      FROM m)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  array_to_string(list_transform(emb, x -> CAST(round(x * scale) AS INT)), ',') AS q8
+        |FROM s ORDER BY vec_id""".stripMargin
   )
 }

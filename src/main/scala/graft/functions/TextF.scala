@@ -43,6 +43,18 @@ object TextF {
     ).otherwise(toks)
   }
 
+  /** Strict token n-gram shingles: documents with fewer than n tokens
+    * yield an EMPTY set (no whole-token fallback). Decontamination
+    * needs this — falling back to unigrams would let single shared
+    * words mark the whole corpus contaminated. */
+  def strictShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") /

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextF
+import graft.sources.Tables
+
+/** Corpus-preparation operators a training-data pipeline runs beyond
+  * dedup: PII redaction, benchmark decontamination, vocabulary stats,
+  * and deterministic stratified sampling.
+  *
+  * Scale design (100 TB): redaction and sampling keys are map-side
+  * expression work; decontamination broadcasts the (small) benchmark
+  * n-gram set and probes it map-side, so the corpus never shuffles on
+  * anything but the final per-doc aggregate; vocabulary counting is a
+  * two-level aggregate with map-side partial combine.
+  */
+object Corpus {
+
+  // Redaction patterns. No lookahead, no \s (Java's \s includes
+  // vertical tab, RE2's does not) — Java regex (Spark) and RE2
+  // (DuckDB oracle) must match identically on every input.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Chain-redact emails → phones → IPs (ordered so no placeholder
+    * re-triggers a later pattern). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      IpRe, "[IP]")
+
+  /** PII scrub over documents. The synthetic corpus carries no real
+    * contact strings, so the query plants deterministic ones first
+    * (doc_id-keyed, same construction in the DuckDB oracle — the
+    * pattern `variant_extract` established) and then counts + redacts
+    * them. Output carries md5 of the redacted text so the full
+    * transformation is hash-compared, not just the counts. */
+  def piiRedactOf(docs: DataFrame): DataFrame = {
+    val synth = concat(
+      col("text"),
+      when(col("doc_id") % 3 > 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1")))
+        .otherwise(lit("")))
+    docs.select(col("doc_id"), synth.as("synth"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("synth"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("synth"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("synth"), lit(IpRe), lit(0))).as("n_ips"),
+        md5(redactPii(col("synth"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOf(Tables.documents(spark, dir))
+
+  /** Benchmark decontamination: a corpus document is contaminated if it
+    * shares any token `n`-gram with a benchmark document (here: the
+    * `benchSource` slice of the corpus stands in for the eval set).
+    * Strict shingles — a document shorter than `n` tokens contributes
+    * nothing, it does NOT fall back to unigrams (single shared words
+    * must not poison the whole corpus).
+    *
+    * 100 TB shape: benchmark n-gram sets are MB-scale → broadcast; the
+    * corpus side probes the broadcast map-side and only (doc_id,
+    * matched-gram) survivors shuffle into the per-doc count.
+    */
+  def decontaminateOf(docs: DataFrame, benchSource: String = "src0",
+                      n: Int = 8): DataFrame = {
+    require(n > 1, s"n-gram order must be > 1, got $n")
+    val grams = explode(array_distinct(TextF.strictShingles(col("text"), n))).as("g")
+    val bench = broadcast(
+      docs.filter(col("source") === benchSource).select(grams).distinct())
+    val corpus = docs.filter(col("source") =!= benchSource)
+    val matched = corpus.select(col("doc_id"), grams)
+      .join(bench, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+    corpus.select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shared"), lit(0L)).as("shared_grams"),
+        (coalesce(col("shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOf(Tables.documents(spark, dir))
+
+  /** Vocabulary statistics: per-token document frequency and collection
+    * frequency, top `k` by df. Two aggregates: (doc, token) → count
+    * (map-side combinable), then token → (df, cf). */
+  def vocabDfOf(docs: DataFrame, k: Int = 100): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    docs.select(col("doc_id"), explode(TextF.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("token").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .orderBy(col("df").desc, col("cf").desc, col("token"))
+      .limit(k)
+  }
+
+  def vocabDf(spark: SparkSession, dir: String): DataFrame =
+    vocabDfOf(Tables.documents(spark, dir))
+
+  /** Deterministic stratified sample: within each language stratum,
+    * rank documents by (md5(text), doc_id) — a content-keyed shuffle
+    * order that is reproducible across runs, engines, and cluster
+    * sizes, unlike `sample()` — and keep ceil(count/denom) of them.
+    * Integer ceil-division avoids float fraction math entirely. */
+  def stratifiedSampleOf(docs: DataFrame, denom: Int = 5): DataFrame = {
+    require(denom > 0, s"denom must be positive, got $denom")
+    val byHash = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    val whole = Window.partitionBy("lang")
+    docs.select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(byHash))
+      .withColumn("cnt", count(lit(1)).over(whole))
+      .filter(col("rn") <= expr(s"(cnt + ${denom - 1}) div $denom"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOf(Tables.documents(spark, dir))
+}

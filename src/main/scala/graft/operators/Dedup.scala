@@ -129,6 +129,48 @@ object Dedup {
   def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     dedupJaccardOf(Tables.documents(spark, dir), threshold)
 
+  /** EXACT Jaccard similarity self-join (J >= threshold) via prefix
+    * filtering (Bayardo et al., WWW'07; PPJoin family) — complete, no
+    * LSH recall loss, so it oracle-checks against a brute-force DuckDB
+    * all-pairs query. If J(x,y) >= t then |x∩y| >= t·|x∪y| >=
+    * ceil(t·|x|), and two sets with overlap >= α must (pigeonhole,
+    * under one global element order) share an element within their
+    * first |x|-α+1 elements — so each doc only indexes the first
+    * |x| - ceil(t·|x|) + 1 of its hash-sorted shingles and the
+    * candidate join runs on that prefix, a fraction (1-t) of the
+    * all-pairs explode. At t=0.5 half the shingle index disappears;
+    * higher thresholds prune harder. Jaccard is then verified exactly
+    * on the full shingle-hash sets (31-bit hashes: pairwise collision
+    * odds ~|union|²/2³² — negligible, and deterministic per dataset).
+    */
+  def jaccardPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sh = docs
+      .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("sh"))
+      .filter(col("sh").isNotNull)
+    val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1)
+      .cast("int")
+    val prefixes = sh
+      .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val jac = round(
+      size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))).cast("double"), 4)
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    jaccardPairsOf(Tables.documents(spark, dir), threshold)
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens. Typed Dataset map: map-only

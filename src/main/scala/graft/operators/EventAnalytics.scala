@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-stream analytics beyond the reference's daily CTR detector
+  * (native_CTR_alerts.py:226-268): sessionization, per-group anomaly
+  * flagging, and interval (range) joins — the generic OLAP surface a
+  * large event pipeline needs.
+  *
+  * Scale design (100 TB): sessionize shuffles ONCE on user_id (the
+  * window sort and the session aggregation share the same hash
+  * partitioning, so EnsureRequirements inserts no second exchange);
+  * z-score stats are one aggregate broadcast back over the fact scan;
+  * the interval join maps each event to a coarse time bucket and
+  * equijoins on the bucket — never a nested-loop over the fact side.
+  */
+object EventAnalytics {
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * user's previous event exceeds `gapMinutes`. Timestamps flow as
+    * exact integer microseconds (`unix_micros`) so session boundaries
+    * are bit-reproducible across engines and partitionings.
+    */
+  def sessionizeOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val ev = events.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"))
+    // Total order within a user: (us, event_id) — equal timestamps are
+    // possible and would otherwise make lag() nondeterministic.
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val flagged = ev
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+    val sessions = flagged.withColumn("session_idx",
+      sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"),
+        round((col("end_us") - col("start_us")).cast("double") / 1e6, 3)
+          .as("duration_sec"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeOf(Tables.events(spark, dir))
+
+  /** Per-user z-score outliers: events whose value deviates more than
+    * `threshold` sample standard deviations from the user's mean. The
+    * per-user stats frame is tiny (one row per user) → broadcast back
+    * over the fact scan; no second shuffle of the events.
+    */
+  def zscoreOutliersOf(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val ev = events.select(col("event_id"), col("user_id"), col("value"))
+    val stats = ev.groupBy("user_id").agg(
+      avg("value").as("mu"),
+      stddev_samp("value").as("sd"),
+      count(lit(1)).as("n"))
+    val z = (col("value") - col("mu")) / col("sd")
+    ev.join(broadcast(stats), Seq("user_id"))
+      .filter(col("n") > 1 && col("sd") > 0 && abs(z) > threshold)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(z, 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame =
+    zscoreOutliersOf(Tables.events(spark, dir))
+
+  /** Synthetic overlapping campaign windows derived from the event date
+    * span: campaign k covers [day0 + 2k, day0 + 2k + 4] (5-day windows
+    * on a 2-day stride, so each day belongs to up to three campaigns).
+    */
+  def campaignWindows(events: DataFrame, nCampaigns: Int = 10): DataFrame = {
+    require(nCampaigns > 0, s"nCampaigns must be positive, got $nCampaigns")
+    val spark = events.sparkSession
+    val day0 = events.agg(min(to_date(col("ts"))).as("day0"))
+    spark.range(nCampaigns).withColumnRenamed("id", "campaign_id")
+      .crossJoin(broadcast(day0))
+      .select(col("campaign_id"),
+        date_add(col("day0"), (col("campaign_id") * 2).cast("int")).as("start_day"),
+        date_add(col("day0"), (col("campaign_id") * 2 + 4).cast("int")).as("end_day"))
+  }
+
+  /** Interval join: events ⋈ campaign windows on ts ∈ [start, end],
+    * aggregated per (campaign, event_type). A raw theta-join would be
+    * a BroadcastNestedLoopJoin — fine for 10 windows, quadratic death
+    * at a million. Instead each window explodes into the 2-day-wide
+    * time buckets it covers and each event maps to its bucket, so the
+    * join is a plain hash equijoin on the bucket id with the exact
+    * BETWEEN as a residual filter — the shape that survives both sides
+    * growing.
+    */
+  def intervalJoinOf(events: DataFrame, campaigns: DataFrame): DataFrame = {
+    val ev = events.select(col("event_id"), col("event_type"), col("value"),
+      to_date(col("ts")).as("day"))
+    val day0 = broadcast(ev.agg(min("day").as("day0")))
+    // Campaign k spans day offsets [2k, 2k+4] → buckets k..k+2.
+    val campBuckets = broadcast(campaigns
+      .crossJoin(day0)
+      .select(col("campaign_id"), col("start_day"), col("end_day"),
+        explode(sequence(
+          expr("datediff(start_day, day0) div 2"),
+          expr("datediff(end_day, day0) div 2"))).as("bucket")))
+    val evBucketed = ev.crossJoin(day0)
+      .withColumn("bucket", expr("datediff(day, day0) div 2"))
+    evBucketed.join(campBuckets, Seq("bucket"))
+      .filter(col("day").between(col("start_day"), col("end_day")))
+      .groupBy("campaign_id", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("campaign_id"), col("event_type"), col("n_events"),
+        round(col("sum_value"), 4).as("total_value"))
+      .orderBy("campaign_id", "event_type")
+  }
+
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    intervalJoinOf(events, campaignWindows(events))
+  }
+}

@@ -114,6 +114,30 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Int8 scalar quantization of the embedding column — the compression
+    * pass an embedding store runs before indexing (4× smaller, SIMD
+    * dot products). Per vector: scale = 127/max|x|, q_i = round(x_i ·
+    * scale). Map-only, zero shuffle; floats widen to double first so
+    * the arithmetic is engine-reproducible. The quantized vector is
+    * emitted as a CSV string (a raw array column would defeat the
+    * harness's row hashing). `maxabs` is materialized in its own
+    * projection — interpreted HOFs get no CSE, so an inline reference
+    * would re-scan the array per use. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val withMax = emb.select(col("vec_id"), col("emb"),
+      array_max(transform(col("emb"), x => abs(x))).as("maxabs"))
+    val withScale = withMax.select(col("vec_id"), col("emb"),
+      when(col("maxabs") > 0, lit(127.0) / col("maxabs"))
+        .otherwise(lit(0.0)).as("scale"))
+    withScale.select(col("vec_id"),
+      round(col("scale"), 6).as("scale"),
+      array_join(transform(col("emb"),
+        x => round(x * col("scale")).cast("int").cast("string")), ",").as("q8"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-dup: per vector, the nearest neighbor among
     * its LSH bucket plus the hamming-1 buckets (multiprobe on the
     * probe side only — a borderline near-dup flips the planes it sits
