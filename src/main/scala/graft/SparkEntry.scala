@@ -490,7 +490,7 @@ object SparkEntry {
         |  COALESCE(m.shared, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
         |WHERE d.source <> 'src0'
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin,
 
     "vocab_df" ->
       """WITH tok AS (

@@ -35,7 +35,9 @@ object AsofJoin {
       s"asofJoin reserves internal column names ${reserved.mkString(", ")}; " +
         s"rename input column(s) ${clashes.distinct.mkString(", ")}")
     val leftCols = left.columns.filterNot(c => c == key || c == time)
-    val dupOut = valueCols.filter(leftCols.contains)
+    // Guard against EVERY left-side output name — key and time are
+    // emitted too, so e.g. valueCols = Seq(time) would duplicate.
+    val dupOut = valueCols.filter(c => c == key || c == time || leftCols.contains(c))
     require(dupOut.isEmpty,
       s"valueCols ${dupOut.mkString(", ")} also exist on the left side; " +
         "alias one side before joining so output column names stay unique")

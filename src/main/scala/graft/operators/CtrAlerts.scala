@@ -11,9 +11,11 @@ import graft.sources.Tables
   * clicks = event_type 'click', impressions = 'view', the (app_name,
   * ad_unit_name) group key = user_id, report_date = the max event day.
   *
-  * Scale design: the "today" side is one day of data — tiny relative to
-  * the stream — so it is explicitly `broadcast()` into the join; only
-  * the trailing-7-day aggregate shuffles, once, on the group key.
+  * Scale design: the "today" side aggregates one day of data, so its
+  * group cardinality is a subset of the trailing-7-day side's — it is
+  * the side to `broadcast()` into the join; the trailing-7-day
+  * aggregate shuffles once, on the group key, and streams through the
+  * broadcast hash join.
   */
 object CtrAlerts {
 
@@ -61,7 +63,9 @@ object CtrAlerts {
     val pct = safeDivide(col("today_ctr") - col("avg_ctr_7d"),
       col("avg_ctr_7d")) * 100
 
-    today.join(broadcast(last7), "user_id")
+    // Broadcast the TODAY aggregate: one day of groups is always a
+    // subset of seven days' worth, so it is the strictly-smaller side.
+    last7.join(broadcast(today), "user_id")
       .filter(abs(pct) > 25)
       .select(
         col("user_id"),

@@ -139,7 +139,10 @@ object Dedup {
     * |x| - ceil(t·|x|) + 1 of its hash-sorted shingles and the
     * candidate join runs on that prefix, a fraction (1-t) of the
     * all-pairs explode. At t=0.5 half the shingle index disappears;
-    * higher thresholds prune harder. Jaccard is then verified exactly
+    * higher thresholds prune harder. The PPJoin length filter prunes
+    * further: J >= t forces min(|x|,|y|) >= t·max(|x|,|y|), so
+    * size-mismatched candidates die inside the join condition before
+    * the verify stage. Jaccard is then verified exactly
     * on the full shingle-hash sets (31-bit hashes: pairwise collision
     * odds ~|union|²/2³² — negligible, and deterministic per dataset).
     */
@@ -151,10 +154,17 @@ object Dedup {
     val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1)
       .cast("int")
     val prefixes = sh
-      .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+    // PPJoin length filter: J(x,y) >= t forces min(|x|,|y|) >= t·max —
+    // |x∩y| <= min and |x∪y| >= max — so size-mismatched candidates are
+    // dropped IN the join, before the distinct and the verify joins.
+    val sizeOk =
+      col("b.sz") >= ceil(lit(threshold) * col("a.sz")) &&
+        col("a.sz") >= ceil(lit(threshold) * col("b.sz"))
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") && sizeOk)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     val jac = round(

@@ -55,8 +55,11 @@ object EventAnalytics {
 
   /** Per-user z-score outliers: events whose value deviates more than
     * `threshold` sample standard deviations from the user's mean. The
-    * per-user stats frame is tiny (one row per user) → broadcast back
-    * over the fact scan; no second shuffle of the events.
+    * per-user stats frame has one row PER DISTINCT USER — unbounded at
+    * scale — so the join strategy is left to AQE/size thresholds: small
+    * user populations get an automatic broadcast, hundreds of millions
+    * of users degrade gracefully to a shuffled hash join instead of an
+    * executor-OOM forced broadcast.
     */
   def zscoreOutliersOf(events: DataFrame, threshold: Double = 3.0): DataFrame = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
@@ -66,7 +69,7 @@ object EventAnalytics {
       stddev_samp("value").as("sd"),
       count(lit(1)).as("n"))
     val z = (col("value") - col("mu")) / col("sd")
-    ev.join(broadcast(stats), Seq("user_id"))
+    ev.join(stats, Seq("user_id"))
       .filter(col("n") > 1 && col("sd") > 0 && abs(z) > threshold)
       .select(col("event_id"), col("user_id"), col("value"),
         round(z, 4).as("z"))

@@ -14,14 +14,19 @@ object TextAnalysis {
 
   val Stopwords: Seq[String] = Seq("the", "a")
 
-  /** Token counts per source (whitespace tokenization). */
+  /** Token counts per source (whitespace tokenization). The per-doc
+    * count is materialized in a projection FIRST — referencing
+    * `TextF.tokenCount` in both aggregates would split every document
+    * twice (interpreted expressions get no common-subexpression
+    * elimination; see the lang-ID history). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .select(col("source"), TextF.tokenCount(col("text")).as("n_tok"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("docs"),
-        sum(TextF.tokenCount(col("text"))).as("total_tokens"),
-        max(TextF.tokenCount(col("text"))).as("max_tokens"))
+        sum("n_tok").as("total_tokens"),
+        max("n_tok").as("max_tokens"))
       .orderBy("source")
 
   /** Whitespace vs BPE-ish token counts per document — the number a
