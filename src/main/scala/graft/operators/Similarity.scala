@@ -123,8 +123,12 @@ object Similarity {
     * harness's row hashing). `maxabs` is materialized in its own
     * projection — interpreted HOFs get no CSE, so an inline reference
     * would re-scan the array per use. */
-  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    embedQuantizeOf(Tables.embeddings(spark, dir))
+
+  /** See [[embedQuantize]]; operates on any (vec_id, embedding) frame. */
+  def embedQuantizeOf(embeddings: DataFrame): DataFrame = {
+    val emb = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val withMax = emb.select(col("vec_id"), col("emb"),
       array_max(transform(col("emb"), x => abs(x))).as("maxabs"))

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Dedup, Similarity}
+
+class CorpusSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def corpusDf(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("doc_id", "source", "text")
+
+  test("decontaminate: only a full shared 8-gram marks a doc contaminated") {
+    val docs = corpusDf(
+      (1L, "src0", "a b c d e f g h i"), // bench: grams "a..h", "b..i"
+      (2L, "web", "x a b c d e f g h y"), // contains "a..h" → contaminated
+      (3L, "web", "a b c totally different words here now ok"), // shares words only
+      (4L, "web", "b c d e f g h i")) // contains "b..i" → contaminated
+    val out = Corpus.decontaminateOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(2L -> true, 3L -> false, 4L -> true))
+  }
+
+  test("decontaminate: bench docs under n tokens contribute no grams at all") {
+    val docs = corpusDf(
+      (1L, "src0", "x y z"),      // < 8 tokens → zero bench grams
+      (2L, "web", "x y z"),       // identical text, but nothing to match
+      (3L, "web", "x y z a b c d e f g h"))
+    val out = Corpus.decontaminateOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((2L, 0L, false), (3L, 0L, false)))
+  }
+
+  test("pii redact: counts follow the doc_id-keyed synthesis") {
+    // doc_id 30: 30%3=0 → no email; 30%2=0 → phone; 30%5=0 → IP.
+    // doc_id 7:  7%3>0 → email;  7%2=1 → no phone; 7%5>0 → no IP.
+    val docs = Seq((30L, "plain words"), (7L, "plain words")).toDF("doc_id", "text")
+    val out = Corpus.piiRedactOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(30L) == ((0, 1, 1)))
+    assert(out(7L) == ((1, 0, 0)))
+  }
+
+  test("pii redact: placeholders replace every detected span") {
+    val redacted = Seq((1L, "mail me a@b.com or ring +1-555-0199 from 10.1.0.1"))
+      .toDF("doc_id", "text")
+      .select(Corpus.redactPii($"text").as("r")).as[String].head()
+    assert(redacted == "mail me [EMAIL] or ring [PHONE] from [IP]")
+  }
+
+  test("stratified sample keeps ceil(count/denom) per stratum, even tiny ones") {
+    val docs = (1L to 7L).map(i => (i, "en", s"en doc number $i")) ++
+      Seq((8L, "fr", "fr doc a"), (9L, "fr", "fr doc b"), (10L, "de", "de only doc"))
+    val out = Corpus.stratifiedSampleOf(docs.toDF("doc_id", "lang", "text"), denom = 5)
+      .collect().map(_.getString(1))
+    val perLang = out.groupBy(identity).view.mapValues(_.length).toMap
+    // ceil(7/5)=2, ceil(2/5)=1, ceil(1/5)=1
+    assert(perLang == Map("en" -> 2, "fr" -> 1, "de" -> 1))
+  }
+
+  test("vocab df/cf: df counts documents, cf counts occurrences") {
+    val docs = Seq(
+      (1L, "x", "alpha beta alpha"),
+      (2L, "x", "alpha gamma")).map { case (id, s, t) => (id, t) }
+      .toDF("doc_id", "text")
+    val out = Corpus.vocabDfOf(docs, k = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("alpha") == ((2L, 3L)))
+    assert(out("beta") == ((1L, 1L)))
+    assert(out("gamma") == ((1L, 1L)))
+  }
+
+  test("jaccard pairs: single-token docs survive the prefix math") {
+    val docs = Seq(
+      (1L, "hello"), (2L, "hello"), (3L, "world")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairsOf(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("jaccard pairs with length filter match a brute-force all-pairs scan") {
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "the quick brown fox jumps over the lazy dog today", // exact dup of 1
+      4L -> "pack my box with five dozen liquor jugs right now",
+      5L -> "a much longer document the quick brown fox jumps over the lazy dog today with many extra trailing words appended here",
+      6L -> "entirely unrelated content about pasta cooking methods tonight")
+    val docs = texts.toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsOf(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force on the same shingle-hash sets
+    val sets = docs.select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.5
+    } yield (a, b, jr)).toSet
+    assert(got == expect)
+    assert(expect.exists { case (a, b, _) => a == 1L && b == 3L }) // non-vacuous
+  }
+
+  test("int8 quantization: all-zero vector gets scale 0 and zero codes") {
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, -2.0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.embedQuantizeOf(emb).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out(1L) == ((0.0, "0,0,0")))
+    assert(out(2L)._2 == "64,-127,32") // scale = 127/2 = 63.5
+    assert(out(2L)._1 == 63.5)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def eventsDf(rows: (Long, Long, String)*): DataFrame =
+    rows.toDF("event_id", "user_id", "s")
+      .select(col("event_id"), col("user_id"), to_timestamp(col("s")).as("ts"))
+
+  test("sessionize: a gap of exactly gapMinutes stays in-session; one more second splits") {
+    val ev = eventsDf(
+      (1L, 7L, "2026-01-01 00:00:00"),
+      (2L, 7L, "2026-01-01 00:30:00"), // exactly 30 min after #1 → same session
+      (3L, 7L, "2026-01-01 01:00:01"), // 30 min 1 s after #2 → new session
+      (4L, 7L, "2026-01-01 01:10:00"))
+    val out = EventAnalytics.sessionizeOf(ev, gapMinutes = 30).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (session_idx, n_events)
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L)))
+  }
+
+  test("sessionize: a single-event user yields one session of duration 0") {
+    val ev = eventsDf((1L, 9L, "2026-03-05 12:00:00"))
+    val out = EventAnalytics.sessionizeOf(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(2) == 1L)             // n_events
+    assert(r.getDouble(5) == 0.0)          // duration_sec
+  }
+
+  test("sessionize rejects a non-positive gap") {
+    val ev = eventsDf((1L, 1L, "2026-01-01 00:00:00"))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.sessionizeOf(ev, gapMinutes = 0)
+    }
+  }
+
+  private def valuesDf(rows: (Long, Long, Double)*): DataFrame =
+    rows.toDF("event_id", "user_id", "value")
+
+  test("zscore: flags the outlier and skips sd=0 and n=1 users") {
+    val ev = valuesDf(
+      // user 1: one extreme value among near-constant noise
+      (1L, 1L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0), (4L, 1L, 1.0), (5L, 1L, 100.0),
+      // user 2: constant values → sd = 0 → never an outlier
+      (6L, 2L, 5.0), (7L, 2L, 5.0), (8L, 2L, 5.0),
+      // user 3: single event → n = 1 → never an outlier
+      (9L, 3L, 1e9))
+    val out = EventAnalytics.zscoreOutliersOf(ev, threshold = 1.5).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(5L))
+    assert(out.head.getDouble(3) > 1.5) // the z value itself
+  }
+
+  test("interval join: start and end days are inclusive, outside days excluded") {
+    val ev = eventsDf(
+      (1L, 1L, "2026-01-01 08:00:00"), // day before start → out
+      (2L, 1L, "2026-01-02 08:00:00"), // start day → in
+      (3L, 1L, "2026-01-04 08:00:00"), // inside → in
+      (4L, 1L, "2026-01-06 08:00:00"), // end day → in
+      (5L, 1L, "2026-01-07 08:00:00")) // day after end → out
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(1.0))
+    val camp = Seq((0L, "2026-01-02", "2026-01-06"))
+      .toDF("campaign_id", "s", "e")
+      .select(col("campaign_id"), to_date(col("s")).as("start_day"),
+        to_date(col("e")).as("end_day"))
+    val out = EventAnalytics.intervalJoinOf(ev, camp).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 3L) // n_events: days 2, 4, 6
+  }
+
+  test("interval join: overlapping windows each count the shared event") {
+    val ev = eventsDf((1L, 1L, "2026-01-03 08:00:00"))
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(2.5))
+    val camp = Seq(
+      (0L, "2026-01-01", "2026-01-05"),
+      (1L, "2026-01-03", "2026-01-07"),
+      (2L, "2026-01-05", "2026-01-09")) // misses the event
+      .toDF("campaign_id", "s", "e")
+      .select(col("campaign_id"), to_date(col("s")).as("start_day"),
+        to_date(col("e")).as("end_day"))
+    val out = EventAnalytics.intervalJoinOf(ev, camp).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 1L), (1L, 1L)))
+  }
+}

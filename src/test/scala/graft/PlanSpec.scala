@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CtrAlerts, Dedup, EventAnalytics, Similarity, TextAnalysis}
+
+/** Plan-shape regression tests: the ExplainAudit invariants, asserted
+  * on the planner output so a regression fails CI instead of waiting
+  * for a manual `.explain` review. Planning only — nothing executes.
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  // Pre-AQE physical plan: a real tree (AdaptiveSparkPlanExec is a
+  // leaf wrapper, so collect() on executedPlan would see nothing).
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
+
+  test("knnTopk is the ONLY query allowed a nested-loop join, and keeps the top-k partition-local") {
+    val p = plan(Similarity.knnTopk(spark, Sf))
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length == 1,
+      "brute-force knn is by design one broadcast nested-loop of queries x neighbors")
+    assert(p.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
+      "row_number()<=k must rewrite to WindowGroupLimit (partition-local top-k)")
+  }
+
+  test("no dedup/ANN query plans an all-pairs join") {
+    // annIvf is excluded: its cell-assignment BNLJ is rows x a FIXED
+    // 16-centroid broadcast — linear in rows by construction.
+    val risky = Seq[DataFrame](
+      Dedup.dedupMinhash(spark, Sf),
+      Dedup.dedupJaccard(spark, Sf),
+      Dedup.jaccardPairs(spark, Sf),
+      Dedup.dedupSimhash(spark, Sf),
+      Similarity.annLsh(spark, Sf),
+      EventAnalytics.sessionize(spark, Sf))
+    risky.foreach { df =>
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"quadratic join shape in:\n$p")
+    }
+  }
+
+  test("corpusClean pushes lang/n_chars filters into the parquet scan and prunes columns") {
+    val p = plan(TextAnalysis.corpusClean(spark, Sf))
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("n_chars"), s"n_chars bounds not pushed: $pushed")
+    assert(pushed.contains("lang"), s"lang IN-list not pushed: $pushed")
+    val read = scans.flatMap(_.requiredSchema.fieldNames).toSet
+    assert(read == Set("doc_id", "lang", "n_chars", "text"),
+      s"scan should read exactly the needed columns, got $read")
+  }
+
+  test("ctrSpike broadcasts the today aggregate, never the trailing-7-day side") {
+    val p = plan(CtrAlerts.ctrSpike(spark, Sf))
+    val userJoins = p.collect {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("user_id")) => j
+    }
+    assert(userJoins.nonEmpty, s"expected a broadcast hash join on user_id:\n$p")
+    userJoins.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      // The 7-day branch is the one filtering on a date_sub range.
+      assert(!build.toString.contains("date_sub"),
+        s"the trailing-7-day aggregate must stream, not broadcast:\n$j")
+    }
+  }
+
+  test("zscoreOutliers carries no forced broadcast hint") {
+    val analyzed = EventAnalytics.zscoreOutliers(spark, Sf)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "join strategy must stay AQE/size-decided — stats is one row per user, unbounded")
+  }
+}
