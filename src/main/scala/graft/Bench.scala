@@ -16,7 +16,12 @@ object Bench {
     catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated allowlist for local iteration (the
+    // round driver never sets it → full suite).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       // Materialize every row through the full physical plan —
       // `df.count()` alone would let Parquet answer from footer

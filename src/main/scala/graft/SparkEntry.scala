@@ -514,9 +514,12 @@ object SparkEntry {
     // Spark side prunes candidates with prefix filtering and verifies
     // on 31-bit shingle hashes — identical output absent hash
     // collisions (none at this SF; checked by the hash compare itself).
+    // lower(nfc_normalize(..)) mirrors the engine's NormalizeText
+    // (NFC then ROOT casefold) canonicalization before shingling.
     "jaccard_pairs" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(nfc_normalize(text))), '\s+') AS t
+        |  FROM documents),
         |sh AS (SELECT doc_id,
         |         list_distinct(CASE WHEN len(t) >= 3
         |           THEN list_transform(generate_series(1, len(t) - 2),

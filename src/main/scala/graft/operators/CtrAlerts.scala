@@ -11,11 +11,11 @@ import graft.sources.Tables
   * clicks = event_type 'click', impressions = 'view', the (app_name,
   * ad_unit_name) group key = user_id, report_date = the max event day.
   *
-  * Scale design: the "today" side aggregates one day of data, so its
-  * group cardinality is a subset of the trailing-7-day side's — it is
-  * the side to `broadcast()` into the join; the trailing-7-day
-  * aggregate shuffles once, on the group key, and streams through the
-  * broadcast hash join.
+  * Scale design: both spike-join inputs are one row per active user —
+  * unbounded at corpus scale — so neither side carries a forced
+  * `broadcast()` hint; AQE picks the build side from observed sizes
+  * and falls back to a shuffled join when both exceed the broadcast
+  * threshold. Each aggregate shuffles once, on the group key.
   */
 object CtrAlerts {
 
@@ -63,9 +63,13 @@ object CtrAlerts {
     val pct = safeDivide(col("today_ctr") - col("avg_ctr_7d"),
       col("avg_ctr_7d")) * 100
 
-    // Broadcast the TODAY aggregate: one day of groups is always a
-    // subset of seven days' worth, so it is the strictly-smaller side.
-    last7.join(broadcast(today), "user_id")
+    // No forced broadcast: "today" is usually the smaller side, but it
+    // is still one row per user active that day — unbounded with the
+    // user count (and new users appear ONLY on the today side, so it is
+    // not a strict subset of last7 either). AQE picks the build side
+    // from observed sizes and degrades to a shuffled join past the
+    // autoBroadcastJoinThreshold instead of OOMing an executor.
+    last7.join(today, "user_id")
       .filter(abs(pct) > 25)
       .select(
         col("user_id"),

@@ -41,10 +41,15 @@ object Dedup {
     * affine permutations stay inside int64, via the native one-pass
     * [[graft.plans.ShingleHashes]] (byte-identical to the composable
     * `transform(array_distinct(shingles), pmod(xxhash64, P))`, minus
-    * its interpreted per-shingle lambda evals and string arrays). */
+    * its interpreted per-shingle lambda evals and string arrays).
+    *
+    * Text is canonicalized first ([[graft.plans.NormalizeText]]: NFC +
+    * ROOT-locale casefold) so "Café" with a combining accent, the
+    * precomposed form, and "CAFÉ" all shingle identically — the
+    * normalization pass every real corpus dedup runs before hashing. */
   def shingleHashes(text: Column): Column =
     graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
-      graft.plans.ColumnBridge.expression(text), 3, P))
+      graft.plans.NormalizeText(graft.plans.ColumnBridge.expression(text)), 3, P))
 
   /** MinHash signature (array<long> of length NumHashes) over a
     * pre-reduced hash array, via the native one-pass codegen
@@ -112,16 +117,20 @@ object Dedup {
       .select("a_id", "b_id").distinct()
     // Exact Jaccard over the 31-bit shingle hash sets instead of the
     // shingle strings: collision odds per doc are ~|shingles|²/2³² —
-    // negligible at document scale — and long-array intersection is far
-    // cheaper than string-array intersection.
+    // negligible at document scale — and a sorted-merge intersection
+    // count (|a∪b| = |a|+|b|-|a∩b|) beats building intersect AND union
+    // arrays per pair.
     val sh = docs
-      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
-      size(array_union(col("sa"), col("sb"))).cast("double")
+      .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("sh"))
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
-      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        size(col("sa")).as("sza"), size(col("sb")).as("szb"),
+        sortedIntersectSize(col("sa"), col("sb")).as("inter"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("a_id", "b_id")
   }
@@ -148,11 +157,20 @@ object Dedup {
     */
   def jaccardPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    // The verify stage accepts round(J, 4) >= t, i.e. J >= t - 5e-5 —
+    // so every PRUNING bound below uses tEff = t - 5e-5, keeping the
+    // candidate set a strict superset of what verify can emit (a
+    // boundary pair like J = 0.49995 rounds up to 0.5 and must not be
+    // length- or prefix-pruned first).
+    val tEff = threshold - 5e-5
     val sh = docs
       .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("sh"))
       .filter(col("sh").isNotNull)
-    val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1)
-      .cast("int")
+    // ceil(x - 1e-6) guards double noise: 0.7 * 10 evaluating to
+    // 7.000000001 must ceil to 7, not 8 (an overshoot would shorten
+    // the prefix and silently drop valid pairs).
+    val prefixLen = (size(col("sh")) -
+      ceil(lit(tEff) * size(col("sh")) - lit(1e-6)) + 1).cast("int")
     val prefixes = sh
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
@@ -160,23 +178,37 @@ object Dedup {
     // |x∩y| <= min and |x∪y| >= max — so size-mismatched candidates are
     // dropped IN the join, before the distinct and the verify joins.
     val sizeOk =
-      col("b.sz") >= ceil(lit(threshold) * col("a.sz")) &&
-        col("a.sz") >= ceil(lit(threshold) * col("b.sz"))
+      col("b.sz") >= lit(tEff) * col("a.sz") &&
+        col("a.sz") >= lit(tEff) * col("b.sz")
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") && sizeOk)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val jac = round(
-      size(array_intersect(col("sa"), col("sb"))).cast("double") /
-        size(array_union(col("sa"), col("sb"))).cast("double"), 4)
+    // |a∪b| = |a|+|b|-|a∩b| — one sorted-merge intersection count per
+    // pair (native, allocation-free) instead of materializing both an
+    // intersect AND a union array. `inter` is materialized in its own
+    // projection so the ratio below reads a column, not three copies
+    // of the merge (the engine's documented no-CSE pattern).
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
-      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        size(col("sa")).as("sza"), size(col("sb")).as("szb"),
+        sortedIntersectSize(col("sa"), col("sb")).as("inter"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("a_id", "b_id")
   }
+
+  /** Intersection cardinality of two SORTED long arrays via the native
+    * merge-count [[graft.plans.SortedIntersectSize]]. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    graft.plans.ColumnBridge.column(graft.plans.SortedIntersectSize(
+      graft.plans.ColumnBridge.expression(a),
+      graft.plans.ColumnBridge.expression(b)))
 
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     jaccardPairsOf(Tables.documents(spark, dir), threshold)

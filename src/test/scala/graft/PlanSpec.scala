@@ -1,9 +1,8 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowGroupLimitExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -57,22 +56,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"scan should read exactly the needed columns, got $read")
   }
 
-  test("ctrSpike broadcasts the today aggregate, never the trailing-7-day side") {
-    val p = plan(CtrAlerts.ctrSpike(spark, Sf))
-    val userJoins = p.collect {
-      case j: BroadcastHashJoinExec
-        if j.leftKeys.exists(_.toString.contains("user_id")) => j
+  test("ctrSpike carries no forced broadcast hint on the spike join") {
+    // Both spike-join inputs are one row per active user — unbounded —
+    // so the build side must stay AQE/size-decided. The only allowed
+    // hint is the 1-row report_date frame.
+    val analyzed = CtrAlerts.ctrSpike(spark, Sf).queryExecution.analyzed
+    val hinted = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
-    assert(userJoins.nonEmpty, s"expected a broadcast hash join on user_id:\n$p")
-    userJoins.foreach { j =>
-      val build = j.buildSide match {
-        case BuildLeft => j.left
-        case BuildRight => j.right
-      }
-      // The 7-day branch is the one filtering on a date_sub range.
-      assert(!build.toString.contains("date_sub"),
-        s"the trailing-7-day aggregate must stream, not broadcast:\n$j")
-    }
+    assert(hinted.forall(_.toString.contains("report_date")),
+      s"only the 1-row report_date frame may carry a broadcast hint:\n$hinted")
   }
 
   test("zscoreOutliers carries no forced broadcast hint") {
