@@ -68,7 +68,17 @@ object SparkEntry {
     "vocab_df"          -> (Corpus.vocabDf(_, _)),
     "stratified_sample" -> (Corpus.stratifiedSample(_, _)),
     "jaccard_pairs"     -> (Dedup.jaccardPairs(_, _)),
-    "embed_quantize"    -> (Similarity.embedQuantize(_, _))
+    "embed_quantize"    -> (Similarity.embedQuantize(_, _)),
+    // Round-6 tranche: corpus statistics, training-shard prep,
+    // embedding clustering (#55-62)
+    "tfidf_top_terms"   -> (CorpusStats.tfidfTopTerms(_, _)),
+    "repetition_stats"  -> (CorpusStats.repetitionStats(_, _)),
+    "collocations"      -> (CorpusStats.collocations(_, _)),
+    "lang_quality_gate" -> (CorpusStats.langQualityGate(_, _)),
+    "chunk_docs"        -> (Corpus.chunkDocs(_, _)),
+    "pack_greedy"       -> (Corpus.packGreedy(_, _)),
+    "train_split"       -> (Corpus.trainSplit(_, _)),
+    "kmeans_embed"      -> (Cluster.kmeansEmbed(_, _))
   )
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
@@ -543,6 +553,165 @@ object SparkEntry {
         |      FROM m)
         |SELECT vec_id, ROUND(scale, 6) AS scale,
         |  array_to_string(list_transform(emb, x -> CAST(round(x * scale) AS INT)), ',') AS q8
-        |FROM s ORDER BY vec_id""".stripMargin
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    // idf is the RATIO (N+1)/(df+1), not ln of it: +,*,/ are IEEE
+    // correctly-rounded (bit-identical between engines); libm ln is
+    // not. Rounded score is what both engines rank on.
+    "tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, token, tf, df,
+        |        ROUND(CAST(tf AS DOUBLE) *
+        |          (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 4) AS score
+        |      FROM tf JOIN df USING (token), n),
+        |r AS (SELECT doc_id, token, tf, df, score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, token) AS INT) AS rank
+        |      FROM s)
+        |SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "repetition_stats" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |        CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |        CASE WHEN len(toks) >= 2
+        |          THEN list_transform(generate_series(1, len(toks) - 1),
+        |                 i -> toks[i] || ' ' || toks[i+1])
+        |          ELSE [] END AS bigrams
+        |      FROM t),
+        |tb AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count FROM (
+        |         SELECT doc_id, bg, COUNT(*) AS c
+        |         FROM (SELECT doc_id, unnest(bigrams) AS bg FROM b)
+        |         GROUP BY doc_id, bg) GROUP BY doc_id),
+        |j AS (SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        |        ROUND(CAST(b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 4)
+        |          AS distinct_ratio,
+        |        COALESCE(tb.top_bigram_count, 0) AS top_bigram_count,
+        |        CASE WHEN b.n_tokens >= 2
+        |          THEN ROUND(CAST(COALESCE(tb.top_bigram_count, 0) AS DOUBLE) /
+        |                 CAST(b.n_tokens - 1 AS DOUBLE), 4)
+        |          ELSE 0.0 END AS top_bigram_frac
+        |      FROM b LEFT JOIN tb USING (doc_id))
+        |SELECT doc_id, n_tokens, n_distinct, distinct_ratio, top_bigram_count,
+        |  top_bigram_frac,
+        |  (distinct_ratio >= 0.3 AND top_bigram_frac <= 0.2) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    // Collocation salience is lift = P(w1 w2)/(P(w1)P(w2)) — the
+    // log-free PMI variant, same IEEE-only-arithmetic rationale as
+    // tfidf_top_terms. Parenthesization matches the Spark side exactly.
+    "collocations" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1
+        |        FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+        |big AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+        |          CAST(COUNT(*) AS BIGINT) AS c12
+        |        FROM (SELECT unnest(CASE WHEN len(toks) >= 2
+        |                THEN list_transform(generate_series(1, len(toks) - 1),
+        |                       i -> toks[i] || ' ' || toks[i+1])
+        |                ELSE [] END) AS bg FROM t)
+        |        GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        |tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_uni,
+        |               CAST(SUM(GREATEST(len(toks) - 1, 0)) AS BIGINT) AS n_big
+        |        FROM t)
+        |SELECT w1, w2, c12,
+        |  ROUND((CAST(c12 AS DOUBLE) / CAST(n_big AS DOUBLE)) /
+        |        ((CAST(a.c1 AS DOUBLE) / CAST(n_uni AS DOUBLE)) *
+        |         (CAST(b.c1 AS DOUBLE) / CAST(n_uni AS DOUBLE))), 4) AS lift
+        |FROM big JOIN uni a ON big.w1 = a.token JOIN uni b ON big.w2 = b.token, tot
+        |ORDER BY c12 DESC, lift DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "lang_quality_gate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    ROUND((
+        |      LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
+        |      (1.0 - ABS(
+        |        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             t -> t IN ('the','a'))) AS DOUBLE) /
+        |        NULLIF(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.0)
+        |        - 0.15)) +
+        |      (1.0 - LEAST(
+        |        CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) /
+        |        NULLIF(CAST(length(text) AS DOUBLE), 0.0) * 10, 1.0))
+        |    ) / 3.0, 4) AS quality
+        |  FROM documents),
+        |th AS (SELECT lang, ROUND(quantile_cont(quality, 0.75), 4) AS lang_p75
+        |       FROM scored GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.quality, th.lang_p75
+        |FROM scored s JOIN th USING (lang)
+        |WHERE s.quality >= th.lang_p75 ORDER BY s.doc_id""".stripMargin,
+
+    "chunk_docs" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |         unnest(generate_series(0, GREATEST(len(toks) - 1, 0), 48)) AS start_tok
+        |       FROM t),
+        |c AS (SELECT doc_id, CAST(start_tok // 48 AS INT) AS chunk_idx,
+        |        CAST(start_tok AS INT) AS start_tok,
+        |        toks[start_tok + 1 : start_tok + 64] AS chunk
+        |      FROM st)
+        |SELECT doc_id, chunk_idx, start_tok, CAST(len(chunk) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "pack_greedy" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+        |           FROM documents),
+        |w AS (SELECT doc_id, source, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          - n_tokens AS start_off
+        |      FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |  start_off // 256 AS seq_id, start_off % 256 AS seq_offset
+        |FROM w ORDER BY source, doc_id""".stripMargin,
+
+    "train_split" ->
+      """WITH h AS (SELECT doc_id,
+        |             substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) AS bucket
+        |           FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 'e6' THEN 'train'
+        |       WHEN bucket < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Spherical k-means, 2 Lloyd iterations, seeds = first 8 vectors.
+    // Cosine scores and centroid components round to 6 places before
+    // any comparison; ties break to the lowest centroid id — so both
+    // engines walk identical assignments.
+    "kmeans_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+        |s1 AS (SELECT e.vec_id, e.emb, c0.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c0.c_emb), 6) AS cs
+        |       FROM e, c0),
+        |a1 AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s1) WHERE rn = 1),
+        |m AS (SELECT cluster, i, ROUND(AVG(list_extract(emb, i)), 6) AS v
+        |      FROM a1, generate_series(1, 64) AS g(i) GROUP BY cluster, i),
+        |c1 AS (SELECT cluster AS c_id, list(v ORDER BY i) AS c_emb FROM m GROUP BY cluster),
+        |s2 AS (SELECT e.vec_id, c1.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c1.c_emb), 6) AS cs
+        |       FROM e, c1),
+        |a2 AS (SELECT vec_id, c_id AS cluster, cs FROM (
+        |         SELECT vec_id, c_id, cs,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s2) WHERE rn = 1)
+        |SELECT vec_id, cluster, cs AS sim FROM a2 ORDER BY vec_id""".stripMargin
   )
 }

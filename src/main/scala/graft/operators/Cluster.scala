@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorF
+import graft.sources.Tables
+
+/** Embedding clustering — the semantic-grouping pass a training-data
+  * pipeline runs for topic balancing, semantic dedup cells, and
+  * curriculum bucketing.
+  *
+  * Spherical k-means, Lloyd iterations fully declarative:
+  * - assignment: every vector scores against the k centroids (a
+  *   broadcast of k rows — BOUNDED by the k parameter, unlike a
+  *   per-key aggregate, so the broadcast survives any corpus size) and
+  *   keeps its argmax-cosine cell via a partition-local
+  *   row_number() = 1 (WindowGroupLimit — no global sort);
+  * - update: element-wise centroid means via posexplode →
+  *   (cluster, dim) avg — a map-side-combinable aggregate that
+  *   shuffles k·dim rows, independent of corpus size.
+  *
+  * Engine-reproducible by construction: cosine scores and centroid
+  * components round to 6 places before any comparison, ties break on
+  * the lowest centroid id, and seeds are the first k vectors (not a
+  * random init).
+  */
+object Cluster {
+
+  val K = 8
+  val Iterations = 2
+
+  /** One assignment pass: nearest centroid by rounded cosine, ties to
+    * the lowest centroid id. `cents` must be (c_id, c_emb). */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val byScore = Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("c_id"))
+    vecs.join(broadcast(cents)) // k rows — bounded by construction
+      .select(col("vec_id"), col("emb"), col("c_id"),
+        round(VectorF.cosineSim(col("emb"), col("c_emb")), 6).as("cs"))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("c_id").as("cluster"), col("cs"))
+  }
+
+  /** Centroid update: element-wise mean of each cluster's members,
+    * rounded to 6 places so the next assignment compares identical
+    * numbers in every engine. */
+  private def recenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos").agg(round(avg("v"), 6).as("v"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("c_emb"))
+      .select(col("cluster").as("c_id"), col("c_emb"))
+
+  /** `iters` Lloyd iterations of spherical k-means seeded on the first
+    * k vectors; returns (vec_id, cluster, sim). */
+  def kmeansEmbedOf(embeddings: DataFrame, k: Int = K,
+                    iters: Int = Iterations): DataFrame = {
+    require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val seeds = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val last = (1 until iters).foldLeft(assign(vecs, seeds)) { (a, _) =>
+      assign(vecs, recenter(a))
+    }
+    last.select(col("vec_id"), col("cluster"), col("cs").as("sim"))
+      .orderBy("vec_id")
+  }
+
+  def kmeansEmbed(spark: SparkSession, dir: String): DataFrame =
+    kmeansEmbedOf(Tables.embeddings(spark, dir))
+}

@@ -134,4 +134,77 @@ object Corpus {
 
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     stratifiedSampleOf(Tables.documents(spark, dir))
+
+  /** Fixed-size token chunking with overlap — the context-window prep
+    * step before tokenized training shards are written. Chunks of
+    * `window` tokens start every `stride` tokens (stride < window ⇒
+    * overlap); the md5 of each chunk's text rides along so the oracle
+    * hash-checks CONTENT, not just offsets.
+    *
+    * Map-only: sequence + slice per row, one explode — no shuffle at
+    * all until the final presentation sort. */
+  def chunkDocsOf(docs: DataFrame, window: Int = 64,
+                  stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs.select(col("doc_id"), TextF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(stride))).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("int").as("chunk_idx"),
+        col("start_tok").cast("int").as("start_tok"),
+        slice(col("toks"), col("start_tok") + 1, lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkDocsOf(Tables.documents(spark, dir))
+
+  /** Greedy sequence packing (concat-and-split): documents are laid
+    * end-to-end in (source, doc_id) order and cut into fixed
+    * `budget`-token training sequences; each doc reports the sequence
+    * its first token lands in and its offset there. The running total
+    * is a prefix-sum window — per SOURCE, not global, so the window
+    * shuffle partitions by shard key instead of serializing the whole
+    * corpus through one partition (the way a real pipeline packs
+    * within shards). */
+  def packGreedyOf(docs: DataFrame, budget: Int = 256): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val bySource = Window.partitionBy("source").orderBy("doc_id")
+    docs.select(col("doc_id"), col("source"),
+      TextF.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("start_off",
+        sum("n_tokens").over(bySource).cast("long") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"start_off div $budget").as("seq_id"),
+        expr(s"start_off % $budget").as("seq_offset"))
+      .orderBy("source", "doc_id")
+  }
+
+  def packGreedy(spark: SparkSession, dir: String): DataFrame =
+    packGreedyOf(Tables.documents(spark, dir))
+
+  /** Deterministic train/val/test split (~90/5/5) keyed on
+    * md5(doc_id:text): content+identity addressed, so re-runs, engine
+    * swaps, and cluster re-partitioning never move a document between
+    * splits (the property `sample()` lacks). Buckets compare the first
+    * two hex chars: 0x00-0xe5 train (230/256), 0xe6-0xf2 val (13/256),
+    * 0xf3-0xff test (13/256). Pure map-side. */
+  def trainSplitOf(docs: DataFrame): DataFrame = {
+    val bucket = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 2)
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < "e6", "train")
+          .when(col("bucket") < "f3", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    trainSplitOf(Tables.documents(spark, dir))
 }

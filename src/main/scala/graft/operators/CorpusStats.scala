@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextF
+import graft.sources.Tables
+
+/** Corpus-statistics operators a training-data pipeline runs when
+  * weighing and filtering documents: TF-IDF term salience, Gopher-style
+  * repetition gates, bigram collocation mining, and per-language
+  * quality-quantile gating.
+  *
+  * Scale design (100 TB): every operator is token-explode →
+  * map-side-combinable aggregate → narrow join. Cross-engine numeric
+  * determinism: scores stick to IEEE +,*,/ (correctly rounded, so
+  * bit-identical between Spark and the DuckDB oracle) — never libm
+  * transcendentals (ln/log2 differ in the last ulp between engines),
+  * which is why idf is the raw ratio (N+1)/(df+1) and collocation
+  * salience is the lift ratio rather than log-PMI.
+  */
+object CorpusStats {
+
+  /** Top-k TF-IDF terms per document. idf = (N+1)/(df+1) (ratio form,
+    * see object scaladoc); score = tf · idf, rounded THEN ranked so
+    * ordering is on the exact values both engines agree on.
+    *
+    * Shape: tf is a (doc, token) aggregate (map-side combinable), df a
+    * token aggregate of tf; the tf⋈df join shuffles on token; the
+    * 1-row doc count broadcasts; top-k per doc is a WindowGroupLimit
+    * (partition-local, no global sort of the scored set). */
+  def tfidfTopTermsOf(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = docs
+      .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val score = round(
+      col("tf").cast("double") *
+        ((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")),
+      4)
+    val byScore = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n)) // 1 row by construction
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(byScore).cast("int"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTermsOf(Tables.documents(spark, dir))
+
+  /** Gopher-style repetition gate: distinct-token ratio and the
+    * fraction of all bigrams taken by the single most frequent bigram.
+    * Boilerplate and looped generations score low on the first and
+    * high on the second. `keep` applies the thresholds.
+    *
+    * n_tokens / n_distinct are per-row expression work; only the
+    * (doc, bigram) → max-count aggregate shuffles, and it combines
+    * map-side. Docs with < 2 tokens have no bigrams → fraction 0. */
+  def repetitionStatsOf(docs: DataFrame,
+                        minDistinctRatio: Double = 0.3,
+                        maxTopBigramFrac: Double = 0.2): DataFrame = {
+    // Bigrams via zip_with over two shifted slices — ONE interpreted
+    // pass per row. The per-index form (transform(sequence(..), i =>
+    // slice(toks, i+1, 2))) re-enters the interpreted slice per
+    // element and measured 7× slower at sf0.1.
+    val base = docs.select(col("doc_id"), TextF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        when(col("n_tokens") >= 2, zip_with(
+          slice(col("toks"), lit(1), col("n_tokens") - 1),
+          slice(col("toks"), lit(2), col("n_tokens") - 1),
+          (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>")).as("bigrams"))
+    val topBigram = base
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_count"))
+    base.select("doc_id", "n_tokens", "n_distinct")
+      .join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("distinct_ratio"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        when(col("n_tokens") >= 2,
+          round(coalesce(col("top_bigram_count"), lit(0L)).cast("double") /
+            (col("n_tokens") - 1).cast("double"), 4))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("distinct_ratio") >= minDistinctRatio &&
+          col("top_bigram_frac") <= maxTopBigramFrac)
+      .orderBy("doc_id")
+  }
+
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsOf(Tables.documents(spark, dir))
+
+  /** Bigram collocation mining by lift: lift(w1,w2) =
+    * P(w1 w2) / (P(w1)·P(w2)) over corpus token/bigram totals — the
+    * log-free PMI variant (see object scaladoc). Bigrams with count >=
+    * minCount, top-k by (count, lift, bigram).
+    *
+    * Two shuffled aggregates (bigram counts, unigram counts) + two
+    * token-keyed joins; the 1-row totals frame broadcasts. */
+  def collocationsOf(docs: DataFrame, minCount: Long = 5,
+                     k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs
+      .select(col("doc_id"), TextF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    val uni = toks.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+    // Same zip_with-over-shifted-slices bigram build as
+    // repetitionStatsOf (one interpreted pass per row).
+    val big = toks
+      .select(explode(when(col("n") >= 2, zip_with(
+        slice(col("toks"), lit(1), col("n") - 1),
+        slice(col("toks"), lit(2), col("n") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val totals = toks.agg(
+      sum(col("n")).as("n_uni"),
+      sum(greatest(col("n") - 1, lit(0))).as("n_big"))
+    // lift parenthesization mirrors the oracle SQL exactly — IEEE ops
+    // are correctly rounded, so same shape ⇒ same bits.
+    val lift = round(
+      (col("c12").cast("double") / col("n_big").cast("double")) /
+        ((col("c1a").cast("double") / col("n_uni").cast("double")) *
+          (col("c1b").cast("double") / col("n_uni").cast("double"))),
+      4)
+    big
+      .join(uni.select(col("token").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("token").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(broadcast(totals)) // 1 row by construction
+      .select(col("w1"), col("w2"), col("c12"), lift.as("lift"))
+      .orderBy(col("c12").desc, col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsOf(Tables.documents(spark, dir))
+
+  /** Per-language quality gate: keep documents at or above their
+    * language's p75 quality score. Exact `percentile` (matches DuckDB
+    * `quantile_cont` bit-for-bit after rounding — established by the
+    * earnings_percentiles oracle).
+    *
+    * The per-language stats frame is bounded by the language-code
+    * alphabet — a genuine dimension table, safe to `broadcast()` at
+    * any corpus size (unlike per-user/per-doc aggregates). */
+  def langQualityGateOf(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextF.qualityScore(col("text"), TextAnalysis.Stopwords).as("quality"))
+    val thresholds = scored.groupBy("lang")
+      .agg(round(expr("percentile(quality, 0.75)"), 4).as("lang_p75"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter(col("quality") >= col("lang_p75"))
+      .select("doc_id", "lang", "quality", "lang_p75")
+      .orderBy("doc_id")
+  }
+
+  def langQualityGate(spark: SparkSession, dir: String): DataFrame =
+    langQualityGateOf(Tables.documents(spark, dir))
+}

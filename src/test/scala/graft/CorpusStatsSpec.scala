@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Cluster, Corpus, CorpusStats}
+
+class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("tfidf ranks a doc-specific term above corpus-wide terms") {
+    // "zebra" appears only in doc 1; "common" in every doc.
+    val docs = docsDf(
+      1L -> "common words zebra zebra common words",
+      2L -> "common words again common words again",
+      3L -> "common words more common words more")
+    val top = CorpusStats.tfidfTopTermsOf(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "zebra",
+      s"rare repeated term must out-score ubiquitous terms: $top")
+    // tf=2, df=1, N=3 → score = 2 * (4/2) = 4.0
+    val row = CorpusStats.tfidfTopTermsOf(docs, k = 1)
+      .filter("doc_id = 1").collect().head
+    assert(row.getDouble(4) == 4.0)
+  }
+
+  test("tfidf emits at most k terms per doc with dense ranks 1..k") {
+    val docs = docsDf(1L -> "a b c d e f g h", 2L -> "a a a")
+    val out = CorpusStats.tfidfTopTermsOf(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(5)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byDoc(1L) == Seq(1, 2, 3))
+    assert(byDoc(2L) == Seq(1), "doc 2 has a single distinct term")
+  }
+
+  test("repetition stats flag looped text and pass diverse text") {
+    val docs = docsDf(
+      1L -> "buy now buy now buy now buy now buy now buy now",
+      2L -> "the quick brown fox jumps over one lazy sleeping dog",
+      3L -> "solo") // < 2 tokens → no bigrams, frac 0
+    val out = CorpusStats.repetitionStatsOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))).toMap
+    val (dr1, _, frac1, keep1) = out(1L)
+    assert(dr1 < 0.2 && frac1 > 0.4 && !keep1,
+      s"looped doc must fail both gates: $out")
+    val (dr2, top2, _, keep2) = out(2L)
+    assert(dr2 == 1.0 && top2 == 1L && keep2)
+    val (_, top3, frac3, keep3) = out(3L)
+    assert(top3 == 0L && frac3 == 0.0 && keep3)
+  }
+
+  test("collocations lift promotes exclusive pairs over frequent-word pairs") {
+    // "san francisco" always co-occur; "the" pairs with everything.
+    val pair = Seq.fill(6)("san francisco").mkString(" ")
+    val noise = "the cat the dog the bird the fish the goat"
+    val docs = docsDf(1L -> pair, 2L -> noise, 3L -> noise, 4L -> noise)
+    val out = CorpusStats.collocationsOf(docs, minCount = 5, k = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.contains(("san", "francisco")))
+    val sfLift = out(("san", "francisco"))._2
+    assert(out.filterNot(_._1 == ("san", "francisco")).values.forall(_._2 < sfLift),
+      s"exclusive pair must have the top lift: $out")
+  }
+
+  test("lang quality gate keeps only docs at/above their language's p75") {
+    val docs = Seq(
+      (1L, "en", "x"), (2L, "en", "x"), (3L, "en", "x"),
+      (4L, "en", "the cat sat on a mat with a hat and a rat. " * 4))
+      .toDF("doc_id", "lang", "text")
+    val kept = CorpusStats.langQualityGateOf(docs).collect().map(_.getLong(0)).toSet
+    assert(kept.contains(4L), "the high-quality doc must pass")
+    assert(!kept.contains(1L), "low-quality docs below p75 must be dropped")
+  }
+
+  test("chunking covers every token with stride overlap and md5-stable content") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val out = Corpus.chunkDocsOf(docsDf(1L -> text), window = 64, stride = 48)
+      .collect()
+    // starts at 0, 48, 96 → 3 chunks of sizes 64, 52, 4
+    assert(out.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 0, 64), (1, 48, 52), (2, 96, 4)))
+    // chunk 0 and 1 overlap on tokens 49..64 (16 tokens)
+    assert(out.map(_.getString(4)).distinct.length == 3)
+  }
+
+  test("chunking a short doc yields exactly one whole-doc chunk") {
+    val out = Corpus.chunkDocsOf(docsDf(1L -> "a b c"), window = 64, stride = 48)
+      .collect()
+    assert(out.length == 1 &&
+      out.head.getInt(2) == 0 && out.head.getInt(3) == 3)
+  }
+
+  test("greedy packing lays docs end-to-end per source under the token budget") {
+    val docs = Seq(
+      (1L, "s1", Seq.fill(100)("w").mkString(" ")),  // begin 0   → seq 0
+      (2L, "s1", Seq.fill(200)("w").mkString(" ")),  // begin 100 → seq 0
+      (3L, "s1", Seq.fill(50)("w").mkString(" ")),   // begin 300 → seq 1, off 44
+      (4L, "s2", Seq.fill(10)("w").mkString(" ")))   // other source restarts
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.packGreedyOf(docs, budget = 256).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (0L, 0L))
+    assert(out(2L) == (0L, 100L))
+    assert(out(3L) == (1L, 44L))
+    assert(out(4L) == (0L, 0L), "packing must restart per source")
+  }
+
+  test("train split is deterministic, exhaustive, and ~90/5/5") {
+    val docs = (1L to 400L).map(i => (i, s"document number $i body")).toDF("doc_id", "text")
+    val out = Corpus.trainSplitOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    assert(out.length == 400)
+    val frac = out.groupBy(_._2).view.mapValues(_.length / 400.0).toMap
+    assert(frac("train") > 0.8 && frac("train") < 0.97, s"split fractions: $frac")
+    assert(frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0) > 0.03)
+    // identical input → identical assignment (content-hash keyed)
+    val again = Corpus.trainSplitOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("kmeans groups identical vectors and separates orthogonal ones") {
+    // Two orthogonal families, k=2: seeds 0,1 land one in each.
+    val e1 = Array(1.0f) ++ Array.fill(63)(0.0f)
+    val e2 = Array(0.0f, 1.0f) ++ Array.fill(62)(0.0f)
+    val rows = Seq(
+      (0L, e1.toSeq), (1L, e2.toSeq),
+      (2L, e1.map(_ * 2).toSeq), (3L, e2.map(_ * 3).toSeq),
+      (4L, e1.toSeq))
+    val out = Cluster.kmeansEmbedOf(rows.toDF("vec_id", "embedding"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == out(2L) && out(2L) == out(4L))
+    assert(out(1L) == out(3L))
+    assert(out(0L) != out(1L))
+  }
+
+  test("kmeans assignment is total: every vector gets exactly one cluster") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 40L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val out = Cluster.kmeansEmbedOf(rows.toDF("vec_id", "embedding")).collect()
+    assert(out.length == 40)
+    assert(out.map(_.getLong(0)).toSet == (0L until 40L).toSet)
+    assert(out.map(_.getLong(1)).toSet.subsetOf((0L until 8L).toSet))
+  }
+}
