@@ -82,7 +82,16 @@ object Corpus {
   def decontaminateOf(docs: DataFrame, benchSource: String = "src0",
                       n: Int = 8): DataFrame = {
     require(n > 1, s"n-gram order must be > 1, got $n")
-    val grams = explode(array_distinct(TextF.strictShingles(col("text"), n))).as("g")
+    // Grams travel as 63-bit xxhash64 values from the one-pass strict
+    // [[graft.plans.ShingleHashes]], not as joined token strings: the
+    // composable strictShingles form re-enters its interpreted lambda
+    // per gram position (re-tokenizing the doc each time), and hashing
+    // also shrinks the broadcast + join keys ~6×. Collision risk at
+    // |bench|·|corpus| gram pairs is ~|B||C|/2⁶³ — nil at any corpus
+    // size that fits a cluster.
+    val grams = explode(graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
+      graft.plans.ColumnBridge.expression(col("text")), n, Long.MaxValue,
+      strict = true))).as("g")
     val bench = broadcast(
       docs.filter(col("source") === benchSource).select(grams).distinct())
     val corpus = docs.filter(col("source") =!= benchSource)

@@ -24,6 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * the hash of the empty string, matching `split(trim(""), "\\s+") =
   * [""]` — so every doc has a non-empty, content-determined shingle
   * set and empty docs (which ARE byte-identical) cluster together.
+  * With `strict = true` short documents instead contribute an EMPTY
+  * set (TextF.strictShingles semantics — decontamination must not
+  * fall back to unigrams).
   *
   * Tokenization differs from the composable `split(trim(text),
   * "\\s+")` (TextF.shingles — kept as the composable API) in ONE
@@ -31,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the split form a phantom leading empty token, which this scanner
   * correctly does not emit.
   */
-case class ShingleHashes(child: Expression, n: Int, prime: Long)
+case class ShingleHashes(child: Expression, n: Int, prime: Long,
+                         strict: Boolean = false)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(StringType)
@@ -61,7 +65,11 @@ case class ShingleHashes(child: Expression, n: Int, prime: Long)
       val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, length, 42L)
       java.lang.Math.floorMod(h, prime)
     }
-    if (nTok == 0) {
+    if (nTok < n && strict) {
+      // strict mode: a doc shorter than the shingle width contributes
+      // NOTHING (decontamination semantics — single shared words must
+      // not poison the corpus; cf. TextF.strictShingles)
+    } else if (nTok == 0) {
       out.add(hashRange(Array.emptyByteArray, 0))
     } else if (nTok < n) {
       // short-doc fallback: each token is its own shingle

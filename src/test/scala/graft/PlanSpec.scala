@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 import org.apache.spark.sql.execution.window.WindowGroupLimitExec
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CtrAlerts, Dedup, EventAnalytics, Similarity, TextAnalysis}
+import graft.operators.{Cluster, Corpus, CorpusStats, CtrAlerts, Dedup, EventAnalytics, Similarity, TextAnalysis}
 
 /** Plan-shape regression tests: the ExplainAudit invariants, asserted
   * on the planner output so a regression fails CI instead of waiting
@@ -35,7 +35,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       Dedup.jaccardPairs(spark, Sf),
       Dedup.dedupSimhash(spark, Sf),
       Similarity.annLsh(spark, Sf),
-      EventAnalytics.sessionize(spark, Sf))
+      EventAnalytics.sessionize(spark, Sf),
+      Corpus.decontaminate(spark, Sf),
+      CorpusStats.repetitionStats(spark, Sf),
+      CorpusStats.langQualityGate(spark, Sf))
     risky.foreach { df =>
       val p = plan(df)
       assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
@@ -66,6 +69,47 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
     assert(hinted.forall(_.toString.contains("report_date")),
       s"only the 1-row report_date frame may carry a broadcast hint:\n$hinted")
+  }
+
+  test("chunkDocs is map-only up to the presentation sort") {
+    val p = plan(Corpus.chunkDocs(spark, Sf))
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 1,
+      s"chunking must not shuffle except for the final ORDER BY:\n$p")
+  }
+
+  test("packGreedy shuffles only for the per-source window and the sort") {
+    val p = plan(Corpus.packGreedy(spark, Sf))
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 2, s"expected window + sort exchanges only:\n$p")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
+  test("tfidf keeps its top-k partition-local and broadcasts only the 1-row count") {
+    val p = plan(CorpusStats.tfidfTopTerms(spark, Sf))
+    assert(p.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
+      "row_number()<=k must rewrite to WindowGroupLimit")
+    // The only nested-loop join is the cross with the 1-row doc count.
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1)
+  }
+
+  test("collocations' only nested-loop join is the 1-row totals cross") {
+    val p = plan(CorpusStats.collocations(spark, Sf))
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"token joins must stay equi-joins:\n$p")
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty)
+  }
+
+  test("kmeans broadcasts only the k-row centroid set per assignment pass") {
+    val p = plan(Cluster.kmeansEmbed(spark, Sf))
+    // One BNLJ per Lloyd iteration (vectors x k centroids) — linear in
+    // rows because k is a constant; anything more is a regression.
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length ==
+      Cluster.Iterations, s"expected exactly one k-row BNLJ per iteration:\n$p")
   }
 
   test("zscoreOutliers carries no forced broadcast hint") {
