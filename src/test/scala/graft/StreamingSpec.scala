@@ -73,6 +73,57 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("StreamingSessionize closes sessions on the gap and finalizes at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+
+    val query = graft.streaming.StreamingSessionize.sessions(events).writeStream
+      .format("memory").queryName("sess_test").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min
+      // silence INSIDE the next batch closes it inline.
+      input.addData((1L, ts("10:00")), (1L, ts("10:10")), (2L, ts("10:05")))
+      query.processAllAvailable()
+      assert(spark.table("sess_test").isEmpty,
+        "open sessions must not emit before the gap certifies them closed")
+
+      // 10:50 is 40 min after user 1's last event → closes session 1
+      // inline; ALSO advances the watermark to 10:20.
+      input.addData((1L, ts("10:50")))
+      query.processAllAvailable()
+      val first = spark.table("sess_test").as[graft.streaming.StreamingSessionize.Session]
+        .collect()
+      assert(first.map(s => (s.user_id, s.n_events, s.duration_sec)).toSet ==
+        Set((1L, 2L, 600.0)), s"got ${first.toSeq}")
+
+      // Far-future event pushes the watermark past everything + gap →
+      // the remaining open sessions (user 2, user 1's second) time out.
+      input.addData((3L, ts("23:00")))
+      query.processAllAvailable()
+      val all = spark.table("sess_test").as[graft.streaming.StreamingSessionize.Session]
+        .collect().map(s => (s.user_id, s.n_events)).toSet
+      assert(all == Set((1L, 2L), (1L, 1L), (2L, 1L)), s"got $all")
+    } finally query.stop()
+  }
+
+  test("StreamingSessionize folds shuffle-ordered in-batch events by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val query = graft.streaming.StreamingSessionize.sessions(events).writeStream
+      .format("memory").queryName("sess_order").outputMode("append").start()
+    try {
+      // Arrival order scrambled; event-time order is 9:00, 9:10 | 11:00.
+      input.addData((7L, ts("11:00")), (7L, ts("09:10")), (7L, ts("09:00")))
+      query.processAllAvailable()
+      val out = spark.table("sess_order").as[graft.streaming.StreamingSessionize.Session]
+        .collect().map(s => (s.n_events, s.duration_sec)).toSet
+      assert(out == Set((2L, 600.0)),
+        s"the 9:00+9:10 pair must close as one session: ${out}")
+    } finally query.stop()
+  }
+
   test("StreamingDedup.firstSeen emits each key once across batches with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, String)]
