@@ -18,7 +18,9 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Optional comma-separated allowlist for local iteration (the
     // round driver never sets it → full suite).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // "" (e.g. unset shell var) = no filter, not "run nothing"
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -481,9 +481,13 @@ object SparkEntry {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')) AS redacted_md5
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // regexp_replace('^\s+|\s+$') — not trim(), which strips only
+    // spaces: the Spark side tokenizes with the native byte scanner,
+    // which has no phantom empty token when text leads with a tab.
     "decontaminate" ->
       """WITH toks AS (
-        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, source,
@@ -702,7 +706,9 @@ object SparkEntry {
         |         SELECT vec_id, emb, c_id,
         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
         |         FROM s1) WHERE rn = 1),
-        |m AS (SELECT cluster, i, ROUND(AVG(list_extract(emb, i)), 6) AS v
+        |m AS (SELECT cluster, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS v
         |      FROM a1, generate_series(1, 64) AS g(i) GROUP BY cluster, i),
         |c1 AS (SELECT cluster AS c_id, list(v ORDER BY i) AS c_emb FROM m GROUP BY cluster),
         |s2 AS (SELECT e.vec_id, c1.c_id,

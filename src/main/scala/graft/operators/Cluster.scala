@@ -44,13 +44,21 @@ object Cluster {
       .select(col("vec_id"), col("emb"), col("c_id").as("cluster"), col("cs"))
   }
 
-  /** Centroid update: element-wise mean of each cluster's members,
-    * rounded to 6 places so the next assignment compares identical
-    * numbers in every engine. */
+  /** Centroid update: element-wise mean of each cluster's members.
+    * Components are quantized to 1e-6 and summed as INTEGERS, so the
+    * mean is independent of partition/summation order — a float
+    * `avg()` accumulates in shuffle order and can round the 6th
+    * decimal differently between engines (or between runs at different
+    * parallelism), flipping a boundary assignment. One final IEEE
+    * division pair (identical on both engines) recovers the mean. */
   private def recenter(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "v")))
-      .groupBy("cluster", "pos").agg(round(avg("v"), 6).as("v"))
+      .groupBy("cluster", "pos")
+      .agg(sum(round(col("v") * 1e6).cast("long")).as("isum"),
+        count(lit(1)).as("cnt"))
+      .select(col("cluster"), col("pos"),
+        round(col("isum").cast("double") / 1e6 / col("cnt").cast("double"), 6).as("v"))
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         s => s.getField("v")).as("c_emb"))

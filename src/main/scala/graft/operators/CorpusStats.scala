@@ -67,19 +67,11 @@ object CorpusStats {
   def repetitionStatsOf(docs: DataFrame,
                         minDistinctRatio: Double = 0.3,
                         maxTopBigramFrac: Double = 0.2): DataFrame = {
-    // Bigrams via zip_with over two shifted slices — ONE interpreted
-    // pass per row. The per-index form (transform(sequence(..), i =>
-    // slice(toks, i+1, 2))) re-enters the interpreted slice per
-    // element and measured 7× slower at sf0.1.
     val base = docs.select(col("doc_id"), TextF.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
-        when(col("n_tokens") >= 2, zip_with(
-          slice(col("toks"), lit(1), col("n_tokens") - 1),
-          slice(col("toks"), lit(2), col("n_tokens") - 1),
-          (a, b) => concat(a, lit(" "), b)))
-          .otherwise(array().cast("array<string>")).as("bigrams"))
+        TextF.bigramPairs(col("toks"), col("n_tokens")).as("bigrams"))
     val topBigram = base
       .select(col("doc_id"), explode(col("bigrams")).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
@@ -118,14 +110,8 @@ object CorpusStats {
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
     val uni = toks.select(explode(col("toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c1"))
-    // Same zip_with-over-shifted-slices bigram build as
-    // repetitionStatsOf (one interpreted pass per row).
     val big = toks
-      .select(explode(when(col("n") >= 2, zip_with(
-        slice(col("toks"), lit(1), col("n") - 1),
-        slice(col("toks"), lit(2), col("n") - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(explode(TextF.bigramPairs(col("toks"), col("n"))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minCount)

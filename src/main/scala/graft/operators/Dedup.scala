@@ -177,9 +177,12 @@ object Dedup {
     // PPJoin length filter: J(x,y) >= t forces min(|x|,|y|) >= t·max —
     // |x∩y| <= min and |x∪y| >= max — so size-mismatched candidates are
     // dropped IN the join, before the distinct and the verify joins.
+    // The - 1e-6 absorbs double noise in the product (same guard as
+    // prefixLen's ceil): a 1-ulp overshoot of tEff·sz must not prune a
+    // boundary pair the rounding verify accepts.
     val sizeOk =
-      col("b.sz") >= lit(tEff) * col("a.sz") &&
-        col("a.sz") >= lit(tEff) * col("b.sz")
+      col("b.sz") >= lit(tEff) * col("a.sz") - lit(1e-6) &&
+        col("a.sz") >= lit(tEff) * col("b.sz") - lit(1e-6)
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") && sizeOk)

@@ -13,11 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * combining accent, and "CAFÉ" all hash to the same shingles.
   *
   * NFC (canonical composition) folds combining-mark encodings to one
-  * canonical form; `toLowerCase(Locale.ROOT)` is a locale-stable
-  * casefold (ROOT avoids the Turkish-I trap). A Scala UDF would do the
-  * same work but drop the pipeline out of whole-stage codegen; this
-  * stays one scalar call per row, like the engine's other native
-  * expressions.
+  * canonical form; lowercasing uses the SIMPLE per-codepoint Unicode
+  * mapping (locale-free, no Turkish-I trap, and identical to the
+  * utf8proc mapping the DuckDB oracle's `lower()` applies — see
+  * [[NormalizeText.normalize]]). A Scala UDF would do the same work
+  * but drop the pipeline out of whole-stage codegen; this stays one
+  * scalar call per row, like the engine's other native expressions.
   */
 case class NormalizeText(child: Expression) extends UnaryExpression with ExpectsInputTypes {
 
@@ -47,6 +48,29 @@ object NormalizeText {
     // overwhelmingly common case for real corpora.
     val nfc = if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) s
     else Normalizer.normalize(s, Normalizer.Form.NFC)
-    nfc.toLowerCase(java.util.Locale.ROOT)
+    // SIMPLE (per-codepoint) case mapping, not String.toLowerCase:
+    // the full algorithm applies context rules (word-final Greek Σ → ς)
+    // and 1:N expansions (İ → i + combining dot) that utf8proc-based
+    // engines (the DuckDB oracle's lower()) do not — the normalized
+    // text must compare equal across engines, like every other
+    // cross-checked numeric in this library.
+    var i = 0
+    var changed = false
+    while (i < nfc.length && !changed) {
+      val cp = nfc.codePointAt(i)
+      if (Character.toLowerCase(cp) != cp) changed = true
+      else i += Character.charCount(cp)
+    }
+    if (!changed) nfc
+    else {
+      val sb = new java.lang.StringBuilder(nfc.length)
+      var j = 0
+      while (j < nfc.length) {
+        val cp = nfc.codePointAt(j)
+        sb.appendCodePoint(Character.toLowerCase(cp))
+        j += Character.charCount(cp)
+      }
+      sb.toString
+    }
   }
 }

@@ -62,7 +62,11 @@ object StreamingSessionize {
             sorted.foreach { t =>
               open match {
                 case Some(s) if t - s.end <= gapMillis =>
-                  open = Some(Open(s.start, math.max(s.end, t), s.n + 1))
+                  // min() on start: a late-but-within-watermark event
+                  // can precede the open session's first event, and the
+                  // batch twin (which sorts globally) would count it
+                  // into this session's span.
+                  open = Some(Open(math.min(s.start, t), math.max(s.end, t), s.n + 1))
                 case Some(s) =>
                   closed += toSession(uid, s)
                   open = Some(Open(t, t, 1))

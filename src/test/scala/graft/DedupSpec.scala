@@ -150,6 +150,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(clusters(4L) != clusters(1L))
   }
 
+  test("NormalizeText uses the SIMPLE case mapping (cross-engine comparable)") {
+    import graft.plans.NormalizeText.normalize
+    assert(normalize("CAFÉ") == "café")
+    // combining accent (e + U+0301) composes to the precomposed é
+    assert(normalize("café") == "café")
+    // Simple per-codepoint mapping: NO word-final-sigma context rule
+    // (utf8proc/DuckDB lower() gives οδοσ too) ...
+    assert(normalize("ΟΔΟΣ") == "οδοσ")
+    // ... and NO 1:N expansion for İ (U+0130 → i, not i + U+0307)
+    assert(normalize("İ") == "i")
+    assert(normalize("already lower") eq "already lower",
+      "fast path must return the same instance for already-normal text")
+  }
+
   test("sortedIntersectSize agrees with array_intersect on seeded random sets") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 40).map { i =>

@@ -107,6 +107,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("StreamingSessionize extends a session backward for a late in-watermark event") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val query = graft.streaming.StreamingSessionize.sessions(events).writeStream
+      .format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      input.addData((5L, ts("10:10")))
+      query.processAllAvailable() // watermark now 09:40
+      // 10:05 is late but above the watermark and within the gap — the
+      // batch twin would fold it into the same session, so start_ts
+      // must move back to 10:05.
+      input.addData((5L, ts("10:05")))
+      query.processAllAvailable()
+      input.addData((6L, ts("23:00"))) // close everything
+      query.processAllAvailable()
+      val out = spark.table("sess_late").as[graft.streaming.StreamingSessionize.Session]
+        .collect().filter(_.user_id == 5L)
+      assert(out.map(s => (s.n_events, s.duration_sec)).toSeq == Seq((2L, 300.0)),
+        s"late event must extend the session backward: ${out.toSeq}")
+    } finally query.stop()
+  }
+
   test("StreamingSessionize folds shuffle-ordered in-batch events by event time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
