@@ -21,6 +21,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // "" (e.g. unset shell var) = no filter, not "run nothing"
+    // A typo'd name must not read as a vacuous green run (stderr — the
+    // driver parses raw stdout for the JSON line).
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(s"WARNING: SPARK_GRAFT_ONLY names not registered: ${unknown.mkString(",")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

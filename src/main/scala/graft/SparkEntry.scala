@@ -529,10 +529,14 @@ object SparkEntry {
     // on 31-bit shingle hashes — identical output absent hash
     // collisions (none at this SF; checked by the hash compare itself).
     // lower(nfc_normalize(..)) mirrors the engine's NormalizeText
-    // (NFC then ROOT casefold) canonicalization before shingling.
+    // (NFC then simple casefold) canonicalization before shingling;
+    // regexp_replace (not space-only trim) mirrors the byte scanner's
+    // tokenization on leading/trailing non-space whitespace.
     "jaccard_pairs" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(nfc_normalize(text))), '\s+') AS t
+        |  SELECT doc_id,
+        |    regexp_split_to_array(
+        |      regexp_replace(lower(nfc_normalize(text)), '^\s+|\s+$', '', 'g'), '\s+') AS t
         |  FROM documents),
         |sh AS (SELECT doc_id,
         |         list_distinct(CASE WHEN len(t) >= 3
@@ -664,7 +668,8 @@ object SparkEntry {
         |c AS (SELECT doc_id, CAST(start_tok // 48 AS INT) AS chunk_idx,
         |        CAST(start_tok AS INT) AS start_tok,
         |        toks[start_tok + 1 : start_tok + 64] AS chunk
-        |      FROM st)
+        |      FROM st
+        |      WHERE start_tok = 0 OR start_tok - 48 + 64 < len(toks))
         |SELECT doc_id, chunk_idx, start_tok, CAST(len(chunk) AS INT) AS n_chunk_tokens,
         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,

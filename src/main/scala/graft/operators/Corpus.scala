@@ -157,9 +157,15 @@ object Corpus {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     docs.select(col("doc_id"), TextF.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
           lit(stride))).as("start_tok"))
+      // A start whose PREVIOUS chunk already reached the end of the
+      // doc contributes only tokens the shard holds already — skip it
+      // (a 100-token doc chunks at 0 and 48, not also at 96).
+      .filter(col("start_tok") === 0 ||
+        col("start_tok") - stride + window < col("n"))
       .select(col("doc_id"),
         (col("start_tok") / stride).cast("int").as("chunk_idx"),
         col("start_tok").cast("int").as("start_tok"),

@@ -117,11 +117,22 @@ object Dedup {
       .select("a_id", "b_id").distinct()
     // Exact Jaccard over the 31-bit shingle hash sets instead of the
     // shingle strings: collision odds per doc are ~|shingles|²/2³² —
-    // negligible at document scale — and a sorted-merge intersection
-    // count (|a∪b| = |a|+|b|-|a∩b|) beats building intersect AND union
-    // arrays per pair.
+    // negligible at document scale.
     val sh = docs
       .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("sh"))
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Shared exact-Jaccard verify stage: joins the (a_id, b_id)
+    * candidate pairs back to their sorted shingle-hash sets and keeps
+    * pairs with round(J, 4) >= threshold. |a∩b| comes from one native
+    * sorted-merge count ([[sortedIntersectSize]], allocation-free) and
+    * |a∪b| follows as |a|+|b|-|a∩b| — no intersect/union arrays per
+    * pair. `inter` is materialized in its own projection so the ratio
+    * reads a column, not three copies of the merge (the engine's
+    * documented no-CSE pattern). */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
@@ -133,7 +144,6 @@ object Dedup {
           (col("sza") + col("szb") - col("inter")).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("a_id", "b_id")
-  }
 
   def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     dedupJaccardOf(Tables.documents(spark, dir), threshold)
@@ -188,22 +198,7 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") && sizeOk)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    // |a∪b| = |a|+|b|-|a∩b| — one sorted-merge intersection count per
-    // pair (native, allocation-free) instead of materializing both an
-    // intersect AND a union array. `inter` is materialized in its own
-    // projection so the ratio below reads a column, not three copies
-    // of the merge (the engine's documented no-CSE pattern).
-    cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        size(col("sa")).as("sza"), size(col("sb")).as("szb"),
-        sortedIntersectSize(col("sa"), col("sb")).as("inter"))
-      .select(col("a_id"), col("b_id"),
-        round(col("inter").cast("double") /
-          (col("sza") + col("szb") - col("inter")).cast("double"), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy("a_id", "b_id")
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** Intersection cardinality of two SORTED long arrays via the native

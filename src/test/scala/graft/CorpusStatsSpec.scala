@@ -81,11 +81,24 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     val text = (1 to 100).map(i => s"t$i").mkString(" ")
     val out = Corpus.chunkDocsOf(docsDf(1L -> text), window = 64, stride = 48)
       .collect()
-    // starts at 0, 48, 96 → 3 chunks of sizes 64, 52, 4
+    // starts at 0 and 48 (the chunk at 48 already reaches token 100,
+    // so the start at 96 would only repeat covered tokens — dropped)
     assert(out.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
-      Seq((0, 0, 64), (1, 48, 52), (2, 96, 4)))
-    // chunk 0 and 1 overlap on tokens 49..64 (16 tokens)
-    assert(out.map(_.getString(4)).distinct.length == 3)
+      Seq((0, 0, 64), (1, 48, 52)))
+    assert(out.map(_.getString(4)).distinct.length == 2)
+  }
+
+  test("chunking emits a tail chunk only when it adds uncovered tokens") {
+    // 65 tokens: chunk 0 covers 1..64, the start at 48 adds token 65.
+    val t65 = (1 to 65).map(i => s"t$i").mkString(" ")
+    val out65 = Corpus.chunkDocsOf(docsDf(1L -> t65), window = 64, stride = 48)
+      .collect().map(r => (r.getInt(2), r.getInt(3))).toSeq
+    assert(out65 == Seq((0, 64), (48, 17)))
+    // exactly-64 tokens: one chunk covers everything, no tail.
+    val t64 = (1 to 64).map(i => s"t$i").mkString(" ")
+    val out64 = Corpus.chunkDocsOf(docsDf(1L -> t64), window = 64, stride = 48)
+      .collect().map(r => (r.getInt(2), r.getInt(3))).toSeq
+    assert(out64 == Seq((0, 64)))
   }
 
   test("chunking a short doc yields exactly one whole-doc chunk") {

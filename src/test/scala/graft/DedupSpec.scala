@@ -180,25 +180,17 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("jaccardPairs keeps boundary pairs the rounding verify accepts") {
-    // J = 9999/20000 = 0.49995 rounds to 0.5000 — the verify stage
-    // accepts it, so the PPJoin length/prefix pruning (tEff = t-5e-5)
-    // must not drop it. Sizes: |a| = 19000, |b| = 10999... too big for
-    // a unit test; scaled equivalent: J = 0.4999+ via 10/19 sets.
-    // 14 tokens vs 9 tokens sharing a 7-shingle run: sa=12, sb=7,
-    // inter=5 -> J=5/14=0.3571 (below). Instead craft J exactly 1/2:
-    // sa=10, sb=10, inter=~6..7 no. Use direct threshold: t=0.3571
-    // would be obscure — assert instead that length-filter uses tEff:
-    // |b| = 6, |a| = 12, t = 0.5: strict filter 6 >= 0.49995*12 = 5.999
-    // passes, while the old ceil form required 6 >= ceil(6) = 6 (equal,
-    // passed) — the real regression guard is the agreement test below.
-    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"
-    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
-    val df = docsDf(1L -> a, 2L -> b)
-    // shingles: |sa|=12, |sb|=7, inter=7 -> J = 7/12 = 0.5833
-    val pairs = Dedup.jaccardPairsOf(df, 0.5).collect()
+    // B's tokens are a prefix of A's: |sa| = 19999 shingles, |sb| =
+    // 9999, all shared → J = 9999/19999 = 0.499975, which rounds to
+    // 0.5000 and passes the verify. The PRE-tEff length filter
+    // (sz_b >= ceil(t·sz_a) = 10000) pruned exactly this pair; the
+    // loosened bound (9999 >= 0.49995·19999 = 9998.5) must keep it.
+    val a = (1 to 20001).map(i => s"t$i").mkString(" ")
+    val b = (1 to 10001).map(i => s"t$i").mkString(" ")
+    val pairs = Dedup.jaccardPairsOf(docsDf(1L -> a, 2L -> b), 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
-    assert(math.abs(pairs.head._3 - 7.0 / 12.0) < 1e-3)
+    assert(pairs.toSeq == Seq((1L, 2L, 0.5)),
+      s"boundary pair must survive pruning AND round to the threshold: ${pairs.toSeq}")
   }
 
   test("jaccardPairs matches brute-force over seeded random docs at several thresholds") {

@@ -67,7 +67,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val hinted = analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
-    assert(hinted.forall(_.toString.contains("report_date")),
+    // Assert on the hinted subtree's OUTPUT schema, not a substring of
+    // its toString — every branch of this plan mentions report_date
+    // somewhere, so a substring check would pass even with a re-added
+    // broadcast(today) (whose output is user_id + today_ctr).
+    assert(hinted.forall(_.child.output.map(_.name) == Seq("report_date")),
       s"only the 1-row report_date frame may carry a broadcast hint:\n$hinted")
   }
 
