@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.operators.Dedup
-import graft.plans.{CosineSimilarity, MinHashSignature}
+import graft.plans.{CosineSimilarity, MinHashSignature, NormalizeText, ShingleHashes, SimHash64, SortedIntersectSize}
 
 /** SQL-surface registration for the engine's native expressions, so
   * `spark.sql("SELECT cosine_sim(a, b) ...")` works like any built-in.
@@ -34,7 +34,22 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (children: Seq[Expression]) =>
-        MinHashSignature(children.head, Dedup.perm.map(_._1), Dedup.perm.map(_._2), Dedup.P)))
+        MinHashSignature(children.head, Dedup.perm.map(_._1), Dedup.perm.map(_._2), Dedup.P)),
+    (FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => NormalizeText(children.head)),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      // Same shingle width / modulus as the dedup pipeline, over
+      // normalized text — SQL users get the library's exact semantics.
+      (children: Seq[Expression]) =>
+        ShingleHashes(NormalizeText(children.head), 3, Dedup.P)),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))))
 
   /** Register on a live session. `sessionState`/`functionRegistry` are
     * Scala-`private[sql]` but bytecode-public (same situation as

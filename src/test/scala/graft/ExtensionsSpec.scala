@@ -20,6 +20,21 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(sig.head == expected0)
   }
 
+  test("text-pipeline SQL functions expose the library's exact semantics") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT normalize_text('CAFÉ  Latte') AS n,
+        |       sorted_intersect_size(array(1L, 3L, 9L), array(3L, 7L, 9L)) AS i,
+        |       simhash64('alpha beta gamma') AS h,
+        |       size(shingle_hashes('a b c d')) AS s""".stripMargin).head()
+    assert(r.getString(0) == "café  latte")
+    assert(r.getInt(1) == 2)
+    assert(r.getLong(2) ==
+      graft.operators.Dedup.simhashOf(Array("alpha", "beta", "gamma")))
+    // 4 tokens, width-3 shingles → 2 distinct shingles
+    assert(r.getInt(3) == 2)
+  }
+
   test("minhash_sig of an empty array is NULL (empty docs route to singleton clusters)") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT minhash_sig(array()::ARRAY<BIGINT>) AS s").head()
