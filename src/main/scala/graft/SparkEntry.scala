@@ -78,7 +78,8 @@ object SparkEntry {
     "chunk_docs"        -> (Corpus.chunkDocs(_, _)),
     "pack_greedy"       -> (Corpus.packGreedy(_, _)),
     "train_split"       -> (Corpus.trainSplit(_, _)),
-    "kmeans_embed"      -> (Cluster.kmeansEmbed(_, _))
+    "kmeans_embed"      -> (Cluster.kmeansEmbed(_, _)),
+    "dedup_components"  -> (Components.dedupComponents(_, _))
   )
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
@@ -723,6 +724,35 @@ object SparkEntry {
         |         SELECT vec_id, c_id, cs,
         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
         |         FROM s2) WHERE rn = 1)
-        |SELECT vec_id, cluster, cs AS sim FROM a2 ORDER BY vec_id""".stripMargin
+        |SELECT vec_id, cluster, cs AS sim FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // Transitive closure of the brute-force pair list via a recursive
+    // CTE: (node, lbl) pairs expand along edges until fixpoint; the
+    // component id is the min reachable label — exactly what the
+    // Spark side's min-label propagation converges to.
+    "dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(
+        |      regexp_replace(lower(nfc_normalize(text)), '^\s+|\s+$', '', 'g'), '\s+') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) >= 3
+        |           THEN list_transform(generate_series(1, len(t) - 2),
+        |                  i -> array_to_string(t[i:i+2], ' '))
+        |           ELSE t END) AS s
+        |       FROM toks),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) >= 0.5),
+        |e AS (SELECT a_id AS a, b_id AS b FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |r AS (
+        |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT e.a AS node, r.lbl FROM e JOIN r ON r.node = e.b)
+        |SELECT node AS doc_id, MIN(lbl) AS component FROM r
+        |GROUP BY node ORDER BY doc_id""".stripMargin
   )
 }

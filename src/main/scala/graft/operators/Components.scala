@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Connected components over a similarity edge list — the transitive
+  * closure a real dedup pipeline runs AFTER pair generation: near-dup
+  * is not transitive, so "A~B, B~C" must still put A, B, C in one
+  * cluster to keep exactly one representative.
+  *
+  * Iterative min-label propagation (the standard distributed CC, as in
+  * GraphX/Pregel): every node starts labeled with itself; each round
+  * every node takes the min of its label and its neighbors' labels;
+  * fixpoint = every node holds its component's minimum id. Each round
+  * is ONE shuffled join + aggregate on the edge list — no collect, no
+  * driver-side graph — and `localCheckpoint` truncates the growing
+  * lineage so round N doesn't replay rounds 1..N-1 (on a cluster this
+  * would be `checkpoint` to the reliable store). Rounds are bounded by
+  * the graph diameter, which for near-dup clusters is tiny; `maxIter`
+  * is a runaway guard, and convergence is detected distributedly (a
+  * 1-row count of changed labels per round).
+  */
+object Components {
+
+  /** @param edges (a, b) undirected pairs; ids must be non-null
+    * @param nodes (id) — every node that must appear in the output,
+    *              edges or not
+    * @return (id, component) where component = min id reachable */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("b"), col("component").as("nlbl")), "b")
+        .groupBy(col("a").as("id")).agg(min("nlbl").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"),
+          (col("nmin") < col("component")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).limit(1).isEmpty
+      labels = next.select("id", "component")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters with TRANSITIVE closure: components over the
+    * exact-Jaccard pair list (threshold t), singletons included.
+    * Oracle-checked against a DuckDB brute-force pair list + recursive
+    * closure. */
+  def dedupComponentsOf(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.jaccardPairsOf(docs, threshold)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val nodes = docs.select(col("doc_id").as("id"))
+    connectedComponents(pairs, nodes)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    dedupComponentsOf(Tables.documents(spark, dir))
+}

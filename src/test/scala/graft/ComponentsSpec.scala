@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Components
+
+class ComponentsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] =
+    Components.connectedComponents(
+      edges.toDF("a", "b"), nodes.toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("closure merges chained pairs into one component (near-dup is not transitive)") {
+    // A~B, B~C but no A~C edge — all three must share a component.
+    val got = cc(Seq((1L, 2L), (2L, 3L)), Seq(1L, 2L, 3L, 4L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("disjoint clusters keep distinct minimum-id components") {
+    val got = cc(Seq((5L, 7L), (10L, 11L), (11L, 12L)), (5L to 12L))
+    assert(got(5L) == 5L && got(7L) == 5L)
+    assert(got(10L) == 10L && got(11L) == 10L && got(12L) == 10L)
+    assert((6L to 9L).filter(_ != 7L).forall(i => got(i) == i),
+      s"edge-free nodes stay singletons: $got")
+  }
+
+  test("a long chain converges to the chain minimum within the iteration bound") {
+    // Path 20-19-...-1: min label must walk the full diameter.
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val got = cc(chain, (1L to 20L))
+    assert(got.values.forall(_ == 1L), s"all chain nodes reach min 1: $got")
+  }
+
+  test("a cycle plus a pendant edge forms one component") {
+    val got = cc(Seq((2L, 3L), (3L, 4L), (4L, 2L), (4L, 9L)), Seq(2L, 3L, 4L, 9L))
+    assert(got.values.toSet == Set(2L))
+  }
+
+  test("dedupComponents groups transitive near-dup docs over real text") {
+    // b carries two disjoint 9-token runs; a holds only the x-run and
+    // c only the y-run. |sa| = |sc| = 7, |sb| = 16 (7+7+2 bridges):
+    // J(a,b) = J(b,c) = 7/16 = 0.4375 >= t=0.4 but J(a,c) = 0 — the
+    // closure must still unify all three.
+    val a = "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    val b = "x1 x2 x3 x4 x5 x6 x7 x8 x9 y1 y2 y3 y4 y5 y6 y7 y8 y9"
+    val c = "y1 y2 y3 y4 y5 y6 y7 y8 y9"
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, "totally different text here"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.jaccardPairsOf(docs, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)),
+      s"precondition: chain without the transitive pair, got $pairs")
+    val comp = Components.dedupComponentsOf(docs, 0.4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+}
