@@ -79,7 +79,8 @@ object SparkEntry {
     "pack_greedy"       -> (Corpus.packGreedy(_, _)),
     "train_split"       -> (Corpus.trainSplit(_, _)),
     "kmeans_embed"      -> (Cluster.kmeansEmbed(_, _)),
-    "dedup_components"  -> (Components.dedupComponents(_, _))
+    "dedup_components"  -> (Components.dedupComponents(_, _)),
+    "mix_sources"       -> (Corpus.mixSources(_, _))
   )
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
@@ -753,6 +754,22 @@ object SparkEntry {
         |  UNION
         |  SELECT e.a AS node, r.lbl FROM e JOIN r ON r.node = e.b)
         |SELECT node AS doc_id, MIN(lbl) AS component FROM r
-        |GROUP BY node ORDER BY doc_id""".stripMargin
+        |GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Same ceil(frac·cnt) double math, same parenthesization → same
+    // IEEE result both engines; ranks are content-keyed md5 order.
+    "mix_sources" ->
+      """WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS INT) AS rn,
+        |        COUNT(*) OVER (PARTITION BY source) AS cnt
+        |      FROM h),
+        |f AS (SELECT *, CASE source WHEN 'src0' THEN CAST(1.0 AS DOUBLE)
+        |                 WHEN 'src1' THEN CAST(0.6 AS DOUBLE)
+        |                 ELSE CAST(0.2 AS DOUBLE) END AS frac
+        |      FROM r)
+        |SELECT doc_id, source, rn FROM f
+        |WHERE rn <= CAST(ceil(frac * cnt) AS BIGINT)
+        |ORDER BY source, rn""".stripMargin
   )
 }

@@ -222,4 +222,34 @@ object Corpus {
 
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
     trainSplitOf(Tables.documents(spark, dir))
+
+  /** Weighted corpus mixing: per-source keep fractions (curated
+    * sources oversampled relative to bulk crawl — the data-mixture
+    * knob every pretraining run tunes). Deterministic: within each
+    * source, documents rank by (md5(text), doc_id) — the same
+    * content-keyed order as [[stratifiedSampleOf]] — and the top
+    * ceil(frac·count) survive, so the mixture is reproducible across
+    * runs, engines, and partitionings. One window over the source key
+    * (= shard key), one map-side filter. */
+  def mixSourcesOf(docs: DataFrame, weights: Map[String, Double],
+                   defaultFrac: Double): DataFrame = {
+    require((weights.values.toSeq :+ defaultFrac).forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $weights default=$defaultFrac")
+    val frac = weights.foldLeft(lit(defaultFrac)) { case (acc, (src, f)) =>
+      when(col("source") === src, lit(f)).otherwise(acc)
+    }
+    val bySource = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    val whole = Window.partitionBy("source")
+    docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(bySource))
+      .withColumn("cnt", count(lit(1)).over(whole))
+      .withColumn("keep_n", ceil(frac * col("cnt")).cast("long"))
+      .filter(col("rn") <= col("keep_n"))
+      .select(col("doc_id"), col("source"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
+  def mixSources(spark: SparkSession, dir: String): DataFrame =
+    mixSourcesOf(Tables.documents(spark, dir),
+      Map("src0" -> 1.0, "src1" -> 0.6), defaultFrac = 0.2)
 }

@@ -26,4 +26,11 @@ object Readers {
     val r = spark.read
     schema.fold(r)(r.schema).json(path)
   }
+
+  /** ORC — the other columnar interchange format warehouses hand over.
+    * Self-describing (schema in the footer, like parquet), so no
+    * schema argument; filter pushdown and column pruning work the same
+    * as the parquet path. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

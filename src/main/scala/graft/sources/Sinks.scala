@@ -29,6 +29,13 @@ object Sinks {
       .mode(if (append) SaveMode.Append else SaveMode.Overwrite)
       .json(path)
 
+  /** ORC artifact (columnar interchange with warehouses that prefer
+    * ORC over parquet; pushdown-capable on re-read). */
+  def writeOrc(df: DataFrame, path: String, append: Boolean = false): Unit =
+    df.write
+      .mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .orc(path)
+
   /** Idempotent daily load: re-running a date replaces exactly that
     * date's partition and leaves every other date untouched
     * (delete-then-append semantics of native_CTR_alerts.py:182-212).

@@ -137,6 +137,23 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("mixSources keeps per-source fractions deterministically") {
+    val docs = (1L to 40L).map { i =>
+      (i, if (i <= 20) "curated" else "crawl", s"document body number $i")
+    }.toDF("doc_id", "source", "text")
+    val out = Corpus.mixSourcesOf(docs,
+      Map("curated" -> 1.0), defaultFrac = 0.25).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySource == Map("curated" -> 20, "crawl" -> 5),
+      s"20·1.0 curated + ceil(20·0.25) crawl: $bySource")
+    // deterministic: identical input → identical kept set
+    val again = Corpus.mixSourcesOf(docs,
+      Map("curated" -> 1.0), defaultFrac = 0.25).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("kmeans groups identical vectors and separates orthogonal ones") {
     // Two orthogonal families, k=2: seeds 0,1 land one in each.
     val e1 = Array(1.0f) ++ Array.fill(63)(0.0f)

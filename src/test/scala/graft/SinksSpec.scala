@@ -31,6 +31,30 @@ class SinksSpec extends AnyFunSuite with SparkFixture {
     assert(d2 == Map(3L -> 33.0, 4L -> 40.0), "day-2 rows must be the rerun's rows only")
   }
 
+  test("ORC sink round-trips with schema and pushes filters on re-read") {
+    val path = tmp("graft-orc") + "/out"
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    Sinks.writeOrc(df, path)
+    val back = graft.sources.Readers.readOrc(spark, path)
+    // names + types survive the footer; nullability widens on re-read
+    // (file sources always report nullable), which is fine
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)),
+      "ORC is self-describing — names and types must survive")
+    assert(back.count() == 3)
+    val filtered = back.filter(col("id") >= 2)
+    val pushed = filtered.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("id"), s"ORC scan must push the id filter: $pushed")
+    assert(filtered.count() == 2)
+    // append disposition
+    Sinks.writeOrc(Seq((4L, "d", 40.0)).toDF("id", "name", "v"), path, append = true)
+    assert(graft.sources.Readers.readOrc(spark, path).count() == 4)
+  }
+
   test("CSV sink writes a header row and round-trips") {
     val path = tmp("graft-csv") + "/out"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
