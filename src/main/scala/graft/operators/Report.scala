@@ -183,6 +183,28 @@ object Report {
         col("line_count"))
       .orderBy("l_returnflag")
 
+  /** Sketched percentile distribution — the 100 TB path next to
+    * [[earningsPercentiles]]: exact `percentile` buffers every group
+    * value on one reducer, while `approx_percentile` keeps a
+    * fixed-size KLL-family sketch per group that merges map-side, so
+    * memory is O(sketch), not O(rows). accuracy=10000 → rank error
+    * ≤ 0.01%. No DuckDB oracle (sketch internals are engine-specific);
+    * ReportSpecSpec asserts each estimate lands within the rank-error
+    * band of the exact answer — the same check pattern as HLL (#37). */
+  def earningsPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
+          .as("ps"),
+        count(lit(1)).as("line_count"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p90"),
+        round(element_at(col("ps"), 3), 4).as("p99"),
+        col("line_count"))
+      .orderBy("l_returnflag")
+
   /** Running/moving window aggregates over event time (generic OLAP
     * surface a report consumer needs). */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {

@@ -8,6 +8,25 @@ import graft.sources.Tables
 
 class AlertsSpec extends AnyFunSuite with SparkFixture {
 
+  test("approx percentiles land within the sketch's rank-error band of exact") {
+    import graft.operators.Report
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = asMap(Report.earningsPercentilesApprox(spark, Sf).collect())
+    val exact = asMap(Report.earningsPercentiles(spark, Sf).collect())
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (e50, e90, e99)) =>
+      val (a50, a90, a99) = approx(k)
+      // accuracy=10000 → rank error 1e-4; on this value distribution a
+      // 1% relative band is generous and still catches a broken sketch
+      Seq((a50, e50, "p50"), (a90, e90, "p90"), (a99, e99, "p99")).foreach {
+        case (a, e, tag) =>
+          assert(math.abs(a - e) / e <= 0.01, s"$k $tag: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("approx_count_distinct estimate lands within 5% of exact per group") {
     val approx = CtrAlerts.approxDistinctUsers(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
