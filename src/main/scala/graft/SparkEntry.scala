@@ -85,6 +85,26 @@ object SparkEntry {
     "earnings_percentiles_approx" -> (Report.earningsPercentilesApprox(_, _))
   )
 
+  /** Shared CTE prefix for the two shingle-set oracles
+    * (jaccard_pairs, dedup_components): normalization + tokenization
+    * + distinct token-3-gram shingle sets, kept in ONE place so a
+    * tokenization fix can't silently desynchronize them.
+    * lower(nfc_normalize(..)) mirrors NormalizeText (NFC then simple
+    * casefold); regexp_replace (not space-only trim) mirrors the byte
+    * scanner on leading/trailing non-space whitespace. */
+  private val ShingleSetsCte: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(
+      |      regexp_replace(lower(nfc_normalize(text)), '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |           THEN list_transform(generate_series(1, len(t) - 2),
+      |                  i -> array_to_string(t[i:i+2], ' '))
+      |           ELSE t END) AS s
+      |       FROM toks)""".stripMargin
+
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
   // through integer micros (floor then int64 SUM), single final
   // divisions, explicit rounding before ranking.
@@ -532,22 +552,8 @@ object SparkEntry {
     // Spark side prunes candidates with prefix filtering and verifies
     // on 31-bit shingle hashes — identical output absent hash
     // collisions (none at this SF; checked by the hash compare itself).
-    // lower(nfc_normalize(..)) mirrors the engine's NormalizeText
-    // (NFC then simple casefold) canonicalization before shingling;
-    // regexp_replace (not space-only trim) mirrors the byte scanner's
-    // tokenization on leading/trailing non-space whitespace.
     "jaccard_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(
-        |      regexp_replace(lower(nfc_normalize(text)), '^\s+|\s+$', '', 'g'), '\s+') AS t
-        |  FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct(CASE WHEN len(t) >= 3
-        |           THEN list_transform(generate_series(1, len(t) - 2),
-        |                  i -> array_to_string(t[i:i+2], ' '))
-        |           ELSE t END) AS s
-        |       FROM toks),
+      s"""WITH $ShingleSetsCte,
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |        ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |              CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard
@@ -734,17 +740,7 @@ object SparkEntry {
     // component id is the min reachable label — exactly what the
     // Spark side's min-label propagation converges to.
     "dedup_components" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(
-        |      regexp_replace(lower(nfc_normalize(text)), '^\s+|\s+$', '', 'g'), '\s+') AS t
-        |  FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct(CASE WHEN len(t) >= 3
-        |           THEN list_transform(generate_series(1, len(t) - 2),
-        |                  i -> array_to_string(t[i:i+2], ' '))
-        |           ELSE t END) AS s
-        |       FROM toks),
+      s"""WITH RECURSIVE $ShingleSetsCte,
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /

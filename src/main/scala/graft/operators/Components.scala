@@ -24,10 +24,23 @@ import graft.sources.Tables
   */
 object Components {
 
+  /** Frees a localCheckpoint's persisted blocks (Dataset.unpersist
+    * only talks to the cache manager, which never held them —
+    * checkpoint storage hangs off the LogicalRDD's rdd). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** @param edges (a, b) undirected pairs; ids must be non-null
     * @param nodes (id) — every node that must appear in the output,
     *              edges or not
-    * @return (id, component) where component = min id reachable */
+    * @return (id, component) where component = min id reachable
+    * @throws IllegalStateException if the label propagation has not
+    *         reached its fixpoint within `maxIter` rounds (graph
+    *         diameter exceeds the bound) — a silently-split component
+    *         would let duplicates survive dedup, so partial results
+    *         never escape; raise `maxIter` for long-chain graphs */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 25): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
@@ -35,8 +48,9 @@ object Components {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("component"))
+    var checkpointed = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint()
+    var labels = checkpointed
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -50,9 +64,21 @@ object Components {
           (col("nmin") < col("component")).as("changed"))
         .localCheckpoint()
       converged = next.filter(col("changed")).limit(1).isEmpty
+      // The new checkpoint supersedes the old one — free its blocks
+      // now instead of waiting for the ContextCleaner's GC cycle
+      // (GraphX's Pregel loop unpersists the same way).
+      freeCheckpoint(checkpointed)
+      checkpointed = next
       labels = next.select("id", "component")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — graph " +
+          "diameter exceeds the bound; raise maxIter")
+    // The final labels read from the last checkpoint only (truncated
+    // lineage), so the edge list's blocks can go too.
+    freeCheckpoint(sym)
     labels
   }
 

@@ -124,18 +124,25 @@ object Corpus {
   def vocabDf(spark: SparkSession, dir: String): DataFrame =
     vocabDfOf(Tables.documents(spark, dir))
 
+  /** (doc_id, partitionCol, rn, cnt): documents ranked within each
+    * partition by (md5(text), doc_id) — the content-keyed order that
+    * is reproducible across runs, engines, and cluster sizes (unlike
+    * `sample()`). The single rank both samplers share, so a change to
+    * the content key can't silently diverge between them. */
+  private def contentRanked(docs: DataFrame, partitionCol: String): DataFrame = {
+    val byHash = Window.partitionBy(partitionCol).orderBy(col("h"), col("doc_id"))
+    val whole = Window.partitionBy(partitionCol)
+    docs.select(col("doc_id"), col(partitionCol), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(byHash))
+      .withColumn("cnt", count(lit(1)).over(whole))
+  }
+
   /** Deterministic stratified sample: within each language stratum,
-    * rank documents by (md5(text), doc_id) — a content-keyed shuffle
-    * order that is reproducible across runs, engines, and cluster
-    * sizes, unlike `sample()` — and keep ceil(count/denom) of them.
+    * keep the first ceil(count/denom) of the content-keyed rank.
     * Integer ceil-division avoids float fraction math entirely. */
   def stratifiedSampleOf(docs: DataFrame, denom: Int = 5): DataFrame = {
     require(denom > 0, s"denom must be positive, got $denom")
-    val byHash = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-    val whole = Window.partitionBy("lang")
-    docs.select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
-      .withColumn("rn", row_number().over(byHash))
-      .withColumn("cnt", count(lit(1)).over(whole))
+    contentRanked(docs, "lang")
       .filter(col("rn") <= expr(s"(cnt + ${denom - 1}) div $denom"))
       .select(col("doc_id"), col("lang"), col("rn"))
       .orderBy("lang", "rn")
@@ -226,11 +233,10 @@ object Corpus {
   /** Weighted corpus mixing: per-source keep fractions (curated
     * sources oversampled relative to bulk crawl — the data-mixture
     * knob every pretraining run tunes). Deterministic: within each
-    * source, documents rank by (md5(text), doc_id) — the same
-    * content-keyed order as [[stratifiedSampleOf]] — and the top
-    * ceil(frac·count) survive, so the mixture is reproducible across
-    * runs, engines, and partitionings. One window over the source key
-    * (= shard key), one map-side filter. */
+    * source, documents take the shared [[contentRanked]] order and
+    * the top ceil(frac·count) survive, so the mixture is reproducible
+    * across runs, engines, and partitionings. One window over the
+    * source key (= shard key), one map-side filter. */
   def mixSourcesOf(docs: DataFrame, weights: Map[String, Double],
                    defaultFrac: Double): DataFrame = {
     require((weights.values.toSeq :+ defaultFrac).forall(f => f >= 0 && f <= 1),
@@ -238,11 +244,7 @@ object Corpus {
     val frac = weights.foldLeft(lit(defaultFrac)) { case (acc, (src, f)) =>
       when(col("source") === src, lit(f)).otherwise(acc)
     }
-    val bySource = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
-    val whole = Window.partitionBy("source")
-    docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
-      .withColumn("rn", row_number().over(bySource))
-      .withColumn("cnt", count(lit(1)).over(whole))
+    contentRanked(docs, "source")
       .withColumn("keep_n", ceil(frac * col("cnt")).cast("long"))
       .filter(col("rn") <= col("keep_n"))
       .select(col("doc_id"), col("source"), col("rn"))

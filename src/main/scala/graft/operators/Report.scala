@@ -189,7 +189,7 @@ object Report {
     * fixed-size KLL-family sketch per group that merges map-side, so
     * memory is O(sketch), not O(rows). accuracy=10000 → rank error
     * ≤ 0.01%. No DuckDB oracle (sketch internals are engine-specific);
-    * ReportSpecSpec asserts each estimate lands within the rank-error
+    * AlertsSpec asserts each estimate lands within the rank-error
     * band of the exact answer — the same check pattern as HLL (#37). */
   def earningsPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
