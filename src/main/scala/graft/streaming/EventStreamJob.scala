@@ -14,6 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object EventStreamJob {
 
+  /** Windowed distinct-user reach per event type: 1-hour tumbling
+    * windows, approx_count_distinct so the per-window state is a
+    * fixed-size HLL sketch (merged incrementally across micro-batches)
+    * instead of an unbounded seen-set — the only distinct-count shape
+    * that survives a 100 TB stream. rsd 2%, same as the batch twin
+    * (CtrAlerts.approxDistinctUsers). */
+  def windowedReach(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct("user_id", 0.02).as("approx_users"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("approx_users"))
+
   /** Windowed CTR per user: 1-hour tumbling event-time windows, 2-hour
     * watermark (late events beyond that are dropped and state is
     * reclaimed — unbounded state would OOM a 100 TB stream). */

@@ -73,6 +73,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("windowedReach counts distinct users per window with sketch state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val query = EventStreamJob.windowedReach(events).writeStream
+      .format("memory").queryName("reach_test").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("10:05"), 1L, "view"), (ts("10:10"), 1L, "view"), // dup user
+        (ts("10:20"), 2L, "view"), (ts("10:25"), 3L, "view"),
+        (ts("10:30"), 1L, "click"),
+        (ts("11:05"), 9L, "view"))
+      query.processAllAvailable()
+      // incremental sketch merge across micro-batches: user 4 arrives
+      // later in the same window
+      input.addData((ts("10:40"), 4L, "view"))
+      query.processAllAvailable()
+      val out = spark.table("reach_test")
+        .select(date_format(col("window_start"), "HH:mm").as("w"),
+          col("event_type"), col("approx_users"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // rsd 2% is exact at these cardinalities
+      assert(out(("10:00", "view")) == 4L, s"got $out")
+      assert(out(("10:00", "click")) == 1L)
+      assert(out(("11:00", "view")) == 1L)
+    } finally query.stop()
+  }
+
   test("StreamingSessionize closes sessions on the gap and finalizes at the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
