@@ -105,6 +105,25 @@ object SparkEntry {
       |           ELSE t END) AS s
       |       FROM toks)""".stripMargin
 
+  /** The quality-score expression shared by the quality_score,
+    * corpus_clean, and lang_quality_gate oracles — one copy, like
+    * [[ShingleSetsCte]]. Rounding is floor(x·1e4 + 0.5)/1e4 (matching
+    * TextF.round4HalfUp): pure IEEE ops agree across engines even when
+    * the score lands exactly on a half-way double, where built-in
+    * round()s diverge (three sf0.1 docs hit this). */
+  private val QualitySqlExpr: String =
+    """floor((
+      |      LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
+      |      (1.0 - ABS(
+      |        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                             t -> t IN ('the','a'))) AS DOUBLE) /
+      |        NULLIF(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.0)
+      |        - 0.15)) +
+      |      (1.0 - LEAST(
+      |        CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) /
+      |        NULLIF(CAST(length(text) AS DOUBLE), 0.0) * 10, 1.0))
+      |    ) / 3.0 * 1e4 + 0.5) / 1e4""".stripMargin
+
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
   // through integer micros (floor then int64 SUM), single final
   // divisions, explicit rounding before ranking.
@@ -323,18 +342,7 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin,
 
     "quality_score" ->
-      """SELECT doc_id,
-        |  ROUND((
-        |    LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
-        |    (1.0 - ABS(
-        |      CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |                           t -> t IN ('the','a'))) AS DOUBLE) /
-        |      NULLIF(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.0)
-        |      - 0.15)) +
-        |    (1.0 - LEAST(
-        |      CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) /
-        |      NULLIF(CAST(length(text) AS DOUBLE), 0.0) * 10, 1.0))
-        |  ) / 3.0, 4) AS quality
+      s"""SELECT doc_id, $QualitySqlExpr AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
@@ -393,19 +401,8 @@ object SparkEntry {
         |ORDER BY gid, app_name ASC NULLS FIRST, ad_unit_name ASC NULLS FIRST""".stripMargin,
 
     "corpus_clean" ->
-      """WITH scored AS (
-        |  SELECT doc_id, lang, n_chars,
-        |    ROUND((
-        |      LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
-        |      (1.0 - ABS(
-        |        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |                             t -> t IN ('the','a'))) AS DOUBLE) /
-        |        NULLIF(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.0)
-        |        - 0.15)) +
-        |      (1.0 - LEAST(
-        |        CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) /
-        |        NULLIF(CAST(length(text) AS DOUBLE), 0.0) * 10, 1.0))
-        |    ) / 3.0, 4) AS quality
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang, n_chars, $QualitySqlExpr AS quality
         |  FROM documents
         |  WHERE lang IN ('en','es','de','fr') AND n_chars BETWEEN 100 AND 500)
         |SELECT doc_id, lang, n_chars, quality FROM scored
@@ -649,21 +646,11 @@ object SparkEntry {
         |ORDER BY c12 DESC, lift DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "lang_quality_gate" ->
-      """WITH scored AS (
-        |  SELECT doc_id, lang,
-        |    ROUND((
-        |      LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
-        |      (1.0 - ABS(
-        |        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |                             t -> t IN ('the','a'))) AS DOUBLE) /
-        |        NULLIF(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.0)
-        |        - 0.15)) +
-        |      (1.0 - LEAST(
-        |        CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) /
-        |        NULLIF(CAST(length(text) AS DOUBLE), 0.0) * 10, 1.0))
-        |    ) / 3.0, 4) AS quality
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang, $QualitySqlExpr AS quality
         |  FROM documents),
-        |th AS (SELECT lang, ROUND(quantile_cont(quality, 0.75), 4) AS lang_p75
+        |th AS (SELECT lang,
+        |         floor(quantile_cont(quality, 0.75) * 1e4 + 0.5) / 1e4 AS lang_p75
         |       FROM scored GROUP BY lang)
         |SELECT s.doc_id, s.lang, s.quality, th.lang_p75
         |FROM scored s JOIN th USING (lang)

@@ -88,6 +88,16 @@ object TextF {
       nullif(size(toks).cast("double"), lit(0.0))
   }
 
+  /** round(x, 4) as floor(x·1e4 + 0.5)/1e4 — pure IEEE ops, identical
+    * on every engine. Built-in round()s disagree when x sits exactly
+    * on a half-way double: Spark's BigDecimal HALF_UP reads the full
+    * binary expansion (0.93625's nearest double is ...49999 → down)
+    * while DuckDB rounds the decimal rendering (→ up); at sf0.1 three
+    * documents' quality sums landed exactly on such points. Intended
+    * for non-negative scores. */
+  def round4HalfUp(c: Column): Column =
+    floor(c * lit(1e4) + lit(0.5)).cast("double") / lit(1e4)
+
   /** Heuristic quality score in [0,1]: favors mid-length docs with low
     * punctuation noise and a sane stopword ratio. Deterministic and
     * SQL-expressible (oracle-checkable). */
@@ -96,7 +106,7 @@ object TextF {
     val sw = stopwordRatio(text, stopwords)
     val swScore = lit(1.0) - abs(sw - lit(0.15))
     val punctScore = lit(1.0) - least(punctRatio(text) * 10, lit(1.0))
-    round((lenScore + swScore + punctScore) / 3.0, 4)
+    round4HalfUp((lenScore + swScore + punctScore) / 3.0)
   }
 
   /** Rolling polynomial fingerprint over tokens (left fold), kept inside

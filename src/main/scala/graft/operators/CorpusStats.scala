@@ -149,7 +149,7 @@ object CorpusStats {
     val scored = docs.select(col("doc_id"), col("lang"),
       TextF.qualityScore(col("text"), TextAnalysis.Stopwords).as("quality"))
     val thresholds = scored.groupBy("lang")
-      .agg(round(expr("percentile(quality, 0.75)"), 4).as("lang_p75"))
+      .agg(TextF.round4HalfUp(expr("percentile(quality, 0.75)")).as("lang_p75"))
     scored.join(broadcast(thresholds), "lang")
       .filter(col("quality") >= col("lang_p75"))
       .select("doc_id", "lang", "quality", "lang_p75")
