@@ -82,7 +82,10 @@ object SparkEntry {
     "dedup_components"  -> (Components.dedupComponents(_, _)),
     "mix_sources"       -> (Corpus.mixSources(_, _)),
     // rows-only: sketch internals are engine-specific (cf. #37 HLL)
-    "earnings_percentiles_approx" -> (Report.earningsPercentilesApprox(_, _))
+    "earnings_percentiles_approx" -> (Report.earningsPercentilesApprox(_, _)),
+    "key_skew"          -> (Skew.keySkew(_, _)),
+    // rows-only: MinHash banding is not SQL-expressible (cf. #16)
+    "dedup_incremental" -> (Dedup.dedupIncremental(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -740,6 +743,41 @@ object SparkEntry {
         |  SELECT e.a AS node, r.lbl FROM e JOIN r ON r.node = e.b)
         |SELECT node AS doc_id, MIN(lbl) AS component FROM r
         |GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Heaviest key = ORDER BY n DESC, key DESC LIMIT 1 — exactly what
+    // Spark's max(struct(n, key)) picks; ratios use the floor-form
+    // rounding policy.
+    "key_skew" ->
+      """WITH ku AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
+        |            FROM events GROUP BY user_id),
+        |u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |        CAST(SUM(n) AS BIGINT) AS n_rows,
+        |        CAST(MAX(n) AS BIGINT) AS max_rows FROM ku),
+        |uh AS (SELECT key FROM ku ORDER BY n DESC, key DESC LIMIT 1),
+        |ke AS (SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM events GROUP BY event_type),
+        |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |        CAST(SUM(n) AS BIGINT) AS n_rows,
+        |        CAST(MAX(n) AS BIGINT) AS max_rows FROM ke),
+        |eh AS (SELECT key FROM ke ORDER BY n DESC, key DESC LIMIT 1)
+        |SELECT 'user_id' AS key_col, u.n_keys, u.n_rows, u.max_rows,
+        |  CAST(uh.key AS VARCHAR) AS heaviest_key,
+        |  floor(CAST(u.max_rows AS DOUBLE) / CAST(u.n_rows AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS top_share,
+        |  floor(CAST(u.max_rows AS DOUBLE) /
+        |    (CAST(u.n_rows AS DOUBLE) / CAST(u.n_keys AS DOUBLE))
+        |    * 1e4 + 0.5) / 1e4 AS skew_factor
+        |FROM u, uh
+        |UNION ALL
+        |SELECT 'event_type', e.n_keys, e.n_rows, e.max_rows,
+        |  CAST(eh.key AS VARCHAR),
+        |  floor(CAST(e.max_rows AS DOUBLE) / CAST(e.n_rows AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6,
+        |  floor(CAST(e.max_rows AS DOUBLE) /
+        |    (CAST(e.n_rows AS DOUBLE) / CAST(e.n_keys AS DOUBLE))
+        |    * 1e4 + 0.5) / 1e4
+        |FROM e, eh
+        |ORDER BY key_col""".stripMargin,
 
     // Same ceil(frac·cnt) double math, same parenthesization → same
     // IEEE result both engines; ranks are content-keyed md5 order.

@@ -211,6 +211,41 @@ object Dedup {
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     jaccardPairsOf(Tables.documents(spark, dir), threshold)
 
+  /** Incremental (batch-vs-corpus) near-dup — the daily-ingest shape:
+    * band only the new batch and probe the standing corpus's banded
+    * index; no batch×batch or corpus×corpus comparison happens here
+    * (the steady-state corpus was dedup'd when ITS docs arrived). Per
+    * new doc: the minimum colliding corpus doc and how many of its
+    * bands collide (more shared bands ⇒ higher similarity); docs with
+    * no collision keep a NULL dup_of and enter the corpus clean.
+    * Bipartite join on (band, band_hash) only — at 100 TB the corpus
+    * side is a pre-materialized banded index bucketed on those keys,
+    * so the daily increment shuffles and the index does not. */
+  def dedupIncrementalOf(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val corpusBands = bandedSignaturesOf(corpus)
+      .select(col("band"), col("band_hash"), col("doc_id").as("corpus_id"))
+    val hits = bandedSignaturesOf(batch)
+      .join(corpusBands, Seq("band", "band_hash"))
+      .groupBy("doc_id")
+      .agg(min("corpus_id").as("dup_of"),
+        countDistinct("band").as("n_shared_bands"))
+    batch.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_shared_bands"), lit(0L)).as("n_shared_bands"))
+      .orderBy("doc_id")
+  }
+
+  /** [[dedupIncrementalOf]] with the `benchSource` slice as the new
+    * batch and the rest as the standing corpus. Rows-only check
+    * (MinHash banding is not SQL-expressible) + DedupSpec coverage. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dedupIncrementalOf(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens. Typed Dataset map: map-only

@@ -31,6 +31,41 @@ object Skew {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Key-distribution diagnostics: the numbers an operator AUTHOR
+    * reads before choosing between a plain join, AQE skew handling,
+    * and explicit salting. Per key-column: cardinality, total rows,
+    * the heaviest key and its share, and the skew factor
+    * max/mean — a factor near 1 is uniform; 10+ means the heaviest
+    * key's reducer does 10× the average work. Two-level aggregate
+    * (map-side combinable), no collect. */
+  def keySkewOf(df: DataFrame, keyCol: String): DataFrame = {
+    val perKey = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum("n").as("n_rows"),
+      max("n").as("max_rows"),
+      max(struct(col("n"), col("key"))).as("top"))
+      .select(
+        lit(keyCol).as("key_col"),
+        col("n_keys"), col("n_rows"), col("max_rows"),
+        col("top.key").cast("string").as("heaviest_key"),
+        // floor-form rounding (cf. TextF.round4HalfUp): engine-agnostic
+        // at half-way doubles, the policy for new oracle-checked scores
+        (floor(col("max_rows").cast("double") / col("n_rows").cast("double")
+          * 1e6 + 0.5).cast("double") / 1e6).as("top_share"),
+        (floor(col("max_rows").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double"))
+          * 1e4 + 0.5).cast("double") / 1e4).as("skew_factor"))
+  }
+
+  /** Skew report over the `events` table's natural keys. */
+  def keySkew(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    keySkewOf(graft.sources.Tables.events(spark, dir), "user_id")
+      .unionByName(keySkewOf(
+        graft.sources.Tables.events(spark, dir), "event_type"))
+      .orderBy("key_col")
+
   /** Two-phase (partial → final) aggregation for skewed group keys:
     * aggregate on (key, salt) first so every reducer sees at most
     * 1/salts of a hot key's rows, then combine the partials. `aggs`

@@ -216,6 +216,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dedupIncremental flags batch docs colliding with the corpus, not with each other") {
+    val corpus = docsDf(
+      1L -> "spark is a unified analytics engine for large scale data",
+      2L -> "completely different content about cooking pasta al dente tonight")
+    val batch = docsDf(
+      10L -> "spark is a unified analytics engine for large scale data", // dup of 1
+      11L -> "fresh unseen prose with brand new vocabulary entirely",
+      // 12 and 13 duplicate EACH OTHER but nothing in the corpus —
+      // incremental dedup must leave both clean (batch-internal dedup
+      // is the regular pass's job)
+      12L -> "twin texts inside one batch only matching themselves here",
+      13L -> "twin texts inside one batch only matching themselves here")
+    val out = Dedup.dedupIncrementalOf(corpus, batch).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2))).toMap
+    assert(out(10L)._1.contains(1L) && out(10L)._2 > 0L, s"got $out")
+    assert(out(11L) == ((None, 0L)))
+    assert(out(12L) == ((None, 0L)) && out(13L) == ((None, 0L)),
+      "batch-internal twins must not flag each other")
+  }
+
   test("dedupExact groups byte-identical docs over the real table") {
     val out = Dedup.dedupExact(spark, Sf)
     val rows = out.collect()
