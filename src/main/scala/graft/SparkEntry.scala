@@ -83,6 +83,7 @@ object SparkEntry {
     "mix_sources"       -> (Corpus.mixSources(_, _)),
     // rows-only: sketch internals are engine-specific (cf. #37 HLL)
     "earnings_percentiles_approx" -> (Report.earningsPercentilesApprox(_, _)),
+    // oracle-checked (see oracleSql)
     "key_skew"          -> (Skew.keySkew(_, _)),
     // rows-only: MinHash banding is not SQL-expressible (cf. #16)
     "dedup_incremental" -> (Dedup.dedupIncremental(_, _))

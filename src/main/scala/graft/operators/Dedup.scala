@@ -222,13 +222,22 @@ object Dedup {
     * side is a pre-materialized banded index bucketed on those keys,
     * so the daily increment shuffles and the index does not. */
   def dedupIncrementalOf(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val corpusBands = bandedSignaturesOf(corpus)
       .select(col("band"), col("band_hash"), col("doc_id").as("corpus_id"))
-    val hits = bandedSignaturesOf(batch)
+    // Band count PER (batch doc, corpus doc) pair, then keep the
+    // strongest pair — counting collisions against ANY corpus doc
+    // would overstate similarity to the one doc reported as dup_of.
+    val perPair = bandedSignaturesOf(batch)
       .join(corpusBands, Seq("band", "band_hash"))
-      .groupBy("doc_id")
-      .agg(min("corpus_id").as("dup_of"),
-        countDistinct("band").as("n_shared_bands"))
+      .groupBy("doc_id", "corpus_id")
+      .agg(countDistinct("band").as("n_shared_bands"))
+    val best = Window.partitionBy("doc_id")
+      .orderBy(col("n_shared_bands").desc, col("corpus_id"))
+    val hits = perPair
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("corpus_id").as("dup_of"), col("n_shared_bands"))
     batch.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
@@ -237,13 +246,16 @@ object Dedup {
   }
 
   /** [[dedupIncrementalOf]] with the `benchSource` slice as the new
-    * batch and the rest as the standing corpus. Rows-only check
-    * (MinHash banding is not SQL-expressible) + DedupSpec coverage. */
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    * batch and the rest as the standing corpus (one source of truth
+    * with [[Corpus.decontaminateOf]]'s parameter of the same name).
+    * Rows-only check (MinHash banding is not SQL-expressible) +
+    * DedupSpec coverage. */
+  def dedupIncremental(spark: SparkSession, dir: String,
+                       benchSource: String = "src0"): DataFrame = {
     val docs = Tables.documents(spark, dir)
     dedupIncrementalOf(
-      docs.filter(col("source") =!= "src0"),
-      docs.filter(col("source") === "src0"))
+      docs.filter(col("source") =!= benchSource),
+      docs.filter(col("source") === benchSource))
   }
 
   // ---- SimHash ----------------------------------------------------------

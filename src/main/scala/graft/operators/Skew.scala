@@ -41,6 +41,8 @@ object Skew {
   def keySkewOf(df: DataFrame, keyCol: String): DataFrame = {
     val perKey = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))
+    // Empty input → ZERO rows (matching the oracle's empty LIMIT-1
+    // cross join), not one all-NULL row from the global agg.
     perKey.agg(
       count(lit(1)).as("n_keys"),
       sum("n").as("n_rows"),
@@ -57,6 +59,7 @@ object Skew {
         (floor(col("max_rows").cast("double") /
           (col("n_rows").cast("double") / col("n_keys").cast("double"))
           * 1e4 + 0.5).cast("double") / 1e4).as("skew_factor"))
+      .filter(col("n_keys") > 0)
   }
 
   /** Skew report over the `events` table's natural keys. */

@@ -237,6 +237,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       "batch-internal twins must not flag each other")
   }
 
+  test("dedupIncremental reports the band count of the REPORTED pair, not of all collisions") {
+    // Batch doc 20 is byte-identical to corpus doc 1 (all 16 bands
+    // collide) and unrelated to corpus doc 2 — dup_of must be 1 with
+    // the full band count, even though doc 2 contributes nothing.
+    val corpus = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "nothing in common with the batch documents at all today")
+    val batch = docsDf(
+      20L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val Array(row) = Dedup.dedupIncrementalOf(corpus, batch).collect()
+    assert(row.getLong(1) == 1L)
+    assert(row.getLong(2) == Dedup.Bands.toLong,
+      s"identical doc must share every band with its dup_of: $row")
+  }
+
   test("dedupExact groups byte-identical docs over the real table") {
     val out = Dedup.dedupExact(spark, Sf)
     val rows = out.collect()

@@ -45,6 +45,19 @@ class ScaleInfraSpec extends AnyFunSuite with SparkFixture {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("keySkewOf measures the hot key and emits nothing on empty input") {
+    import spark.implicits._
+    // 10 rows of key 7, one row each of keys 1..5 → max=10, mean=2.5
+    val df = (Seq.fill(10)(7L) ++ (1L to 5L)).toDF("k")
+    val Array(row) = graft.operators.Skew.keySkewOf(df, "k").collect()
+    assert(row.getLong(1) == 6L && row.getLong(2) == 15L && row.getLong(3) == 10L)
+    assert(row.getString(4) == "7")
+    assert(row.getDouble(6) == 4.0, s"skew factor 10/(15/6): $row")
+    // empty input → zero rows, matching the oracle's shape
+    assert(graft.operators.Skew.keySkewOf(
+      Seq.empty[Long].toDF("k"), "k").collect().isEmpty)
+  }
+
   test("saltedSumCount equals the direct aggregation") {
     val df = ((1 to 500).map(_ => ("hot", 1.5)) ++ Seq(("cold", 2.0), ("cold", 3.0)))
       .toDF("key", "v")
