@@ -1,0 +1,83 @@
+package graft
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.plans.{NormalizeText, ShingleHashes, SortedIntersectSize}
+
+/** Property coverage for the pure (no-session) kernels behind the
+  * native expressions — scalacheck generates the adversarial inputs
+  * the hand-written specs don't think of. Runs scalacheck directly
+  * (no scalatest bridge dependency): a failed property reports its
+  * shrunk counterexample through the assertion message.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 60)
+    chars <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', ' ', '\t', '\n'),
+      1 -> Gen.oneOf('É', 'é', 'Ü', 'ß', 'Ω', '中', '!')))
+  } yield chars.mkString
+
+  test("NormalizeText.normalize is idempotent and casefold-stable") {
+    check("idempotent", Prop.forAll(textGen) { s =>
+      val once = NormalizeText.normalize(s)
+      NormalizeText.normalize(once) == once
+    })
+    // NFD and NFC encodings of the same text normalize identically
+    check("form-invariant", Prop.forAll(textGen) { s =>
+      val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
+      NormalizeText.normalize(nfd) == NormalizeText.normalize(s)
+    })
+  }
+
+  test("SortedIntersectSize.merge equals set intersection on sorted distinct arrays") {
+    val setGen = Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+    check("merge", Prop.forAll(setGen, setGen) { (a, b) =>
+      val got = SortedIntersectSize(null, null)
+        .merge(new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      got == a.toSet.intersect(b.toSet).size
+    })
+  }
+
+  test("ShingleHashes matches a reference tokenizer on count and strictness") {
+    val expr = ShingleHashes(null, 3, Dedup.P)
+    val strict = ShingleHashes(null, 3, Dedup.P, strict = true)
+    def toks(s: String): Seq[String] =
+      s.split("[ \t\n\r\f]+").filter(_.nonEmpty).toSeq
+    check("distinct-count", Prop.forAll(textGen) { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val t = toks(s)
+      val expected =
+        if (t.isEmpty) 1 // hash of the empty string
+        else if (t.length < 3) t.distinct.length
+        else t.sliding(3).map(_.mkString(" ")).toSeq.distinct.length
+      expr.shingleHash(u).numElements() == expected
+    })
+    check("strict-short-docs", Prop.forAll(textGen) { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val n = strict.shingleHash(u).numElements()
+      if (toks(s).length < 3) n == 0 else n > 0
+    })
+  }
+
+  test("simhashOf is permutation-invariant (bag-of-tokens semantics)") {
+    val tokensGen = Gen.listOf(Gen.identifier.map(_.take(6))).map(_.toArray)
+    check("permutation", Prop.forAll(tokensGen, Gen.long) { (ts, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(ts.toSeq).toArray
+      Dedup.simhashOf(ts) == Dedup.simhashOf(shuffled)
+    })
+  }
+}
