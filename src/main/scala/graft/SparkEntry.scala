@@ -85,6 +85,7 @@ object SparkEntry {
     "earnings_percentiles_approx" -> (Report.earningsPercentilesApprox(_, _)),
     // oracle-checked (see oracleSql)
     "key_skew"          -> (Skew.keySkew(_, _)),
+    "value_histogram"   -> (Report.valueHistogram(_, _)),
     // rows-only: MinHash banding is not SQL-expressible (cf. #16)
     "dedup_incremental" -> (Dedup.dedupIncremental(_, _))
   )
@@ -744,6 +745,23 @@ object SparkEntry {
         |  SELECT e.a AS node, r.lbl FROM e JOIN r ON r.node = e.b)
         |SELECT node AS doc_id, MIN(lbl) AS component FROM r
         |GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Bin + bound math is plain IEEE both engines; the per-bin value
+    // sum is a 1e-4-quantized INTEGER sum (order-independent).
+    "value_histogram" ->
+      """WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+        |binned AS (
+        |  SELECT CASE WHEN mx > mn
+        |           THEN CAST(LEAST(floor((value - mn) / ((mx - mn) / 20)), 19) AS BIGINT)
+        |           ELSE 0 END AS bucket,
+        |         value, mn, mx
+        |  FROM events, b)
+        |SELECT bucket,
+        |  floor((mn + bucket * ((mx - mn) / 20)) * 1e6 + 0.5) / 1e6 AS bucket_lo,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4
+        |    AS total_value
+        |FROM binned GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin,
 
     // Heaviest key = ORDER BY n DESC, key DESC LIMIT 1 — exactly what
     // Spark's max(struct(n, key)) picks; ratios use the floor-form

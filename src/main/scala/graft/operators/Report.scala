@@ -205,6 +205,39 @@ object Report {
         col("line_count"))
       .orderBy("l_returnflag")
 
+  /** Equal-width value histogram — the distribution plot behind every
+    * metrics dashboard. Two passes: a 1-row (min, max) aggregate
+    * broadcasts, then binning is pure map-side math and the per-bin
+    * aggregate combines map-side; bins are clamped so the max value
+    * lands in the last bin rather than a phantom one. Bin math is
+    * plain IEEE (identical both engines); bounds round via the
+    * floor-form policy. */
+  def valueHistogram(spark: SparkSession, dir: String,
+                     bins: Int = 20): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val ev = Tables.events(spark, dir).select(col("value"))
+    val bounds = ev.agg(min("value").as("mn"), max("value").as("mx"))
+    val width = (col("mx") - col("mn")) / bins
+    val bucket = when(col("mx") > col("mn"),
+      least(floor((col("value") - col("mn")) / width), lit(bins - 1L)))
+      .otherwise(lit(0L))
+    ev.crossJoin(broadcast(bounds)) // 1 row by construction
+      .select(bucket.cast("long").as("bucket"),
+        col("value"), col("mn"), col("mx"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        // 1e-4-quantized integer sum: independent of partition/
+        // summation order on every engine (a float SUM is not)
+        (sum(floor(col("value") * 1e4 + 0.5).cast("long")).cast("double") / 1e4)
+          .as("total_value"),
+        first("mn").as("mn"), first("mx").as("mx"))
+      .select(col("bucket"),
+        (floor((col("mn") + col("bucket") * ((col("mx") - col("mn")) / bins))
+          * 1e6 + 0.5).cast("double") / 1e6).as("bucket_lo"),
+        col("n"), col("total_value"))
+      .orderBy("bucket")
+  }
+
   /** Running/moving window aggregates over event time (generic OLAP
     * surface a report consumer needs). */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {

@@ -27,6 +27,20 @@ class AlertsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("value histogram partitions every row into clamped equal-width bins") {
+    import graft.operators.Report
+    val rows = Report.valueHistogram(spark, Sf).collect()
+    val total = Tables.events(spark, Sf).count()
+    assert(rows.map(_.getLong(2)).sum == total,
+      "bin counts must partition the table")
+    val buckets = rows.map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 20), s"buckets clamped to [0,20): ${buckets.toSeq}")
+    assert(buckets.distinct.length == buckets.length)
+    // bucket_lo is monotone in bucket
+    val los = rows.sortBy(_.getLong(0)).map(_.getDouble(1))
+    assert(los.zip(los.drop(1)).forall { case (a, b) => a < b })
+  }
+
   test("approx_count_distinct estimate lands within 5% of exact per group") {
     val approx = CtrAlerts.approxDistinctUsers(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
