@@ -86,6 +86,7 @@ object SparkEntry {
     // oracle-checked (see oracleSql)
     "key_skew"          -> (Skew.keySkew(_, _)),
     "value_histogram"   -> (Report.valueHistogram(_, _)),
+    "daily_fill"        -> (EventAnalytics.dailyFill(_, _)),
     // rows-only: MinHash banding is not SQL-expressible (cf. #16)
     "dedup_incremental" -> (Dedup.dedupIncremental(_, _))
   )
@@ -745,6 +746,30 @@ object SparkEntry {
         |  SELECT e.a AS node, r.lbl FROM e JOIN r ON r.node = e.b)
         |SELECT node AS doc_id, MIN(lbl) AS component FROM r
         |GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Grid = per-user day span exploded; forward fill via
+    // last_value IGNORE NULLS over the same user/day order; daily
+    // totals are 1e-4-quantized integer sums (order-independent).
+    "daily_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4
+        |      AS day_total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY user_id, ts::DATE),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |         FROM daily GROUP BY user_id),
+        |g0 AS (SELECT user_id, d0, unnest(generate_series(0, d1 - d0)) AS i
+        |       FROM span),
+        |grid AS (SELECT user_id, d0 + CAST(i AS INTEGER) AS day FROM g0)
+        |SELECT g.user_id, g.day,
+        |  last_value(d.day_total IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_total,
+        |  COALESCE(d.n_events, 0) AS n_events,
+        |  d.day_total IS NOT NULL AS is_observed
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
 
     // Bin + bound math is plain IEEE both engines; the per-bin value
     // sum is a 1e-4-quantized INTEGER sum (order-independent).

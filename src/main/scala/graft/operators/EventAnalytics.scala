@@ -129,4 +129,43 @@ object EventAnalytics {
     val events = Tables.events(spark, dir)
     intervalJoinOf(events, campaignWindows(events))
   }
+
+  /** Calendar gap-fill (resample + forward fill): per user, one row
+    * per day across the user's [first, last] active span, with days
+    * that saw no events carrying the previous day's total forward —
+    * the densification step before any day-over-day comparison.
+    *
+    * Scale design: the grid explode is per-user and bounded by the
+    * span length; the daily aggregate and the forward-fill window
+    * both partition on user_id, so the whole query shares one
+    * user-keyed shuffle. Daily totals sum 1e-4-quantized integers
+    * (order-independent, cross-engine — the library's float-sum
+    * policy). */
+  def dailyFillOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e4 + 0.5).cast("long").as("qv"))
+      .groupBy("user_id", "day")
+      .agg((sum("qv").cast("double") / 1e4).as("day_total"),
+        count(lit(1)).as("n_events"))
+    val grid = daily
+      .groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(lit(0),
+          datediff(col("d1"), col("d0")))).as("i"),
+        col("d0"))
+      .select(col("user_id"), expr("date_add(d0, i)").as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last("day_total", ignoreNulls = true).over(w).as("day_total"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("day_total").isNotNull.as("is_observed"))
+      .orderBy("user_id", "day")
+  }
+
+  def dailyFill(spark: SparkSession, dir: String): DataFrame =
+    dailyFillOf(Tables.events(spark, dir))
 }

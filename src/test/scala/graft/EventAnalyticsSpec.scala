@@ -13,6 +13,27 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     rows.toDF("event_id", "user_id", "s")
       .select(col("event_id"), col("user_id"), to_timestamp(col("s")).as("ts"))
 
+  test("dailyFill densifies missing days with the previous total and flags them") {
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 10:00:00", 2.5),
+      (2L, 10L, "2026-01-01 11:00:00", 1.5), // day 1 total 4.0
+      // Jan 2 missing entirely
+      (3L, 10L, "2026-01-03 09:00:00", 7.0),
+      (4L, 77L, "2026-01-05 09:00:00", 1.0)) // single-day user
+      .toDF("event_id", "user_id", "s", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("s")).as("ts"), col("value"))
+    val out = EventAnalytics.dailyFillOf(ev).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out((10L, "2026-01-01")) == ((4.0, 2L, true)))
+    assert(out((10L, "2026-01-02")) == ((4.0, 0L, false)),
+      "the silent day must carry Jan 1's total forward, flagged unobserved")
+    assert(out((10L, "2026-01-03")) == ((7.0, 1L, true)))
+    assert(out((77L, "2026-01-05")) == ((1.0, 1L, true)))
+    assert(out.size == 4, s"grid spans exactly each user's active range: $out")
+  }
+
   test("sessionize: a gap of exactly gapMinutes stays in-session; one more second splits") {
     val ev = eventsDf(
       (1L, 7L, "2026-01-01 00:00:00"),
