@@ -136,11 +136,12 @@ object EventAnalytics {
     * the densification step before any day-over-day comparison.
     *
     * Scale design: the grid explode is per-user and bounded by the
-    * span length; the daily aggregate and the forward-fill window
-    * both partition on user_id, so the whole query shares one
-    * user-keyed shuffle. Daily totals sum 1e-4-quantized integers
-    * (order-independent, cross-engine — the library's float-sum
-    * policy). */
+    * span length. Shuffles: (user, day) for the daily aggregate, then
+    * user-keyed exchanges for the span aggregate / grid join / fill
+    * window (which share their partitioning), plus the presentation
+    * sort — every one keyed on the shard key, none global. Daily
+    * totals sum 1e-4-quantized integers (order-independent,
+    * cross-engine — the library's float-sum policy). */
   def dailyFillOf(events: DataFrame): DataFrame = {
     val daily = events
       .select(col("user_id"), to_date(col("ts")).as("day"),

@@ -213,9 +213,15 @@ object Report {
     * plain IEEE (identical both engines); bounds round via the
     * floor-form policy. */
   def valueHistogram(spark: SparkSession, dir: String,
-                     bins: Int = 20): DataFrame = {
+                     bins: Int = 20): DataFrame =
+    valueHistogramOf(Tables.events(spark, dir).select(col("value")), bins)
+
+  /** See [[valueHistogram]]; operates on any 1-column (value) frame.
+    * The registered query / DuckDB oracle pins the DEFAULT bin count;
+    * non-default widths are covered by AlertsSpec directly. */
+  def valueHistogramOf(values: DataFrame, bins: Int): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
-    val ev = Tables.events(spark, dir).select(col("value"))
+    val ev = values.select(col("value"))
     val bounds = ev.agg(min("value").as("mn"), max("value").as("mx"))
     val width = (col("mx") - col("mn")) / bins
     val bucket = when(col("mx") > col("mn"),

@@ -41,6 +41,20 @@ class AlertsSpec extends AnyFunSuite with SparkFixture {
     assert(los.zip(los.drop(1)).forall { case (a, b) => a < b })
   }
 
+  test("value histogram honors a non-default bin count (incl. the max-value clamp)") {
+    import spark.implicits._
+    // values 0..6 over 7 bins of width 6/7: value 6 must clamp into
+    // bin 6, one value per bin
+    val out = graft.operators.Report.valueHistogramOf(
+      (0 to 6).map(_.toDouble).toDF("value"), bins = 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == (0L to 6L).map(_ -> 1L).toMap, s"got $out")
+    // degenerate single-value input → everything in bin 0
+    val deg = graft.operators.Report.valueHistogramOf(
+      Seq(3.0, 3.0, 3.0).toDF("value"), bins = 5).collect()
+    assert(deg.length == 1 && deg.head.getLong(0) == 0L && deg.head.getLong(2) == 3L)
+  }
+
   test("approx_count_distinct estimate lands within 5% of exact per group") {
     val approx = CtrAlerts.approxDistinctUsers(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -57,14 +57,23 @@ class KernelPropertySpec extends AnyFunSuite {
     val strict = ShingleHashes(null, 3, Dedup.P, strict = true)
     def toks(s: String): Seq[String] =
       s.split("[ \t\n\r\f]+").filter(_.nonEmpty).toSeq
+    // Reference applies the SAME hash-then-mod before counting, so a
+    // (rare) residue collision mod P can't fail the property spuriously.
+    def refHash(shingle: String): Long = {
+      val b = shingle.getBytes("UTF-8")
+      java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L),
+        Dedup.P)
+    }
     check("distinct-count", Prop.forAll(textGen) { s =>
       val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
       val t = toks(s)
-      val expected =
-        if (t.isEmpty) 1 // hash of the empty string
-        else if (t.length < 3) t.distinct.length
-        else t.sliding(3).map(_.mkString(" ")).toSeq.distinct.length
-      expr.shingleHash(u).numElements() == expected
+      val shingles =
+        if (t.isEmpty) Seq("") // hash of the empty string
+        else if (t.length < 3) t
+        else t.sliding(3).map(_.mkString(" ")).toSeq
+      expr.shingleHash(u).toLongArray().toSet == shingles.map(refHash).toSet
     })
     check("strict-short-docs", Prop.forAll(textGen) { s =>
       val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
