@@ -88,7 +88,20 @@ object SparkEntry {
     "value_histogram"   -> (Report.valueHistogram(_, _)),
     "daily_fill"        -> (EventAnalytics.dailyFill(_, _)),
     // rows-only: MinHash banding is not SQL-expressible (cf. #16)
-    "dedup_incremental" -> (Dedup.dedupIncremental(_, _))
+    "dedup_incremental" -> (Dedup.dedupIncremental(_, _)),
+    // Round-7 tranche: behavioral analytics, robust statistics,
+    // boilerplate spans, sketch-confirmed heavy hitters, 1-bit ANN
+    // (#73-82)
+    "funnel_steps"      -> (Behavior.funnelSteps(_, _)),
+    "cohort_retention"  -> (Behavior.cohortRetention(_, _)),
+    "pivot_report"      -> (Behavior.pivotReport(_, _)),
+    "mad_outliers"      -> (Robust.madOutliers(_, _)),
+    "value_deciles"     -> (Robust.valueDeciles(_, _)),
+    "winsorize"         -> (Robust.winsorize(_, _)),
+    "profile_columns"   -> (Robust.profileColumns(_, _)),
+    "boilerplate_stats" -> (Corpus.boilerplateStats(_, _)),
+    "heavy_hitters"     -> (HeavyHitters.heavyHitters(_, _)),
+    "ann_hamming"       -> (Similarity.annHamming(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -837,6 +850,167 @@ object SparkEntry {
         |      FROM r)
         |SELECT doc_id, source, rn FROM f
         |WHERE rn <= CAST(ceil(frac * cnt) AS BIGINT)
-        |ORDER BY source, rn""".stripMargin
+        |ORDER BY source, rn""".stripMargin,
+
+    // Ordered-step funnel: each step's min-time is strictly after the
+    // previous step's; conv_pct uses the floor-form rounding so the
+    // halfway double rounds identically in both engines.
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e
+        |      JOIN v ON e.user_id = v.user_id AND e.us > v.t1
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e
+        |      JOIN c ON e.user_id = c.user_id AND e.us > c.t2
+        |      WHERE e.event_type = 'purchase' GROUP BY 1),
+        |s AS (SELECT 'view' AS step, 1 AS ord,
+        |        (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS users
+        |      UNION ALL SELECT 'click', 2, (SELECT COUNT(*) FROM c)
+        |      UNION ALL SELECT 'purchase', 3, (SELECT COUNT(*) FROM p))
+        |SELECT step, ord, users,
+        |  floor(CAST(users AS DOUBLE) /
+        |    CAST((SELECT users FROM s WHERE ord = 1) AS DOUBLE)
+        |    * 100 * 100 + 0.5) / 100 AS conv_pct
+        |FROM s ORDER BY ord""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT f.cohort_day,
+        |  CAST(datediff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |WHERE datediff('day', f.cohort_day, a.day) BETWEEN 0 AND 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Wide day × event-type report; sums quantized to integer micros
+    // before aggregation so the totals are addition-order independent.
+    "pivot_report" ->
+      """WITH q AS (SELECT ts::DATE AS day, event_type,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv FROM events)
+        |SELECT day,
+        |  floor(CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN qv END), 0) AS DOUBLE) / 100 + 0.5) / 1e4 AS click,
+        |  floor(CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN qv END), 0) AS DOUBLE) / 100 + 0.5) / 1e4 AS "error",
+        |  floor(CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN qv END), 0) AS DOUBLE) / 100 + 0.5) / 1e4 AS purchase,
+        |  floor(CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN qv END), 0) AS DOUBLE) / 100 + 0.5) / 1e4 AS signup,
+        |  floor(CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN qv END), 0) AS DOUBLE) / 100 + 0.5) / 1e4 AS "view"
+        |FROM q GROUP BY day ORDER BY day""".stripMargin,
+
+    // Median/MAD are rounded to 4 dp (floor form) BEFORE the flag
+    // comparison; 1.4826 is cast to DOUBLE so both engines multiply
+    // the same binary64 constant (a bare DuckDB literal is DECIMAL).
+    "mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    floor(quantile_cont(value, 0.5) * 1e4 + 0.5) / 1e4 AS med
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.med
+        |      FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type,
+        |    floor(quantile_cont(abs(value - med), 0.5) * 1e4 + 0.5) / 1e4 AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  floor((d.value - d.med) / (CAST(1.4826 AS DOUBLE) * a.mad) * 1e4 + 0.5) / 1e4 AS robust_z
+        |FROM d JOIN mad a USING (event_type)
+        |WHERE a.mad > 0
+        |  AND abs(d.value - d.med) > 3 * CAST(1.4826 AS DOUBLE) * a.mad
+        |ORDER BY d.event_id""".stripMargin,
+
+    "value_deciles" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderpriority
+        |                    ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT o_orderpriority, decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Clip bounds rounded to 4 dp first (cross-engine identical), mean
+    // through an integer cent-quantized sum (order-independent).
+    "winsorize" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |    floor(quantile_cont(o_totalprice, 0.05) * 1e4 + 0.5) / 1e4 AS lo,
+        |    floor(quantile_cont(o_totalprice, 0.95) * 1e4 + 0.5) / 1e4 AS hi
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT o.o_orderpriority, o.o_totalprice, b.lo, b.hi,
+        |    least(greatest(o.o_totalprice, b.lo), b.hi) AS clipped
+        |  FROM orders o JOIN b USING (o_orderpriority))
+        |SELECT o_orderpriority, lo, hi, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |  floor(CAST(SUM(CAST(floor(clipped * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 100 * 1e4 + 0.5) / 1e4 AS avg_clipped
+        |FROM j GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "profile_columns" ->
+      """SELECT 'o_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+        |UNION ALL SELECT 'o_custkey', COUNT(*),
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |  COUNT(DISTINCT o_custkey) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', COUNT(*),
+        |  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |  COUNT(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL SELECT 'o_totalprice', COUNT(*),
+        |  SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+        |  COUNT(DISTINCT o_totalprice) FROM orders
+        |UNION ALL SELECT 'o_orderdate', COUNT(*),
+        |  SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+        |  COUNT(DISTINCT o_orderdate) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', COUNT(*),
+        |  SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+        |  COUNT(DISTINCT o_orderpriority) FROM orders
+        |ORDER BY column_name""".stripMargin,
+
+    // Same strict-8-gram construction as the decontaminate oracle
+    // (string grams; the Spark side matches on 63-bit xxhash64 values
+    // — collision odds are nil and the hash compare itself verifies).
+    "boilerplate_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(generate_series(1, len(t) - 7),
+        |          i -> array_to_string(t[i:i+7], ' ')))) AS gram
+        |      FROM toks WHERE len(t) >= 8),
+        |d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS df FROM g),
+        |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |        CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |      FROM d GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_dup,
+        |  floor(CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) * 1e4 + 0.5) / 1e4 AS dup_frac
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // The MG sketch is candidate pruning only; the deterministic output
+    // is "every token with cnt·k > N" — integer arithmetic, no division.
+    "heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |             FROM documents),
+        |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok)
+        |SELECT token, cnt FROM c, n WHERE cnt * 30 > total
+        |ORDER BY cnt DESC, token""".stripMargin,
+
+    // Sign-bit codes packed into two 32-bit halves (exact BIGINT
+    // arithmetic in both engines; a single 64-bit pack would overflow
+    // DOUBLE-safe integer range in list_sum).
+    "ann_hamming" ->
+      """WITH b AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 32),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT) AS h0,
+        |    CAST(list_sum(list_transform(generate_series(33, 64),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)) AS BIGINT) AS h1
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, h0 AS q0, h1 AS q1 FROM b WHERE vec_id < 8),
+        |s AS (SELECT q.q_id, b.vec_id AS n_id,
+        |    CAST(bit_count(xor(q.q0, b.h0)) + bit_count(xor(q.q1, b.h1)) AS INT) AS hamming
+        |  FROM q JOIN b ON q.q_id <> b.vec_id),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY hamming, n_id) AS INT) AS "rank" FROM s)
+        |SELECT q_id, n_id, hamming, "rank" FROM r WHERE "rank" <= 10
+        |ORDER BY q_id, "rank"""".stripMargin
   )
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** User-behavior analytics over the event stream: ordered-step funnel
+  * conversion, cohort retention, and a dimension-pivot report — the
+  * product-analytics surface downstream of the reference's flat daily
+  * reports (main.py:121-135 builds date×dimension reports; these
+  * operators answer the follow-up questions those reports feed).
+  *
+  * Scale design (100 TB): every operator here aggregates FIRST on
+  * user_id or day — the per-user/per-day frames that join afterwards
+  * are orders of magnitude smaller than the fact scan, and every join
+  * key matches the aggregation key, so AQE picks broadcast vs shuffle
+  * from observed sizes. No window function spans more than one user's
+  * events; no operator collects to the driver.
+  */
+object Behavior {
+
+  /** Ordered three-step funnel (view → click → purchase): a user
+    * converts step k only with an event STRICTLY after their step-k-1
+    * time. Per-step reach is computed with chained min-aggregates —
+    * each step's frame is keyed and shuffled on user_id and shrinks
+    * monotonically, so the chain is three small hash aggregates, not a
+    * per-user sort. Timestamps compare as exact integer microseconds.
+    */
+  def funnelStepsOf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = Seq(
+      ("view", 1, v), ("click", 2, c), ("purchase", 3, p))
+    val rows = counts.map { case (name, ord, df) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(name).as("step"), lit(ord).as("ord"), col("users"))
+    }.reduce(_.unionAll(_))
+    // conversion vs step 1; floor-form rounding (cf. TextF.round4HalfUp)
+    // so a halfway double rounds identically in every engine
+    val base = rows.filter(col("ord") === 1).select(col("users").as("base"))
+    rows.crossJoin(base)
+      .select(col("step"), col("ord"), col("users"),
+        (floor(col("users").cast("double") / col("base").cast("double") * 100 * 100 + 0.5) / 100)
+          .as("conv_pct"))
+      .orderBy("ord")
+  }
+
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    funnelStepsOf(Tables.events(spark, dir))
+
+  /** Cohort retention: users are cohorted by their first active day;
+    * for offsets 0..7 count how many of each cohort were active again
+    * exactly `offset` days later. Activity is de-duplicated to
+    * (user, day) BEFORE the join, so the joined frame is bounded by
+    * users × active-days, not by raw events.
+    */
+  def cohortRetentionOf(events: DataFrame, maxOffset: Int = 7): DataFrame = {
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    val act = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    act.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset").between(0, maxOffset))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetentionOf(Tables.events(spark, dir))
+
+  /** Day × event-type pivot: one row per day, one value column per
+    * event type (the AdMob-style wide report; save_CSV.py:104-189
+    * emits the long form this pivots). Event types are an explicit
+    * list, so the pivot is a single pass — no extra distinct-values
+    * scan and a deterministic column set. Sums are quantized to
+    * integer micro-units before aggregation (floor(x*1e6+0.5)) so the
+    * result is independent of partitioning and addition order.
+    */
+  def pivotReportOf(events: DataFrame,
+                    types: Seq[String] = Seq("click", "error", "purchase", "signup", "view")): DataFrame = {
+    val q = events.select(to_date(col("ts")).as("day"), col("event_type"),
+      floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+    val wide = q.groupBy("day").pivot("event_type", types).agg(sum(col("qv")))
+    // micros → units at 4 dp via floor-form on the exact integer sum:
+    // floor(q/100 + 0.5)/1e4 is the same double in every engine
+    val filled = types.foldLeft(wide) { (df, t) =>
+      df.withColumn(t,
+        floor(coalesce(col(t), lit(0L)).cast("double") / 100.0 + 0.5) / 1e4)
+    }
+    filled.orderBy("day")
+  }
+
+  def pivotReport(spark: SparkSession, dir: String): DataFrame =
+    pivotReportOf(Tables.events(spark, dir))
+}

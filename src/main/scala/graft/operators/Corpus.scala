@@ -109,6 +109,43 @@ object Corpus {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateOf(Tables.documents(spark, dir))
 
+  /** Duplicated-span ("boilerplate") statistics: an n-gram is
+    * boilerplate when it occurs in at least `minDocs` distinct
+    * documents; each document reports how many of its distinct n-grams
+    * are boilerplate and the resulting fraction (the CCNet/RefinedWeb
+    * duplicated-span signal, computed at gram-set granularity).
+    * Documents shorter than n tokens contribute nothing (strict
+    * shingles — cf. [[decontaminateOf]]).
+    *
+    * 100 TB shape: ONE gram explode feeds both counts — per-gram doc
+    * frequency comes from an unordered COUNT window on the gram-keyed
+    * shuffle (gram sets are distinct per doc, so partition rows = df),
+    * then a single doc-keyed aggregate folds each document's grams into
+    * (n_grams, n_dup). Two shuffles total, no join against an
+    * unbounded "hot grams" side, nothing broadcast.
+    */
+  def boilerplateStatsOf(docs: DataFrame, n: Int = 8, minDocs: Int = 3): DataFrame = {
+    require(n > 1, s"n-gram order must be > 1, got $n")
+    require(minDocs > 1, s"minDocs must be > 1, got $minDocs")
+    val grams = explode(graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
+      graft.plans.ColumnBridge.expression(col("text")), n, Long.MaxValue,
+      strict = true))).as("g")
+    val dg = docs.select(col("doc_id"), grams)
+    val withDf = dg.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("g")))
+    withDf.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        TextF.round4HalfUp(
+          col("n_dup").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  def boilerplateStats(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStatsOf(Tables.documents(spark, dir))
+
   /** Vocabulary statistics: per-token document frequency and collection
     * frequency, top `k` by df. Two aggregates: (doc, token) → count
     * (map-side combinable), then token → (df, cf). */

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextF
+import graft.sources.Tables
+
+/** Robust (order-statistic) analytics: MAD-based outlier flagging,
+  * per-group decile profiles, winsorized means, and a per-column data
+  * profile — the data-quality layer a warehouse runs before trusting a
+  * day's report (the reference trusts the AdMob API; a 100 TB lake
+  * cannot).
+  *
+  * Scale design: the order statistics aggregate per GROUP (bounded
+  * output), then join back over the fact scan with the strategy left
+  * to AQE; ntile partitions by group so no global single-partition
+  * sort exists; every rounded score uses the floor-form
+  * (TextF.round4HalfUp) so results are engine- and order-agnostic.
+  */
+object Robust {
+
+  private def round4(c: Column): Column = TextF.round4HalfUp(c)
+
+  /** Median/MAD outlier flagging per event type: |x - med| >
+    * k · 1.4826 · MAD (the normal-consistency constant). Median and
+    * MAD are rounded to 4 dp BEFORE the comparison, so the flag
+    * threshold is the same double in every engine. Rows with MAD = 0
+    * (degenerate constant groups) flag nothing.
+    */
+  def madOutliersOf(events: DataFrame, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ev = events.select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(round4(expr("percentile(value, 0.5)")).as("med"))
+    val dev = ev.join(med, "event_type")
+    val mad = dev.groupBy("event_type")
+      .agg(round4(expr("percentile(abs(value - med), 0.5)")).as("mad"))
+    dev.join(mad, "event_type")
+      .filter(col("mad") > 0 &&
+        abs(col("value") - col("med")) > lit(k) * lit(1.4826) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round4((col("value") - col("med")) / (lit(1.4826) * col("mad")))
+          .as("robust_z"))
+      .orderBy("event_id")
+  }
+
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliersOf(Tables.events(spark, dir))
+
+  /** Per-priority decile profile of order value: ntile(10) within each
+    * priority ordered by (price, key) — the unique tiebreak makes the
+    * assignment a total order, so decile membership is deterministic.
+    * Partitioning by group keeps the sort distributed (no global
+    * single-partition ntile); min/max per decile are order-independent.
+    */
+  def valueDecilesOf(orders: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("decile", ntile(buckets).over(w))
+      .groupBy("o_orderpriority", "decile")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
+  def valueDeciles(spark: SparkSession, dir: String): DataFrame =
+    valueDecilesOf(Tables.orders(spark, dir))
+
+  /** Winsorized mean per priority: clip order values to the group's
+    * [p05, p95] (rounded to 4 dp so the clip bounds are cross-engine
+    * identical), then average the clipped values through an integer
+    * cent-quantized sum — independent of partitioning and addition
+    * order. Also reports how many rows each tail clipped.
+    */
+  def winsorizeOf(orders: DataFrame, pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bounds = orders.groupBy("o_orderpriority")
+      .agg(round4(expr(s"percentile(o_totalprice, $pLo)")).as("lo"),
+        round4(expr(s"percentile(o_totalprice, $pHi)")).as("hi"))
+    orders.join(bounds, "o_orderpriority")
+      .withColumn("clipped", least(greatest(col("o_totalprice"), col("lo")), col("hi")))
+      .groupBy("o_orderpriority", "lo", "hi")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("o_totalprice") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        sum(floor(col("clipped") * 100 + 0.5).cast("long")).as("qsum"))
+      .select(col("o_orderpriority"), col("lo"), col("hi"), col("n"),
+        col("n_clipped_lo"), col("n_clipped_hi"),
+        round4(col("qsum").cast("double") / col("n").cast("double") / 100.0)
+          .as("avg_clipped"))
+      .orderBy("o_orderpriority")
+  }
+
+  def winsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorizeOf(Tables.orders(spark, dir))
+
+  /** Per-column profile (row count, null count, exact distinct count).
+    * One pruned single-column scan per column rather than one
+    * multi-count-distinct pass: Spark plans the latter as an Expand
+    * that multiplies every fact row by the column count through the
+    * shuffle — at 100 TB the N cheap pruned scans (each reading one
+    * column's pages, aggregating map-side) are the smaller plan, and
+    * they run concurrently as independent jobs.
+    */
+  def profileColumnsOf(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "columns must be non-empty")
+    columns.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"))
+    }.reduce(_.unionAll(_)).orderBy("column_name")
+  }
+
+  def profileColumns(spark: SparkSession, dir: String): DataFrame =
+    profileColumnsOf(Tables.orders(spark, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -166,5 +166,43 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
       .orderBy("vec_id")
+  }
+
+  /** Sign-bit (1-bit) embedding quantization + Hamming ANN: bit i of a
+    * vector's code is set iff `embedding[i] > 0`, packed into two
+    * 32-bit halves so the per-pair distance is two XOR+POPCNT ops —
+    * the cheapest possible candidate metric (32× smaller than the
+    * float vector; cf. [[embedQuantize]]'s int8 path at 8×). The
+    * packing is 64 static codegen'd expressions (no higher-order
+    * function, so nothing is re-evaluated per element), distances rank
+    * with the same broadcast + partition-local-top-k shape as
+    * [[knnTopk]]: the packed table never shuffles, only the k rows per
+    * query do. Ties break on neighbor id for a deterministic ranking.
+    */
+  def annHamming(spark: SparkSession, dir: String): DataFrame =
+    annHammingOf(Tables.embeddings(spark, dir))
+
+  /** See [[annHamming]]; operates on any (vec_id, embedding) frame. */
+  def annHammingOf(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def packBits(emb: Column, from: Int): Column =
+      (0 until 32).map { i =>
+        when(element_at(emb, from + i + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val packed = embeddings.select(col("vec_id"),
+      packBits(col("embedding"), 0).as("h0"),
+      packBits(col("embedding"), 32).as("h1"))
+    val q = packed.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("h0").as("q0"), col("h1").as("q1"))
+    val n = packed.select(col("vec_id").as("n_id"),
+      col("h0").as("n0"), col("h1").as("n1"))
+    val scored = broadcast(q).join(n, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (bit_count(col("q0").bitwiseXOR(col("n0"))) +
+          bit_count(col("q1").bitwiseXOR(col("n1")))).as("hamming"))
+    val w = Window.partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
   }
 }
