@@ -28,6 +28,30 @@ object EventStreamJob {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("approx_users"))
 
+  /** Stream-stream click attribution: each click joins the same
+    * user's views from the preceding `windowHours` (the streaming twin
+    * of the batch as-of join, AsofJoin.clickAttribution). Both inputs
+    * carry watermarks AND the join predicate bounds the event-time
+    * distance — the two facts Spark needs to derive state-eviction
+    * bounds for both join buffers; an unbounded stream-stream join
+    * would accrete state forever at 100 TB. Inner join in append mode:
+    * a result row emits once both sides' watermarks pass the match.
+    */
+  def clickViewJoin(views: DataFrame, clicks: DataFrame,
+                    windowHours: Int = 1): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    c.join(v,
+      expr(s"""c_user = v_user AND
+               click_ts >= view_ts AND
+               click_ts <= view_ts + INTERVAL $windowHours HOUR"""))
+      .select(col("c_user").as("user_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** Windowed CTR per user: 1-hour tumbling event-time windows, 2-hour
     * watermark (late events beyond that are dropped and state is
     * reclaimed — unbounded state would OOM a 100 TB stream). */

@@ -113,4 +113,31 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(out(2L)._2 == "64,-127,32") // scale = 127/2 = 63.5
     assert(out(2L)._1 == 63.5)
   }
+
+  test("boilerplate: a gram needs minDocs distinct docs; short docs vanish") {
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8" // one exact 8-gram
+    val docs = Seq(
+      (1L, s"$shared alpha beta"),   // carries shared + 2 unique grams
+      (2L, s"$shared gamma"),        // carries shared + 1 unique gram
+      (3L, s"prefix $shared"),       // 3rd distinct doc → boilerplate
+      (4L, "too short to gram"),     // < 8 tokens → no output row
+      (5L, "a b c d e f g h"))       // unique 8-gram only → 0 dup
+      .toDF("doc_id", "text")
+    val out = Corpus.boilerplateStatsOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) == ((3L, 1L, 0.3333)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 1L, 0.5)))
+    assert(out(5L) == ((1L, 0L, 0.0)))
+  }
+
+  test("boilerplate: duplicate grams within ONE doc do not count as corpus-level dup") {
+    val eight = "x1 x2 x3 x4 x5 x6 x7 x8"
+    // the same 8-gram twice in one doc — still df = 1 (set semantics)
+    val docs = Seq((1L, s"$eight $eight")).toDF("doc_id", "text")
+    val out = Corpus.boilerplateStatsOf(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(out._2 == 0L)
+  }
 }

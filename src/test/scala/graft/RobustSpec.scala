@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Robust
+
+class RobustSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("mad outliers: constant groups (MAD = 0) flag nothing") {
+    val ev = ((1L to 9L).map(i => (i, "flat", 5.0)) :+ ((10L, "flat", 500.0)))
+      .toDF("event_id", "event_type", "value")
+    // median 5, deviations all 0 except one → MAD = 0 → no flags at all
+    assert(Robust.madOutliersOf(ev).count() == 0)
+  }
+
+  test("mad outliers: a gross outlier is flagged with the right sign") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0)
+    val ev = vals.zipWithIndex.map { case (v, i) => (i.toLong, "t", v) }
+      .toDF("event_id", "event_type", "value")
+    val out = Robust.madOutliersOf(ev).collect()
+    // median 5.5, MAD 2.5: only 1000.0 exceeds 3·1.4826·2.5 ≈ 11.12
+    assert(out.map(_.getLong(0)).toSeq == Seq(9L))
+    assert(out.head.getAs[Double]("robust_z") > 0)
+  }
+
+  test("value deciles: counts partition the group and bounds nest") {
+    val orders = (1L to 100L).map(i => (i, "P1", i.toDouble))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val out = Robust.valueDecilesOf(orders).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("n")).sum == 100L)
+    // deciles ordered → lo/hi ranges are non-overlapping and increasing
+    val his = out.map(_.getAs[Double]("hi"))
+    assert(his.toSeq == his.sorted.toSeq)
+    assert(out.head.getAs[Double]("lo") == 1.0 && out.last.getAs[Double]("hi") == 100.0)
+  }
+
+  test("winsorize: tails clip to the rounded bounds and the mean moves inward") {
+    val orders = ((1L to 98L).map(i => (i, "P1", 50.0)) ++
+      Seq((99L, "P1", 0.0), (100L, "P1", 10000.0)))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val r = Robust.winsorizeOf(orders).collect().head
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("n_clipped_lo") == 1L)
+    assert(r.getAs[Long]("n_clipped_hi") == 1L)
+    val avg = r.getAs[Double]("avg_clipped")
+    assert(avg >= r.getAs[Double]("lo") && avg <= r.getAs[Double]("hi"))
+    assert(math.abs(avg - 50.0) < 1.0) // clipping kills the 10000 pull
+  }
+
+  test("profile: null counts and distinct counts disagree correctly") {
+    val df = Seq(
+      (Some(1L), "a"), (Some(1L), "b"), (None, "b"), (Some(3L), "c"))
+      .toDF("k", "s")
+    val out = Robust.profileColumnsOf(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("k") == ((4L, 1L, 2L))) // distinct excludes the null
+    assert(out("s") == ((4L, 0L, 3L)))
+  }
+}

@@ -93,4 +93,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val recall = ann.keySet.count(exact.contains).toDouble / exact.size
     assert(recall > 0.05, s"ANN recall $recall vs brute force")
   }
+
+  test("annHamming: identical signs rank first at distance 0, negated signs at 64") {
+    // q (id 0) duplicates id 10's sign pattern; id 11 negates every dim
+    val base = (1 to 64).map(i => if (i % 3 == 0) 0.5f else -0.25f).toArray
+    val rows = Seq(
+      (0L, base), (10L, base.map(x => x * 2)), (11L, base.map(x => -x)),
+      (12L, base.updated(0, -base(0)))) // one sign flip → distance 1
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.annHammingOf(emb, k = 3).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    // neighbors of q=0 ranked: id 10 (0 bits), id 12 (1 bit), id 11 (64 bits)
+    assert(out.toSeq == Seq((10L, 0, 1), (12L, 1, 2), (11L, 64, 3)))
+  }
+
+  test("annHamming: a strict-zero coordinate packs as 0 on both sides of the compare") {
+    // all-zero vector → code 0; the all-negative vector also packs 0 →
+    // hamming 0 between them (sign-bit quantization is deliberately
+    // insensitive to x <= 0; document the contract)
+    val emb = Seq(
+      (0L, Array.fill(64)(0f)),
+      (20L, Array.fill(64)(-1f)),
+      (21L, Array.fill(64)(1f))).toDF("vec_id", "embedding")
+    val out = Similarity.annHammingOf(emb, k = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((20L, 0), (21L, 64)))
+  }
 }

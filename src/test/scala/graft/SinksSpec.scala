@@ -31,6 +31,25 @@ class SinksSpec extends AnyFunSuite with SparkFixture {
     assert(d2 == Map(3L -> 33.0, 4L -> 40.0), "day-2 rows must be the rerun's rows only")
   }
 
+  test("date-partitioned table prunes partitions at the scan on read-back") {
+    val path = tmp("graft-prune") + "/table"
+    val df = Seq(("2026-01-01", 1L), ("2026-01-02", 2L), ("2026-01-03", 3L))
+      .toDF("date", "id")
+    Sinks.idempotentDailyAppend(df, path, "date")
+    val back = spark.read.parquet(path).filter(col("date") === "2026-01-02")
+    assert(back.collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+    val scan = back.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // the date predicate must land in PartitionFilters (metadata-only
+    // pruning), NOT as a data filter over a full scan — and the
+    // post-execution metric proves only one partition's file was read
+    assert(scan.metadata("PartitionFilters").contains("date"),
+      s"partition filter missing: ${scan.metadata("PartitionFilters")}")
+    assert(scan.metrics("numFiles").value == 1,
+      "pruned scan must touch exactly the matching partition's file")
+  }
+
   test("ORC sink round-trips with schema and pushes filters on re-read") {
     val path = tmp("graft-orc") + "/out"
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))

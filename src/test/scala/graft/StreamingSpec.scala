@@ -43,6 +43,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("clickViewJoin attributes clicks to the same user's view within the hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = EventStreamJob.clickViewJoin(
+      views.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts"))
+
+    val query = joined.writeStream
+      .format("memory").queryName("ssjoin_test").outputMode("append").start()
+    try {
+      views.addData((1L, ts("10:00")), (2L, ts("10:00")))
+      clicks.addData(
+        (1L, ts("10:30")), // within the hour → attributed
+        (1L, ts("12:30")), // > 1h after the only view → dropped
+        (3L, ts("10:15"))) // no view at all → dropped
+      query.processAllAvailable()
+
+      val out = spark.table("ssjoin_test")
+        .select(col("user_id"),
+          date_format(col("view_ts"), "HH:mm").as("v"),
+          date_format(col("click_ts"), "HH:mm").as("c"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(out.toSeq == Seq((1L, "10:00", "10:30")))
+    } finally query.stop()
+  }
+
   test("windowedCtr finalizes windows at the watermark and drops later events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
