@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.operators.Dedup
-import graft.plans.{CosineSimilarity, MinHashSignature, NormalizeText, ShingleHashes, SimHash64, SortedIntersectSize}
+import graft.plans.{CosineSimilarity, MinHashSignature, NormalizeText, ShingleHashes, SignPackBits, SimHash64, SortedIntersectSize}
 
 /** SQL-surface registration for the engine's native expressions, so
   * `spark.sql("SELECT cosine_sim(a, b) ...")` works like any built-in.
@@ -49,7 +49,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => SimHash64(children.head)),
     (FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
-      (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))))
+      (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))),
+    (FunctionIdentifier("sign_pack_bits"),
+      new ExpressionInfo(classOf[SignPackBits].getName, "sign_pack_bits"),
+      // sign_pack_bits(embedding, from): 32 sign bits starting at
+      // 0-based element `from`, packed little-endian into a BIGINT.
+      (children: Seq[Expression]) => SignPackBits(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register on a live session. `sessionState`/`functionRegistry` are
     * Scala-`private[sql]` but bytecode-public (same situation as

@@ -186,12 +186,16 @@ object Similarity {
   def annHammingOf(embeddings: DataFrame, k: Int = TopK): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     def packBits(emb: Column, from: Int): Column =
-      (0 until 32).map { i =>
-        when(element_at(emb, from + i + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      graft.plans.ColumnBridge.column(graft.plans.SignPackBits(
+        graft.plans.ColumnBridge.expression(emb), from))
+    // Materialize the 16-byte codes once: both join sides reuse them,
+    // so the pack runs once per vector instead of once per plan use.
+    // At scale this is the same move: packed codes are 16× smaller
+    // than the vectors and are what a 100 TB index would persist.
     val packed = embeddings.select(col("vec_id"),
       packBits(col("embedding"), 0).as("h0"),
       packBits(col("embedding"), 32).as("h1"))
+      .localCheckpoint(false)
     val q = packed.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("h0").as("q0"), col("h1").as("q1"))
     val n = packed.select(col("vec_id").as("n_id"),
