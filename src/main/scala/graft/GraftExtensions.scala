@@ -54,8 +54,21 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SignPackBits].getName, "sign_pack_bits"),
       // sign_pack_bits(embedding, from): 32 sign bits starting at
       // 0-based element `from`, packed little-endian into a BIGINT.
-      (children: Seq[Expression]) => SignPackBits(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())))
+      // `from` shapes the expression itself, so it must be a literal
+      // integer — reject anything else at resolution time with a
+      // message, not a deep eval() crash.
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"sign_pack_bits(array<float>, from) takes 2 arguments, got ${children.length}")
+        val from = children(1) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+            if lit.value.isInstanceOf[Number] =>
+            lit.value.asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"sign_pack_bits 'from' must be an integer literal, got: ${other.sql}")
+        }
+        SignPackBits(children(0), from)
+      }))
 
   /** Register on a live session. `sessionState`/`functionRegistry` are
     * Scala-`private[sql]` but bytecode-public (same situation as

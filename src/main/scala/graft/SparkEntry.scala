@@ -870,9 +870,10 @@ object SparkEntry {
         |      UNION ALL SELECT 'click', 2, (SELECT COUNT(*) FROM c)
         |      UNION ALL SELECT 'purchase', 3, (SELECT COUNT(*) FROM p))
         |SELECT step, ord, users,
-        |  floor(CAST(users AS DOUBLE) /
-        |    CAST((SELECT users FROM s WHERE ord = 1) AS DOUBLE)
-        |    * 100 * 100 + 0.5) / 100 AS conv_pct
+        |  CASE WHEN (SELECT users FROM s WHERE ord = 1) = 0 THEN 0.0
+        |    ELSE floor(CAST(users AS DOUBLE) /
+        |      CAST((SELECT users FROM s WHERE ord = 1) AS DOUBLE)
+        |      * 100 * 100 + 0.5) / 100 END AS conv_pct
         |FROM s ORDER BY ord""".stripMargin,
 
     "cohort_retention" ->

@@ -38,8 +38,6 @@ object Behavior {
     val p = e.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("us") > col("t2"))
       .groupBy("user_id").agg(min("us").as("t3"))
-    val spark = events.sparkSession
-    import spark.implicits._
     val counts = Seq(
       ("view", 1, v), ("click", 2, c), ("purchase", 3, p))
     val rows = counts.map { case (name, ord, df) =>
@@ -47,11 +45,15 @@ object Behavior {
         .select(lit(name).as("step"), lit(ord).as("ord"), col("users"))
     }.reduce(_.unionAll(_))
     // conversion vs step 1; floor-form rounding (cf. TextF.round4HalfUp)
-    // so a halfway double rounds identically in every engine
+    // so a halfway double rounds identically in every engine. base = 0
+    // (no step-1 events at all) is pinned to 0.0 — unguarded, Spark's
+    // 0/0 is NaN while SQL engines yield NULL, and floor(NaN) masks it
+    // as a bogus 0 anyway.
     val base = rows.filter(col("ord") === 1).select(col("users").as("base"))
     rows.crossJoin(base)
       .select(col("step"), col("ord"), col("users"),
-        (floor(col("users").cast("double") / col("base").cast("double") * 100 * 100 + 0.5) / 100)
+        when(col("base") === 0, lit(0.0)).otherwise(
+          floor(col("users").cast("double") / col("base").cast("double") * 100 * 100 + 0.5) / 100)
           .as("conv_pct"))
       .orderBy("ord")
   }

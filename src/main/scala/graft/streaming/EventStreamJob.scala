@@ -28,14 +28,17 @@ object EventStreamJob {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("approx_users"))
 
-  /** Stream-stream click attribution: each click joins the same
-    * user's views from the preceding `windowHours` (the streaming twin
-    * of the batch as-of join, AsofJoin.clickAttribution). Both inputs
+  /** Stream-stream click attribution, last-touch: each click joins the
+    * same user's views from the preceding `windowHours` and keeps the
+    * MOST RECENT one (the streaming twin of the batch as-of join,
+    * AsofJoin.clickAttribution — the raw join alone would fan out one
+    * row per (click, view) pair and double-count clicks). Both inputs
     * carry watermarks AND the join predicate bounds the event-time
     * distance — the two facts Spark needs to derive state-eviction
-    * bounds for both join buffers; an unbounded stream-stream join
-    * would accrete state forever at 100 TB. Inner join in append mode:
-    * a result row emits once both sides' watermarks pass the match.
+    * bounds for both join buffers; the chained max-aggregate keys on
+    * the watermarked click time, so its state also evicts. Clicks are
+    * identified by (user, click_ts): exact same-microsecond duplicate
+    * clicks collapse to one attribution row.
     */
   def clickViewJoin(views: DataFrame, clicks: DataFrame,
                     windowHours: Int = 1): DataFrame = {
@@ -49,7 +52,9 @@ object EventStreamJob {
       expr(s"""c_user = v_user AND
                click_ts >= view_ts AND
                click_ts <= view_ts + INTERVAL $windowHours HOUR"""))
-      .select(col("c_user").as("user_id"), col("view_ts"), col("click_ts"))
+      .groupBy(col("c_user").as("user_id"), col("click_ts"))
+      .agg(max("view_ts").as("view_ts"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"))
   }
 
   /** Windowed CTR per user: 1-hour tumbling event-time windows, 2-hour

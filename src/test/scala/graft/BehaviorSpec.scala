@@ -39,6 +39,13 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq(1L, 0L, 0L))
   }
 
+  test("funnel: zero step-1 events pin conv_pct to 0.0, not NaN") {
+    val ev = eventsDf((1L, "click", "2024-01-01 10:00:00"))
+    val out = Behavior.funnelStepsOf(ev).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 0.0), (0L, 0.0), (0L, 0.0)))
+  }
+
   test("cohort retention: offset 0 is the cohort day, beyond maxOffset drops") {
     val ev = eventsDf(
       (1L, "view", "2024-01-01 10:00:00"),

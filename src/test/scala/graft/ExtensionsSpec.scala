@@ -51,4 +51,23 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
       "a NULL element must not contribute a bogus hash")
     assert(rows.isNullAt(2))
   }
+
+  test("sign_pack_bits: SQL path packs like the operator and rejects bad args") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT sign_pack_bits(array(1.0f, -1.0f, 0.0f, 2.0f), 0) AS h0,
+        |       sign_pack_bits(CAST(NULL AS ARRAY<FLOAT>), 0) AS hn""".stripMargin).head()
+    assert(r.getLong(0) == 9L) // bits 0 and 3: strict > 0 only
+    assert(r.isNullAt(1))
+    // offset past the array end packs 0 (missing dims are sign 0)
+    assert(spark.sql("SELECT sign_pack_bits(array(1.0f), 32) AS h").head().getLong(0) == 0L)
+    val err = intercept[Exception](
+      spark.sql("SELECT sign_pack_bits(array(1.0f), array(1))").collect())
+    assert(err.getMessage.contains("integer literal"),
+      s"non-literal 'from' must fail with the builder's message, got: ${err.getMessage}")
+    val arity = intercept[Exception](
+      spark.sql("SELECT sign_pack_bits(array(1.0f))").collect())
+    assert(arity.getMessage.contains("2 arguments"),
+      s"wrong arity must fail with the builder's message, got: ${arity.getMessage}")
+  }
 }

@@ -54,11 +54,18 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val query = joined.writeStream
       .format("memory").queryName("ssjoin_test").outputMode("append").start()
     try {
-      views.addData((1L, ts("10:00")), (2L, ts("10:00")))
+      views.addData(
+        (1L, ts("10:00")), (1L, ts("10:10")), // TWO views before the click
+        (2L, ts("10:00")))
       clicks.addData(
-        (1L, ts("10:30")), // within the hour → attributed
-        (1L, ts("12:30")), // > 1h after the only view → dropped
+        (1L, ts("10:30")), // within the hour → attributed ONCE, last touch
+        (1L, ts("12:30")), // > 1h after any view → dropped
         (3L, ts("10:15"))) // no view at all → dropped
+      query.processAllAvailable()
+      // advance both watermarks past every buffered row so the join and
+      // the chained max-aggregate both finalize
+      views.addData((9L, ts("23:00")))
+      clicks.addData((9L, ts("23:00")))
       query.processAllAvailable()
 
       val out = spark.table("ssjoin_test")
@@ -66,7 +73,8 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
           date_format(col("view_ts"), "HH:mm").as("v"),
           date_format(col("click_ts"), "HH:mm").as("c"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-      assert(out.toSeq == Seq((1L, "10:00", "10:30")))
+      assert(out.toSeq == Seq((1L, "10:10", "10:30")),
+        "one row per click, attributed to the most recent in-window view")
     } finally query.stop()
   }
 
