@@ -122,4 +122,42 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!analyzed.contains("ResolvedHint"),
       "join strategy must stay AQE/size-decided — stats is one row per user, unbounded")
   }
+
+  test("annHamming's only nested-loop is the fixed 8-query broadcast, top-k partition-local") {
+    val p = plan(Similarity.annHamming(spark, Sf))
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length == 1,
+      "queries x codes must broadcast the fixed 8-row query side only")
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty)
+    assert(p.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
+      "rank <= k must rewrite to WindowGroupLimit (partition-local top-k)")
+  }
+
+  test("profileColumns reads at most one data column per scan (no Expand blow-up)") {
+    val p = plan(graft.operators.Robust.profileColumns(spark, Sf))
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.requiredSchema.fieldNames.length <= 1,
+        s"each profile pass must scan one pruned column, got ${s.requiredSchema.fieldNames.toSeq}")
+    }
+    assert(p.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }.isEmpty,
+      "the profile must not plan a multi-count-distinct Expand over the facts")
+  }
+
+  test("funnel and behavior queries never plan a fact-by-fact nested loop") {
+    // funnelSteps is allowed exactly one BNLJ: the cross with the
+    // 1-row step-1 count (same pattern as collocations' totals cross).
+    val pf = plan(graft.operators.Behavior.funnelSteps(spark, Sf))
+    assert(pf.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1)
+    assert(pf.collect { case j: CartesianProductExec => j }.isEmpty)
+    for (df <- Seq[DataFrame](
+      graft.operators.Behavior.cohortRetention(spark, Sf),
+      graft.operators.Robust.madOutliers(spark, Sf),
+      graft.operators.Corpus.boilerplateStats(spark, Sf))) {
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"behavioral/robust queries must stay equi-joins:\n$p")
+    }
+  }
 }
