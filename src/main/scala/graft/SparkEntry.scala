@@ -101,7 +101,9 @@ object SparkEntry {
     "profile_columns"   -> (Robust.profileColumns(_, _)),
     "boilerplate_stats" -> (Corpus.boilerplateStats(_, _)),
     "heavy_hitters"     -> (HeavyHitters.heavyHitters(_, _)),
-    "ann_hamming"       -> (Similarity.annHamming(_, _))
+    "ann_hamming"       -> (Similarity.annHamming(_, _)),
+    "event_transitions" -> (Behavior.eventTransitions(_, _)),
+    "label_centroids"   -> (Cluster.labelCentroids(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1012,6 +1014,35 @@ object SparkEntry {
         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |        ORDER BY hamming, n_id) AS INT) AS "rank" FROM s)
         |SELECT q_id, n_id, hamming, "rank" FROM r WHERE "rank" <= 10
-        |ORDER BY q_id, "rank"""".stripMargin
+        |ORDER BY q_id, "rank"""".stripMargin,
+
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        |t AS (SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS prev_type FROM e),
+        |g AS (SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, SUM(n) OVER (PARTITION BY prev_type) AS row_total FROM g)
+        |SELECT prev_type, event_type, n,
+        |  floor(CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) * 1e4 + 0.5) / 1e4 AS p
+        |FROM r ORDER BY prev_type, event_type""".stripMargin,
+
+    // Same element-wise quantized-mean centroid machinery as the
+    // kmeans oracle; cohesion means go through integer-quantized sums.
+    "label_centroids" ->
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT label, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS cv
+        |      FROM v, generate_series(1, 64) AS g(i) GROUP BY label, i),
+        |c AS (SELECT label, list(cv ORDER BY i) AS c_emb FROM m GROUP BY label),
+        |s AS (SELECT v.label, ROUND(list_cosine_similarity(v.emb, c.c_emb), 6) AS cs
+        |      FROM v JOIN c USING (label))
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  floor(CAST(SUM(CAST(floor(cs * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_cos,
+        |  MIN(cs) AS min_cos
+        |FROM s GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -106,4 +107,30 @@ object Behavior {
 
   def pivotReport(spark: SparkSession, dir: String): DataFrame =
     pivotReportOf(Tables.events(spark, dir))
+
+  /** First-order event-transition matrix: counts and row-normalized
+    * probabilities of (previous event type → event type) per user
+    * stream, ordered by exact microseconds with event_id as the
+    * unique tiebreak (lag over equal timestamps would otherwise be
+    * nondeterministic). One user-keyed shuffle feeds the lag window;
+    * the transition aggregate then shuffles only (5×5-bounded)
+    * type-pair rows, and the row totals come from an unordered window
+    * over that tiny frame. */
+  def eventTransitionsOf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = e.withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("row_total", sum("n").over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        graft.functions.TextF.round4HalfUp(
+          col("n").cast("double") / col("row_total").cast("double")).as("p"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitionsOf(Tables.events(spark, dir))
 }

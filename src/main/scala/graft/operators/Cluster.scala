@@ -82,4 +82,43 @@ object Cluster {
 
   def kmeansEmbed(spark: SparkSession, dir: String): DataFrame =
     kmeansEmbedOf(Tables.embeddings(spark, dir))
+
+  /** Per-label cluster-quality report: each label's centroid
+    * (element-wise quantized mean — same order-independent machinery
+    * as [[recenter]]) and its members' cosine cohesion (count, mean,
+    * min). The evaluation pass a pipeline runs over labeled or
+    * clustered embeddings to decide whether clusters are tight enough
+    * for semantic dedup cells. The centroid frame is one row per
+    * label; the join back over members is AQE-decided, no forced
+    * broadcast (labels are unbounded in general).
+    */
+  def labelCentroidsOf(embeddings: DataFrame): DataFrame = {
+    val vecs = embeddings.select(col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    val cents = vecs
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(round(col("v") * 1e6).cast("long")).as("isum"),
+        count(lit(1)).as("cnt"))
+      .select(col("label"), col("pos"),
+        round(col("isum").cast("double") / 1e6 / col("cnt").cast("double"), 6).as("v"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("c_emb"))
+    vecs.join(cents, "label")
+      .select(col("label"),
+        round(VectorF.cosineSim(col("emb"), col("c_emb")), 6).as("cs"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("cs") * 1e6 + 0.5).cast("long")).as("qsum"),
+        min("cs").as("min_cos"))
+      .select(col("label"), col("n"),
+        graft.functions.TextF.round4HalfUp(
+          col("qsum").cast("double") / 1e6 / col("n").cast("double")).as("avg_cos"),
+        col("min_cos"))
+      .orderBy("label")
+  }
+
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    labelCentroidsOf(Tables.embeddings(spark, dir))
 }

@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.sources.Sinks
 
 /** Structured-Streaming form of the CTR pipeline: the reference runs
   * its detector as a daily cron (native_CTR_alerts.py); here the same
@@ -56,6 +59,27 @@ object EventStreamJob {
       .agg(max("view_ts").as("view_ts"))
       .select(col("user_id"), col("view_ts"), col("click_ts"))
   }
+
+  /** Streaming → warehouse bridge: lands every micro-batch through the
+    * batch sink's idempotent daily partition overwrite
+    * ([[Sinks.idempotentDailyAppend]]), so a REPLAYED micro-batch
+    * (restart from checkpoint) rewrites its days instead of
+    * duplicating them — effectively-once into a plain parquet
+    * warehouse, no transactional table format needed.
+    *
+    * Contract: batches must be day-grained (a daily trigger, or
+    * backfill replay of whole days). Dynamic partition overwrite
+    * replaces each date present in the batch, so a day SPLIT across
+    * micro-batches would clobber its earlier half — for continuous
+    * intra-day streaming use the windowed aggregates above instead.
+    */
+  def dailyWarehouseSink(events: DataFrame, path: String): DataStreamWriter[Row] =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Sinks.idempotentDailyAppend(
+          batch.withColumn("date", to_date(col("ts")).cast("string")),
+          path, "date")
+      }
 
   /** Windowed CTR per user: 1-hour tumbling event-time windows, 2-hour
     * watermark (late events beyond that are dropped and state is

@@ -10,8 +10,9 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
   private def eventsDf(rows: (Long, String, String)*): DataFrame =
-    rows.toDF("user_id", "event_type", "t")
-      .select(col("user_id"), col("event_type"),
+    rows.zipWithIndex.map { case ((u, et, t), i) => (i.toLong, u, et, t) }
+      .toDF("event_id", "user_id", "event_type", "t")
+      .select(col("event_id"), col("user_id"), col("event_type"),
         to_timestamp(col("t")).as("ts"), lit(1.0).as("value"))
 
   test("funnel: steps must be strictly ordered in time per user") {
@@ -57,6 +58,36 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
     assert(out.toSeq == Seq(
       ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L), ("2024-01-02", 0, 1L)))
+  }
+
+  test("event transitions: per-user ordering, cross-user boundaries don't pair") {
+    val ev = eventsDf(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:01:00"),
+      (1L, "click", "2024-01-01 10:02:00"),
+      // user 2's first event must NOT pair with user 1's last
+      (2L, "purchase", "2024-01-01 10:03:00"),
+      (2L, "view", "2024-01-01 10:04:00"))
+    val out = Behavior.eventTransitionsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("click", "click", 1L, 1.0),
+      ("purchase", "view", 1L, 1.0),
+      ("view", "click", 1L, 1.0)))
+  }
+
+  test("event transitions: probabilities normalize per source type") {
+    val ev = eventsDf(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:01:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 10:01:00"),
+      (3L, "view", "2024-01-01 10:00:00"),
+      (3L, "purchase", "2024-01-01 10:01:00"))
+    val out = Behavior.eventTransitionsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("view", "click")) == 0.6667)
+    assert(out(("view", "purchase")) == 0.3333)
   }
 
   test("pivot: absent event types fill 0.0 and sums are exact") {
