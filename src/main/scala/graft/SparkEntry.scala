@@ -103,7 +103,9 @@ object SparkEntry {
     "heavy_hitters"     -> (HeavyHitters.heavyHitters(_, _)),
     "ann_hamming"       -> (Similarity.annHamming(_, _)),
     "event_transitions" -> (Behavior.eventTransitions(_, _)),
-    "label_centroids"   -> (Cluster.labelCentroids(_, _))
+    "label_centroids"   -> (Cluster.labelCentroids(_, _)),
+    "fk_coverage"       -> (Warehouse.fkCoverage(_, _)),
+    "latest_per_key"    -> (Warehouse.latestPerKey(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1043,6 +1045,26 @@ object SparkEntry {
         |  floor(CAST(SUM(CAST(floor(cs * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / 1e6 / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_cos,
         |  MIN(cs) AS min_cos
-        |FROM s GROUP BY label ORDER BY label""".stripMargin
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
+
+    "fk_coverage" ->
+      """WITH k AS (SELECT DISTINCT c_custkey AS key FROM customer),
+        |j AS (SELECT e.event_type,
+        |        CASE WHEN k.key IS NULL THEN 0 ELSE 1 END AS matched
+        |      FROM events e LEFT JOIN k ON e.user_id = k.key)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(matched) AS BIGINT) AS n_matched,
+        |  CAST(COUNT(*) - SUM(matched) AS BIGINT) AS n_orphans,
+        |  floor(CAST(SUM(matched) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS coverage
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "latest_per_key" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
+        |           FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, us, event_id, event_type, value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Warehouse
+
+class WarehouseSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("fk coverage: orphans counted per type, coverage floor-rounded") {
+    val facts = Seq(
+      (1L, "click"), (2L, "click"), (99L, "click"), // 99 unmatched
+      (1L, "view"))
+      .toDF("user_id", "event_type")
+    val dim = Seq(1L, 2L, 3L).toDF("key")
+    val out = Warehouse.fkCoverageOf(facts, dim).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("click") == ((3L, 2L, 1L, 0.6667)))
+    assert(out("view") == ((1L, 1L, 0L, 1.0)))
+  }
+
+  test("fk coverage: duplicate dimension keys do not inflate match counts") {
+    val facts = Seq((1L, "click")).toDF("user_id", "event_type")
+    val dim = Seq(1L, 1L, 1L).toDF("key") // dirty dim with dup keys
+    val out = Warehouse.fkCoverageOf(facts, dim).collect().head
+    assert(out.getLong(1) == 1L && out.getLong(2) == 1L)
+  }
+
+  test("latest per key: equal timestamps break on event_id, one row per key") {
+    val ev = Seq(
+      (10L, 1L, "view", 1.0, "2024-01-01 10:00:00"),
+      (11L, 1L, "click", 2.0, "2024-01-01 10:00:00"), // same ts, higher id wins
+      (12L, 2L, "view", 3.0, "2024-01-01 09:00:00"),
+      (13L, 2L, "purchase", 4.0, "2024-01-01 11:00:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "t")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), to_timestamp(col("t")).as("ts"))
+    val out = Warehouse.latestPerKeyOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 11L, "click"), (2L, 13L, "purchase")))
+  }
+}
