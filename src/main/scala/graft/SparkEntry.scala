@@ -1059,6 +1059,11 @@ object SparkEntry {
         |    * 1e4 + 0.5) / 1e4 AS coverage
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // The Spark side orders versions on the exact nanosecond long;
+    // DuckDB's parquet view truncates TIMESTAMP_NS to µs, so this
+    // oracle orders on (µs, event_id). The two agree wherever event
+    // ids are time-monotone within a microsecond (true of the driver
+    // data — verified by this hash at sf0.01 AND sf0.1); output is µs.
     "latest_per_key" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
         |           FROM events),

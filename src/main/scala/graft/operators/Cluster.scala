@@ -44,24 +44,33 @@ object Cluster {
       .select(col("vec_id"), col("emb"), col("c_id").as("cluster"), col("cs"))
   }
 
-  /** Centroid update: element-wise mean of each cluster's members.
-    * Components are quantized to 1e-6 and summed as INTEGERS, so the
-    * mean is independent of partition/summation order — a float
-    * `avg()` accumulates in shuffle order and can round the 6th
-    * decimal differently between engines (or between runs at different
-    * parallelism), flipping a boundary assignment. One final IEEE
-    * division pair (identical on both engines) recovers the mean. */
-  private def recenter(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "v")))
-      .groupBy("cluster", "pos")
+  /** Element-wise quantized-mean centroid per `keyCol` group — the ONE
+    * implementation of the cross-engine centroid contract (shared by
+    * [[recenter]] and [[labelCentroidsOf]]; both DuckDB oracles mirror
+    * it step for step, so a quantization tweak must happen here, not
+    * in a per-operator copy). Components are quantized to 1e-6 and
+    * summed as INTEGERS, so the mean is independent of
+    * partition/summation order — a float `avg()` accumulates in
+    * shuffle order and can round the 6th decimal differently between
+    * engines (or between runs at different parallelism), flipping a
+    * boundary comparison. One final IEEE division pair (identical on
+    * both engines) recovers the mean. Returns (keyCol, c_emb). */
+  private def quantizedCentroids(members: DataFrame, keyCol: String): DataFrame =
+    members
+      .select(col(keyCol), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(keyCol, "pos")
       .agg(sum(round(col("v") * 1e6).cast("long")).as("isum"),
         count(lit(1)).as("cnt"))
-      .select(col("cluster"), col("pos"),
+      .select(col(keyCol), col("pos"),
         round(col("isum").cast("double") / 1e6 / col("cnt").cast("double"), 6).as("v"))
-      .groupBy("cluster")
+      .groupBy(keyCol)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         s => s.getField("v")).as("c_emb"))
+
+  /** Centroid update for one Lloyd iteration: quantized means keyed by
+    * the current cluster assignment. */
+  private def recenter(assigned: DataFrame): DataFrame =
+    quantizedCentroids(assigned, "cluster")
       .select(col("cluster").as("c_id"), col("c_emb"))
 
   /** `iters` Lloyd iterations of spherical k-means seeded on the first
@@ -95,16 +104,7 @@ object Cluster {
   def labelCentroidsOf(embeddings: DataFrame): DataFrame = {
     val vecs = embeddings.select(col("label"),
       col("embedding").cast("array<double>").as("emb"))
-    val cents = vecs
-      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
-      .agg(sum(round(col("v") * 1e6).cast("long")).as("isum"),
-        count(lit(1)).as("cnt"))
-      .select(col("label"), col("pos"),
-        round(col("isum").cast("double") / 1e6 / col("cnt").cast("double"), 6).as("v"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        s => s.getField("v")).as("c_emb"))
+    val cents = quantizedCentroids(vecs, "label")
     vecs.join(cents, "label")
       .select(col("label"),
         round(VectorF.cosineSim(col("emb"), col("c_emb")), 6).as("cs"))

@@ -45,17 +45,23 @@ object Warehouse {
     * lexicographic max over a struct, NOT a per-key window: the
     * aggregate combines map-side, so each partition contributes one
     * candidate row per key to the shuffle, where row_number() would
-    * shuffle every version of every key and sort. The unique event_id
-    * tiebreak makes equal-timestamp versions deterministic.
+    * shuffle every version of every key and sort. Versions order on
+    * the EXACT nanosecond long (`ts_ns` — microsecond truncation
+    * could let a same-microsecond pair fall through to the id
+    * tiebreak and surface the older value); the unique event_id
+    * breaks genuinely identical timestamps deterministically.
     */
   def latestPerKeyOf(events: DataFrame): DataFrame =
     events
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+      .select(col("user_id"), col("ts_ns"),
         col("event_id"), col("event_type"), col("value"))
       .groupBy("user_id")
-      .agg(max(struct(col("us"), col("event_id"), col("event_type"),
+      .agg(max(struct(col("ts_ns"), col("event_id"), col("event_type"),
         col("value"))).as("m"))
-      .select(col("user_id"), col("m.us").as("us"),
+      // µs in the OUTPUT only: the DuckDB oracle's parquet view
+      // truncates TIMESTAMP_NS to µs, so full-ns output could never
+      // hash-compare; the ORDERING above stays exact-ns.
+      .select(col("user_id"), expr("m.ts_ns div 1000").as("us"),
         col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
         col("m.value").as("value"))
       .orderBy("user_id")

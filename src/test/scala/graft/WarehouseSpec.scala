@@ -28,17 +28,16 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out.getLong(1) == 1L && out.getLong(2) == 1L)
   }
 
-  test("latest per key: equal timestamps break on event_id, one row per key") {
+  test("latest per key: full-ns time order first, event_id only on exact ties") {
     val ev = Seq(
-      (10L, 1L, "view", 1.0, "2024-01-01 10:00:00"),
-      (11L, 1L, "click", 2.0, "2024-01-01 10:00:00"), // same ts, higher id wins
-      (12L, 2L, "view", 3.0, "2024-01-01 09:00:00"),
-      (13L, 2L, "purchase", 4.0, "2024-01-01 11:00:00"))
-      .toDF("event_id", "user_id", "event_type", "value", "t")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), to_timestamp(col("t")).as("ts"))
+      (10L, 1L, "view", 1.0, 1000000000L),
+      (11L, 1L, "click", 2.0, 1000000000L),    // identical ns → higher id wins
+      (13L, 2L, "purchase", 4.0, 2000000200L), // higher id but 300 ns EARLIER
+      (12L, 2L, "view", 3.0, 2000000500L))     // sub-µs newer must win
+      .toDF("event_id", "user_id", "event_type", "value", "ts_ns")
     val out = Warehouse.latestPerKeyOf(ev).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
-    assert(out.toSeq == Seq((1L, 11L, "click"), (2L, 13L, "purchase")))
+    assert(out.toSeq == Seq((1L, 11L, "click"), (2L, 12L, "view")),
+      "a same-microsecond pair must order on exact nanoseconds, not on id")
   }
 }
