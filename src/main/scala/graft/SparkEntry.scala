@@ -105,7 +105,8 @@ object SparkEntry {
     "event_transitions" -> (Behavior.eventTransitions(_, _)),
     "label_centroids"   -> (Cluster.labelCentroids(_, _)),
     "fk_coverage"       -> (Warehouse.fkCoverage(_, _)),
-    "latest_per_key"    -> (Warehouse.latestPerKey(_, _))
+    "latest_per_key"    -> (Warehouse.latestPerKey(_, _)),
+    "source_temperature" -> (Corpus.sourceTemperature(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1070,6 +1071,22 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |        ORDER BY us DESC, event_id DESC) AS rn FROM e)
         |SELECT user_id, us, event_id, event_type, value
-        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // sqrt is correctly rounded under IEEE 754 in every engine (the
+    // one libm function that is), so √n quantized to micro-units is
+    // cross-engine exact; fractions/targets are single identically-
+    // parenthesized double expressions.
+    "source_temperature" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qw
+        |      FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+        |        CAST(SUM(qw) AS BIGINT) AS qwsum FROM c)
+        |SELECT source, n_docs,
+        |  floor(CAST(qw AS DOUBLE) / CAST(qwsum AS DOUBLE) * 1e4 + 0.5) / 1e4 AS frac,
+        |  CAST(floor(CAST(qw AS DOUBLE) * CAST(total_docs AS DOUBLE)
+        |    / CAST(qwsum AS DOUBLE)) AS BIGINT) AS target_docs
+        |FROM c, t ORDER BY source""".stripMargin
   )
 }

@@ -291,4 +291,33 @@ object Corpus {
   def mixSources(spark: SparkSession, dir: String): DataFrame =
     mixSourcesOf(Tables.documents(spark, dir),
       Map("src0" -> 1.0, "src1" -> 0.6), defaultFrac = 0.2)
+
+  /** Temperature-balanced mixture design (α = 0.5): sampling weights
+    * w_i ∝ √n_i, the standard up-weighting of small sources relative
+    * to proportional sampling (multilingual/multi-source pretraining
+    * practice; α is FIXED at 0.5 because `sqrt` is the one power IEEE
+    * 754 requires correctly rounded — both JVMs and C libms return the
+    * identical double, while a libm `pow` does not reproduce across
+    * engines). Weights quantize to integer micro-units before the
+    * normalizing sum, so fractions are partition-order independent;
+    * target document counts come from one identically-parenthesized
+    * double expression. The per-source frame is K rows — the compute
+    * after the one count aggregate is trivial at any corpus size.
+    */
+  def sourceTemperatureOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("qw", floor(sqrt(col("n_docs")) * 1e6 + 0.5).cast("long"))
+    val totals = counts.agg(sum("n_docs").as("total_docs"),
+      sum("qw").as("qwsum"))
+    counts.crossJoin(totals)
+      .select(col("source"), col("n_docs"),
+        TextF.round4HalfUp(
+          col("qw").cast("double") / col("qwsum").cast("double")).as("frac"),
+        floor(col("qw").cast("double") * col("total_docs").cast("double") /
+          col("qwsum").cast("double")).cast("long").as("target_docs"))
+      .orderBy("source")
+  }
+
+  def sourceTemperature(spark: SparkSession, dir: String): DataFrame =
+    sourceTemperatureOf(Tables.documents(spark, dir))
 }

@@ -132,6 +132,17 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(out(5L) == ((1L, 0L, 0.0)))
   }
 
+  test("source temperature: √n weights up-weight small sources, targets floor") {
+    val docs = ((1L to 9L).map(i => (i, "big", s"doc $i")) :+
+      ((10L, "small", "doc 10")))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.sourceTemperatureOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // weights 3:1 (√9:√1) vs the 9:1 proportional split
+    assert(out("big") == ((9L, 0.75, 7L)))   // floor(3e6·10/4e6) = 7
+    assert(out("small") == ((1L, 0.25, 2L))) // floor(1e6·10/4e6) = 2
+  }
+
   test("boilerplate: duplicate grams within ONE doc do not count as corpus-level dup") {
     val eight = "x1 x2 x3 x4 x5 x6 x7 x8"
     // the same 8-gram twice in one doc — still df = 1 (set semantics)
