@@ -28,6 +28,29 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out.getLong(1) == 1L && out.getLong(2) == 1L)
   }
 
+  test("driver data upholds the latest_per_key oracle's µs-grain assumption") {
+    // The Spark operator orders versions on exact ts_ns; the DuckDB
+    // oracle can only see microseconds and falls back to event_id.
+    // They agree iff, within every (user, microsecond), event ids are
+    // ordered like the nanoseconds. Audit that invariant on the real
+    // test tables so a regenerated dataset that breaks it fails HERE
+    // instead of silently desyncing the correctness gate.
+    import org.apache.spark.sql.expressions.Window
+    for (dir <- Seq(Sf, "/root/testdata/sf0.01")) {
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"))
+        .withColumn("us", expr("ts_ns div 1000"))
+      val w = Window.partitionBy("user_id", "us").orderBy(col("event_id"))
+      val inversions = ev
+        .withColumn("prev_ns", lag("ts_ns", 1).over(w))
+        .filter(col("prev_ns").isNotNull && col("prev_ns") > col("ts_ns"))
+        .count()
+      assert(inversions == 0L,
+        s"$dir has same-µs events with ids not in ns order — the " +
+          "latest_per_key oracle (µs grain) would diverge from the ns-exact operator")
+    }
+  }
+
   test("latest per key: full-ns time order first, event_id only on exact ties") {
     val ev = Seq(
       (10L, 1L, "view", 1.0, 1000000000L),
