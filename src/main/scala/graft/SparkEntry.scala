@@ -106,7 +106,8 @@ object SparkEntry {
     "label_centroids"   -> (Cluster.labelCentroids(_, _)),
     "fk_coverage"       -> (Warehouse.fkCoverage(_, _)),
     "latest_per_key"    -> (Warehouse.latestPerKey(_, _)),
-    "source_temperature" -> (Corpus.sourceTemperature(_, _))
+    "source_temperature" -> (Corpus.sourceTemperature(_, _)),
+    "rolling_reach"     -> (EventAnalytics.rollingReach(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1087,6 +1088,15 @@ object SparkEntry {
         |  floor(CAST(qw AS DOUBLE) / CAST(qwsum AS DOUBLE) * 1e4 + 0.5) / 1e4 AS frac,
         |  CAST(floor(CAST(qw AS DOUBLE) * CAST(total_docs AS DOUBLE)
         |    / CAST(qwsum AS DOUBLE)) AS BIGINT) AS target_docs
-        |FROM c, t ORDER BY source""".stripMargin
+        |FROM c, t ORDER BY source""".stripMargin,
+
+    "rolling_reach" ->
+      """WITH a AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |d AS (SELECT DISTINCT day FROM a),
+        |c AS (SELECT a.user_id, a.day + CAST(g.i AS INTEGER) AS day
+        |      FROM a, generate_series(0, 6) AS g(i))
+        |SELECT c.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS users_7d
+        |FROM c JOIN d USING (day)
+        |GROUP BY c.day ORDER BY c.day""".stripMargin
   )
 }

@@ -169,4 +169,31 @@ object EventAnalytics {
 
   def dailyFill(spark: SparkSession, dir: String): DataFrame =
     dailyFillOf(Tables.events(spark, dir))
+
+  /** Trailing `windowDays`-day distinct-user reach per active day —
+    * the sliding-distinct metric a naive per-day self-join makes
+    * quadratic. Shape: activity dedupes to (user, day) FIRST (bounded
+    * by users × days, not raw events), each activity row then fans out
+    * to the `windowDays` window-ends it contributes to (a bounded ×7
+    * explode of the already-deduped frame), and one distinct-count per
+    * window-end finishes it. Window-ends are clipped to days actually
+    * present so every output row is a complete trailing window over
+    * the observed calendar.
+    */
+  def rollingReachOf(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val act = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = act.select(col("day")).distinct()
+    val contrib = act
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+    contrib.join(days, "day")
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("users_7d"))
+      .orderBy("day")
+  }
+
+  def rollingReach(spark: SparkSession, dir: String): DataFrame =
+    rollingReachOf(Tables.events(spark, dir))
 }

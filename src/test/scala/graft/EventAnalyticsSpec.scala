@@ -110,4 +110,27 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(out == Seq((0L, 1L), (1L, 1L)))
   }
+
+  test("rolling reach: trailing window includes earlier activity, drops expired") {
+    val ev = eventsDf(
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 2L, "2024-01-01 11:00:00"),
+      (3L, 1L, "2024-01-03 10:00:00"),
+      (4L, 3L, "2024-01-10 10:00:00")) // Jan 1/3 are > 7 days old by now
+    val out = EventAnalytics.rollingReachOf(ev).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(out == Map(
+      "2024-01-01" -> 2L, // u1 + u2 that day
+      "2024-01-03" -> 2L, // u1 (active twice counts once) + u2 from Jan 1
+      "2024-01-10" -> 1L)) // only u3 — the Jan 1-3 window expired
+  }
+
+  test("rolling reach: duplicate same-day events never double-count a user") {
+    val ev = eventsDf(
+      (1L, 5L, "2024-01-02 08:00:00"),
+      (2L, 5L, "2024-01-02 20:00:00"))
+    val out = EventAnalytics.rollingReachOf(ev).collect()
+      .map(r => r.getLong(1)).toSeq
+    assert(out == Seq(1L))
+  }
 }

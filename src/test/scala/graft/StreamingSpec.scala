@@ -78,6 +78,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("built-in dropDuplicatesWithinWatermark agrees with the custom TTL dedup contract") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val deduped = input.toDF().toDF("key", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("key")
+    val query = deduped.writeStream
+      .format("memory").queryName("ddww_test").outputMode("append").start()
+    try {
+      input.addData(("a", ts("10:00")), ("a", ts("10:30")), ("b", ts("10:10")))
+      query.processAllAvailable()
+      input.addData(("a", ts("10:45"))) // within the watermark window → dropped
+      query.processAllAvailable()
+      val out = spark.table("ddww_test")
+        .select("key").collect().map(_.getString(0)).sorted
+      assert(out.toSeq == Seq("a", "b"))
+    } finally query.stop()
+  }
+
   test("dailyWarehouseSink lands day-grained batches idempotently via partition overwrite") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
