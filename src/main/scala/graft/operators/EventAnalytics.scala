@@ -190,7 +190,7 @@ object EventAnalytics {
       .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
     contrib.join(days, "day")
       .groupBy("day")
-      .agg(countDistinct("user_id").as("users_7d"))
+      .agg(countDistinct("user_id").as(s"users_${windowDays}d"))
       .orderBy("day")
   }
 
