@@ -107,7 +107,8 @@ object SparkEntry {
     "fk_coverage"       -> (Warehouse.fkCoverage(_, _)),
     "latest_per_key"    -> (Warehouse.latestPerKey(_, _)),
     "source_temperature" -> (Corpus.sourceTemperature(_, _)),
-    "rolling_reach"     -> (EventAnalytics.rollingReach(_, _))
+    "rolling_reach"     -> (EventAnalytics.rollingReach(_, _)),
+    "ann_recall"        -> (Similarity.annRecall(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -117,6 +118,41 @@ object SparkEntry {
     * lower(nfc_normalize(..)) mirrors NormalizeText (NFC then simple
     * casefold); regexp_replace (not space-only trim) mirrors the byte
     * scanner on leading/trailing non-space whitespace. */
+  /** Standalone oracle for the brute-force cosine top-k; also nested
+    * as the exact side of [[oracleSql]]'s `ann_recall` — one string so
+    * the recall oracle can never drift from the knn oracle. */
+  private val KnnTopkSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |           FROM embeddings WHERE vec_id < 8),
+      |n AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb FROM embeddings),
+      |s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 6) AS score
+      |      FROM q, n WHERE q_id <> n_id),
+      |r AS (SELECT q_id, n_id, score,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
+      |      FROM s)
+      |SELECT q_id, n_id, score, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** Standalone oracle for the IVF ANN; nested as the approximate side
+    * of `ann_recall` (same single-string rationale as [[KnnTopkSql]]). */
+  private val AnnIvfSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 16),
+      |sc AS (SELECT e.vec_id, e.emb, c.c_id,
+      |         ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) AS cs
+      |       FROM e, c),
+      |cellr AS (SELECT vec_id, emb, c_id,
+      |            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+      |          FROM sc),
+      |cell AS (SELECT vec_id AS n_id, emb AS n_emb, c_id FROM cellr WHERE rn = 1),
+      |qc AS (SELECT vec_id AS q_id, emb AS q_emb, c_id
+      |       FROM cellr WHERE rn <= 2 AND vec_id < 8),
+      |s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 6) AS score
+      |      FROM qc JOIN cell USING (c_id) WHERE q_id <> n_id),
+      |r AS (SELECT q_id, n_id, score,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
+      |      FROM s)
+      |SELECT q_id, n_id, score, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   private val ShingleSetsCte: String =
     """toks AS (
       |  SELECT doc_id,
@@ -313,16 +349,7 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY sha256(text) ORDER BY content_hash""".stripMargin,
 
-    "knn_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
-        |           FROM embeddings WHERE vec_id < 8),
-        |n AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb FROM embeddings),
-        |s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 6) AS score
-        |      FROM q, n WHERE q_id <> n_id),
-        |r AS (SELECT q_id, n_id, score,
-        |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
-        |      FROM s)
-        |SELECT q_id, n_id, score, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "knn_topk" -> KnnTopkSql,
 
     "token_count_bpe" ->
       """SELECT doc_id,
@@ -330,24 +357,7 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+')) AS INT) AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 16),
-        |sc AS (SELECT e.vec_id, e.emb, c.c_id,
-        |         ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) AS cs
-        |       FROM e, c),
-        |cellr AS (SELECT vec_id, emb, c_id,
-        |            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
-        |          FROM sc),
-        |cell AS (SELECT vec_id AS n_id, emb AS n_emb, c_id FROM cellr WHERE rn = 1),
-        |qc AS (SELECT vec_id AS q_id, emb AS q_emb, c_id
-        |       FROM cellr WHERE rn <= 2 AND vec_id < 8),
-        |s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 6) AS score
-        |      FROM qc JOIN cell USING (c_id) WHERE q_id <> n_id),
-        |r AS (SELECT q_id, n_id, score,
-        |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
-        |      FROM s)
-        |SELECT q_id, n_id, score, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "ann_ivf" -> AnnIvfSql,
 
     "token_count" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
@@ -1097,6 +1107,18 @@ object SparkEntry {
         |      FROM a, generate_series(0, 6) AS g(i))
         |SELECT c.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS users_7d
         |FROM c JOIN d USING (day)
-        |GROUP BY c.day ORDER BY c.day""".stripMargin
+        |GROUP BY c.day ORDER BY c.day""".stripMargin,
+
+    // Nests the EXACT same knn/ivf oracle strings as derived tables, so
+    // the recall ground truth can never drift from the per-query oracles.
+    "ann_recall" ->
+      s"""WITH ex AS (SELECT q_id, n_id FROM ($KnnTopkSql)),
+        |ap AS (SELECT q_id, n_id, CAST(1 AS BIGINT) AS hit FROM ($AnnIvfSql))
+        |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(SUM(COALESCE(ap.hit, 0)) AS BIGINT) AS hits,
+        |  floor(CAST(SUM(COALESCE(ap.hit, 0)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS recall
+        |FROM ex LEFT JOIN ap USING (q_id, n_id)
+        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
   )
 }

@@ -209,4 +209,24 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy("q_id", "rank")
   }
+
+  /** Recall@k of the IVF index against the brute-force ground truth —
+    * the evaluation every ANN deployment runs before trusting the
+    * index (and re-runs when nprobe/cells are tuned). Composes the two
+    * existing pipelines; per query: |approx ∩ exact| / k. Both sides
+    * are k rows per query, so everything after them is negligible.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnTopk(spark, dir).select(col("q_id"), col("n_id"))
+    val approx = annIvf(spark, dir).select(col("q_id"), col("n_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("q_id"), col("k"), col("hits"),
+        graft.functions.TextF.round4HalfUp(
+          col("hits").cast("double") / col("k").cast("double")).as("recall"))
+      .orderBy("q_id")
+  }
 }
