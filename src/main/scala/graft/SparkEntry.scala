@@ -108,7 +108,8 @@ object SparkEntry {
     "latest_per_key"    -> (Warehouse.latestPerKey(_, _)),
     "source_temperature" -> (Corpus.sourceTemperature(_, _)),
     "rolling_reach"     -> (EventAnalytics.rollingReach(_, _)),
-    "ann_recall"        -> (Similarity.annRecall(_, _))
+    "ann_recall"        -> (Similarity.annRecall(_, _)),
+    "range_window"      -> (EventAnalytics.rangeWindow(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1119,6 +1120,17 @@ object SparkEntry {
         |  floor(CAST(SUM(COALESCE(ap.hit, 0)) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS recall
         |FROM ex LEFT JOIN ap USING (q_id, n_id)
-        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin,
+
+    "range_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |        CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv FROM events)
+        |SELECT event_id, user_id, us,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+        |  floor(CAST(SUM(qv) OVER w AS DOUBLE) / 100 + 0.5) / 1e4 AS sum_win
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -196,4 +196,31 @@ object EventAnalytics {
 
   def rollingReach(spark: SparkSession, dir: String): DataFrame =
     rollingReachOf(Tables.events(spark, dir))
+
+  /** Per-event trailing time-RANGE aggregates: how many events (and
+    * how much quantized value) the same user produced in the preceding
+    * `precedingMinutes`, including the current event. RANGE frames
+    * differ from the ROWS running window (Report.windowRunning) in the
+    * two ways that matter for rate metrics: the frame is bounded by
+    * EVENT TIME, not row count, and equal-timestamp peers are all
+    * included — which also makes the result independent of the
+    * intra-timestamp row order. One user-keyed shuffle; value sums go
+    * through integer micro-quantization (order-independent).
+    */
+  def rangeWindowOf(events: DataFrame, precedingMinutes: Int = 10): DataFrame = {
+    require(precedingMinutes > 0, s"precedingMinutes must be positive, got $precedingMinutes")
+    val winUs = precedingMinutes.toLong * 60L * 1000000L
+    val ev = events.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-winUs, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"), col("us"),
+      count(lit(1)).over(w).as("n_win"),
+      (floor(sum("qv").over(w).cast("double") / 100.0 + 0.5) / 1e4).as("sum_win"))
+      .orderBy("event_id")
+  }
+
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame =
+    rangeWindowOf(Tables.events(spark, dir))
 }

@@ -125,6 +125,25 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
       "2024-01-10" -> 1L)) // only u3 — the Jan 1-3 window expired
   }
 
+  test("range window: time-bounded frame, equal-timestamp peers all included") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1.0),
+      (2L, 1L, "2024-01-01 10:05:00", 2.0), // 10:00 in its 10-min frame
+      (3L, 1L, "2024-01-01 10:20:00", 4.0), // 10:05 expired (15 min ago)
+      (4L, 2L, "2024-01-01 10:30:00", 1.5), // equal-ts pair: both frames
+      (5L, 2L, "2024-01-01 10:30:00", 2.5)) //   must contain both rows
+      .toDF("event_id", "user_id", "s", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("s")).as("ts"), col("value"))
+    val out = EventAnalytics.rangeWindowOf(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((1L, 1.0)))
+    assert(out(2L) == ((2L, 3.0)))
+    assert(out(3L) == ((1L, 4.0)))
+    assert(out(4L) == ((2L, 4.0)), "RANGE frame includes the same-ts peer")
+    assert(out(5L) == ((2L, 4.0)))
+  }
+
   test("rolling reach: duplicate same-day events never double-count a user") {
     val ev = eventsDf(
       (1L, 5L, "2024-01-02 08:00:00"),
