@@ -36,10 +36,13 @@ class MisraGries(k: Int) extends Aggregator[String, mutable.HashMap[String, Long
       case Some(c) => b(a) = c + 1
       case None if b.size < k => b(a) = 1L
       case None =>
-        // decrement-all; drop zeros (the classic k-sized MG step)
-        val dead = mutable.ArrayBuffer.empty[String]
-        b.foreach { case (t, c) => if (c == 1) dead += t else b(t) = c - 1 }
-        dead.foreach(b.remove)
+        // decrement-all; drop zeros (the classic k-sized MG step).
+        // Iterate a SNAPSHOT: updating a mutable.HashMap's values
+        // inside its own foreach corrupts the traversal (observed:
+        // most entries silently skipped), so mutate only after copying
+        // the entry set out.
+        for ((t, c) <- b.toArray)
+          if (c == 1) b.remove(t) else b(t) = c - 1
     }
     b
   }
@@ -48,10 +51,10 @@ class MisraGries(k: Int) extends Aggregator[String, mutable.HashMap[String, Long
     b2.foreach { case (t, c) => b1(t) = b1.getOrElse(t, 0L) + c }
     if (b1.size > k) {
       // subtract the (k+1)-th largest count from everything, keep > 0
+      // (Agarwal et al. merge rule); snapshot first — see reduce.
       val m = b1.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      b1.foreach { case (t, c) => if (c - m <= 0) dead += t else b1(t) = c - m }
-      dead.foreach(b1.remove)
+      for ((t, c) <- b1.toArray)
+        if (c - m <= 0) b1.remove(t) else b1(t) = c - m
     }
     b1
   }

@@ -89,4 +89,40 @@ class KernelPropertySpec extends AnyFunSuite {
       Dedup.simhashOf(ts) == Dedup.simhashOf(shuffled)
     })
   }
+
+  test("MisraGries: every item with freq > N/k survives random partitioned merges") {
+    val streamGen = for {
+      n <- Gen.choose(1, 400)
+      items <- Gen.listOfN(n, Gen.choose(0, 25).map(i => s"t$i"))
+    } yield items
+    check("mg-guarantee", Prop.forAll(streamGen, Gen.choose(2, 12), Gen.long) {
+      (stream, k, seed) =>
+        val mg = new graft.operators.MisraGries(k)
+        val rnd = new scala.util.Random(seed)
+        // random partitioning AND random merge order
+        val parts = rnd.shuffle(stream).grouped(1 + rnd.nextInt(40)).toSeq
+        val bufs = rnd.shuffle(parts.map(p => p.foldLeft(mg.zero)(mg.reduce)))
+        val merged = bufs.reduce(mg.merge)
+        val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+        val heavy = exact.filter { case (_, c) => c * k > stream.size }.keys
+        merged.size <= k &&
+          heavy.forall(merged.contains) &&
+          merged.forall { case (t, est) => est <= exact(t) } // never overestimates
+    })
+  }
+
+  test("SignPackBits.pack matches the per-bit reference on arbitrary floats") {
+    val vecGen = Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(-10f, 10f), Gen.const(0f), Gen.const(-0f),
+      Gen.const(Float.MinPositiveValue))).map(_.toArray)
+    check("pack-reference", Prop.forAll(vecGen, Gen.oneOf(0, 32)) { (v, from) =>
+      val expr = graft.plans.SignPackBits(
+        org.apache.spark.sql.catalyst.expressions.Literal(1), from)
+      val packed = expr.pack(new GenericArrayData(v))
+      val reference = (0 until 32).map { i =>
+        if (from + i < v.length && v(from + i) > 0f) 1L << i else 0L
+      }.sum
+      packed == reference
+    })
+  }
 }
