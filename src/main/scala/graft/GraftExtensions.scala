@@ -63,7 +63,10 @@ object GraftFunctions {
         val from = children(1) match {
           case lit: org.apache.spark.sql.catalyst.expressions.Literal
             if lit.value.isInstanceOf[Number] =>
-            lit.value.asInstanceOf[Number].intValue()
+            val v = lit.value.asInstanceOf[Number].longValue()
+            require(v >= 0 && v <= Int.MaxValue,
+              s"sign_pack_bits 'from' out of range: $v")
+            v.toInt
           case other => throw new IllegalArgumentException(
             s"sign_pack_bits 'from' must be an integer literal, got: ${other.sql}")
         }

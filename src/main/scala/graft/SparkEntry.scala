@@ -1053,7 +1053,8 @@ object SparkEntry {
         |      FROM v, generate_series(1, 64) AS g(i) GROUP BY label, i),
         |c AS (SELECT label, list(cv ORDER BY i) AS c_emb FROM m GROUP BY label),
         |s AS (SELECT v.label, ROUND(list_cosine_similarity(v.emb, c.c_emb), 6) AS cs
-        |      FROM v JOIN c USING (label))
+        |      FROM v JOIN c USING (label)
+        |      WHERE NOT isnan(list_cosine_similarity(v.emb, c.c_emb)))
         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
         |  floor(CAST(SUM(CAST(floor(cs * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / 1e6 / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_cos,

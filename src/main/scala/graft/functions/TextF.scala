@@ -98,6 +98,13 @@ object TextF {
   def round4HalfUp(c: Column): Column =
     floor(c * lit(1e4) + lit(0.5)).cast("double") / lit(1e4)
 
+  /** Integer micro-unit sum → value at 4 dp: `floor(q/100 + 0.5)/1e4`
+    * is the same double in every engine (cf. [[round4HalfUp]]). The
+    * ONE implementation of the micros→4dp contract — operators whose
+    * oracles mirror it must call this, not inline a copy. */
+  def microsTo4dp(q: Column): Column =
+    floor(q.cast("double") / lit(100.0) + lit(0.5)) / lit(1e4)
+
   /** Heuristic quality score in [0,1]: favors mid-length docs with low
     * punctuation noise and a sane stopword ratio. Deterministic and
     * SQL-expressible (oracle-checkable). */

@@ -49,9 +49,13 @@ object Behavior {
     // so a halfway double rounds identically in every engine. base = 0
     // (no step-1 events at all) is pinned to 0.0 — unguarded, Spark's
     // 0/0 is NaN while SQL engines yield NULL, and floor(NaN) masks it
-    // as a bogus 0 anyway.
-    val base = rows.filter(col("ord") === 1).select(col("users").as("base"))
-    rows.crossJoin(base)
+    // as a bogus 0 anyway. base comes from a window over the SAME
+    // 3-row frame — re-filtering `rows` would embed the whole
+    // three-aggregate funnel DAG a second time in the plan.
+    val whole = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    rows
+      .withColumn("base", max(when(col("ord") === 1, col("users"))).over(whole))
       .select(col("step"), col("ord"), col("users"),
         when(col("base") === 0, lit(0.0)).otherwise(
           floor(col("users").cast("double") / col("base").cast("double") * 100 * 100 + 0.5) / 100)
@@ -96,11 +100,9 @@ object Behavior {
     val q = events.select(to_date(col("ts")).as("day"), col("event_type"),
       floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
     val wide = q.groupBy("day").pivot("event_type", types).agg(sum(col("qv")))
-    // micros → units at 4 dp via floor-form on the exact integer sum:
-    // floor(q/100 + 0.5)/1e4 is the same double in every engine
     val filled = types.foldLeft(wide) { (df, t) =>
       df.withColumn(t,
-        floor(coalesce(col(t), lit(0L)).cast("double") / 100.0 + 0.5) / 1e4)
+        graft.functions.TextF.microsTo4dp(coalesce(col(t), lit(0L))))
     }
     filled.orderBy("day")
   }

@@ -108,6 +108,10 @@ object Cluster {
     vecs.join(cents, "label")
       .select(col("label"),
         round(VectorF.cosineSim(col("emb"), col("c_emb")), 6).as("cs"))
+      // zero-norm member or centroid → cosine NULL; keep the stats over
+      // SCORED members only, or `n` would divide a sum the NULL rows
+      // never joined (the oracle filters the same rows via isnan)
+      .filter(col("cs").isNotNull)
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
         sum(floor(col("cs") * 1e6 + 0.5).cast("long")).as("qsum"),

@@ -217,7 +217,7 @@ object EventAnalytics {
       .rangeBetween(-winUs, Window.currentRow)
     ev.select(col("event_id"), col("user_id"), col("us"),
       count(lit(1)).over(w).as("n_win"),
-      (floor(sum("qv").over(w).cast("double") / 100.0 + 0.5) / 1e4).as("sum_win"))
+      graft.functions.TextF.microsTo4dp(sum("qv").over(w)).as("sum_win"))
       .orderBy("event_id")
   }
 

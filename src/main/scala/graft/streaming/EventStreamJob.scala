@@ -45,6 +45,10 @@ object EventStreamJob {
     */
   def clickViewJoin(views: DataFrame, clicks: DataFrame,
                     windowHours: Int = 1): DataFrame = {
+    require(windowHours > 0, s"windowHours must be positive, got $windowHours")
+    require(windowHours <= 2,
+      s"windowHours ($windowHours) must fit inside the 2-hour watermarks " +
+        "or matches near the horizon are silently dropped")
     val v = views
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "2 hours")

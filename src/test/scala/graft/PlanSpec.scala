@@ -18,12 +18,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   // leaf wrapper, so collect() on executedPlan would see nothing).
   private def plan(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
 
-  test("knnTopk is the ONLY query allowed a nested-loop join, and keeps the top-k partition-local") {
+  // Nested-loop joins are allowed ONLY where a side is bounded by
+  // construction: knnTopk/annHamming (fixed query set), annIvf/kmeans
+  // (fixed centroid set), tfidf/collocations/funnelSteps (1-row
+  // totals), and annRecall (composes knn + ivf). Everything else is
+  // swept by the all-pairs test below.
+  test("knnTopk keeps one query-set nested-loop and a partition-local top-k") {
     val p = plan(Similarity.knnTopk(spark, Sf))
     assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length == 1,
       "brute-force knn is by design one broadcast nested-loop of queries x neighbors")
     assert(p.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
       "row_number()<=k must rewrite to WindowGroupLimit (partition-local top-k)")
+  }
+
+  test("annRecall adds no nested-loop beyond its parents' bounded ones") {
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }.length
+    val parents = bnlj(plan(Similarity.knnTopk(spark, Sf))) +
+      bnlj(plan(Similarity.annIvf(spark, Sf)))
+    val p = plan(Similarity.annRecall(spark, Sf))
+    // ivf's centroid-assignment subtree is planned once per branch it
+    // feeds, so the composition may repeat a parent's bounded BNLJ —
+    // but the recall join itself must stay an equijoin.
+    assert(bnlj(p) <= parents + 1,
+      s"recall composition grew nested-loops: ${bnlj(p)} vs parents' $parents")
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty)
   }
 
   test("no dedup/ANN query plans an all-pairs join") {

@@ -36,7 +36,10 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     // test tables so a regenerated dataset that breaks it fails HERE
     // instead of silently desyncing the correctness gate.
     import org.apache.spark.sql.expressions.Window
-    for (dir <- Seq(Sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    val dirs = Seq(Sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(s"$d/events.parquet").exists())
+    assert(dirs.nonEmpty, "no events fixture present at all")
+    for (dir <- dirs) {
       val ev = graft.sources.Tables.events(spark, dir)
         .select(col("user_id"), col("ts_ns"), col("event_id"))
         .withColumn("us", expr("ts_ns div 1000"))
