@@ -47,4 +47,39 @@ object Sinks {
       .mode(SaveMode.Overwrite)
       .partitionBy(dateCol)
       .parquet(path)
+
+  /** Small-file compaction: rewrite the affected dates with ONE file
+    * per partition. A table fed by many incremental appends (or a
+    * streaming sink's micro-batches) accumulates files whose per-file
+    * open/footer cost eventually dominates scans — the classic
+    * small-files problem. `repartition(dateCol)` routes each date to
+    * one task, so the dynamic overwrite lands exactly one file per
+    * date; run it periodically over recent partitions, not the whole
+    * table.
+    */
+  def compactDaily(df: DataFrame, path: String, dateCol: String): Unit =
+    idempotentDailyAppend(df.repartition(col(dateCol)), path, dateCol)
+
+  /** Retention expiry: drop `dateCol=<iso-date>` partitions strictly
+    * older than `cutoffIso`. Pure directory-level metadata work — no
+    * row is ever scanned, which is the only affordable shape at
+    * 100 TB (a DELETE-scan would read the whole table to drop 1/365th
+    * of it). ISO date strings compare lexicographically in date
+    * order, so the cutoff is a plain string compare. Returns the
+    * dropped partition values.
+    */
+  def dropPartitionsBefore(spark: org.apache.spark.sql.SparkSession,
+                           path: String, dateCol: String,
+                           cutoffIso: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val prefix = s"$dateCol="
+    val doomed = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+        s.getPath.getName.stripPrefix(prefix) < cutoffIso)
+      .map(_.getPath)
+    doomed.foreach(p => fs.delete(p, true))
+    doomed.map(_.getName.stripPrefix(prefix)).sorted
+  }
 }

@@ -50,6 +50,44 @@ class SinksSpec extends AnyFunSuite with SparkFixture {
       "pruned scan must touch exactly the matching partition's file")
   }
 
+  test("compactDaily leaves exactly one file per date partition") {
+    val path = tmp("graft-compact") + "/table"
+    // simulate many small incremental appends: 4 writes × 2 dates
+    for (i <- 1 to 4) {
+      Seq(("2026-02-01", i.toLong), ("2026-02-02", i * 10L))
+        .toDF("date", "id")
+        .repartition(3) // several files per append
+        .write.mode("append").partitionBy("date").parquet(path)
+    }
+    def filesPerDay(day: String) =
+      new java.io.File(s"$path/date=$day").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    assert(filesPerDay("2026-02-01") >= 4, "precondition: fragmented table")
+
+    Sinks.compactDaily(spark.read.parquet(path), path, "date")
+    assert(filesPerDay("2026-02-01") == 1 && filesPerDay("2026-02-02") == 1)
+    // content survives byte-for-byte
+    val back = spark.read.parquet(path)
+    assert(back.count() == 8)
+    assert(back.filter(col("date") === "2026-02-02")
+      .agg(sum("id")).head().getLong(0) == 100L)
+  }
+
+  test("dropPartitionsBefore deletes only expired dates, touching no rows") {
+    val path = tmp("graft-retention") + "/table"
+    val df = Seq(("2026-01-01", 1L), ("2026-01-15", 2L), ("2026-02-01", 3L))
+      .toDF("date", "id")
+    Sinks.idempotentDailyAppend(df, path, "date")
+    val dropped = Sinks.dropPartitionsBefore(spark, path, "date", "2026-01-20")
+    assert(dropped == Seq("2026-01-01", "2026-01-15"))
+    val back = spark.read.parquet(path)
+    assert(back.select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // idempotent: nothing left to drop
+    assert(Sinks.dropPartitionsBefore(spark, path, "date", "2026-01-20").isEmpty)
+    // missing table is a no-op, not an error
+    assert(Sinks.dropPartitionsBefore(spark, "/tmp/graft-no-such-table", "date", "2026-01-20").isEmpty)
+  }
+
   test("ORC sink round-trips with schema and pushes filters on re-read") {
     val path = tmp("graft-orc") + "/out"
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
