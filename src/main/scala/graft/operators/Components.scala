@@ -95,6 +95,30 @@ object Components {
       .orderBy("doc_id")
   }
 
+  /** Representative selection: from each near-dup component keep the
+    * member with the HIGHEST quality score (ties → lowest doc_id) —
+    * the real-world final step of transitive dedup, where "keep the
+    * minimum id" (what the raw component label encodes) would throw
+    * away the best copy of a cluster. Expressed as a lexicographic
+    * struct max over (quality, -doc_id), so the aggregate combines
+    * map-side — one candidate per component per partition reaches the
+    * shuffle (cf. Warehouse.latestPerKeyOf, the same shape).
+    *
+    * @param components (doc_id, component) — e.g. [[dedupComponentsOf]]
+    * @param quality    (doc_id, quality)   — any score; ties break low-id
+    */
+  def pickRepresentativesOf(components: DataFrame, quality: DataFrame): DataFrame =
+    components.join(quality, "doc_id")
+      .groupBy("component")
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"),
+        (-col("m.neg_id")).as("keep_id"),
+        col("m.quality").as("keep_quality"),
+        col("n_members"))
+      .orderBy("component")
+
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     dedupComponentsOf(Tables.documents(spark, dir))
 }

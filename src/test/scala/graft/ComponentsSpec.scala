@@ -56,4 +56,22 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
+
+  test("pickRepresentatives keeps the best-quality member, ties to the lowest id") {
+    import spark.implicits._
+    val components = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (4L, 4L), (5L, 4L),           // cluster 4: quality tie
+      (6L, 6L))                     // singleton
+      .toDF("doc_id", "component")
+    val quality = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),
+      (4L, 0.7), (5L, 0.7),
+      (6L, 0.1)).toDF("doc_id", "quality")
+    val out = Components.pickRepresentativesOf(components, quality).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 0.9, 3L)), "highest quality wins, not lowest id")
+    assert(out(4L) == ((4L, 0.7, 2L)), "quality tie breaks to the lowest id")
+    assert(out(6L) == ((6L, 0.1, 1L)))
+  }
 }
