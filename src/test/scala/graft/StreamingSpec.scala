@@ -78,6 +78,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("the Misra-Gries udaf maintains a streaming heavy-hitter sketch across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val sketch = org.apache.spark.sql.functions.udaf(
+      new graft.operators.MisraGries(3), org.apache.spark.sql.Encoders.STRING)
+    val agg = input.toDF().toDF("token")
+      .agg(sketch(col("token")).as("sketch"))
+      .select(explode(col("sketch")).as(Seq("token", "est")))
+    val query = agg.writeStream
+      .format("memory").queryName("mg_stream_test").outputMode("complete").start()
+    try {
+      input.addData(Seq.fill(6)("hot") ++ Seq("a", "b"): _*)
+      query.processAllAvailable()
+      input.addData(Seq.fill(5)("hot") ++ Seq("c", "d", "e", "f"): _*)
+      query.processAllAvailable()
+
+      val out = spark.table("mg_stream_test").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 17 tokens total, k=3: 'hot' (11 > 17/3) must be in the sketch
+      // with an estimate that never exceeds its true count
+      assert(out.size <= 3)
+      assert(out.contains("hot"), s"frequency-11/17 item must survive: $out")
+      assert(out("hot") <= 11L)
+    } finally query.stop()
+  }
+
   test("built-in dropDuplicatesWithinWatermark agrees with the custom TTL dedup contract") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
