@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.operators.Dedup
-import graft.plans.{CosineSimilarity, MinHashSignature, NormalizeText, ShingleHashes, SignPackBits, SimHash64, SortedIntersectSize}
+import graft.plans.{CosineSimilarity, L2Squared, MinHashSignature, NormalizeText, ShingleHashes, SignPackBits, SimHash64, SortedIntersectSize}
 
 /** SQL-surface registration for the engine's native expressions, so
   * `spark.sql("SELECT cosine_sim(a, b) ...")` works like any built-in.
@@ -50,6 +50,9 @@ object GraftFunctions {
     (FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))),
+    (FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, "l2_sq"),
+      (children: Seq[Expression]) => L2Squared(children(0), children(1))),
     (FunctionIdentifier("sign_pack_bits"),
       new ExpressionInfo(classOf[SignPackBits].getName, "sign_pack_bits"),
       // sign_pack_bits(embedding, from): 32 sign bits starting at

@@ -109,7 +109,9 @@ object SparkEntry {
     "source_temperature" -> (Corpus.sourceTemperature(_, _)),
     "rolling_reach"     -> (EventAnalytics.rollingReach(_, _)),
     "ann_recall"        -> (Similarity.annRecall(_, _)),
-    "range_window"      -> (EventAnalytics.rangeWindow(_, _))
+    "range_window"      -> (EventAnalytics.rangeWindow(_, _)),
+    // rows-only: PQ codebook internals are not SQL-expressible (cf. #16)
+    "ann_pq"            -> (Pq.annPq(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
