@@ -108,14 +108,22 @@ object Components {
     * @param quality    (doc_id, quality)   — any score; ties break low-id
     */
   def pickRepresentativesOf(components: DataFrame, quality: DataFrame): DataFrame =
-    components.join(quality, "doc_id")
+    // LEFT join: quality is typically computed on a filtered subset,
+    // and an inner join would undercount members — or drop a whole
+    // component (emitting ZERO copies of that cluster) when none of
+    // its members were scored. Unscored members sort below every
+    // scored one (has_q=false < true), so they are kept only when
+    // nothing scored exists, and then report a NULL quality.
+    components.join(quality, Seq("doc_id"), "left")
       .groupBy("component")
       .agg(
-        max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("m"),
+        max(struct(col("quality").isNotNull.as("has_q"),
+          coalesce(col("quality"), lit(0.0)).as("q"),
+          (-col("doc_id")).as("neg_id"))).as("m"),
         count(lit(1)).as("n_members"))
       .select(col("component"),
         (-col("m.neg_id")).as("keep_id"),
-        col("m.quality").as("keep_quality"),
+        when(col("m.has_q"), col("m.q")).as("keep_quality"),
         col("n_members"))
       .orderBy("component")
 

@@ -87,14 +87,21 @@ object Pq {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         s => s.getField("v")).as("cent"))
 
-  /** Train per-subspace codebooks (seeds = first K vectors' subvectors,
-    * `iters` Lloyd rounds) and return (subspace, code, cent). */
+  /** Train per-subspace codebooks (seeds = the K lowest-id vectors'
+    * subvectors — rank-based, so ANY id space works, not just one
+    * starting at 0; `iters` Lloyd rounds) and return
+    * (subspace, code, cent). */
   def trainCodebooks(embeddings: DataFrame, iters: Int = 2): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
     val subs = subvectors(embeddings)
-    val seeds = subs.filter(col("vec_id") < K)
-      .select(col("subspace"), col("vec_id").cast("int").as("code"),
-        col("sub").as("cent"))
+    // K rows after the TakeOrdered limit; the rank window runs on that
+    // bounded frame only
+    val seedIds = embeddings.select(col("vec_id")).distinct()
+      .orderBy("vec_id").limit(K)
+      .withColumn("code",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+    val seeds = subs.join(broadcast(seedIds), "vec_id")
+      .select(col("subspace"), col("code"), col("sub").as("cent"))
     val last = (1 until iters).foldLeft(assign(subs, seeds)) { (a, _) =>
       assign(subs, recenter(a))
     }
@@ -113,7 +120,7 @@ object Pq {
     * the broadcast table and a per-query sum + partition-local top-k.
     */
   def search(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
-             k: Int = TopK): DataFrame = {
+             k: Int = TopK, excludeSelf: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val qsubs = subvectors(queries)
       .select(col("vec_id").as("q_id"), col("subspace"), col("sub").as("qsub"))
@@ -123,7 +130,10 @@ object Pq {
         l2sq(col("qsub"), col("cent")).as("d"))
     val byDist = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
     codes.join(broadcast(tables), Seq("subspace", "code"))
-      .filter(col("q_id") =!= col("vec_id"))
+      // self-exclusion ONLY when the query ids live in the corpus id
+      // space (annPq) — with external query ids an accidental match
+      // would silently hide a legitimate nearest neighbor
+      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .groupBy("q_id", "vec_id")
       .agg(round(sum("d"), 6).as("adc"))
       .select(col("q_id"), col("vec_id").as("n_id"), col("adc"))
@@ -141,9 +151,10 @@ object Pq {
     */
   def searchRerank(queries: DataFrame, vectors: DataFrame, codes: DataFrame,
                    codebook: DataFrame, k: Int = TopK,
-                   shortlistFactor: Int = 5): DataFrame = {
+                   shortlistFactor: Int = 5,
+                   excludeSelf: Boolean = false): DataFrame = {
     require(shortlistFactor > 0, s"shortlistFactor must be positive, got $shortlistFactor")
-    val shortlist = search(queries, codes, codebook, k * shortlistFactor)
+    val shortlist = search(queries, codes, codebook, k * shortlistFactor, excludeSelf)
       .select(col("q_id"), col("n_id"))
     val qv = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("q_emb"))
@@ -168,6 +179,6 @@ object Pq {
     val codebook = trainCodebooks(emb).localCheckpoint(false)
     val codes = encode(emb, codebook)
     val queries = emb.filter(col("vec_id") < Similarity.QuerySetSize)
-    searchRerank(queries, emb, codes, codebook)
+    searchRerank(queries, emb, codes, codebook, excludeSelf = true)
   }
 }

@@ -12,6 +12,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (vectors × subspaces × centroids × Lloyd rounds) that interpreter
   * overhead dominated the whole ann_pq query. Sibling of
   * [[CosineSimilarity]].
+  *
+  * Length-mismatched inputs return NULL: silently truncating to the
+  * shorter array would UNDERSTATE the distance (an empty array would
+  * "perfectly match" everything) — for a distance that is the worst
+  * possible failure direction, so mismatches degrade to NULL like
+  * CosineSimilarity's zero-norm case and drop out of any argmin.
   */
 case class L2Squared(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -19,12 +25,15 @@ case class L2Squared(left: Expression, right: Expression)
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Nullable beyond child-nullability: length mismatch yields NULL.
+  override def nullable: Boolean = true
   override def prettyName: String = "l2_sq"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0; var i = 0
     while (i < n) {
       val d = x.getDouble(i) - y.getDouble(i)
@@ -38,13 +47,16 @@ case class L2Squared(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $acc = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  double $d = $a.getDouble($i) - $b.getDouble($i);
-        |  $acc += $d * $d;
+        |int $n = $a.numElements();
+        |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+        |else {
+        |  double $acc = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $d = $a.getDouble($i) - $b.getDouble($i);
+        |    $acc += $d * $d;
+        |  }
+        |  ${ev.value} = $acc;
         |}
-        |${ev.value} = $acc;
       """.stripMargin
     })
 

@@ -74,4 +74,18 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(out(4L) == ((4L, 0.7, 2L)), "quality tie breaks to the lowest id")
     assert(out(6L) == ((6L, 0.1, 1L)))
   }
+
+  test("pickRepresentatives survives partially- and un-scored components") {
+    import spark.implicits._
+    val components = Seq(
+      (1L, 1L), (2L, 1L), // member 1 unscored, member 2 scored
+      (3L, 3L), (4L, 3L)) // nobody scored — cluster must still keep one
+      .toDF("doc_id", "component")
+    val quality = Seq((2L, 0.4)).toDF("doc_id", "quality")
+    val out = Components.pickRepresentativesOf(components, quality).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, Some(0.4), 2L)), "scored member beats unscored; n counts BOTH")
+    assert(out(3L) == ((3L, None, 2L)), "fully-unscored cluster keeps its lowest id, NULL quality")
+  }
 }

@@ -90,45 +90,6 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("floor-form rounding helpers match the BigDecimal HALF_UP reference") {
-    // round4HalfUp / microsTo4dp are the cross-engine rounding
-    // contract every oracle mirrors; pin them to an independent
-    // decimal reference on non-negative inputs (their documented
-    // domain — scores, counts, quantized sums).
-    val spark0 = SparkFixture.spark
-    import spark0.implicits._
-    import graft.functions.TextF
-    val valuesGen = Gen.listOfN(40, Gen.chooseNum(0.0, 1e6)
-      .map(x => math.rint(x * 100) / 100)) // 2-dp inputs hit .x5 halfway cases
-    check("round4-vs-bigdecimal", Prop.forAll(valuesGen) { xs =>
-      xs.isEmpty || {
-        val got = xs.toDF("x")
-          .select(TextF.round4HalfUp(org.apache.spark.sql.functions.col("x")))
-          .as[Double].collect().toSeq
-        val want = xs.map(x =>
-          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        // BigDecimal rounds the exact binary value; floor(x*1e4+0.5)
-        // rounds the scaled double — they agree except when x*1e4
-        // itself rounds across the .5 boundary, which the quantized
-        // 2-dp inputs here cannot produce
-        got == want
-      }
-    })
-    check("micros-consistency", Prop.forAll(Gen.listOfN(30, Gen.choose(0L, (1L << 50))) ) { qs =>
-      qs.isEmpty || {
-        val got = qs.toDF("q")
-          .select(TextF.microsTo4dp(org.apache.spark.sql.functions.col("q")))
-          .as[Double].collect().toSeq
-        // micros→4dp == value/1e6 rounded half-up at 4 dp (exact
-        // integer path: q/100 is below 2^53 so the double is exact)
-        val want = qs.map(q =>
-          (BigDecimal(q) / 100 + BigDecimal("0.5"))
-            .setScale(0, BigDecimal.RoundingMode.FLOOR).toDouble / 1e4)
-        got == want
-      }
-    })
-  }
-
   test("MisraGries: every item with freq > N/k survives random partitioned merges") {
     val streamGen = for {
       n <- Gen.choose(1, 400)

@@ -40,7 +40,8 @@ class PqSpec extends AnyFunSuite with SparkFixture {
     val codes = Pq.encode(emb, codebook)
     val pqErr = codes.agg(sum("qerr")).head().getDouble(0)
     // baseline: quantizing everything to the global mean costs exactly
-    // the total variance; 16 centroids per subspace must beat half of it
+    // the total variance; 16 centroids per subspace must land well
+    // under it (3/4 bound — the enforced contract)
     val subs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .select(explode(col("e")).as("v"))
     val variance = subs.agg(sum(col("v") * col("v")).as("ss"),
@@ -53,7 +54,7 @@ class PqSpec extends AnyFunSuite with SparkFixture {
   test("two-stage search: ADC shortlist + exact re-rank, recall against exact L2") {
     val queries = emb.filter(col("vec_id") < 8)
     val codes = Pq.encode(emb, codebook)
-    val adcOnly = Pq.search(queries, codes, codebook).collect()
+    val adcOnly = Pq.search(queries, codes, codebook, excludeSelf = true).collect()
     val byQAdc = adcOnly.groupBy(_.getLong(0))
     assert(byQAdc.keySet == (0L until 8L).toSet)
     byQAdc.values.foreach { rows =>
@@ -72,7 +73,7 @@ class PqSpec extends AnyFunSuite with SparkFixture {
       exact.intersect(rows(q)).size.toDouble / Pq.TopK
     }.sum / 8
     val adcRecall = recallOf(byQAdc.view.mapValues(_.map(_.getLong(1)).toSet).toMap)
-    val reranked = Pq.searchRerank(queries, emb, codes, codebook).collect()
+    val reranked = Pq.searchRerank(queries, emb, codes, codebook, excludeSelf = true).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val rerankRecall = recallOf(reranked)
     assert(adcRecall > 0.15, s"raw ADC recall collapsed: $adcRecall")

@@ -65,4 +65,31 @@ class TextSpec extends AnyFunSuite with SparkFixture {
       .toDF("text").select(TextF.tokenCount(col("text"))).collect().map(_.getInt(0))
     assert(got.toSeq == Seq(3, 1, 1))
   }
+
+  test("floor-form rounding helpers match the BigDecimal reference (one batched job each)") {
+    // round4HalfUp / microsTo4dp are the cross-engine rounding contract
+    // every oracle mirrors; pin them to an independent decimal
+    // reference on their documented non-negative domain. 2-dp inputs
+    // deliberately include .xx5 halfway points (where built-in round()
+    // diverges between engines and the floor form must not).
+    val rnd = new scala.util.Random(42)
+    val xs = (Seq(0.0, 0.5, 12.3450, 0.00005, 1.00015, 999999.99) ++
+      Seq.fill(2000)(math.rint(rnd.nextDouble() * 1e8) / 100)).toIndexedSeq
+    val got = xs.toDF("x").select(TextF.round4HalfUp(col("x")))
+      .collect().map(_.getDouble(0))
+    val want = xs.map(x =>
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // BigDecimal rounds the exact binary value; floor(x*1e4+0.5) rounds
+    // the scaled double — identical for inputs quantized at 2 dp
+    assert(got.toSeq == want)
+
+    val qs = (Seq(0L, 49L, 50L, 51L, 150L, (1L << 50)) ++
+      Seq.fill(2000)(rnd.nextLong().abs % (1L << 50))).toIndexedSeq
+    val got2 = qs.toDF("q").select(TextF.microsTo4dp(col("q")))
+      .collect().map(_.getDouble(0))
+    val want2 = qs.map(q =>
+      (BigDecimal(q) / 100 + BigDecimal("0.5"))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toDouble / 1e4)
+    assert(got2.toSeq == want2)
+  }
 }
