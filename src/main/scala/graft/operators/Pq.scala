@@ -91,12 +91,18 @@ object Pq {
     * subvectors — rank-based, so ANY id space works, not just one
     * starting at 0; `iters` Lloyd rounds) and return
     * (subspace, code, cent). */
-  def trainCodebooks(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+  def trainCodebooks(embeddings: DataFrame, iters: Int = 2): DataFrame =
+    trainOn(subvectors(embeddings), iters)
+
+  /** Training over an already-derived subvector frame — annPq
+    * materializes ONE subvector frame and feeds it to training and
+    * encoding both, so the scan+explode+slice pipeline runs once
+    * instead of once per Lloyd round. */
+  private def trainOn(subs: DataFrame, iters: Int): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
-    val subs = subvectors(embeddings)
     // K rows after the TakeOrdered limit; the rank window runs on that
     // bounded frame only
-    val seedIds = embeddings.select(col("vec_id")).distinct()
+    val seedIds = subs.select(col("vec_id")).distinct()
       .orderBy("vec_id").limit(K)
       .withColumn("code",
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
@@ -176,8 +182,12 @@ object Pq {
     * and reconstruction guarantees). */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val codebook = trainCodebooks(emb).localCheckpoint(false)
-    val codes = encode(emb, codebook)
+    // one materialized subvector frame feeds every training round AND
+    // the encode pass (16 bytes + one 8-dim array per row — tiny)
+    val subs = subvectors(emb).localCheckpoint(false)
+    val codebook = trainOn(subs, iters = 2).localCheckpoint(false)
+    val codes = assign(subs, codebook)
+      .select(col("vec_id"), col("subspace"), col("code"))
     val queries = emb.filter(col("vec_id") < Similarity.QuerySetSize)
     searchRerank(queries, emb, codes, codebook, excludeSelf = true)
   }
