@@ -111,7 +111,9 @@ object SparkEntry {
     "ann_recall"        -> (Similarity.annRecall(_, _)),
     "range_window"      -> (EventAnalytics.rangeWindow(_, _)),
     // rows-only: PQ codebook internals are not SQL-expressible (cf. #16)
-    "ann_pq"            -> (Pq.annPq(_, _))
+    "ann_pq"            -> (Pq.annPq(_, _)),
+    "revenue_by_nation" -> (Warehouse.revenueByNation(_, _)),
+    "lang_confusion"    -> (TextAnalysis.langConfusion(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -155,6 +157,31 @@ object SparkEntry {
       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
       |      FROM s)
       |SELECT q_id, n_id, score, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** Standalone oracle for the n-gram language detector; also nested
+    * as the prediction side of `lang_confusion` — one string, no
+    * drift (same pattern as [[KnnTopkSql]]). */
+  private val LangIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','you','that'))) AS s_en,
+      |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','ser','se','no'))) AS s_es,
+      |    len(list_filter(toks, x -> x IN ('der','die','und','in','den','von','zu','das','mit','sich'))) AS s_de,
+      |    len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','est','un','une','que'))) AS s_fr,
+      |    len(list_filter(toks, x -> x IN ('的','一','是','不','了','人','我','在','有','他'))) AS s_zh
+      |  FROM t),
+      |m AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM s)
+      |SELECT doc_id, lang,
+      |  CASE WHEN best = 0 THEN 'und'
+      |       WHEN s_zh = best THEN 'zh'
+      |       WHEN s_fr = best THEN 'fr'
+      |       WHEN s_es = best THEN 'es'
+      |       WHEN s_en = best THEN 'en'
+      |       ELSE 'de' END AS pred_lang
+      |FROM m ORDER BY doc_id""".stripMargin
 
   private val ShingleSetsCte: String =
     """toks AS (
@@ -457,27 +484,7 @@ object SparkEntry {
     // Argmax over per-language profile-word hits; ties break on the
     // GREATEST language code (= Spark's array_max over struct(score,
     // lang)), 'und' when nothing matched.
-    "lang_id" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','you','that'))) AS s_en,
-        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','ser','se','no'))) AS s_es,
-        |    len(list_filter(toks, x -> x IN ('der','die','und','in','den','von','zu','das','mit','sich'))) AS s_de,
-        |    len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','est','un','une','que'))) AS s_fr,
-        |    len(list_filter(toks, x -> x IN ('的','一','是','不','了','人','我','在','有','他'))) AS s_zh
-        |  FROM t),
-        |m AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM s)
-        |SELECT doc_id, lang,
-        |  CASE WHEN best = 0 THEN 'und'
-        |       WHEN s_zh = best THEN 'zh'
-        |       WHEN s_fr = best THEN 'fr'
-        |       WHEN s_es = best THEN 'es'
-        |       WHEN s_en = best THEN 'en'
-        |       ELSE 'de' END AS pred_lang
-        |FROM m ORDER BY doc_id""".stripMargin,
+    "lang_id" -> LangIdSql,
 
     "sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
@@ -1124,6 +1131,31 @@ object SparkEntry {
         |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS recall
         |FROM ex LEFT JOIN ap USING (q_id, n_id)
         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin,
+
+    // Nests the lang_id oracle verbatim — the confusion matrix can
+    // never drift from the per-document prediction oracle.
+    "lang_confusion" ->
+      s"""WITH p AS (SELECT lang, pred_lang FROM ($LangIdSql)),
+        |g AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM p GROUP BY 1, 2),
+        |r AS (SELECT *, SUM(n) OVER (PARTITION BY lang) AS lang_total FROM g)
+        |SELECT lang, pred_lang, n,
+        |  floor(CAST(n AS DOUBLE) / CAST(lang_total AS DOUBLE) * 1e4 + 0.5) / 1e4 AS frac
+        |FROM r ORDER BY lang, pred_lang""".stripMargin,
+
+    "revenue_by_nation" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT) AS qrev
+        |  FROM lineitem),
+        |o AS (SELECT o_orderkey, o_custkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |        AND o_orderdate < TIMESTAMP '1996-01-01')
+        |SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  floor(CAST(SUM(qrev) AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue
+        |FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin,
 
     "range_window" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,

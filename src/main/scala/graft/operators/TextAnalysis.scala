@@ -148,4 +148,21 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), langScores(col("text")).as("packed"))
       .select(col("doc_id"), col("lang"), langPred(col("packed")).as("pred_lang"))
       .orderBy("doc_id")
+
+  /** Detector evaluation: the (true lang × predicted lang) confusion
+    * matrix with per-cell fraction of the true language's documents —
+    * the quality report that decides whether the detector's gate
+    * thresholds are trustworthy. At most |langs|² cells regardless of
+    * corpus size; the row totals come from an unordered window over
+    * that bounded frame. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total",
+        sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        TextF.round4HalfUp(
+          col("n").cast("double") / col("lang_total").cast("double")).as("frac"))
+      .orderBy("lang", "pred_lang")
 }

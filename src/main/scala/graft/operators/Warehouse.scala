@@ -68,4 +68,40 @@ object Warehouse {
 
   def latestPerKey(spark: SparkSession, dir: String): DataFrame =
     latestPerKeyOf(Tables.events(spark, dir))
+
+  /** Classic star-schema revenue rollup (TPC-H Q5 shape): lineitem ⋈
+    * orders ⋈ customer ⋈ nation for one order-date year, revenue by
+    * nation. The join pyramid is the scale story: the two fact tables
+    * shuffle once on their join keys (AQE picks the strategy for the
+    * mid-size customer side), while nation — a true dimension table,
+    * bounded by the world — broadcasts explicitly. Revenue is
+    * quantized to integer micros per row before summation
+    * (order-independent; money math never trusts float accumulation
+    * order), and the date filter pushes down to the orders scan.
+    */
+  def revenueByNationOf(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, nation: DataFrame,
+                        year: Int = 1995): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"),
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6 + 0.5)
+        .cast("long").as("qrev"))
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_items"), sum(col("qrev")).as("qsum"))
+      .select(col("nation"), col("n_items"),
+        TextF.microsTo4dp(col("qsum")).as("revenue"))
+      .orderBy(col("revenue").desc, col("nation"))
+  }
+
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame =
+    revenueByNationOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir))
 }
