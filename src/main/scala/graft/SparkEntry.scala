@@ -1143,9 +1143,11 @@ object SparkEntry {
         |  floor(CAST(n AS DOUBLE) / CAST(lang_total AS DOUBLE) * 1e4 + 0.5) / 1e4 AS frac
         |FROM r ORDER BY lang, pred_lang""".stripMargin,
 
+    // qrev mirrors Report.earningsMicros (pure floor — the library's
+    // one money-quantization contract, shared with the earnings family)
     "revenue_by_nation" ->
       """WITH li AS (SELECT l_orderkey,
-        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT) AS qrev
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT) AS qrev
         |  FROM lineitem),
         |o AS (SELECT o_orderkey, o_custkey FROM orders
         |      WHERE o_orderdate >= TIMESTAMP '1995-01-01'

@@ -82,9 +82,13 @@ object Warehouse {
   def revenueByNationOf(lineitem: DataFrame, orders: DataFrame,
                         customer: DataFrame, nation: DataFrame,
                         year: Int = 1995): DataFrame = {
+    // Report.earningsMicros IS the library's one row-level money
+    // quantization (pure floor, six earnings oracles mirror it) —
+    // revenue here must reconcile exactly with the earnings family
+    // over the same rows, so it reuses that contract rather than
+    // forking a half-up variant.
     val li = lineitem.select(col("l_orderkey"),
-      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6 + 0.5)
-        .cast("long").as("qrev"))
+      Report.earningsMicros.as("qrev"))
     val ord = orders
       .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
         col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
