@@ -971,23 +971,26 @@ object SparkEntry {
         |FROM j GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     "profile_columns" ->
+      // Every branch casts n_null: a bare SUM(int) is HUGEINT in
+      // DuckDB, and UNION type-unification would widen the whole
+      // column past BIGINT (0 vs 0.0 breaks the hash compare).
       """SELECT 'o_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
         |UNION ALL SELECT 'o_custkey', COUNT(*),
-        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  COUNT(DISTINCT o_custkey) FROM orders
         |UNION ALL SELECT 'o_orderstatus', COUNT(*),
-        |  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  COUNT(DISTINCT o_orderstatus) FROM orders
         |UNION ALL SELECT 'o_totalprice', COUNT(*),
-        |  SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  COUNT(DISTINCT o_totalprice) FROM orders
         |UNION ALL SELECT 'o_orderdate', COUNT(*),
-        |  SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  COUNT(DISTINCT o_orderdate) FROM orders
         |UNION ALL SELECT 'o_orderpriority', COUNT(*),
-        |  SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  COUNT(DISTINCT o_orderpriority) FROM orders
         |ORDER BY column_name""".stripMargin,
 
