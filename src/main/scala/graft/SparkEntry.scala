@@ -113,7 +113,15 @@ object SparkEntry {
     // rows-only: PQ codebook internals are not SQL-expressible (cf. #16)
     "ann_pq"            -> (Pq.annPq(_, _)),
     "revenue_by_nation" -> (Warehouse.revenueByNation(_, _)),
-    "lang_confusion"    -> (TextAnalysis.langConfusion(_, _))
+    "lang_confusion"    -> (TextAnalysis.langConfusion(_, _)),
+    // Round-7 continuation: warehouse CDC, alert smoothers, runtime
+    // bloom filter, corpus-LM scoring (#101-106)
+    "snapshot_diff"     -> (Warehouse.snapshotDiff(_, _)),
+    "scd2_history"      -> (Warehouse.scd2History(_, _)),
+    "ewma_smooth"       -> (EventAnalytics.ewmaSmooth(_, _)),
+    "rolling_median"    -> (Robust.rollingMedian(_, _)),
+    "bloom_semi_join"   -> (BloomJoin.urgentRevenue(_, _)),
+    "lm_quality"        -> (CorpusStats.lmQuality(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1171,6 +1179,116 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // Both snapshots rank on the raw TIMESTAMP_NS (exact-ns order,
+    // mirroring the Spark side's ts_ns struct max); the cutoff
+    // comparison is safe at either grain because µs truncation floors
+    // and can't lift an event across the boundary.
+    "snapshot_diff" ->
+      """WITH s2r AS (SELECT user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |s2 AS (SELECT user_id, event_type, value FROM s2r WHERE rn = 1),
+        |s1r AS (SELECT user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+        |s1 AS (SELECT user_id, event_type, value FROM s1r WHERE rn = 1)
+        |SELECT s2.user_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+        |  s1.event_type AS old_type, s1.value AS old_value,
+        |  s2.event_type AS new_type, s2.value AS new_value
+        |FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
+        |WHERE s1.user_id IS NULL
+        |   OR s1.event_type <> s2.event_type OR s1.value <> s2.value
+        |ORDER BY s2.user_id""".stripMargin,
+
+    // Runs/versions order on the TIMESTAMP_NS column directly (exact
+    // ns, like snapshot_diff); the µs bounds come from epoch_ns // 1000
+    // mirroring the Spark side's `ts_ns div 1000`.
+    "scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |      WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+        |  event_type,
+        |  epoch_ns(ts) // 1000 AS valid_from_us,
+        |  epoch_ns(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000 AS valid_to_us
+        |FROM c ORDER BY user_id, version""".stripMargin,
+
+    // Integer-exact EWMA: weights are literal powers of two, so num and
+    // den are exact BIGINT sums on both engines (DuckDB's HUGEINT SUM
+    // only feeds the final CAST AS DOUBLE); λ = 1/2, horizon 14.
+    "ewma_smooth" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qrev
+        |  FROM events GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT d.event_type, d.day + CAST(g.i AS INTEGER) AS day,
+        |    SUM(d.qrev * (CAST(1 AS BIGINT) << (13 - CAST(g.i AS INTEGER)))) AS num,
+        |    SUM(CAST(1 AS BIGINT) << (13 - CAST(g.i AS INTEGER))) AS den
+        |  FROM daily d, generate_series(0, 13) AS g(i)
+        |  GROUP BY 1, 2)
+        |SELECT d.event_type, d.day,
+        |  floor(CAST(d.qrev AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue,
+        |  floor(CAST(c.num AS DOUBLE) / CAST(c.den AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS ewma
+        |FROM daily d JOIN contrib c ON d.event_type = c.event_type AND d.day = c.day
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
+    // Interpolated median over ≤7 exact-integer micro values: every
+    // step of (a+b)·0.5 is exact in binary64, so quantile_cont and
+    // Spark's percentile agree bit-for-bit (see Robust.rollingMedianOf).
+    "rolling_median" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qrev
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, qrev,
+        |         day - DATE '1970-01-01' AS dayi FROM daily)
+        |SELECT event_type, day,
+        |  floor(CAST(qrev AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue,
+        |  floor(quantile_cont(CAST(qrev AS DOUBLE), 0.5) OVER w / 1e6 * 1e4 + 0.5) / 1e4 AS median_7d
+        |FROM d2
+        |WINDOW w AS (PARTITION BY event_type ORDER BY dayi
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+
+    // The oracle is the EXACT semi-join — the Bloom pre-filter is a
+    // shuffle-reduction structure whose false positives the confirm
+    // join removes, so it must be invisible in the result.
+    "bloom_semi_join" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT) AS qrev
+        |  FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                       WHERE o_orderpriority = '1-URGENT'))
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  floor(CAST(SUM(qrev) AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue
+        |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Trigram extraction mirrors TextF.charTrigrams (lower, collapse
+    // whitespace runs to one space, 1-based substr windows); the score
+    // keeps all integer sums exact and divides once (see
+    // CorpusStats.lmQualityOf).
+    "lm_quality" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 2),
+        |                          i -> substr(t, i, 3))) AS g
+        |  FROM t),
+        |model AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY g),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_grams FROM model),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(m.cnt) AS BIGINT) AS sum_cnt
+        |  FROM g JOIN model m USING (g) GROUP BY doc_id)
+        |SELECT doc_id, n_grams,
+        |  floor(CAST(sum_cnt AS DOUBLE) * 1e6
+        |    / (CAST(n_grams AS DOUBLE) * CAST(total_grams AS DOUBLE))
+        |    * 1e4 + 0.5) / 1e4 AS score_ppm
+        |FROM per, tot ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Explicit Bloom-filter runtime pre-filter for selective semi-joins —
+  * the declarative analog of Spark's own runtime row-level filtering
+  * (Catalyst injects BloomFilterAggregate under
+  * `spark.sql.optimizer.runtime.bloomFilter.enabled`, but only when
+  * its heuristics fire; this operator is the same idea as a library
+  * primitive the caller controls).
+  *
+  * Scale story (100 TB): a fact⋈dim semi-join shuffles every fact row
+  * that MIGHT match. With a Bloom filter of the dim keys broadcast to
+  * the fact scan, non-matching fact rows die map-side — for a 20%-
+  * selective dim that is an 80% cut of the shuffle bytes — and the
+  * exact join that follows only confirms the survivors (Bloom false
+  * positives are removed there, so the operator's OUTPUT is exact and
+  * oracle-checkable; the filter only ever shrinks the shuffle, never
+  * the answer). The filter itself is fixed-size: `bits/8` bytes
+  * regardless of key count, built by one map-side-combinable
+  * aggregate (positions → 64-bit words → bit_or), carried as a 1-row
+  * sparse word map and broadcast — never collected to the driver.
+  */
+object BloomJoin {
+
+  /** Build the Bloom bitset over `keys.keyCol` as a 1-row DataFrame
+    * with a sparse `map<int, long>` of non-zero 64-bit words.
+    * `hashes` positions per key come from seeded xxhash64; both sides
+    * of the protocol (build here, probe in [[preFilter]]) derive
+    * positions from the same expression, so they can never drift.
+    */
+  def bloomFilterOf(keys: DataFrame, keyCol: String,
+                    bits: Int = 1 << 17, hashes: Int = 5): DataFrame = {
+    require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
+    require(hashes > 0, s"hashes must be positive, got $hashes")
+    keys
+      .select(col(keyCol).as("k"))
+      .select(explode(sequence(lit(0), lit(hashes - 1))).as("s"), col("k"))
+      .select(pmod(xxhash64(col("k"), col("s")), lit(bits.toLong)).as("pos"))
+      .select(shiftright(col("pos"), 6).cast("int").as("word"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+      .groupBy().agg(map_from_entries(
+        collect_list(struct(col("word"), col("bits")))).as("bloom"))
+  }
+
+  /** Probe predicate: all `hashes` bits for `keyExpr` are set in the
+    * broadcast `bloom` map column. Pure Column expressions (codegen
+    * whole-stage), evaluated at the scan — before any exchange.
+    */
+  private def mightContain(keyExpr: String, bits: Int, hashes: Int): Column =
+    (0 until hashes).map { s =>
+      val pos = s"pmod(xxhash64($keyExpr, $s), ${bits}L)"
+      expr(s"(coalesce(element_at(bloom, cast(($pos) div 64 as int)), 0L)" +
+        s" & shiftleft(1L, cast(($pos) % 64 as int))) != 0")
+    }.reduce(_ && _)
+
+  /** Map-side pre-filter of `facts` by a Bloom filter of `keys`: keeps
+    * every fact row whose key is in `keys` (no false negatives) plus a
+    * fixed-rate residue of false positives for the exact join to
+    * remove.
+    */
+  def preFilter(facts: DataFrame, keys: DataFrame, factKey: String, keyCol: String,
+                bits: Int = 1 << 17, hashes: Int = 5): DataFrame =
+    facts.crossJoin(broadcast(bloomFilterOf(keys, keyCol, bits, hashes)))
+      .filter(mightContain(factKey, bits, hashes))
+      .drop("bloom")
+
+  /** Demo query: revenue of lineitems belonging to URGENT orders.
+    * Bloom-prefilter the fact scan, then exact left-semi confirm
+    * (strategy left to AQE — the key side is a filtered fact, not a
+    * bounded dimension), then one map-side-combinable rollup on the
+    * quantized money contract ([[Report.earningsMicros]]).
+    */
+  def urgentRevenueOf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val urgent = orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val pre = preFilter(lineitem, urgent, "l_orderkey", "o_orderkey")
+    pre.join(urgent, pre("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .select(col("l_returnflag"), Report.earningsMicros.as("qrev"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.TextF.microsTo4dp(sum(col("qrev"))).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  def urgentRevenue(spark: SparkSession, dir: String): DataFrame =
+    urgentRevenueOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+}

@@ -158,4 +158,44 @@ object CorpusStats {
 
   def langQualityGate(spark: SparkSession, dir: String): DataFrame =
     langQualityGateOf(Tables.documents(spark, dir))
+
+  /** Corpus-LM fluency score (the ratio-form analog of a CCNet/KenLM
+    * perplexity filter): train a character-trigram unigram model on
+    * the whole corpus, then score each document by its mean trigram
+    * corpus-frequency, in parts-per-million. Gibberish and
+    * wrong-charset documents score low because their trigrams are
+    * rare in the corpus; formulaic text scores high. No libm: the
+    * score is `Σ count(g) · 1e6 / (n_grams_doc · total_grams)` — two
+    * exact BIGINT sums, one exact ×1e6 (well under 2^53), one IEEE
+    * division, one half-up rounding (see object scaladoc; a true
+    * log-perplexity would differ in the last ulp between engines).
+    *
+    * Shape: both passes explode the same trigrams and shuffle on the
+    * gram — the model build is a map-side-combinable count, the
+    * scoring pass joins gram→count and re-aggregates per doc. The
+    * model is NOT broadcast: a corpus-wide trigram table is bounded
+    * (|charset|³) but a 100-TB charset includes CJK, so the join
+    * stays a shuffled equijoin AQE may still turn into a broadcast
+    * when the observed table is small.
+    */
+  def lmQualityOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(TextF.charTrigrams(col("text"))).as("g"))
+    val model = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum("cnt").as("total_grams")) // 1 row
+    grams
+      .join(model, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("cnt").as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_grams"),
+        TextF.round4HalfUp(
+          col("sum_cnt").cast("double") * lit(1e6) /
+            (col("n_grams").cast("double") * col("total_grams").cast("double")))
+          .as("score_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def lmQuality(spark: SparkSession, dir: String): DataFrame =
+    lmQualityOf(Tables.documents(spark, dir))
 }

@@ -223,4 +223,47 @@ object EventAnalytics {
 
   def rangeWindow(spark: SparkSession, dir: String): DataFrame =
     rangeWindowOf(Tables.events(spark, dir))
+
+  /** EWMA-smoothed daily revenue per event type (the alert-family
+    * smoother next to [[CtrAlerts.ctrSpike]]'s step comparison).
+    * Decay is λ = 1/2 truncated at `horizon` days, computed ENTIRELY
+    * in integer arithmetic: each daily micro-quantized total
+    * contributes `2^(horizon-1-k) · micros` to day+k, so weights are
+    * exact powers of two and numerator/denominator are exact BIGINT
+    * sums (order-independent); the only float steps are one cast and
+    * one division, each a single IEEE-defined op that every engine
+    * rounds identically. Missing days contribute
+    * nothing and the denominator renormalizes over the weights
+    * actually present — gaps don't decay toward zero artificially.
+    * Shape: one daily aggregate, a bounded ×horizon fan-out re-keyed
+    * on the target day (cf. [[rollingReachOf]]), and a join back to
+    * real days — no per-day self-join, no window with data-dependent
+    * weights (which Spark/SQL windows cannot express).
+    */
+  def ewmaSmoothOf(events: DataFrame, horizon: Int = 14): DataFrame = {
+    require(horizon > 0 && horizon < 32, s"horizon in (0,32), got $horizon")
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .groupBy("event_type", "day")
+      .agg(sum("qv").as("qrev"))
+    val contrib = daily
+      .select(col("event_type"), col("day"), col("qrev"),
+        explode(sequence(lit(0), lit(horizon - 1))).as("off"))
+      .select(col("event_type"), date_add(col("day"), col("off")).as("day"),
+        (col("qrev") * expr(s"shiftleft(1L, ${horizon - 1} - off)")).as("wx"),
+        expr(s"shiftleft(1L, ${horizon - 1} - off)").as("w"))
+      .groupBy("event_type", "day")
+      .agg(sum("wx").as("num"), sum("w").as("den"))
+    daily.join(contrib, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"),
+        graft.functions.TextF.microsTo4dp(col("qrev")).as("revenue"),
+        graft.functions.TextF.round4HalfUp(
+          col("num").cast("double") / col("den").cast("double") / lit(1e6))
+          .as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame =
+    ewmaSmoothOf(Tables.events(spark, dir))
 }

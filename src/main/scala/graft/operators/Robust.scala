@@ -122,4 +122,38 @@ object Robust {
     profileColumnsOf(Tables.orders(spark, dir),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority"))
+
+  /** Trailing `windowDays`-day median of daily revenue per event type
+    * — the robust twin of [[EventAnalytics.ewmaSmoothOf]]'s mean-form
+    * smoother (a single spiked day saturates an EWMA but leaves the
+    * median untouched). Two frames share one shuffle: the daily
+    * aggregate and the RANGE window both key on event_type. The RANGE
+    * frame is over an integer day index, so a missing calendar day
+    * genuinely shrinks the frame rather than sliding over 7 rows of
+    * arbitrary age. Determinism: the frame holds ≤ `windowDays`
+    * micro-quantized BIGINTs; interpolating the median of exact
+    * integers does `(a+b)·0.5` in doubles where every step is exact,
+    * so lower+(upper-lower)·f and a·(1-f)+b·f — whichever the engine
+    * uses — are the same value, and the one rounding happens in
+    * [[TextF.round4HalfUp]].
+    */
+  def rollingMedianOf(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .groupBy("event_type", "day")
+      .agg(sum("qv").as("qrev"))
+      .withColumn("dayi", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("event_type").orderBy(col("dayi"))
+      .rangeBetween(-(windowDays - 1).toLong, Window.currentRow)
+    daily.select(col("event_type"), col("day"),
+      TextF.microsTo4dp(col("qrev")).as("revenue"),
+      round4(expr("percentile(qrev, 0.5)").over(w) / lit(1e6))
+        .as(s"median_${windowDays}d"))
+      .orderBy("event_type", "day")
+  }
+
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame =
+    rollingMedianOf(Tables.events(spark, dir))
 }

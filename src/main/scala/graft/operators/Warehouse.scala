@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextF
@@ -108,4 +109,72 @@ object Warehouse {
   def revenueByNation(spark: SparkSession, dir: String): DataFrame =
     revenueByNationOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
       Tables.customer(spark, dir), Tables.nation(spark, dir))
+
+  /** CDC between two as-of snapshots of the changelog: what changed
+    * per key between "state as of `cutoff`" and "state now". Both
+    * snapshots come out of ONE map-side-combinable aggregate — the
+    * before-cutoff max and the overall max are two conditional
+    * lexicographic struct maxes over the same shuffle (a naive
+    * two-snapshot self-join would scan and shuffle the changelog
+    * twice). Keys absent before the cutoff emit `insert`; keys whose
+    * latest (event_type, value) differs emit `update`; unchanged keys
+    * emit nothing (changes-only contract). A cumulative changelog
+    * never loses keys, so `delete` cannot occur here by construction;
+    * a tombstone convention would slot into the same CASE. Versions
+    * order on exact nanoseconds with event_id as tiebreak
+    * (cf. [[latestPerKeyOf]]); the cutoff compares in microseconds on
+    * both engines — truncation floors toward the boundary and can
+    * never lift a sub-cutoff event across it.
+    */
+  def snapshotDiffOf(events: DataFrame, cutoff: String): DataFrame = {
+    val version = struct(col("ts_ns"), col("event_id"),
+      col("event_type"), col("value"))
+    events
+      .select(col("user_id"),
+        (col("ts") < lit(cutoff).cast("timestamp")).as("before"), version.as("v"))
+      .groupBy("user_id")
+      .agg(max(when(col("before"), col("v"))).as("s1"), max(col("v")).as("s2"))
+      .withColumn("op",
+        when(col("s1").isNull, lit("insert"))
+          .when(col("s1.event_type") =!= col("s2.event_type") ||
+            col("s1.value") =!= col("s2.value"), lit("update")))
+      .filter(col("op").isNotNull)
+      .select(col("user_id"), col("op"),
+        col("s1.event_type").as("old_type"), col("s1.value").as("old_value"),
+        col("s2.event_type").as("new_type"), col("s2.value").as("new_value"))
+      .orderBy("user_id")
+  }
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiffOf(Tables.events(spark, dir), "2024-01-15")
+
+  /** SCD Type-2 dimension history from the changelog: per key, one row
+    * per run of consecutive equal attribute values, with
+    * [valid_from, valid_to) microsecond bounds (valid_to NULL = the
+    * current version). Run boundaries come from a lag comparison, then
+    * version numbers and the valid_to handoff from row_number/lead
+    * over the SAME user-keyed ordering — the filter preserves the
+    * first window's distribution, so all three window passes share one
+    * shuffle. Ordering is exact-nanosecond with the unique event_id
+    * tiebreak (a µs tie would otherwise make run boundaries
+    * nondeterministic); the OUTPUT is µs because the oracle's parquet
+    * view truncates TIMESTAMP_NS (cf. [[latestPerKeyOf]]).
+    */
+  def scd2HistoryOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"),
+        row_number().over(w).as("version"),
+        col("event_type"),
+        expr("ts_ns div 1000").as("valid_from_us"),
+        expr("lead(ts_ns, 1) over (partition by user_id order by ts_ns, event_id) div 1000")
+          .as("valid_to_us"))
+      .orderBy("user_id", "version")
+  }
+
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2HistoryOf(Tables.events(spark, dir))
 }

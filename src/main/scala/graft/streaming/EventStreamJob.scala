@@ -85,6 +85,24 @@ object EventStreamJob {
           path, "date")
       }
 
+  /** Stream-static dimension enrichment: join the event stream to a
+    * batch dimension table (the standard Kafka-facts ⋈ warehouse-dim
+    * shape). Stream-static joins keep NO join state — each micro-batch
+    * joins against the static side as a plain batch join, so there is
+    * no watermark requirement and nothing to evict; Spark re-plans the
+    * static side per batch, and AQE/size thresholds decide broadcast
+    * vs shuffle exactly as in the batch engine. Left join: facts with
+    * no dimension row survive with NULL attributes (an inner join
+    * would silently drop late-created dimension keys — the FK-orphan
+    * problem Warehouse.fkCoverage audits in batch).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      dim.select(col("key").as("user_id"), col("segment")),
+      Seq("user_id"), "left")
+      .select(col("ts"), col("user_id"), col("event_type"),
+        col("segment"))
+
   /** Windowed CTR per user: 1-hour tumbling event-time windows, 2-hour
     * watermark (late events beyond that are dropped and state is
     * reclaimed — unbounded state would OOM a 100 TB stream). */

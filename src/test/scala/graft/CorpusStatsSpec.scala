@@ -178,4 +178,25 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.getLong(0)).toSet == (0L until 40L).toSet)
     assert(out.map(_.getLong(1)).toSet.subsetOf((0L until 8L).toSet))
   }
+
+  test("lm quality: common-trigram docs outscore rare-trigram docs") {
+    // model: aaa×2 (from "aaaa"), abc, bcd, xyz… — doc 1 reuses the
+    // corpus's most frequent trigram, doc 2's grams are singletons.
+    val out = CorpusStats.lmQualityOf(docsDf(
+      (1L, "aaaa"), (2L, "abcd"), (3L, "xy"))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // total grams = 4; doc 1: 2 grams, Σcnt = 4 → 4e6/(2·4) = 500000
+    assert(out(1L) == ((2L, 500000.0)))
+    // doc 2: 2 grams, Σcnt = 2 → 2e6/(2·4) = 250000
+    assert(out(2L) == ((2L, 250000.0)))
+    assert(!out.contains(3L), "a doc too short for one trigram emits no row")
+  }
+
+  test("lm quality normalizes whitespace runs before windowing") {
+    val out = CorpusStats.lmQualityOf(docsDf(
+      (1L, "a b\t\nc"), (2L, "a b c"))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == out(2L),
+      "tab/newline runs must collapse to one space, making the two docs identical")
+  }
 }

@@ -152,4 +152,49 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(1)).toSeq
     assert(out == Seq(1L))
   }
+
+  private def dailyEvents(rows: (String, String, Double)*): DataFrame =
+    rows.toDF("event_type", "s", "value")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"), col("value"))
+
+  test("ewma: a first day smooths to itself; day two blends 2:1") {
+    val ev = dailyEvents(
+      ("click", "2024-01-01 12:00:00", 10.0),
+      ("click", "2024-01-02 12:00:00", 30.0))
+    val out = EventAnalytics.ewmaSmoothOf(ev).collect()
+      .map(r => r.getDate(1).toString -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("2024-01-01") == ((10.0, 10.0)),
+      "with no history the EWMA equals the day's value")
+    // (30·8192 + 10·4096) / (8192 + 4096) = 23.3333…
+    assert(out("2024-01-02") == ((30.0, 23.3333)))
+  }
+
+  test("ewma: a calendar gap renormalizes over present weights, no decay-to-zero") {
+    val ev = dailyEvents(
+      ("click", "2024-01-01 12:00:00", 10.0),
+      ("click", "2024-01-02 12:00:00", 30.0),
+      ("click", "2024-01-04 12:00:00", 20.0)) // Jan 3 missing
+    val out = EventAnalytics.ewmaSmoothOf(ev).collect()
+      .map(r => r.getDate(1).toString -> r.getDouble(3)).toMap
+    assert(!out.contains("2024-01-03"), "missing days emit no row")
+    // (20·8192 + 30·2048 + 10·1024) / (8192 + 2048 + 1024) = 20.9090…
+    assert(out("2024-01-04") == 20.9091)
+  }
+
+  test("ewma: beyond the horizon a day stops contributing entirely") {
+    val ev = dailyEvents(
+      ("click", "2024-01-01 12:00:00", 1000.0),
+      ("click", "2024-01-20 12:00:00", 5.0)) // 19 days later, horizon 14
+    val out = EventAnalytics.ewmaSmoothOf(ev).collect()
+      .map(r => r.getDate(1).toString -> r.getDouble(3)).toMap
+    assert(out("2024-01-20") == 5.0,
+      "a spike older than the horizon must not leak into the EWMA")
+  }
+
+  test("ewma rejects a degenerate horizon") {
+    val ev = dailyEvents(("click", "2024-01-01 12:00:00", 1.0))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.ewmaSmoothOf(ev, horizon = 0)
+    }
+  }
 }

@@ -59,4 +59,33 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     assert(out("k") == ((4L, 1L, 2L))) // distinct excludes the null
     assert(out("s") == ((4L, 0L, 3L)))
   }
+
+  test("rolling median: trailing frame interpolates evens, a gap shrinks the frame") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      ("click", "2024-01-01 12:00:00", 10.0),
+      ("click", "2024-01-02 12:00:00", 30.0),
+      ("click", "2024-01-03 12:00:00", 20.0),
+      ("click", "2024-01-12 12:00:00", 99.0)) // 9 days later: alone in its frame
+      .toDF("event_type", "s", "value")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"), col("value"))
+    val out = Robust.rollingMedianOf(ev).collect()
+      .map(r => r.getDate(1).toString -> r.getDouble(3)).toMap
+    assert(out("2024-01-01") == 10.0)
+    assert(out("2024-01-02") == 20.0, "two-value frame interpolates to the midpoint")
+    assert(out("2024-01-03") == 20.0)
+    assert(out("2024-01-12") == 99.0,
+      "a RANGE frame is calendar-bounded — it must not slide over 7 ROWS of arbitrary age")
+  }
+
+  test("rolling median resists a spike that would drag an EWMA") {
+    import org.apache.spark.sql.functions._
+    val days = (1 to 5).map(d => ("click", f"2024-01-0$d%d 12:00:00", 10.0))
+    val spiked = days :+ (("click", "2024-01-06 12:00:00", 1000.0))
+    val ev = spiked.toDF("event_type", "s", "value")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"), col("value"))
+    val out = Robust.rollingMedianOf(ev).collect()
+      .map(r => r.getDate(1).toString -> r.getDouble(3)).toMap
+    assert(out("2024-01-06") == 10.0, "one spiked day in six leaves the median at the mode")
+  }
 }

@@ -312,4 +312,27 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         "duplicates within the TTL horizon must be suppressed, earliest payload kept")
     } finally query.stop()
   }
+
+  test("enrichWithDim joins streaming facts to a static dimension, keeping orphans") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val dim = Seq((1L, "premium"), (2L, "free")).toDF("key", "segment")
+
+    val query = EventStreamJob.enrichWithDim(events, dim).writeStream
+      .format("memory").queryName("enrich_test").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("10:05"), 1L, "view"),
+        (ts("10:06"), 2L, "click"),
+        (ts("10:07"), 99L, "view")) // no dimension row
+      query.processAllAvailable()
+      val out = spark.table("enrich_test")
+        .select(col("user_id"), col("segment")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(out(1L) == Some("premium") && out(2L) == Some("free"))
+      assert(out(99L).isEmpty,
+        "a fact with no dimension row must survive with NULL attributes, not vanish")
+    } finally query.stop()
+  }
 }

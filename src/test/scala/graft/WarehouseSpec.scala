@@ -66,4 +66,62 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq((1L, 11L, "click"), (2L, 12L, "view")),
       "a same-microsecond pair must order on exact nanoseconds, not on id")
   }
+
+  private def nsOf(iso: String): Long =
+    java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+
+  private def changelog(rows: Seq[(Long, Long, String, Double, Long)]) =
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
+  test("snapshot diff classifies insert/update and drops unchanged keys") {
+    val before = nsOf("2024-01-10T00:00:00Z")
+    val after = nsOf("2024-01-20T00:00:00Z")
+    val ev = changelog(Seq(
+      (1L, 1L, "view", 1.0, before), (2L, 1L, "click", 2.0, after), // update (type)
+      (3L, 2L, "signup", 5.0, after),                               // insert
+      (4L, 3L, "view", 1.0, before),                                // unchanged (inactive)
+      (5L, 4L, "view", 1.0, before), (6L, 4L, "view", 1.0, after),  // unchanged (same state)
+      (7L, 5L, "view", 1.0, before), (8L, 5L, "view", 9.0, after))) // update (value only)
+    val out = Warehouse.snapshotDiffOf(ev, "2024-01-15").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.getString(2)), Option(r.getString(4)))).toMap
+    assert(out.keySet == Set(1L, 2L, 5L), "unchanged keys must emit nothing")
+    assert(out(1L) == (("update", Some("view"), Some("click"))))
+    assert(out(2L) == (("insert", None, Some("signup"))),
+      "an inserted key has no old state")
+    assert(out(5L)._1 == "update", "a value-only change is still an update")
+  }
+
+  test("snapshot diff takes the LATEST pre-cutoff version as old state") {
+    val ev = changelog(Seq(
+      (1L, 1L, "view", 1.0, nsOf("2024-01-05T00:00:00Z")),
+      (2L, 1L, "click", 2.0, nsOf("2024-01-12T00:00:00Z")), // latest before cutoff
+      (3L, 1L, "purchase", 3.0, nsOf("2024-01-20T00:00:00Z"))))
+    val out = Warehouse.snapshotDiffOf(ev, "2024-01-15").collect().head
+    assert(out.getString(2) == "click" && out.getString(4) == "purchase")
+  }
+
+  test("scd2 history collapses runs and hands valid_to to the next version") {
+    val ev = changelog(Seq(
+      (1L, 1L, "A", 0.0, 1000000000L), (2L, 1L, "A", 0.0, 2000000000L),
+      (3L, 1L, "B", 0.0, 3000000000L), (4L, 1L, "B", 0.0, 4000000000L),
+      (5L, 1L, "A", 0.0, 5000000000L)))
+    val out = Warehouse.scd2HistoryOf(ev).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.toSeq == Seq(
+      (1, "A", 1000000L, Some(3000000L)),
+      (2, "B", 3000000L, Some(5000000L)),
+      (3, "A", 5000000L, None)),
+      "each run is one version; valid_to is the next run's valid_from; current is open")
+  }
+
+  test("scd2 history breaks same-nanosecond ties on event_id") {
+    val ev = changelog(Seq(
+      (2L, 1L, "B", 0.0, 1000000000L), // same ns: id 1 (A) precedes id 2 (B)
+      (1L, 1L, "A", 0.0, 1000000000L)))
+    val out = Warehouse.scd2HistoryOf(ev).collect().map(r => r.getString(2))
+    assert(out.toSeq == Seq("A", "B"))
+  }
 }
