@@ -121,7 +121,9 @@ object SparkEntry {
     "ewma_smooth"       -> (EventAnalytics.ewmaSmooth(_, _)),
     "rolling_median"    -> (Robust.rollingMedian(_, _)),
     "bloom_semi_join"   -> (BloomJoin.urgentRevenue(_, _)),
-    "lm_quality"        -> (CorpusStats.lmQuality(_, _))
+    "lm_quality"        -> (CorpusStats.lmQuality(_, _)),
+    "distribution_drift" -> (Robust.distributionDrift(_, _)),
+    "oov_rate"          -> (CorpusStats.oovRate(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1289,6 +1291,56 @@ object SparkEntry {
         |  floor(CAST(sum_cnt AS DOUBLE) * 1e6
         |    / (CAST(n_grams AS DOUBLE) * CAST(total_grams AS DOUBLE))
         |    * 1e4 + 0.5) / 1e4 AS score_ppm
-        |FROM per, tot ORDER BY doc_id""".stripMargin
+        |FROM per, tot ORDER BY doc_id""".stripMargin,
+
+    // Shared-edge equal-width bins (value_histogram's binning, per
+    // type, over BOTH periods); each |p−q| is floor-quantized to a
+    // 1e-9 integer grid so the Σ is order-independent on both engines.
+    "distribution_drift" ->
+      """WITH ev AS (SELECT event_type, value,
+        |    ts < TIMESTAMP '2024-01-16' AS in_p FROM events),
+        |b AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+        |      FROM ev GROUP BY event_type),
+        |binned AS (
+        |  SELECT ev.event_type,
+        |    CASE WHEN mx > mn
+        |      THEN CAST(LEAST(floor((value - mn) / ((mx - mn) / 20)), 19) AS BIGINT)
+        |      ELSE 0 END AS bucket,
+        |    CAST(SUM(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS np_bin,
+        |    CAST(SUM(CASE WHEN NOT in_p THEN 1 ELSE 0 END) AS BIGINT) AS nq_bin
+        |  FROM ev JOIN b ON ev.event_type = b.event_type
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(np_bin) AS BIGINT) AS np,
+        |          CAST(SUM(nq_bin) AS BIGINT) AS nq
+        |        FROM binned GROUP BY event_type
+        |        HAVING SUM(np_bin) > 0 AND SUM(nq_bin) > 0)
+        |SELECT t.event_type, t.np, t.nq,
+        |  floor(CAST(SUM(CAST(floor(abs(
+        |      CAST(np_bin AS DOUBLE) / CAST(np AS DOUBLE)
+        |      - CAST(nq_bin AS DOUBLE) / CAST(nq AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 2e9 * 1e4 + 0.5) / 1e4 AS tvd
+        |FROM binned JOIN tot t ON binned.event_type = t.event_type
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // The vocabulary subquery is vocab_df's oracle verbatim (same
+    // ordering and LIMIT), so the coverage metric and the vocabulary
+    // builder can never drift apart.
+    "oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |vocab AS (SELECT token FROM (
+        |  SELECT token, COUNT(*) AS df, SUM(tf) AS cf
+        |  FROM tf GROUP BY token
+        |  ORDER BY df DESC, cf DESC, token LIMIT 100)),
+        |per AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |    SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM tok t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_oov AS BIGINT) AS n_oov,
+        |  floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS oov_rate
+        |FROM per ORDER BY doc_id""".stripMargin
   )
 }

@@ -170,23 +170,34 @@ object CorpusStats {
     * division, one half-up rounding (see object scaladoc; a true
     * log-perplexity would differ in the last ulp between engines).
     *
-    * Shape: both passes explode the same trigrams and shuffle on the
-    * gram — the model build is a map-side-combinable count, the
-    * scoring pass joins gram→count and re-aggregates per doc. The
-    * model is NOT broadcast: a corpus-wide trigram table is bounded
+    * Shape: the explode runs ONCE and collapses straight to per-doc
+    * gram counts (doc_id, g, c) — materialized and shared by both
+    * consumers (cf. [[Similarity.annHammingOf]]'s packed-code reuse),
+    * so the model build, the gram join, and the per-doc score all run
+    * over distinct (doc, gram) pairs instead of raw occurrences
+    * (Σ_occurrences cnt ≡ Σ_g c·cnt, exactly, in integers). The model
+    * is NOT broadcast: a corpus-wide trigram table is bounded
     * (|charset|³) but a 100-TB charset includes CJK, so the join
     * stays a shuffled equijoin AQE may still turn into a broadcast
     * when the observed table is small.
     */
   def lmQualityOf(docs: DataFrame): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), explode(TextF.charTrigrams(col("text"))).as("g"))
-    val model = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+    // Same normalization as TextF.charTrigrams; the window+hash pass
+    // is the native expression (interpreted HOF windows and 30M
+    // string shuffle keys are the trap lang_id already dodged).
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val grams = graft.plans.ColumnBridge.column(
+      graft.plans.CharNgramHashes(graft.plans.ColumnBridge.expression(norm), 3))
+    val docGrams = docs
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // two consumers; explode+count runs once
+    val model = docGrams.groupBy("g").agg(sum("c").as("cnt"))
     val total = model.agg(sum("cnt").as("total_grams")) // 1 row
-    grams
+    docGrams
       .join(model, "g")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), sum("cnt").as("sum_cnt"))
+      .agg(sum("c").as("n_grams"), sum(col("c") * col("cnt")).as("sum_cnt"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_grams"),
         TextF.round4HalfUp(
@@ -198,4 +209,33 @@ object CorpusStats {
 
   def lmQuality(spark: SparkSession, dir: String): DataFrame =
     lmQualityOf(Tables.documents(spark, dir))
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-k vocabulary (the tokenizer-coverage check run before
+    * committing to a vocab size): fraction of token OCCURRENCES not
+    * covered by [[Corpus.vocabDfOf]]'s top-k — reused verbatim, so
+    * this metric can never drift from the vocabulary builder it
+    * evaluates. The vocabulary is k rows BY CONSTRUCTION, so the
+    * explicit broadcast is safe at any corpus size (the bounded-side
+    * rule the engine's other forced broadcasts follow); the only
+    * shuffle is the per-doc re-aggregation of the exploded tokens.
+    */
+  def oovRateOf(docs: DataFrame, k: Int = 100): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("token"))
+    val vocab = Corpus.vocabDfOf(docs, k)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        TextF.round4HalfUp(
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  def oovRate(spark: SparkSession, dir: String): DataFrame =
+    oovRateOf(Tables.documents(spark, dir))
 }

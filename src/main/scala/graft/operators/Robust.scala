@@ -156,4 +156,54 @@ object Robust {
 
   def rollingMedian(spark: SparkSession, dir: String): DataFrame =
     rollingMedianOf(Tables.events(spark, dir))
+
+  /** Distribution drift between two periods of a metric, per group —
+    * the training-data / feature monitor that answers "did `value`
+    * shift between the reference window and now". The statistic is
+    * total-variation distance `TVD = ½·Σ|p_i − q_i|` over
+    * equal-width bins (the L1 form of a PSI report: PSI's
+    * `(p−q)·ln(p/q)` needs libm, which the engine bans for
+    * cross-engine determinism — see [[CorpusStats]]; TVD ranks drift
+    * identically for monitoring purposes). Bins come from per-group
+    * GLOBAL min/max over both periods so p and q share edges
+    * ([[Report.valueHistogramOf]]'s binning); both periods histogram
+    * in ONE pass over the facts (conditional sums per bin, no second
+    * scan); each |p−q| is quantized to an integer 1e-9 grid so the
+    * final Σ is order-independent. Groups empty in either period are
+    * excluded (TVD against nothing is undefined, and a NaN would
+    * masquerade as drift).
+    */
+  def distributionDriftOf(events: DataFrame, splitDay: String,
+                          bins: Int = 20): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val ev = events.select(col("event_type"), col("value"),
+      (col("ts") < lit(splitDay).cast("timestamp")).as("in_p"))
+    val bounds = ev.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+    val width = (col("mx") - col("mn")) / bins
+    val bucket = when(col("mx") > col("mn"),
+      least(floor((col("value") - col("mn")) / width), lit(bins - 1L)))
+      .otherwise(lit(0L))
+    val binned = ev.join(bounds, "event_type") // bounded by group count
+      .select(col("event_type"), col("in_p"), bucket.cast("long").as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(sum(when(col("in_p"), 1L).otherwise(0L)).as("np_bin"),
+        sum(when(!col("in_p"), 1L).otherwise(0L)).as("nq_bin"))
+    val totals = binned.groupBy("event_type")
+      .agg(sum("np_bin").as("np"), sum("nq_bin").as("nq"))
+      .filter(col("np") > 0 && col("nq") > 0)
+    binned.join(totals, "event_type")
+      .select(col("event_type"), col("np"), col("nq"),
+        floor(abs(col("np_bin").cast("double") / col("np").cast("double") -
+          col("nq_bin").cast("double") / col("nq").cast("double")) * 1e9 + 0.5)
+          .cast("long").as("qdiff"))
+      .groupBy("event_type", "np", "nq")
+      .agg(sum("qdiff").as("qsum"))
+      .select(col("event_type"), col("np"), col("nq"),
+        TextF.round4HalfUp(col("qsum").cast("double") / lit(2e9)).as("tvd"))
+      .orderBy("event_type")
+  }
+
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame =
+    distributionDriftOf(Tables.events(spark, dir), "2024-01-16")
 }

@@ -192,6 +192,25 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(!out.contains(3L), "a doc too short for one trigram emits no row")
   }
 
+  test("oov rate counts occurrences outside the top-k vocabulary") {
+    // k=2 vocab: "the" (df 3) and "cat" (df 2); "zap"/"qux" are OOV.
+    val out = CorpusStats.oovRateOf(docsDf(
+      (1L, "the cat the"), (2L, "the cat zap"), (3L, "the qux zap")), k = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    assert(out(2L) == ((3L, 1L, 0.3333)))
+    assert(out(3L) == ((3L, 2L, 0.6667)))
+  }
+
+  test("oov rate is occurrence-weighted, not type-weighted") {
+    // doc 2: one vocab type repeated 4× + one OOV token → 0.2, not 0.5
+    val out = CorpusStats.oovRateOf(docsDf(
+      (1L, "aa aa aa"), (2L, "aa aa aa aa zz")), k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(2L) == 0.2)
+  }
+
   test("lm quality normalizes whitespace runs before windowing") {
     val out = CorpusStats.lmQualityOf(docsDf(
       (1L, "a b\t\nc"), (2L, "a b c"))).collect()

@@ -7,7 +7,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
-import graft.plans.{NormalizeText, ShingleHashes, SortedIntersectSize}
+import graft.plans.{CharNgramHashes, NormalizeText, ShingleHashes, SortedIntersectSize}
 
 /** Property coverage for the pure (no-session) kernels behind the
   * native expressions — scalacheck generates the adversarial inputs
@@ -40,6 +40,31 @@ class KernelPropertySpec extends AnyFunSuite {
     check("form-invariant", Prop.forAll(textGen) { s =>
       val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
       NormalizeText.normalize(nfd) == NormalizeText.normalize(s)
+    })
+  }
+
+  test("CharNgramHashes matches per-window substring hashing, multibyte included") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = CharNgramHashes(null, 3)
+    def reference(s: String): Seq[Long] = {
+      // CHARACTER windows on code units the way SQL substring sees
+      // them, hashed exactly like xxhash64(gram) (seed 42)
+      val cps = s.toSeq.map(_.toString)
+      if (cps.length < 3) Seq.empty
+      else cps.sliding(3).map { w =>
+        val b = UTF8String.fromString(w.mkString)
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b.getBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          b.numBytes(), 42L)
+      }.toSeq
+    }
+    check("parity", Prop.forAll(textGen) { s =>
+      val got = expr.ngramHashes(UTF8String.fromString(s))
+      got.toLongArray().toSeq == reference(s)
+    })
+    check("occurrences kept", Prop.forAll(Gen.choose(3, 30)) { n =>
+      val s = "ab" * n // overlapping repeats: windows must NOT dedupe
+      expr.ngramHashes(UTF8String.fromString(s)).numElements() == s.length - 2
     })
   }
 

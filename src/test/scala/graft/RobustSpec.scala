@@ -78,6 +78,37 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
       "a RANGE frame is calendar-bounded — it must not slide over 7 ROWS of arbitrary age")
   }
 
+  test("distribution drift: identical periods score 0, a full shift scores 1") {
+    import org.apache.spark.sql.functions._
+    def ev(rows: (String, String, Double)*) =
+      rows.toDF("event_type", "s", "value")
+        .select(col("event_type"), to_timestamp(col("s")).as("ts"), col("value"))
+    // 'same': both periods uniform over {1, 10}; 'moved': disjoint ranges
+    val out = Robust.distributionDriftOf(ev(
+      ("same", "2024-01-10 00:00:00", 1.0), ("same", "2024-01-10 00:00:00", 10.0),
+      ("same", "2024-01-20 00:00:00", 1.0), ("same", "2024-01-20 00:00:00", 10.0),
+      ("moved", "2024-01-10 00:00:00", 1.0), ("moved", "2024-01-10 00:00:00", 2.0),
+      ("moved", "2024-01-20 00:00:00", 99.0), ("moved", "2024-01-20 00:00:00", 100.0)),
+      "2024-01-16").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("same") == ((2L, 2L, 0.0)))
+    assert(out("moved") == ((2L, 2L, 1.0)),
+      "disjoint supports have total-variation distance exactly 1")
+  }
+
+  test("distribution drift excludes a group empty in either period") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      ("only_p", "2024-01-10 00:00:00", 1.0),
+      ("both", "2024-01-10 00:00:00", 1.0), ("both", "2024-01-20 00:00:00", 1.0))
+      .toDF("event_type", "s", "value")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"), col("value"))
+    val types = Robust.distributionDriftOf(ev, "2024-01-16").collect()
+      .map(_.getString(0)).toSet
+    assert(types == Set("both"),
+      "TVD against an empty period is undefined and must not surface as NaN")
+  }
+
   test("rolling median resists a spike that would drag an EWMA") {
     import org.apache.spark.sql.functions._
     val days = (1 to 5).map(d => ("click", f"2024-01-0$d%d 12:00:00", 10.0))
