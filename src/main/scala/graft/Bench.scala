@@ -43,6 +43,12 @@ object Bench {
         // entry, an explicit error record, and a nonzero exit below.
         errors(name) = e.getClass.getSimpleName
       }
+      // Queries are independent: drop whatever blocks this one
+      // persisted (cache() / localCheckpoint) so storage doesn't
+      // accumulate across 90 queries and tax later timings. Outside
+      // the timed region either way.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
