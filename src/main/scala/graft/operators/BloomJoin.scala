@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -13,24 +13,32 @@ import graft.sources.Tables
   * primitive the caller controls).
   *
   * Scale story (100 TB): a fact⋈dim semi-join shuffles every fact row
-  * that MIGHT match. With a Bloom filter of the dim keys broadcast to
+  * that MIGHT match. With a Bloom filter of the dim keys evaluated at
   * the fact scan, non-matching fact rows die map-side — for a 20%-
   * selective dim that is an 80% cut of the shuffle bytes — and the
   * exact join that follows only confirms the survivors (Bloom false
   * positives are removed there, so the operator's OUTPUT is exact and
   * oracle-checkable; the filter only ever shrinks the shuffle, never
-  * the answer). The filter itself is fixed-size: `bits/8` bytes
-  * regardless of key count, built by one map-side-combinable
-  * aggregate (positions → 64-bit words → bit_or), carried as a 1-row
-  * sparse word map and broadcast — never collected to the driver.
+  * the answer).
+  *
+  * The bitset is built distributed (one map-side-combinable bit_or
+  * aggregate) and then materialized at the driver as a LITERAL map —
+  * `bits/8` bytes FIXED regardless of key count, the same
+  * driver-held-scalar contract as Spark's InjectRuntimeFilter
+  * subquery. A broadcast-join formulation was tried first and
+  * rejected: the probe condition can only evaluate above the join
+  * that carries the bitset, so ReorderJoin is free to plan the exact
+  * semi-join FIRST and the "pre"-filter after it — silently useless.
+  * A literal is a plain scan-side predicate no optimizer can lift
+  * above a join.
   */
 object BloomJoin {
 
   /** Build the Bloom bitset over `keys.keyCol` as a 1-row DataFrame
     * with a sparse `map<int, long>` of non-zero 64-bit words.
-    * `hashes` positions per key come from seeded xxhash64; both sides
-    * of the protocol (build here, probe in [[preFilter]]) derive
-    * positions from the same expression, so they can never drift.
+    * `hashes` positions per key come from seeded xxhash64; build and
+    * probe derive positions from the same expression shape, so they
+    * can never drift.
     */
   def bloomFilterOf(keys: DataFrame, keyCol: String,
                     bits: Int = 1 << 17, hashes: Int = 5): DataFrame = {
@@ -47,27 +55,36 @@ object BloomJoin {
         collect_list(struct(col("word"), col("bits")))).as("bloom"))
   }
 
-  /** Probe predicate: all `hashes` bits for `keyExpr` are set in the
-    * broadcast `bloom` map column. Pure Column expressions (codegen
-    * whole-stage), evaluated at the scan — before any exchange.
+  /** 1-indexed literal lookup table of the 64 single-bit masks —
+    * `element_at(masks, b + 1)` is the Column-API form of `1L << b`
+    * with a non-constant shift amount.
     */
-  private def mightContain(keyExpr: String, bits: Int, hashes: Int): Column =
+  private val BitMasks: Column = typedlit((0 until 64).map(i => 1L << i))
+
+  /** Probe predicate: all `hashes` bits of `key` are set in the
+    * literal `bloom` word map. Pure scan-side Column expressions
+    * (whole-stage codegen), no join — evaluated before any exchange.
+    */
+  private def mightContain(key: Column, bloom: Column,
+                           bits: Int, hashes: Int): Column =
     (0 until hashes).map { s =>
-      val pos = s"pmod(xxhash64($keyExpr, $s), ${bits}L)"
-      expr(s"(coalesce(element_at(bloom, cast(($pos) div 64 as int)), 0L)" +
-        s" & shiftleft(1L, cast(($pos) % 64 as int))) != 0")
+      val pos = pmod(xxhash64(key, lit(s)), lit(bits.toLong))
+      coalesce(element_at(bloom, shiftright(pos, 6).cast("int")), lit(0L))
+        .bitwiseAND(element_at(BitMasks, (pos % 64).cast("int") + 1)) =!= 0L
     }.reduce(_ && _)
 
   /** Map-side pre-filter of `facts` by a Bloom filter of `keys`: keeps
     * every fact row whose key is in `keys` (no false negatives) plus a
     * fixed-rate residue of false positives for the exact join to
-    * remove.
+    * remove. Runs the build aggregate eagerly and embeds the
+    * fixed-size word map as a literal (see object scaladoc).
     */
   def preFilter(facts: DataFrame, keys: DataFrame, factKey: String, keyCol: String,
-                bits: Int = 1 << 17, hashes: Int = 5): DataFrame =
-    facts.crossJoin(broadcast(bloomFilterOf(keys, keyCol, bits, hashes)))
-      .filter(mightContain(factKey, bits, hashes))
-      .drop("bloom")
+                bits: Int = 1 << 17, hashes: Int = 5): DataFrame = {
+    val words = bloomFilterOf(keys, keyCol, bits, hashes)
+      .collect().head.getMap[Int, Long](0).toMap // bits/8 bytes, bounded
+    facts.filter(mightContain(col(factKey), typedlit(words), bits, hashes))
+  }
 
   /** Demo query: revenue of lineitems belonging to URGENT orders.
     * Bloom-prefilter the fact scan, then exact left-semi confirm
@@ -88,6 +105,6 @@ object BloomJoin {
       .orderBy("l_returnflag")
   }
 
-  def urgentRevenue(spark: SparkSession, dir: String): DataFrame =
+  def urgentRevenue(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     urgentRevenueOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
 }

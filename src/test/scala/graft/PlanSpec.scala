@@ -163,6 +163,67 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "the profile must not plan a multi-count-distinct Expand over the facts")
   }
 
+  test("bloom pre-filter is a literal scan-side predicate below the confirm join") {
+    val p = plan(graft.operators.BloomJoin.urgentRevenue(spark, Sf))
+    // The literal-bitset design must not join for the bitset at all —
+    // a joined bitset lets ReorderJoin plan the exact semi-join first
+    // and the "pre"-filter after it (the regression this test pins).
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      p.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"bloom bitset must be a literal, not a joined frame:\n$p")
+    // The xxhash64 probe filter must sit BELOW the confirm join on the
+    // fact path — killing rows before they reach the join (and, at
+    // scale, before the shuffle the join would force).
+    def joins(node: SparkPlan): Seq[SparkPlan] = node.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    val confirm = joins(p)
+    assert(confirm.nonEmpty, s"exact confirm join missing:\n$p")
+    assert(confirm.exists(_.children.exists(side =>
+      side.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("xxhash64") => f
+      }.nonEmpty)),
+      s"bloom probe filter must sit below the confirm join on the fact side:\n$p")
+  }
+
+  test("scd2History's three window passes share one user-keyed exchange") {
+    val p = plan(graft.operators.Warehouse.scd2History(spark, Sf))
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // user_id partitioning + the final presentation sort: nothing else
+    assert(shuffles.length <= 2,
+      s"lag, row_number and lead must reuse the same distribution:\n$p")
+  }
+
+  test("snapshotDiff is a single aggregate: one shuffle, no join") {
+    val p = plan(graft.operators.Warehouse.snapshotDiff(spark, Sf))
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      p.collect { case j: CartesianProductExec => j }.isEmpty)
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 2, // user_id agg + presentation sort
+      s"both snapshots must come from ONE conditional aggregate:\n$p")
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, s"a two-snapshot self-join defeats the single-pass design:\n$p")
+  }
+
+  test("oovRate broadcasts the k-bounded vocabulary, never shuffles the token join") {
+    val p = plan(CorpusStats.oovRate(spark, Sf))
+    val smjOnToken = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjOnToken.isEmpty,
+      s"the top-k vocab is bounded by construction and must broadcast:\n$p")
+  }
+
   test("funnel and behavior queries never plan a fact-by-fact nested loop") {
     // funnelSteps is allowed exactly one BNLJ: the cross with the
     // 1-row step-1 count (same pattern as collocations' totals cross).
