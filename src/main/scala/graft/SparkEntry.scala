@@ -123,7 +123,9 @@ object SparkEntry {
     "bloom_semi_join"   -> (BloomJoin.urgentRevenue(_, _)),
     "lm_quality"        -> (CorpusStats.lmQuality(_, _)),
     "distribution_drift" -> (Robust.distributionDrift(_, _)),
-    "oov_rate"          -> (CorpusStats.oovRate(_, _))
+    "oov_rate"          -> (CorpusStats.oovRate(_, _)),
+    "chi2_contingency"  -> (Behavior.chi2Contingency(_, _)),
+    "conversion_latency" -> (Behavior.conversionLatency(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1341,6 +1343,44 @@ object SparkEntry {
         |  CAST(n_oov AS BIGINT) AS n_oov,
         |  floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4
         |    AS oov_rate
-        |FROM per ORDER BY doc_id""".stripMargin
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    // Time-of-week is pure arithmetic ((days-since-epoch) mod 7), NOT
+    // dayofweek() — week-start conventions differ between engines and
+    // the bucket is only a category. E and (O−E)²/E mirror the Spark
+    // expression order exactly; rounding happens once at the edge.
+    "chi2_contingency" ->
+      """WITH cells AS (SELECT event_type,
+        |    CAST((ts::DATE - DATE '1970-01-01') % 7 AS INT) AS tow,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT tow, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+        |SELECT c.event_type, c.tow, c.o,
+        |  floor(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS e,
+        |  floor((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1e4 + 0.5) / 1e4 AS contrib
+        |FROM cells c JOIN rt USING (event_type) JOIN ct USING (tow), n
+        |ORDER BY c.event_type, c.tow""".stripMargin,
+
+    // Funnel pairing (first view, first strictly-later purchase) in µs;
+    // quantile interpolation over exact integer delays, µs→sec + 4dp
+    // floor rounding once at the edge.
+    "conversion_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.us) AS t2, MIN(v.t1) AS t1
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us > v.t1
+        |      GROUP BY 1)
+        |SELECT CAST(make_timestamp(t1) AS DATE) AS view_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  floor(quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.5) / 1e6 * 1e4 + 0.5) / 1e4 AS p50_sec,
+        |  floor(quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.9) / 1e6 * 1e4 + 0.5) / 1e4 AS p90_sec
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

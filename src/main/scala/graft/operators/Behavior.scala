@@ -135,4 +135,71 @@ object Behavior {
 
   def eventTransitions(spark: SparkSession, dir: String): DataFrame =
     eventTransitionsOf(Tables.events(spark, dir))
+
+  /** χ² contingency table for event-type × time-of-week association
+    * (the EDA pass behind "does behavior depend on the day"). The
+    * time-of-week bucket is PURE ARITHMETIC — `pmod(days-since-epoch,
+    * 7)` — not a calendar dayofweek() whose week-start convention
+    * differs between engines; the bucket is a category, so the phase
+    * is irrelevant. Expected counts and per-cell contributions
+    * `(O−E)²/E` are plain IEEE arithmetic on exact integer totals
+    * (row·col products stay far under 2^53), rounded floor-form at
+    * the edge. One count aggregate; the row/col/grand totals join
+    * back as group-count-bounded frames (AQE-decided).
+    */
+  def chi2ContingencyOf(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"),
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")), lit(7))
+          .as("tow"))
+      .groupBy("event_type", "tow").agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("event_type").agg(sum("o").as("rt"))
+    val colT = cells.groupBy("tow").agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n")) // 1 row
+    val e = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+    cells.join(rowT, "event_type").join(colT, "tow")
+      .crossJoin(broadcast(n)) // 1 row by construction
+      .select(col("event_type"), col("tow"), col("o"),
+        graft.functions.TextF.round4HalfUp(e).as("e"),
+        graft.functions.TextF.round4HalfUp(
+          (col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+          .as("contrib"))
+      .orderBy("event_type", "tow")
+  }
+
+  def chi2Contingency(spark: SparkSession, dir: String): DataFrame =
+    chi2ContingencyOf(Tables.events(spark, dir))
+
+  /** Conversion-latency distribution: for each user's FIRST view and
+    * first purchase STRICTLY after it (the funnel pairing of
+    * [[funnelStepsOf]], two chained min-aggregates — never a per-user
+    * sort), the view→purchase delay in seconds, summarized per
+    * first-view day as p50/p90. Delays are exact integer microsecond
+    * differences; percentile interpolation over exact integers is a
+    * single `(a+b)·0.5` both engines compute identically
+    * (cf. [[Robust.rollingMedianOf]]), and the µs→seconds division +
+    * floor-form rounding happens once at the edge.
+    */
+  def conversionLatencyOf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1"))
+    p.select(col("user_id"),
+      timestamp_micros(col("t1")).cast("date").as("view_day"),
+      (col("t2") - col("t1")).as("delay_us"))
+      .groupBy("view_day")
+      .agg(count(lit(1)).as("n_conversions"),
+        graft.functions.TextF.round4HalfUp(
+          expr("percentile(delay_us, 0.5)") / lit(1e6)).as("p50_sec"),
+        graft.functions.TextF.round4HalfUp(
+          expr("percentile(delay_us, 0.9)") / lit(1e6)).as("p90_sec"))
+      .orderBy("view_day")
+  }
+
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame =
+    conversionLatencyOf(Tables.events(spark, dir))
 }

@@ -90,6 +90,55 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(out(("view", "purchase")) == 0.3333)
   }
 
+  test("chi2: independent margins give zero contribution, skew shows up") {
+    // 2 types × 2 weekdays, perfectly independent: O == E everywhere
+    val ev = eventsDf(
+      (1L, "click", "2024-01-01 10:00:00"), (2L, "view", "2024-01-01 11:00:00"),
+      (3L, "click", "2024-01-02 10:00:00"), (4L, "view", "2024-01-02 11:00:00"))
+    val out = Behavior.chi2ContingencyOf(ev).collect()
+    assert(out.forall(_.getAs[Double]("contrib") == 0.0),
+      "independent margins must contribute 0 to chi-square")
+    assert(out.forall(r => r.getAs[Double]("e") == 1.0))
+  }
+
+  test("chi2: expected counts come from the margins, not the cells") {
+    // type A all on day 1, type B all on day 2 → maximal association:
+    // margins 2/2 and 2/2 over N=4 → E = 1 per cell, contrib = 1.
+    val ev = eventsDf(
+      (1L, "click", "2024-01-01 10:00:00"), (2L, "click", "2024-01-01 11:00:00"),
+      (3L, "view", "2024-01-02 10:00:00"), (4L, "view", "2024-01-02 11:00:00"))
+    val out = Behavior.chi2ContingencyOf(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Double]("contrib")).toMap
+    assert(out.size == 2, "empty cells emit no row (observed-cells table)")
+    assert(out.values.forall(_ == 1.0))
+  }
+
+  test("conversion latency: first view pairs with first strictly-later purchase") {
+    val ev = eventsDf(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "purchase", "2024-01-01 10:00:30"),  // +30 s — the one that counts
+      (1L, "purchase", "2024-01-01 12:00:00"),  // later purchase ignored
+      (2L, "purchase", "2024-01-01 09:00:00"),  // purchase BEFORE any view
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "view", "2024-01-01 09:30:00"),      // first view 09:30
+      (2L, "purchase", "2024-01-01 09:30:00"))  // exactly at view: not after
+    val out = Behavior.conversionLatencyOf(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // user 1: 30 s; user 2: first view 09:30, first LATER purchase none
+    // (09:00 is before, 09:30 is not strictly after) → only user 1
+    assert(r.getLong(1) == 1L && r.getDouble(2) == 30.0 && r.getDouble(3) == 30.0)
+  }
+
+  test("conversion latency: p50 interpolates the even-count midpoint") {
+    val ev = eventsDf(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "purchase", "2024-01-01 10:00:10"),
+      (2L, "view", "2024-01-01 11:00:00"), (2L, "purchase", "2024-01-01 11:00:30"))
+    val r = Behavior.conversionLatencyOf(ev).collect().head
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 20.0,
+      "median of {10s, 30s} must interpolate to 20s")
+  }
+
   test("pivot: absent event types fill 0.0 and sums are exact") {
     val ev = Seq(
       (1L, "click", "2024-01-01 10:00:00", 1.25),
