@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.operators.Dedup
-import graft.plans.{CosineSimilarity, L2Squared, MinHashSignature, NormalizeText, ShingleHashes, SignPackBits, SimHash64, SortedIntersectSize}
+import graft.plans.{CharNgramHashes, CosineSimilarity, L2Squared, MinHashSignature, NormalizeText, ShingleHashes, SignPackBits, SimHash64, SortedIntersectSize}
 
 /** SQL-surface registration for the engine's native expressions, so
   * `spark.sql("SELECT cosine_sim(a, b) ...")` works like any built-in.
@@ -47,6 +47,11 @@ object GraftFunctions {
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("char_ngram_hashes"),
+      new ExpressionInfo(classOf[CharNgramHashes].getName, "char_ngram_hashes"),
+      // Trigram width, matching the corpus-LM scorer; occurrence-
+      // preserving (NOT deduplicated), unlike shingle_hashes.
+      (children: Seq[Expression]) => CharNgramHashes(children.head, 3)),
     (FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))),

@@ -26,13 +26,17 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
       """SELECT normalize_text('CAFÉ  Latte') AS n,
         |       sorted_intersect_size(array(1L, 3L, 9L), array(3L, 7L, 9L)) AS i,
         |       simhash64('alpha beta gamma') AS h,
-        |       size(shingle_hashes('a b c d')) AS s""".stripMargin).head()
+        |       size(shingle_hashes('a b c d')) AS s,
+        |       char_ngram_hashes('aaaa') AS g""".stripMargin).head()
     assert(r.getString(0) == "café  latte")
     assert(r.getInt(1) == 2)
     assert(r.getLong(2) ==
       graft.operators.Dedup.simhashOf(Array("alpha", "beta", "gamma")))
     // 4 tokens, width-3 shingles → 2 distinct shingles
     assert(r.getInt(3) == 2)
+    // occurrence-preserving: "aaaa" has TWO identical trigram windows
+    val g = r.getSeq[Long](4)
+    assert(g.length == 2 && g.distinct.length == 1)
   }
 
   test("minhash_sig of an empty array is NULL (empty docs route to singleton clusters)") {
