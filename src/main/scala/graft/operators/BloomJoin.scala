@@ -62,14 +62,17 @@ object BloomJoin {
   private val BitMasks: Column = typedlit((0 until 64).map(i => 1L << i))
 
   /** Probe predicate: all `hashes` bits of `key` are set in the
-    * literal `bloom` word map. Pure scan-side Column expressions
-    * (whole-stage codegen), no join — evaluated before any exchange.
+    * literal DENSE `bloom` word array (1-indexed element_at — O(1) on
+    * an array literal, where a map literal's element_at is a LINEAR
+    * scan of its 2048 entries per probe and dominated the query).
+    * Pure scan-side Column expressions (whole-stage codegen), no join
+    * — evaluated before any exchange.
     */
   private def mightContain(key: Column, bloom: Column,
                            bits: Int, hashes: Int): Column =
     (0 until hashes).map { s =>
       val pos = pmod(xxhash64(key, lit(s)), lit(bits.toLong))
-      coalesce(element_at(bloom, shiftright(pos, 6).cast("int")), lit(0L))
+      element_at(bloom, shiftright(pos, 6).cast("int") + 1)
         .bitwiseAND(element_at(BitMasks, (pos % 64).cast("int") + 1)) =!= 0L
     }.reduce(_ && _)
 
@@ -77,13 +80,14 @@ object BloomJoin {
     * every fact row whose key is in `keys` (no false negatives) plus a
     * fixed-rate residue of false positives for the exact join to
     * remove. Runs the build aggregate eagerly and embeds the
-    * fixed-size word map as a literal (see object scaladoc).
+    * fixed-size bitset as a dense literal array (see object scaladoc).
     */
   def preFilter(facts: DataFrame, keys: DataFrame, factKey: String, keyCol: String,
                 bits: Int = 1 << 17, hashes: Int = 5): DataFrame = {
     val words = bloomFilterOf(keys, keyCol, bits, hashes)
-      .collect().head.getMap[Int, Long](0).toMap // bits/8 bytes, bounded
-    facts.filter(mightContain(col(factKey), typedlit(words), bits, hashes))
+      .collect().head.getMap[Int, Long](0) // bits/8 bytes, bounded
+    val dense = (0 until bits / 64).map(i => words.getOrElse(i, 0L))
+    facts.filter(mightContain(col(factKey), typedlit(dense), bits, hashes))
   }
 
   /** Demo query: revenue of lineitems belonging to URGENT orders.
