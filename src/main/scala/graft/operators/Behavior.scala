@@ -144,8 +144,11 @@ object Behavior {
     * is irrelevant. Expected counts and per-cell contributions
     * `(O−E)²/E` are plain IEEE arithmetic on exact integer totals
     * (row·col products stay far under 2^53), rounded floor-form at
-    * the edge. One count aggregate; the row/col/grand totals join
-    * back as group-count-bounded frames (AQE-decided).
+    * the edge. ONE count aggregate scans the facts; the row/col/grand
+    * margins are windows over the resulting |types × 7| cell frame —
+    * a separate aggregate per margin would re-plan (and re-scan) the
+    * fact aggregate once per consumer, Catalyst has no cross-branch
+    * CSE.
     */
   def chi2ContingencyOf(events: DataFrame): DataFrame = {
     val cells = events
@@ -153,12 +156,14 @@ object Behavior {
         pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")), lit(7))
           .as("tow"))
       .groupBy("event_type", "tow").agg(count(lit(1)).as("o"))
-    val rowT = cells.groupBy("event_type").agg(sum("o").as("rt"))
-    val colT = cells.groupBy("tow").agg(sum("o").as("ct"))
-    val n = cells.agg(sum("o").as("n")) // 1 row
+    val byRow = Window.partitionBy("event_type")
+    val byCol = Window.partitionBy("tow")
+    val whole = Window.partitionBy()
     val e = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
-    cells.join(rowT, "event_type").join(colT, "tow")
-      .crossJoin(broadcast(n)) // 1 row by construction
+    cells
+      .withColumn("rt", sum("o").over(byRow))
+      .withColumn("ct", sum("o").over(byCol))
+      .withColumn("n", sum("o").over(whole))
       .select(col("event_type"), col("tow"), col("o"),
         graft.functions.TextF.round4HalfUp(e).as("e"),
         graft.functions.TextF.round4HalfUp(

@@ -146,17 +146,27 @@ object Corpus {
   def boilerplateStats(spark: SparkSession, dir: String): DataFrame =
     boilerplateStatsOf(Tables.documents(spark, dir))
 
-  /** Vocabulary statistics: per-token document frequency and collection
-    * frequency, top `k` by df. Two aggregates: (doc, token) → count
-    * (map-side combinable), then token → (df, cf). */
-  def vocabDfOf(docs: DataFrame, k: Int = 100): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
+  /** The (doc_id, token, tf) frame both vocabulary consumers build on
+    * (map-side combinable). */
+  def tokenTfOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TextF.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .groupBy("token").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+
+  /** Top-`k` vocabulary ranking over a [[tokenTfOf]] frame — ONE
+    * definition, so the OOV-rate evaluator can never drift from the
+    * vocabulary builder it scores against. */
+  def vocabFromTf(tf: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    tf.groupBy("token").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .orderBy(col("df").desc, col("cf").desc, col("token"))
       .limit(k)
   }
+
+  /** Vocabulary statistics: per-token document frequency and collection
+    * frequency, top `k` by df. Two aggregates: (doc, token) → count
+    * (map-side combinable), then token → (df, cf). */
+  def vocabDfOf(docs: DataFrame, k: Int = 100): DataFrame =
+    vocabFromTf(tokenTfOf(docs), k)
 
   def vocabDf(spark: SparkSession, dir: String): DataFrame =
     vocabDfOf(Tables.documents(spark, dir))

@@ -217,18 +217,20 @@ object CorpusStats {
     * this metric can never drift from the vocabulary builder it
     * evaluates. The vocabulary is k rows BY CONSTRUCTION, so the
     * explicit broadcast is safe at any corpus size (the bounded-side
-    * rule the engine's other forced broadcasts follow); the only
-    * shuffle is the per-doc re-aggregation of the exploded tokens.
+    * rule the engine's other forced broadcasts follow). Both the
+    * vocabulary and the scoring consume ONE materialized (doc, token,
+    * tf) frame — occurrence math becomes Σ tf, and the corpus isn't
+    * tokenized twice (no cross-branch CSE in Catalyst).
     */
   def oovRateOf(docs: DataFrame, k: Int = 100): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("token"))
-    val vocab = Corpus.vocabDfOf(docs, k)
+    require(k > 0, s"k must be positive, got $k")
+    val tf = Corpus.tokenTfOf(docs).localCheckpoint(false)
+    val vocab = Corpus.vocabFromTf(tf, k)
       .select(col("token"), lit(1L).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("token"), "left")
+    tf.join(broadcast(vocab), Seq("token"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum("tf").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         TextF.round4HalfUp(
           col("n_oov").cast("double") / col("n_tokens").cast("double"))

@@ -247,6 +247,9 @@ object EventAnalytics {
         floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
       .groupBy("event_type", "day")
       .agg(sum("qv").as("qrev"))
+      // |types × days| rows, two consumers (fan-out + join-back):
+      // materialize once or the fact aggregate re-plans per branch
+      .localCheckpoint(false)
     val contrib = daily
       .select(col("event_type"), col("day"), col("qrev"),
         explode(sequence(lit(0), lit(horizon - 1))).as("off"))

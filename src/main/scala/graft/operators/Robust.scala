@@ -184,15 +184,18 @@ object Robust {
     val bucket = when(col("mx") > col("mn"),
       least(floor((col("value") - col("mn")) / width), lit(bins - 1L)))
       .otherwise(lit(0L))
-    val binned = ev.join(bounds, "event_type") // bounded by group count
+    // Period totals as a window over the bins×groups frame: a second
+    // aggregate + join back would re-plan the fact histogram once per
+    // consumer (no cross-branch CSE in Catalyst).
+    val byType = Window.partitionBy("event_type")
+    ev.join(bounds, "event_type") // bounded by group count
       .select(col("event_type"), col("in_p"), bucket.cast("long").as("bucket"))
       .groupBy("event_type", "bucket")
       .agg(sum(when(col("in_p"), 1L).otherwise(0L)).as("np_bin"),
         sum(when(!col("in_p"), 1L).otherwise(0L)).as("nq_bin"))
-    val totals = binned.groupBy("event_type")
-      .agg(sum("np_bin").as("np"), sum("nq_bin").as("nq"))
+      .withColumn("np", sum("np_bin").over(byType))
+      .withColumn("nq", sum("nq_bin").over(byType))
       .filter(col("np") > 0 && col("nq") > 0)
-    binned.join(totals, "event_type")
       .select(col("event_type"), col("np"), col("nq"),
         floor(abs(col("np_bin").cast("double") / col("np").cast("double") -
           col("nq_bin").cast("double") / col("nq").cast("double")) * 1e9 + 0.5)
