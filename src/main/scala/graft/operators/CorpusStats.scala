@@ -26,16 +26,18 @@ object CorpusStats {
     * see object scaladoc); score = tf · idf, rounded THEN ranked so
     * ordering is on the exact values both engines agree on.
     *
-    * Shape: tf is a (doc, token) aggregate (map-side combinable), df a
-    * token aggregate of tf; the tf⋈df join shuffles on token; the
-    * 1-row doc count broadcasts; top-k per doc is a WindowGroupLimit
-    * (partition-local, no global sort of the scored set). */
+    * Shape: tf is a (doc, token) aggregate (map-side combinable); df
+    * is a count WINDOW over tf partitioned by token — a separate df
+    * aggregate joined back would re-plan the whole tf subtree for the
+    * second consumer (no cross-branch CSE in Catalyst), tokenizing
+    * the corpus twice. The 1-row doc count broadcasts; top-k per doc
+    * is a WindowGroupLimit (partition-local, no global sort of the
+    * scored set). */
   def tfidfTopTermsOf(docs: DataFrame, k: Int = 5): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val tf = docs
       .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val score = round(
       col("tf").cast("double") *
@@ -43,7 +45,8 @@ object CorpusStats {
       4)
     val byScore = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token"))
-    tf.join(df, "token")
+    tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .crossJoin(broadcast(n)) // 1 row by construction
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         score.as("score"))
@@ -63,7 +66,12 @@ object CorpusStats {
     *
     * n_tokens / n_distinct are per-row expression work; only the
     * (doc, bigram) → max-count aggregate shuffles, and it combines
-    * map-side. Docs with < 2 tokens have no bigrams → fraction 0. */
+    * map-side. Docs with < 2 tokens have no bigrams → fraction 0.
+    * ONE pass: the per-doc constants ride through the aggregate as
+    * group keys and empty-bigram docs survive via explode_outer's
+    * null row — a base⋈topBigram join would re-plan the tokenize +
+    * bigram projection for the second consumer (no cross-branch CSE
+    * in Catalyst). */
   def repetitionStatsOf(docs: DataFrame,
                         minDistinctRatio: Double = 0.3,
                         maxTopBigramFrac: Double = 0.2): DataFrame = {
@@ -72,12 +80,13 @@ object CorpusStats {
       .select(col("doc_id"), col("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
         TextF.bigramPairs(col("toks"), col("n_tokens")).as("bigrams"))
-    val topBigram = base
-      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_bigram_count"))
-    base.select("doc_id", "n_tokens", "n_distinct")
-      .join(topBigram, Seq("doc_id"), "left")
+    base
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        explode_outer(col("bigrams")).as("bg"))
+      .groupBy("doc_id", "n_tokens", "n_distinct", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens", "n_distinct")
+      .agg(max(when(col("bg").isNotNull, col("c"))).as("top_bigram_count"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 4)
           .as("distinct_ratio"),
@@ -101,15 +110,28 @@ object CorpusStats {
     * minCount, top-k by (count, lift, bigram).
     *
     * Two shuffled aggregates (bigram counts, unigram counts) + two
-    * token-keyed joins; the 1-row totals frame broadcasts. */
+    * token-keyed joins; the 1-row totals frame broadcasts. The
+    * tokenized frame and the unigram table each feed multiple
+    * consumers, so both materialize once (no cross-branch CSE in
+    * Catalyst — re-planning would tokenize the corpus three times). */
   def collocationsOf(docs: DataFrame, minCount: Long = 5,
                      k: Int = 50): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // Both shared frames materialize once: without the checkpoints,
+    // uni's two join consumers and the big/totals branches re-planned
+    // the tokenize under every consumer — four corpus tokenizations
+    // (measured: re-tokenizing beats materializing only if the
+    // interpreted-HOF tokenize were cheap; it is the dominant cost, so
+    // paying it once wins both locally and at scale — a 100 TB caller
+    // whose executors can't hold the token frame should persist the
+    // uni/big AGGREGATES to a table and drop the toks checkpoint).
     val toks = docs
       .select(col("doc_id"), TextF.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .localCheckpoint(false)
     val uni = toks.select(explode(col("toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false)
     val big = toks
       .select(explode(TextF.bigramPairs(col("toks"), col("n"))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))

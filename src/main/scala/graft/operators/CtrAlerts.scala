@@ -49,27 +49,35 @@ object CtrAlerts {
 
     val withRd = daily.crossJoin(broadcast(rd))
 
-    val last7 = withRd
+    // ONE conditional aggregate computes both windows (Catalyst has no
+    // cross-branch CSE — separate last7/today aggregates joined on
+    // user_id re-planned the event scan and the report-date aggregate
+    // once per branch, four fact scans in all). `sum(when(...))` with
+    // no otherwise keeps the old grouping semantics: a user with no
+    // rows in a window gets NULL sums there, and the n_pre/n_today > 0
+    // filter reproduces the inner join's both-sides-present contract
+    // (a user CAN be today-only — new users appear only on the report
+    // day — or window-only). One shuffle on the group key, no join at
+    // all, so the old which-side-to-build question disappears.
+    val pre = col("day") < col("report_date")
+    val onRd = col("day") === col("report_date")
+    val agg = withRd
       .filter(col("day").between(date_sub(col("report_date"), 7),
-        date_sub(col("report_date"), 1)))
+        col("report_date")))
       .groupBy("user_id")
-      .agg(safeDivide(sum("is_click"), sum("is_view")).as("avg_ctr_7d"))
-
-    val today = withRd
-      .filter(col("day") === col("report_date"))
-      .groupBy("user_id")
-      .agg(safeDivide(sum("is_click"), sum("is_view")).as("today_ctr"))
+      .agg(
+        safeDivide(sum(when(pre, col("is_click"))),
+          sum(when(pre, col("is_view")))).as("avg_ctr_7d"),
+        safeDivide(sum(when(onRd, col("is_click"))),
+          sum(when(onRd, col("is_view")))).as("today_ctr"),
+        count(when(pre, lit(1))).as("n_pre"),
+        count(when(onRd, lit(1))).as("n_today"))
+      .filter(col("n_pre") > 0 && col("n_today") > 0)
 
     val pct = safeDivide(col("today_ctr") - col("avg_ctr_7d"),
       col("avg_ctr_7d")) * 100
 
-    // No forced broadcast: "today" is usually the smaller side, but it
-    // is still one row per user active that day — unbounded with the
-    // user count (and new users appear ONLY on the today side, so it is
-    // not a strict subset of last7 either). AQE picks the build side
-    // from observed sizes and degrades to a shuffled join past the
-    // autoBroadcastJoinThreshold instead of OOMing an executor.
-    last7.join(today, "user_id")
+    agg
       .filter(abs(pct) > 25)
       .select(
         col("user_id"),
