@@ -84,12 +84,15 @@ object Dedup {
 
   /** One-pass LSH clustering: docs sharing any band bucket take the
     * bucket's min doc_id as cluster id; singletons keep their own id.
-    * Shuffles on (band, band_hash) then doc_id only. */
+    * Shuffles on (band, band_hash) then doc_id only. The bucket min is
+    * a WINDOW over the banded frame — a bucket aggregate joined back
+    * would re-plan (and re-run) the MinHash signature pass for the
+    * second consumer (no cross-branch CSE in Catalyst). */
   def dedupMinhashOf(docs: DataFrame): DataFrame = {
-    val banded = bandedSignaturesOf(docs)
-    val buckets = banded.groupBy("band", "band_hash")
-      .agg(min("doc_id").as("bucket_min"))
-    val clustered = banded.join(buckets, Seq("band", "band_hash"))
+    import org.apache.spark.sql.expressions.Window
+    val clustered = bandedSignaturesOf(docs)
+      .withColumn("bucket_min",
+        min("doc_id").over(Window.partitionBy("band", "band_hash")))
       .groupBy("doc_id")
       .agg(min("bucket_min").as("cluster_id"))
     // null-text docs never banded → each is its own singleton cluster
@@ -117,9 +120,12 @@ object Dedup {
       .select("a_id", "b_id").distinct()
     // Exact Jaccard over the 31-bit shingle hash sets instead of the
     // shingle strings: collision odds per doc are ~|shingles|²/2³² —
-    // negligible at document scale.
+    // negligible at document scale. Materialized once: the verify
+    // stage consumes it on BOTH join sides keyed differently, where
+    // ReuseExchange can't help (no cross-branch CSE in Catalyst).
     val sh = docs
       .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("sh"))
+      .localCheckpoint(false)
     verifyJaccard(cand, sh, threshold)
   }
 
@@ -173,9 +179,12 @@ object Dedup {
     // boundary pair like J = 0.49995 rounds up to 0.5 and must not be
     // length- or prefix-pruned first).
     val tEff = threshold - 5e-5
+    // Materialized once — three consumers (the prefix index and both
+    // verify join sides), each keyed differently (cf. dedupJaccardOf).
     val sh = docs
       .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("sh"))
       .filter(col("sh").isNotNull)
+      .localCheckpoint(false)
     // ceil(x - 1e-6) guards double noise: 0.7 * 10 evaluating to
     // 7.000000001 must ceil to 7, not 8 (an overshoot would shorten
     // the prefix and silently drop valid pairs).
@@ -285,17 +294,25 @@ object Dedup {
     * native [[graft.plans.SimHash64]] expression — the earlier typed
     * `Dataset.map` encoded/decoded every row and left codegen. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.plans.ColumnBridge.column(graft.plans.SimHash64(
           graft.plans.ColumnBridge.expression(col("text")))).as("simhash"))
     // 16-bit band extraction: band i value = (simhash >>> 16i) & 0xffff.
-    val banded = (0 until 4).map { i =>
-      sigs.select(col("doc_id"), col("simhash"), lit(i).as("band"),
-        shiftrightunsigned(col("simhash"), 16 * i).bitwiseAND(lit(0xffffL)).as("band_val"))
-    }.reduce(_ union _)
-    val buckets = banded.groupBy("band", "band_val").agg(min("doc_id").as("bucket_min"))
-    banded.join(buckets, Seq("band", "band_val"))
+    // One explode, not a 4-way union of selects — the union re-planned
+    // the SimHash64 scan per branch; with the bucket-min as a window
+    // (not an aggregate joined back, which doubles the plan again) the
+    // signature computes exactly once per doc: 8 scans down to 1.
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("simhash"), 16 * i).bitwiseAND(lit(0xffffL))
+            .as("band_val"))
+      }: _*)).as("b"))
+    banded
+      .withColumn("bucket_min",
+        min("doc_id").over(Window.partitionBy(col("b.band"), col("b.band_val"))))
       .groupBy("doc_id")
       .agg(min("simhash").as("simhash"), min("bucket_min").as("cluster_id"))
       .orderBy("doc_id")
