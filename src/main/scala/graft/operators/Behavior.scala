@@ -75,8 +75,11 @@ object Behavior {
   def cohortRetentionOf(events: DataFrame, maxOffset: Int = 7): DataFrame = {
     require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
     val act = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
-    act.join(cohort, "user_id")
+    // Cohort day as a window over the deduped activity, not an
+    // aggregate joined back (which re-planned the distinct — no
+    // cross-branch CSE in Catalyst).
+    act
+      .withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
       .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
       .filter(col("day_offset").between(0, maxOffset))
       .groupBy("cohort_day", "day_offset")

@@ -170,9 +170,13 @@ object CorpusStats {
   def langQualityGateOf(docs: DataFrame): DataFrame = {
     val scored = docs.select(col("doc_id"), col("lang"),
       TextF.qualityScore(col("text"), TextAnalysis.Stopwords).as("quality"))
-    val thresholds = scored.groupBy("lang")
-      .agg(TextF.round4HalfUp(expr("percentile(quality, 0.75)")).as("lang_p75"))
-    scored.join(broadcast(thresholds), "lang")
+    // Whole-partition percentile WINDOW, not an aggregate joined back:
+    // the join's second consumer re-planned the quality scoring pass
+    // (interpreted-HOF stopword ratios — the expensive part) over the
+    // whole corpus (no cross-branch CSE in Catalyst).
+    scored
+      .withColumn("lang_p75", TextF.round4HalfUp(
+        expr("percentile(quality, 0.75)").over(Window.partitionBy("lang"))))
       .filter(col("quality") >= col("lang_p75"))
       .select("doc_id", "lang", "quality", "lang_p75")
       .orderBy("doc_id")

@@ -31,13 +31,19 @@ object Robust {
     */
   def madOutliersOf(events: DataFrame, k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val ev = events.select(col("event_id"), col("event_type"), col("value"))
-    val med = ev.groupBy("event_type")
-      .agg(round4(expr("percentile(value, 0.5)")).as("med"))
-    val dev = ev.join(med, "event_type")
-    val mad = dev.groupBy("event_type")
-      .agg(round4(expr("percentile(abs(value - med), 0.5)")).as("mad"))
-    dev.join(mad, "event_type")
+    // Two stacked whole-partition percentile WINDOWS on one group-key
+    // shuffle: ONE fact scan. The aggregate+join form re-planned the
+    // fact scan once per consumer (4 scans — no cross-branch CSE in
+    // Catalyst); locally the cached re-scans are slightly cheaper
+    // than the window buffering, but at fact-table scale the scans
+    // are the cost that matters. (A window-med + joined-mad hybrid
+    // re-plans the window subtree per consumer — worst of both.)
+    val byType = Window.partitionBy("event_type")
+    events.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("med",
+        round4(expr("percentile(value, 0.5)").over(byType)))
+      .withColumn("mad",
+        round4(expr("percentile(abs(value - med), 0.5)").over(byType)))
       .filter(col("mad") > 0 &&
         abs(col("value") - col("med")) > lit(k) * lit(1.4826) * col("mad"))
       .select(col("event_id"), col("event_type"), col("value"),

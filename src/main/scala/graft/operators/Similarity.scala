@@ -54,9 +54,12 @@ object Similarity {
     * still ~11% of rows, not O(n) — while recovering useful recall. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val planes = VectorF.hyperplanes(64, LshPlanes)
+    // Materialized once for the query and neighbor sides
+    // (cf. dedupCosine — the bucket assignment is the expensive part).
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VectorF.lshBucket(col("embedding"), planes).as("bucket"))
+      .localCheckpoint(false)
     val probeMasks = 0 +: (0 until LshPlanes).map(1 << _)
     val q = broadcast(emb.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -150,9 +153,13 @@ object Similarity {
   def dedupCosine(spark: SparkSession, dir: String): DataFrame = {
     val nPlanes = 5 // 32 buckets
     val planes = VectorF.hyperplanes(64, nPlanes)
+    // Materialized once: both join sides consume it (keyed on probe
+    // vs home bucket, so ReuseExchange can't dedupe), and the bucket
+    // assignment is nPlanes interpreted-HOF dot products per row.
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VectorF.lshBucket(col("embedding"), planes).as("bucket"))
+      .localCheckpoint(false)
     val probeMasks = 0 +: (0 until nPlanes).map(1 << _)
     val a = emb.select(col("vec_id"), col("embedding").as("a_emb"),
       explode(array(probeMasks.map(m =>
