@@ -125,7 +125,8 @@ object SparkEntry {
     "distribution_drift" -> (Robust.distributionDrift(_, _)),
     "oov_rate"          -> (CorpusStats.oovRate(_, _)),
     "chi2_contingency"  -> (Behavior.chi2Contingency(_, _)),
-    "conversion_latency" -> (Behavior.conversionLatency(_, _))
+    "conversion_latency" -> (Behavior.conversionLatency(_, _)),
+    "item_affinity"     -> (Behavior.itemAffinity(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1381,6 +1382,26 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
         |  floor(quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.5) / 1e6 * 1e4 + 0.5) / 1e4 AS p50_sec,
         |  floor(quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.9) / 1e6 * 1e4 + 0.5) / 1e4 AS p90_sec
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Item id via the report family's variant fallback chain; lift
+    // parenthesization mirrors the Spark expression (cf. collocations).
+    "item_affinity" ->
+      """WITH i AS (SELECT DISTINCT user_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM i),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |        CAST(COUNT(*) AS BIGINT) AS c12
+        |      FROM i a JOIN i b ON a.user_id = b.user_id AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |c1 AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c1 FROM i GROUP BY 1)
+        |SELECT item_a, item_b, c12,
+        |  ROUND((CAST(c12 AS DOUBLE) / CAST(n_users AS DOUBLE)) /
+        |        ((CAST(ca.c1 AS DOUBLE) / CAST(n_users AS DOUBLE)) *
+        |         (CAST(cb.c1 AS DOUBLE) / CAST(n_users AS DOUBLE))), 4) AS lift
+        |FROM p JOIN c1 ca ON p.item_a = ca.item
+        |       JOIN c1 cb ON p.item_b = cb.item, n
+        |ORDER BY c12 DESC, lift DESC, item_a, item_b LIMIT 50""".stripMargin
   )
 }

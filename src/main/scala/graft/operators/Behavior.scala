@@ -210,4 +210,51 @@ object Behavior {
 
   def conversionLatency(spark: SparkSession, dir: String): DataFrame =
     conversionLatencyOf(Tables.events(spark, dir))
+
+  /** Item co-occurrence affinity ("users who touched A also touched
+    * B"): 2-itemset support over per-user distinct item baskets, with
+    * lift against the independent-items baseline — the market-basket
+    * pass over the variant payload (the item id rides in `props.$.k`,
+    * extracted with the report family's fallback chain). The
+    * user-keyed self-join is quadratic in BASKET SIZE, not in users —
+    * the standard Apriori cost. Baskets are distinct-deduped before
+    * pairing and the support floor prunes the pair table; a corpus
+    * with pathological baskets caps them upstream (the distinct +
+    * bounded item vocabulary bound it here). The basket frame and the
+    * per-item counts each feed two consumers → materialized once.
+    * Lift parenthesization mirrors the oracle SQL exactly
+    * (cf. [[CorpusStats.collocationsOf]]).
+    */
+  def itemAffinityOf(events: DataFrame, minSupport: Long = 5,
+                     k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val items = events.select(col("user_id"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("item"))
+      .distinct()
+      .localCheckpoint(false)
+    val users = items.agg(countDistinct("user_id").as("n_users")) // 1 row
+    val pairs = items.select(col("user_id"), col("item").as("item_a"))
+      .join(items.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minSupport)
+    val c1 = items.groupBy("item").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false)
+    val lift = round(
+      (col("c12").cast("double") / col("n_users").cast("double")) /
+        ((col("c1a").cast("double") / col("n_users").cast("double")) *
+          (col("c1b").cast("double") / col("n_users").cast("double"))),
+      4)
+    pairs
+      .join(c1.select(col("item").as("item_a"), col("c1").as("c1a")), "item_a")
+      .join(c1.select(col("item").as("item_b"), col("c1").as("c1b")), "item_b")
+      .crossJoin(broadcast(users)) // 1 row by construction
+      .select(col("item_a"), col("item_b"), col("c12"), lift.as("lift"))
+      .orderBy(col("c12").desc, col("lift").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  def itemAffinity(spark: SparkSession, dir: String): DataFrame =
+    itemAffinityOf(Tables.events(spark, dir))
 }

@@ -139,6 +139,23 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       "median of {10s, 30s} must interpolate to 20s")
   }
 
+  test("item affinity: exclusive pairs out-lift ubiquitous ones, support floor prunes") {
+    def basket(u: Long, items: Long*) = items.map(i => (u, s"""{"k": $i}"""))
+    val ev = ((1L to 5L).flatMap(basket(_, 1L, 2L)) ++
+      (6L to 10L).flatMap(basket(_, 1L, 3L)) ++
+      (11L to 15L).flatMap(basket(_, 7L, 8L)) ++
+      (16L to 19L).flatMap(basket(_, 9L, 10L)) ++ // support 4 < 5 → pruned
+      basket(1L, 1L)) // duplicate (user, item) must not double-count
+      .toDF("user_id", "props")
+    val out = Behavior.itemAffinityOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // n=19 users; c1: item1=10, items2/3/7/8=5
+    // lift(7,8) = (5/19)/((5/19)^2) = 3.8; lift(1,2) = lift(1,3) = 1.9
+    assert(out.toSeq == Seq(
+      (7L, 8L, 5L, 3.8), (1L, 2L, 5L, 1.9), (1L, 3L, 5L, 1.9)),
+      "exclusive pair ranks first on lift; sub-support pair (9,10) is gone")
+  }
+
   test("pivot: absent event types fill 0.0 and sums are exact") {
     val ev = Seq(
       (1L, "click", "2024-01-01 10:00:00", 1.25),

@@ -225,11 +225,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("funnel and behavior queries never plan a fact-by-fact nested loop") {
-    // funnelSteps is allowed exactly one BNLJ: the cross with the
-    // 1-row step-1 count (same pattern as collocations' totals cross).
-    val pf = plan(graft.operators.Behavior.funnelSteps(spark, Sf))
-    assert(pf.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1)
-    assert(pf.collect { case j: CartesianProductExec => j }.isEmpty)
+    // funnelSteps and itemAffinity are each allowed exactly one BNLJ:
+    // the cross with a 1-row totals frame (collocations' pattern).
+    for (df <- Seq[DataFrame](
+      graft.operators.Behavior.funnelSteps(spark, Sf),
+      graft.operators.Behavior.itemAffinity(spark, Sf))) {
+      val pf = plan(df)
+      assert(pf.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1)
+      assert(pf.collect { case j: CartesianProductExec => j }.isEmpty)
+    }
     for (df <- Seq[DataFrame](
       graft.operators.Behavior.cohortRetention(spark, Sf),
       graft.operators.Robust.madOutliers(spark, Sf),
