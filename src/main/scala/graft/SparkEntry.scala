@@ -126,7 +126,8 @@ object SparkEntry {
     "oov_rate"          -> (CorpusStats.oovRate(_, _)),
     "chi2_contingency"  -> (Behavior.chi2Contingency(_, _)),
     "conversion_latency" -> (Behavior.conversionLatency(_, _)),
-    "item_affinity"     -> (Behavior.itemAffinity(_, _))
+    "item_affinity"     -> (Behavior.itemAffinity(_, _)),
+    "hard_mining"       -> (Similarity.hardMining(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1402,6 +1403,32 @@ object SparkEntry {
         |         (CAST(cb.c1 AS DOUBLE) / CAST(n_users AS DOUBLE))), 4) AS lift
         |FROM p JOIN c1 ca ON p.item_a = ca.item
         |       JOIN c1 cb ON p.item_b = cb.item, n
-        |ORDER BY c12 DESC, lift DESC, item_a, item_b LIMIT 50""".stripMargin
+        |ORDER BY c12 DESC, lift DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // Hardest positive = min (cos, id) same-label; hardest negative =
+    // max (cos, id) other-label — each row_number direction mirrors
+    // the Spark struct-extreme's tiebreak. Cosines round to 6 dp like
+    // the knn oracle.
+    "hard_mining" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label
+        |      FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, q_label, e.vec_id AS n_id, e.label AS n_label,
+        |        ROUND(list_cosine_similarity(q_emb, e.emb), 6) AS cos
+        |      FROM q JOIN e ON e.vec_id <> q.q_id),
+        |rp AS (SELECT q_id, n_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos ASC, n_id ASC) AS rn
+        |       FROM s WHERE n_label = q_label),
+        |rn_ AS (SELECT q_id, n_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id DESC) AS rn
+        |       FROM s WHERE n_label <> q_label)
+        |SELECT DISTINCT s.q_id, s.q_label,
+        |  p.n_id AS pos_id, p.cos AS pos_cos,
+        |  g.n_id AS neg_id, g.cos AS neg_cos
+        |FROM s
+        |JOIN rp p ON p.q_id = s.q_id AND p.rn = 1
+        |JOIN rn_ g ON g.q_id = s.q_id AND g.rn = 1
+        |ORDER BY s.q_id""".stripMargin
   )
 }

@@ -236,4 +236,45 @@ object Similarity {
           col("hits").cast("double") / col("k").cast("double")).as("recall"))
       .orderBy("q_id")
   }
+
+  /** Hard positive/negative mining for contrastive training: per query
+    * vector, the most DISTANT same-label neighbor (hardest positive —
+    * the in-class pair the model must still pull together) and the
+    * most SIMILAR other-label neighbor (hardest negative — the
+    * confusable out-of-class pair it must push apart). The classic
+    * triplet-mining pass over a labeled embedding table.
+    *
+    * Shape: the bounded query set broadcasts ([[knnTopk]]'s contract —
+    * the corpus side never shuffles); argmin/argmax are lexicographic
+    * struct extremes (map-side combinable, deterministic tiebreak on
+    * neighbor id: min-struct breaks ties low, max-struct high, and the
+    * oracle's row_number mirrors each direction). Queries lacking a
+    * same-label or other-label counterpart drop (a NULL "hardest pair"
+    * is not a training triplet).
+    */
+  def hardMiningOf(embeddings: DataFrame, queries: Int = QuerySetSize): DataFrame = {
+    require(queries > 0, s"queries must be positive, got $queries")
+    val e = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val q = broadcast(e.filter(col("vec_id") < queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label")))
+    val scored = q.join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"),
+        col("vec_id").as("n_id"), col("label").as("n_label"),
+        round(VectorF.cosineSim(col("q_emb"), col("embedding")), 6).as("cos"))
+    scored.groupBy("q_id", "q_label")
+      .agg(
+        min(when(col("n_label") === col("q_label"),
+          struct(col("cos"), col("n_id")))).as("p"),
+        max(when(col("n_label") =!= col("q_label"),
+          struct(col("cos"), col("n_id")))).as("g"))
+      .filter(col("p").isNotNull && col("g").isNotNull)
+      .select(col("q_id"), col("q_label"),
+        col("p.n_id").as("pos_id"), col("p.cos").as("pos_cos"),
+        col("g.n_id").as("neg_id"), col("g.cos").as("neg_cos"))
+      .orderBy("q_id")
+  }
+
+  def hardMining(spark: SparkSession, dir: String): DataFrame =
+    hardMiningOf(Tables.embeddings(spark, dir))
 }

@@ -119,4 +119,29 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(1), r.getInt(2)))
     assert(out.toSeq == Seq((20L, 0), (21L, 64)))
   }
+
+  test("hard mining picks the most distant in-class and most similar out-of-class") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),    // query, label 1
+      (1L, Array(0.9f, 0.1f), 1),    // easy positive
+      (2L, Array(0.0f, 1.0f), 1),    // HARDEST positive (orthogonal, same label)
+      (3L, Array(0.95f, 0.05f), 2),  // HARDEST negative (confusable, other label)
+      (4L, Array(-1.0f, 0.0f), 2))   // easy negative
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardMiningOf(embs, queries = 1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 0L && r.getLong(2) == 2L && r.getLong(4) == 3L,
+      s"expected pos=2 (orthogonal in-class), neg=3 (confusable out-of-class), got $r")
+    assert(r.getDouble(3) == 0.0, "hardest positive cosine is 0 for orthogonal vectors")
+  }
+
+  test("hard mining drops a query with no out-of-class counterpart") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.5f, 0.5f), 1)) // only same-label neighbors exist
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardMiningOf(embs, queries = 1).isEmpty,
+      "a NULL hardest pair is not a training triplet")
+  }
 }
