@@ -127,7 +127,11 @@ object SparkEntry {
     "chi2_contingency"  -> (Behavior.chi2Contingency(_, _)),
     "conversion_latency" -> (Behavior.conversionLatency(_, _)),
     "item_affinity"     -> (Behavior.itemAffinity(_, _)),
-    "hard_mining"       -> (Similarity.hardMining(_, _))
+    "hard_mining"       -> (Similarity.hardMining(_, _)),
+    // rows-only: BPE training is iterative, not SQL-expressible
+    // (cf. #16); TokenizerSpec pins the algorithm on hand-checked
+    // corpora
+    "bpe_merges"        -> (Tokenizer.bpeMerges(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles

@@ -26,8 +26,9 @@ object Components {
 
   /** Frees a localCheckpoint's persisted blocks (Dataset.unpersist
     * only talks to the cache manager, which never held them —
-    * checkpoint storage hangs off the LogicalRDD's rdd). */
-  private def freeCheckpoint(df: DataFrame): Unit =
+    * checkpoint storage hangs off the LogicalRDD's rdd). Shared with
+    * the other fixpoint-loop operators (Tokenizer's BPE trainer). */
+  private[operators] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
