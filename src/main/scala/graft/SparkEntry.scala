@@ -131,7 +131,8 @@ object SparkEntry {
     // rows-only: BPE training is iterative, not SQL-expressible
     // (cf. #16); TokenizerSpec pins the algorithm on hand-checked
     // corpora
-    "bpe_merges"        -> (Tokenizer.bpeMerges(_, _))
+    "bpe_merges"        -> (Tokenizer.bpeMerges(_, _)),
+    "bpe_segment"       -> (Tokenizer.bpeSegment(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles

@@ -92,4 +92,51 @@ object Tokenizer {
 
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesOf(Tables.documents(spark, dir))
+
+  /** APPLY learned merge rules: segment every word of every document
+    * by replaying the rules in rank order (exactly how a trained BPE
+    * tokenizer runs), and report per-doc subword statistics — the
+    * fertility check (subwords per word) a tokenizer evaluation runs
+    * before committing to a merge count. The rules are a bounded
+    * driver-held list (M rows); application composes them into ONE
+    * expression tree — M nested greedy folds — evaluated once per
+    * DISTINCT word (the same vocabulary collapse the trainer lives
+    * on: the interpreted fold per token OCCURRENCE measured 6× the
+    * whole query), then per-doc counts come back through the (doc,
+    * word, tf) frame with a vocabulary-bounded join AQE broadcasts.
+    */
+  def bpeSegmentOf(docs: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextF.tokens(lower(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // two consumers: vocab + the join below
+    val folded = rules.foldLeft(split(col("token"), "")) { case (syms, (l, r)) =>
+      aggregate(syms, array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+    }
+    val vocab = tf.select(col("token")).distinct()
+      .select(col("token"), size(folded).as("n_sub"))
+    tf.join(vocab, "token")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_words"),
+        sum(col("tf") * col("n_sub")).as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        TextF.round4HalfUp(
+          col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy("doc_id")
+  }
+
+  /** Train on the corpus, then segment it with the learned rules —
+    * the end-to-end fit/transform pair as one registered query. */
+  def bpeSegment(spark: SparkSession, dir: String, merges: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rules = bpeMergesOf(docs, merges).collect() // bounded: `merges` rows
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeSegmentOf(docs, rules)
+  }
 }

@@ -40,4 +40,27 @@ class TokenizerSpec extends AnyFunSuite with SparkFixture {
     val out = Tokenizer.bpeMergesOf(docs("ab ab"), merges = 10).collect()
     assert(out.length == 1, "one merge exhausts a single-pair vocabulary")
   }
+
+  test("segmenting replays rules in rank order and reports fertility") {
+    // rules: (a,b)->ab then (ab,c)->abc. "abc" folds to ONE subword
+    // only if rule 2 sees rule 1's output; "abd" stops at [ab, d].
+    val out = Tokenizer.bpeSegmentOf(
+      docs("abc abd", "xy"), Seq(("a", "b"), ("ab", "c"))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((2L, 3L, 1.5)), "abc -> [abc], abd -> [ab, d]")
+    assert(out(1L) == ((1L, 2L, 2.0)), "xy has no applicable rule -> [x, y]")
+  }
+
+  test("segmenting with zero rules is character-level") {
+    val out = Tokenizer.bpeSegmentOf(docs("abc"), Seq.empty).collect().head
+    assert(out.getLong(1) == 1L && out.getLong(2) == 3L)
+  }
+
+  test("train-then-segment compresses the corpus it trained on") {
+    // "ab" dominates: after training, every "ab" word is one subword
+    val seg = Tokenizer.bpeSegmentOf(docs("ab ab ab ab", "ab cd"),
+      Seq(("a", "b"))) // the rule bpeMergesOf learns first on this corpus
+    val fert = seg.collect().map(_.getDouble(3))
+    assert(fert.forall(_ <= 2.0) && fert.exists(_ == 1.0))
+  }
 }
