@@ -313,6 +313,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("StreamingEwma smooths closed windows and flags a spike against history") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val events = input.toDF().toDF("event_type", "ts", "value")
+    val query = graft.streaming.StreamingEwma.smoothed(events).writeStream
+      .format("memory").queryName("ewma_test").outputMode("append").start()
+    try {
+      // window 10:00 total 10; window 11:00 total 40 (spike vs ewma 10);
+      // the 11:00 event CLOSES 10:00 inline
+      input.addData(
+        ("click", ts("10:05"), 4.0), ("click", ts("10:40"), 6.0),
+        ("click", ts("11:10"), 40.0))
+      query.processAllAvailable()
+      // 13:00 event closes 11:00 (watermark also moves)
+      input.addData(("click", ts("13:30"), 5.0))
+      query.processAllAvailable()
+      val out = spark.table("ewma_test")
+        .select(date_format(col("window_start"), "HH:mm").as("w"),
+          col("total"), col("ewma_prev"), col("spike")).collect()
+        .map(r => r.getString(0) ->
+          (r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+        .toMap
+      assert(out("10:00") == ((10.0, None, false)),
+        "the first window has no history and cannot spike")
+      assert(out("11:00") == ((40.0, Some(10.0), true)),
+        "40 > 2 x ewma(10) must flag")
+    } finally query.stop()
+  }
+
   test("enrichWithDim joins streaming facts to a static dimension, keeping orphans") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
