@@ -132,7 +132,8 @@ object SparkEntry {
     // (cf. #16); TokenizerSpec pins the algorithm on hand-checked
     // corpora
     "bpe_merges"        -> (Tokenizer.bpeMerges(_, _)),
-    "bpe_segment"       -> (Tokenizer.bpeSegment(_, _))
+    "bpe_segment"       -> (Tokenizer.bpeSegment(_, _)),
+    "bootstrap_ci"      -> (Robust.bootstrapCi(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1434,6 +1435,39 @@ object SparkEntry {
         |FROM s
         |JOIN rp p ON p.q_id = s.q_id AND p.rn = 1
         |JOIN rn_ g ON g.q_id = s.q_id AND g.rn = 1
-        |ORDER BY s.q_id""".stripMargin
+        |ORDER BY s.q_id""".stripMargin,
+
+    // Deterministic Poisson(1) bootstrap: md5 is the cross-engine hash
+    // (stratified_sample precedent); each digest yields four 32-bit
+    // uniforms (the Spark side splits identically); the CDF step
+    // thresholds and the 6-dp mean rounding mirror the Spark
+    // expressions exactly. 81 reps → both quantile positions are
+    // exact integers (2 and 78): order statistics, no interpolation.
+    "bootstrap_ci" ->
+      """WITH base AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv FROM events),
+        |hs AS (SELECT event_type, qv, g.chunk,
+        |    md5(event_id::VARCHAR || ':' || g.chunk::VARCHAR) AS h
+        |  FROM base, generate_series(0, 20) AS g(chunk)),
+        |r AS (SELECT event_type, qv, chunk * 4 + pp.p + 1 AS rep,
+        |    CAST(('0x' || substring(h, 1 + 8 * pp.p, 8)) AS BIGINT) AS hv
+        |  FROM hs, generate_series(0, 3) AS pp(p)
+        |  WHERE chunk * 4 + pp.p + 1 <= 81),
+        |wts AS (SELECT event_type, rep, qv,
+        |    CASE WHEN u < 0.36787944 THEN 0 WHEN u < 0.73575888 THEN 1
+        |         WHEN u < 0.9196986 THEN 2 WHEN u < 0.98101184 THEN 3
+        |         WHEN u < 0.99634015 THEN 4 ELSE 5 END AS w
+        |  FROM (SELECT *, CAST(hv AS DOUBLE) / 4294967296.0 AS u FROM r)),
+        |m AS (SELECT event_type, rep,
+        |    CAST(SUM(w * qv) AS BIGINT) AS swq, CAST(SUM(w) AS BIGINT) AS sw
+        |  FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0),
+        |m6 AS (SELECT event_type,
+        |    floor(CAST(swq AS DOUBLE) / CAST(sw AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS mean6
+        |  FROM m)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_reps,
+        |  floor(quantile_cont(mean6, 0.5) * 1e4 + 0.5) / 1e4 AS mean_boot,
+        |  floor(quantile_cont(mean6, 0.025) * 1e4 + 0.5) / 1e4 AS ci_lo,
+        |  floor(quantile_cont(mean6, 0.975) * 1e4 + 0.5) / 1e4 AS ci_hi
+        |FROM m6 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -215,4 +215,54 @@ object Robust {
 
   def distributionDrift(spark: SparkSession, dir: String): DataFrame =
     distributionDriftOf(Tables.events(spark, dir), "2024-01-16")
+
+  /** Bootstrap confidence interval for the per-group mean — the error
+    * bar a metrics report should carry. `reps` Poisson(1) bootstrap
+    * resamples (the large-n limit of sampling n rows with
+    * replacement, and the only bootstrap that needs no global count):
+    * each row's multiplicity in resample b is a deterministic
+    * Poisson(1) draw from the md5 of (row id, b) — md5 because BOTH
+    * engines implement it bit-identically (the stratified-sample /
+    * train-split precedent; xxhash64 has no DuckDB twin), parsed as a
+    * 32-bit hex prefix into a uniform, stepped through the Poisson
+    * CDF literals. Resample means are exact-integer ratios rounded to
+    * 6 dp BEFORE the quantile, and `reps` defaults to 81 so BOTH
+    * quantile positions are exact integers — 0.025·80 = 2, 0.975·80 =
+    * 78 — meaning the CI bounds are exact order statistics with no
+    * interpolation formula to agree on at all (one step stronger than
+    * [[rollingMedianOf]]'s exact-midpoint argument).
+    *
+    * Shape: the whole weight VECTOR per row is one native codegen
+    * call ([[graft.plans.BootstrapWeights]] — a per-(row, rep)
+    * interpreted hash/parse/CASE chain dominated the query in both an
+    * explode and an unrolled-column formulation: 9.4 s / 10.6 s at
+    * sf0.1 vs ~2 s native), then a single posexplode feeds one
+    * map-side-combinable (group, rep) aggregate and a tiny per-group
+    * quantile. No global count, no driver collect.
+    */
+  def bootstrapCiOf(events: DataFrame, reps: Int = 81): DataFrame = {
+    require(reps >= 3, s"reps must be >= 3, got $reps")
+    val weights = graft.plans.ColumnBridge.column(graft.plans.BootstrapWeights(
+      graft.plans.ColumnBridge.expression(col("event_id")), reps))
+    val mean6 = floor(col("swq").cast("double") / col("sw").cast("double")
+      / lit(1e6) * lit(1e6) + lit(0.5)) / lit(1e6)
+    events
+      .select(col("event_type"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"),
+        weights.as("ws"))
+      .select(col("event_type"), col("qv"), posexplode(col("ws")))
+      .groupBy(col("event_type"), col("pos"))
+      .agg(sum(col("col") * col("qv")).as("swq"), sum("col").as("sw"))
+      .filter(col("sw") > 0) // a fully-zero resample is no estimate
+      .select(col("event_type"), mean6.as("mean6"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_reps"),
+        round4(expr("percentile(mean6, 0.5)")).as("mean_boot"),
+        round4(expr("percentile(mean6, 0.025)")).as("ci_lo"),
+        round4(expr("percentile(mean6, 0.975)")).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCiOf(Tables.events(spark, dir))
 }

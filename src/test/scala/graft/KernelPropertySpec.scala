@@ -7,7 +7,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
-import graft.plans.{CharNgramHashes, NormalizeText, ShingleHashes, SortedIntersectSize}
+import graft.plans.{BootstrapWeights, CharNgramHashes, NormalizeText, ShingleHashes, SortedIntersectSize}
 
 /** Property coverage for the pure (no-session) kernels behind the
   * native expressions — scalacheck generates the adversarial inputs
@@ -40,6 +40,25 @@ class KernelPropertySpec extends AnyFunSuite {
     check("form-invariant", Prop.forAll(textGen) { s =>
       val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
       NormalizeText.normalize(nfd) == NormalizeText.normalize(s)
+    })
+  }
+
+  test("BootstrapWeights matches the composable md5-hex-prefix Poisson draws") {
+    val expr = BootstrapWeights(null, 81)
+    def reference(id: Long): Seq[Long] = (1 to 81).map { r =>
+      val (c, p) = ((r - 1) / 4, (r - 1) % 4)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$c".getBytes("US-ASCII"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val u = java.lang.Long.parseLong(hex.substring(8 * p, 8 * p + 8), 16)
+        .toDouble / 4294967296.0
+      // the oracle's CASE ladder, verbatim
+      if (u < 0.36787944) 0L else if (u < 0.73575888) 1L
+      else if (u < 0.9196986) 2L else if (u < 0.98101184) 3L
+      else if (u < 0.99634015) 4L else 5L
+    }
+    check("parity", Prop.forAll(Gen.choose(Long.MinValue, Long.MaxValue)) { id =>
+      expr.weights(id).toLongArray().toSeq == reference(id)
     })
   }
 

@@ -109,6 +109,22 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
       "TVD against an empty period is undefined and must not surface as NaN")
   }
 
+  test("bootstrap CI collapses to the point for constant data, brackets otherwise") {
+    import org.apache.spark.sql.functions._
+    val ev = ((1L to 40L).map(i => (i, "flat", 7.0)) ++
+      (41L to 120L).map(i => (i, "varied", (i % 10).toDouble)))
+      .toDF("event_id", "event_type", "value")
+    val out = Robust.bootstrapCiOf(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (nf, mf, lof, hif) = out("flat")
+    assert(nf == 81L && mf == 7.0 && lof == 7.0 && hif == 7.0,
+      "resampling constant values must give a zero-width interval at the constant")
+    val (_, mv, lov, hiv) = out("varied")
+    assert(lov <= mv && mv <= hiv && lov < hiv,
+      "a varied group gets a proper bracket around the bootstrap median")
+  }
+
   test("rolling median resists a spike that would drag an EWMA") {
     import org.apache.spark.sql.functions._
     val days = (1 to 5).map(d => ("click", f"2024-01-0$d%d 12:00:00", 10.0))
