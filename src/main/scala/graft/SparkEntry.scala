@@ -133,7 +133,12 @@ object SparkEntry {
     // corpora
     "bpe_merges"        -> (Tokenizer.bpeMerges(_, _)),
     "bpe_segment"       -> (Tokenizer.bpeSegment(_, _)),
-    "bootstrap_ci"      -> (Robust.bootstrapCi(_, _))
+    "bootstrap_ci"      -> (Robust.bootstrapCi(_, _)),
+    // Round-8 tranche: span-level dedup transform, weighted sampling,
+    // group-aware splits (#119-121)
+    "span_dedup"        -> (Corpus.spanDedup(_, _)),
+    "weighted_sample"   -> (Corpus.weightedSample(_, _)),
+    "grouped_split"     -> (Corpus.groupedSplit(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1468,6 +1473,62 @@ object SparkEntry {
         |  floor(quantile_cont(mean6, 0.5) * 1e4 + 0.5) / 1e4 AS mean_boot,
         |  floor(quantile_cont(mean6, 0.025) * 1e4 + 0.5) / 1e4 AS ci_lo,
         |  floor(quantile_cont(mean6, 0.975) * 1e4 + 0.5) / 1e4 AS ci_hi
-        |FROM m6 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM m6 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Positional grams (pos, 8 tokens joined by one space) → df >= 2
+    // across distinct docs → cut every covered token position →
+    // reassemble survivors in order. md5 hash-checks the reassembled
+    // CONTENT (cf. pii_redact); md5('') covers fully-cut docs on both
+    // engines.
+    "span_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |gp AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+        |           i -> struct_pack(pos := i, gram := array_to_string(t[i:i+7], ' ')))) AS s
+        |       FROM toks),
+        |g AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM gp),
+        |common AS (SELECT gram FROM g GROUP BY gram
+        |           HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, cpos FROM (
+        |          SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cpos
+        |          FROM g JOIN common USING (gram))),
+        |tp AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t)),
+        |           i -> struct_pack(pos := i, tok := t[i]))) AS s
+        |       FROM toks),
+        |t2 AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp),
+        |j AS (SELECT t2.doc_id, t2.pos, t2.tok,
+        |        cov.cpos IS NOT NULL AS removed
+        |      FROM t2 LEFT JOIN cov ON t2.doc_id = cov.doc_id AND t2.pos = cov.cpos)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT removed), ' '), '')) AS clean_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Max of w md5 pseudo-uniforms per doc (A-Res in hex-string space,
+    // no libm pow); hex strings order identically in both engines
+    // (bootstrap_ci precedent). Top-100 by (key DESC, doc_id).
+    "weighted_sample" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(1 + least(n_chars // 500, 9) AS BIGINT) AS weight
+        |  FROM documents),
+        |d AS (SELECT doc_id, weight,
+        |    unnest(list_transform(generate_series(1, weight),
+        |      i -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)))) AS u
+        |  FROM w),
+        |m AS (SELECT doc_id, any_value(weight) AS weight, max(u) AS key
+        |      FROM d GROUP BY doc_id)
+        |SELECT doc_id, weight, key FROM m
+        |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Bucket hash on the GROUP key (source) — all docs of a source
+    // share a split; same hex-bucket arithmetic as train_split.
+    "grouped_split" ->
+      """SELECT doc_id, source, substr(md5(source), 1, 2) AS bucket,
+        |  CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -330,4 +330,127 @@ object Corpus {
 
   def sourceTemperature(spark: SparkSession, dir: String): DataFrame =
     sourceTemperatureOf(Tables.documents(spark, dir))
+
+  /** Duplicated-span REMOVAL (the transform [[boilerplateStatsOf]] only
+    * reports): every token position covered by an n-gram that occurs in
+    * at least `minDocs` distinct documents is cut, and the surviving
+    * tokens are reassembled in order (the RefinedWeb/CCNet
+    * exact-substring dedup step, at token-gram granularity). Output
+    * hash-checks the reassembled CONTENT (md5), not just counts — cf.
+    * [[piiRedactOf]].
+    *
+    * Positional grams can't come from [[graft.plans.ShingleHashes]]
+    * (it de-duplicates into a SET); instead ONE posexploded token frame
+    * is materialized and grams form as 7 `lead()`s over the (doc, pos)
+    * window — native codegen, no per-position interpreted slice lambda
+    * (the 7× trap [[graft.functions.TextF.bigramPairs]] documents).
+    *
+    * 100 TB shape: the token frame shuffles once on doc_id (the window)
+    * and once on the gram hash (the df aggregate); covered positions
+    * are a bounded ×n fan-out of MATCHED starts only, and the final
+    * reassembly re-uses the doc_id shuffle. Common grams are joined,
+    * not broadcast — the duplicated-gram table of a 100 TB crawl is
+    * itself unbounded (AQE may still broadcast a small one).
+    */
+  def spanDedupOf(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n > 1, s"n-gram order must be > 1, got $n")
+    require(minDocs > 1, s"minDocs must be > 1, got $minDocs")
+    // (doc_id, pos, tok): two consumers (gram build, reassembly) —
+    // materialize once (no cross-branch CSE in Catalyst).
+    val tp = docs
+      .select(col("doc_id"), posexplode(TextF.tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+      .localCheckpoint(false)
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val tail = (1 until n).map(i => lead(col("tok"), i).over(byPos))
+    val grams = tp
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (col("tok") +: tail): _*).as("gram"),
+        tail.last.isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"))
+    val common = grams.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("g")
+    // covered descends from tp — rename its keys so the join below
+    // isn't an ambiguous self-reference.
+    val covered = grams.join(common, "g")
+      .select(col("doc_id").as("cdoc"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+      .distinct()
+    tp.join(covered,
+        col("doc_id") === col("cdoc") && col("pos") === col("cpos"),
+        "left")
+      .select(col("doc_id"), col("pos"), col("tok"),
+        col("cpos").isNotNull.as("removed"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        // collect_list drops the nulls `when` leaves for removed
+        // positions; sort_array orders by pos (unique per doc).
+        md5(concat_ws(" ",
+          transform(
+            sort_array(collect_list(
+              when(!col("removed"), struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupOf(Tables.documents(spark, dir))
+
+  /** Deterministic weighted sampling without replacement (A-Res family,
+    * Efraimidis-Spirakis): a document with integer weight w draws w
+    * pseudo-uniforms md5(doc_id:i) and keeps the MAX as its sort key —
+    * max of w uniforms ≡ u^(1/w) in distribution, but stays in exact
+    * hex-string space both engines order identically (the
+    * libm-free trick; `pow` would differ in the last ulp). Top-k keys
+    * win. Weights here derive from length (1 + n_chars div 500, capped
+    * 10) — the "longer docs carry more signal" sampling a mixture
+    * builder uses.
+    *
+    * 100 TB shape: bounded ×10 fan-out, map-side-combinable MAX, and
+    * the global top-k is TakeOrderedAndProject (per-partition heaps →
+    * driver merge of k·P rows), never a full sort.
+    */
+  def weightedSampleOf(docs: DataFrame, k: Int = 100): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    docs
+      .select(col("doc_id"),
+        (lit(1L) + least(expr("n_chars div 500"), lit(9L))).as("weight"))
+      .select(col("doc_id"), col("weight"),
+        explode(sequence(lit(1L), col("weight"))).as("i"))
+      .select(col("doc_id"), col("weight"),
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("i").cast("string"))).as("u"))
+      .groupBy("doc_id", "weight").agg(max("u").as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleOf(Tables.documents(spark, dir))
+
+  /** Group-aware train/val split: the bucket hash is keyed on the
+    * GROUP (source), not the document, so every document of a source
+    * lands in the same split — the leakage guarantee
+    * sklearn's GroupShuffleSplit provides and [[trainSplitOf]]
+    * deliberately does not (near-duplicate docs within one source
+    * can't straddle train/val and inflate eval). Pure map-side; same
+    * hex-bucket arithmetic as trainSplit: 0x00-0xcb train (204/256),
+    * 0xcc-0xe5 val (26/256), 0xe6-0xff test (26/256).
+    */
+  def groupedSplitOf(docs: DataFrame): DataFrame = {
+    val bucket = substring(md5(col("source")), 1, 2)
+    docs.select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        when(col("bucket") < "cc", "train")
+          .when(col("bucket") < "e6", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  def groupedSplit(spark: SparkSession, dir: String): DataFrame =
+    groupedSplitOf(Tables.documents(spark, dir))
 }

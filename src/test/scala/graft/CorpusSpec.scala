@@ -151,4 +151,75 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(1), r.getLong(2))).head
     assert(out._2 == 0L)
   }
+
+  test("span dedup: shared 8-gram positions are cut, the rest reassembles in order") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"head $shared tail"),       // 10 tokens, positions 1-8 covered
+      (2L, s"$shared closing words"),   // positions 0-7 covered
+      (3L, "entirely unique words that no other document repeats anywhere at all"))
+      .toDF("doc_id", "text")
+    val out = Corpus.spanDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 == 10L && out(1L)._2 == 8L)
+    assert(out(2L)._1 == 10L && out(2L)._2 == 8L)
+    assert(out(3L)._2 == 0L)
+    // doc 1 keeps exactly "head tail"; doc 2 keeps "closing words"
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._3 == md5("head tail"))
+    assert(out(2L)._3 == md5("closing words"))
+  }
+
+  test("span dedup: overlapping duplicated grams cover the union of their spans") {
+    // 9 shared tokens → two overlapping 8-grams in both docs; the
+    // covered set is positions 0..8 (union), not 16 token-slots.
+    val nine = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    val docs = Seq((1L, nine), (2L, s"$nine extra")).toDF("doc_id", "text")
+    val out = Corpus.spanDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 9L, 2L -> 9L))
+  }
+
+  test("span dedup: a fully-cut document survives with the empty-string hash") {
+    val eight = "z1 z2 z3 z4 z5 z6 z7 z8"
+    val docs = Seq((1L, eight), (2L, eight)).toDF("doc_id", "text")
+    val out = Corpus.spanDedupOf(docs).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(2) == 8L)
+      assert(r.getString(3) == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    }
+  }
+
+  test("weighted sample: keys are max-of-w draws and the cut is the global top-k") {
+    val docs = (1L to 50L).map(i => (i, "t", i * 300L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Corpus.weightedSampleOf(docs, k = 10).collect()
+    assert(out.length == 10)
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // independently recompute every doc's key and the top-10 cut
+    val keys = (1L to 50L).map { id =>
+      val w = 1L + math.min(id * 300L / 500L, 9L)
+      id -> (w, (1L to w).map(i => md5(s"$id:$i")).max)
+    }.toMap
+    val expect = keys.toSeq.sortBy { case (id, (_, k)) => (k, -id) }
+      .reverse.take(10).map(_._1).toSet
+    assert(out.map(_.getLong(0)).toSet == expect)
+    out.foreach { r =>
+      val (w, k) = keys(r.getLong(0))
+      assert(r.getLong(1) == w && r.getString(2) == k)
+    }
+  }
+
+  test("grouped split: every doc of a source lands in one split") {
+    val docs = (1L to 100L).map(i => (i, s"src${i % 7}", "t"))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.groupedSplitOf(docs).collect()
+    val bySource = out.groupBy(_.getString(1))
+      .map { case (s, rs) => s -> rs.map(_.getString(3)).distinct.toSeq }
+    bySource.values.foreach(splits => assert(splits.length == 1))
+    assert(out.map(_.getString(3)).toSet.subsetOf(Set("train", "val", "test")))
+  }
 }
