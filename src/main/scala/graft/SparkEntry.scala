@@ -138,7 +138,10 @@ object SparkEntry {
     // group-aware splits (#119-121)
     "span_dedup"        -> (Corpus.spanDedup(_, _)),
     "weighted_sample"   -> (Corpus.weightedSample(_, _)),
-    "grouped_split"     -> (Corpus.groupedSplit(_, _))
+    "grouped_split"     -> (Corpus.groupedSplit(_, _)),
+    "gopher_rules"      -> (CorpusStats.gopherRules(_, _)),
+    "inverted_index"    -> (CorpusStats.invertedIndex(_, _)),
+    "kanon_risk"        -> (Warehouse.kanonRisk(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1529,6 +1532,55 @@ object SparkEntry {
         |  CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train'
         |       WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Whitespace is the explicit class (Java \s ≠ RE2 \s); mean word
+    // length = non-ws chars / tokens; ratios floor-round half-up like
+    // the quality oracle.
+    "gopher_rules" ->
+      """WITH b AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) AS char_len
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    floor(CAST(char_len AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS mean_word_len,
+        |    floor(CAST(len(list_filter(toks, t -> starts_with(t, '#') OR contains(t, '...'))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS symbol_frac,
+        |    floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS alpha_frac,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits
+        |  FROM b)
+        |SELECT *,
+        |  n_tokens >= 50 AND n_tokens <= 100000 AND
+        |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+        |  symbol_frac <= 0.1 AND alpha_frac >= 0.8 AND n_stop_hits >= 2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // df/cf/rank are all windows over the token partition — mirrors
+    // the single-shuffle Spark plan; (tf DESC, doc_id) tiebreak.
+    "inverted_index" ->
+      """WITH tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |w AS (SELECT token, doc_id, tf,
+        |    CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df,
+        |    CAST(SUM(tf) OVER (PARTITION BY token) AS BIGINT) AS cf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS INT) AS rank
+        |  FROM tf)
+        |SELECT token, df, cf, doc_id, tf, rank FROM w
+        |WHERE df >= 5 AND rank <= 3 ORDER BY token, rank""".stripMargin,
+
+    // QI = segment × nation × balance kilobucket; groups under k = 5
+    // are the re-identification risks.
+    "kanon_risk" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS group_size
+        |FROM customer
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+        |ORDER BY c_mktsegment, c_nationkey, bal_bucket""".stripMargin
   )
 }

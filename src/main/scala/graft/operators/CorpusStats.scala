@@ -266,4 +266,80 @@ object CorpusStats {
 
   def oovRate(spark: SparkSession, dir: String): DataFrame =
     oovRateOf(Tables.documents(spark, dir))
+
+  /** Gopher-style quality rule flags (Rae'21 §A1.1, the named ruleset
+    * every pretraining filter descends from), one row per document
+    * with each rule's measurement AND its boolean — a pipeline tunes
+    * thresholds by inspecting the measurements, then gates on `keep`.
+    * Rules: token count in [minTokens, maxTokens]; mean word length in
+    * [3, 10]; symbol-token fraction (# or … carriers) ≤ 0.1; alphabetic
+    * -token fraction ≥ 0.8; at least 2 distinct stopword hits.
+    *
+    * Whitespace is the EXPLICIT class [ \t\n\f\r] (Java's \s ≠ RE2's
+    * \s — the [[graft.operators.Corpus.EmailRe]] rule). Entirely
+    * map-side: one projection, no shuffle until the presentation sort;
+    * ratios are single IEEE divisions rounded half-up (cross-engine
+    * exact, see object scaladoc).
+    */
+  def gopherRulesOf(docs: DataFrame, minTokens: Int = 50,
+                    maxTokens: Int = 100000): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = TextF.tokens(col("text"))
+    val nTokens = size(toks)
+    // Σ token lengths = chars minus whitespace (exact, no explode).
+    val charLen = length(regexp_replace(col("text"), "[ \\t\\n\\f\\r]", ""))
+    val meanLen = TextF.round4HalfUp(
+      charLen.cast("double") / nTokens.cast("double"))
+    val symFrac = TextF.round4HalfUp(
+      size(filter(toks, t => t.startsWith("#") || t.contains("...")))
+        .cast("double") / nTokens.cast("double"))
+    val alphaFrac = TextF.round4HalfUp(
+      size(filter(toks, t => t.rlike("[A-Za-z]")))
+        .cast("double") / nTokens.cast("double"))
+    val stopHits = size(array_intersect(toks,
+      array(stop.map(lit): _*)))
+    docs
+      .select(col("doc_id"), nTokens.as("n_tokens"), meanLen.as("mean_word_len"),
+        symFrac.as("symbol_frac"), alphaFrac.as("alpha_frac"),
+        stopHits.cast("long").as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_frac") <= 0.1 && col("alpha_frac") >= 0.8 &&
+          col("n_stop_hits") >= 2)
+      .orderBy("doc_id")
+  }
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(spark, dir))
+
+  /** Inverted-index construction (the retrieval-side build over a
+    * training corpus): per term, document frequency, collection
+    * frequency, and the top-`k` postings by term frequency
+    * (deterministic (tf DESC, doc_id) tiebreak) for terms appearing in
+    * at least `minDf` documents.
+    *
+    * ONE shuffle total: the (doc, token) tf aggregate lands on the
+    * token key, and df/cf/rank are all WINDOWS over that same
+    * partitioning — Spark plans zero additional Exchanges (separate
+    * aggregates joined back would re-shuffle twice and re-plan the
+    * tokenize, cf. [[tfidfTopTermsOf]]'s df window). Top-k per term is
+    * a WindowGroupLimit — partition-local, no global sort.
+    */
+  def invertedIndexOf(docs: DataFrame, minDf: Long = 5,
+                      k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val byToken = Window.partitionBy("token")
+    val byTf = byToken.orderBy(col("tf").desc, col("doc_id"))
+    Corpus.tokenTfOf(docs)
+      .withColumn("df", count(lit(1)).over(byToken))
+      .withColumn("cf", sum("tf").over(byToken))
+      .withColumn("rank", row_number().over(byTf).cast("int"))
+      .filter(col("df") >= minDf && col("rank") <= k)
+      .select("token", "df", "cf", "doc_id", "tf", "rank")
+      .orderBy("token", "rank")
+  }
+
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndexOf(Tables.documents(spark, dir))
 }

@@ -177,4 +177,29 @@ object Warehouse {
 
   def scd2History(spark: SparkSession, dir: String): DataFrame =
     scd2HistoryOf(Tables.events(spark, dir))
+
+  /** k-anonymity audit over a quasi-identifier tuple (the privacy gate
+    * a pipeline runs before releasing user-derived training data):
+    * every QI group with fewer than `k` members is a re-identification
+    * risk — emitted with its size so the caller can generalize or
+    * suppress. QIs here: market segment × nation × account-balance
+    * kilobucket (floor of one IEEE division — cross-engine exact).
+    *
+    * One map-side-combinable aggregate on the QI key; the risky subset
+    * is a post-aggregate filter (group count ≪ row count at any
+    * scale).
+    */
+  def kanonRiskOf(customer: DataFrame, k: Long = 5): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    customer
+      .groupBy(col("c_mktsegment"),
+        col("c_nationkey").cast("int").as("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+      .orderBy("c_mktsegment", "c_nationkey", "bal_bucket")
+  }
+
+  def kanonRisk(spark: SparkSession, dir: String): DataFrame =
+    kanonRiskOf(Tables.customer(spark, dir))
 }

@@ -211,6 +211,42 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out(2L) == 0.2)
   }
 
+  test("gopher rules: each rule gates independently and keep is their conjunction") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = docsDf(
+      // 50 alphabetic tokens + stopwords "the" "of" swapped in → keep
+      1L -> (fifty.split(" ").take(48).mkString(" ") + " the of"),
+      2L -> "too short the of",                       // fails length rule
+      // 50 tokens but every one numeric → fails alpha + stopword rules
+      3L -> (1 to 50).map(_.toString).mkString(" "))
+    val out = CorpusStats.gopherRulesOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(6))
+    assert(!out(2L).getBoolean(6) && out(2L).getInt(1) == 4)
+    assert(!out(3L).getBoolean(6))
+    assert(out(3L).getDouble(4) == 0.0, "alpha_frac of all-digit doc")
+    assert(out(3L).getLong(5) == 0L, "no stopword hits")
+    // mean word length: doc 3 tokens are 1-2 chars → mean < 3
+    assert(out(3L).getDouble(2) < 3.0)
+  }
+
+  test("inverted index: one window shuffle yields df, cf and tf-ranked postings") {
+    val docs = docsDf(
+      1L -> "apple apple apple banana",
+      2L -> "apple banana banana",
+      3L -> "apple cherry",
+      4L -> "apple", 5L -> "apple")
+    val out = CorpusStats.invertedIndexOf(docs, minDf = 5, k = 2).collect()
+    // only "apple" reaches df=5
+    assert(out.map(_.getString(0)).distinct.toSeq == Seq("apple"))
+    assert(out.forall(_.getLong(1) == 5L))        // df
+    assert(out.forall(_.getLong(2) == 7L))        // cf = 3+1+1+1+1
+    // rank 1 = doc 1 (tf 3); rank 2 = doc 2? no — tf ties (1) break on doc_id → doc 2
+    val byRank = out.map(r => r.getInt(5) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(byRank(1) == ((1L, 3L)))
+    assert(byRank(2) == ((2L, 1L)))
+  }
+
   test("lm quality normalizes whitespace runs before windowing") {
     val out = CorpusStats.lmQualityOf(docsDf(
       (1L, "a b\t\nc"), (2L, "a b c"))).collect()

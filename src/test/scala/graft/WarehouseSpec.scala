@@ -117,6 +117,21 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
       "each run is one version; valid_to is the next run's valid_from; current is open")
   }
 
+  test("kanon risk reports only groups under k, with exact sizes") {
+    val customers = Seq(
+      // 6 members in (SEG_A, 1, bucket 2) → safe at k=5
+      (1L, "SEG_A", 1, 2500.0), (2L, "SEG_A", 1, 2600.0), (3L, "SEG_A", 1, 2700.0),
+      (4L, "SEG_A", 1, 2800.0), (5L, "SEG_A", 1, 2900.0), (6L, "SEG_A", 1, 2100.0),
+      // 2 members in (SEG_B, 2, bucket 0) → risky
+      (7L, "SEG_B", 2, 500.0), (8L, "SEG_B", 2, 900.0),
+      // negative balance: floor(-0.5) = -1 bucket, singleton → risky
+      (9L, "SEG_B", 3, -500.0))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+    val out = Warehouse.kanonRiskOf(customers).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(out == Map(("SEG_B", 2, 0L) -> 2L, ("SEG_B", 3, -1L) -> 1L))
+  }
+
   test("scd2 history breaks same-nanosecond ties on event_id") {
     val ev = changelog(Seq(
       (2L, 1L, "B", 0.0, 1000000000L), // same ns: id 1 (A) precedes id 2 (B)
