@@ -141,7 +141,9 @@ object SparkEntry {
     "grouped_split"     -> (Corpus.groupedSplit(_, _)),
     "gopher_rules"      -> (CorpusStats.gopherRules(_, _)),
     "inverted_index"    -> (CorpusStats.invertedIndex(_, _)),
-    "kanon_risk"        -> (Warehouse.kanonRisk(_, _))
+    "kanon_risk"        -> (Warehouse.kanonRisk(_, _)),
+    "containment_pairs" -> (Dedup.containmentPairs(_, _)),
+    "knn_classify"      -> (Similarity.knnClassify(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1572,6 +1574,38 @@ object SparkEntry {
         |  FROM tf)
         |SELECT token, df, cf, doc_id, tf, rank FROM w
         |WHERE df >= 5 AND rank <= 3 ORDER BY token, rank""".stripMargin,
+
+    // Brute-force ORDERED pairs (a≠b): containment = |Sa∩Sb|/|Sa| on
+    // the shared shingle-set CTE — asymmetric, so no a<b dedup.
+    "containment_pairs" ->
+      s"""WITH $ShingleSetsCte,
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |              CAST(len(a.s) AS DOUBLE), 4) AS containment
+        |      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+        |SELECT a_id, b_id, containment FROM p WHERE containment >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Nested knn shape (6-dp rounded-then-ranked cosines, id
+    // tiebreaks); majority vote ties go to the smallest label —
+    // row_number (cnt DESC, n_label) mirrors the Spark struct-min.
+    "knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label FROM e WHERE vec_id < 64),
+        |s AS (SELECT q_id, q_label, e.vec_id AS n_id, e.label AS n_label,
+        |        ROUND(list_cosine_similarity(q_emb, e.emb), 6) AS cos
+        |      FROM q JOIN e ON e.vec_id <> q.q_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s),
+        |v AS (SELECT q_id, q_label, n_label, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |p AS (SELECT q_id, q_label, n_label AS pred_label,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cnt DESC, n_label) AS pr
+        |      FROM v)
+        |SELECT CAST(q_label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  floor(CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS accuracy
+        |FROM p WHERE pr = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // QI = segment × nation × balance kilobucket; groups under k = 5
     // are the re-identification risks.

@@ -220,6 +220,54 @@ object Dedup {
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     jaccardPairsOf(Tables.documents(spark, dir), threshold)
 
+  /** EXACT containment self-join: ordered pairs where C(a→b) =
+    * |Sa∩Sb| / |Sa| >= threshold — the ASYMMETRIC near-dup measure
+    * that catches quotes, excerpts, and subset duplication Jaccard
+    * misses (a 100-token excerpt inside a 10k-token page has J ≈ 0.01
+    * but C = 1.0; decontamination and quote-tracing gate on C).
+    *
+    * Prefix filter, one-sided: |Sa∩Sb| >= t·|Sa| forces (pigeonhole,
+    * under the sorted-hash order) a shared element within Sa's first
+    * |Sa| - ceil(t·|Sa|) + 1 elements, so the PROBE side indexes only
+    * that prefix. The containee can sit anywhere in b, so the b side
+    * indexes every shingle — no length filter either (b may be
+    * arbitrarily larger; that's the point of containment). Verify is
+    * exact on the full sorted hash sets via the same allocation-free
+    * merge-count as [[jaccardPairsOf]], and the rounding bound tEff
+    * keeps pruning a strict superset of what verify accepts.
+    */
+  def containmentPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val tEff = threshold - 5e-5
+    // Three consumers, keyed differently (cf. jaccardPairsOf).
+    val sh = docs
+      .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("sh"))
+      .filter(col("sh").isNotNull)
+      .localCheckpoint(false)
+    val prefixLen = (size(col("sh")) -
+      ceil(lit(tEff) * size(col("sh")) - lit(1e-6)) + 1).cast("int")
+    val aSide = sh.select(col("doc_id").as("a_id"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+    val bSide = sh.select(col("doc_id").as("b_id"), explode(col("sh")).as("h"))
+    val cand = aSide.join(bSide,
+        aSide("h") === bSide("h") && col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"), size(col("sa")).as("sza"),
+        sortedIntersectSize(col("sa"), col("sb")).as("inter"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") / col("sza").cast("double"), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame =
+    containmentPairsOf(Tables.documents(spark, dir), threshold)
+
   /** Incremental (batch-vs-corpus) near-dup — the daily-ingest shape:
     * band only the new batch and probe the standing corpus's banded
     * index; no batch×batch or corpus×corpus comparison happens here

@@ -277,4 +277,50 @@ object Similarity {
 
   def hardMining(spark: SparkSession, dir: String): DataFrame =
     hardMiningOf(Tables.embeddings(spark, dir))
+
+  /** Leave-one-out kNN label classification over the labeled embedding
+    * table — the standard embedding-quality probe (if k nearest
+    * neighbors can't vote the right label, the space won't rank
+    * retrieval candidates either). Per query: top-`k` cosine neighbors
+    * (rounded-then-ranked, id tiebreak — [[knnTopk]]'s contract),
+    * majority label with ties to the SMALLEST label, scored against
+    * the query's own label; output is per-label accuracy.
+    *
+    * Shape: bounded query set broadcasts, corpus never shuffles; the
+    * vote argmax is a lexicographic struct MIN on (-votes, label) —
+    * map-side combinable, deterministic. Everything after the top-k
+    * filter is k rows per query.
+    */
+  def knnClassifyOf(embeddings: DataFrame, queries: Int = 64,
+                    k: Int = 5): DataFrame = {
+    require(k > 0 && queries > 0, s"need positive k/queries, got $k/$queries")
+    val e = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val q = broadcast(e.filter(col("vec_id") < queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label")))
+    val scored = q.join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"),
+        round(VectorF.cosineSim(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val votes = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("q_id", "q_label", "n_label")
+      .agg(count(lit(1)).as("cnt"))
+    val pred = votes.groupBy("q_id", "q_label")
+      .agg(min(struct((-col("cnt")).as("negc"), col("n_label"))).as("p"))
+      .select(col("q_id"), col("q_label"), col("p.n_label").as("pred_label"))
+    pred.groupBy(col("q_label").cast("int").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_queries"), col("n_correct"),
+        graft.functions.TextF.round4HalfUp(
+          col("n_correct").cast("double") / col("n_queries").cast("double"))
+          .as("accuracy"))
+      .orderBy("label")
+  }
+
+  def knnClassify(spark: SparkSession, dir: String): DataFrame =
+    knnClassifyOf(Tables.embeddings(spark, dir))
 }

@@ -259,4 +259,45 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val docs = graft.sources.Tables.documents(spark, Sf).count()
     assert(rows.map(_.getLong(2)).sum == docs, "dup_counts must partition the table")
   }
+
+  test("containment is asymmetric: the excerpt hits, the page does not") {
+    import spark.implicits._
+    val excerpt = "alpha beta gamma delta epsilon zeta"
+    val page = s"intro words before $excerpt and a very long trailing " +
+      "section whose many additional tokens dilute jaccard far below " +
+      "any useful threshold for detecting the embedded quotation"
+    val docs = Seq((1L, excerpt), (2L, page)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairsOf(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((1L, 2L)), "excerpt ⊂ page must be found")
+    assert(out((1L, 2L)) == 1.0)
+    assert(!out.contains((2L, 1L)), "the page is NOT contained in the excerpt")
+    // and Jaccard at the same threshold finds nothing
+    assert(Dedup.jaccardPairsOf(docs, 0.8).isEmpty)
+  }
+
+  test("containment pairs match brute force over seeded random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'j').map(_.toString)
+    val docs = (1L to 40L).map { id =>
+      val n = 5 + rnd.nextInt(25)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.6, 0.8)) {
+      val fast = Dedup.containmentPairsOf(docs, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force on the same shingle-hash sets
+      val sh = docs.select($"doc_id",
+          array_sort(Dedup.shingleHashes($"text")).as("sh"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val brute = (for {
+        (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a != b
+        c = BigDecimal(sa.toSet.intersect(sb.toSet).size.toDouble / sa.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if c >= t
+      } yield (a, b)).toSet
+      assert(fast == brute, s"threshold $t")
+    }
+  }
 }

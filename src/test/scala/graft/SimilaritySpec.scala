@@ -144,4 +144,38 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(Similarity.hardMiningOf(embs, queries = 1).isEmpty,
       "a NULL hardest pair is not a training triplet")
   }
+
+  test("knn classify votes the majority label and reports per-label accuracy") {
+    // Query 0 (label 1): 3 close label-1 neighbors vs 2 label-2 → correct.
+    // Query 1 (label 2): its 5 nearest are the label-1 cluster → wrong.
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f, 0.0f), 2),
+      (2L, Array(0.99f, 0.01f, 0.0f), 1),
+      (3L, Array(0.98f, 0.02f, 0.0f), 1),
+      (4L, Array(0.97f, 0.03f, 0.0f), 1),
+      (5L, Array(0.5f, 0.5f, 0.0f), 2),
+      (6L, Array(0.4f, 0.6f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassifyOf(embs, queries = 2, k = 5).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1) == ((1L, 1L, 1.0)))
+    assert(out(2) == ((1L, 0L, 0.0)))
+  }
+
+  test("knn classify breaks vote ties on the smallest label") {
+    // k=4: two label-1 and two label-3 neighbors, all equidistant-ish
+    // → tie 2-2 resolves to label 1.
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 3),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.9f, -0.1f), 1),
+      (3L, Array(0.8f, 0.2f), 3),
+      (4L, Array(0.8f, -0.2f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassifyOf(embs, queries = 1, k = 4).collect()
+    // one query with true label 3, predicted 1 → accuracy 0
+    assert(out.length == 1)
+    assert(out.head.getInt(0) == 3 && out.head.getDouble(3) == 0.0)
+  }
 }
