@@ -143,7 +143,11 @@ object SparkEntry {
     "inverted_index"    -> (CorpusStats.invertedIndex(_, _)),
     "kanon_risk"        -> (Warehouse.kanonRisk(_, _)),
     "containment_pairs" -> (Dedup.containmentPairs(_, _)),
-    "knn_classify"      -> (Similarity.knnClassify(_, _))
+    "knn_classify"      -> (Similarity.knnClassify(_, _)),
+    "sem_dedup"         -> (Cluster.semDedup(_, _)),
+    // rows-only: the iterative eigensolve is not SQL-expressible
+    // (cf. bpe_merges); PcaSpec pins the algebra
+    "pca_embed"         -> (Pca.pcaEmbed(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1574,6 +1578,38 @@ object SparkEntry {
         |  FROM tf)
         |SELECT token, df, cf, doc_id, tf, rank FROM w
         |WHERE df >= 5 AND rank <= 3 ORDER BY token, rank""".stripMargin,
+
+    // The kmeans oracle's assignment CTEs verbatim (same no-drift
+    // rationale as KnnTopkSql), then within-cluster smaller-id
+    // neighbors at >= 0.45 rounded cosine; min such neighbor = dup_of.
+    "sem_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+        |s1 AS (SELECT e.vec_id, e.emb, c0.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c0.c_emb), 6) AS cs
+        |       FROM e, c0),
+        |a1 AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s1) WHERE rn = 1),
+        |m AS (SELECT cluster, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |      FROM a1, generate_series(1, 64) AS g(i) GROUP BY cluster, i),
+        |c1 AS (SELECT cluster AS c_id, list(v ORDER BY i) AS c_emb FROM m GROUP BY cluster),
+        |s2 AS (SELECT e.vec_id, e.emb, c1.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c1.c_emb), 6) AS cs
+        |       FROM e, c1),
+        |a2 AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id, cs,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s2) WHERE rn = 1),
+        |p AS (SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+        |      FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        |      WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.45
+        |      GROUP BY a.vec_id)
+        |SELECT a2.vec_id, a2.cluster, p.dup_of, p.dup_of IS NULL AS keep
+        |FROM a2 LEFT JOIN p USING (vec_id) ORDER BY vec_id""".stripMargin,
 
     // Brute-force ORDERED pairs (a≠b): containment = |Sa∩Sb|/|Sa| on
     // the shared shingle-set CTE — asymmetric, so no a<b dedup.

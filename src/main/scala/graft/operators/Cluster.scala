@@ -73,21 +73,28 @@ object Cluster {
     quantizedCentroids(assigned, "cluster")
       .select(col("cluster").as("c_id"), col("c_emb"))
 
-  /** `iters` Lloyd iterations of spherical k-means seeded on the first
-    * k vectors; returns (vec_id, cluster, sim). */
-  def kmeansEmbedOf(embeddings: DataFrame, k: Int = K,
-                    iters: Int = Iterations): DataFrame = {
+  /** The final Lloyd-iteration assignment frame (vec_id, emb, cluster,
+    * cs) — shared by the clustering report and [[semDedupOf]], so the
+    * two can never run on diverging assignments. */
+  private[operators] def assignedOf(embeddings: DataFrame, k: Int,
+                                    iters: Int): DataFrame = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
     val vecs = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val seeds = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
-    val last = (1 until iters).foldLeft(assign(vecs, seeds)) { (a, _) =>
+    (1 until iters).foldLeft(assign(vecs, seeds)) { (a, _) =>
       assign(vecs, recenter(a))
     }
-    last.select(col("vec_id"), col("cluster"), col("cs").as("sim"))
-      .orderBy("vec_id")
   }
+
+  /** `iters` Lloyd iterations of spherical k-means seeded on the first
+    * k vectors; returns (vec_id, cluster, sim). */
+  def kmeansEmbedOf(embeddings: DataFrame, k: Int = K,
+                    iters: Int = Iterations): DataFrame =
+    assignedOf(embeddings, k, iters)
+      .select(col("vec_id"), col("cluster"), col("cs").as("sim"))
+      .orderBy("vec_id")
 
   def kmeansEmbed(spark: SparkSession, dir: String): DataFrame =
     kmeansEmbedOf(Tables.embeddings(spark, dir))
@@ -125,4 +132,41 @@ object Cluster {
 
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     labelCentroidsOf(Tables.embeddings(spark, dir))
+
+  /** SemDeDup (Abbas'23): semantic dedup scoped to k-means cells —
+    * pairwise cosine runs only WITHIN a cluster, so candidate pairs are
+    * Σ|cell|² instead of n² (the documented recall trade: a near-dup
+    * pair split across cells is missed, which is why the cell count
+    * tracks corpus size at scale). A vector is dropped when some
+    * SMALLER-id member of its cell matches at ≥ `tau` (min-id survivor
+    * — the same deterministic rule as the MinHash cluster family);
+    * `dup_of` reports the smallest such neighbor, NULL for keepers.
+    *
+    * The assignment frame comes from [[assignedOf]] (one source of
+    * truth with the clustering report) and materializes once for both
+    * self-join sides (keyed differently — no cross-branch CSE). The
+    * b-side prunes to `b_id < vec_id` BEFORE the join, halving the
+    * pair explosion.
+    */
+  def semDedupOf(embeddings: DataFrame, tau: Double = 0.45, k: Int = K,
+                 iters: Int = Iterations): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau in (0,1], got $tau")
+    val a = assignedOf(embeddings, k, iters)
+      .select(col("vec_id"), col("emb"), col("cluster"))
+      .localCheckpoint(false)
+    val b = a.select(col("cluster"), col("vec_id").as("b_id"),
+      col("emb").as("b_emb"))
+    val dups = a.join(b, a("cluster") === b("cluster") &&
+        col("b_id") < col("vec_id"))
+      .filter(round(VectorF.cosineSim(col("emb"), col("b_emb")), 6) >= tau)
+      .groupBy("vec_id").agg(min("b_id").as("dup_of"))
+    a.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupOf(Tables.embeddings(spark, dir))
 }

@@ -30,4 +30,25 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     // centroid = the vector itself up to 1e-6 quantization → cos ≈ 1
     assert(out.getDouble(2) >= 0.9999)
   }
+
+  test("semdedup drops the larger id of a same-cell near-dup pair, keeps the rest") {
+    // seeds (k=2) are vecs 0 and 1 on orthogonal axes; 5 and 9 are
+    // near-copies of 0's direction (same cell), 7 sits alone with 1.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0.99f, 0.01f, 0f, 0f)),
+      (9L, Array(0.98f, 0.02f, 0f, 0f)),
+      (7L, Array(0.4f, 0.8f, 0f, 0f))) // cos to (0,1) = 0.894 < 0.95
+      .map { case (id, e) => (id, e, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val out = Cluster.semDedupOf(emb, tau = 0.95, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(0L) == ((true, -1L)), "smallest id always survives")
+    assert(out(5L) == ((false, 0L)))
+    assert(out(9L) == ((false, 0L)), "dup_of is the SMALLEST matching neighbor")
+    assert(out(1L) == ((true, -1L)))
+    assert(out(7L)._1, "7 matches nothing at 0.95 in its own cell")
+  }
 }
