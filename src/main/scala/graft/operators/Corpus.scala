@@ -363,36 +363,45 @@ object Corpus {
       .localCheckpoint(false)
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val tail = (1 until n).map(i => lead(col("tok"), i).over(byPos))
+    // Hash the n token columns directly (no gram-string concat — and
+    // no boundary ambiguity: "ab c" vs "a bc" hash differently).
+    // Materialized: the window is the expensive pass and BOTH the df
+    // aggregate and the candidate join consume it, keyed differently
+    // (distinct on (g, doc) vs join on g — ReuseExchange can't help).
     val grams = tp
       .select(col("doc_id"), col("pos"),
-        concat_ws(" ", (col("tok") +: tail): _*).as("gram"),
+        xxhash64((col("tok") +: tail): _*).as("g"),
         tail.last.isNotNull.as("full"))
       .filter(col("full"))
-      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"))
+      .select("doc_id", "pos", "g")
+      .localCheckpoint(false)
     val common = grams.select("g", "doc_id").distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
       .select("g")
-    // covered descends from tp — rename its keys so the join below
-    // isn't an ambiguous self-reference.
+    // Covered positions collapse straight to ONE small array per doc
+    // (collect_set dedups overlapping spans inside the aggregate) and
+    // the reassembly joins two doc-count-sized frames — no row-level
+    // (doc, pos) join, no standalone distinct; the bounded ×n span
+    // fan-out exists only inside the doc-keyed shuffle. covered
+    // descends from tp, so its key is renamed (self-join ambiguity).
     val covered = grams.join(common, "g")
       .select(col("doc_id").as("cdoc"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
-      .distinct()
-    tp.join(covered,
-        col("doc_id") === col("cdoc") && col("pos") === col("cpos"),
-        "left")
-      .select(col("doc_id"), col("pos"), col("tok"),
-        col("cpos").isNotNull.as("removed"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
-        // collect_list drops the nulls `when` leaves for removed
-        // positions; sort_array orders by pos (unique per doc).
+      .groupBy("cdoc").agg(collect_set(col("cpos")).as("cov"))
+    val docToks = tp.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
+        .as("toks"))
+    docToks
+      .join(covered, col("doc_id") === col("cdoc"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
         md5(concat_ws(" ",
           transform(
-            sort_array(collect_list(
-              when(!col("removed"), struct(col("pos"), col("tok"))))),
+            filter(col("toks"), x => !array_contains(col("cov"), x.getField("pos"))),
             x => x.getField("tok")))).as("clean_md5"))
       .orderBy("doc_id")
   }
