@@ -147,7 +147,9 @@ object SparkEntry {
     "sem_dedup"         -> (Cluster.semDedup(_, _)),
     // rows-only: the iterative eigensolve is not SQL-expressible
     // (cf. bpe_merges); PcaSpec pins the algebra
-    "pca_embed"         -> (Pca.pcaEmbed(_, _))
+    "pca_embed"         -> (Pca.pcaEmbed(_, _)),
+    "dp_counts"         -> (Warehouse.dpCounts(_, _)),
+    "bm25_search"       -> (CorpusStats.bm25Search(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1642,6 +1644,57 @@ object SparkEntry {
         |  floor(CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS accuracy
         |FROM p WHERE pr = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 32-bit uniform from the group-key md5 vs exact ⌊2³²·CDF⌋ integer
+    // thresholds of the α=1/2 two-sided geometric, truncated at ±4.
+    "dp_counts" ->
+      """WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |h AS (SELECT event_type, n,
+        |        CAST(('0x' || substring(md5('dp:' || event_type), 1, 8)) AS BIGINT) AS hv
+        |      FROM c),
+        |z AS (SELECT event_type, n,
+        |        CASE WHEN hv < 1431655765 THEN 0
+        |             WHEN hv < 2147483648 THEN 1
+        |             WHEN hv < 2863311530 THEN -1
+        |             WHEN hv < 3221225472 THEN 2
+        |             WHEN hv < 3579139413 THEN -2
+        |             WHEN hv < 3758096384 THEN 3
+        |             WHEN hv < 3937053354 THEN -3
+        |             WHEN hv < 4080218931 THEN 4
+        |             ELSE -4 END AS noise
+        |      FROM h)
+        |SELECT event_type, n, CAST(noise AS BIGINT) AS noise,
+        |  n + noise AS noisy_n
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    // Odds-form RSJ idf (no log), k1=1.2 b=0.75, len/avgdl expanded to
+    // len·N/total; per-term weights quantize to 1e-6 ints before the
+    // per-doc sum. Parenthesization mirrors the Spark expression.
+    "bm25_search" ->
+      """WITH lens AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS len
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len) AS BIGINT) AS total_tokens FROM lens),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE token IN ('spark', 'merge', 'window')
+        |  GROUP BY 1, 2),
+        |d AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df FROM tf),
+        |s AS (SELECT d.doc_id,
+        |    CAST(floor(
+        |      (CAST(tf AS DOUBLE) * 2.2 /
+        |        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(len AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) *
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * 1e6 + 0.5) AS BIGINT) AS qw
+        |  FROM d JOIN lens ON d.doc_id = lens.doc_id, tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  floor(CAST(SUM(qw) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS score
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // QI = segment × nation × balance kilobucket; groups under k = 5
     // are the re-identification risks.

@@ -342,4 +342,55 @@ object CorpusStats {
 
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     invertedIndexOf(Tables.documents(spark, dir))
+
+  /** BM25 retrieval scoring for a fixed query, odds-form: the term
+    * weight keeps Robertson–Spärck Jones' pre-log odds
+    * (N − df + 0.5)/(df + 0.5) instead of its log (the engine's
+    * libm-free rule — log only reorders scores monotonically per term;
+    * with multi-term SUMS the ranking can differ from log-BM25, which
+    * is the documented trade). tf saturation is the standard
+    * k1/b form with len/avgdl expanded to len·N/total_tokens (exact
+    * integers, one IEEE division). Per-term scores quantize to 1e-6
+    * integers before the per-doc sum (partition-order independence),
+    * then top-k docs by (score DESC, doc_id).
+    *
+    * Shape: the token explode filters to the query list map-side
+    * (pushdown before any shuffle), so the tf aggregate shuffles only
+    * matching (doc, term) pairs; df is a term-partition window on that
+    * same shuffle; doc lengths ride the corpus scan once; the 1-row
+    * totals frame broadcasts.
+    */
+  def bm25SearchOf(docs: DataFrame, query: Seq[String],
+                   k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    require(k > 0, s"k must be positive, got $k")
+    val lens = docs.select(col("doc_id"),
+      TextF.tokenCount(col("text")).cast("long").as("len"))
+      .localCheckpoint(false) // two consumers: totals and the score join
+    val totals = lens.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("total_tokens"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(query: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+    val lenNorm = col("len").cast("double") * col("n_docs").cast("double") /
+      col("total_tokens").cast("double")
+    val w = (col("tf").cast("double") * (k1 + 1) /
+      (col("tf").cast("double") + lit(k1) * (lit(1 - b) + lit(b) * lenNorm))) *
+      ((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    tf.join(lens, "doc_id")
+      .crossJoin(broadcast(totals)) // 1 row by construction
+      .select(col("doc_id"), col("token"),
+        floor(w * 1e6 + 0.5).cast("long").as("qw"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        TextF.round4HalfUp(sum("qw").cast("double") / 1e6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25SearchOf(Tables.documents(spark, dir), Seq("spark", "merge", "window"))
 }

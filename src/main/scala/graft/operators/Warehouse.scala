@@ -202,4 +202,44 @@ object Warehouse {
 
   def kanonRisk(spark: SparkSession, dir: String): DataFrame =
     kanonRiskOf(Tables.customer(spark, dir))
+
+  /** Differential-privacy-style noised release of per-group counts: a
+    * two-sided geometric perturbation (the discrete Laplace — the
+    * standard integer mechanism for count queries) with α = 1/2,
+    * truncated at ±4 (tail mass 2⁻⁴ folds into the edges). The draw is
+    * a 32-bit uniform from md5 over the group key compared against
+    * EXACT integer thresholds ⌊2³²·CDF⌋ — no floats, no libm, no RNG
+    * state (bootstrap_ci's hex-prefix trick), so the release is
+    * reproducible and engine-exact. The true count rides along for
+    * the oracle/audit; an actual release drops it.
+    *
+    * One map-side-combinable aggregate; the noise is per-GROUP
+    * expression work on the (bounded) group count afterwards.
+    */
+  def dpCountsOf(events: DataFrame): DataFrame = {
+    // cumulative CDF of the α=1/2 two-sided geometric, in 2^32 units:
+    // P(0)=1/3, P(±1)=1/6, P(±2)=1/12, P(±3)=1/24, edges absorb the rest.
+    val t = Seq(
+      1431655765L -> 0L,  // 1/3
+      2147483648L -> 1L,  // 1/2
+      2863311530L -> -1L, // 2/3
+      3221225472L -> 2L,  // 3/4
+      3579139413L -> -2L, // 5/6
+      3758096384L -> 3L,  // 7/8
+      3937053354L -> -3L, // 11/12
+      4080218931L -> 4L)  // 19/20 — then else -4
+    val hv = conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 8),
+      16, 10).cast("long")
+    val noise = t.foldRight(lit(-4L)) { case ((thr, k), acc) =>
+      when(hv < thr, lit(k)).otherwise(acc)
+    }
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"), noise.as("noise"),
+        (col("n") + noise).as("noisy_n"))
+      .orderBy("event_type")
+  }
+
+  def dpCounts(spark: SparkSession, dir: String): DataFrame =
+    dpCountsOf(Tables.events(spark, dir))
 }

@@ -247,6 +247,33 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(byRank(2) == ((2L, 1L)))
   }
 
+  test("bm25: rare query terms outweigh common ones, long docs are damped") {
+    val docs = docsDf(
+      1L -> "rare filler filler filler",          // 1× rare, len 4
+      2L -> "common filler filler filler",        // 1× common, len 4
+      3L -> ("common one two three four five six seven eight nine " +
+        "ten eleven twelve thirteen fourteen fifteen"), // 1× common, len 16
+      4L -> "common filler filler filler",
+      5L -> "common filler filler filler")
+    val out = CorpusStats.bm25SearchOf(docs, Seq("rare", "common"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // df(rare)=1 vs df(common)=4 → doc 1 scores far above any common doc
+    assert(out(1L) > out(2L) * 2, s"rare term must dominate: $out")
+    // same tf/term, longer doc → lower score (length normalization)
+    assert(out(3L) < out(2L), s"length damping: $out")
+    // docs without any query term never appear
+    assert(!out.contains(6L) && out.size == 5)
+  }
+
+  test("bm25 per-doc score sums each matched term once") {
+    val docs = docsDf(
+      1L -> "alpha beta",
+      2L -> "alpha alpha alpha")
+    val out = CorpusStats.bm25SearchOf(docs, Seq("alpha", "beta"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L), "n_terms counts DISTINCT matched terms")
+  }
+
   test("lm quality normalizes whitespace runs before windowing") {
     val out = CorpusStats.lmQualityOf(docsDf(
       (1L, "a b\t\nc"), (2L, "a b c"))).collect()

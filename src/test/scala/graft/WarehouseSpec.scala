@@ -132,6 +132,24 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(("SEG_B", 2, 0L) -> 2L, ("SEG_B", 3, -1L) -> 1L))
   }
 
+  test("dp counts: noise is bounded, key-deterministic, and additive") {
+    val events = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "click" else "view"))
+      .toDF("event_id", "event_type")
+    val out = Warehouse.dpCountsOf(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("click")._1 == 100L && out("view")._1 == 200L)
+    out.values.foreach { case (n, noise, noisy) =>
+      assert(noise >= -4L && noise <= 4L)
+      assert(noisy == n + noise)
+    }
+    // same key → same draw on a disjoint dataset (pure function of key)
+    val out2 = Warehouse.dpCountsOf(
+      Seq((9L, "click")).toDF("event_id", "event_type")).collect()
+    assert(out2.head.getLong(2) == out("click")._2,
+      "noise must depend only on the group key")
+  }
+
   test("scd2 history breaks same-nanosecond ties on event_id") {
     val ev = changelog(Seq(
       (2L, 1L, "B", 0.0, 1000000000L), // same ns: id 1 (A) precedes id 2 (B)
