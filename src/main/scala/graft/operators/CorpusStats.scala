@@ -319,12 +319,16 @@ object CorpusStats {
     * (deterministic (tf DESC, doc_id) tiebreak) for terms appearing in
     * at least `minDf` documents.
     *
-    * ONE shuffle total: the (doc, token) tf aggregate lands on the
-    * token key, and df/cf/rank are all WINDOWS over that same
-    * partitioning — Spark plans zero additional Exchanges (separate
-    * aggregates joined back would re-shuffle twice and re-plan the
-    * tokenize, cf. [[tfidfTopTermsOf]]'s df window). Top-k per term is
-    * a WindowGroupLimit — partition-local, no global sort.
+    * Two shuffles, deliberately: the (doc, token) tf aggregate
+    * combines map-side BEFORE anything moves (the occurrence stream
+    * never shuffles raw), then df/cf/rank are all WINDOWS over the one
+    * token re-shuffle of the much smaller tf frame. Collapsing to a
+    * single token-only shuffle is possible (token ⊂ the group key) but
+    * worse at scale: it forfeits map-side combine and concentrates a
+    * hot token's raw occurrences in one partition. Separate aggregates
+    * joined back would be worse still — two MORE shuffles and a
+    * re-planned tokenize (cf. [[tfidfTopTermsOf]]'s df window). Top-k
+    * per term is a WindowGroupLimit — partition-local, no global sort.
     */
   def invertedIndexOf(docs: DataFrame, minDf: Long = 5,
                       k: Int = 3): DataFrame = {

@@ -224,6 +224,68 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the top-k vocab is bounded by construction and must broadcast:\n$p")
   }
 
+  test("round-8 tranche: no all-pairs shapes outside the bounded allowances") {
+    // span_dedup, containment_pairs, sem_dedup, inverted_index and
+    // weighted_sample must stay pure equi-join/aggregate plans.
+    for (df <- Seq[DataFrame](
+      Corpus.spanDedup(spark, Sf),
+      Corpus.weightedSample(spark, Sf),
+      Dedup.containmentPairs(spark, Sf),
+      Cluster.semDedup(spark, Sf),
+      CorpusStats.invertedIndex(spark, Sf))) {
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"quadratic join shape in:\n$p")
+    }
+    // bm25/gopher are allowed exactly the 1-row totals cross
+    // (collocations' pattern); knnClassify the bounded query-set BNLJ.
+    for (df <- Seq[DataFrame](
+      CorpusStats.bm25Search(spark, Sf),
+      Similarity.knnClassify(spark, Sf))) {
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1)
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty)
+    }
+  }
+
+  test("weighted sample plans a global top-k, never a full sort") {
+    val p = plan(Corpus.weightedSample(spark, Sf))
+    assert(p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"top-k by key must be TakeOrderedAndProject:\n$p")
+  }
+
+  test("inverted index: map-side-combined tf shuffle + ONE token re-shuffle for all windows") {
+    // exchanges appear at EnsureRequirements time → inspect the
+    // executed plan's initial string (ScaleInfraSpec's pattern).
+    // Exactly two hash shuffles: the (doc, token) tf aggregate (with
+    // partial combine below it) and the token window re-shuffle that
+    // df, cf and rank ALL share; a third would mean a window stopped
+    // riding the shared partitioning.
+    val s = CorpusStats.invertedIndex(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(hashShuffles == 2,
+      s"expected tf shuffle + one shared window shuffle:\n$s")
+    assert(s.contains("partial_count"),
+      "tf must combine map-side before its shuffle")
+  }
+
+  test("bm25 filters the token explode to the query before any aggregation") {
+    // the IN-list filter must sit directly on the explode output, so
+    // only query-term rows ever reach the tf aggregate's shuffle.
+    val p = plan(CorpusStats.bm25Search(spark, Sf))
+    val filtersOnGenerate = p.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("spark") &&
+          f.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty
+      => f
+    }
+    assert(filtersOnGenerate.nonEmpty,
+      s"query IN-filter must sit below the tf aggregate, on the explode:\n$p")
+  }
+
   test("funnel and behavior queries never plan a fact-by-fact nested loop") {
     // funnelSteps and itemAffinity are each allowed exactly one BNLJ:
     // the cross with a 1-row totals frame (collocations' pattern).
