@@ -149,7 +149,9 @@ object SparkEntry {
     // (cf. bpe_merges); PcaSpec pins the algebra
     "pca_embed"         -> (Pca.pcaEmbed(_, _)),
     "dp_counts"         -> (Warehouse.dpCounts(_, _)),
-    "bm25_search"       -> (CorpusStats.bm25Search(_, _))
+    "bm25_search"       -> (CorpusStats.bm25Search(_, _)),
+    "kwic_snippets"     -> (TextAnalysis.kwicSnippets(_, _)),
+    "decayed_engagement" -> (Behavior.decayedEngagement(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1644,6 +1646,38 @@ object SparkEntry {
         |  floor(CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS accuracy
         |FROM p WHERE pr = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 0-based match position (pos), 1-based list slicing; left context
+    // is the up-to-ctx tokens before the match, right the 3 after.
+    "kwic_snippets" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |tp AS (SELECT doc_id, t,
+        |         unnest(list_transform(generate_series(1, len(t)),
+        |           i -> struct_pack(pos := i, tok := t[i]))) AS s
+        |       FROM toks),
+        |m AS (SELECT doc_id, t, s.pos AS p, s.tok AS tok FROM tp
+        |      WHERE s.tok = 'spark')
+        |SELECT doc_id, CAST(p - 1 AS INT) AS pos,
+        |  COALESCE(array_to_string(t[greatest(p - 3, 1):p - 1], ' '), '') AS left_ctx,
+        |  tok AS match,
+        |  COALESCE(array_to_string(t[p + 1:p + 3], ' '), '') AS right_ctx
+        |FROM m ORDER BY doc_id, pos""".stripMargin,
+
+    // value·2^(horizon−age) in integer micros (bit shifts, no libm);
+    // ages beyond the 20-day horizon contribute zero.
+    "decayed_engagement" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |e AS (SELECT user_id,
+        |        datediff('day', CAST(make_timestamp(epoch_us(ts)) AS DATE), report_date) AS age,
+        |        CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv
+        |      FROM events, md),
+        |w AS (SELECT user_id, qv * (CAST(1 AS BIGINT) << (20 - age)) AS wq
+        |      FROM e WHERE age <= 20)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  floor(CAST(SUM(wq) AS DOUBLE) / 1048576.0 / 1e6 * 1e4 + 0.5) / 1e4 AS score
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // 32-bit uniform from the group-key md5 vs exact ⌊2³²·CDF⌋ integer
     // thresholds of the α=1/2 two-sided geometric, truncated at ±4.

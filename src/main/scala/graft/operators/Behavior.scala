@@ -257,4 +257,40 @@ object Behavior {
 
   def itemAffinity(spark: SparkSession, dir: String): DataFrame =
     itemAffinityOf(Tables.events(spark, dir))
+
+  /** Exponential-decay engagement score per user — the recency-weighted
+    * activity feature every ranking/churn model starts from: each
+    * event contributes value · 2^(−age_days), ages beyond `horizon`
+    * days contribute zero (the truncated tail, cf. the EWMA smoother's
+    * 14-day horizon). EXACT integer path end to end: value quantizes
+    * to micros, the weight is a LEFT SHIFT by (horizon − age) — powers
+    * of two, no libm, no float accumulation — and one final division
+    * by 2^horizon recovers the score, so the sum is partition-order
+    * independent and engine-exact.
+    *
+    * Shape: the 1-row max-day frame broadcasts (no driver collect);
+    * ONE map-side-combinable user aggregate; age clamp = pushable
+    * filter. */
+  def decayedEngagementOf(events: DataFrame, horizon: Int = 20): DataFrame = {
+    require(horizon > 0 && horizon < 60, s"horizon in (0,60), got $horizon")
+    val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))
+    events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .crossJoin(broadcast(maxDay)) // 1 row by construction
+      .withColumn("age", datediff(col("report_date"), col("day")))
+      .filter(col("age") <= horizon)
+      .select(col("user_id"),
+        (col("qv") * expr(s"shiftleft(1L, $horizon - age)")).as("wq"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("wq").as("wsum"))
+      .select(col("user_id"), col("n_events"),
+        graft.functions.TextF.round4HalfUp(
+          col("wsum").cast("double") / lit((1L << horizon).toDouble) / 1e6)
+          .as("score"))
+      .orderBy("user_id")
+  }
+
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame =
+    decayedEngagementOf(Tables.events(spark, dir))
 }

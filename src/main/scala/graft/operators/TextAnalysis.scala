@@ -165,4 +165,35 @@ object TextAnalysis {
         TextF.round4HalfUp(
           col("n").cast("double") / col("lang_total").cast("double")).as("frac"))
       .orderBy("lang", "pred_lang")
+
+  /** Keyword-in-context (KWIC) concordance: every occurrence of the
+    * query token with its `ctx` tokens of left/right context — the
+    * inspection surface a corpus curator greps before committing to a
+    * filter rule (and the classic concordancer output). Entirely
+    * map-side: posexplode carries the token array through, the match
+    * filter drops non-hits before anything shuffles, and the context
+    * windows are two slices of the carried array; only matches reach
+    * the presentation sort.
+    */
+  def kwicSnippetsOf(docs: DataFrame, query: String, ctx: Int = 3): DataFrame = {
+    require(ctx > 0, s"ctx must be positive, got $ctx")
+    docs
+      .select(col("doc_id"), TextF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("tok") === query)
+      // pos is 0-based, slice is 1-based: left context starts at
+      // max(0, pos-ctx)+1 and runs to pos; right starts at pos+2.
+      .select(col("doc_id"), col("pos").cast("int").as("pos"),
+        concat_ws(" ", slice(col("toks"),
+          greatest(col("pos") - ctx, lit(0)) + 1,
+          col("pos") - greatest(col("pos") - ctx, lit(0)))).as("left_ctx"),
+        col("tok").as("match"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 2, lit(ctx)))
+          .as("right_ctx"))
+      .orderBy("doc_id", "pos")
+  }
+
+  def kwicSnippets(spark: SparkSession, dir: String): DataFrame =
+    kwicSnippetsOf(Tables.documents(spark, dir), "spark")
 }

@@ -15,6 +15,29 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       .select(col("event_id"), col("user_id"), col("event_type"),
         to_timestamp(col("t")).as("ts"), lit(1.0).as("value"))
 
+  test("decayed engagement: today counts full, each day halves, horizon cuts off") {
+    val ev = Seq(
+      // user 1: 8.0 today + 8.0 yesterday → 8 + 4 = 12
+      (1L, 1L, "2024-01-21 10:00:00", 8.0),
+      (2L, 1L, "2024-01-20 10:00:00", 8.0),
+      // user 2: 8.0 twenty days ago → 8·2^-20 ≈ 0 at 4 dp... but
+      // exactly 8/1048576 = 7.6e-6 → rounds to 0.0
+      (3L, 2L, "2024-01-01 10:00:00", 8.0),
+      // user 3: 21 days old → beyond the horizon, no row at all
+      (4L, 3L, "2023-12-31 10:00:00", 8.0),
+      // anchor so the max day is fixed
+      (5L, 9L, "2024-01-21 00:00:00", 1.0))
+      .toDF("event_id", "user_id", "t", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    val out = Behavior.decayedEngagementOf(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((2L, 12.0)))
+    assert(out(2L) == ((1L, 0.0)), "2^-20 of 8.0 rounds to zero at 4 dp")
+    assert(!out.contains(3L), "events beyond the horizon contribute nothing")
+    assert(out(9L) == ((1L, 1.0)))
+  }
+
   test("funnel: steps must be strictly ordered in time per user") {
     val ev = eventsDf(
       // u1 completes the full funnel in order

@@ -92,4 +92,19 @@ class TextSpec extends AnyFunSuite with SparkFixture {
         .setScale(0, BigDecimal.RoundingMode.FLOOR).toDouble / 1e4)
     assert(got2.toSeq == want2)
   }
+
+  test("kwic clips context at document edges and finds every occurrence") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "hit a b c hit"),          // match at pos 0 (no left) and 4 (no right)
+      (2L, "a b c d hit e f g h"),    // full 3-token context both sides
+      (3L, "nothing here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.kwicSnippetsOf(docs, "hit", ctx = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0, "", "a b c"),
+      (1L, 4, "a b c", ""),
+      (2L, 4, "b c d", "e f g")))
+  }
 }
