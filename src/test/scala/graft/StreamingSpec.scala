@@ -313,6 +313,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("StreamingDedupTws (transformWithState) honors the firstSeen contract on RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState only runs on the RocksDB state store; scope
+    // the provider to this query and restore whatever was set before.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Timestamp, String)]
+    val docs = input.toDF().toDF("key", "ts", "payload")
+    val query = graft.streaming.StreamingDedupTws.firstSeen(docs).writeStream
+      .format("memory").queryName("dedup_tws_test").outputMode("append").start()
+    try {
+      input.addData(("hashA", ts("10:00"), "first-a"), ("hashB", ts("10:01"), "first-b"))
+      query.processAllAvailable()
+      // duplicate within the TTL horizon + one new key
+      input.addData(("hashA", ts("10:05"), "dup-a"), ("hashC", ts("10:06"), "first-c"))
+      query.processAllAvailable()
+      // in-batch disorder + identical-timestamp tie (the exact cases
+      // the flatMapGroupsWithState twin pins)
+      input.addData(("hashD", ts("10:10"), "late-d"), ("hashD", ts("10:08"), "first-d"))
+      query.processAllAvailable()
+      input.addData(("hashE", ts("10:12"), "tie-z"), ("hashE", ts("10:12"), "tie-a"))
+      query.processAllAvailable()
+      val out = spark.table("dedup_tws_test")
+        .select("key", "payload").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out == Map("hashA" -> "first-a", "hashB" -> "first-b",
+        "hashC" -> "first-c", "hashD" -> "first-d", "hashE" -> "tie-a"),
+        "the new-API operator must match StreamingDedup.firstSeen exactly")
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("StreamingEwma smooths closed windows and flags a spike against history") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Double)]
