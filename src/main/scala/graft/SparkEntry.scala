@@ -151,7 +151,8 @@ object SparkEntry {
     "dp_counts"         -> (Warehouse.dpCounts(_, _)),
     "bm25_search"       -> (CorpusStats.bm25Search(_, _)),
     "kwic_snippets"     -> (TextAnalysis.kwicSnippets(_, _)),
-    "decayed_engagement" -> (Behavior.decayedEngagement(_, _))
+    "decayed_engagement" -> (Behavior.decayedEngagement(_, _)),
+    "theilsen_trend"    -> (Robust.theilSenTrend(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1646,6 +1647,25 @@ object SparkEntry {
         |  floor(CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS accuracy
         |FROM p WHERE pr = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Median of pairwise daily-total slopes, micros-per-day integer
+    // deltas, one IEEE division per pair, quantile_cont median ≍
+    // Spark's exact percentile (earnings_percentiles' contract).
+    "theilsen_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(b.v - a.v AS DOUBLE) / CAST(datediff('day', a.day, b.day) AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  floor(quantile_cont(slope, 0.5) / 1e6 * 1e4 + 0.5) / 1e4 AS slope_per_day,
+        |  CAST(CASE WHEN floor(quantile_cont(slope, 0.5) / 1e6 * 1e4 + 0.5) / 1e4 > 0 THEN 1
+        |            WHEN floor(quantile_cont(slope, 0.5) / 1e6 * 1e4 + 0.5) / 1e4 < 0 THEN -1
+        |            ELSE 0 END AS INT) AS direction
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // 0-based match position (pos), 1-based list slicing; left context
     // is the up-to-ctx tokens before the match, right the 3 after.

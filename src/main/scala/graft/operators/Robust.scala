@@ -265,4 +265,41 @@ object Robust {
 
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
     bootstrapCiOf(Tables.events(spark, dir))
+
+  /** Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    * slopes of the daily-total series — immune to the outlier days
+    * that wreck a least-squares fit (the robust answer to "is this
+    * metric drifting?", next to [[madOutliersOf]]'s point outliers).
+    * Slopes are micros-per-day: exact integer deltas, ONE IEEE
+    * division each, median via the exact `percentile` both engines
+    * interpolate identically (earnings_percentiles' contract), rounded
+    * half-up to 4 dp.
+    *
+    * Scale: the pairwise self-join is per GROUP over its DAILY
+    * aggregate — bounded by the calendar (≤ 3 653 days/decade ⇒
+    * ≤ ~6.7M pairs per group), never by row count; the fact scan
+    * collapses to (group, day) first, map-side combinable. */
+  def theilSenTrendOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .groupBy("event_type", "day").agg(sum("qv").as("v"))
+      .localCheckpoint(false) // both self-join sides (keyed differently)
+    val b = daily.select(col("event_type").as("bt"),
+      col("day").as("bday"), col("v").as("bv"))
+    daily
+      .join(b, col("event_type") === col("bt") && col("day") < col("bday"))
+      .select(col("event_type"),
+        ((col("bv") - col("v")).cast("double") /
+          datediff(col("bday"), col("day")).cast("double")).as("slope"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        round4(expr("percentile(slope, 0.5)") / 1e6).as("slope_per_day"))
+      .select(col("event_type"), col("n_pairs"), col("slope_per_day"),
+        signum(col("slope_per_day")).cast("int").as("direction"))
+      .orderBy("event_type")
+  }
+
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame =
+    theilSenTrendOf(Tables.events(spark, dir))
 }

@@ -135,4 +135,23 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getDate(1).toString -> r.getDouble(3)).toMap
     assert(out("2024-01-06") == 10.0, "one spiked day in six leaves the median at the mode")
   }
+
+  test("theil-sen slope shrugs off the outlier day a mean fit would chase") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // 'click': perfect +2/day line with one wrecked day (500 on day 3);
+    // most pairwise slopes stay 2.0, so the MEDIAN stays 2.0.
+    // 'view': flat 7 every day → slope 0, direction 0.
+    val rows = (1 to 7).flatMap { d =>
+      val v = if (d == 3) 500.0 else 2.0 * d
+      Seq(("click", f"2024-01-0$d 12:00:00", v), ("view", f"2024-01-0$d 12:00:00", 7.0))
+    }
+    val ev = rows.toDF("event_type", "s", "value")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"), col("value"))
+    val out = Robust.theilSenTrendOf(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(out("click")._1 == 21L) // C(7,2) pairs
+    assert(out("click")._2 == 2.0 && out("click")._3 == 1,
+      s"median slope must ignore the day-3 spike: ${out("click")}")
+    assert(out("view") == ((21L, 0.0, 0)))
+  }
 }
