@@ -152,7 +152,9 @@ object SparkEntry {
     "bm25_search"       -> (CorpusStats.bm25Search(_, _)),
     "kwic_snippets"     -> (TextAnalysis.kwicSnippets(_, _)),
     "decayed_engagement" -> (Behavior.decayedEngagement(_, _)),
-    "theilsen_trend"    -> (Robust.theilSenTrend(_, _))
+    "theilsen_trend"    -> (Robust.theilSenTrend(_, _)),
+    "length_batching"   -> (Corpus.lengthBatching(_, _)),
+    "prefix_cache_groups" -> (Corpus.prefixCacheGroups(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1647,6 +1649,36 @@ object SparkEntry {
         |  floor(CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS accuracy
         |FROM p WHERE pr = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Buckets of 64 tokens, batches of 32 in doc_id order inside each
+    // bucket; padding = batch max − own length.
+    "length_batching" ->
+      """WITH l AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY n_tokens // 64 ORDER BY doc_id) AS rn
+        |  FROM l),
+        |b AS (SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+        |    CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+        |    CAST((rn - 1) % 32 AS BIGINT) AS pos_in_batch
+        |  FROM r)
+        |SELECT doc_id, n_tokens, bucket, batch_id, pos_in_batch,
+        |  CAST(MAX(n_tokens) OVER (PARTITION BY bucket, batch_id) - n_tokens AS INT) AS padding
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // First-8-token prefix md5; ≥ 2-member groups; saved prefill =
+    // (n_docs − 1) · 8.
+    "prefix_cache_groups" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, md5(array_to_string(toks[1:8], ' ')) AS prefix_key
+        |      FROM t WHERE len(toks) >= 8)
+        |SELECT prefix_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS cache_owner,
+        |  CAST((COUNT(*) - 1) * 8 AS BIGINT) AS tokens_saved
+        |FROM p GROUP BY prefix_key HAVING COUNT(*) >= 2
+        |ORDER BY prefix_key""".stripMargin,
 
     // Median of pairwise daily-total slopes, micros-per-day integer
     // deltas, one IEEE division per pair, quantile_cont median ≍

@@ -462,4 +462,68 @@ object Corpus {
 
   def groupedSplit(spark: SparkSession, dir: String): DataFrame =
     groupedSplitOf(Tables.documents(spark, dir))
+
+  /** Length-bucketed batch assignment — the inference-serving twin of
+    * [[packGreedyOf]]: docs of similar token length batch together so
+    * per-batch padding (to the batch max) stays small. Buckets are
+    * n_tokens div `bucketWidth`; within a bucket, docs take batches of
+    * `batchSize` in doc_id order; `padding` reports the per-doc cost
+    * of its batch's max length.
+    *
+    * One shuffle: row_number partitions by bucket, and the batch-max
+    * window's (bucket, batch_id) requirement is satisfied by the SAME
+    * bucket partitioning (partitioning exprs ⊂ clustering exprs), so
+    * Spark plans no second exchange.
+    */
+  def lengthBatchingOf(docs: DataFrame, bucketWidth: Int = 64,
+                       batchSize: Int = 32): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      s"need positive bucketWidth/batchSize, got $bucketWidth/$batchSize")
+    val byBucket = Window.partitionBy("bucket").orderBy("doc_id")
+    val byBatch = Window.partitionBy("bucket", "batch_id")
+    docs
+      .select(col("doc_id"), TextF.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+      .withColumn("rn", row_number().over(byBucket))
+      .withColumn("batch_id", expr(s"(rn - 1) div $batchSize"))
+      .withColumn("pos_in_batch", expr(s"CAST((rn - 1) % $batchSize AS BIGINT)"))
+      .withColumn("padding",
+        max("n_tokens").over(byBatch) - col("n_tokens"))
+      .select("doc_id", "n_tokens", "bucket", "batch_id", "pos_in_batch",
+        "padding")
+      .orderBy("doc_id")
+  }
+
+  def lengthBatching(spark: SparkSession, dir: String): DataFrame =
+    lengthBatchingOf(Tables.documents(spark, dir))
+
+  /** Shared-prefix groups — the KV-cache reuse analysis an inference
+    * fleet runs over its corpus: documents whose first `prefixLen`
+    * tokens are identical can share one prefix cache entry, saving
+    * (n_docs − 1) · prefixLen prefill tokens per group. Groups key on
+    * md5 of the joined prefix (cross-engine; a raw token string key
+    * would hash the same but bloat the shuffle). Docs shorter than the
+    * prefix contribute nothing (strict semantics, cf.
+    * [[decontaminateOf]]).
+    *
+    * Map-side prefix extraction (one slice, no explode), one
+    * aggregate; only ≥ 2-member groups survive.
+    */
+  def prefixCacheGroupsOf(docs: DataFrame, prefixLen: Int = 8): DataFrame = {
+    require(prefixLen > 0, s"prefixLen must be positive, got $prefixLen")
+    docs
+      .select(col("doc_id"), TextF.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= prefixLen)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), 1, prefixLen))).as("prefix_key"))
+      .groupBy("prefix_key")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("cache_owner"))
+      .filter(col("n_docs") >= 2)
+      .select(col("prefix_key"), col("n_docs"), col("cache_owner"),
+        ((col("n_docs") - 1) * prefixLen).as("tokens_saved"))
+      .orderBy("prefix_key")
+  }
+
+  def prefixCacheGroups(spark: SparkSession, dir: String): DataFrame =
+    prefixCacheGroupsOf(Tables.documents(spark, dir))
 }

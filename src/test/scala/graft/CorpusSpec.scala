@@ -213,6 +213,44 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("length batching fills batches in doc order and pads to the batch max") {
+    val docs = (1L to 5L).map(i => (i, Seq.fill(i.toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    // bucketWidth 3 → bucket 0 = lens {1,2}, bucket 1 = {3,4,5};
+    // batchSize 2 splits bucket 1 into [3,4] and [5].
+    val out = Corpus.lengthBatchingOf(docs, bucketWidth = 3, batchSize = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(out(1L) == ((0L, 0L, 0L, 1)), "len 1 pads to bucket-mate len 2")
+    assert(out(2L) == ((0L, 0L, 1L, 0)))
+    assert(out(3L) == ((1L, 0L, 0L, 1)))
+    assert(out(4L) == ((1L, 0L, 1L, 0)))
+    assert(out(5L) == ((1L, 1L, 0L, 0)), "overflow starts batch 1, pads nothing")
+  }
+
+  test("length batching plans ONE shuffle: the batch-max window rides the bucket key") {
+    val p = Corpus.lengthBatching(spark, Sf).queryExecution.executedPlan.toString
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles == 1,
+      s"(bucket, batch_id) must be satisfied by the bucket partitioning:\n$p")
+  }
+
+  test("prefix cache groups: only shared full prefixes count, short docs never") {
+    val prefix = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val docs = Seq(
+      (1L, s"$prefix alpha beta"),
+      (2L, s"$prefix gamma"),
+      (5L, s"$prefix delta"),
+      (3L, "p1 p2 p3"),   // shorter than the prefix — excluded entirely
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8 solo")) // unique prefix → no group
+    val out = Corpus.prefixCacheGroupsOf(docs.toDF("doc_id", "text")).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 3L)
+    assert(out.head.getLong(2) == 1L, "the smallest doc_id owns the cache entry")
+    assert(out.head.getLong(3) == 16L, "(3-1) x 8 prefill tokens saved")
+  }
+
   test("grouped split: every doc of a source lands in one split") {
     val docs = (1L to 100L).map(i => (i, s"src${i % 7}", "t"))
       .toDF("doc_id", "source", "text")
