@@ -154,7 +154,8 @@ object SparkEntry {
     "decayed_engagement" -> (Behavior.decayedEngagement(_, _)),
     "theilsen_trend"    -> (Robust.theilSenTrend(_, _)),
     "length_batching"   -> (Corpus.lengthBatching(_, _)),
-    "prefix_cache_groups" -> (Corpus.prefixCacheGroups(_, _))
+    "prefix_cache_groups" -> (Corpus.prefixCacheGroups(_, _)),
+    "seasonal_profile"  -> (EventAnalytics.seasonalProfile(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1698,6 +1699,29 @@ object SparkEntry {
         |            WHEN floor(quantile_cont(slope, 0.5) / 1e6 * 1e4 + 0.5) / 1e4 < 0 THEN -1
         |            ELSE 0 END AS INT) AS direction
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Mod-7 epoch-day weekday (chi2_contingency's convention); both
+    // means are exact-integer sums divided once; one half-up rounding
+    // at the end of each output column.
+    "seasonal_profile" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qrev
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type,
+        |    CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(qrev) AS BIGINT) AS qsum
+        |  FROM daily GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(n_days) OVER (PARTITION BY event_type) AS BIGINT) AS td,
+        |        CAST(SUM(qsum) OVER (PARTITION BY event_type) AS BIGINT) AS tq
+        |      FROM g)
+        |SELECT event_type, dow, n_days,
+        |  floor(CAST(qsum AS DOUBLE) / CAST(n_days AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4
+        |    AS avg_revenue,
+        |  floor((CAST(qsum AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(tq AS DOUBLE) / CAST(td AS DOUBLE)) * 1e4 + 0.5) / 1e4
+        |    AS seasonal_index
+        |FROM w ORDER BY event_type, dow""".stripMargin,
 
     // 0-based match position (pos), 1-based list slicing; left context
     // is the up-to-ctx tokens before the match, right the 3 after.

@@ -269,4 +269,51 @@ object EventAnalytics {
 
   def ewmaSmooth(spark: SparkSession, dir: String): DataFrame =
     ewmaSmoothOf(Tables.events(spark, dir))
+
+  /** Day-of-week seasonality profile per event type: for each weekday,
+    * the mean daily revenue and its ratio to the type's overall mean
+    * daily revenue (`seasonal_index` > 1 ⇒ that weekday runs hot) —
+    * the normalization a day-over-day alert ([[graft.operators
+    * .CtrAlerts]]) needs before comparing a Sunday to a Friday.
+    * Weekday is pure mod-7 arithmetic on the epoch-day index (0 =
+    * Thursday), the [[SparkEntry]] chi2 oracle's engine-neutral
+    * convention — no locale-dependent dayofweek().
+    *
+    * Shape: facts collapse to (type, day) micro-quantized totals
+    * (map-side combinable, ONE fact-scale shuffle), then to
+    * (type, weekday) — ≤ 7 rows per type — and the type totals ride a
+    * window over that bounded frame rather than a second aggregate +
+    * join (which would re-plan the daily aggregate per consumer; no
+    * cross-branch CSE in Catalyst). Determinism: both means are exact
+    * integer sums divided once (IEEE-exact given exact operands);
+    * their ratio is one more IEEE division; only the final values
+    * round (half-up, 4 dp).
+    */
+  def seasonalProfileOf(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .groupBy("event_type", "day")
+      .agg(sum("qv").as("qrev"))
+      .select(col("event_type"),
+        (datediff(col("day"), lit("1970-01-01").cast("date")) % 7).as("dow"),
+        col("qrev"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum("qrev").as("qsum"))
+      .withColumn("tot_days", sum("n_days").over(byType))
+      .withColumn("tot_q", sum("qsum").over(byType))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        graft.functions.TextF.round4HalfUp(
+          col("qsum").cast("double") / col("n_days").cast("double") / lit(1e6))
+          .as("avg_revenue"),
+        graft.functions.TextF.round4HalfUp(
+          (col("qsum").cast("double") / col("n_days").cast("double")) /
+            (col("tot_q").cast("double") / col("tot_days").cast("double")))
+          .as("seasonal_index"))
+      .orderBy("event_type", "dow")
+  }
+
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame =
+    seasonalProfileOf(Tables.events(spark, dir))
 }

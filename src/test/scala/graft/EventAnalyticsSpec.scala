@@ -197,4 +197,29 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
       EventAnalytics.ewmaSmoothOf(ev, horizon = 0)
     }
   }
+
+  test("seasonal profile: index is the weekday mean over the overall mean") {
+    // 2024-01-01 is a Monday → epoch-day 19723, 19723 % 7 = 4.
+    val ev = dailyEvents(
+      ("click", "2024-01-01 12:00:00", 10.0),  // Mon
+      ("click", "2024-01-02 12:00:00", 30.0),  // Tue
+      ("click", "2024-01-08 12:00:00", 20.0),  // Mon again
+      ("click", "2024-01-08 13:00:00", 10.0))  // same day, same total
+    val out = EventAnalytics.seasonalProfileOf(ev).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set(4, 5), "Mon and Tue under the mod-7 convention")
+    // Mondays: (10 + 30)/2 = 20; Tuesday: 30; overall: 70/3.
+    assert(out(4) == ((2L, 20.0, 0.8571)), "20 / (70/3) rounds half-up to 4dp")
+    assert(out(5) == ((1L, 30.0, 1.2857)))
+  }
+
+  test("seasonal profile: a constant series indexes 1.0 on every weekday") {
+    val ev = dailyEvents((1 to 14).map(d =>
+      ("view", f"2024-01-$d%02d 09:00:00", 5.0)): _*)
+    val out = EventAnalytics.seasonalProfileOf(ev).collect()
+    assert(out.length == 7)
+    assert(out.forall(_.getDouble(4) == 1.0))
+    assert(out.forall(_.getLong(2) == 2L), "14 days cover each weekday twice")
+  }
 }
