@@ -155,7 +155,9 @@ object SparkEntry {
     "theilsen_trend"    -> (Robust.theilSenTrend(_, _)),
     "length_batching"   -> (Corpus.lengthBatching(_, _)),
     "prefix_cache_groups" -> (Corpus.prefixCacheGroups(_, _)),
-    "seasonal_profile"  -> (EventAnalytics.seasonalProfile(_, _))
+    "seasonal_profile"  -> (EventAnalytics.seasonalProfile(_, _)),
+    "corpus_card"       -> (CorpusStats.corpusCard(_, _)),
+    "auc_quality"       -> (CorpusStats.aucQuality(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1722,6 +1724,63 @@ object SparkEntry {
         |    / (CAST(tq AS DOUBLE) / CAST(td AS DOUBLE)) * 1e4 + 0.5) / 1e4
         |    AS seasonal_index
         |FROM w ORDER BY event_type, dow""".stripMargin,
+
+    // One per-doc projection reusing the quality / BPE / Gopher
+    // fragments verbatim, then exact-integer sums; both means divide
+    // once and round half-up at the end.
+    "corpus_card" ->
+      s"""WITH b AS (SELECT lang, source, text,
+        |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+        |    length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')) AS char_len
+        |  FROM documents),
+        |g AS (SELECT lang, source, text, toks,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    floor(CAST(char_len AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS mean_word_len,
+        |    floor(CAST(len(list_filter(toks, t -> starts_with(t, '#') OR contains(t, '...'))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS symbol_frac,
+        |    floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS alpha_frac,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits
+        |  FROM b),
+        |m AS (SELECT lang, source,
+        |    CAST(len(toks) AS BIGINT) AS t_ws,
+        |    CAST(len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+')) AS BIGINT) AS t_bpe,
+        |    CAST(floor(($QualitySqlExpr) * 1e4 + 0.5) AS BIGINT) AS qq,
+        |    CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+        |      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |      AND symbol_frac <= 0.1 AND alpha_frac >= 0.8
+        |      AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+        |  FROM g)
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t_ws) AS BIGINT) AS tokens_ws,
+        |  CAST(SUM(t_bpe) AS BIGINT) AS tokens_bpe,
+        |  floor(CAST(SUM(qq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4
+        |    AS mean_quality,
+        |  floor(CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS gopher_keep_frac
+        |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // Mann-Whitney AUC with tie credit 1/2 in doubled-integer space:
+    // 2U = Σ np·(2·nn_below + nn) is an exact BIGINT; one division at
+    // the end, rounded half-up to 6 dp.
+    "auc_quality" ->
+      s"""WITH s AS (SELECT source, $QualitySqlExpr AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |g AS (SELECT source, score, CAST(SUM(pos) AS BIGINT) AS np,
+        |    CAST(SUM(1 - pos) AS BIGINT) AS nn FROM s GROUP BY 1, 2),
+        |w AS (SELECT *, COALESCE(CAST(SUM(nn) OVER (PARTITION BY source ORDER BY score
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS nn_below
+        |      FROM g),
+        |a AS (SELECT source, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |    CAST(SUM(np * (2 * nn_below + nn)) AS BIGINT) AS u2
+        |  FROM w GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        |  floor(CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS auc
+        |FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""".stripMargin,
 
     // 0-based match position (pos), 1-based list slicing; left context
     // is the up-to-ctx tokens before the match, right the 3 after.

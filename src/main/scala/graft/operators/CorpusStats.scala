@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -267,6 +267,37 @@ object CorpusStats {
   def oovRate(spark: SparkSession, dir: String): DataFrame =
     oovRateOf(Tables.documents(spark, dir))
 
+  /** The Gopher rule measurements over `col("text")`, shared between
+    * [[gopherRulesOf]] (per-doc report) and [[corpusCardOf]] (rollup):
+    * (n_tokens, mean_word_len, symbol_frac, alpha_frac, n_stop_hits).
+    * Ratios round half-up to 4 dp BEFORE any threshold comparison so
+    * the gate fires on cross-engine-identical values. */
+  private def gopherMeasures: (Column, Column, Column, Column, Column) = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = TextF.tokens(col("text"))
+    val nTokens = size(toks)
+    // Σ token lengths = chars minus whitespace (exact, no explode).
+    val charLen = length(regexp_replace(col("text"), "[ \\t\\n\\f\\r]", ""))
+    val meanLen = TextF.round4HalfUp(
+      charLen.cast("double") / nTokens.cast("double"))
+    val symFrac = TextF.round4HalfUp(
+      size(filter(toks, t => t.startsWith("#") || t.contains("...")))
+        .cast("double") / nTokens.cast("double"))
+    val alphaFrac = TextF.round4HalfUp(
+      size(filter(toks, t => t.rlike("[A-Za-z]")))
+        .cast("double") / nTokens.cast("double"))
+    val stopHits = size(array_intersect(toks, array(stop.map(lit): _*)))
+    (nTokens, meanLen, symFrac, alphaFrac, stopHits)
+  }
+
+  /** The conjunction gate over [[gopherMeasures]]. */
+  private def gopherKeep(minTokens: Int, maxTokens: Int): Column = {
+    val (nTokens, meanLen, symFrac, alphaFrac, stopHits) = gopherMeasures
+    nTokens >= minTokens && nTokens <= maxTokens &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symFrac <= 0.1 && alphaFrac >= 0.8 && stopHits >= 2
+  }
+
   /** Gopher-style quality rule flags (Rae'21 §A1.1, the named ruleset
     * every pretraining filter descends from), one row per document
     * with each rule's measurement AND its boolean — a pipeline tunes
@@ -283,21 +314,7 @@ object CorpusStats {
     */
   def gopherRulesOf(docs: DataFrame, minTokens: Int = 50,
                     maxTokens: Int = 100000): DataFrame = {
-    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val toks = TextF.tokens(col("text"))
-    val nTokens = size(toks)
-    // Σ token lengths = chars minus whitespace (exact, no explode).
-    val charLen = length(regexp_replace(col("text"), "[ \\t\\n\\f\\r]", ""))
-    val meanLen = TextF.round4HalfUp(
-      charLen.cast("double") / nTokens.cast("double"))
-    val symFrac = TextF.round4HalfUp(
-      size(filter(toks, t => t.startsWith("#") || t.contains("...")))
-        .cast("double") / nTokens.cast("double"))
-    val alphaFrac = TextF.round4HalfUp(
-      size(filter(toks, t => t.rlike("[A-Za-z]")))
-        .cast("double") / nTokens.cast("double"))
-    val stopHits = size(array_intersect(toks,
-      array(stop.map(lit): _*)))
+    val (nTokens, meanLen, symFrac, alphaFrac, stopHits) = gopherMeasures
     docs
       .select(col("doc_id"), nTokens.as("n_tokens"), meanLen.as("mean_word_len"),
         symFrac.as("symbol_frac"), alphaFrac.as("alpha_frac"),
@@ -397,4 +414,82 @@ object CorpusStats {
 
   def bm25Search(spark: SparkSession, dir: String): DataFrame =
     bm25SearchOf(Tables.documents(spark, dir), Seq("spark", "merge", "window"))
+
+  /** Dataset card per (lang, source) — the one-table summary a corpus
+    * release ships: document count, whitespace and BPE-ish token
+    * totals (the two costing bases, [[TextF.tokenCount]] /
+    * [[TextF.bpeTokenCount]]), mean quality score, and the fraction
+    * passing the Gopher gate ([[gopherKeep]]).
+    *
+    * ONE map-side projection computes every per-doc measure, then one
+    * map-side-combinable aggregate on the bounded (lang, source) key —
+    * a single fact scan, a single shuffle of partial aggregates.
+    * Determinism: per-doc quality is already on the 1e-4 grid, so its
+    * 1e4-scaled integer rides an exact BIGINT sum (doubles would sum
+    * order-dependently); each mean is one IEEE division chain rounded
+    * half-up at the end.
+    */
+  def corpusCardOf(docs: DataFrame): DataFrame = {
+    val round4 = TextF.round4HalfUp(_)
+    docs
+      .select(col("lang"), col("source"),
+        TextF.tokenCount(col("text")).cast("long").as("t_ws"),
+        TextF.bpeTokenCount(col("text")).cast("long").as("t_bpe"),
+        floor(TextF.qualityScore(col("text"), TextAnalysis.Stopwords) * 1e4
+          + 0.5).cast("long").as("qq"),
+        when(gopherKeep(50, 100000), 1L).otherwise(0L).as("keep"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("t_ws").as("tokens_ws"), sum("t_bpe").as("tokens_bpe"),
+        sum("qq").as("qsum"), sum("keep").as("n_keep"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("tokens_ws"), col("tokens_bpe"),
+        round4(col("qsum").cast("double") / col("n_docs").cast("double")
+          / lit(1e4)).as("mean_quality"),
+        round4(col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .as("gopher_keep_frac"))
+      .orderBy("lang", "source")
+  }
+
+  def corpusCard(spark: SparkSession, dir: String): DataFrame =
+    corpusCardOf(Tables.documents(spark, dir))
+
+  /** Exact ROC AUC of the quality score as a classifier of `lang ==
+    * posLang`, per source — "does the quality heuristic separate the
+    * target language?" is the calibration question asked before gating
+    * a corpus on it. Mann-Whitney form with tie credit ½, computed
+    * WITHOUT the P×N pairwise join: scores collapse to per-(source,
+    * score) positive/negative counts, one ordered pass accumulates
+    * negatives-below, and 2·U = Σ np·(2·cum_nn_below + nn) stays in
+    * exact integers until the single final division (rounded half-up,
+    * 6 dp). Sources with no positives or no negatives are excluded
+    * (AUC undefined).
+    *
+    * Scale: the fact-scale shuffle is the (source, score) aggregate —
+    * map-side combinable; the ordered pass is a window over the
+    * DISTINCT-SCORE frame, bounded by the 1e-4 score grid (≤ ~10⁴ rows
+    * per source), not by corpus size. */
+  def aucQualityOf(docs: DataFrame, posLang: String = "en"): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("score")
+    val below = w.rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("source"),
+        TextF.qualityScore(col("text"), TextAnalysis.Stopwords).as("score"),
+        when(col("lang") === posLang, 1L).otherwise(0L).as("pos"))
+      .groupBy("source", "score")
+      .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
+      .withColumn("nn_below", coalesce(sum("nn").over(below), lit(0L)))
+      .groupBy("source")
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("nn_below") + col("nn"))).as("u2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        (floor(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))
+          * 1e6 + 0.5) / 1e6).as("auc"))
+      .orderBy("source")
+  }
+
+  def aucQuality(spark: SparkSession, dir: String): DataFrame =
+    aucQualityOf(Tables.documents(spark, dir))
 }

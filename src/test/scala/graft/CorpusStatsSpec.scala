@@ -281,4 +281,71 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L) == out(2L),
       "tab/newline runs must collapse to one space, making the two docs identical")
   }
+
+  private def cardDocs(rows: (Long, String, String, String)*): DataFrame =
+    rows.toDF("doc_id", "lang", "source", "text")
+
+  test("corpus card sums both token bases per (lang, source)") {
+    val out = CorpusStats.corpusCardOf(cardDocs(
+      (1L, "en", "s0", "a b c"),
+      (2L, "en", "s0", "d e"),
+      (3L, "de", "s0", "f"))).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("en", "s0")) == ((2L, 5L, 5L)), "3+2 ws tokens, same under BPE")
+    assert(out(("de", "s0")) == ((1L, 1L, 1L)))
+  }
+
+  test("corpus card mean quality of a singleton group is that doc's quality") {
+    val text = Seq.fill(40)("the word").mkString(" ")
+    val q = docsDf(1L -> text)
+      .select(graft.functions.TextF.qualityScore(
+        org.apache.spark.sql.functions.col("text"),
+        graft.operators.TextAnalysis.Stopwords))
+      .collect().head.getDouble(0)
+    val card = CorpusStats.corpusCardOf(cardDocs((1L, "en", "s0", text)))
+      .collect().head
+    assert(card.getDouble(5) == q)
+    assert(card.getDouble(6) == 0.0 || card.getDouble(6) == 1.0)
+  }
+
+  test("auc: a perfectly separating score gives 1.0, pure ties give 0.5") {
+    val long = Seq.fill(60)("word").mkString(" ")  // high length score
+    val sep = CorpusStats.aucQualityOf(cardDocs(
+      (1L, "en", "s0", long), (2L, "en", "s0", long),
+      (3L, "de", "s0", "x"), (4L, "fr", "s0", "y"))).collect()
+    assert(sep.length == 1)
+    assert(sep.head.getLong(1) == 2L && sep.head.getLong(2) == 2L)
+    assert(sep.head.getDouble(3) == 1.0)
+
+    val tied = CorpusStats.aucQualityOf(cardDocs(
+      (1L, "en", "s0", "same text here"),
+      (2L, "de", "s0", "same text here"))).collect()
+    assert(tied.head.getDouble(3) == 0.5, "all-tied scores must credit 1/2")
+  }
+
+  test("auc: single-class sources are excluded") {
+    val out = CorpusStats.aucQualityOf(cardDocs(
+      (1L, "en", "only_pos", "a"), (2L, "de", "only_neg", "b"))).collect()
+    assert(out.isEmpty)
+  }
+
+  test("auc matches the pairwise definition on a mixed case") {
+    // Scores by construction: longer text → higher score. One inversion.
+    val docs = cardDocs(
+      (1L, "en", "s0", Seq.fill(50)("the word").mkString(" ")), // high, pos
+      (2L, "en", "s0", "short pos"),                            // low, pos
+      (3L, "de", "s0", Seq.fill(20)("the word").mkString(" ")), // mid, neg
+      (4L, "de", "s0", "tiny"))                                 // lowest, neg
+    val q = docs.select($"doc_id",
+      graft.functions.TextF.qualityScore($"text",
+        graft.operators.TextAnalysis.Stopwords).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pos = Seq(1L, 2L); val neg = Seq(3L, 4L)
+    val u = (for { p <- pos; n <- neg } yield
+      if (q(p) > q(n)) 1.0 else if (q(p) == q(n)) 0.5 else 0.0).sum
+    val expected = math.floor(u / (pos.size * neg.size) * 1e6 + 0.5) / 1e6
+    val out = CorpusStats.aucQualityOf(docs).collect().head.getDouble(3)
+    assert(out == expected, s"AUC $out vs pairwise $expected (scores $q)")
+  }
 }
