@@ -157,7 +157,9 @@ object SparkEntry {
     "prefix_cache_groups" -> (Corpus.prefixCacheGroups(_, _)),
     "seasonal_profile"  -> (EventAnalytics.seasonalProfile(_, _)),
     "corpus_card"       -> (CorpusStats.corpusCard(_, _)),
-    "auc_quality"       -> (CorpusStats.aucQuality(_, _))
+    "auc_quality"       -> (CorpusStats.aucQuality(_, _)),
+    "fuzzy_match"       -> (Linkage.fuzzyMatch(_, _)),
+    "mrr_eval"          -> (Similarity.mrrEval(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1760,6 +1762,46 @@ object SparkEntry {
         |  floor(CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4
         |    AS gopher_keep_frac
         |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // Dictionary-level fuzzy pairs: block on the last token, length
+    // band then classic Levenshtein (exact integer on both engines),
+    // lexicographic pair order.
+    "fuzzy_match" ->
+      """WITH d AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |           FROM part GROUP BY 1),
+        |t AS (SELECT name, n_parts, string_split(name, ' ')[-1] AS block FROM d)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+        |  a.n_parts AS n_a, b.n_parts AS n_b
+        |FROM t a JOIN t b ON a.block = b.block AND a.name < b.name
+        |WHERE abs(length(a.name) - length(b.name)) <= 2
+        |  AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // First same-label rank under the rounded-cosine total order
+    // (knn_topk's contract); reciprocal ranks quantized to 1e-6
+    // integers before summing so the mean is order-independent.
+    "mrr_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label
+        |      FROM e WHERE vec_id < 64),
+        |s AS (SELECT q_id, q_label, e.vec_id AS n_id, e.label AS n_label,
+        |        ROUND(list_cosine_similarity(q_emb, e.emb), 6) AS cos
+        |      FROM q JOIN e ON e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, q_label, n_label,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |          ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM s),
+        |f AS (SELECT q_id, q_label, MIN(rnk) AS frank
+        |      FROM r WHERE n_label = q_label GROUP BY 1, 2)
+        |SELECT CAST(q_label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  floor(CAST(SUM(CAST(floor(1e6 / CAST(frank AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS mrr,
+        |  floor(CAST(SUM(CASE WHEN frank = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS hit1,
+        |  floor(CAST(SUM(CASE WHEN frank <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS hit10
+        |FROM f GROUP BY q_label ORDER BY label""".stripMargin,
 
     // Mann-Whitney AUC with tie credit 1/2 in doubled-integer space:
     // 2U = Σ np·(2·nn_below + nn) is an exact BIGINT; one division at

@@ -323,4 +323,74 @@ object Similarity {
 
   def knnClassify(spark: SparkSession, dir: String): DataFrame =
     knnClassifyOf(Tables.embeddings(spark, dir))
+
+  /** Retrieval MRR / hit-rate per label — the ranking-quality twin of
+    * [[knnClassifyOf]]'s classification probe: for each query, the
+    * rank of the FIRST same-label neighbor under the full cosine
+    * ordering (rounded-then-ranked, id tiebreak — [[knnTopk]]'s
+    * contract); per label, mean reciprocal rank plus hit@1 / hit@10.
+    *
+    * Determinism: each reciprocal rank is quantized to the 1e-6 grid
+    * as an integer BEFORE summing (a double Σ(1/rank) is
+    * addition-order-dependent), so the per-label mean is an exact
+    * integer ratio divided once. Queries whose label has no other
+    * member have no first match and are excluded (a rank-∞ sentinel
+    * would poison the mean; the companion [[knnClassifyOf]] counts
+    * such labels as misses instead).
+    *
+    * Shape: bounded query set broadcasts; the corpus never shuffles —
+    * only the ≤1 first-match row per query does (the per-query argmin
+    * is a lexicographic struct MIN, map-side combinable, no window
+    * over the full scored stream).
+    */
+  def mrrEvalOf(embeddings: DataFrame, queries: Int = 64): DataFrame = {
+    require(queries > 0, s"queries must be positive, got $queries")
+    val e = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val q = broadcast(e.filter(col("vec_id") < queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label")))
+    // Rank of the first same-label neighbor without ranking everything:
+    // rank = 1 + |neighbors strictly better than the best match|, where
+    // "better" is the (score DESC, n_id ASC) total order. The best
+    // match per query is a struct-MIN over matches only; counting
+    // better neighbors is one conditional sum over the same scored
+    // stream — both map-side combinable aggregates on q_id.
+    val scored = q.join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"),
+        col("vec_id").as("n_id"), col("label").as("n_label"),
+        round(VectorF.cosineSim(col("q_emb"), col("embedding")), 6).as("cos"))
+      .localCheckpoint(false) // best-match frame + count frame share it
+    val best = scored.filter(col("n_label") === col("q_label"))
+      .groupBy("q_id", "q_label")
+      .agg(min(struct((-col("cos")).as("negc"), col("n_id"))).as("b"))
+      .select(col("q_id"), col("q_label"),
+        (-col("b.negc")).as("b_cos"), col("b.n_id").as("b_id"))
+    val better = scored.join(best.select("q_id", "b_cos", "b_id"), "q_id")
+      .filter(col("cos") > col("b_cos") ||
+        (col("cos") === col("b_cos") && col("n_id") < col("b_id")))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_better"))
+    // left join: a best match with nothing better ranks 1
+    val ranked = best.join(better, Seq("q_id"), "left")
+      .select(col("q_id"), col("q_label").as("lbl"),
+        (coalesce(col("n_better"), lit(0L)) + 1L).as("rank"))
+    ranked
+      .groupBy(col("lbl").cast("int").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(floor(lit(1e6) / col("rank").cast("double") + 0.5).cast("long"))
+          .as("qrr"),
+        sum(when(col("rank") === 1L, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("rank") <= 10L, 1L).otherwise(0L)).as("h10"))
+      .select(col("label"), col("n_queries"),
+        (floor(col("qrr").cast("double") / col("n_queries").cast("double")
+          / lit(1e6) * lit(1e6) + 0.5) / lit(1e6)).as("mrr"),
+        graft.functions.TextF.round4HalfUp(
+          col("h1").cast("double") / col("n_queries").cast("double")).as("hit1"),
+        graft.functions.TextF.round4HalfUp(
+          col("h10").cast("double") / col("n_queries").cast("double")).as("hit10"))
+      .orderBy("label")
+  }
+
+  def mrrEval(spark: SparkSession, dir: String): DataFrame =
+    mrrEvalOf(Tables.embeddings(spark, dir))
 }

@@ -35,4 +35,5 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
 }

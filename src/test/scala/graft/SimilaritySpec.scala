@@ -178,4 +178,34 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(out.length == 1)
     assert(out.head.getInt(0) == 3 && out.head.getDouble(3) == 0.0)
   }
+
+  test("mrr: identical same-label twins rank first; interlopers push the rank") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 7),   // twins → first match at rank 1
+      (1L, Array(1.0f, 0.0f), 7),
+      (2L, Array(0.0f, 1.0f), 3),   // orthogonal twins, also rank 1
+      (3L, Array(0.0f, 1.0f), 3),
+      (4L, Array(1.0f, 0.0f), 9),   // q4: v0,v1 (cos 1) outrank v5 → rank 3
+      (5L, Array(0.5f, 0.5f), 9))   // q5: all four axis vecs tie at cos
+                                    // .7071, id order → v4 at rank 5
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.mrrEvalOf(embs, queries = 6).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(7) == ((2L, 1.0, 1.0, 1.0)))
+    assert(out(3) == ((2L, 1.0, 1.0, 1.0)))
+    // (⌊1e6/3+.5⌋ + ⌊1e6/5+.5⌋) / 2 / 1e6 = (333333 + 200000) / 2e6
+    assert(out(9) == ((2L, 0.266667, 0.0, 1.0)), s"got ${out(9)}")
+  }
+
+  test("mrr excludes a query whose label has no other member") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.0f, 1.0f), 5)) // lone label → no first match
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.mrrEvalOf(embs, queries = 3).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 2L), "label 5 must drop out, not score 0")
+  }
 }
