@@ -159,7 +159,8 @@ object SparkEntry {
     "corpus_card"       -> (CorpusStats.corpusCard(_, _)),
     "auc_quality"       -> (CorpusStats.aucQuality(_, _)),
     "fuzzy_match"       -> (Linkage.fuzzyMatch(_, _)),
-    "mrr_eval"          -> (Similarity.mrrEval(_, _))
+    "mrr_eval"          -> (Similarity.mrrEval(_, _)),
+    "pagerank"          -> (Graph.pagerank(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -260,6 +261,46 @@ object SparkEntry {
       |        CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) /
       |        NULLIF(CAST(length(text) AS DOUBLE), 0.0) * 10, 1.0))
       |    ) / 3.0 * 1e4 + 0.5) / 1e4""".stripMargin
+
+  /** Unrolled integer-exact PageRank oracle (10 iterations, damping
+    * 0.85, 1e12 mass scale — [[graft.operators.Graph.Scale]]). Each
+    * step is the SAME truncating-integer-division arithmetic the Spark
+    * loop runs, so ranks are bit-exact. Unrolled chained CTEs rather
+    * than WITH RECURSIVE: DuckDB permits only limited references to
+    * the recursive table in the recursive term, and an aggregation
+    * over it inside a derived table silently mis-evaluates (verified:
+    * the recursive form diverged from a driver-side simulation; the
+    * unrolled form matches it exactly). */
+  private val PagerankSql: String = {
+    val step = (k: Int) => s"""it$k AS (
+      |  SELECT n2.item,
+      |    CAST(15000000000000 // (100 * (SELECT nn FROM n))
+      |      + (85 * COALESCE(fl.inflow, 0)) // 100 AS BIGINT) AS rq
+      |  FROM nodes n2 LEFT JOIN (
+      |    SELECT e.dst, CAST(SUM((p.rq * e.w) // o.ow) AS BIGINT) AS inflow
+      |    FROM it${k - 1} p JOIN e ON e.src = p.item JOIN outw o ON o.src = p.item
+      |    GROUP BY 1) fl ON fl.dst = n2.item)""".stripMargin
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+      |         item AS dst
+      |  FROM base),
+      |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM tr
+      |      WHERE src IS NOT NULL GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT src AS item FROM e UNION SELECT DISTINCT dst FROM e),
+      |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+      |it0 AS (SELECT item, CAST(1000000000000 // (SELECT nn FROM n) AS BIGINT) AS rq
+      |        FROM nodes),
+      |""".stripMargin +
+      (1 to 10).map(step).mkString(",\n") + """
+      |SELECT item, rq,
+      |  floor(CAST(rq AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS pr
+      |FROM it10 ORDER BY item""".stripMargin
+  }
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
   // through integer micros (floor then int64 SUM), single final
@@ -1802,6 +1843,8 @@ object SparkEntry {
         |  floor(CAST(SUM(CASE WHEN frank <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS hit10
         |FROM f GROUP BY q_label ORDER BY label""".stripMargin,
+
+    "pagerank" -> PagerankSql,
 
     // Mann-Whitney AUC with tie credit 1/2 in doubled-integer space:
     // 2U = Σ np·(2·nn_below + nn) is an exact BIGINT; one division at

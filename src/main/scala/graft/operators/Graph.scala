@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over the item-transition graph mined from the event
+  * stream (which item do users touch after which — the navigation
+  * graph behind "related items"). The connected-components family
+  * lives in [[Components]]; this adds centrality.
+  *
+  * Scale design (100 TB): the fact table collapses to a weighted edge
+  * list FIRST (one user-keyed window + one map-side-combinable edge
+  * aggregate — edges are bounded by the item-vocabulary², never fact
+  * count). Each PageRank iteration is two bounded shuffles (rank⋈edges
+  * on src, inflow aggregate on dst) over the STATIC edge frame, which
+  * is checkpointed once; per-iteration checkpoints truncate the plan
+  * so iteration 10 doesn't replan iterations 1-9 (the [[Tokenizer]]
+  * loop's contract). No driver-side collect: N rides a 1-row
+  * broadcast, as [[Behavior.itemAffinityOf]]'s user count does.
+  *
+  * Cross-engine determinism: rank mass is INTEGER throughout —
+  * `scale`-quantized with truncating integer division in both the
+  * per-edge contribution `(rq·w) div ow` and the damping `(85·Σ) div
+  * 100` — so every iteration is bit-exact in any engine and any
+  * partitioning (float PageRank sums in nondeterministic order).
+  * Teleport/damping is the classic 0.15/0.85; dangling mass (nodes
+  * with no out-edges) evaporates, the standard simplification.
+  */
+object Graph {
+
+  val Scale: Long = 1000000000000L // 1e12: rank mass granularity
+
+  /** `iterations` rounds of damped PageRank over the item-transition
+    * graph; returns (item, rq, pr) where `rq` is the exact integer
+    * mass and pr = rq/1e12 rounded half-up to 6 dp. */
+  def pagerankOf(events: DataFrame, iterations: Int = 10): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val edges = events
+      .select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("src", lag("item", 1).over(byUser))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("item").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    // The static per-iteration frame: (src, dst, w, ow), materialized
+    // once — every iteration re-reads it instead of re-planning the
+    // fact scan.
+    val edgeOut = edges.join(outw, "src").localCheckpoint(false)
+    val nodes = edgeOut.select(col("src").as("item"))
+      .union(edgeOut.select(col("dst").as("item")))
+      .distinct()
+      .localCheckpoint(false)
+    val nDf = nodes.agg(count(lit(1)).as("nn")) // 1 row by construction
+    var rank = nodes.crossJoin(broadcast(nDf))
+      .select(col("item"), expr(s"$Scale div nn").as("rq"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iterations) {
+      val inflow = rank
+        .join(edgeOut, rank("item") === edgeOut("src"))
+        .select(col("dst"), expr("(rq * w) div ow").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("inflow"))
+      rank = nodes.crossJoin(broadcast(nDf))
+        .join(inflow, col("item") === col("dst"), "left")
+        .select(col("item"), col("nn"),
+          coalesce(col("inflow"), lit(0L)).as("infl"))
+        .select(col("item"),
+          (expr(s"(15 * $Scale) div (100 * nn)") +
+            expr("(85 * infl) div 100")).as("rq"))
+        .localCheckpoint(false)
+    }
+    rank.select(col("item"), col("rq"),
+      (floor(col("rq").cast("double") / lit(1e12) * lit(1e6) + lit(0.5))
+        / lit(1e6)).as("pr"))
+      .orderBy("item")
+  }
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOf(Tables.events(spark, dir))
+}

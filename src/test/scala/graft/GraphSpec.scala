@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  /** One user touching `items` in order, one event per second. */
+  private def stream(items: Long*): DataFrame =
+    items.zipWithIndex.map { case (k, i) =>
+      (i.toLong, 1L, f"2024-01-01 00:00:$i%02d", s"""{"k": $k}""")
+    }.toDF("event_id", "user_id", "s", "props")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("s")).as("ts"), col("props"))
+
+  test("a symmetric 2-cycle holds the uniform fixed point exactly") {
+    // 1→2→1→2…: both nodes have one out-edge; rank 5e11 each is the
+    // integer fixed point (7.5e10 teleport + 85%·5e11 = 5e11).
+    val out = Graph.pagerankOf(stream(1L, 2L, 1L, 2L, 1L)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(1L -> ((500000000000L, 0.5)),
+      2L -> ((500000000000L, 0.5))))
+  }
+
+  test("a hub receiving two feeders outranks them; mass is conserved") {
+    // 1→3, 2→3, 3→1 (cycle so nothing dangles).
+    val out = Graph.pagerankOf(stream(1L, 3L, 1L, 3L, 2L, 3L, 1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(3L) > out(1L) && out(1L) > out(2L),
+      s"hub > its feeder > the leaf: $out")
+    val mass = out.values.sum
+    assert(mass > (Graph.Scale * 999) / 1000 && mass <= Graph.Scale,
+      s"integer truncation may only shave ppm-level mass, got $mass")
+  }
+
+  test("pagerank is deterministic across runs") {
+    val ev = stream(5L, 7L, 5L, 9L, 7L, 5L)
+    val a = Graph.pagerankOf(ev, iterations = 3).collect().toSeq
+    val b = Graph.pagerankOf(ev, iterations = 3).collect().toSeq
+    assert(a == b)
+  }
+
+  test("dangling mass evaporates rather than erroring") {
+    // 1→2 only: node 2 has no out-edges; its mass drains each round.
+    val out = Graph.pagerankOf(stream(1L, 2L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out.values.sum < Graph.Scale / 2,
+      "with half the graph dangling, total mass must shrink well below 1")
+  }
+}
