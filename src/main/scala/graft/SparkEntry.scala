@@ -160,7 +160,11 @@ object SparkEntry {
     "auc_quality"       -> (CorpusStats.aucQuality(_, _)),
     "fuzzy_match"       -> (Linkage.fuzzyMatch(_, _)),
     "mrr_eval"          -> (Similarity.mrrEval(_, _)),
-    "pagerank"          -> (Graph.pagerank(_, _))
+    "pagerank"          -> (Graph.pagerank(_, _)),
+    "mmr_rerank"        -> (Similarity.mmrRerank(_, _)),
+    "graph_degrees"     -> (Graph.graphDegrees(_, _)),
+    "calibration_curve" -> (CorpusStats.calibrationCurve(_, _)),
+    "cuped_adjust"      -> (Behavior.cupedAdjust(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -300,6 +304,45 @@ object SparkEntry {
       |SELECT item, rq,
       |  floor(CAST(rq AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS pr
       |FROM it10 ORDER BY item""".stripMargin
+  }
+
+  /** Unrolled greedy MMR oracle (pool 20, k = 5, λ = 7/10 as integer
+    * weights — [[graft.operators.Similarity.mmrRerankOf]]'s exact
+    * arithmetic). Same unroll-not-recurse rationale as
+    * [[PagerankSql]]. */
+  private val MmrRerankSql: String = {
+    val step = (k: Int) => s"""pick$k AS (
+      |  SELECT q_id, $k AS rank, n_id, rel6, score FROM (
+      |    SELECT c.q_id, c.n_id, c.rel6, c.rel6 * 7 - m.ms * 3 AS score,
+      |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+      |        ORDER BY c.rel6 * 7 - m.ms * 3 DESC, c.n_id) AS rn
+      |    FROM cand c
+      |    JOIN (SELECT ps.q_id, ps.a_id, CAST(MAX(ps.sim6) AS BIGINT) AS ms
+      |          FROM ps JOIN sel${k - 1} s ON s.q_id = ps.q_id AND s.n_id = ps.b_id
+      |          GROUP BY 1, 2) m ON m.q_id = c.q_id AND m.a_id = c.n_id
+      |    LEFT JOIN sel${k - 1} s2 ON s2.q_id = c.q_id AND s2.n_id = c.n_id
+      |    WHERE s2.n_id IS NULL)
+      |  WHERE rn = 1),
+      |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),
+      |sc AS (SELECT q_id, e.vec_id AS n_id, e.emb,
+      |    CAST(floor(list_cosine_similarity(q_emb, e.emb) * 1e6 + 0.5) AS BIGINT) AS rel6
+      |  FROM q JOIN e ON e.vec_id <> q.q_id),
+      |cand AS (SELECT q_id, n_id, emb, rel6 FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel6 DESC, n_id) AS rn
+      |    FROM sc) WHERE rn <= 20),
+      |ps AS (SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+      |    CAST(floor(list_cosine_similarity(a.emb, b.emb) * 1e6 + 0.5) AS BIGINT) AS sim6
+      |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+      |sel1 AS (SELECT q_id, 1 AS rank, n_id, rel6, rel6 * 7 AS score FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel6 DESC, n_id) AS rn
+      |    FROM cand) WHERE rn = 1),
+      |""".stripMargin +
+      (2 to 5).map(step).mkString(",\n") + """
+      |SELECT q_id, rank, n_id, CAST(rel6 AS DOUBLE) / 1e6 AS rel,
+      |  CAST(score AS DOUBLE) / 1e7 AS mmr
+      |FROM sel5 ORDER BY q_id, rank""".stripMargin
   }
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
@@ -1845,6 +1888,89 @@ object SparkEntry {
         |FROM f GROUP BY q_label ORDER BY label""".stripMargin,
 
     "pagerank" -> PagerankSql,
+
+    "mmr_rerank" -> MmrRerankSql,
+
+    // Same transition-edge CTEs as the pagerank oracle; out/in sides
+    // full-outer-merged, reciprocity via the edge-reversal self-join.
+    "graph_degrees" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         item AS dst
+        |  FROM base),
+        |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM tr
+        |      WHERE src IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT src AS item, CAST(COUNT(*) AS BIGINT) AS out_deg,
+        |        CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY 1),
+        |i AS (SELECT dst AS item, CAST(COUNT(*) AS BIGINT) AS in_deg,
+        |        CAST(SUM(w) AS BIGINT) AS in_w FROM e GROUP BY 1),
+        |r AS (SELECT a.src AS item, CAST(COUNT(*) AS BIGINT) AS n_recip
+        |      FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY 1)
+        |SELECT COALESCE(o.item, i.item) AS item,
+        |  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg,
+        |  COALESCE(out_w, 0) AS out_w, COALESCE(in_w, 0) AS in_w,
+        |  COALESCE(n_recip, 0) AS n_recip
+        |FROM o FULL JOIN i ON o.item = i.item
+        |LEFT JOIN r ON COALESCE(o.item, i.item) = r.item
+        |ORDER BY item""".stripMargin,
+
+    // Bin on the already-4dp score (exact); mean via the 1e4-integer
+    // sum; both ratios divide once and round half-up.
+    "calibration_curve" ->
+      s"""WITH s AS (SELECT $QualitySqlExpr AS q, lang FROM documents),
+        |b AS (SELECT CAST(least(floor(q * 20), 19) AS BIGINT) AS bin,
+        |        CAST(floor(q * 1e4 + 0.5) AS BIGINT) AS qq,
+        |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |      FROM s)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  floor(CAST(SUM(qq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4
+        |    AS mean_score,
+        |  floor(CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS pos_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // Per-user milli-quantized means; exact int64 moment sums; θ is
+    // one double division rounded to 6dp BEFORE the adjustment.
+    "cuped_adjust" ->
+      """WITH u AS (SELECT user_id,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |        THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) END) AS pre_sum,
+        |    COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END) AS pre_n,
+        |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |        THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) END) AS post_sum,
+        |    COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END) AS post_n
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT user_id,
+        |    CAST(floor(CAST(pre_sum AS DOUBLE) / CAST(pre_n AS DOUBLE) / 1000.0 + 0.5) AS BIGINT) AS qx,
+        |    CAST(floor(CAST(post_sum AS DOUBLE) / CAST(post_n AS DOUBLE) / 1000.0 + 0.5) AS BIGINT) AS qy
+        |  FROM u WHERE pre_n > 0 AND post_n > 0),
+        |a AS (SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+        |    CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+        |    CAST(SUM(qx * qy) AS BIGINT) AS sxy
+        |  FROM f GROUP BY 1),
+        |w AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS tn,
+        |    CAST(SUM(sx) OVER () AS BIGINT) AS tsx,
+        |    CAST(SUM(sy) OVER () AS BIGINT) AS tsy,
+        |    CAST(SUM(sxx) OVER () AS BIGINT) AS tsxx,
+        |    CAST(SUM(sxy) OVER () AS BIGINT) AS tsxy
+        |  FROM a),
+        |t AS (SELECT *, floor(
+        |    (CAST(tn AS DOUBLE) * CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE))
+        |    / (CAST(tn AS DOUBLE) * CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS theta FROM w)
+        |SELECT arm, n AS n_users,
+        |  floor(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 * 1e4 + 0.5) / 1e4 AS mean_post,
+        |  floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0
+        |    - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0
+        |      - CAST(tsx AS DOUBLE) / CAST(tn AS DOUBLE) / 1000.0)) * 1e4 + 0.5) / 1e4
+        |    AS mean_post_adj,
+        |  theta
+        |FROM t ORDER BY arm""".stripMargin,
 
     // Mann-Whitney AUC with tie credit 1/2 in doubled-integer space:
     // 2U = Σ np·(2·nn_below + nn) is an exact BIGINT; one division at

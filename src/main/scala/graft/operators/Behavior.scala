@@ -293,4 +293,71 @@ object Behavior {
 
   def decayedEngagement(spark: SparkSession, dir: String): DataFrame =
     decayedEngagementOf(Tables.events(spark, dir))
+
+  /** CUPED variance reduction (Deng et al. '13) for an A/B readout:
+    * each user's PRE-period mean value is the covariate; the
+    * experiment metric is the POST-period mean; θ = cov(x,y)/var(x)
+    * over all users, and the per-arm adjusted mean is
+    * ȳ_arm − θ·(x̄_arm − x̄) — the standard trick that cancels the
+    * between-user variance an assignment inherits. The arm is the
+    * deterministic `user_id % 2` (the stand-in for an assignment
+    * column; swap the expression when one exists).
+    *
+    * Numerics: per-user means quantize to integer MILLI-units (one
+    * division + floor each), so Σx, Σy, Σx², Σxy are exact int64 sums
+    * (order-independent; x ≤ 5·10⁵ milli keeps Σx² under 2⁶³ to ~10⁸
+    * users — past that, swap the sums to decimal(38) buffers). θ is
+    * one double division of exactly-computed operands, rounded to 6 dp
+    * BEFORE use; the two report divisions round half-up at 4 dp.
+    *
+    * Shape: ONE fact-scale shuffle (the per-user conditional
+    * aggregate); arm moments are a 2-row frame whose pooled totals
+    * ride a window (no second pass); users active in only one period
+    * drop (no covariate ⇒ nothing to adjust).
+    */
+  def cupedAdjustOf(events: DataFrame, splitDay: String): DataFrame = {
+    val users = events
+      .select(col("user_id"), floor(col("value") * 1e6 + 0.5).cast("long").as("qv"),
+        (col("ts") < lit(splitDay).cast("timestamp")).as("pre"))
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), col("qv"))).as("pre_sum"),
+        count(when(col("pre"), lit(1))).as("pre_n"),
+        sum(when(!col("pre"), col("qv"))).as("post_sum"),
+        count(when(!col("pre"), lit(1))).as("post_n"))
+      .filter(col("pre_n") > 0 && col("post_n") > 0)
+      .select(col("user_id"),
+        floor(col("pre_sum").cast("double") / col("pre_n").cast("double")
+          / 1000.0 + 0.5).cast("long").as("qx"),
+        floor(col("post_sum").cast("double") / col("post_n").cast("double")
+          / 1000.0 + 0.5).cast("long").as("qy"))
+    val all = Window.partitionBy(lit(1))
+    val arms = users
+      .groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n"), sum("qx").as("sx"), sum("qy").as("sy"),
+        sum(col("qx") * col("qx")).as("sxx"),
+        sum(col("qx") * col("qy")).as("sxy"))
+      .withColumn("tn", sum("n").over(all))
+      .withColumn("tsx", sum("sx").over(all))
+      .withColumn("tsy", sum("sy").over(all))
+      .withColumn("tsxx", sum("sxx").over(all))
+      .withColumn("tsxy", sum("sxy").over(all))
+    val d = (c: String) => col(c).cast("double")
+    val theta = floor(
+      (d("tn") * d("tsxy") - d("tsx") * d("tsy")) /
+        (d("tn") * d("tsxx") - d("tsx") * d("tsx")) * 1e6 + 0.5) / 1e6
+    val meanY = d("sy") / d("n") / 1000.0
+    val meanXArm = d("sx") / d("n") / 1000.0
+    val meanXAll = d("tsx") / d("tn") / 1000.0
+    arms
+      .withColumn("theta", theta)
+      .select(col("arm"), col("n").as("n_users"),
+        graft.functions.TextF.round4HalfUp(meanY).as("mean_post"),
+        graft.functions.TextF.round4HalfUp(
+          meanY - col("theta") * (meanXArm - meanXAll)).as("mean_post_adj"),
+        col("theta"))
+      .orderBy("arm")
+  }
+
+  def cupedAdjust(spark: SparkSession, dir: String): DataFrame =
+    cupedAdjustOf(Tables.events(spark, dir), "2024-01-16")
 }

@@ -492,4 +492,36 @@ object CorpusStats {
 
   def aucQuality(spark: SparkSession, dir: String): DataFrame =
     aucQualityOf(Tables.documents(spark, dir))
+
+  /** Calibration (reliability) curve for the quality score against
+    * `lang == posLang`: equal-width score bins over [0, 1], each
+    * reporting its doc count, mean score, and observed positive rate —
+    * [[aucQualityOf]] says whether the score RANKS well, this says
+    * whether its VALUES mean anything. Bin = min(⌊score·bins⌋, bins−1)
+    * on the already-4dp score (exact); mean score rides the 1e4-scaled
+    * integer sum ([[corpusCardOf]]'s argument); both output ratios
+    * divide once and round half-up. One map-side projection, one
+    * combinable aggregate on the ≤`bins` key.
+    */
+  def calibrationCurveOf(docs: DataFrame, posLang: String = "en",
+                         bins: Int = 20): DataFrame = {
+    require(bins > 1, s"bins must be > 1, got $bins")
+    val score = TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
+    docs
+      .select(least(floor(score * bins), lit(bins - 1L)).cast("long").as("bin"),
+        floor(score * 1e4 + 0.5).cast("long").as("qq"),
+        when(col("lang") === posLang, 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("qq").as("qsum"),
+        sum("pos").as("n_pos"))
+      .select(col("bin"), col("n_docs"),
+        TextF.round4HalfUp(col("qsum").cast("double")
+          / col("n_docs").cast("double") / lit(1e4)).as("mean_score"),
+        TextF.round4HalfUp(col("n_pos").cast("double")
+          / col("n_docs").cast("double")).as("pos_rate"))
+      .orderBy("bin")
+  }
+
+  def calibrationCurve(spark: SparkSession, dir: String): DataFrame =
+    calibrationCurveOf(Tables.documents(spark, dir))
 }

@@ -84,4 +84,48 @@ object Graph {
 
   def pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerankOf(Tables.events(spark, dir))
+
+  /** Degree/strength profile of the item-transition graph: per item,
+    * distinct out/in neighbors, total out/in transition weight, and
+    * how many of its out-edges are reciprocated (the back-and-forth
+    * navigation signal). Same vocabulary-bounded edge list as
+    * [[pagerankOf]]; the degree aggregates and the reciprocity
+    * self-join all run on that bounded frame, never on facts. The
+    * out/in sides are two aggregates full-outer-merged on item — a
+    * node can be source-only or sink-only and must still report.
+    */
+  def graphDegreesOf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val edges = events
+      .select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("src", lag("item", 1).over(byUser))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("item").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(false) // out agg + in agg + both reciprocity sides
+    val out = edges.groupBy(col("src").as("item"))
+      .agg(count(lit(1)).as("out_deg"), sum("w").as("out_w"))
+    val in = edges.groupBy(col("dst").as("item"))
+      .agg(count(lit(1)).as("in_deg"), sum("w").as("in_w"))
+    val recip = edges.select(col("src"), col("dst"))
+      .join(edges.select(col("src").as("dst"), col("dst").as("src")),
+        Seq("src", "dst"))
+      .groupBy(col("src").as("item"))
+      .agg(count(lit(1)).as("n_recip"))
+    out.join(in, Seq("item"), "full_outer")
+      .join(recip, Seq("item"), "left")
+      .select(col("item"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+      .orderBy("item")
+  }
+
+  def graphDegrees(spark: SparkSession, dir: String): DataFrame =
+    graphDegreesOf(Tables.events(spark, dir))
 }

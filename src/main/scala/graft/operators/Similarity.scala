@@ -393,4 +393,83 @@ object Similarity {
 
   def mrrEval(spark: SparkSession, dir: String): DataFrame =
     mrrEvalOf(Tables.embeddings(spark, dir))
+
+  /** Maximal-Marginal-Relevance diversified top-`k` (Carbonell &
+    * Goldstein '98): greedy re-rank of each query's `pool` best cosine
+    * candidates, each step picking argmax of λ·rel(c) − (1−λ)·max_{s∈S}
+    * sim(c, s) with λ = 0.7 — the de-duplicating re-rank a RAG
+    * retriever runs so five near-identical passages don't fill the
+    * context window.
+    *
+    * Determinism: cosines quantize to 1e-6 integers at the edge, the
+    * MMR score is the INTEGER 7·rel₆ − 3·maxsim₆ (λ as a rational, no
+    * float accumulation, ties to smallest id), and the reported `mmr`
+    * is that integer over 1e7 — one IEEE division. No integer division
+    * anywhere, so Spark `div` (truncates) vs DuckDB `//` (floors)
+    * never disagree on negative scores.
+    *
+    * Scale: the fact-scale work is exactly [[knnTopk]]'s broadcast
+    * scan (corpus never shuffles); everything after the pool cut is
+    * pool²-bounded per query. The greedy loop is k−1 Spark jobs over
+    * those bounded frames — the pairwise-sim and candidate frames are
+    * checkpointed once and reused by every step.
+    */
+  def mmrRerankOf(embeddings: DataFrame, queries: Int = QuerySetSize,
+                  pool: Int = 20, k: Int = 5): DataFrame = {
+    require(queries > 0 && pool > 1 && k > 0 && k <= pool,
+      s"need queries>0, pool>1, 0<k<=pool; got $queries/$pool/$k")
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val q = broadcast(e.filter(col("vec_id") < queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val rel6 = floor(VectorF.cosineSim(col("q_emb"), col("embedding"))
+      * 1e6 + 0.5).cast("long")
+    val byQ = Window.partitionBy("q_id")
+    val cand = q.join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        col("embedding").as("emb"), rel6.as("rel6"))
+      .withColumn("rn", row_number().over(
+        byQ.orderBy(col("rel6").desc, col("n_id"))))
+      .filter(col("rn") <= pool)
+      .drop("rn")
+      .localCheckpoint(false) // pool rows per query; reused every step
+    val ps = cand.select(col("q_id"), col("n_id").as("a_id"), col("emb").as("a_emb"))
+      .join(cand.select(col("q_id"), col("n_id").as("b_id"), col("emb").as("b_emb")),
+        Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        floor(VectorF.cosineSim(col("a_emb"), col("b_emb")) * 1e6 + 0.5)
+          .cast("long").as("sim6"))
+      .localCheckpoint(false) // pool² per query, reused every step
+    // Step 1: pure relevance (empty selected set ⇒ diversity term 0).
+    var sel = cand
+      .withColumn("rn", row_number().over(
+        byQ.orderBy(col("rel6").desc, col("n_id"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), lit(1).as("rank"), col("n_id"), col("rel6"),
+        (col("rel6") * 7L).as("score"))
+    for (step <- 2 to k) {
+      val ms = ps.join(sel.select(col("q_id"), col("n_id").as("b_id")),
+        Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id"))
+        .agg(max("sim6").as("ms"))
+      val pick = cand
+        .join(sel.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
+        .join(ms, cand("q_id") === ms("q_id") && col("n_id") === col("a_id"))
+        .select(cand("q_id"), col("n_id"), col("rel6"),
+          (col("rel6") * 7L - col("ms") * 3L).as("score"))
+        .withColumn("rn", row_number().over(
+          byQ.orderBy(col("score").desc, col("n_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), lit(step).as("rank"), col("n_id"), col("rel6"),
+          col("score"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select(col("q_id"), col("rank"), col("n_id"),
+      (col("rel6").cast("double") / lit(1e6)).as("rel"),
+      (col("score").cast("double") / lit(1e7)).as("mmr"))
+      .orderBy("q_id", "rank")
+  }
+
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrRerankOf(Tables.embeddings(spark, dir))
 }

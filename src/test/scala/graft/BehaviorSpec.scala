@@ -194,4 +194,38 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(row.getAs[Double]("error") == 0.0)
     assert(row.getAs[Double]("signup") == 0.0)
   }
+
+  private def valueEvents(rows: (Long, Long, String, Double)*): DataFrame =
+    rows.toDF("event_id", "user_id", "t", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+
+  test("cuped: when post equals pre exactly, θ = 1 and both arms adjust to the pooled mean") {
+    // Users 0/2 (arm 0) and 1/3 (arm 1) with distinct baselines; each
+    // user's post-period mean equals its pre-period mean → y = x, so
+    // θ = 1 and ȳ_arm − (x̄_arm − x̄) = x̄ for BOTH arms.
+    val ev = valueEvents(
+      (1L, 0L, "2024-01-02 10:00:00", 10.0), (2L, 0L, "2024-01-20 10:00:00", 10.0),
+      (3L, 1L, "2024-01-02 10:00:00", 40.0), (4L, 1L, "2024-01-20 10:00:00", 40.0),
+      (5L, 2L, "2024-01-02 10:00:00", 20.0), (6L, 2L, "2024-01-20 10:00:00", 20.0),
+      (7L, 3L, "2024-01-02 10:00:00", 50.0), (8L, 3L, "2024-01-20 10:00:00", 50.0))
+    val out = Behavior.cupedAdjustOf(ev, "2024-01-16").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0L) == ((2L, 15.0, 30.0, 1.0)), s"got $out")
+    assert(out(1L) == ((2L, 45.0, 30.0, 1.0)),
+      "identical pre/post series must adjust both arms to the pooled mean 30")
+  }
+
+  test("cuped drops users missing either period") {
+    val ev = valueEvents(
+      (1L, 0L, "2024-01-02 10:00:00", 10.0), (2L, 0L, "2024-01-20 10:00:00", 12.0),
+      (3L, 2L, "2024-01-02 10:00:00", 99.0),  // pre only → dropped
+      (4L, 4L, "2024-01-20 10:00:00", 99.0),  // post only → dropped
+      (5L, 1L, "2024-01-02 10:00:00", 20.0), (6L, 1L, "2024-01-20 10:00:00", 24.0))
+    val out = Behavior.cupedAdjustOf(ev, "2024-01-16").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L),
+      "one-period users must not enter the covariate model")
+  }
 }

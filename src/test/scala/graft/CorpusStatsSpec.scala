@@ -330,6 +330,21 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.isEmpty)
   }
 
+  test("calibration curve bins by score and reports per-bin positive rate") {
+    val text = Seq.fill(40)("the word").mkString(" ")
+    val q = docsDf(1L -> text)
+      .select(graft.functions.TextF.qualityScore(
+        org.apache.spark.sql.functions.col("text"),
+        graft.operators.TextAnalysis.Stopwords))
+      .collect().head.getDouble(0)
+    val out = CorpusStats.calibrationCurveOf(cardDocs(
+      (1L, "en", "s0", text), (2L, "de", "s0", text))).collect()
+    assert(out.length == 1, "identical texts share one bin")
+    val r = out.head
+    assert(r.getLong(0) == math.min(math.floor(q * 20).toLong, 19L))
+    assert(r.getLong(1) == 2L && r.getDouble(2) == q && r.getDouble(3) == 0.5)
+  }
+
   test("auc matches the pairwise definition on a mixed case") {
     // Scores by construction: longer text → higher score. One inversion.
     val docs = cardDocs(

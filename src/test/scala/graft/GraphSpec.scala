@@ -44,6 +44,26 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("degrees: out/in sides merge so one-sided nodes still report") {
+    // 1→2 only: 1 is source-only, 2 is sink-only, nothing reciprocates.
+    val out = Graph.graphDegreesOf(stream(1L, 2L)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(1L) == ((1L, 0L, 1L, 0L, 0L)))
+    assert(out(2L) == ((0L, 1L, 0L, 1L, 0L)))
+  }
+
+  test("degrees: a 2-cycle reciprocates on both sides with summed weights") {
+    // 1→2→1→2: edges 1→2 (w 2), 2→1 (w 1), both reciprocated.
+    val out = Graph.graphDegreesOf(stream(1L, 2L, 1L, 2L)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(1L) == ((1L, 1L, 2L, 1L, 1L)), s"got $out")
+    assert(out(2L) == ((1L, 1L, 1L, 2L, 1L)))
+  }
+
   test("dangling mass evaporates rather than erroring") {
     // 1→2 only: node 2 has no out-edges; its mass drains each round.
     val out = Graph.pagerankOf(stream(1L, 2L)).collect()

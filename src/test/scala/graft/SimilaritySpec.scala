@@ -198,6 +198,27 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(out(9) == ((2L, 0.266667, 0.0, 1.0)), s"got ${out(9)}")
   }
 
+  test("mmr picks the diverse candidate over an exact duplicate at rank 2") {
+    // Query [1,1,0]: candidates 1 and 2 are identical, 3 is orthogonal
+    // to them with the SAME relevance. Pure kNN would rank (1, 2, 3)
+    // by id-tiebreak; MMR must demote the duplicate to rank 3.
+    val embs = Seq(
+      (0L, Array(1.0f, 1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerankOf(embs, queries = 1, pool = 3, k = 3)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    assert(out(1)._1 == 1L && out(2)._1 == 3L && out(3)._1 == 2L,
+      s"expected selection order 1, 3, 2 — got $out")
+    // rank 1 carries pure λ·relevance: 7·⌊cos·1e6+½⌋/1e7 = 7·707107/1e7
+    assert(out(1)._2 == 0.4949749)
+    // the duplicate's final score is 7·rel − 3·1e6 (sim 1.0 to rank 1)
+    assert(out(3)._2 == 0.1949749)
+  }
+
   test("mrr excludes a query whose label has no other member") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f), 1),
