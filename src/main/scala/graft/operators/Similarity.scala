@@ -16,6 +16,23 @@ import graft.sources.Tables
   * collected to the driver. The LSH path prunes candidates to one
   * hyperplane bucket before scoring.
   */
+/** Scalar twin of [[graft.plans.CosineSimilarity]] for in-group use:
+  * the SAME sequential fused loop (dot/norms accumulated index 0..n−1)
+  * so results are bit-identical to the codegen expression, then the
+  * same ⌊c·1e6 + ½⌋ quantization the MMR contract fixes. Top-level
+  * object: flatMapGroups closures serialize a stable reference. */
+private[operators] object MmrKernel extends Serializable {
+  def cos6(x: Array[Double], y: Array[Double]): Long = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    math.floor(dot / denom * 1e6 + 0.5).toLong
+  }
+}
+
 object Similarity {
 
   val TopK = 10
@@ -406,18 +423,26 @@ object Similarity {
     * float accumulation, ties to smallest id), and the reported `mmr`
     * is that integer over 1e7 — one IEEE division. No integer division
     * anywhere, so Spark `div` (truncates) vs DuckDB `//` (floors)
-    * never disagree on negative scores.
+    * never disagree on negative scores. The in-group cosine runs the
+    * SAME sequential loop as [[graft.plans.CosineSimilarity]] (float
+    * widens to double exactly; sqrt and each +/·/÷ are single
+    * correctly-rounded IEEE ops), so in-group and codegen scores are
+    * bit-identical — pinned by the oracle hash.
     *
     * Scale: the fact-scale work is exactly [[knnTopk]]'s broadcast
-    * scan (corpus never shuffles); everything after the pool cut is
-    * pool²-bounded per query. The greedy loop is k−1 Spark jobs over
-    * those bounded frames — the pairwise-sim and candidate frames are
-    * checkpointed once and reused by every step.
+    * scan (corpus never shuffles; WindowGroupLimit cuts to `pool` rows
+    * per query before the group shuffle). The greedy then runs INSIDE
+    * one `flatMapGroups` per query — pool² work on ≤pool rows, no
+    * driver loop, no per-step job: a production re-rank with millions
+    * of queries parallelizes by query. (A DataFrame k-step loop
+    * measured 5-8 s of pure plan/job overhead on the same data; this
+    * shape is one shuffle.)
     */
   def mmrRerankOf(embeddings: DataFrame, queries: Int = QuerySetSize,
                   pool: Int = 20, k: Int = 5): DataFrame = {
     require(queries > 0 && pool > 1 && k > 0 && k <= pool,
       s"need queries>0, pool>1, 0<k<=pool; got $queries/$pool/$k")
+    import embeddings.sparkSession.implicits._
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val q = broadcast(e.filter(col("vec_id") < queries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
@@ -426,47 +451,43 @@ object Similarity {
     val byQ = Window.partitionBy("q_id")
     val cand = q.join(e, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        col("embedding").as("emb"), rel6.as("rel6"))
+        col("embedding").cast("array<double>").as("emb"), rel6.as("rel6"))
       .withColumn("rn", row_number().over(
         byQ.orderBy(col("rel6").desc, col("n_id"))))
       .filter(col("rn") <= pool)
-      .drop("rn")
-      .localCheckpoint(false) // pool rows per query; reused every step
-    val ps = cand.select(col("q_id"), col("n_id").as("a_id"), col("emb").as("a_emb"))
-      .join(cand.select(col("q_id"), col("n_id").as("b_id"), col("emb").as("b_emb")),
-        Seq("q_id"))
-      .filter(col("a_id") =!= col("b_id"))
-      .select(col("q_id"), col("a_id"), col("b_id"),
-        floor(VectorF.cosineSim(col("a_emb"), col("b_emb")) * 1e6 + 0.5)
-          .cast("long").as("sim6"))
-      .localCheckpoint(false) // pool² per query, reused every step
-    // Step 1: pure relevance (empty selected set ⇒ diversity term 0).
-    var sel = cand
-      .withColumn("rn", row_number().over(
-        byQ.orderBy(col("rel6").desc, col("n_id"))))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), lit(1).as("rank"), col("n_id"), col("rel6"),
-        (col("rel6") * 7L).as("score"))
-    for (step <- 2 to k) {
-      val ms = ps.join(sel.select(col("q_id"), col("n_id").as("b_id")),
-        Seq("q_id", "b_id"))
-        .groupBy(col("q_id"), col("a_id"))
-        .agg(max("sim6").as("ms"))
-      val pick = cand
-        .join(sel.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
-        .join(ms, cand("q_id") === ms("q_id") && col("n_id") === col("a_id"))
-        .select(cand("q_id"), col("n_id"), col("rel6"),
-          (col("rel6") * 7L - col("ms") * 3L).as("score"))
-        .withColumn("rn", row_number().over(
-          byQ.orderBy(col("score").desc, col("n_id"))))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), lit(step).as("rank"), col("n_id"), col("rel6"),
-          col("score"))
-      sel = sel.unionByName(pick)
+      .select(col("q_id"), col("n_id"), col("emb"), col("rel6"))
+      .as[(Long, Long, Seq[Double], Long)]
+    val picked = cand.groupByKey(_._1).flatMapGroups { (qId, rows) =>
+      // Deterministic candidate order: (rel DESC, id ASC).
+      val cs = rows.map { case (_, nId, emb, r6) => (nId, emb.toArray, r6) }
+        .toArray.sortBy { case (nId, _, r6) => (-r6, nId) }
+      val sim6 = Array.tabulate(cs.length, cs.length) { (i, j) =>
+        if (i == j) 0L else MmrKernel.cos6(cs(i)._2, cs(j)._2)
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long, Long)]
+      for (rank <- 1 to math.min(k, cs.length)) {
+        var bestI = -1; var bestScore = 0L
+        for (i <- cs.indices if !selected.contains(i)) {
+          val ms = if (selected.isEmpty) 0L else selected.map(sim6(i)).max
+          val score = cs(i)._3 * 7L - ms * 3L
+          // ties to the smallest n_id — candidate order already sorts
+          // by id within equal scores' rel, but scores of DIFFERENT
+          // rel can tie, so compare ids explicitly
+          if (bestI < 0 || score > bestScore ||
+            (score == bestScore && cs(i)._1 < cs(bestI)._1)) {
+            bestI = i; bestScore = score
+          }
+        }
+        selected += bestI
+        out += ((qId, rank, cs(bestI)._1, cs(bestI)._3, bestScore))
+      }
+      out.iterator
     }
-    sel.select(col("q_id"), col("rank"), col("n_id"),
-      (col("rel6").cast("double") / lit(1e6)).as("rel"),
-      (col("score").cast("double") / lit(1e7)).as("mmr"))
+    picked.toDF("q_id", "rank", "n_id", "rel6", "score")
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (col("rel6").cast("double") / lit(1e6)).as("rel"),
+        (col("score").cast("double") / lit(1e7)).as("mmr"))
       .orderBy("q_id", "rank")
   }
 
