@@ -164,7 +164,11 @@ object SparkEntry {
     "mmr_rerank"        -> (Similarity.mmrRerank(_, _)),
     "graph_degrees"     -> (Graph.graphDegrees(_, _)),
     "calibration_curve" -> (CorpusStats.calibrationCurve(_, _)),
-    "cuped_adjust"      -> (Behavior.cupedAdjust(_, _))
+    "cuped_adjust"      -> (Behavior.cupedAdjust(_, _)),
+    "ndcg_eval"         -> (Similarity.ndcgEval(_, _)),
+    "ctr_shrunk"        -> (CtrAlerts.ctrShrunk(_, _)),
+    "term_keyness"      -> (CorpusStats.termKeyness(_, _)),
+    "dup_matrix"        -> (Dedup.dupMatrix(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -343,6 +347,38 @@ object SparkEntry {
       |SELECT q_id, rank, n_id, CAST(rel6 AS DOUBLE) / 1e6 AS rel,
       |  CAST(score AS DOUBLE) / 1e7 AS mmr
       |FROM sel5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** nDCG oracle sharing [[graft.operators.Similarity.NdcgW6]]'s
+    * precomputed integer discounts verbatim — no query-time log₂ in
+    * either engine. */
+  private val NdcgEvalSql: String = {
+    val w = graft.operators.Similarity.NdcgW6
+    val wList = w.mkString("[", ", ", "]")
+    val cumList = w.scanLeft(0L)(_ + _).tail.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label
+      |      FROM e WHERE vec_id < 64),
+      |s AS (SELECT q_id, q_label, e.vec_id AS n_id, e.label AS n_label,
+      |        ROUND(list_cosine_similarity(q_emb, e.emb), 6) AS cos
+      |      FROM q JOIN e ON e.vec_id <> q.q_id),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY cos DESC, n_id) AS INT) AS rnk FROM s),
+      |d AS (SELECT q_id, q_label,
+      |        CAST(SUM(CASE WHEN n_label = q_label THEN ($wList)[rnk]
+      |                 ELSE 0 END) AS BIGINT) AS dcg6
+      |      FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+      |nr AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM s
+      |       WHERE n_label = q_label GROUP BY 1),
+      |p AS (SELECT d.q_id, d.q_label,
+      |        CAST(floor(CAST(dcg6 AS DOUBLE)
+      |          / CAST(($cumList)[CAST(least(n_rel, 10) AS INT)] AS DOUBLE)
+      |          * 1e6 + 0.5) AS BIGINT) AS ndcg6
+      |      FROM d JOIN nr ON nr.q_id = d.q_id)
+      |SELECT CAST(q_label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  floor(CAST(SUM(ndcg6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) / 1e6 AS ndcg
+      |FROM p GROUP BY q_label ORDER BY label""".stripMargin
   }
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
@@ -1890,6 +1926,64 @@ object SparkEntry {
     "pagerank" -> PagerankSql,
 
     "mmr_rerank" -> MmrRerankSql,
+
+    "ndcg_eval" -> NdcgEvalSql,
+
+    // p0 rounded to 6dp BEFORE shrinkage so every group shrinks toward
+    // the identical prior; zero-impression items report exactly p0.
+    "ctr_shrunk" ->
+      """WITH ev AS (SELECT
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |i AS (SELECT item, CAST(SUM(is_click) AS BIGINT) AS clicks,
+        |        CAST(SUM(is_view) AS BIGINT) AS impressions
+        |      FROM ev GROUP BY 1),
+        |t AS (SELECT floor(CAST(SUM(is_click) AS DOUBLE) / CAST(SUM(is_view) AS DOUBLE)
+        |        * 1e6 + 0.5) / 1e6 AS p0 FROM ev)
+        |SELECT item, clicks, impressions,
+        |  ROUND(CAST(clicks AS DOUBLE) / NULLIF(CAST(impressions AS DOUBLE), 0.0), 6) AS ctr_raw,
+        |  floor((CAST(clicks AS DOUBLE) + 100.0 * p0)
+        |    / (CAST(impressions AS DOUBLE) + 100.0) * 1e6 + 0.5) / 1e6 AS ctr_shrunk,
+        |  p0
+        |FROM i CROSS JOIN t ORDER BY item""".stripMargin,
+
+    // Add-one smoothed relative-frequency ratio (ratio form, no libm);
+    // one multiply per side of ONE division, rounded then ranked.
+    "term_keyness" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT token,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS f_focus,
+        |    CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS f_rest
+        |  FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(SUM(f_focus) AS BIGINT) AS nf,
+        |        CAST(SUM(f_rest) AS BIGINT) AS nr,
+        |        CAST(COUNT(*) AS BIGINT) AS v FROM tf)
+        |SELECT token, f_focus, f_rest,
+        |  floor((CAST(f_focus + 1 AS DOUBLE) * CAST(nr + v AS DOUBLE))
+        |    / (CAST(f_rest + 1 AS DOUBLE) * CAST(nf + v AS DOUBLE)) * 1e4 + 0.5) / 1e4
+        |    AS keyness
+        |FROM tf CROSS JOIN t WHERE f_focus >= 5
+        |ORDER BY keyness DESC, token LIMIT 50""".stripMargin,
+
+    // Distinct (8-gram, source) first; per-gram self-join bounded by
+    // sources-per-gram; |sources|-squared-bounded pair counts. The
+    // oracle compares COUNTS, so Spark's xxhash64 gram key needs no
+    // DuckDB twin (collisions are 2^-64-improbable).
+    "dup_matrix" ->
+      """WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |g AS (SELECT source, unnest(list_transform(generate_series(1, len(toks) - 7),
+        |        i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        |      FROM t WHERE len(toks) >= 8),
+        |hs AS (SELECT DISTINCT gram, source FROM g)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM hs a JOIN hs b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
     // Same transition-edge CTEs as the pagerank oracle; out/in sides
     // full-outer-merged, reciprocity via the edge-reversal self-join.

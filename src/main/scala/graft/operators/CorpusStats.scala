@@ -524,4 +524,45 @@ object CorpusStats {
 
   def calibrationCurve(spark: SparkSession, dir: String): DataFrame =
     calibrationCurveOf(Tables.documents(spark, dir))
+
+  /** Term keyness: which words characterize the `focus` source against
+    * the rest of the corpus (the corpus-linguistics comparison behind
+    * "what is this source actually about"). Statistic is the add-one
+    * smoothed relative-frequency ratio
+    * ((f_focus+1)/(N_focus+V)) / ((f_rest+1)/(N_rest+V)) — ratio form,
+    * not Dunning log-likelihood, per the no-libm rule (object
+    * scaladoc); it ranks keyness identically. Computed as
+    * (f_f+1)(N_r+V) / ((f_r+1)(N_f+V)): each operand an exact int64
+    * cast once, one multiply each side, one division, rounded 4 dp
+    * THEN ranked (ties on token) for a deterministic top-`k`.
+    *
+    * Shape: ONE token aggregate with conditional focus/rest sums (the
+    * occurrence stream shuffles once, map-side combinable); totals and
+    * vocab size are a second aggregate over that vocabulary-bounded
+    * frame, re-joined as a 1-row broadcast; top-k is
+    * TakeOrderedAndProject, never a global sort. */
+  def termKeynessOf(docs: DataFrame, focus: String = "src0",
+                    minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(k > 0 && minCount >= 0, s"need k>0, minCount>=0; got $k/$minCount")
+    val tf = docs
+      .select(col("source"), explode(TextF.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("source") === focus, 1L).otherwise(0L)).as("f_focus"),
+        sum(when(col("source") =!= focus, 1L).otherwise(0L)).as("f_rest"))
+      .localCheckpoint(false) // totals + report both read it
+    val totals = tf.agg(sum("f_focus").as("nf"), sum("f_rest").as("nr"),
+      count(lit(1)).as("v"))
+    val keyness = TextF.round4HalfUp(
+      ((col("f_focus") + 1L).cast("double") * (col("nr") + col("v")).cast("double")) /
+        ((col("f_rest") + 1L).cast("double") * (col("nf") + col("v")).cast("double")))
+    tf.filter(col("f_focus") >= minCount)
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("f_focus"), col("f_rest"),
+        keyness.as("keyness"))
+      .orderBy(col("keyness").desc, col("token"))
+      .limit(k)
+  }
+
+  def termKeyness(spark: SparkSession, dir: String): DataFrame =
+    termKeynessOf(Tables.documents(spark, dir))
 }

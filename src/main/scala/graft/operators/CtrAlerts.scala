@@ -40,6 +40,48 @@ object CtrAlerts {
         round(safeDivide(col("clicks"), col("impressions")), 6).as("ctr"))
       .orderBy("user_id")
 
+  /** Empirical-Bayes CTR shrinkage per item: (clicks + α·p₀)/(imps +
+    * α) with pseudo-count α = 100 and p₀ the global CTR — the
+    * small-sample fix for [[ctrByGroup]]'s raw ratios (an item with 1
+    * click / 1 view is not a 100%-CTR item; it's ~p₀ until evidence
+    * accumulates). p₀ is ONE double division rounded to 6 dp BEFORE
+    * use, so every group shrinks toward the same cross-engine-exact
+    * prior; outputs round half-up at 6 dp.
+    *
+    * Shape: one conditional fact aggregate on the bounded item key;
+    * the global totals ride a 1-row broadcast crossJoin
+    * ([[reportDate]]'s pattern) — not a second fact scan. Items with
+    * zero impressions still report: the prior's α pseudo-impressions
+    * keep the ratio defined. */
+  def ctrShrunk(spark: SparkSession, dir: String): DataFrame =
+    ctrShrunkOf(Tables.events(spark, dir))
+
+  /** See [[ctrShrunk]]; operates on any events frame. */
+  def ctrShrunkOf(events: DataFrame, alpha: Int = 100): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val ev = events
+      .filter(col("event_type").isin("click", "view"))
+      .select(
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("is_click"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("is_view"))
+    val items = ev.groupBy("item")
+      .agg(sum("is_click").as("clicks"), sum("is_view").as("impressions"))
+    val totals = ev.agg(sum("is_click").as("tc"), sum("is_view").as("ti"))
+    val p0 = floor(col("tc").cast("double") / col("ti").cast("double")
+      * 1e6 + 0.5) / 1e6
+    items.crossJoin(broadcast(totals))
+      .withColumn("p0", p0)
+      .select(col("item"), col("clicks"), col("impressions"),
+        round(safeDivide(col("clicks"), col("impressions")), 6).as("ctr_raw"),
+        (floor((col("clicks").cast("double") + lit(alpha.toDouble) * col("p0"))
+          / (col("impressions").cast("double") + lit(alpha.toDouble))
+          * 1e6 + 0.5) / 1e6).as("ctr_shrunk"),
+        col("p0"))
+      .orderBy("item")
+  }
+
   /** The spike detector (native_CTR_alerts.py:226-268): trailing-7-day
     * avg CTR vs report-day CTR per group, |pct_change| > 25, ordered by
     * pct_change DESC. */

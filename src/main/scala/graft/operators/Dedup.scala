@@ -365,4 +365,37 @@ object Dedup {
       .agg(min("simhash").as("simhash"), min("bucket_min").as("cluster_id"))
       .orderBy("doc_id")
   }
+
+  /** Cross-source SPAN duplication matrix: for each unordered source
+    * pair, how many DISTINCT token 8-grams ([[graft.functions.TextF
+    * .strictShingles]], the span-dedup granule) appear in both — the
+    * governance view that catches one source quoting or mirroring
+    * another before training weights are assigned. (Whole-document
+    * sha256 sharing is the degenerate case and [[dedupExact]] already
+    * keys it; spans catch the partial-copy mass documents miss.)
+    *
+    * Shape: the occurrence stream collapses to the DISTINCT
+    * (gram, source) frame first (one map-side-combinable aggregate —
+    * the quadratic work never sees per-doc rows); the per-gram
+    * self-join fans out only sources-per-gram ≤ |sources|, and the
+    * pair aggregate is bounded by |sources|². The gram key shuffles as
+    * its 64-bit xxhash, not the raw string. */
+  def dupMatrixOf(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n > 1, s"span length must be > 1, got $n")
+    val hs = docs
+      .select(col("source"),
+        explode(graft.functions.TextF.strictShingles(col("text"), n)).as("g"))
+      .select(xxhash64(col("g")).as("h"), col("source"))
+      .distinct()
+      .localCheckpoint(false) // both self-join sides
+    hs.select(col("h"), col("source").as("source_a"))
+      .join(hs.select(col("h"), col("source").as("source_b")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def dupMatrix(spark: SparkSession, dir: String): DataFrame =
+    dupMatrixOf(Tables.documents(spark, dir))
 }

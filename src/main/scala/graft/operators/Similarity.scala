@@ -493,4 +493,63 @@ object Similarity {
 
   def mmrRerank(spark: SparkSession, dir: String): DataFrame =
     mmrRerankOf(Tables.embeddings(spark, dir))
+
+  /** 1e6-scaled DCG position discounts ⌊1e6/log₂(i+1) + ½⌋ for ranks
+    * 1..10, precomputed ONCE here and embedded as integer literals in
+    * BOTH the Spark plan and the SQL oracle — neither engine evaluates
+    * a transcendental at query time, so the banned-libm determinism
+    * rule ([[CorpusStats]] scaladoc) holds even though nDCG's
+    * definition needs log₂. */
+  val NdcgW6: Seq[Long] =
+    Seq.tabulate(10)(i => math.round(1e6 / (math.log(i + 2) / math.log(2))))
+
+  /** nDCG@10 per label over the labeled embeddings (binary relevance:
+    * neighbor shares the query's label) — the position-weighted
+    * ranking eval next to [[mrrEvalOf]]'s first-hit view. DCG sums the
+    * integer discounts of relevant ranks (exact int64); IDCG is the
+    * prefix sum of the first min(10, #relevant) discounts via a
+    * literal lookup array; per-query nDCG quantizes to 1e-6 before the
+    * per-label mean (order-independent). Queries with no same-label
+    * neighbor are excluded ([[mrrEvalOf]]'s contract).
+    *
+    * Shape: the [[knnTopk]] broadcast scan with WindowGroupLimit's
+    * partition-local top-10; the relevant-count aggregate shuffles one
+    * row per (query, label-match) group. */
+  def ndcgEvalOf(embeddings: DataFrame, queries: Int = 64): DataFrame = {
+    require(queries > 0, s"queries must be positive, got $queries")
+    val e = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val q = broadcast(e.filter(col("vec_id") < queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label")))
+    val scored = q.join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"),
+        col("vec_id").as("n_id"), col("label").as("n_label"),
+        round(VectorF.cosineSim(col("q_emb"), col("embedding")), 6).as("cos"))
+      .localCheckpoint(false) // top-10 frame + relevant-count share it
+    val wArr = array(NdcgW6.map(lit): _*)
+    val cumArr = array(NdcgW6.scanLeft(0L)(_ + _).tail.map(lit): _*)
+    val byQ = Window.partitionBy("q_id")
+    val dcg = scored
+      .withColumn("rnk", row_number().over(
+        byQ.orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rnk") <= 10)
+      .groupBy("q_id", "q_label")
+      .agg(sum(when(col("n_label") === col("q_label"),
+        element_at(wArr, col("rnk"))).otherwise(0L)).as("dcg6"))
+    val nRel = scored.filter(col("n_label") === col("q_label"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    dcg.join(nRel, "q_id") // inner: no relevant neighbor ⇒ excluded
+      .select(col("q_id"), col("q_label"),
+        floor(col("dcg6").cast("double") /
+          element_at(cumArr, least(col("n_rel"), lit(10L)).cast("int"))
+            .cast("double") * 1e6 + 0.5).cast("long").as("ndcg6"))
+      .groupBy(col("q_label").cast("int").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        (floor(sum("ndcg6").cast("double") / count(lit(1)).cast("double")
+          + 0.5) / lit(1e6)).as("ndcg"))
+      .orderBy("label")
+  }
+
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame =
+    ndcgEvalOf(Tables.embeddings(spark, dir))
 }

@@ -55,6 +55,28 @@ class AlertsSpec extends AnyFunSuite with SparkFixture {
     assert(deg.length == 1 && deg.head.getLong(0) == 0L && deg.head.getLong(2) == 3L)
   }
 
+  test("ctr shrinkage pulls small samples toward the global prior") {
+    import spark.implicits._
+    // Global: 3 clicks / 7 views → p0 = 3/7 = 0.428571 (6dp floor-form).
+    val ev = Seq(
+      (1L, "click", 1L), (2L, "view", 1L),                    // item 1: 1/1
+      (3L, "click", 2L), (4L, "view", 2L), (5L, "view", 2L),  // item 2: 1/6
+      (6L, "view", 2L), (7L, "view", 2L), (8L, "view", 2L), (9L, "view", 2L),
+      (10L, "click", 3L),                                     // item 3: 1/0
+      (11L, "purchase", 1L))                                  // ignored
+      .map { case (id, t, k) => (id, t, s"""{"k": $k}""") }
+      .toDF("event_id", "event_type", "props")
+    val out = CtrAlerts.ctrShrunkOf(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4))).toMap
+    // item 1 raw 1.0 → (1 + 100·3/7)/(1 + 100) = 43.8571/101 = 0.434229
+    assert(out(1L) == ((1L, 1L, Some(1.0), 0.434229)), s"got $out")
+    // item 2 raw ⅙ → 43.8571/106 = 0.413746
+    assert(out(2L) == ((1L, 6L, Some(0.166667), 0.413746)))
+    // zero impressions: raw is NULL, shrunk = (1 + 100·p0)/100
+    assert(out(3L) == ((1L, 0L, None, 0.438571)))
+  }
+
   test("approx_count_distinct estimate lands within 5% of exact per group") {
     val approx = CtrAlerts.approxDistinctUsers(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

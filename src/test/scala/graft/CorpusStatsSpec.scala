@@ -345,6 +345,30 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(1) == 2L && r.getDouble(2) == q && r.getDouble(3) == 0.5)
   }
 
+  test("term keyness promotes focus-exclusive terms with exact smoothed ratios") {
+    val docs = Seq(
+      (1L, "src0", "zebra zebra common"),
+      (2L, "srcX", "common common"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusStats.termKeynessOf(docs, focus = "src0", minCount = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // nf=3, nr=2, v=2: zebra (2+1)·(2+2) / (0+1)·(3+2) = 12/5 = 2.4
+    assert(out("zebra") == ((2L, 0L, 2.4)), s"got $out")
+    // common (1+1)·4 / (2+1)·5 = 8/15 = 0.5333
+    assert(out("common") == ((1L, 2L, 0.5333)))
+  }
+
+  test("term keyness enforces the focus-side support floor") {
+    val docs = Seq(
+      (1L, "src0", "rare common common common common"),
+      (2L, "srcX", "common"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusStats.termKeynessOf(docs, focus = "src0", minCount = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("common"), "a 1-occurrence focus term must not rank")
+  }
+
   test("auc matches the pairwise definition on a mixed case") {
     // Scores by construction: longer text → higher score. One inversion.
     val docs = cardDocs(

@@ -300,4 +300,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(fast == brute, s"threshold $t")
     }
   }
+
+  test("dup matrix counts distinct shared spans per source pair, once") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, "a", s"$span tail one"),
+      (2L, "b", s"lead $span"),
+      (3L, "b", s"$span again"),      // same span, same source — still 1
+      (4L, "c", "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (5L, "c", "short doc"))         // < 8 tokens → no spans
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.dupMatrixOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a↔b share exactly the one 8-gram: "s1..s8" (every other window
+    // crosses into the differing context tokens)
+    assert(out == Map(("a", "b") -> 1L), s"got $out")
+  }
 }

@@ -219,6 +219,37 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(out(3)._2 == 0.1949749)
   }
 
+  test("ndcg: rank-1 hit scores 1.0; a rank-3 hit scores w3/w1 = 0.5") {
+    // Query 0 (label 1): two closer label-2 vectors, the only relevant
+    // one lands at rank 3 → DCG = ⌊1e6/log2(4)⌋ = 500000, IDCG = w1.
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.0f), 2),
+      (2L, Array(1.0f, 0.0f), 2),
+      (3L, Array(0.5f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ndcgEvalOf(embs, queries = 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getInt(0) == 1 && out.head.getLong(1) == 1L &&
+      out.head.getDouble(2) == 0.5, s"got ${out.toSeq}")
+
+    // Identical twin at rank 1 → perfect 1.0.
+    val twins = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(1.0f, 0.0f), 7),
+      (2L, Array(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.ndcgEvalOf(twins, queries = 1)
+      .collect().head.getDouble(2) == 1.0)
+  }
+
+  test("ndcg discount table is the 1e6-scaled log2 ladder") {
+    assert(Similarity.NdcgW6.head == 1000000L, "rank 1 discount is exactly 1")
+    assert(Similarity.NdcgW6(1) == 630930L, "rank 2 = 1/log2(3)")
+    assert(Similarity.NdcgW6(3) == 430677L, "rank 4 = 1/log2(5)")
+    assert(Similarity.NdcgW6 == Similarity.NdcgW6.sorted.reverse)
+  }
+
   test("mrr excludes a query whose label has no other member") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f), 1),
