@@ -286,6 +286,55 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"query IN-filter must sit below the tf aggregate, on the explode:\n$p")
   }
 
+  test("round-8 tranche: rankers keep partition-local top-k and bounded nested loops") {
+    // ndcg/mrr: the only nested loop is the fixed query-set broadcast
+    // (knnTopk's contract); ndcg's top-10 must stay WindowGroupLimit.
+    val ndcg = plan(Similarity.ndcgEval(spark, Sf))
+    assert(ndcg.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
+      "ndcg top-10 must rewrite to WindowGroupLimit")
+    assert(ndcg.collect { case j: CartesianProductExec => j }.isEmpty)
+    val mmr = plan(Similarity.mmrRerank(spark, Sf))
+    assert(mmr.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
+      "mmr pool cut must rewrite to WindowGroupLimit")
+    assert(mmr.collect { case j: CartesianProductExec => j }.isEmpty)
+  }
+
+  test("round-8 tranche: bounded-frame crosses only, equijoins everywhere else") {
+    // 1-row totals crosses allowed (collocations' pattern): keyness,
+    // shrinkage. Everything else must stay equi-join shaped.
+    for ((df, allowed) <- Seq(
+      (CorpusStats.termKeyness(spark, Sf), 1),
+      (CtrAlerts.ctrShrunk(spark, Sf), 1),
+      (Dedup.dupMatrix(spark, Sf), 0),
+      (graft.operators.Linkage.fuzzyMatch(spark, Sf), 0),
+      (graft.operators.Graph.graphDegrees(spark, Sf), 0),
+      (Similarity.mrrEval(spark, Sf), 0),
+      (CorpusStats.aucQuality(spark, Sf), 0),
+      (CorpusStats.corpusCard(spark, Sf), 0),
+      (CorpusStats.calibrationCurve(spark, Sf), 0),
+      (graft.operators.Behavior.cupedAdjust(spark, Sf), 0),
+      (EventAnalytics.seasonalProfile(spark, Sf), 0))) {
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= allowed,
+        s"unexpected nested loop (allowed $allowed):\n$p")
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"cartesian product:\n$p")
+    }
+  }
+
+  test("corpusCard and calibrationCurve are one aggregate over one scan") {
+    for (df <- Seq(CorpusStats.corpusCard(spark, Sf),
+      CorpusStats.calibrationCurve(spark, Sf))) {
+      val p = plan(df)
+      val scans = p.collect { case f: FileSourceScanExec => f }
+      assert(scans.length == 1, s"every per-doc measure must ride ONE scan:\n$p")
+      val shuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length <= 2, s"aggregate + presentation sort only:\n$p")
+    }
+  }
+
   test("funnel and behavior queries never plan a fact-by-fact nested loop") {
     // funnelSteps and itemAffinity are each allowed exactly one BNLJ:
     // the cross with a 1-row totals frame (collocations' pattern).
