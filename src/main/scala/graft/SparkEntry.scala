@@ -168,7 +168,9 @@ object SparkEntry {
     "ndcg_eval"         -> (Similarity.ndcgEval(_, _)),
     "ctr_shrunk"        -> (CtrAlerts.ctrShrunk(_, _)),
     "term_keyness"      -> (CorpusStats.termKeyness(_, _)),
-    "dup_matrix"        -> (Dedup.dupMatrix(_, _))
+    "dup_matrix"        -> (Dedup.dupMatrix(_, _)),
+    "top_paths"         -> (EventAnalytics.topPaths(_, _)),
+    "target_encode"     -> (EventAnalytics.targetEncode(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1928,6 +1930,44 @@ object SparkEntry {
     "mmr_rerank" -> MmrRerankSql,
 
     "ndcg_eval" -> NdcgEvalSql,
+
+    // Same session reconstruction as the sessionize oracle; two lags
+    // inside the session, |types|^3-bounded counts, (n DESC, path) top-k.
+    "top_paths" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f),
+        |p AS (SELECT lag(event_type, 2) OVER ws AS t1,
+        |        lag(event_type, 1) OVER ws AS t2, event_type AS t3
+        |      FROM s WINDOW ws AS (PARTITION BY user_id, session_idx
+        |                           ORDER BY us, event_id))
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p WHERE t1 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // LOO mean-target encoding: global mean as integer micros BEFORE
+    // use; exact int64 numerator, one division per row, 4dp half-up.
+    "target_encode" ->
+      """WITH ev AS (SELECT event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv
+        |  FROM events),
+        |i AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qv) AS BIGINT) AS s
+        |      FROM ev GROUP BY 1),
+        |m AS (SELECT CAST(floor(CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5)
+        |        AS BIGINT) AS muq FROM ev)
+        |SELECT event_id, item,
+        |  floor(CAST(qv AS DOUBLE) / 100.0 + 0.5) / 1e4 AS value,
+        |  floor(CAST(s - qv + 50 * muq AS DOUBLE) / CAST(n - 1 + 50 AS DOUBLE)
+        |    / 1e6 * 1e4 + 0.5) / 1e4 AS enc
+        |FROM ev JOIN i USING (item) CROSS JOIN m
+        |ORDER BY event_id""".stripMargin,
 
     // p0 rounded to 6dp BEFORE shrinkage so every group shrinks toward
     // the identical prior; zero-impression items report exactly p0.

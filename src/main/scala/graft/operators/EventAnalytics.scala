@@ -316,4 +316,85 @@ object EventAnalytics {
 
   def seasonalProfile(spark: SparkSession, dir: String): DataFrame =
     seasonalProfileOf(Tables.events(spark, dir))
+
+  /** Top event-type 3-step paths within sessions (the sequence-mining
+    * report behind "how do users actually navigate"): sessions are
+    * [[sessionizeOf]]'s 30-minute-gap runs, a path is three
+    * CONSECUTIVE event types inside one session, counted corpus-wide
+    * with a deterministic (count DESC, path) top-`k`.
+    *
+    * ONE user-keyed shuffle carries everything: the gap flag, the
+    * running session index, and both lag()s all declare user-prefixed
+    * window keys, so EnsureRequirements reuses the same hash
+    * partitioning (the [[sessionizeOf]] contract); the path aggregate
+    * is |event types|³-bounded and map-side combinable; the top-k is
+    * TakeOrderedAndProject. */
+  def topPathsOf(events: DataFrame, gapMinutes: Int = 30,
+                 k: Int = 20): DataFrame = {
+    require(gapMinutes > 0 && k > 0, s"need positive gap/k, got $gapMinutes/$k")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sessioned = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val ws = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("us"), col("event_id"))
+    sessioned
+      .withColumn("t1", lag("event_type", 2).over(ws))
+      .withColumn("t2", lag("event_type", 1).over(ws))
+      .filter(col("t1").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("event_type"))
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  def topPaths(spark: SparkSession, dir: String): DataFrame =
+    topPathsOf(Tables.events(spark, dir))
+
+  /** Leave-one-out mean-target encoding of the item key against the
+    * event value (the feature-engineering step that replaces a
+    * high-cardinality categorical with its outcome mean WITHOUT
+    * leaking the row's own label): enc = (Σ_item − own + α·μ) /
+    * (n_item − 1 + α), α = 50, μ the global mean — singleton items
+    * fall back to exactly μ via the prior. Exact path: values
+    * micro-quantize, μ rounds to integer micros BEFORE use, the
+    * numerator is an exact int64, one division per row, 4 dp half-up.
+    *
+    * Shape: one map-side-combinable item aggregate; the fact join
+    * back is on the bounded item key (AQE broadcasts the small side);
+    * the global mean rides a 1-row broadcast. The output is per-row —
+    * this is a transform, not a report. */
+  def targetEncodeOf(events: DataFrame, alpha: Int = 50): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val ev = events.select(col("event_id"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("item"),
+      floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+    val items = ev.groupBy("item")
+      .agg(count(lit(1)).as("n"), sum("qv").as("s"))
+    val mu = ev.agg(
+      floor(sum("qv").cast("double") / count(lit(1)).cast("double") + 0.5)
+        .cast("long").as("muq")) // global mean in integer micros
+    ev.join(items, "item")
+      .crossJoin(broadcast(mu))
+      .select(col("event_id"), col("item"),
+        graft.functions.TextF.microsTo4dp(col("qv")).as("value"),
+        graft.functions.TextF.round4HalfUp(
+          (col("s") - col("qv") + lit(alpha.toLong) * col("muq")).cast("double")
+            / (col("n") - 1L + alpha).cast("double") / lit(1e6)).as("enc"))
+      .orderBy("event_id")
+  }
+
+  def targetEncode(spark: SparkSession, dir: String): DataFrame =
+    targetEncodeOf(Tables.events(spark, dir))
 }

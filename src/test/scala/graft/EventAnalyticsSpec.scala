@@ -214,6 +214,43 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out(5) == ((1L, 30.0, 1.2857)))
   }
 
+  test("top paths window sequences inside sessions and never across the gap") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:01:00", "click"),
+      (3L, 1L, "2024-01-01 10:02:00", "purchase"),
+      (4L, 1L, "2024-01-01 10:03:00", "view"),
+      // > 30 min gap → new session; no path may bridge it
+      (5L, 1L, "2024-01-01 11:00:00", "view"),
+      (6L, 1L, "2024-01-01 11:01:00", "click"),
+      (7L, 1L, "2024-01-01 11:02:00", "purchase"))
+      .toDF("event_id", "user_id", "t", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("t")).as("ts"), col("event_type"))
+    val out = EventAnalytics.topPathsOf(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "view>click>purchase" -> 2L,
+      "click>purchase>view" -> 1L), s"got $out")
+  }
+
+  test("target encoding excludes the row's own label and falls back to the prior") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0), // item 1
+      (4L, 2L, 100.0))                                 // singleton item
+      .map { case (id, k, v) => (id, s"""{"k": $k}""", v) }
+      .toDF("event_id", "props", "value")
+    val out = EventAnalytics.targetEncodeOf(ev).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // μ = 160/4 = 40. e1: (60−10 + 50·40)/(2+50) = 2050/52 = 39.4231
+    assert(out(1L) == 39.4231, s"got $out")
+    assert(out(2L) == 39.2308, "(40 + 2000)/52")
+    // a singleton's own value cancels: enc = 50·μ/50 = μ exactly
+    assert(out(4L) == 40.0)
+  }
+
   test("seasonal profile: a constant series indexes 1.0 on every weekday") {
     val ev = dailyEvents((1 to 14).map(d =>
       ("view", f"2024-01-$d%02d 09:00:00", 5.0)): _*)
