@@ -74,6 +74,9 @@ object Graph {
         .select(col("item"),
           (expr(s"(15 * $Scale) div (100 * nn)") +
             expr("(85 * infl) div 100")).as("rq"))
+        // LAZY checkpoints: one job, lineage truncated at materialize.
+        // Eager per-iteration checkpoints measured WORSE (8.1 s vs
+        // 6.6 s at sf0.1) — ten scheduling floors beat ten plan reuses.
         .localCheckpoint(false)
     }
     rank.select(col("item"), col("rq"),
