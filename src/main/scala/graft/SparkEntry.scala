@@ -170,7 +170,10 @@ object SparkEntry {
     "term_keyness"      -> (CorpusStats.termKeyness(_, _)),
     "dup_matrix"        -> (Dedup.dupMatrix(_, _)),
     "top_paths"         -> (EventAnalytics.topPaths(_, _)),
-    "target_encode"     -> (EventAnalytics.targetEncode(_, _))
+    "target_encode"     -> (EventAnalytics.targetEncode(_, _)),
+    "seasonal_outliers" -> (EventAnalytics.seasonalOutliers(_, _)),
+    "vocab_overlap"     -> (CorpusStats.vocabOverlap(_, _)),
+    "robust_scaler"     -> (Robust.robustScaler(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1930,6 +1933,60 @@ object SparkEntry {
     "mmr_rerank" -> MmrRerankSql,
 
     "ndcg_eval" -> NdcgEvalSql,
+
+    // LOO weekday baseline: exact integer numerator, one division,
+    // ratio rounded 4dp BEFORE the threshold compare.
+    "seasonal_outliers" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qrev
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow FROM daily),
+        |w AS (SELECT *,
+        |    CAST(SUM(qrev) OVER (PARTITION BY event_type, dow) AS BIGINT) AS dow_sum,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type, dow) AS BIGINT) AS n_dow
+        |  FROM d),
+        |r AS (SELECT event_type, day, dow,
+        |    floor(CAST(qrev AS DOUBLE) / 100.0 + 0.5) / 1e4 AS revenue,
+        |    floor(CAST(qrev AS DOUBLE)
+        |      / (CAST(dow_sum - qrev AS DOUBLE) / CAST(n_dow - 1 AS DOUBLE))
+        |      * 1e4 + 0.5) / 1e4 AS ratio
+        |  FROM w WHERE n_dow >= 2)
+        |SELECT * FROM r WHERE ratio < 0.5 OR ratio > 1.5
+        |ORDER BY event_type, day""".stripMargin,
+
+    // Distinct (token, source) first; Jaccard of vocabularies with one
+    // division, 4dp half-up. The COUNT compare needs no hash twin for
+    // Spark's xxhash64 token key (dup_matrix's argument).
+    "vocab_overlap" ->
+      """WITH vs AS (SELECT DISTINCT token, source FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |    FROM documents)),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM vs GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_shared
+        |      FROM vs a JOIN vs b ON a.token = b.token AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+        |  floor(CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS jaccard
+        |FROM p JOIN sz sa ON sa.source = p.source_a
+        |JOIN sz sb ON sb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // Median/IQR rounded 4dp BEFORE the per-row division
+    // (madOutliers' contract); IQR-degenerate groups emit NULL.
+    "robust_scaler" ->
+      """WITH w AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    floor(quantile_cont(o_totalprice, 0.5)
+        |      OVER (PARTITION BY o_orderpriority) * 1e4 + 0.5) / 1e4 AS med,
+        |    floor((quantile_cont(o_totalprice, 0.75) OVER (PARTITION BY o_orderpriority)
+        |      - quantile_cont(o_totalprice, 0.25) OVER (PARTITION BY o_orderpriority))
+        |      * 1e4 + 0.5) / 1e4 AS iqr
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice, med, iqr,
+        |  CASE WHEN iqr > 0
+        |    THEN floor((o_totalprice - med) / iqr * 1e4 + 0.5) / 1e4 END AS scaled
+        |FROM w ORDER BY o_orderkey""".stripMargin,
 
     // Same session reconstruction as the sessionize oracle; two lags
     // inside the session, |types|^3-bounded counts, (n DESC, path) top-k.

@@ -565,4 +565,44 @@ object CorpusStats {
 
   def termKeyness(spark: SparkSession, dir: String): DataFrame =
     termKeynessOf(Tables.documents(spark, dir))
+
+  /** Vocabulary-overlap matrix: Jaccard similarity of the DISTINCT
+    * token vocabularies of every source pair — the cheap corpus-level
+    * "are these two sources the same kind of text" signal that guides
+    * mixture weighting before any document-level dedup runs
+    * ([[Dedup.dupMatrixOf]] is the span-level sharp end; this is the
+    * distributional view). Exact integers until one division, rounded
+    * half-up 4 dp.
+    *
+    * Shape: [[Dedup.dupMatrixOf]]'s: DISTINCT (token-hash, source)
+    * partial-aggregate first, per-source sizes from that bounded
+    * frame, per-token self-join bounded by sources-per-token,
+    * |sources|²-bounded output. */
+  def vocabOverlapOf(docs: DataFrame): DataFrame = {
+    val vs = docs
+      .select(col("source"),
+        explode(TextF.tokens(col("text"))).as("token"))
+      .select(xxhash64(col("token")).as("h"), col("source"))
+      .distinct()
+      .localCheckpoint(false) // sizes + both self-join sides
+    val sizes = vs.groupBy("source").agg(count(lit(1)).as("n"))
+    vs.select(col("h"), col("source").as("source_a"))
+      .join(vs.select(col("h"), col("source").as("source_b")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        TextF.round4HalfUp(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame =
+    vocabOverlapOf(Tables.documents(spark, dir))
 }

@@ -361,6 +361,48 @@ object EventAnalytics {
   def topPaths(spark: SparkSession, dir: String): DataFrame =
     topPathsOf(Tables.events(spark, dir))
 
+  /** Weekday-adjusted revenue anomalies: a day is flagged when its
+    * revenue is off by more than `tol` from the LEAVE-ONE-OUT mean of
+    * its event type's OTHER same-weekday days — the seasonality-aware
+    * alert [[seasonalProfileOf]] is the report for (a Sunday compares
+    * to Sundays, and never to itself, so one spiked day can't mask
+    * itself by inflating its own baseline). Ratio-form test (no
+    * stddev/sqrt): expected = (Σ_dow − own)/(n_dow − 1) — exact
+    * integer numerator, one division — ratio rounds half-up to 4 dp
+    * BEFORE the threshold compare. Weekdays observed once are
+    * unjudgeable and excluded.
+    *
+    * Shape: ONE fact-scale shuffle to (type, day) totals; the LOO
+    * baseline is a window over the (type, dow) partition of that
+    * small daily frame — no second aggregate, no join. */
+  def seasonalOutliersOf(events: DataFrame, tol: Double = 0.5): DataFrame = {
+    require(tol > 0, s"tol must be positive, got $tol")
+    val byDow = Window.partitionBy("event_type", "dow")
+    val ratio = graft.functions.TextF.round4HalfUp(
+      col("qrev").cast("double") /
+        ((col("dow_sum") - col("qrev")).cast("double")
+          / (col("n_dow") - 1L).cast("double")))
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .groupBy("event_type", "day")
+      .agg(sum("qv").as("qrev"))
+      .withColumn("dow",
+        datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
+      .withColumn("dow_sum", sum("qrev").over(byDow))
+      .withColumn("n_dow", count(lit(1)).over(byDow))
+      .filter(col("n_dow") >= 2)
+      .withColumn("ratio", ratio)
+      .filter(col("ratio") < 1.0 - tol || col("ratio") > 1.0 + tol)
+      .select(col("event_type"), col("day"), col("dow"),
+        graft.functions.TextF.microsTo4dp(col("qrev")).as("revenue"),
+        col("ratio"))
+      .orderBy("event_type", "day")
+  }
+
+  def seasonalOutliers(spark: SparkSession, dir: String): DataFrame =
+    seasonalOutliersOf(Tables.events(spark, dir))
+
   /** Leave-one-out mean-target encoding of the item key against the
     * event value (the feature-engineering step that replaces a
     * high-cardinality categorical with its outcome mean WITHOUT

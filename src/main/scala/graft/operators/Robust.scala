@@ -302,4 +302,36 @@ object Robust {
 
   def theilSenTrend(spark: SparkSession, dir: String): DataFrame =
     theilSenTrendOf(Tables.events(spark, dir))
+
+  /** Robust (median/IQR) feature scaling of the order-value column,
+    * per priority group — the outlier-immune standardization a feature
+    * pipeline applies before modeling (z-scores move with every
+    * outlier; median/IQR don't). scaled = (x − med) / IQR with both
+    * statistics micro-quantized and rounded to 4 dp BEFORE the per-row
+    * division ([[madOutliersOf]]'s contract); degenerate groups
+    * (IQR = 0) emit NULL rather than ±∞. Per-ROW output — a transform,
+    * not a report.
+    *
+    * Shape: one group-keyed stats window stacked on the fact frame —
+    * the same single-shuffle move as [[madOutliersOf]] (aggregate +
+    * join back would re-plan the scan per consumer). */
+  def robustScalerOf(orders: DataFrame): DataFrame = {
+    val byPrio = Window.partitionBy("o_orderpriority")
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .withColumn("med", round4(expr("percentile(o_totalprice, 0.5)").over(byPrio)))
+      .withColumn("iqr", round4(
+        expr("percentile(o_totalprice, 0.75)").over(byPrio) -
+          expr("percentile(o_totalprice, 0.25)").over(byPrio)))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("med"), col("iqr"),
+        when(col("iqr") > 0,
+          round4((col("o_totalprice") - col("med")) / col("iqr")))
+          .as("scaled"))
+      .orderBy("o_orderkey")
+  }
+
+  def robustScaler(spark: SparkSession, dir: String): DataFrame =
+    robustScalerOf(Tables.orders(spark, dir))
 }

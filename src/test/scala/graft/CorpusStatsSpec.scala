@@ -369,6 +369,20 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out == Set("common"), "a 1-occurrence focus term must not rank")
   }
 
+  test("vocab overlap reports pairwise vocabulary jaccard") {
+    val docs = Seq(
+      (1L, "A", "a b c"),
+      (2L, "B", "b c d"),
+      (3L, "B", "b"))  // duplicate token within a source counts once
+      .toDF("doc_id", "source", "text")
+    val out = CorpusStats.vocabOverlapOf(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == (("A", "B")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((3L, 3L, 2L)))
+    assert(r.getDouble(5) == 0.5, "J = 2 / (3 + 3 - 2)")
+  }
+
   test("auc matches the pairwise definition on a mixed case") {
     // Scores by construction: longer text → higher score. One inversion.
     val docs = cardDocs(

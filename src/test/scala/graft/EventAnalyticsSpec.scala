@@ -251,6 +251,20 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out(4L) == 40.0)
   }
 
+  test("seasonal outliers judge a day against its weekday peers, leave-one-out") {
+    val ev = dailyEvents(
+      ("click", "2024-01-01 10:00:00", 10.0),  // Mon
+      ("click", "2024-01-08 10:00:00", 10.0),  // Mon
+      ("click", "2024-01-15 10:00:00", 30.0),  // Mon spike: 30/10 = 3.0
+      ("click", "2024-01-02 10:00:00", 99.0))  // lone Tuesday: excluded
+    val out = EventAnalytics.seasonalOutliersOf(ev).collect()
+    assert(out.length == 1, s"got ${out.toSeq}")
+    assert(out.head.getDate(1).toString == "2024-01-15")
+    assert(out.head.getDouble(4) == 3.0,
+      "LOO baseline is the other two Mondays' mean, not one inflated by the spike")
+    // the 10-revenue Mondays sit exactly AT ratio 0.5 — strict bound, kept
+  }
+
   test("seasonal profile: a constant series indexes 1.0 on every weekday") {
     val ev = dailyEvents((1 to 14).map(d =>
       ("view", f"2024-01-$d%02d 09:00:00", 5.0)): _*)

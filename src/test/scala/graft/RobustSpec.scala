@@ -154,4 +154,18 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
       s"median slope must ignore the day-3 spike: ${out("click")}")
     assert(out("view") == ((21L, 0.0, 0)))
   }
+
+  test("robust scaler centers on the median and spreads by IQR, NULL on degenerate groups") {
+    import spark.implicits._
+    val orders = (Seq((1L, "P1", 0.0), (2L, "P1", 10.0), (3L, "P1", 20.0),
+      (4L, "P1", 30.0), (5L, "P1", 40.0),
+      (6L, "P2", 7.0), (7L, "P2", 7.0)))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val out = graft.operators.Robust.robustScalerOf(orders).collect()
+      .map(r => r.getLong(0) -> Option(r.get(5)).map(_.asInstanceOf[Double])).toMap
+    // P1: med 20, IQR 30-10 = 20 → 0 scales to -1, 40 to +1
+    assert(out(1L) == Some(-1.0) && out(5L) == Some(1.0) && out(3L) == Some(0.0))
+    // P2 constant → IQR 0 → NULL, never ±infinity
+    assert(out(6L).isEmpty && out(7L).isEmpty)
+  }
 }
