@@ -173,7 +173,12 @@ object SparkEntry {
     "target_encode"     -> (EventAnalytics.targetEncode(_, _)),
     "seasonal_outliers" -> (EventAnalytics.seasonalOutliers(_, _)),
     "vocab_overlap"     -> (CorpusStats.vocabOverlap(_, _)),
-    "robust_scaler"     -> (Robust.robustScaler(_, _))
+    "robust_scaler"     -> (Robust.robustScaler(_, _)),
+    // rows-only: the banded-minhash side is the native pipeline
+    // (cf. dedup_minhash); DedupSpec pins subset + recall properties
+    "lsh_recall"        -> (Dedup.lshRecall(_, _)),
+    "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),
+    "gini_concentration" -> (EventAnalytics.giniConcentration(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1933,6 +1938,43 @@ object SparkEntry {
     "mmr_rerank" -> MmrRerankSql,
 
     "ndcg_eval" -> NdcgEvalSql,
+
+    // One conditional aggregate for both days; Δtotal as a window over
+    // the bounded type frame; shares additive in exact micros.
+    "change_contrib" ->
+      """WITH rd AS (SELECT MAX(ts::DATE) AS report_date FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN ts::DATE = report_date
+        |      THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS q_last,
+        |    CAST(SUM(CASE WHEN ts::DATE <> report_date
+        |      THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS q_prev
+        |  FROM events CROSS JOIN rd
+        |  WHERE ts::DATE >= report_date - 1 GROUP BY 1),
+        |d AS (SELECT *, q_last - q_prev AS delta_q,
+        |        CAST(SUM(q_last - q_prev) OVER () AS BIGINT) AS total_dq FROM g)
+        |SELECT event_type,
+        |  floor(CAST(q_prev AS DOUBLE) / 100.0 + 0.5) / 1e4 AS rev_prev,
+        |  floor(CAST(q_last AS DOUBLE) / 100.0 + 0.5) / 1e4 AS rev_last,
+        |  floor(CAST(delta_q AS DOUBLE) / 100.0 + 0.5) / 1e4 AS delta,
+        |  CASE WHEN total_dq <> 0 THEN
+        |    floor(CAST(delta_q AS DOUBLE) / CAST(total_dq AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |  END AS share_of_change
+        |FROM d
+        |ORDER BY abs(floor(CAST(delta_q AS DOUBLE) / 100.0 + 0.5) / 1e4) DESC, event_type""".stripMargin,
+
+    // Exact integer Gini on sorted per-user micro totals; (qu, user)
+    // rank tiebreak is a total order.
+    "gini_concentration" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qu
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY qu, user_id) AS BIGINT) AS i FROM u)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  floor(CAST(SUM(qu) AS DOUBLE) / 100.0 + 0.5) / 1e4 AS revenue,
+        |  floor(CAST(2 * SUM(i * qu) - (COUNT(*) + 1) * SUM(qu) AS DOUBLE)
+        |    / CAST(COUNT(*) * SUM(qu) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS gini
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // LOO weekday baseline: exact integer numerator, one division,
     // ratio rounded 4dp BEFORE the threshold compare.

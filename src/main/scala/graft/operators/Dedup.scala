@@ -402,4 +402,31 @@ object Dedup {
 
   def dupMatrix(spark: SparkSession, dir: String): DataFrame =
     dupMatrixOf(Tables.documents(spark, dir))
+
+  /** LSH recall audit: what fraction of the TRUE (exact-Jaccard ≥ t)
+    * near-dup pairs does the banded-MinHash candidate path recover —
+    * the number that justifies (or indicts) the LSH shortcut before a
+    * 100 TB run trusts it. Both sides verify with the SAME exact
+    * Jaccard, so the LSH side is a strict subset of the exact side and
+    * recall = |LSH| / |exact| needs no pair-level join. Output also
+    * carries the miss count — the pairs banding never surfaced.
+    *
+    * Not SQL-expressible (the banding is the native minhash pipeline)
+    * → rows-only gate + DedupSpec subset/recall properties.
+    */
+  def lshRecallOf(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val exact = jaccardPairsOf(docs, threshold)
+      .agg(count(lit(1)).as("n_exact"))
+    val lsh = dedupJaccardOf(docs, threshold)
+      .agg(count(lit(1)).as("n_lsh"))
+    exact.crossJoin(lsh) // 1 row × 1 row
+      .select(lit(threshold).as("threshold"), col("n_exact"), col("n_lsh"),
+        (col("n_exact") - col("n_lsh")).as("n_missed"),
+        when(col("n_exact") > 0, graft.functions.TextF.round4HalfUp(
+          col("n_lsh").cast("double") / col("n_exact").cast("double")))
+          .as("recall"))
+  }
+
+  def lshRecall(spark: SparkSession, dir: String): DataFrame =
+    lshRecallOf(Tables.documents(spark, dir))
 }

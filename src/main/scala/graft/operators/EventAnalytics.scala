@@ -403,6 +403,81 @@ object EventAnalytics {
   def seasonalOutliers(spark: SparkSession, dir: String): DataFrame =
     seasonalOutliersOf(Tables.events(spark, dir))
 
+  /** Day-over-day change decomposition: Δtotal between the report day
+    * and the day before, broken down by event type with each type's
+    * share of the change — the "why did revenue move" answer a daily
+    * report owes its reader (shares are additive: they sum to 1 over
+    * the types, because Δtotal = ΣΔtype exactly in integer micros).
+    * Share is NULL when the total change is zero (0/0 is not 100%).
+    *
+    * Shape: ONE conditional fact aggregate computes both days
+    * (ctr_spike's no-cross-branch-CSE move); the report day rides a
+    * 1-row broadcast; Δtotal is a window over the |types|-bounded
+    * frame. Exact integers until the two final rounded divisions. */
+  def changeContribOf(events: DataFrame): DataFrame = {
+    val rd = events.agg(max(to_date(col("ts"))).as("report_date"))
+    val all = Window.partitionBy(lit(1))
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .crossJoin(broadcast(rd))
+      .filter(col("day") >= date_sub(col("report_date"), 1))
+      .groupBy("event_type")
+      .agg(sum(when(col("day") === col("report_date"), col("qv"))
+        .otherwise(0L)).as("q_last"),
+        sum(when(col("day") =!= col("report_date"), col("qv"))
+          .otherwise(0L)).as("q_prev"))
+      .withColumn("delta_q", col("q_last") - col("q_prev"))
+      .withColumn("total_dq", sum("delta_q").over(all))
+      .select(col("event_type"),
+        graft.functions.TextF.microsTo4dp(col("q_prev")).as("rev_prev"),
+        graft.functions.TextF.microsTo4dp(col("q_last")).as("rev_last"),
+        graft.functions.TextF.microsTo4dp(col("delta_q")).as("delta"),
+        when(col("total_dq") =!= 0L, graft.functions.TextF.round4HalfUp(
+          col("delta_q").cast("double") / col("total_dq").cast("double")))
+          .as("share_of_change"))
+      .orderBy(abs(col("delta")).desc, col("event_type"))
+  }
+
+  def changeContrib(spark: SparkSession, dir: String): DataFrame =
+    changeContribOf(Tables.events(spark, dir))
+
+  /** Revenue concentration per event type: the exact Gini coefficient
+    * over per-user revenue totals — "do ten whales carry this metric"
+    * asked before any per-user average is trusted. Computed on the
+    * sorted integer-micro totals via G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) /
+    * (n·Σxᵢ): every term an exact int64 (i·x ≤ users·Σmicros —
+    * switch the two products to decimal(38) past ~10⁶ heavy users),
+    * one division, rounded half-up 4 dp. Ties order by user id —
+    * a total order, so ranks are deterministic.
+    *
+    * Shape: ONE fact-scale shuffle to (type, user) totals; the rank
+    * window re-shuffles only that per-user frame on type; the final
+    * aggregate is |types|-bounded. */
+  def giniConcentrationOf(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+      .orderBy(col("qu"), col("user_id"))
+    events
+      .select(col("event_type"), col("user_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .groupBy("event_type", "user_id")
+      .agg(sum("qv").as("qu"))
+      .withColumn("i", row_number().over(byType).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum("qu").as("sx"),
+        sum(col("i") * col("qu")).as("six"))
+      .select(col("event_type"), col("n_users"),
+        graft.functions.TextF.microsTo4dp(col("sx")).as("revenue"),
+        graft.functions.TextF.round4HalfUp(
+          (lit(2L) * col("six") - (col("n_users") + 1L) * col("sx"))
+            .cast("double") / (col("n_users") * col("sx")).cast("double"))
+          .as("gini"))
+      .orderBy("event_type")
+  }
+
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame =
+    giniConcentrationOf(Tables.events(spark, dir))
+
   /** Leave-one-out mean-target encoding of the item key against the
     * event value (the feature-engineering step that replaces a
     * high-cardinality categorical with its outcome mean WITHOUT

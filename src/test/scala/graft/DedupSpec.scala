@@ -316,4 +316,26 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // crosses into the differing context tokens)
     assert(out == Map(("a", "b") -> 1L), s"got $out")
   }
+
+  test("lsh recall: the banded path is a strict subset of exact pairs, recall exact") {
+    import spark.implicits._
+    val near = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, near),
+      (2L, near + " extra"),                       // true near-dup of 1
+      (3L, (20 to 40).map(i => s"x$i").mkString(" ")),
+      (4L, (20 to 41).map(i => s"x$i").mkString(" ")), // near-dup of 3
+      (5L, "totally different content entirely here"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairsOf(docs, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupJaccardOf(docs, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH-verified pairs must be true pairs: $lsh vs $exact")
+    val r = Dedup.lshRecallOf(docs, 0.5).collect().head
+    assert(r.getLong(1) == exact.size && r.getLong(2) == lsh.size)
+    assert(r.getLong(3) == exact.size - lsh.size)
+    val expected = math.floor(lsh.size.toDouble / exact.size * 1e4 + 0.5) / 1e4
+    assert(r.getDouble(4) == expected)
+  }
 }

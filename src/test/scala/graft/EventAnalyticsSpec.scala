@@ -265,6 +265,44 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     // the 10-revenue Mondays sit exactly AT ratio 0.5 — strict bound, kept
   }
 
+  test("change contribution decomposes the day-over-day delta additively") {
+    val ev = dailyEvents(
+      ("click", "2024-01-01 10:00:00", 10.0), ("click", "2024-01-02 10:00:00", 20.0),
+      ("view", "2024-01-01 10:00:00", 8.0), ("view", "2024-01-02 10:00:00", 3.0))
+    val out = EventAnalytics.changeContribOf(ev).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // Δtotal = +10 − 5 = 5: click contributes 200%, view −100%
+    assert(out("click") == ((10.0, 2.0)), s"got $out")
+    assert(out("view") == ((-5.0, -1.0)))
+  }
+
+  test("change contribution leaves shares NULL when the total change is zero") {
+    val ev = dailyEvents(
+      ("click", "2024-01-01 10:00:00", 10.0), ("click", "2024-01-02 10:00:00", 15.0),
+      ("view", "2024-01-01 10:00:00", 8.0), ("view", "2024-01-02 10:00:00", 3.0))
+    val out = EventAnalytics.changeContribOf(ev).collect()
+    assert(out.forall(_.isNullAt(4)), "0/0 must not read as 100%")
+  }
+
+  test("gini: equal users score 0; concentration raises it") {
+    import spark.implicits._
+    def ev(rows: (Long, Long, Double)*) = rows
+      .toDF("event_id", "user_id", "value")
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.lit("click").as("event_type"),
+        org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.lit("2024-01-01 10:00:00")).as("ts"),
+        col("value"))
+    val equal = EventAnalytics.giniConcentrationOf(
+      ev((1L, 1L, 5.0), (2L, 2L, 5.0), (3L, 3L, 5.0))).collect().head
+    assert(equal.getDouble(3) == 0.0)
+    // users 1 and 3 micros: sorted Σi·x = 1·1 + 2·3 = 7 (in units of x):
+    // G = (14 − 12)/8 = 0.25
+    val skewed = EventAnalytics.giniConcentrationOf(
+      ev((1L, 1L, 1.0), (2L, 2L, 3.0))).collect().head
+    assert(skewed.getDouble(3) == 0.25, s"got ${skewed.getDouble(3)}")
+  }
+
   test("seasonal profile: a constant series indexes 1.0 on every weekday") {
     val ev = dailyEvents((1 to 14).map(d =>
       ("view", f"2024-01-$d%02d 09:00:00", 5.0)): _*)
