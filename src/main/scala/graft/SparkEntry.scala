@@ -178,7 +178,11 @@ object SparkEntry {
     // (cf. dedup_minhash); DedupSpec pins subset + recall properties
     "lsh_recall"        -> (Dedup.lshRecall(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),
-    "gini_concentration" -> (EventAnalytics.giniConcentration(_, _))
+    "gini_concentration" -> (EventAnalytics.giniConcentration(_, _)),
+    "mixture_plan"      -> (Corpus.mixturePlan(_, _)),
+    "token_len_histogram" -> (Corpus.tokenLenHistogram(_, _)),
+    "dedup_rate_by_source" -> (Dedup.dedupRateBySource(_, _)),
+    "embedding_norm_stats" -> (Similarity.embeddingNormStats(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1938,6 +1942,60 @@ object SparkEntry {
     "mmr_rerank" -> MmrRerankSql,
 
     "ndcg_eval" -> NdcgEvalSql,
+
+    // Integer equal-share targets; slack REPORTED as unfilled.
+    "mixture_plan" ->
+      """WITH a AS (SELECT lang,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |      AS available_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT *, CAST(COUNT(*) OVER () AS BIGINT) AS n_langs FROM a)
+        |SELECT lang, available_tokens,
+        |  least(available_tokens, 100000 // n_langs) AS target_tokens,
+        |  (100000 // n_langs) - least(available_tokens, 100000 // n_langs) AS unfilled,
+        |  floor(CAST(least(available_tokens, 100000 // n_langs) AS DOUBLE)
+        |    / CAST(available_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4 AS sample_frac
+        |FROM w ORDER BY lang""".stripMargin,
+
+    // Power-of-two buckets via binary-string length — no libm log2.
+    "token_len_histogram" ->
+      """WITH t AS (SELECT
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT CASE WHEN n > 0 THEN CAST(length(bin(n)) AS INT) ELSE 0 END
+        |        AS bucket, n FROM t)
+        |SELECT bucket,
+        |  CAST(1 AS BIGINT) << (bucket - 1) AS bucket_lo,
+        |  (CAST(1 AS BIGINT) << bucket) - 1 AS bucket_hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(n) AS BIGINT) AS min_tokens,
+        |  CAST(MAX(n) AS BIGINT) AS max_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // keep-first (min doc_id per sha256) dup flag, per-source rate.
+    "dedup_rate_by_source" ->
+      """WITH h AS (SELECT doc_id, source, sha256(text) AS h FROM documents),
+        |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keep_id FROM h)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+        |  floor(CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS dup_rate
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // Sequential index-order fold for the squared norm (libm-free);
+    // 1e-6-quantized so min/max/mean are exact.
+    "embedding_norm_stats" ->
+      """WITH q AS (SELECT CAST(label AS INT) AS label,
+        |    CAST(floor(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x * x), (a, b) -> a + b) * 1e6 + 0.5) AS BIGINT) AS qn2
+        |  FROM embeddings)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(qn2) AS DOUBLE) / 1e6 AS min_norm2,
+        |  CAST(MAX(qn2) AS DOUBLE) / 1e6 AS max_norm2,
+        |  floor(CAST(SUM(qn2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4
+        |    AS mean_norm2
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
 
     // One conditional aggregate for both days; Δtotal as a window over
     // the bounded type frame; shares additive in exact micros.

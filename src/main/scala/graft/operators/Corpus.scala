@@ -526,4 +526,62 @@ object Corpus {
 
   def prefixCacheGroups(spark: SparkSession, dir: String): DataFrame =
     prefixCacheGroupsOf(Tables.documents(spark, dir))
+
+  /** Mixture plan: given a total token `budget`, the per-language
+    * sampling fraction that yields a UNIFORM language mix — the
+    * planning table [[mixSourcesOf]] then executes. Each language's
+    * target is min(available, budget div n_langs) (integer division —
+    * a language short of its equal share contributes all it has; the
+    * slack is REPORTED as `unfilled`, not silently reassigned, so the
+    * plan stays one deterministic pass). One token aggregate on the
+    * bounded lang key; n_langs rides a window over that frame; one
+    * division per row, rounded 4 dp.
+    */
+  def mixturePlanOf(docs: DataFrame, budget: Long = 100000L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val all = Window.partitionBy(lit(1))
+    docs
+      .select(col("lang"), TextF.tokenCount(col("text")).cast("long").as("t"))
+      .groupBy("lang")
+      .agg(sum("t").as("available_tokens"))
+      .withColumn("n_langs", count(lit(1)).over(all))
+      .select(col("lang"), col("available_tokens"),
+        least(col("available_tokens"), expr(s"$budget div n_langs"))
+          .as("target_tokens"),
+        (expr(s"$budget div n_langs") -
+          least(col("available_tokens"), expr(s"$budget div n_langs")))
+          .as("unfilled"),
+        TextF.round4HalfUp(
+          least(col("available_tokens"), expr(s"$budget div n_langs"))
+            .cast("double") / col("available_tokens").cast("double"))
+          .as("sample_frac"))
+      .orderBy("lang")
+  }
+
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame =
+    mixturePlanOf(Tables.documents(spark, dir))
+
+  /** Token-count histogram on power-of-two buckets (bucket =
+    * ⌊log₂ n⌋ + 1 via the BINARY-STRING LENGTH — no libm log): the
+    * length-distribution view that sizes [[lengthBatchingOf]]'s
+    * buckets and [[chunkDocsOf]]'s windows. Map-side bucket + one
+    * bounded aggregate. Empty docs (0 tokens… impossible under the
+    * tokenizer's trim, but NULL-safe) land in bucket 0. */
+  def tokenLenHistogramOf(docs: DataFrame): DataFrame = {
+    val n = TextF.tokenCount(col("text")).cast("long")
+    docs
+      .select(when(n > 0, length(bin(n))).otherwise(0).as("bucket"), n.as("t"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("total_tokens"),
+        min("t").as("min_tokens"), max("t").as("max_tokens"))
+      .select(col("bucket"),
+        expr("shiftleft(1L, bucket - 1)").as("bucket_lo"),
+        (expr("shiftleft(1L, bucket)") - 1L).as("bucket_hi"),
+        col("n_docs"), col("total_tokens"), col("min_tokens"),
+        col("max_tokens"))
+      .orderBy("bucket")
+  }
+
+  def tokenLenHistogram(spark: SparkSession, dir: String): DataFrame =
+    tokenLenHistogramOf(Tables.documents(spark, dir))
 }

@@ -429,4 +429,31 @@ object Dedup {
 
   def lshRecall(spark: SparkSession, dir: String): DataFrame =
     lshRecallOf(Tables.documents(spark, dir))
+
+  /** Per-source exact-duplicate rate under [[dedupExact]]'s keep-first
+    * (min doc_id per sha256) contract — the per-source quality number
+    * behind [[dupMatrixOf]]'s cross-source view: a crawl source with a
+    * 30% self-duplication rate gets its mixture weight cut before
+    * training. One shuffle on the content hash (the keep-id window),
+    * then a bounded source aggregate; rate divides once, 4 dp half-up.
+    */
+  def dedupRateBySourceOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy("h")
+    docs
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+      .withColumn("keep_id", min("doc_id").over(byHash))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .as("n_dupes"))
+      .select(col("source"), col("n_docs"), col("n_dupes"),
+        graft.functions.TextF.round4HalfUp(
+          col("n_dupes").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
+  def dedupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    dedupRateBySourceOf(Tables.documents(spark, dir))
 }

@@ -552,4 +552,32 @@ object Similarity {
 
   def ndcgEval(spark: SparkSession, dir: String): DataFrame =
     ndcgEvalOf(Tables.embeddings(spark, dir))
+
+  /** Per-label squared-norm profile of the embedding column — the
+    * degenerate-vector check an embedding pipeline runs before any
+    * cosine work (an all-zero or exploding-norm cluster poisons both
+    * ANN and k-means silently). ‖x‖² per row is a SEQUENTIAL fold in
+    * index order (both engines fold identically; no sqrt — squared
+    * form is libm-free), quantized to a 1e-6 integer so min/max/mean
+    * are exact; the mean divides once, 4 dp half-up. Map-side
+    * projection + one bounded label aggregate. */
+  def embeddingNormStatsOf(embeddings: DataFrame): DataFrame = {
+    val qn2 = floor(aggregate(col("embedding").cast("array<double>"),
+      lit(0.0), (acc, x) => acc + x * x) * 1e6 + 0.5).cast("long")
+    embeddings
+      .select(col("label").cast("int").as("label"), qn2.as("qn2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("qn2").as("qmin"), max("qn2").as("qmax"),
+        sum("qn2").as("qsum"))
+      .select(col("label"), col("n"),
+        (col("qmin").cast("double") / 1e6).as("min_norm2"),
+        (col("qmax").cast("double") / 1e6).as("max_norm2"),
+        graft.functions.TextF.round4HalfUp(
+          col("qsum").cast("double") / col("n").cast("double") / lit(1e6))
+          .as("mean_norm2"))
+      .orderBy("label")
+  }
+
+  def embeddingNormStats(spark: SparkSession, dir: String): DataFrame =
+    embeddingNormStatsOf(Tables.embeddings(spark, dir))
 }

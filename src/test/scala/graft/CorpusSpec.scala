@@ -260,4 +260,30 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     bySource.values.foreach(splits => assert(splits.length == 1))
     assert(out.map(_.getString(3)).toSet.subsetOf(Set("train", "val", "test")))
   }
+
+  test("mixture plan gives every language its equal share or all it has") {
+    val docs = Seq(
+      (1L, "en", Seq.fill(100)("t").mkString(" ")),
+      (2L, "de", Seq.fill(10)("t").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.mixturePlanOf(docs, budget = 40).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // equal share = 40 div 2 = 20
+    assert(out("en") == ((100L, 20L, 0L, 0.2)), s"got $out")
+    assert(out("de") == ((10L, 10L, 10L, 1.0)),
+      "a short language contributes everything; the slack is reported")
+  }
+
+  test("token length histogram buckets by powers of two") {
+    val docs = Seq(
+      (1L, "a b c"),             // 3 tokens → bucket 2 ([2, 3])
+      (2L, "a b"),               // 2 tokens → bucket 2
+      (3L, Seq.fill(8)("t").mkString(" ")))  // 8 → bucket 4 ([8, 15])
+      .toDF("doc_id", "text")
+    val out = Corpus.tokenLenHistogramOf(docs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(2) == ((2L, 3L, 2L)), s"got $out")
+    assert(out(4) == ((8L, 15L, 1L)))
+  }
 }

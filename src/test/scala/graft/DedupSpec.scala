@@ -338,4 +338,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val expected = math.floor(lsh.size.toDouble / exact.size * 1e4 + 0.5) / 1e4
     assert(r.getDouble(4) == expected)
   }
+
+  test("per-source dup rate counts non-first copies under keep-first") {
+    val docs = Seq(
+      (1L, "A", "same text"), (2L, "A", "same text"), (3L, "A", "unique a"),
+      (4L, "B", "same text"),  // cross-source copy still counts as a dupe
+      (5L, "B", "unique b"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.Dedup.dedupRateBySourceOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out("A") == ((3L, 1L, 0.3333)), s"got $out")
+    assert(out("B") == ((2L, 1L, 0.5)),
+      "doc 4 duplicates doc 1 (the global keep), so source B carries it")
+  }
 }

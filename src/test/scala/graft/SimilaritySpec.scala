@@ -260,4 +260,17 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(out == Map(1 -> 2L), "label 5 must drop out, not score 0")
   }
+
+  test("embedding norm stats: unit, zero, and scaled vectors report exact norms") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.0f, 0.0f), 1),   // degenerate zero vector surfaces as 0
+      (2L, Array(3.0f, 4.0f), 2))   // 3-4-5: norm2 = 25
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingNormStatsOf(embs).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1) == ((2L, 0.0, 1.0, 0.5)), s"got $out")
+    assert(out(2) == ((1L, 25.0, 25.0, 25.0)))
+  }
 }
