@@ -403,4 +403,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         "a fact with no dimension row must survive with NULL attributes, not vanish")
     } finally query.stop()
   }
+
+  test("StreamingTopK maintains exact per-group top-k on MapState across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val events = input.toDF().toDF("event_type", "ts", "user_id")
+    val query = graft.streaming.StreamingTopK.topUsers(events, k = 2).writeStream
+      .format("memory").queryName("topk_test").outputMode("append").start()
+    try {
+      input.addData(("click", ts("10:00"), 1L), ("click", ts("10:01"), 1L),
+        ("click", ts("10:02"), 2L), ("view", ts("10:03"), 9L))
+      query.processAllAvailable()
+      // batch 2 flips the click leader and grows a third candidate
+      input.addData(("click", ts("10:10"), 2L), ("click", ts("10:11"), 2L),
+        ("click", ts("10:12"), 3L))
+      query.processAllAvailable()
+      val rows = spark.table("topk_test").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      // final snapshot per group = max seq
+      val lastSeq = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val finalTop = rows.filter(r => r._2 == lastSeq(r._1))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(t => (t._4, t._5)).toSeq).toMap
+      assert(finalTop("click") == Seq((2L, 3L), (1L, 2L)),
+        s"user 2 overtakes with 3 clicks: $finalTop")
+      assert(finalTop("view") == Seq((9L, 1L)),
+        "a group with fewer than k users reports what it has")
+      // batch-1 snapshot must show the old leader (tie 2-1 broken... user 1
+      // leads 2 clicks to 1)
+      val firstClick = rows.filter(r => r._1 == "click" && r._2 == 1L)
+        .sortBy(_._3).map(t => (t._4, t._5)).toSeq
+      assert(firstClick == Seq((1L, 2L), (2L, 1L)))
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
