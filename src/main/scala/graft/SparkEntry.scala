@@ -182,7 +182,10 @@ object SparkEntry {
     "mixture_plan"      -> (Corpus.mixturePlan(_, _)),
     "token_len_histogram" -> (Corpus.tokenLenHistogram(_, _)),
     "dedup_rate_by_source" -> (Dedup.dedupRateBySource(_, _)),
-    "embedding_norm_stats" -> (Similarity.embeddingNormStats(_, _))
+    "embedding_norm_stats" -> (Similarity.embeddingNormStats(_, _)),
+    // rows-only: sketch estimates are engine-specific internals
+    // (cf. approx_distinct_users); AlertsSpec bands every level vs exact
+    "hll_rollup"        -> (CtrAlerts.hllRollup(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles

@@ -149,6 +149,44 @@ object CtrAlerts {
       .agg(approx_count_distinct("user_id", 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** Sketch ROLLUP: distinct-user estimates at (type, day), (type),
+    * and total level where every level above the leaves is a UNION OF
+    * SKETCHES, not a rescan — the pattern that makes distinct-count
+    * dashboards affordable at 100 TB (exact COUNT(DISTINCT) at three
+    * grains is three fact shuffles carrying every distinct value;
+    * [[approxDistinctUsers]]'s single-level approx still rescans per
+    * grain). ONE fact-scale shuffle builds the leaf
+    * `hll_sketch_agg(user_id)` sketches; `hll_union_agg` folds the
+    * kilobyte sketch column upward twice. Estimates are
+    * engine-specific sketch internals → rows-only gate + the
+    * AlertsSpec ±5%-of-exact bands at every level.
+    */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame =
+    hllRollupOf(Tables.events(spark, dir))
+
+  /** See [[hllRollup]]; operates on any events frame. */
+  def hllRollupOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .localCheckpoint(false) // leaves + both rollup levels read it
+    val leafEst = daily.select(lit("type_day").as("level"), col("event_type"),
+      col("day"), expr("hll_sketch_estimate(sk)").as("approx_users"))
+    val byType = daily.groupBy("event_type")
+      .agg(expr("hll_union_agg(sk)").as("sk"))
+      .select(lit("type").as("level"), col("event_type"),
+        lit(null).cast("date").as("day"),
+        expr("hll_sketch_estimate(sk)").as("approx_users"))
+    val total = daily.agg(expr("hll_union_agg(sk)").as("sk"))
+      .select(lit("total").as("level"),
+        lit(null).cast("string").as("event_type"),
+        lit(null).cast("date").as("day"),
+        expr("hll_sketch_estimate(sk)").as("approx_users"))
+    leafEst.unionByName(byType).unionByName(total)
+      .orderBy("level", "event_type", "day")
+  }
+
   /** Per-app alert report formatting (native_CTR_alerts.py:273-322):
     * group alert lines by app into one text blob. Numeric values are
     * kept out of the text so the blob is float-formatting independent. */

@@ -89,4 +89,30 @@ class AlertsSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
     }
   }
+
+  test("hll rollup: every level's estimate bands within 5% of exact, unions never rescan") {
+    val out = CtrAlerts.hllRollup(spark, Sf).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getDate(2)).map(_.toString)) -> r.getLong(3)).toMap
+    val ev = Tables.events(spark, Sf)
+    val exactTotal = ev.select("user_id").distinct().count()
+    val totalEst = out(("total", None, None))
+    assert(math.abs(totalEst - exactTotal).toDouble / exactTotal <= 0.05,
+      s"total: $totalEst vs $exactTotal")
+    val exactByType = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactByType.foreach { case (t, e) =>
+      val a = out(("type", Some(t), None))
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"type $t: $a vs $e")
+    }
+    // spot-check one leaf
+    val leaf = out.keys.find(_._1 == "type_day").get
+    val exactLeaf = ev.filter(col("event_type") === leaf._2.get &&
+      to_date(col("ts")) === leaf._3.get)
+      .select("user_id").distinct().count()
+    val leafEst = out(leaf)
+    assert(math.abs(leafEst - exactLeaf).toDouble / math.max(exactLeaf, 1) <= 0.1,
+      s"leaf $leaf: $leafEst vs $exactLeaf")
+  }
 }

@@ -261,6 +261,27 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(1 -> 2L), "label 5 must drop out, not score 0")
   }
 
+  test("MmrKernel.cos6 is bit-identical to the codegen cosine on real embeddings") {
+    // The in-group greedy relies on this equality — a one-ulp drift
+    // would silently desync the mmr_rerank oracle.
+    val e = Tables.embeddings(spark, Sf).limit(40)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val viaExpr = e.select(col("vec_id").as("a_id"), col("emb").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("emb").as("b")))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        floor(VectorF.cosineSim(col("a"), col("b")) * 1e6 + 0.5)
+          .cast("long").as("q6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    viaExpr.foreach { case ((a, b), q) =>
+      assert(graft.operators.MmrKernel.cos6(vecs(a), vecs(b)) == q,
+        s"pair ($a,$b)")
+    }
+    assert(viaExpr.size == 40 * 39 / 2)
+  }
+
   test("embedding norm stats: unit, zero, and scaled vectors report exact norms") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f), 1),
