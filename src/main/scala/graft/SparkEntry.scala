@@ -185,7 +185,10 @@ object SparkEntry {
     "embedding_norm_stats" -> (Similarity.embeddingNormStats(_, _)),
     // rows-only: sketch estimates are engine-specific internals
     // (cf. approx_distinct_users); AlertsSpec bands every level vs exact
-    "hll_rollup"        -> (CtrAlerts.hllRollup(_, _))
+    "hll_rollup"        -> (CtrAlerts.hllRollup(_, _)),
+    "label_noise"       -> (Similarity.labelNoise(_, _)),
+    "ship_lag_percentiles" -> (Report.shipLagPercentiles(_, _)),
+    "category_collapse" -> (EventAnalytics.categoryCollapse(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1945,6 +1948,57 @@ object SparkEntry {
     "mmr_rerank" -> MmrRerankSql,
 
     "ndcg_eval" -> NdcgEvalSql,
+
+    // Leave-one-out kNN votes under the rounded-cosine order; the
+    // challenger argmax ties to the smallest label (knn_classify's
+    // contract); suspects have at most 1 agreeing neighbor.
+    "label_noise" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |           FROM embeddings),
+        |s AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+        |        e.vec_id AS n_id, e.label AS n_label,
+        |        ROUND(list_cosine_similarity(q.emb, e.emb), 6) AS cos
+        |      FROM e q JOIN e ON e.vec_id <> q.vec_id),
+        |r AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, n_id) AS rn FROM s) WHERE rn <= 5),
+        |v AS (SELECT q_id, q_label, n_label, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM r GROUP BY 1, 2, 3),
+        |a AS (SELECT q_id, cnt AS n_agree FROM v WHERE n_label = q_label),
+        |c AS (SELECT q_id, q_label, n_label AS challenger_label,
+        |        cnt AS challenger_votes,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id
+        |          ORDER BY cnt DESC, n_label) AS rc
+        |      FROM v WHERE n_label <> q_label)
+        |SELECT c.q_id, CAST(c.q_label AS INT) AS label,
+        |  COALESCE(a.n_agree, 0) AS n_agree,
+        |  CAST(c.challenger_label AS INT) AS challenger_label,
+        |  c.challenger_votes
+        |FROM c LEFT JOIN a USING (q_id)
+        |WHERE rc = 1 AND COALESCE(a.n_agree, 0) <= 1 ORDER BY q_id""".stripMargin,
+
+    // Integer day lags; one array-quantile per group on exact operands.
+    "ship_lag_percentiles" ->
+      """WITH j AS (SELECT o_orderpriority,
+        |    (l_shipdate::DATE - o_orderdate::DATE) AS lag
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority,
+        |  ROUND(quantile_cont(CAST(lag AS DOUBLE), 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(CAST(lag AS DOUBLE), 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(CAST(lag AS DOUBLE), 0.99), 4) AS p99,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Frequency-ranked keep-top mapping, (n DESC, item) tiebreak.
+    "category_collapse" ->
+      """WITH i AS (SELECT
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM i GROUP BY 1),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, item) AS INT)
+        |        AS rank FROM g)
+        |SELECT item, n, rank,
+        |  CASE WHEN rank <= 10 THEN CAST(item AS VARCHAR) ELSE 'OTHER' END AS encoded
+        |FROM r ORDER BY item""".stripMargin,
 
     // Integer equal-share targets; slack REPORTED as unfilled.
     "mixture_plan" ->

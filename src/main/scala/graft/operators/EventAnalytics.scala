@@ -478,6 +478,36 @@ object EventAnalytics {
   def giniConcentration(spark: SparkSession, dir: String): DataFrame =
     giniConcentrationOf(Tables.events(spark, dir))
 
+  /** Rare-category collapse mapping: keep the `keepTop` most frequent
+    * item values, map everything else to OTHER — the cardinality cap a
+    * feature pipeline applies before one-hot/target encoding (the long
+    * tail would otherwise mint a column per typo). Emits the full
+    * mapping TABLE (item → encoded, with frequency and rank) rather
+    * than re-writing facts: the map is the reusable artifact, and
+    * joining it back is [[targetEncodeOf]]'s AQE-broadcast shape.
+    * Rank ties break on the item id — deterministic cut.
+    *
+    * One map-side-combinable fact aggregate on the bounded item key;
+    * the rank is a window over that bounded frame. */
+  def categoryCollapseOf(events: DataFrame, keepTop: Int = 10): DataFrame = {
+    require(keepTop > 0, s"keepTop must be positive, got $keepTop")
+    val byFreq = Window.partitionBy(lit(1))
+      .orderBy(col("n").desc, col("item"))
+    events
+      .select(coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("item"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(byFreq))
+      .select(col("item"), col("n"), col("rank"),
+        when(col("rank") <= keepTop, col("item").cast("string"))
+          .otherwise(lit("OTHER")).as("encoded"))
+      .orderBy("item")
+  }
+
+  def categoryCollapse(spark: SparkSession, dir: String): DataFrame =
+    categoryCollapseOf(Tables.events(spark, dir))
+
   /** Leave-one-out mean-target encoding of the item key against the
     * event value (the feature-engineering step that replaces a
     * high-cardinality categorical with its outcome mean WITHOUT

@@ -183,6 +183,35 @@ object Report {
         col("line_count"))
       .orderBy("l_returnflag")
 
+  /** Order-to-ship lag percentiles per priority: exact p50/p90/p99 of
+    * `l_shipdate − o_orderdate` in whole days — the fulfillment SLA
+    * report over the fact⋈fact join. Lags are exact integers (datediff
+    * of date-truncated timestamps), so the ONE array-percentile
+    * aggregate ([[earningsPercentiles]]'s single-buffer move)
+    * interpolates on exact operands. The join shuffles both facts on
+    * the order key; the aggregate is bounded by the priority
+    * vocabulary and combines map-side.
+    */
+  def shipLagPercentiles(spark: SparkSession, dir: String): DataFrame =
+    shipLagPercentilesOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  /** See [[shipLagPercentiles]]. */
+  def shipLagPercentilesOf(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("odate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), datediff(col("ship"), col("odate")).as("lag"))
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(lag, array(0.5D, 0.9D, 0.99D))").as("ps"),
+        count(lit(1)).as("n_lines"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p90"),
+        round(element_at(col("ps"), 3), 4).as("p99"),
+        col("n_lines"))
+      .orderBy("o_orderpriority")
+
   /** Sketched percentile distribution — the 100 TB path next to
     * [[earningsPercentiles]]: exact `percentile` buffers every group
     * value on one reducer, while `approx_percentile` keeps a

@@ -21,7 +21,7 @@ import graft.sources.Tables
   * so results are bit-identical to the codegen expression, then the
   * same ⌊c·1e6 + ½⌋ quantization the MMR contract fixes. Top-level
   * object: flatMapGroups closures serialize a stable reference. */
-private[operators] object MmrKernel extends Serializable {
+private[graft] object MmrKernel extends Serializable {
   def cos6(x: Array[Double], y: Array[Double]): Long = {
     val n = math.min(x.length, y.length)
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
@@ -580,4 +580,53 @@ object Similarity {
 
   def embeddingNormStats(spark: SparkSession, dir: String): DataFrame =
     embeddingNormStatsOf(Tables.embeddings(spark, dir))
+
+  /** Label-noise suspects (confident-learning-lite): points whose k
+    * nearest neighbors vote AGAINST their own label — the
+    * training-data QA pass that catches mislabeled rows before they
+    * poison a classifier ([[knnClassifyOf]] asks "is the space good";
+    * this asks "is the LABEL good"). A point is suspect when at most
+    * `maxAgree` of its k neighbors share its label; output carries the
+    * vote breakdown and the majority challenger (smallest label on
+    * ties — [[knnClassifyOf]]'s argmax contract).
+    *
+    * Shape: every labeled point is a query — the scored stream is the
+    * leave-one-out self-join on the rounded-cosine order
+    * ([[mrrEvalOf]]'s contract, WindowGroupLimit top-k); everything
+    * after the k-cut is k rows per point. */
+  def labelNoiseOf(embeddings: DataFrame, k: Int = 5,
+                   maxAgree: Int = 1): DataFrame = {
+    require(k > 0 && maxAgree >= 0 && maxAgree < k,
+      s"need 0 <= maxAgree < k, got $maxAgree/$k")
+    val e = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("label").as("q_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val votes = q.join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"),
+        round(VectorF.cosineSim(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("q_id", "q_label", "n_label")
+      .agg(count(lit(1)).as("cnt"))
+    val agree = votes.filter(col("n_label") === col("q_label"))
+      .select(col("q_id"), col("cnt").as("n_agree"))
+    val challenger = votes.filter(col("n_label") =!= col("q_label"))
+      .groupBy("q_id", "q_label")
+      .agg(min(struct((-col("cnt")).as("negc"), col("n_label"))).as("c"))
+      .select(col("q_id"), col("q_label"),
+        col("c.n_label").as("challenger_label"),
+        (-col("c.negc")).as("challenger_votes"))
+    challenger.join(agree, Seq("q_id"), "left")
+      .select(col("q_id"), col("q_label").cast("int").as("label"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+        col("challenger_label").cast("int").as("challenger_label"),
+        col("challenger_votes"))
+      .filter(col("n_agree") <= maxAgree)
+      .orderBy("q_id")
+  }
+
+  def labelNoise(spark: SparkSession, dir: String): DataFrame =
+    labelNoiseOf(Tables.embeddings(spark, dir))
 }

@@ -115,4 +115,21 @@ class AlertsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(leafEst - exactLeaf).toDouble / math.max(exactLeaf, 1) <= 0.1,
       s"leaf $leaf: $leafEst vs $exactLeaf")
   }
+
+  test("ship lag percentiles interpolate exact integer day lags per priority") {
+    import spark.implicits._
+    val li = Seq((1L, "2024-01-05"), (1L, "2024-01-11"), (2L, "2024-01-21"))
+      .toDF("l_orderkey", "d").select(col("l_orderkey"),
+        to_timestamp(col("d")).as("l_shipdate"))
+    val ord = Seq((1L, "P1", "2024-01-01"), (2L, "P1", "2024-01-01"))
+      .toDF("o_orderkey", "o_orderpriority", "d")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_timestamp(col("d")).as("o_orderdate"))
+    val out = graft.operators.Report.shipLagPercentilesOf(li, ord).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // lags 4, 10, 20 → p50 = 10, p90 interpolates 10..20 at 0.8 → 18
+    assert(r.getDouble(1) == 10.0 && r.getDouble(2) == 18.0)
+    assert(r.getLong(4) == 3L)
+  }
 }

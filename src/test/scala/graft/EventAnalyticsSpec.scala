@@ -303,6 +303,19 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(skewed.getDouble(3) == 0.25, s"got ${skewed.getDouble(3)}")
   }
 
+  test("category collapse keeps the top-N and maps the tail to OTHER") {
+    import spark.implicits._
+    val ev = (Seq.fill(5)(7L) ++ Seq.fill(3)(9L) ++ Seq.fill(1)(4L))
+      .zipWithIndex
+      .map { case (k, i) => (i.toLong, s"""{"k": $k}""") }
+      .toDF("event_id", "props")
+    val out = EventAnalytics.categoryCollapseOf(ev, keepTop = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(7L) == ((5L, 1, "7")), s"got $out")
+    assert(out(9L) == ((3L, 2, "9")))
+    assert(out(4L) == ((1L, 3, "OTHER")), "the tail collapses")
+  }
+
   test("seasonal profile: a constant series indexes 1.0 on every weekday") {
     val ev = dailyEvents((1 to 14).map(d =>
       ("view", f"2024-01-$d%02d 09:00:00", 5.0)): _*)

@@ -294,4 +294,23 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(out(1) == ((2L, 0.0, 1.0, 0.5)), s"got $out")
     assert(out(2) == ((1L, 25.0, 25.0, 25.0)))
   }
+
+  test("label noise flags a planted mislabel with its challenger, spares clean points") {
+    // Four tight label-1 vectors, one of them mislabeled 2, plus a far
+    // label-3 pair that agrees with itself.
+    val embs = Seq(
+      (0L, Array(1.0f, 0.00f), 1),
+      (1L, Array(0.99f, 0.01f), 1),
+      (2L, Array(0.98f, 0.02f), 1),
+      (3L, Array(0.97f, 0.03f), 2),  // the planted noise
+      (4L, Array(0.0f, 1.0f), 3),
+      (5L, Array(0.01f, 1.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoiseOf(embs, k = 3, maxAgree = 0).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getInt(3))).toMap
+    assert(out.contains(3L), s"the mislabel must surface: $out")
+    assert(out(3L) == ((2, 0L, 1)), "zero agreeing neighbors, challenger label 1")
+    assert(!out.contains(0L) && !out.contains(4L),
+      "points whose neighbors agree must not be flagged")
+  }
 }
