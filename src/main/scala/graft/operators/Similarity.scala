@@ -593,7 +593,10 @@ object Similarity {
     * Shape: every labeled point is a query — the scored stream is the
     * leave-one-out self-join on the rounded-cosine order
     * ([[mrrEvalOf]]'s contract, WindowGroupLimit top-k); everything
-    * after the k-cut is k rows per point. */
+    * after the k-cut is k rows per point. This pass is O(n²) BY
+    * DESIGN (exact audit); past ~10⁶ labeled points, feed it the
+    * LSH/IVF candidate pairs ([[annLsh]]/[[annIvf]]) instead of the
+    * full cross — the vote logic is unchanged. */
   def labelNoiseOf(embeddings: DataFrame, k: Int = 5,
                    maxAgree: Int = 1): DataFrame = {
     require(k > 0 && maxAgree >= 0 && maxAgree < k,
@@ -610,6 +613,10 @@ object Similarity {
       .filter(col("rn") <= k)
       .groupBy("q_id", "q_label", "n_label")
       .agg(count(lit(1)).as("cnt"))
+      // agree + challenger both read it — unmaterialized, the O(n²)
+      // scored subtree would re-plan (and re-execute) per consumer
+      // (caught by PlanSpec's BNLJ count)
+      .localCheckpoint(false)
     val agree = votes.filter(col("n_label") === col("q_label"))
       .select(col("q_id"), col("cnt").as("n_agree"))
     val challenger = votes.filter(col("n_label") =!= col("q_label"))

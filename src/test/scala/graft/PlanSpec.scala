@@ -335,6 +335,57 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("round-8 second tranche: bounded crosses only, equijoins everywhere else") {
+    for ((df, allowed) <- Seq(
+      (graft.operators.EventAnalytics.topPaths(spark, Sf), 0),
+      (graft.operators.EventAnalytics.targetEncode(spark, Sf), 1),  // 1-row μ
+      (graft.operators.EventAnalytics.seasonalOutliers(spark, Sf), 0),
+      (graft.operators.EventAnalytics.changeContrib(spark, Sf), 1), // 1-row rd
+      (graft.operators.EventAnalytics.giniConcentration(spark, Sf), 0),
+      (graft.operators.EventAnalytics.categoryCollapse(spark, Sf), 0),
+      (graft.operators.Corpus.mixturePlan(spark, Sf), 0),
+      (graft.operators.Corpus.tokenLenHistogram(spark, Sf), 0),
+      (Dedup.dupMatrix(spark, Sf), 0),
+      (Dedup.dedupRateBySource(spark, Sf), 0),
+      (CorpusStats.vocabOverlap(spark, Sf), 0),
+      (CorpusStats.termKeyness(spark, Sf), 1),                      // 1-row totals
+      (Similarity.embeddingNormStats(spark, Sf), 0),
+      (graft.operators.Robust.robustScaler(spark, Sf), 0),
+      (graft.operators.Report.shipLagPercentiles(spark, Sf), 0),
+      (CtrAlerts.hllRollup(spark, Sf), 0))) {
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= allowed,
+        s"unexpected nested loop (allowed $allowed):\n$p")
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"cartesian product:\n$p")
+    }
+    // label_noise checkpoints its vote frame (two consumers), which
+    // hides the scored subtree behind an RDD-scan boundary — pin the
+    // subtree BELOW the checkpoint by rebuilding it: the O(n²)
+    // self-join is ONE bounded BNLJ and the k-cut is a WindowGroupLimit.
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val scored = e.select(org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_emb"))
+      .join(e, org.apache.spark.sql.functions.col("vec_id") =!=
+        org.apache.spark.sql.functions.col("q_id"))
+      .select(org.apache.spark.sql.functions.col("q_id"),
+        org.apache.spark.sql.functions.col("vec_id").as("n_id"),
+        org.apache.spark.sql.functions.round(graft.functions.VectorF.cosineSim(
+          org.apache.spark.sql.functions.col("q_emb"),
+          org.apache.spark.sql.functions.col("embedding")), 6).as("cos"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(org.apache.spark.sql.functions.col("cos").desc,
+            org.apache.spark.sql.functions.col("n_id"))))
+      .filter(org.apache.spark.sql.functions.col("rn") <= 5)
+    val lp = plan(scored)
+    assert(lp.collect { case j: BroadcastNestedLoopJoinExec => j }.length == 1)
+    assert(lp.collect { case w: WindowGroupLimitExec => w }.nonEmpty)
+    // above the boundary nothing may grow a nested loop
+    val ln = plan(Similarity.labelNoise(spark, Sf))
+    assert(ln.collect { case j: CartesianProductExec => j }.isEmpty)
+  }
+
   test("funnel and behavior queries never plan a fact-by-fact nested loop") {
     // funnelSteps and itemAffinity are each allowed exactly one BNLJ:
     // the cross with a 1-row totals frame (collocations' pattern).
