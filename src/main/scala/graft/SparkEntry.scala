@@ -188,7 +188,9 @@ object SparkEntry {
     "hll_rollup"        -> (CtrAlerts.hllRollup(_, _)),
     "label_noise"       -> (Similarity.labelNoise(_, _)),
     "ship_lag_percentiles" -> (Report.shipLagPercentiles(_, _)),
-    "category_collapse" -> (EventAnalytics.categoryCollapse(_, _))
+    "category_collapse" -> (EventAnalytics.categoryCollapse(_, _)),
+    "triangle_count"    -> (Graph.triangleCount(_, _)),
+    "cusum_changepoint" -> (EventAnalytics.cusumChangepoint(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1948,6 +1950,51 @@ object SparkEntry {
     "mmr_rerank" -> MmrRerankSql,
 
     "ndcg_eval" -> NdcgEvalSql,
+
+    // Low->high oriented wedges closed by the third edge: each
+    // triangle generated once; corners explode for per-node counts.
+    "triangle_count" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         item AS dst
+        |  FROM base),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM tr WHERE src IS NOT NULL AND src <> dst),
+        |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e2.a = e1.b),
+        |t AS (SELECT w.a, w.b, w.c FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+        |corners AS (SELECT unnest([a, b, c]) AS item FROM t),
+        |cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM corners GROUP BY 1),
+        |nodes AS (SELECT DISTINCT a AS item FROM e UNION SELECT DISTINCT b FROM e)
+        |SELECT nodes.item, COALESCE(cnt.n, 0) AS n_triangles
+        |FROM nodes LEFT JOIN cnt ON cnt.item = nodes.item
+        |ORDER BY nodes.item""".stripMargin,
+
+    // Exact-integer CUSUM: baseline mean as integer micros, running
+    // deviation sum, first |S| > h*mu0 crossing per type.
+    "cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qrev
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |      FROM daily),
+        |m AS (SELECT *, CAST(floor(
+        |    CAST(SUM(CASE WHEN rn <= 7 THEN qrev END) OVER (PARTITION BY event_type) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN rn <= 7 THEN 1 END) OVER (PARTITION BY event_type) AS DOUBLE)
+        |    + 0.5) AS BIGINT) AS mu0 FROM d),
+        |c AS (SELECT *, CAST(SUM(qrev - mu0) OVER (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |      FROM m),
+        |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS fr
+        |      FROM c WHERE abs(s) > 1 * mu0)
+        |SELECT event_type, day AS changepoint_day,
+        |  floor(CAST(qrev AS DOUBLE) / 100.0 + 0.5) / 1e4 AS revenue,
+        |  floor(CAST(mu0 AS DOUBLE) / 100.0 + 0.5) / 1e4 AS baseline_mean,
+        |  floor(CAST(s AS DOUBLE) / 100.0 + 0.5) / 1e4 AS cusum
+        |FROM f WHERE fr = 1 ORDER BY event_type""".stripMargin,
 
     // Leave-one-out kNN votes under the rounded-cosine order; the
     // challenger argmax ties to the smallest label (knn_classify's

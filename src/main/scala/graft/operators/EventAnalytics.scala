@@ -508,6 +508,51 @@ object EventAnalytics {
   def categoryCollapse(spark: SparkSession, dir: String): DataFrame =
     categoryCollapseOf(Tables.events(spark, dir))
 
+  /** CUSUM changepoint detection per event type: the first day whose
+    * cumulative deviation from the baseline mean exceeds `h` baseline
+    * units — the sequential test that catches a sustained level shift
+    * long before a per-day threshold fires ([[seasonalOutliersOf]]
+    * flags single days; CUSUM flags REGIMES). μ₀ is the integer-micro
+    * mean of the first `baseline` days (floor(Σ/n + ½) — exact), the
+    * statistic S_t = Σ(qrev − μ₀) is an exact running integer sum, and
+    * the threshold compare |S_t| > h·μ₀ is pure int64 — no floats
+    * anywhere until the reported revenue columns.
+    *
+    * ONE fact-scale shuffle to daily totals; baseline mean, running
+    * sum, and the first-crossing MIN all ride windows/aggregates over
+    * the per-type daily frame. Types that never cross emit nothing. */
+  def cusumChangepointOf(events: DataFrame, baseline: Int = 7,
+                         h: Long = 1L): DataFrame = {
+    require(baseline > 0 && h > 0, s"need positive baseline/h, got $baseline/$h")
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    val cum = byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .groupBy("event_type", "day")
+      .agg(sum("qv").as("qrev"))
+      .withColumn("rn", row_number().over(byType))
+      .withColumn("mu0", floor(
+        sum(when(col("rn") <= baseline, col("qrev"))).over(
+          Window.partitionBy("event_type")).cast("double") /
+          sum(when(col("rn") <= baseline, 1L)).over(
+            Window.partitionBy("event_type")).cast("double") + 0.5)
+        .cast("long"))
+      .withColumn("s", sum(col("qrev") - col("mu0")).over(cum))
+    daily
+      .filter(abs(col("s")) > lit(h) * col("mu0"))
+      .groupBy("event_type")
+      .agg(min(struct(col("day"), col("s"), col("qrev"), col("mu0"))).as("f"))
+      .select(col("event_type"), col("f.day").as("changepoint_day"),
+        graft.functions.TextF.microsTo4dp(col("f.qrev")).as("revenue"),
+        graft.functions.TextF.microsTo4dp(col("f.mu0")).as("baseline_mean"),
+        graft.functions.TextF.microsTo4dp(col("f.s")).as("cusum"))
+      .orderBy("event_type")
+  }
+
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame =
+    cusumChangepointOf(Tables.events(spark, dir))
+
   /** Leave-one-out mean-target encoding of the item key against the
     * event value (the feature-engineering step that replaces a
     * high-cardinality categorical with its outcome mean WITHOUT

@@ -131,4 +131,48 @@ object Graph {
 
   def graphDegrees(spark: SparkSession, dir: String): DataFrame =
     graphDegreesOf(Tables.events(spark, dir))
+
+  /** Triangle counting over the UNDIRECTED item graph (clustering
+    * structure: items that co-navigate in closed loops are a
+    * community, not a chain). The classic distributed shape: edges
+    * orient low→high id, so each triangle a<b<c is generated exactly
+    * once as wedge (a→b, b→c) closed by edge (a→c) — the orientation
+    * bounds wedge fan-out by the max ORIENTED degree, the standard fix
+    * for the quadratic hub problem. Per-node triangle counts come from
+    * exploding each found triangle to its three corners; nodes in no
+    * triangle report 0 via the left join to the node set.
+    *
+    * Everything after the fact→edge collapse is vocabulary-bounded:
+    * wedge join + closure join are equijoins on edge endpoints. */
+  def triangleCountOf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val und = events
+      .select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("src", lag("item", 1).over(byUser))
+      .filter(col("src").isNotNull && col("src") =!= col("item"))
+      .select(least(col("src"), col("item")).as("a"),
+        greatest(col("src"), col("item")).as("b"))
+      .distinct()
+      .localCheckpoint(false) // wedge side ×2 + closure side + node set
+    val wedges = und.select(col("a"), col("b"))
+      .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val triangles = wedges
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .localCheckpoint(false) // per-corner explode + global count
+    val corners = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_triangles"))
+    val nodes = und.select(col("a").as("item"))
+      .union(und.select(col("b").as("item"))).distinct()
+    nodes.join(corners, Seq("item"), "left")
+      .select(col("item"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("item")
+  }
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCountOf(Tables.events(spark, dir))
 }

@@ -316,6 +316,25 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out(4L) == ((1L, 3, "OTHER")), "the tail collapses")
   }
 
+  test("cusum flags the first day the cumulative shift crosses the baseline unit") {
+    // 7 baseline days at 10, then a sustained shift to 30: S jumps to
+    // +20 on day 8 (> 1·μ0 = 10) — the regime change, not a single spike.
+    val ev = dailyEvents((1 to 9).map { d =>
+      ("click", f"2024-01-$d%02d 10:00:00", if (d <= 7) 10.0 else 30.0)
+    }: _*)
+    val out = EventAnalytics.cusumChangepointOf(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDate(1).toString == "2024-01-08", s"got $r")
+    assert(r.getDouble(2) == 30.0 && r.getDouble(3) == 10.0 && r.getDouble(4) == 20.0)
+  }
+
+  test("cusum stays silent on a stationary series") {
+    val ev = dailyEvents((1 to 14).map(d =>
+      ("view", f"2024-01-$d%02d 10:00:00", 5.0)): _*)
+    assert(EventAnalytics.cusumChangepointOf(ev).isEmpty)
+  }
+
   test("seasonal profile: a constant series indexes 1.0 on every weekday") {
     val ev = dailyEvents((1 to 14).map(d =>
       ("view", f"2024-01-$d%02d 09:00:00", 5.0)): _*)

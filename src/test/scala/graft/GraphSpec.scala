@@ -72,4 +72,23 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(out.values.sum < Graph.Scale / 2,
       "with half the graph dangling, total mass must shrink well below 1")
   }
+
+  test("triangles: a 3-cycle counts once at each corner; a path counts none") {
+    val tri = Graph.triangleCountOf(stream(1L, 2L, 3L, 1L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $tri")
+    val path = Graph.triangleCountOf(stream(1L, 2L, 3L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(path == Map(1L -> 0L, 2L -> 0L, 3L -> 0L),
+      "an open wedge is not a triangle")
+  }
+
+  test("triangles: self-loops and repeated transitions never inflate the count") {
+    // 1→1 self loop plus the same 3-cycle traversed twice
+    val out = Graph.triangleCountOf(
+      stream(1L, 1L, 2L, 3L, 1L, 2L, 3L, 1L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "the UNDIRECTED DISTINCT edge set defines the graph")
+  }
 }
