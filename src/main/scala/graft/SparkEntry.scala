@@ -2005,7 +2005,8 @@ object SparkEntry {
         |s AS (SELECT q.vec_id AS q_id, q.label AS q_label,
         |        e.vec_id AS n_id, e.label AS n_label,
         |        ROUND(list_cosine_similarity(q.emb, e.emb), 6) AS cos
-        |      FROM e q JOIN e ON e.vec_id <> q.vec_id),
+        |      FROM e q JOIN e ON e.vec_id <> q.vec_id
+        |      WHERE q.vec_id < 512),
         |r AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
         |        ORDER BY cos DESC, n_id) AS rn FROM s) WHERE rn <= 5),
         |v AS (SELECT q_id, q_label, n_label, CAST(COUNT(*) AS BIGINT) AS cnt
