@@ -190,7 +190,8 @@ object SparkEntry {
     "ship_lag_percentiles" -> (Report.shipLagPercentiles(_, _)),
     "category_collapse" -> (EventAnalytics.categoryCollapse(_, _)),
     "triangle_count"    -> (Graph.triangleCount(_, _)),
-    "cusum_changepoint" -> (EventAnalytics.cusumChangepoint(_, _))
+    "cusum_changepoint" -> (EventAnalytics.cusumChangepoint(_, _)),
+    "personalized_pagerank" -> (Graph.personalizedPagerank(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -401,6 +402,43 @@ object SparkEntry {
       |SELECT CAST(q_label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
       |  floor(CAST(SUM(ndcg6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) / 1e6 AS ndcg
       |FROM p GROUP BY q_label ORDER BY label""".stripMargin
+  }
+
+  /** Personalized-PageRank oracle: [[PagerankSql]]'s unrolled steps
+    * with the teleport term seed-conditional (items < 10) and the
+    * initial mass on the seeds only. */
+  private val PprSql: String = {
+    val step = (k: Int) => s"""it$k AS (
+      |  SELECT n2.item,
+      |    CAST(CASE WHEN n2.item < 10
+      |        THEN 15000000000000 // (100 * (SELECT ns FROM n))
+      |        ELSE 0 END
+      |      + (85 * COALESCE(fl.inflow, 0)) // 100 AS BIGINT) AS rq
+      |  FROM nodes n2 LEFT JOIN (
+      |    SELECT e.dst, CAST(SUM((p.rq * e.w) // o.ow) AS BIGINT) AS inflow
+      |    FROM it${k - 1} p JOIN e ON e.src = p.item JOIN outw o ON o.src = p.item
+      |    GROUP BY 1) fl ON fl.dst = n2.item)""".stripMargin
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+      |         item AS dst
+      |  FROM base),
+      |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM tr
+      |      WHERE src IS NOT NULL GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT src AS item FROM e UNION SELECT DISTINCT dst FROM e),
+      |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM nodes WHERE item < 10),
+      |it0 AS (SELECT item, CAST(CASE WHEN item < 10
+      |          THEN 1000000000000 // (SELECT ns FROM n) ELSE 0 END AS BIGINT) AS rq
+      |        FROM nodes),
+      |""".stripMargin +
+      (1 to 10).map(step).mkString(",\n") + """
+      |SELECT item, rq,
+      |  floor(CAST(rq AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS pr
+      |FROM it10 ORDER BY item""".stripMargin
   }
 
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
@@ -1946,6 +1984,8 @@ object SparkEntry {
         |FROM f GROUP BY q_label ORDER BY label""".stripMargin,
 
     "pagerank" -> PagerankSql,
+
+    "personalized_pagerank" -> PprSql,
 
     "mmr_rerank" -> MmrRerankSql,
 

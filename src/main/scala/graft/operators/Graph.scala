@@ -88,6 +88,69 @@ object Graph {
   def pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerankOf(Tables.events(spark, dir))
 
+  /** Personalized PageRank: [[pagerankOf]]'s exact-integer iteration
+    * with the TELEPORT mass restricted to a seed set (items with id <
+    * `seedBound`) — rank becomes "proximity to the seeds" instead of
+    * global centrality, the random-walk-with-restart behind
+    * item-to-item recommendation ("customers who touch THESE items
+    * navigate to…"). Arithmetic change is exactly one term: the base
+    * is (15·Scale) div (100·|S|) for seeds and ZERO elsewhere; every
+    * determinism/shape argument of [[pagerankOf]] carries over
+    * verbatim. Non-seed sinks still accumulate walk mass; unreachable
+    * nodes decay to exactly 0 (integer floor).
+    */
+  def personalizedPagerankOf(events: DataFrame, seedBound: Long = 10L,
+                             iterations: Int = 10): DataFrame = {
+    require(iterations > 0 && seedBound > 0,
+      s"need positive iterations/seedBound, got $iterations/$seedBound")
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val edges = events
+      .select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("src", lag("item", 1).over(byUser))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("item").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val edgeOut = edges.join(outw, "src").localCheckpoint(false)
+    val nodes = edgeOut.select(col("src").as("item"))
+      .union(edgeOut.select(col("dst").as("item")))
+      .distinct()
+      .localCheckpoint(false)
+    val nSeed = nodes.filter(col("item") < seedBound)
+      .agg(count(lit(1)).as("ns")) // 1 row by construction
+    val base = when(col("item") < seedBound,
+      expr(s"(15 * $Scale) div (100 * ns)")).otherwise(lit(0L))
+    var rank = nodes.crossJoin(broadcast(nSeed))
+      .select(col("item"),
+        when(col("item") < seedBound, expr(s"$Scale div ns"))
+          .otherwise(lit(0L)).as("rq"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iterations) {
+      val inflow = rank
+        .join(edgeOut, rank("item") === edgeOut("src"))
+        .select(col("dst"), expr("(rq * w) div ow").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("inflow"))
+      rank = nodes.crossJoin(broadcast(nSeed))
+        .join(inflow, col("item") === col("dst"), "left")
+        .select(col("item"), col("ns"),
+          coalesce(col("inflow"), lit(0L)).as("infl"))
+        .select(col("item"),
+          (base + expr("(85 * infl) div 100")).as("rq"))
+        .localCheckpoint(false)
+    }
+    rank.select(col("item"), col("rq"),
+      (floor(col("rq").cast("double") / lit(1e12) * lit(1e6) + lit(0.5))
+        / lit(1e6)).as("pr"))
+      .orderBy("item")
+  }
+
+  def personalizedPagerank(spark: SparkSession, dir: String): DataFrame =
+    personalizedPagerankOf(Tables.events(spark, dir))
+
   /** Degree/strength profile of the item-transition graph: per item,
     * distinct out/in neighbors, total out/in transition weight, and
     * how many of its out-edges are reciprocated (the back-and-forth

@@ -91,4 +91,23 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
       "the UNDIRECTED DISTINCT edge set defines the graph")
   }
+
+  test("personalized pagerank confines mass to the seed-reachable component") {
+    import org.apache.spark.sql.functions.col
+    // User A cycles seed 0 with item 50; user B cycles 80/81 — a
+    // component no walk from the seed can reach.
+    val evA = stream(0L, 50L, 0L, 50L, 0L)
+    val evB = stream(80L, 81L, 80L, 81L)
+      .select(col("event_id") + 100L as "event_id",
+        col("user_id") + 1L as "user_id", col("ts"), col("props"))
+    val out = Graph.personalizedPagerankOf(evA.unionByName(evB)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(80L) == 0L && out(81L) == 0L,
+      "unreachable nodes must hold EXACTLY zero mass (integer floor)")
+    assert(out(0L) > 0L && out(50L) > 0L)
+    assert(out(0L) > out(50L), "the seed keeps the teleport mass advantage")
+    val mass = out.values.sum
+    assert(mass > (Graph.Scale * 99) / 100 && mass <= Graph.Scale,
+      s"the seed cycle conserves mass: $mass")
+  }
 }
