@@ -9,7 +9,9 @@ import graft.sources.Tables
 /** Graph analytics over the item-transition graph mined from the event
   * stream (which item do users touch after which — the navigation
   * graph behind "related items"). The connected-components family
-  * lives in [[Components]]; this adds centrality.
+  * lives in [[Components]]; this adds centrality (global and
+  * seed-personalized PageRank), structure (degree/strength/reciprocity
+  * profiles), and clustering (oriented triangle counts).
   *
   * Scale design (100 TB): the fact table collapses to a weighted edge
   * list FIRST (one user-keyed window + one map-side-combinable edge
