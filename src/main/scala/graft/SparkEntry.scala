@@ -191,7 +191,8 @@ object SparkEntry {
     "category_collapse" -> (EventAnalytics.categoryCollapse(_, _)),
     "triangle_count"    -> (Graph.triangleCount(_, _)),
     "cusum_changepoint" -> (EventAnalytics.cusumChangepoint(_, _)),
-    "personalized_pagerank" -> (Graph.personalizedPagerank(_, _))
+    "personalized_pagerank" -> (Graph.personalizedPagerank(_, _)),
+    "weighted_median"   -> (Robust.weightedMedian(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1990,6 +1991,25 @@ object SparkEntry {
     "mmr_rerank" -> MmrRerankSql,
 
     "ndcg_eval" -> NdcgEvalSql,
+
+    // First row of the (value, id) total order where 2*cum >= total —
+    // pure int64, no interpolation contract at all.
+    "weighted_median" ->
+      """WITH q AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv
+        |  FROM events),
+        |w AS (SELECT *,
+        |    CAST(SUM(qv) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |    CAST(SUM(qv) OVER (PARTITION BY event_type ORDER BY qv, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM q),
+        |f AS (SELECT event_type, qv, total,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qv, event_id) AS rn
+        |  FROM w WHERE 2 * cum >= total)
+        |SELECT event_type,
+        |  floor(CAST(qv AS DOUBLE) / 100.0 + 0.5) / 1e4 AS weighted_median,
+        |  floor(CAST(total AS DOUBLE) / 100.0 + 0.5) / 1e4 AS total_value
+        |FROM f WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     // Low->high oriented wedges closed by the third edge: each
     // triangle generated once; corners explode for per-node counts.

@@ -334,4 +334,37 @@ object Robust {
 
   def robustScaler(spark: SparkSession, dir: String): DataFrame =
     robustScalerOf(Tables.orders(spark, dir))
+
+  /** VALUE-weighted median per event type: the event value at which
+    * half the revenue MASS sits below — "the typical dollar's event
+    * size", which a count-median misrepresents whenever many tiny
+    * events carry little of the total ([[madOutliersOf]] medians count
+    * rows; this medians mass). Exact integer path: micro-quantized
+    * values, a cumulative mass window over the (value, event_id) total
+    * order, and the crossing row is the first with 2·cum ≥ total —
+    * pure int64 compares, no interpolation contract to agree on at
+    * all. One fact-scale shuffle on the type key; the total rides the
+    * same partition as an unordered window frame.
+    */
+  def weightedMedianOf(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val ordered = byType.orderBy(col("qv"), col("event_id"))
+    val cum = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .withColumn("total", sum("qv").over(byType))
+      .withColumn("cum", sum("qv").over(cum))
+      .filter(lit(2L) * col("cum") >= col("total"))
+      .groupBy("event_type")
+      .agg(min(struct(col("qv"), col("event_id"))).as("f"),
+        max("total").as("total"))
+      .select(col("event_type"),
+        TextF.microsTo4dp(col("f.qv")).as("weighted_median"),
+        TextF.microsTo4dp(col("total")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame =
+    weightedMedianOf(Tables.events(spark, dir))
 }

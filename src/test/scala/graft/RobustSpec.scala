@@ -168,4 +168,23 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     // P2 constant → IQR 0 → NULL, never ±infinity
     assert(out(6L).isEmpty && out(7L).isEmpty)
   }
+
+  test("weighted median follows the revenue mass, not the row count") {
+    import spark.implicits._
+    // 9 events of 1.0 (9 units) vs one of 100.0: the count-median is 1
+    // but over half the MASS sits in the single whale → median 100.
+    val ev = ((1 to 9).map(i => (i.toLong, "click", 1.0)) :+ (10L, "click", 100.0))
+      .toDF("event_id", "event_type", "value")
+    val out = graft.operators.Robust.weightedMedianOf(ev).collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(1) == 100.0, s"got ${out.head}")
+    assert(out.head.getDouble(2) == 109.0)
+    // exact half: cum(1+2+3) = 6 of 12 → 2·cum = total fires AT the 3
+    // (the LOWER weighted median, the documented crossing rule)
+    val even = Seq((1L, "v", 1.0), (2L, "v", 2.0), (3L, "v", 3.0), (4L, "v", 6.0))
+      .toDF("event_id", "event_type", "value")
+    assert(graft.operators.Robust.weightedMedianOf(even)
+      .collect().head.getDouble(1) == 3.0,
+      "2·cum >= total is first satisfied at the 3-unit event")
+  }
 }
