@@ -192,7 +192,8 @@ object SparkEntry {
     "triangle_count"    -> (Graph.triangleCount(_, _)),
     "cusum_changepoint" -> (EventAnalytics.cusumChangepoint(_, _)),
     "personalized_pagerank" -> (Graph.personalizedPagerank(_, _)),
-    "weighted_median"   -> (Robust.weightedMedian(_, _))
+    "weighted_median"   -> (Robust.weightedMedian(_, _)),
+    "pii_by_source"     -> (Corpus.piiBySource(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -1991,6 +1992,35 @@ object SparkEntry {
     "mmr_rerank" -> MmrRerankSql,
 
     "ndcg_eval" -> NdcgEvalSql,
+
+    // Same planted patterns and RE2/Java-identical regexes as the
+    // pii_redact oracle; per-source incidence + one rounded rate.
+    "pii_by_source" ->
+      """WITH s AS (
+        |  SELECT source, text ||
+        |    CASE WHEN doc_id % 3 > 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+        |      ELSE '' END AS synth
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |    len(regexp_extract_all(synth, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS p,
+        |    len(regexp_extract_all(synth, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS i
+        |  FROM s)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+        |  CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+        |  CAST(SUM(CASE WHEN i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
+        |  CAST(SUM(e + p + i) AS BIGINT) AS total_hits,
+        |  floor(CAST(SUM(e + p + i) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS hits_per_doc
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // First row of the (value, id) total order where 2*cum >= total —
     // pure int64, no interpolation contract at all.

@@ -68,6 +68,51 @@ object Corpus {
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
     piiRedactOf(Tables.documents(spark, dir))
 
+  /** Per-source PII incidence report — the governance DASHBOARD over
+    * [[piiRedactOf]]'s per-doc transform: how many documents in each
+    * source carry each PII class, and the per-doc hit rates, so a
+    * release review sees WHERE contact data concentrates before any
+    * redaction runs. Same planted-pattern construction and the same
+    * RE2/Java-identical regexes as the redactor (one contract, two
+    * views). ONE map-side projection counts all three classes per doc;
+    * one bounded source aggregate; rates divide once, 4 dp half-up.
+    */
+  def piiBySourceOf(docs: DataFrame): DataFrame = {
+    val synth = concat(
+      col("text"),
+      when(col("doc_id") % 3 > 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1")))
+        .otherwise(lit("")))
+    docs
+      .select(col("source"),
+        size(regexp_extract_all(synth, lit(EmailRe), lit(0))).as("e"),
+        size(regexp_extract_all(synth, lit(PhoneRe), lit(0))).as("p"),
+        size(regexp_extract_all(synth, lit(IpRe), lit(0))).as("i"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when(col("p") > 0, 1L).otherwise(0L)).as("docs_with_phone"),
+        sum(when(col("i") > 0, 1L).otherwise(0L)).as("docs_with_ip"),
+        sum(col("e") + col("p") + col("i")).cast("long").as("total_hits"))
+      .select(col("source"), col("n_docs"), col("docs_with_email"),
+        col("docs_with_phone"), col("docs_with_ip"), col("total_hits"),
+        TextF.round4HalfUp(col("total_hits").cast("double")
+          / col("n_docs").cast("double")).as("hits_per_doc"))
+      .orderBy("source")
+  }
+
+  def piiBySource(spark: SparkSession, dir: String): DataFrame =
+    piiBySourceOf(Tables.documents(spark, dir))
+
   /** Benchmark decontamination: a corpus document is contaminated if it
     * shares any token `n`-gram with a benchmark document (here: the
     * `benchSource` slice of the corpus stands in for the eval set).

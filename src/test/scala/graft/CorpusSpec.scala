@@ -286,4 +286,19 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(out(2) == ((2L, 3L, 2L)), s"got $out")
     assert(out(4) == ((8L, 15L, 1L)))
   }
+
+  test("pii-by-source counts planted classes per source with exact rates") {
+    // doc 6 (src A): email (6%3=0? no → 6%3==0 → NO email)... plant by id:
+    // id 1 → email only; id 2 → email+phone; id 5 → ip only (5%3=2→email too).
+    val docs = Seq(
+      (1L, "A", "clean text"),   // email (1%3=1)
+      (2L, "A", "clean text"),   // email (2%3=2) + phone (2%2=0)
+      (3L, "B", "clean text"))   // 3%3=0, 3%2=1, 3%5=3 → nothing
+    val out = Corpus.piiBySourceOf(docs.toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6))).toMap
+    assert(out("A") == ((2L, 2L, 1L, 0L, 3L, 1.5)), s"got $out")
+    assert(out("B") == ((1L, 0L, 0L, 0L, 0L, 0.0)))
+  }
 }
