@@ -1,9 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Prints ONE compact JSON line on stdout
+  * (the driver's contract) and writes the complete record to
+  * `bench_full.json`.
+  *
+  * Why two outputs: the round driver keeps only the LAST ~2000
+  * characters of stdout. 149 queries at full double precision is
+  * ~5 KB — round 7's line outgrew the capture and the round lost its
+  * official bench record (`parsed: null`). So the stdout line is
+  * budgeted to fit the capture: timings rounded to ms, slowest
+  * queries first, the rest summarized by `queries_omitted` and
+  * available in full (all queries, full precision) in
+  * `bench_full.json` which is committed with the repo. Per-run
+  * timings also go to stderr (`BENCHQ name runN secs`) so raw logs
+  * carry everything.
+  *
+  * Each query runs `repeat` times (default 2) and reports the MIN:
+  * round 7 showed 1.7x swings (ann_ivf) that were run-order noise —
+  * page-cache and JIT state from whatever ran before — not plan
+  * changes. Min-of-2 is stable against that without tripling wall
+  * time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (scheduler, codegen compiler, parquet reader
@@ -31,31 +54,60 @@ object Bench {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Materialize every row through the full physical plan —
-      // `df.count()` alone would let Parquet answer from footer
-      // metadata and prune all columns, benchmarking a no-op.
       try {
-        fn(spark, sfDir).queryExecution.toRdd.count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        var best = Double.MaxValue
+        var i = 0
+        while (i < repeat) {
+          val t0 = System.nanoTime()
+          // Materialize every row through the full physical plan —
+          // `df.count()` alone would let Parquet answer from footer
+          // metadata and prune all columns, benchmarking a no-op.
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          val s = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"BENCHQ $name run${i + 1} $s%.3f")
+          if (s < best) best = s
+          i += 1
+          // Queries are independent: drop whatever blocks this run
+          // persisted (cache() / localCheckpoint) so storage doesn't
+          // accumulate across runs and queries and tax later timings.
+          // Outside the timed region either way.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+        timings(name) = best
       } catch { case e: Throwable =>
         // A crashed query must not masquerade as a fast run: no timing
         // entry, an explicit error record, and a nonzero exit below.
         errors(name) = e.getClass.getSimpleName
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
-      // Queries are independent: drop whatever blocks this one
-      // persisted (cache() / localCheckpoint) so storage doesn't
-      // accumulate across 90 queries and tax later timings. Outside
-      // the timed region either way.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
     }
-    val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    // Complete record → file (full precision, insertion order).
+    val fullQs = timings.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":$fullQs,"errors":$es,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    // Compact line → stdout: slowest-first, ms precision, hard budget
+    // under the driver's 2000-char tail capture.
+    def fmt(v: Double): String = f"$v%.3f"
+    val sb = new StringBuilder
+    var omitted = 0
+    val overhead = 180 + es.length + sfDir.length // fixed fields outside the queries map
+    timings.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      val piece = "\"" + k + "\":" + fmt(v)
+      if (sb.length + piece.length + 1 + overhead <= 1800) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(piece)
+      } else omitted += 1
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeat":$repeat,"queries":{$sb},"queries_omitted":$omitted,"full":"bench_full.json","errors":$es,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
