@@ -27,9 +27,15 @@ object TextF {
     " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   /** Token count under BPE-ish pre-tokenization — the corpus-costing
-    * number an LLM-data pipeline budgets by, vs whitespace counting. */
+    * number an LLM-data pipeline budgets by, vs whitespace counting.
+    * Counting-only native scan ([[graft.plans.BpeTokenCount]]): the
+    * composable form `size(regexp_extract_all(text, BpeTokenPattern,
+    * 0))` allocates a string per token just to count them and was the
+    * most allocation-bound map stage in the suite. Oracles keep using
+    * `len(regexp_extract_all(...))` — equivalence is property-tested. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+    graft.plans.ColumnBridge.column(
+      graft.plans.BpeTokenCount(graft.plans.ColumnBridge.expression(text)))
 
   /** Token n-gram shingles joined by a single space. Documents with
     * fewer than n tokens fall back to whole-token shingles — an empty

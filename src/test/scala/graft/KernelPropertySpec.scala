@@ -7,7 +7,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
-import graft.plans.{BootstrapWeights, CharNgramHashes, NormalizeText, ShingleHashes, SortedIntersectSize}
+import graft.plans.{BootstrapWeights, BpeTokenCount, CharNgramHashes, NormalizeText, ShingleHashes, SortedIntersectSize}
 
 /** Property coverage for the pure (no-session) kernels behind the
   * native expressions — scalacheck generates the adversarial inputs
@@ -40,6 +40,31 @@ class KernelPropertySpec extends AnyFunSuite {
     check("form-invariant", Prop.forAll(textGen) { s =>
       val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
       NormalizeText.normalize(nfd) == NormalizeText.normalize(s)
+    })
+  }
+
+  test("BpeTokenCount matches the regex the oracle runs, adversarial unicode included") {
+    // Everything the scanner special-cases: the explicit whitespace
+    // class (VT deliberately excluded), leading-space absorption,
+    // non-Nd numerics (Nl/No), and supplementary-plane letters.
+    val bpeTextGen: Gen[String] = for {
+      n <- Gen.choose(0, 80)
+      chunks <- Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar.map(_.toString),
+        3 -> Gen.oneOf(" ", "  ", "\t", "\n", "\f", "\r", ""),
+        2 -> Gen.oneOf("é", "ß", "中", "٣", "Ⅷ", "½", "!", "@", "-", "'"),
+        1 -> Gen.const("𐐀"))) // Deseret long I (letter, astral)
+    } yield chunks.mkString
+    val pattern = java.util.regex.Pattern.compile(graft.functions.TextF.BpeTokenPattern)
+    def regexCount(s: String): Int = {
+      val m = pattern.matcher(s)
+      var c = 0
+      while (m.find()) c += 1
+      c
+    }
+    val expr = BpeTokenCount(null)
+    check("parity", Prop.forAll(bpeTextGen) { s =>
+      expr.countTokens(org.apache.spark.unsafe.types.UTF8String.fromString(s)) == regexCount(s)
     })
   }
 
