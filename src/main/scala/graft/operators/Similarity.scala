@@ -162,18 +162,46 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** ⌈log₂(n/targetBucket)⌉ clamped to [5, 24] — the plane count that
+    * keeps expected LSH bucket occupancy ≈ targetBucket as the corpus
+    * grows (see [[dedupCosineOf]] for the candidate-budget math). */
+  def cosinePlanesFor(n: Long, targetBucket: Int = 256): Int =
+    math.min(24, math.max(5,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+
   /** Embedding-cosine near-dup: per vector, the nearest neighbor among
     * its LSH bucket plus the hamming-1 buckets (multiprobe on the
     * probe side only — a borderline near-dup flips the planes it sits
-    * closest to, and single-bucket probing misses it). Candidates per
-    * vector stay (planes+1)/2^planes of the data, never O(n). */
-  def dedupCosine(spark: SparkSession, dir: String): DataFrame = {
-    val nPlanes = 5 // 32 buckets
+    * closest to, and single-bucket probing misses it). */
+  def dedupCosine(spark: SparkSession, dir: String): DataFrame =
+    dedupCosineOf(Tables.embeddings(spark, dir))
+
+  /** See [[dedupCosine]]; operates on any (vec_id, embedding) frame.
+    *
+    * The plane count is sized to the DATA, not hardcoded: with
+    * `nPlanes` planes, expected bucket occupancy is n/2^nPlanes and
+    * each vector compares against (nPlanes+1) probed buckets, so the
+    * candidate budget per vector is ≈ (nPlanes+1)·n/2^nPlanes and
+    * total work ≈ n·(nPlanes+1)·targetBucket once
+    * nPlanes = ⌈log₂(n/targetBucket)⌉ — LINEAR in n with a log-factor
+    * probe count, where a fixed plane count degrades to O(n²/2^planes)
+    * (the round-7 scale-killer: 32 buckets forever means 100× data →
+    * 100× occupancy → 10000× pair work per bucket). The floor of 5
+    * keeps small/test corpora on the exact plane set they always had;
+    * the cap of 24 bounds the probe fan-out and keeps the bucket id an
+    * int. At n = 10⁹, nPlanes = 22: ~4M buckets of ~256 vectors,
+    * 23 probes/vector — ~6k candidate comparisons per vector, flat as
+    * the corpus grows. */
+  def dedupCosineOf(embeddings: DataFrame, targetBucket: Int = 256): DataFrame = {
+    // Footer-metadata count when the frame is a bare scan — one cheap
+    // job, and the ONLY driver-side value the plan needs.
+    val n = embeddings.count()
+    val nPlanes = cosinePlanesFor(n, targetBucket)
     val planes = VectorF.hyperplanes(64, nPlanes)
     // Materialized once: both join sides consume it (keyed on probe
     // vs home bucket, so ReuseExchange can't dedupe), and the bucket
     // assignment is nPlanes interpreted-HOF dot products per row.
-    val emb = Tables.embeddings(spark, dir)
+    val emb = embeddings
       .select(col("vec_id"), col("embedding"),
         VectorF.lshBucket(col("embedding"), planes).as("bucket"))
       .localCheckpoint(false)

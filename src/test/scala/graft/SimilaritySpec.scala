@@ -48,6 +48,36 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("cosinePlanesFor keeps bucket occupancy flat as the corpus grows") {
+    // test-scale corpora stay on the historical 32-bucket table
+    assert(Similarity.cosinePlanesFor(500) == 5)
+    assert(Similarity.cosinePlanesFor(5000) == 5)
+    // growth: occupancy n/2^planes stays within [targetBucket/2, targetBucket]
+    for (n <- Seq(1e5, 1e6, 1e7, 1e9).map(_.toLong)) {
+      val p = Similarity.cosinePlanesFor(n)
+      val occupancy = n.toDouble / (1L << p)
+      assert(occupancy <= 256.0 + 1e-9, s"n=$n planes=$p occupancy=$occupancy")
+      assert(occupancy > 64.0, s"n=$n planes=$p over-partitioned")
+    }
+    assert(Similarity.cosinePlanesFor(Long.MaxValue) == 24, "probe fan-out capped")
+  }
+
+  test("dedupCosineOf finds an exact duplicate as nearest neighbor through multiprobe") {
+    // 60 well-spread random vectors plus one exact copy of vector 0:
+    // whatever bucket the pair lands in, they land in it TOGETHER, so
+    // the LSH path must report each as the other's nearest neighbor
+    // with cosine 1 — the invariant banding cannot break.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map(i => (i, Array.fill(64)(rnd.nextGaussian())))
+    val rows = base :+ (999L, base.head._2.clone)
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.dedupCosineOf(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L)._1 == 999L && out(0L)._2 == 1.0)
+    assert(out(999L)._1 == 0L && out(999L)._2 == 1.0)
+    assert(out.size == rows.size, "one NN row per vector")
+  }
+
   test("annIvf returns ranked per-query results whose scores the brute-force path confirms") {
     val ivf = Similarity.annIvf(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
