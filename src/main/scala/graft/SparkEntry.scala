@@ -2160,7 +2160,8 @@ object SparkEntry {
         |b AS (SELECT CASE WHEN n > 0 THEN CAST(length(bin(n)) AS INT) ELSE 0 END
         |        AS bucket, n FROM t)
         |SELECT bucket,
-        |  CAST(1 AS BIGINT) << (bucket - 1) AS bucket_lo,
+        |  CASE WHEN bucket > 0 THEN CAST(1 AS BIGINT) << (bucket - 1)
+        |       ELSE CAST(0 AS BIGINT) END AS bucket_lo,
         |  (CAST(1 AS BIGINT) << bucket) - 1 AS bucket_hi,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n) AS BIGINT) AS total_tokens,
@@ -2332,7 +2333,8 @@ object SparkEntry {
         |i AS (SELECT item, CAST(SUM(is_click) AS BIGINT) AS clicks,
         |        CAST(SUM(is_view) AS BIGINT) AS impressions
         |      FROM ev GROUP BY 1),
-        |t AS (SELECT floor(CAST(SUM(is_click) AS DOUBLE) / CAST(SUM(is_view) AS DOUBLE)
+        |t AS (SELECT floor(CAST(SUM(is_click) AS DOUBLE)
+        |        / NULLIF(CAST(SUM(is_view) AS DOUBLE), 0.0)
         |        * 1e6 + 0.5) / 1e6 AS p0 FROM ev)
         |SELECT item, clicks, impressions,
         |  ROUND(CAST(clicks AS DOUBLE) / NULLIF(CAST(impressions AS DOUBLE), 0.0), 6) AS ctr_raw,
@@ -2527,7 +2529,7 @@ object SparkEntry {
         |             WHEN hv < 3579139413 THEN -2
         |             WHEN hv < 3758096384 THEN 3
         |             WHEN hv < 3937053354 THEN -3
-        |             WHEN hv < 4080218931 THEN 4
+        |             WHEN hv < 4116010325 THEN 4
         |             ELSE -4 END AS noise
         |      FROM h)
         |SELECT event_type, n, CAST(noise AS BIGINT) AS noise,

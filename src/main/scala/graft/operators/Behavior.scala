@@ -270,7 +270,17 @@ object Behavior {
     *
     * Shape: the 1-row max-day frame broadcasts (no driver collect);
     * ONE map-side-combinable user aggregate; age clamp = pushable
-    * filter. */
+    * filter.
+    *
+    * Overflow headroom (the int64 switchover bound CUPED and Gini
+    * state): the per-user sum holds while
+    * Σ value_micros · 2^(horizon−age) < 2⁶³, i.e. roughly
+    * 9.2e18 / (max_value_micros · 2^horizon) same-day events per user
+    * — at the default horizon 20 and $1000 events (1e9 micros), ~8.8k
+    * max-weight events per user per day. Corpora beyond that bound
+    * need a smaller horizon or the sum switched to decimal(38,0);
+    * the events table's value range keeps sf-scale runs ~10⁶× inside
+    * the bound. */
   def decayedEngagementOf(events: DataFrame, horizon: Int = 20): DataFrame = {
     require(horizon > 0 && horizon < 60, s"horizon in (0,60), got $horizon")
     val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))

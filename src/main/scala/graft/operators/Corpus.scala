@@ -620,7 +620,10 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("t").as("total_tokens"),
         min("t").as("min_tokens"), max("t").as("max_tokens"))
       .select(col("bucket"),
-        expr("shiftleft(1L, bucket - 1)").as("bucket_lo"),
+        // bucket 0 (empty docs): shiftleft(1L, -1) masks the shift to
+        // 63 and yields Long.MinValue — emit the true 0/0 range instead.
+        when(col("bucket") > 0, expr("shiftleft(1L, bucket - 1)"))
+          .otherwise(lit(0L)).as("bucket_lo"),
         (expr("shiftleft(1L, bucket)") - 1L).as("bucket_hi"),
         col("n_docs"), col("total_tokens"), col("min_tokens"),
         col("max_tokens"))

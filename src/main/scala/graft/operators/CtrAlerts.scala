@@ -69,8 +69,10 @@ object CtrAlerts {
     val items = ev.groupBy("item")
       .agg(sum("is_click").as("clicks"), sum("is_view").as("impressions"))
     val totals = ev.agg(sum("is_click").as("tc"), sum("is_view").as("ti"))
-    val p0 = floor(col("tc").cast("double") / col("ti").cast("double")
-      * 1e6 + 0.5) / 1e6
+    // NULLIF on the view total: an all-click slice must degrade to a
+    // NULL prior (and NULL shrunk CTRs), not poison every row with NaN.
+    val p0 = floor(col("tc").cast("double")
+      / nullif(col("ti").cast("double"), lit(0.0)) * 1e6 + 0.5) / 1e6
     items.crossJoin(broadcast(totals))
       .withColumn("p0", p0)
       .select(col("item"), col("clicks"), col("impressions"),

@@ -206,7 +206,8 @@ object Warehouse {
   /** Differential-privacy-style noised release of per-group counts: a
     * two-sided geometric perturbation (the discrete Laplace — the
     * standard integer mechanism for count queries) with α = 1/2,
-    * truncated at ±4 (tail mass 2⁻⁴ folds into the edges). The draw is
+    * truncated at ±4 (the 1/12 tail mass folds HALF into each edge,
+    * keeping the noise symmetric and unbiased). The draw is
     * a 32-bit uniform from md5 over the group key compared against
     * EXACT integer thresholds ⌊2³²·CDF⌋ — no floats, no libm, no RNG
     * state (bootstrap_ci's hex-prefix trick), so the release is
@@ -218,7 +219,9 @@ object Warehouse {
     */
   def dpCountsOf(events: DataFrame): DataFrame = {
     // cumulative CDF of the α=1/2 two-sided geometric, in 2^32 units:
-    // P(0)=1/3, P(±1)=1/6, P(±2)=1/12, P(±3)=1/24, edges absorb the rest.
+    // P(0)=1/3, P(±1)=1/6, P(±2)=1/12, P(±3)=1/24; the remaining 1/12
+    // tail splits EVENLY between the ±4 edges (1/24 each), so the
+    // truncated noise stays symmetric and E[noise] = 0.
     val t = Seq(
       1431655765L -> 0L,  // 1/3
       2147483648L -> 1L,  // 1/2
@@ -227,7 +230,7 @@ object Warehouse {
       3579139413L -> -2L, // 5/6
       3758096384L -> 3L,  // 7/8
       3937053354L -> -3L, // 11/12
-      4080218931L -> 4L)  // 19/20 — then else -4
+      4116010325L -> 4L)  // 23/24 — then else -4 (the last 1/24)
     val hv = conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 8),
       16, 10).cast("long")
     val noise = t.foldRight(lit(-4L)) { case ((thr, k), acc) =>

@@ -77,6 +77,19 @@ class AlertsSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) == ((1L, 0L, None, 0.438571)))
   }
 
+  test("ctr shrinkage degrades to NULL, not NaN, when the slice has zero views") {
+    import spark.implicits._
+    val ev = Seq((1L, "click", 1L), (2L, "click", 2L))
+      .map { case (id, t, k) => (id, t, s"""{"k": $k}""") }
+      .toDF("event_id", "event_type", "props")
+    val out = CtrAlerts.ctrShrunkOf(ev).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.isNullAt(5), "p0 must be NULL with no view events")
+      assert(r.isNullAt(4), "shrunk ctr must be NULL, not NaN")
+    }
+  }
+
   test("approx_count_distinct estimate lands within 5% of exact per group") {
     val approx = CtrAlerts.approxDistinctUsers(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -287,6 +287,18 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(out(4) == ((8L, 15L, 1L)))
   }
 
+  test("token length histogram emits a 0/0 range for the NULL-safe bucket 0") {
+    // NULL text is the one way to 0 tokens (trim gives real docs ≥ 1);
+    // bucket 0's bounds must be 0/0, not the shiftleft(1, -1) garbage
+    // a masked negative shift produces.
+    val docs = Seq((1L, Some("a b")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = Corpus.tokenLenHistogramOf(docs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0) == ((0L, 0L, 1L)), s"got $out")
+    assert(out(2) == ((2L, 3L, 1L)))
+  }
+
   test("pii-by-source counts planted classes per source with exact rates") {
     // doc 6 (src A): email (6%3=0? no → 6%3==0 → NO email)... plant by id:
     // id 1 → email only; id 2 → email+phone; id 5 → ip only (5%3=2→email too).
