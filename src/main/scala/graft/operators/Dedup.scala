@@ -341,12 +341,20 @@ object Dedup {
     * least one band with high probability). The signature runs as the
     * native [[graft.plans.SimHash64]] expression — the earlier typed
     * `Dataset.map` encoded/decoded every row and left codegen. */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashOf(Tables.documents(spark, dir))
+
+  /** See [[dedupSimhash]]; operates on any (doc_id, text) frame. */
+  def dedupSimhashOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = Tables.documents(spark, dir)
+    // Canonicalize like every other near-dup path (NFC + casefold,
+    // [[graft.plans.NormalizeText]]): "Café"/"café"/"CAFÉ" must land on
+    // the same signature here exactly as they do under MinHash/Jaccard.
+    val sigs = docs
       .select(col("doc_id"),
         graft.plans.ColumnBridge.column(graft.plans.SimHash64(
-          graft.plans.ColumnBridge.expression(col("text")))).as("simhash"))
+          graft.plans.NormalizeText(
+            graft.plans.ColumnBridge.expression(col("text"))))).as("simhash"))
     // 16-bit band extraction: band i value = (simhash >>> 16i) & 0xffff.
     // One explode, not a 4-way union of selects — the union re-planned
     // the SimHash64 scan per branch; with the bucket-min as a window

@@ -150,6 +150,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(clusters(4L) != clusters(1L))
   }
 
+  test("case/NFC variants share a simhash cluster too (family-consistent canonicalization)") {
+    val df = docsDf(
+      1L -> "café latte with oat milk every single morning",
+      2L -> "café latte with oat milk every single morning",
+      3L -> "CAFÉ LATTE WITH OAT MILK EVERY SINGLE MORNING",
+      4L -> "espresso romano served with lemon peel after dinner")
+    val out = Dedup.dedupSimhashOf(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // identical normalized text → identical signature AND cluster
+    assert(out(1L)._1 == out(2L)._1 && out(2L)._1 == out(3L)._1,
+      s"normalized variants must share a signature: $out")
+    assert(out(1L)._2 == out(2L)._2 && out(2L)._2 == out(3L)._2)
+  }
+
   test("NormalizeText uses the SIMPLE case mapping (cross-engine comparable)") {
     import graft.plans.NormalizeText.normalize
     assert(normalize("CAFÉ") == "café")
