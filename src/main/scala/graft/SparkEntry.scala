@@ -2572,6 +2572,56 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS group_size
         |FROM customer
         |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
-        |ORDER BY c_mktsegment, c_nationkey, bal_bucket""".stripMargin
+        |ORDER BY c_mktsegment, c_nationkey, bal_bucket""".stripMargin,
+
+    // ---- Pinned-contract oracles -------------------------------------
+    // The four below are DETERMINISTIC but not SQL-expressible (BPE
+    // merge learning, banded-MinHash recall, KLL and HLL sketches have
+    // no RNG — their output is a pure function of the corpus). The
+    // literal frame IS the contract at the driver's verification scale
+    // (sf0.01): any implementation drift changes the values and fails
+    // the hash, upgrading what was a rows-only check. Scalatest
+    // properties cover the algebra at every other scale
+    // (TokenizerSpec, DedupSpec lsh-recall, Report/AlertsSpec sketch
+    // error bands).
+
+    // The first 5 merges learned from the sf0.01 corpus — the merge
+    // table is the tokenizer's spec (Sennrich'16), stable by corpus.
+    "bpe_merges" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS INTEGER), 'e', 'r', 'er', CAST(4568 AS BIGINT)),
+        |  (CAST(2 AS INTEGER), 'i', 'n', 'in', CAST(2760 AS BIGINT)),
+        |  (CAST(3 AS INTEGER), 'o', 'w', 'ow', CAST(2747 AS BIGINT)),
+        |  (CAST(4 AS INTEGER), 'o', 'r', 'or', CAST(2696 AS BIGINT)),
+        |  (CAST(5 AS INTEGER), 's', 't', 'st', CAST(2676 AS BIGINT))
+        |) AS t("rank", "left", "right", merged, merged_count)""".stripMargin,
+
+    // Banding at the default (bands, rows) catches every pair the
+    // exact Jaccard self-join finds at t=0.5 on this corpus.
+    "lsh_recall" ->
+      """SELECT CAST(0.5 AS DOUBLE) AS threshold,
+        |  CAST(25 AS BIGINT) AS n_exact, CAST(25 AS BIGINT) AS n_lsh,
+        |  CAST(0 AS BIGINT) AS n_missed, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
+
+    // KLL-family sketch percentiles per returnflag (fixed compactor
+    // path ⇒ deterministic); exact counts ride along.
+    "earnings_percentiles_approx" ->
+      """SELECT * FROM (VALUES
+        |  ('A', CAST(52832.76 AS DOUBLE), CAST(94628.55 AS DOUBLE),
+        |   CAST(103922.45 AS DOUBLE), CAST(20028 AS BIGINT)),
+        |  ('N', CAST(53042.23 AS DOUBLE), CAST(94480.99 AS DOUBLE),
+        |   CAST(104001.38 AS DOUBLE), CAST(19926 AS BIGINT)),
+        |  ('R', CAST(53219.57 AS DOUBLE), CAST(94969.75 AS DOUBLE),
+        |   CAST(103912.57 AS DOUBLE), CAST(20046 AS BIGINT))
+        |) AS t(l_returnflag, p50, p90, p99, line_count)""".stripMargin,
+
+    // HLL++ estimates per event type (deterministic register path;
+    // AlertsSpec pins the ≤5%-of-exact band at every scale).
+    "approx_distinct_users" ->
+      """SELECT * FROM (VALUES
+        |  ('click', CAST(150 AS BIGINT)), ('error', CAST(150 AS BIGINT)),
+        |  ('purchase', CAST(150 AS BIGINT)), ('signup', CAST(150 AS BIGINT)),
+        |  ('view', CAST(150 AS BIGINT))
+        |) AS t(event_type, approx_users)""".stripMargin
   )
 }
