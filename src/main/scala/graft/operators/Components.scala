@@ -16,8 +16,9 @@ import graft.sources.Tables
   * fixpoint = every node holds its component's minimum id. Each round
   * is ONE shuffled join + aggregate on the edge list — no collect, no
   * driver-side graph — and `localCheckpoint` truncates the growing
-  * lineage so round N doesn't replay rounds 1..N-1 (on a cluster this
-  * would be `checkpoint` to the reliable store). Rounds are bounded by
+  * lineage so round N doesn't replay rounds 1..N-1 (durability
+  * trade-off and the cluster-scale `checkpoint()` switchover:
+  * [[graft.Sessions]]' checkpoint policy). Rounds are bounded by
   * the graph diameter, which for near-dup clusters is tiny; `maxIter`
   * is a runaway guard, and convergence is detected distributedly (a
   * 1-row count of changed labels per round).

@@ -37,7 +37,10 @@ object Graph {
 
   /** `iterations` rounds of damped PageRank over the item-transition
     * graph; returns (item, rq, pr) where `rq` is the exact integer
-    * mass and pr = rq/1e12 rounded half-up to 6 dp. */
+    * mass and pr = rq/1e12 rounded half-up to 6 dp. Lineage cuts are
+    * lazy localCheckpoints (see the measured experiment below and
+    * [[graft.Sessions]]' checkpoint-durability policy for the
+    * cluster-scale trade). */
   def pagerankOf(events: DataFrame, iterations: Int = 10): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))

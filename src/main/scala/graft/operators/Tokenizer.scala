@@ -22,7 +22,8 @@ import graft.sources.Tables
   * bounded-scalar contract as the Bloom bitset) → a map-side fold
   * applying the merge greedily left-to-right. The evolving symbol
   * table localCheckpoints per iteration (the Components fixpoint-loop
-  * precedent) so plan depth stays constant.
+  * precedent) so plan depth stays constant; durability trade-off at
+  * cluster scale: [[graft.Sessions]]' checkpoint policy.
   *
   * Conventions (pinned by the spec): words are lowercased whitespace
   * tokens; pair statistics count OVERLAPPING occurrences ("aaa" has
