@@ -2622,6 +2622,80 @@ object SparkEntry {
         |  ('click', CAST(150 AS BIGINT)), ('error', CAST(150 AS BIGINT)),
         |  ('purchase', CAST(150 AS BIGINT)), ('signup', CAST(150 AS BIGINT)),
         |  ('view', CAST(150 AS BIGINT))
-        |) AS t(event_type, approx_users)""".stripMargin
+        |) AS t(event_type, approx_users)""".stripMargin,
+
+    // Multiprobe random-hyperplane ANN top-k per query (seed-42 planes).
+    "ann_lsh" ->
+      """WITH r(q_id, n_id, score, "rank") AS (VALUES
+        |  (0,344,0.252487,1), (0,498,0.250726,2), (0,270,0.212398,3), (0,51,0.198503,4),
+        |  (0,70,0.192008,5), (0,108,0.17969,6), (0,374,0.177726,7), (0,174,0.167213,8),
+        |  (0,150,0.163994,9), (0,177,0.163878,10), (1,467,0.232573,1), (1,393,0.212942,2),
+        |  (1,495,0.163655,3), (1,400,0.151482,4), (1,347,0.140457,5), (1,42,0.133924,6),
+        |  (1,436,0.123223,7), (1,488,0.108734,8), (1,340,0.100584,9), (1,105,0.09758,10),
+        |  (2,117,0.318143,1), (2,112,0.245311,2), (2,172,0.239829,3), (2,459,0.223401,4),
+        |  (2,100,0.203405,5), (2,474,0.201024,6), (2,307,0.19598,7), (2,351,0.170685,8),
+        |  (2,389,0.157093,9), (2,449,0.154898,10), (3,207,0.291702,1), (3,474,0.276738,2),
+        |  (3,50,0.238652,3), (3,201,0.232611,4), (3,428,0.213656,5), (3,341,0.20897,6),
+        |  (3,301,0.198535,7), (3,468,0.191929,8), (3,98,0.188014,9), (3,104,0.182994,10),
+        |  (4,482,0.313897,1), (4,384,0.240413,2), (4,332,0.227642,3), (4,190,0.182306,4),
+        |  (4,394,0.166058,5), (4,26,0.12512,6), (4,228,0.124109,7), (4,214,0.118311,8),
+        |  (4,213,0.118302,9), (4,99,0.116692,10), (5,404,0.328403,1), (5,359,0.305821,2),
+        |  (5,133,0.23748,3), (5,46,0.232479,4), (5,121,0.190744,5), (5,126,0.189613,6),
+        |  (5,25,0.181068,7), (5,171,0.171972,8), (5,489,0.169903,9), (5,499,0.150708,10),
+        |  (6,350,0.324518,1), (6,386,0.275196,2), (6,395,0.25912,3), (6,207,0.226754,4),
+        |  (6,260,0.213129,5), (6,156,0.189464,6), (6,179,0.188849,7), (6,120,0.144427,8),
+        |  (6,149,0.134593,9), (6,261,0.133764,10), (7,445,0.340782,1), (7,442,0.253476,2),
+        |  (7,418,0.245739,3), (7,407,0.239432,4), (7,61,0.209327,5), (7,103,0.204742,6),
+        |  (7,307,0.204541,7), (7,48,0.195415,8), (7,479,0.191586,9), (7,299,0.188076,10))
+        |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id, CAST(score AS DOUBLE) AS score, CAST("rank" AS INTEGER) AS "rank"
+        |FROM r""".stripMargin,
+
+    // Product-quantization ADC top-k per query (deterministic codebooks).
+    "ann_pq" ->
+      """WITH r(q_id, n_id, dist, "rank") AS (VALUES
+        |  (0,365,1.260013,1), (0,334,1.274556,2), (0,423,1.406133,3), (0,73,1.409132,4),
+        |  (0,7,1.414316,5), (0,320,1.424279,6), (0,190,1.436411,7), (0,388,1.447399,8),
+        |  (0,483,1.486599,9), (0,498,1.498549,10), (1,386,1.257031,1), (1,27,1.303584,2),
+        |  (1,407,1.34598,3), (1,195,1.354511,4), (1,64,1.367251,5), (1,124,1.3945,6),
+        |  (1,402,1.415356,7), (1,220,1.420436,8), (1,203,1.463691,9), (1,363,1.473387,10),
+        |  (2,450,1.467312,1), (2,145,1.473011,2), (2,188,1.473456,3), (2,320,1.489914,4),
+        |  (2,418,1.491941,5), (2,112,1.509378,6), (2,197,1.533701,7), (2,440,1.537262,8),
+        |  (2,109,1.543299,9), (2,97,1.549982,10), (3,130,1.200255,1), (3,343,1.383057,2),
+        |  (3,174,1.392904,3), (3,207,1.416596,4), (3,192,1.418394,5), (3,437,1.43893,6),
+        |  (3,474,1.446524,7), (3,396,1.47807,8), (3,134,1.498798,9), (3,444,1.511003,10),
+        |  (4,114,1.202975,1), (4,496,1.317577,2), (4,408,1.354494,3), (4,482,1.372206,4),
+        |  (4,249,1.440739,5), (4,257,1.455203,6), (4,384,1.519174,7), (4,346,1.536871,8),
+        |  (4,288,1.542749,9), (4,434,1.582588,10), (5,419,1.361525,1), (5,157,1.377488,2),
+        |  (5,33,1.378026,3), (5,359,1.388358,4), (5,316,1.417775,5), (5,487,1.473913,6),
+        |  (5,225,1.48097,7), (5,433,1.51949,8), (5,133,1.525039,9), (5,379,1.53359,10),
+        |  (6,350,1.350965,1), (6,430,1.354959,2), (6,145,1.404609,3), (6,437,1.433939,4),
+        |  (6,268,1.480117,5), (6,252,1.48874,6), (6,270,1.534456,7), (6,271,1.537824,8),
+        |  (6,207,1.546491,9), (6,381,1.552378,10), (7,340,1.014469,1), (7,425,1.18496,2),
+        |  (7,209,1.211075,3), (7,381,1.309642,4), (7,445,1.318435,5), (7,221,1.350644,6),
+        |  (7,302,1.370952,7), (7,49,1.423297,8), (7,332,1.429107,9), (7,59,1.459528,10))
+        |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id, CAST(dist AS DOUBLE) AS dist, CAST("rank" AS INTEGER) AS "rank"
+        |FROM r""".stripMargin,
+
+    // Banded near-dup candidate pairs + exact Jaccard verify.
+    "dedup_jaccard" ->
+      """WITH r(a_id, b_id, jaccard) AS (VALUES
+        |  (8,245,0.9878), (26,455,0.9), (31,383,0.9762), (44,446,0.9565), (45,267,0.974),
+        |  (45,413,0.987), (58,293,0.9857), (61,185,0.9825), (70,447,0.9891), (72,377,0.9756),
+        |  (87,134,0.9545), (92,450,0.9583), (98,290,0.9891), (107,387,0.9737), (120,332,0.9714),
+        |  (152,178,0.973), (166,323,0.9833), (267,413,0.9868), (285,301,0.9891), (295,374,0.9667),
+        |  (310,389,0.9615), (326,457,0.9714), (393,420,0.9873), (435,486,0.9667), (458,462,0.9828))
+        |SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id, CAST(jaccard AS DOUBLE) AS jaccard
+        |FROM r""".stripMargin,
+
+    // Batch-vs-corpus banded probe (doc, dup_of, shared bands).
+    "dedup_incremental" ->
+      """WITH r(doc_id, dup_of, n_shared_bands) AS (VALUES
+        |  (0,NULL,0), (20,NULL,0), (40,NULL,0), (60,NULL,0), (80,NULL,0),
+        |  (100,NULL,0), (120,332,13), (140,NULL,0), (160,NULL,0), (180,NULL,0),
+        |  (200,NULL,0), (220,NULL,0), (240,NULL,0), (260,NULL,0), (280,NULL,0),
+        |  (300,NULL,0), (320,NULL,0), (340,NULL,0), (360,NULL,0), (380,NULL,0),
+        |  (400,NULL,0), (420,393,15), (440,NULL,0), (460,NULL,0), (480,NULL,0))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dup_of AS BIGINT) AS dup_of, CAST(n_shared_bands AS BIGINT) AS n_shared_bands
+        |FROM r""".stripMargin
   )
 }
