@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: replicates a testdata directory N×
+  * with consistently SHIFTED keys, so the suite can be benchmarked one
+  * decade above the largest driver-provided scale factor
+  * (`sf0.1 ×10 → "sf1"`) without synthesizing new content.
+  *
+  * Every entity key is offset per replica by a stride owned by its
+  * defining table (custkey stride = max(c_custkey)+1, etc.), and
+  * foreign keys shift by the SAME stride as their target, so
+  * referential integrity and join fan-outs survive: replica r of an
+  * order still points at replica r of its customer. Dimension tables
+  * (region, nation) copy once — scale grows facts, not geography.
+  * Event timestamps are left alone: 10× data in the same window means
+  * 10× users and 10× daily volume, which is how production traffic
+  * grows; items inside `props` are shared, so graph queries see the
+  * same node set with 10× edges.
+  *
+  * Replicated documents/embeddings are exact copies under shifted
+  * ids — every doc gains N−1 identical twins. For dedup operators
+  * that is the worst-case duplicate distribution (maximum cluster
+  * mass), which is exactly what a dedup scale rehearsal should
+  * stress; SURVEY §6 reads the resulting sf0.1→sf1 ratios.
+  *
+  * Usage: `runMain graft.ScaleUp <inDir> <outDir> <replicas>`.
+  * Output is written as parquet DIRECTORIES named `<table>.parquet`,
+  * which `Tables`/Bench read exactly like the driver's single files.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir, nStr) = args
+    val n = nStr.toInt
+    require(n >= 1, s"replicas must be >= 1, got $n")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Sessions.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$inDir/$t.parquet")
+    def stride(t: String, key: String): Long =
+      read(t).agg(max(col(key))).head().getLong(0) + 1L
+
+    // key column → (owning stride); FKs share their target's stride.
+    val strides = Map(
+      "c_custkey" -> stride("customer", "c_custkey"),
+      "o_orderkey" -> stride("orders", "o_orderkey"),
+      "p_partkey" -> stride("part", "p_partkey"),
+      "s_suppkey" -> stride("supplier", "s_suppkey"),
+      "event_id" -> stride("events", "event_id"),
+      "user_id" -> stride("events", "user_id"),
+      "doc_id" -> stride("documents", "doc_id"),
+      "vec_id" -> stride("embeddings", "vec_id"))
+    // table → (column, stride-owner) pairs
+    val keyCols = Map(
+      "customer" -> Seq("c_custkey" -> "c_custkey"),
+      "orders" -> Seq("o_orderkey" -> "o_orderkey", "o_custkey" -> "c_custkey"),
+      "lineitem" -> Seq("l_orderkey" -> "o_orderkey", "l_partkey" -> "p_partkey",
+        "l_suppkey" -> "s_suppkey"),
+      "part" -> Seq("p_partkey" -> "p_partkey"),
+      "supplier" -> Seq("s_suppkey" -> "s_suppkey"),
+      "events" -> Seq("event_id" -> "event_id", "user_id" -> "user_id"),
+      "documents" -> Seq("doc_id" -> "doc_id"),
+      "embeddings" -> Seq("vec_id" -> "vec_id"))
+
+    Seq("region", "nation").foreach { t =>
+      read(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scaleup] $t: copied (dimension)")
+    }
+    keyCols.foreach { case (t, keys) =>
+      val pairs = keys.map { case (k, owner) => k -> strides(owner) }
+      val reps = spark.range(n).select(col("id").as("rep"))
+      val out = pairs.foldLeft(read(t).crossJoin(broadcast(reps))) {
+        case (df, (k, s)) => df.withColumn(k, col(k) + col("rep") * s)
+      }.drop("rep")
+      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scaleup] $t: x$n")
+    }
+    spark.stop()
+  }
+}
