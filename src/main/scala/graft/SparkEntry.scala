@@ -193,7 +193,12 @@ object SparkEntry {
     "cusum_changepoint" -> (EventAnalytics.cusumChangepoint(_, _)),
     "personalized_pagerank" -> (Graph.personalizedPagerank(_, _)),
     "weighted_median"   -> (Robust.weightedMedian(_, _)),
-    "pii_by_source"     -> (Corpus.piiBySource(_, _))
+    "pii_by_source"     -> (Corpus.piiBySource(_, _)),
+    // Round-8 tranche: budget water-fill, retention sweep, quantile
+    // normalization (mixture/quality families)
+    "waterfill_budget"  -> (Corpus.waterfillBudget(_, _)),
+    "quality_retention" -> (CorpusStats.qualityRetention(_, _)),
+    "quantile_normalize" -> (CorpusStats.quantileNormalize(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -2696,6 +2701,79 @@ object SparkEntry {
         |  (300,NULL,0), (320,NULL,0), (340,NULL,0), (360,NULL,0), (380,NULL,0),
         |  (400,NULL,0), (420,393,15), (440,NULL,0), (460,NULL,0), (480,NULL,0))
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dup_of AS BIGINT) AS dup_of, CAST(n_shared_bands AS BIGINT) AS n_shared_bands
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // Ascending-capacity greedy water-fill; integer water level,
+    // flooring remainder REPORTED (mixture_plan's contract).
+    "waterfill_budget" ->
+      """WITH caps AS (SELECT source,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT source, cap,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+        |    CAST(SUM(cap) OVER (ORDER BY cap, source) AS BIGINT) AS cum,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM caps),
+        |f AS (SELECT *, cap * (n - i + 1) <= 15000 - (cum - cap) AS is_full FROM s),
+        |g AS (SELECT *,
+        |    MAX(CASE WHEN is_full THEN i ELSE 0 END) OVER () AS istar,
+        |    MAX(CASE WHEN is_full THEN cum ELSE 0 END) OVER () AS cumstar FROM f),
+        |a AS (SELECT source, cap,
+        |    CASE WHEN is_full THEN cap
+        |         ELSE (15000 - cumstar) // (n - istar) END AS alloc_tokens,
+        |    is_full FROM g)
+        |SELECT source, cap AS available_tokens,
+        |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+        |  is_full AS fully_funded,
+        |  floor(CAST(alloc_tokens AS DOUBLE) / CAST(cap AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS sample_frac,
+        |  CAST(15000 - SUM(alloc_tokens) OVER () AS BIGINT) AS undistributed
+        |FROM a ORDER BY source""".stripMargin,
+
+    // Complete 10-band grid (empty bands report zeros), descending
+    // running sum = >= -threshold retention.
+    "quality_retention" ->
+      s"""WITH d AS (SELECT $QualitySqlExpr AS q,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS t
+        |  FROM documents),
+        |b AS (SELECT LEAST(CAST(floor(q * 10) AS INT), 9) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT CAST(range AS INT) AS bucket FROM range(0, 10)),
+        |j AS (SELECT g.bucket, COALESCE(n_docs, 0) AS n_docs,
+        |    COALESCE(n_tokens, 0) AS n_tokens
+        |  FROM g LEFT JOIN b ON g.bucket = b.bucket),
+        |c AS (SELECT bucket,
+        |    CAST(SUM(n_docs) OVER (ORDER BY bucket DESC) AS BIGINT) AS docs_kept,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY bucket DESC) AS BIGINT) AS tokens_kept,
+        |    CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs,
+        |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+        |  FROM j)
+        |SELECT CAST(bucket AS DOUBLE) / 10.0 AS threshold, docs_kept, tokens_kept,
+        |  floor(CAST(docs_kept AS DOUBLE) / CAST(total_docs AS DOUBLE) * 1e4 + 0.5)
+        |    / 1e4 AS doc_frac,
+        |  floor(CAST(tokens_kept AS DOUBLE) / CAST(total_tokens AS DOUBLE) * 1e4 + 0.5)
+        |    / 1e4 AS token_frac
+        |FROM c ORDER BY threshold""".stripMargin,
+
+    // Within-source rank -> 101-point global quantile grid
+    // (quantile_cont of integer-quantized scores: the same IEEE
+    // interpolation Spark's percentile runs — earnings_percentiles'
+    // precedent).
+    "quantile_normalize" ->
+      s"""WITH s AS (SELECT doc_id, source,
+        |    CAST(floor(($QualitySqlExpr) * 1e4 + 0.5) AS BIGINT) AS qq
+        |  FROM documents),
+        |g AS (SELECT quantile_cont(qq, [0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.0]) AS gl FROM s),
+        |r AS (SELECT doc_id, source, qq,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY qq, doc_id) AS BIGINT)
+        |      AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        |  FROM s)
+        |SELECT doc_id, source, CAST(qq AS DOUBLE) / 1e4 AS q_raw,
+        |  floor(gl[CAST(CASE WHEN n_s > 1 THEN ((r - 1) * 100) // (n_s - 1)
+        |                     ELSE 50 END AS INT) + 1] / 1e4 * 1e4 + 0.5) / 1e4
+        |    AS q_norm
+        |FROM r, g ORDER BY doc_id""".stripMargin
   )
 }

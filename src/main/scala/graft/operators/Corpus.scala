@@ -606,6 +606,54 @@ object Corpus {
   def mixturePlan(spark: SparkSession, dir: String): DataFrame =
     mixturePlanOf(Tables.documents(spark, dir))
 
+  /** Water-filling token-budget allocation across sources — the
+    * mixture upgrade of [[mixturePlanOf]]: instead of REPORTING the
+    * slack of short sources, redistribute it. With capacities sorted
+    * ascending, source i is fully funded iff the budget left after
+    * fully funding the i−1 smaller sources covers giving every
+    * remaining source at least c_i (`c_i·(n−i+1) ≤ B − cum_{i−1}` —
+    * the classic greedy water-fill test, monotone in i); every source
+    * above the last fully-funded one gets the integer water level
+    * λ = (B − cum_{i*}) div (n − i*). Exact integers end to end; the
+    * ≤(n−i*) flooring remainder is reported as `undistributed`, never
+    * silently assigned (mixturePlan's contract). Budget beyond the
+    * corpus degrades cleanly: everyone fully funded, the surplus is
+    * the reported remainder.
+    *
+    * Shape: ONE token aggregate on the bounded source key; the solve
+    * is windows over that |sources|-row frame (global-order windows
+    * are fine there — the frame is dimension-sized by construction,
+    * like [[mixturePlanOf]]'s n_langs window). */
+  def waterfillBudgetOf(docs: DataFrame, budget: Long = 15000L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val byCap = Window.orderBy(col("cap"), col("source"))
+    val all = Window.partitionBy(lit(1))
+    docs
+      .select(col("source"), TextF.tokenCount(col("text")).cast("long").as("t"))
+      .groupBy("source")
+      .agg(sum("t").as("cap"))
+      .withColumn("i", row_number().over(byCap).cast("long"))
+      .withColumn("cum", sum("cap").over(byCap)) // unique order key → running sum
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("is_full",
+        col("cap") * (col("n") - col("i") + 1L) <= lit(budget) - (col("cum") - col("cap")))
+      .withColumn("istar", max(when(col("is_full"), col("i")).otherwise(0L)).over(all))
+      .withColumn("cumstar", max(when(col("is_full"), col("cum")).otherwise(0L)).over(all))
+      .withColumn("alloc_tokens",
+        when(col("is_full"), col("cap"))
+          .otherwise(expr(s"($budget - cumstar) div (n - istar)")))
+      .withColumn("undistributed", lit(budget) - sum("alloc_tokens").over(all))
+      .select(col("source"), col("cap").as("available_tokens"),
+        col("alloc_tokens"), col("is_full").as("fully_funded"),
+        TextF.round4HalfUp(col("alloc_tokens").cast("double")
+          / col("cap").cast("double")).as("sample_frac"),
+        col("undistributed"))
+      .orderBy("source")
+  }
+
+  def waterfillBudget(spark: SparkSession, dir: String): DataFrame =
+    waterfillBudgetOf(Tables.documents(spark, dir))
+
   /** Token-count histogram on power-of-two buckets (bucket =
     * ⌊log₂ n⌋ + 1 via the BINARY-STRING LENGTH — no libm log): the
     * length-distribution view that sizes [[lengthBatchingOf]]'s

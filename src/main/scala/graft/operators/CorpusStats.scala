@@ -605,4 +605,95 @@ object CorpusStats {
 
   def vocabOverlap(spark: SparkSession, dir: String): DataFrame =
     vocabOverlapOf(Tables.documents(spark, dir))
+
+  /** Quality-threshold retention curve: for each cutoff t ∈ {0.0,
+    * 0.1, …, 0.9}, how many documents and tokens survive `quality ≥
+    * t` — the sweep every filtering decision reads before a cutoff is
+    * frozen (the DataComp/FineWeb ablation table, computed once, no
+    * per-threshold re-scan).
+    *
+    * Shape: ONE corpus pass buckets each doc at ⌊q·10⌋ (clamped to 9,
+    * so q = 1.0 lands in the top band); the 10-row bucket aggregate
+    * left-joins a literal grid (empty bands report zeros, the curve
+    * is always complete) and a DESCENDING running sum turns band
+    * counts into ≥-threshold retention. All windows run on the
+    * grid-sized frame. */
+  def qualityRetentionOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val q = TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
+    val byBucket = docs
+      .select(least(floor(q * 10).cast("int"), lit(9)).as("bucket"),
+        TextF.tokenCount(col("text")).cast("long").as("t"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
+    val grid = spark.range(0, 10).select(col("id").cast("int").as("bucket"))
+    val desc10 = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    grid.join(byBucket, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .withColumn("docs_kept", sum("n_docs").over(desc10))
+      .withColumn("tokens_kept", sum("n_tokens").over(desc10))
+      .withColumn("total_docs", sum("n_docs").over(all))
+      .withColumn("total_tokens", sum("n_tokens").over(all))
+      .select((col("bucket").cast("double") / 10.0).as("threshold"),
+        col("docs_kept"), col("tokens_kept"),
+        TextF.round4HalfUp(col("docs_kept").cast("double")
+          / col("total_docs").cast("double")).as("doc_frac"),
+        TextF.round4HalfUp(col("tokens_kept").cast("double")
+          / col("total_tokens").cast("double")).as("token_frac"))
+      .orderBy("threshold")
+  }
+
+  def qualityRetention(spark: SparkSession, dir: String): DataFrame =
+    qualityRetentionOf(Tables.documents(spark, dir))
+
+  /** Cross-source quantile normalization of the quality score — the
+    * fix for "source A's quality model runs hot": each document's
+    * WITHIN-SOURCE rank maps onto the GLOBAL score distribution, so
+    * every source contributes the same quality profile and one
+    * global cutoff treats sources fairly (the standard
+    * quantile-normalization move, applied the way multi-scorer
+    * corpus pipelines combine per-source quality models).
+    *
+    * Mechanics, exact-integer until the last interpolation: scores
+    * quantize to 1e-4 ints; a doc at within-source rank r of n_s maps
+    * to grid point k = ((r−1)·100) div (n_s−1) (middle, k = 50, for
+    * singleton sources); the global distribution enters as ONE
+    * percentile(array) aggregate row — 101 interpolated values of
+    * integer inputs, the same IEEE arithmetic DuckDB's quantile_cont
+    * runs (earnings_percentiles' precedent) — broadcast to every row.
+    * Per-source ranks are a window on the source key (scalable
+    * partitioning); nothing global ever sorts. At true 100 TB the
+    * grid aggregate's full-buffer percentile swaps for the KLL sketch
+    * ([[graft.operators.Report.earningsPercentilesApprox]]) with the
+    * same join shape. */
+  def quantileNormalizeOf(docs: DataFrame): DataFrame = {
+    val q = TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
+    val scored = docs.select(col("doc_id"), col("source"),
+      floor(q * 1e4 + 0.5).cast("long").as("qq"))
+    val fractions = (0 to 100).map(_ / 100.0)
+    val grid = scored.agg(
+      expr(s"percentile(qq, array(${fractions.mkString(",")}))").as("g"))
+    val bySource = Window.partitionBy("source").orderBy(col("qq"), col("doc_id"))
+    val ns = Window.partitionBy("source")
+    scored
+      .withColumn("r", row_number().over(bySource).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(ns))
+      .withColumn("k",
+        when(col("n_s") > 1L, expr("((r - 1) * 100) div (n_s - 1)"))
+          .otherwise(lit(50L)))
+      .crossJoin(broadcast(grid)) // 1 row by construction
+      .select(col("doc_id"), col("source"),
+        (col("qq").cast("double") / 1e4).as("q_raw"),
+        TextF.round4HalfUp(
+          element_at(col("g"), (col("k") + 1L).cast("int")) / 1e4)
+          .as("q_norm"))
+      .orderBy("doc_id")
+  }
+
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalizeOf(Tables.documents(spark, dir))
 }

@@ -132,6 +132,30 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(out(5L) == ((1L, 0L, 0.0)))
   }
 
+  test("waterfill: small sources fund fully, the rest split the water level") {
+    // caps: A=10, B=50, C=100 tokens; budget 100.
+    // valid(A): 10·3 = 30 ≤ 100 → full. valid(B): 50·2 = 100 > 90 → no.
+    // λ = (100 − 10) div 2 = 45 → A=10, B=45, C=45, remainder 0.
+    val docs = corpusDf(
+      (1L, "A", Seq.fill(10)("t").mkString(" ")),
+      (2L, "B", Seq.fill(50)("t").mkString(" ")),
+      (3L, "C", Seq.fill(100)("t").mkString(" ")))
+    val out = Corpus.waterfillBudgetOf(docs, budget = 100L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(5))).toMap
+    assert(out("A") == ((10L, 10L, true, 0L)), s"got $out")
+    assert(out("B") == ((50L, 45L, false, 0L)))
+    assert(out("C") == ((100L, 45L, false, 0L)))
+    // budget beyond the corpus: everyone full, surplus reported
+    val rich = Corpus.waterfillBudgetOf(docs, budget = 300L).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3), r.getLong(5))).toMap
+    assert(rich("A") == ((10L, true, 140L)) && rich("C") == ((100L, true, 140L)))
+    // flooring remainder is reported, never assigned: caps 10/50/100, B=101
+    // → λ = (101−10) div 2 = 45, remainder 1
+    val odd = Corpus.waterfillBudgetOf(docs, budget = 101L).collect()
+    assert(odd.forall(_.getLong(5) == 1L))
+  }
+
   test("source temperature: √n weights up-weight small sources, targets floor") {
     val docs = ((1L to 9L).map(i => (i, "big", s"doc $i")) :+
       ((10L, "small", "doc 10")))

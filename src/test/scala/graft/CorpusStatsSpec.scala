@@ -401,4 +401,47 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     val out = CorpusStats.aucQualityOf(docs).collect().head.getDouble(3)
     assert(out == expected, s"AUC $out vs pairwise $expected (scores $q)")
   }
+
+  test("quality retention curve is complete, monotone, and anchored at keep-everything") {
+    val docs = docsDf(
+      1L -> "tiny",
+      2L -> ("the quick brown fox jumps over a lazy dog " * 5),
+      3L -> ("a solid mid length document with the usual words " * 3),
+      4L -> "!!! ??? ,,, ;;; noise !!!")
+    val out = CorpusStats.qualityRetentionOf(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 10, "one row per threshold band, empty bands included")
+    assert(out.map(_._1).toSeq == (0 until 10).map(_ / 10.0))
+    assert(out.head._2 == 4L && out.head._4 == 1.0,
+      "threshold 0.0 keeps every doc")
+    val docsKept = out.map(_._2).toSeq
+    assert(docsKept.zip(docsKept.tail).forall { case (a, b) => a >= b },
+      s"retention must be non-increasing in the threshold: $docsKept")
+    val tokensKept = out.map(_._3).toSeq
+    assert(tokensKept.zip(tokensKept.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("quantile normalization equalizes identically-shaped sources and preserves order") {
+    // Source A and source B contain the same score multiset (identical
+    // texts), so after normalization matching ranks must map to the
+    // SAME global value; within a source, order must be preserved.
+    val texts = Seq(
+      "tiny",
+      "the quick brown fox jumps over a lazy dog here today",
+      ("a longer document with the usual words repeated " * 4))
+    val docs = (texts.zipWithIndex.map { case (t, i) => (i.toLong, "A", t) } ++
+      texts.zipWithIndex.map { case (t, i) => (100L + i, "B", t) })
+      .toDF("doc_id", "source", "text")
+    val out = CorpusStats.quantileNormalizeOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out.size == 6)
+    texts.indices.foreach { i =>
+      assert(out(i.toLong)._3 == out(100L + i)._3,
+        s"matching ranks across identical sources must normalize equally: $out")
+    }
+    // order preservation within a source
+    val a = out.filter(_._2._1 == "A").toSeq.sortBy(_._2._2).map(_._2._3)
+    assert(a.zip(a.tail).forall { case (x, y) => x <= y })
+  }
 }
