@@ -165,7 +165,7 @@ object Similarity {
   /** ⌈log₂(n/targetBucket)⌉ clamped to [5, 24] — the plane count that
     * keeps expected LSH bucket occupancy ≈ targetBucket as the corpus
     * grows (see [[dedupCosineOf]] for the candidate-budget math). */
-  def cosinePlanesFor(n: Long, targetBucket: Int = 256): Int =
+  def cosinePlanesFor(n: Long, targetBucket: Int = 64): Int =
     math.min(24, math.max(5,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
 
@@ -189,10 +189,14 @@ object Similarity {
     * 100× occupancy → 10000× pair work per bucket). The floor of 5
     * keeps small/test corpora on the exact plane set they always had;
     * the cap of 24 bounds the probe fan-out and keeps the bucket id an
-    * int. At n = 10⁹, nPlanes = 22: ~4M buckets of ~256 vectors,
-    * 23 probes/vector — ~6k candidate comparisons per vector, flat as
-    * the corpus grows. */
-  def dedupCosineOf(embeddings: DataFrame, targetBucket: Int = 256): DataFrame = {
+    * int. targetBucket = 64 is measured, not guessed: the ×10
+    * replication rehearsal (SURVEY §6) showed occupancy in the
+    * 150-250 band costing ~3× over the sub-64 regime, and each probed
+    * bucket still holds enough vectors that hamming-1 multiprobe keeps
+    * its recall. At n = 10⁹, nPlanes = 24: ~16M buckets of ~60
+    * vectors, 25 probes/vector — ~1.5k candidate comparisons per
+    * vector, flat as the corpus grows. */
+  def dedupCosineOf(embeddings: DataFrame, targetBucket: Int = 64): DataFrame = {
     // Footer-metadata count when the frame is a bare scan — one cheap
     // job, and the ONLY driver-side value the plan needs.
     val n = embeddings.count()

@@ -49,15 +49,15 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("cosinePlanesFor keeps bucket occupancy flat as the corpus grows") {
-    // test-scale corpora stay on the historical 32-bucket table
+    // verification-scale corpora stay on the historical 32-bucket table
     assert(Similarity.cosinePlanesFor(500) == 5)
-    assert(Similarity.cosinePlanesFor(5000) == 5)
-    // growth: occupancy n/2^planes stays within [targetBucket/2, targetBucket]
+    assert(Similarity.cosinePlanesFor(2000) == 5)
+    // growth: occupancy n/2^planes stays within (targetBucket/4, targetBucket]
     for (n <- Seq(1e5, 1e6, 1e7, 1e9).map(_.toLong)) {
       val p = Similarity.cosinePlanesFor(n)
       val occupancy = n.toDouble / (1L << p)
-      assert(occupancy <= 256.0 + 1e-9, s"n=$n planes=$p occupancy=$occupancy")
-      assert(occupancy > 64.0, s"n=$n planes=$p over-partitioned")
+      assert(occupancy <= 64.0 + 1e-9, s"n=$n planes=$p occupancy=$occupancy")
+      assert(occupancy > 16.0, s"n=$n planes=$p over-partitioned")
     }
     assert(Similarity.cosinePlanesFor(Long.MaxValue) == 24, "probe fan-out capped")
   }
