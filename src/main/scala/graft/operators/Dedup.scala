@@ -420,12 +420,27 @@ object Dedup {
     * carries the miss count — the pairs banding never surfaced.
     *
     * Not SQL-expressible (the banding is the native minhash pipeline)
-    * → rows-only gate + DedupSpec subset/recall properties.
+    * → pinned-frame gate + DedupSpec subset/recall properties.
+    *
+    * Scale path: the audit enumerates exact pairs, which is Θ(pair
+    * mass) = Θ(Σ cluster²) — the ×10 replication rehearsal (SURVEY §6)
+    * measured it 52× for 10× data on a worst-case duplicate-heavy
+    * corpus. Recall is a RATIO, so at scale audit a deterministic
+    * document sample: `sampleOneIn = s` keeps docs with
+    * xxhash64(doc_id) ≡ 0 (mod s), shrinking pair work by ~s² while
+    * the sampled recall stays an unbiased estimate (both sides run on
+    * the SAME subcorpus; content-blind hash sampling does not bias
+    * which pairs band together). Default 1 = exact, the verification
+    * contract.
     */
-  def lshRecallOf(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val exact = jaccardPairsOf(docs, threshold)
+  def lshRecallOf(docs: DataFrame, threshold: Double = 0.5,
+                  sampleOneIn: Int = 1): DataFrame = {
+    require(sampleOneIn >= 1, s"sampleOneIn must be >= 1, got $sampleOneIn")
+    val base = if (sampleOneIn == 1) docs
+      else docs.filter(pmod(xxhash64(col("doc_id")), lit(sampleOneIn.toLong)) === 0L)
+    val exact = jaccardPairsOf(base, threshold)
       .agg(count(lit(1)).as("n_exact"))
-    val lsh = dedupJaccardOf(docs, threshold)
+    val lsh = dedupJaccardOf(base, threshold)
       .agg(count(lit(1)).as("n_lsh"))
     exact.crossJoin(lsh) // 1 row × 1 row
       .select(lit(threshold).as("threshold"), col("n_exact"), col("n_lsh"),

@@ -351,6 +351,16 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(3) == exact.size - lsh.size)
     val expected = math.floor(lsh.size.toDouble / exact.size * 1e4 + 0.5) / 1e4
     assert(r.getDouble(4) == expected)
+    // the scale path: sampled audit keeps the subset invariant and
+    // equals the exact audit restricted to the sampled docs
+    val sampled = Dedup.lshRecallOf(docs, 0.5, sampleOneIn = 2).collect().head
+    assert(sampled.getLong(2) <= sampled.getLong(1),
+      "LSH pairs must stay a subset of exact pairs under sampling")
+    val kept = docs.filter(
+      pmod(xxhash64(col("doc_id")), lit(2L)) === 0L)
+    val exactKept = Dedup.jaccardPairsOf(kept, 0.5).count()
+    assert(sampled.getLong(1) == exactKept,
+      "sampled audit = exact audit on the hash-sampled subcorpus")
   }
 
   test("per-source dup rate counts non-first copies under keep-first") {
