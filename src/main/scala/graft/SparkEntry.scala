@@ -198,7 +198,10 @@ object SparkEntry {
     // normalization (mixture/quality families)
     "waterfill_budget"  -> (Corpus.waterfillBudget(_, _)),
     "quality_retention" -> (CorpusStats.qualityRetention(_, _)),
-    "quantile_normalize" -> (CorpusStats.quantileNormalize(_, _))
+    "quantile_normalize" -> (CorpusStats.quantileNormalize(_, _)),
+    "ngram_diversity"   -> (CorpusStats.distinctNgramDiversity(_, _)),
+    "centroid_outliers" -> (Cluster.centroidOutliers(_, _)),
+    "entity_clusters"   -> (Linkage.entityClusters(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -2774,6 +2777,74 @@ object SparkEntry {
         |  floor(gl[CAST(CASE WHEN n_s > 1 THEN ((r - 1) * 100) // (n_s - 1)
         |                     ELSE 50 END AS INT) + 1] / 1e4 * 1e4 + 0.5) / 1e4
         |    AS q_norm
-        |FROM r, g ORDER BY doc_id""".stripMargin
+        |FROM r, g ORDER BY doc_id""".stripMargin,
+
+    // Unigrams = whitespace tokens ([""] for empty docs); n >= 2 =
+    // STRICT shingles (no unigram fallback faking diversity).
+    "ngram_diversity" ->
+      """WITH toks AS (SELECT source,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |g1 AS (SELECT source, 1 AS n, unnest(tk) AS g FROM toks),
+        |g2 AS (SELECT source, 2 AS n,
+        |    unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i + 1])) AS g
+        |  FROM toks WHERE len(tk) >= 2),
+        |g3 AS (SELECT source, 3 AS n,
+        |    unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |  FROM toks WHERE len(tk) >= 3),
+        |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL
+        |      SELECT * FROM g3)
+        |SELECT source, n, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+        |  CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+        |  floor(CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS ttr
+        |FROM u GROUP BY source, n ORDER BY source, n""".stripMargin,
+
+    // label_centroids' quantized centroid frame; median/MAD are exact
+    // order statistics on the 1e-6-int cosine domain; MAD-degenerate
+    // labels flag nothing.
+    "centroid_outliers" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |m AS (SELECT label, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS cv
+        |      FROM v, generate_series(1, 64) AS g(i) GROUP BY label, i),
+        |c AS (SELECT label, list(cv ORDER BY i) AS c_emb FROM m GROUP BY label),
+        |s AS (SELECT v.vec_id, v.label,
+        |        CAST(floor(list_cosine_similarity(v.emb, c.c_emb) * 1e6 + 0.5)
+        |          AS BIGINT) AS cq
+        |      FROM v JOIN c USING (label)
+        |      WHERE NOT isnan(list_cosine_similarity(v.emb, c.c_emb))),
+        |st AS (SELECT label, quantile_cont(cq, 0.5) AS med FROM s GROUP BY label),
+        |sd AS (SELECT s.label, st.med,
+        |         quantile_cont(abs(s.cq - st.med), 0.5) AS mad
+        |       FROM s JOIN st USING (label) GROUP BY s.label, st.med)
+        |SELECT s.vec_id, s.label, CAST(s.cq AS DOUBLE) / 1e6 AS cos,
+        |  sd.med / 1e6 AS label_median, sd.mad / 1e6 AS label_mad
+        |FROM s JOIN sd USING (label)
+        |WHERE sd.mad > 0.0 AND CAST(s.cq AS DOUBLE) < sd.med - 3.0 * sd.mad
+        |ORDER BY vec_id""".stripMargin,
+
+    // fuzzy_match's blocked pair list -> recursive min-label closure
+    // (dedup_components' oracle pattern on string ids).
+    "entity_clusters" ->
+      """WITH RECURSIVE d AS (SELECT p_name AS name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_parts FROM part GROUP BY 1),
+        |t AS (SELECT name, n_parts, string_split(name, ' ')[-1] AS block FROM d),
+        |p AS (SELECT a.name AS na, b.name AS nb
+        |      FROM t a JOIN t b ON a.block = b.block AND a.name < b.name
+        |      WHERE abs(length(a.name) - length(b.name)) <= 2
+        |        AND levenshtein(a.name, b.name) <= 2),
+        |e AS (SELECT na AS a, nb AS b FROM p UNION ALL SELECT nb, na FROM p),
+        |r AS (SELECT name AS node, name AS lbl FROM d
+        |      UNION
+        |      SELECT e.a AS node, r.lbl FROM e JOIN r ON r.node = e.b),
+        |c AS (SELECT node AS name, MIN(lbl) AS cluster FROM r GROUP BY node)
+        |SELECT c.name, c.cluster,
+        |  CAST(COUNT(*) OVER (PARTITION BY c.cluster) AS BIGINT) AS cluster_size,
+        |  d.n_parts
+        |FROM c JOIN d ON c.name = d.name ORDER BY c.name""".stripMargin
   )
 }

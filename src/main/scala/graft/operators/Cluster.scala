@@ -169,4 +169,46 @@ object Cluster {
 
   def semDedup(spark: SparkSession, dir: String): DataFrame =
     semDedupOf(Tables.embeddings(spark, dir))
+
+  /** Embedding outliers vs the OWN-label centroid: members whose
+    * cosine-to-centroid falls more than `k` MADs below the label's
+    * median — the cheap linear screen for mislabeled or degenerate
+    * vectors ([[graft.operators.Similarity.labelNoise]]'s kNN audit is
+    * the thorough-but-quadratic sibling; this one is two bounded
+    * aggregates and touches every vector exactly twice).
+    *
+    * Determinism: centroids are the quantized element-wise means
+    * ([[labelCentroidsOf]]'s frame, one source of truth); cosines
+    * quantize to 1e-6 ints; median and MAD are exact order statistics
+    * on that integer domain (interpolated midpoints end in .5 — exact
+    * doubles), no libm anywhere — the Robust family's playbook. A
+    * label whose MAD is zero (all members equidistant) flags nothing:
+    * strictly-below-median is not deviance when there IS no spread.
+    */
+  def centroidOutliersOf(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val vecs = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    val scored = vecs.join(quantizedCentroids(vecs, "label"), "label")
+      .select(col("vec_id"), col("label"),
+        floor(VectorF.cosineSim(col("emb"), col("c_emb")) * 1e6 + 0.5)
+          .cast("long").as("cq"))
+      .filter(col("cq").isNotNull)
+    val med = scored.groupBy("label")
+      .agg(expr("percentile(cq, 0.5D)").as("med"))
+    val mad = scored.join(med, "label")
+      .groupBy("label", "med")
+      .agg(expr("percentile(abs(cq - med), 0.5D)").as("mad"))
+    scored.join(mad, "label")
+      .filter(col("mad") > 0.0 &&
+        col("cq").cast("double") < col("med") - lit(k.toDouble) * col("mad"))
+      .select(col("vec_id"), col("label"),
+        (col("cq").cast("double") / 1e6).as("cos"),
+        (col("med") / 1e6).as("label_median"),
+        (col("mad") / 1e6).as("label_mad"))
+      .orderBy("vec_id")
+  }
+
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame =
+    centroidOutliersOf(Tables.embeddings(spark, dir))
 }

@@ -696,4 +696,39 @@ object CorpusStats {
 
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame =
     quantileNormalizeOf(Tables.documents(spark, dir))
+
+  /** Distinct-n diversity per source — the type/token ratio
+    * generalized to n-grams (n = 1, 2, 3): ‖distinct n-grams‖ /
+    * ‖n-gram occurrences‖. THE screen for diversity collapse in a
+    * source (template farms and synthetic loops crater distinct-2/3
+    * while keeping distinct-1 plausible; cf. the per-DOC repetition
+    * gate, row 56 — this is the per-SOURCE view of the same failure).
+    * Unigrams use the whitespace tokens (empty docs contribute their
+    * [""] token, a corpus-constant convention); higher n uses STRICT
+    * shingles (short docs contribute nothing — unigram fallback would
+    * fake diversity).
+    *
+    * Shape: three column-pruned scans (text, source only) unioned
+    * before ONE (source, n) aggregate; the distinct count shuffles
+    * gram strings once. At 100 TB the distinct count swaps for the
+    * HLL sketch (approx_count_distinct) with the same frame. */
+  def distinctNgramDiversityOf(docs: DataFrame): DataFrame = {
+    def grams(n: Int): DataFrame = {
+      val g = if (n == 1) TextF.tokens(col("text"))
+        else TextF.strictShingles(col("text"), n)
+      docs.select(col("source"), lit(n).as("n"), explode(g).as("g"))
+    }
+    grams(1).union(grams(2)).union(grams(3))
+      .groupBy("source", "n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct("g").as("distinct_ngrams"))
+      .select(col("source"), col("n"), col("total_ngrams"),
+        col("distinct_ngrams"),
+        TextF.round4HalfUp(col("distinct_ngrams").cast("double")
+          / col("total_ngrams").cast("double")).as("ttr"))
+      .orderBy("source", "n")
+  }
+
+  def distinctNgramDiversity(spark: SparkSession, dir: String): DataFrame =
+    distinctNgramDiversityOf(Tables.documents(spark, dir))
 }

@@ -54,4 +54,34 @@ object Linkage {
 
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame =
     fuzzyMatchOf(Tables.part(spark, dir))
+
+  /** Entity RESOLUTION on top of [[fuzzyMatchOf]]: the pair list says
+    * "these two names look alike"; resolution needs the transitive
+    * closure ("typo-A ~ typo-B ~ canonical" is one entity even when
+    * A and C never pair directly). Components over the match edges
+    * ([[Components.connectedComponents]] — min-label propagation works
+    * unchanged on string ids), every name included as its own
+    * singleton, cluster label = lexicographically-smallest member
+    * (the deterministic canonical-name pick), cluster_size for the
+    * review queue. Edge list is vocabulary-bounded like the match
+    * itself; the closure is Θ(edges·diameter) with typo-cluster
+    * diameters of 1-2. */
+  def entityClustersOf(parts: DataFrame, maxDist: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = parts.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val edges = fuzzyMatchOf(parts, maxDist)
+      .select(col("name_a").as("a"), col("name_b").as("b"))
+    val labels = Components.connectedComponents(
+      edges, dict.select(col("name").as("id")))
+    dict.join(labels, dict("name") === labels("id"))
+      .select(col("name"), col("component").as("cluster"), col("n_parts"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .select(col("name"), col("cluster"), col("cluster_size"), col("n_parts"))
+      .orderBy("name")
+  }
+
+  def entityClusters(spark: SparkSession, dir: String): DataFrame =
+    entityClustersOf(Tables.part(spark, dir))
 }

@@ -51,4 +51,26 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L) == ((true, -1L)))
     assert(out(7L)._1, "7 matches nothing at 0.95 in its own cell")
   }
+  test("centroid outliers flag the inverted member, spare the noisy-but-normal ones") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    // 7 noisy copies of the base direction (MAD > 0), one inverted vector
+    val members = (0L until 7L).map { i =>
+      (i, base.map(v => v + rnd.nextGaussian() * 0.05), 0)
+    } :+ ((99L, base.map(-_), 0))
+    val out = Cluster.centroidOutliersOf(members.toDF("vec_id", "embedding", "label"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out.contains(99L), "the inverted member must flag")
+    assert(!out.exists(_ < 7L), s"noisy-but-aligned members must not flag: $out")
+  }
+
+  test("centroid outliers: a zero-MAD label flags nothing") {
+    import spark.implicits._
+    val v = Array.fill(64)(1.0)
+    // two identical members: median = cosine of both, MAD = 0
+    val out = Cluster.centroidOutliersOf(
+      Seq((0L, v, 1), (1L, v.clone, 1)).toDF("vec_id", "embedding", "label"))
+    assert(out.count() == 0L)
+  }
 }

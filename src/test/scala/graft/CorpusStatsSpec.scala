@@ -444,4 +444,19 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     val a = out.filter(_._2._1 == "A").toSeq.sortBy(_._2._2).map(_._2._3)
     assert(a.zip(a.tail).forall { case (x, y) => x <= y })
   }
+  test("ngram diversity: repetition craters distinct-2/3 while distinct-1 stays flat") {
+    val docs = Seq(
+      (1L, "loop", "a a a a"),                // TTR1 = 1/4; strict 2-grams: 3x "a a"
+      (2L, "fresh", "w x y z"))               // all distinct at every n
+      .toDF("doc_id", "source", "text")
+    val out = CorpusStats.distinctNgramDiversityOf(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("loop", 1)) == ((4L, 1L, 0.25)), s"got $out")
+    assert(out(("loop", 2)) == ((3L, 1L, 0.3333)))
+    assert(out(("loop", 3)) == ((2L, 1L, 0.5)))
+    assert(out(("fresh", 1)) == ((4L, 4L, 1.0)))
+    assert(out(("fresh", 2)) == ((3L, 3L, 1.0)))
+    assert(out(("fresh", 3)) == ((2L, 2L, 1.0)))
+  }
 }

@@ -36,4 +36,18 @@ class LinkageSpec extends AnyFunSuite with SparkFixture {
     assert(Linkage.fuzzyMatchOf(partsDf("red gear", "big gear"), maxDist = 3)
       .count() == 1)
   }
+  test("entity clusters close the transitive chain fuzzy pairs leave open") {
+    // aaaa ~ aabb (dist 2) ~ bbbb (dist 2), but aaaa vs bbbb is dist 4:
+    // only the closure puts all three in one entity. zzzz sits alone.
+    val out = Linkage.entityClustersOf(partsDf(
+      "aaaa corp", "aabb corp", "bbbb corp", "zzzz metal")).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("aaaa corp")._1 == "aaaa corp")
+    assert(out("aabb corp")._1 == "aaaa corp")
+    assert(out("bbbb corp")._1 == "aaaa corp",
+      s"transitive member must join the cluster: $out")
+    assert(out("aaaa corp")._2 == 3L && out("bbbb corp")._2 == 3L)
+    assert(out("zzzz metal") == (("zzzz metal", 1L, 1L)), "singletons included")
+  }
 }
