@@ -201,7 +201,10 @@ object SparkEntry {
     "quantile_normalize" -> (CorpusStats.quantileNormalize(_, _)),
     "ngram_diversity"   -> (CorpusStats.distinctNgramDiversity(_, _)),
     "centroid_outliers" -> (Cluster.centroidOutliers(_, _)),
-    "entity_clusters"   -> (Linkage.entityClusters(_, _))
+    "entity_clusters"   -> (Linkage.entityClusters(_, _)),
+    "kfold_assign"      -> (Corpus.kfoldAssign(_, _)),
+    "class_weights"     -> (Corpus.classWeights(_, _)),
+    "negative_samples"  -> (Behavior.negativeSamples(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -2845,6 +2848,47 @@ object SparkEntry {
         |SELECT c.name, c.cluster,
         |  CAST(COUNT(*) OVER (PARTITION BY c.cluster) AS BIGINT) AS cluster_size,
         |  d.n_parts
-        |FROM c JOIN d ON c.name = d.name ORDER BY c.name""".stripMargin
+        |FROM c JOIN d ON c.name = d.name ORDER BY c.name""".stripMargin,
+
+    // Round-robin along the content-keyed per-language rank:
+    // stratified, balanced, reproducible.
+    "kfold_assign" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(text), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST((rn - 1) % 5 AS INT) AS fold
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // sklearn-"balanced" inverse-frequency weights, alpha = 0.
+    "class_weights" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT *, CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total,
+        |        CAST(COUNT(*) OVER () AS BIGINT) AS n_classes FROM c)
+        |SELECT lang, n_docs,
+        |  floor(CAST(n_total AS DOUBLE)
+        |    / (CAST(n_classes AS DOUBLE) * CAST(n_docs AS DOUBLE))
+        |    * 1e4 + 0.5) / 1e4 AS weight
+        |FROM t ORDER BY lang""".stripMargin,
+
+    // Per-user top-k never-interacted items under the md5(user:item)
+    // pseudo-random total order.
+    "negative_samples" ->
+      """WITH i AS (SELECT DISTINCT user_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+        |      AS item
+        |  FROM events),
+        |cat AS (SELECT DISTINCT item FROM i),
+        |u AS (SELECT DISTINCT user_id FROM i),
+        |cand AS (SELECT u.user_id, cat.item FROM u CROSS JOIN cat
+        |         ANTI JOIN i ON i.user_id = u.user_id AND i.item = cat.item),
+        |r AS (SELECT user_id, item,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY md5(CAST(user_id AS VARCHAR) || ':' ||
+        |                   CAST(item AS VARCHAR)), item) AS INT) AS rank
+        |  FROM cand)
+        |SELECT user_id, item, "rank" FROM r WHERE "rank" <= 5
+        |ORDER BY user_id, "rank"""".stripMargin
   )
 }

@@ -258,6 +258,47 @@ object Behavior {
   def itemAffinity(spark: SparkSession, dir: String): DataFrame =
     itemAffinityOf(Tables.events(spark, dir))
 
+  /** Deterministic negative sampling for recommendation training: per
+    * user, `k` items the user NEVER interacted with, pseudo-randomly
+    * ranked by md5(user:item) — the contrastive counterpart every
+    * implicit-feedback trainer (BPR, sampled softmax) pairs with the
+    * positive stream. Content-keyed, so re-runs and repartitioning
+    * draw the SAME negatives (the reproducible-batch property), and
+    * per-user draws are independent (the hash mixes user and item).
+    *
+    * Shape: the distinct item catalog is CATALOG-bounded and
+    * broadcasts; user × catalog expands only ‖users‖·‖catalog‖ before
+    * the per-user top-k window prunes to k. At a 10⁶-item catalog the
+    * expansion step hash-samples candidates FIRST (filter
+    * md5(user:item) below a threshold sized to ~10·k expected
+    * survivors — the SAME key that ranks, so the sample IS the rank
+    * prefix in expectation); the bounded test catalog keeps the exact
+    * path. */
+  def negativeSamplesOf(events: DataFrame, k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val interactions = events.select(col("user_id"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("item"))
+      .distinct()
+      .localCheckpoint(false) // two consumers: catalog + the anti-join
+    val catalog = interactions.select(col("item")).distinct()
+    val users = interactions.select(col("user_id")).distinct()
+    val candidates = users.crossJoin(broadcast(catalog))
+      .join(interactions, Seq("user_id", "item"), "left_anti")
+    val byUser = Window.partitionBy("user_id").orderBy(col("h"), col("item"))
+    candidates
+      .withColumn("h",
+        md5(concat(col("user_id").cast("string"), lit(":"),
+          col("item").cast("string"))))
+      .withColumn("rank", row_number().over(byUser))
+      .filter(col("rank") <= k)
+      .select(col("user_id"), col("item"), col("rank"))
+      .orderBy("user_id", "rank")
+  }
+
+  def negativeSamples(spark: SparkSession, dir: String): DataFrame =
+    negativeSamplesOf(Tables.events(spark, dir))
+
   /** Exponential-decay engagement score per user — the recency-weighted
     * activity feature every ranking/churn model starts from: each
     * event contributes value · 2^(−age_days), ages beyond `horizon`

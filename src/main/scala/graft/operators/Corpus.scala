@@ -319,6 +319,48 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Stratified k-fold assignment for cross-validation: within each
+    * language stratum, documents take folds round-robin along the
+    * content-keyed rank ([[stratifiedSampleOf]]'s `contentRanked`
+    * frame — one ordering, three consumers), so every fold holds
+    * ⌈n_lang/k⌉ or ⌊n_lang/k⌋ docs of each language and the
+    * assignment survives re-runs, engine swaps, and repartitioning
+    * (the property a seeded shuffle lacks). One window on the bounded
+    * stratum key; pure integer arithmetic. */
+  def kfoldAssignOf(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    contentRanked(docs, "lang")
+      .select(col("doc_id"), col("lang"),
+        ((col("rn") - 1) % k).cast("int").as("fold"))
+      .orderBy("doc_id")
+  }
+
+  def kfoldAssign(spark: SparkSession, dir: String): DataFrame =
+    kfoldAssignOf(Tables.documents(spark, dir))
+
+  /** Inverse-frequency class weights (the sklearn "balanced" formula
+    * with additive smoothing): w_c = N / (K · (n_c + α)) — what a
+    * trainer multiplies into the loss so rare languages are not
+    * drowned by the head class. α > 0 caps the weight a
+    * nearly-empty class can claim. ONE bounded-key aggregate; the
+    * totals ride a window over the K-row frame; one division, 4 dp
+    * half-up. */
+  def classWeightsOf(docs: DataFrame, alpha: Int = 0): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val all = Window.partitionBy(lit(1))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total", sum("n_docs").over(all))
+      .withColumn("n_classes", count(lit(1)).over(all))
+      .select(col("lang"), col("n_docs"),
+        TextF.round4HalfUp(col("n_total").cast("double")
+          / (col("n_classes").cast("double")
+            * (col("n_docs") + lit(alpha)).cast("double"))).as("weight"))
+      .orderBy("lang")
+  }
+
+  def classWeights(spark: SparkSession, dir: String): DataFrame =
+    classWeightsOf(Tables.documents(spark, dir))
+
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
     trainSplitOf(Tables.documents(spark, dir))
 

@@ -228,4 +228,23 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(0L -> 1L, 1L -> 1L),
       "one-period users must not enter the covariate model")
   }
+  test("negative samples never collide with a user's history and draw deterministically") {
+    import spark.implicits._
+    // catalog {1..6}; user 1 saw {1,2}, user 2 saw {3}
+    val ev = Seq((1L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L), (3L, 6L))
+      .zipWithIndex.map { case ((u, item), i) =>
+        (i.toLong, u, s"""{"k": $item}""") }
+      .toDF("event_id", "user_id", "props")
+    val out = Behavior.negativeSamplesOf(ev, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val seen = Map(1L -> Set(1L, 2L), 2L -> Set(3L), 3L -> Set(4L, 5L, 6L))
+    out.foreach { case (u, item, _) =>
+      assert(!seen(u).contains(item), s"user $u sampled a seen item $item") }
+    // k negatives per user when the catalog allows; user 3 has exactly 3 unseen
+    val perUser = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perUser == Map(1L -> 3, 2L -> 3, 3L -> 3), s"got $perUser")
+    val again = Behavior.negativeSamplesOf(ev, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == again.toSeq, "hash-keyed draws are reproducible")
+  }
 }

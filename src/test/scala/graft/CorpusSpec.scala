@@ -337,4 +337,33 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(out("A") == ((2L, 2L, 1L, 0L, 3L, 1.5)), s"got $out")
     assert(out("B") == ((1L, 0L, 0L, 0L, 0L, 0.0)))
   }
+  test("kfold assignment is stratified, balanced within 1, and deterministic") {
+    val docs = (1L to 23L).map(i => (i, if (i <= 15) "en" else "de", s"doc body $i"))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.kfoldAssignOf(docs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.length == 23)
+    // per-language fold sizes differ by at most 1 (round-robin)
+    Seq("en", "de").foreach { l =>
+      val sizes = out.filter(_._2 == l).groupBy(_._3).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"$l folds unbalanced: $sizes")
+    }
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+    val again = Corpus.kfoldAssignOf(docs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == again.toSeq, "content-keyed: re-runs never move a doc")
+  }
+
+  test("class weights follow the balanced formula with optional smoothing") {
+    val docs = Seq(
+      (1L, "a", "x"), (2L, "b", "x"), (3L, "b", "x"),
+      (4L, "c", "x"), (5L, "c", "x"), (6L, "c", "x"))
+      .toDF("doc_id", "lang", "text")
+    val w = Corpus.classWeightsOf(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(w == Map("a" -> 2.0, "b" -> 1.0, "c" -> 0.6667), s"got $w")
+    val ws = Corpus.classWeightsOf(docs, alpha = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ws == Map("a" -> 1.0, "b" -> 0.6667, "c" -> 0.5))
+  }
 }
