@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 import org.apache.spark.sql.execution.window.WindowGroupLimitExec
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Cluster, Corpus, CorpusStats, CtrAlerts, Dedup, EventAnalytics, Similarity, TextAnalysis}
+import graft.operators.{Behavior, Cluster, Corpus, CorpusStats, CtrAlerts, Dedup, EventAnalytics, Similarity, TextAnalysis}
 
 /** Plan-shape regression tests: the ExplainAudit invariants, asserted
   * on the planner output so a regression fails CI instead of waiting
@@ -405,5 +405,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         p.collect { case j: CartesianProductExec => j }.isEmpty,
         s"behavioral/robust queries must stay equi-joins:\n$p")
     }
+  }
+  test("round-9 tranche: bounded crosses only, rankers partition-local") {
+    // ngram_diversity is scans + one aggregate; centroid_outliers is
+    // label-equijoined throughout: neither may plan a cross shape.
+    for (df <- Seq[DataFrame](
+      CorpusStats.distinctNgramDiversity(spark, Sf),
+      Cluster.centroidOutliers(spark, Sf))) {
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"quadratic join shape in:\n$p")
+    }
+    // quantile_normalize: exactly the 1-row percentile-grid cross; the
+    // rank windows key on source, never a global order.
+    val qn = plan(CorpusStats.quantileNormalize(spark, Sf))
+    assert(qn.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1)
+    assert(qn.collect { case j: CartesianProductExec => j }.isEmpty)
+    // negative_samples: the user x catalog expansion is the one
+    // catalog-bounded cross; the per-user top-k must stay
+    // partition-local (WindowGroupLimit), so only k rows per user
+    // reach the final exchange.
+    val ns = plan(Behavior.negativeSamples(spark, Sf))
+    assert(ns.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"only the bounded catalog cross is allowed:\n$ns")
+    assert(ns.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
+      "rank()<=k must rewrite to a partition-local WindowGroupLimit")
   }
 }
