@@ -31,6 +31,28 @@ object EventStreamJob {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("approx_users"))
 
+  /** Windowed value percentiles per event type — the latency/revenue
+    * distribution monitor, streamed: 1-hour tumbling windows, p50/p90/
+    * p99 via `approx_percentile`, whose per-window state is the SAME
+    * fixed-size mergeable sketch the batch twin uses
+    * (Report.earningsPercentilesApprox, SURVEY row 67) — merged
+    * incrementally across micro-batches, never a buffered value list,
+    * the only percentile shape that survives a 100 TB stream. The
+    * watermark bounds window state exactly like [[windowedReach]]. */
+  def windowedPercentiles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)")
+          .as("ps"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p90"),
+        round(element_at(col("ps"), 3), 4).as("p99"),
+        col("n_events"))
+
   /** Stream-stream click attribution, last-touch: each click joins the
     * same user's views from the preceding `windowHours` and keeps the
     * MOST RECENT one (the streaming twin of the batch as-of join,

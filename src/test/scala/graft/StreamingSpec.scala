@@ -207,6 +207,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("windowedPercentiles maintains the sketch incrementally across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val query = EventStreamJob.windowedPercentiles(events).writeStream
+      .format("memory").queryName("pct_test").outputMode("complete").start()
+    try {
+      // first micro-batch: values 1..8 for one window
+      input.addData((1 to 8).map(i => (ts("10:05"), i.toLong, "view", i.toDouble)): _*)
+      query.processAllAvailable()
+      // second micro-batch extends the SAME window's sketch: 9..100
+      input.addData((9 to 100).map(i => (ts("10:30"), i.toLong, "view", i.toDouble)): _*)
+      query.processAllAvailable()
+      val out = spark.table("pct_test")
+        .select(date_format(col("window_start"), "HH:mm").as("w"),
+          col("event_type"), col("p50"), col("p99"), col("n_events"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+      // accuracy 10000 >> n → the sketch is exact here
+      val (p50, p99, n) = out(("10:00", "view"))
+      assert(n == 100L, s"got $out")
+      assert(p50 == 50.0, s"median over the merged batches must be exact: $p50")
+      assert(p99 == 99.0, s"p99: $p99")
+    } finally query.stop()
+  }
+
   test("StreamingSessionize closes sessions on the gap and finalizes at the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
