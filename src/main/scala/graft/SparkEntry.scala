@@ -204,7 +204,10 @@ object SparkEntry {
     "entity_clusters"   -> (Linkage.entityClusters(_, _)),
     "kfold_assign"      -> (Corpus.kfoldAssign(_, _)),
     "class_weights"     -> (Corpus.classWeights(_, _)),
-    "negative_samples"  -> (Behavior.negativeSamples(_, _))
+    "negative_samples"  -> (Behavior.negativeSamples(_, _)),
+    "ab_test"           -> (Behavior.abTest(_, _)),
+    "rfm_segments"      -> (Behavior.rfmSegments(_, _)),
+    "bounce_rate"       -> (EventAnalytics.bounceRate(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -2890,6 +2893,78 @@ object SparkEntry {
         |  FROM cand)
         |SELECT user_id, item, "rank" FROM r WHERE "rank" <= 5
         |ORDER BY user_id, "rank"""".stripMargin,
+
+    // md5-parity arms, max-flag conversion, pooled-variance z (sqrt is
+    // correctly-rounded IEEE — engine-exact like the cosine path).
+    "ab_test" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |          AND CAST(make_timestamp(epoch_us(ts)) AS DATE) = report_date
+        |        THEN 1 ELSE 0 END) AS converted,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(MIN(user_id) AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM events, md GROUP BY user_id),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv1
+        |  FROM u)
+        |SELECT n0, n1, conv0, conv1,
+        |  floor(CAST(conv0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0)
+        |    * 1e4 + 0.5) / 1e4 AS p0,
+        |  floor(CAST(conv1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0)
+        |    * 1e4 + 0.5) / 1e4 AS p1,
+        |  floor((CAST(conv1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0) -
+        |         CAST(conv0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0)) /
+        |    NULLIF(sqrt((CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+        |      (1.0 - CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+        |      (1.0 / NULLIF(CAST(n0 AS DOUBLE), 0.0) +
+        |       1.0 / NULLIF(CAST(n1 AS DOUBLE), 0.0))), 0.0)
+        |    * 1e4 + 0.5) / 1e4 AS z
+        |FROM a""".stripMargin,
+
+    // R/F/M quintiles with user-id tiebreaks; 5 = best on every axis.
+    "rfm_segments" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |per AS (SELECT user_id,
+        |    CAST(datediff('day', MAX(CAST(make_timestamp(epoch_us(ts)) AS DATE)),
+        |      ANY_VALUE(report_date)) AS BIGINT) AS recency_days,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qm
+        |  FROM events, md GROUP BY user_id),
+        |t AS (SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS INT) AS r,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f,
+        |    CAST(ntile(5) OVER (ORDER BY qm, user_id) AS INT) AS m
+        |  FROM per)
+        |SELECT user_id, recency_days, frequency,
+        |  floor(CAST(qm AS DOUBLE) / 100.0 + 0.5) / 1e4 AS monetary,
+        |  r, f, m, CAST(r * 100 + f * 10 + m AS INT) AS segment
+        |FROM t ORDER BY user_id""".stripMargin,
+
+    // sessionize's session frame aggregated to per-start-day bounces.
+    "bounce_rate" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f),
+        |g AS (SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        MIN(us) AS start_us
+        |      FROM s GROUP BY user_id, session_idx),
+        |d AS (SELECT CAST(make_timestamp(start_us) AS DATE) AS day, n_events FROM g)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  floor(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS bounce_rate
+        |FROM d GROUP BY day ORDER BY day""".stripMargin,
 
     // ---- Pinned-contract oracles, large-frame tier -------------------
     // The remaining seven rows-only queries are deterministic end to

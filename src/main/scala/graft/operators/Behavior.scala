@@ -299,6 +299,108 @@ object Behavior {
   def negativeSamples(spark: SparkSession, dir: String): DataFrame =
     negativeSamplesOf(Tables.events(spark, dir))
 
+  /** Two-proportion z-test A/B readout: users hash into two arms
+    * (md5-prefix parity — the engine-portable assignment every other
+    * hash draw here uses), conversion = at least one purchase ON THE
+    * REPORT DAY (the corpus max date — lifetime "ever purchased"
+    * saturates to 100% on a long history and degenerates the test),
+    * and the pooled-variance z-score decides whether the arms differ.
+    * The one test every experimentation platform runs before the
+    * CUPED machinery ([[cupedAdjustOf]]) is worth its complexity.
+    * sqrt is IEEE-correctly-rounded (like the cosine path) so the
+    * score is engine-exact; proportions and z round 4 dp half-up. A
+    * degenerate slice (pooled p of exactly 0 or 1, or an empty arm)
+    * reports z = NULL, never a division error.
+    *
+    * Shape: 1-row report-date broadcast, ONE user aggregate (max-flag
+    * conversion), ONE conditional 1-row aggregate over both arms —
+    * no other join anywhere. */
+  def abTestOf(events: DataFrame): DataFrame = {
+    val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))
+    val users = events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .crossJoin(broadcast(maxDay)) // 1 row by construction
+      .select(col("user_id"),
+        when(col("event_type") === "purchase" &&
+          col("day") === col("report_date"), 1L).otherwise(0L).as("p"))
+      .groupBy("user_id")
+      .agg(max("p").as("converted"))
+      .select(col("converted"),
+        pmod(conv(substring(md5(concat(lit("ab:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(2L)).as("arm"))
+    val r4 = graft.functions.TextF.round4HalfUp _
+    val pPool = (col("conv0") + col("conv1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    users.agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0L, col("converted")).otherwise(0L)).as("conv0"),
+        sum(when(col("arm") === 1L, col("converted")).otherwise(0L)).as("conv1"))
+      .select(col("n0"), col("n1"), col("conv0"), col("conv1"),
+        r4(col("conv0").cast("double")
+          / nullif(col("n0").cast("double"), lit(0.0))).as("p0"),
+        r4(col("conv1").cast("double")
+          / nullif(col("n1").cast("double"), lit(0.0))).as("p1"),
+        r4((col("conv1").cast("double")
+            / nullif(col("n1").cast("double"), lit(0.0)) -
+            col("conv0").cast("double")
+            / nullif(col("n0").cast("double"), lit(0.0))) /
+          nullif(sqrt(pPool * (lit(1.0) - pPool) *
+            (lit(1.0) / nullif(col("n0").cast("double"), lit(0.0)) +
+             lit(1.0) / nullif(col("n1").cast("double"), lit(0.0)))),
+            lit(0.0))).as("z"))
+  }
+
+  def abTest(spark: SparkSession, dir: String): DataFrame =
+    abTestOf(Tables.events(spark, dir))
+
+  /** RFM segmentation — the classic CRM feature triple: per user,
+    * recency (days since last event, vs the corpus report date),
+    * frequency (event count), monetary (micro-exact value sum), each
+    * cut into quintiles, segment code = R·100 + F·10 + M with 5 =
+    * best on every axis (most recent / most frequent / highest
+    * spend). ntile orders carry a user-id tiebreak so bucket edges
+    * are deterministic and engine-identical.
+    *
+    * Shape: 1-row report-date broadcast, ONE user aggregate, three
+    * ntile windows over the user-level frame (user-bounded, not
+    * event-bounded). The ntile windows are global-ordered — fine up
+    * to ~10⁷ users; at 10⁹ swap the exact ntile for quintile CUT
+    * POINTS from the percentile sketch (row 67's path) joined
+    * broadcast, same output contract. */
+  def rfmSegmentsOf(events: DataFrame): DataFrame = {
+    val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))
+    val per = events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .crossJoin(broadcast(maxDay)) // 1 row by construction
+      .groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+        sum("qv").as("qm"), first("report_date").as("report_date"))
+      .select(col("user_id"),
+        datediff(col("report_date"), col("last_day")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("qm"))
+    // DESC recency order → ntile 5 = most recent; ASC for F and M.
+    val rW = Window.orderBy(col("recency_days").desc, col("user_id"))
+    val fW = Window.orderBy(col("frequency"), col("user_id"))
+    val mW = Window.orderBy(col("qm"), col("user_id"))
+    per
+      .withColumn("r", ntile(5).over(rW))
+      .withColumn("f", ntile(5).over(fW))
+      .withColumn("m", ntile(5).over(mW))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        graft.functions.TextF.microsTo4dp(col("qm")).as("monetary"),
+        col("r"), col("f"), col("m"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+      .orderBy("user_id")
+  }
+
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsOf(Tables.events(spark, dir))
+
   /** Exponential-decay engagement score per user — the recency-weighted
     * activity feature every ranking/churn model starts from: each
     * event contributes value · 2^(−age_days), ages beyond `horizon`

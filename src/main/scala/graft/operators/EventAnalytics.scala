@@ -589,4 +589,27 @@ object EventAnalytics {
 
   def targetEncode(spark: SparkSession, dir: String): DataFrame =
     targetEncodeOf(Tables.events(spark, dir))
+
+  /** Session bounce rate per day — the engagement headline over
+    * [[sessionizeOf]]'s sessions (one source of truth for the gap
+    * rule): a bounce is a single-event session; the day is the
+    * session's START day (a midnight-crossing session counts where it
+    * began, exactly once). Composes the sessionize frame with one
+    * bounded day aggregate — nothing new shuffles beyond the session
+    * pass itself. */
+  def bounceRateOf(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionizeOf(events, gapMinutes)
+      .select(to_date(timestamp_micros(col("start_us"))).as("day"),
+        col("n_events"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        graft.functions.TextF.round4HalfUp(
+          col("n_bounces").cast("double") / col("n_sessions").cast("double"))
+          .as("bounce_rate"))
+      .orderBy("day")
+
+  def bounceRate(spark: SparkSession, dir: String): DataFrame =
+    bounceRateOf(Tables.events(spark, dir))
 }

@@ -247,4 +247,57 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(out.toSeq == again.toSeq, "hash-keyed draws are reproducible")
   }
+  test("ab test: arms partition users, conversion counts the report day, degenerate z is NULL") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // users 1..6; report day = Jan 3; users 2 and 5 purchase on it,
+    // user 1 purchased earlier only (must NOT count as converted)
+    val ev = Seq(
+      (1L, 1L, "purchase", t(1)), (2L, 1L, "view", t(3)),
+      (3L, 2L, "purchase", t(3)), (4L, 3L, "view", t(3)),
+      (5L, 4L, "view", t(2)), (6L, 5L, "purchase", t(3)), (7L, 6L, "view", t(3)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Behavior.abTestOf(ev).collect().head
+    val (n0, n1, c0, c1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n0 + n1 == 6L, "every user lands in exactly one arm")
+    assert(c0 + c1 == 2L, "only report-day purchasers convert")
+    // all-convert slice: pooled p = 1 -> zero variance -> z NULL, no error
+    val sat = Seq((1L, 1L, "purchase", t(3)), (2L, 2L, "purchase", t(3)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val rs = Behavior.abTestOf(sat).collect().head
+    assert(rs.isNullAt(6), "degenerate variance must yield NULL z")
+  }
+
+  test("rfm quintiles: 5 users spread one per bucket, 5 = best on every axis") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // user u: u events, last on day u, each worth u dollars
+    val ev = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (u.toLong * 100 + i, u.toLong, t(u), u.toDouble))
+    }.toDF("event_id", "user_id", "ts", "value")
+    val out = Behavior.rfmSegmentsOf(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(4), r.getInt(5),
+        r.getInt(6), r.getInt(7))).toMap
+    // user 5: most recent (recency 0), most frequent, highest spend -> 555
+    assert(out(5L) == ((0L, 5, 5, 5, 555)), s"got $out")
+    assert(out(1L) == ((4L, 1, 1, 1, 111)))
+    assert(out(3L)._5 == 333)
+  }
+
+  test("bounce rate: single-event sessions count against their start day") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $s:00")
+    val ev = Seq(
+      (1L, 1L, ts("10:00")), (2L, 1L, ts("10:10")),   // one 2-event session
+      (3L, 2L, ts("10:00")),                           // bounce
+      (4L, 3L, ts("10:00")), (5L, 3L, ts("12:00")))    // two 1-event sessions
+      .toDF("event_id", "user_id", "ts")
+    val out = graft.operators.EventAnalytics.bounceRateOf(ev).collect().head
+    assert(out.getLong(1) == 4L, "sessions: 1 + 1 + 2")
+    assert(out.getLong(2) == 3L, "bounces: user 2 once, user 3 twice")
+    assert(out.getDouble(3) == 0.75)
+  }
 }
