@@ -207,7 +207,17 @@ object SparkEntry {
     "negative_samples"  -> (Behavior.negativeSamples(_, _)),
     "ab_test"           -> (Behavior.abTest(_, _)),
     "rfm_segments"      -> (Behavior.rfmSegments(_, _)),
-    "bounce_rate"       -> (EventAnalytics.bounceRate(_, _))
+    "bounce_rate"       -> (EventAnalytics.bounceRate(_, _)),
+    // Round-8 final tranche: survival/ACF/split (time-series &
+    // experimentation), RA link prediction, matryoshka audit,
+    // zone-map audit, count-min calibration
+    "churn_lifetable"   -> (Behavior.churnLifetable(_, _)),
+    "acf_daily"         -> (EventAnalytics.acfDaily(_, _)),
+    "temporal_split"    -> (EventAnalytics.temporalSplit(_, _)),
+    "link_predict"      -> (Graph.linkPredict(_, _)),
+    "matryoshka_energy" -> (Similarity.matryoshkaEnergy(_, _)),
+    "zonemap_audit"     -> (Warehouse.zonemapAudit(_, _)),
+    "countmin_err"      -> (HeavyHitters.countMinErr(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -2965,6 +2975,181 @@ object SparkEntry {
         |  floor(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS bounce_rate
         |FROM d GROUP BY day ORDER BY day""".stripMargin,
+
+    // Kaplan-Meier life table: risk set = reverse cumulative total.
+    "churn_lifetable" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |u AS (SELECT user_id,
+        |        min(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS first_day,
+        |        max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS last_day
+        |      FROM events GROUP BY user_id),
+        |d AS (SELECT CAST(datediff('day', first_day, last_day) AS BIGINT) AS duration,
+        |        CASE WHEN datediff('day', last_day, report_date) < 7
+        |          THEN 1 ELSE 0 END AS censored
+        |      FROM u, md),
+        |t AS (SELECT duration, CAST(SUM(1 - censored) AS BIGINT) AS n_churned,
+        |        CAST(SUM(censored) AS BIGINT) AS n_censored
+        |      FROM d GROUP BY duration),
+        |r AS (SELECT *, CAST(SUM(n_churned + n_censored) OVER
+        |        (ORDER BY duration ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |        AS BIGINT) AS n_risk
+        |      FROM t)
+        |SELECT duration, n_risk, n_churned, n_censored,
+        |  floor(CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS hazard
+        |FROM r ORDER BY duration""".stripMargin,
+
+    // Integer-exact sample ACF: num/den multiplied through by n², the
+    // lag pairing as a dense-grid self-join on day + k.
+    "acf_daily" ->
+      """WITH ev AS (SELECT event_type,
+        |        CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day FROM events),
+        |daily AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+        |          FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT t.event_type, CAST(g.gs AS DATE) AS day
+        |         FROM (SELECT DISTINCT event_type FROM daily) t,
+        |              (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS gs
+        |               FROM b) g),
+        |dense AS (SELECT grid.event_type, grid.day, COALESCE(daily.x, 0) AS x
+        |          FROM grid LEFT JOIN daily
+        |            ON grid.event_type = daily.event_type AND grid.day = daily.day),
+        |dev AS (SELECT event_type, day,
+        |          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+        |            - CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS d
+        |        FROM dense),
+        |num AS (SELECT a.event_type, l.k AS lag, CAST(SUM(a.d * p.d) AS BIGINT) AS num
+        |        FROM dev a
+        |        JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) l(k) ON TRUE
+        |        JOIN dev p ON p.event_type = a.event_type AND p.day = a.day + l.k
+        |        GROUP BY 1, 2),
+        |den AS (SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS den,
+        |          CAST(COUNT(*) AS BIGINT) AS n_days
+        |        FROM dev GROUP BY 1)
+        |SELECT n.event_type, CAST(n.lag AS INT) AS lag, d.n_days,
+        |  CASE WHEN d.den = 0 THEN NULL
+        |    ELSE floor(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |  END AS acf
+        |FROM num n JOIN den d USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
+
+    // Purged time split: last 7 days test, 2-day embargo, user-overlap
+    // audit against the train user set.
+    "temporal_split" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |t AS (SELECT user_id, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |        CASE WHEN datediff('day', CAST(make_timestamp(epoch_us(ts)) AS DATE),
+        |               report_date) < 7 THEN 'test'
+        |          WHEN datediff('day', CAST(make_timestamp(epoch_us(ts)) AS DATE),
+        |               report_date) < 9 THEN 'embargo'
+        |          ELSE 'train' END AS split
+        |      FROM events, md),
+        |tu AS (SELECT DISTINCT user_id FROM t WHERE split = 'train'),
+        |pu AS (SELECT split, user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |         MIN(day) AS mn, MAX(day) AS mx
+        |       FROM t GROUP BY 1, 2)
+        |SELECT split, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  MIN(mn) AS min_day, MAX(mx) AS max_day,
+        |  CAST(SUM(CASE WHEN user_id IN (SELECT user_id FROM tu)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_users_in_train
+        |FROM pu GROUP BY split ORDER BY split""".stripMargin,
+
+    // Resource-allocation link prediction on the order-part bipartite
+    // graph; per-order contribution in 1e6 fixed point (integer div).
+    "link_predict" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |sz AS (SELECT o, CAST(COUNT(*) AS BIGINT) AS sz FROM op GROUP BY o),
+        |pr AS (SELECT a.p AS p, b.p AS q, s.sz
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |       JOIN sz s ON s.o = a.o),
+        |g AS (SELECT p, q, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |        CAST(SUM(1000000 // sz) AS BIGINT) AS raq
+        |      FROM pr GROUP BY p, q)
+        |SELECT p AS part_a, q AS part_b, n_common, raq,
+        |  CAST(raq AS DOUBLE) / 1e6 AS ra_score
+        |FROM g ORDER BY raq DESC, n_common DESC, part_a, part_b
+        |LIMIT 30""".stripMargin,
+
+    // Matryoshka prefix energy: index-order fold of x² per prefix
+    // (list_reduce mirrors Spark's aggregate fold), 1e-9 quantized.
+    "matryoshka_energy" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (SELECT t.d,
+        |        CAST(floor(list_reduce(list_transform(e[1:t.d], x -> x * x),
+        |          (a, b) -> a + b) * 1e9 + 0.5) AS BIGINT) AS q_prefix,
+        |        CAST(floor(list_reduce(list_transform(e, x -> x * x),
+        |          (a, b) -> a + b) * 1e9 + 0.5) AS BIGINT) AS q_total
+        |      FROM v, (VALUES (8),(16),(32),(48),(64)) t(d)),
+        |f AS (SELECT d, q_prefix, q_total,
+        |        CASE WHEN q_total = 0 THEN 0
+        |          ELSE CAST(floor(CAST(q_prefix AS DOUBLE) / CAST(q_total AS DOUBLE)
+        |            * 1e6 + 0.5) AS BIGINT) END AS frac_q
+        |      FROM p)
+        |SELECT CAST(d AS INT) AS d, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CASE WHEN SUM(q_total) = 0 THEN 0.0
+        |    ELSE floor(CAST(SUM(q_prefix) AS DOUBLE) / CAST(SUM(q_total) AS DOUBLE)
+        |      * 1e4 + 0.5) / 1e4 END AS pooled_energy_frac,
+        |  floor(CAST(SUM(frac_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+        |    * 1e4 + 0.5) / 1e4 AS mean_vector_frac
+        |FROM f GROUP BY d ORDER BY d""".stripMargin,
+
+    // Zone-map audit: value-cut zones on order key (arrival) vs ship
+    // date (clustered); envelopes in day offsets from the corpus min.
+    "zonemap_audit" ->
+      """WITH rows_ AS (SELECT l_orderkey AS ok, CAST(l_shipdate AS DATE) AS day
+        |               FROM lineitem),
+        |b AS (SELECT min(ok) AS ok0, max(ok) AS ok1, min(day) AS d0, max(day) AS d1
+        |      FROM rows_),
+        |z AS (SELECT day, d0, d1,
+        |        ((ok - ok0) * 32) // (ok1 - ok0 + 1) AS z_arrival,
+        |        (CAST(datediff('day', d0, day) AS BIGINT) * 32)
+        |          // (CAST(datediff('day', d0, d1) AS BIGINT) + 1) AS z_date
+        |      FROM rows_, b),
+        |env AS (
+        |  SELECT 'arrival' AS layout, z_arrival AS zone,
+        |    CAST(MIN(datediff('day', d0, day)) AS BIGINT) AS lo,
+        |    CAST(MAX(datediff('day', d0, day)) AS BIGINT) AS hi,
+        |    CAST(ANY_VALUE(datediff('day', d0, d1)) AS BIGINT) AS span
+        |  FROM z GROUP BY z_arrival
+        |  UNION ALL
+        |  SELECT 'date', z_date,
+        |    CAST(MIN(datediff('day', d0, day)) AS BIGINT),
+        |    CAST(MAX(datediff('day', d0, day)) AS BIGINT),
+        |    CAST(ANY_VALUE(datediff('day', d0, d1)) AS BIGINT)
+        |  FROM z GROUP BY z_date)
+        |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_zones,
+        |  CAST(SUM(CASE WHEN lo <= (span // 2) + 14 AND hi >= (span // 2) - 15
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |  floor(CAST(COUNT(*) - SUM(CASE WHEN lo <= (span // 2) + 14
+        |      AND hi >= (span // 2) - 15 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS pruned_frac,
+        |  floor(CAST(SUM(hi - lo + 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS mean_zone_days
+        |FROM env GROUP BY layout ORDER BY layout""".stripMargin,
+
+    // Count-min calibration: the oracle rebuilds the CMS cells exactly
+    // (cell = Σ counts of tokens sharing the md5-chunk bucket) and
+    // reads the same min-over-rows estimate.
+    "countmin_err" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |             FROM documents),
+        |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token),
+        |hb AS (SELECT token, c, r.r,
+        |         CAST(('0x' || substring(md5(token), 1 + 8 * r.r, 8)) AS BIGINT)
+        |           % 1024 AS bucket
+        |       FROM cnt, (VALUES (0),(1),(2),(3)) r(r)),
+        |cells AS (SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS cell
+        |          FROM hb GROUP BY r, bucket),
+        |top AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 20),
+        |est AS (SELECT t.token, t.c, CAST(MIN(cells.cell) AS BIGINT) AS est
+        |        FROM top t JOIN hb ON hb.token = t.token
+        |        JOIN cells ON cells.r = hb.r AND cells.bucket = hb.bucket
+        |        GROUP BY 1, 2)
+        |SELECT token, c AS exact_cnt, est AS est_cnt, est - c AS overestimate
+        |FROM est ORDER BY exact_cnt DESC, token""".stripMargin,
 
     // ---- Pinned-contract oracles, large-frame tier -------------------
     // The remaining seven rows-only queries are deterministic end to

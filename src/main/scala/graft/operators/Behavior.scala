@@ -513,4 +513,62 @@ object Behavior {
 
   def cupedAdjust(spark: SparkSession, dir: String): DataFrame =
     cupedAdjustOf(Tables.events(spark, dir), "2024-01-16")
+
+  /** Kaplan-Meier life table for user churn — the survival-analysis
+    * view of retention (cf. [[cohortRetentionOf]], which reports
+    * per-cohort return RATES; this reports the hazard structure of
+    * LEAVING). Per user, lifetime = days between first and last
+    * event; a user still active within `censorDays` of the corpus
+    * report date is right-CENSORED (we only know their lifetime
+    * exceeds what we observed — counting them as churned is the
+    * classic retention-curve bias this estimator exists to avoid,
+    * Kaplan & Meier '58). Output is the discrete life table: per
+    * duration t, the risk set n(t) = users whose lifetime ≥ t, churn
+    * events d(t), censorings c(t), and the hazard d(t)/n(t) at 4 dp.
+    * The K-M survival curve S(t) = Π_{s≤t}(1 − d(s)/n(s)) is a
+    * trivial client-side fold over these rows; it is deliberately NOT
+    * a column because a cumulative float product has no
+    * engine-portable exact form (house determinism policy — cf.
+    * tfidf's ratio-idf), while every column here is exact integers
+    * plus one rational rounded 4 dp.
+    *
+    * Shape: one map-combinable per-user aggregate (the only fact-sized
+    * shuffle); everything after runs on the ≤ day-span duration frame,
+    * so the unpartitioned reverse-cumulative window is bounded by the
+    * calendar, not the data. */
+  def churnLifetableOf(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    require(censorDays > 0, s"censorDays must be positive, got $censorDays")
+    val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))
+    val durations = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(maxDay)) // 1 row by construction
+      .groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"),
+        first("report_date").as("report_date"))
+      .select(
+        datediff(col("last_day"), col("first_day")).cast("long")
+          .as("duration"),
+        when(datediff(col("report_date"), col("last_day")) < censorDays, 1L)
+          .otherwise(0L).as("censored"))
+    val byDur = durations.groupBy("duration")
+      .agg(sum(lit(1L) - col("censored")).as("n_churned"),
+        sum(col("censored")).as("n_censored"))
+    // Risk set = reverse cumulative total over the duration frame
+    // (≤ day-span rows — the single-partition window is bounded).
+    val riskW = Window.orderBy(col("duration"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byDur
+      .withColumn("n_risk",
+        sum(col("n_churned") + col("n_censored")).over(riskW))
+      .select(col("duration"), col("n_risk"), col("n_churned"),
+        col("n_censored"),
+        // n_risk ≥ 1 whenever the row exists (it counts itself)
+        graft.functions.TextF.round4HalfUp(
+          col("n_churned").cast("double") / col("n_risk").cast("double"))
+          .as("hazard"))
+      .orderBy("duration")
+  }
+
+  def churnLifetable(spark: SparkSession, dir: String): DataFrame =
+    churnLifetableOf(Tables.events(spark, dir))
 }

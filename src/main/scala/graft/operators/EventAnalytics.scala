@@ -612,4 +612,117 @@ object EventAnalytics {
 
   def bounceRate(spark: SparkSession, dir: String): DataFrame =
     bounceRateOf(Tables.events(spark, dir))
+
+  /** Sample autocorrelation of the daily event-count series, lags 1..7
+    * per event type — the periodicity probe behind every seasonality
+    * decision ([[seasonalProfileOf]] ASSUMES a weekly cycle; this
+    * MEASURES whether one exists: a weekly series shows r₇ ≫ r₁..r₆).
+    * Integer-exact Pearson form: with S = Σx over the n-day grid, the
+    * standard sample ACF r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+    * multiplies through by n² to num_k = Σ(n·x_t−S)(n·x_{t+k}−S) and
+    * den = Σ(n·x_t−S)² — all int64, no float accumulation; ONE
+    * division at the end, 4 dp floor-form. Missing days enter as
+    * exact zeros via the calendar grid (an absent day is a real
+    * observation of 0, and skipping it would splice non-adjacent days
+    * together and fake correlation).
+    *
+    * Shape: one map-combinable (type, day) count aggregate is the only
+    * fact-sized shuffle; the grid join, the 7 lead windows and the
+    * final aggregate all run on the (types × day-span) frame — a few
+    * hundred rows regardless of fact size. Overflow headroom (int64
+    * policy, cf. decayedEngagementOf): |n·x−S| < n·max_daily, so den
+    * needs n³·max_daily² < 2⁶³ — at a 370-day grid that is ~4·10⁶
+    * events/day/type at sf-scale and ~10⁹ before decimal(38) is
+    * required; the scan stays ~10⁵× inside the bound.
+    */
+  def acfDailyOf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30, s"maxLag in [1,30], got $maxLag")
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    // Dense calendar grid per type: day-span sequence exploded from the
+    // 1-row bounds frame, cross-joined with the distinct types.
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val byType = Window.partitionBy("event_type")
+    val ordered = byType.orderBy("day")
+    val dev = dense
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("s", sum("x").over(byType))
+      .withColumn("d", col("n") * col("x") - col("s")) // n·x − S
+    val leads = (1 to maxLag).foldLeft(dev) { (df, k) =>
+      df.withColumn(s"d$k", lead(col("d"), k).over(ordered))
+    }
+    val stacked = leads.select(col("event_type"), explode(map(
+      (1 to maxLag).flatMap(k =>
+        Seq(lit(k), col("d") * col(s"d$k"))): _*)).as(Seq("lag", "prod")))
+    stacked
+      .groupBy("event_type", "lag")
+      .agg(sum("prod").as("num")) // lead null past series end drops out
+      .join(dev.groupBy("event_type")
+        .agg(sum(col("d") * col("d")).as("den"), count(lit(1)).as("n_days")),
+        "event_type")
+      .select(col("event_type"), col("lag"), col("n_days"),
+        // den = 0 ⇔ constant series: ACF undefined, pinned NULL
+        when(col("den") === 0L, lit(null).cast("double")).otherwise(
+          floor(col("num").cast("double") / col("den").cast("double")
+            * 1e4 + 0.5) / 1e4).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  def acfDaily(spark: SparkSession, dir: String): DataFrame =
+    acfDailyOf(Tables.events(spark, dir))
+
+  /** Time-based train/embargo/test split with leakage audit — the
+    * split a forecasting or uplift model needs where [[Corpus]]'s
+    * hash splits would leak the future into training: the last
+    * `testDays` calendar days are TEST, the `embargoDays` before them
+    * are dropped (an autocorrelated metric straddling the boundary
+    * leaks label information across it — the purged/embargoed split
+    * of de Prado '18), and everything earlier is TRAIN. Output is the
+    * per-split audit card: event/user counts, the day range, and
+    * n_users_in_train — for TEST this is the USER overlap with train,
+    * the quantity that decides whether the evaluation measures
+    * generalization to new users or only to new days (time splits
+    * intentionally share users; the column makes the sharing
+    * measurable instead of silent).
+    *
+    * Shape: the 1-row bounds frame broadcasts into a map-side split
+    * label; one (split, user) dedupe aggregate and one broadcast-sized
+    * semi-join against the ≤ |users| train-user frame; no global sort
+    * beyond the 3-row output. */
+  def temporalSplitOf(events: DataFrame, testDays: Int = 7,
+                      embargoDays: Int = 2): DataFrame = {
+    require(testDays > 0 && embargoDays >= 0,
+      s"testDays > 0, embargoDays >= 0; got $testDays/$embargoDays")
+    val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))
+    val tagged = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(maxDay)) // 1 row by construction
+      .withColumn("split",
+        when(datediff(col("report_date"), col("day")) < testDays, "test")
+          .when(datediff(col("report_date"), col("day")) <
+            testDays + embargoDays, "embargo")
+          .otherwise("train"))
+    val trainUsers = tagged.filter(col("split") === "train")
+      .select("user_id").distinct()
+    val perUser = tagged.groupBy("split", "user_id")
+      .agg(count(lit(1)).as("n_ev"), min("day").as("mn"), max("day").as("mx"))
+      .join(trainUsers.withColumn("in_train", lit(1L)), Seq("user_id"), "left")
+    perUser.groupBy("split")
+      .agg(sum("n_ev").as("n_events"),
+        count(lit(1)).as("n_users"),
+        min("mn").as("min_day"), max("mx").as("max_day"),
+        sum(coalesce(col("in_train"), lit(0L))).as("n_users_in_train"))
+      .orderBy("split")
+  }
+
+  def temporalSplit(spark: SparkSession, dir: String): DataFrame =
+    temporalSplitOf(Tables.events(spark, dir))
 }

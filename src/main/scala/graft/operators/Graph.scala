@@ -243,4 +243,55 @@ object Graph {
 
   def triangleCount(spark: SparkSession, dir: String): DataFrame =
     triangleCountOf(Tables.events(spark, dir))
+
+  /** Link prediction on the order–part bipartite graph by the
+    * resource-allocation index (Zhou, Lü & Zhang '09 — the
+    * common-neighbor score that down-weights promiscuous neighbors,
+    * empirically the strongest of the local indices): for parts p < q,
+    * RA(p,q) = Σ over orders o containing both of 1/|o|, where |o| is
+    * the order's distinct-part basket size. A shared SMALL basket is
+    * strong evidence the parts belong together; a shared huge one says
+    * almost nothing — that is the 1/|o| (Adamic-Adar would take
+    * 1/log|o|; RA's plain reciprocal keeps the score a SUM OF EXACT
+    * RATIONALS, which quantizes to fixed-point integers — no libm, no
+    * float accumulation, house determinism policy). Each order
+    * contributes floor(1e6/|o|) per pair; the per-pair sum is exact
+    * int64 and ONE final division renders the score. Top `k` pairs by
+    * (score, n_common, keys) — fully tie-deterministic.
+    *
+    * Shape: distinct (order, part) projection, then pairs are
+    * generated WITHIN each order by a self-equijoin on the order key —
+    * shuffle-bounded by Σ|o|², which TPC-H-style baskets (≤ 7 lines)
+    * cap at ~21·|orders| — joined to the broadcast-sized per-order
+    * basket-size frame, and one map-combinable pair aggregate.
+    * Basket-size skew is the scale risk: a 10⁴-part megabasket alone
+    * yields 10⁸ pairs, so callers at corpus scale cap |o| (a basket
+    * that big carries ~0 RA signal per pair anyway — the cap loses
+    * floor(1e6/10⁴)·pairs ≈ nothing) — same escape hatch family as
+    * [[Behavior.itemAffinityOf]]'s min-support.
+    */
+  def linkPredictOf(lineitem: DataFrame, k: Int = 30): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val op = lineitem.select(col("l_orderkey").as("o"),
+      col("l_partkey").as("p")).distinct()
+      .localCheckpoint(false) // basket sizes + both join sides share it
+    val size = op.groupBy("o").agg(count(lit(1)).as("sz"))
+    val pairs = op.join(op.select(col("o"), col("p").as("q")), Seq("o"))
+      .filter(col("p") < col("q"))
+      .join(size, Seq("o")) // per-order frame: ≤ |orders| rows, AQE picks broadcast
+      .groupBy("p", "q")
+      .agg(count(lit(1)).as("n_common"),
+        // `div`, not `/`: long `/` is double division in Spark SQL
+        sum(expr("1000000 div sz") /* 1e6 fixed point */).as("raq"))
+    pairs
+      .select(col("p").as("part_a"), col("q").as("part_b"),
+        col("n_common"), col("raq"),
+        (col("raq").cast("double") / 1e6).as("ra_score"))
+      .orderBy(col("raq").desc, col("n_common").desc,
+        col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
+  def linkPredict(spark: SparkSession, dir: String): DataFrame =
+    linkPredictOf(Tables.lineitem(spark, dir))
 }

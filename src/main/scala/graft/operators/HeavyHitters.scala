@@ -67,6 +67,76 @@ class MisraGries(k: Int) extends Aggregator[String, mutable.HashMap[String, Long
     ExpressionEncoder[Map[String, Long]]()
 }
 
+/** Count-min sketch (Cormode & Muthukrishnan '05) as a typed
+  * [[Aggregator]]: a fixed `depth`×`width` grid of int64 counters;
+  * each token increments one cell per row (cell chosen by that row's
+  * hash), and a point estimate is the MIN over rows of the token's
+  * cells — never under the true count, over by at most N·e/width with
+  * probability 1−e^−depth. Unlike [[MisraGries]], whose per-item
+  * estimates are merge-order dependent, EVERY CMS cell is a plain sum,
+  * so the sketch — and every estimate read from it — is bit-identical
+  * under any partitioning and merge order: deterministic without a
+  * confirm pass.
+  *
+  * The row hashes are the four 32-bit chunks of ONE md5 per token —
+  * engine-portable (the oracle recomputes identical cells from md5 in
+  * SQL) and one digest per occurrence, not `depth`. Depth is therefore
+  * fixed at 4.
+  */
+class CountMin(width: Int) extends Aggregator[String, Array[Long], Array[Long]] {
+  require(width > 1, s"width must be > 1, got $width")
+  val depth = 4
+
+  override def zero: Array[Long] = new Array[Long](depth * width)
+
+  override def reduce(b: Array[Long], token: String): Array[Long] = {
+    val hex = CountMin.md5Hex(token)
+    var r = 0
+    while (r < depth) {
+      val h = java.lang.Long.parseLong(hex.substring(8 * r, 8 * r + 8), 16)
+      b((r * width + (h % width)).toInt) += 1L
+      r += 1
+    }
+    b
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def finish(b: Array[Long]): Array[Long] = b
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}
+
+object CountMin {
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lower-case 32-char md5 hex of the UTF-8 bytes — the exact string
+    * DuckDB's `md5()` renders, so hash chunks agree cross-engine. */
+  def md5Hex(s: String): String = {
+    val d = Md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(bytes(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
 object HeavyHitters {
 
   /** Tokens with frequency strictly above N/k, found with a
@@ -92,4 +162,41 @@ object HeavyHitters {
 
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHittersOf(Tables.documents(spark, dir))
+
+  /** Count-min error audit: the top `topK` exact tokens with their CMS
+    * point estimates and overestimates — the calibration read a team
+    * takes BEFORE trusting the sketch for the long tail it cannot
+    * verify (est ≥ exact always; the observed overestimate vs the
+    * N/width bound says whether `width` fits this vocabulary). The
+    * whole sketch is ONE fixed-size (4·width cells) map-combinable
+    * aggregate — at 100 TB the shuffle is 32 KB per partition
+    * regardless of fact size; the exact side is a vocabulary-bounded
+    * count only needed for the audited head. Estimates are read by
+    * plain array arithmetic against the 1-row broadcast cell frame —
+    * bit-exact in any engine (see [[CountMin]]).
+    */
+  def countMinErrOf(docs: DataFrame, width: Int = 1024,
+                    topK: Int = 20): DataFrame = {
+    require(width > 1 && topK > 0, s"width > 1, topK > 0; got $width/$topK")
+    val toks = docs.select(explode(TextF.tokens(col("text"))).as("token"))
+    val sketch = udaf(new CountMin(width), Encoders.STRING)
+    val cells = toks.agg(sketch(col("token")).as("cells"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(topK)
+    // est = min over the 4 hash rows of that row's cell; the row hash
+    // is the r-th 32-bit chunk of md5(token) — same chunks the
+    // Aggregator wrote (conv(…,16,10) = the JVM's parseLong(hex,16)).
+    val est = (0 until 4).map { r =>
+      val h = expr(
+        s"cast(conv(substring(md5(token), ${8 * r + 1}, 8), 16, 10) as bigint) % $width")
+      element_at(col("cells"), (lit(r * width) + h + 1).cast("int"))
+    }.reduce(least(_, _))
+    top.crossJoin(broadcast(cells)) // 1 row by construction
+      .select(col("token"), col("exact_cnt"), est.as("est_cnt"),
+        (est - col("exact_cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  def countMinErr(spark: SparkSession, dir: String): DataFrame =
+    countMinErrOf(Tables.documents(spark, dir))
 }

@@ -673,4 +673,61 @@ object Similarity {
     * runs or feeds candidate pairs, per the scaladoc above). */
   def labelNoise(spark: SparkSession, dir: String): DataFrame =
     labelNoiseOf(Tables.embeddings(spark, dir), auditLimit = 512L)
+
+  /** Matryoshka prefix-energy profile — the truncation-feasibility
+    * audit for dimension-reduced serving (Kusupati et al. '22 train
+    * embeddings so prefixes carry most of the signal; this measures
+    * whether THIS corpus's vectors do): for each prefix length d, the
+    * fraction of total squared norm carried by the first d
+    * coordinates, both corpus-pooled (Σ over vectors of prefix
+    * energy / Σ of total energy) and as the mean per-vector fraction
+    * (the two diverge when a few huge-norm vectors dominate the
+    * pool — reporting both exposes that skew). A front-loaded profile
+    * (≥0.9 at d=32) licenses serving truncated vectors against
+    * [[annIvfOf]]-style indexes at half the memory; a flat profile
+    * (≈ d/64, the isotropic baseline) says truncation costs recall
+    * proportionally.
+    *
+    * Determinism: each per-vector energy is a SEQUENTIAL index-order
+    * fold of x² (both engines fold lists left-to-right — the
+    * [[embeddingNormStatsOf]] policy) quantized to an exact 1e-9
+    * integer, so the corpus sums are int64 addition (order-free) and
+    * each output ratio divides once, 4 dp floor-form. Map-only until
+    * one `prefixes.length`-row aggregate; no shuffle of vector data. */
+  def matryoshkaEnergyOf(embeddings: DataFrame,
+                         prefixes: Seq[Int] = Seq(8, 16, 32, 48, 64)): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_ > 0),
+      s"prefixes must be positive, got $prefixes")
+    val qsq = (c: Column) => floor(aggregate(c, lit(0.0),
+      (acc, x) => acc + x * x) * lit(1e9) + lit(0.5)).cast("long")
+    val vec = col("embedding").cast("array<double>")
+    val rows = embeddings
+      .select(qsq(vec).as("q_total"),
+        explode(map(prefixes.flatMap(d =>
+          Seq(lit(d), qsq(slice(vec, 1, d)))): _*)).as(Seq("d", "q_prefix")))
+      // slice past the array end truncates: d ≥ dim ⇒ q_prefix = q_total
+      .withColumn("frac_q", // per-vector fraction at 1e-6 grain
+        when(col("q_total") === 0L, lit(0L)) // zero vector: define 0
+          .otherwise(floor(col("q_prefix").cast("double") /
+            col("q_total").cast("double") * 1e6 + 0.5).cast("long")))
+    rows.groupBy("d")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("q_prefix").as("sp"), sum("q_total").as("st"),
+        sum("frac_q").as("sf"))
+      .select(col("d"), col("n_vectors"),
+        // all-zero corpus ⇒ pooled fraction pinned 0.0, not NaN
+        // (the ctrShrunkOf NaN lesson — degenerate input degrades
+        // to a defined value)
+        when(col("st") === 0L, lit(0.0)).otherwise(
+          graft.functions.TextF.round4HalfUp(
+            col("sp").cast("double") / col("st").cast("double")))
+          .as("pooled_energy_frac"),
+        graft.functions.TextF.round4HalfUp(
+          col("sf").cast("double") / col("n_vectors").cast("double") / 1e6)
+          .as("mean_vector_frac"))
+      .orderBy("d")
+  }
+
+  def matryoshkaEnergy(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaEnergyOf(Tables.embeddings(spark, dir))
 }

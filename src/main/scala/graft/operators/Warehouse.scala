@@ -245,4 +245,79 @@ object Warehouse {
 
   def dpCounts(spark: SparkSession, dir: String): DataFrame =
     dpCountsOf(Tables.events(spark, dir))
+
+  /** Zone-map pruning audit — the LAYOUT decision quantified: given a
+    * fact table, a filter column (ship date), and a file count, what
+    * fraction of files could a min/max-stats reader SKIP for a
+    * mid-range 30-day predicate, under (a) the natural arrival layout
+    * (files cut by order-key ranges — how ingest actually lands) vs
+    * (b) a date-clustered layout (files cut by equal-width date
+    * ranges)? Arrival order scatters every date into every file, so
+    * its per-file envelopes cover the whole span and nothing prunes —
+    * the measured gap between the two rows is the exact I/O win a
+    * re-cluster (or [[graft.sources.ZOrder]] for two-column
+    * predicates) buys at 100 TB, where pruned files are the dominant
+    * cost lever. Zones are VALUE-cut, not row-count-cut:
+    * zone = (key − min)·nZones div (span+1) — pure integer arithmetic
+    * from the broadcast 1-row bounds frame, no global sort, engine-
+    * exact (rank-cut zones would need a total order pass).
+    *
+    * Output per layout: zone count, zones overlapping the predicate,
+    * pruned fraction (4 dp floor-form), and the mean zone date-width
+    * in days (4 dp) — the clustering-quality number that predicts
+    * pruning for ANY date predicate, not just the probed one.
+    *
+    * Shape: one map-side pass tags each row with its two zone ids
+    * (bounds ride a broadcast), one (layout, zone) min/max aggregate
+    * bounded by 2·nZones rows, then arithmetic on that tiny frame. */
+  def zonemapAuditOf(lineitem: DataFrame, nZones: Int = 32,
+                     predicateDays: Int = 30): DataFrame = {
+    require(nZones > 1, s"nZones must be > 1, got $nZones")
+    require(predicateDays > 0, s"predicateDays must be positive, got $predicateDays")
+    val day = to_date(col("l_shipdate"))
+    val rows = lineitem.select(col("l_orderkey").as("ok"), day.as("day"))
+    val bounds = rows.agg(min("ok").as("ok0"), max("ok").as("ok1"),
+      min("day").as("d0"), max("day").as("d1"))
+    val zoned = rows.crossJoin(broadcast(bounds)) // 1 row by construction
+      .withColumn("zn", lit(nZones.toLong))
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division
+      .withColumn("z_arrival",
+        expr("((ok - ok0) * zn) div (ok1 - ok0 + 1)"))
+      .withColumn("doff", datediff(col("day"), col("d0")).cast("long"))
+      .withColumn("dspan", datediff(col("d1"), col("d0")).cast("long"))
+      .withColumn("z_date", expr("(doff * zn) div (dspan + 1)"))
+      .select(col("day"), col("d0"), col("d1"), col("z_arrival"),
+        col("z_date"))
+    val envelopes = Seq(("arrival", "z_arrival"), ("date", "z_date"))
+      .map { case (name, zc) =>
+        zoned.groupBy(col(zc).as("zone"))
+          .agg(min(datediff(col("day"), col("d0"))).as("lo"),
+            max(datediff(col("day"), col("d0"))).as("hi"),
+            // d0/d1 constant across rows: carry for the predicate
+            first(datediff(col("d1"), col("d0"))).as("span"))
+          .select(lit(name).as("layout"), col("zone"), col("lo"),
+            col("hi"), col("span"))
+      }.reduce(_.unionAll(_))
+    // Probe predicate: the centered `predicateDays`-day window
+    // [mid − p/2, mid + p/2) in day offsets; a zone overlaps iff its
+    // envelope intersects it. Integer day arithmetic throughout.
+    val mid = expr("span div 2")
+    val lo = mid - lit(predicateDays.toLong / 2)
+    val hi = mid + lit((predicateDays.toLong + 1) / 2) - 1L
+    envelopes
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_zones"),
+        sum(when(col("lo") <= hi && col("hi") >= lo, 1L).otherwise(0L))
+          .as("n_overlap"),
+        sum(col("hi") - col("lo") + 1L).as("width_sum"))
+      .select(col("layout"), col("n_zones"), col("n_overlap"),
+        TextF.round4HalfUp((col("n_zones") - col("n_overlap")).cast("double")
+          / col("n_zones").cast("double")).as("pruned_frac"),
+        TextF.round4HalfUp(col("width_sum").cast("double")
+          / col("n_zones").cast("double")).as("mean_zone_days"))
+      .orderBy("layout")
+  }
+
+  def zonemapAudit(spark: SparkSession, dir: String): DataFrame =
+    zonemapAuditOf(Tables.lineitem(spark, dir))
 }

@@ -286,6 +286,26 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L)._5 == 333)
   }
 
+  test("churn lifetable: censoring, risk sets, hazards") {
+    import java.sql.Timestamp
+    def t(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val ev = Seq(
+      (1L, 1L, t(1)), (2L, 1L, t(5)),   // duration 4, churned (25d stale)
+      (3L, 2L, t(1)), (4L, 2L, t(28)),  // duration 27, censored (2d from report)
+      (5L, 3L, t(10)),                  // duration 0, churned
+      (6L, 9L, t(30)))                  // duration 0, censored; pins report_date
+      .toDF("event_id", "user_id", "ts")
+    val out = Behavior.churnLifetableOf(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    // duration 0: risk = all 4 users, 1 churn (u3) + 1 censor (u9)
+    assert(out(0L) == ((4L, 1L, 1L, 0.25)), s"got $out")
+    // duration 4: risk = {u1, u2}, u1 churns
+    assert(out(4L) == ((2L, 1L, 0L, 0.5)))
+    // duration 27: risk = {u2}, censored — hazard 0
+    assert(out(27L) == ((1L, 0L, 1L, 0.0)))
+  }
+
   test("bounce rate: single-event sessions count against their start day") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -335,6 +335,55 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(EventAnalytics.cusumChangepointOf(ev).isEmpty)
   }
 
+  test("acf: alternating series is negative at lag 1, positive at lag 2") {
+    // type a counts by day: 1,3,1,3 → deviations (n·x−S) = −4,4,−4,4
+    // den = 64; lag1 = −48 → −0.75; lag2 = 32 → 0.5; lag3 = −16 → −0.25
+    val a = (1 to 4).flatMap { d =>
+      (1 to (if (d % 2 == 0) 3 else 1)).map(_ => ("a", f"2024-01-0$d 10:00:00", 1.0))
+    }
+    val ev = dailyEvents(a: _*)
+    val out = EventAnalytics.acfDailyOf(ev).collect()
+      .map(r => r.getInt(1) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(out(1).contains(-0.75), s"got $out")
+    assert(out(2).contains(0.5) && out(3).contains(-0.25))
+    // lags past the series length exist but are undefined
+    assert(out(4).isEmpty && out(7).isEmpty)
+  }
+
+  test("acf: absent days enter the grid as exact zeros") {
+    // type b on days 1 and 4 of a 4-day grid (type a spans it):
+    // x = 1,0,0,1 → d = 2,−2,−2,2; den = 16; lag3 = 4 → 0.25
+    val ev = dailyEvents(
+      ("a", "2024-01-01 10:00:00", 1.0), ("a", "2024-01-04 10:00:00", 1.0),
+      ("b", "2024-01-01 10:00:00", 1.0), ("b", "2024-01-04 10:00:00", 1.0))
+    val out = EventAnalytics.acfDailyOf(ev).collect()
+      .filter(_.getString(0) == "b")
+    assert(out.forall(_.getLong(2) == 4L), "grid spans all four days")
+    val lag3 = out.find(_.getInt(1) == 3).get
+    assert(lag3.getDouble(3) == 0.25)
+    val lag1 = out.find(_.getInt(1) == 1).get
+    assert(lag1.getDouble(3) == -0.25, "zero days count, not splice")
+  }
+
+  test("temporal split: boundaries, embargo, and the leakage column") {
+    import java.sql.Timestamp
+    def t(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val ev = Seq(
+      (1L, 1L, t(1)),   // train
+      (2L, 1L, t(30)),  // test — u1 leaks from train
+      (3L, 2L, t(22)),  // embargo (8 days before report, inside 7+2)
+      (4L, 3L, t(20)),  // train (10 days out)
+      (5L, 4L, t(24)))  // test boundary: 6 days out, < 7
+      .toDF("event_id", "user_id", "ts")
+    val out = EventAnalytics.temporalSplitOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5))))
+      .toMap
+    assert(out("train") == ((2L, 2L, 2L)), s"got $out")
+    assert(out("embargo") == ((1L, 1L, 0L)))
+    assert(out("test") == ((2L, 2L, 1L)), "u1 overlaps train; u4 is new")
+  }
+
   test("seasonal profile: a constant series indexes 1.0 on every weekday") {
     val ev = dailyEvents((1 to 14).map(d =>
       ("view", f"2024-01-$d%02d 09:00:00", 5.0)): _*)

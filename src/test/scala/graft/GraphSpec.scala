@@ -110,4 +110,22 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(mass > (Graph.Scale * 99) / 100 && mass <= Graph.Scale,
       s"the seed cycle conserves mass: $mass")
   }
+
+  test("link prediction: small baskets outscore big ones at equal co-occurrence") {
+    import spark.implicits._
+    // order 1 = {1,2} (pair worth 500000), order 2 = {1,2,3} (worth
+    // 333333 each), order 3 = {4,5} — and a duplicate line that the
+    // DISTINCT projection must collapse
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 4L), (3L, 5L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Graph.linkPredictOf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((1L, 2L)) == ((2L, 833333L, 0.833333)), s"got $out")
+    assert(out((1L, 3L)) == ((1L, 333333L, 0.333333)))
+    assert(out((4L, 5L)) == ((1L, 500000L, 0.5)),
+      "duplicate lineitem rows must not double-count the basket")
+    assert(out.size == 4, "pairs: (1,2) (1,3) (2,3) (4,5)")
+  }
 }

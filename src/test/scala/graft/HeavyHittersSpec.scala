@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{HeavyHitters, MisraGries}
+import graft.operators.{CountMin, HeavyHitters, MisraGries}
 
 class HeavyHittersSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
@@ -57,5 +57,34 @@ class HeavyHittersSpec extends AnyFunSuite with SparkFixture {
     val out = HeavyHitters.heavyHittersOf(docs, k = 4).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("top", 30L)))
+  }
+
+  test("md5Hex renders the canonical lower-case digest") {
+    assert(CountMin.md5Hex("abc") == "900150983cd24fb0d6963f7d28e17f72")
+    assert(CountMin.md5Hex("") == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("count-min: estimates never undercount and exact heads stay exact") {
+    val docs = Seq(
+      (1L, (Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+        (0 until 50).map(i => s"tail$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    // width 16 forces heavy collision traffic on the tail
+    val out = HeavyHitters.countMinErrOf(docs, width = 16, topK = 10).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(3) >= 0L), "CMS never underestimates")
+    val byTok = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTok("alpha") == 40L && byTok("beta") == 25L)
+    assert(out.head.getString(0) == "alpha", "exact counts drive the ranking")
+  }
+
+  test("count-min: cells are partitioning-invariant (merge is a plain sum)") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"w${i % 7} w${i % 11} shared")).toDF("doc_id", "text")
+    val one = HeavyHitters.countMinErrOf(docs.repartition(1), width = 32)
+      .collect().map(_.toSeq).toSeq
+    val many = HeavyHitters.countMinErrOf(docs.repartition(7), width = 32)
+      .collect().map(_.toSeq).toSeq
+    assert(one == many)
   }
 }

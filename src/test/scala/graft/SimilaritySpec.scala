@@ -343,4 +343,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(!out.contains(0L) && !out.contains(4L),
       "points whose neighbors agree must not be flagged")
   }
+
+  test("matryoshka energy: front-loaded vs flat vectors, zero pinned") {
+    import spark.implicits._
+    val front = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val flat = Array.fill(64)(1.0f)
+    val zero = Array.fill(64)(0.0f)
+    val embs = Seq((1L, front), (2L, flat), (3L, zero))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaEnergyOf(embs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // pooled at d=8: (1e9 + 8e9 + 0) / (1e9 + 64e9 + 0) = 9/65
+    assert(out(8) == ((3L, 0.1385, 0.375)), s"got $out")
+    // mean at d=8: (1.0 + 0.125 + 0.0)/3 = 0.375; d=64 saturates
+    assert(out(64) == ((3L, 1.0, 0.6667)),
+      "full prefix = total energy; zero vector contributes 0 to the mean")
+    assert(out(16)._2 == 0.2615, "pooled (1+16)/65 at d=16")
+  }
 }

@@ -157,4 +157,26 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     val out = Warehouse.scd2HistoryOf(ev).collect().map(r => r.getString(2))
     assert(out.toSeq == Seq("A", "B"))
   }
+
+  test("zone-map audit: date clustering prunes, arrival scatter does not") {
+    import spark.implicits._
+    import java.sql.Date
+    // 64 rows; ship-day offset (i·37 mod 64) cycles every residue —
+    // the worst case for arrival zones, perfectly tight for date zones
+    val li = (0 until 64).map { i =>
+      (i.toLong, Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays((i * 37) % 64)))
+    }.toDF("l_orderkey", "l_shipdate")
+    val out = Warehouse.zonemapAuditOf(li).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // span 63, window [16,45]; date zones: off div 2 → zones 8..22
+    // overlap (15 of 32), each exactly 2 days wide
+    assert(out("date") == ((32L, 15L, 0.5313, 2.0)), s"got $out")
+    // arrival zones hold rows {2k, 2k+1} → offsets 37 apart: every
+    // envelope is ≥ 27 days wide and intersects the mid window
+    val (az, ao, ap, aw) = out("arrival")
+    assert(az == 32L && ao == 32L && ap == 0.0, "nothing prunes")
+    assert(aw > 20.0, s"scattered envelopes are wide: $aw")
+  }
 }
