@@ -217,7 +217,10 @@ object SparkEntry {
     "link_predict"      -> (Graph.linkPredict(_, _)),
     "matryoshka_energy" -> (Similarity.matryoshkaEnergy(_, _)),
     "zonemap_audit"     -> (Warehouse.zonemapAudit(_, _)),
-    "countmin_err"      -> (HeavyHitters.countMinErr(_, _))
+    "countmin_err"      -> (HeavyHitters.countMinErr(_, _)),
+    "funnel_windowed"   -> (Behavior.funnelWindowed(_, _)),
+    "incremental_rollup" -> (Warehouse.incrementalRollup(_, _)),
+    "dedup_cascade"     -> (Dedup.dedupCascade(_, _))
   )
 
   /** Shared CTE prefix for the two shingle-set oracles
@@ -287,18 +290,23 @@ object SparkEntry {
       |       ELSE 'de' END AS pred_lang
       |FROM m ORDER BY doc_id""".stripMargin
 
-  private val ShingleSetsCte: String =
-    """toks AS (
+  /** `src` parametrizes the document set: "documents" for the whole
+    * corpus, a prior CTE name for staged pipelines (dedup_cascade
+    * shingles only exact-dedup survivors). */
+  private def shingleSetsCteOn(src: String): String =
+    s"""toks AS (
       |  SELECT doc_id,
       |    regexp_split_to_array(
-      |      regexp_replace(lower(nfc_normalize(text)), '^\s+|\s+$', '', 'g'), '\s+') AS t
-      |  FROM documents),
+      |      regexp_replace(lower(nfc_normalize(text)), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+      |  FROM $src),
       |sh AS (SELECT doc_id,
       |         list_distinct(CASE WHEN len(t) >= 3
       |           THEN list_transform(generate_series(1, len(t) - 2),
       |                  i -> array_to_string(t[i:i+2], ' '))
       |           ELSE t END) AS s
       |       FROM toks)""".stripMargin
+
+  private val ShingleSetsCte: String = shingleSetsCteOn("documents")
 
   /** The quality-score expression shared by the quality_score,
     * corpus_clean, and lang_quality_gate oracles — one copy, like
@@ -3150,6 +3158,70 @@ object SparkEntry {
         |        GROUP BY 1, 2)
         |SELECT token, c AS exact_cnt, est AS est_cnt, est - c AS overestimate
         |FROM est ORDER BY exact_cnt DESC, token""".stripMargin,
+
+    // funnel_steps with the 60-minute conversion deadline on each step.
+    "funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e
+        |      JOIN v ON e.user_id = v.user_id AND e.us > v.t1
+        |        AND e.us <= v.t1 + 3600000000
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e
+        |      JOIN c ON e.user_id = c.user_id AND e.us > c.t2
+        |        AND e.us <= c.t2 + 3600000000
+        |      WHERE e.event_type = 'purchase' GROUP BY 1),
+        |s AS (SELECT 'view' AS step, 1 AS ord,
+        |        (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS users
+        |      UNION ALL SELECT 'click', 2, (SELECT COUNT(*) FROM c)
+        |      UNION ALL SELECT 'purchase', 3, (SELECT COUNT(*) FROM p))
+        |SELECT step, ord, users,
+        |  CASE WHEN (SELECT users FROM s WHERE ord = 1) = 0 THEN 0.0
+        |    ELSE floor(CAST(users AS DOUBLE) /
+        |      CAST((SELECT users FROM s WHERE ord = 1) AS DOUBLE)
+        |      * 100 * 100 + 0.5) / 100 END AS conv_pct
+        |FROM s ORDER BY ord""".stripMargin,
+
+    // IVM merge ≡ full recompute — the oracle IS the full recompute.
+    "incremental_rollup" ->
+      """WITH b AS (SELECT CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv,
+        |    CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS late
+        |  FROM events)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  floor(CAST(SUM(qv) AS DOUBLE) / 100.0 + 0.5) / 1e4 AS revenue,
+        |  CAST(SUM(late) AS BIGINT) AS n_late
+        |FROM b GROUP BY day ORDER BY day""".stripMargin,
+
+    // Staged funnel: exact keep-first (GROUP BY text ≡ the content
+    // hash), then the recursive component closure on survivors only.
+    "dedup_cascade" ->
+      ("""WITH RECURSIVE surv AS (
+        |  SELECT d.* FROM documents d
+        |  JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) k
+        |    USING (doc_id)),
+        |""".stripMargin + shingleSetsCteOn("surv") + """,
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) >= 0.5),
+        |e AS (SELECT a_id AS a, b_id AS b FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |r AS (
+        |  SELECT doc_id AS node, doc_id AS lbl FROM surv
+        |  UNION
+        |  SELECT e.a AS node, r.lbl FROM e JOIN r ON r.node = e.b),
+        |comp AS (SELECT node, MIN(lbl) AS component FROM r GROUP BY node),
+        |n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n0,
+        |        (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n1,
+        |        (SELECT CAST(COUNT(DISTINCT component) AS BIGINT) FROM comp) AS n2)
+        |SELECT * FROM (
+        |  SELECT '1_exact' AS stage, CAST(1 AS INT) AS ord, n0 AS n_in,
+        |    n0 - n1 AS n_removed, n1 AS n_out FROM n
+        |  UNION ALL SELECT '2_jaccard', 2, n1, n1 - n2, n2 FROM n
+        |  UNION ALL SELECT '3_total', 3, n0, n0 - n2, n2 FROM n)
+        |ORDER BY ord""".stripMargin),
 
     // ---- Pinned-contract oracles, large-frame tier -------------------
     // The remaining seven rows-only queries are deterministic end to

@@ -66,6 +66,58 @@ object Behavior {
   def funnelSteps(spark: SparkSession, dir: String): DataFrame =
     funnelStepsOf(Tables.events(spark, dir))
 
+  /** Conversion-window funnel — [[funnelStepsOf]] with a deadline:
+    * step k counts only when it lands strictly after step k−1 AND
+    * within `windowMinutes` of it (the attribution-window semantics
+    * every marketing funnel actually uses; the unbounded funnel
+    * overstates conversion by crediting a purchase weeks later).
+    * Greedy earliest-qualifying chain: t₁ = first view, t₂ = first
+    * click in (t₁, t₁+W], t₃ = first purchase in (t₂, t₂+W] — the
+    * same chained min-aggregate shape as the unbounded funnel (each
+    * frame keyed and shuffled on user_id, shrinking monotonically),
+    * with the deadline as one extra pushable predicate. Exact integer
+    * microseconds; no windows, no sorts.
+    *
+    * Greedy is a CHOICE with consequences worth stating: a user whose
+    * first click is quick but whose purchase follows the SECOND click
+    * within ITS window counts at step 2, not step 3 (earliest-
+    * qualifying ≠ any-qualifying-path). The alternative — existential
+    * search over all step chains — is a per-user quadratic join; the
+    * greedy chain is what product funnels ship. */
+  def funnelWindowedOf(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    require(windowMinutes > 0, s"windowMinutes must be positive, got $windowMinutes")
+    val w = windowMinutes.toLong * 60L * 1000000L
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + w)
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + w)
+      .groupBy("user_id").agg(min("us").as("t3"))
+    val counts = Seq(("view", 1, v), ("click", 2, c), ("purchase", 3, p))
+    val rows = counts.map { case (name, ord, df) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(name).as("step"), lit(ord).as("ord"), col("users"))
+    }.reduce(_.unionAll(_))
+    val whole = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    rows
+      .withColumn("base", max(when(col("ord") === 1, col("users"))).over(whole))
+      .select(col("step"), col("ord"), col("users"),
+        when(col("base") === 0, lit(0.0)).otherwise(
+          floor(col("users").cast("double") / col("base").cast("double") * 100 * 100 + 0.5) / 100)
+          .as("conv_pct"))
+      .orderBy("ord")
+  }
+
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    funnelWindowedOf(Tables.events(spark, dir))
+
   /** Cohort retention: users are cohorted by their first active day;
     * for offsets 0..7 count how many of each cohort were active again
     * exactly `offset` days later. Activity is de-duplicated to

@@ -479,4 +479,52 @@ object Dedup {
 
   def dedupRateBySource(spark: SparkSession, dir: String): DataFrame =
     dedupRateBySourceOf(Tables.documents(spark, dir))
+
+  /** Staged dedup cascade — cheap-to-expensive, each stage seeing only
+    * the previous stage's survivors (how production corpus dedup
+    * actually runs: exact hashing removes the byte-identical mass for
+    * pennies BEFORE any near-dup machinery pays per-pair): stage 1
+    * exact content-hash keep-first; stage 2 transitive near-dup
+    * components over exact-Jaccard pairs ([[Components
+    * .dedupComponentsOf]] — banded candidates, never all-pairs),
+    * keeping one doc per component. Output is the funnel report —
+    * per stage n_in / n_removed / n_out plus the end-to-end total —
+    * the numbers that justify (or kill) each stage's cost at 100 TB.
+    *
+    * Shape: the stage-1 keep set is a fact-keyed aggregate; survivors
+    * flow to stage 2 via a doc_id equi-join (AQE sizes it); every
+    * report row is a 1-row count aggregate — nothing collects. The
+    * ordering matters for COST, not correctness of the funnel shape:
+    * stage 2's pair mass is Θ(Σ near-dup-cluster²) of the exact-
+    * deduped corpus, strictly smaller than on the raw corpus where
+    * byte-identical twins inflate every cluster quadratically. */
+  def dedupCascadeOf(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val keep1 = docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val s1 = docs.join(keep1, Seq("doc_id"))
+      .localCheckpoint(false) // pair side + node side + count share it
+    val comp = Components.dedupComponentsOf(s1, threshold)
+    val n0 = docs.agg(count(lit(1)).as("n0"))
+    val n1 = s1.agg(count(lit(1)).as("n1"))
+    val n2 = comp.agg(countDistinct("component").as("n2"))
+    n0.crossJoin(n1).crossJoin(n2) // 1 row each by construction
+      .select(explode(array(
+        struct(lit("1_exact").as("stage"), lit(1).as("ord"),
+          col("n0").as("n_in"), (col("n0") - col("n1")).as("n_removed"),
+          col("n1").as("n_out")),
+        struct(lit("2_jaccard").as("stage"), lit(2).as("ord"),
+          col("n1").as("n_in"), (col("n1") - col("n2")).as("n_removed"),
+          col("n2").as("n_out")),
+        struct(lit("3_total").as("stage"), lit(3).as("ord"),
+          col("n0").as("n_in"), (col("n0") - col("n2")).as("n_removed"),
+          col("n2").as("n_out")))).as("r"))
+      .select(col("r.stage"), col("r.ord"), col("r.n_in"),
+        col("r.n_removed"), col("r.n_out"))
+      .orderBy("ord")
+  }
+
+  def dedupCascade(spark: SparkSession, dir: String): DataFrame =
+    dedupCascadeOf(Tables.documents(spark, dir))
 }

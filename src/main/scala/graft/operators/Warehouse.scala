@@ -320,4 +320,46 @@ object Warehouse {
 
   def zonemapAudit(spark: SparkSession, dir: String): DataFrame =
     zonemapAuditOf(Tables.lineitem(spark, dir))
+
+  /** Incremental rollup maintenance (IVM for the daily revenue
+    * report): a late-arriving delta — here the deterministic
+    * `event_id % lateMod = 0` slice standing in for events that missed
+    * the nightly batch — merges into the materialized snapshot by
+    * PARTIAL-AGGREGATE ALGEBRA: count and micro-sum are both
+    * commutative monoids, so snapshot ⊕ delta-aggregate ≡ full
+    * recompute, bit for bit (the oracle IS the full recompute — the
+    * equality is the point, not an approximation). At 100 TB this is
+    * the difference between re-scanning the fact table nightly and
+    * aggregating only the late slice: the merge touches |delta-days|
+    * snapshot rows. `n_late` per day is the audit column — how much
+    * of each day's total arrived late decides whether a day's
+    * downstream extracts need re-publishing.
+    *
+    * Shape: one filtered aggregate per side (both map-combinable,
+    * both pushable filters on the scan), a day-keyed union
+    * re-aggregate bounded by the calendar. AVG-shaped metrics ride
+    * the same merge as (sum, count) pairs; only non-algebraic
+    * metrics (exact distinct) force the re-scan — or an HLL merge
+    * (row 37's sketch) when approximate is acceptable. */
+  def incrementalRollupOf(events: DataFrame, lateMod: Int = 10): DataFrame = {
+    require(lateMod > 1, s"lateMod must be > 1, got $lateMod")
+    val base = events.select(to_date(col("ts")).as("day"),
+      floor(col("value") * 1e6 + 0.5).cast("long").as("qv"),
+      (col("event_id") % lateMod === 0L).as("late"))
+    val snapshot = base.filter(!col("late")).groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("qv").as("q"))
+      .withColumn("n_late", lit(0L))
+    val delta = base.filter(col("late")).groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("qv").as("q"))
+      .withColumn("n_late", col("n"))
+    snapshot.unionByName(delta)
+      .groupBy("day")
+      .agg(sum("n").as("n_events"), sum("q").as("q"), sum("n_late").as("n_late"))
+      .select(col("day"), col("n_events"),
+        TextF.microsTo4dp(col("q")).as("revenue"), col("n_late"))
+      .orderBy("day")
+  }
+
+  def incrementalRollup(spark: SparkSession, dir: String): DataFrame =
+    incrementalRollupOf(Tables.events(spark, dir))
 }

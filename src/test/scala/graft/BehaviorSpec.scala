@@ -286,6 +286,28 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L)._5 == 333)
   }
 
+  test("windowed funnel: deadlines bind each step, greedily") {
+    val ev = eventsDf(
+      // u1 converts fully inside the windows
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 10:30:00"),
+      (1L, "purchase", "2024-01-01 10:45:00"),
+      // u2's click misses the 60-min deadline
+      (2L, "view", "2024-01-01 10:00:00"), (2L, "click", "2024-01-01 11:30:00"),
+      // u3's purchase misses the deadline after its click
+      (3L, "view", "2024-01-01 10:00:00"), (3L, "click", "2024-01-01 10:10:00"),
+      (3L, "purchase", "2024-01-01 11:20:00"),
+      // u4: greedy chains off the FIRST click (10:05); the purchase
+      // fits the second click's window only — it must NOT count
+      (4L, "view", "2024-01-01 10:00:00"), (4L, "click", "2024-01-01 10:05:00"),
+      (4L, "click", "2024-01-01 10:50:00"), (4L, "purchase", "2024-01-01 11:40:00"))
+    val out = Behavior.funnelWindowedOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("view") == ((4L, 100.0)), s"got $out")
+    assert(out("click") == ((3L, 75.0)), "u2's late click is out")
+    assert(out("purchase") == ((1L, 25.0)),
+      "u3 late; u4's second-click path doesn't resurrect the chain")
+  }
+
   test("churn lifetable: censoring, risk sets, hazards") {
     import java.sql.Timestamp
     def t(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")

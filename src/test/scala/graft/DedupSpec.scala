@@ -376,4 +376,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out("B") == ((2L, 1L, 0.5)),
       "doc 4 duplicates doc 1 (the global keep), so source B carries it")
   }
+
+  test("dedup cascade: exact removes the twin, jaccard folds the near-dup") {
+    val df = docsDf(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f",  // byte-identical → stage 1 removes
+      3L -> "a b c d e g",  // shingle Jaccard 3/5 = 0.6 vs doc 1 → stage 2
+      4L -> "x y z w")      // unique, survives both
+    val out = Dedup.dedupCascadeOf(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out("1_exact") == ((4L, 1L, 3L)), s"got $out")
+    assert(out("2_jaccard") == ((3L, 1L, 2L)))
+    assert(out("3_total") == ((4L, 2L, 2L)))
+  }
 }

@@ -158,6 +158,24 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq("A", "B"))
   }
 
+  test("incremental rollup: snapshot ⊕ delta equals the full recompute") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int, h: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // ids 1..20 over two days; ids 10 and 20 are the "late" slice
+    val ev = (1 to 20).map(i =>
+      (i.toLong, t(if (i <= 12) 1 else 2, i % 24), i.toDouble))
+      .toDF("event_id", "ts", "value")
+    val out = Warehouse.incrementalRollupOf(ev).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // day 1: ids 1..12 → Σ = 78; late: id 10
+    assert(out("2024-01-01") == ((12L, 78.0, 1L)), s"got $out")
+    // day 2: ids 13..20 → Σ = 132; late: id 20
+    assert(out("2024-01-02") == ((8L, 132.0, 1L)))
+  }
+
   test("zone-map audit: date clustering prunes, arrival scatter does not") {
     import spark.implicits._
     import java.sql.Date
