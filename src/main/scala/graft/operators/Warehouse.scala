@@ -288,16 +288,19 @@ object Warehouse {
       .withColumn("z_date", expr("(doff * zn) div (dspan + 1)"))
       .select(col("day"), col("d0"), col("d1"), col("z_arrival"),
         col("z_date"))
-    val envelopes = Seq(("arrival", "z_arrival"), ("date", "z_date"))
-      .map { case (name, zc) =>
-        zoned.groupBy(col(zc).as("zone"))
-          .agg(min(datediff(col("day"), col("d0"))).as("lo"),
-            max(datediff(col("day"), col("d0"))).as("hi"),
-            // d0/d1 constant across rows: carry for the predicate
-            first(datediff(col("d1"), col("d0"))).as("span"))
-          .select(lit(name).as("layout"), col("zone"), col("lo"),
-            col("hi"), col("span"))
-      }.reduce(_.unionAll(_))
+    // Both layouts tag in ONE map-side explode so the fact table is
+    // scanned once, not once per layout (a unionAll of per-layout
+    // aggregates replans the scan — 2x the I/O at 100 TB for zero
+    // information gain).
+    val envelopes = zoned
+      .select(col("day"), col("d0"), col("d1"),
+        explode(map(lit("arrival"), col("z_arrival"),
+          lit("date"), col("z_date"))).as(Seq("layout", "zone")))
+      .groupBy("layout", "zone")
+      .agg(min(datediff(col("day"), col("d0"))).as("lo"),
+        max(datediff(col("day"), col("d0"))).as("hi"),
+        // d0/d1 constant across rows: carry for the predicate
+        first(datediff(col("d1"), col("d0"))).as("span"))
     // Probe predicate: the centered `predicateDays`-day window
     // [mid − p/2, mid + p/2) in day offsets; a zone overlaps iff its
     // envelope intersects it. Integer day arithmetic throughout.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 import org.apache.spark.sql.execution.window.WindowGroupLimitExec
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Behavior, Cluster, Corpus, CorpusStats, CtrAlerts, Dedup, EventAnalytics, Similarity, TextAnalysis}
+import graft.operators.{Behavior, Cluster, Corpus, CorpusStats, CtrAlerts, Dedup, EventAnalytics, Graph, HeavyHitters, Similarity, TextAnalysis, Warehouse}
 
 /** Plan-shape regression tests: the ExplainAudit invariants, asserted
   * on the planner output so a regression fails CI instead of waiting
@@ -431,5 +431,39 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"only the bounded catalog cross is allowed:\n$ns")
     assert(ns.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
       "rank()<=k must rewrite to a partition-local WindowGroupLimit")
+  }
+
+  test("round-8 final tranche: only 1-row bounds broadcasts cross, everything else equijoins") {
+    // (query, allowed 1-row-broadcast crosses by construction)
+    val bounded = Seq[(DataFrame, Int, String)](
+      (Behavior.churnLifetable(spark, Sf), 1, "report-date frame"),
+      // the report-date cross replans once per branch (tagged feeds
+      // the train-user set AND the per-user aggregate; no cross-branch
+      // CSE in Catalyst) — both instances are the same 1-row frame
+      (EventAnalytics.temporalSplit(spark, Sf), 2, "report-date frame x2 branches"),
+      // same branch-replan: the dense grid feeds num AND den
+      (EventAnalytics.acfDaily(spark, Sf), 2, "calendar-bounds frame x2 branches"),
+      (Warehouse.zonemapAudit(spark, Sf), 1, "zone-bounds frame"),
+      (HeavyHitters.countMinErr(spark, Sf), 1, "1-row sketch-cell frame"),
+      (Dedup.dedupCascade(spark, Sf), 2, "two 1-row count frames"),
+      (Graph.linkPredict(spark, Sf), 0, "equijoins only"),
+      (Warehouse.incrementalRollup(spark, Sf), 0, "filtered aggregates only"),
+      (Behavior.funnelWindowed(spark, Sf), 0, "user-keyed equijoins only"),
+      (Similarity.matryoshkaEnergy(spark, Sf), 0, "map-only"))
+    for ((df, allowed, why) <- bounded) {
+      val p = plan(df)
+      val crosses =
+        p.collect { case j: BroadcastNestedLoopJoinExec => j }.length
+      assert(crosses <= allowed, s"$why — expected <= $allowed crosses:\n$p")
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"cartesian product in:\n$p")
+    }
+    // matryoshka is a pure projection: the scan must prune to the
+    // embedding column alone
+    val me = plan(Similarity.matryoshkaEnergy(spark, Sf))
+    val scans = me.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty &&
+      scans.forall(_.requiredSchema.fieldNames.toSeq == Seq("embedding")),
+      s"embedding-only column pruning expected:\n$me")
   }
 }
