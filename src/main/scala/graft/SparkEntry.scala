@@ -177,6 +177,8 @@ object SparkEntry {
     // rows-only: the banded-minhash side is the native pipeline
     // (cf. dedup_minhash); DedupSpec pins subset + recall properties
     "lsh_recall"        -> (Dedup.lshRecall(_, _)),
+    // the 100 TB default: same audit on a 1-in-8 doc-hash sample
+    "lsh_recall_sampled" -> (Dedup.lshRecallSampled(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),
     "gini_concentration" -> (EventAnalytics.giniConcentration(_, _)),
     "mixture_plan"      -> (Corpus.mixturePlan(_, _)),
@@ -2633,6 +2635,14 @@ object SparkEntry {
     "lsh_recall" ->
       """SELECT CAST(0.5 AS DOUBLE) AS threshold,
         |  CAST(25 AS BIGINT) AS n_exact, CAST(25 AS BIGINT) AS n_lsh,
+        |  CAST(0 AS BIGINT) AS n_missed, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
+
+    // The registered scale path: same audit on the deterministic
+    // xxhash64(doc_id) mod 2 == 0 subcorpus — 7 of the 25 true pairs
+    // survive the 1/s² pair sampling at this corpus size, all banded.
+    "lsh_recall_sampled" ->
+      """SELECT CAST(0.5 AS DOUBLE) AS threshold,
+        |  CAST(7 AS BIGINT) AS n_exact, CAST(7 AS BIGINT) AS n_lsh,
         |  CAST(0 AS BIGINT) AS n_missed, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
 
     // KLL-family sketch percentiles per returnflag (fixed compactor

@@ -453,6 +453,23 @@ object Dedup {
   def lshRecall(spark: SparkSession, dir: String): DataFrame =
     lshRecallOf(Tables.documents(spark, dir))
 
+  /** The REGISTERED scale path of [[lshRecallOf]]: audit a
+    * deterministic document sample (xxhash64(doc_id) mod s == 0), so
+    * the exact-pair side costs ~1/s² of the full audit while the
+    * recall ratio stays unbiased (content-blind sampling can't favor
+    * pairs banding happens to catch) — this is the query a 100 TB run
+    * executes; the exact variant above remains the verification-scale
+    * contract. A pair survives only when BOTH endpoints sample in
+    * (1/s² survival), so s is a POWER knob, not a constant: pick s
+    * with expected surviving pairs = pair_mass/s² in the thousands.
+    * At 100 TB pair mass is ≥10⁹ and s=8 (the §6 rehearsal setting)
+    * still leaves ~10⁷ pairs; at the 500-doc/25-pair verification
+    * corpus s=2 leaves ~6 — the same mechanism at the scale-matched
+    * rate, which is what this registered query pins. DedupSpec bounds
+    * the sampled estimate against the exact one on the sf0.01 corpus. */
+  def lshRecallSampled(spark: SparkSession, dir: String): DataFrame =
+    lshRecallOf(Tables.documents(spark, dir), sampleOneIn = 2)
+
   /** Per-source exact-duplicate rate under [[dedupExact]]'s keep-first
     * (min doc_id per sha256) contract — the per-source quality number
     * behind [[dupMatrixOf]]'s cross-source view: a crawl source with a

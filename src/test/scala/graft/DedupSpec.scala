@@ -363,6 +363,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       "sampled audit = exact audit on the hash-sampled subcorpus")
   }
 
+  test("lsh recall: registered sampled audit tracks the exact audit at sf0.01") {
+    // The scale contract behind the registered `lsh_recall_sampled`
+    // query: on the sf0.01 corpus the 1-in-2 doc-hash sample must
+    // (a) retain enough pairs to measure (power), and (b) estimate a
+    // recall within a tolerance band of the exact audit's.
+    val dir = "/root/testdata/sf0.01"
+    val exact = Dedup.lshRecall(spark, dir).collect().head
+    val sampled = Dedup.lshRecallSampled(spark, dir).collect().head
+    assert(sampled.getLong(1) > 0, "sample must retain measurable pairs")
+    assert(sampled.getLong(2) <= sampled.getLong(1),
+      "subset invariant survives sampling")
+    val band = 0.25 // 7-pair estimate of a ratio: ±0.25 ≈ worst-case 2/7
+    assert(math.abs(sampled.getDouble(4) - exact.getDouble(4)) <= band,
+      s"sampled recall ${sampled.getDouble(4)} strayed > $band from exact ${exact.getDouble(4)}")
+  }
+
   test("per-source dup rate counts non-first copies under keep-first") {
     val docs = Seq(
       (1L, "A", "same text"), (2L, "A", "same text"), (3L, "A", "unique a"),
