@@ -670,13 +670,24 @@ object CorpusStats {
     * grid aggregate's full-buffer percentile swaps for the KLL sketch
     * ([[graft.operators.Report.earningsPercentilesApprox]]) with the
     * same join shape. */
-  def quantileNormalizeOf(docs: DataFrame): DataFrame = {
+  def quantileNormalizeOf(docs: DataFrame,
+                          approx: Boolean = false): DataFrame = {
     val q = TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
     val scored = docs.select(col("doc_id"), col("source"),
       floor(q * 1e4 + 0.5).cast("long").as("qq"))
     val fractions = (0 to 100).map(_ / 100.0)
-    val grid = scored.agg(
-      expr(s"percentile(qq, array(${fractions.mkString(",")}))").as("g"))
+    // The graft.scale.approx swap: the full-buffer exact percentile
+    // (Θ(rows) on one reducer) becomes the fixed-size mergeable
+    // quantile sketch (earnings_percentiles_approx's machinery) —
+    // same 1-row grid, same broadcast join shape downstream.
+    // Sketch grid points are observed values (longs), exact grid
+    // points interpolate; ScaleApproxSpec bands the per-doc q_norm.
+    val gridAgg =
+      if (approx)
+        expr(s"approx_percentile(qq, array(${fractions.mkString(",")}), 10000)")
+          .cast("array<double>")
+      else expr(s"percentile(qq, array(${fractions.mkString(",")}))")
+    val grid = scored.agg(gridAgg.as("g"))
     val bySource = Window.partitionBy("source").orderBy(col("qq"), col("doc_id"))
     val ns = Window.partitionBy("source")
     scored
@@ -695,7 +706,8 @@ object CorpusStats {
   }
 
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame =
-    quantileNormalizeOf(Tables.documents(spark, dir))
+    quantileNormalizeOf(Tables.documents(spark, dir),
+      graft.Scale.approx(spark))
 
   /** Distinct-n diversity per source — the type/token ratio
     * generalized to n-grams (n = 1, 2, 3): ‖distinct n-grams‖ /
@@ -718,16 +730,23 @@ object CorpusStats {
     * (the bigramPairs lesson again). At 100 TB the distinct count
     * swaps for the HLL sketch (approx_count_distinct) with the same
     * frame. */
-  def distinctNgramDiversityOf(docs: DataFrame): DataFrame = {
+  def distinctNgramDiversityOf(docs: DataFrame,
+                               approx: Boolean = false): DataFrame = {
     def grams(n: Int): DataFrame = {
       val g = if (n == 1) TextF.tokens(col("text"))
         else TextF.strictShingles(col("text"), n)
       docs.select(col("source"), lit(n).as("n"), explode(g).as("g"))
     }
+    // The graft.scale.approx swap: HLL (rsd 2%) replaces the exact
+    // distinct — fixed-size per-group state, no second shuffle of the
+    // gram stream for dedup. ScaleApproxSpec bands it vs exact.
+    val distinctGrams =
+      if (approx) approx_count_distinct(col("g"), 0.02)
+      else countDistinct(col("g"))
     grams(1).union(grams(2)).union(grams(3))
       .groupBy("source", "n")
       .agg(count(lit(1)).as("total_ngrams"),
-        countDistinct("g").as("distinct_ngrams"))
+        distinctGrams.as("distinct_ngrams"))
       .select(col("source"), col("n"), col("total_ngrams"),
         col("distinct_ngrams"),
         TextF.round4HalfUp(col("distinct_ngrams").cast("double")
@@ -736,5 +755,6 @@ object CorpusStats {
   }
 
   def distinctNgramDiversity(spark: SparkSession, dir: String): DataFrame =
-    distinctNgramDiversityOf(Tables.documents(spark, dir))
+    distinctNgramDiversityOf(Tables.documents(spark, dir),
+      graft.Scale.approx(spark))
 }

@@ -392,8 +392,10 @@ object Dedup {
     * 5.7 s vs 5.4 s — per-gram set buffers on ~9M mostly-singleton
     * groups cost what the extra hash-key shuffle costs; this form
     * keeps fixed-width aggregation buffers.) */
-  def dupMatrixOf(docs: DataFrame, n: Int = 8): DataFrame = {
+  def dupMatrixOf(docs: DataFrame, n: Int = 8,
+                  approx: Boolean = false): DataFrame = {
     require(n > 1, s"span length must be > 1, got $n")
+    if (approx) return dupMatrixSketchOf(docs, n)
     val hs = docs
       .select(col("source"),
         explode(graft.functions.TextF.strictShingles(col("text"), n)).as("g"))
@@ -408,8 +410,48 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** The graft.scale.approx path of [[dupMatrixOf]] — and the shape
+    * that actually changes the 100 TB plan, not just a buffer size:
+    * each source folds its gram-hash stream into ONE Datasketches HLL
+    * sketch (map-side combinable, kilobytes per source), and shared
+    * mass comes from pairwise inclusion-exclusion |A∩B| = |A| + |B| −
+    * |A∪B| over the |sources|-row sketch frame. The exact path's
+    * distinct (gram, source) shuffle AND per-gram self-join are GONE —
+    * the only pairwise work is |sources|² arithmetic on kilobyte
+    * blobs. Trade documented: inclusion-exclusion error scales with
+    * the UNION size (rsd ≈ 1.04/√2¹⁸ ≈ 0.2% at lgK=18 — a 256 KB
+    * sketch per source, still nothing against a 100 TB gram stream),
+    * so intersections far below 0.2% of the union drown in noise —
+    * the governance signal this matrix exists for (one source heavily
+    * quoting another) sits far above that floor; near-zero estimates
+    * are clamped, not emitted. ScaleApproxSpec bands every estimate
+    * union-relative against the exact matrix. */
+  private def dupMatrixSketchOf(docs: DataFrame, n: Int): DataFrame = {
+    val sk = docs
+      .select(col("source"),
+        explode(graft.functions.TextF.strictShingles(col("text"), n)).as("g"))
+      .select(col("source"), xxhash64(col("g")).as("h"))
+      .groupBy("source")
+      .agg(expr("hll_sketch_agg(h, 18)").as("sk"))
+      .localCheckpoint(false) // both pair sides
+    val pairs = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+      .crossJoin(broadcast(
+        sk.select(col("source").as("source_b"), col("sk").as("sk_b"))))
+      .filter(col("source_a") < col("source_b")) // |sources|² bounded
+    pairs
+      .select(col("source_a"), col("source_b"),
+        greatest(lit(0L),
+          round(expr("hll_sketch_estimate(sk_a)")
+            + expr("hll_sketch_estimate(sk_b)")
+            - expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
+            .cast("long")).as("n_shared"))
+      .filter(col("n_shared") > 0L)
+      .orderBy("source_a", "source_b")
+  }
+
   def dupMatrix(spark: SparkSession, dir: String): DataFrame =
-    dupMatrixOf(Tables.documents(spark, dir))
+    dupMatrixOf(Tables.documents(spark, dir),
+      approx = graft.Scale.approx(spark))
 
   /** LSH recall audit: what fraction of the TRUE (exact-Jaccard ≥ t)
     * near-dup pairs does the banded-MinHash candidate path recover —
