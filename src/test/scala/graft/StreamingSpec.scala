@@ -472,4 +472,78 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("StreamingFunnel finalizes per-user chains at the watermark, late view included") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts")
+    val query = graft.streaming.StreamingFunnel.funnelUsers(events).writeStream
+      .format("memory").queryName("funnel_test").outputMode("append").start()
+    try {
+      input.addData(
+        // u1 converts fully, each step inside its 60-min window
+        (1L, "view", ts("10:00")), (1L, "click", ts("10:30")),
+        (1L, "purchase", ts("11:15")),
+        // u2's click misses the deadline (> 60 min after the view)
+        (2L, "view", ts("10:00")), (2L, "click", ts("11:30")),
+        // u3 never views — never enters the funnel
+        (3L, "click", ts("10:15")),
+        // u5's click arrives BEFORE its view (batch split below)
+        (5L, "click", ts("10:40")))
+      query.processAllAvailable()
+      // the qualifying view lands late but within the watermark
+      input.addData((5L, "view", ts("10:30")))
+      query.processAllAvailable()
+      // sentinel pushes the watermark past every chain's deadline
+      input.addData((9L, "view", ts("17:00")))
+      query.processAllAvailable()
+
+      val out = spark.table("funnel_test").collect()
+        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(2)).isDefined,
+          Option(r.getTimestamp(3)).isDefined))).toMap
+      assert(out.keySet == Set(1L, 2L, 5L),
+        s"u3 (no view) and u9 (still open) must not emit: ${out.keySet}")
+      assert(out(1L) == ((true, true)), "u1 completes the funnel")
+      assert(out(2L) == ((false, false)), "u2's late click must not count")
+      assert(out(5L) == ((true, false)),
+        "u5's out-of-order view must still anchor the chain")
+
+      val report = graft.streaming.StreamingFunnel
+        .funnelReport(spark.table("funnel_test")).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+      assert(report.toSeq == Seq(
+        ("view", 3L, 100.0), ("click", 2L, 66.67), ("purchase", 1L, 33.33)),
+        s"got ${report.toSeq}")
+    } finally query.stop()
+  }
+
+  test("StreamingIvm maintains the snapshot as the exact full recompute across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val path = java.nio.file.Files.createTempDirectory("graft-stream-ivm")
+      .toFile.getAbsolutePath + "/snapshot"
+    val query = graft.streaming.StreamingIvm.ivmRollupSink(
+      input.toDF().toDF("ts", "value"), path).start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), 1.5),
+        (Timestamp.valueOf("2026-01-01 11:00:00"), 2.5),
+        (Timestamp.valueOf("2026-01-02 10:00:00"), 1.0))
+      query.processAllAvailable()
+      // batch 2: a late day-2 event plus a brand-new day
+      input.addData(
+        (Timestamp.valueOf("2026-01-02 12:00:00"), 3.0),
+        (Timestamp.valueOf("2026-01-03 09:00:00"), 2.0))
+      query.processAllAvailable()
+
+      val snap = graft.streaming.StreamingIvm.snapshot(spark, path).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      assert(snap == Map(
+        "2026-01-01" -> ((2L, 4.0, 0L)),   // untouched by batch 2
+        "2026-01-02" -> ((2L, 4.0, 1L)),   // merged, one late event audited
+        "2026-01-03" -> ((1L, 2.0, 0L))),  // new day, nothing late
+        s"snapshot ⊕ delta must equal the full recompute: $snap")
+    } finally query.stop()
+  }
 }
