@@ -1,0 +1,701 @@
+package graft.oracles
+
+/** DuckDB oracle SQL for the event family — split out of SparkEntry
+  * (round 9) purely for registry file size; keys and SQL are the
+  * unchanged driver contract (SURVEY §5). */
+private[graft] object EventOracles {
+  import OracleFragments._
+
+  val sql: Map[String, String] = Map(
+
+    "sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us,
+        |  ROUND(CAST(MAX(us) - MIN(us) AS DOUBLE) / 1e6, 3) AS duration_sec
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT user_id, AVG(value) AS mu, STDDEV_SAMP(value) AS sd, COUNT(*) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.value,
+        |  ROUND((e.value - s.mu) / s.sd, 4) AS z
+        |FROM events e JOIN s USING (user_id)
+        |WHERE s.n > 1 AND s.sd > 0 AND ABS((e.value - s.mu) / s.sd) > 3
+        |ORDER BY event_id""".stripMargin,
+
+    "interval_join" ->
+      """WITH d0 AS (SELECT MIN(ts::DATE) AS day0 FROM events),
+        |c AS (SELECT CAST(r.range AS BIGINT) AS campaign_id,
+        |        day0 + CAST(2 * r.range AS INTEGER) AS start_day,
+        |        day0 + CAST(2 * r.range + 4 AS INTEGER) AS end_day
+        |      FROM range(10) r, d0)
+        |SELECT c.campaign_id, e.event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(SUM(e.value), 4) AS total_value
+        |FROM events e JOIN c ON e.ts::DATE BETWEEN c.start_day AND c.end_day
+        |GROUP BY c.campaign_id, e.event_type
+        |ORDER BY campaign_id, event_type""".stripMargin,
+
+    // Grid = per-user day span exploded; forward fill via
+    // last_value IGNORE NULLS over the same user/day order; daily
+    // totals are 1e-4-quantized integer sums (order-independent).
+    "daily_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4
+        |      AS day_total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY user_id, ts::DATE),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |         FROM daily GROUP BY user_id),
+        |g0 AS (SELECT user_id, d0, unnest(generate_series(0, d1 - d0)) AS i
+        |       FROM span),
+        |grid AS (SELECT user_id, d0 + CAST(i AS INTEGER) AS day FROM g0)
+        |SELECT g.user_id, g.day,
+        |  last_value(d.day_total IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_total,
+        |  COALESCE(d.n_events, 0) AS n_events,
+        |  d.day_total IS NOT NULL AS is_observed
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+
+    // Ordered-step funnel: each step's min-time is strictly after the
+    // previous step's; conv_pct uses the floor-form rounding so the
+    // halfway double rounds identically in both engines.
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e
+        |      JOIN v ON e.user_id = v.user_id AND e.us > v.t1
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e
+        |      JOIN c ON e.user_id = c.user_id AND e.us > c.t2
+        |      WHERE e.event_type = 'purchase' GROUP BY 1),
+        |s AS (SELECT 'view' AS step, 1 AS ord,
+        |        (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS users
+        |      UNION ALL SELECT 'click', 2, (SELECT COUNT(*) FROM c)
+        |      UNION ALL SELECT 'purchase', 3, (SELECT COUNT(*) FROM p))
+        |SELECT step, ord, users,
+        |  CASE WHEN (SELECT users FROM s WHERE ord = 1) = 0 THEN 0.0
+        |    ELSE floor(CAST(users AS DOUBLE) /
+        |      CAST((SELECT users FROM s WHERE ord = 1) AS DOUBLE)
+        |      * 100 * 100 + 0.5) / 100 END AS conv_pct
+        |FROM s ORDER BY ord""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT f.cohort_day,
+        |  CAST(datediff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |WHERE datediff('day', f.cohort_day, a.day) BETWEEN 0 AND 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Wide day × event-type report; sums quantized to integer micros
+    // before aggregation so the totals are addition-order independent.
+    "pivot_report" ->
+      """WITH q AS (SELECT ts::DATE AS day, event_type,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv FROM events)
+        |SELECT day,
+        |  floor(CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN qv END), 0) AS DOUBLE) / 100 + 0.5) / 1e4 AS click,
+        |  floor(CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN qv END), 0) AS DOUBLE) / 100 + 0.5) / 1e4 AS "error",
+        |  floor(CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN qv END), 0) AS DOUBLE) / 100 + 0.5) / 1e4 AS purchase,
+        |  floor(CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN qv END), 0) AS DOUBLE) / 100 + 0.5) / 1e4 AS signup,
+        |  floor(CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN qv END), 0) AS DOUBLE) / 100 + 0.5) / 1e4 AS "view"
+        |FROM q GROUP BY day ORDER BY day""".stripMargin,
+
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        |t AS (SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS prev_type FROM e),
+        |g AS (SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, SUM(n) OVER (PARTITION BY prev_type) AS row_total FROM g)
+        |SELECT prev_type, event_type, n,
+        |  floor(CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) * 1e4 + 0.5) / 1e4 AS p
+        |FROM r ORDER BY prev_type, event_type""".stripMargin,
+
+    "rolling_reach" ->
+      """WITH a AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |d AS (SELECT DISTINCT day FROM a),
+        |c AS (SELECT a.user_id, a.day + CAST(g.i AS INTEGER) AS day
+        |      FROM a, generate_series(0, 6) AS g(i))
+        |SELECT c.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS users_7d
+        |FROM c JOIN d USING (day)
+        |GROUP BY c.day ORDER BY c.day""".stripMargin,
+
+    "range_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |        CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv FROM events)
+        |SELECT event_id, user_id, us,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+        |  floor(CAST(SUM(qv) OVER w AS DOUBLE) / 100 + 0.5) / 1e4 AS sum_win
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // Integer-exact EWMA: weights are literal powers of two, so num and
+    // den are exact BIGINT sums on both engines (DuckDB's HUGEINT SUM
+    // only feeds the final CAST AS DOUBLE); λ = 1/2, horizon 14.
+    "ewma_smooth" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qrev
+        |  FROM events GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT d.event_type, d.day + CAST(g.i AS INTEGER) AS day,
+        |    SUM(d.qrev * (CAST(1 AS BIGINT) << (13 - CAST(g.i AS INTEGER)))) AS num,
+        |    SUM(CAST(1 AS BIGINT) << (13 - CAST(g.i AS INTEGER))) AS den
+        |  FROM daily d, generate_series(0, 13) AS g(i)
+        |  GROUP BY 1, 2)
+        |SELECT d.event_type, d.day,
+        |  floor(CAST(d.qrev AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue,
+        |  floor(CAST(c.num AS DOUBLE) / CAST(c.den AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS ewma
+        |FROM daily d JOIN contrib c ON d.event_type = c.event_type AND d.day = c.day
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
+    // Time-of-week is pure arithmetic ((days-since-epoch) mod 7), NOT
+    // dayofweek() — week-start conventions differ between engines and
+    // the bucket is only a category. E and (O−E)²/E mirror the Spark
+    // expression order exactly; rounding happens once at the edge.
+    "chi2_contingency" ->
+      """WITH cells AS (SELECT event_type,
+        |    CAST((ts::DATE - DATE '1970-01-01') % 7 AS INT) AS tow,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT tow, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+        |SELECT c.event_type, c.tow, c.o,
+        |  floor(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS e,
+        |  floor((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1e4 + 0.5) / 1e4 AS contrib
+        |FROM cells c JOIN rt USING (event_type) JOIN ct USING (tow), n
+        |ORDER BY c.event_type, c.tow""".stripMargin,
+
+    // Funnel pairing (first view, first strictly-later purchase) in µs;
+    // quantile interpolation over exact integer delays, µs→sec + 4dp
+    // floor rounding once at the edge.
+    "conversion_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.us) AS t2, MIN(v.t1) AS t1
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us > v.t1
+        |      GROUP BY 1)
+        |SELECT CAST(make_timestamp(t1) AS DATE) AS view_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  floor(quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.5) / 1e6 * 1e4 + 0.5) / 1e4 AS p50_sec,
+        |  floor(quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.9) / 1e6 * 1e4 + 0.5) / 1e4 AS p90_sec
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Item id via the report family's variant fallback chain; lift
+    // parenthesization mirrors the Spark expression (cf. collocations).
+    "item_affinity" ->
+      """WITH i AS (SELECT DISTINCT user_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM i),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |        CAST(COUNT(*) AS BIGINT) AS c12
+        |      FROM i a JOIN i b ON a.user_id = b.user_id AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |c1 AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c1 FROM i GROUP BY 1)
+        |SELECT item_a, item_b, c12,
+        |  ROUND((CAST(c12 AS DOUBLE) / CAST(n_users AS DOUBLE)) /
+        |        ((CAST(ca.c1 AS DOUBLE) / CAST(n_users AS DOUBLE)) *
+        |         (CAST(cb.c1 AS DOUBLE) / CAST(n_users AS DOUBLE))), 4) AS lift
+        |FROM p JOIN c1 ca ON p.item_a = ca.item
+        |       JOIN c1 cb ON p.item_b = cb.item, n
+        |ORDER BY c12 DESC, lift DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // Mod-7 epoch-day weekday (chi2_contingency's convention); both
+    // means are exact-integer sums divided once; one half-up rounding
+    // at the end of each output column.
+    "seasonal_profile" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qrev
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type,
+        |    CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(qrev) AS BIGINT) AS qsum
+        |  FROM daily GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(n_days) OVER (PARTITION BY event_type) AS BIGINT) AS td,
+        |        CAST(SUM(qsum) OVER (PARTITION BY event_type) AS BIGINT) AS tq
+        |      FROM g)
+        |SELECT event_type, dow, n_days,
+        |  floor(CAST(qsum AS DOUBLE) / CAST(n_days AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4
+        |    AS avg_revenue,
+        |  floor((CAST(qsum AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(tq AS DOUBLE) / CAST(td AS DOUBLE)) * 1e4 + 0.5) / 1e4
+        |    AS seasonal_index
+        |FROM w ORDER BY event_type, dow""".stripMargin,
+
+    "pagerank" -> PagerankSql,
+
+    "personalized_pagerank" -> PprSql,
+
+    // Low->high oriented wedges closed by the third edge: each
+    // triangle generated once; corners explode for per-node counts.
+    "triangle_count" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         item AS dst
+        |  FROM base),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM tr WHERE src IS NOT NULL AND src <> dst),
+        |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e2.a = e1.b),
+        |t AS (SELECT w.a, w.b, w.c FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+        |corners AS (SELECT unnest([a, b, c]) AS item FROM t),
+        |cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM corners GROUP BY 1),
+        |nodes AS (SELECT DISTINCT a AS item FROM e UNION SELECT DISTINCT b FROM e)
+        |SELECT nodes.item, COALESCE(cnt.n, 0) AS n_triangles
+        |FROM nodes LEFT JOIN cnt ON cnt.item = nodes.item
+        |ORDER BY nodes.item""".stripMargin,
+
+    // Exact-integer CUSUM: baseline mean as integer micros, running
+    // deviation sum, first |S| > h*mu0 crossing per type.
+    "cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qrev
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |      FROM daily),
+        |m AS (SELECT *, CAST(floor(
+        |    CAST(SUM(CASE WHEN rn <= 7 THEN qrev END) OVER (PARTITION BY event_type) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN rn <= 7 THEN 1 END) OVER (PARTITION BY event_type) AS DOUBLE)
+        |    + 0.5) AS BIGINT) AS mu0 FROM d),
+        |c AS (SELECT *, CAST(SUM(qrev - mu0) OVER (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |      FROM m),
+        |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS fr
+        |      FROM c WHERE abs(s) > 1 * mu0)
+        |SELECT event_type, day AS changepoint_day,
+        |  floor(CAST(qrev AS DOUBLE) / 100.0 + 0.5) / 1e4 AS revenue,
+        |  floor(CAST(mu0 AS DOUBLE) / 100.0 + 0.5) / 1e4 AS baseline_mean,
+        |  floor(CAST(s AS DOUBLE) / 100.0 + 0.5) / 1e4 AS cusum
+        |FROM f WHERE fr = 1 ORDER BY event_type""".stripMargin,
+
+    // Frequency-ranked keep-top mapping, (n DESC, item) tiebreak.
+    "category_collapse" ->
+      """WITH i AS (SELECT
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM i GROUP BY 1),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, item) AS INT)
+        |        AS rank FROM g)
+        |SELECT item, n, rank,
+        |  CASE WHEN rank <= 10 THEN CAST(item AS VARCHAR) ELSE 'OTHER' END AS encoded
+        |FROM r ORDER BY item""".stripMargin,
+
+    // One conditional aggregate for both days; Δtotal as a window over
+    // the bounded type frame; shares additive in exact micros.
+    "change_contrib" ->
+      """WITH rd AS (SELECT MAX(ts::DATE) AS report_date FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN ts::DATE = report_date
+        |      THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS q_last,
+        |    CAST(SUM(CASE WHEN ts::DATE <> report_date
+        |      THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS q_prev
+        |  FROM events CROSS JOIN rd
+        |  WHERE ts::DATE >= report_date - 1 GROUP BY 1),
+        |d AS (SELECT *, q_last - q_prev AS delta_q,
+        |        CAST(SUM(q_last - q_prev) OVER () AS BIGINT) AS total_dq FROM g)
+        |SELECT event_type,
+        |  floor(CAST(q_prev AS DOUBLE) / 100.0 + 0.5) / 1e4 AS rev_prev,
+        |  floor(CAST(q_last AS DOUBLE) / 100.0 + 0.5) / 1e4 AS rev_last,
+        |  floor(CAST(delta_q AS DOUBLE) / 100.0 + 0.5) / 1e4 AS delta,
+        |  CASE WHEN total_dq <> 0 THEN
+        |    floor(CAST(delta_q AS DOUBLE) / CAST(total_dq AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |  END AS share_of_change
+        |FROM d
+        |ORDER BY abs(floor(CAST(delta_q AS DOUBLE) / 100.0 + 0.5) / 1e4) DESC, event_type""".stripMargin,
+
+    // Exact integer Gini on sorted per-user micro totals; (qu, user)
+    // rank tiebreak is a total order.
+    "gini_concentration" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qu
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY qu, user_id) AS BIGINT) AS i FROM u)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  floor(CAST(SUM(qu) AS DOUBLE) / 100.0 + 0.5) / 1e4 AS revenue,
+        |  floor(CAST(2 * SUM(i * qu) - (COUNT(*) + 1) * SUM(qu) AS DOUBLE)
+        |    / CAST(COUNT(*) * SUM(qu) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS gini
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // LOO weekday baseline: exact integer numerator, one division,
+    // ratio rounded 4dp BEFORE the threshold compare.
+    "seasonal_outliers" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qrev
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow FROM daily),
+        |w AS (SELECT *,
+        |    CAST(SUM(qrev) OVER (PARTITION BY event_type, dow) AS BIGINT) AS dow_sum,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type, dow) AS BIGINT) AS n_dow
+        |  FROM d),
+        |r AS (SELECT event_type, day, dow,
+        |    floor(CAST(qrev AS DOUBLE) / 100.0 + 0.5) / 1e4 AS revenue,
+        |    floor(CAST(qrev AS DOUBLE)
+        |      / (CAST(dow_sum - qrev AS DOUBLE) / CAST(n_dow - 1 AS DOUBLE))
+        |      * 1e4 + 0.5) / 1e4 AS ratio
+        |  FROM w WHERE n_dow >= 2)
+        |SELECT * FROM r WHERE ratio < 0.5 OR ratio > 1.5
+        |ORDER BY event_type, day""".stripMargin,
+
+    // Same session reconstruction as the sessionize oracle; two lags
+    // inside the session, |types|^3-bounded counts, (n DESC, path) top-k.
+    "top_paths" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f),
+        |p AS (SELECT lag(event_type, 2) OVER ws AS t1,
+        |        lag(event_type, 1) OVER ws AS t2, event_type AS t3
+        |      FROM s WINDOW ws AS (PARTITION BY user_id, session_idx
+        |                           ORDER BY us, event_id))
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p WHERE t1 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // LOO mean-target encoding: global mean as integer micros BEFORE
+    // use; exact int64 numerator, one division per row, 4dp half-up.
+    "target_encode" ->
+      """WITH ev AS (SELECT event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv
+        |  FROM events),
+        |i AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qv) AS BIGINT) AS s
+        |      FROM ev GROUP BY 1),
+        |m AS (SELECT CAST(floor(CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5)
+        |        AS BIGINT) AS muq FROM ev)
+        |SELECT event_id, item,
+        |  floor(CAST(qv AS DOUBLE) / 100.0 + 0.5) / 1e4 AS value,
+        |  floor(CAST(s - qv + 50 * muq AS DOUBLE) / CAST(n - 1 + 50 AS DOUBLE)
+        |    / 1e6 * 1e4 + 0.5) / 1e4 AS enc
+        |FROM ev JOIN i USING (item) CROSS JOIN m
+        |ORDER BY event_id""".stripMargin,
+
+    // Same transition-edge CTEs as the pagerank oracle; out/in sides
+    // full-outer-merged, reciprocity via the edge-reversal self-join.
+    "graph_degrees" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         item AS dst
+        |  FROM base),
+        |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM tr
+        |      WHERE src IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT src AS item, CAST(COUNT(*) AS BIGINT) AS out_deg,
+        |        CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY 1),
+        |i AS (SELECT dst AS item, CAST(COUNT(*) AS BIGINT) AS in_deg,
+        |        CAST(SUM(w) AS BIGINT) AS in_w FROM e GROUP BY 1),
+        |r AS (SELECT a.src AS item, CAST(COUNT(*) AS BIGINT) AS n_recip
+        |      FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY 1)
+        |SELECT COALESCE(o.item, i.item) AS item,
+        |  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg,
+        |  COALESCE(out_w, 0) AS out_w, COALESCE(in_w, 0) AS in_w,
+        |  COALESCE(n_recip, 0) AS n_recip
+        |FROM o FULL JOIN i ON o.item = i.item
+        |LEFT JOIN r ON COALESCE(o.item, i.item) = r.item
+        |ORDER BY item""".stripMargin,
+
+    // Per-user milli-quantized means; exact int64 moment sums; θ is
+    // one double division rounded to 6dp BEFORE the adjustment.
+    "cuped_adjust" ->
+      """WITH u AS (SELECT user_id,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |        THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) END) AS pre_sum,
+        |    COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END) AS pre_n,
+        |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |        THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) END) AS post_sum,
+        |    COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END) AS post_n
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT user_id,
+        |    CAST(floor(CAST(pre_sum AS DOUBLE) / CAST(pre_n AS DOUBLE) / 1000.0 + 0.5) AS BIGINT) AS qx,
+        |    CAST(floor(CAST(post_sum AS DOUBLE) / CAST(post_n AS DOUBLE) / 1000.0 + 0.5) AS BIGINT) AS qy
+        |  FROM u WHERE pre_n > 0 AND post_n > 0),
+        |a AS (SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+        |    CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+        |    CAST(SUM(qx * qy) AS BIGINT) AS sxy
+        |  FROM f GROUP BY 1),
+        |w AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS tn,
+        |    CAST(SUM(sx) OVER () AS BIGINT) AS tsx,
+        |    CAST(SUM(sy) OVER () AS BIGINT) AS tsy,
+        |    CAST(SUM(sxx) OVER () AS BIGINT) AS tsxx,
+        |    CAST(SUM(sxy) OVER () AS BIGINT) AS tsxy
+        |  FROM a),
+        |t AS (SELECT *, floor(
+        |    (CAST(tn AS DOUBLE) * CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE))
+        |    / (CAST(tn AS DOUBLE) * CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS theta FROM w)
+        |SELECT arm, n AS n_users,
+        |  floor(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 * 1e4 + 0.5) / 1e4 AS mean_post,
+        |  floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0
+        |    - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0
+        |      - CAST(tsx AS DOUBLE) / CAST(tn AS DOUBLE) / 1000.0)) * 1e4 + 0.5) / 1e4
+        |    AS mean_post_adj,
+        |  theta
+        |FROM t ORDER BY arm""".stripMargin,
+
+    // value·2^(horizon−age) in integer micros (bit shifts, no libm);
+    // ages beyond the 20-day horizon contribute zero.
+    "decayed_engagement" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |e AS (SELECT user_id,
+        |        datediff('day', CAST(make_timestamp(epoch_us(ts)) AS DATE), report_date) AS age,
+        |        CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv
+        |      FROM events, md),
+        |w AS (SELECT user_id, qv * (CAST(1 AS BIGINT) << (20 - age)) AS wq
+        |      FROM e WHERE age <= 20)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  floor(CAST(SUM(wq) AS DOUBLE) / 1048576.0 / 1e6 * 1e4 + 0.5) / 1e4 AS score
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Per-user top-k never-interacted items under the md5(user:item)
+    // pseudo-random total order.
+    "negative_samples" ->
+      """WITH i AS (SELECT DISTINCT user_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+        |      AS item
+        |  FROM events),
+        |cat AS (SELECT DISTINCT item FROM i),
+        |u AS (SELECT DISTINCT user_id FROM i),
+        |cand AS (SELECT u.user_id, cat.item FROM u CROSS JOIN cat
+        |         ANTI JOIN i ON i.user_id = u.user_id AND i.item = cat.item),
+        |r AS (SELECT user_id, item,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY md5(CAST(user_id AS VARCHAR) || ':' ||
+        |                   CAST(item AS VARCHAR)), item) AS INT) AS rank
+        |  FROM cand)
+        |SELECT user_id, item, "rank" FROM r WHERE "rank" <= 5
+        |ORDER BY user_id, "rank"""".stripMargin,
+
+    // md5-parity arms, max-flag conversion, pooled-variance z (sqrt is
+    // correctly-rounded IEEE — engine-exact like the cosine path).
+    "ab_test" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |          AND CAST(make_timestamp(epoch_us(ts)) AS DATE) = report_date
+        |        THEN 1 ELSE 0 END) AS converted,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(MIN(user_id) AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM events, md GROUP BY user_id),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv1
+        |  FROM u)
+        |SELECT n0, n1, conv0, conv1,
+        |  floor(CAST(conv0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0)
+        |    * 1e4 + 0.5) / 1e4 AS p0,
+        |  floor(CAST(conv1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0)
+        |    * 1e4 + 0.5) / 1e4 AS p1,
+        |  floor((CAST(conv1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0) -
+        |         CAST(conv0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0)) /
+        |    NULLIF(sqrt((CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+        |      (1.0 - CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+        |      (1.0 / NULLIF(CAST(n0 AS DOUBLE), 0.0) +
+        |       1.0 / NULLIF(CAST(n1 AS DOUBLE), 0.0))), 0.0)
+        |    * 1e4 + 0.5) / 1e4 AS z
+        |FROM a""".stripMargin,
+
+    // R/F/M quintiles with user-id tiebreaks; 5 = best on every axis.
+    "rfm_segments" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |per AS (SELECT user_id,
+        |    CAST(datediff('day', MAX(CAST(make_timestamp(epoch_us(ts)) AS DATE)),
+        |      ANY_VALUE(report_date)) AS BIGINT) AS recency_days,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qm
+        |  FROM events, md GROUP BY user_id),
+        |t AS (SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS INT) AS r,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f,
+        |    CAST(ntile(5) OVER (ORDER BY qm, user_id) AS INT) AS m
+        |  FROM per)
+        |SELECT user_id, recency_days, frequency,
+        |  floor(CAST(qm AS DOUBLE) / 100.0 + 0.5) / 1e4 AS monetary,
+        |  r, f, m, CAST(r * 100 + f * 10 + m AS INT) AS segment
+        |FROM t ORDER BY user_id""".stripMargin,
+
+    // sessionize's session frame aggregated to per-start-day bounces.
+    "bounce_rate" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f),
+        |g AS (SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        MIN(us) AS start_us
+        |      FROM s GROUP BY user_id, session_idx),
+        |d AS (SELECT CAST(make_timestamp(start_us) AS DATE) AS day, n_events FROM g)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  floor(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS bounce_rate
+        |FROM d GROUP BY day ORDER BY day""".stripMargin,
+
+    // Kaplan-Meier life table: risk set = reverse cumulative total.
+    "churn_lifetable" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |u AS (SELECT user_id,
+        |        min(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS first_day,
+        |        max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS last_day
+        |      FROM events GROUP BY user_id),
+        |d AS (SELECT CAST(datediff('day', first_day, last_day) AS BIGINT) AS duration,
+        |        CASE WHEN datediff('day', last_day, report_date) < 7
+        |          THEN 1 ELSE 0 END AS censored
+        |      FROM u, md),
+        |t AS (SELECT duration, CAST(SUM(1 - censored) AS BIGINT) AS n_churned,
+        |        CAST(SUM(censored) AS BIGINT) AS n_censored
+        |      FROM d GROUP BY duration),
+        |r AS (SELECT *, CAST(SUM(n_churned + n_censored) OVER
+        |        (ORDER BY duration ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |        AS BIGINT) AS n_risk
+        |      FROM t)
+        |SELECT duration, n_risk, n_churned, n_censored,
+        |  floor(CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS hazard
+        |FROM r ORDER BY duration""".stripMargin,
+
+    // Integer-exact sample ACF: num/den multiplied through by n², the
+    // lag pairing as a dense-grid self-join on day + k.
+    "acf_daily" ->
+      """WITH ev AS (SELECT event_type,
+        |        CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day FROM events),
+        |daily AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+        |          FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT t.event_type, CAST(g.gs AS DATE) AS day
+        |         FROM (SELECT DISTINCT event_type FROM daily) t,
+        |              (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS gs
+        |               FROM b) g),
+        |dense AS (SELECT grid.event_type, grid.day, COALESCE(daily.x, 0) AS x
+        |          FROM grid LEFT JOIN daily
+        |            ON grid.event_type = daily.event_type AND grid.day = daily.day),
+        |dev AS (SELECT event_type, day,
+        |          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+        |            - CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS d
+        |        FROM dense),
+        |num AS (SELECT a.event_type, l.k AS lag, CAST(SUM(a.d * p.d) AS BIGINT) AS num
+        |        FROM dev a
+        |        JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) l(k) ON TRUE
+        |        JOIN dev p ON p.event_type = a.event_type AND p.day = a.day + l.k
+        |        GROUP BY 1, 2),
+        |den AS (SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS den,
+        |          CAST(COUNT(*) AS BIGINT) AS n_days
+        |        FROM dev GROUP BY 1)
+        |SELECT n.event_type, CAST(n.lag AS INT) AS lag, d.n_days,
+        |  CASE WHEN d.den = 0 THEN NULL
+        |    ELSE floor(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |  END AS acf
+        |FROM num n JOIN den d USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
+
+    // Purged time split: last 7 days test, 2-day embargo, user-overlap
+    // audit against the train user set.
+    "temporal_split" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |t AS (SELECT user_id, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |        CASE WHEN datediff('day', CAST(make_timestamp(epoch_us(ts)) AS DATE),
+        |               report_date) < 7 THEN 'test'
+        |          WHEN datediff('day', CAST(make_timestamp(epoch_us(ts)) AS DATE),
+        |               report_date) < 9 THEN 'embargo'
+        |          ELSE 'train' END AS split
+        |      FROM events, md),
+        |tu AS (SELECT DISTINCT user_id FROM t WHERE split = 'train'),
+        |pu AS (SELECT split, user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |         MIN(day) AS mn, MAX(day) AS mx
+        |       FROM t GROUP BY 1, 2)
+        |SELECT split, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  MIN(mn) AS min_day, MAX(mx) AS max_day,
+        |  CAST(SUM(CASE WHEN user_id IN (SELECT user_id FROM tu)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_users_in_train
+        |FROM pu GROUP BY split ORDER BY split""".stripMargin,
+
+    // Resource-allocation link prediction on the order-part bipartite
+    // graph; per-order contribution in 1e6 fixed point (integer div).
+    "link_predict" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |sz AS (SELECT o, CAST(COUNT(*) AS BIGINT) AS sz FROM op GROUP BY o),
+        |pr AS (SELECT a.p AS p, b.p AS q, s.sz
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |       JOIN sz s ON s.o = a.o),
+        |g AS (SELECT p, q, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |        CAST(SUM(1000000 // sz) AS BIGINT) AS raq
+        |      FROM pr GROUP BY p, q)
+        |SELECT p AS part_a, q AS part_b, n_common, raq,
+        |  CAST(raq AS DOUBLE) / 1e6 AS ra_score
+        |FROM g ORDER BY raq DESC, n_common DESC, part_a, part_b
+        |LIMIT 30""".stripMargin,
+
+    // funnel_steps with the 60-minute conversion deadline on each step.
+    "funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e
+        |      JOIN v ON e.user_id = v.user_id AND e.us > v.t1
+        |        AND e.us <= v.t1 + 3600000000
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e
+        |      JOIN c ON e.user_id = c.user_id AND e.us > c.t2
+        |        AND e.us <= c.t2 + 3600000000
+        |      WHERE e.event_type = 'purchase' GROUP BY 1),
+        |s AS (SELECT 'view' AS step, 1 AS ord,
+        |        (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS users
+        |      UNION ALL SELECT 'click', 2, (SELECT COUNT(*) FROM c)
+        |      UNION ALL SELECT 'purchase', 3, (SELECT COUNT(*) FROM p))
+        |SELECT step, ord, users,
+        |  CASE WHEN (SELECT users FROM s WHERE ord = 1) = 0 THEN 0.0
+        |    ELSE floor(CAST(users AS DOUBLE) /
+        |      CAST((SELECT users FROM s WHERE ord = 1) AS DOUBLE)
+        |      * 100 * 100 + 0.5) / 100 END AS conv_pct
+        |FROM s ORDER BY ord""".stripMargin,
+  )
+}

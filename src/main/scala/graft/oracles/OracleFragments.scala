@@ -1,0 +1,263 @@
+package graft.oracles
+
+/** SQL fragments shared by several oracle families (CTEs, unrolled
+  * iteration blocks, the quality-score expression) — moved verbatim
+  * from SparkEntry in the round-9 registry split. */
+private[graft] object OracleFragments {
+
+  /** Shared CTE prefix for the two shingle-set oracles
+    * (jaccard_pairs, dedup_components): normalization + tokenization
+    * + distinct token-3-gram shingle sets, kept in ONE place so a
+    * tokenization fix can't silently desynchronize them.
+    * lower(nfc_normalize(..)) mirrors NormalizeText (NFC then simple
+    * casefold); regexp_replace (not space-only trim) mirrors the byte
+    * scanner on leading/trailing non-space whitespace. */
+  /** Standalone oracle for the brute-force cosine top-k; also nested
+    * as the exact side of [[oracleSql]]'s `ann_recall` — one string so
+    * the recall oracle can never drift from the knn oracle. */
+  val KnnTopkSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |           FROM embeddings WHERE vec_id < 8),
+      |n AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb FROM embeddings),
+      |s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 6) AS score
+      |      FROM q, n WHERE q_id <> n_id),
+      |r AS (SELECT q_id, n_id, score,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
+      |      FROM s)
+      |SELECT q_id, n_id, score, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** Standalone oracle for the IVF ANN; nested as the approximate side
+    * of `ann_recall` (same single-string rationale as [[KnnTopkSql]]). */
+  val AnnIvfSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 16),
+      |sc AS (SELECT e.vec_id, e.emb, c.c_id,
+      |         ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) AS cs
+      |       FROM e, c),
+      |cellr AS (SELECT vec_id, emb, c_id,
+      |            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+      |          FROM sc),
+      |cell AS (SELECT vec_id AS n_id, emb AS n_emb, c_id FROM cellr WHERE rn = 1),
+      |qc AS (SELECT vec_id AS q_id, emb AS q_emb, c_id
+      |       FROM cellr WHERE rn <= 2 AND vec_id < 8),
+      |s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 6) AS score
+      |      FROM qc JOIN cell USING (c_id) WHERE q_id <> n_id),
+      |r AS (SELECT q_id, n_id, score,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
+      |      FROM s)
+      |SELECT q_id, n_id, score, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** Standalone oracle for the n-gram language detector; also nested
+    * as the prediction side of `lang_confusion` — one string, no
+    * drift (same pattern as [[KnnTopkSql]]). */
+  val LangIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','you','that'))) AS s_en,
+      |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','ser','se','no'))) AS s_es,
+      |    len(list_filter(toks, x -> x IN ('der','die','und','in','den','von','zu','das','mit','sich'))) AS s_de,
+      |    len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','est','un','une','que'))) AS s_fr,
+      |    len(list_filter(toks, x -> x IN ('的','一','是','不','了','人','我','在','有','他'))) AS s_zh
+      |  FROM t),
+      |m AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM s)
+      |SELECT doc_id, lang,
+      |  CASE WHEN best = 0 THEN 'und'
+      |       WHEN s_zh = best THEN 'zh'
+      |       WHEN s_fr = best THEN 'fr'
+      |       WHEN s_es = best THEN 'es'
+      |       WHEN s_en = best THEN 'en'
+      |       ELSE 'de' END AS pred_lang
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** `src` parametrizes the document set: "documents" for the whole
+    * corpus, a prior CTE name for staged pipelines (dedup_cascade
+    * shingles only exact-dedup survivors). */
+  def shingleSetsCteOn(src: String): String =
+    s"""toks AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(
+      |      regexp_replace(lower(nfc_normalize(text)), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+      |  FROM $src),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |           THEN list_transform(generate_series(1, len(t) - 2),
+      |                  i -> array_to_string(t[i:i+2], ' '))
+      |           ELSE t END) AS s
+      |       FROM toks)""".stripMargin
+
+  val ShingleSetsCte: String = shingleSetsCteOn("documents")
+
+  /** The quality-score expression shared by the quality_score,
+    * corpus_clean, and lang_quality_gate oracles — one copy, like
+    * [[ShingleSetsCte]]. Rounding is floor(x·1e4 + 0.5)/1e4 (matching
+    * TextF.round4HalfUp): pure IEEE ops agree across engines even when
+    * the score lands exactly on a half-way double, where built-in
+    * round()s diverge (three sf0.1 docs hit this). */
+  val QualitySqlExpr: String =
+    """floor((
+      |      LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
+      |      (1.0 - ABS(
+      |        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                             t -> t IN ('the','a'))) AS DOUBLE) /
+      |        NULLIF(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.0)
+      |        - 0.15)) +
+      |      (1.0 - LEAST(
+      |        CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) /
+      |        NULLIF(CAST(length(text) AS DOUBLE), 0.0) * 10, 1.0))
+      |    ) / 3.0 * 1e4 + 0.5) / 1e4""".stripMargin
+
+  /** Unrolled integer-exact PageRank oracle (10 iterations, damping
+    * 0.85, 1e12 mass scale — [[graft.operators.Graph.Scale]]). Each
+    * step is the SAME truncating-integer-division arithmetic the Spark
+    * loop runs, so ranks are bit-exact. Unrolled chained CTEs rather
+    * than WITH RECURSIVE: DuckDB permits only limited references to
+    * the recursive table in the recursive term, and an aggregation
+    * over it inside a derived table silently mis-evaluates (verified:
+    * the recursive form diverged from a driver-side simulation; the
+    * unrolled form matches it exactly). */
+  val PagerankSql: String = {
+    val step = (k: Int) => s"""it$k AS (
+      |  SELECT n2.item,
+      |    CAST(15000000000000 // (100 * (SELECT nn FROM n))
+      |      + (85 * COALESCE(fl.inflow, 0)) // 100 AS BIGINT) AS rq
+      |  FROM nodes n2 LEFT JOIN (
+      |    SELECT e.dst, CAST(SUM((p.rq * e.w) // o.ow) AS BIGINT) AS inflow
+      |    FROM it${k - 1} p JOIN e ON e.src = p.item JOIN outw o ON o.src = p.item
+      |    GROUP BY 1) fl ON fl.dst = n2.item)""".stripMargin
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+      |         item AS dst
+      |  FROM base),
+      |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM tr
+      |      WHERE src IS NOT NULL GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT src AS item FROM e UNION SELECT DISTINCT dst FROM e),
+      |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+      |it0 AS (SELECT item, CAST(1000000000000 // (SELECT nn FROM n) AS BIGINT) AS rq
+      |        FROM nodes),
+      |""".stripMargin +
+      (1 to 10).map(step).mkString(",\n") + """
+      |SELECT item, rq,
+      |  floor(CAST(rq AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS pr
+      |FROM it10 ORDER BY item""".stripMargin
+  }
+
+  /** Unrolled greedy MMR oracle (pool 20, k = 5, λ = 7/10 as integer
+    * weights — [[graft.operators.Similarity.mmrRerankOf]]'s exact
+    * arithmetic). Same unroll-not-recurse rationale as
+    * [[PagerankSql]]. */
+  val MmrRerankSql: String = {
+    val step = (k: Int) => s"""pick$k AS (
+      |  SELECT q_id, $k AS rank, n_id, rel6, score FROM (
+      |    SELECT c.q_id, c.n_id, c.rel6, c.rel6 * 7 - m.ms * 3 AS score,
+      |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+      |        ORDER BY c.rel6 * 7 - m.ms * 3 DESC, c.n_id) AS rn
+      |    FROM cand c
+      |    JOIN (SELECT ps.q_id, ps.a_id, CAST(MAX(ps.sim6) AS BIGINT) AS ms
+      |          FROM ps JOIN sel${k - 1} s ON s.q_id = ps.q_id AND s.n_id = ps.b_id
+      |          GROUP BY 1, 2) m ON m.q_id = c.q_id AND m.a_id = c.n_id
+      |    LEFT JOIN sel${k - 1} s2 ON s2.q_id = c.q_id AND s2.n_id = c.n_id
+      |    WHERE s2.n_id IS NULL)
+      |  WHERE rn = 1),
+      |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),
+      |sc AS (SELECT q_id, e.vec_id AS n_id, e.emb,
+      |    CAST(floor(list_cosine_similarity(q_emb, e.emb) * 1e6 + 0.5) AS BIGINT) AS rel6
+      |  FROM q JOIN e ON e.vec_id <> q.q_id),
+      |cand AS (SELECT q_id, n_id, emb, rel6 FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel6 DESC, n_id) AS rn
+      |    FROM sc) WHERE rn <= 20),
+      |ps AS (SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+      |    CAST(floor(list_cosine_similarity(a.emb, b.emb) * 1e6 + 0.5) AS BIGINT) AS sim6
+      |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+      |sel1 AS (SELECT q_id, 1 AS rank, n_id, rel6, rel6 * 7 AS score FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel6 DESC, n_id) AS rn
+      |    FROM cand) WHERE rn = 1),
+      |""".stripMargin +
+      (2 to 5).map(step).mkString(",\n") + """
+      |SELECT q_id, rank, n_id, CAST(rel6 AS DOUBLE) / 1e6 AS rel,
+      |  CAST(score AS DOUBLE) / 1e7 AS mmr
+      |FROM sel5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** nDCG oracle sharing [[graft.operators.Similarity.NdcgW6]]'s
+    * precomputed integer discounts verbatim — no query-time log₂ in
+    * either engine. */
+  val NdcgEvalSql: String = {
+    val w = graft.operators.Similarity.NdcgW6
+    val wList = w.mkString("[", ", ", "]")
+    val cumList = w.scanLeft(0L)(_ + _).tail.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label
+      |      FROM e WHERE vec_id < 64),
+      |s AS (SELECT q_id, q_label, e.vec_id AS n_id, e.label AS n_label,
+      |        ROUND(list_cosine_similarity(q_emb, e.emb), 6) AS cos
+      |      FROM q JOIN e ON e.vec_id <> q.q_id),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY cos DESC, n_id) AS INT) AS rnk FROM s),
+      |d AS (SELECT q_id, q_label,
+      |        CAST(SUM(CASE WHEN n_label = q_label THEN ($wList)[rnk]
+      |                 ELSE 0 END) AS BIGINT) AS dcg6
+      |      FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+      |nr AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM s
+      |       WHERE n_label = q_label GROUP BY 1),
+      |p AS (SELECT d.q_id, d.q_label,
+      |        CAST(floor(CAST(dcg6 AS DOUBLE)
+      |          / CAST(($cumList)[CAST(least(n_rel, 10) AS INT)] AS DOUBLE)
+      |          * 1e6 + 0.5) AS BIGINT) AS ndcg6
+      |      FROM d JOIN nr ON nr.q_id = d.q_id)
+      |SELECT CAST(q_label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  floor(CAST(SUM(ndcg6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) / 1e6 AS ndcg
+      |FROM p GROUP BY q_label ORDER BY label""".stripMargin
+  }
+
+  /** Personalized-PageRank oracle: [[PagerankSql]]'s unrolled steps
+    * with the teleport term seed-conditional (items < 10) and the
+    * initial mass on the seeds only. */
+  val PprSql: String = {
+    val step = (k: Int) => s"""it$k AS (
+      |  SELECT n2.item,
+      |    CAST(CASE WHEN n2.item < 10
+      |        THEN 15000000000000 // (100 * (SELECT ns FROM n))
+      |        ELSE 0 END
+      |      + (85 * COALESCE(fl.inflow, 0)) // 100 AS BIGINT) AS rq
+      |  FROM nodes n2 LEFT JOIN (
+      |    SELECT e.dst, CAST(SUM((p.rq * e.w) // o.ow) AS BIGINT) AS inflow
+      |    FROM it${k - 1} p JOIN e ON e.src = p.item JOIN outw o ON o.src = p.item
+      |    GROUP BY 1) fl ON fl.dst = n2.item)""".stripMargin
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+      |         item AS dst
+      |  FROM base),
+      |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM tr
+      |      WHERE src IS NOT NULL GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT src AS item FROM e UNION SELECT DISTINCT dst FROM e),
+      |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM nodes WHERE item < 10),
+      |it0 AS (SELECT item, CAST(CASE WHEN item < 10
+      |          THEN 1000000000000 // (SELECT ns FROM n) ELSE 0 END AS BIGINT) AS rq
+      |        FROM nodes),
+      |""".stripMargin +
+      (1 to 10).map(step).mkString(",\n") + """
+      |SELECT item, rq,
+      |  floor(CAST(rq AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS pr
+      |FROM it10 ORDER BY item""".stripMargin
+  }
+
+  // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
+  // through integer micros (floor then int64 SUM), single final
+  // divisions, explicit rounding before ranking.
+}

@@ -1,0 +1,403 @@
+package graft.oracles
+
+/** DuckDB oracle SQL for the warehouse family — split out of SparkEntry
+  * (round 9) purely for registry file size; keys and SQL are the
+  * unchanged driver contract (SURVEY §5). */
+private[graft] object WarehouseOracles {
+  val sql: Map[String, String] = Map(
+
+    // Median/MAD are rounded to 4 dp (floor form) BEFORE the flag
+    // comparison; 1.4826 is cast to DOUBLE so both engines multiply
+    // the same binary64 constant (a bare DuckDB literal is DECIMAL).
+    "mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    floor(quantile_cont(value, 0.5) * 1e4 + 0.5) / 1e4 AS med
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.med
+        |      FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type,
+        |    floor(quantile_cont(abs(value - med), 0.5) * 1e4 + 0.5) / 1e4 AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  floor((d.value - d.med) / (CAST(1.4826 AS DOUBLE) * a.mad) * 1e4 + 0.5) / 1e4 AS robust_z
+        |FROM d JOIN mad a USING (event_type)
+        |WHERE a.mad > 0
+        |  AND abs(d.value - d.med) > 3 * CAST(1.4826 AS DOUBLE) * a.mad
+        |ORDER BY d.event_id""".stripMargin,
+
+    "value_deciles" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderpriority
+        |                    ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT o_orderpriority, decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Clip bounds rounded to 4 dp first (cross-engine identical), mean
+    // through an integer cent-quantized sum (order-independent).
+    "winsorize" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |    floor(quantile_cont(o_totalprice, 0.05) * 1e4 + 0.5) / 1e4 AS lo,
+        |    floor(quantile_cont(o_totalprice, 0.95) * 1e4 + 0.5) / 1e4 AS hi
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT o.o_orderpriority, o.o_totalprice, b.lo, b.hi,
+        |    least(greatest(o.o_totalprice, b.lo), b.hi) AS clipped
+        |  FROM orders o JOIN b USING (o_orderpriority))
+        |SELECT o_orderpriority, lo, hi, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |  floor(CAST(SUM(CAST(floor(clipped * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 100 * 1e4 + 0.5) / 1e4 AS avg_clipped
+        |FROM j GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "profile_columns" ->
+      // Every branch casts n_null: a bare SUM(int) is HUGEINT in
+      // DuckDB, and UNION type-unification would widen the whole
+      // column past BIGINT (0 vs 0.0 breaks the hash compare).
+      """SELECT 'o_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+        |UNION ALL SELECT 'o_custkey', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_custkey) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL SELECT 'o_totalprice', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_totalprice) FROM orders
+        |UNION ALL SELECT 'o_orderdate', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_orderdate) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_orderpriority) FROM orders
+        |ORDER BY column_name""".stripMargin,
+
+    "fk_coverage" ->
+      """WITH k AS (SELECT DISTINCT c_custkey AS key FROM customer),
+        |j AS (SELECT e.event_type,
+        |        CASE WHEN k.key IS NULL THEN 0 ELSE 1 END AS matched
+        |      FROM events e LEFT JOIN k ON e.user_id = k.key)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(matched) AS BIGINT) AS n_matched,
+        |  CAST(COUNT(*) - SUM(matched) AS BIGINT) AS n_orphans,
+        |  floor(CAST(SUM(matched) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS coverage
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The Spark side orders versions on the exact nanosecond long;
+    // DuckDB's parquet view truncates TIMESTAMP_NS to µs, so this
+    // oracle orders on (µs, event_id). The two agree wherever event
+    // ids are time-monotone within a microsecond (true of the driver
+    // data — verified by this hash at sf0.01 AND sf0.1); output is µs.
+    "latest_per_key" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
+        |           FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, us, event_id, event_type, value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // qrev mirrors Report.earningsMicros (pure floor — the library's
+    // one money-quantization contract, shared with the earnings family)
+    "revenue_by_nation" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT) AS qrev
+        |  FROM lineitem),
+        |o AS (SELECT o_orderkey, o_custkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |        AND o_orderdate < TIMESTAMP '1996-01-01')
+        |SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  floor(CAST(SUM(qrev) AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue
+        |FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin,
+
+    // Both snapshots rank on the raw TIMESTAMP_NS (exact-ns order,
+    // mirroring the Spark side's ts_ns struct max); the cutoff
+    // comparison is safe at either grain because µs truncation floors
+    // and can't lift an event across the boundary.
+    "snapshot_diff" ->
+      """WITH s2r AS (SELECT user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |s2 AS (SELECT user_id, event_type, value FROM s2r WHERE rn = 1),
+        |s1r AS (SELECT user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+        |s1 AS (SELECT user_id, event_type, value FROM s1r WHERE rn = 1)
+        |SELECT s2.user_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+        |  s1.event_type AS old_type, s1.value AS old_value,
+        |  s2.event_type AS new_type, s2.value AS new_value
+        |FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
+        |WHERE s1.user_id IS NULL
+        |   OR s1.event_type <> s2.event_type OR s1.value <> s2.value
+        |ORDER BY s2.user_id""".stripMargin,
+
+    // Runs/versions order on the TIMESTAMP_NS column directly (exact
+    // ns, like snapshot_diff); the µs bounds come from epoch_ns // 1000
+    // mirroring the Spark side's `ts_ns div 1000`.
+    "scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |      WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+        |  event_type,
+        |  epoch_ns(ts) // 1000 AS valid_from_us,
+        |  epoch_ns(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000 AS valid_to_us
+        |FROM c ORDER BY user_id, version""".stripMargin,
+
+    // Interpolated median over ≤7 exact-integer micro values: every
+    // step of (a+b)·0.5 is exact in binary64, so quantile_cont and
+    // Spark's percentile agree bit-for-bit (see Robust.rollingMedianOf).
+    "rolling_median" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qrev
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, qrev,
+        |         day - DATE '1970-01-01' AS dayi FROM daily)
+        |SELECT event_type, day,
+        |  floor(CAST(qrev AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue,
+        |  floor(quantile_cont(CAST(qrev AS DOUBLE), 0.5) OVER w / 1e6 * 1e4 + 0.5) / 1e4 AS median_7d
+        |FROM d2
+        |WINDOW w AS (PARTITION BY event_type ORDER BY dayi
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+
+    // Shared-edge equal-width bins (value_histogram's binning, per
+    // type, over BOTH periods); each |p−q| is floor-quantized to a
+    // 1e-9 integer grid so the Σ is order-independent on both engines.
+    "distribution_drift" ->
+      """WITH ev AS (SELECT event_type, value,
+        |    ts < TIMESTAMP '2024-01-16' AS in_p FROM events),
+        |b AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+        |      FROM ev GROUP BY event_type),
+        |binned AS (
+        |  SELECT ev.event_type,
+        |    CASE WHEN mx > mn
+        |      THEN CAST(LEAST(floor((value - mn) / ((mx - mn) / 20)), 19) AS BIGINT)
+        |      ELSE 0 END AS bucket,
+        |    CAST(SUM(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS np_bin,
+        |    CAST(SUM(CASE WHEN NOT in_p THEN 1 ELSE 0 END) AS BIGINT) AS nq_bin
+        |  FROM ev JOIN b ON ev.event_type = b.event_type
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(np_bin) AS BIGINT) AS np,
+        |          CAST(SUM(nq_bin) AS BIGINT) AS nq
+        |        FROM binned GROUP BY event_type
+        |        HAVING SUM(np_bin) > 0 AND SUM(nq_bin) > 0)
+        |SELECT t.event_type, t.np, t.nq,
+        |  floor(CAST(SUM(CAST(floor(abs(
+        |      CAST(np_bin AS DOUBLE) / CAST(np AS DOUBLE)
+        |      - CAST(nq_bin AS DOUBLE) / CAST(nq AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 2e9 * 1e4 + 0.5) / 1e4 AS tvd
+        |FROM binned JOIN tot t ON binned.event_type = t.event_type
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // Deterministic Poisson(1) bootstrap: md5 is the cross-engine hash
+    // (stratified_sample precedent); each digest yields four 32-bit
+    // uniforms (the Spark side splits identically); the CDF step
+    // thresholds and the 6-dp mean rounding mirror the Spark
+    // expressions exactly. 81 reps → both quantile positions are
+    // exact integers (2 and 78): order statistics, no interpolation.
+    "bootstrap_ci" ->
+      """WITH base AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv FROM events),
+        |hs AS (SELECT event_type, qv, g.chunk,
+        |    md5(event_id::VARCHAR || ':' || g.chunk::VARCHAR) AS h
+        |  FROM base, generate_series(0, 20) AS g(chunk)),
+        |r AS (SELECT event_type, qv, chunk * 4 + pp.p + 1 AS rep,
+        |    CAST(('0x' || substring(h, 1 + 8 * pp.p, 8)) AS BIGINT) AS hv
+        |  FROM hs, generate_series(0, 3) AS pp(p)
+        |  WHERE chunk * 4 + pp.p + 1 <= 81),
+        |wts AS (SELECT event_type, rep, qv,
+        |    CASE WHEN u < 0.36787944 THEN 0 WHEN u < 0.73575888 THEN 1
+        |         WHEN u < 0.9196986 THEN 2 WHEN u < 0.98101184 THEN 3
+        |         WHEN u < 0.99634015 THEN 4 ELSE 5 END AS w
+        |  FROM (SELECT *, CAST(hv AS DOUBLE) / 4294967296.0 AS u FROM r)),
+        |m AS (SELECT event_type, rep,
+        |    CAST(SUM(w * qv) AS BIGINT) AS swq, CAST(SUM(w) AS BIGINT) AS sw
+        |  FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0),
+        |m6 AS (SELECT event_type,
+        |    floor(CAST(swq AS DOUBLE) / CAST(sw AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS mean6
+        |  FROM m)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_reps,
+        |  floor(quantile_cont(mean6, 0.5) * 1e4 + 0.5) / 1e4 AS mean_boot,
+        |  floor(quantile_cont(mean6, 0.025) * 1e4 + 0.5) / 1e4 AS ci_lo,
+        |  floor(quantile_cont(mean6, 0.975) * 1e4 + 0.5) / 1e4 AS ci_hi
+        |FROM m6 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Median of pairwise daily-total slopes, micros-per-day integer
+    // deltas, one IEEE division per pair, quantile_cont median ≍
+    // Spark's exact percentile (earnings_percentiles' contract).
+    "theilsen_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(b.v - a.v AS DOUBLE) / CAST(datediff('day', a.day, b.day) AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  floor(quantile_cont(slope, 0.5) / 1e6 * 1e4 + 0.5) / 1e4 AS slope_per_day,
+        |  CAST(CASE WHEN floor(quantile_cont(slope, 0.5) / 1e6 * 1e4 + 0.5) / 1e4 > 0 THEN 1
+        |            WHEN floor(quantile_cont(slope, 0.5) / 1e6 * 1e4 + 0.5) / 1e4 < 0 THEN -1
+        |            ELSE 0 END AS INT) AS direction
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Dictionary-level fuzzy pairs: block on the last token, length
+    // band then classic Levenshtein (exact integer on both engines),
+    // lexicographic pair order.
+    "fuzzy_match" ->
+      """WITH d AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |           FROM part GROUP BY 1),
+        |t AS (SELECT name, n_parts, string_split(name, ' ')[-1] AS block FROM d)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+        |  a.n_parts AS n_a, b.n_parts AS n_b
+        |FROM t a JOIN t b ON a.block = b.block AND a.name < b.name
+        |WHERE abs(length(a.name) - length(b.name)) <= 2
+        |  AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // First row of the (value, id) total order where 2*cum >= total —
+    // pure int64, no interpolation contract at all.
+    "weighted_median" ->
+      """WITH q AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv
+        |  FROM events),
+        |w AS (SELECT *,
+        |    CAST(SUM(qv) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |    CAST(SUM(qv) OVER (PARTITION BY event_type ORDER BY qv, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM q),
+        |f AS (SELECT event_type, qv, total,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qv, event_id) AS rn
+        |  FROM w WHERE 2 * cum >= total)
+        |SELECT event_type,
+        |  floor(CAST(qv AS DOUBLE) / 100.0 + 0.5) / 1e4 AS weighted_median,
+        |  floor(CAST(total AS DOUBLE) / 100.0 + 0.5) / 1e4 AS total_value
+        |FROM f WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // Median/IQR rounded 4dp BEFORE the per-row division
+    // (madOutliers' contract); IQR-degenerate groups emit NULL.
+    "robust_scaler" ->
+      """WITH w AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    floor(quantile_cont(o_totalprice, 0.5)
+        |      OVER (PARTITION BY o_orderpriority) * 1e4 + 0.5) / 1e4 AS med,
+        |    floor((quantile_cont(o_totalprice, 0.75) OVER (PARTITION BY o_orderpriority)
+        |      - quantile_cont(o_totalprice, 0.25) OVER (PARTITION BY o_orderpriority))
+        |      * 1e4 + 0.5) / 1e4 AS iqr
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice, med, iqr,
+        |  CASE WHEN iqr > 0
+        |    THEN floor((o_totalprice - med) / iqr * 1e4 + 0.5) / 1e4 END AS scaled
+        |FROM w ORDER BY o_orderkey""".stripMargin,
+
+    // 32-bit uniform from the group-key md5 vs exact ⌊2³²·CDF⌋ integer
+    // thresholds of the α=1/2 two-sided geometric, truncated at ±4.
+    "dp_counts" ->
+      """WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |h AS (SELECT event_type, n,
+        |        CAST(('0x' || substring(md5('dp:' || event_type), 1, 8)) AS BIGINT) AS hv
+        |      FROM c),
+        |z AS (SELECT event_type, n,
+        |        CASE WHEN hv < 1431655765 THEN 0
+        |             WHEN hv < 2147483648 THEN 1
+        |             WHEN hv < 2863311530 THEN -1
+        |             WHEN hv < 3221225472 THEN 2
+        |             WHEN hv < 3579139413 THEN -2
+        |             WHEN hv < 3758096384 THEN 3
+        |             WHEN hv < 3937053354 THEN -3
+        |             WHEN hv < 4116010325 THEN 4
+        |             ELSE -4 END AS noise
+        |      FROM h)
+        |SELECT event_type, n, CAST(noise AS BIGINT) AS noise,
+        |  n + noise AS noisy_n
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    // QI = segment × nation × balance kilobucket; groups under k = 5
+    // are the re-identification risks.
+    "kanon_risk" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS group_size
+        |FROM customer
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+        |ORDER BY c_mktsegment, c_nationkey, bal_bucket""".stripMargin,
+
+    // fuzzy_match's blocked pair list -> recursive min-label closure
+    // (dedup_components' oracle pattern on string ids).
+    "entity_clusters" ->
+      """WITH RECURSIVE d AS (SELECT p_name AS name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_parts FROM part GROUP BY 1),
+        |t AS (SELECT name, n_parts, string_split(name, ' ')[-1] AS block FROM d),
+        |p AS (SELECT a.name AS na, b.name AS nb
+        |      FROM t a JOIN t b ON a.block = b.block AND a.name < b.name
+        |      WHERE abs(length(a.name) - length(b.name)) <= 2
+        |        AND levenshtein(a.name, b.name) <= 2),
+        |e AS (SELECT na AS a, nb AS b FROM p UNION ALL SELECT nb, na FROM p),
+        |r AS (SELECT name AS node, name AS lbl FROM d
+        |      UNION
+        |      SELECT e.a AS node, r.lbl FROM e JOIN r ON r.node = e.b),
+        |c AS (SELECT node AS name, MIN(lbl) AS cluster FROM r GROUP BY node)
+        |SELECT c.name, c.cluster,
+        |  CAST(COUNT(*) OVER (PARTITION BY c.cluster) AS BIGINT) AS cluster_size,
+        |  d.n_parts
+        |FROM c JOIN d ON c.name = d.name ORDER BY c.name""".stripMargin,
+
+    // Zone-map audit: value-cut zones on order key (arrival) vs ship
+    // date (clustered); envelopes in day offsets from the corpus min.
+    "zonemap_audit" ->
+      """WITH rows_ AS (SELECT l_orderkey AS ok, CAST(l_shipdate AS DATE) AS day
+        |               FROM lineitem),
+        |b AS (SELECT min(ok) AS ok0, max(ok) AS ok1, min(day) AS d0, max(day) AS d1
+        |      FROM rows_),
+        |z AS (SELECT day, d0, d1,
+        |        ((ok - ok0) * 32) // (ok1 - ok0 + 1) AS z_arrival,
+        |        (CAST(datediff('day', d0, day) AS BIGINT) * 32)
+        |          // (CAST(datediff('day', d0, d1) AS BIGINT) + 1) AS z_date
+        |      FROM rows_, b),
+        |env AS (
+        |  SELECT 'arrival' AS layout, z_arrival AS zone,
+        |    CAST(MIN(datediff('day', d0, day)) AS BIGINT) AS lo,
+        |    CAST(MAX(datediff('day', d0, day)) AS BIGINT) AS hi,
+        |    CAST(ANY_VALUE(datediff('day', d0, d1)) AS BIGINT) AS span
+        |  FROM z GROUP BY z_arrival
+        |  UNION ALL
+        |  SELECT 'date', z_date,
+        |    CAST(MIN(datediff('day', d0, day)) AS BIGINT),
+        |    CAST(MAX(datediff('day', d0, day)) AS BIGINT),
+        |    CAST(ANY_VALUE(datediff('day', d0, d1)) AS BIGINT)
+        |  FROM z GROUP BY z_date)
+        |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_zones,
+        |  CAST(SUM(CASE WHEN lo <= (span // 2) + 14 AND hi >= (span // 2) - 15
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |  floor(CAST(COUNT(*) - SUM(CASE WHEN lo <= (span // 2) + 14
+        |      AND hi >= (span // 2) - 15 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS pruned_frac,
+        |  floor(CAST(SUM(hi - lo + 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS mean_zone_days
+        |FROM env GROUP BY layout ORDER BY layout""".stripMargin,
+
+    // IVM merge ≡ full recompute — the oracle IS the full recompute.
+    "incremental_rollup" ->
+      """WITH b AS (SELECT CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv,
+        |    CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS late
+        |  FROM events)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  floor(CAST(SUM(qv) AS DOUBLE) / 100.0 + 0.5) / 1e4 AS revenue,
+        |  CAST(SUM(late) AS BIGINT) AS n_late
+        |FROM b GROUP BY day ORDER BY day""".stripMargin,
+  )
+}
