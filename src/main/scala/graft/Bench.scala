@@ -29,6 +29,11 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional sketch-path bench (SURVEY §4's graft.scale.approx): the
+    // registered wrappers read the conf per query, so one env var
+    // benches the 100 TB posture against the exact default.
+    if (sys.env.get("SPARK_GRAFT_APPROX").exists(_.toBoolean))
+      spark.conf.set(Scale.ApproxKey, "true")
     // Warm the session (scheduler, codegen compiler, parquet reader
     // init) so the first timed query doesn't absorb ~4 s of one-time
     // startup that has nothing to do with its plan.

@@ -25,13 +25,29 @@ import org.apache.spark.sql.functions._
   * mass), which is exactly what a dedup scale rehearsal should
   * stress; SURVEY §6 reads the resulting sf0.1→sf1 ratios.
   *
-  * Usage: `runMain graft.ScaleUp <inDir> <outDir> <replicas>`.
+  * The optional `perturb` mode is the OTHER corner: novel-content
+  * growth. Every third token of each replica's text is tagged with
+  * the replica id, so every cross-replica 8-gram shingle differs and
+  * replicas are near-dups of NOTHING (within-replica structure is
+  * preserved — all copies of a corpus transform identically);
+  * embeddings get deterministic per-(vec_id, dim) jitter that
+  * scatters cross-replica cosines. Duplicate-cluster mass stays at
+  * the seed corpus's level while rows grow N× — production growth,
+  * where new data is mostly new. A dedup rehearsal needs BOTH
+  * corners: twins bound the pair-mass law, perturb measures the
+  * per-row engine scaling.
+  *
+  * Usage: `runMain graft.ScaleUp <inDir> <outDir> <replicas> [perturb]`.
   * Output is written as parquet DIRECTORIES named `<table>.parquet`,
   * which `Tables`/Bench read exactly like the driver's single files.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val Array(inDir, outDir, nStr) = args
+    val (inDir, outDir, nStr, perturb) = args match {
+      case Array(i, o, n) => (i, o, n, false)
+      case Array(i, o, n, "perturb") => (i, o, n, true)
+      case _ => sys.error(s"usage: ScaleUp <inDir> <outDir> <replicas> [perturb]")
+    }
     val n = nStr.toInt
     require(n >= 1, s"replicas must be >= 1, got $n")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -71,11 +87,25 @@ object ScaleUp {
     keyCols.foreach { case (t, keys) =>
       val pairs = keys.map { case (k, owner) => k -> strides(owner) }
       val reps = spark.range(n).select(col("id").as("rep"))
-      val out = pairs.foldLeft(read(t).crossJoin(broadcast(reps))) {
+      val shifted = pairs.foldLeft(read(t).crossJoin(broadcast(reps))) {
         case (df, (k, s)) => df.withColumn(k, col(k) + col("rep") * s)
-      }.drop("rep")
-      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      println(s"[scaleup] $t: x$n")
+      }
+      val out = (t, perturb) match {
+        case ("documents", true) => shifted
+          .withColumn("text", expr(
+            """array_join(transform(split(text, ' '),
+              |  (tk, i) -> IF(i % 3 = 0 AND rep > 0,
+              |    concat(tk, '_r', rep), tk)), ' ')""".stripMargin))
+          .withColumn("n_chars", length(col("text")).cast("int"))
+        case ("embeddings", true) => shifted
+          .withColumn("embedding", expr(
+            """transform(embedding, (x, i) -> CAST(x +
+              |  IF(rep > 0, (hash(vec_id, i) % 1000) / 2000.0, 0.0)
+              |  AS FLOAT))""".stripMargin))
+        case _ => shifted
+      }
+      out.drop("rep").write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scaleup] $t: x$n" + (if (perturb) " (perturbed)" else ""))
     }
     spark.stop()
   }

@@ -179,6 +179,8 @@ object SparkEntry {
     "lsh_recall"        -> (Dedup.lshRecall(_, _)),
     // the 100 TB default: same audit on a 1-in-8 doc-hash sample
     "lsh_recall_sampled" -> (Dedup.lshRecallSampled(_, _)),
+    // Round-9: Lee'21-style exact-substring duplicate spans
+    "substr_dup_spans"  -> (Dedup.exactSubstringSpans(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),
     "gini_concentration" -> (EventAnalytics.giniConcentration(_, _)),
     "mixture_plan"      -> (Corpus.mixturePlan(_, _)),

@@ -586,4 +586,67 @@ object Dedup {
 
   def dedupCascade(spark: SparkSession, dir: String): DataFrame =
     dedupCascadeOf(Tables.documents(spark, dir))
+
+  /** Exact-substring duplicate spans (the Lee et al. '21 ExactSubstr
+    * analog — the sharp end of the span family): every MAXIMAL token
+    * run of length ≥ `minLen` whose content appears elsewhere in the
+    * corpus (another doc OR another position of the same doc — Lee
+    * counts occurrences, catching self-repetition) is reported as a
+    * removable span, keeping the corpus-wide FIRST occurrence (min
+    * (doc_id, pos)) as the canonical copy. [[graft.operators.Corpus
+    * .spanDedupOf]] cuts df≥2 8-gram granules; this finds the longer
+    * literal duplications (licenses, boilerplate headers, quoted
+    * passages) at their true extent — the report a dedup pass reads
+    * before deciding the cut length.
+    *
+    * Shape, suffix-array-free: positional `minLen`-grams from
+    * minLen−1 `lead()`s on ONE doc-keyed window pass (no per-position
+    * slice lambda — spanDedup's lesson); occurrence count and
+    * first-occurrence rank as TWO windows on ONE gram-keyed shuffle
+    * (every occurrence needs its rank, so a window pass is inherent —
+    * no aggregate+join detour); non-canonical duplicated gram starts
+    * become [pos, pos+L−1] intervals that merge into maximal spans by
+    * the classic running-max island scan on the doc-keyed order.
+    * Interval merge instead of covered-position explode: the ×L
+    * fan-out never materializes. Gram-partition sizes are bounded by
+    * the corpus's duplicate mass (a gram's partition is its
+    * occurrence list), the same Θ(dup mass) every exact-substring
+    * method pays.
+    */
+  def exactSubstringSpansOf(docs: DataFrame, minLen: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen > 1, s"minLen must be > 1, got $minLen")
+    val tp = docs
+      .select(col("doc_id"), posexplode(graft.functions.TextF.tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val tail = (1 until minLen).map(i => lead(col("tok"), i).over(byPos))
+    val grams = tp
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64((col("tok") +: tail): _*).as("g"),
+        tail.last.isNotNull.as("full"))
+      .filter(col("full"))
+    val byGram = Window.partitionBy("g")
+    val byGramOrd = byGram.orderBy("doc_id", "pos")
+    val ivals = grams
+      .withColumn("occ", count(lit(1)).over(byGram))
+      .withColumn("rn", row_number().over(byGramOrd))
+      .filter(col("occ") >= 2 && col("rn") > 1) // canonical copy survives
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + minLen - 1).as("e"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val ni = when(max("e").over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1)) >= col("s") - 1, 0)
+      .otherwise(1)
+    ivals
+      .withColumn("island", sum(ni).over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("n_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  def exactSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    exactSubstringSpansOf(Tables.documents(spark, dir))
 }

@@ -379,6 +379,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       s"sampled recall ${sampled.getDouble(4)} strayed > $band from exact ${exact.getDouble(4)}")
   }
 
+  test("exact-substring spans: maximal merge, keep-first canonical, self-repeat caught") {
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")      // 20 tokens
+    val b16 = (1 to 16).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, a),                                   // canonical copy
+      (2L, a),                                   // full dup → one maximal span
+      (3L, (1 to 16).map(i => s"a$i").mkString(" ")), // shared 16-token prefix
+      (4L, (1 to 20).map(i => s"u$i").mkString(" ")),  // unique → nothing
+      (5L, s"$b16 $b16"))                        // self-repetition
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstringSpansOf(docs, minLen = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (2L, 0L, 19L, 20L),   // overlapping covered grams merged to the doc
+      (3L, 0L, 15L, 16L),   // prefix dup of the canonical
+      (5L, 16L, 31L, 16L)), // second occurrence inside the SAME doc
+      s"got ${out.toSeq}")
+  }
+
   test("per-source dup rate counts non-first copies under keep-first") {
     val docs = Seq(
       (1L, "A", "same text"), (2L, "A", "same text"), (3L, "A", "unique a"),
