@@ -34,6 +34,14 @@ object Bench {
     // benches the 100 TB posture against the exact default.
     if (sys.env.get("SPARK_GRAFT_APPROX").exists(_.toBoolean))
       spark.conf.set(Scale.ApproxKey, "true")
+    // Optional shuffle-partition override for scale rehearsals: the
+    // default (= cpus) is sized for sf0.1; a ×100 corpus through 32
+    // partitions means ~100× per-task state (spill + GC, not plan
+    // cost). A real cluster sizes partition count to data volume —
+    // this knob lets the rehearsal do the same so plan-inherent
+    // scaling separates from fixed-parallelism artifacts.
+    sys.env.get("SPARK_GRAFT_PARTITIONS").filter(_.nonEmpty)
+      .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     // Warm the session (scheduler, codegen compiler, parquet reader
     // init) so the first timed query doesn't absorb ~4 s of one-time
     // startup that has nothing to do with its plan.
