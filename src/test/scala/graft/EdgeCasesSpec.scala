@@ -132,4 +132,53 @@ class EdgeCasesSpec extends AnyFunSuite with SparkFixture {
       Set(("2024-01-01", 1L), ("2024-01-02", 1L)),
       "snapshot ⊕ empty delta ≡ snapshot")
   }
+
+  // ── round-9 tranche ──────────────────────────────────────────────
+
+  test("exact-substring spans: empty corpus and sub-minLen docs report nothing") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactSubstringSpansOf(empty, minLen = 4).count() == 0L)
+    // identical docs SHORTER than minLen carry no full gram — the
+    // lead() tail nulls out and the filter drops every position, so
+    // duplication below the granule is invisible by contract (that is
+    // spanDedup's 8-gram territory, not this report's)
+    val short = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    assert(Dedup.exactSubstringSpansOf(short, minLen = 4).count() == 0L)
+  }
+
+  test("exact-substring spans: all-unique corpus reports nothing, not empty-span rows") {
+    val unique = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactSubstringSpansOf(unique, minLen = 4).count() == 0L)
+  }
+
+  test("lsh recall: empty corpus keeps the 1-row audit with NULL recall") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Seq(1, 2).foreach { s =>
+      val out = Dedup.lshRecallOf(empty, 0.5, sampleOneIn = s).collect()
+      assert(out.length == 1, "audit is a 1-row report even with nothing to audit")
+      val r = out.head
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+      assert(r.isNullAt(4), "0/0 recall must be NULL, not NaN or 1.0")
+    }
+  }
+
+  test("lsh recall: sample that keeps no near-dup pair degrades to NULL recall") {
+    // two docs that ARE near-dups but whose ids hash into different
+    // 1-in-s residues: the sampled subcorpus retains at most one
+    // endpoint, the pair count drops to zero, and the audit reports
+    // NULL recall rather than a fabricated 1.0 — the power-knob
+    // failure mode the §6 sampling rule (pair_mass/s² ≫ 1) guards.
+    val t = (1 to 12).map(i => s"w$i").mkString(" ")
+    val ids = (1L to 64L).filter(id => // endpoints in distinct residues mod 4
+      spark.range(1).select(pmod(xxhash64(lit(id)), lit(4L))).head.getLong(0) == 0L)
+    val other = (1L to 64L).find(id =>
+      spark.range(1).select(pmod(xxhash64(lit(id)), lit(4L))).head.getLong(0) == 1L).get
+    val docs = Seq((ids.head, t), (other, t)).toDF("doc_id", "text")
+    val r = Dedup.lshRecallOf(docs, 0.5, sampleOneIn = 4).collect().head
+    assert(r.getLong(1) == 0L, "pair must not survive one-endpoint sampling")
+    assert(r.isNullAt(4), "no surviving pairs → NULL recall, not a verdict")
+  }
 }

@@ -466,4 +466,39 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       scans.forall(_.requiredSchema.fieldNames.toSeq == Seq("embedding")),
       s"embedding-only column pruning expected:\n$me")
   }
+
+  // ── round-9 tranche ──────────────────────────────────────────────
+
+  test("exactSubstringSpans: no quadratic join, doc_id+text-only scan, bounded shuffles") {
+    val p = plan(Dedup.exactSubstringSpans(spark, Sf))
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      p.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"exact-substring must stay gram-keyed, never all-pairs:\n$p")
+    val scans = p.collect { case s: FileSourceScanExec => s }
+    assert(scans.map(_.requiredSchema.fieldNames.toSet) ==
+      Seq(Set("doc_id", "text")),
+      s"one scan, pruned to doc_id+text:\n$p")
+    // one doc-keyed window (positional grams), one gram-keyed window
+    // pass (occ + rank share the shuffle), one doc-keyed island/agg
+    // re-shuffle, one final range sort = 4; a 5th would mean the
+    // occ/rank windows stopped sharing their gram exchange.
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length
+    assert(shuffles <= 4, s"expected <= 4 exchanges, got $shuffles:\n$p")
+  }
+
+  test("lshRecallSampled: sample filter reaches both sides, only the 1-row count join crosses") {
+    val p = plan(Dedup.lshRecallSampled(spark, Sf))
+    // the audit's only cross is n_exact × n_lsh — two 1-row aggregates
+    val crosses = p.collect { case j: BroadcastNestedLoopJoinExec => j }.length +
+      p.collect { case j: CartesianProductExec => j }.length
+    assert(crosses <= 1, s"only the 1-row×1-row count join may cross:\n$p")
+    // both pair pipelines must audit the SAMPLED subcorpus: every doc
+    // scan is followed by the xxhash64(doc_id) residue filter, so the
+    // ~1/s² cost bound holds by plan shape, not by hope
+    val s = p.toString
+    assert("xxhash64".r.findAllIn(s).length >= 2,
+      "doc-hash sample filter must appear on both audit sides")
+  }
 }
