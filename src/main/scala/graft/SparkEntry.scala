@@ -181,6 +181,10 @@ object SparkEntry {
     "lsh_recall_sampled" -> (Dedup.lshRecallSampled(_, _)),
     // Round-9: Lee'21-style exact-substring duplicate spans
     "substr_dup_spans"  -> (Dedup.exactSubstringSpans(_, _)),
+    // Round-9: retrieval + selection tranche
+    "hybrid_search"     -> (Similarity.hybridSearch(_, _)),
+    "sem_decontaminate" -> (Similarity.semDecontaminate(_, _)),
+    "dsir_weights"      -> (Corpus.dsirWeights(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),
     "gini_concentration" -> (EventAnalytics.giniConcentration(_, _)),
     "mixture_plan"      -> (Corpus.mixturePlan(_, _)),

@@ -722,4 +722,60 @@ object Corpus {
 
   def tokenLenHistogram(spark: SparkSession, dir: String): DataFrame =
     tokenLenHistogramOf(Tables.documents(spark, dir))
+
+  /** DSIR-style importance weights for data selection (Xie et al.
+    * '23): score every raw document by how target-domain-like its
+    * hashed-unigram profile is, so a selection pass can sample raw
+    * data toward a target distribution. Features are md5-prefix
+    * buckets (3 hex chars → 4096 — md5 renders identically in Spark
+    * and DuckDB, the train_split precedent; a 64-bit engine hash
+    * would be oracle-unportable). Per-bucket evidence is the
+    * Laplace-smoothed frequency ratio
+    * ((ct+1)/(T+B)) / ((cr+1)/(R+B)) — target count over raw count —
+    * and a document's weight is its mean per-token ratio. The paper
+    * averages LOG ratios; the engine's libm-free rule (bm25's
+    * odds-form precedent) keeps the pre-log ratio, trading the
+    * geometric mean for an arithmetic one — same direction, documented
+    * difference. Per-token ratios quantize to 1e-6 integers before
+    * the per-doc sum (partition-order independence), weight rounds
+    * to 4 dp.
+    *
+    * Scale: token stream aggregates map-side to ≤B=4096 bucket rows
+    * (fixed-size state) → the ratio table is constant-bounded and
+    * BROADCAST back onto the second token pass — the corpus shuffles
+    * only on doc_id for the final per-doc sum; nothing driver-side.
+    */
+  def dsirWeightsOf(docs: DataFrame, targetSources: Seq[String],
+                    buckets: Int = 4096): DataFrame = {
+    require(targetSources.nonEmpty, "need at least one target source")
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextF.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("tok")), 1, 3).as("b"))
+      .localCheckpoint(false) // counts pass + scoring pass
+    val isT = col("source").isin(targetSources: _*)
+    val counts = toks.groupBy("b")
+      .agg(sum(when(isT, 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    // 1-row totals; crossJoin onto the ≤4096-row bucket frame only
+    val totals = toks.agg(
+      sum(when(isT, 1L).otherwise(0L)).as("t_tot"), count(lit(1)).as("r_tot"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((col("ct") + 1L).cast("double") / (col("t_tot") + buckets).cast("double")
+          / ((col("cr") + 1L).cast("double") / (col("r_tot") + buckets).cast("double"))
+          * 1e6 + 0.5).cast("long").as("r6"))
+    toks.join(broadcast(ratios), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("r6").as("sr"))
+      .select(col("doc_id"), col("n_tokens"),
+        TextF.round4HalfUp(col("sr").cast("double")
+          / col("n_tokens").cast("double") / 1e6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(Tables.documents(spark, dir),
+      Seq("src0", "src1", "src2", "src3"))
 }

@@ -730,4 +730,93 @@ object Similarity {
 
   def matryoshkaEnergy(spark: SparkSession, dir: String): DataFrame =
     matryoshkaEnergyOf(Tables.embeddings(spark, dir))
+
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.
+    * '09) of a sparse BM25 leg over `documents` and a dense cosine
+    * leg over `embeddings`, fused on the corpus convention that
+    * `vec_id` embeds `doc_id` (both are the generator's 0..N−1 row
+    * key). RRF is scorer-agnostic — it consumes only the RANKS, so
+    * incomparable score scales (BM25 odds-sums vs cosine) need no
+    * normalization: fused(d) = Σ_legs 1/(K + rank_leg(d)), absent
+    * legs contribute 0, K = 60 (the paper's constant — it damps the
+    * head so one leg's #1 can't drown the other's consensus).
+    *
+    * Determinism: ranks are integers with id tie-breaks; each leg's
+    * reciprocal is one IEEE division of exact integers and the fused
+    * score is one sum of two exactly-rounded doubles — identical in
+    * any IEEE-754 engine, then round4 for the report. Scale: both
+    * legs are already top-`legK` reports (bounded by construction),
+    * so fusion joins two ≤legK-row frames — driver-free, broadcast-
+    * sized regardless of corpus size; the legs dominate and keep
+    * their own documented shapes.
+    */
+  def hybridSearchOf(docs: DataFrame, embeddings: DataFrame,
+                     query: Seq[String], queryVecId: Long = 0L,
+                     legK: Int = 20, k: Int = 10,
+                     rrfK: Int = 60): DataFrame = {
+    require(k > 0 && legK >= k, s"need legK >= k > 0, got legK=$legK k=$k")
+    val sparse = CorpusStats.bm25SearchOf(docs, query, legK)
+      .select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .as("sparse_rank"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val dense = embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q)) // 1 row by construction
+      .select(col("vec_id").as("id"),
+        round(VectorF.cosineSim(col("embedding"), col("q_emb")), 6).as("score"))
+      // top-legK via sort-limit (TakeOrderedAndProject — partition-
+      // local heads, no global window over the corpus), THEN rank the
+      // bounded ≤legK frame; same order key so ranks are 1..legK.
+      .orderBy(col("score").desc, col("id")).limit(legK)
+      .select(col("id"),
+        row_number().over(Window.orderBy(col("score").desc, col("id")))
+          .as("dense_rank"))
+    val rrf = (r: Column) =>
+      when(r.isNotNull, lit(1.0) / (lit(rrfK).cast("double") + r.cast("double")))
+        .otherwise(lit(0.0))
+    sparse.join(dense, Seq("id"), "full_outer")
+      .select(col("id"), col("sparse_rank"), col("dense_rank"),
+        graft.functions.TextF.round4HalfUp(
+          rrf(col("sparse_rank")) + rrf(col("dense_rank"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame =
+    hybridSearchOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+      Seq("spark", "merge", "window"))
+
+  /** Semantic (embedding-cosine) benchmark decontamination — the
+    * dense sibling of [[Corpus.decontaminateOf]]'s 8-gram overlap:
+    * every corpus vector reports its maximum cosine against a FIXED
+    * bench set (the first `benchSize` vectors, the library's query-
+    * set convention) and a contaminated flag at `threshold`. N-gram
+    * overlap misses paraphrases; embedding similarity is the screen
+    * that catches them (the reason modern decontamination runs both).
+    *
+    * Scale: the bench set is constant-bounded → broadcast; the
+    * corpus side is one map-side pass (rows × benchSize comparisons,
+    * linear in rows), aggregated per vector with no shuffle of raw
+    * vectors — the same bounded-BNLJ family as knnTopk. Scores
+    * quantize to 1e-6 before the max so the flag is engine-exact.
+    */
+  def semDecontaminateOf(embeddings: DataFrame, benchSize: Int = 16,
+                         threshold: Double = 0.35): DataFrame = {
+    require(benchSize > 0, s"benchSize must be positive, got $benchSize")
+    val bench = embeddings.filter(col("vec_id") < benchSize)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    embeddings.filter(col("vec_id") >= benchSize)
+      .join(broadcast(bench)) // rows × fixed bench set, linear in rows
+      .select(col("vec_id"),
+        round(VectorF.cosineSim(col("embedding"), col("b_emb")), 6).as("s"))
+      .groupBy("vec_id")
+      .agg(max("s").as("max_bench_sim"))
+      .select(col("vec_id"), col("max_bench_sim"),
+        (col("max_bench_sim") >= threshold).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  def semDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    semDecontaminateOf(Tables.embeddings(spark, dir))
 }

@@ -8,6 +8,35 @@ private[graft] object CorpusOracles {
 
   val sql: Map[String, String] = Map(
 
+    // DSIR importance weights: md5-prefix buckets (train_split's
+    // cross-engine hash), integer Laplace counts, the two-division
+    // ratio tree parenthesized identically to the Spark build, 1e-6
+    // quantization before the per-doc sum.
+    "dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, source, substr(md5(tok), 1, 3) AS b
+        |  FROM (SELECT doc_id, source,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents)),
+        |c AS (SELECT b,
+        |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(COUNT(*) AS BIGINT) AS cr
+        |  FROM tk GROUP BY b),
+        |t AS (SELECT
+        |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END) AS BIGINT) AS t_tot,
+        |    CAST(COUNT(*) AS BIGINT) AS r_tot
+        |  FROM tk),
+        |r AS (SELECT b, CAST(floor(
+        |    CAST(ct + 1 AS DOUBLE) / CAST(t_tot + 4096 AS DOUBLE)
+        |      / (CAST(cr + 1 AS DOUBLE) / CAST(r_tot + 4096 AS DOUBLE))
+        |    * 1e6 + 0.5) AS BIGINT) AS r6
+        |  FROM c, t),
+        |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(r6) AS BIGINT) AS sr
+        |  FROM tk JOIN r USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  floor(CAST(sr AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS weight
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "token_count_bpe" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

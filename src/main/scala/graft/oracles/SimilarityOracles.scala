@@ -10,6 +10,59 @@ private[graft] object SimilarityOracles {
 
     "knn_topk" -> KnnTopkSql,
 
+    // RRF hybrid retrieval: ranks are integers with id tie-breaks,
+    // each reciprocal is one IEEE division, the fused score one sum
+    // of two exactly-rounded doubles → engine-identical before round4.
+    "hybrid_search" ->
+      """WITH lens AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS len
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len) AS BIGINT) AS total_tokens FROM lens),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE token IN ('spark', 'merge', 'window')
+        |  GROUP BY 1, 2),
+        |d AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df FROM tf),
+        |sc AS (SELECT d.doc_id,
+        |    CAST(floor(
+        |      (CAST(tf AS DOUBLE) * 2.2 /
+        |        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(len AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) *
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * 1e6 + 0.5) AS BIGINT) AS qw
+        |  FROM d JOIN lens ON d.doc_id = lens.doc_id, tot),
+        |bm AS (SELECT doc_id, floor(CAST(SUM(qw) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS score
+        |  FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        |sp AS (SELECT doc_id AS id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS sparse_rank
+        |  FROM bm),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+        |dn0 AS (SELECT vec_id AS id, ROUND(list_cosine_similarity(emb, q_emb), 6) AS score
+        |  FROM e, q WHERE vec_id <> 0),
+        |dn AS (SELECT id, dense_rank FROM (
+        |    SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT) AS dense_rank
+        |    FROM dn0) WHERE dense_rank <= 20)
+        |SELECT COALESCE(sp.id, dn.id) AS id, sparse_rank, dense_rank,
+        |  floor((COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(sparse_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+        |       + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(dense_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)))
+        |    * 1e4 + 0.5) / 1e4 AS rrf
+        |FROM sp FULL OUTER JOIN dn ON sp.id = dn.id
+        |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
+
+    // Dense decontamination: fixed 16-vector bench side, per-vector
+    // max of round6 cosines (the knn_topk cross-engine contract).
+    "sem_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |b AS (SELECT emb AS b_emb FROM e WHERE vec_id < 16),
+        |s AS (SELECT c.vec_id, ROUND(list_cosine_similarity(c.emb, b_emb), 6) AS s
+        |  FROM e c, b WHERE c.vec_id >= 16)
+        |SELECT vec_id, MAX(s) AS max_bench_sim,
+        |  MAX(s) >= CAST(0.35 AS DOUBLE) AS contaminated
+        |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "ann_ivf" -> AnnIvfSql,
 
     "embed_quantize" ->

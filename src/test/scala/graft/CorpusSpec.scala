@@ -366,4 +366,37 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(ws == Map("a" -> 1.0, "b" -> 0.6667, "c" -> 0.5))
   }
+
+  test("dsir weights: target-vocabulary docs weigh above off-target, mixed in between") {
+    // Disjoint vocabularies so the ratio direction is unambiguous:
+    // target docs reuse {ta,tb}, raw-only docs use {ra,rb}.
+    val docs = Seq(
+      (1L, "tgt", "ta tb ta tb"),
+      (2L, "tgt", "tb ta tb ta"),
+      (3L, "web", "ra rb ra rb"),
+      (4L, "web", "rb ra rb ra"),
+      (5L, "web", "ta tb ra rb")) // half target-like
+      .toDF("doc_id", "source", "text")
+    val w = Corpus.dsirWeightsOf(docs, Seq("tgt")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) == w(2L) && w(3L) == w(4L), "identical profiles, identical weights")
+    assert(w(1L) > w(5L) && w(5L) > w(3L),
+      s"weights must order target > mixed > off-target, got $w")
+    // every token count feeds n_tokens, none dropped by the bucket join
+    val n = Corpus.dsirWeightsOf(docs, Seq("tgt")).collect()
+      .map(_.getLong(1)).toSeq
+    assert(n == Seq(4L, 4L, 4L, 4L, 4L))
+  }
+
+  test("dsir weights: a source seen only in raw still scores via smoothing, never NULL") {
+    val docs = Seq(
+      (1L, "tgt", "ta tb"),
+      (2L, "web", "zz yy xx ww")) // zero target-count buckets
+      .toDF("doc_id", "source", "text")
+    val rows = Corpus.dsirWeightsOf(docs, Seq("tgt")).collect()
+    assert(rows.length == 2 && rows.forall(!_.isNullAt(2)),
+      "Laplace smoothing must keep unseen-in-target buckets finite")
+    val w = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(2L))
+  }
 }

@@ -449,7 +449,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       (Graph.linkPredict(spark, Sf), 0, "equijoins only"),
       (Warehouse.incrementalRollup(spark, Sf), 0, "filtered aggregates only"),
       (Behavior.funnelWindowed(spark, Sf), 0, "user-keyed equijoins only"),
-      (Similarity.matryoshkaEnergy(spark, Sf), 0, "map-only"))
+      (Similarity.matryoshkaEnergy(spark, Sf), 0, "map-only"),
+      (Similarity.hybridSearch(spark, Sf), 2,
+        "bm25's 1-row totals frame + the dense leg's 1-row query vector"),
+      (Similarity.semDecontaminate(spark, Sf), 1,
+        "rows x the constant broadcast bench set (knnTopk's bounded family)"),
+      (Corpus.dsirWeights(spark, Sf), 1, "1-row token-totals frame"))
     for ((df, allowed, why) <- bounded) {
       val p = plan(df)
       val crosses =

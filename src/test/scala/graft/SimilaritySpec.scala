@@ -361,4 +361,56 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       "full prefix = total energy; zero vector contributes 0 to the mean")
     assert(out(16)._2 == 0.2615, "pooled (1+16)/65 at d=16")
   }
+
+  test("hybridSearch: RRF fuses leg ranks, absent legs contribute zero") {
+    val docs = Seq(
+      (10L, "spark merge window spark"), // strongest sparse hit
+      (11L, "spark merge"),
+      (12L, "nothing relevant here"),
+      (13L, "window")).toDF("doc_id", "text")
+    val q = Array.tabulate(4)(i => if (i == 0) 1.0f else 0.0f)
+    def v(x: Float*): Array[Float] = x.toArray
+    val embs = Seq(
+      (0L, q),                          // the query vector
+      (10L, v(0f, 1f, 0f, 0f)),         // orthogonal → dense-weak
+      (11L, v(0.9f, 0.1f, 0f, 0f)),     // dense #1
+      (12L, v(0.5f, 0.5f, 0f, 0f)),     // dense #2, sparse-absent
+      (13L, v(0f, 0f, 1f, 0f)))         // orthogonal
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hybridSearchOf(docs, embs,
+      Seq("spark", "merge", "window"), legK = 4, k = 4)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)), r.getDouble(3)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // 11 is in both legs (sparse #2 or #3, dense #1) → must lead
+    assert(out.head._1 == 11L, s"consensus doc must rank first, got ${out.toSeq}")
+    // RRF arithmetic: doc 12 is dense-only rank 2 → 1/(60+2) rounded
+    assert(byId(12L)._2.isEmpty && byId(12L)._3.contains(2))
+    assert(byId(12L)._4 == math.floor(1.0 / 62.0 * 1e4 + 0.5) / 1e4,
+      "absent sparse leg contributes exactly zero")
+    // every fused score equals the recomputed reciprocal sum
+    out.foreach { case (_, s, d, rrf) =>
+      val expect = s.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        d.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      assert(rrf == math.floor(expect * 1e4 + 0.5) / 1e4)
+    }
+  }
+
+  test("semDecontaminate: bench vectors excluded, flag fires exactly at the threshold") {
+    def v(x: Float*): Array[Float] = x.toArray
+    val embs = Seq(
+      (0L, v(1f, 0f)),                 // bench (benchSize = 2)
+      (1L, v(0f, 1f)),                 // bench
+      (2L, v(1f, 0f)),                 // exact bench copy → sim 1.0
+      (3L, v(1f, 1f)),                 // cos √2/2 ≈ 0.707107 to both
+      (4L, v(-1f, -0.0001f)))          // anti-correlated → max ~0.0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDecontaminateOf(embs, benchSize = 2, threshold = 0.707107)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(!out.contains(0L) && !out.contains(1L), "bench side never reports")
+    assert(out(2L) == ((1.0, true)))
+    assert(out(3L) == ((0.707107, true)), ">= is inclusive at the threshold")
+    assert(!out(4L)._2, s"anti-correlated must not flag, got ${out(4L)}")
+  }
 }
