@@ -185,6 +185,10 @@ object SparkEntry {
     "hybrid_search"     -> (Similarity.hybridSearch(_, _)),
     "sem_decontaminate" -> (Similarity.semDecontaminate(_, _)),
     "dsir_weights"      -> (Corpus.dsirWeights(_, _)),
+    // Round-9: graph + crawl-cleaning tranche
+    "hits"              -> (Graph.hits(_, _)),
+    "strip_markup"      -> (TextAnalysis.stripMarkup(_, _)),
+    "mojibake_stats"    -> (TextAnalysis.mojibakeStats(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),
     "gini_concentration" -> (EventAnalytics.giniConcentration(_, _)),
     "mixture_plan"      -> (Corpus.mixturePlan(_, _)),

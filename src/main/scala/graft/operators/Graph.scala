@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextF
 import graft.sources.Tables
 
 /** Graph analytics over the item-transition graph mined from the event
@@ -294,4 +295,82 @@ object Graph {
 
   def linkPredict(spark: SparkSession, dir: String): DataFrame =
     linkPredictOf(Tables.lineitem(spark, dir))
+
+  val HitsScale: Long = 1000000000L // 1e9: hub/authority mass granularity
+
+  /** HITS hubs & authorities (Kleinberg '99) over the item-transition
+    * graph — [[pagerankOf]]'s sibling for DIRECTED curation signal:
+    * authorities are items users navigate TO from good hubs, hubs are
+    * items that lead to good authorities. Two mutually-recursive
+    * iterations on the same checkpointed edge frame.
+    *
+    * Integer-exact cross-engine arithmetic (the PageRank playbook):
+    * mass is `HitsScale`-quantized; each half-iteration aggregates
+    * integer products h·w / a·w and renormalizes by TRUNCATING
+    * integer division `x div greatest(1, Σx div HitsScale)` — a
+    * divide-by-the-scaled-total that keeps every value ≤ ~HitsScale
+    * WITHOUT a (Σ·Scale)-sized multiply that could overflow long (the
+    * reason the classic normalize-to-unit-sum is re-arranged; at true
+    * scale the same tree runs on DECIMAL(38,0) unchanged). HitsScale
+    * is 1e9, three decades under PageRank's 1e12: h·w products sum
+    * over in-edges, and 1e9 leaves 10⁹ of long headroom for Σ(h·w)
+    * even on a fact-heavy edge. Truncation loss (≤1 per node per
+    * half-step) is deterministic and engine-identical — the
+    * contract is bit-equality, not unit-norm.
+    *
+    * Scale: identical to PageRank — two bounded shuffles per
+    * half-iteration over the static edge frame, 1-row totals ride
+    * broadcasts, no driver collect.
+    */
+  def hitsOf(events: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val edges = events
+      .select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("src", lag("item", 1).over(byUser))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("item").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(false) // static frame, every half-iteration re-reads
+    val nodes = edges.select(col("src").as("item"))
+      .union(edges.select(col("dst").as("item")))
+      .distinct()
+      .localCheckpoint(false)
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(sum(c).as("tot")) // 1 row by construction
+      df.crossJoin(broadcast(tot))
+        .select(col("item"),
+          expr(s"$c div greatest(1L, tot div $HitsScale)").as(c))
+    }
+    var hub = nodes.select(col("item"), lit(HitsScale).as("hq"))
+      .localCheckpoint(false)
+    var auth = nodes.select(col("item"), lit(0L).as("aq"))
+    for (_ <- 1 to iterations) {
+      val aRaw = hub.join(edges, hub("item") === edges("src"))
+        .select(col("dst"), (col("hq") * col("w")).as("x"))
+        .groupBy("dst").agg(sum("x").as("ar"))
+      auth = renorm(
+        nodes.join(aRaw, col("item") === col("dst"), "left")
+          .select(col("item"), coalesce(col("ar"), lit(0L)).as("aq")),
+        "aq").localCheckpoint(false)
+      val hRaw = auth.join(edges, auth("item") === edges("dst"))
+        .select(col("src"), (col("aq") * col("w")).as("x"))
+        .groupBy("src").agg(sum("x").as("hr"))
+      hub = renorm(
+        nodes.join(hRaw, col("item") === col("src"), "left")
+          .select(col("item"), coalesce(col("hr"), lit(0L)).as("hq")),
+        "hq").localCheckpoint(false)
+    }
+    hub.join(auth, "item")
+      .select(col("item"), col("hq"), col("aq"),
+        TextF.round4HalfUp(col("hq").cast("double") / HitsScale).as("hub"),
+        TextF.round4HalfUp(col("aq").cast("double") / HitsScale).as("authority"))
+      .orderBy("item")
+  }
+
+  def hits(spark: SparkSession, dir: String): DataFrame =
+    hitsOf(Tables.events(spark, dir))
 }

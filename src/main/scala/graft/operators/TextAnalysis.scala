@@ -196,4 +196,88 @@ object TextAnalysis {
 
   def kwicSnippets(spark: SparkSession, dir: String): DataFrame =
     kwicSnippetsOf(Tables.documents(spark, dir), "spark")
+
+  // Markup patterns. No lookahead, no \s (the [[Corpus.EmailRe]]
+  // rule: Java regex and DuckDB's RE2 must match identically).
+  val TagRe = "<[^<>]+>"
+  val EntityRe = "&[A-Za-z]{2,8};"
+
+  /** HTML/markup stripping report — the WET-extraction step of a web
+    * corpus pipeline: per document, how many tags and character
+    * entities the cleaner removed and the md5 of the cleaned text
+    * (the transform signature, [[Corpus.piiRedactOf]]'s contract
+    * shape). The synthetic corpus is markup-free, so deterministic
+    * doc_id-keyed fragments are planted first — same construction in
+    * the DuckDB oracle, the pii-family convention. Tags strip before
+    * entities (an entity inside a tag must not double-count, and no
+    * placeholder can re-trigger the later pattern — the redactor's
+    * ordering rule). One map-side pass, no shuffle but the final sort.
+    */
+  def stripMarkupOf(docs: DataFrame): DataFrame = {
+    val synth = concat(
+      when(col("doc_id") % 4 === 0,
+        concat(lit("<div class=\"d"), (col("doc_id") % 7).cast("string"),
+          lit("\"><p>")))
+        .otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 4 === 0, lit("</p></div>")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" &amp; tail&nbsp;"), (col("doc_id") % 9).cast("string")))
+        .otherwise(lit("")))
+    val stripped = regexp_replace(col("synth"), TagRe, "")
+    val clean = regexp_replace(stripped, EntityRe, " ")
+    docs.select(col("doc_id"), synth.as("synth"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("synth"), lit(TagRe), lit(0))).as("n_tags"),
+        size(regexp_extract_all(stripped, lit(EntityRe), lit(0)))
+          .as("n_entities"),
+        (length(col("synth")) - length(clean)).as("chars_removed"),
+        md5(clean).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  def stripMarkup(spark: SparkSession, dir: String): DataFrame =
+    stripMarkupOf(Tables.documents(spark, dir))
+
+  // Mojibake signatures: UTF-8 bytes re-decoded as Latin-1 leave 'Ã'
+  // followed by a continuation-byte character, and Windows-1252
+  // round-trips leave 'â€¦'-family runs; U+FFFD is a decoder giving
+  // up. Literal-alternation only (no classes, no anchors) so the
+  // UTF-8 pattern bytes behave identically in Java regex and RE2.
+  val MojibakeRe = "Ã.|â€.|�"
+
+  /** Encoding-artifact (mojibake) incidence per source — the screen a
+    * crawl pipeline runs before trusting byte-level dedup or language
+    * ID (mojibake shifts both). Detects the three classic signatures
+    * (UTF-8-as-Latin-1 'Ã'+continuation, Windows-1252 'â€' runs,
+    * U+FFFD replacement chars) planted doc_id-keyed into the clean
+    * synthetic corpus (the pii-family convention, same construction
+    * in the oracle). Per source: affected-doc count and rate, total
+    * artifact hits. One map-side regex count + one bounded source
+    * aggregate; rates divide once, 4 dp half-up.
+    */
+  def mojibakeStatsOf(docs: DataFrame): DataFrame = {
+    val synth = concat(
+      col("text"),
+      when(col("doc_id") % 6 === 0, lit(" cafÃ© menu")) // 'café' mis-decoded
+        .otherwise(lit("")),
+      when(col("doc_id") % 8 === 0, lit(" itâ€™s fine")) // ’ as â€™
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" bad�byte")).otherwise(lit("")))
+    docs
+      .select(col("source"),
+        size(regexp_extract_all(synth, lit(MojibakeRe), lit(0))).as("hits"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("affected_docs"),
+        sum("hits").as("artifact_hits"))
+      .select(col("source"), col("n_docs"), col("affected_docs"),
+        col("artifact_hits"),
+        TextF.round4HalfUp(col("affected_docs").cast("double")
+          / col("n_docs").cast("double")).as("affected_rate"))
+      .orderBy("source")
+  }
+
+  def mojibakeStats(spark: SparkSession, dir: String): DataFrame =
+    mojibakeStatsOf(Tables.documents(spark, dir))
 }

@@ -37,6 +37,50 @@ private[graft] object CorpusOracles {
         |  floor(CAST(sr AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS weight
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // Markup stripping on the planted-fragment construction (the
+    // pii-family convention); tags strip before entities on both
+    // engines, lengths are ASCII-identical.
+    "strip_markup" ->
+      """WITH s AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0
+        |       THEN '<div class="d' || CAST(doc_id % 7 AS VARCHAR) || '"><p>'
+        |       ELSE '' END)
+        |    || text
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '</p></div>' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |       THEN ' &amp; tail&nbsp;' || CAST(doc_id % 9 AS VARCHAR)
+        |       ELSE '' END) AS synth
+        |  FROM documents),
+        |t AS (SELECT doc_id, synth,
+        |    regexp_replace(synth, '<[^<>]+>', '', 'g') AS stripped FROM s),
+        |c AS (SELECT doc_id, synth, stripped,
+        |    regexp_replace(stripped, '&[A-Za-z]{2,8};', ' ', 'g') AS clean FROM t)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(synth, '<[^<>]+>')) AS INT) AS n_tags,
+        |  CAST(len(regexp_extract_all(stripped, '&[A-Za-z]{2,8};')) AS INT) AS n_entities,
+        |  CAST(length(synth) - length(clean) AS INT) AS chars_removed,
+        |  md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Mojibake incidence on planted encoding artifacts; the pattern
+    // is a literal alternation so Java regex and RE2 agree byte-wise.
+    "mojibake_stats" ->
+      """WITH s AS (SELECT source,
+        |    text
+        |    || (CASE WHEN doc_id % 6 = 0 THEN ' cafÃ© menu' ELSE '' END)
+        |    || (CASE WHEN doc_id % 8 = 0 THEN ' itâ€™s fine' ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN ' bad�byte' ELSE '' END) AS synth
+        |  FROM documents),
+        |h AS (SELECT source,
+        |    CAST(len(regexp_extract_all(synth, 'Ã.|â€.|�')) AS INT) AS hits
+        |  FROM s)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS affected_docs,
+        |  CAST(SUM(hits) AS BIGINT) AS artifact_hits,
+        |  floor(CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS affected_rate
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
     "token_count_bpe" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

@@ -251,6 +251,8 @@ private[graft] object EventOracles {
 
     "pagerank" -> PagerankSql,
 
+    "hits" -> HitsSql,
+
     "personalized_pagerank" -> PprSql,
 
     // Low->high oriented wedges closed by the third edge: each

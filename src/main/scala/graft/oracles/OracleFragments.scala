@@ -149,6 +149,48 @@ private[graft] object OracleFragments {
       |FROM it10 ORDER BY item""".stripMargin
   }
 
+  /** Unrolled 2-iteration HITS (same unroll-not-recurse rationale as
+    * [[PagerankSql]]): integer h·w / a·w aggregates, truncating-div
+    * renormalization `x // greatest(1, Σx // 1e9)` — the overflow-safe
+    * rearrangement [[graft.operators.Graph.hitsOf]] documents; `//`
+    * and Spark's `div` agree on the non-negative domain. */
+  val HitsSql: String = {
+    def half(outT: String, inT: String, joinK: String, groupK: String,
+             c: String, raw: String): String =
+      s"""${outT}r AS (
+        |  SELECT e.$groupK, CAST(SUM(p.$c * e.w) AS BIGINT) AS x
+        |  FROM $inT p JOIN e ON e.$joinK = p.item GROUP BY 1),
+        |${outT}n AS (
+        |  SELECT n2.item, COALESCE(x, 0) AS $raw
+        |  FROM nodes n2 LEFT JOIN ${outT}r ON ${outT}r.$groupK = n2.item),
+        |$outT AS (
+        |  SELECT item, CAST($raw // greatest(1,
+        |    (SELECT SUM($raw) FROM ${outT}n) // 1000000000) AS BIGINT) AS $raw
+        |  FROM ${outT}n)""".stripMargin
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+      |         item AS dst
+      |  FROM base),
+      |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM tr
+      |      WHERE src IS NOT NULL GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT src AS item FROM e UNION SELECT DISTINCT dst FROM e),
+      |h0 AS (SELECT item, CAST(1000000000 AS BIGINT) AS hq FROM nodes),
+      |""".stripMargin +
+      Seq(
+        half("a1", "h0", "src", "dst", "hq", "aq"),
+        half("h1", "a1", "dst", "src", "aq", "hq"),
+        half("a2", "h1", "src", "dst", "hq", "aq"),
+        half("h2", "a2", "dst", "src", "aq", "hq")).mkString(",\n") + """
+      |SELECT h2.item, h2.hq, a2.aq,
+      |  floor(CAST(h2.hq AS DOUBLE) / 1e9 * 1e4 + 0.5) / 1e4 AS hub,
+      |  floor(CAST(a2.aq AS DOUBLE) / 1e9 * 1e4 + 0.5) / 1e4 AS authority
+      |FROM h2 JOIN a2 USING (item) ORDER BY h2.item""".stripMargin
+  }
+
   /** Unrolled greedy MMR oracle (pool 20, k = 5, λ = 7/10 as integer
     * weights — [[graft.operators.Similarity.mmrRerankOf]]'s exact
     * arithmetic). Same unroll-not-recurse rationale as

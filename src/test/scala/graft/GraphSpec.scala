@@ -128,4 +128,40 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       "duplicate lineitem rows must not double-count the basket")
     assert(out.size == 4, "pairs: (1,2) (1,3) (2,3) (4,5)")
   }
+
+  /** Several users, each touching their own item sequence. */
+  private def streams(users: (Long, Seq[Long])*): DataFrame =
+    users.flatMap { case (u, items) =>
+      items.zipWithIndex.map { case (k, i) =>
+        (u * 1000 + i, u, f"2024-01-01 00:00:$i%02d", s"""{"k": $k}""")
+      }
+    }.toDF("event_id", "user_id", "s", "props")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("s")).as("ts"), col("props"))
+
+  test("hits: a pure star makes the center the only hub, leaves the only authorities") {
+    // three users each walk 1→leaf: edges 1→3, 1→4, 1→5, no returns
+    val out = Graph.hitsOf(streams(
+      (1L, Seq(1L, 3L)), (2L, Seq(1L, 4L)), (3L, Seq(1L, 5L))))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 > 0L && out(1L)._2 == 0L,
+      s"center hubs, never an authority: $out")
+    Seq(3L, 4L, 5L).foreach { v =>
+      assert(out(v)._1 == 0L && out(v)._2 > 0L,
+        s"leaf $v must be authority-only: $out")
+    }
+    assert(Seq(3L, 4L, 5L).map(out(_)._2).distinct.size == 1,
+      "symmetric leaves score identically")
+  }
+
+  test("hits: a symmetric 2-cycle scores both nodes identically; deterministic") {
+    val ev = streams((1L, Seq(1L, 2L, 1L, 2L, 1L)))
+    val out = Graph.hitsOf(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == out(2L), s"symmetric cycle must tie: $out")
+    assert(out(1L)._1 > 0L && out(1L)._2 > 0L)
+    val again = Graph.hitsOf(ev).collect().toSeq
+    assert(again == Graph.hitsOf(ev).collect().toSeq, "bit-deterministic")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextF
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
 class TextSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
@@ -106,5 +106,37 @@ class TextSpec extends AnyFunSuite with SparkFixture {
       (1L, 0, "", "a b c"),
       (1L, 4, "a b c", ""),
       (2L, 4, "b c d", "e f g")))
+  }
+
+  test("strip markup: planted tags and entities counted and removed, clean docs untouched") {
+    // doc 12: % 4 == 0 (tags) AND % 3 == 0 (entities); doc 13: neither
+    val docs = Seq((12L, "body text"), (13L, "plain words"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stripMarkupOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    // synth(12) = <div class="d5"><p>body text</p></div> &amp; tail&nbsp;3
+    // 4 tags (16+3+4+6 = 29 chars), 2 entities (11 chars → 2 spaces: net 9)
+    assert(out(12L)._1 == 4 && out(12L)._2 == 2, s"got $out")
+    assert(out(12L)._3 == 29 + 9, "chars_removed = tag chars + entity net")
+    val cleanMd5 = spark.sql(
+      "SELECT md5('body text   tail 3')").head.getString(0)
+    assert(out(12L)._4 == cleanMd5, "entities become single spaces")
+    assert(out(13L) == ((0, 0, 0,
+      spark.sql("SELECT md5('plain words')").head.getString(0))),
+      "a markup-free doc passes through byte-identical")
+  }
+
+  test("mojibake stats: planted artifacts counted per source, clean sources rate 0") {
+    val docs = Seq(
+      (6L, "s1", "fine text"),    // % 6 == 0 AND % 11 != 0 → one Ã hit
+      (8L, "s1", "also fine"),    // % 8 == 0 → â€ hit
+      (1L, "s2", "clean"), (5L, "s2", "clean too"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.mojibakeStatsOf(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("s1") == ((2L, 2L, 2L, 1.0)), s"got $out")
+    assert(out("s2") == ((2L, 0L, 0L, 0.0)), "no artifacts, rate exactly 0")
   }
 }
