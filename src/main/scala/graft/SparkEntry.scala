@@ -187,6 +187,7 @@ object SparkEntry {
     "dsir_weights"      -> (Corpus.dsirWeights(_, _)),
     // Round-9: graph + crawl-cleaning tranche
     "hits"              -> (Graph.hits(_, _)),
+    "lpa_communities"   -> (Graph.lpaCommunities(_, _)),
     "strip_markup"      -> (TextAnalysis.stripMarkup(_, _)),
     "mojibake_stats"    -> (TextAnalysis.mojibakeStats(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),

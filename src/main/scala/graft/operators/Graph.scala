@@ -373,4 +373,62 @@ object Graph {
 
   def hits(spark: SparkSession, dir: String): DataFrame =
     hitsOf(Tables.events(spark, dir))
+
+  /** Label-propagation communities (Raghavan '07) over the UNDIRECTED
+    * item graph — [[Components]] answers "connected at all?", LPA
+    * answers "densely interlinked?": labels flow along weighted edges
+    * and neighborhoods converge on a shared label, splitting a
+    * connected component into its traffic communities.
+    *
+    * Determinism (classic LPA is run-order-dependent; this variant is
+    * not): SYNCHRONOUS updates with a FIXED iteration count, votes
+    * are exact integer edge-weight sums, and argmax ties break to the
+    * SMALLEST label — every engine and partitioning walks identical
+    * label states. Neighbor-only voting (no self-vote); bipartite
+    * oscillation is a non-issue because the iteration count is fixed
+    * rather than run-to-convergence (the exact trade
+    * [[Tokenizer.bpeMergesOf]] documents for its loop).
+    *
+    * Scale: the undirected edge frame (least,greatest keys, both
+    * directions' transition counts summed) checkpoints once; each
+    * iteration is one label⋈adjacency equijoin + one (node, label)
+    * vote aggregate + one per-node WindowGroupLimit argmax — all
+    * shuffles keyed on node ids, never all-pairs; plan growth is cut
+    * per iteration (the PageRank loop's contract).
+    */
+  def lpaCommunitiesOf(events: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val directed = events
+      .select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("src", lag("item", 1).over(byUser))
+      .filter(col("src").isNotNull && col("src") =!= col("item"))
+      .groupBy(least(col("src"), col("item")).as("a"),
+        greatest(col("src"), col("item")).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val adj = directed.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(directed.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint(false) // static per-iteration frame
+    var labels = adj.select(col("u").as("item")).distinct()
+      .select(col("item"), col("item").as("label"))
+      .localCheckpoint(false)
+    val byVote = Window.partitionBy("u")
+      .orderBy(col("vw").desc, col("label"))
+    for (_ <- 1 to iterations) {
+      labels = adj.join(labels, adj("v") === labels("item"))
+        .groupBy(col("u"), col("label"))
+        .agg(sum("w").as("vw"))
+        .withColumn("rn", row_number().over(byVote))
+        .filter(col("rn") === 1)
+        .select(col("u").as("item"), col("label"))
+        .localCheckpoint(false)
+    }
+    labels.orderBy("item")
+  }
+
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame =
+    lpaCommunitiesOf(Tables.events(spark, dir))
 }

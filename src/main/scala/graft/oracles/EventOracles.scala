@@ -253,6 +253,8 @@ private[graft] object EventOracles {
 
     "hits" -> HitsSql,
 
+    "lpa_communities" -> LpaSql,
+
     "personalized_pagerank" -> PprSql,
 
     // Low->high oriented wedges closed by the third edge: each

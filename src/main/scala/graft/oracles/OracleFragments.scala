@@ -191,6 +191,39 @@ private[graft] object OracleFragments {
       |FROM h2 JOIN a2 USING (item) ORDER BY h2.item""".stripMargin
   }
 
+  /** Unrolled 2-iteration synchronous LPA ([[HitsSql]]'s rationale):
+    * undirected weighted item graph, integer vote sums, argmax ties
+    * to the smallest label. */
+  val LpaSql: String = {
+    def step(k: Int): String =
+      s"""v$k AS (
+        |  SELECT adj.u, l.label, CAST(SUM(adj.w) AS BIGINT) AS vw
+        |  FROM adj JOIN l${k - 1} l ON l.item = adj.v GROUP BY 1, 2),
+        |l$k AS (
+        |  SELECT u AS item, label FROM (
+        |    SELECT u, label,
+        |      ROW_NUMBER() OVER (PARTITION BY u ORDER BY vw DESC, label) AS rn
+        |    FROM v$k) WHERE rn = 1)""".stripMargin
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+      |         item AS dst
+      |  FROM base),
+      |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM tr WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+      |adj AS (SELECT a AS u, b AS v, w FROM und
+      |        UNION ALL SELECT b, a, w FROM und),
+      |l0 AS (SELECT item, item AS label
+      |       FROM (SELECT DISTINCT u AS item FROM adj)),
+      |""".stripMargin +
+      Seq(step(1), step(2)).mkString(",\n") + """
+      |SELECT item, label FROM l2 ORDER BY item""".stripMargin
+  }
+
   /** Unrolled greedy MMR oracle (pool 20, k = 5, λ = 7/10 as integer
     * weights — [[graft.operators.Similarity.mmrRerankOf]]'s exact
     * arithmetic). Same unroll-not-recurse rationale as

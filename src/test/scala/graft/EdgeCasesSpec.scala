@@ -165,6 +165,40 @@ class EdgeCasesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("graph ops: an event stream with no transitions yields empty reports, not errors") {
+    // one event per user = no lag pairs = no edges anywhere
+    val ev = eventsDf((1L, "view", "2024-01-01 10:00:00"),
+      (2L, "view", "2024-01-01 11:00:00"))
+      .withColumn("props", lit("""{"k": 7}"""))
+    assert(graft.operators.Graph.hitsOf(ev).count() == 0L)
+    assert(graft.operators.Graph.lpaCommunitiesOf(ev).count() == 0L)
+  }
+
+  test("hybrid search: a missing query vector leaves the sparse leg standing alone") {
+    val docs = Seq((10L, "spark merge"), (11L, "window")).toDF("doc_id", "text")
+    val embs = Seq((5L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // queryVecId 0 does not exist → dense leg is empty, full-outer
+    // keeps every sparse hit with a NULL dense_rank and a pure-sparse
+    // RRF — a degraded report, never an empty or crashed one.
+    val out = graft.operators.Similarity.hybridSearchOf(
+      docs, embs, Seq("spark", "merge", "window"), legK = 4, k = 4).collect()
+    assert(out.length == 2, s"sparse-only fusion must survive: ${out.toSeq}")
+    assert(out.forall(_.isNullAt(2)), "dense_rank NULL throughout")
+    assert(out.forall(r => r.getDouble(3) > 0.0), "rrf = sparse reciprocal alone")
+  }
+
+  test("dsir weights: a target filter matching nothing degrades to the uniform prior") {
+    val docs = Seq((1L, "web", "aa bb"), (2L, "web", "cc dd"))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.dsirWeightsOf(docs, Seq("no_such_source")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // t_tot = 0, every ct = 0: ratio = (1/(0+B)) / ((cr+1)/(R+B)) —
+    // finite, identical across docs with equal-frequency vocab
+    assert(out.size == 2 && out(1L) == out(2L),
+      s"empty target must give a flat, finite prior: $out")
+    assert(out.values.forall(w => w > 0.0), "never zero or NULL")
+  }
+
   test("lsh recall: sample that keeps no near-dup pair degrades to NULL recall") {
     // two docs that ARE near-dups but whose ids hash into different
     // 1-in-s residues: the sampled subcorpus retains at most one

@@ -155,6 +155,27 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       "symmetric leaves score identically")
   }
 
+  test("lpa: two disjoint triangles converge to two communities, min label wins") {
+    val out = Graph.lpaCommunitiesOf(streams(
+      (1L, Seq(1L, 2L, 3L, 1L)),       // triangle 1-2-3, all edges w=1
+      (2L, Seq(11L, 12L, 13L, 11L))))  // triangle 11-12-13
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L),
+      s"each triangle must converge on its smallest member: $out")
+  }
+
+  test("lpa: a pendant node joins its triangle's community within two iterations") {
+    // triangle 1-2-3 plus pendant 9 hanging off 3: the triangle's
+    // converged label reaches the pendant on the second sync step
+    // (hand-walked: l1 = {1→2, 2→1, 3→1, 9→3}; l2 = all → 1).
+    val out = Graph.lpaCommunitiesOf(streams(
+      (1L, Seq(1L, 2L, 3L, 1L)),
+      (2L, Seq(3L, 9L))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L), s"got $out")
+  }
+
   test("hits: a symmetric 2-cycle scores both nodes identically; deterministic") {
     val ev = streams((1L, Seq(1L, 2L, 1L, 2L, 1L)))
     val out = Graph.hitsOf(ev).collect()
