@@ -125,6 +125,43 @@ object EventStreamJob {
       .select(col("ts"), col("user_id"), col("event_type"),
         col("segment"))
 
+  /** Streaming corpus-quality monitor — the continuous twin of the
+    * batch quality/mojibake screens ([[graft.operators.TextAnalysis]]):
+    * a crawl feeds documents as a stream of (ts, source, text) and the
+    * monitor maintains per-(window, source) intake health — doc count,
+    * mean quality (exact integer sum of the 4dp-quantized per-doc
+    * score — partial-aggregate mergeable across micro-batches, unlike
+    * a float mean), low-quality count, and encoding-artifact hits —
+    * the dashboard that catches a source going bad within an hour
+    * instead of at the next nightly batch.
+    *
+    * State: one row per (window, source) — bounded by the source
+    * vocabulary × watermark horizon; the per-doc scoring is stateless
+    * map-side work, so the 100 TB stream shape is the aggregate's,
+    * not the scorer's. */
+  def qualityMonitor(docs: DataFrame,
+                     lowBar: Double = 0.5): DataFrame =
+    docs
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("source"),
+        floor(graft.functions.TextF.qualityScore(
+          col("text"), graft.operators.TextAnalysis.Stopwords) * 1e4 + 0.5)
+          .cast("long").as("q4"),
+        size(regexp_extract_all(col("text"),
+          lit(graft.operators.TextAnalysis.MojibakeRe), lit(0)))
+          .cast("long").as("moji"))
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("q4").as("q4_sum"),
+        sum(when(col("q4") < (lowBar * 1e4).toLong, 1L).otherwise(0L))
+          .as("low_quality"),
+        sum("moji").as("artifact_hits"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("low_quality"), col("artifact_hits"),
+        graft.functions.TextF.round4HalfUp(
+          col("q4_sum").cast("double") / col("n_docs").cast("double") / 1e4)
+          .as("mean_quality"))
+
   /** Windowed CTR per user: 1-hour tumbling event-time windows, 2-hour
     * watermark (late events beyond that are dropped and state is
     * reclaimed — unbounded state would OOM a 100 TB stream). */

@@ -493,6 +493,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(shuffles <= 4, s"expected <= 4 exchanges, got $shuffles:\n$p")
   }
 
+  test("hits/lpa: iteration joins stay equijoins; only hits' 1-row renorm totals cross") {
+    val ph = plan(Graph.hits(spark, Sf))
+    // 2 iterations × 2 half-steps, each renormalizing via a 1-row
+    // totals broadcast — 4 bounded crosses, nothing else
+    assert(ph.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 4,
+      s"only the four 1-row renorm totals may cross:\n$ph")
+    assert(ph.collect { case j: CartesianProductExec => j }.isEmpty)
+    val pl = plan(Graph.lpaCommunities(spark, Sf))
+    assert(pl.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      pl.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"LPA is equijoin-only:\n$pl")
+  }
+
+  test("markup/mojibake cleaners: map-side passes over pruned scans") {
+    val pm = plan(TextAnalysis.stripMarkup(spark, Sf))
+    val scansM = pm.collect { case s: FileSourceScanExec => s }
+    assert(scansM.map(_.requiredSchema.fieldNames.toSet) ==
+      Seq(Set("doc_id", "text")), s"doc_id+text-only scan:\n$pm")
+    val pj = plan(TextAnalysis.mojibakeStats(spark, Sf))
+    val scansJ = pj.collect { case s: FileSourceScanExec => s }
+    assert(scansJ.map(_.requiredSchema.fieldNames.toSet) ==
+      Seq(Set("doc_id", "source", "text")), s"three-column scan:\n$pj")
+    // the incidence report shuffles once (the source aggregate)
+    val shuffles = pj.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length
+    assert(shuffles <= 2, s"one partial+final source aggregate, got $shuffles:\n$pj")
+  }
+
   test("lshRecallSampled: sample filter reaches both sides, only the 1-row count join crosses") {
     val p = plan(Dedup.lshRecallSampled(spark, Sf))
     // the audit's only cross is n_exact × n_lsh — two 1-row aggregates

@@ -546,4 +546,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"snapshot ⊕ delta must equal the full recompute: $snap")
     } finally query.stop()
   }
+
+  test("qualityMonitor tracks per-source intake health across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val docs = input.toDF().toDF("ts", "source", "text")
+    val query = EventStreamJob.qualityMonitor(docs).writeStream
+      .format("memory").queryName("qmon_test").outputMode("complete").start()
+    try {
+      val good = ("the quick brown fox jumps over a lazy dog and keeps " * 4).trim
+      input.addData(
+        (ts("10:05"), "s1", good),
+        (ts("10:10"), "s1", "x!!!"),            // short + punct-noisy → low
+        (ts("10:20"), "s2", good + " cafÃ©"))   // artifact carrier
+      query.processAllAvailable()
+      input.addData((ts("10:40"), "s1", good))  // second batch merges into the window
+      query.processAllAvailable()
+
+      val out = spark.table("qmon_test")
+        .select(date_format(col("window_start"), "HH:mm").as("w"),
+          col("source"), col("n_docs"), col("low_quality"),
+          col("artifact_hits"), col("mean_quality"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      val s1 = out(("10:00", "s1"))
+      assert(s1._1 == 3L && s1._2 == 1L && s1._3 == 0L,
+        s"3 docs, one below the bar, no artifacts: $s1")
+      assert(s1._4 > 0.5 && s1._4 < 1.0, s"mean drawn down by the bad doc: $s1")
+      val s2 = out(("10:00", "s2"))
+      assert(s2._1 == 1L && s2._3 == 1L, s"artifact counted: $s2")
+    } finally query.stop()
+  }
 }
