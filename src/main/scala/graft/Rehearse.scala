@@ -23,6 +23,9 @@ object Rehearse {
     val names = args.headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(probes.keys.toSeq)
+    val unknown = names.filterNot(probes.keySet)
+    if (unknown.nonEmpty) sys.error(
+      s"unknown probe(s) ${unknown.mkString(", ")}; available: ${probes.keys.toSeq.sorted.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
     val spark = Sessions.builder(

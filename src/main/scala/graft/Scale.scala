@@ -18,4 +18,20 @@ object Scale {
 
   def approx(spark: SparkSession): Boolean =
     spark.conf.getOption(ApproxKey).exists(_.toBoolean)
+
+  /** Build with the approx flag forced ON, restoring the session's
+    * prior setting afterwards — the registered `*_approx` twins use
+    * this so the 100 TB sketch path is driver-value-checked without
+    * the caller owning session state. Sound because the exact/sketch
+    * branch is taken at DataFrame-CONSTRUCTION time (the wrappers
+    * read the conf while building the plan, not at execution). */
+  def withApprox[A](spark: SparkSession)(build: => A): A = {
+    val prev = spark.conf.getOption(ApproxKey)
+    spark.conf.set(ApproxKey, "true")
+    try build
+    finally prev match {
+      case Some(v) => spark.conf.set(ApproxKey, v)
+      case None => spark.conf.unset(ApproxKey)
+    }
+  }
 }

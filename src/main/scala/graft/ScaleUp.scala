@@ -94,7 +94,7 @@ object ScaleUp {
         case ("documents", true) => shifted
           .withColumn("text", expr(
             """array_join(transform(split(text, ' '),
-              |  (tk, i) -> IF(i % 3 = 0 AND rep > 0,
+              |  (tk, i) -> IF(i % 3 = 0 AND rep > 0 AND tk != '',
               |    concat(tk, '_r', rep), tk)), ' ')""".stripMargin))
           .withColumn("n_chars", length(col("text")).cast("int"))
         case ("embeddings", true) => shifted

@@ -233,7 +233,20 @@ object SparkEntry {
     "countmin_err"      -> (HeavyHitters.countMinErr(_, _)),
     "funnel_windowed"   -> (Behavior.funnelWindowed(_, _)),
     "incremental_rollup" -> (Warehouse.incrementalRollup(_, _)),
-    "dedup_cascade"     -> (Dedup.dedupCascade(_, _))
+    "dedup_cascade"     -> (Dedup.dedupCascade(_, _)),
+    // Round-10: the 100 TB sketch defaults, driver-value-checked —
+    // the same operators with graft.scale.approx forced on at plan
+    // build (pinned-frame oracles: sketches hash-stably reproduce on
+    // a fixed corpus because HLL/quantile merges are order-blind)
+    "dup_matrix_approx" ->
+      ((s, d) => Scale.withApprox(s)(Dedup.dupMatrix(s, d))),
+    "ngram_diversity_approx" ->
+      ((s, d) => Scale.withApprox(s)(CorpusStats.distinctNgramDiversity(s, d))),
+    "quantile_normalize_approx" ->
+      ((s, d) => Scale.withApprox(s)(CorpusStats.quantileNormalize(s, d))),
+    // Round-10: CCNet-style normalized exact dedup (SURVEY row 15's
+    // normalization-hardened sibling)
+    "dedup_normalized"  -> (Dedup.dedupNormalized(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -23,6 +23,46 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
       .orderBy("content_hash")
 
+  /** CCNet-style text canonicalization for normalized exact dedup
+    * (Wenzek'19 §4.1's hash-normalization: case, accents, digits and
+    * punctuation/whitespace variance all collapse before hashing).
+    * Every step is engine-portable (lower / translate /
+    * regexp_replace on character classes evaluate identically in
+    * Spark's Java regex and DuckDB's RE2 — no lookaround, no escapes
+    * that differ): lowercase → strip Latin-1 accents via a fixed
+    * translate table → digits to 0 → every non-[a-z0-9] run to one
+    * space → trim. */
+  private val AccentFrom = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
+  private val AccentTo = "aaaaaaceeeeiiiinoooooouuuuyy"
+  def normalizeCC(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        translate(lower(text), AccentFrom, AccentTo),
+        "[0-9]", "0"),
+      "[^a-z0-9]+", " "))
+
+  /** Normalized exact dedup (SURVEY row 15's hardened sibling): raw
+    * sha256 misses trivial variants — "Hello,  World!" vs "hello
+    * world" — so the production first stage hashes the
+    * [[normalizeCC]] canonical form instead. Same keep-first contract
+    * as [[dedupExact]]; `n_variants` counts how many RAW byte-forms
+    * each canonical group collapsed (1 = normalization changed
+    * nothing; >1 = casing/punctuation variants caught only here).
+    * Map-side: one projection feeds one hash-keyed aggregate —
+    * identical shuffle shape to the raw variant at any scale. */
+  def dedupNormalizedOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        sha2(normalizeCC(col("text")), 256).as("norm_hash"),
+        sha2(col("text"), 256).as("raw_hash"))
+      .groupBy("norm_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"),
+        countDistinct(col("raw_hash")).as("n_variants"))
+      .orderBy("norm_hash")
+
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    dedupNormalizedOf(Tables.documents(spark, dir))
+
   // ---- MinHash + LSH ----------------------------------------------------
   // k hash functions as affine permutations (a*h+b mod p) of one base
   // xxhash64, reduced to 31 bits first so the products stay inside

@@ -382,5 +382,579 @@ private[graft] object CorpusStatsOracles {
         |  floor(CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |    * 1e4 + 0.5) / 1e4 AS ttr
         |FROM u GROUP BY source, n ORDER BY source, n""".stripMargin,
+
+    // Round-10 pinned frames: the graft.scale.approx sketch paths,
+    // driver-value-checked. HLL++/quantile-summary merges are
+    // order-blind, so both reproduce bit-stably on the fixed sf0.01
+    // corpus; ScaleApproxSpec bands each against its exact twin.
+    "ngram_diversity_approx" ->
+      """WITH r(source, n, total_ngrams, distinct_ngrams, ttr) AS (VALUES
+        |  ('src0', 1, 1435, 31, 0.0216),
+        |  ('src0', 2, 1410, 710, 0.5035),
+        |  ('src0', 3, 1385, 1364, 0.9848),
+        |  ('src1', 1, 1540, 31, 0.0201),
+        |  ('src1', 2, 1515, 724, 0.4779),
+        |  ('src1', 3, 1490, 1474, 0.9893),
+        |  ('src10', 1, 1303, 31, 0.0238),
+        |  ('src10', 2, 1278, 675, 0.5282),
+        |  ('src10', 3, 1253, 1228, 0.98),
+        |  ('src11', 1, 1522, 30, 0.0197),
+        |  ('src11', 2, 1497, 744, 0.497),
+        |  ('src11', 3, 1472, 1443, 0.9803),
+        |  ('src12', 1, 1272, 31, 0.0244),
+        |  ('src12', 2, 1247, 681, 0.5461),
+        |  ('src12', 3, 1222, 1186, 0.9705),
+        |  ('src13', 1, 1553, 31, 0.02),
+        |  ('src13', 2, 1528, 716, 0.4686),
+        |  ('src13', 3, 1503, 1438, 0.9568),
+        |  ('src14', 1, 1318, 31, 0.0235),
+        |  ('src14', 2, 1293, 684, 0.529),
+        |  ('src14', 3, 1268, 1227, 0.9677),
+        |  ('src15', 1, 1298, 31, 0.0239),
+        |  ('src15', 2, 1273, 683, 0.5365),
+        |  ('src15', 3, 1248, 1197, 0.9591),
+        |  ('src16', 1, 1351, 31, 0.0229),
+        |  ('src16', 2, 1326, 673, 0.5075),
+        |  ('src16', 3, 1301, 1292, 0.9931),
+        |  ('src17', 1, 1373, 31, 0.0226),
+        |  ('src17', 2, 1348, 691, 0.5126),
+        |  ('src17', 3, 1323, 1295, 0.9788),
+        |  ('src18', 1, 1364, 31, 0.0227),
+        |  ('src18', 2, 1339, 677, 0.5056),
+        |  ('src18', 3, 1314, 1302, 0.9909),
+        |  ('src19', 1, 1147, 30, 0.0262),
+        |  ('src19', 2, 1122, 625, 0.557),
+        |  ('src19', 3, 1097, 1097, 1.0),
+        |  ('src2', 1, 1407, 31, 0.022),
+        |  ('src2', 2, 1382, 704, 0.5094),
+        |  ('src2', 3, 1357, 1347, 0.9926),
+        |  ('src3', 1, 1384, 31, 0.0224),
+        |  ('src3', 2, 1359, 697, 0.5129),
+        |  ('src3', 3, 1334, 1289, 0.9663),
+        |  ('src4', 1, 1294, 30, 0.0232),
+        |  ('src4', 2, 1269, 666, 0.5248),
+        |  ('src4', 3, 1244, 1193, 0.959),
+        |  ('src5', 1, 1329, 31, 0.0233),
+        |  ('src5', 2, 1304, 672, 0.5153),
+        |  ('src5', 3, 1279, 1239, 0.9687),
+        |  ('src6', 1, 1266, 31, 0.0245),
+        |  ('src6', 2, 1241, 656, 0.5286),
+        |  ('src6', 3, 1216, 1193, 0.9811),
+        |  ('src7', 1, 1507, 31, 0.0206),
+        |  ('src7', 2, 1482, 703, 0.4744),
+        |  ('src7', 3, 1457, 1404, 0.9636),
+        |  ('src8', 1, 1136, 31, 0.0273),
+        |  ('src8', 2, 1111, 630, 0.5671),
+        |  ('src8', 3, 1086, 1077, 0.9917),
+        |  ('src9', 1, 1366, 31, 0.0227),
+        |  ('src9', 2, 1341, 683, 0.5093),
+        |  ('src9', 3, 1316, 1269, 0.9643))
+        |SELECT CAST(source AS VARCHAR) AS source, CAST(n AS INT) AS n, CAST(total_ngrams AS BIGINT) AS total_ngrams, CAST(distinct_ngrams AS BIGINT) AS distinct_ngrams, CAST(ttr AS DOUBLE) AS ttr FROM r""".stripMargin,
+
+
+    "quantile_normalize_approx" ->
+      """WITH r(doc_id, source, q_raw, q_norm) AS (VALUES
+        |  (0, 'src0', 0.92, 0.8367),
+        |  (1, 'src1', 0.9639, 0.9685),
+        |  (2, 'src2', 0.9796, 0.9749),
+        |  (3, 'src3', 0.8987, 0.8656),
+        |  (4, 'src4', 0.9648, 0.9655),
+        |  (5, 'src5', 0.956, 0.9576),
+        |  (6, 'src6', 0.7467, 0.8117),
+        |  (7, 'src7', 0.9685, 0.9655),
+        |  (8, 'src8', 0.9817, 0.9795),
+        |  (9, 'src9', 0.9725, 0.9671),
+        |  (10, 'src10', 0.9842, 0.9977),
+        |  (11, 'src11', 0.973, 0.9711),
+        |  (12, 'src12', 0.9705, 0.9685),
+        |  (13, 'src13', 0.9611, 0.9576),
+        |  (14, 'src14', 0.9577, 0.9623),
+        |  (15, 'src15', 0.9581, 0.9576),
+        |  (16, 'src16', 0.7667, 0.8367),
+        |  (17, 'src17', 0.963, 0.95),
+        |  (18, 'src18', 0.9678, 0.9671),
+        |  (19, 'src19', 0.742, 0.6967),
+        |  (20, 'src0', 0.9647, 0.9623),
+        |  (21, 'src1', 0.959, 0.9639),
+        |  (22, 'src2', 0.9665, 0.9639),
+        |  (23, 'src3', 0.9156, 0.95),
+        |  (24, 'src4', 0.9637, 0.9623),
+        |  (25, 'src5', 0.9784, 0.9795),
+        |  (26, 'src6', 0.7217, 0.6967),
+        |  (27, 'src7', 0.9656, 0.9595),
+        |  (28, 'src8', 0.9667, 0.9685),
+        |  (29, 'src9', 0.9727, 0.9685),
+        |  (30, 'src10', 0.9273, 0.95),
+        |  (31, 'src11', 0.9733, 0.9725),
+        |  (32, 'src12', 0.9751, 0.9733),
+        |  (33, 'src13', 0.979, 0.9733),
+        |  (34, 'src14', 0.8917, 0.8997),
+        |  (35, 'src15', 0.9696, 0.9671),
+        |  (36, 'src16', 0.8417, 0.95),
+        |  (37, 'src17', 0.9645, 0.9595),
+        |  (38, 'src18', 0.9778, 0.9854),
+        |  (39, 'src19', 0.8523, 0.8656),
+        |  (40, 'src0', 0.9728, 0.9711),
+        |  (41, 'src1', 0.9719, 0.9795),
+        |  (42, 'src2', 0.9679, 0.9671),
+        |  (43, 'src3', 0.8819, 0.8367),
+        |  (44, 'src4', 0.8578, 0.8997),
+        |  (45, 'src5', 0.9708, 0.9699),
+        |  (46, 'src6', 0.9733, 0.9763),
+        |  (47, 'src7', 0.9663, 0.9639),
+        |  (48, 'src8', 0.89, 0.9263),
+        |  (49, 'src9', 0.9645, 0.9623),
+        |  (50, 'src10', 0.9648, 0.9623),
+        |  (51, 'src11', 0.9902, 0.9977),
+        |  (52, 'src12', 0.7704, 0.7661),
+        |  (53, 'src13', 0.9431, 0.9263),
+        |  (54, 'src14', 0.9603, 0.9655),
+        |  (55, 'src15', 0.9704, 0.9685),
+        |  (56, 'src16', 0.9637, 0.9685),
+        |  (57, 'src17', 0.9741, 0.9749),
+        |  (58, 'src18', 0.9731, 0.9763),
+        |  (59, 'src19', 0.855, 0.8997),
+        |  (60, 'src0', 0.9751, 0.9749),
+        |  (61, 'src1', 0.9726, 0.9821),
+        |  (62, 'src2', 0.9685, 0.9699),
+        |  (63, 'src3', 0.9674, 0.9699),
+        |  (64, 'src4', 0.855, 0.8656),
+        |  (65, 'src5', 0.8168, 0.8367),
+        |  (66, 'src6', 0.9715, 0.9725),
+        |  (67, 'src7', 0.9773, 0.9749),
+        |  (68, 'src8', 0.9469, 0.9576),
+        |  (69, 'src9', 0.9851, 0.9763),
+        |  (70, 'src10', 0.9819, 0.9795),
+        |  (71, 'src11', 0.9556, 0.8656),
+        |  (72, 'src12', 0.9579, 0.95),
+        |  (73, 'src13', 0.9751, 0.9699),
+        |  (74, 'src14', 0.6967, 0.6967),
+        |  (75, 'src15', 0.9944, 0.9854),
+        |  (76, 'src16', 0.9735, 0.9763),
+        |  (77, 'src17', 0.9734, 0.9733),
+        |  (78, 'src18', 0.9659, 0.9639),
+        |  (79, 'src19', 0.7661, 0.7661),
+        |  (80, 'src0', 0.945, 0.8656),
+        |  (81, 'src1', 0.9553, 0.9576),
+        |  (82, 'src2', 0.9642, 0.9576),
+        |  (83, 'src3', 0.7856, 0.6967),
+        |  (84, 'src4', 0.9731, 0.9725),
+        |  (85, 'src5', 0.9212, 0.9263),
+        |  (86, 'src6', 0.8467, 0.8656),
+        |  (87, 'src7', 0.8445, 0.8117),
+        |  (88, 'src8', 0.9631, 0.9671),
+        |  (89, 'src9', 0.8764, 0.7661),
+        |  (90, 'src10', 0.8478, 0.8117),
+        |  (91, 'src11', 0.9673, 0.9639),
+        |  (92, 'src12', 0.8985, 0.9263),
+        |  (93, 'src13', 0.8733, 0.7661),
+        |  (94, 'src14', 0.8689, 0.8656),
+        |  (95, 'src15', 0.9742, 0.9725),
+        |  (96, 'src16', 0.9582, 0.9639),
+        |  (97, 'src17', 0.9726, 0.9711),
+        |  (98, 'src18', 0.9715, 0.9733),
+        |  (99, 'src19', 0.9609, 0.9699),
+        |  (100, 'src0', 0.9741, 0.9725),
+        |  (101, 'src1', 0.95, 0.8656),
+        |  (102, 'src2', 0.9866, 0.9795),
+        |  (103, 'src3', 0.9608, 0.9639),
+        |  (104, 'src4', 0.9576, 0.9263),
+        |  (105, 'src5', 0.9722, 0.9725),
+        |  (106, 'src6', 0.7333, 0.7661),
+        |  (107, 'src7', 0.9583, 0.8997),
+        |  (108, 'src8', 0.7808, 0.8117),
+        |  (109, 'src9', 0.9595, 0.9576),
+        |  (110, 'src10', 0.7067, 0.6967),
+        |  (111, 'src11', 0.9571, 0.95),
+        |  (112, 'src12', 0.9787, 0.9821),
+        |  (113, 'src13', 0.9795, 0.9749),
+        |  (114, 'src14', 0.9685, 0.9699),
+        |  (115, 'src15', 0.8367, 0.8367),
+        |  (116, 'src16', 0.72, 0.6967),
+        |  (117, 'src17', 0.9784, 0.9821),
+        |  (118, 'src18', 0.9738, 0.9795),
+        |  (119, 'src19', 0.7825, 0.8117),
+        |  (120, 'src0', 0.968, 0.9685),
+        |  (121, 'src1', 0.9078, 0.8367),
+        |  (122, 'src2', 0.8218, 0.8117),
+        |  (123, 'src3', 0.9038, 0.8997),
+        |  (124, 'src4', 0.9778, 0.9795),
+        |  (125, 'src5', 0.9446, 0.95),
+        |  (126, 'src6', 0.9685, 0.9699),
+        |  (127, 'src7', 0.9661, 0.9623),
+        |  (128, 'src8', 0.9623, 0.9639),
+        |  (129, 'src9', 0.9706, 0.9655),
+        |  (130, 'src10', 0.9011, 0.9263),
+        |  (131, 'src11', 0.9685, 0.9671),
+        |  (132, 'src12', 0.9823, 0.9854),
+        |  (133, 'src13', 0.9926, 0.9977),
+        |  (134, 'src14', 0.8506, 0.8367),
+        |  (135, 'src15', 0.9912, 0.9821),
+        |  (136, 'src16', 0.9659, 0.9725),
+        |  (137, 'src17', 0.981, 0.9854),
+        |  (138, 'src18', 0.9702, 0.9699),
+        |  (139, 'src19', 0.9976, 0.9977),
+        |  (140, 'src0', 0.8902, 0.8117),
+        |  (141, 'src1', 0.9544, 0.9263),
+        |  (142, 'src2', 0.9921, 0.9821),
+        |  (143, 'src3', 0.9639, 0.9655),
+        |  (144, 'src4', 0.7835, 0.7661),
+        |  (145, 'src5', 0.9639, 0.9595),
+        |  (146, 'src6', 0.8468, 0.8997),
+        |  (147, 'src7', 0.9738, 0.9711),
+        |  (148, 'src8', 0.981, 0.9763),
+        |  (149, 'src9', 0.8907, 0.8117),
+        |  (150, 'src10', 0.9639, 0.9595),
+        |  (151, 'src11', 0.9642, 0.9576),
+        |  (152, 'src12', 0.9756, 0.9763),
+        |  (153, 'src13', 0.9756, 0.9711),
+        |  (154, 'src14', 0.9781, 0.9763),
+        |  (155, 'src15', 0.9799, 0.9763),
+        |  (156, 'src16', 0.82, 0.8997),
+        |  (157, 'src17', 0.7879, 0.6967),
+        |  (158, 'src18', 0.7933, 0.7661),
+        |  (159, 'src19', 0.9597, 0.9671),
+        |  (160, 'src0', 0.9803, 0.9821),
+        |  (161, 'src1', 0.9655, 0.9711),
+        |  (162, 'src2', 0.9703, 0.9725),
+        |  (163, 'src3', 0.9574, 0.9595),
+        |  (164, 'src4', 0.8142, 0.8367),
+        |  (165, 'src5', 0.8125, 0.8117),
+        |  (166, 'src6', 0.9828, 0.9821),
+        |  (167, 'src7', 0.9814, 0.9821),
+        |  (168, 'src8', 0.9833, 0.9821),
+        |  (169, 'src9', 0.9645, 0.9639),
+        |  (170, 'src10', 0.8385, 0.7661),
+        |  (171, 'src11', 0.9719, 0.9699),
+        |  (172, 'src12', 0.8217, 0.8117),
+        |  (173, 'src13', 0.9706, 0.9639),
+        |  (174, 'src14', 0.9675, 0.9685),
+        |  (175, 'src15', 0.903, 0.8997),
+        |  (176, 'src16', 0.9652, 0.9711),
+        |  (177, 'src17', 0.9704, 0.9671),
+        |  (178, 'src18', 0.9763, 0.9821),
+        |  (179, 'src19', 0.973, 0.9821),
+        |  (180, 'src0', 0.9458, 0.8997),
+        |  (181, 'src1', 0.8334, 0.7661),
+        |  (182, 'src2', 0.976, 0.9733),
+        |  (183, 'src3', 0.815, 0.7661),
+        |  (184, 'src4', 0.975, 0.9763),
+        |  (185, 'src5', 0.973, 0.9749),
+        |  (186, 'src6', 0.9875, 0.9854),
+        |  (187, 'src7', 0.983, 0.9977),
+        |  (188, 'src8', 0.9855, 0.9977),
+        |  (189, 'src9', 0.959, 0.95),
+        |  (190, 'src10', 0.9714, 0.9699),
+        |  (191, 'src11', 0.8133, 0.6967),
+        |  (192, 'src12', 0.8854, 0.8997),
+        |  (193, 'src13', 0.9074, 0.8367),
+        |  (194, 'src14', 0.8997, 0.9263),
+        |  (195, 'src15', 0.9672, 0.9655),
+        |  (196, 'src16', 0.9556, 0.9576),
+        |  (197, 'src17', 0.9746, 0.9763),
+        |  (198, 'src18', 0.9642, 0.9623),
+        |  (199, 'src19', 0.9178, 0.9576),
+        |  (200, 'src0', 0.9626, 0.9576),
+        |  (201, 'src1', 0.9679, 0.9733),
+        |  (202, 'src2', 0.9683, 0.9685),
+        |  (203, 'src3', 0.8439, 0.8117),
+        |  (204, 'src4', 0.8117, 0.8117),
+        |  (205, 'src5', 0.9693, 0.9685),
+        |  (206, 'src6', 0.86, 0.9263),
+        |  (207, 'src7', 0.9637, 0.9576),
+        |  (208, 'src8', 0.8235, 0.8656),
+        |  (209, 'src9', 0.9727, 0.9699),
+        |  (210, 'src10', 0.9748, 0.9749),
+        |  (211, 'src11', 0.9696, 0.9685),
+        |  (212, 'src12', 0.9655, 0.9623),
+        |  (213, 'src13', 0.9841, 0.9821),
+        |  (214, 'src14', 0.7573, 0.7661),
+        |  (215, 'src15', 0.9976, 0.9977),
+        |  (216, 'src16', 0.9645, 0.9699),
+        |  (217, 'src17', 0.9753, 0.9795),
+        |  (218, 'src18', 0.9706, 0.9711),
+        |  (219, 'src19', 0.9083, 0.9263),
+        |  (220, 'src0', 0.9702, 0.9699),
+        |  (221, 'src1', 0.9897, 0.9977),
+        |  (222, 'src2', 0.9977, 0.9977),
+        |  (223, 'src3', 0.9696, 0.9711),
+        |  (224, 'src4', 0.9716, 0.9699),
+        |  (225, 'src5', 0.9719, 0.9711),
+        |  (226, 'src6', 0.8317, 0.8367),
+        |  (227, 'src7', 0.9706, 0.9685),
+        |  (228, 'src8', 0.9733, 0.9725),
+        |  (229, 'src9', 0.977, 0.9725),
+        |  (230, 'src10', 0.9803, 0.9763),
+        |  (231, 'src11', 0.8997, 0.8117),
+        |  (232, 'src12', 0.9672, 0.9639),
+        |  (233, 'src13', 0.9661, 0.9595),
+        |  (234, 'src14', 0.9854, 0.9821),
+        |  (235, 'src15', 0.9671, 0.9639),
+        |  (236, 'src16', 0.72, 0.7661),
+        |  (237, 'src17', 0.9711, 0.9685),
+        |  (238, 'src18', 0.9708, 0.9725),
+        |  (239, 'src19', 0.9122, 0.95),
+        |  (240, 'src0', 0.9786, 0.9795),
+        |  (241, 'src1', 0.9754, 0.9854),
+        |  (242, 'src2', 0.9597, 0.95),
+        |  (243, 'src3', 0.9436, 0.9576),
+        |  (244, 'src4', 0.96, 0.95),
+        |  (245, 'src5', 0.9821, 0.9854),
+        |  (246, 'src6', 0.9495, 0.9595),
+        |  (247, 'src7', 0.975, 0.9725),
+        |  (248, 'src8', 0.9627, 0.9655),
+        |  (249, 'src9', 0.9947, 0.9977),
+        |  (250, 'src10', 0.9727, 0.9725),
+        |  (251, 'src11', 0.9677, 0.9655),
+        |  (252, 'src12', 0.9717, 0.9711),
+        |  (253, 'src13', 0.9801, 0.9763),
+        |  (254, 'src14', 0.7883, 0.8117),
+        |  (255, 'src15', 0.9021, 0.8656),
+        |  (256, 'src16', 0.72, 0.8117),
+        |  (257, 'src17', 0.8225, 0.8117),
+        |  (258, 'src18', 0.9725, 0.9749),
+        |  (259, 'src19', 0.9574, 0.9655),
+        |  (260, 'src0', 0.8656, 0.7661),
+        |  (261, 'src1', 0.9659, 0.9725),
+        |  (262, 'src2', 0.9926, 0.9854),
+        |  (263, 'src3', 0.9741, 0.9763),
+        |  (264, 'src4', 0.9635, 0.9595),
+        |  (265, 'src5', 0.9642, 0.9623),
+        |  (266, 'src6', 0.9663, 0.9685),
+        |  (267, 'src7', 0.9714, 0.9699),
+        |  (268, 'src8', 0.9842, 0.9854),
+        |  (269, 'src9', 0.981, 0.9733),
+        |  (270, 'src10', 0.9823, 0.9821),
+        |  (271, 'src11', 0.9563, 0.8997),
+        |  (272, 'src12', 0.9754, 0.9749),
+        |  (273, 'src13', 0.8783, 0.8117),
+        |  (274, 'src14', 0.9743, 0.9749),
+        |  (275, 'src15', 0.7317, 0.7661),
+        |  (276, 'src16', 0.9569, 0.9595),
+        |  (277, 'src17', 0.9196, 0.8656),
+        |  (278, 'src18', 0.9593, 0.95),
+        |  (279, 'src19', 0.9761, 0.9854),
+        |  (280, 'src0', 0.9803, 0.9854),
+        |  (281, 'src1', 0.9017, 0.8117),
+        |  (282, 'src2', 0.9342, 0.9263),
+        |  (283, 'src3', 0.9659, 0.9685),
+        |  (284, 'src4', 0.9696, 0.9685),
+        |  (285, 'src5', 0.9677, 0.9671),
+        |  (286, 'src6', 0.9717, 0.9733),
+        |  (287, 'src7', 0.822, 0.7661),
+        |  (288, 'src8', 0.9308, 0.95),
+        |  (289, 'src9', 0.9588, 0.9263),
+        |  (290, 'src10', 0.9713, 0.9685),
+        |  (291, 'src11', 0.9763, 0.9763),
+        |  (292, 'src12', 0.9694, 0.9671),
+        |  (293, 'src13', 0.9735, 0.9671),
+        |  (294, 'src14', 0.9701, 0.9725),
+        |  (295, 'src15', 0.9267, 0.95),
+        |  (296, 'src16', 0.9753, 0.9977),
+        |  (297, 'src17', 0.9823, 0.9977),
+        |  (298, 'src18', 0.9317, 0.8997),
+        |  (299, 'src19', 0.9677, 0.9749),
+        |  (300, 'src0', 0.9671, 0.9671),
+        |  (301, 'src1', 0.9679, 0.9749),
+        |  (302, 'src2', 0.9689, 0.9711),
+        |  (303, 'src3', 0.9701, 0.9725),
+        |  (304, 'src4', 0.9976, 0.9977),
+        |  (305, 'src5', 0.7217, 0.6967),
+        |  (306, 'src6', 0.9722, 0.9749),
+        |  (307, 'src7', 0.9685, 0.9671),
+        |  (308, 'src8', 0.7783, 0.7661),
+        |  (309, 'src9', 0.9727, 0.9711),
+        |  (310, 'src10', 0.888, 0.8656),
+        |  (311, 'src11', 0.987, 0.9854),
+        |  (312, 'src12', 0.9749, 0.9725),
+        |  (313, 'src13', 0.7876, 0.6967),
+        |  (314, 'src14', 0.9694, 0.9711),
+        |  (315, 'src15', 0.973, 0.9711),
+        |  (316, 'src16', 0.9635, 0.9671),
+        |  (317, 'src17', 0.9593, 0.9263),
+        |  (318, 'src18', 0.962, 0.9595),
+        |  (319, 'src19', 0.9615, 0.9711),
+        |  (320, 'src0', 0.9811, 0.9977),
+        |  (321, 'src1', 0.9567, 0.9595),
+        |  (322, 'src2', 0.9648, 0.9595),
+        |  (323, 'src3', 0.9823, 0.9854),
+        |  (324, 'src4', 0.9733, 0.9733),
+        |  (325, 'src5', 0.9667, 0.9639),
+        |  (326, 'src6', 0.9652, 0.9655),
+        |  (327, 'src7', 0.9183, 0.8367),
+        |  (328, 'src8', 0.9725, 0.9711),
+        |  (329, 'src9', 0.9854, 0.9795),
+        |  (330, 'src10', 0.9726, 0.9711),
+        |  (331, 'src11', 0.9565, 0.9263),
+        |  (332, 'src12', 0.9685, 0.9655),
+        |  (333, 'src13', 0.9221, 0.8997),
+        |  (334, 'src14', 0.9899, 0.9854),
+        |  (335, 'src15', 0.9773, 0.9733),
+        |  (336, 'src16', 0.9598, 0.9655),
+        |  (337, 'src17', 0.9733, 0.9725),
+        |  (338, 'src18', 0.8128, 0.8367),
+        |  (339, 'src19', 0.9388, 0.9623),
+        |  (340, 'src0', 0.9576, 0.9263),
+        |  (341, 'src1', 0.9708, 0.9763),
+        |  (342, 'src2', 0.81, 0.7661),
+        |  (343, 'src3', 0.9095, 0.9263),
+        |  (344, 'src4', 0.963, 0.9576),
+        |  (345, 'src5', 0.9726, 0.9733),
+        |  (346, 'src6', 0.9635, 0.9639),
+        |  (347, 'src7', 0.9565, 0.8656),
+        |  (348, 'src8', 0.835, 0.8997),
+        |  (349, 'src9', 0.9897, 0.9854),
+        |  (350, 'src10', 0.9696, 0.9671),
+        |  (351, 'src11', 0.955, 0.8367),
+        |  (352, 'src12', 0.9775, 0.9795),
+        |  (353, 'src13', 0.9839, 0.9795),
+        |  (354, 'src14', 0.9719, 0.9733),
+        |  (355, 'src15', 0.9828, 0.9795),
+        |  (356, 'src16', 0.9699, 0.9749),
+        |  (357, 'src17', 0.9713, 0.9699),
+        |  (358, 'src18', 0.715, 0.6967),
+        |  (359, 'src19', 0.9722, 0.9795),
+        |  (360, 'src0', 0.9753, 0.9763),
+        |  (361, 'src1', 0.9551, 0.95),
+        |  (362, 'src2', 0.7739, 0.6967),
+        |  (363, 'src3', 0.9656, 0.9671),
+        |  (364, 'src4', 0.9642, 0.9639),
+        |  (365, 'src5', 0.7283, 0.7661),
+        |  (366, 'src6', 0.9621, 0.9623),
+        |  (367, 'src7', 0.9756, 0.9733),
+        |  (368, 'src8', 0.7383, 0.6967),
+        |  (369, 'src9', 0.9833, 0.9749),
+        |  (370, 'src10', 0.95, 0.9576),
+        |  (371, 'src11', 0.9654, 0.9595),
+        |  (372, 'src12', 0.8652, 0.8656),
+        |  (373, 'src13', 0.9786, 0.9725),
+        |  (374, 'src14', 0.92, 0.9576),
+        |  (375, 'src15', 0.9712, 0.9699),
+        |  (376, 'src16', 0.9742, 0.9795),
+        |  (377, 'src17', 0.9578, 0.8997),
+        |  (378, 'src18', 0.9865, 0.9977),
+        |  (379, 'src19', 0.9639, 0.9733),
+        |  (380, 'src0', 0.975, 0.9733),
+        |  (381, 'src1', 0.95, 0.8997),
+        |  (382, 'src2', 0.8767, 0.8367),
+        |  (383, 'src3', 0.9727, 0.9749),
+        |  (384, 'src4', 0.77, 0.6967),
+        |  (385, 'src5', 0.9786, 0.9821),
+        |  (386, 'src6', 0.9879, 0.9977),
+        |  (387, 'src7', 0.9585, 0.9263),
+        |  (388, 'src8', 0.9606, 0.9623),
+        |  (389, 'src9', 0.8938, 0.8367),
+        |  (390, 'src10', 0.8835, 0.8367),
+        |  (391, 'src11', 0.9655, 0.9623),
+        |  (392, 'src12', 0.8417, 0.8367),
+        |  (393, 'src13', 0.9582, 0.95),
+        |  (394, 'src14', 0.9594, 0.9639),
+        |  (395, 'src15', 0.9623, 0.9595),
+        |  (396, 'src16', 0.9576, 0.9623),
+        |  (397, 'src17', 0.9689, 0.9655),
+        |  (398, 'src18', 0.8092, 0.8117),
+        |  (399, 'src19', 0.9617, 0.9725),
+        |  (400, 'src0', 0.8533, 0.6967),
+        |  (401, 'src1', 0.9632, 0.9671),
+        |  (402, 'src2', 0.9263, 0.8997),
+        |  (403, 'src3', 0.9578, 0.9623),
+        |  (404, 'src4', 0.9655, 0.9671),
+        |  (405, 'src5', 0.9738, 0.9763),
+        |  (406, 'src6', 0.9781, 0.9795),
+        |  (407, 'src7', 0.8133, 0.6967),
+        |  (408, 'src8', 0.7825, 0.8367),
+        |  (409, 'src9', 0.9877, 0.9821),
+        |  (410, 'src10', 0.9678, 0.9655),
+        |  (411, 'src11', 0.9795, 0.9795),
+        |  (412, 'src12', 0.9923, 0.9977),
+        |  (413, 'src13', 0.9711, 0.9655),
+        |  (414, 'src14', 0.997, 0.9977),
+        |  (415, 'src15', 0.9787, 0.9749),
+        |  (416, 'src16', 0.9752, 0.9854),
+        |  (417, 'src17', 0.9643, 0.9576),
+        |  (418, 'src18', 0.9543, 0.9263),
+        |  (419, 'src19', 0.8067, 0.8367),
+        |  (420, 'src0', 0.9583, 0.95),
+        |  (421, 'src1', 0.958, 0.9623),
+        |  (422, 'src2', 0.9652, 0.9623),
+        |  (423, 'src3', 0.9705, 0.9733),
+        |  (424, 'src4', 0.9728, 0.9711),
+        |  (425, 'src5', 0.8628, 0.8997),
+        |  (426, 'src6', 0.9703, 0.9711),
+        |  (427, 'src7', 0.9795, 0.9763),
+        |  (428, 'src8', 0.95, 0.9595),
+        |  (429, 'src9', 0.957, 0.8997),
+        |  (430, 'src10', 0.9731, 0.9733),
+        |  (431, 'src11', 0.9738, 0.9733),
+        |  (432, 'src12', 0.9603, 0.9595),
+        |  (433, 'src13', 0.9208, 0.8656),
+        |  (434, 'src14', 0.9627, 0.9671),
+        |  (435, 'src15', 0.9058, 0.9263),
+        |  (436, 'src16', 0.9696, 0.9733),
+        |  (437, 'src17', 0.9665, 0.9623),
+        |  (438, 'src18', 0.9033, 0.8656),
+        |  (439, 'src19', 0.9536, 0.9639),
+        |  (440, 'src0', 0.9659, 0.9655),
+        |  (441, 'src1', 0.9601, 0.9655),
+        |  (442, 'src2', 0.9857, 0.9763),
+        |  (443, 'src3', 0.9827, 0.9977),
+        |  (444, 'src4', 0.9811, 0.9854),
+        |  (445, 'src5', 0.9672, 0.9655),
+        |  (446, 'src6', 0.8633, 0.95),
+        |  (447, 'src7', 0.9823, 0.9854),
+        |  (448, 'src8', 0.9747, 0.9733),
+        |  (449, 'src9', 0.9319, 0.8656),
+        |  (450, 'src10', 0.8933, 0.8997),
+        |  (451, 'src11', 0.82, 0.7661),
+        |  (452, 'src12', 0.9705, 0.9699),
+        |  (453, 'src13', 0.9741, 0.9685),
+        |  (454, 'src14', 0.9074, 0.95),
+        |  (455, 'src15', 0.715, 0.6967),
+        |  (456, 'src16', 0.8357, 0.9263),
+        |  (457, 'src17', 0.968, 0.9639),
+        |  (458, 'src18', 0.9669, 0.9655),
+        |  (459, 'src19', 0.9693, 0.9763),
+        |  (460, 'src0', 0.9636, 0.9595),
+        |  (461, 'src1', 0.9649, 0.9699),
+        |  (462, 'src2', 0.9667, 0.9655),
+        |  (463, 'src3', 0.9756, 0.9795),
+        |  (464, 'src4', 0.9786, 0.9821),
+        |  (465, 'src5', 0.9823, 0.9977),
+        |  (466, 'src6', 0.9655, 0.9671),
+        |  (467, 'src7', 0.9803, 0.9795),
+        |  (468, 'src8', 0.9671, 0.9699),
+        |  (469, 'src9', 0.7117, 0.6967),
+        |  (470, 'src10', 0.9659, 0.9639),
+        |  (471, 'src11', 0.9817, 0.9821),
+        |  (472, 'src12', 0.9588, 0.9576),
+        |  (473, 'src13', 0.9689, 0.9623),
+        |  (474, 'src14', 0.9799, 0.9795),
+        |  (475, 'src15', 0.7672, 0.8117),
+        |  (476, 'src16', 0.7775, 0.8656),
+        |  (477, 'src17', 0.8921, 0.8367),
+        |  (478, 'src18', 0.97, 0.9685),
+        |  (479, 'src19', 0.9597, 0.9685),
+        |  (480, 'src0', 0.9656, 0.9639),
+        |  (481, 'src1', 0.7583, 0.6967),
+        |  (482, 'src2', 0.9139, 0.8656),
+        |  (483, 'src3', 0.9784, 0.9821),
+        |  (484, 'src4', 0.9733, 0.9749),
+        |  (485, 'src5', 0.8462, 0.8656),
+        |  (486, 'src6', 0.9121, 0.9576),
+        |  (487, 'src7', 0.9613, 0.95),
+        |  (488, 'src8', 0.9778, 0.9749),
+        |  (489, 'src9', 0.9617, 0.9595),
+        |  (490, 'src10', 0.9833, 0.9854),
+        |  (491, 'src11', 0.9749, 0.9749),
+        |  (492, 'src12', 0.745, 0.6967),
+        |  (493, 'src13', 0.9841, 0.9854),
+        |  (494, 'src14', 0.95, 0.9595),
+        |  (495, 'src15', 0.9643, 0.9623),
+        |  (496, 'src16', 0.9747, 0.9821),
+        |  (497, 'src17', 0.8217, 0.7661),
+        |  (498, 'src18', 0.9612, 0.9576),
+        |  (499, 'src19', 0.9327, 0.9595))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(source AS VARCHAR) AS source, CAST(q_raw AS DOUBLE) AS q_raw, CAST(q_norm AS DOUBLE) AS q_norm FROM r""".stripMargin,
+
   )
 }

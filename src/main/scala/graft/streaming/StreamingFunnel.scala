@@ -121,12 +121,27 @@ object StreamingFunnel {
 
   /** Batch fold of the emitted per-user rows into the 3-row funnel
     * report — same columns and conv_pct convention as the batch twin
-    * (`Behavior.funnelWindowedOf`). */
+    * (`Behavior.funnelWindowedOf`).
+    *
+    * Re-entry dedup: after a user's state times out and emits, a view
+    * arriving MORE than 2·window after the first (above the watermark
+    * horizon) re-creates state and eventually emits a second
+    * FunnelUser row for the same user_id. The batch twin chains from
+    * each user's single earliest view, so the fold keeps only the
+    * min-(view_ts, click_ts, purchase_ts) row per user before
+    * counting — restoring exact agreement. */
   def funnelReport(users: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val whole = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    users.agg(
+    users
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("view_ts"), col("click_ts"), col("purchase_ts")))
+        .as("first"))
+      .select(col("user_id"), col("first.view_ts").as("view_ts"),
+        col("first.click_ts").as("click_ts"),
+        col("first.purchase_ts").as("purchase_ts"))
+      .agg(
       count(lit(1)).as("n_view"),
       sum(when(col("click_ts").isNotNull, 1L).otherwise(0L)).as("n_click"),
       sum(when(col("purchase_ts").isNotNull, 1L).otherwise(0L)).as("n_purchase"))

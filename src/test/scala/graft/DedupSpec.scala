@@ -274,6 +274,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getLong(2)).sum == docs, "dup_counts must partition the table")
   }
 
+  test("dedupNormalized collapses planted case/accent/digit/punct variants") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "Hello,  World! Call 555-1234.",
+      2L -> "hello world call 000 0000",          // canonical form of 1
+      3L -> "HÉLLO wörld — call (999) 8888?",     // accents + digits + punct
+      4L -> "a genuinely different document",
+      5L -> "A   genuinely\tdifferent...document" // whitespace/punct variant of 4
+    ).toDF("doc_id", "text")
+    val rows = Dedup.dedupNormalizedOf(docs).collect()
+    assert(rows.length == 2, s"5 raw docs must collapse to 2 canonical groups: ${rows.mkString(",")}")
+    val byKeep = rows.map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byKeep(1L) == ((3L, 3L)), "docs 1/2/3 collapse; all three raw forms differ")
+    assert(byKeep(4L) == ((2L, 2L)), "docs 4/5 collapse across whitespace/punct")
+    // raw sha256 sees 5 distinct byte-forms — the variants are caught ONLY here
+    assert(Dedup.dedupExact(spark, Sf).columns.sameElements(
+      Array("content_hash", "keep_id", "dup_count")))
+    val raw = docs.groupBy(sha2(col("text"), 256)).count().count()
+    assert(raw == 5L, "raw hashing must NOT collapse any planted variant")
+  }
+
   test("containment is asymmetric: the excerpt hits, the page does not") {
     import spark.implicits._
     val excerpt = "alpha beta gamma delta epsilon zeta"

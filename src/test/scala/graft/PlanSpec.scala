@@ -433,6 +433,52 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "rank()<=k must rewrite to a partition-local WindowGroupLimit")
   }
 
+  test("round-10 approx twins: exact-mode shuffles absent from the sketch plans") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def viaRegistry(name: String): DataFrame = SparkEntry.queries(name)(spark, Sf)
+    // Exchanges are inserted by EnsureRequirements, so they exist only
+    // in executedPlan; AQE off so the tree isn't an adaptive leaf.
+    def exchanges(df: => DataFrame): Int = {
+      val k = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(k)
+      spark.conf.set(k, "false")
+      try df.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }.length
+      finally spark.conf.set(k, prev)
+    }
+    // The registered wrapper must force the flag during build and
+    // RESTORE the session's prior state afterwards.
+    val before = spark.conf.getOption(Scale.ApproxKey)
+    // dup_matrix_approx: the exact path's per-gram equi-self-join is
+    // gone — no shuffled join anywhere; sketch pairing is hll_union
+    // over a broadcast cross of the |sources|-row frame.
+    val dm = plan(viaRegistry("dup_matrix_approx"))
+    assert(dm.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      dm.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"sketch dup matrix must not shuffle-join grams:\n$dm")
+    assert(dm.toString.contains("hll_union"))
+    assert(exchanges(viaRegistry("dup_matrix_approx")) <
+      exchanges(Dedup.dupMatrix(spark, Sf)),
+      "sketch path must shuffle less than the per-gram self-join")
+    // ngram_diversity_approx: HLL distinct folds in ONE aggregate pass
+    // — the exact twin's second gram shuffle (distinct rewrite) is gone.
+    val nd = plan(viaRegistry("ngram_diversity_approx"))
+    assert(nd.toString.contains("approx_count_distinct"))
+    assert(exchanges(viaRegistry("ngram_diversity_approx")) <
+      exchanges(CorpusStats.distinctNgramDiversity(spark, Sf)),
+      "HLL distinct must not re-shuffle the gram stream")
+    // quantile_normalize_approx: same join/exchange SHAPE (the swap is
+    // aggregation state, full buffer -> mergeable sketch), grid via
+    // approx_percentile.
+    val qn = plan(viaRegistry("quantile_normalize_approx"))
+    assert(qn.toString.contains("approx_percentile"))
+    assert(exchanges(viaRegistry("quantile_normalize_approx")) <=
+      exchanges(CorpusStats.quantileNormalize(spark, Sf)))
+    assert(spark.conf.getOption(Scale.ApproxKey) == before,
+      "withApprox must restore the session flag")
+  }
+
   test("round-8 final tranche: only 1-row bounds broadcasts cross, everything else equijoins") {
     // (query, allowed 1-row-broadcast crosses by construction)
     val bounded = Seq[(DataFrame, Int, String)](
