@@ -3,13 +3,18 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.PpmCodec
 import graft.sources.Tables
 
 /** Multimodal-column handling: media payloads as opaque `binary`
-  * columns with typed metadata alongside. The decode step is STUBBED
-  * (no image/audio libraries in this environment) — the Spark-side
-  * plumbing (schema, batching, partition-parallel map, feature schema)
-  * is real and tested.
+  * columns with typed metadata alongside. The image decode step is a
+  * REAL codec since round 10 — binary PPM (P6) via
+  * [[graft.functions.PpmCodec]], full header grammar + maxval
+  * rescale, no external libraries. Payloads that don't parse as P6
+  * fall back to the documented deterministic stub (no image/audio
+  * libraries exist in this environment for JPEG/WAV/MP4; a real
+  * deployment swaps the codec object, the mapPartitions plumbing is
+  * unchanged). Resize/frame-sampling remain stubs shape-wise.
   */
 object Multimodal {
 
@@ -27,20 +32,36 @@ object Multimodal {
         col("n_chars"))
       .orderBy("doc_id")
 
-  /** The feature-extraction pipeline as a registered query (rows-only
-    * check: the stub decoder's rolling-hash features aren't
-    * SQL-expressible; MultimodalSpec covers determinism and shape).
-    * The float[] features column is projected as an xxhash64
-    * fingerprint — the raw array isn't hashable by the driver's
-    * rows-compare, and the fingerprint still pins the exact feature
-    * values across runs. */
-  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(spark,
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+  /** The feature-extraction pipeline as a registered query: each doc's
+    * UTF-8 bytes become a deterministic near-square P6 image (the
+    * stand-in for reading real media files — this environment ships
+    * none), which the REAL [[graft.functions.PpmCodec]] parser then
+    * decodes back to dimensions + pixels for mean/std-RGB features.
+    * Encode→decode through the actual byte format exercises the
+    * parser on every row (pinned-frame oracle; the features aren't
+    * SQL-expressible). The float[] features column is projected as an
+    * xxhash64 fingerprint — the raw array isn't hashable by the
+    * driver's rows-compare, and the fingerprint still pins the exact
+    * feature values across runs. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          val npix = math.max(1, (b.length + 2) / 3)
+          val w = math.max(1, math.sqrt(npix.toDouble).toInt)
+          val h = (npix + w - 1) / w
+          (id, PpmCodec.encodeP6(w, h, java.util.Arrays.copyOf(b, 3 * w * h)))
+        }
+      }
+      .toDF("doc_id", "payload")
+    extractFeatures(spark, payloads)
       .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
         xxhash64(col("features")).as("features_fp"))
       .orderBy("doc_id")
+  }
 
   /** Resize plumbing: binary-in/binary-out media transform with typed
     * target metadata. The resampler is a deterministic STUB (byte
@@ -93,31 +114,39 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_payload")
   }
 
-  /** Feature-extraction plumbing: batch-parallel "decode" over binary
-    * payloads via mapPartitions. The decoder itself is a deterministic
-    * STUB (real deployments plug in an image/audio codec here); the
-    * partitioning, batch shape, and output schema are production-real.
+  /** Feature extraction: batch-parallel decode over binary payloads
+    * via mapPartitions (map-only, no shuffle — the partitioning,
+    * batch shape, and output schema are what a production media
+    * pipeline runs). P6 payloads decode through the REAL
+    * [[PpmCodec]] parser into per-channel mean/std + luma + aspect
+    * features; anything else (wrong magic, malformed header, short
+    * pixel area) falls back to the legacy deterministic stub so
+    * arbitrary binary still flows with the same schema.
     */
   def extractFeatures(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // STUB decoder: a real implementation would decode the media
-          // and emit model features. Deterministic fake: width/height
-          // from leading bytes, a fixed-length "embedding" from a
-          // rolling byte hash.
-          val w = if (bytes.length > 0) (bytes(0) & 0xff) + 1 else 0
-          val h = if (bytes.length > 1) (bytes(1) & 0xff) + 1 else 0
-          val feat = new Array[Float](8)
-          var acc = 17L
-          var i = 0
-          while (i < bytes.length) {
-            acc = acc * 31 + (bytes(i) & 0xff)
-            feat(i % 8) += ((acc % 1000) / 1000.0f)
-            i += 1
+          PpmCodec.decodeP6(bytes) match {
+            case Some(img) =>
+              (id, img.width, img.height, bytes.length, PpmCodec.features(img))
+            case None =>
+              // Fallback stub for non-PPM payloads: width/height from
+              // leading bytes, a fixed-length "embedding" from a
+              // rolling byte hash. Deterministic, schema-identical.
+              val w = if (bytes.length > 0) (bytes(0) & 0xff) + 1 else 0
+              val h = if (bytes.length > 1) (bytes(1) & 0xff) + 1 else 0
+              val feat = new Array[Float](8)
+              var acc = 17L
+              var i = 0
+              while (i < bytes.length) {
+                acc = acc * 31 + (bytes(i) & 0xff)
+                feat(i % 8) += ((acc % 1000) / 1000.0f)
+                i += 1
+              }
+              (id, w, h, bytes.length, feat)
           }
-          (id, w, h, bytes.length, feat)
         }
       }
       .toDF("doc_id", "width", "height", "n_bytes", "features")

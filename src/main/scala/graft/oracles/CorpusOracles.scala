@@ -538,110 +538,114 @@ private[graft] object CorpusOracles {
         |    * 1e4 + 0.5) / 1e4 AS weight
         |FROM t ORDER BY lang""".stripMargin,
 
-    // Stub-decoder multimodal features (deterministic synthetic payloads).
+    // REAL P6 decode (round 10): text bytes -> deterministic
+    // near-square P6 image -> PpmCodec parse -> mean/std-RGB
+    // features, fingerprinted. Pinned frame (features are not
+    // SQL-expressible); MultimodalSpec pins the codec algebra.
     "multimodal_features" ->
       """WITH r(doc_id, width, height, n_bytes, features_fp) AS (VALUES
-        |  (0,108,102,157,2390659930989298302), (1,99,98,406,5948455493410314606), (2,116,110,246,3165111457418796443), (3,120,106,147,-5761622609017425025), (4,101,98,250,-5449271558277710786),
-        |  (5,98,104,314,7757586431932552392), (6,98,104,78,-5928045969521325384), (7,99,98,402,-2246376456799717114), (8,117,105,470,-691312828522123605), (9,112,115,391,-4216260157517622801),
-        |  (10,112,115,214,-82848332923596002), (11,117,105,304,7140529609403349884), (12,99,98,348,-2782519536185663448), (13,120,106,346,-907936107753476639), (14,116,117,495,-5216924570879886432),
-        |  (15,112,115,228,-7380146537072060581), (16,109,106,90,-6137441929464755024), (17,108,102,426,-5928250909303944282), (18,110,102,423,-1733281258795905389), (19,119,102,57,-1918772937857224699),
-        |  (20,120,106,394,-2270363971645814615), (21,108,102,217,6192422396415936459), (22,116,109,454,2443051921394741924), (23,103,106,166,4090057702675564900), (24,116,112,535,5938844974118669363),
-        |  (25,110,102,505,1647831497607685999), (26,117,98,63,-4312553027506662887), (27,108,102,346,1524148830694069786), (28,114,118,334,-4979217718090040755), (29,117,98,196,-8022633969854632087),
-        |  (30,108,102,167,-3695256066322366327), (31,117,105,250,-868343178603698066), (32,117,98,513,-3826056075775703007), (33,109,106,247,-6165472998779304600), (34,116,112,165,7196621873018677034),
-        |  (35,103,106,452,7079007022476931598), (36,116,117,135,-29389054432257915), (37,101,98,378,7412258119001322986), (38,110,102,203,-827235278456687839), (39,116,110,124,8093665561176326312),
-        |  (40,112,115,421,37948997850534574), (41,109,106,337,5076505629401066945), (42,104,115,303,6054559093197221851), (43,116,117,152,-3573289400681940085), (44,101,98,128,-2683790332790317433),
-        |  (45,110,102,432,4718111975754914327), (46,116,100,492,6101660121718011141), (47,98,33,224,4974381780473777565), (48,100,118,164,8084630882626189670), (49,114,118,256,1654413882863100231),
-        |  (50,116,109,256,2899682091117994856), (51,112,115,326,-2524026175448520479), (52,113,98,63,-5476316498737897853), (53,104,115,190,3549226027805678598), (54,99,98,357,-6928244090131600530),
-        |  (55,116,117,196,1831738139011966693), (56,110,102,549,1215409724930554249), (57,105,98,447,-246256066248271682), (58,100,112,389,5759150755227952117), (59,107,112,118,-4604820612671256123),
-        |  (60,108,102,493,-4305613990903911495), (61,110,102,309,6099190567260313713), (62,104,115,392,-6652054170981502204), (63,116,100,529,-7249872486371591800), (64,107,112,135,-7099262195314765136),
-        |  (65,117,105,99,922048058613684559), (66,98,33,352,1441147731145119914), (67,108,102,333,8768532689348586277), (68,108,102,186,2009343094611638778), (69,100,112,308,1163639389164615955),
-        |  (70,117,105,509,-1519932927798224388), (71,103,106,336,-2379549818810001826), (72,105,98,230,-2641326957392080574), (73,107,112,503,974965774411191099), (74,101,98,48,-2153129497054566902),
-        |  (75,100,118,312,2492225478489993678), (76,117,98,382,6029863915612489947), (77,98,33,319,7994898090941682612), (78,101,98,233,974631785027029756), (79,116,112,63,1627264610034299669),
-        |  (80,113,98,172,4061271686461645163), (81,99,98,357,-1710060288922472835), (82,117,98,260,-6420457901350655392), (83,119,98,88,5198723549846847660), (84,105,98,403,-4126092252360196801),
-        |  (85,115,112,155,-6400500158406910448), (86,119,98,138,4284125201163919978), (87,114,118,128,8694098675316276376), (88,100,118,289,7840007838296629357), (89,105,98,141,6152996305893178587),
-        |  (90,115,112,112,5039166482245812948), (91,99,98,431,-3345286871193601336), (92,117,105,146,-8225850580644167266), (93,119,102,130,1684617285731946595), (94,116,109,143,5687325266796651676),
-        |  (95,113,98,296,2971741964264707210), (96,100,112,454,-291723497434241254), (97,116,100,320,2053110797804682121), (98,116,113,526,-4491461603936125108), (99,100,112,196,8153890706192883731),
-        |  (100,99,98,461,4736218112880284330), (101,117,98,232,5575049788081685357), (102,100,118,515,-1472539153104030664), (103,100,118,527,8102637550143614182), (104,115,112,246,5891373674942044094),
-        |  (105,117,105,328,233404754912962794), (106,116,110,70,8484579325303568671), (107,105,98,212,2020592607319513083), (108,117,98,86,6727871103025559587), (109,113,98,395,8270413604634245948),
-        |  (110,116,100,54,-7967115000813003326), (111,110,102,529,-5611567656867433112), (112,119,102,322,1822486750872583375), (113,116,100,428,2662761557489156901), (114,100,118,207,-2755988856753407454),
-        |  (115,115,112,132,1856236356268302844), (116,116,110,62,2890312367774751442), (117,116,100,246,3526418177894162497), (118,117,98,396,-3874643133544470861), (119,100,112,87,1079577319654049714),
-        |  (120,116,113,211,-1145296430347952021), (121,116,113,168,-4976919149232627159), (122,100,118,102,-6286799488845044725), (123,117,105,158,-6827571208159744078), (124,116,109,311,-5663887701596529205),
-        |  (125,103,98,185,-975520736072582505), (126,108,102,509,2146984634260655585), (127,113,98,434,-6116636202827896053), (128,119,98,455,-6623141387287724586), (129,103,106,439,-3185338182654310547),
-        |  (130,116,113,150,8293466747159202446), (131,115,112,293,-5791405262518046858), (132,107,112,330,4402583289162169230), (133,115,112,500,2622725748513403074), (134,114,118,132,1080644844835532244),
-        |  (135,110,102,538,-309186364762388612), (136,98,33,334,-3864614407803619715), (137,109,106,233,-8279812105723016871), (138,101,98,364,-4094719566280067754), (139,116,117,294,-6989072393612292302),
-        |  (140,104,115,157,-4322323397722324874), (141,116,100,432,-2377514984544091443), (142,117,105,512,5674994967441345115), (143,98,33,411,-6607325721886775689), (144,100,112,89,6952472050194089846),
-        |  (145,116,109,401,-3376944451743367959), (146,119,102,129,-7837142829428202175), (147,104,115,442,-5616297197824707420), (148,119,98,197,-6253550400905398516), (149,117,105,157,-6176068097728822737),
-        |  (150,116,112,274,-5383589796843357664), (151,116,117,519,7691696202650724358), (152,103,98,218,8454278749721026226), (153,100,112,433,9081732341640028533), (154,116,112,443,5826855745880636209),
-        |  (155,120,106,367,6777884972150362049), (156,105,98,122,-1684985333035017154), (157,116,109,91,-4077726216225557467), (158,105,98,106,-2267251204433751297), (159,101,98,379,-5478475356497559982),
-        |  (160,99,98,246,891617267950174713), (161,103,98,473,-4360156047299267044), (162,100,118,458,258571312397103042), (163,115,112,257,3247045765309913987), (164,108,102,108,4511583394210556865),
-        |  (165,116,109,108,-7063882360209668615), (166,114,118,327,2965575077820200129), (167,108,102,475,2382691750975555879), (168,116,110,228,2457734080551827861), (169,120,106,398,2762244014131489139),
-        |  (170,104,115,124,-3175916302301630785), (171,114,118,328,-4892974391150740807), (172,116,112,103,3413805963396841639), (173,104,115,540,527688853020055189), (174,116,109,315,-5163867157417569109),
-        |  (175,104,115,158,4783562511260665520), (176,105,98,491,-8343179768366901303), (177,117,105,263,6315910716432375626), (178,103,98,214,3840216336286576648), (179,108,102,484,-5241847863828504932),
-        |  (180,98,104,185,4128340904761033424), (181,103,106,109,-1104219403908004627), (182,98,104,343,3914455779666469193), (183,120,106,99,-1450068415987264151), (184,113,98,441,1403585581693386346),
-        |  (185,110,102,305,1194585377406805965), (186,115,112,413,435789089768105869), (187,98,33,497,7790236219345849425), (188,110,102,246,3901158585377086383), (189,104,115,207,3934968907403621326),
-        |  (190,117,98,428,4078977865883636319), (191,100,118,118,1028053147972292253), (192,103,106,132,-5551402392024498491), (193,109,106,168,-709022899208453338), (194,117,105,156,5947215753793105438),
-        |  (195,116,110,318,-88973043990413243), (196,103,106,339,-3841984600826486907), (197,98,33,522,8188078585406375377), (198,116,109,254,-768304878119540343), (199,100,112,154,5413423190577399817),
-        |  (200,113,98,303,5054972218264719495), (201,109,106,315,-7123737606170117101), (202,107,112,481,-7489097786603728589), (203,100,112,128,5909235387984353544), (204,119,102,117,-1821459319323052613),
-        |  (205,107,112,376,-5682656581916397819), (206,108,102,130,5471059905933677057), (207,110,102,385,-6613057698095537028), (208,105,98,115,7286696487881969654), (209,99,106,223,-2732432551240547445),
-        |  (210,100,118,515,-1657422670189227047), (211,100,112,279,7102731255416524885), (212,119,102,254,8346183304888906942), (213,103,98,467,6173983846120338063), (214,101,98,69,-362026384339234890),
-        |  (215,116,109,527,3004551458878971341), (216,100,112,529,4363630299967804543), (217,117,98,350,8945006001307817968), (218,101,98,455,-7050913145599571447), (219,116,100,175,1372199457722566994),
-        |  (220,113,98,553,4959656387886819462), (221,107,112,221,102525940022226185), (222,119,102,261,320935520689516573), (223,117,98,459,1455337445796633650), (224,116,100,442,3022285481383669068),
-        |  (225,116,110,419,9019594895213096996), (226,113,98,109,-1821288971828761659), (227,107,112,468,-7204798021434306921), (228,105,98,464,8223277372078256657), (229,117,105,409,3169641735369416058),
-        |  (230,117,105,311,-8461052419688381822), (231,98,33,155,-589474427552784331), (232,108,102,316,-7372581432810154373), (233,107,112,458,-2348195430301484014), (234,98,33,344,-3085481441036793573),
-        |  (235,108,102,224,649317432717931094), (236,117,98,62,-6820701633675883287), (237,113,98,416,-7757545495084617989), (238,114,118,257,1061220145260547885), (239,103,98,164,6709592142251185813),
-        |  (240,117,105,380,8234429945834228936), (241,98,33,511,1035206607291774143), (242,107,112,388,-5063955425622925317), (243,105,98,178,38753253809107840), (244,114,118,371,-3282581695063333144),
-        |  (245,117,105,466,-4101531645281610401), (246,98,104,175,-3196062600534344071), (247,116,109,430,8685885956138313929), (248,100,118,446,-123051667050623764), (249,112,115,431,-3174062315375902733),
-        |  (250,119,98,247,3636022391876327595), (251,113,98,523,415355032846293060), (252,116,113,252,-5856992154691580490), (253,108,102,197,1617131793996658496), (254,108,102,103,6361315472440044177),
-        |  (255,115,112,157,-2994456111720100787), (256,104,115,62,8857574647602977938), (257,117,105,114,8962359376013185166), (258,116,110,396,-8836437972887741110), (259,109,106,259,-4636722292033039456),
-        |  (260,112,115,134,7483166605012858964), (261,98,33,472,-4156461447854426119), (262,98,33,256,-1739196298358090216), (263,101,98,447,-7743238011276606523), (264,117,98,544,-8474182898318662472),
-        |  (265,117,98,268,4069850703254064622), (266,109,106,225,-4827258761988288851), (267,110,102,424,2656491958103986252), (268,101,98,216,-31971039389363304), (269,101,98,467,5608299683044493511),
-        |  (270,100,112,499,-6321942004375010088), (271,120,106,295,-4269064224618179605), (272,116,109,486,-2461037207346274712), (273,98,104,157,-1868674963183093222), (274,120,106,537,-3820131313671628142),
-        |  (275,98,33,49,8686878834463753696), (276,120,106,538,7291754022058507983), (277,114,118,163,2677632690138966619), (278,115,112,394,387901181560384140), (279,119,98,281,4120364410741212314),
-        |  (280,116,100,470,6531933130336589628), (281,115,112,171,1239582108394900486), (282,98,33,178,7828384064217413438), (283,100,118,471,1752425920558256184), (284,99,98,278,-3330569441605554679),
-        |  (285,104,115,512,1256779556799262547), (286,119,98,258,-5579142961369723390), (287,100,118,101,-2748073655009413925), (288,98,33,176,-2474615840210711955), (289,98,33,224,-8240595919751137223),
-        |  (290,116,113,530,2487181728298436918), (291,107,112,417,-4617509117008750196), (292,99,98,458,8676279265161622707), (293,100,112,385,722824274950336703), (294,115,112,470,-6147187606383406508),
-        |  (295,112,115,186,-865454827819773623), (296,99,98,359,-7655290947726081680), (297,113,98,322,3112265817350089983), (298,112,115,189,-8649979693005680715), (299,114,118,502,6637536707656029384),
-        |  (300,119,102,216,-7911966500612357682), (301,104,115,508,6584070874181343043), (302,117,98,484,-2789118039707484537), (303,100,118,454,1778036228348624870), (304,115,112,219,4597953244962933329),
-        |  (305,103,106,63,-4335314656601120596), (306,112,115,421,-3847761645577561718), (307,117,105,302,-8323207486609246996), (308,99,98,97,-7488045389085540192), (309,115,112,238,5967723389423478625),
-        |  (310,110,102,148,6063908665039801756), (311,110,102,495,-5535591736044260923), (312,116,112,369,-2256659355878743522), (313,103,106,87,7458224397738408004), (314,100,118,190,-2597032487893128891),
-        |  (315,104,115,460,-3056438035725342198), (316,116,100,407,8662624342803350271), (317,110,102,408,-2836932402328897579), (318,116,117,456,5689124894806297140), (319,98,104,513,7054002348204202438),
-        |  (320,117,105,405,6429676126972098047), (321,116,117,292,615871079579865992), (322,117,98,255,-1708416689715679637), (323,114,118,331,4654949235597718833), (324,104,115,228,6674447261601820143),
-        |  (325,117,98,328,6458896395205984121), (326,116,100,198,-821947308600424237), (327,104,115,181,-7463286237978852539), (328,107,112,495,8866626754700930019), (329,110,102,353,6477860020248229073),
-        |  (330,99,106,316,-8919177866606083271), (331,100,118,300,-9112122801306006345), (332,116,113,207,2048293737530430088), (333,105,98,177,3723496765182837115), (334,107,112,484,-5451726002887369241),
-        |  (335,100,112,325,7823304217325597062), (336,117,98,376,-8838661754968531930), (337,103,106,242,4598910912640911505), (338,101,98,91,-5206261603898552404), (339,119,102,187,-3031360274311017051),
-        |  (340,99,98,247,1019044803039087291), (341,113,98,427,3971484524704912532), (342,119,98,116,-3239517751893853288), (343,115,112,155,2065115241997996474), (344,115,112,417,-1152672420721716828),
-        |  (345,109,106,323,1977450734352617672), (346,103,98,409,-6259634211401526993), (347,103,106,282,-3541191692000021864), (348,99,98,131,5157179878171114632), (349,114,118,457,3395921052355638372),
-        |  (350,99,98,467,2618889670950879636), (351,98,33,368,8896379907806391335), (352,98,33,536,847519674270100819), (353,100,118,315,-6264110849597157279), (354,100,118,426,-4664217952862270695),
-        |  (355,116,113,353,-8710842371972899796), (356,108,102,359,223121069121167591), (357,105,98,253,-7113414731086915838), (358,107,112,59,-2579235440651958092), (359,116,112,328,7330383968433162505),
-        |  (360,119,102,443,-3423960826747578838), (361,120,106,363,1268410871643334698), (362,116,109,81,154862410410837362), (363,110,102,357,-8393739693663084), (364,103,98,270,3223137106120664363),
-        |  (365,119,102,67,1819428605361319714), (366,109,106,311,-6994633238025404579), (367,116,100,213,6021926452762335894), (368,98,104,73,8684809774155221359), (369,116,112,273,7986467110067116692),
-        |  (370,113,98,246,977454973394959631), (371,120,106,350,3990827387773560197), (372,100,112,142,-7120442259491648845), (373,110,102,388,2243788865409381563), (374,112,115,182,4425115972351612626),
-        |  (375,116,117,343,8064504709157472778), (376,101,98,367,8011199330283718881), (377,105,98,234,7683914684756391956), (378,116,112,337,374437789529011387), (379,116,113,403,-363594555577203791),
-        |  (380,120,106,443,-3759086695701522624), (381,116,100,353,-5373142800648220975), (382,100,118,132,168011659979106601), (383,117,105,254,1867368540299460202), (384,108,102,92,-3984713149417570001),
-        |  (385,100,118,399,3201111230783007035), (386,103,106,471,5074887823449388225), (387,105,98,208,1103193500281941498), (388,109,106,345,-3385517108153267391), (389,110,102,152,5089228645682731936),
-        |  (390,116,109,137,9175853505178628122), (391,120,106,238,2622298983165019985), (392,119,102,135,676266670838895463), (393,103,98,465,-4525829359803837517), (394,114,118,404,-8562915539757662621),
-        |  (395,104,115,479,411966137815152303), (396,99,106,248,8620927098465837181), (397,117,98,294,-1358078466269367171), (398,116,112,105,7197151796964571025), (399,100,112,309,-1914323566132422164),
-        |  (400,101,98,134,-1075761817406658311), (401,108,102,438,1289906677970662826), (402,99,106,160,2899102845713377208), (403,112,115,473,-1609560700778267860), (404,119,98,221,1695048876355423317),
-        |  (405,105,98,314,4167815954125371332), (406,117,98,460,3738264767378810119), (407,105,98,108,-8013717498788169960), (408,114,118,87,7128422245120637098), (409,116,110,273,336387180054647878),
-        |  (410,115,112,413,-1305236905637180650), (411,119,102,411,6293466075131408997), (412,98,104,365,1137165095939365478), (413,110,102,428,3349952723037745762), (414,113,98,408,5014294978944080023),
-        |  (415,117,105,313,4794757851044992017), (416,108,102,287,798567604940333611), (417,120,106,520,-1934764458740923400), (418,98,104,439,-6411263217043075000), (419,115,112,114,3496978274301582822),
-        |  (420,103,98,461,895046512254373017), (421,108,102,460,7397914899029896744), (422,107,112,365,-898702500966430260), (423,107,112,363,6603443190618698460), (424,107,112,409,-6803794029262523711),
-        |  (425,98,33,131,7168668535720754800), (426,110,102,452,-3138596776695473727), (427,98,33,420,9041270314337091404), (428,103,106,279,-1951713483270361934), (429,114,118,537,3287918416138157447),
-        |  (430,100,118,399,5949110513737068727), (431,119,102,307,-3258737552627614317), (432,116,100,359,-172097838466318165), (433,117,105,176,5409726284078606433), (434,100,112,423,-7709838515070439096),
-        |  (435,113,98,167,-5134738603868397894), (436,104,115,277,1023784651222515300), (437,112,115,440,-5268385035702884973), (438,103,98,172,-3733274317052201357), (439,104,115,184,-2400813972245707435),
-        |  (440,100,118,243,5594887001684208339), (441,116,109,542,405863922745148912), (442,116,117,455,-1331228507218261857), (443,99,106,280,-3645686900530142946), (444,108,102,419,-5199497336632092277),
-        |  (445,116,110,307,-2008938113081092534), (446,101,98,132,6084976224231483624), (447,117,105,505,-258807720665394609), (448,116,109,286,-4512097662281618514), (449,103,106,177,188718760041765010),
-        |  (450,117,105,142,5767198470309259052), (451,98,33,112,8745238990344356430), (452,115,112,358,171204786846068421), (453,103,106,519,-5470334817823046103), (454,116,117,153,3907753999224782630),
-        |  (455,117,98,59,8918077446214286053), (456,103,98,114,8956826636478123173), (457,116,100,202,-8696166413899345601), (458,108,102,323,67859894928446176), (459,99,98,376,3380134191834599669),
-        |  (460,98,104,261,1781952707068070862), (461,115,112,372,704660095428167862), (462,108,102,327,7897519974972997533), (463,103,106,491,-6104829718406991043), (464,99,98,204,-490592394645533167),
-        |  (465,109,106,320,-8077150535122528016), (466,99,98,471,-7241776145582483506), (467,116,112,360,3123665922239570074), (468,100,112,207,444238265709786771), (469,115,112,57,2757218335001825720),
-        |  (470,98,104,232,-6959009945941399588), (471,99,98,335,6819946469631629862), (472,98,104,208,-8803644721931995659), (473,99,98,293,1907852554282588161), (474,112,115,356,7019616865575255009),
-        |  (475,109,106,77,-4703339028530119001), (476,105,98,84,916733010411535210), (477,109,106,151,-7578730591819274416), (478,120,106,290,1828918780849226097), (479,116,112,389,4196454217865589747),
-        |  (480,113,98,359,4465044075255656954), (481,109,106,85,8608452254609303107), (482,103,106,165,-4224011923172440154), (483,107,112,245,1539770439280141431), (484,119,98,221,-740791030801367330),
-        |  (485,116,113,129,-7842901753479846710), (486,113,98,171,3214472087548832633), (487,108,102,321,6406969548950889376), (488,119,98,205,-5020671266322414133), (489,100,118,317,2343524094975679474),
-        |  (490,120,106,271,2148000499042559452), (491,100,112,368,333870262690138658), (492,119,98,77,-688645437559186158), (493,103,106,465,-324583371772074437), (494,116,112,206,7803089601672541442),
-        |  (495,103,106,384,8535369678139019753), (496,117,105,457,8834217611962253139), (497,120,106,123,-2583941609913889424), (498,119,98,485,1792404679759455654), (499,109,106,166,2142656942090719754))
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, CAST(n_bytes AS INTEGER) AS n_bytes, CAST(features_fp AS BIGINT) AS features_fp
+        |  (0,7,8,179,5123888215964777030), (1,11,13,442,742885352033450657), (2,9,10,282,-1015731063746164806), (3,7,7,158,-4387528404869569973), (4,9,10,282,-70991800040394596),
+        |  (5,10,11,343,-5647185599683869806), (6,5,6,101,-7375526879260948055), (7,11,13,442,5671653763502442876), (8,12,14,517,198568119595426381), (9,11,12,409,4925396909232622434),
+        |  (10,8,9,227,2048036168623443555), (11,10,11,343,6744260511649080390), (12,10,12,373,-3649280356515197715), (13,10,12,373,8199435983914446466), (14,12,14,517,4474447149342632015),
+        |  (15,8,10,252,1183493575465459221), (16,5,6,101,8778328366276763035), (17,11,13,442,-2625054069706495253), (18,11,13,442,1222522074219283409), (19,4,5,71,3479110524285998052),
+        |  (20,11,12,409,8782132741888389738), (21,8,10,252,-7096565200036046053), (22,12,13,481,-3255227624874833014), (23,7,8,179,6159783669954489869), (24,13,14,559,-4570849881608532498),
+        |  (25,13,13,520,6232801436636976009), (26,4,6,83,-2403278340370100838), (27,10,12,373,3433553277982471429), (28,10,12,373,7911268612533632517), (29,8,9,227,-1016537244625694342),
+        |  (30,7,8,179,6134862183468707314), (31,9,10,282,-3526706647326114115), (32,13,14,559,4994857629525656857), (33,9,10,282,-4092020097473923307), (34,7,8,179,8580390830990106222),
+        |  (35,12,13,481,-7880646390312757055), (36,6,8,155,6236605378743672696), (37,11,12,409,-2766085988331295060), (38,8,9,227,-315613398181475452), (39,6,7,137,-3884945647985928667),
+        |  (40,11,13,442,1941915104604462528), (41,10,12,373,7933356886670719126), (42,10,11,343,-3970148636376542871), (43,7,8,179,2461325446077686935), (44,6,8,155,-7305197027250797781),
+        |  (45,12,12,445,-265746656118290920), (46,12,14,517,-3990808306476475658), (47,8,10,252,-4465414909360488978), (48,7,8,179,8895713567977019258), (49,9,10,282,-7611349833939030149),
+        |  (50,9,10,282,-2792757416718868249), (51,10,11,343,-1958375944971174543), (52,4,6,83,6040830987618591377), (53,8,8,203,-4756814970855490339), (54,10,12,373,-7955556602683291012),
+        |  (55,8,9,227,5674251476157414684), (56,13,15,598,1716199194525353034), (57,12,13,481,-6753964226677787190), (58,11,12,409,-781154391793304534), (59,6,7,137,-164951356582375289),
+        |  (60,12,14,517,-8093282662297269803), (61,10,11,343,5836722597573399825), (62,11,12,409,7752449574790078675), (63,13,14,559,5262391474873660306), (64,6,8,155,-8389359159766779613),
+        |  (65,5,7,116,-1845803808789810614), (66,10,12,373,-3977843792615140336), (67,10,12,373,590715338781395184), (68,7,9,200,-2178227510744804573), (69,10,11,343,-1132227529790237413),
+        |  (70,13,14,559,8967340952755237069), (71,10,12,373,-5825455613891135066), (72,8,10,252,207316837012661650), (73,12,14,517,6674801886538543851), (74,4,4,59,6756076463249099549),
+        |  (75,10,11,343,-8225715138503823565), (76,11,12,409,-4121490551820607991), (77,10,11,343,6752734108295763162), (78,8,10,252,-7811604898593071905), (79,4,6,83,4501531309070781588),
+        |  (80,7,9,200,-8089848487481992595), (81,10,12,373,-2874846139197851581), (82,9,10,282,3253260329979617200), (83,5,6,101,5648439090491352201), (84,11,13,442,-4693989699068830961),
+        |  (85,7,8,179,4380116078955177706), (86,6,8,155,-9052743203483405375), (87,6,8,155,3067379835097623486), (88,9,11,309,952235022228265609), (89,6,8,155,2987290260853853873),
+        |  (90,6,7,137,6956499843316585119), (91,12,12,445,-817553158243054470), (92,7,7,158,2022173052813588775), (93,6,8,155,6237086680758580316), (94,6,8,155,6152554906384526125),
+        |  (95,9,11,309,1922318434324937112), (96,12,13,481,-3255990181253703335), (97,10,11,343,-8319805854651308433), (98,13,14,559,4552661692789158236), (99,8,9,227,2539337142404020141),
+        |  (100,12,13,481,2675439748496110270), (101,8,10,252,7053016486577616863), (102,13,14,559,-1109147775240242840), (103,13,14,559,3890823805459081298), (104,9,10,282,2057295357322168692),
+        |  (105,10,11,343,-6917341218414536015), (106,4,6,83,-3899547846584919178), (107,8,9,227,7716939328867327850), (108,5,6,101,2527953987928465886), (109,11,12,409,2871537105210291962),
+        |  (110,4,5,71,-8079697527442170530), (111,13,14,559,-7150611687855668162), (112,10,11,343,7376673410345787424), (113,11,13,442,2662957303528223092), (114,8,9,227,-5036649156280322588),
+        |  (115,6,8,155,1205556426050257223), (116,4,6,83,-3024394464983432947), (117,9,10,282,5894945356411330235), (118,11,12,409,-81614803753198135), (119,5,6,101,-4090200039322789714),
+        |  (120,8,9,227,-4361628811878327118), (121,7,8,179,8109467357950341937), (122,5,7,116,-6861945082026335043), (123,7,8,179,-4185222538324543693), (124,10,11,343,8164676389911563570),
+        |  (125,7,9,200,-1448571697164861386), (126,13,14,559,5686924571024081131), (127,12,13,481,4105963232444680353), (128,12,13,481,-6408724010289056008), (129,12,13,481,-5084935987279863098),
+        |  (130,7,8,179,-1285059545361344582), (131,9,11,309,161705331221659095), (132,10,11,343,-5387392169616063376), (133,12,14,517,1950637751467451091), (134,6,8,155,-5050648564476569630),
+        |  (135,13,14,559,-5407839229809803155), (136,10,12,373,-7692660947518587594), (137,8,10,252,3244000858695209385), (138,11,12,409,-7738627673100824099), (139,9,11,309,1944581368345997294),
+        |  (140,7,8,179,-3597577382369696329), (141,12,12,445,6868434703916531504), (142,13,14,559,7529181505978413977), (143,11,13,442,106977490112546752), (144,5,6,101,2187510007537134166),
+        |  (145,11,13,442,-4623775004513613539), (146,6,8,155,8300676960608892175), (147,12,13,481,8361930273906644467), (148,8,9,227,-466173063246882762), (149,7,8,179,-1122606838858220832),
+        |  (150,9,11,309,6221600823552534693), (151,13,14,559,-920277930617972066), (152,8,10,252,-3476778421314929977), (153,12,13,481,4216216777033530887), (154,12,13,481,-3480340830082762356),
+        |  (155,11,12,409,-2499166526307715263), (156,6,7,137,8520037082710343831), (157,5,7,116,-2557983261121016362), (158,6,6,119,-8832722187128440848), (159,11,12,409,-1830218315417136645),
+        |  (160,9,10,282,5028061288884775894), (161,12,14,517,-6555661729279478350), (162,12,13,481,-2650967274242451639), (163,9,10,282,7694742278002981510), (164,6,6,119,-7759794616500079645),
+        |  (165,6,6,119,5747549593215466757), (166,10,11,343,6715874854207821162), (167,12,14,517,-2094609007140181686), (168,8,10,252,-2761221662788346144), (169,11,13,442,-3782125194115898148),
+        |  (170,6,7,137,-798420435912276183), (171,10,11,343,-4216386318914346962), (172,5,7,116,2064960070386252860), (173,13,14,559,2983975186465933482), (174,10,11,343,-3360026553926859822),
+        |  (175,7,8,179,-2713505011395233738), (176,12,14,517,416296852860109636), (177,9,10,282,-4021519881205862899), (178,8,9,227,6683327241466409791), (179,12,14,517,4979919344866198461),
+        |  (180,7,9,200,4412299823665797327), (181,6,7,137,121464785446570520), (182,10,12,373,5609610619996512512), (183,5,7,116,64642369793950606), (184,12,13,481,-4023099932726615587),
+        |  (185,10,11,343,5097259275475715922), (186,11,13,442,2622488299639959594), (187,12,14,517,-94770632534980625), (188,9,10,282,-1927709731431737220), (189,8,9,227,367131347230886667),
+        |  (190,11,13,442,8021747110193493250), (191,6,7,137,5442625204864340495), (192,6,8,155,1684940410779241547), (193,7,8,179,8917472601350285874), (194,7,8,179,2631357781362526998),
+        |  (195,10,11,343,3659329452709627111), (196,10,12,373,-3401587812348990894), (197,13,14,559,-986642517267281649), (198,9,10,282,4625716852321244757), (199,7,8,179,-6856903936719475656),
+        |  (200,10,11,343,-773123195985009359), (201,10,11,343,-2083274703982277161), (202,12,14,517,-2261285428324482718), (203,6,8,155,-6388904144015708502), (204,6,7,137,2451790822364536687),
+        |  (205,11,12,409,5634939298712388362), (206,6,8,155,-6713332657576612016), (207,11,12,409,362656017264019027), (208,6,7,137,-6125150111675160452), (209,8,10,252,6630596838947288837),
+        |  (210,13,14,559,5743139156223383751), (211,9,11,309,6101589231675216974), (212,9,10,282,7999851915969186950), (213,12,13,481,7283693452692246133), (214,4,6,83,1583853885052849962),
+        |  (215,13,14,559,7345228190247336777), (216,13,14,559,6694182580592906018), (217,10,12,373,8797588326455248220), (218,12,13,481,-2529525361342745252), (219,7,9,200,4816233360770511162),
+        |  (220,13,15,598,2349393338071575254), (221,8,10,252,430788568754953329), (222,9,10,282,-2566192956263642988), (223,12,13,481,-6374332824629956373), (224,12,13,481,-2760524189016251470),
+        |  (225,11,13,442,-3188534029955091065), (226,6,7,137,123963093274990446), (227,12,13,481,-4028240070907372155), (228,12,13,481,2881037054243084077), (229,11,13,442,295681016742315171),
+        |  (230,10,11,343,-8311278902754859004), (231,7,8,179,-8847616204946498212), (232,10,11,343,5352156917405110038), (233,12,13,481,7533304003579322605), (234,10,12,373,6166858081710208770),
+        |  (235,8,10,252,-3812233015294769158), (236,4,6,83,-1375710810038282303), (237,11,13,442,4665826029760849287), (238,9,10,282,4810655649710167071), (239,7,8,179,5326275202637497221),
+        |  (240,11,12,409,-1350469370182846756), (241,13,14,559,-1673798157065436720), (242,11,12,409,-8300210832260578421), (243,7,9,200,8708732362415962085), (244,11,12,409,-2707101156416288718),
+        |  (245,12,13,481,-1914964412612244066), (246,7,9,200,-7732070699990864586), (247,12,12,445,4824805249398209198), (248,12,13,481,6225678834297809996), (249,12,12,445,7824798045967726410),
+        |  (250,9,10,282,5025289429135633476), (251,13,14,559,9028422276125394588), (252,9,10,282,7924651285808292482), (253,8,9,227,-1724538332443644298), (254,5,7,116,-4562865784160902191),
+        |  (255,7,8,179,2770714840404554820), (256,4,6,83,7501732535714058225), (257,6,7,137,1837592209385406384), (258,11,12,409,6292250990689348796), (259,9,10,282,-8908813036816196576),
+        |  (260,6,8,155,-452485181071340777), (261,12,14,517,-6449631154666983706), (262,9,10,282,-142055440157634426), (263,12,13,481,4916735761861798267), (264,13,14,559,-6592483176539497512),
+        |  (265,9,10,282,-8633640623879692405), (266,8,10,252,6902822074749775858), (267,11,13,442,-7211524316195147366), (268,8,9,227,-4728497882213094181), (269,12,13,481,-3445802483451564387),
+        |  (270,12,14,517,-7009309580960536656), (271,9,11,309,8179448475246925772), (272,12,14,517,633656372038103946), (273,7,8,179,6442825211219751319), (274,13,14,559,-6131782147138197908),
+        |  (275,4,5,71,4436043723954946472), (276,13,14,559,-4435617009509166560), (277,7,8,179,-3171604731863012173), (278,11,12,409,-4513485710062093999), (279,9,11,309,6511585321772593011),
+        |  (280,12,14,517,6007986810123643683), (281,7,9,200,-6037907244034780183), (282,7,9,200,-566338552269477889), (283,12,14,517,-1495665388087833270), (284,9,11,309,-3195406256514071728),
+        |  (285,13,14,559,2465292091911263785), (286,9,10,282,5944791474796148553), (287,5,7,116,5390521923140433612), (288,7,9,200,-1490784131707331558), (289,8,10,252,8837242072461995589),
+        |  (290,13,14,559,-4832501585282629641), (291,11,13,442,-1331047625479604508), (292,12,13,481,-7336273617370466563), (293,11,12,409,-1982280769006760034), (294,12,14,517,2347990596946308335),
+        |  (295,7,9,200,-9151966834356395954), (296,10,12,373,-5493570404857614131), (297,10,11,343,-762269883888180201), (298,7,9,200,-2871512807294420304), (299,12,14,517,2302771358327819219),
+        |  (300,8,9,227,6326978297701961955), (301,13,14,559,-5028761342546308924), (302,12,14,517,-5333892352260025417), (303,12,13,481,3851111251756656945), (304,8,10,252,7800730724170835195),
+        |  (305,4,6,83,-4016403279523695610), (306,11,13,442,-2950430151846712131), (307,10,11,343,-218758595329283701), (308,5,7,116,-5304735558376797524), (309,8,10,252,968890521127346055),
+        |  (310,7,8,179,-1643786485605244468), (311,12,14,517,4319709693020207312), (312,11,12,409,-337951173444277210), (313,5,6,101,8388044011732378564), (314,8,8,203,-3797718629358066351),
+        |  (315,12,13,481,-8580054663881658148), (316,11,13,442,-6859663956591312954), (317,11,13,442,4114963893760769732), (318,12,13,481,-6172677595268962954), (319,13,14,559,1919151403949375848),
+        |  (320,11,13,442,-5401444578264665249), (321,9,11,309,-6607083062151489131), (322,9,10,282,6810982810409586925), (323,10,12,373,3114334607142669938), (324,8,10,252,421966465016192363),
+        |  (325,10,11,343,-1352254559503217212), (326,8,9,227,-7393966171567736882), (327,7,9,200,7106509924288273971), (328,12,14,517,3514819256311038156), (329,10,12,373,-3351508013931811984),
+        |  (330,10,11,343,4059955359100817161), (331,10,10,313,6868924652306497356), (332,8,9,227,9025051675196701795), (333,7,9,200,-857821234171286463), (334,12,14,517,-4499078585413647505),
+        |  (335,10,11,343,-7249047630987916108), (336,11,12,409,5660506031061551051), (337,9,9,254,8344364045814105240), (338,5,7,116,1155702867375117152), (339,7,9,200,2501499700264131151),
+        |  (340,9,10,282,-1082662362579061914), (341,11,13,442,-8633960463515594375), (342,6,7,137,4554379983757982821), (343,7,8,179,8818008557841910176), (344,11,13,442,-7578401200518293185),
+        |  (345,10,11,343,-3751030393567410835), (346,11,13,442,-1898371460454255927), (347,9,11,309,7365067905941134950), (348,6,8,155,-8763157044631796124), (349,12,13,481,-343217487525559519),
+        |  (350,12,13,481,3845169026273791620), (351,11,12,409,1052069053781313414), (352,13,14,559,-1403044137955354431), (353,10,11,343,-6242188343766944563), (354,11,13,442,462429908069161457),
+        |  (355,10,12,373,-6924863653535038419), (356,10,12,373,-4684070307003404791), (357,9,10,282,-5671489200060465934), (358,4,5,71,-5280057571099928435), (359,10,11,343,-7730947958039789242),
+        |  (360,12,13,481,-5098271031960564158), (361,11,11,376,-5316897433720070792), (362,5,6,101,-3753918365279453787), (363,10,12,373,255154082481991744), (364,9,10,282,-6988975997095872882),
+        |  (365,4,6,83,-3218455890208192815), (366,10,11,343,873041280309583841), (367,8,9,227,-5842871748054704595), (368,5,5,86,-2056372759282004114), (369,9,11,309,4439458076919756205),
+        |  (370,9,10,282,5493439256847484450), (371,10,12,373,-503375519078407066), (372,6,8,155,6116998103443181912), (373,11,12,409,4288645442277008902), (374,7,9,200,-6965089785301914841),
+        |  (375,10,12,373,8174317695144552897), (376,11,12,409,7564922907400303217), (377,8,10,252,-6859580576804485602), (378,10,12,373,1433553160516905255), (379,11,13,442,-5569026210178480968),
+        |  (380,12,13,481,-7116615328820357205), (381,10,12,373,-7912352292251670217), (382,6,8,155,3247448842801419257), (383,9,10,282,-565788126420080741), (384,5,7,116,-2222888657731122828),
+        |  (385,11,13,442,7055990426393129947), (386,12,14,517,8025309668904593505), (387,8,9,227,-6320250032552343490), (388,10,12,373,-6310322909043763355), (389,7,8,179,6712655631638699672),
+        |  (390,6,8,155,-4263223892103125311), (391,8,10,252,1620029047504052264), (392,6,8,155,6827080228436909275), (393,12,13,481,-8287627590311878644), (394,11,13,442,5643516889381475389),
+        |  (395,12,14,517,-5287712082253796144), (396,9,10,282,4346104621010626713), (397,9,11,309,2919614674694497356), (398,5,7,116,487940331468918041), (399,10,11,343,-4186109744397124241),
+        |  (400,6,8,155,868499832762609515), (401,12,13,481,2654408762122100547), (402,7,8,179,8397390773152722297), (403,12,14,517,350215998588754331), (404,8,10,252,4053793555032145421),
+        |  (405,10,11,343,3693611953559487986), (406,12,13,481,353518903814535544), (407,6,6,119,7925920147553818195), (408,5,6,101,3517441968653368083), (409,9,11,309,5029779232201155127),
+        |  (410,11,13,442,-4011710569040743939), (411,11,13,442,-1903803102103026437), (412,11,12,409,-3588952828262728219), (413,11,13,442,-5167751294420224342), (414,11,13,442,-1789381177295055107),
+        |  (415,10,11,343,-5013350744421018057), (416,9,11,309,-8589238642202204734), (417,13,14,559,168520861701348229), (418,12,13,481,7991117229770401600), (419,6,7,137,9214271944052413189),
+        |  (420,12,13,481,6835397977345384130), (421,12,13,481,5664350451809910960), (422,11,12,409,441453305477790280), (423,11,11,376,-4513244044528073421), (424,11,13,442,511139988594617362),
+        |  (425,6,8,155,-3643443049730652186), (426,12,13,481,7777535986089027080), (427,11,13,442,2844795527946133487), (428,9,11,309,6585974645301384959), (429,13,14,559,2289977262867662679),
+        |  (430,11,13,442,-1765141402317359323), (431,10,11,343,8488338797556485470), (432,10,12,373,2991348312959846652), (433,7,9,200,6368390103208430923), (434,11,13,442,-2778697875407297354),
+        |  (435,7,8,179,2279859530341193376), (436,9,11,309,5749225204896341634), (437,12,13,481,-88343840688256985), (438,7,9,200,-4541973054599595635), (439,7,9,200,2995473839795384642),
+        |  (440,9,9,254,-4035281687444574831), (441,13,14,559,-8086461763562475922), (442,12,13,481,9018980670232272565), (443,9,11,309,1374414801555115967), (444,11,13,442,-5525149747078226748),
+        |  (445,10,11,343,4429052301669171113), (446,6,8,155,7466075974105645959), (447,13,13,520,7688662245670359990), (448,9,11,309,1463086108989926476), (449,7,9,200,1988738616869768050),
+        |  (450,6,8,155,1457661715917579335), (451,6,7,137,-5494711573630261202), (452,10,12,373,-5926502171517966528), (453,13,14,559,1227941251617466209), (454,7,8,179,-9086840215477823273),
+        |  (455,4,5,71,8491873996922016580), (456,6,7,137,6098566690394758271), (457,8,9,227,7061777427225018516), (458,10,11,343,6747397347372125820), (459,11,12,409,2567303784471497655),
+        |  (460,9,10,282,7461462413085015304), (461,11,12,409,-3557123316324580353), (462,10,11,343,-7212273038667124120), (463,12,14,517,-2379293872276787433), (464,8,9,227,1354871831785543757),
+        |  (465,10,11,343,-7992065435344899584), (466,12,14,517,-6657830870723404713), (467,10,12,373,-6277152216454895678), (468,8,9,227,4686530539730781652), (469,4,5,71,6534538009816104054),
+        |  (470,8,10,252,-7929106407160423081), (471,10,12,373,326972164837342758), (472,8,9,227,-6096761574283373672), (473,9,11,309,-2921010873064873634), (474,10,12,373,-6985055829709756903),
+        |  (475,5,6,101,4870987641145210338), (476,5,6,101,-6484399437271267132), (477,7,8,179,-4579816504467943709), (478,9,11,309,5761965946712239942), (479,11,12,409,-56590681347379941),
+        |  (480,10,12,373,-402423173949039034), (481,5,6,101,-8302389871508207623), (482,7,8,179,2722527094972335353), (483,9,10,282,2774728856741125991), (484,8,10,252,-2603340745587754054),
+        |  (485,6,8,155,706183152172049121), (486,7,9,200,4035738209751356284), (487,10,11,343,-6050674908823889373), (488,8,9,227,-8734316335027967729), (489,10,11,343,8583830917916227859),
+        |  (490,9,11,309,5417220354192867926), (491,11,12,409,4141314891561441193), (492,5,6,101,3674859880230851499), (493,12,13,481,-5300243787596673178), (494,8,9,227,-3922053450940904934),
+        |  (495,11,12,409,-5122353171203306297), (496,12,13,481,5787667308619397327), (497,6,7,137,-8605437169016176010), (498,12,14,517,9023510141051968792), (499,7,8,179,-2155818505389726878))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |  CAST(n_bytes AS INT) AS n_bytes, CAST(features_fp AS BIGINT) AS features_fp
         |FROM r""".stripMargin,
 
     // Learned-BPE segmentation fertility per doc.

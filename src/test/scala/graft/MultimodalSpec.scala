@@ -8,7 +8,61 @@ import graft.operators.Multimodal
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
-  test("extractFeatures: stub decoder is deterministic with the declared shape") {
+  test("PpmCodec decodes a hand-built 2x2 P6 image to exact mean/std features") {
+    import graft.functions.PpmCodec
+    val rgb = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val img = PpmCodec.decodeP6(PpmCodec.encodeP6(2, 2, rgb)).get
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == rgb.toSeq, "roundtrip must preserve pixels")
+    val f = PpmCodec.features(img)
+    assert(f(0) == 55.0f && f(1) == 65.0f && f(2) == 75.0f, "channel means")
+    assert(math.abs(f(3) - math.sqrt(1125.0).toFloat) < 1e-5f, "R stddev")
+    assert(math.abs(f(6) - (0.299 * 55 + 0.587 * 65 + 0.114 * 75)) < 1e-4,
+      "BT.601 mean luma")
+    assert(f(7) == 1.0f, "aspect ratio")
+  }
+
+  test("PpmCodec header grammar: comments, whitespace runs, maxval rescale") {
+    import graft.functions.PpmCodec
+    val withComments = ("P6 # a comment\n" + "2 # width done\n\t1\n" +
+      "# maxval next\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6)
+    val img = PpmCodec.decodeP6(withComments).get
+    assert(img.width == 2 && img.height == 1)
+    assert(img.rgb.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    // maxval 85 rescales linearly: v * 255/85 = 3v
+    val scaled = "P6\n1 1\n85\n".getBytes("US-ASCII") ++ Array[Byte](85.toByte, 10, 0)
+    assert(PpmCodec.decodeP6(scaled).get.rgb.toSeq ==
+      Seq[Byte](255.toByte, 30, 0))
+    // trailing junk beyond the pixel area is tolerated
+    assert(PpmCodec.decodeP6(withComments ++ Array[Byte](9, 9)).isDefined)
+  }
+
+  test("PpmCodec rejects malformed input with None, never a throw") {
+    import graft.functions.PpmCodec
+    def ppm(s: String, px: Byte*) = s.getBytes("US-ASCII") ++ px.toArray
+    assert(PpmCodec.decodeP6(ppm("P5\n1 1\n255\n", 1, 2, 3)).isEmpty, "magic")
+    assert(PpmCodec.decodeP6(ppm("P6\n1 1\n255\n", 1, 2)).isEmpty, "short pixels")
+    assert(PpmCodec.decodeP6(ppm("P6\n0 1\n255\n")).isEmpty, "zero dim")
+    assert(PpmCodec.decodeP6(ppm("P6\n1 1\n0\n", 1, 2, 3)).isEmpty, "maxval 0")
+    assert(PpmCodec.decodeP6(ppm("P6\n1 1\n300\n", 1, 2, 3)).isEmpty,
+      "two-byte depth unsupported")
+    assert(PpmCodec.decodeP6(ppm("P61 1\n255\n", 1, 2, 3)).isEmpty,
+      "missing separator after magic")
+    assert(PpmCodec.decodeP6(Array[Byte]()).isEmpty)
+    assert(PpmCodec.decodeP6(ppm("P6\n1 x\n255\n", 1, 2, 3)).isEmpty, "non-digit")
+  }
+
+  test("extractFeatures routes P6 payloads through the real decoder") {
+    import graft.functions.PpmCodec
+    val rgb = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val payloads = Seq((1L, PpmCodec.encodeP6(2, 2, rgb))).toDF("doc_id", "payload")
+    val r = Multimodal.extractFeatures(spark, payloads).collect()(0)
+    assert(r.getInt(1) == 2 && r.getInt(2) == 2, "dims from the PARSED header")
+    assert(r.getSeq[Float](4).take(3).toSeq == Seq(55.0f, 65.0f, 75.0f))
+  }
+
+  test("extractFeatures: non-PPM fallback stays deterministic with the declared shape") {
     val payloads = Seq(
       (1L, Array[Byte](3, 7, 40, 41, 42)),
       (2L, Array[Byte]()),
