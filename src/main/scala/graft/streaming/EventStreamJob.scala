@@ -162,6 +162,66 @@ object EventStreamJob {
           col("q4_sum").cast("double") / col("n_docs").cast("double") / 1e4)
           .as("mean_quality"))
 
+  /** Streaming distribution-drift monitor — the continuous twin of the
+    * batch TVD report ([[graft.operators.Robust.distributionDriftOf]],
+    * SURVEY row 108): live traffic vs a FROZEN reference distribution,
+    * which is how production drift monitoring actually runs (the batch
+    * form's shared two-period bin edges need both periods complete; a
+    * stream has no "complete"). The static side precomputes, per
+    * event_type, the reference bounds and a `bins`-bucket histogram;
+    * each event stream-static-joins to its type's frame (no join
+    * state), buckets on the REFERENCE edges — out-of-range values
+    * clamp into the edge bins, so a range shift registers as edge-bin
+    * drift rather than vanishing — and a windowed aggregate maintains
+    * the per-(window, type) histogram as `bins` conditional sums:
+    * fixed-size, partial-aggregate-mergeable state across
+    * micro-batches (the HLL-sketch argument, row 68). TVD folds the
+    * two histograms per GROUP (not per event), |p−q| quantized to the
+    * batch twin's integer 1e-9 grid so the sum is order-independent.
+    *
+    * Types absent from the reference are dropped (inner join): drift
+    * against nothing is undefined — the batch twin's empty-period
+    * exclusion. A degenerate reference (mn == mx) puts all mass in
+    * bucket 0 on both sides → tvd 0, same as batch.
+    */
+  def driftMonitor(events: DataFrame, reference: DataFrame,
+                   bins: Int = 20): DataFrame = {
+    require(bins > 0 && bins <= 1000, s"bins in (0,1000], got $bins")
+    val bounds = reference.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"),
+        count(lit(1)).as("n_ref"))
+    val width = (col("mx") - col("mn")) / bins
+    def bucket(clamp: Boolean) = {
+      val raw = floor((col("value") - col("mn")) / width)
+      val b = if (clamp) least(greatest(raw, lit(0L)), lit(bins - 1L))
+        else least(raw, lit(bins - 1L))
+      when(col("mx") > col("mn"), b).otherwise(lit(0L)).cast("int")
+    }
+    def hist = array((0 until bins).map(i =>
+      sum(when(col("b") === i, 1L).otherwise(0L))): _*)
+    val ref = reference.join(bounds, "event_type")
+      .select(col("event_type"), bucket(clamp = false).as("b"))
+      .groupBy("event_type").agg(hist.as("ref_cnts"))
+      .join(bounds, "event_type") // tiny: one row per type
+    val qdiff = zip_with(col("ref_cnts"), col("cnts"), (r, c) =>
+      floor(abs(r.cast("double") / col("n_ref").cast("double")
+        - c.cast("double") / col("n_events").cast("double")) * 1e9 + 0.5)
+        .cast("long"))
+    events
+      .withWatermark("ts", "2 hours")
+      .join(ref, Seq("event_type")) // stream-static: stateless per batch
+      .select(col("ts"), col("event_type"), bucket(clamp = true).as("b"),
+        col("n_ref"), col("ref_cnts"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        col("n_ref"), col("ref_cnts"))
+      .agg(count(lit(1)).as("n_events"), hist.as("cnts"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("n_ref"),
+        graft.functions.TextF.round4HalfUp(
+          aggregate(qdiff, lit(0L), (acc, x) => acc + x).cast("double")
+            / lit(2e9)).as("tvd"))
+  }
+
   /** Windowed CTR per user: 1-hour tumbling event-time windows, 2-hour
     * watermark (late events beyond that are dropped and state is
     * reclaimed — unbounded state would OOM a 100 TB stream). */

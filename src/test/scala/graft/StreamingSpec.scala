@@ -547,6 +547,117 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("driftMonitor: windowed TVD vs the frozen reference, merged across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // Reference for "view": values {0, 0, 10, 10} with bins=2 →
+    // bounds [0,10], width 5, p = [0.5, 0.5]. "purchase" has NO
+    // reference → must be dropped.
+    val reference = Seq(
+      ("view", 0.0), ("view", 0.0), ("view", 10.0), ("view", 10.0))
+      .toDF("event_type", "value")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStreamJob.driftMonitor(events, reference, bins = 2)
+      .writeStream.format("memory").queryName("drift_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("10:05"), "view", 1.0), (ts("10:10"), "view", 1.0),
+        (ts("10:15"), "view", 1.0), (ts("10:20"), "view", 9.0),
+        (ts("10:25"), "purchase", 3.0)) // no reference → excluded
+      query.processAllAvailable()
+      def snap = spark.table("drift_test")
+        .select(col("event_type"), col("n_events"), col("n_ref"), col("tvd"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      // q = [3/4, 1/4] vs p = [1/2, 1/2] → TVD = (0.25 + 0.25)/2... no:
+      // ½(|0.75-0.5| + |0.25-0.5|) = ½(0.25+0.25) = 0.25
+      assert(snap == Map("view" -> ((4L, 4L, 0.25))), s"batch 1: $snap")
+      // Batch 2 merges into the SAME window: one more high value plus
+      // out-of-range values clamping into the edge bins (-5 → bin 0,
+      // 100 → bin 1): q = [4/7, 3/7] → TVD = |4/7-1/2| = 0.0714
+      input.addData(
+        (ts("10:40"), "view", 9.0),
+        (ts("10:45"), "view", -5.0), (ts("10:50"), "view", 100.0))
+      query.processAllAvailable()
+      val s2 = snap
+      assert(s2("view")._1 == 7L, s"batch 2 must merge into the window: $s2")
+      assert(math.abs(s2("view")._3 - 0.0714) < 1e-9,
+        s"clamped values count as edge-bin drift: $s2")
+      assert(!s2.contains("purchase"), "unreferenced types stay excluded")
+    } finally query.stop()
+  }
+
+  test("StreamingIvm survives a mid-write crash: checkpoint replay leaves no double-count, no hole") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val base = java.nio.file.Files.createTempDirectory("graft-ivm-crash")
+      .toFile.getAbsolutePath
+    val path = s"$base/snapshot"
+    val ckpt = s"$base/checkpoint"
+    // Injected faults around the REAL mergeBatch call (the production
+    // sink body plus a crash switch): afterWrite models dying between
+    // the partition writes and the checkpoint commit; beforeWrite
+    // models dying before any write happened.
+    @volatile var failAfterWrite = false
+    @volatile var failBeforeWrite = false
+    def startQuery() = input.toDF().toDF("ts", "value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (failBeforeWrite) {
+          failBeforeWrite = false
+          throw new RuntimeException("injected crash BEFORE write")
+        }
+        graft.streaming.StreamingIvm.mergeBatch(batch, path, id)
+        if (failAfterWrite) {
+          failAfterWrite = false
+          throw new RuntimeException("injected crash AFTER write")
+        }
+      }.start()
+
+    def snap = graft.streaming.StreamingIvm.snapshot(spark, path).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+
+    var query = startQuery()
+    try {
+      input.addData((Timestamp.valueOf("2026-01-01 10:00:00"), 1.5))
+      query.processAllAvailable()
+      // ---- crash AFTER the write, BEFORE the checkpoint commit ----
+      failAfterWrite = true
+      input.addData(
+        (Timestamp.valueOf("2026-01-01 12:00:00"), 2.5), // late for day 1
+        (Timestamp.valueOf("2026-01-02 09:00:00"), 1.0)) // new day
+      intercept[Exception](query.processAllAvailable())
+      assert(snap == Map(
+        "2026-01-01" -> ((2L, 4.0, 1L)), "2026-01-02" -> ((1L, 1.0, 0L))),
+        "the crashed attempt DID write — the fence must now defend it")
+      // restart from the checkpoint: the uncommitted batch replays
+      // with the same id and must be skipped day-for-day
+      query = startQuery()
+      query.processAllAvailable()
+      assert(snap == Map(
+        "2026-01-01" -> ((2L, 4.0, 1L)), "2026-01-02" -> ((1L, 1.0, 0L))),
+        s"replay after a post-write crash must not double-count: $snap")
+      // ---- crash BEFORE any write ----
+      failBeforeWrite = true
+      input.addData((Timestamp.valueOf("2026-01-03 08:00:00"), 2.0))
+      intercept[Exception](query.processAllAvailable())
+      query = startQuery()
+      query.processAllAvailable()
+      assert(snap == Map(
+        "2026-01-01" -> ((2L, 4.0, 1L)), "2026-01-02" -> ((1L, 1.0, 0L)),
+        "2026-01-03" -> ((1L, 2.0, 0L))),
+        s"replay after a pre-write crash must leave no hole: $snap")
+      // liveness after both recoveries: a further late event still merges
+      input.addData((Timestamp.valueOf("2026-01-02 23:00:00"), 0.5))
+      query.processAllAvailable()
+      assert(snap("2026-01-02") == ((2L, 1.5, 1L)),
+        s"post-recovery batches must keep merging: $snap")
+    } finally query.stop()
+  }
+
   test("qualityMonitor tracks per-source intake health across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, String)]
