@@ -1,6 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Post-execution shuffle accounting for Bench: walk the FINAL
+  * executed plan (through AQE's adaptive root, materialized query
+  * stages, and subqueries) and sum each shuffle exchange's
+  * `shuffleBytesWritten` SQLMetric — deduped by metric instance so a
+  * ReusedExchange doesn't double-count its original. Bytes written is
+  * the number that matters for the §6 scale tables: it is the volume
+  * that crosses the network on a real cluster, invariant to
+  * local-mode's loopback reads. */
+private object ShuffleBytes {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case _ => Nil
+    }
+    p +: (p.children ++ inner ++ p.subqueries).flatMap(walk)
+  }
+
+  def of(df: DataFrame): Long =
+    walk(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("shuffleBytesWritten"))
+      .distinct // reused exchanges share one SQLMetric instance
+      .map(m => math.max(0L, m.value))
+      .sum
+}
+
 /** Benchmark entry point. Prints ONE compact JSON line on stdout
   * (the driver's contract) and writes the complete record to
   * `bench_full.json`.
@@ -51,6 +81,7 @@ object Bench {
     try spark.read.parquet(s"$sfDir/nation.parquet").limit(1).collect()
     catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shuffles = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Optional comma-separated allowlist for local iteration (the
     // round driver never sets it → full suite).
@@ -75,9 +106,15 @@ object Bench {
           // Materialize every row through the full physical plan —
           // `df.count()` alone would let Parquet answer from footer
           // metadata and prune all columns, benchmarking a no-op.
-          fn(spark, sfDir).queryExecution.toRdd.count()
+          val df = fn(spark, sfDir)
+          df.queryExecution.toRdd.count()
           val s = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"BENCHQ $name run${i + 1} $s%.3f")
+          // Shuffle volume of this run's executed plan (outside the
+          // timed region; identical run to run absent AQE re-plans,
+          // so last-run is as good as min).
+          val sb = ShuffleBytes.of(df)
+          System.err.println(f"BENCHQ $name run${i + 1} $s%.3f shuffleMB ${sb / 1e6}%.1f")
+          shuffles(name) = sb
           if (s < best) best = s
           i += 1
           // Queries are independent: drop whatever blocks this run
@@ -102,8 +139,10 @@ object Bench {
     // Complete record → file (full precision, insertion order).
     val fullQs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullSh = shuffles.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":$fullQs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":$fullQs,"shuffle_bytes":$fullSh,"errors":$es,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
