@@ -246,7 +246,19 @@ object SparkEntry {
       ((s, d) => Scale.withApprox(s)(CorpusStats.quantileNormalize(s, d))),
     // Round-10: CCNet-style normalized exact dedup (SURVEY row 15's
     // normalization-hardened sibling)
-    "dedup_normalized"  -> (Dedup.dedupNormalized(_, _))
+    "dedup_normalized"  -> (Dedup.dedupNormalized(_, _)),
+    // Round-10 widening tranche: graph structure, cluster validity,
+    // LSH cost audit, curriculum/drift/burstiness (SURVEY §2 rows
+    // 213-219)
+    "kcore"             -> (Graph.kcore(_, _)),
+    "degree_assortativity" -> (Graph.degreeAssortativity(_, _)),
+    "silhouette"        -> (Cluster.silhouette(_, _)),
+    // pinned-frame gate: the banding side is the native minhash
+    // pipeline (cf. lsh_recall)
+    "lsh_precision"     -> (Dedup.lshPrecision(_, _)),
+    "curriculum_order"  -> (Corpus.curriculumOrder(_, _)),
+    "schema_drift"      -> (Warehouse.schemaDrift(_, _)),
+    "burstiness"        -> (EventAnalytics.burstiness(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

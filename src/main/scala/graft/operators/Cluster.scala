@@ -211,4 +211,65 @@ object Cluster {
 
   def centroidOutliers(spark: SparkSession, dir: String): DataFrame =
     centroidOutliersOf(Tables.embeddings(spark, dir))
+
+  /** Simplified (centroid-based / "medoid-free") silhouette per
+    * cluster over [[kmeansEmbedOf]]'s final assignment — the standard
+    * cluster-validity readout (Rousseeuw '87, centroid form): with
+    * cosine distances a = 1 − cos(own centroid) and b = 1 − cos
+    * (nearest OTHER centroid), s = (b − a)/max(a, b) ∈ [−1, 1]; s near
+    * 1 reads well-separated, s ≤ 0 reads "this vector sits closer to
+    * another cell" — the number that decides whether k was right
+    * before [[semDedupOf]] trusts the cells. The full-pairwise
+    * silhouette is Θ(n²); the centroid form is the linear-cost
+    * standard for large n (each vector scores against k centroids —
+    * the SAME k-row broadcast as the assignment pass).
+    *
+    * Determinism: cosines round to 6 dp (the assignment contract), so
+    * b is the rank-2 score of the SAME (cs DESC, c_id) window that
+    * ranks the assignment — max over other centroids = the runner-up,
+    * no second scan. One IEEE division per vector, s quantized to 1e-6
+    * ints before the per-cluster mean (order-blind integer sums), 4 dp
+    * half-up. A vector scoring 1.0 on BOTH centroids (max(a,b) = 0)
+    * contributes s = 0, the boundary convention. */
+  def silhouetteOf(embeddings: DataFrame, k: Int = K,
+                   iters: Int = Iterations): DataFrame = {
+    require(k >= 2 && iters > 0, s"need k >= 2 and iters > 0, got k=$k iters=$iters")
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val seeds = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val cents = (1 until iters).foldLeft(seeds) { (c, _) =>
+      recenter(assign(vecs, c))
+    }
+    val byScore = Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("c_id"))
+    val ranked = vecs.join(broadcast(cents)) // k rows — bounded
+      .select(col("vec_id"), col("c_id"),
+        round(VectorF.cosineSim(col("emb"), col("c_emb")), 6).as("cs"))
+      .filter(col("cs").isNotNull) // zero-norm vectors never scored
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= 2)
+    val perVec = ranked.groupBy("vec_id")
+      .agg(max(when(col("rn") === 1, col("c_id"))).as("cluster"),
+        max(when(col("rn") === 1, col("cs"))).as("ac"),
+        max(when(col("rn") === 2, col("cs"))).as("bc"))
+      .select(col("vec_id"), col("cluster"),
+        (lit(1.0) - col("ac")).as("a"), (lit(1.0) - col("bc")).as("b"))
+      .select(col("cluster"),
+        when(greatest(col("a"), col("b")) === 0.0, lit(0L))
+          .otherwise(floor((col("b") - col("a"))
+            / greatest(col("a"), col("b")) * 1e6 + 0.5).cast("long"))
+          .as("sq"))
+    perVec.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("sq").as("ssum"), min("sq").as("smin"))
+      .select(col("cluster"), col("n"),
+        graft.functions.TextF.round4HalfUp(
+          col("ssum").cast("double") / 1e6 / col("n").cast("double"))
+          .as("mean_silhouette"),
+        (col("smin").cast("double") / 1e6).as("min_silhouette"))
+      .orderBy("cluster")
+  }
+
+  def silhouette(spark: SparkSession, dir: String): DataFrame =
+    silhouetteOf(Tables.embeddings(spark, dir))
 }

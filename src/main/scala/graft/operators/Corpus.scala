@@ -778,4 +778,42 @@ object Corpus {
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeightsOf(Tables.documents(spark, dir),
       Seq("src0", "src1", "src2", "src3"))
+
+  /** Curriculum ordering for training (clean-first scheduling): docs
+    * rank by quality DESC — the [[graft.functions.TextF.qualityScore]]
+    * contract, one source of truth with the quality_score query — md5
+    * tiebreak so equal-quality docs land in a deterministic but
+    * content-blind order (the same md5-rank trick as
+    * [[stratifiedSampleOf]]; a doc_id tiebreak would correlate
+    * curriculum position with crawl order), then split into
+    * quality-quartile tiers (ntile 4 over the same total order) and
+    * fixed-size training batches of `batchSize` in curriculum order.
+    * A curriculum run feeds batch 0, 1, 2… — so the (tier, batch_id)
+    * columns ARE the schedule; the quality column survives for audit.
+    *
+    * Shape: rank + ntile share one global window (a single-reducer
+    * sort over (quality, md5, id) triples — the full row never rides
+    * the shuffle). At 100 TB the same schedule comes from the
+    * two-phase form — per-range counts broadcast as offsets, rank =
+    * offset + local row_number — the standard global-rank
+    * decomposition; the triple stream here is small enough that the
+    * single window wins on plan simplicity. Everything downstream is
+    * per-row arithmetic. */
+  def curriculumOrderOf(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val byCurriculum = Window.orderBy(col("quality").desc,
+      col("tie"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        TextF.qualityScore(col("text"), TextAnalysis.Stopwords).as("quality"),
+        md5(col("doc_id").cast("string")).as("tie"))
+      .withColumn("rank", row_number().over(byCurriculum).cast("long") - 1L)
+      .withColumn("tier", ntile(4).over(byCurriculum))
+      .select(col("doc_id"), col("quality"), col("rank"), col("tier"),
+        expr(s"rank div $batchSize").as("batch_id"))
+      .orderBy("rank")
+  }
+
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    curriculumOrderOf(Tables.documents(spark, dir))
 }

@@ -552,6 +552,47 @@ object Dedup {
   def lshRecallSampled(spark: SparkSession, dir: String): DataFrame =
     lshRecallOf(Tables.documents(spark, dir), sampleOneIn = 2)
 
+  /** LSH candidate PRECISION audit — [[lshRecallOf]]'s other half:
+    * of the distinct (band, hash)-bucket candidate pairs, what
+    * fraction survives the exact-Jaccard verify at `threshold`?
+    * Recall says what banding MISSES; precision prices what it COSTS —
+    * the verify stage's workload is exactly the candidate count, so
+    * 1/precision is the verify-work-per-kept-pair multiplier, the
+    * number that decides whether the (bands, rows) split needs
+    * retuning before a 100 TB run pays for it (too many bands →
+    * recall 1.0 but a verify queue full of junk; too few → cheap but
+    * leaky). Same bounded 1-row shape as the recall audit: candidate
+    * pairs are Θ(bucket mass), never all-pairs, and the `sampleOneIn`
+    * knob prices down the audit by ~1/s² with the same unbiasedness
+    * argument (content-blind endpoint sampling).
+    *
+    * Not SQL-expressible (the banding is the native minhash pipeline)
+    * → pinned-frame gate + DedupSpec bound properties. */
+  def lshPrecisionOf(docs: DataFrame, threshold: Double = 0.5,
+                     sampleOneIn: Int = 1): DataFrame = {
+    require(sampleOneIn >= 1, s"sampleOneIn must be >= 1, got $sampleOneIn")
+    val base = if (sampleOneIn == 1) docs
+      else docs.filter(pmod(xxhash64(col("doc_id")), lit(sampleOneIn.toLong)) === 0L)
+    val banded = bandedSignaturesOf(base)
+    val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+    val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
+    val nCand = a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .agg(count(lit(1)).as("n_candidates"))
+    val nKept = dedupJaccardOf(base, threshold)
+      .agg(count(lit(1)).as("n_verified"))
+    nCand.crossJoin(nKept) // 1 row × 1 row
+      .select(lit(threshold).as("threshold"), col("n_candidates"),
+        col("n_verified"),
+        when(col("n_candidates") > 0, graft.functions.TextF.round4HalfUp(
+          col("n_verified").cast("double") / col("n_candidates").cast("double")))
+          .as("precision"))
+  }
+
+  def lshPrecision(spark: SparkSession, dir: String): DataFrame =
+    lshPrecisionOf(Tables.documents(spark, dir))
+
   /** Per-source exact-duplicate rate under [[dedupExact]]'s keep-first
     * (min doc_id per sha256) contract — the per-source quality number
     * behind [[dupMatrixOf]]'s cross-source view: a crawl source with a

@@ -725,4 +725,46 @@ object EventAnalytics {
 
   def temporalSplit(spark: SparkSession, dir: String): DataFrame =
     temporalSplitOf(Tables.events(spark, dir))
+
+  /** Daily-count burstiness (index of dispersion / Fano factor) per
+    * event type: D = Var(daily count)/Mean(daily count) over the
+    * type's own calendar span — D ≈ 1 reads Poisson-like arrivals,
+    * D ≫ 1 reads bursty clumping (flash crowds, incident storms), the
+    * number that decides whether a pipeline can provision for the
+    * MEAN rate or must size for bursts. Days with no events are real
+    * zeros of the series: n = full span days, so only Σc and Σc² need
+    * the observed-day frame (zero days add nothing to either sum) and
+    * no calendar grid materializes — unlike [[acfDailyOf]], which
+    * needs the zeros IN PLACE for lag alignment, dispersion is
+    * order-blind. Exact-integer Pearson form: population variance
+    * multiplied through by n² gives D = (n·Σc² − (Σc)²)/(n·Σc), all
+    * int64 (headroom: n·Σc² < 2⁶³ holds to ~10⁸ events/day/type over
+    * a year — ~10⁴× above sf100 volume), ONE division at the end,
+    * 4 dp half-up. mean_daily divides the same exact integers.
+    *
+    * Shape: one map-side-combinable (type, day) count aggregate is the
+    * only fact-sized shuffle; the per-type fold runs on the bounded
+    * (types × span) frame. */
+  def burstinessOf(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg((datediff(max("day"), min("day")) + 1).cast("long").as("n_days"),
+        sum("c").as("n_events"),
+        sum(col("c") * col("c")).as("ssq"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        graft.functions.TextF.round4HalfUp(
+          col("n_events").cast("double") / col("n_days").cast("double"))
+          .as("mean_daily"),
+        graft.functions.TextF.round4HalfUp(
+          (col("n_days") * col("ssq") - col("n_events") * col("n_events"))
+            .cast("double")
+            / (col("n_days") * col("n_events")).cast("double"))
+          .as("dispersion"))
+      .orderBy("event_type")
+
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    burstinessOf(Tables.events(spark, dir))
 }

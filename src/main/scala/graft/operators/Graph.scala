@@ -214,17 +214,7 @@ object Graph {
     * Everything after the fact→edge collapse is vocabulary-bounded:
     * wedge join + closure join are equijoins on edge endpoints. */
   def triangleCountOf(events: DataFrame): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    val und = events
-      .select(col("user_id"),
-        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
-          .as("item"),
-        unix_micros(col("ts")).as("us"), col("event_id"))
-      .withColumn("src", lag("item", 1).over(byUser))
-      .filter(col("src").isNotNull && col("src") =!= col("item"))
-      .select(least(col("src"), col("item")).as("a"),
-        greatest(col("src"), col("item")).as("b"))
-      .distinct()
+    val und = undirectedEdges(events)
       .localCheckpoint(false) // wedge side ×2 + closure side + node set
     val wedges = und.select(col("a"), col("b"))
       .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
@@ -431,4 +421,116 @@ object Graph {
 
   def lpaCommunities(spark: SparkSession, dir: String): DataFrame =
     lpaCommunitiesOf(Tables.events(spark, dir))
+
+  /** The undirected distinct-neighbor item graph (a < b, self-loops
+    * dropped) every structural operator here shares — ONE derivation
+    * ([[triangleCountOf]]'s, factored) so k-core, assortativity and
+    * triangles can never disagree on what "the graph" is. */
+  private def undirectedEdges(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("src", lag("item", 1).over(byUser))
+      .filter(col("src").isNotNull && col("src") =!= col("item"))
+      .select(least(col("src"), col("item")).as("a"),
+        greatest(col("src"), col("item")).as("b"))
+      .distinct()
+  }
+
+  /** k-core decomposition (Seidman '83) at a fixed `k`: the maximal
+    * subgraph where every surviving node keeps ≥ k distinct surviving
+    * neighbors — the standard "dense cohesive backbone" extraction
+    * that strips hairy periphery before community detection or
+    * influence seeding (a high-degree node whose neighbors are all
+    * leaves is NOT in the 3-core; raw degree can't tell). Synchronous
+    * peeling: each round recomputes degrees within the surviving set
+    * and drops everything under k. `rounds` is FIXED (oracle-unrolled,
+    * [[pagerankOf]]'s contract) rather than a fixpoint test — peeling
+    * is monotone (survivor sets only shrink), so if round R equals
+    * round R−1 the fixpoint is reached and further rounds are
+    * identity; GraphSpec asserts convergence-within-rounds on the test
+    * corpus, and each extra no-op round costs one bounded-frame pass,
+    * not a correctness risk.
+    *
+    * Shape: the fact table collapses to the distinct edge frame once
+    * (checkpointed; bounded by item-vocabulary², not fact count);
+    * every peel round is two survivor semi-joins + one
+    * map-side-combinable degree aggregate on that bounded frame, and
+    * per-round lazy checkpoints truncate lineage so round 8 doesn't
+    * re-plan rounds 1-7. Output: surviving (item, core_degree). */
+  def kcoreOf(events: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = undirectedEdges(events).localCheckpoint(false)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    var surv = adj.select(col("u").as("item")).distinct().localCheckpoint(false)
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = adj
+        .join(surv.select(col("item").as("u")), "u")
+        .join(surv.select(col("item").as("v")), "v")
+        .groupBy("u").agg(count(lit(1)).as("core_degree"))
+        .filter(col("core_degree") >= k)
+        .localCheckpoint(false)
+      surv = deg.select(col("u").as("item"))
+    }
+    deg.select(col("u").as("item"), col("core_degree")).orderBy("item")
+  }
+
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(Tables.events(spark, dir))
+
+  /** Degree assortativity (Newman '02): the Pearson correlation of
+    * endpoint degrees over the undirected item graph's edges — r > 0
+    * reads "hubs link to hubs" (social-network shape), r < 0 reads
+    * "hubs link to leaves" (star/infrastructure shape), the one-number
+    * mixing diagnostic that predicts how the graph fragments under
+    * node removal and how fast anything diffuses on it. Each
+    * undirected edge contributes BOTH orientations (the standard
+    * symmetrization), so Σx = Σy and Σx² = Σy² by construction and
+    * r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — a ratio of exact int64
+    * polynomials in distinct-neighbor degrees, no sqrt, ONE final
+    * division, 6 dp floor-half-up ([[pagerankOf]]'s grid). Overflow
+    * headroom: every term is ≤ V⁶ at item-vocabulary V — inside int64
+    * to V ≈ 1400, ~10× the props.k vocabulary at any sf; decimal(38)
+    * buys V ≈ 2·10⁶ if a larger catalog ever needs it.
+    *
+    * Shape: edge frame once (bounded by V², checkpointed — degree
+    * side + both sample orientations), one map-combinable degree
+    * aggregate, a degree join back on the bounded adjacency, one
+    * 1-row moment aggregate. Nothing fact-sized shuffles twice. */
+  def degreeAssortativityOf(events: DataFrame): DataFrame = {
+    val und = undirectedEdges(events).localCheckpoint(false)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+    val samples = adj
+      .join(deg.select(col("u"), col("d").as("dx")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dy")), "v")
+    samples.agg(count(lit(1)).as("n"),
+        sum("dx").as("sx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges")))) // 1 row × 1 row
+      .crossJoin(broadcast(
+        und.select(col("a").as("x")).union(und.select(col("b").as("x")))
+          .agg(countDistinct(col("x")).as("n_nodes")))) // 1 row
+      .select(col("n_nodes"), col("n_edges"),
+        // a uniform-degree graph has zero degree variance — r is
+        // undefined; NULL beats NaN cross-engine (ANSI 0/0 throws)
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0L,
+          lit(null).cast("double"))
+          .otherwise(
+            floor(((col("n") * col("sxy") - col("sx") * col("sx")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * lit(1e6) + lit(0.5)) / lit(1e6)).as("assortativity"))
+  }
+
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    degreeAssortativityOf(Tables.events(spark, dir))
 }

@@ -365,4 +365,104 @@ object Warehouse {
 
   def incrementalRollup(spark: SparkSession, dir: String): DataFrame =
     incrementalRollupOf(Tables.events(spark, dir))
+
+  /** Column-level schema/content drift gate between two pipeline
+    * vintages: the fact table splits at min_day + `splitDays` into
+    * period a (before) and b (after), and each tracked column reports
+    * row count, null rate, exact distinct count and (for numerics)
+    * the micro-exact mean on both sides plus a distinct-cardinality
+    * ratio — the pre-deploy regression check that catches a silently
+    * nulled-out field, a collapsed enum, or a re-keyed id BEFORE a
+    * downstream join fans out wrong ([[snapshotDiffOf]] diffs ROWS of
+    * a keyed dim; this diffs the DISTRIBUTION of every column of an
+    * append-only fact).
+    *
+    * Shape: ONE fact pass — a single (after)-keyed aggregate computes
+    * every column's count/nulls/exact-distincts/sums (the four
+    * DISTINCT aggregates plan as one Expand: a few× the scan rows,
+    * map-combinable, never a re-scan) — then the 2-row result
+    * explodes to (column, side) long form and pivots back with
+    * conditional aggregation: no self-join, no second consumer of the
+    * fact scan. The split day rides a 1-row broadcast. Means stay
+    * exact: value micro-quantizes, props.k and user_id sum as raw
+    * int64; one IEEE division per cell at the end, 4 dp half-up;
+    * event_type's mean is NULL by type.
+    */
+  def schemaDriftOf(events: DataFrame, splitDays: Int = 15): DataFrame = {
+    require(splitDays >= 1, s"splitDays must be >= 1, got $splitDays")
+    val minDay = events.agg(min(to_date(col("ts"))).as("d0"))
+    val base = events.crossJoin(broadcast(minDay))
+      .select(
+        (datediff(to_date(col("ts")), col("d0")) >= splitDays).as("after"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"),
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("event_type"))
+    // ONE aggregate per period computes every column's stats in a
+    // single fact pass (the four countDistincts plan as one Expand —
+    // a few× the scan rows, map-combinable, never a re-scan); integer
+    // columns sum raw int64 (a ×1e6 micro-scale would breach int64 at
+    // rehearsal volume), `value` sums its micro quantization and
+    // divides the scale back out. Everything downstream reshapes the
+    // 2-row aggregate: explode to (column, side) long form, then a
+    // conditional-aggregation pivot — no self-join, no second fact
+    // scan (the first cut unioned four per-column aggregates and
+    // joined a/b sides: 8 planned fact scans; PlanSpec now pins ≤1
+    // bounded cross).
+    def sideStats(name: String, nullC: org.apache.spark.sql.Column,
+                  distC: org.apache.spark.sql.Column,
+                  mean: org.apache.spark.sql.Column) =
+      struct(lit(name).as("column"), col("n_rows"), nullC.as("n_null"),
+        distC.as("n_distinct"), mean.as("mean"))
+    def meanOf(q: org.apache.spark.sql.Column,
+               nNull: org.apache.spark.sql.Column, scale: Double) =
+      when(col("n_rows") - nNull > 0L, TextF.round4HalfUp(
+        q.cast("double") / lit(scale)
+          / (col("n_rows") - nNull).cast("double")))
+    val agg = base.groupBy("after").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_et"),
+      countDistinct(col("event_type")).as("dist_et"),
+      sum(when(col("item").isNull, 1L).otherwise(0L)).as("null_item"),
+      countDistinct(col("item")).as("dist_item"),
+      sum(col("item")).as("sum_item"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_uid"),
+      countDistinct(col("user_id")).as("dist_uid"),
+      sum(col("user_id")).as("sum_uid"),
+      sum(when(col("qv").isNull, 1L).otherwise(0L)).as("null_qv"),
+      countDistinct(col("qv")).as("dist_qv"),
+      sum(col("qv")).as("sum_qv"))
+    val long = agg.select(col("after"), explode(array(
+        sideStats("event_type", col("null_et"), col("dist_et"),
+          lit(null).cast("double")),
+        sideStats("item", col("null_item"), col("dist_item"),
+          meanOf(col("sum_item"), col("null_item"), 1.0)),
+        sideStats("user_id", col("null_uid"), col("dist_uid"),
+          meanOf(col("sum_uid"), col("null_uid"), 1.0)),
+        sideStats("value", col("null_qv"), col("dist_qv"),
+          meanOf(col("sum_qv"), col("null_qv"), 1e6)))).as("c"))
+      .select(col("after"), col("c.*"))
+    long.groupBy("column").agg(
+        max(when(!col("after"), col("n_rows"))).as("n_a"),
+        max(when(col("after"), col("n_rows"))).as("n_b"),
+        max(when(!col("after"), col("n_null"))).as("null_a"),
+        max(when(col("after"), col("n_null"))).as("null_b"),
+        max(when(!col("after"), col("n_distinct"))).as("distinct_a"),
+        max(when(col("after"), col("n_distinct"))).as("distinct_b"),
+        max(when(!col("after"), col("mean"))).as("mean_a"),
+        max(when(col("after"), col("mean"))).as("mean_b"))
+      .select(col("column"), col("n_a"), col("n_b"),
+        TextF.round4HalfUp(col("null_a").cast("double") / col("n_a").cast("double"))
+          .as("null_rate_a"),
+        TextF.round4HalfUp(col("null_b").cast("double") / col("n_b").cast("double"))
+          .as("null_rate_b"),
+        col("distinct_a"), col("distinct_b"),
+        TextF.round4HalfUp(col("distinct_b").cast("double")
+          / col("distinct_a").cast("double")).as("distinct_ratio"),
+        col("mean_a"), col("mean_b"))
+      .orderBy("column")
+  }
+
+  def schemaDrift(spark: SparkSession, dir: String): DataFrame =
+    schemaDriftOf(Tables.events(spark, dir))
 }

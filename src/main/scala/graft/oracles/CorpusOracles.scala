@@ -108,6 +108,19 @@ private[graft] object CorpusOracles {
       s"""SELECT doc_id, $QualitySqlExpr AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // One total order (quality DESC, md5 tiebreak, doc_id) shared by
+    // rank, ntile(4) tier and the derived batch_id.
+    "curriculum_order" ->
+      s"""WITH q AS (SELECT doc_id, $QualitySqlExpr AS quality,
+        |    md5(CAST(doc_id AS VARCHAR)) AS tie
+        |  FROM documents),
+        |r AS (SELECT doc_id, quality,
+        |    CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS "rank",
+        |    CAST(NTILE(4) OVER w AS INT) AS tier
+        |  FROM q WINDOW w AS (ORDER BY quality DESC, tie, doc_id))
+        |SELECT doc_id, quality, "rank", tier, "rank" // 64 AS batch_id
+        |FROM r ORDER BY "rank"""".stripMargin,
+
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -701,5 +701,56 @@ private[graft] object EventOracles {
         |      CAST((SELECT users FROM s WHERE ord = 1) AS DOUBLE)
         |      * 100 * 100 + 0.5) / 100 END AS conv_pct
         |FROM s ORDER BY ord""".stripMargin,
+
+    "kcore" -> KcoreSql,
+
+    // Both endpoint orientations of the undirected distinct-neighbor
+    // graph; exact int64 moment sums; r is one double division on the
+    // symmetric Pearson form (Σx = Σy, so no sqrt), 6 dp floor-grid.
+    "degree_assortativity" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         item AS dst
+        |  FROM base),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM tr WHERE src IS NOT NULL AND src <> dst),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |s AS (SELECT dx.d AS dx, dy.d AS dy
+        |      FROM adj JOIN deg dx ON dx.u = adj.u JOIN deg dy ON dy.u = adj.v),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dx) AS BIGINT) AS sx,
+        |        CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+        |        CAST(SUM(dx * dx) AS BIGINT) AS sxx FROM s),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM
+        |        (SELECT DISTINCT a AS x FROM e UNION SELECT DISTINCT b FROM e)),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE floor(CAST(n * sxy - sx * sx AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |  END AS assortativity
+        |FROM m, nn, ne""".stripMargin,
+
+    // Zero days contribute nothing to Σc or Σc², so only observed
+    // (type, day) rows aggregate; n = the full calendar span.
+    "burstiness" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type,
+        |        CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS n_days,
+        |        CAST(SUM(c) AS BIGINT) AS n_events,
+        |        CAST(SUM(c * c) AS BIGINT) AS ssq
+        |      FROM d GROUP BY 1)
+        |SELECT event_type, n_days, n_events,
+        |  floor(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS mean_daily,
+        |  floor(CAST(n_days * ssq - n_events * n_events AS DOUBLE)
+        |    / CAST(n_days * n_events AS DOUBLE) * 1e4 + 0.5) / 1e4 AS dispersion
+        |FROM g ORDER BY event_type""".stripMargin,
   )
 }

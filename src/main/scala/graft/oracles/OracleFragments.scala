@@ -332,6 +332,37 @@ private[graft] object OracleFragments {
       |FROM it10 ORDER BY item""".stripMargin
   }
 
+  /** Unrolled 8-round synchronous k-core peel at k = 3 (same
+    * unroll-not-recurse rationale as [[PagerankSql]]): each round
+    * recomputes distinct-neighbor degrees within the surviving set
+    * and keeps nodes with ≥ 3. Peeling is monotone, so rounds past
+    * the fixpoint are identity — GraphSpec asserts convergence within
+    * 8 on the test corpus. */
+  val KcoreSql: String = {
+    def step(k: Int): String =
+      s"""d$k AS (
+        |  SELECT adj.u, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM adj JOIN s${k - 1} x ON x.item = adj.u
+        |           JOIN s${k - 1} y ON y.item = adj.v
+        |  GROUP BY 1 HAVING COUNT(*) >= 3),
+        |s$k AS (SELECT u AS item FROM d$k)""".stripMargin
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+      |         item AS dst
+      |  FROM base),
+      |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |      FROM tr WHERE src IS NOT NULL AND src <> dst),
+      |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      |s0 AS (SELECT DISTINCT u AS item FROM adj),
+      |""".stripMargin +
+      (1 to 8).map(step).mkString(",\n") + """
+      |SELECT u AS item, deg AS core_degree FROM d8 ORDER BY item""".stripMargin
+  }
+
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
   // through integer micros (floor then int64 SUM), single final
   // divisions, explicit rounding before ranking.

@@ -584,5 +584,47 @@ private[graft] object SimilarityOracles {
         |  (498,4,-0.043139,-0.325618), (499,8,0.25487,-0.110322))
         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label, CAST(pc1 AS DOUBLE) AS pc1, CAST(pc2 AS DOUBLE) AS pc2
         |FROM r""".stripMargin,
+
+    // Centroid-form silhouette over the kmeans_embed final centroids:
+    // SAME c0→a1→c1 CTE chain as the kmeans oracle (the one-contract
+    // centroid machinery), then the rank-1/rank-2 scores of the same
+    // (cs DESC, c_id) window give a = 1 − own, b = 1 − runner-up;
+    // s quantizes to 1e-6 ints before the per-cluster mean.
+    "silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+        |s1 AS (SELECT e.vec_id, e.emb, c0.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c0.c_emb), 6) AS cs
+        |       FROM e, c0),
+        |a1 AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s1) WHERE rn = 1),
+        |m AS (SELECT cluster, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |      FROM a1, generate_series(1, 64) AS g(i) GROUP BY cluster, i),
+        |c1 AS (SELECT cluster AS c_id, list(v ORDER BY i) AS c_emb FROM m GROUP BY cluster),
+        |s2 AS (SELECT e.vec_id, c1.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c1.c_emb), 6) AS cs
+        |       FROM e, c1),
+        |r AS (SELECT vec_id, c_id, cs,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |      FROM s2 WHERE cs IS NOT NULL AND NOT isnan(cs)),
+        |p AS (SELECT vec_id,
+        |        MAX(CASE WHEN rn = 1 THEN c_id END) AS cluster,
+        |        1.0 - MAX(CASE WHEN rn = 1 THEN cs END) AS a,
+        |        1.0 - MAX(CASE WHEN rn = 2 THEN cs END) AS b
+        |      FROM r WHERE rn <= 2 GROUP BY 1),
+        |q AS (SELECT cluster,
+        |        CASE WHEN greatest(a, b) = 0.0 THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(floor((b - a) / greatest(a, b) * 1e6 + 0.5) AS BIGINT)
+        |        END AS sq
+        |      FROM p)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+        |  floor(CAST(SUM(sq) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5)
+        |    / 1e4 AS mean_silhouette,
+        |  CAST(MIN(sq) AS DOUBLE) / 1e6 AS min_silhouette
+        |FROM q GROUP BY cluster ORDER BY cluster""".stripMargin,
   )
 }

@@ -399,5 +399,63 @@ private[graft] object WarehouseOracles {
         |  floor(CAST(SUM(qv) AS DOUBLE) / 100.0 + 0.5) / 1e4 AS revenue,
         |  CAST(SUM(late) AS BIGINT) AS n_late
         |FROM b GROUP BY day ORDER BY day""".stripMargin,
+
+    // Integer columns mean over raw int64 sums; value through micro
+    // quantization with the scale divided back out (Spark divides by
+    // 1.0 for the integer columns — an IEEE identity, so omitting it
+    // here is bit-equal). event_type's mean is NULL by type.
+    "schema_drift" ->
+      """WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        |b AS (SELECT date_diff('day', d0.d0, CAST(ts AS DATE)) >= 15 AS after,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv, user_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    event_type
+        |  FROM events, d0),
+        |et AS (SELECT 'event_type' AS "column", after,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct,
+        |    CAST(NULL AS DOUBLE) AS mean
+        |  FROM b GROUP BY after),
+        |it AS (SELECT 'item' AS "column", after,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN item IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT item) AS BIGINT) AS n_distinct,
+        |    floor(CAST(SUM(item) AS DOUBLE)
+        |      / CAST(COUNT(*) - SUM(CASE WHEN item IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      * 1e4 + 0.5) / 1e4 AS mean
+        |  FROM b GROUP BY after),
+        |uid AS (SELECT 'user_id' AS "column", after,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+        |    floor(CAST(SUM(user_id) AS DOUBLE)
+        |      / CAST(COUNT(*) - SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      * 1e4 + 0.5) / 1e4 AS mean
+        |  FROM b GROUP BY after),
+        |v AS (SELECT 'value' AS "column", after,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN qv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT qv) AS BIGINT) AS n_distinct,
+        |    floor(CAST(SUM(qv) AS DOUBLE) / 1e6
+        |      / CAST(COUNT(*) - SUM(CASE WHEN qv IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      * 1e4 + 0.5) / 1e4 AS mean
+        |  FROM b GROUP BY after),
+        |u AS (SELECT * FROM et UNION ALL SELECT * FROM it
+        |      UNION ALL SELECT * FROM uid UNION ALL SELECT * FROM v),
+        |sa AS (SELECT "column", n_rows AS n_a, n_null AS null_a,
+        |    n_distinct AS distinct_a, mean AS mean_a FROM u WHERE NOT after),
+        |sb AS (SELECT "column", n_rows AS n_b, n_null AS null_b,
+        |    n_distinct AS distinct_b, mean AS mean_b FROM u WHERE after)
+        |SELECT sa."column" AS "column", n_a, n_b,
+        |  floor(CAST(null_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS null_rate_a,
+        |  floor(CAST(null_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS null_rate_b,
+        |  distinct_a, distinct_b,
+        |  floor(CAST(distinct_b AS DOUBLE) / CAST(distinct_a AS DOUBLE) * 1e4 + 0.5)
+        |    / 1e4 AS distinct_ratio,
+        |  mean_a, mean_b
+        |FROM sa JOIN sb USING ("column") ORDER BY "column"""".stripMargin,
   )
 }

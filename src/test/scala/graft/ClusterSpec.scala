@@ -73,4 +73,31 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
       Seq((0L, v, 1), (1L, v.clone, 1)).toDF("vec_id", "embedding", "label"))
     assert(out.count() == 0L)
   }
+
+  test("silhouette: two tight orthogonal clusters score a perfect 1.0") {
+    import spark.implicits._
+    // seeds 0 and 1 on orthogonal axes, one twin each: a = 1-1 = 0 to
+    // the own centroid, b = 1-0 = 1 to the other → s = 1 everywhere
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)), (3L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Cluster.silhouetteOf(emb, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(0L -> ((2L, 1.0, 1.0)), 1L -> ((2L, 1.0, 1.0))), s"got $out")
+  }
+
+  test("silhouette: coincident centroids hit the max(a,b)=0 convention → s = 0") {
+    import spark.implicits._
+    // both seeds (and so both centroids) are the same direction: every
+    // vector scores cos 1 on both → a = b = 0 → s = 0 by convention,
+    // and the (cs DESC, c_id) tiebreak assigns everything to cell 0
+    val emb = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Cluster.silhouetteOf(emb, k = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((0L, 3L, 0.0)), s"got $out")
+  }
 }

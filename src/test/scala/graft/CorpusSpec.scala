@@ -399,4 +399,40 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     val w = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(w(1L) > w(2L))
   }
+
+  test("curriculum: clean docs schedule first, ranks are dense, batches cut at batchSize") {
+    // quality is dominated by the length term at tiny docs: a 200+
+    // char doc maxes it, a short one doesn't
+    val long1 = (1 to 40).map(i => s"the w$i").mkString(" ")  // ~280 chars
+    val long2 = (1 to 40).map(i => s"a x$i").mkString(" ")
+    val docs = Seq(
+      (1L, "short text"),
+      (2L, long1),
+      (3L, "tiny"),
+      (4L, long2)).toDF("doc_id", "text")
+    val out = Corpus.curriculumOrderOf(docs, batchSize = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3),
+        r.getLong(4)))
+    assert(out.map(_._3).toSeq == Seq(0L, 1L, 2L, 3L), "dense ranks in order")
+    assert(out.map(_._5).toSeq == Seq(0L, 0L, 1L, 1L), "batches of 2")
+    assert(out.map(_._4).toSeq.sliding(2).forall(p => p(0) <= p(1)),
+      "tiers never decrease along the schedule")
+    val q = out.map(o => o._1 -> o._2).toMap
+    assert(out.take(2).map(_._1).toSet == Set(2L, 4L),
+      s"the two long (high-quality) docs lead the curriculum: $q")
+  }
+
+  test("curriculum: equal-quality docs order by md5, not by id (content-blind tiebreak)") {
+    // identical text → identical quality; md5("1"), md5("2"), md5("3")
+    // sort as 1 < 3 < 2 (c4ca…, ecc…, c81e… → c4ca < c81e < ecc)
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "same"))
+      .toDF("doc_id", "text")
+    val out = Corpus.curriculumOrderOf(docs, batchSize = 10).collect()
+      .map(_.getLong(0)).toSeq
+    val md5Order = Seq(1L, 2L, 3L).sortBy(id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(out == md5Order, s"got $out expected $md5Order")
+  }
 }

@@ -400,6 +400,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       s"sampled recall ${sampled.getDouble(4)} strayed > $band from exact ${exact.getDouble(4)}")
   }
 
+  test("lsh precision: verified never exceeds candidates; twins price at 1.0; empty is NULL") {
+    // twin pair → exactly one candidate pair, and it verifies
+    val twins = docsDf(
+      1L -> (1 to 20).map(i => s"t$i").mkString(" "),
+      2L -> (1 to 20).map(i => s"t$i").mkString(" "),
+      3L -> "totally different content entirely here")
+    val p = Dedup.lshPrecisionOf(twins, 0.5).collect().head
+    assert(p.getLong(1) == 1L && p.getLong(2) == 1L && p.getDouble(3) == 1.0,
+      s"got $p")
+    // candidate count bounds the verified count, and the verified side
+    // IS the dedupJaccard pair count (one contract, two consumers)
+    val corpus = docsDf(
+      1L -> (1 to 30).map(i => s"w$i").mkString(" "),
+      2L -> ((1 to 30).map(i => s"w$i").mkString(" ") + " tail"),
+      3L -> (50 to 75).map(i => s"w$i").mkString(" "),
+      4L -> "lone document with nothing shared")
+    val q = Dedup.lshPrecisionOf(corpus, 0.5).collect().head
+    assert(q.getLong(2) <= q.getLong(1), s"verified <= candidates: $q")
+    assert(q.getLong(2) == Dedup.dedupJaccardOf(corpus, 0.5).count())
+    // no banded pair at all → precision NULL, not a 0/0 crash
+    val lone = docsDf(1L -> (1 to 20).map(i => s"a$i").mkString(" "),
+      2L -> (100 to 120).map(i => s"z$i").mkString(" "))
+    val r = Dedup.lshPrecisionOf(lone, 0.5).collect().head
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.isNullAt(3), s"got $r")
+  }
+
   test("exact-substring spans: maximal merge, keep-first canonical, self-repeat caught") {
     val a = (1 to 20).map(i => s"a$i").mkString(" ")      // 20 tokens
     val b16 = (1 to 16).map(i => s"b$i").mkString(" ")

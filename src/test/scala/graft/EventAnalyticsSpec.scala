@@ -392,4 +392,25 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out.forall(_.getDouble(4) == 1.0))
     assert(out.forall(_.getLong(2) == 2L), "14 days cover each weekday twice")
   }
+
+  test("burstiness: a metronome disperses at 0, a two-day clump prices its variance; zero days count") {
+    val ev = dailyEvents(
+      // "steady": exactly 1/day over 4 days → variance 0 → D = 0
+      ("steady", "2024-01-01 09:00:00", 1.0),
+      ("steady", "2024-01-02 09:00:00", 1.0),
+      ("steady", "2024-01-03 09:00:00", 1.0),
+      ("steady", "2024-01-04 09:00:00", 1.0),
+      // "bursty": 3 events day 1 + 1 event day 4; days 2-3 are REAL
+      // zeros of the series (n = span = 4): counts (3,0,0,1) →
+      // D = (4·10 − 16)/(4·4) = 1.5, mean 1.0
+      ("bursty", "2024-01-01 09:00:00", 1.0),
+      ("bursty", "2024-01-01 10:00:00", 1.0),
+      ("bursty", "2024-01-01 11:00:00", 1.0),
+      ("bursty", "2024-01-04 09:00:00", 1.0))
+    val out = EventAnalytics.burstinessOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("steady") == ((4L, 4L, 1.0, 0.0)), s"got $out")
+    assert(out("bursty") == ((4L, 4L, 1.0, 1.5)), s"got $out")
+  }
 }

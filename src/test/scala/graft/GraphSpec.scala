@@ -176,6 +176,49 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L), s"got $out")
   }
 
+  test("kcore: a triangle survives the 2-core, its pendant peels off") {
+    // triangle 1-2-3 (walk 1,2,3,1) + pendant 3-9: only the pendant
+    // has degree < 2, and after it peels the triangle is stable.
+    val out = Graph.kcoreOf(streams(
+      (1L, Seq(1L, 2L, 3L, 1L)), (2L, Seq(3L, 9L))), k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $out")
+  }
+
+  test("kcore: a path has no 2-core — cascading peel empties it; fixpoint is identity") {
+    // path 1-2-3-4-5: endpoints peel each round, the path unravels.
+    val ev = streams((1L, Seq(1L, 2L, 3L, 4L, 5L)))
+    assert(Graph.kcoreOf(ev, k = 2, rounds = 4).collect().isEmpty)
+    // monotone peel: extra rounds past the fixpoint change nothing
+    val r2 = Graph.kcoreOf(ev, k = 2, rounds = 8).collect().toSeq
+    assert(r2 == Graph.kcoreOf(ev, k = 2, rounds = 4).collect().toSeq)
+  }
+
+  test("kcore: K4 is its own 3-core, every node at degree 3") {
+    // walk 1,2,3,4,1,3,2,4 covers all six K4 edges
+    val out = Graph.kcoreOf(streams((1L, Seq(1L, 2L, 3L, 4L, 1L, 3L, 2L, 4L))),
+      k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $out")
+  }
+
+  test("assortativity: a perfect star is perfectly disassortative (r = -1)") {
+    // hub 1 with leaves 3, 4, 5 (each leaf its own user so no
+    // leaf-leaf transition edges form)
+    val out = Graph.degreeAssortativityOf(streams(
+      (1L, Seq(1L, 3L)), (2L, Seq(1L, 4L)), (3L, Seq(1L, 5L))))
+      .collect().head
+    assert(out.getLong(0) == 4L && out.getLong(1) == 3L)
+    assert(out.getDouble(2) == -1.0, s"star must score -1: $out")
+  }
+
+  test("assortativity: uniform-degree graphs are undefined (NULL), the 0-variance convention") {
+    // a 4-cycle: every node degree 2 → zero variance on both axes
+    val out = Graph.degreeAssortativityOf(
+      streams((1L, Seq(1L, 2L, 3L, 4L, 1L)))).collect().head
+    assert(out.isNullAt(2), s"got $out")
+  }
+
   test("hits: a symmetric 2-cycle scores both nodes identically; deterministic") {
     val ev = streams((1L, Seq(1L, 2L, 1L, 2L, 1L)))
     val out = Graph.hitsOf(ev).collect()

@@ -581,4 +581,60 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("xxhash64".r.findAllIn(s).length >= 2,
       "doc-hash sample filter must appear on both audit sides")
   }
+
+  test("round-10 tranche: graph/audit/drift plans stay equijoin + bounded-cross only") {
+    // kcore & assortativity: equijoins on the bounded edge frame; the
+    // assortativity moment fold may cross its 1-row aggregates only
+    val pk = plan(Graph.kcore(spark, Sf))
+    assert(pk.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      pk.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"kcore peels with equijoins only:\n$pk")
+    val pa = plan(Graph.degreeAssortativity(spark, Sf))
+    assert(pa.collect { case j: CartesianProductExec => j }.isEmpty &&
+      pa.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 2,
+      s"only the two 1-row moment/count frames may cross:\n$pa")
+    // lsh_precision inherits the recall audit's shape: one 1-row cross
+    val pp = plan(Dedup.lshPrecision(spark, Sf))
+    val crosses = pp.collect { case j: BroadcastNestedLoopJoinExec => j }.length +
+      pp.collect { case j: CartesianProductExec => j }.length
+    assert(crosses <= 1, s"only the 1-row×1-row count join may cross:\n$pp")
+    // schema_drift: the min-day broadcast is the only cross; the four
+    // per-column sides reshape bounded frames
+    val pd = plan(Warehouse.schemaDrift(spark, Sf))
+    assert(pd.collect { case j: CartesianProductExec => j }.isEmpty &&
+      pd.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"only the 1-row split-day broadcast may cross:\n$pd")
+    // burstiness: one fact-sized shuffle (the (type, day) partial
+    // aggregate) before the bounded per-type fold
+    val pb = plan(EventAnalytics.burstiness(spark, Sf))
+    assert(pb.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      pb.collect { case j: CartesianProductExec => j }.isEmpty, s"map-only:\n$pb")
+  }
+
+  test("silhouette broadcasts k centroids and never shuffles raw vectors on a join key") {
+    val p = plan(Cluster.silhouette(spark, Sf))
+    // the centroid scoring pass is rows × a k-row broadcast — the same
+    // bounded nested-loop as the kmeans assignment (2 passes: the
+    // final ranking + the inner assignment that built the centroids)
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty)
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 2,
+      s"only the bounded centroid broadcasts may cross:\n$p")
+  }
+
+  test("curriculumOrder reads two columns and sorts the global window once") {
+    val p = plan(Corpus.curriculumOrder(spark, Sf))
+    val scans = p.collect { case s: FileSourceScanExec => s }
+    assert(scans.map(_.requiredSchema.fieldNames.toSet) ==
+      Seq(Set("doc_id", "text")), s"doc_id+text-only scan:\n$p")
+    // rank + ntile share ONE Window operator (same spec → one sort, one
+    // exchange when the scan is multi-partition; the sf0.001 single
+    // file already satisfies the distribution, so pin the operator
+    // count, not the exchange)
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.length == 1 &&
+      windows.head.windowExpression.length == 2,
+      s"rank and ntile must share ONE window operator:\n$p")
+  }
 }

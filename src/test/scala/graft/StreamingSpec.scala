@@ -689,4 +689,65 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(s2._1 == 1L && s2._3 == 1L, s"artifact counted: $s2")
     } finally query.stop()
   }
+
+  test("streaming cusum fires on the first regime-shift day and matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val events = input.toDF().toDF("event_type", "ts", "value")
+    def day(d: Int, v: Double) =
+      ("click", Timestamp.valueOf(f"2026-01-$d%02d 12:00:00"), v)
+    // 3-day baseline at 10/day, then a sustained jump to 30:
+    // μ0 = 10, S_4 = 20 > h·μ0 = 10 → changepoint day 4
+    val rows = (1 to 3).map(day(_, 10.0)) ++ Seq(day(4, 30.0), day(5, 30.0),
+      day(6, 30.0))
+
+    val query = graft.streaming.StreamingCusum
+      .alarms(events, baseline = 3, h = 1L).writeStream
+      .format("memory").queryName("cusum_test").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      // push the watermark past day 6 so nothing stays buffered
+      input.addData(day(9, 30.0))
+      query.processAllAvailable()
+      val got = spark.table("cusum_test").collect()
+      assert(got.length == 1, s"exactly one alarm (fired latch): ${got.toSeq}")
+      val a = got.head
+      // the batch twin on the same finished dataset names the same day
+      val batchDf = rows.toDF("event_type", "ts", "value")
+      val b = graft.operators.EventAnalytics
+        .cusumChangepointOf(batchDf, baseline = 3, h = 1L).collect().head
+      assert(a.getDate(1).toString == b.getDate(1).toString,
+        s"stream ${a.getDate(1)} vs batch ${b.getDate(1)}")
+      assert(a.getDouble(2) == b.getDouble(2) &&
+        a.getDouble(3) == b.getDouble(3) && a.getDouble(4) == b.getDouble(4),
+        s"stream $a vs batch $b")
+    } finally query.stop()
+  }
+
+  test("streaming cusum: a baseline-quiet type never alarms; state survives idle days") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val events = input.toDF().toDF("event_type", "ts", "value")
+    def day(d: Int, v: Double) =
+      ("view", Timestamp.valueOf(f"2026-01-$d%02d 12:00:00"), v)
+
+    val query = graft.streaming.StreamingCusum
+      .alarms(events, baseline = 3, h = 1L).writeStream
+      .format("memory").queryName("cusum_quiet_test").outputMode("append").start()
+    try {
+      // steady 10/day for 6 days: S stays 0, no alarm ever
+      input.addData((1 to 6).map(day(_, 10.0)): _*)
+      query.processAllAvailable()
+      assert(spark.table("cusum_quiet_test").isEmpty)
+      // after an idle gap (timeout closed day 6) the shift still fires
+      input.addData(day(12, 40.0), day(13, 40.0))
+      query.processAllAvailable()
+      input.addData(day(16, 40.0))
+      query.processAllAvailable()
+      val got = spark.table("cusum_quiet_test").collect()
+      assert(got.length == 1 && got.head.getDate(1).toString == "2026-01-12",
+        s"the first post-gap shift day must alarm: ${got.toSeq}")
+    } finally query.stop()
+  }
 }

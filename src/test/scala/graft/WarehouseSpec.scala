@@ -197,4 +197,38 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(az == 32L && ao == 32L && ap == 0.0, "nothing prunes")
     assert(aw > 20.0, s"scattered envelopes are wide: $aw")
   }
+
+  test("schema drift: a nulled-out field and a collapsed enum surface in the b-side profile") {
+    // period a: days 0-1 (split at min_day + 2); period b: days 2-3.
+    // In b the item key goes half-null and event_type collapses to one
+    // value — the two classic silent regressions.
+    def ev(id: Long, day: Int, et: String, item: String, v: Double) =
+      (id, f"2024-01-${day + 1}%02d 09:00:00", 7L, et, v, item)
+    val rows = Seq(
+      ev(1, 0, "view", """{"k": 1}""", 1.0),
+      ev(2, 0, "click", """{"k": 2}""", 2.0),
+      ev(3, 1, "view", """{"k": 3}""", 3.0),
+      ev(4, 1, "click", """{"k": 4}""", 4.0),
+      ev(5, 2, "view", """{"k": 5}""", 10.0),
+      ev(6, 2, "view", """{}""", 10.0),
+      ev(7, 3, "view", """{"k": 5}""", 10.0),
+      ev(8, 3, "view", """{}""", 10.0))
+      .toDF("event_id", "s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val out = Warehouse.schemaDriftOf(rows, splitDays = 2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val it = out("item")
+    assert(it.getLong(1) == 4L && it.getLong(2) == 4L, "4 rows per side")
+    assert(it.getDouble(3) == 0.0 && it.getDouble(4) == 0.5,
+      s"item null rate must jump 0 → 0.5: $it")
+    assert(it.getLong(5) == 4L && it.getLong(6) == 1L, "distinct 4 → 1")
+    assert(it.getDouble(7) == 0.25, "distinct_ratio 1/4")
+    val et = out("event_type")
+    assert(et.getLong(5) == 2L && et.getLong(6) == 1L, "enum collapsed")
+    assert(et.isNullAt(8) && et.isNullAt(9), "no mean for a string column")
+    val v = out("value")
+    assert(v.getDouble(8) == 2.5 && v.getDouble(9) == 10.0,
+      s"value mean shift 2.5 → 10: $v")
+  }
 }
