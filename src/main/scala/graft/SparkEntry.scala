@@ -258,7 +258,10 @@ object SparkEntry {
     "lsh_precision"     -> (Dedup.lshPrecision(_, _)),
     "curriculum_order"  -> (Corpus.curriculumOrder(_, _)),
     "schema_drift"      -> (Warehouse.schemaDrift(_, _)),
-    "burstiness"        -> (EventAnalytics.burstiness(_, _))
+    "burstiness"        -> (EventAnalytics.burstiness(_, _)),
+    "clustering_coeff"  -> (Graph.clusteringCoeff(_, _)),
+    "lang_hhi"          -> (CorpusStats.langHhi(_, _)),
+    "coverage_curve"    -> (CorpusStats.coverageCurve(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -757,4 +757,83 @@ object CorpusStats {
   def distinctNgramDiversity(spark: SparkSession, dir: String): DataFrame =
     distinctNgramDiversityOf(Tables.documents(spark, dir),
       graft.Scale.approx(spark))
+
+  /** Language-concentration (Herfindahl) profile per source: HHI =
+    * Σ(n_lang/n)² over the source's document language shares — 1.0 =
+    * monolingual, 1/|langs| = uniform mix — plus the dominant
+    * language (argmax docs, ties to lexicographically-smallest lang)
+    * and its share. The one-number mixture diagnostic behind
+    * [[mixturePlan]]-style per-language balancing: a "web" source at
+    * HHI 0.95 is an English crawl wearing a multilingual label, and
+    * its per-language quality gates (row 58) are fitting noise for
+    * the tail languages. Exact integers until two final divisions
+    * (HHI = Σn_l² / n², both int64), 4 dp half-up.
+    *
+    * Shape: one map-combinable (source, lang) count — the only
+    * fact-sized shuffle — then a bounded per-source fold (argmax via
+    * the lexicographic struct max, [[graft.operators.Warehouse]]'s
+    * latest-per-key shape). */
+  def langHhiOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("c") * col("c")).as("ssq"),
+        // argmax with ties to the SMALLEST lang = lexicographic MIN
+        // over (-count, lang)
+        min(struct((-col("c")).as("nc"), col("lang"))).as("m"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        TextF.round4HalfUp(col("ssq").cast("double")
+          / (col("n_docs") * col("n_docs")).cast("double")).as("hhi"),
+        col("m.lang").as("top_lang"),
+        TextF.round4HalfUp((-col("m.nc")).cast("double")
+          / col("n_docs").cast("double")).as("top_share"))
+      .orderBy("source")
+
+  def langHhi(spark: SparkSession, dir: String): DataFrame =
+    langHhiOf(Tables.documents(spark, dir))
+
+  /** Vocabulary coverage curve: what fraction of all corpus token
+    * OCCURRENCES the top-k vocabulary types cover, at k ∈ `ks` — the
+    * tokenizer/vocab-sizing read ([[oovRateOf]] fixes ONE k and scores
+    * docs; this sweeps k so you pick it): rank types by (count DESC,
+    * token), cumulative-sum the counts, report each k's prefix share
+    * (clamped to the full vocabulary when k exceeds it). Exact int64
+    * cumsum, one division per k, 4 dp half-up.
+    *
+    * Shape: one token-explode count aggregate (map-combinable, the
+    * only fact-sized shuffle); the rank/cumsum window runs on the
+    * VOCABULARY (types, not occurrences) and the k-probe joins a
+    * |ks|-row broadcast against the exact clamped rank. */
+  def coverageCurveOf(docs: DataFrame,
+                      ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive, got $ks")
+    import docs.sparkSession.implicits._
+    val byCount = Window.orderBy(col("c").desc, col("token"))
+    val vocab = docs
+      .select(explode(TextF.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .select(col("token"), col("c"),
+        row_number().over(byCount).cast("long").as("rank"))
+      .withColumn("cum", sum("c").over(
+        byCount.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // two consumers (totals + the k-probe join) — materialize once
+      // or the fact-sized token count re-scans the corpus
+      .localCheckpoint(false)
+    val totals = vocab.agg(max("cum").as("total"),
+      max("rank").as("n_vocab")) // 1 row
+    ks.toDF("k").crossJoin(broadcast(totals))
+      .join(vocab, col("rank") === least(col("k").cast("long"), col("n_vocab")))
+      .select(col("k"), col("n_vocab"), col("total").as("total_tokens"),
+        col("cum").as("covered_tokens"),
+        TextF.round4HalfUp(col("cum").cast("double")
+          / col("total").cast("double")).as("coverage"))
+      .orderBy("k")
+  }
+
+  def coverageCurve(spark: SparkSession, dir: String): DataFrame =
+    coverageCurveOf(Tables.documents(spark, dir))
 }

@@ -533,4 +533,45 @@ object Graph {
 
   def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
     degreeAssortativityOf(Tables.events(spark, dir))
+
+  /** Local clustering coefficient (Watts-Strogatz '98) per node:
+    * C = 2T / (d·(d−1)) with T = closed triangles at the node
+    * ([[triangleCountOf]]'s count) and d = distinct-neighbor degree —
+    * "how much of my neighborhood is itself connected", the
+    * community-tightness read that [[triangleCountOf]]'s raw counts
+    * don't normalize ([[kcoreOf]] finds the dense backbone; this
+    * scores every node's own closure). Exact rational → one IEEE
+    * division, 4 dp half-up; degree-< 2 nodes have no possible
+    * triangle and report NULL (0/0 is not "zero clustering").
+    *
+    * Shape: composes the SAME checkpointed edge frame as the triangle
+    * count (wedge join + closure join, per-corner explode) plus one
+    * degree aggregate — nothing beyond row 168's plan but the bounded
+    * degree join. */
+  def clusteringCoeffOf(events: DataFrame): DataFrame = {
+    val und = undirectedEdges(events)
+      .localCheckpoint(false) // wedges ×2 + closure + degrees + nodes
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy(col("u").as("item"))
+      .agg(count(lit(1)).as("degree"))
+    val wedges = und.select(col("a"), col("b"))
+      .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val corners = wedges
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_triangles"))
+    deg.join(corners, Seq("item"), "left")
+      .select(col("item"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .select(col("item"), col("degree"), col("n_triangles"),
+        when(col("degree") >= 2L, graft.functions.TextF.round4HalfUp(
+          (lit(2L) * col("n_triangles")).cast("double")
+            / (col("degree") * (col("degree") - 1L)).cast("double")))
+          .as("clustering_coeff"))
+      .orderBy("item")
+  }
+
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoeffOf(Tables.events(spark, dir))
 }

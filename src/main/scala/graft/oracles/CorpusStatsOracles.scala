@@ -956,5 +956,47 @@ private[graft] object CorpusStatsOracles {
         |  (499, 'src19', 0.9327, 0.9595))
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(source AS VARCHAR) AS source, CAST(q_raw AS DOUBLE) AS q_raw, CAST(q_norm AS DOUBLE) AS q_norm FROM r""".stripMargin,
 
+    // HHI = Σn_l²/n² exact ints; dominant language = (count DESC,
+    // lang) rank 1.
+    "lang_hhi" ->
+      """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM documents GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |        CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |        CAST(SUM(c * c) AS BIGINT) AS ssq
+        |      FROM c GROUP BY 1),
+        |top AS (SELECT source, lang AS top_lang, c AS top_c FROM (
+        |        SELECT source, lang, c,
+        |          ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+        |        FROM c) WHERE rn = 1)
+        |SELECT g.source, n_docs, n_langs,
+        |  floor(CAST(ssq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE) * 1e4 + 0.5)
+        |    / 1e4 AS hhi,
+        |  top_lang,
+        |  floor(CAST(top_c AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS top_share
+        |FROM g JOIN top ON top.source = g.source
+        |ORDER BY g.source""".stripMargin,
+
+    // Rank vocabulary by (count DESC, token), int64 cumsum, probe the
+    // clamped rank per k.
+    "coverage_curve" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |      FROM documents),
+        |v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+        |      WHERE token <> '' GROUP BY 1),
+        |r AS (SELECT token, c,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS BIGINT) AS "rank",
+        |        CAST(SUM(c) OVER (ORDER BY c DESC, token
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM v),
+        |t AS (SELECT MAX(cum) AS total, MAX("rank") AS n_vocab FROM r),
+        |ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+        |SELECT CAST(k AS INT) AS k, n_vocab, total AS total_tokens,
+        |  cum AS covered_tokens,
+        |  floor(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS coverage
+        |FROM ks CROSS JOIN t JOIN r ON r."rank" = least(CAST(ks.k AS BIGINT), t.n_vocab)
+        |ORDER BY k""".stripMargin,
   )
 }

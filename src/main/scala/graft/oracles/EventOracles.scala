@@ -735,6 +735,35 @@ private[graft] object EventOracles {
         |  END AS assortativity
         |FROM m, nn, ne""".stripMargin,
 
+    // Triangle corners + distinct-neighbor degrees over the same
+    // undirected edge CTEs as the triangle_count oracle; C = 2T/(d(d-1))
+    // with NULL below degree 2.
+    "clustering_coeff" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         item AS dst
+        |  FROM base),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM tr WHERE src IS NOT NULL AND src <> dst),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u AS item, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM adj GROUP BY 1),
+        |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e2.a = e1.b),
+        |t AS (SELECT w.a, w.b, w.c FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+        |corners AS (SELECT unnest([a, b, c]) AS item FROM t),
+        |cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM corners GROUP BY 1)
+        |SELECT deg.item, degree, COALESCE(cnt.n, 0) AS n_triangles,
+        |  CASE WHEN degree >= 2 THEN
+        |    floor(CAST(2 * COALESCE(cnt.n, 0) AS DOUBLE)
+        |      / CAST(degree * (degree - 1) AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |  END AS clustering_coeff
+        |FROM deg LEFT JOIN cnt ON cnt.item = deg.item
+        |ORDER BY deg.item""".stripMargin,
+
     // Zero days contribute nothing to Σc or Σc², so only observed
     // (type, day) rows aggregate; n = the full calendar span.
     "burstiness" ->

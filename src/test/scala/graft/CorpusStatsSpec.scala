@@ -459,4 +459,29 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out(("fresh", 2)) == ((3L, 3L, 1.0)))
     assert(out(("fresh", 3)) == ((2L, 2L, 1.0)))
   }
+
+  test("lang hhi: monolingual scores 1.0; an even split halves; ties pick the smaller lang") {
+    val docs = Seq(
+      (1L, "mono", "en", "x"), (2L, "mono", "en", "x"),
+      (3L, "tied", "de", "x"), (4L, "tied", "fr", "x"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = CorpusStats.langHhiOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4), r.getDouble(5)))).toMap
+    assert(out("mono") == ((2L, 1L, 1.0, "en", 1.0)), s"got $out")
+    assert(out("tied") == ((2L, 2L, 0.5, "de", 0.5)),
+      s"50/50 split → HHI 0.5, tie to 'de': $out")
+  }
+
+  test("coverage curve: clamped ranks, exact prefix shares") {
+    // counts: a×5, b×3, c×2 → total 10; k=1 covers 0.5, k=2 covers
+    // 0.8, k=100 clamps to the 3-type vocabulary and covers 1.0
+    val docs = docsDf(1L -> "a a a b b c", 2L -> "a a b c")
+    val out = CorpusStats.coverageCurveOf(docs, ks = Seq(1, 2, 100)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out(1) == ((3L, 10L, 5L, 0.5)), s"got $out")
+    assert(out(2) == ((3L, 10L, 8L, 0.8)), s"got $out")
+    assert(out(100) == ((3L, 10L, 10L, 1.0)), s"got $out")
+  }
 }

@@ -212,6 +212,19 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(out.getDouble(2) == -1.0, s"star must score -1: $out")
   }
 
+  test("clustering coefficient: triangle corners close at 1.0, the junction dilutes, pendants are NULL") {
+    // triangle 1-2-3 + pendant 3-9: nodes 1,2 have d=2 and their one
+    // wedge closes → C=1; node 3 has d=3 with one of three wedge pairs
+    // closed → C = 2·1/(3·2) = 0.3333; pendant 9 has d=1 → NULL
+    val out = Graph.clusteringCoeffOf(streams(
+      (1L, Seq(1L, 2L, 3L, 1L)), (2L, Seq(3L, 9L)))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 1.0)) && out(2L) == ((2L, 1L, 1.0)), s"got $out")
+    assert(out(3L) == ((3L, 1L, 0.3333)), s"got $out")
+    assert(out(9L)._1 == 1L && out(9L)._3.isNaN, s"pendant must be NULL: $out")
+  }
+
   test("assortativity: uniform-degree graphs are undefined (NULL), the 0-variance convention") {
     // a 4-cycle: every node degree 2 → zero variance on both axes
     val out = Graph.degreeAssortativityOf(
