@@ -621,6 +621,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"only the bounded centroid broadcasts may cross:\n$p")
   }
 
+  test("mini-tranche: clustering/hhi/coverage stay equijoin-only with pruned scans") {
+    val pc = plan(Graph.clusteringCoeff(spark, Sf))
+    assert(pc.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      pc.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"wedge/closure/degree joins are all equijoins:\n$pc")
+    val ph = plan(CorpusStats.langHhi(spark, Sf))
+    val scansH = ph.collect { case s: FileSourceScanExec => s }
+    assert(scansH.map(_.requiredSchema.fieldNames.toSet) ==
+      Seq(Set("source", "lang")), s"two-column scan:\n$ph")
+    // coverage: the vocab frame materializes once; only the 1-row
+    // totals and the |ks|-row probe frame may cross
+    val pv = plan(CorpusStats.coverageCurve(spark, Sf))
+    assert(pv.collect { case j: CartesianProductExec => j }.isEmpty &&
+      pv.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"only the 1-row totals broadcast may cross:\n$pv")
+  }
+
   test("curriculumOrder reads two columns and sorts the global window once") {
     val p = plan(Corpus.curriculumOrder(spark, Sf))
     val scans = p.collect { case s: FileSourceScanExec => s }
