@@ -261,7 +261,10 @@ object SparkEntry {
     "burstiness"        -> (EventAnalytics.burstiness(_, _)),
     "clustering_coeff"  -> (Graph.clusteringCoeff(_, _)),
     "lang_hhi"          -> (CorpusStats.langHhi(_, _)),
-    "coverage_curve"    -> (CorpusStats.coverageCurve(_, _))
+    "coverage_curve"    -> (CorpusStats.coverageCurve(_, _)),
+    "component_size_dist" -> (Components.componentSizeDist(_, _)),
+    "interarrival_percentiles" -> (EventAnalytics.interarrivalPercentiles(_, _)),
+    "centroid_separation" -> (Cluster.centroidSeparation(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

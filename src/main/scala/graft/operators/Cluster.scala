@@ -272,4 +272,36 @@ object Cluster {
 
   def silhouette(spark: SparkSession, dir: String): DataFrame =
     silhouetteOf(Tables.embeddings(spark, dir))
+
+  /** Pairwise centroid-separation matrix over [[kmeansEmbedOf]]'s
+    * final centroids: cosine between every unordered centroid pair —
+    * [[silhouetteOf]] scores each POINT against the geometry; this
+    * reports the geometry itself (two centroids at cos 0.98 are one
+    * topic split in half — merge the cells before [[semDedupOf]]
+    * trusts them; k was too big). k(k−1)/2 rows by construction.
+    *
+    * Determinism: the same quantized-centroid contract as the
+    * assignment pass; pair cosines round to 6 dp. Shape: the centroid
+    * frame is k rows — the "self-join" is a bounded broadcast cross,
+    * nothing fact-sized moves. */
+  def centroidSeparationOf(embeddings: DataFrame, k: Int = K,
+                           iters: Int = Iterations): DataFrame = {
+    require(k >= 2 && iters > 0, s"need k >= 2 and iters > 0, got k=$k iters=$iters")
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val seeds = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val cents = (1 until iters).foldLeft(seeds) { (c, _) =>
+      recenter(assign(vecs, c))
+    }.localCheckpoint(false) // both sides of the bounded pair cross
+    cents.select(col("c_id").as("c_a"), col("c_emb").as("ea"))
+      .join(broadcast(cents.select(col("c_id").as("c_b"), col("c_emb").as("eb"))))
+      .filter(col("c_a") < col("c_b"))
+      .select(col("c_a"), col("c_b"),
+        round(VectorF.cosineSim(col("ea"), col("eb")), 6).as("cosine"))
+      .orderBy("c_a", "c_b")
+  }
+
+  def centroidSeparation(spark: SparkSession, dir: String): DataFrame =
+    centroidSeparationOf(Tables.embeddings(spark, dir))
 }

@@ -131,4 +131,29 @@ object Components {
 
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     dedupComponentsOf(Tables.documents(spark, dir))
+
+  /** Duplicate-cluster size distribution over [[dedupComponentsOf]]'s
+    * closure: how many components exist at each size, and how many
+    * documents (and removable duplicates) they carry — the power-law
+    * read that prices a dedup run BEFORE it runs: pair mass is
+    * Θ(Σ size²) (§6's rehearsal bound), so a corpus whose mass sits in
+    * a few huge clusters needs the cascade's exact-first collapse
+    * while a flat distribution can go straight to banding. Removable
+    * = (size − 1) per component: what dedup would delete.
+    *
+    * Shape: two bounded aggregates (component → size → histogram) on
+    * top of the closure — nothing new shuffles at fact scale beyond
+    * [[dedupComponentsOf]] itself. */
+  def componentSizeDistOf(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    dedupComponentsOf(docs, threshold)
+      .groupBy("component").agg(count(lit(1)).as("size"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("n_components"))
+      .select(col("size"), col("n_components"),
+        (col("size") * col("n_components")).as("n_docs"),
+        ((col("size") - 1L) * col("n_components")).as("n_removable"))
+      .orderBy("size")
+
+  def componentSizeDist(spark: SparkSession, dir: String): DataFrame =
+    componentSizeDistOf(Tables.documents(spark, dir))
 }

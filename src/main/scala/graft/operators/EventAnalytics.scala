@@ -767,4 +767,43 @@ object EventAnalytics {
 
   def burstiness(spark: SparkSession, dir: String): DataFrame =
     burstinessOf(Tables.events(spark, dir))
+
+  /** Inter-arrival-time percentiles per event type: exact p50/p90/p99
+    * of the gap between consecutive events of the type, in seconds —
+    * [[burstinessOf]]'s time-domain sibling (dispersion says THAT
+    * arrivals clump; the gap quantiles say by how much: a p50 of 2 s
+    * under a p99 of 900 s is a bursty feed with long quiet tails, the
+    * shape that sizes stream buffers and timeout/watermark settings).
+    * Gaps are exact integer micros (lag over the per-type event-time
+    * order, event_id tiebreak), the ONE array-percentile aggregate
+    * interpolates on exact operands ([[Report.earningsPercentiles]]'s
+    * single-buffer move), seconds render by one division each, 4 dp.
+    *
+    * Shape: one per-type sort window (the only fact-scale shuffle,
+    * keyed by the bounded type vocabulary — a skew-prone partitioning
+    * at extreme scale; the §4 salting pattern applies if one type
+    * dominates) then a map-combinable bounded aggregate. */
+  def interarrivalPercentilesOf(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("gap", col("us") - lag("us", 1).over(byType))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("event_type"), col("n_gaps"),
+        graft.functions.TextF.round4HalfUp(element_at(col("ps"), 1) / 1e6)
+          .as("p50_s"),
+        graft.functions.TextF.round4HalfUp(element_at(col("ps"), 2) / 1e6)
+          .as("p90_s"),
+        graft.functions.TextF.round4HalfUp(element_at(col("ps"), 3) / 1e6)
+          .as("p99_s"))
+      .orderBy("event_type")
+  }
+
+  def interarrivalPercentiles(spark: SparkSession, dir: String): DataFrame =
+    interarrivalPercentilesOf(Tables.events(spark, dir))
 }

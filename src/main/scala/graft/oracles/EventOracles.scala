@@ -704,6 +704,22 @@ private[graft] object EventOracles {
 
     "kcore" -> KcoreSql,
 
+    // Gaps are exact integer micros from the same (us, event_id)
+    // order as the Spark window; quantile_cont interpolates on exact
+    // operands, seconds render through the 4 dp floor grid.
+    "interarrival_percentiles" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (SELECT event_type,
+        |        us - lag(us) OVER (PARTITION BY event_type
+        |          ORDER BY us, event_id) AS gap
+        |      FROM e)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  floor(quantile_cont(gap, 0.5) / 1e6 * 1e4 + 0.5) / 1e4 AS p50_s,
+        |  floor(quantile_cont(gap, 0.9) / 1e6 * 1e4 + 0.5) / 1e4 AS p90_s,
+        |  floor(quantile_cont(gap, 0.99) / 1e6 * 1e4 + 0.5) / 1e4 AS p99_s
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Both endpoint orientations of the undirected distinct-neighbor
     // graph; exact int64 moment sums; r is one double division on the
     // symmetric Pearson form (Σx = Σy, so no sqrt), 6 dp floor-grid.

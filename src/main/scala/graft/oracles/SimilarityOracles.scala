@@ -585,6 +585,28 @@ private[graft] object SimilarityOracles {
         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label, CAST(pc1 AS DOUBLE) AS pc1, CAST(pc2 AS DOUBLE) AS pc2
         |FROM r""".stripMargin,
 
+    // Pairwise cosines over the kmeans c1 centroids (same CTE chain);
+    // k(k-1)/2 rows.
+    "centroid_separation" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+        |s1 AS (SELECT e.vec_id, e.emb, c0.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c0.c_emb), 6) AS cs
+        |       FROM e, c0),
+        |a1 AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s1) WHERE rn = 1),
+        |m AS (SELECT cluster, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |      FROM a1, generate_series(1, 64) AS g(i) GROUP BY cluster, i),
+        |c1 AS (SELECT cluster AS c_id, list(v ORDER BY i) AS c_emb FROM m GROUP BY cluster)
+        |SELECT a.c_id AS c_a, b.c_id AS c_b,
+        |  ROUND(list_cosine_similarity(a.c_emb, b.c_emb), 6) AS cosine
+        |FROM c1 a JOIN c1 b ON a.c_id < b.c_id
+        |ORDER BY c_a, c_b""".stripMargin,
+
     // Centroid-form silhouette over the kmeans_embed final centroids:
     // SAME c0→a1→c1 CTE chain as the kmeans oracle (the one-contract
     // centroid machinery), then the rank-1/rank-2 scores of the same

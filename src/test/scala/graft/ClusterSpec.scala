@@ -100,4 +100,24 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(out == Seq((0L, 3L, 0.0)), s"got $out")
   }
+
+  test("centroid separation: orthogonal cells read 0, collapsed cells read 1") {
+    import spark.implicits._
+    val ortho = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)), (3L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val sep = Cluster.centroidSeparationOf(ortho, k = 2, iters = 2).collect()
+    assert(sep.length == 1 &&
+      sep.head.getLong(0) == 0L && sep.head.getLong(1) == 1L &&
+      sep.head.getDouble(2) == 0.0, s"got ${sep.toSeq}")
+    // both seeds on one direction → the k=2 geometry is degenerate
+    // and separation reads ~1 — the merge-your-cells signal
+    val collapsed = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.01f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val sep2 = Cluster.centroidSeparationOf(collapsed, k = 2, iters = 1).collect()
+    assert(sep2.length == 1 && sep2.head.getDouble(2) == 1.0, s"got ${sep2.toSeq}")
+  }
 }

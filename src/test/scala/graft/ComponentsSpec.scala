@@ -88,4 +88,26 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L) == ((2L, Some(0.4), 2L)), "scored member beats unscored; n counts BOTH")
     assert(out(3L) == ((3L, None, 2L)), "fully-unscored cluster keeps its lowest id, NULL quality")
   }
+
+  test("component size distribution: twins, a chained triple, and singles histogram correctly") {
+    // docs 1,2 identical (size-2); 3~4~5 chained near-dups (size-3 via
+    // closure); 6,7 unique singles
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    val alt = (1 to 22).map(i => s"w$i").mkString(" ")   // J(base,alt) high
+    val alt2 = (3 to 24).map(i => s"w$i").mkString(" ")  // chains via base
+    val docs = Seq(
+      1L -> base, 2L -> base,
+      3L -> base, 4L -> alt, 5L -> alt2,
+      6L -> "completely different text one",
+      7L -> "another unrelated document here")
+      .toDF("doc_id", "text")
+    val out = Components.componentSizeDistOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // 1,2,3 identical + 4,5 chained onto 3 → one size-5 component;
+    // 6 and 7 are singletons
+    assert(out(1L) == ((2L, 2L, 0L)), s"two singles, nothing removable: $out")
+    assert(out(5L) == ((1L, 5L, 4L)), s"one 5-cluster, 4 removable: $out")
+    assert(out.keySet == Set(1L, 5L), s"got $out")
+  }
 }

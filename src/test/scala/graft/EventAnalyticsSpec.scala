@@ -413,4 +413,21 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out("steady") == ((4L, 4L, 1.0, 0.0)), s"got $out")
     assert(out("bursty") == ((4L, 4L, 1.0, 1.5)), s"got $out")
   }
+
+  test("interarrival percentiles: exact gap quantiles per type; singletons emit nothing") {
+    val ev = Seq(
+      // "click": gaps 10 s and 30 s → p50 = 20, p90 = 28, p99 = 29.8
+      ("click", "2024-01-01 00:00:00"), ("click", "2024-01-01 00:00:10"),
+      ("click", "2024-01-01 00:00:40"),
+      ("view", "2024-01-01 09:00:00")) // one event → no gap
+      .zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+      .toDF("event_id", "event_type", "s")
+      .select(col("event_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"))
+    val out = EventAnalytics.interarrivalPercentilesOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("click") == ((2L, 20.0, 28.0, 29.8)), s"got $out")
+    assert(!out.contains("view"), "a single event has no inter-arrival time")
+  }
 }

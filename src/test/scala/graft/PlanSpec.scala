@@ -638,6 +638,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"only the 1-row totals broadcast may cross:\n$pv")
   }
 
+  test("interarrival/centroid-separation: one type-keyed window; only the k-row cross") {
+    val pi = plan(EventAnalytics.interarrivalPercentiles(spark, Sf))
+    assert(pi.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      pi.collect { case j: CartesianProductExec => j }.isEmpty, s"map+window only:\n$pi")
+    val ps = plan(Cluster.centroidSeparation(spark, Sf))
+    // the pair cross is k rows × k rows (bounded by construction);
+    // building the centroids costs one more bounded assignment BNLJ
+    assert(ps.collect { case j: CartesianProductExec => j }.isEmpty &&
+      ps.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 2,
+      s"only bounded centroid crosses:\n$ps")
+  }
+
   test("curriculumOrder reads two columns and sorts the global window once") {
     val p = plan(Corpus.curriculumOrder(spark, Sf))
     val scans = p.collect { case s: FileSourceScanExec => s }
