@@ -264,7 +264,14 @@ object SparkEntry {
     "coverage_curve"    -> (CorpusStats.coverageCurve(_, _)),
     "component_size_dist" -> (Components.componentSizeDist(_, _)),
     "interarrival_percentiles" -> (EventAnalytics.interarrivalPercentiles(_, _)),
-    "centroid_separation" -> (Cluster.centroidSeparation(_, _))
+    "centroid_separation" -> (Cluster.centroidSeparation(_, _)),
+    // Round-10 second tranche: data-quality forensics, association
+    // strength, one-pass correlation moments, cardinality-estimate
+    // audit (SURVEY §2 rows 227-230)
+    "benford_audit"     -> (Warehouse.benfordAudit(_, _)),
+    "cramers_v"         -> (Behavior.cramersV(_, _)),
+    "corr_matrix"       -> (Robust.corrMatrix(_, _)),
+    "join_size_estimate" -> (Warehouse.joinSizeEstimate(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

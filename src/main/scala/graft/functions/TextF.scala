@@ -104,6 +104,13 @@ object TextF {
   def round4HalfUp(c: Column): Column =
     floor(c * lit(1e4) + lit(0.5)).cast("double") / lit(1e4)
 
+  /** [[round4HalfUp]] at 6 dp, for signed values in [−1, 1] (rank
+    * correlations, modularity): `floor` makes halves round toward +∞
+    * regardless of sign — a DIRECTED half-up, identical in both
+    * engines because the oracle mirrors the same floor form. */
+  def round6HalfUp(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+
   /** Integer micro-unit sum → value at 4 dp: `floor(q/100 + 0.5)/1e4`
     * is the same double in every engine (cf. [[round4HalfUp]]). The
     * ONE implementation of the micros→4dp contract — operators whose

@@ -623,4 +623,64 @@ object Behavior {
 
   def churnLifetable(spark: SparkSession, dir: String): DataFrame =
     churnLifetableOf(Tables.events(spark, dir))
+
+  /** Cramér's V over the event-type × time-of-week contingency table —
+    * [[chi2ContingencyOf]]'s one-number summary (that query reports
+    * per-cell χ² contributions; V = √(χ²/(n·(min(r,c)−1))) normalizes
+    * the total into [0,1] association strength, comparable across
+    * tables of any shape — the "is this worth a seasonality model"
+    * gate before [[EventAnalytics.seasonalProfileOf]] fits one).
+    *
+    * Determinism: each cell's χ² contribution is computed from exact
+    * int64 operands (o·n − rt·ct never exceeds n² ≈ 3.6·10¹⁷ at the
+    * ×1000 scale — inside 2⁶³), squared and divided in IEEE double
+    * (one multiply, one divide — correctly rounded, engine-identical),
+    * then quantized to an int64 micro grid so the cross-cell SUM is
+    * integer and order-blind — the same quantize-before-sum move as
+    * [[graft.operators.Cluster.silhouetteOf]]. The denominator n·rt·ct
+    * is computed in double (each factor exact < 2^53; two IEEE
+    * multiplies, same association order both engines). One final √.
+    *
+    * Shape: one map-side-combinable (type, tow) count (bounded cells),
+    * two bounded window passes for margins, one 1-row fold. */
+  def cramersVOf(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"),
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")), lit(7))
+          .as("tow"))
+      .groupBy("event_type", "tow").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("event_type").agg(sum("o").as("rt"))
+    val ct = cells.groupBy("tow").agg(sum("o").as("ct"))
+    // The COMPLETE margin grid, not just observed cells: a zero cell
+    // (a type that never fires on some weekday) contributes
+    // (rt·ct)²/(n²·e) to χ² — exactly the signal a perfectly
+    // concentrated type carries; summing only observed cells
+    // understates χ² (caught by BehaviorSpec's perfect-association
+    // case, which read √½ instead of 1). Both margin frames are
+    // bounded (types × 7), so the cross is a few dozen rows.
+    rt.crossJoin(ct)
+      .join(cells, Seq("event_type", "tow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(cells.agg(sum("o").as("n")))) // 1 row
+      .withColumn("contrib_q", floor(
+        (col("o") * col("n") - col("rt") * col("ct")).cast("double") *
+          (col("o") * col("n") - col("rt") * col("ct")).cast("double") /
+          (col("n").cast("double") * col("rt").cast("double") *
+            col("ct").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      .agg(max("n").as("n"),
+        countDistinct("event_type").as("n_types"),
+        countDistinct("tow").as("n_tows"),
+        sum("contrib_q").as("chi2_q"))
+      .select(col("n"), col("n_types"), col("n_tows"),
+        graft.functions.TextF.round4HalfUp(col("chi2_q").cast("double") / lit(1e6))
+          .as("chi2"),
+        graft.functions.TextF.round6HalfUp(sqrt(
+          col("chi2_q").cast("double") / lit(1e6) /
+            (col("n").cast("double") *
+              (least(col("n_types"), col("n_tows")) - 1).cast("double"))))
+          .as("cramers_v"))
+  }
+
+  def cramersV(spark: SparkSession, dir: String): DataFrame =
+    cramersVOf(Tables.events(spark, dir))
 }

@@ -367,4 +367,61 @@ object Robust {
 
   def weightedMedian(spark: SparkSession, dir: String): DataFrame =
     weightedMedianOf(Tables.events(spark, dir))
+
+  /** Pearson correlation matrix over lineitem's numeric measures
+    * (quantity, extended price, discount) — the first look any
+    * feature-engineering or pricing-model pass takes ("is discount
+    * actually coupled to volume here?"). ONE fact scan computes every
+    * moment: per-pair r comes from the standard polynomial identity
+    * r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    * with all sums EXACT — operands are integer-grid (quantity raw,
+    * price on the cent grid, discount on the micro grid, each exact
+    * for doubles < 2^53) and the moment sums ride decimal(38,0), so
+    * no float accumulates in any order. The only floats are the final
+    * per-pair conversions: two correctly-rounded IEEE sqrts and one
+    * division, identical in any engine, then the 6-dp half-up floor
+    * grid. Decimal headroom: n·Σp² ≈ 4·10³¹ at the ×1000 rehearsal
+    * scale — inside decimal(38) with 6 decades to spare (the
+    * [[graft.operators.Graph.degreeAssortativityOf]] convention:
+    * quote the bound, document the wider-type swap past it).
+    * Zero-variance columns yield NULL r (0/0 → the ANSI convention,
+    * cf. assortativity).
+    *
+    * Shape: one map-side-combinable whole-table aggregate (no keys, no
+    * shuffle beyond the 1-row combine), then a bounded 3-row stack. */
+  def corrMatrixOf(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = lineitem
+      .select(col("l_quantity").cast("long").as("q"),
+        floor(col("l_extendedprice") * lit(100)).cast("long").as("p"),
+        floor(col("l_discount") * lit(1e6)).cast("long").as("d"))
+      .selectExpr(s"CAST(q AS $dec) q", s"CAST(p AS $dec) p",
+        s"CAST(d AS $dec) d")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"),
+        sum(expr("q * q")).as("sqq"), sum(expr("p * p")).as("spp"),
+        sum(expr("d * d")).as("sdd"), sum(expr("q * p")).as("sqp"),
+        sum(expr("q * d")).as("sqd"), sum(expr("p * d")).as("spd"))
+    def r(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+      TextF.round6HalfUp(expr(
+        // try_divide, not `/`: a zero-variance column must read NULL
+        // (ANSI 0/0), not throw — DuckDB's x/0.0 is NULL already.
+        s"""try_divide(
+           |  CAST(n * $sxy - $sx * $sy AS DOUBLE),
+           |  sqrt(CAST(n * $sxx - $sx * $sx AS DOUBLE))
+           |    * sqrt(CAST(n * $syy - $sy * $sy AS DOUBLE)))""".stripMargin))
+    m.select(col("n").cast("long").as("n"),
+      r("sqp", "sq", "sp", "sqq", "spp").as("r_qp"),
+      r("sqd", "sq", "sd", "sqq", "sdd").as("r_qd"),
+      r("spd", "sp", "sd", "spp", "sdd").as("r_pd"))
+      .selectExpr("stack(3, " +
+        "'l_quantity', 'l_extendedprice', n, r_qp, " +
+        "'l_quantity', 'l_discount', n, r_qd, " +
+        "'l_extendedprice', 'l_discount', n, r_pd) " +
+        "AS (x_col, y_col, n, r)")
+      .orderBy("x_col", "y_col")
+  }
+
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame =
+    corrMatrixOf(Tables.lineitem(spark, dir))
 }

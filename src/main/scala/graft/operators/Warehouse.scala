@@ -465,4 +465,73 @@ object Warehouse {
 
   def schemaDrift(spark: SparkSession, dir: String): DataFrame =
     schemaDriftOf(Tables.events(spark, dir))
+
+  /** Benford first-significant-digit audit over order totals — the
+    * classic fabricated-or-truncated-data screen (organically grown
+    * magnitudes follow P(d) = log10(1+1/d); uniform generators, capped
+    * fields, and hand-entered figures don't, and the digit histogram
+    * says which). Every number stays INTEGER: amounts go through the
+    * micro grid (`floor(price*1e6)` — exact for doubles < 2^53), the
+    * first digit is the leading character of the int64's decimal
+    * rendering (identical in any engine; no float log10 at runtime),
+    * shares are parts-per-million by integer division, and the Benford
+    * expectation is a pinned 6-dp constant table (the only log10 is
+    * precomputed into the source). Digits with zero orders simply
+    * don't emit — a 9-row-max frame either way.
+    *
+    * Shape: one map-side-combinable digit count (9 groups) is the only
+    * fact-sized work; the share fold runs on the bounded digit frame
+    * (whole-frame window over ≤ 9 rows). */
+  def benfordAuditOf(orders: DataFrame): DataFrame = {
+    val benford = typedLit(Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L))
+    orders
+      .select(substring(floor(col("o_totalprice") * lit(1e6))
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("n_total", sum("n_orders").over(Window.partitionBy()))
+      .select(col("digit"), col("n_orders"),
+        expr("(n_orders * 1000000) div n_total").as("obs_ppm"),
+        element_at(benford, col("digit")).as("benford_ppm"))
+      .withColumn("abs_dev_ppm",
+        abs(col("obs_ppm") - col("benford_ppm")))
+      .orderBy("digit")
+  }
+
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordAuditOf(Tables.orders(spark, dir))
+
+  /** Join-cardinality estimation audit: EXACT self-join output size on
+    * `l_partkey` (Σ c_k² over per-key counts — the pair mass every §6
+    * dedup bound prices) against the uniform-keys independence
+    * estimate n²/d that textbook optimizers use when only (row count,
+    * distinct count) statistics exist. The error ratio in basis
+    * points IS the skew penalty: 10000 bp means the estimator was
+    * right, 40000 bp means the real join is 4× the plan's guess — the
+    * number that decides whether a shuffle-hash join OOMs at 100 TB
+    * after the planner sized it from column stats. All int64 (c_k²
+    * sums bounded by pair mass ≈ 10⁹ at sf0.1, ~10¹⁵ at ×1000 — 2⁶³
+    * headroom throughout), integer divisions only.
+    *
+    * Shape: one map-side-combinable per-key count is the only
+    * fact-sized shuffle; the audit fold is a single bounded aggregate
+    * over the key frame. */
+  def joinSizeEstimateOf(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(col("c") * col("c")).as("exact_pairs"),
+        max("c").as("max_key_rows"))
+      .select(col("n_rows"), col("n_keys"), col("exact_pairs"),
+        expr("(n_rows * n_rows) div n_keys").as("est_uniform_pairs"),
+        expr("(exact_pairs * 10000) div ((n_rows * n_rows) div n_keys)")
+          .as("err_ratio_bp"),
+        col("max_key_rows"))
+
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame =
+    joinSizeEstimateOf(Tables.lineitem(spark, dir))
 }

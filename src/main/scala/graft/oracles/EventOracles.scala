@@ -797,5 +797,40 @@ private[graft] object EventOracles {
         |  floor(CAST(n_days * ssq - n_events * n_events AS DOUBLE)
         |    / CAST(n_days * n_events AS DOUBLE) * 1e4 + 0.5) / 1e4 AS dispersion
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // chi2_contingency's scalar: per-cell contribution from exact
+    // int64 operands over the COMPLETE margin grid (zero cells
+    // included), micro-quantized before the (order-blind) sum.
+    "cramers_v" ->
+      """WITH cells AS (SELECT event_type,
+        |    CAST((ts::DATE - DATE '1970-01-01') % 7 AS INT) AS tow,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT tow, CAST(SUM(o) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |w AS (SELECT rt.event_type, ct.tow,
+        |    COALESCE(c.o, 0) AS o, rt.rt, ct.ct, tot.n
+        |  FROM rt CROSS JOIN ct CROSS JOIN tot
+        |  LEFT JOIN cells c
+        |    ON c.event_type = rt.event_type AND c.tow = ct.tow),
+        |q AS (SELECT n, event_type, tow,
+        |    CAST(floor(CAST(o * n - rt * ct AS DOUBLE)
+        |      * CAST(o * n - rt * ct AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS contrib_q
+        |  FROM w),
+        |s AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |    CAST(COUNT(DISTINCT tow) AS BIGINT) AS n_tows,
+        |    CAST(SUM(contrib_q) AS BIGINT) AS chi2_q FROM q)
+        |SELECT n, n_types, n_tows,
+        |  floor(CAST(chi2_q AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS chi2,
+        |  floor(sqrt(CAST(chi2_q AS DOUBLE) / 1e6
+        |    / (CAST(n AS DOUBLE) * CAST(least(n_types, n_tows) - 1 AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS cramers_v
+        |FROM s""".stripMargin,
   )
 }

@@ -457,5 +457,78 @@ private[graft] object WarehouseOracles {
         |    / 1e4 AS distinct_ratio,
         |  mean_a, mean_b
         |FROM sa JOIN sb USING ("column") ORDER BY "column"""".stripMargin,
+
+    // Benford: all-integer (micro grid -> leading decimal char ->
+    // ppm by integer div); the expectation table is pinned constants.
+    "benford_audit" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 1e6)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |    FROM orders),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT *, CAST(SUM(n_orders) OVER () AS BIGINT) AS n_total
+        |      FROM c),
+        |b(digit, benford_ppm) AS (VALUES (1, CAST(301030 AS BIGINT)),
+        |  (2, 176091), (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+        |  (7, 57992), (8, 51153), (9, 45757))
+        |SELECT t.digit, n_orders,
+        |  (n_orders * 1000000) // n_total AS obs_ppm, benford_ppm,
+        |  abs((n_orders * 1000000) // n_total - benford_ppm) AS abs_dev_ppm
+        |FROM t JOIN b ON b.digit = t.digit ORDER BY t.digit""".stripMargin,
+
+    // Exact self-join pair mass vs the uniform-keys estimate; pure
+    // int64 with integer division.
+    "join_size_estimate" ->
+      """WITH c AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM lineitem GROUP BY 1),
+        |g AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |        CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |        CAST(SUM(c * c) AS BIGINT) AS exact_pairs,
+        |        CAST(MAX(c) AS BIGINT) AS max_key_rows
+        |      FROM c)
+        |SELECT n_rows, n_keys, exact_pairs,
+        |  (n_rows * n_rows) // n_keys AS est_uniform_pairs,
+        |  (exact_pairs * 10000) // ((n_rows * n_rows) // n_keys)
+        |    AS err_ratio_bp,
+        |  max_key_rows
+        |FROM g""".stripMargin,
+
+    // Pearson moments on integer grids via HUGEINT sums (Spark side:
+    // decimal(38,0)); the only floats are the final sqrt/divide.
+    "corr_matrix" ->
+      """WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(floor(l_discount * 1e6) AS BIGINT) AS d
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(q AS HUGEINT)) AS sq, SUM(CAST(p AS HUGEINT)) AS sp,
+        |    SUM(CAST(d AS HUGEINT)) AS sd,
+        |    SUM(CAST(q AS HUGEINT) * q) AS sqq,
+        |    SUM(CAST(p AS HUGEINT) * p) AS spp,
+        |    SUM(CAST(d AS HUGEINT) * d) AS sdd,
+        |    SUM(CAST(q AS HUGEINT) * p) AS sqp,
+        |    SUM(CAST(q AS HUGEINT) * d) AS sqd,
+        |    SUM(CAST(p AS HUGEINT) * d) AS spd
+        |  FROM g),
+        |r AS (SELECT CAST(n AS BIGINT) AS n,
+        |  floor(CAST(n * sqp - sq * sp AS DOUBLE)
+        |    / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+        |       * sqrt(CAST(n * spp - sp * sp AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |    AS r_qp,
+        |  floor(CAST(n * sqd - sq * sd AS DOUBLE)
+        |    / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+        |       * sqrt(CAST(n * sdd - sd * sd AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |    AS r_qd,
+        |  floor(CAST(n * spd - sp * sd AS DOUBLE)
+        |    / (sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+        |       * sqrt(CAST(n * sdd - sd * sd AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |    AS r_pd
+        |  FROM m)
+        |SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col, n, r_qp AS r FROM r
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount', n, r_qd FROM r
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount', n, r_pd FROM r
+        |ORDER BY x_col, y_col""".stripMargin,
   )
 }

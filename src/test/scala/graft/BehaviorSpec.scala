@@ -342,4 +342,19 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(out.getLong(2) == 3L, "bounces: user 2 once, user 3 twice")
     assert(out.getDouble(3) == 0.75)
   }
+
+  test("cramers v: perfect type-weekday association reads 1, independence reads 0") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"1970-01-${day + 1}%02d 12:00:00")
+    // A only on tow 0 (1970-01-01), B only on tow 1 -> V = 1.
+    val assoc = Seq(("A", ts(0)), ("A", ts(0)), ("B", ts(1)), ("B", ts(1)))
+      .toDF("event_type", "ts")
+    val a = Behavior.cramersVOf(assoc).collect().head
+    assert(a.getLong(0) == 4L && a.getLong(1) == 2L && a.getLong(2) == 2L)
+    assert(a.getDouble(4) == 1.0, s"perfect association: $a")
+    // Both types uniform over both days -> chi2 = 0 -> V = 0.
+    val indep = Seq(("A", ts(0)), ("A", ts(1)), ("B", ts(0)), ("B", ts(1)))
+      .toDF("event_type", "ts")
+    assert(Behavior.cramersVOf(indep).collect().head.getDouble(4) == 0.0)
+  }
 }

@@ -187,4 +187,28 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getDouble(1) == 3.0,
       "2·cum >= total is first satisfied at the 3-unit event")
   }
+
+  test("corr matrix: perfect linear coupling reads 1, zero variance reads NULL") {
+    // p = 10000q exactly on the cent grid; d constant -> NULL r.
+    val li = Seq((1.0, 100.0, 0.05), (2.0, 200.0, 0.05), (3.0, 300.0, 0.05))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+    val out = Robust.corrMatrixOf(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("l_quantity", "l_extendedprice")).contains(1.0))
+    assert(out(("l_quantity", "l_discount")).isEmpty,
+      "zero-variance discount: 0/0 -> NULL, not 0")
+    assert(out(("l_extendedprice", "l_discount")).isEmpty)
+  }
+
+  test("corr matrix: anti-correlation is exactly -1 and n rides every row") {
+    val li = Seq((1.0, 300.0, 0.01), (2.0, 200.0, 0.02), (3.0, 100.0, 0.03))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+    val rows = Robust.corrMatrixOf(li).collect()
+    assert(rows.forall(_.getLong(2) == 3L))
+    val out = rows.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("l_quantity", "l_extendedprice")) == -1.0)
+    assert(out(("l_quantity", "l_discount")) == 1.0)
+    assert(out(("l_extendedprice", "l_discount")) == -1.0)
+  }
 }

@@ -231,4 +231,42 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(v.getDouble(8) == 2.5 && v.getDouble(9) == 10.0,
       s"value mean shift 2.5 → 10: $v")
   }
+
+  test("benford audit: all-integer ppm shares and deviation vs the pinned table") {
+    val orders = Seq(100.0, 150.0, 199.99, 123.45, 180.0, // digit 1 x5
+      250.0, 299.0, 210.0,                                // digit 2 x3
+      900.0, 950.0)                                       // digit 9 x2
+      .toDF("o_totalprice")
+    val out = Warehouse.benfordAuditOf(orders).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(1, 2, 9), "absent digits do not emit")
+    assert(out(1) == ((5L, 500000L, 301030L, 198970L)))
+    assert(out(2) == ((3L, 300000L, 176091L, 123909L)))
+    assert(out(9) == ((2L, 200000L, 45757L, 154243L)))
+  }
+
+  test("benford audit: leading digit reads the micro grid, not the double rendering") {
+    // 0.95 -> 950000 micros -> digit 9 (a naive string-of-double
+    // would read '0'); 1013.7 -> digit 1.
+    val out = Warehouse.benfordAuditOf(Seq(0.95, 1013.7).toDF("o_totalprice"))
+      .collect().map(r => r.getInt(0)).toSet
+    assert(out == Set(1, 9))
+  }
+
+  test("join size estimate: exact pair mass vs the uniform-keys guess") {
+    val li = Seq(1L, 1L, 1L, 2L).toDF("l_partkey")
+    val r = Warehouse.joinSizeEstimateOf(li).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L, "n_rows, n_keys")
+    assert(r.getLong(2) == 10L, "3^2 + 1^2")
+    assert(r.getLong(3) == 8L, "16 div 2")
+    assert(r.getLong(4) == 12500L, "exact is 1.25x the estimate")
+    assert(r.getLong(5) == 3L)
+  }
+
+  test("join size estimate: uniform keys score exactly 10000 bp") {
+    val li = Seq(1L, 1L, 2L, 2L).toDF("l_partkey")
+    val r = Warehouse.joinSizeEstimateOf(li).collect().head
+    assert(r.getLong(2) == 8L && r.getLong(3) == 8L && r.getLong(4) == 10000L)
+  }
 }
