@@ -271,7 +271,11 @@ object SparkEntry {
     "benford_audit"     -> (Warehouse.benfordAudit(_, _)),
     "cramers_v"         -> (Behavior.cramersV(_, _)),
     "corr_matrix"       -> (Robust.corrMatrix(_, _)),
-    "join_size_estimate" -> (Warehouse.joinSizeEstimate(_, _))
+    "join_size_estimate" -> (Warehouse.joinSizeEstimate(_, _)),
+    // Round-10 third tranche: community-quality scalar + BFS reach
+    // profile on the shared item graph (SURVEY §2 rows 231-232)
+    "modularity"        -> (Graph.modularity(_, _)),
+    "khop_reach"        -> (Graph.khopReach(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

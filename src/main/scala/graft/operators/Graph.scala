@@ -574,4 +574,114 @@ object Graph {
 
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
     clusteringCoeffOf(Tables.events(spark, dir))
+
+  /** Newman modularity Q of the [[lpaCommunitiesOf]] partition over
+    * the weighted undirected item graph — the "did community detection
+    * find anything" number (Q ≈ 0: the partition explains no more edge
+    * mass than a random graph with the same degrees; Q ≳ 0.3:
+    * real structure; the gate before anyone ships row 205's labels).
+    * Exact rational form: Q = Σ_c[e_c/m − (d_c/2m)²] multiplied
+    * through by 4m² gives Q = (4m·W_in − Σ_c d_c²)/(4m²) with W_in =
+    * total intra-community edge weight — every term int64 (4m² ≈ 10¹⁸
+    * at the ×1000 rehearsal scale, inside 2⁶³; d_c ≤ 2m keeps Σd_c² ≤
+    * 4m²), ONE division, 6-dp directed-half-up grid (Q can be
+    * negative).
+    *
+    * Shape: the weighted edge frame derives once (the LPA derivation,
+    * shared textually with the oracle); intra-mass is two
+    * label-equijoins on the edge frame, degree mass one bounded
+    * aggregate — everything after the first fact collapse runs on
+    * item-vocabulary-bounded frames, combined by 1-row broadcasts.
+    * LPA itself re-runs inside (2 bounded iterations); at 100 TB the
+    * label frame would be cached from the row-205 run instead. */
+  def modularityOf(events: DataFrame, iterations: Int = 2): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val und = events
+      .select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("src", lag("item", 1).over(byUser))
+      .filter(col("src").isNotNull && col("src") =!= col("item"))
+      .groupBy(least(col("src"), col("item")).as("a"),
+        greatest(col("src"), col("item")).as("b"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(false)
+    val labels = lpaCommunitiesOf(events, iterations)
+    val m = und.agg(sum("w").as("m")) // 1 row
+    val wIn = und
+      .join(labels.select(col("item").as("a"), col("label").as("la")), "a")
+      .join(labels.select(col("item").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .agg(coalesce(sum("w"), lit(0L)).as("w_in")) // 1 row
+    val deg = und.select(col("a").as("u"), col("w"))
+      .union(und.select(col("b").as("u"), col("w")))
+      .groupBy("u").agg(sum("w").as("d"))
+    val dc = deg.join(labels.select(col("item").as("u2"), col("label")),
+        deg("u") === col("u2"))
+      .groupBy("label").agg(sum("d").as("dcw"))
+    val s = dc.agg(count(lit(1)).as("n_communities"),
+      sum(col("dcw") * col("dcw")).as("sdc2")) // 1 row
+    val nn = deg.agg(count(lit(1)).as("n_nodes")) // 1 row
+    nn.crossJoin(broadcast(s)).crossJoin(broadcast(m))
+      .crossJoin(broadcast(wIn))
+      .select(col("n_nodes"), col("n_communities"), col("m").as("m_weight"),
+        TextF.round6HalfUp(
+          (lit(4L) * col("m") * col("w_in") - col("sdc2")).cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"))
+          .as("modularity"))
+  }
+
+  def modularity(spark: SparkSession, dir: String): DataFrame =
+    modularityOf(Tables.events(spark, dir))
+
+  /** k-hop reachability profile from the graph's busiest hub (max
+    * distinct-degree item, ties to the smallest id): frontier size and
+    * cumulative reach per hop 0..`hops` — the how-small-is-the-world
+    * read that prices any neighborhood-expansion workload (row 170's
+    * walk, recommendation candidate pools, blast-radius analysis)
+    * before running it: if 3 hops already cover 90% of the graph,
+    * hop-4 features carry no signal. Exact distinct BFS, not a
+    * random-walk approximation.
+    *
+    * Shape: the distinct edge frame derives once (row 213's shared
+    * [[undirectedEdges]] graph); each hop is one frontier equijoin +
+    * DISTINCT + one left-anti against the reached set — all keyed on
+    * item ids and bounded by item vocabulary, never fact-sized;
+    * per-hop lazy checkpoints truncate lineage ([[pagerankOf]]'s
+    * contract). Output is `hops`+1 rows of 1-row aggregates — no
+    * driver-side collect. */
+  def khopReachOf(events: DataFrame, hops: Int = 3): DataFrame = {
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    val und = undirectedEdges(events).localCheckpoint(false)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    val seed = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("u")).limit(1)
+      .select(col("u").as("item"))
+      .localCheckpoint(false)
+    var reached = seed
+    var frontier = seed
+    var out = frontier.agg(count(lit(1)).as("frontier_size"))
+      .select(lit(0).as("hop"), col("frontier_size"),
+        col("frontier_size").as("reached_total"))
+    for (h <- 1 to hops) {
+      val next = adj.join(frontier.withColumnRenamed("item", "u"), "u")
+        .select(col("v").as("item")).distinct()
+        .join(reached, Seq("item"), "left_anti")
+        .localCheckpoint(false)
+      reached = reached.union(next).localCheckpoint(false)
+      out = out.union(
+        next.agg(count(lit(1)).as("frontier_size"))
+          .crossJoin(broadcast(reached.agg(count(lit(1)).as("reached_total"))))
+          .select(lit(h).as("hop"), col("frontier_size"),
+            col("reached_total")))
+      frontier = next
+    }
+    out.orderBy("hop")
+  }
+
+  def khopReach(spark: SparkSession, dir: String): DataFrame =
+    khopReachOf(Tables.events(spark, dir))
 }

@@ -703,6 +703,8 @@ private[graft] object EventOracles {
         |FROM s ORDER BY ord""".stripMargin,
 
     "kcore" -> KcoreSql,
+    "modularity" -> ModularitySql,
+    "khop_reach" -> KhopReachSql,
 
     // Gaps are exact integer micros from the same (us, event_id)
     // order as the Spark window; quantile_cont interpolates on exact

@@ -194,7 +194,11 @@ private[graft] object OracleFragments {
   /** Unrolled 2-iteration synchronous LPA ([[HitsSql]]'s rationale):
     * undirected weighted item graph, integer vote sums, argmax ties
     * to the smallest label. */
-  val LpaSql: String = {
+  /** The LPA CTE chain (weighted undirected graph + 2 vote rounds),
+    * shared by the lpa_communities oracle and the modularity oracle
+    * that scores its partition — one text so they can never disagree
+    * on the graph or the labels. */
+  val LpaCtes: String = {
     def step(k: Int): String =
       s"""v$k AS (
         |  SELECT adj.u, l.label, CAST(SUM(adj.w) AS BIGINT) AS vw
@@ -220,8 +224,63 @@ private[graft] object OracleFragments {
       |l0 AS (SELECT item, item AS label
       |       FROM (SELECT DISTINCT u AS item FROM adj)),
       |""".stripMargin +
-      Seq(step(1), step(2)).mkString(",\n") + """
-      |SELECT item, label FROM l2 ORDER BY item""".stripMargin
+      Seq(step(1), step(2)).mkString(",\n")
+  }
+
+  val LpaSql: String = LpaCtes + """
+    |SELECT item, label FROM l2 ORDER BY item""".stripMargin
+
+  /** Newman Q of the LPA partition: integer-polynomial form
+    * (4m·W_in − Σd_c²)/4m², one division, 6-dp directed half-up. */
+  val ModularitySql: String = LpaCtes + """,
+    |m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM und),
+    |win AS (SELECT CAST(COALESCE(SUM(u.w), 0) AS BIGINT) AS w_in
+    |  FROM und u JOIN l2 x ON x.item = u.a JOIN l2 y ON y.item = u.b
+    |  WHERE x.label = y.label),
+    |deg AS (SELECT adj.u, CAST(SUM(adj.w) AS BIGINT) AS d
+    |        FROM adj GROUP BY 1),
+    |dc AS (SELECT l.label, CAST(SUM(d.d) AS BIGINT) AS dcw
+    |       FROM deg d JOIN l2 l ON l.item = d.u GROUP BY 1),
+    |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+    |        CAST(SUM(dcw * dcw) AS BIGINT) AS sdc2 FROM dc),
+    |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+    |SELECT n_nodes, n_communities, m.m AS m_weight,
+    |  floor(CAST(4 * m.m * win.w_in - s.sdc2 AS DOUBLE)
+    |    / CAST(4 * m.m * m.m AS DOUBLE) * 1e6 + 0.5) / 1e6 AS modularity
+    |FROM nn, s, m, win""".stripMargin
+
+  /** Unrolled 3-hop BFS from the max-degree hub over the DISTINCT
+    * undirected graph (KcoreSql's e/adj derivation verbatim). */
+  val KhopReachSql: String = {
+    def hop(k: Int): String =
+      s"""f$k AS (SELECT DISTINCT adj.v AS item
+        |  FROM adj JOIN f${k - 1} f ON adj.u = f.item
+        |  WHERE adj.v NOT IN (SELECT item FROM r${k - 1})),
+        |r$k AS (SELECT item FROM r${k - 1} UNION SELECT item FROM f$k)""".stripMargin
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+      |         item AS dst
+      |  FROM base),
+      |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |      FROM tr WHERE src IS NOT NULL AND src <> dst),
+      |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      |f0 AS (SELECT u AS item FROM (
+      |    SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1)
+      |  ORDER BY deg DESC, u LIMIT 1),
+      |r0 AS (SELECT item FROM f0),
+      |""".stripMargin +
+      (1 to 3).map(hop).mkString(",\n") + """
+      |SELECT CAST(0 AS INT) AS hop,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f0) AS frontier_size,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM r0) AS reached_total
+      |UNION ALL SELECT 1, (SELECT COUNT(*) FROM f1), (SELECT COUNT(*) FROM r1)
+      |UNION ALL SELECT 2, (SELECT COUNT(*) FROM f2), (SELECT COUNT(*) FROM r2)
+      |UNION ALL SELECT 3, (SELECT COUNT(*) FROM f3), (SELECT COUNT(*) FROM r3)
+      |ORDER BY hop""".stripMargin
   }
 
   /** Unrolled greedy MMR oracle (pool 20, k = 5, λ = 7/10 as integer

@@ -241,4 +241,41 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     val again = Graph.hitsOf(ev).collect().toSeq
     assert(again == Graph.hitsOf(ev).collect().toSeq, "bit-deterministic")
   }
+
+  test("modularity: the oscillating-pair fixpoint prices singleton communities") {
+    // Edges (1,2) w=2 and (3,4) w=1. Two LPA rounds on isolated pairs
+    // oscillate back to singletons (each node adopts its neighbor,
+    // then re-adopts itself), so W_in = 0 and
+    // Q = (0 - Σd²)/(4m²) = -10/36 exactly.
+    val ev = streams(1L -> Seq(1L, 2L, 1L), 2L -> Seq(3L, 4L))
+    val r = Graph.modularityOf(ev).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L, "4 nodes, 4 labels")
+    assert(r.getLong(2) == 3L, "m = 2 + 1")
+    assert(r.getDouble(3) == -0.277778, s"floor(-10/36*1e6+0.5)/1e6: $r")
+  }
+
+  test("modularity is deterministic across runs") {
+    val ev = streams(1L -> Seq(1L, 2L, 3L, 1L, 2L), 2L -> Seq(4L, 5L, 4L))
+    assert(Graph.modularityOf(ev).collect().toSeq ==
+      Graph.modularityOf(ev).collect().toSeq)
+  }
+
+  test("khop reach: a path expands one ring per hop from the busiest hub") {
+    // Path 1-2-3-4-5 (one walker): degrees 1,2,2,2,1; hub tie 2|3|4
+    // breaks to 2. Rings: {1,3}, {4}, {5}.
+    val out = Graph.khopReachOf(streams(1L -> Seq(1L, 2L, 3L, 4L, 5L)))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0) == ((1L, 1L)))
+    assert(out(1) == ((2L, 3L)))
+    assert(out(2) == ((1L, 4L)))
+    assert(out(3) == ((1L, 5L)))
+  }
+
+  test("khop reach: exhausted frontiers report zero, reach plateaus") {
+    // Single edge: everything is reached at hop 1; hops 2-3 are empty.
+    val out = Graph.khopReachOf(streams(1L -> Seq(7L, 8L)))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1) == ((1L, 2L)))
+    assert(out(2) == ((0L, 2L)) && out(3) == ((0L, 2L)))
+  }
 }
