@@ -275,7 +275,10 @@ object SparkEntry {
     // Round-10 third tranche: community-quality scalar + BFS reach
     // profile on the shared item graph (SURVEY §2 rows 231-232)
     "modularity"        -> (Graph.modularity(_, _)),
-    "khop_reach"        -> (Graph.khopReach(_, _))
+    "khop_reach"        -> (Graph.khopReach(_, _)),
+    // Round-10 fourth tranche: content-defined chunking (storage-dedup
+    // counterpart of chunk_docs)
+    "cdc_chunks"        -> (Corpus.cdcChunks(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

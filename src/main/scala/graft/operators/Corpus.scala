@@ -278,6 +278,72 @@ object Corpus {
   def chunkDocs(spark: SparkSession, dir: String): DataFrame =
     chunkDocsOf(Tables.documents(spark, dir))
 
+  /** Content-defined chunking (CDC) report — the storage-dedup
+    * chunking ([[chunkDocsOf]] cuts at fixed offsets, so one inserted
+    * token shifts every later boundary; CDC cuts where a LOCAL
+    * content hash fires, so boundaries resynchronize right after an
+    * edit and duplicated passages land in identical chunks). Boundary
+    * rule: after token i iff the rolling hash of the last-3-token
+    * window ≡ 0 (mod `divisor`) — expected chunk length ≈ `divisor`
+    * tokens; the window hash reuses [[TextF.rollingFingerprint]]'s
+    * token-code + Mersenne-modulus arithmetic (int64-safe, bit-equal
+    * cross-engine). Output per source: chunk counts, DISTINCT chunk
+    * content addresses, and the duplicate-chunk ppm — the
+    * "how much would CDC dedup save" number, which the corpus's
+    * planted near-dups make nonzero where fixed chunking misses them.
+    *
+    * Shape: one doc-keyed shuffle carries the lag window, the chunk
+    * regroup, AND the ordered reassembly (same key, no second
+    * exchange); the per-source fold is bounded. At 100 TB the
+    * explode multiplies rows ~token-count×, but everything stays
+    * map-local until the one doc-keyed exchange. */
+  /** The per-chunk frame behind [[cdcChunksOf]]: (doc_id, source,
+    * chunk_id, n_toks, chunk_md5). Exposed so the resync property —
+    * prepend one token and every chunk after the first boundary keeps
+    * its content address — is testable chunk-by-chunk. */
+  def cdcChunkTable(docs: DataFrame, divisor: Int = 16): DataFrame = {
+    require(divisor > 1, s"divisor must be > 1, got $divisor")
+    val M = 2147483647L
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    docs.select(col("doc_id"), col("source"),
+        posexplode(TextF.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("c",
+        length(col("tok")).cast("long") * 131L +
+          ascii(substring(col("tok"), 1, 1)).cast("long") * 31L +
+          ascii(substring(col("tok"), -1, 1)).cast("long"))
+      .withColumn("c1", lag("c", 1).over(byPos))
+      .withColumn("c2", lag("c", 2).over(byPos))
+      .withColumn("b", when(col("c2").isNotNull &&
+        expr(s"((c2 * 1000003 + c1) % $M * 1000003 + c) % $M % $divisor") === 0,
+        1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum("b").over(
+        byPos.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy("doc_id", "source", "chunk_id")
+      .agg(count(lit(1)).as("n_toks"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")))).as("chunk_md5"))
+  }
+
+  def cdcChunksOf(docs: DataFrame, divisor: Int = 16): DataFrame = {
+    cdcChunkTable(docs, divisor)
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct("chunk_md5").as("distinct_chunks"),
+        sum("n_toks").as("tot"))
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("distinct_chunks"),
+        expr("((n_chunks - distinct_chunks) * 1000000) div n_chunks")
+          .as("dup_chunk_ppm"),
+        TextF.round4HalfUp(col("tot").cast("double")
+          / col("n_chunks").cast("double")).as("mean_chunk_toks"))
+      .orderBy("source")
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir))
+
   /** Greedy sequence packing (concat-and-split): documents are laid
     * end-to-end in (source, doc_id) order and cut into fixed
     * `budget`-token training sequences; each doc reports the sequence

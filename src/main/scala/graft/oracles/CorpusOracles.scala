@@ -132,6 +132,45 @@ private[graft] object CorpusOracles {
         |    (acc, c) -> (acc * 1000003 + c) % 2147483647) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // CDC: the boundary hash mirrors doc_fingerprint's token codes;
+    // ((c2*K + c1) % M * K + c) % M % D spelled identically both sides.
+    "cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, source,
+        |        regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM documents),
+        |p AS (SELECT doc_id, source,
+        |        generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+        |      FROM t),
+        |cd AS (SELECT doc_id, source, pos, tok,
+        |        CAST(length(tok) AS BIGINT) * 131 +
+        |        CAST(ascii(substr(tok, 1, 1)) AS BIGINT) * 31 +
+        |        CAST(ascii(substr(tok, -1, 1)) AS BIGINT) AS c
+        |      FROM p),
+        |w AS (SELECT *, lag(c, 1) OVER win AS c1, lag(c, 2) OVER win AS c2
+        |      FROM cd WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |bf AS (SELECT *, CASE WHEN c2 IS NOT NULL AND
+        |          ((c2 * 1000003 + c1) % 2147483647 * 1000003 + c)
+        |            % 2147483647 % 16 = 0
+        |        THEN 1 ELSE 0 END AS b FROM w),
+        |ch AS (SELECT *, COALESCE(SUM(b) OVER (PARTITION BY doc_id
+        |          ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS chunk_id FROM bf),
+        |g AS (SELECT doc_id, source, chunk_id,
+        |        CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+        |      FROM ch GROUP BY 1, 2, 3),
+        |s AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |        CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |        CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS distinct_chunks,
+        |        CAST(SUM(n_toks) AS BIGINT) AS tot
+        |      FROM g GROUP BY 1)
+        |SELECT source, n_docs, n_chunks, distinct_chunks,
+        |  ((n_chunks - distinct_chunks) * 1000000) // n_chunks AS dup_chunk_ppm,
+        |  floor(CAST(tot AS DOUBLE) / CAST(n_chunks AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS mean_chunk_toks
+        |FROM s ORDER BY source""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |  hex(encode(left(text, 4))) AS prefix_hex, n_chars

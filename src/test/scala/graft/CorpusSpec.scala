@@ -435,4 +435,30 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
         .map("%02x".format(_)).mkString)
     assert(out == md5Order, s"got $out expected $md5Order")
   }
+
+  test("cdc chunks: exact duplicates share every content address") {
+    val txt = (0 until 120).map(i => s"t${i * 7 % 97}x${i % 13}").mkString(" ")
+    val docs = Seq((1L, txt, "s"), (2L, txt, "s"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Corpus.cdcChunksOf(docs).collect().head
+    assert(r.getLong(2) == 2 * r.getLong(3),
+      s"every chunk duplicated: n=${r.getLong(2)} distinct=${r.getLong(3)}")
+    assert(r.getLong(4) == 500000L, "half the chunks are dups -> 500000 ppm")
+  }
+
+  test("cdc chunks: boundaries resync after a one-token prepend") {
+    // The fixed-window hash depends only on the last 3 tokens, so a
+    // prepended token can only disturb chunking up to the first
+    // shared boundary; every later chunk keeps its content address
+    // (the property fixed-offset chunk_docs cannot have).
+    val base = (0 until 120).map(i => s"t${i * 7 % 97}x${i % 13}").mkString(" ")
+    val docs = Seq((1L, base, "a"), (2L, "xyzzy " + base, "b"))
+      .toDF("doc_id", "text", "source")
+    val ch = graft.operators.Corpus.cdcChunkTable(docs).collect()
+    val a = ch.filter(_.getLong(0) == 1L).map(_.getString(4)).toSet
+    val b = ch.filter(_.getLong(0) == 2L).map(_.getString(4)).toSet
+    assert(a.size > 3, s"the probe text must actually chunk, got ${a.size}")
+    assert((a intersect b).size >= a.size - 2,
+      s"all but the head chunk resync: |a|=${a.size} shared=${(a intersect b).size}")
+  }
 }
