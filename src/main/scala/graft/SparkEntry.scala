@@ -278,7 +278,10 @@ object SparkEntry {
     "khop_reach"        -> (Graph.khopReach(_, _)),
     // Round-10 fourth tranche: content-defined chunking (storage-dedup
     // counterpart of chunk_docs)
-    "cdc_chunks"        -> (Corpus.cdcChunks(_, _))
+    "cdc_chunks"        -> (Corpus.cdcChunks(_, _)),
+    // Round-10: the REAL WAV codec behind the audio half of the
+    // multimodal family (pinned-frame oracle; cf. multimodal_features)
+    "audio_features"    -> (Multimodal.audioFeatures(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

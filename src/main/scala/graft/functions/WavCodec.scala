@@ -1,0 +1,133 @@
+package graft.functions
+
+/** A REAL tiny-format audio codec: RIFF/WAVE with 16-bit PCM — the
+  * simplest widely-specified audio container (RIFF chunk walker,
+  * "fmt " + "data" subchunks, little-endian samples). Together with
+  * [[PpmCodec]] this de-stubs the multimodal decode step for audio
+  * without external libraries: the parser walks the full chunk
+  * grammar (unknown chunks like LIST/INFO skipped, odd-size pad
+  * bytes honored, truncated files rejected, None-not-throw), so it
+  * decodes any conforming PCM16 WAV, not just its own output.
+  * Non-PCM codecs (float, ADPCM, extensible) intentionally return
+  * None — a real deployment swaps in a full codec; the plumbing and
+  * failure contract are what production needs.
+  *
+  * Scale note: decode is per-row JVM work inside `mapPartitions` —
+  * embarrassingly parallel, no shuffle (reference admob-data-pipeline
+  * has no media path; this is the training-data extension surface,
+  * SURVEY rows 26/36/41/234).
+  */
+object WavCodec {
+
+  /** Decoded audio: format + interleaved PCM16 samples. */
+  final case class Audio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  /** Encode PCM16 samples as a conforming WAV file (PCM fmt 1). */
+  def encodeWav(sampleRate: Int, channels: Int,
+                samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, s"bad sampleRate $sampleRate")
+    require(channels > 0 && channels <= 8, s"bad channels $channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not a multiple of $channels channels")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(Ascii)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(Ascii))
+    buf.put("fmt ".getBytes(Ascii)).putInt(16)
+      .putShort(1.toShort)                        // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)          // byte rate
+      .putShort((channels * 2).toShort)           // block align
+      .putShort(16.toShort)                       // bits per sample
+    buf.put("data".getBytes(Ascii)).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a WAV file. Returns None (never throws) on anything
+    * non-conforming: wrong RIFF/WAVE magic, truncated chunks, a fmt
+    * that is not integer PCM 16-bit, a data payload shorter than its
+    * declared size, or data not aligned to whole frames. Chunks other
+    * than fmt/data are skipped (LIST, fact, cue…), including the RIFF
+    * odd-size pad byte. Trailing bytes after the walked chunks are
+    * ignored, matching common reader behavior. */
+  def decodeWav(bytes: Array[Byte]): Option[Audio] = {
+    if (bytes.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, Ascii)
+    }
+    if (tag4() != "RIFF") return None
+    buf.getInt // declared RIFF size; per common practice not re-validated
+    if (tag4() != "WAVE") return None
+    var fmt: Option[(Int, Int)] = None // (sampleRate, channels)
+    var data: Option[Array[Short]] = None
+    while ((fmt.isEmpty || data.isEmpty) && buf.remaining() >= 8) {
+      val id = tag4()
+      val size = buf.getInt
+      if (size < 0 || size > buf.remaining()) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val p0 = buf.position()
+          val audioFormat = buf.getShort
+          val channels = buf.getShort
+          val sampleRate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align: not trusted
+          val bits = buf.getShort
+          if (audioFormat != 1 || bits != 16 ||
+            channels <= 0 || sampleRate <= 0) return None
+          fmt = Some((sampleRate, channels.toInt))
+          buf.position(p0 + size + (size & 1)) // skip extensions + pad
+        case "data" =>
+          if (size % 2 != 0) return None
+          val n = size / 2
+          val s = new Array[Short](n)
+          var i = 0
+          while (i < n) { s(i) = buf.getShort; i += 1 }
+          data = Some(s)
+          if ((size & 1) == 1 && buf.remaining() > 0) buf.get
+        case _ =>
+          buf.position(buf.position() + size + (size & 1)) // skip chunk
+      }
+    }
+    for {
+      (rate, ch) <- fmt
+      s <- data
+      if s.length % ch == 0
+    } yield Audio(rate, ch, s)
+  }
+
+  /** Deterministic scalar features over decoded PCM: duration (ms,
+    * integer floor), peak |amplitude|, RMS on an integer centi-grid
+    * (exact int64 Σs² — 2⁶³ holds past 10¹⁰ samples — then ONE
+    * correctly-rounded sqrt), and the zero-crossing count (the
+    * classic cheap pitch/noisiness proxy). All frames, channels
+    * interleaved, matching the common mono analysis convention. */
+  def features(a: Audio): (Long, Int, Long, Long) = {
+    val n = a.samples.length
+    val durationMs = n.toLong * 1000L / (a.sampleRate.toLong * a.channels)
+    var peak = 0
+    var ssq = 0L
+    var zc = 0L
+    var i = 0
+    while (i < n) {
+      val s = a.samples(i).toInt
+      val as = math.abs(s)
+      if (as > peak) peak = as
+      ssq += s.toLong * s
+      if (i > 0 && ((a.samples(i - 1) < 0 && s >= 0) ||
+        (a.samples(i - 1) >= 0 && s < 0))) zc += 1
+      i += 1
+    }
+    val rmsQ =
+      if (n == 0) 0L
+      else math.floor(math.sqrt(ssq.toDouble / n) * 100.0 + 0.5).toLong
+    (durationMs, peak, rmsQ, zc)
+  }
+}

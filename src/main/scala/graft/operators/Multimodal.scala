@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.PpmCodec
+import graft.functions.{PpmCodec, WavCodec}
 import graft.sources.Tables
 
 /** Multimodal-column handling: media payloads as opaque `binary`
@@ -150,5 +150,44 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "width", "height", "n_bytes", "features")
+  }
+
+  /** Audio feature extraction as a registered query — the WAV twin of
+    * [[multimodalFeatures]]: each doc's UTF-8 bytes become a
+    * deterministic PCM16 signal (byte → centered 16-bit sample, the
+    * stand-in for reading real recordings), encoded as a conforming
+    * RIFF/WAVE file and decoded back through the REAL
+    * [[graft.functions.WavCodec]] chunk walker, so every row
+    * round-trips the actual byte format. Features are all-integer
+    * (duration ms, peak amplitude, centi-RMS with one
+    * correctly-rounded sqrt, zero crossings) — deterministic, hence a
+    * pinned-frame oracle (byte-level WAV parsing is not
+    * SQL-expressible). Map-only, no shuffle. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          // Magnitude from the byte value (128·b + 64 ≤ 32704, inside
+          // PCM16), sign from its parity — peak, RMS, and the
+          // zero-crossing count all vary with content.
+          val pcm = Array.tabulate[Short](b.length) { i =>
+            val v = ((b(i) & 0xff) << 7) + 64
+            (if ((b(i) & 1) == 1) -v else v).toShort
+          }
+          val wav = WavCodec.encodeWav(8000, 1, pcm)
+          WavCodec.decodeWav(wav) match {
+            case Some(a) =>
+              val (durMs, peak, rmsQ, zc) = WavCodec.features(a)
+              (id, a.sampleRate, a.samples.length, durMs, peak, rmsQ, zc)
+            case None => (id, 0, 0, 0L, 0, 0L, 0L) // unreachable: own output
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "duration_ms", "peak",
+        "rms_q", "zero_crossings")
+      .orderBy("doc_id")
   }
 }

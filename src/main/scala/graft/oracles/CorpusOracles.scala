@@ -590,6 +590,140 @@ private[graft] object CorpusOracles {
         |    * 1e4 + 0.5) / 1e4 AS weight
         |FROM t ORDER BY lang""".stripMargin,
 
+    // REAL WAV decode (round 10): text bytes -> deterministic PCM16
+    // -> RIFF/WAVE encode -> WavCodec chunk-walk decode -> integer
+    // features. Pinned frame (byte-level WAV parsing is not
+    // SQL-expressible); MultimodalSpec pins the codec algebra.
+    "audio_features" ->
+      """WITH r(doc_id, sample_rate, n_samples, duration_ms, peak, rms_q, zero_crossings) AS (VALUES
+        |(0,8000,157,19,15552,1252686,92), (1,8000,406,50,15552,1280595,240), (2,8000,246,30,15296,1268843,144), (3,8000,147,18,15296,1263133,91),
+        |(4,8000,250,31,15552,1275894,146), (5,8000,314,39,15552,1273135,180), (6,8000,78,9,15296,1263458,39), (7,8000,402,50,15552,1273915,223),
+        |(8,8000,470,58,15296,1277234,268), (9,8000,391,48,15552,1263081,225), (10,8000,214,26,15552,1275947,124), (11,8000,304,38,15552,1266386,183),
+        |(12,8000,348,43,15552,1275914,191), (13,8000,346,43,15552,1281726,201), (14,8000,495,61,15552,1274880,302), (15,8000,228,28,15552,1267641,136),
+        |(16,8000,90,11,15552,1277453,56), (17,8000,426,53,15552,1280244,246), (18,8000,423,52,15552,1275090,239), (19,8000,57,7,15552,1291015,31),
+        |(20,8000,394,49,15552,1287992,221), (21,8000,217,27,15552,1285838,119), (22,8000,454,56,15552,1281247,275), (23,8000,166,20,15552,1273488,98),
+        |(24,8000,535,66,15552,1275188,309), (25,8000,505,63,15552,1274536,273), (26,8000,63,7,15552,1271219,34), (27,8000,346,43,15552,1272731,204),
+        |(28,8000,334,41,15552,1281776,194), (29,8000,196,24,15552,1286095,112), (30,8000,167,20,15552,1278414,93), (31,8000,250,31,15552,1280143,144),
+        |(32,8000,513,64,15552,1271013,288), (33,8000,247,30,15552,1274101,146), (34,8000,165,20,15552,1290050,96), (35,8000,452,56,15552,1271621,251),
+        |(36,8000,135,16,15552,1291574,81), (37,8000,378,47,15552,1273034,218), (38,8000,203,25,15552,1281389,117), (39,8000,124,15,15552,1280355,69),
+        |(40,8000,421,52,15552,1281947,251), (41,8000,337,42,15552,1273083,197), (42,8000,303,37,15552,1277648,172), (43,8000,152,19,15552,1282744,84),
+        |(44,8000,128,16,15296,1267420,80), (45,8000,432,54,15552,1275388,263), (46,8000,492,61,15552,1279106,275), (47,8000,224,28,15552,1268687,131),
+        |(48,8000,164,20,15296,1278971,93), (49,8000,256,32,15552,1279121,149), (50,8000,256,32,15552,1280300,156), (51,8000,326,40,15552,1276158,179),
+        |(52,8000,63,7,15296,1256633,33), (53,8000,190,23,15552,1280999,117), (54,8000,357,44,15552,1274721,218), (55,8000,196,24,15296,1270394,111),
+        |(56,8000,549,68,15552,1276036,308), (57,8000,447,55,15552,1268435,260), (58,8000,389,48,15552,1268701,239), (59,8000,118,14,15296,1250483,70),
+        |(60,8000,493,61,15552,1267710,282), (61,8000,309,38,15552,1255177,185), (62,8000,392,49,15552,1274493,217), (63,8000,529,66,15552,1278264,313),
+        |(64,8000,135,16,15552,1268849,77), (65,8000,99,12,15552,1264257,58), (66,8000,352,44,15552,1286362,197), (67,8000,333,41,15552,1268477,193),
+        |(68,8000,186,23,15552,1284673,97), (69,8000,308,38,15552,1272537,175), (70,8000,509,63,15552,1267987,302), (71,8000,336,42,15552,1277660,191),
+        |(72,8000,230,28,15552,1280015,126), (73,8000,503,62,15552,1261373,296), (74,8000,48,6,15552,1248282,31), (75,8000,312,39,15552,1270670,177),
+        |(76,8000,382,47,15552,1272986,222), (77,8000,319,39,15552,1276581,182), (78,8000,233,29,15552,1274175,135), (79,8000,63,7,15552,1289435,37),
+        |(80,8000,172,21,15552,1263047,91), (81,8000,357,44,15552,1281385,214), (82,8000,260,32,15552,1271366,146), (83,8000,88,11,15552,1296957,53),
+        |(84,8000,403,50,15552,1274330,228), (85,8000,155,19,15552,1244459,85), (86,8000,138,17,15552,1300562,87), (87,8000,128,16,15552,1286782,77),
+        |(88,8000,289,36,15552,1278950,155), (89,8000,141,17,15296,1268718,87), (90,8000,112,14,15552,1248916,67), (91,8000,431,53,15552,1273531,258),
+        |(92,8000,146,18,15552,1282244,86), (93,8000,130,16,15552,1271160,77), (94,8000,143,17,15552,1298151,82), (95,8000,296,37,15552,1268707,177),
+        |(96,8000,454,56,15552,1278128,255), (97,8000,320,40,15552,1267546,187), (98,8000,526,65,15552,1269754,317), (99,8000,196,24,15552,1255530,116),
+        |(100,8000,461,57,15552,1278331,257), (101,8000,232,29,15552,1271823,131), (102,8000,515,64,15552,1278532,293), (103,8000,527,65,15552,1276785,310),
+        |(104,8000,246,30,15552,1266283,155), (105,8000,328,41,15552,1277067,184), (106,8000,70,8,15552,1292657,35), (107,8000,212,26,15552,1275886,118),
+        |(108,8000,86,10,15552,1249734,53), (109,8000,395,49,15552,1274312,229), (110,8000,54,6,15552,1257496,29), (111,8000,529,66,15552,1279253,315),
+        |(112,8000,322,40,15552,1274220,186), (113,8000,428,53,15552,1271396,231), (114,8000,207,25,15552,1280815,120), (115,8000,132,16,15552,1280181,76),
+        |(116,8000,62,7,15552,1320675,34), (117,8000,246,30,15552,1262835,145), (118,8000,396,49,15552,1276908,227), (119,8000,87,10,15552,1281100,46),
+        |(120,8000,211,26,15552,1286452,121), (121,8000,168,21,15552,1283331,100), (122,8000,102,12,15552,1274559,60), (123,8000,158,19,15552,1286261,88),
+        |(124,8000,311,38,15552,1265493,191), (125,8000,185,23,15552,1275524,111), (126,8000,509,63,15552,1273035,293), (127,8000,434,54,15552,1257693,233),
+        |(128,8000,455,56,15552,1272810,269), (129,8000,439,54,15552,1266606,260), (130,8000,150,18,15552,1276042,91), (131,8000,293,36,15552,1270698,176),
+        |(132,8000,330,41,15552,1261230,190), (133,8000,500,62,15552,1269318,285), (134,8000,132,16,15552,1285428,79), (135,8000,538,67,15552,1274339,313),
+        |(136,8000,334,41,15552,1263371,194), (137,8000,233,29,15552,1274005,138), (138,8000,364,45,15552,1277193,203), (139,8000,294,36,15552,1262945,180),
+        |(140,8000,157,19,15552,1280773,86), (141,8000,432,54,15552,1281900,248), (142,8000,512,64,15552,1269626,306), (143,8000,411,51,15552,1283540,233),
+        |(144,8000,89,11,15552,1269497,48), (145,8000,401,50,15552,1273850,244), (146,8000,129,16,15296,1283021,78), (147,8000,442,55,15552,1261533,254),
+        |(148,8000,197,24,15552,1278031,119), (149,8000,157,19,15552,1284763,95), (150,8000,274,34,15552,1289821,161), (151,8000,519,64,15552,1271450,303),
+        |(152,8000,218,27,15296,1265035,124), (153,8000,433,54,15552,1274861,259), (154,8000,443,55,15552,1271617,260), (155,8000,367,45,15552,1276425,207),
+        |(156,8000,122,15,15552,1292273,64), (157,8000,91,11,15296,1268322,48), (158,8000,106,13,15168,1288467,60), (159,8000,379,47,15552,1274725,227),
+        |(160,8000,246,30,15552,1273476,143), (161,8000,473,59,15552,1273401,269), (162,8000,458,57,15552,1274178,261), (163,8000,257,32,15552,1283600,152),
+        |(164,8000,108,13,15552,1291650,58), (165,8000,108,13,15552,1264569,63), (166,8000,327,40,15552,1260945,187), (167,8000,475,59,15552,1273385,286),
+        |(168,8000,228,28,15552,1287044,130), (169,8000,398,49,15552,1284013,238), (170,8000,124,15,15552,1273797,69), (171,8000,328,41,15552,1274673,188),
+        |(172,8000,103,12,15552,1272029,58), (173,8000,540,67,15552,1270639,316), (174,8000,315,39,15552,1281684,186), (175,8000,158,19,15552,1291140,88),
+        |(176,8000,491,61,15552,1269263,290), (177,8000,263,32,15552,1265512,151), (178,8000,214,26,15296,1265474,122), (179,8000,484,60,15552,1279864,271),
+        |(180,8000,185,23,15552,1281679,105), (181,8000,109,13,15552,1291294,58), (182,8000,343,42,15552,1268573,200), (183,8000,99,12,15552,1252762,57),
+        |(184,8000,441,55,15552,1272097,257), (185,8000,305,38,15552,1255357,183), (186,8000,413,51,15552,1277804,246), (187,8000,497,62,15552,1266336,289),
+        |(188,8000,246,30,15552,1259823,163), (189,8000,207,25,15552,1275196,120), (190,8000,428,53,15552,1278503,254), (191,8000,118,14,15552,1268828,63),
+        |(192,8000,132,16,15552,1264790,78), (193,8000,168,21,15552,1270237,94), (194,8000,156,19,15552,1276137,92), (195,8000,318,39,15552,1268794,180),
+        |(196,8000,339,42,15552,1278309,195), (197,8000,522,65,15552,1273739,308), (198,8000,254,31,15296,1271582,140), (199,8000,154,19,15552,1261854,88),
+        |(200,8000,303,37,15552,1287304,173), (201,8000,315,39,15552,1270288,188), (202,8000,481,60,15552,1270334,284), (203,8000,128,16,15552,1276526,78),
+        |(204,8000,117,14,15296,1285177,64), (205,8000,376,47,15552,1272796,208), (206,8000,130,16,15552,1263613,72), (207,8000,385,48,15552,1257803,214),
+        |(208,8000,115,14,15552,1256481,71), (209,8000,223,27,15552,1262969,132), (210,8000,515,64,15552,1275912,285), (211,8000,279,34,15552,1279189,154),
+        |(212,8000,254,31,15552,1288729,136), (213,8000,467,58,15552,1266717,267), (214,8000,69,8,15552,1285131,36), (215,8000,527,65,15552,1272656,304),
+        |(216,8000,529,66,15552,1284123,299), (217,8000,350,43,15552,1268991,195), (218,8000,455,56,15552,1282826,273), (219,8000,175,21,15168,1285899,92),
+        |(220,8000,553,69,15552,1279044,323), (221,8000,221,27,15552,1266588,123), (222,8000,261,32,15552,1254232,151), (223,8000,459,57,15552,1269884,257),
+        |(224,8000,442,55,15552,1279470,246), (225,8000,419,52,15552,1273889,234), (226,8000,109,13,15552,1276854,61), (227,8000,468,58,15552,1287706,258),
+        |(228,8000,464,58,15552,1272373,255), (229,8000,409,51,15552,1276802,239), (230,8000,311,38,15552,1280958,178), (231,8000,155,19,15296,1278874,94),
+        |(232,8000,316,39,15552,1269172,175), (233,8000,458,57,15552,1270447,257), (234,8000,344,43,15552,1261577,200), (235,8000,224,28,15552,1285014,134),
+        |(236,8000,62,7,15040,1260678,38), (237,8000,416,52,15552,1261518,246), (238,8000,257,32,15552,1275449,165), (239,8000,164,20,15296,1281193,90),
+        |(240,8000,380,47,15552,1273015,211), (241,8000,511,63,15552,1274916,316), (242,8000,388,48,15552,1276508,221), (243,8000,178,22,15552,1277074,92),
+        |(244,8000,371,46,15552,1276101,217), (245,8000,466,58,15296,1277538,266), (246,8000,175,21,15552,1260578,94), (247,8000,430,53,15552,1271200,249),
+        |(248,8000,446,55,15552,1277192,256), (249,8000,431,53,15552,1263933,250), (250,8000,247,30,15296,1267205,150), (251,8000,523,65,15552,1273243,317),
+        |(252,8000,252,31,15552,1264434,148), (253,8000,197,24,15552,1267292,116), (254,8000,103,12,15552,1283896,57), (255,8000,157,19,15296,1281375,97),
+        |(256,8000,62,7,15552,1298290,35), (257,8000,114,14,15296,1272476,68), (258,8000,396,49,15552,1260888,222), (259,8000,259,32,15296,1275789,154),
+        |(260,8000,134,16,15552,1251673,82), (261,8000,472,59,15552,1271830,278), (262,8000,256,32,15552,1272599,151), (263,8000,447,55,15552,1268266,268),
+        |(264,8000,544,68,15552,1272452,320), (265,8000,268,33,15552,1281134,144), (266,8000,225,28,15552,1271131,126), (267,8000,424,53,15552,1276022,259),
+        |(268,8000,216,27,15552,1267432,124), (269,8000,467,58,15552,1272164,282), (270,8000,499,62,15552,1268639,298), (271,8000,295,36,15552,1280848,166),
+        |(272,8000,486,60,15552,1271404,275), (273,8000,157,19,15552,1289983,90), (274,8000,537,67,15552,1275296,303), (275,8000,49,6,15296,1276338,29),
+        |(276,8000,538,67,15552,1276357,308), (277,8000,163,20,15552,1268002,103), (278,8000,394,49,15552,1269038,220), (279,8000,281,35,15552,1278117,161),
+        |(280,8000,470,58,15552,1267657,266), (281,8000,171,21,15552,1284712,103), (282,8000,178,22,15552,1277428,101), (283,8000,471,58,15552,1283221,257),
+        |(284,8000,278,34,15552,1269775,171), (285,8000,512,64,15552,1267522,315), (286,8000,258,32,15552,1278804,154), (287,8000,101,12,15296,1293542,61),
+        |(288,8000,176,22,15552,1281658,93), (289,8000,224,28,15552,1292629,135), (290,8000,530,66,15552,1269542,319), (291,8000,417,52,15552,1278329,230),
+        |(292,8000,458,57,15552,1263279,265), (293,8000,385,48,15552,1268983,237), (294,8000,470,58,15552,1281537,272), (295,8000,186,23,15552,1291287,107),
+        |(296,8000,359,44,15552,1270449,212), (297,8000,322,40,15552,1268126,195), (298,8000,189,23,15552,1279471,99), (299,8000,502,62,15552,1276003,301),
+        |(300,8000,216,27,15552,1275775,124), (301,8000,508,63,15552,1267726,313), (302,8000,484,60,15552,1273766,290), (303,8000,454,56,15552,1272293,257),
+        |(304,8000,219,27,15552,1265834,119), (305,8000,63,7,15296,1278152,32), (306,8000,421,52,15552,1272049,237), (307,8000,302,37,15552,1286938,168),
+        |(308,8000,97,12,15296,1288519,54), (309,8000,238,29,15552,1268142,132), (310,8000,148,18,15552,1283462,88), (311,8000,495,61,15552,1272931,286),
+        |(312,8000,369,46,15552,1274858,229), (313,8000,87,10,15296,1251245,55), (314,8000,190,23,15552,1269763,112), (315,8000,460,57,15552,1268486,273),
+        |(316,8000,407,50,15552,1266019,247), (317,8000,408,51,15552,1281291,222), (318,8000,456,57,15552,1275954,263), (319,8000,513,64,15552,1287183,298),
+        |(320,8000,405,50,15552,1270011,239), (321,8000,292,36,15552,1282216,180), (322,8000,255,31,15552,1273392,140), (323,8000,331,41,15552,1260710,189),
+        |(324,8000,228,28,15552,1275935,142), (325,8000,328,41,15552,1278660,191), (326,8000,198,24,15552,1272343,110), (327,8000,181,22,15552,1277324,99),
+        |(328,8000,495,61,15552,1277193,289), (329,8000,353,44,15552,1275126,195), (330,8000,316,39,15552,1266746,181), (331,8000,300,37,15552,1288478,169),
+        |(332,8000,207,25,15552,1287308,119), (333,8000,177,22,15552,1281298,97), (334,8000,484,60,15552,1261722,286), (335,8000,325,40,15552,1262529,176),
+        |(336,8000,376,47,15552,1270151,231), (337,8000,242,30,15552,1281885,148), (338,8000,91,11,15552,1270782,56), (339,8000,187,23,15552,1290130,105),
+        |(340,8000,247,30,15552,1270794,152), (341,8000,427,53,15552,1270887,240), (342,8000,116,14,15552,1280083,62), (343,8000,155,19,15296,1255840,94),
+        |(344,8000,417,52,15552,1280492,230), (345,8000,323,40,15552,1277261,182), (346,8000,409,51,15552,1270994,243), (347,8000,282,35,15552,1275956,172),
+        |(348,8000,131,16,15552,1273536,75), (349,8000,457,57,15552,1268983,274), (350,8000,467,58,15552,1279755,249), (351,8000,368,46,15552,1276988,218),
+        |(352,8000,536,67,15552,1279627,297), (353,8000,315,39,15552,1266363,187), (354,8000,426,53,15552,1282358,237), (355,8000,353,44,15552,1290381,207),
+        |(356,8000,359,44,15552,1274907,202), (357,8000,253,31,15552,1273554,137), (358,8000,59,7,14912,1269485,38), (359,8000,328,41,15552,1269721,182),
+        |(360,8000,443,55,15552,1275344,255), (361,8000,363,45,15552,1276203,204), (362,8000,81,10,15552,1287232,51), (363,8000,357,44,15552,1271571,203),
+        |(364,8000,270,33,15552,1283559,164), (365,8000,67,8,15296,1284484,40), (366,8000,311,38,15296,1271494,179), (367,8000,213,26,15552,1273719,117),
+        |(368,8000,73,9,15168,1275718,48), (369,8000,273,34,15552,1272795,151), (370,8000,246,30,15552,1286161,150), (371,8000,350,43,15552,1269737,190),
+        |(372,8000,142,17,15552,1270181,78), (373,8000,388,48,15552,1277285,230), (374,8000,182,22,15552,1292364,105), (375,8000,343,42,15552,1276486,199),
+        |(376,8000,367,45,15552,1263372,223), (377,8000,234,29,15552,1279363,128), (378,8000,337,42,15552,1266480,194), (379,8000,403,50,15552,1275684,238),
+        |(380,8000,443,55,15552,1279546,256), (381,8000,353,44,15552,1271363,207), (382,8000,132,16,15552,1275090,76), (383,8000,254,31,15552,1279541,146),
+        |(384,8000,92,11,15552,1278896,44), (385,8000,399,49,15552,1277555,224), (386,8000,471,58,15552,1268723,281), (387,8000,208,26,15552,1276542,115),
+        |(388,8000,345,43,15552,1275129,199), (389,8000,152,19,15552,1282371,91), (390,8000,137,17,15552,1275996,78), (391,8000,238,29,15552,1275795,147),
+        |(392,8000,135,16,15552,1291574,84), (393,8000,465,58,15552,1278555,272), (394,8000,404,50,15552,1273692,239), (395,8000,479,59,15552,1287435,286),
+        |(396,8000,248,31,15552,1274231,143), (397,8000,294,36,15552,1275048,169), (398,8000,105,13,15552,1281406,59), (399,8000,309,38,15552,1277134,175),
+        |(400,8000,134,16,15552,1263581,80), (401,8000,438,54,15552,1283118,255), (402,8000,160,20,15552,1277712,93), (403,8000,473,59,15552,1277135,266),
+        |(404,8000,221,27,15552,1260905,124), (405,8000,314,39,15552,1281252,176), (406,8000,460,57,15552,1278060,268), (407,8000,108,13,15552,1261251,64),
+        |(408,8000,87,10,15552,1283366,59), (409,8000,273,34,15552,1262018,160), (410,8000,413,51,15552,1277824,242), (411,8000,411,51,15552,1266766,241),
+        |(412,8000,365,45,15552,1268800,205), (413,8000,428,53,15552,1275702,261), (414,8000,408,51,15552,1266515,235), (415,8000,313,39,15552,1275169,184),
+        |(416,8000,287,35,15552,1278558,163), (417,8000,520,65,15552,1272384,289), (418,8000,439,54,15552,1274228,251), (419,8000,114,14,15552,1282113,70),
+        |(420,8000,461,57,15552,1278873,269), (421,8000,460,57,15552,1270993,266), (422,8000,365,45,15552,1272228,223), (423,8000,363,45,15552,1271673,214),
+        |(424,8000,409,51,15552,1279260,236), (425,8000,131,16,15296,1275339,76), (426,8000,452,56,15552,1275589,268), (427,8000,420,52,15552,1272593,253),
+        |(428,8000,279,34,15552,1283119,162), (429,8000,537,67,15552,1277455,317), (430,8000,399,49,15552,1272439,232), (431,8000,307,38,15552,1276777,178),
+        |(432,8000,359,44,15552,1276235,209), (433,8000,176,22,15552,1279972,107), (434,8000,423,52,15552,1264146,241), (435,8000,167,20,15552,1269868,94),
+        |(436,8000,277,34,15296,1272490,153), (437,8000,440,55,15552,1266887,261), (438,8000,172,21,15552,1281347,96), (439,8000,184,23,15552,1272670,110),
+        |(440,8000,243,30,15552,1278107,144), (441,8000,542,67,15552,1273286,331), (442,8000,455,56,15552,1267067,287), (443,8000,280,35,15552,1277387,166),
+        |(444,8000,419,52,15552,1279000,245), (445,8000,307,38,15552,1268587,174), (446,8000,132,16,15296,1266637,82), (447,8000,505,63,15552,1268196,299),
+        |(448,8000,286,35,15552,1275187,168), (449,8000,177,22,15552,1281477,104), (450,8000,142,17,15552,1283377,84), (451,8000,112,14,15552,1287915,62),
+        |(452,8000,358,44,15552,1274301,205), (453,8000,519,64,15552,1268957,303), (454,8000,153,19,15552,1268571,84), (455,8000,59,7,15552,1273221,32),
+        |(456,8000,114,14,15552,1259451,67), (457,8000,202,25,15552,1271736,113), (458,8000,323,40,15552,1268751,186), (459,8000,376,47,15552,1270810,212),
+        |(460,8000,261,32,15552,1274271,150), (461,8000,372,46,15552,1271782,224), (462,8000,327,40,15552,1268419,189), (463,8000,491,61,15552,1267681,285),
+        |(464,8000,204,25,15552,1292953,113), (465,8000,320,40,15552,1262648,183), (466,8000,471,58,15552,1267419,277), (467,8000,360,45,15552,1264190,207),
+        |(468,8000,207,25,15552,1277866,118), (469,8000,57,7,15552,1300049,33), (470,8000,232,29,15552,1278024,131), (471,8000,335,41,15552,1265853,191),
+        |(472,8000,208,26,15552,1278952,119), (473,8000,293,36,15552,1281563,173), (474,8000,356,44,15552,1269090,216), (475,8000,77,9,15552,1276082,47),
+        |(476,8000,84,10,15552,1269208,45), (477,8000,151,18,15552,1267431,93), (478,8000,290,36,15552,1286987,165), (479,8000,389,48,15552,1278541,226),
+        |(480,8000,359,44,15552,1279536,195), (481,8000,85,10,15296,1273037,56), (482,8000,165,20,15552,1277062,97), (483,8000,245,30,15552,1266627,152),
+        |(484,8000,221,27,15552,1263525,133), (485,8000,129,16,15552,1286612,74), (486,8000,171,21,15552,1269207,96), (487,8000,321,40,15552,1279308,180),
+        |(488,8000,205,25,15552,1286123,120), (489,8000,317,39,15552,1279440,171), (490,8000,271,33,15552,1279725,153), (491,8000,368,46,15552,1273739,207),
+        |(492,8000,77,9,15552,1285045,47), (493,8000,465,58,15552,1268760,273), (494,8000,206,25,15296,1270445,122), (495,8000,384,48,15552,1274038,233),
+        |(496,8000,457,57,15552,1279684,280), (497,8000,123,15,15296,1290027,65), (498,8000,485,60,15552,1272446,293), (499,8000,166,20,15552,1259599,101))
+        |SELECT doc_id, sample_rate, n_samples, duration_ms, peak, rms_q,
+        |  zero_crossings
+        |FROM r ORDER BY doc_id""".stripMargin,
     // REAL P6 decode (round 10): text bytes -> deterministic
     // near-square P6 image -> PpmCodec parse -> mean/std-RGB
     // features, fingerprinted. Pinned frame (features are not

@@ -132,4 +132,55 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       Multimodal.resizeStub(spark, payloads, 0, 4))
       .getMessage.contains("target dims"))
   }
+
+  test("wav codec: encode/decode round-trips samples, rate, and channels") {
+    import graft.functions.WavCodec
+    val pcm = Array[Short](0, 1000, -1000, 32767, -32768, 7)
+    val a = WavCodec.decodeWav(WavCodec.encodeWav(44100, 2, pcm)).get
+    assert(a.sampleRate == 44100 && a.channels == 2)
+    assert(a.samples.toSeq == pcm.toSeq)
+  }
+
+  test("wav codec: unknown chunks are skipped, including odd-size padding") {
+    import graft.functions.WavCodec
+    val base = WavCodec.encodeWav(8000, 1, Array[Short](5, -5))
+    // Splice a 3-byte LIST chunk (odd size -> 1 pad byte) before fmt.
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = base.take(12) ++ extra ++ base.drop(12)
+    // RIFF size field is not re-validated; the walker must still land
+    // on fmt/data after skipping the stranger.
+    val a = WavCodec.decodeWav(spliced)
+    assert(a.exists(_.samples.toSeq == Seq[Short](5, -5)), s"got $a")
+  }
+
+  test("wav codec: truncation, bad magic, and non-PCM all return None") {
+    import graft.functions.WavCodec
+    val good = WavCodec.encodeWav(8000, 1, Array[Short](1, 2, 3))
+    assert(WavCodec.decodeWav(good.dropRight(2)).isEmpty, "short data")
+    assert(WavCodec.decodeWav("RIFX".getBytes ++ good.drop(4)).isEmpty)
+    val nonPcm = good.clone
+    nonPcm(20) = 3 // fmt code 3 = IEEE float
+    assert(WavCodec.decodeWav(nonPcm).isEmpty, "float wav must be rejected")
+    assert(WavCodec.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("wav codec: features on a square wave are exact") {
+    import graft.functions.WavCodec
+    // +A -A +A -A at 4 samples/s: duration 1 s, rms = peak = A,
+    // a crossing at every step.
+    val a = WavCodec.Audio(4, 1, Array[Short](100, -100, 100, -100))
+    val (durMs, peak, rmsQ, zc) = WavCodec.features(a)
+    assert(durMs == 1000L && peak == 100 && rmsQ == 10000L && zc == 3L)
+  }
+
+  test("audio features: every sf doc round-trips the real byte format") {
+    val out = graft.operators.Multimodal.audioFeatures(spark, Sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // sample_rate 8000 proves the decode path ran (the unreachable
+    // fallback reports 0); n_samples equals the UTF-8 byte length.
+    assert(rows.forall(_.getInt(1) == 8000))
+    assert(rows.forall(r => r.getLong(3) == r.getInt(2).toLong * 1000 / 8000))
+  }
 }
