@@ -281,7 +281,10 @@ object SparkEntry {
     "cdc_chunks"        -> (Corpus.cdcChunks(_, _)),
     // Round-10: the REAL WAV codec behind the audio half of the
     // multimodal family (pinned-frame oracle; cf. multimodal_features)
-    "audio_features"    -> (Multimodal.audioFeatures(_, _))
+    "audio_features"    -> (Multimodal.audioFeatures(_, _)),
+    // pinned-frame gate: positions are Spark-native xxhash64
+    // (cf. lsh_precision)
+    "bloom_fpr"         -> (BloomJoin.bloomFpr(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -111,4 +111,50 @@ object BloomJoin {
 
   def urgentRevenue(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     urgentRevenueOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  /** Bloom-filter calibration audit — [[HeavyHitters.countMinErr]]'s
+    * sibling for THIS operator's sketch: build the bitset over the
+    * urgent order keys exactly as [[preFilter]] does, then probe it
+    * with every key known NOT to be a member (non-urgent orders —
+    * o_orderkey is unique, so priority ≠ urgent ⟹ non-member) and
+    * report the MEASURED false-positive rate next to the filter's
+    * fill ratio. fpr ≈ fill^hashes is the textbook check; the
+    * measured number is what decides whether `bits` is sized right
+    * for the dim cardinality before a 100 TB run trusts the shuffle
+    * cut (an overfull filter silently degrades the pre-filter to a
+    * no-op — correctness survives, the 80% shuffle saving doesn't).
+    * All integers (ppm by integer division); bit counting runs on the
+    * bounded bits/64-word array, probing is the same scan-side
+    * codegen predicate as production.
+    *
+    * Pinned-frame oracle: positions come from Spark-native xxhash64
+    * (not SQL-replicable — the [[graft.operators.Dedup.lshPrecision]]
+    * convention); BloomJoinSpec pins the zero-FN contract and the
+    * fill/FPR algebra on hand-built keys. */
+  def bloomFprOf(orders: DataFrame, bits: Int = 1 << 17,
+                 hashes: Int = 5): DataFrame = {
+    val urgent = orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k"))
+    val words = bloomFilterOf(urgent, "k", bits, hashes)
+      .collect().head.getMap[Int, Long](0) // bits/8 bytes, bounded
+    val dense = (0 until bits / 64).map(i => words.getOrElse(i, 0L))
+    val setBits = dense.map(java.lang.Long.bitCount(_).toLong).sum
+    val negatives = orders
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey").as("k"))
+    negatives
+      .agg(count(lit(1)).as("n_negatives"),
+        sum(when(mightContain(col("k"), typedlit(dense), bits, hashes), 1L)
+          .otherwise(0L)).as("n_false_pos"))
+      .crossJoin(broadcast(urgent.agg(count(lit(1)).as("n_keys")))) // 1 row
+      .select(lit(bits).as("bits"), lit(hashes).as("hashes"),
+        col("n_keys"), lit(setBits).as("set_bits"),
+        expr(s"(${setBits}L * 1000000) div ${bits}L").as("fill_ppm"),
+        col("n_negatives"), col("n_false_pos"),
+        expr("(n_false_pos * 1000000) div n_negatives").as("fpr_ppm"))
+  }
+
+  def bloomFpr(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    bloomFprOf(Tables.orders(spark, dir))
 }

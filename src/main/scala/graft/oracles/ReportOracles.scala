@@ -272,6 +272,16 @@ private[graft] object ReportOracles {
         |  floor(CAST(SUM(qrev) AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue
         |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // Bloom calibration audit: pinned frame (positions are Spark
+    // xxhash64, not SQL-replicable — the lsh_precision convention);
+    // re-pin when bits/hashes or the key predicate change.
+    "bloom_fpr" ->
+      """SELECT * FROM (VALUES (131072, 5, CAST(2978 AS BIGINT),
+        |  CAST(14057 AS BIGINT), CAST(107246 AS BIGINT),
+        |  CAST(12022 AS BIGINT), CAST(1 AS BIGINT), CAST(83 AS BIGINT)))
+        |  AS t(bits, hashes, n_keys, set_bits, fill_ppm, n_negatives,
+        |       n_false_pos, fpr_ppm)""".stripMargin,
+
     // Integer day lags; one array-quantile per group on exact operands.
     "ship_lag_percentiles" ->
       """WITH j AS (SELECT o_orderpriority,

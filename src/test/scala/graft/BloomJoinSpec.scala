@@ -56,4 +56,41 @@ class BloomJoinSpec extends AnyFunSuite with SparkFixture {
       BloomJoin.bloomFilterOf(Seq(1L).toDF("k"), "k", bits = 100)
     }
   }
+
+  test("bloom fpr audit: zero false negatives, exact fill and ppm algebra") {
+    // 3 urgent keys, 7 known non-members.
+    val orders = ((1 to 3).map(k => (k.toLong, "1-URGENT")) ++
+      (4 to 10).map(k => (k.toLong, "3-MEDIUM")))
+      .toDF("o_orderkey", "o_orderpriority")
+    val r = graft.operators.BloomJoin.bloomFprOf(orders, bits = 256, hashes = 3)
+      .collect().head
+    assert(r.getInt(0) == 256 && r.getInt(1) == 3)
+    assert(r.getLong(2) == 3L, "n_keys")
+    val setBits = r.getLong(3)
+    assert(setBits > 0 && setBits <= 9L, "3 keys x 3 hashes, minus collisions")
+    assert(r.getLong(4) == setBits * 1000000L / 256L, "fill ppm")
+    assert(r.getLong(5) == 7L, "n_negatives")
+    assert(r.getLong(7) == r.getLong(6) * 1000000L / 7L, "fpr ppm")
+    // Zero false negatives is the Bloom contract: every member probes true.
+    val members = orders.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey".as("l_orderkey"), lit("x").as("pad"))
+    val kept = graft.operators.BloomJoin.preFilter(
+      members, orders.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey"), "l_orderkey", "o_orderkey",
+      bits = 256, hashes = 3)
+    assert(kept.count() == 3L, "no member may be filtered out")
+  }
+
+  test("bloom fpr audit: a saturated filter reports full fill and all-FP") {
+    // 1 bit-word worth of space vs 200 keys: fill -> ~100%, every
+    // non-member probes true — the degradation mode the audit exists
+    // to surface.
+    val orders = ((1 to 200).map(k => (k.toLong, "1-URGENT")) ++
+      (201 to 220).map(k => (k.toLong, "3-MEDIUM")))
+      .toDF("o_orderkey", "o_orderpriority")
+    val r = graft.operators.BloomJoin.bloomFprOf(orders, bits = 64, hashes = 2)
+      .collect().head
+    assert(r.getLong(4) > 900000L, s"fill ~saturated: ${r.getLong(4)} ppm")
+    assert(r.getLong(7) > 900000L, s"nearly every negative collides: $r")
+  }
 }
