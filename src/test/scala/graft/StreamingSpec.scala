@@ -750,4 +750,55 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"the first post-gap shift day must alarm: ${got.toSeq}")
     } finally query.stop()
   }
+
+  test("streaming interarrival: bucketed quantiles match hand-computed gaps across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val events = input.toDF().toDF("event_type", "ts")
+    def ts(t: String) = Timestamp.valueOf(s"2026-01-01 $t")
+
+    val query = graft.streaming.StreamingInterarrival.snapshots(events)
+      .writeStream.format("memory").queryName("ia_test")
+      .outputMode("append").start()
+    try {
+      // Gaps: 1s, 1s, 2s (batch 1) then +4s continuing the chain.
+      input.addData(("a", ts("10:00:00")), ("a", ts("10:00:01")),
+        ("a", ts("10:00:02")), ("a", ts("10:00:04")))
+      query.processAllAvailable()
+      input.addData(("a", ts("10:00:08")))
+      query.processAllAvailable()
+      val rows = spark.table("ia_test").collect()
+        .filter(_.getString(0) == "a").sortBy(_.getLong(1))
+      assert(rows.last.getLong(1) == 4L, s"4 gaps total: ${rows.toSeq}")
+      assert(rows.last.getLong(2) == 0L, "no late events")
+      // Gaps µs: 1e6 (b20), 1e6, 2e6 (b21), 4e6 (b22). p50 -> 2nd gap
+      // -> bucket 20 bound 2^20 µs = 1.0486 s; p99 -> bucket 22 bound
+      // 4.1943 s.
+      assert(rows.last.getDouble(3) == 1.0486, s"p50: ${rows.last}")
+      assert(rows.last.getDouble(5) == 4.1943, s"p99: ${rows.last}")
+    } finally query.stop()
+  }
+
+  test("streaming interarrival: out-of-order events count as late, not as gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val events = input.toDF().toDF("event_type", "ts")
+    def ts(t: String) = Timestamp.valueOf(s"2026-01-01 $t")
+
+    val query = graft.streaming.StreamingInterarrival.snapshots(events)
+      .writeStream.format("memory").queryName("ia_late_test")
+      .outputMode("append").start()
+    try {
+      input.addData(("b", ts("10:00:00")), ("b", ts("10:00:10")))
+      query.processAllAvailable()
+      // Older than the newest processed event: no reconstructable
+      // neighbor gap without unbounded buffering -> n_late.
+      input.addData(("b", ts("10:00:05")))
+      query.processAllAvailable()
+      val last = spark.table("ia_late_test").collect()
+        .filter(_.getString(0) == "b").maxBy(_.getLong(2))
+      assert(last.getLong(1) == 1L && last.getLong(2) == 1L,
+        s"one real gap, one late: $last")
+    } finally query.stop()
+  }
 }
