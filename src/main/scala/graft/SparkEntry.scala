@@ -284,7 +284,12 @@ object SparkEntry {
     "audio_features"    -> (Multimodal.audioFeatures(_, _)),
     // pinned-frame gate: positions are Spark-native xxhash64
     // (cf. lsh_precision)
-    "bloom_fpr"         -> (BloomJoin.bloomFpr(_, _))
+    "bloom_fpr"         -> (BloomJoin.bloomFpr(_, _)),
+    // Round-10 fifth tranche: survival dual, GBDT-style split finder,
+    // conformal calibration (SURVEY §2 rows 237-239)
+    "nelson_aalen"      -> (Behavior.nelsonAalen(_, _)),
+    "best_split"        -> (CorpusStats.bestSplit(_, _)),
+    "conformal_interval" -> (EventAnalytics.conformalInterval(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -624,6 +624,36 @@ object Behavior {
   def churnLifetable(spark: SparkSession, dir: String): DataFrame =
     churnLifetableOf(Tables.events(spark, dir))
 
+  /** Nelson–Aalen cumulative hazard over [[churnLifetableOf]]'s risk
+    * sets: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ — the survival curve's additive
+    * dual (KM multiplies survival factors; NA sums hazard mass, the
+    * estimator that stays well-behaved in small risk sets and feeds
+    * hazard-ratio eyeballing directly). The per-duration increment is
+    * quantized to an int64 NANO grid (one division each — the
+    * [[cramersVOf]] quantize-before-sum move), so the running sum is
+    * integer, order-blind, and bit-equal cross-engine; the 6-dp
+    * rendering divides once at the edge.
+    *
+    * Shape: identical to the life table — one user-keyed aggregate is
+    * the only fact-sized shuffle; the duration frame (≤ day-span
+    * rows) carries the bounded reverse-cumulative risk window and the
+    * forward hazard cumsum. */
+  def nelsonAalenOf(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    val cumW = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    churnLifetableOf(events, censorDays)
+      .withColumn("hq", floor(col("n_churned").cast("double")
+        / col("n_risk").cast("double") * lit(1e9) + lit(0.5)).cast("long"))
+      .withColumn("cum_q", sum("hq").over(cumW))
+      .select(col("duration"), col("n_risk"), col("n_churned"),
+        (floor(col("cum_q").cast("double") / lit(1e3) + lit(0.5)) / lit(1e6))
+          .as("cum_hazard"))
+      .orderBy("duration")
+  }
+
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame =
+    nelsonAalenOf(Tables.events(spark, dir))
+
   /** Cramér's V over the event-type × time-of-week contingency table —
     * [[chi2ContingencyOf]]'s one-number summary (that query reports
     * per-cell χ² contributions; V = √(χ²/(n·(min(r,c)−1))) normalizes

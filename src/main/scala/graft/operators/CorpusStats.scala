@@ -836,4 +836,82 @@ object CorpusStats {
 
   def coverageCurve(spark: SparkSession, dir: String): DataFrame =
     coverageCurveOf(Tables.documents(spark, dir))
+
+  /** Histogram-based decision-stump split finder — the inner loop of
+    * every distributed GBDT/random-forest trainer (XGBoost/LightGBM
+    * find splits exactly this way: bin the feature, aggregate class
+    * counts per bin, score every threshold from the bounded histogram
+    * — never a per-row sort): over a fixed grid of quality-score
+    * thresholds, pick the cut that best separates `targetLang` docs
+    * by Gini impurity reduction. Log-free (Gini, not entropy — the
+    * [[langHhiOf]] concentration algebra), exact int64 count
+    * polynomials per candidate, each side ONE double division in
+    * fixed L-then-R order, gain nano-quantized before the argmax so
+    * ranking is integer; ties break to the smallest threshold.
+    *
+    * Shape: one fact scan exploded ×|grid| MAP-SIDE into the bounded
+    * (threshold) aggregate — the only shuffle carries |grid| groups of
+    * partial sums, not rows; the score/argmax passes run on the
+    * |grid|-row frame. At 100 TB the same plan holds: histogram
+    * aggregation is why distributed GBDT scales. */
+  def bestSplitOf(docs: DataFrame, targetLang: String = "en",
+                  gridStep: Int = 500): DataFrame =
+    bestSplitBinned(docs
+      .select(floor(TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
+        * 1e4 + 0.5).cast("long").as("q4"),
+        when(col("lang") === targetLang, 1L).otherwise(0L).as("y")),
+      gridStep)
+
+  /** [[bestSplitOf]] from an already-binned (q4, y) frame — split out
+    * so the split algebra is testable on hand-built histograms. */
+  def bestSplitBinned(binned: DataFrame, gridStep: Int = 500): DataFrame = {
+    require(gridStep > 0 && gridStep < 10000,
+      s"gridStep in (0,10000), got $gridStep")
+    val nT = 10000 / gridStep - 1
+    val cand = binned
+      .select(col("q4"), col("y"),
+        explode(sequence(lit(1), lit(nT))).as("ti"))
+      .withColumn("t4", col("ti") * gridStep)
+      .groupBy("t4")
+      .agg(count(lit(1)).as("n"), sum("y").as("n1"),
+        sum(when(col("q4") < col("t4"), 1L).otherwise(0L)).as("nl"),
+        sum(when(col("q4") < col("t4"), col("y")).otherwise(0L)).as("nl1"))
+      .select(col("t4"), col("n"), col("n1"), col("nl"), col("nl1"),
+        (col("n") - col("nl")).as("nr"),
+        (col("n1") - col("nl1")).as("nr1"))
+      .withColumn("nl0", col("nl") - col("nl1"))
+      .withColumn("nr0", col("nr") - col("nr1"))
+      // Weighted child Gini mass: (s² − s1² − s0²)/s per side, summed
+      // L then R (empty side contributes 0 — a degenerate cut, never
+      // the argmax unless every cut is degenerate). Parent mass is
+      // the same polynomial on the root counts.
+      .withColumn("child", when(col("nl") === 0L, lit(0.0)).otherwise(
+        (col("nl") * col("nl") - col("nl1") * col("nl1")
+          - col("nl0") * col("nl0")).cast("double") / col("nl").cast("double"))
+        + when(col("nr") === 0L, lit(0.0)).otherwise(
+          (col("nr") * col("nr") - col("nr1") * col("nr1")
+            - (col("nr") - col("nr1")) * (col("nr") - col("nr1"))).cast("double")
+            / col("nr").cast("double")))
+      .withColumn("parent",
+        (col("n") * col("n") - col("n1") * col("n1")
+          - (col("n") - col("n1")) * (col("n") - col("n1"))).cast("double")
+          / col("n").cast("double"))
+      .withColumn("gain_q", floor((col("parent") - col("child"))
+        / col("n").cast("double") * lit(1e9) + lit(0.5)).cast("long"))
+    cand
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("gain_q").desc, col("t4"))))
+      .filter(col("rn") === 1)
+      .select((col("t4").cast("double") / lit(1e4)).as("threshold"),
+        col("n"), col("nl").as("n_left"), col("nr").as("n_right"),
+        (col("gain_q").cast("double") / lit(1e9)).as("gini_gain"),
+        // try_divide: an empty side reads NULL, not an ANSI error
+        TextF.round4HalfUp(expr("try_divide(CAST(nl1 AS DOUBLE), CAST(nl AS DOUBLE))"))
+          .as("target_rate_left"),
+        TextF.round4HalfUp(expr("try_divide(CAST(nr1 AS DOUBLE), CAST(nr AS DOUBLE))"))
+          .as("target_rate_right"))
+  }
+
+  def bestSplit(spark: SparkSession, dir: String): DataFrame =
+    bestSplitOf(Tables.documents(spark, dir))
 }

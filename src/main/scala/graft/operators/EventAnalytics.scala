@@ -806,4 +806,64 @@ object EventAnalytics {
 
   def interarrivalPercentiles(spark: SparkSession, dir: String): DataFrame =
     interarrivalPercentilesOf(Tables.events(spark, dir))
+
+  /** Split-conformal prediction interval per event type (Vovk's
+    * distribution-free coverage, the modern ML-calibration read): fit
+    * the trivial predictor (train-side mean) on a deterministic
+    * md5-bucket user split, take q̂ = the ⌈(1−α)(n+1)⌉-th smallest
+    * absolute residual on the CALIBRATION side, and report
+    * [mean ± q̂] with its achieved calibration coverage — the
+    * finite-sample-guaranteed interval a monitoring pipeline alarms
+    * against, no distributional assumption. Exact arithmetic: values
+    * on the micro grid, integer residuals, the order statistic picked
+    * by rank (k from the INTEGER ceil form (9(n+1)+9) div 10 — a
+    * float 0.9·(n+1) ceils wrong on exact decades), coverage an exact
+    * count ratio. Rank ties share a residual VALUE, so q̂ is
+    * deterministic whatever the tie order.
+    *
+    * Shape: the split is a map-side md5 test ([[Corpus.trainSplitOf]]'s
+    * determinism contract); train means are a bounded broadcast; one
+    * type-keyed sort window ranks residuals (the only fact-scale
+    * shuffle — §4 salting applies if one type dominates); the
+    * coverage pass rides a bounded q̂ broadcast. */
+  def conformalIntervalOf(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"), col("user_id"),
+      floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"),
+      when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+        lit("train")).otherwise(lit("calib")).as("side"))
+    val trainMean = e.filter(col("side") === "train")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_train"),
+        expr("sum(vq) div count(1)").as("mean_q"))
+    val calib = e.filter(col("side") === "calib")
+      .join(broadcast(trainMean), "event_type") // bounded: one row/type
+      .withColumn("res", abs(col("vq") - col("mean_q")))
+    val counts = calib.groupBy("event_type")
+      .agg(count(lit(1)).as("n_calib"))
+      .withColumn("k", least(
+        expr("(9 * (n_calib + 1) + 9) div 10"), col("n_calib")))
+    val qhat = calib
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("res")))
+      .join(broadcast(counts), "event_type")
+      .filter(col("rn") === col("k"))
+      .select(col("event_type"), col("res").as("qhat_q"), col("n_calib"))
+    calib
+      .join(broadcast(qhat.select(col("event_type"), col("qhat_q"))),
+        "event_type")
+      .groupBy("event_type")
+      .agg(max("n_train").as("n_train"), count(lit(1)).as("n_calib"),
+        max("mean_q").as("mean_q"), max("qhat_q").as("qhat_q"),
+        sum(when(col("res") <= col("qhat_q"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("event_type"), col("n_train"), col("n_calib"),
+        graft.functions.TextF.microsTo4dp(col("mean_q")).as("mean_value"),
+        graft.functions.TextF.microsTo4dp(col("qhat_q")).as("qhat"),
+        graft.functions.TextF.round4HalfUp(col("n_covered").cast("double")
+          / col("n_calib").cast("double")).as("coverage"))
+      .orderBy("event_type")
+  }
+
+  def conformalInterval(spark: SparkSession, dir: String): DataFrame =
+    conformalIntervalOf(Tables.events(spark, dir))
 }

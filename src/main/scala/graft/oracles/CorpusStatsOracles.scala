@@ -998,5 +998,43 @@ private[graft] object CorpusStatsOracles {
         |    AS coverage
         |FROM ks CROSS JOIN t JOIN r ON r."rank" = least(CAST(ks.k AS BIGINT), t.n_vocab)
         |ORDER BY k""".stripMargin,
+
+    // Histogram split finder: exact int64 count polynomials per
+    // threshold, fixed L-then-R double fold, nano-quantized gain
+    // argmax (ties to smallest threshold).
+    "best_split" ->
+      s"""WITH d AS (SELECT
+        |    CAST(floor($QualitySqlExpr * 1e4 + 0.5) AS BIGINT) AS q4,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |x AS (SELECT q4, y, CAST(unnest(generate_series(1, 19)) * 500 AS BIGINT) AS t4
+        |      FROM d),
+        |g AS (SELECT t4, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(y) AS BIGINT) AS n1,
+        |        CAST(SUM(CASE WHEN q4 < t4 THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+        |        CAST(SUM(CASE WHEN q4 < t4 THEN y ELSE 0 END) AS BIGINT) AS nl1
+        |      FROM x GROUP BY 1),
+        |m AS (SELECT *, n - nl AS nr, n1 - nl1 AS nr1, nl - nl1 AS nl0
+        |      FROM g),
+        |sc AS (SELECT *,
+        |    (CASE WHEN nl = 0 THEN 0.0 ELSE
+        |      CAST(nl * nl - nl1 * nl1 - nl0 * nl0 AS DOUBLE) / CAST(nl AS DOUBLE)
+        |     END +
+        |     CASE WHEN nr = 0 THEN 0.0 ELSE
+        |      CAST(nr * nr - nr1 * nr1 - (nr - nr1) * (nr - nr1) AS DOUBLE)
+        |        / CAST(nr AS DOUBLE)
+        |     END) AS child,
+        |    CAST(n * n - n1 * n1 - (n - n1) * (n - n1) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS parent
+        |  FROM m),
+        |q AS (SELECT *, CAST(floor((parent - child) / CAST(n AS DOUBLE)
+        |        * 1e9 + 0.5) AS BIGINT) AS gain_q FROM sc)
+        |SELECT CAST(t4 AS DOUBLE) / 1e4 AS threshold, n, nl AS n_left,
+        |  nr AS n_right, CAST(gain_q AS DOUBLE) / 1e9 AS gini_gain,
+        |  floor(CAST(nl1 AS DOUBLE) / CAST(nl AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS target_rate_left,
+        |  floor(CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS target_rate_right
+        |FROM q ORDER BY gain_q DESC, t4 LIMIT 1""".stripMargin,
   )
 }

@@ -605,6 +605,69 @@ private[graft] object EventOracles {
         |    AS hazard
         |FROM r ORDER BY duration""".stripMargin,
 
+    // Nelson-Aalen: the life table's hazard increments nano-quantized
+    // before the (order-blind) running sum.
+    "nelson_aalen" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |u AS (SELECT user_id,
+        |        min(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS first_day,
+        |        max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS last_day
+        |      FROM events GROUP BY user_id),
+        |d AS (SELECT CAST(datediff('day', first_day, last_day) AS BIGINT) AS duration,
+        |        CASE WHEN datediff('day', last_day, report_date) < 7
+        |          THEN 1 ELSE 0 END AS censored
+        |      FROM u, md),
+        |t AS (SELECT duration, CAST(SUM(1 - censored) AS BIGINT) AS n_churned,
+        |        CAST(SUM(censored) AS BIGINT) AS n_censored
+        |      FROM d GROUP BY duration),
+        |r AS (SELECT *, CAST(SUM(n_churned + n_censored) OVER
+        |        (ORDER BY duration ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |        AS BIGINT) AS n_risk
+        |      FROM t),
+        |h AS (SELECT duration, n_risk, n_churned,
+        |        CAST(floor(CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |          * 1e9 + 0.5) AS BIGINT) AS hq
+        |      FROM r)
+        |SELECT duration, n_risk, n_churned,
+        |  floor(CAST(SUM(hq) OVER (ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 1e3 + 0.5) / 1e6 AS cum_hazard
+        |FROM h ORDER BY duration""".stripMargin,
+
+    // Split-conformal: md5-bucket user split, train-side integer-micro
+    // mean, k-th order statistic by rank (integer ceil form), exact
+    // coverage count.
+    "conformal_interval" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |        CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
+        |        CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |          THEN 'train' ELSE 'calib' END AS side
+        |      FROM events),
+        |tm AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
+        |        CAST(SUM(vq) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_q
+        |      FROM e WHERE side = 'train' GROUP BY 1),
+        |c AS (SELECT e.event_type, abs(vq - mean_q) AS res, tm.n_train,
+        |        tm.mean_q
+        |      FROM e JOIN tm USING (event_type) WHERE side = 'calib'),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_calib,
+        |        least((9 * (CAST(COUNT(*) AS BIGINT) + 1) + 9) // 10,
+        |          CAST(COUNT(*) AS BIGINT)) AS k
+        |      FROM c GROUP BY 1),
+        |rk AS (SELECT event_type, res,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY res) AS rn
+        |      FROM c),
+        |q AS (SELECT rk.event_type, rk.res AS qhat_q
+        |      FROM rk JOIN n USING (event_type) WHERE rk.rn = n.k)
+        |SELECT c.event_type, MAX(c.n_train) AS n_train,
+        |  CAST(COUNT(*) AS BIGINT) AS n_calib,
+        |  floor(CAST(MAX(c.mean_q) AS DOUBLE) / 100 + 0.5) / 1e4 AS mean_value,
+        |  floor(CAST(MAX(q.qhat_q) AS DOUBLE) / 100 + 0.5) / 1e4 AS qhat,
+        |  floor(CAST(SUM(CASE WHEN c.res <= q.qhat_q THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS coverage
+        |FROM c JOIN q USING (event_type)
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+
     // Integer-exact sample ACF: num/den multiplied through by n², the
     // lag pairing as a dense-grid self-join on day + k.
     "acf_daily" ->

@@ -357,4 +357,22 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       .toDF("event_type", "ts")
     assert(Behavior.cramersVOf(indep).collect().head.getDouble(4) == 0.0)
   }
+
+  test("nelson-aalen: hazard increments accumulate on the nano grid") {
+    import java.sql.Timestamp
+    def ev(u: Long, d: Int) =
+      (u, Timestamp.valueOf(f"2026-01-$d%02d 10:00:00"))
+    // Report date = Jan 20. Users: a (d1..d2, duration 1, churned),
+    // b (d1..d1, duration 0, churned), c (d1..d20, duration 19,
+    // censored by the <7d rule).
+    val events = Seq(ev(1, 1), ev(1, 2), ev(2, 1), ev(3, 1), ev(3, 20))
+      .toDF("user_id", "ts")
+    val out = graft.operators.Behavior.nelsonAalenOf(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // durations: 0 (risk 3, churn 1), 1 (risk 2, churn 1), 19 (risk 1, churn 0)
+    assert(out(0L) == ((3L, 1L, 0.333333)), s"H(0)=1/3: $out")
+    assert(out(1L) == ((2L, 1L, 0.833333)), "H(1)=1/3+1/2")
+    assert(out(19L) == ((1L, 0L, 0.833333)), "censoring adds no hazard")
+  }
 }

@@ -484,4 +484,34 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out(2) == ((3L, 10L, 8L, 0.8)), s"got $out")
     assert(out(100) == ((3L, 10L, 10L, 1.0)), s"got $out")
   }
+
+  test("best split: a clean separation puts the cut between the classes") {
+    // y=1 mass at q4=2000, y=0 mass at q4=8000: any threshold in
+    // (2000, 8000] separates perfectly; gain quantization ties them
+    // and the tiebreak picks the SMALLEST such threshold (0.25).
+    val binned = (Seq.fill(10)((2000L, 1L)) ++ Seq.fill(10)((8000L, 0L)))
+      .toDF("q4", "y")
+    val r = graft.operators.CorpusStats.bestSplitBinned(binned).collect().head
+    assert(r.getDouble(0) == 0.25, s"smallest perfect cut: $r")
+    assert(r.getLong(1) == 20L && r.getLong(2) == 10L && r.getLong(3) == 10L)
+    assert(r.getDouble(4) == 0.5, "parent Gini 0.5 -> child 0: full gain")
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 0.0)
+  }
+
+  test("best split: an uninformative feature reports zero gain") {
+    // Same class mix on both sides of every cut.
+    val binned = (Seq.fill(5)((2000L, 1L)) ++ Seq.fill(5)((2000L, 0L)) ++
+      Seq.fill(5)((8000L, 1L)) ++ Seq.fill(5)((8000L, 0L)))
+      .toDF("q4", "y")
+    val r = graft.operators.CorpusStats.bestSplitBinned(binned).collect().head
+    assert(r.getDouble(4) == 0.0, s"no cut helps: $r")
+    assert(r.getDouble(0) == 0.05, "all-tied gain falls to the first threshold")
+  }
+
+  test("best split: empty-side candidates read NULL rate, never win, never throw") {
+    // Every point above 0.95: threshold 0.95 has an empty left side.
+    val binned = Seq.fill(4)((9800L, 1L)).toDF("q4", "y")
+    val r = graft.operators.CorpusStats.bestSplitBinned(binned).collect().head
+    assert(r.getDouble(4) == 0.0 && r.isNullAt(5) == (r.getLong(2) == 0L))
+  }
 }

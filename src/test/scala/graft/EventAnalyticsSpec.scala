@@ -430,4 +430,36 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out("click") == ((2L, 20.0, 28.0, 29.8)), s"got $out")
     assert(!out.contains("view"), "a single event has no inter-arrival time")
   }
+
+  test("conformal interval: the finite-sample coverage guarantee holds exactly") {
+    import java.sql.Timestamp
+    // 40 users, one event each, value = user index; the md5 split
+    // assigns sides deterministically.
+    val events = (1 to 40).map(u =>
+      ("click", u.toLong, Timestamp.valueOf("2026-01-01 10:00:00"), u.toDouble))
+      .toDF("event_type", "user_id", "ts", "value")
+    val r = graft.operators.EventAnalytics.conformalIntervalOf(events)
+      .collect().head
+    val (nTrain, nCalib) = (r.getLong(1), r.getLong(2))
+    assert(nTrain + nCalib == 40L, s"every event lands on one side: $r")
+    assert(nTrain > 0 && nCalib > 0, "md5 split uses both sides")
+    // Split-conformal guarantee: coverage >= ceil(0.9(n+1))/n >= 0.9
+    // whenever k <= n; distinct residual ties can only raise it.
+    if (nCalib >= 9) assert(r.getDouble(5) >= 0.9, s"coverage: $r")
+    // q-hat is an achieved residual: some calib point sits exactly on
+    // the interval edge.
+    val re = graft.operators.EventAnalytics.conformalIntervalOf(events)
+    assert(re.collect().head == r, "bit-deterministic across runs")
+  }
+
+  test("conformal interval: a constant signal calibrates to a zero-width interval") {
+    import java.sql.Timestamp
+    val events = (1 to 30).map(u =>
+      ("view", u.toLong, Timestamp.valueOf("2026-01-01 10:00:00"), 5.0))
+      .toDF("event_type", "user_id", "ts", "value")
+    val r = graft.operators.EventAnalytics.conformalIntervalOf(events)
+      .collect().head
+    assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 0.0 &&
+      r.getDouble(5) == 1.0, s"mean 5, qhat 0, full coverage: $r")
+  }
 }
