@@ -666,4 +666,63 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       windows.head.windowExpression.length == 2,
       s"rank and ntile must share ONE window operator:\n$p")
   }
+
+  test("round-10 second wave: stats/graph/training plans stay equijoin + bounded-cross") {
+    // benford/join-size/corr/burst-style aggregates: map-combinable
+    // folds, no cross of any kind.
+    for (df <- Seq[DataFrame](
+      Warehouse.benfordAudit(spark, Sf),
+      Warehouse.joinSizeEstimate(spark, Sf),
+      graft.operators.Robust.corrMatrix(spark, Sf))) {
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"pure aggregate pipeline:\n$p")
+    }
+    // cramers_v margins cross is bounded (types x 7 + the 1-row n);
+    // modularity combines four 1-row/bounded frames.
+    for ((df, maxCross) <- Seq(
+      (Behavior.cramersV(spark, Sf), 3),
+      (Graph.modularity(spark, Sf), 3),
+      // the life table's 1-row report-date broadcast
+      (Behavior.nelsonAalen(spark, Sf), 1),
+      (EventAnalytics.conformalInterval(spark, Sf), 0),
+      (CorpusStats.bestSplit(spark, Sf), 0))) {
+      val p = plan(df)
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"no cartesian product:\n$p")
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length
+        <= maxCross, s"bounded crosses only:\n$p")
+    }
+  }
+
+  test("corrMatrix scans the three measure columns once, nothing else") {
+    val p = plan(graft.operators.Robust.corrMatrix(spark, Sf))
+    val scans = p.collect { case s: FileSourceScanExec => s }
+    assert(scans.map(_.requiredSchema.fieldNames.toSet) ==
+      Seq(Set("l_quantity", "l_extendedprice", "l_discount")),
+      s"one pruned scan computes every moment:\n$p")
+  }
+
+  test("cdcChunks: the lag window and the chunk regroup share one doc-keyed exchange") {
+    val df = Corpus.cdcChunks(spark, Sf)
+    val p = df.queryExecution.executedPlan
+    val exchanges = p.toString.split("\n").count(_.contains("Exchange hashpartitioning"))
+    // doc-keyed window+regroup share one exchange; the source rollup
+    // adds its own — anything beyond that is a regression.
+    assert(exchanges <= 3, s"got $exchanges hash exchanges:\n$p")
+    val pp = plan(df)
+    assert(pp.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      pp.collect { case j: CartesianProductExec => j }.isEmpty)
+  }
+
+  test("khopReach frontier hops stay equijoin + left-anti, no all-pairs") {
+    val p = plan(Graph.khopReach(spark, Sf))
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"no cartesian:\n$p")
+    // per-hop 1-row reached-count frames ride broadcasts; the only
+    // BNLJs allowed are those bounded 1-row crosses (3 hops)
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 3,
+      s"only the per-hop 1-row count crosses:\n$p")
+  }
 }
