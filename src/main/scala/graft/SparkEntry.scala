@@ -289,7 +289,12 @@ object SparkEntry {
     // conformal calibration (SURVEY §2 rows 237-239)
     "nelson_aalen"      -> (Behavior.nelsonAalen(_, _)),
     "best_split"        -> (CorpusStats.bestSplit(_, _)),
-    "conformal_interval" -> (EventAnalytics.conformalInterval(_, _))
+    "conformal_interval" -> (EventAnalytics.conformalInterval(_, _)),
+    // Round-10 sixth tranche: exact KS drift test, skyline frontier,
+    // rolling metric coupling (SURVEY §2 rows 240-242)
+    "ks_test"           -> (Robust.ksTest(_, _)),
+    "pareto_frontier"   -> (CorpusStats.paretoFrontier(_, _)),
+    "rolling_corr"      -> (Robust.rollingCorr(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

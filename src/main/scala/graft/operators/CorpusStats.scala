@@ -914,4 +914,50 @@ object CorpusStats {
 
   def bestSplit(spark: SparkSession, dir: String): DataFrame =
     bestSplitOf(Tables.documents(spark, dir))
+
+  /** Pareto frontier (skyline) over (quality, length) — the classic
+    * multi-objective dominance operator (Börzsönyi'01): the documents
+    * no other document beats on BOTH quality and size, i.e. the
+    * candidate set when "best docs" has no single score (data
+    * selection wants quality AND length; the frontier is every
+    * defensible trade-off). Dominance resolved declaratively with two
+    * windows on the quality grid: a RANGE frame to −1 gives the max
+    * length among STRICTLY higher quality (range, not rows — quality
+    * ties must not see each other there), a quality-partition max
+    * handles within-tie strict-length dominance; a doc survives iff
+    * neither beats its length. Equal (quality, length) pairs dominate
+    * neither way and all survive — the standard skyline convention.
+    *
+    * Shape: one pruned scan → map-side quality quantization → ONE
+    * global sort exchange shared by both windows (same ordering key).
+    * The global window is the honest cost ([[Corpus.curriculumOrder]]'s
+    * note): at 100 TB this becomes range-partition by quality + one
+    * boundary-max broadcast pass — the two-phase decomposition
+    * documented there; the declarative form is identical per range. */
+  def paretoFrontierOf(docs: DataFrame): DataFrame =
+    skylineOf(docs.select(col("doc_id"),
+      floor(TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
+        * 1e4 + 0.5).cast("long").as("q4"),
+      col("n_chars").cast("long").as("n_chars")))
+
+  /** [[paretoFrontierOf]]'s dominance pass on an already-scored
+    * (doc_id, q4, n_chars) frame — split out so the skyline algebra
+    * (strict dominance, tie conventions) is testable on hand-built
+    * points. */
+  def skylineOf(scored: DataFrame): DataFrame = {
+    val strictlyAbove = Window.orderBy(col("q4"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val sameQ = Window.partitionBy("q4")
+    scored
+      .withColumn("max_above", max("n_chars").over(strictlyAbove))
+      .withColumn("max_tie", max("n_chars").over(sameQ))
+      .filter((col("max_above").isNull || col("max_above") < col("n_chars"))
+        && col("max_tie") <= col("n_chars"))
+      .select(col("doc_id"),
+        (col("q4").cast("double") / 1e4).as("quality"), col("n_chars"))
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame =
+    paretoFrontierOf(Tables.documents(spark, dir))
 }

@@ -424,4 +424,101 @@ object Robust {
 
   def corrMatrix(spark: SparkSession, dir: String): DataFrame =
     corrMatrixOf(Tables.lineitem(spark, dir))
+
+  /** Two-sample Kolmogorov–Smirnov test per event type between the
+    * two calendar periods — [[distributionDriftOf]]'s binless sibling
+    * (TVD on shared bins answers "how much mass moved"; KS's
+    * max-CDF-gap answers "did the DISTRIBUTION change" with a
+    * distribution-free critical value, and needs no bin-width
+    * choice). Exact order statistics: values on the micro grid, both
+    * empirical CDFs as integer cumulative counts over the distinct
+    * value frame, and D's argmax taken on the INTEGER cross-product
+    * form |ca·nb − cb·na| (max first, ONE division after — a per-row
+    * float divide would make the argmax float-order-sensitive).
+    * Critical value at α=0.05: 1.358·√((na+nb)/(na·nb)), the constant
+    * cast to DOUBLE in both engines (the [[madOutliersOf]] literal
+    * rule). `drifted` compares the exact D ratio against it.
+    *
+    * Shape: one (type, value) map-combinable count, then cumsum +
+    * totals windows sharing the type partitioning, then a bounded
+    * per-type fold. Type-keyed throughout (§4 salting applies if one
+    * type dominates). */
+  def ksTestOf(events: DataFrame, splitDay: String = "2024-01-16"): DataFrame = {
+    val cumW = Window.partitionBy("event_type").orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byType = Window.partitionBy("event_type")
+    events.select(col("event_type"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"),
+        (col("ts") < lit(splitDay).cast("timestamp")).as("in_a"))
+      .groupBy("event_type", "vq")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca_bin"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb_bin"))
+      .withColumn("ca", sum("ca_bin").over(cumW))
+      .withColumn("cb", sum("cb_bin").over(cumW))
+      .withColumn("na", sum("ca_bin").over(byType))
+      .withColumn("nb", sum("cb_bin").over(byType))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("dq", abs(col("ca") * col("nb") - col("cb") * col("na")))
+      .groupBy("event_type", "na", "nb")
+      .agg(max("dq").as("dmax"))
+      .select(col("event_type"), col("na"), col("nb"),
+        TextF.round6HalfUp(col("dmax").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double")))
+          .as("ks_d"),
+        TextF.round6HalfUp(lit(1.358) * sqrt(
+          (col("na") + col("nb")).cast("double")
+            / (col("na").cast("double") * col("nb").cast("double"))))
+          .as("crit_05"),
+        (col("dmax").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double"))
+          > lit(1.358) * sqrt((col("na") + col("nb")).cast("double")
+            / (col("na").cast("double") * col("nb").cast("double"))))
+          .as("drifted"))
+      .orderBy("event_type")
+  }
+
+  def ksTest(spark: SparkSession, dir: String): DataFrame =
+    ksTestOf(Tables.events(spark, dir))
+
+  /** Trailing 7-day rolling correlation between the click and
+    * purchase daily-count series — [[corrMatrixOf]]'s time-series
+    * form, the "are these metrics still coupled" monitor (a decoupling
+    * week is a funnel break even when each series alone looks
+    * healthy). Exact: daily counts are int64, every trailing-window
+    * moment is an integer ROWS-frame sum on the bounded daily frame,
+    * r is one fixed-order double expression per day (two sqrts + one
+    * try_divide — zero-variance windows read NULL), 6-dp grid. Days
+    * with fewer than 7 predecessors report NULL (no partial-window
+    * estimates — they'd read as spurious regime shifts).
+    *
+    * Shape: one (day) map-combinable count is the only fact-sized
+    * work; every window runs on the ≤ span-days frame. */
+  def rollingCorrOf(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 1, s"windowDays must be > 1, got $windowDays")
+    val w = Window.orderBy("day")
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    val daily = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sy", sum("y").over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .select(col("day"), col("x").as("clicks"), col("y").as("purchases"),
+        when(col("n") === windowDays.toLong, TextF.round6HalfUp(expr(
+          """try_divide(
+            |  CAST(n * sxy - sx * sy AS DOUBLE),
+            |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            |    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))""".stripMargin)))
+          .as("rolling_r"))
+      .orderBy("day")
+  }
+
+  def rollingCorr(spark: SparkSession, dir: String): DataFrame =
+    rollingCorrOf(Tables.events(spark, dir))
 }

@@ -999,6 +999,24 @@ private[graft] object CorpusStatsOracles {
         |FROM ks CROSS JOIN t JOIN r ON r."rank" = least(CAST(ks.k AS BIGINT), t.n_vocab)
         |ORDER BY k""".stripMargin,
 
+    // Skyline: two windows on the quality grid (RANGE-to-strictly-
+    // above max length + same-quality tie max); survivors beat both.
+    "pareto_frontier" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    CAST(floor($QualitySqlExpr * 1e4 + 0.5) AS BIGINT) AS q4,
+        |    CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |w AS (SELECT *,
+        |    MAX(n_chars) OVER (ORDER BY q4
+        |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS max_above,
+        |    MAX(n_chars) OVER (PARTITION BY q4) AS max_tie
+        |  FROM d)
+        |SELECT doc_id, CAST(q4 AS DOUBLE) / 1e4 AS quality, n_chars
+        |FROM w
+        |WHERE (max_above IS NULL OR max_above < n_chars)
+        |  AND max_tie <= n_chars
+        |ORDER BY quality DESC, doc_id""".stripMargin,
+
     // Histogram split finder: exact int64 count polynomials per
     // threshold, fixed L-then-R double fold, nano-quantized gain
     // argmax (ties to smallest threshold).

@@ -605,6 +605,33 @@ private[graft] object EventOracles {
         |    AS hazard
         |FROM r ORDER BY duration""".stripMargin,
 
+    // Rolling correlation: integer trailing-window moments on the
+    // bounded daily frame; full windows only.
+    "rolling_corr" ->
+      """WITH d AS (SELECT CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS x,
+        |        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS y
+        |      FROM events WHERE event_type IN ('click', 'purchase')
+        |      GROUP BY 1),
+        |w AS (SELECT day, x, y,
+        |        CAST(COUNT(*) OVER tw AS BIGINT) AS n,
+        |        CAST(SUM(x) OVER tw AS BIGINT) AS sx,
+        |        CAST(SUM(y) OVER tw AS BIGINT) AS sy,
+        |        CAST(SUM(x * x) OVER tw AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) OVER tw AS BIGINT) AS syy,
+        |        CAST(SUM(x * y) OVER tw AS BIGINT) AS sxy
+        |      FROM d WINDOW tw AS (ORDER BY day
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, x AS clicks, y AS purchases,
+        |  CASE WHEN n = 7 THEN
+        |    floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |  END AS rolling_r
+        |FROM w ORDER BY day""".stripMargin,
+
     // Nelson-Aalen: the life table's hazard increments nano-quantized
     // before the (order-blind) running sum.
     "nelson_aalen" ->

@@ -493,6 +493,39 @@ private[graft] object WarehouseOracles {
         |  max_key_rows
         |FROM g""".stripMargin,
 
+    // KS: integer CDF cross-product argmax |ca*nb - cb*na| FIRST, one
+    // division after; 1.358 cast to DOUBLE (the mad_outliers rule).
+    "ks_test" ->
+      """WITH e AS (SELECT event_type,
+        |        CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
+        |        (ts < TIMESTAMP '2024-01-16') AS in_a
+        |      FROM events),
+        |g AS (SELECT event_type, vq,
+        |        CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca_bin,
+        |        CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb_bin
+        |      FROM e GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |        CAST(SUM(ca_bin) OVER (PARTITION BY event_type ORDER BY vq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |        CAST(SUM(cb_bin) OVER (PARTITION BY event_type ORDER BY vq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+        |        CAST(SUM(ca_bin) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        |        CAST(SUM(cb_bin) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |      FROM g),
+        |m AS (SELECT event_type, na, nb,
+        |        CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS dmax
+        |      FROM w WHERE na > 0 AND nb > 0 GROUP BY 1, 2, 3)
+        |SELECT event_type, na, nb,
+        |  floor(CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS ks_d,
+        |  floor(CAST(1.358 AS DOUBLE) * sqrt(CAST(na + nb AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |    AS crit_05,
+        |  CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |    > CAST(1.358 AS DOUBLE) * sqrt(CAST(na + nb AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS drifted
+        |FROM m ORDER BY event_type""".stripMargin,
+
     // Pearson moments on integer grids via HUGEINT sums (Spark side:
     // decimal(38,0)); the only floats are the final sqrt/divide.
     "corr_matrix" ->

@@ -514,4 +514,18 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     val r = graft.operators.CorpusStats.bestSplitBinned(binned).collect().head
     assert(r.getDouble(4) == 0.0 && r.isNullAt(5) == (r.getLong(2) == 0L))
   }
+
+  test("pareto frontier: strict dominance prunes, ties follow the skyline convention") {
+    // Points (q4, len): (90,10) dominates (80,10) [q strict, len eq]
+    // and (80,5); (90,10) vs (95,3): neither dominates -> both stay.
+    // Same-q tie (70,20) vs (70,20): equal pair, both stay; (70,15)
+    // is beaten within the tie.
+    val scored = Seq(
+      (1L, 90L, 10L), (2L, 80L, 10L), (3L, 80L, 5L), (4L, 95L, 3L),
+      (5L, 70L, 20L), (6L, 70L, 20L), (7L, 70L, 15L))
+      .toDF("doc_id", "q4", "n_chars")
+    val ids = graft.operators.CorpusStats.skylineOf(scored)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L, 5L, 6L), s"frontier: $ids")
+  }
 }

@@ -211,4 +211,36 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     assert(out(("l_quantity", "l_discount")) == 1.0)
     assert(out(("l_extendedprice", "l_discount")) == -1.0)
   }
+
+  test("ks test: disjoint periods read D=1 drifted; identical periods read 0") {
+    import java.sql.Timestamp
+    def ev(t: String, day: Int, v: Double) =
+      (t, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), v)
+    // type A: period a all at value 1, period b all at 9 -> D = 1.
+    // type B: same values both periods -> D = 0.
+    val events = (1 to 10).map(i => ev("A", 5, 1.0)) ++
+      (1 to 10).map(i => ev("A", 20, 9.0)) ++
+      (1 to 10).map(i => ev("B", 5, i.toDouble)) ++
+      (1 to 10).map(i => ev("B", 20, i.toDouble))
+    val out = graft.operators.Robust.ksTestOf(events.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(5))).toMap
+    assert(out("A") == ((10L, 10L, 1.0, true)), s"full separation: $out")
+    assert(out("B")._3 == 0.0 && !out("B")._4, "identical CDFs never drift")
+  }
+
+  test("rolling corr: coupled series read 1 after warmup, partial windows read NULL") {
+    import java.sql.Timestamp
+    // 8 days; clicks ramp 1..8 and purchases = 2x clicks (r = 1).
+    val events = (1 to 8).flatMap { d =>
+      val t = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+      Seq.fill(d)(("click", t)) ++ Seq.fill(2 * d)(("purchase", t))
+    }
+    val out = graft.operators.Robust.rollingCorrOf(events.toDF("event_type", "ts"))
+      .collect()
+    assert(out.length == 8)
+    assert(out.take(6).forall(_.isNullAt(3)), "days 1-6: partial window -> NULL")
+    assert(out(6).getDouble(3) == 1.0 && out(7).getDouble(3) == 1.0,
+      s"perfect coupling: ${out.toSeq}")
+  }
 }
