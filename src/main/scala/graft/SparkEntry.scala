@@ -294,7 +294,10 @@ object SparkEntry {
     // rolling metric coupling (SURVEY §2 rows 240-242)
     "ks_test"           -> (Robust.ksTest(_, _)),
     "pareto_frontier"   -> (CorpusStats.paretoFrontier(_, _)),
-    "rolling_corr"      -> (Robust.rollingCorr(_, _))
+    "rolling_corr"      -> (Robust.rollingCorr(_, _)),
+    // Watermark-sizing disorder audit (batch predictor of the
+    // streaming monitor's n_late)
+    "disorder_audit"    -> (EventAnalytics.disorderAudit(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

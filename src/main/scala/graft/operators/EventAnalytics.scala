@@ -866,4 +866,41 @@ object EventAnalytics {
 
   def conformalInterval(spark: SparkSession, dir: String): DataFrame =
     conformalIntervalOf(Tables.events(spark, dir))
+
+  /** Event-time disorder audit per type — the batch measurement that
+    * SIZES a streaming watermark ([[interarrivalPercentilesOf]] sizes
+    * buffers from gap quantiles; this sizes the lateness allowance
+    * from observed disorder): with event_id as the arrival-order
+    * proxy, count adjacent arrivals whose event time steps BACKWARD,
+    * and the largest backward jump — a watermark shorter than that
+    * jump drops data ([[graft.streaming.StreamingInterarrival]]'s
+    * n_late counter, predicted offline). Exact integer micros, ppm by
+    * integer division; adjacent-pair disorder (not full inversion
+    * count, which is Θ(n²) information for no added sizing value).
+    *
+    * Shape: one type-keyed sort window (the only fact-scale shuffle)
+    * + a map-combinable fold per type. */
+  def disorderAuditOf(events: DataFrame): DataFrame = {
+    val byArrival = Window.partitionBy("event_type").orderBy("event_id")
+    events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(byArrival))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"),
+        when(col("us") < col("prev_us"), 1L).otherwise(0L).as("bk"),
+        when(col("us") < col("prev_us"), col("prev_us") - col("us"))
+          .otherwise(0L).as("jump"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"), sum("bk").as("n_backward"),
+        max("jump").as("max_jump_us"))
+      .select(col("event_type"), col("n_pairs"), col("n_backward"),
+        expr("(n_backward * 1000000) div n_pairs").as("disorder_ppm"),
+        graft.functions.TextF.round4HalfUp(
+          col("max_jump_us").cast("double") / lit(1e6)).as("max_backward_s"))
+      .orderBy("event_type")
+  }
+
+  def disorderAudit(spark: SparkSession, dir: String): DataFrame =
+    disorderAuditOf(Tables.events(spark, dir))
 }

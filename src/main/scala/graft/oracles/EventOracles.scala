@@ -605,6 +605,29 @@ private[graft] object EventOracles {
         |    AS hazard
         |FROM r ORDER BY duration""".stripMargin,
 
+    // Disorder audit: adjacent arrival pairs (event_id order) whose
+    // event time steps backward; integer micros and ppm.
+    "disorder_audit" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us
+        |      FROM events),
+        |w AS (SELECT event_type, us,
+        |        lag(us) OVER (PARTITION BY event_type ORDER BY event_id)
+        |          AS prev_us
+        |      FROM e),
+        |p AS (SELECT event_type,
+        |        CASE WHEN us < prev_us THEN 1 ELSE 0 END AS bk,
+        |        CASE WHEN us < prev_us THEN prev_us - us ELSE 0 END AS jump
+        |      FROM w WHERE prev_us IS NOT NULL),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        CAST(SUM(bk) AS BIGINT) AS n_backward,
+        |        CAST(MAX(jump) AS BIGINT) AS max_jump_us
+        |      FROM p GROUP BY 1)
+        |SELECT event_type, n_pairs, n_backward,
+        |  (n_backward * 1000000) // n_pairs AS disorder_ppm,
+        |  floor(CAST(max_jump_us AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4
+        |    AS max_backward_s
+        |FROM g ORDER BY event_type""".stripMargin,
+
     // Rolling correlation: integer trailing-window moments on the
     // bounded daily frame; full windows only.
     "rolling_corr" ->

@@ -31,6 +31,29 @@ object EventStreamJob {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("approx_users"))
 
+  /** Gap sessionization on Spark's NATIVE `session_window` aggregate —
+    * the declarative twin of [[StreamingSessionize]]'s
+    * flatMapGroupsWithState form: the engine merges overlapping
+    * per-event gap windows into sessions and watermark-closes them,
+    * so the whole operator is one groupBy — no hand-rolled state,
+    * Catalyst owns the merge (the form to prefer when per-session
+    * logic is pure aggregation; drop to the stateful form only for
+    * custom emission/state semantics, per the library's Spark-first
+    * rule). Same session contract as the batch/stateful forms:
+    * event-time gap close, counts + span per (user, session). */
+  def sessionWindowCounts(events: DataFrame,
+                          gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+  }
+
   /** Windowed value percentiles per event type — the latency/revenue
     * distribution monitor, streamed: 1-hour tumbling windows, p50/p90/
     * p99 via `approx_percentile`, whose per-window state is the SAME

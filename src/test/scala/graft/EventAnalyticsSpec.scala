@@ -462,4 +462,20 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 0.0 &&
       r.getDouble(5) == 1.0, s"mean 5, qhat 0, full coverage: $r")
   }
+
+  test("disorder audit: backward arrivals counted per adjacent pair, max jump exact") {
+    import java.sql.Timestamp
+    def ts(sec: Int) = Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+    // Arrival order (event_id): times 0, 10, 5, 20 -> one backward
+    // step of 5 s among 3 pairs.
+    val events = Seq((1L, "click", ts(0)), (2L, "click", ts(10)),
+      (3L, "click", ts(5)), (4L, "click", ts(20)),
+      (5L, "view", ts(0)), (6L, "view", ts(1)))
+      .toDF("event_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.disorderAuditOf(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("click") == ((3L, 1L, 333333L, 5.0)), s"got $out")
+    assert(out("view") == ((2L - 1L, 0L, 0L, 0.0)), "ordered feed reads zero")
+  }
 }

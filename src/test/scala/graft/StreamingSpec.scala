@@ -801,4 +801,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"one real gap, one late: $last")
     } finally query.stop()
   }
+
+  test("native session_window merges gap sessions and closes them at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    def ts(t: String) = Timestamp.valueOf(s"2026-01-01 $t")
+
+    val query = graft.streaming.EventStreamJob.sessionWindowCounts(events)
+      .writeStream.format("memory").queryName("sw_test")
+      .outputMode("append").start()
+    try {
+      // User 1: events at 10:00 and 10:20 (one session, gap < 30m),
+      // then 11:30 (new session). User 2: a single event.
+      input.addData((1L, ts("10:00:00")), (1L, ts("10:20:00")),
+        (2L, ts("10:05:00")), (1L, ts("11:30:00")))
+      query.processAllAvailable()
+      // Advance the watermark far enough to close every session.
+      input.addData((9L, ts("18:00:00")))
+      query.processAllAvailable()
+      val got = spark.table("sw_test").collect()
+        .map(r => (r.getLong(2), r.getTimestamp(0).toString, r.getLong(3)))
+        .toSet
+      assert(got.contains((1L, "2026-01-01 10:00:00.0", 2L)),
+        s"merged 2-event session: $got")
+      assert(got.contains((1L, "2026-01-01 11:30:00.0", 1L)),
+        "the 70-minute gap starts a second session")
+      assert(got.contains((2L, "2026-01-01 10:05:00.0", 1L)))
+    } finally query.stop()
+  }
 }
