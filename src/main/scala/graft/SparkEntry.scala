@@ -297,7 +297,9 @@ object SparkEntry {
     "rolling_corr"      -> (Robust.rollingCorr(_, _)),
     // Watermark-sizing disorder audit (batch predictor of the
     // streaming monitor's n_late)
-    "disorder_audit"    -> (EventAnalytics.disorderAudit(_, _))
+    "disorder_audit"    -> (EventAnalytics.disorderAudit(_, _)),
+    // Topic labels for the kmeans cells (kmeans x keyness composition)
+    "cluster_topics"    -> (Cluster.clusterTopics(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -304,4 +304,55 @@ object Cluster {
 
   def centroidSeparation(spark: SparkSession, dir: String): DataFrame =
     centroidSeparationOf(Tables.embeddings(spark, dir))
+
+  /** Topic labels for the embedding clusters: the top keyness terms of
+    * each kmeans cell's documents vs the rest of the corpus — the
+    * human-readable "what IS cluster 3" read that turns row 62's
+    * geometry into an auditable topic model (and the sanity check
+    * before row 127 deletes inside cells). vec_id ↔ doc_id is the
+    * library's embedding-of-document contract. Keyness is
+    * [[CorpusStats.termKeynessOf]]'s add-one smoothed
+    * relative-frequency ratio — log-free, IEEE-deterministic — scored
+    * per (cluster, token) against rest-of-corpus, top `topN` per
+    * cluster by (keyness DESC, token).
+    *
+    * Shape: assignment reuses [[assignedOf]] (one contract, no
+    * drift); the token explode joins the bounded assignment on
+    * doc_id; all scoring runs on the (cluster, token) aggregate frame
+    * with k-row/1-row broadcasts; the ranker is a per-cluster
+    * WindowGroupLimit. */
+  def clusterTopicsOf(embeddings: DataFrame, docs: DataFrame,
+                      k: Int = K, iters: Int = Iterations,
+                      minCount: Long = 3, topN: Int = 3): DataFrame = {
+    require(topN > 0 && minCount >= 0, s"need topN>0, minCount>=0; got $topN/$minCount")
+    val assigned = assignedOf(embeddings, k, iters)
+      .select(col("vec_id"), col("cluster"))
+    val tf = docs
+      .select(col("doc_id"), explode(graft.functions.TextF.tokens(col("text")))
+        .as("token"))
+      .join(assigned, col("doc_id") === col("vec_id"))
+      .groupBy("cluster", "token")
+      .agg(count(lit(1)).as("f"))
+      .localCheckpoint(false) // totals + vocab + report all read it
+    val clusterTotals = tf.groupBy("cluster").agg(sum("f").as("n_c"))
+    val totals = tf.agg(sum("f").as("n"), countDistinct("token").as("v"))
+    val perToken = tf.groupBy("token").agg(sum("f").as("f_all"))
+    val keyness = graft.functions.TextF.round4HalfUp(
+      ((col("f") + 1L).cast("double")
+        * ((col("n") - col("n_c")) + col("v")).cast("double")) /
+        (((col("f_all") - col("f")) + 1L).cast("double")
+          * (col("n_c") + col("v")).cast("double")))
+    tf.filter(col("f") >= minCount)
+      .join(broadcast(clusterTotals), "cluster") // k rows
+      .join(perToken, "token")                   // token-keyed equijoin
+      .crossJoin(broadcast(totals))              // 1 row
+      .select(col("cluster"), col("token"), col("f"), keyness.as("keyness"))
+      .withColumn("rank", row_number().over(Window.partitionBy("cluster")
+        .orderBy(col("keyness").desc, col("token"))))
+      .filter(col("rank") <= topN)
+      .orderBy("cluster", "rank")
+  }
+
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame =
+    clusterTopicsOf(Tables.embeddings(spark, dir), Tables.documents(spark, dir))
 }

@@ -105,6 +105,51 @@ private[graft] object SimilarityOracles {
         |         FROM s2) WHERE rn = 1)
         |SELECT vec_id, cluster, cs AS sim FROM a2 ORDER BY vec_id""".stripMargin,
 
+    // Topic labels: the kmeans a2 assignment CTEs verbatim + token
+    // explode + term_keyness's add-one ratio, top-3 per cluster.
+    "cluster_topics" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+        |s1 AS (SELECT e.vec_id, e.emb, c0.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c0.c_emb), 6) AS cs
+        |       FROM e, c0),
+        |a1 AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s1) WHERE rn = 1),
+        |m AS (SELECT cluster, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |      FROM a1, generate_series(1, 64) AS g(i) GROUP BY cluster, i),
+        |c1 AS (SELECT cluster AS c_id, list(v ORDER BY i) AS c_emb FROM m GROUP BY cluster),
+        |s2 AS (SELECT e.vec_id, c1.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c1.c_emb), 6) AS cs
+        |       FROM e, c1),
+        |a2 AS (SELECT vec_id, c_id AS cluster FROM (
+        |         SELECT vec_id, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s2) WHERE rn = 1),
+        |tok AS (SELECT a2.cluster, t.token
+        |        FROM documents d
+        |        JOIN a2 ON a2.vec_id = d.doc_id,
+        |        unnest(regexp_split_to_array(trim(d.text), '\s+')) AS t(token)),
+        |tf AS (SELECT cluster, token, CAST(COUNT(*) AS BIGINT) AS f
+        |       FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT cluster, CAST(SUM(f) AS BIGINT) AS n_c FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n,
+        |          CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tf),
+        |pt AS (SELECT token, CAST(SUM(f) AS BIGINT) AS f_all FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.cluster, tf.token, tf.f,
+        |        floor(CAST(tf.f + 1 AS DOUBLE) * CAST((tot.n - ct.n_c) + tot.v AS DOUBLE)
+        |          / (CAST((pt.f_all - tf.f) + 1 AS DOUBLE) * CAST(ct.n_c + tot.v AS DOUBLE))
+        |          * 1e4 + 0.5) / 1e4 AS keyness
+        |       FROM tf JOIN ct USING (cluster) JOIN pt USING (token), tot
+        |       WHERE tf.f >= 3),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+        |         ORDER BY keyness DESC, token) AS INT) AS "rank" FROM sc)
+        |SELECT cluster, token, f, keyness, "rank"
+        |FROM rk WHERE "rank" <= 3 ORDER BY cluster, "rank"""".stripMargin,
+
     // Sign-bit codes packed into two 32-bit halves (exact BIGINT
     // arithmetic in both engines; a single 64-bit pack would overflow
     // DOUBLE-safe integer range in list_sum).

@@ -120,4 +120,24 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     val sep2 = Cluster.centroidSeparationOf(collapsed, k = 2, iters = 1).collect()
     assert(sep2.length == 1 && sep2.head.getDouble(2) == 1.0, s"got ${sep2.toSeq}")
   }
+
+  test("cluster topics: each cell's planted vocabulary surfaces as its top term") {
+    // Two clean directions (k = 2 seeds = vec_id 0, 1); docs carry
+    // disjoint content words over a shared stopword bed.
+    val emb = Seq(
+      (0L, 0, Array(1f, 0f, 0f, 0f)), (1L, 0, Array(0f, 1f, 0f, 0f)),
+      (2L, 0, Array(0.9f, 0.1f, 0f, 0f)), (3L, 0, Array(0.1f, 0.9f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val docs = Seq(
+      (0L, "apple apple apple the the", "s"),
+      (2L, "apple apple apple the the", "s"),
+      (1L, "banana banana banana the the", "s"),
+      (3L, "banana banana banana the the", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Cluster.clusterTopicsOf(emb, docs, k = 2, iters = 2)
+      .collect().filter(_.getInt(4) == 1)
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "apple", 1L -> "banana"),
+      s"planted topics must win rank 1: $out")
+  }
 }
