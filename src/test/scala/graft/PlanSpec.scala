@@ -725,4 +725,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 3,
       s"only the per-hop 1-row count crosses:\n$p")
   }
+
+  test("round-10 third wave: drift/skyline/audit plans are join-free or bounded") {
+    // Pure map+window+aggregate pipelines: no join of any kind.
+    for (df <- Seq[DataFrame](
+      graft.operators.Robust.ksTest(spark, Sf),
+      graft.operators.Robust.rollingCorr(spark, Sf),
+      EventAnalytics.disorderAudit(spark, Sf),
+      CorpusStats.paretoFrontier(spark, Sf))) {
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"map+window+aggregate only:\n$p")
+    }
+    // cluster_topics: the kmeans assignment's bounded vec x centroid
+    // crosses (2 iterations) + the 1-row totals cross.
+    val ct = plan(Cluster.clusterTopics(spark, Sf))
+    assert(ct.collect { case j: CartesianProductExec => j }.isEmpty)
+    assert(ct.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 3,
+      s"only the bounded kmeans/totals crosses:\n$ct")
+  }
 }
