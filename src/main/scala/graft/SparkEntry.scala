@@ -299,7 +299,10 @@ object SparkEntry {
     // streaming monitor's n_late)
     "disorder_audit"    -> (EventAnalytics.disorderAudit(_, _)),
     // Topic labels for the kmeans cells (kmeans x keyness composition)
-    "cluster_topics"    -> (Cluster.clusterTopics(_, _))
+    "cluster_topics"    -> (Cluster.clusterTopics(_, _)),
+    // Round-10 seventh tranche: cohort economics + ingest contract
+    "cohort_ltv"        -> (Behavior.cohortLtv(_, _)),
+    "contract_audit"    -> (Warehouse.contractAudit(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

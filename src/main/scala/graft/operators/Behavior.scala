@@ -142,6 +142,47 @@ object Behavior {
   def cohortRetention(spark: SparkSession, dir: String): DataFrame =
     cohortRetentionOf(Tables.events(spark, dir))
 
+  /** Cohort LTV curve: cumulative revenue per cohort user by account
+    * age — [[cohortRetentionOf]] asks "who comes back", this asks
+    * "what are they worth by day N", the payback-period read that
+    * prices acquisition spend. Cohort = first active day; revenue on
+    * the exact micro grid per (cohort, age) cell; the running LTV is
+    * an integer cumsum over the bounded (days × offsets) frame
+    * divided once per row by the cohort's FIXED user count (day-0
+    * size — the denominator must not shrink with churn, or the curve
+    * reads retention twice).
+    *
+    * Shape: one user-keyed window finds cohorts (the deduped-activity
+    * trick of [[cohortRetentionOf]] — no aggregate joined back); the
+    * (cohort, age) aggregate is the only other fact-sized shuffle;
+    * cumsum + size join run on bounded frames. */
+  def cohortLtvOf(events: DataFrame, maxOffset: Int = 7): DataFrame = {
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    val aged = events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("qv"))
+      .withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
+      .withColumn("age", datediff(col("day"), col("cohort_day")))
+      .filter(col("age").between(0, maxOffset))
+    val cells = aged.groupBy("cohort_day", "age")
+      .agg(sum("qv").as("rev_q"))
+    val sizes = aged.filter(col("age") === 0)
+      .groupBy("cohort_day")
+      .agg(countDistinct("user_id").as("n_cohort"))
+    cells
+      .withColumn("cum_q", sum("rev_q").over(Window.partitionBy("cohort_day")
+        .orderBy("age").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(sizes), "cohort_day") // bounded: one row per day
+      .select(col("cohort_day"), col("age"), col("n_cohort"),
+        graft.functions.TextF.microsTo4dp(col("rev_q")).as("revenue"),
+        graft.functions.TextF.microsTo4dp(
+          expr("cum_q div n_cohort")).as("cum_ltv_per_user"))
+      .orderBy("cohort_day", "age")
+  }
+
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame =
+    cohortLtvOf(Tables.events(spark, dir))
+
   /** Day × event-type pivot: one row per day, one value column per
     * event type (the AdMob-style wide report; save_CSV.py:104-189
     * emits the long form this pivots). Event types are an explicit

@@ -534,4 +534,52 @@ object Warehouse {
 
   def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame =
     joinSizeEstimateOf(Tables.lineitem(spark, dir))
+
+  /** Data-contract audit over the event stream: every ingest-side
+    * invariant the downstream queries silently assume — event_type in
+    * the known enum, value present and non-negative, timestamp inside
+    * the operating window, user_id present and positive, props
+    * payload present — checked in ONE scan with per-rule violation
+    * counts and ppm. [[fkCoverageOf]] audits references BETWEEN
+    * tables; this audits each row against its declared shape, the
+    * check that runs before a vintage is promoted (and the reason a
+    * silently nulled field — row 218's drift case — gets caught at
+    * ingest instead of in a report). All integer; absent violations
+    * read an explicit 0 row per rule, not a missing row.
+    *
+    * Shape: one pruned scan, five conditional map-side sums, a
+    * bounded 5-row stack. */
+  def contractAuditOf(events: DataFrame,
+                      enumTypes: Seq[String] =
+                        Seq("click", "error", "purchase", "signup", "view"),
+                      tsLo: String = "2024-01-01",
+                      tsHi: String = "2027-01-01"): DataFrame = {
+    val inEnum = col("event_type").isNotNull &&
+      col("event_type").isin(enumTypes: _*)
+    val valueOk = col("value").isNotNull && col("value") >= 0
+    val tsOk = col("ts").isNotNull &&
+      col("ts") >= lit(tsLo).cast("timestamp") &&
+      col("ts") < lit(tsHi).cast("timestamp")
+    val userOk = col("user_id").isNotNull && col("user_id") > 0
+    val propsOk = col("props").isNotNull && length(col("props")) >= 2
+    def viol(ok: org.apache.spark.sql.Column) =
+      sum(when(ok, 0L).otherwise(1L))
+    events
+      .agg(count(lit(1)).as("n_rows"),
+        viol(inEnum).as("v1"), viol(valueOk).as("v2"), viol(tsOk).as("v3"),
+        viol(userOk).as("v4"), viol(propsOk).as("v5"))
+      .selectExpr("stack(5, " +
+        "'event_type_enum', n_rows, v1, " +
+        "'value_non_negative', n_rows, v2, " +
+        "'ts_in_window', n_rows, v3, " +
+        "'user_id_positive', n_rows, v4, " +
+        "'props_present', n_rows, v5) " +
+        "AS (rule, n_rows, n_violations)")
+      .withColumn("violation_ppm",
+        expr("(n_violations * 1000000) div n_rows"))
+      .orderBy("rule")
+  }
+
+  def contractAudit(spark: SparkSession, dir: String): DataFrame =
+    contractAuditOf(Tables.events(spark, dir))
 }

@@ -605,6 +605,34 @@ private[graft] object EventOracles {
         |    AS hazard
         |FROM r ORDER BY duration""".stripMargin,
 
+    // Cohort LTV: integer micro revenue, bounded cumsum, day-0 fixed
+    // denominator, integer division before the 4dp render.
+    "cohort_ltv" ->
+      """WITH a AS (SELECT user_id,
+        |        CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |        CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv
+        |      FROM events),
+        |w AS (SELECT *, MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        |      FROM a),
+        |f AS (SELECT *, datediff('day', cohort_day, day) AS age FROM w
+        |      WHERE datediff('day', cohort_day, day) BETWEEN 0 AND 7),
+        |cells AS (SELECT cohort_day, age, CAST(SUM(qv) AS BIGINT) AS rev_q
+        |          FROM f GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_day,
+        |            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_cohort
+        |          FROM f WHERE age = 0 GROUP BY 1),
+        |c2 AS (SELECT cohort_day, age, rev_q,
+        |        CAST(SUM(rev_q) OVER (PARTITION BY cohort_day ORDER BY age
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum_q
+        |       FROM cells)
+        |SELECT c2.cohort_day, c2.age, s.n_cohort,
+        |  floor(CAST(rev_q AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue,
+        |  floor(CAST(cum_q // n_cohort AS DOUBLE) / 100 + 0.5) / 1e4
+        |    AS cum_ltv_per_user
+        |FROM c2 JOIN sizes s USING (cohort_day)
+        |ORDER BY cohort_day, age""".stripMargin,
+
     // Disorder audit: adjacent arrival pairs (event_id order) whose
     // event time steps backward; integer micros and ppm.
     "disorder_audit" ->

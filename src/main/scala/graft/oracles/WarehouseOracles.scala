@@ -493,6 +493,31 @@ private[graft] object WarehouseOracles {
         |  max_key_rows
         |FROM g""".stripMargin,
 
+    // Contract audit: five conditional sums in one scan, 5-row stack.
+    "contract_audit" ->
+      """WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type IN
+        |        ('click','error','purchase','signup','view')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN value IS NOT NULL AND value >= 0
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN ts IS NOT NULL
+        |        AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2027-01-01'
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN user_id IS NOT NULL AND user_id > 0
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+        |    CAST(SUM(CASE WHEN props IS NOT NULL AND length(props) >= 2
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v5
+        |  FROM events),
+        |u AS (SELECT 'event_type_enum' AS rule, n_rows, v1 AS n_violations FROM g
+        |  UNION ALL SELECT 'value_non_negative', n_rows, v2 FROM g
+        |  UNION ALL SELECT 'ts_in_window', n_rows, v3 FROM g
+        |  UNION ALL SELECT 'user_id_positive', n_rows, v4 FROM g
+        |  UNION ALL SELECT 'props_present', n_rows, v5 FROM g)
+        |SELECT rule, n_rows, n_violations,
+        |  (n_violations * 1000000) // n_rows AS violation_ppm
+        |FROM u ORDER BY rule""".stripMargin,
+
     // KS: integer CDF cross-product argmax |ca*nb - cb*na| FIRST, one
     // division after; 1.358 cast to DOUBLE (the mad_outliers rule).
     "ks_test" ->

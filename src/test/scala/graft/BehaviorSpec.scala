@@ -375,4 +375,20 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L) == ((2L, 1L, 0.833333)), "H(1)=1/3+1/2")
     assert(out(19L) == ((1L, 0L, 0.833333)), "censoring adds no hazard")
   }
+
+  test("cohort ltv: day-0 denominator stays fixed while revenue accumulates") {
+    import java.sql.Timestamp
+    def ev(u: Long, d: Int, v: Double) =
+      (u, Timestamp.valueOf(f"2026-01-$d%02d 10:00:00"), v)
+    // Cohort Jan 1: users 1, 2 (day-0 revenue 10 + 2). Only user 1
+    // returns on day 1 (+4): cum LTV = 12/2 then 16/2 — churn must
+    // not shrink the denominator.
+    val events = Seq(ev(1, 1, 10.0), ev(2, 1, 2.0), ev(1, 2, 4.0))
+      .toDF("user_id", "ts", "value")
+    val out = graft.operators.Behavior.cohortLtvOf(events).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out(0) == ((2L, 12.0, 6.0)), s"day 0: $out")
+    assert(out(1) == ((2L, 4.0, 8.0)), "day 1 divides by the DAY-0 cohort size")
+  }
 }

@@ -269,4 +269,26 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     val r = Warehouse.joinSizeEstimateOf(li).collect().head
     assert(r.getLong(2) == 8L && r.getLong(3) == 8L && r.getLong(4) == 10000L)
   }
+
+  test("contract audit: each planted violation lands on exactly its rule") {
+    import java.sql.Timestamp
+    val good = (1L, "click", Timestamp.valueOf("2026-01-01 10:00:00"), 5.0, "{}")
+    val events = Seq(
+      good,
+      (2L, "bogus", Timestamp.valueOf("2026-01-01 10:00:00"), 5.0, "{}"),
+      (3L, "click", Timestamp.valueOf("2020-01-01 10:00:00"), 5.0, "{}"),
+      (-4L, "click", Timestamp.valueOf("2026-01-01 10:00:00"), 5.0, "{}"),
+      (5L, "click", Timestamp.valueOf("2026-01-01 10:00:00"), -1.0, "{}"),
+      (6L, "click", Timestamp.valueOf("2026-01-01 10:00:00"), 5.0, ""))
+      .toDF("user_id", "event_type", "ts", "value", "props")
+    val out = Warehouse.contractAuditOf(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet.size == 5, "every rule reports, violated or not")
+    assert(out("event_type_enum") == ((6L, 1L, 166666L)), s"got $out")
+    assert(out("ts_in_window")._2 == 1L)
+    assert(out("user_id_positive")._2 == 1L)
+    assert(out("value_non_negative")._2 == 1L)
+    assert(out("props_present")._2 == 1L)
+  }
 }
