@@ -731,13 +731,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     for (df <- Seq[DataFrame](
       graft.operators.Robust.ksTest(spark, Sf),
       graft.operators.Robust.rollingCorr(spark, Sf),
-      EventAnalytics.disorderAudit(spark, Sf),
-      CorpusStats.paretoFrontier(spark, Sf))) {
+      EventAnalytics.disorderAudit(spark, Sf))) {
       val p = plan(df)
       assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
         p.collect { case j: CartesianProductExec => j }.isEmpty,
         s"map+window+aggregate only:\n$p")
     }
+    // pareto: the bounded score-grid frame broadcasts back as an
+    // EQUIJOIN on q4; the fact side must never window (the O(n^2)
+    // UnboundedFollowing frame the x100 rehearsal caught).
+    val pf = plan(CorpusStats.paretoFrontier(spark, Sf))
+    assert(pf.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      pf.collect { case j: CartesianProductExec => j }.isEmpty)
+    assert(pf.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.length == 1, s"one window, on the bounded grid frame only:\n$pf")
     // cluster_topics: the kmeans assignment's bounded vec x centroid
     // crosses (2 iterations) + the 1-row totals cross.
     val ct = plan(Cluster.clusterTopics(spark, Sf))
