@@ -302,7 +302,12 @@ object SparkEntry {
     "cluster_topics"    -> (Cluster.clusterTopics(_, _)),
     // Round-10 seventh tranche: cohort economics + ingest contract
     "cohort_ltv"        -> (Behavior.cohortLtv(_, _)),
-    "contract_audit"    -> (Warehouse.contractAudit(_, _))
+    "contract_audit"    -> (Warehouse.contractAudit(_, _)),
+    // Round-10 eighth tranche: forecast eval, hub-club density,
+    // unicode-script composition (SURVEY §2 rows 248-250)
+    "forecast_backtest" -> (EventAnalytics.forecastBacktest(_, _)),
+    "rich_club"         -> (Graph.richClub(_, _)),
+    "script_mix"        -> (TextAnalysis.scriptMix(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

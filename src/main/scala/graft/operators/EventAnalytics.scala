@@ -903,4 +903,43 @@ object EventAnalytics {
 
   def disorderAudit(spark: SparkSession, dir: String): DataFrame =
     disorderAuditOf(Tables.events(spark, dir))
+
+  /** Seasonal-naive forecast backtest per event type: predict each
+    * day's count with (a) the same weekday last week (lag-7, the
+    * seasonal-naive baseline every real forecast must beat) and (b)
+    * yesterday (lag-1, the naive baseline), scored by WAPE
+    * (Σ|err|/Σactual — the scale-free accuracy read that, unlike
+    * MAPE, never divides by a zero-traffic day). The
+    * beats-seasonal-naive bar is the standard go/no-go for shipping
+    * any fancier model ([[seasonalProfileOf]] says the weekday signal
+    * exists; this prices how much of the variance it already
+    * explains). All int64: daily counts exact, errors exact, WAPE in
+    * ppm by one integer division; only days where BOTH lags exist
+    * score, so the two baselines compare on identical days.
+    *
+    * Shape: one (type, day) map-combinable count, lag windows on the
+    * bounded daily frame, bounded fold. */
+  def forecastBacktestOf(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("p7", lag("c", 7).over(byType))
+      .withColumn("p1", lag("c", 1).over(byType))
+      .filter(col("p7").isNotNull && col("p1").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("c").as("actual_total"),
+        sum(abs(col("c") - col("p7"))).as("err7"),
+        sum(abs(col("c") - col("p1"))).as("err1"))
+      .select(col("event_type"), col("n_days"),
+        expr("(err7 * 1000000) div actual_total").as("wape_lag7_ppm"),
+        expr("(err1 * 1000000) div actual_total").as("wape_lag1_ppm"),
+        (col("err7") < col("err1")).as("seasonal_wins"))
+      .orderBy("event_type")
+  }
+
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame =
+    forecastBacktestOf(Tables.events(spark, dir))
 }

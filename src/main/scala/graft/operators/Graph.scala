@@ -684,4 +684,42 @@ object Graph {
 
   def khopReach(spark: SparkSession, dir: String): DataFrame =
     khopReachOf(Tables.events(spark, dir))
+
+  /** Rich-club profile (Zhou–Mondragón '04): for degree cutoffs k ∈
+    * {80, 85, 90} (chosen inside the item graph's 74-92 degree
+    * band, where the curve actually moves), the edge density φ(k) = 2·E_k / (n_k·(n_k−1)) among
+    * nodes of degree > k — "do the hubs form their own dense club"
+    * (high φ at high k: a hub oligarchy, the structure behind
+    * winner-take-all recommendation feedback; flat φ: hubs connect
+    * through the periphery). Complements row 214's assortativity
+    * scalar with the actual density curve. Exact int64 counts, one
+    * division per row, 6-dp grid; NULL when n_k < 2 (no possible
+    * edge — the row 221 convention).
+    *
+    * Shape: the shared [[undirectedEdges]] frame + one degree
+    * aggregate, then per-k two semi-joins on the vocab-bounded edge
+    * frame — the [[kcoreOf]] shape without iteration. */
+  def richClubOf(events: DataFrame, ks: Seq[Int] = Seq(80, 85, 90)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"cutoffs must be >= 1: $ks")
+    val und = undirectedEdges(events).localCheckpoint(false)
+    val deg = und.select(col("a").as("u")).union(und.select(col("b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    ks.map { k =>
+      val club = deg.filter(col("deg") > k).select(col("u"))
+      val nK = club.agg(count(lit(1)).as("n_k")) // 1 row
+      val eK = und
+        .join(club.withColumnRenamed("u", "a"), "a", "left_semi")
+        .join(club.withColumnRenamed("u", "b"), "b", "left_semi")
+        .agg(count(lit(1)).as("e_k")) // 1 row
+      nK.crossJoin(broadcast(eK))
+        .select(lit(k).as("k"), col("n_k"), col("e_k"),
+          TextF.round6HalfUp(expr(
+            "try_divide(CAST(2 * e_k AS DOUBLE), CAST(n_k * (n_k - 1) AS DOUBLE))"))
+            .as("phi"))
+    }.reduce(_.union(_)).orderBy("k")
+  }
+
+  def richClub(spark: SparkSession, dir: String): DataFrame =
+    richClubOf(Tables.events(spark, dir))
 }

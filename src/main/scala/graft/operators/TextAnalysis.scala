@@ -280,4 +280,39 @@ object TextAnalysis {
 
   def mojibakeStats(spark: SparkSession, dir: String): DataFrame =
     mojibakeStatsOf(Tables.documents(spark, dir))
+
+  /** Unicode-script composition per language label: mean
+    * parts-per-million of Latin / CJK / Cyrillic codepoints (explicit
+    * codepoint RANGES, not named script classes — Java regex and RE2
+    * spell those differently; ranges are engine-identical) — the
+    * script-level cross-check on [[langIdOf]] (a "zh"-labeled doc
+    * that is 95% Latin is mislabeled or transliterated; a Latin-heavy
+    * "ru" shard is mojibake row 204 didn't catch). Counting is
+    * subtractive — length(text) − length(strip(text)) — so it runs in
+    * two codegen'd string passes per class, no explode. Per-doc
+    * fractions quantize to ppm (integer division) before the
+    * order-blind per-language mean.
+    *
+    * Shape: map-only scoring + one bounded (lang) aggregate. */
+  def scriptMixOf(docs: DataFrame): DataFrame = {
+    val cjk = "[一-鿿぀-ヿ]"
+    val latin = "[A-Za-zÀ-ɏ]"
+    val cyr = "[Ѐ-ӿ]"
+    def ppm(re: String) =
+      expr(s"((length(text) - length(regexp_replace(text, '$re', ''))) " +
+        "* 1000000) div length(text)")
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("lang"), ppm(latin).as("latin_ppm"),
+        ppm(cjk).as("cjk_ppm"), ppm(cyr).as("cyrillic_ppm"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(latin_ppm) div count(1)").as("mean_latin_ppm"),
+        expr("sum(cjk_ppm) div count(1)").as("mean_cjk_ppm"),
+        expr("sum(cyrillic_ppm) div count(1)").as("mean_cyrillic_ppm"))
+      .orderBy("lang")
+  }
+
+  def scriptMix(spark: SparkSession, dir: String): DataFrame =
+    scriptMixOf(Tables.documents(spark, dir))
 }

@@ -64,6 +64,23 @@ private[graft] object CorpusOracles {
 
     // Mojibake incidence on planted encoding artifacts; the pattern
     // is a literal alternation so Java regex and RE2 agree byte-wise.
+    // Script mix: identical literal codepoint-range classes both
+    // engines; subtractive counting; ppm by integer division.
+    "script_mix" ->
+      """WITH d AS (SELECT lang,
+        |    ((length(text) - length(regexp_replace(text, '[A-Za-zÀ-ɏ]', '', 'g')))
+        |      * 1000000) // length(text) AS latin_ppm,
+        |    ((length(text) - length(regexp_replace(text, '[一-鿿぀-ヿ]', '', 'g')))
+        |      * 1000000) // length(text) AS cjk_ppm,
+        |    ((length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')))
+        |      * 1000000) // length(text) AS cyrillic_ppm
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(latin_ppm) // COUNT(*) AS BIGINT) AS mean_latin_ppm,
+        |  CAST(SUM(cjk_ppm) // COUNT(*) AS BIGINT) AS mean_cjk_ppm,
+        |  CAST(SUM(cyrillic_ppm) // COUNT(*) AS BIGINT) AS mean_cyrillic_ppm
+        |FROM d GROUP BY 1 ORDER BY lang""".stripMargin,
+
     "mojibake_stats" ->
       """WITH s AS (SELECT source,
         |    text

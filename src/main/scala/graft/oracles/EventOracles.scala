@@ -605,6 +605,55 @@ private[graft] object EventOracles {
         |    AS hazard
         |FROM r ORDER BY duration""".stripMargin,
 
+    // Seasonal-naive backtest: lag windows on the bounded daily frame,
+    // both baselines scored on identical days, WAPE ppm integer.
+    "forecast_backtest" ->
+      """WITH d AS (SELECT event_type, CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM events GROUP BY 1, 2),
+        |w AS (SELECT *, lag(c, 7) OVER tw AS p7, lag(c, 1) OVER tw AS p1
+        |      FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day)),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |        CAST(SUM(c) AS BIGINT) AS actual_total,
+        |        CAST(SUM(abs(c - p7)) AS BIGINT) AS err7,
+        |        CAST(SUM(abs(c - p1)) AS BIGINT) AS err1
+        |      FROM w WHERE p7 IS NOT NULL AND p1 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  (err7 * 1000000) // actual_total AS wape_lag7_ppm,
+        |  (err1 * 1000000) // actual_total AS wape_lag1_ppm,
+        |  err7 < err1 AS seasonal_wins
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // Rich club: per-cutoff club semi-joins on the shared e/adj
+    // derivation, unioned; NULL phi when n_k < 2.
+    "rich_club" ->
+      ("""WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         item AS dst
+        |  FROM base),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM tr WHERE src IS NOT NULL AND src <> dst),
+        |adj AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        |""".stripMargin +
+        Seq(80, 85, 90).map { k =>
+          s"""c$k AS (SELECT u FROM deg WHERE deg > $k),
+            |n$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_k FROM c$k),
+            |e$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS e_k FROM e
+            |  WHERE a IN (SELECT u FROM c$k) AND b IN (SELECT u FROM c$k))""".stripMargin
+        }.mkString(",\n") + "\n" +
+        Seq(80, 85, 90).map { k =>
+          s"""SELECT $k AS k, n_k, e_k,
+            |  CASE WHEN n_k < 2 THEN NULL ELSE
+            |    floor(CAST(2 * e_k AS DOUBLE) / CAST(n_k * (n_k - 1) AS DOUBLE)
+            |      * 1e6 + 0.5) / 1e6 END AS phi
+            |FROM n$k, e$k""".stripMargin
+        }.mkString("\nUNION ALL\n") + "\nORDER BY k"),
+
     // Cohort LTV: integer micro revenue, bounded cumsum, day-0 fixed
     // denominator, integer division before the 4dp render.
     "cohort_ltv" ->

@@ -478,4 +478,20 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out("click") == ((3L, 1L, 333333L, 5.0)), s"got $out")
     assert(out("view") == ((2L - 1L, 0L, 0L, 0.0)), "ordered feed reads zero")
   }
+
+  test("forecast backtest: a clean weekly cycle makes lag-7 exact and lag-1 wrong") {
+    import java.sql.Timestamp
+    // 21 days of counts 1,1,1,1,1,1,8 repeating: lag-7 predicts
+    // perfectly on days 8-21; lag-1 misses at every weekend boundary.
+    val events = (1 to 21).flatMap { d =>
+      val n = if (d % 7 == 0) 8 else 1
+      (1 to n).map(i => ("click",
+        Timestamp.valueOf(f"2026-01-$d%02d 10:00:00")))
+    }
+    val r = graft.operators.EventAnalytics
+      .forecastBacktestOf(events.toDF("event_type", "ts")).collect().head
+    assert(r.getLong(1) == 14L, s"days 8-21 score: $r")
+    assert(r.getLong(2) == 0L, "lag-7 is exact on a pure weekly cycle")
+    assert(r.getLong(3) > 0L && r.getBoolean(4), "lag-1 pays at each jump")
+  }
 }

@@ -278,4 +278,15 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(out(1) == ((1L, 2L)))
     assert(out(2) == ((0L, 2L)) && out(3) == ((0L, 2L)))
   }
+
+  test("rich club: the hub triangle closes ranks, thin clubs read NULL") {
+    // Clique {1,2,3} + pendant 4-1: degrees 3,2,2,1.
+    val ev = streams(1L -> Seq(1L, 2L, 3L, 1L), 2L -> Seq(2L, 3L),
+      3L -> Seq(4L, 1L))
+    val out = Graph.richClubOf(ev, ks = Seq(1, 2)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1) == ((3L, 3L, Some(1.0))), s"deg>1 club is the full clique: $out")
+    assert(out(2) == ((1L, 0L, None)), "a 1-node club has no possible edge")
+  }
 }

@@ -139,4 +139,18 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(out("s1") == ((2L, 2L, 2L, 1.0)), s"got $out")
     assert(out("s2") == ((2L, 0L, 0L, 0.0)), "no artifacts, rate exactly 0")
   }
+
+  test("script mix: codepoint ranges attribute each script exactly") {
+    val docs = Seq(
+      (1L, "abcd", "en"),          // 4/4 latin
+      (2L, "\u6c49\u5b57\u304b\u306a", "zh"), // 4/4 cjk (han + kana)
+      (3L, "\u0434\u0430 ok", "ru"))  // 2 cyr, 2 latin, 1 space of 5
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.TextAnalysis.scriptMixOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out("en") == ((1000000L, 0L, 0L)))
+    assert(out("zh") == ((0L, 1000000L, 0L)))
+    assert(out("ru") == ((400000L, 0L, 400000L)), s"2/5 each: $out")
+  }
 }
