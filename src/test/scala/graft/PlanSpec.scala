@@ -753,4 +753,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(ct.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 3,
       s"only the bounded kmeans/totals crosses:\n$ct")
   }
+
+  test("round-10 fourth wave: economics/audit/eval plans bounded as designed") {
+    for (df <- Seq[DataFrame](
+      Warehouse.contractAudit(spark, Sf),
+      EventAnalytics.forecastBacktest(spark, Sf),
+      TextAnalysis.scriptMix(spark, Sf))) {
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"single-scan aggregate pipeline:\n$p")
+    }
+    // cohort_ltv: sizes broadcast is an EQUIJOIN on cohort_day.
+    val cl = plan(Behavior.cohortLtv(spark, Sf))
+    assert(cl.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      cl.collect { case j: CartesianProductExec => j }.isEmpty)
+    // rich_club: three per-k pairs of 1-row count crosses.
+    val rc = plan(Graph.richClub(spark, Sf))
+    assert(rc.collect { case j: CartesianProductExec => j }.isEmpty)
+    assert(rc.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 3,
+      s"only the per-k 1-row count crosses:\n$rc")
+  }
 }
