@@ -307,7 +307,12 @@ object SparkEntry {
     // unicode-script composition (SURVEY §2 rows 248-250)
     "forecast_backtest" -> (EventAnalytics.forecastBacktest(_, _)),
     "rich_club"         -> (Graph.richClub(_, _)),
-    "script_mix"        -> (TextAnalysis.scriptMix(_, _))
+    "script_mix"        -> (TextAnalysis.scriptMix(_, _)),
+    // Round-10 ninth tranche: recommendation neighbors, retention
+    // cadence, capacity sweep (SURVEY §2 rows 251-253)
+    "item_cosine"       -> (Behavior.itemCosine(_, _)),
+    "return_time"       -> (EventAnalytics.returnTime(_, _)),
+    "peak_concurrency"  -> (EventAnalytics.peakConcurrency(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

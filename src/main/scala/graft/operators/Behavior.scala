@@ -351,6 +351,54 @@ object Behavior {
   def itemAffinity(spark: SparkSession, dir: String): DataFrame =
     itemAffinityOf(Tables.events(spark, dir))
 
+  /** Item-to-item cosine neighbors from co-occurrence — the classic
+    * "customers also touch" scorer (cos = c₁₂/√(c₁·c₂) over binary
+    * user-item vectors; [[itemAffinityOf]]'s lift flags SURPRISING
+    * pairs, cosine ranks USABLE neighbors — lift loves rare
+    * coincidences, cosine normalizes both margins). Top `topN` per
+    * item over the symmetric pair frame, ranked (cosine DESC,
+    * neighbor) after 6-dp rounding so the order is grid-stable;
+    * cosine's two sqrts are correctly-rounded IEEE on exact int64
+    * counts.
+    *
+    * Shape: [[itemAffinityOf]]'s — distinct (user, item) checkpoint,
+    * per-user pair join bounded by Σ|basket|², vocab-bounded count
+    * frames, WindowGroupLimit ranker. */
+  def itemCosineOf(events: DataFrame, minSupport: Long = 5,
+                   topN: Int = 3): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val items = events.select(col("user_id"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("item"))
+      .distinct()
+      .localCheckpoint(false)
+    val pairs = items.select(col("user_id"), col("item").as("item_a"))
+      .join(items.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minSupport)
+    val c1 = items.groupBy("item").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false)
+    val scored = pairs
+      .join(c1.select(col("item").as("item_a"), col("c1").as("c1a")), "item_a")
+      .join(c1.select(col("item").as("item_b"), col("c1").as("c1b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("c12"),
+        graft.functions.TextF.round6HalfUp(col("c12").cast("double")
+          / (sqrt(col("c1a").cast("double")) * sqrt(col("c1b").cast("double"))))
+          .as("cosine"))
+    scored.select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("c12"), col("cosine"))
+      .union(scored.select(col("item_b"), col("item_a"),
+        col("c12"), col("cosine")))
+      .withColumn("rank", row_number().over(Window.partitionBy("item")
+        .orderBy(col("cosine").desc, col("neighbor"))))
+      .filter(col("rank") <= topN)
+      .orderBy("item", "rank")
+  }
+
+  def itemCosine(spark: SparkSession, dir: String): DataFrame =
+    itemCosineOf(Tables.events(spark, dir))
+
   /** Deterministic negative sampling for recommendation training: per
     * user, `k` items the user NEVER interacted with, pseudo-randomly
     * ranked by md5(user:item) — the contrastive counterpart every

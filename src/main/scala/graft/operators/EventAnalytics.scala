@@ -942,4 +942,76 @@ object EventAnalytics {
 
   def forecastBacktest(spark: SparkSession, dir: String): DataFrame =
     forecastBacktestOf(Tables.events(spark, dir))
+
+  /** Return-time distribution: exact p50/p90 of the gap between a
+    * user's consecutive SESSIONS (session end → next session start,
+    * [[sessionizeOf]]'s 30-minute-gap sessions) — the retention
+    * cadence behind notification timing and DAU/WAU expectations
+    * ([[interarrivalPercentilesOf]] reads event-level clumping inside
+    * sessions; this reads the human-level come-back rhythm between
+    * them). Gaps are exact integer micros from one per-user lag over
+    * the session frame; the single array-percentile aggregate
+    * interpolates on exact operands; hours render by one division, 4
+    * dp.
+    *
+    * Shape: sessionize's shared user-keyed shuffle, a user-keyed lag
+    * (same partitioning), one global bounded fold. */
+  def returnTimeOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("session_idx")
+    sessionizeOf(events, gapMinutes)
+      .withColumn("prev_end", lag("end_us", 1).over(byUser))
+      .filter(col("prev_end").isNotNull)
+      .withColumn("gap", col("start_us") - col("prev_end"))
+      .agg(count(lit(1)).as("n_returns"),
+        expr("percentile(gap, array(0.5D, 0.9D))").as("ps"))
+      .select(col("n_returns"),
+        graft.functions.TextF.round4HalfUp(
+          element_at(col("ps"), 1) / lit(3.6e9)).as("p50_hours"),
+        graft.functions.TextF.round4HalfUp(
+          element_at(col("ps"), 2) / lit(3.6e9)).as("p90_hours"))
+  }
+
+  def returnTime(spark: SparkSession, dir: String): DataFrame =
+    returnTimeOf(Tables.events(spark, dir))
+
+  /** Peak concurrent sessions per day — the capacity-planning number
+    * (provision for the MAX, bill for the mean): every session emits
+    * +1 at its start and −1 one µs past its end (exclusive end, so a
+    * single-event session still occupies its instant and
+    * same-instant handoffs don't double-count: ends sort before
+    * starts), and the running sum's per-day maximum is the day's
+    * peak. The sweep runs on the SESSION frame (events ÷ session
+    * length), totally ordered by (µs, delta, user, session) — a
+    * GLOBAL window, the honest [[Corpus.curriculumOrder]] cost, with
+    * the same documented 100 TB decomposition (range-partition by
+    * time + carry boundary sums — concurrency is a prefix sum, so
+    * per-range offsets add). Days are attributed by marker time;
+    * sessions spanning midnight contribute to both days' sweeps via
+    * their markers (start day gains, end day releases) — the standard
+    * continuous-sweep convention.
+    *
+    * Everything int64; deterministic total order. */
+  def peakConcurrencyOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val markers = sessionizeOf(events, gapMinutes)
+      .select(col("user_id"), col("session_idx"),
+        explode(array(
+          struct(col("start_us").as("us"), lit(1L).as("delta")),
+          struct((col("end_us") + 1L).as("us"), lit(-1L).as("delta"))))
+          .as("m"))
+      .select(col("user_id"), col("session_idx"),
+        col("m.us").as("us"), col("m.delta").as("delta"))
+    val sweep = Window.orderBy(col("us"), col("delta"), col("user_id"),
+      col("session_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    markers
+      .withColumn("running", sum("delta").over(sweep))
+      .groupBy(timestamp_micros(col("us")).cast("date").as("day"))
+      .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L))
+        .as("n_sessions_started"),
+        max("running").as("peak_concurrent"))
+      .orderBy("day")
+  }
+
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    peakConcurrencyOf(Tables.events(spark, dir))
 }

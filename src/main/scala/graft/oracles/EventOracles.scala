@@ -208,6 +208,30 @@ private[graft] object EventOracles {
 
     // Item id via the report family's variant fallback chain; lift
     // parenthesization mirrors the Spark expression (cf. collocations).
+    // Item-item cosine: exact int64 counts, two IEEE sqrts, 6-dp grid
+    // BEFORE the per-item rank (grid-stable ordering).
+    "item_cosine" ->
+      """WITH it AS (SELECT DISTINCT user_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |        CAST(COUNT(*) AS BIGINT) AS c12
+        |      FROM it a JOIN it b ON a.user_id = b.user_id AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |c1 AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c1 FROM it GROUP BY 1),
+        |sc AS (SELECT item_a, item_b, c12,
+        |        floor(CAST(c12 AS DOUBLE)
+        |          / (sqrt(CAST(ca.c1 AS DOUBLE)) * sqrt(CAST(cb.c1 AS DOUBLE)))
+        |          * 1e6 + 0.5) / 1e6 AS cosine
+        |      FROM p JOIN c1 ca ON ca.item = p.item_a
+        |             JOIN c1 cb ON cb.item = p.item_b),
+        |sym AS (SELECT item_a AS item, item_b AS neighbor, c12, cosine FROM sc
+        |        UNION ALL SELECT item_b, item_a, c12, cosine FROM sc),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+        |        ORDER BY cosine DESC, neighbor) AS INT) AS "rank" FROM sym)
+        |SELECT item, neighbor, c12, cosine, "rank"
+        |FROM r WHERE "rank" <= 3 ORDER BY item, "rank"""".stripMargin,
+
     "item_affinity" ->
       """WITH i AS (SELECT DISTINCT user_id,
         |    COALESCE(TRY_CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS item
@@ -604,6 +628,57 @@ private[graft] object EventOracles {
         |  floor(CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e4 + 0.5) / 1e4
         |    AS hazard
         |FROM r ORDER BY duration""".stripMargin,
+
+    // Return-time: the sessionize CTEs verbatim, one per-user lag on
+    // the session frame, exact-integer percentile, hours at 4dp.
+    "return_time" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f),
+        |sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |    MIN(us) AS start_us, MAX(us) AS end_us
+        |  FROM s GROUP BY user_id, session_idx),
+        |g AS (SELECT start_us - lag(end_us) OVER
+        |        (PARTITION BY user_id ORDER BY session_idx) AS gap
+        |      FROM sess)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_returns,
+        |  floor(quantile_cont(gap, 0.5) / 3.6e9 * 1e4 + 0.5) / 1e4 AS p50_hours,
+        |  floor(quantile_cont(gap, 0.9) / 3.6e9 * 1e4 + 0.5) / 1e4 AS p90_hours
+        |FROM g WHERE gap IS NOT NULL""".stripMargin,
+
+    // Peak concurrency: exclusive-end +1/-1 sweep on the session
+    // frame, deterministic total order, per-day max of the prefix sum.
+    "peak_concurrency" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f),
+        |sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |    MIN(us) AS start_us, MAX(us) AS end_us
+        |  FROM s GROUP BY user_id, session_idx),
+        |m AS (SELECT user_id, session_idx, start_us AS us,
+        |        CAST(1 AS BIGINT) AS delta FROM sess
+        |      UNION ALL
+        |      SELECT user_id, session_idx, end_us + 1,
+        |        CAST(-1 AS BIGINT) FROM sess),
+        |r AS (SELECT *, CAST(SUM(delta) OVER (ORDER BY us, delta, user_id,
+        |        session_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS BIGINT) AS running
+        |      FROM m)
+        |SELECT CAST(make_timestamp(us) AS DATE) AS day,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sessions_started,
+        |  CAST(MAX(running) AS BIGINT) AS peak_concurrent
+        |FROM r GROUP BY 1 ORDER BY day""".stripMargin,
 
     // Seasonal-naive backtest: lag windows on the bounded daily frame,
     // both baselines scored on identical days, WAPE ppm integer.

@@ -391,4 +391,21 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(out(0) == ((2L, 12.0, 6.0)), s"day 0: $out")
     assert(out(1) == ((2L, 4.0, 8.0)), "day 1 divides by the DAY-0 cohort size")
   }
+
+  test("item cosine: co-occurrence normalizes by both margins, top-k per item") {
+    // u1:{1,2} u2:{1,2} u3:{1} u4:{2,3}: c1(1)=3, c1(2)=3, c1(3)=1;
+    // cos(1,2)=2/3, cos(2,3)=1/sqrt(3).
+    val events = Seq((1L, """{"k": 1}"""), (1L, """{"k": 2}"""),
+      (2L, """{"k": 1}"""), (2L, """{"k": 2}"""), (3L, """{"k": 1}"""),
+      (4L, """{"k": 2}"""), (4L, """{"k": 3}"""))
+      .toDF("user_id", "props")
+    val out = graft.operators.Behavior
+      .itemCosineOf(events, minSupport = 1, topN = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    assert(out((1L, 1)) == ((2L, 0.666667)), s"got $out")
+    assert(out((2L, 1)) == ((1L, 0.666667)))
+    assert(out((2L, 2)) == ((3L, 0.57735)), "1/sqrt(3) on the 6-dp grid")
+    assert(out((3L, 1)) == ((2L, 0.57735)))
+  }
 }

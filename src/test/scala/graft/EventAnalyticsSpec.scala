@@ -494,4 +494,32 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(2) == 0L, "lag-7 is exact on a pure weekly cycle")
     assert(r.getLong(3) > 0L && r.getBoolean(4), "lag-1 pays at each jump")
   }
+
+  test("return time: the gap is session end to next session start") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(s"2026-01-01 $t")
+    // One user: session 10:00-10:05 (two events), then 14:00.
+    val events = Seq((1L, 1L, ts("10:00:00")), (2L, 1L, ts("10:05:00")),
+      (3L, 1L, ts("14:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val r = graft.operators.EventAnalytics.returnTimeOf(events).collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getDouble(1) == 3.9167 && r.getDouble(2) == 3.9167,
+      s"3 h 55 m on the 4-dp grid: $r")
+  }
+
+  test("peak concurrency: overlapping sessions stack, handoffs do not") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(s"2026-01-01 $t")
+    // u1 one session 10:00-11:00 (25-min steps stay under the gap),
+    // u2 10:30 inside it -> peak 2; u3 13:00 alone after both end.
+    val events = Seq((1L, 1L, ts("10:00:00")), (2L, 1L, ts("10:25:00")),
+      (3L, 1L, ts("10:50:00")), (4L, 1L, ts("11:00:00")),
+      (5L, 2L, ts("10:30:00")), (6L, 3L, ts("13:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val r = graft.operators.EventAnalytics.peakConcurrencyOf(events)
+      .collect().head
+    assert(r.getLong(1) == 3L, s"three sessions started: $r")
+    assert(r.getLong(2) == 2L, s"u1 and u2 overlap at 10:30: $r")
+  }
 }
