@@ -312,7 +312,12 @@ object SparkEntry {
     // cadence, capacity sweep (SURVEY §2 rows 251-253)
     "item_cosine"       -> (Behavior.itemCosine(_, _)),
     "return_time"       -> (EventAnalytics.returnTime(_, _)),
-    "peak_concurrency"  -> (EventAnalytics.peakConcurrency(_, _))
+    "peak_concurrency"  -> (EventAnalytics.peakConcurrency(_, _)),
+    // Round-10 tenth tranche: retrospective changepoint, revenue
+    // concentration curve, vocabulary growth (SURVEY §2 rows 254-256)
+    "binary_segmentation" -> (EventAnalytics.binarySegmentation(_, _)),
+    "lorenz_curve"      -> (Behavior.lorenzCurve(_, _)),
+    "heaps_curve"       -> (CorpusStats.heapsCurve(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -399,6 +399,42 @@ object Behavior {
   def itemCosine(spark: SparkSession, dir: String): DataFrame =
     itemCosineOf(Tables.events(spark, dir))
 
+  /** Lorenz concentration curve of revenue over users: per user-decile
+    * (poorest→richest by total revenue, (revenue, user_id) tiebreak),
+    * the decile's revenue share and the running cumulative share —
+    * the curve behind [[EventAnalytics.giniConcentrationOf]]'s scalar
+    * (Gini says HOW concentrated; the curve says WHERE — "the top
+    * decile carries 40%" is an actionable shape, a Gini of 0.3
+    * isn't). Shares in exact ppm by integer division on micro-grid
+    * revenue; decile assignment via ntile on the per-user frame.
+    *
+    * Shape: one user-keyed aggregate at fact scale; the ntile is a
+    * GLOBAL window on the per-user frame — [[Corpus.curriculumOrder]]'s
+    * honest cost with the same documented two-phase decomposition
+    * (users ≪ events, and decile boundaries are order statistics a
+    * range-partitioned sort computes identically). */
+  def lorenzCurveOf(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("qv"))
+      .groupBy("user_id").agg(sum("qv").as("rev"))
+    perUser
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("rev"), col("user_id"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("rev").as("rev_q"))
+      .withColumn("total", sum("rev_q").over(Window.partitionBy()))
+      .withColumn("cum_q", sum("rev_q").over(Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_users"),
+        expr("(rev_q * 1000000) div total").as("share_ppm"),
+        expr("(cum_q * 1000000) div total").as("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
+  def lorenzCurve(spark: SparkSession, dir: String): DataFrame =
+    lorenzCurveOf(Tables.events(spark, dir))
+
   /** Deterministic negative sampling for recommendation training: per
     * user, `k` items the user NEVER interacted with, pseudo-randomly
     * ranked by md5(user:item) — the contrastive counterpart every

@@ -976,4 +976,44 @@ object CorpusStats {
 
   def paretoFrontier(spark: SparkSession, dir: String): DataFrame =
     paretoFrontierOf(Tables.documents(spark, dir))
+
+  /** Empirical Heaps-law curve: distinct vocabulary after the first
+    * 10%, 20%, … 100% of documents (doc_id order — the corpus's
+    * arrival order stand-in) — [[coverageCurveOf]] asks how much a
+    * FIXED vocab covers; this asks how fast the vocabulary is still
+    * GROWING, the is-more-data-still-buying-new-types read behind
+    * vocab sizing and dedup expectations (a flattening curve says new
+    * docs are recombinations; a straight one says the domain is still
+    * open). Exact: each token's FIRST document (min doc_id — one
+    * map-combinable aggregate over the token explode), then vocab(t)
+    * = tokens with first_doc below each decile threshold — a bounded
+    * 10-row probe against the vocabulary frame.
+    *
+    * Shape: the token explode + per-token min is the only fact-scale
+    * work; thresholds ride a 10-row broadcast; output is 10 rows. */
+  def heapsCurveOf(docs: DataFrame): DataFrame = {
+    val firstDoc = docs
+      .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(min("doc_id").as("first_doc"))
+    // Thresholds cut the DOCUMENT id range (not the first-occurrence
+    // range — a shared vocabulary saturates early and would shrink
+    // the axis); conditional counting keeps zero-growth deciles as
+    // explicit rows instead of dropped groups.
+    val bounds = docs.agg(max("doc_id").as("max_id")) // 1 row
+    val thresholds = docs.sparkSession.range(1, 11)
+      .select(col("id").cast("int").as("pct10"))
+      .crossJoin(broadcast(bounds))
+      .select(col("pct10"),
+        expr("((max_id + 1) * pct10) div 10").as("cutoff"))
+    firstDoc.crossJoin(broadcast(thresholds)) // 10 rows
+      .groupBy("pct10", "cutoff")
+      .agg(sum(when(col("first_doc") < col("cutoff"), 1L).otherwise(0L))
+        .as("vocab_size"))
+      .select((col("pct10") * 10).as("pct_docs"), col("cutoff"),
+        col("vocab_size"))
+      .orderBy("pct_docs")
+  }
+
+  def heapsCurve(spark: SparkSession, dir: String): DataFrame =
+    heapsCurveOf(Tables.documents(spark, dir))
 }

@@ -1014,4 +1014,76 @@ object EventAnalytics {
 
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
     peakConcurrencyOf(Tables.events(spark, dir))
+
+  /** Binary-segmentation changepoint (the top-1 split of the classic
+    * recursive scheme): per event type, the day boundary that
+    * minimizes total within-segment squared error of the daily
+    * revenue series — [[cusumChangepointOf]] runs a sequential
+    * threshold test (needs a baseline + h); this finds the single
+    * best break with NO tuning, the retrospective "when did the
+    * regime change" read. Exact arithmetic: daily totals on the CENT
+    * grid (int64 squares safe to ~10⁸ days·cents²), each side's SSE
+    * = (k·Σx² − (Σx)²)/k from integer cumsums, combined L-then-R in
+    * IEEE double and quantized before the argmin (ties → earliest
+    * boundary); sse_reduction = 1 − cost/SSE_total, 4 dp. Types with
+    * < 3 days emit nothing (no interior boundary).
+    *
+    * Shape: one (type, day) map-combinable aggregate at fact scale;
+    * cumsums, candidate scoring, and the argmin all run on the
+    * bounded (types × days) frame. */
+  def binarySegmentationOf(events: DataFrame): DataFrame = {
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val cum = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byType = Window.partitionBy("event_type")
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("qc"))
+      .groupBy("event_type", "day")
+      .agg(sum("qc").as("x"))
+      // Squares ride the DOLLAR grid (cent squares overflow int64 at
+      // the ×1000 rehearsal scale); means keep full cent precision.
+      .withColumn("xd", expr("(x + 50) div 100"))
+    daily
+      .withColumn("i", row_number().over(byDay).cast("long"))
+      .withColumn("cx", sum("x").over(cum))
+      .withColumn("cxd", sum("xd").over(cum))
+      .withColumn("cxx", sum(col("xd") * col("xd")).over(cum))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("tx", sum("x").over(byType))
+      .withColumn("txd", sum("xd").over(byType))
+      .withColumn("txx", sum(col("xd") * col("xd")).over(byType))
+      .filter(col("n") >= 3 && col("i") < col("n")) // interior boundaries
+      // Per-candidate doubles from exact int64 (each < 2^53), fixed
+      // L-then-R order — order-blind because nothing float ever SUMS
+      // across rows.
+      .withColumn("cost",
+        (col("cxx").cast("double")
+          - col("cxd").cast("double") * col("cxd").cast("double")
+            / col("i").cast("double")) +
+          ((col("txx") - col("cxx")).cast("double")
+            - (col("txd") - col("cxd")).cast("double")
+              * (col("txd") - col("cxd")).cast("double")
+              / (col("n") - col("i")).cast("double")))
+      .withColumn("cost_q", floor(col("cost") + lit(0.5)).cast("long"))
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("cost_q"), col("i"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("last_day_before_split"),
+        col("i").as("days_before"), (col("n") - col("i")).as("days_after"),
+        graft.functions.TextF.round4HalfUp(
+          expr("try_divide(CAST(cx AS DOUBLE), CAST(i AS DOUBLE)) / 100"))
+          .as("mean_before"),
+        graft.functions.TextF.round4HalfUp(
+          expr("try_divide(CAST(tx - cx AS DOUBLE), CAST(n - i AS DOUBLE)) / 100"))
+          .as("mean_after"),
+        graft.functions.TextF.round4HalfUp(expr(
+          """1.0 - try_divide(CAST(cost_q AS DOUBLE),
+            |  CAST(txx AS DOUBLE) - CAST(txd AS DOUBLE) * CAST(txd AS DOUBLE)
+            |    / CAST(n AS DOUBLE))""".stripMargin))
+          .as("sse_reduction"))
+      .orderBy("event_type")
+  }
+
+  def binarySegmentation(spark: SparkSession, dir: String): DataFrame =
+    binarySegmentationOf(Tables.events(spark, dir))
 }

@@ -999,6 +999,20 @@ private[graft] object CorpusStatsOracles {
         |FROM ks CROSS JOIN t JOIN r ON r."rank" = least(CAST(ks.k AS BIGINT), t.n_vocab)
         |ORDER BY k""".stripMargin,
 
+    // Heaps curve: per-token first doc, 10-row threshold probe.
+    "heaps_curve" ->
+      """WITH fd AS (SELECT token, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |      FROM (SELECT doc_id,
+        |              unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |            FROM documents) GROUP BY 1),
+        |b AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS max_id FROM documents),
+        |th AS (SELECT CAST(p AS INT) AS pct10, ((max_id + 1) * p) // 10 AS cutoff
+        |       FROM b, unnest(generate_series(1, 10)) AS g(p))
+        |SELECT pct10 * 10 AS pct_docs, cutoff,
+        |  CAST(SUM(CASE WHEN first_doc < cutoff THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_size
+        |FROM fd, th GROUP BY 1, 2 ORDER BY pct_docs""".stripMargin,
+
     // Skyline: two windows on the quality grid (RANGE-to-strictly-
     // above max length + same-quality tie max); survivors beat both.
     "pareto_frontier" ->

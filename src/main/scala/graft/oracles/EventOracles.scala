@@ -629,6 +629,66 @@ private[graft] object EventOracles {
         |    AS hazard
         |FROM r ORDER BY duration""".stripMargin,
 
+    // Binary segmentation: integer cumsums (squares on the dollar
+    // grid), per-candidate IEEE cost, quantized argmin, earliest tie.
+    "binary_segmentation" ->
+      """WITH daily AS (SELECT event_type,
+        |        CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |      FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, (x + 50) // 100 AS xd FROM daily),
+        |w AS (SELECT *, CAST(ROW_NUMBER() OVER tw AS BIGINT) AS i,
+        |        CAST(SUM(x) OVER ctw AS BIGINT) AS cx,
+        |        CAST(SUM(xd) OVER ctw AS BIGINT) AS cxd,
+        |        CAST(SUM(xd * xd) OVER ctw AS BIGINT) AS cxx,
+        |        CAST(COUNT(*) OVER pw AS BIGINT) AS n,
+        |        CAST(SUM(x) OVER pw AS BIGINT) AS tx,
+        |        CAST(SUM(xd) OVER pw AS BIGINT) AS txd,
+        |        CAST(SUM(xd * xd) OVER pw AS BIGINT) AS txx
+        |      FROM d2 WINDOW
+        |        tw AS (PARTITION BY event_type ORDER BY day),
+        |        ctw AS (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        pw AS (PARTITION BY event_type)),
+        |f AS (SELECT *,
+        |        (CAST(cxx AS DOUBLE) - CAST(cxd AS DOUBLE) * CAST(cxd AS DOUBLE)
+        |           / CAST(i AS DOUBLE))
+        |        + (CAST(txx - cxx AS DOUBLE)
+        |           - CAST(txd - cxd AS DOUBLE) * CAST(txd - cxd AS DOUBLE)
+        |             / CAST(n - i AS DOUBLE)) AS cost
+        |      FROM w WHERE n >= 3 AND i < n),
+        |q AS (SELECT *, CAST(floor(cost + 0.5) AS BIGINT) AS cost_q,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY CAST(floor(cost + 0.5) AS BIGINT), i) AS rn
+        |      FROM f)
+        |SELECT event_type, day AS last_day_before_split, i AS days_before,
+        |  n - i AS days_after,
+        |  floor(CAST(cx AS DOUBLE) / CAST(i AS DOUBLE) / 100 * 1e4 + 0.5) / 1e4
+        |    AS mean_before,
+        |  floor(CAST(tx - cx AS DOUBLE) / CAST(n - i AS DOUBLE) / 100 * 1e4 + 0.5)
+        |    / 1e4 AS mean_after,
+        |  floor((1.0 - CAST(cost_q AS DOUBLE)
+        |    / (CAST(txx AS DOUBLE) - CAST(txd AS DOUBLE) * CAST(txd AS DOUBLE)
+        |       / CAST(n AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS sse_reduction
+        |FROM q WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // Lorenz: micro-grid per-user revenue, global ntile, ppm shares.
+    "lorenz_curve" ->
+      """WITH u AS (SELECT user_id,
+        |        CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+        |      FROM events GROUP BY 1),
+        |d AS (SELECT *, ntile(10) OVER (ORDER BY rev, user_id) AS decile FROM u),
+        |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |        CAST(SUM(rev) AS BIGINT) AS rev_q FROM d GROUP BY 1),
+        |t AS (SELECT *, CAST(SUM(rev_q) OVER () AS BIGINT) AS total,
+        |        CAST(SUM(rev_q) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum_q
+        |      FROM g)
+        |SELECT decile, n_users, (rev_q * 1000000) // total AS share_ppm,
+        |  (cum_q * 1000000) // total AS cum_share_ppm
+        |FROM t ORDER BY decile""".stripMargin,
+
     // Return-time: the sessionize CTEs verbatim, one per-user lag on
     // the session frame, exact-integer percentile, hours at 4dp.
     "return_time" ->

@@ -408,4 +408,18 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(out((2L, 2)) == ((3L, 0.57735)), "1/sqrt(3) on the 6-dp grid")
     assert(out((3L, 1)) == ((2L, 0.57735)))
   }
+
+  test("lorenz curve: linear revenue ramp gives exact triangular shares") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2026-01-01 10:00:00")
+    val events = (1 to 10).map(u => (u.toLong, ts, u.toDouble))
+      .toDF("user_id", "ts", "value")
+    val out = graft.operators.Behavior.lorenzCurveOf(events).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == (1 to 10).toSet)
+    assert(out(1) == ((1L, 18181L, 18181L)), "poorest decile: 1/55")
+    assert(out(10)._2 == 181818L, "richest decile: 10/55")
+    assert(out(10)._3 == 1000000L, "cumulative closes at 100%")
+  }
 }

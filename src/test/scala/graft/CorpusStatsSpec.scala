@@ -528,4 +528,15 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 4L, 5L, 6L), s"frontier: $ids")
   }
+
+  test("heaps curve: each decile reports the vocabulary its prefix introduced") {
+    // Docs 0-9: one shared token + one fresh token each.
+    val docs = (0 until 10).map(i => (i.toLong, s"shared tok$i", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.CorpusStats.heapsCurveOf(docs).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out(10) == 2L, s"doc 0 alone: shared + tok0: $out")
+    assert(out(50) == 6L, "five docs: shared + five fresh")
+    assert(out(100) == 11L)
+  }
 }

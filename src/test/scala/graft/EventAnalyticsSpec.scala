@@ -522,4 +522,29 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(1) == 3L, s"three sessions started: $r")
     assert(r.getLong(2) == 2L, s"u1 and u2 overlap at 10:30: $r")
   }
+
+  test("binary segmentation: a planted level shift splits exactly at the boundary") {
+    import java.sql.Timestamp
+    // Days 1-5 at total 10/day, days 6-10 at 100/day.
+    val events = (1 to 10).map { d =>
+      ("click", Timestamp.valueOf(f"2026-01-$d%02d 10:00:00"),
+        if (d <= 5) 10.0 else 100.0)
+    }
+    val r = graft.operators.EventAnalytics
+      .binarySegmentationOf(events.toDF("event_type", "ts", "value"))
+      .collect().head
+    assert(r.getDate(1).toString == "2026-01-05", s"split after day 5: $r")
+    assert(r.getLong(2) == 5L && r.getLong(3) == 5L)
+    assert(r.getDouble(4) == 10.0 && r.getDouble(5) == 100.0)
+    assert(r.getDouble(6) == 1.0, "a clean step explains all variance")
+  }
+
+  test("binary segmentation: fewer than three days emits nothing") {
+    import java.sql.Timestamp
+    val events = Seq(("view", Timestamp.valueOf("2026-01-01 10:00:00"), 1.0),
+      ("view", Timestamp.valueOf("2026-01-02 10:00:00"), 2.0))
+      .toDF("event_type", "ts", "value")
+    assert(graft.operators.EventAnalytics.binarySegmentationOf(events)
+      .collect().isEmpty)
+  }
 }
