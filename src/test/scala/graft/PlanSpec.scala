@@ -774,4 +774,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(rc.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 3,
       s"only the per-k 1-row count crosses:\n$rc")
   }
+
+  test("round-10 fifth wave: rec/cadence/sweep/curve plans bounded as designed") {
+    // Join-free map+window+aggregate pipelines.
+    for (df <- Seq[DataFrame](
+      EventAnalytics.returnTime(spark, Sf),
+      EventAnalytics.peakConcurrency(spark, Sf),
+      EventAnalytics.binarySegmentation(spark, Sf),
+      Behavior.lorenzCurve(spark, Sf))) {
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"no join of any kind:\n$p")
+    }
+    // item_cosine: user-keyed equijoins only (the affinity shape).
+    val ic = plan(Behavior.itemCosine(spark, Sf))
+    assert(ic.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      ic.collect { case j: CartesianProductExec => j }.isEmpty)
+    assert(ic.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
+      "rank <= k must rewrite to WindowGroupLimit")
+    // heaps_curve: the 1-row bounds + 10-row threshold crosses only.
+    val hc = plan(CorpusStats.heapsCurve(spark, Sf))
+    assert(hc.collect { case j: CartesianProductExec => j }.isEmpty)
+    assert(hc.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 2,
+      s"only the bounds/threshold crosses:\n$hc")
+  }
 }
