@@ -427,8 +427,13 @@ object Behavior {
       .withColumn("cum_q", sum("rev_q").over(Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("decile"), col("n_users"),
-        expr("(rev_q * 1000000) div total").as("share_ppm"),
-        expr("(cum_q * 1000000) div total").as("cum_share_ppm"))
+        // decimal(38,0), not int64: decile micro-revenue × 1e6
+        // overflows 2⁶³ at the ×100 rehearsal scale (caught there as
+        // a SparkArithmeticException; DuckDB side rides HUGEINT)
+        expr("CAST((CAST(rev_q AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)")
+          .as("share_ppm"),
+        expr("CAST((CAST(cum_q AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)")
+          .as("cum_share_ppm"))
       .orderBy("decile")
   }
 

@@ -685,8 +685,11 @@ private[graft] object EventOracles {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |          AS cum_q
         |      FROM g)
-        |SELECT decile, n_users, (rev_q * 1000000) // total AS share_ppm,
-        |  (cum_q * 1000000) // total AS cum_share_ppm
+        |SELECT decile, n_users,
+        |  CAST((CAST(rev_q AS HUGEINT) * 1000000) // total AS BIGINT)
+        |    AS share_ppm,
+        |  CAST((CAST(cum_q AS HUGEINT) * 1000000) // total AS BIGINT)
+        |    AS cum_share_ppm
         |FROM t ORDER BY decile""".stripMargin,
 
     // Return-time: the sessionize CTEs verbatim, one per-user lag on
