@@ -317,7 +317,11 @@ object SparkEntry {
     // concentration curve, vocabulary growth (SURVEY §2 rows 254-256)
     "binary_segmentation" -> (EventAnalytics.binarySegmentation(_, _)),
     "lorenz_curve"      -> (Behavior.lorenzCurve(_, _)),
-    "heaps_curve"       -> (CorpusStats.heapsCurve(_, _))
+    "heaps_curve"       -> (CorpusStats.heapsCurve(_, _)),
+    // Round-10 eleventh tranche: sequence-model backtest + int8
+    // retrieval fidelity (SURVEY §2 rows 257-258)
+    "markov_accuracy"   -> (Behavior.markovAccuracy(_, _)),
+    "quantize_recall"   -> (Similarity.quantizeRecall(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

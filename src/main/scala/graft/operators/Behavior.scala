@@ -232,6 +232,59 @@ object Behavior {
   def eventTransitions(spark: SparkSession, dir: String): DataFrame =
     eventTransitionsOf(Tables.events(spark, dir))
 
+  /** Markov next-event prediction backtest — does yesterday's
+    * transition matrix actually predict tomorrow's behavior, the
+    * out-of-sample test [[eventTransitionsOf]] (row 85) never runs:
+    * train the argmax next-type rule per current type on the
+    * pre-split period (ties → lexicographically smallest, the
+    * deterministic convention), score it on POST-split consecutive
+    * pairs (both events after the split), against the
+    * always-predict-the-global-top-type baseline — a Markov model
+    * that can't beat the marginal isn't a model. Accuracy in exact
+    * ppm; every test pair's source type is covered by construction
+    * (the type vocabulary is closed).
+    *
+    * Shape: two user-keyed lag windows (train and test periods share
+    * the partitioning), bounded |types|² matrices, 1-row broadcasts
+    * for the baseline and the fold. */
+  def markovAccuracyOf(events: DataFrame,
+                       splitDay: String = "2024-01-16"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      (col("ts") < lit(splitDay).cast("timestamp")).as("in_train"))
+    def pairsOf(side: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      e.filter(side(col("in_train")))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+    val trainCounts = pairsOf(identity)
+      .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // rule + baseline read it
+    val rule = trainCounts
+      .withColumn("rn", row_number().over(Window.partitionBy("prev_type")
+        .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("prev_type"), col("event_type").as("predicted"))
+    val top = trainCounts.groupBy("event_type").agg(sum("n").as("n"))
+      .orderBy(col("n").desc, col("event_type")).limit(1)
+      .select(col("event_type").as("global_top"))
+    pairsOf(c => !c)
+      .join(broadcast(rule), "prev_type") // |types| rows
+      .crossJoin(broadcast(top))          // 1 row
+      .agg(count(lit(1)).as("n_test_pairs"),
+        sum(when(col("event_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(when(col("event_type") === col("global_top"), 1L).otherwise(0L))
+          .as("n_baseline"))
+      .select(col("n_test_pairs"), col("n_correct"),
+        expr("(n_correct * 1000000) div n_test_pairs").as("accuracy_ppm"),
+        expr("(n_baseline * 1000000) div n_test_pairs").as("baseline_ppm"),
+        (col("n_correct") > col("n_baseline")).as("beats_marginal"))
+  }
+
+  def markovAccuracy(spark: SparkSession, dir: String): DataFrame =
+    markovAccuracyOf(Tables.events(spark, dir))
+
   /** χ² contingency table for event-type × time-of-week association
     * (the EDA pass behind "does behavior depend on the day"). The
     * time-of-week bucket is PURE ARITHMETIC — `pmod(days-since-epoch,

@@ -819,4 +819,54 @@ object Similarity {
 
   def semDecontaminate(spark: SparkSession, dir: String): DataFrame =
     semDecontaminateOf(Tables.embeddings(spark, dir))
+
+  /** Int8 quantization fidelity as retrieval recall — the eval
+    * [[embedQuantizeOf]] never runs: per query, overlap@k between the
+    * exact float top-k and the top-k computed against the
+    * INT8-RECONSTRUCTED corpus (x → round(x·127/maxabs)·maxabs/127,
+    * the values an int8 index actually serves) — the number that
+    * decides whether 4× memory compression costs retrieval quality
+    * (cf. [[annRecallOf]] for the IVF analog). Same determinism
+    * contract as every retrieval eval here: 6-dp-rounded cosines
+    * before ranking, n_id tiebreak; the reconstruction arithmetic is
+    * two IEEE ops per component, engine-identical.
+    *
+    * Shape: both sides are the [[knnTopk]] broadcast-query scan (the
+    * corpus never shuffles); the overlap join runs on two
+    * (queries × k)-bounded frames. */
+  def quantizeRecallOf(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .localCheckpoint(false) // queries + both corpus sides read it
+    val recon = emb
+      .select(col("vec_id"),
+        array_max(transform(col("emb"), x => abs(x))).as("maxabs"), col("emb"))
+      .select(col("vec_id"),
+        when(col("maxabs") > 0, transform(col("emb"),
+          x => round(x * (lit(127.0) / col("maxabs")))
+            * (col("maxabs") / lit(127.0))))
+          .otherwise(col("emb")).as("remb"))
+    val q = broadcast(emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb")))
+    def topk(corpus: DataFrame, embCol: String) = {
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+      q.join(corpus, col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(VectorF.cosineSim(col("q_emb"), col(embCol)), 6).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"))
+    }
+    val exact = topk(emb.select(col("vec_id").as("n_id"), col("emb")), "emb")
+    val int8 = topk(recon.select(col("vec_id").as("n_id"), col("remb")), "remb")
+    exact.join(int8, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        expr(s"(n_overlap * 1000000) div $k").as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
+  def quantizeRecall(spark: SparkSession, dir: String): DataFrame =
+    quantizeRecallOf(Tables.embeddings(spark, dir))
 }

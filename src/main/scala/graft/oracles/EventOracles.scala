@@ -629,6 +629,40 @@ private[graft] object EventOracles {
         |    AS hazard
         |FROM r ORDER BY duration""".stripMargin,
 
+    // Markov backtest: argmax rule from pre-split pairs (smallest-type
+    // tie), scored on post-split pairs vs the global-top baseline.
+    "markov_accuracy" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |        (ts < TIMESTAMP '2024-01-16') AS in_train
+        |      FROM events),
+        |trp AS (SELECT prev_type, event_type FROM (
+        |        SELECT event_type, lag(event_type) OVER
+        |          (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |        FROM e WHERE in_train) WHERE prev_type IS NOT NULL),
+        |tc AS (SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM trp GROUP BY 1, 2),
+        |rule AS (SELECT prev_type, event_type AS predicted FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY prev_type
+        |          ORDER BY n DESC, event_type) AS rn FROM tc) WHERE rn = 1),
+        |top AS (SELECT event_type AS global_top FROM (
+        |        SELECT event_type, SUM(n) AS n FROM tc GROUP BY 1
+        |        ORDER BY SUM(n) DESC, event_type LIMIT 1)),
+        |tep AS (SELECT prev_type, event_type FROM (
+        |        SELECT event_type, lag(event_type) OVER
+        |          (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |        FROM e WHERE NOT in_train) WHERE prev_type IS NOT NULL)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_test_pairs,
+        |  CAST(SUM(CASE WHEN tep.event_type = rule.predicted
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  (CAST(SUM(CASE WHEN tep.event_type = rule.predicted THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS accuracy_ppm,
+        |  (CAST(SUM(CASE WHEN tep.event_type = top.global_top THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS baseline_ppm,
+        |  CAST(SUM(CASE WHEN tep.event_type = rule.predicted THEN 1 ELSE 0 END)
+        |    AS BIGINT) > CAST(SUM(CASE WHEN tep.event_type = top.global_top
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS beats_marginal
+        |FROM tep JOIN rule USING (prev_type), top""".stripMargin,
+
     // Binary segmentation: integer cumsums (squares on the dollar
     // grid), per-candidate IEEE cost, quantized argmin, earliest tie.
     "binary_segmentation" ->

@@ -105,6 +105,38 @@ private[graft] object SimilarityOracles {
         |         FROM s2) WHERE rn = 1)
         |SELECT vec_id, cluster, cs AS sim FROM a2 ORDER BY vec_id""".stripMargin,
 
+    // Int8 fidelity: reconstruction arithmetic mirrored exactly
+    // (round(x*127/maxabs)*maxabs/127), 6-dp cosines before ranks.
+    "quantize_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |rc AS (SELECT vec_id,
+        |        list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS maxabs,
+        |        emb
+        |      FROM e),
+        |r AS (SELECT vec_id,
+        |        CASE WHEN maxabs > 0 THEN
+        |          list_transform(emb, x -> round(x * (127.0 / maxabs))
+        |            * (maxabs / 127.0))
+        |        ELSE emb END AS remb
+        |      FROM rc),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),
+        |sx AS (SELECT q_id, e.vec_id AS n_id,
+        |        ROUND(list_cosine_similarity(q_emb, e.emb), 6) AS score
+        |      FROM q, e WHERE q_id <> e.vec_id),
+        |tx AS (SELECT q_id, n_id FROM (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn FROM sx)
+        |      WHERE rn <= 10),
+        |si AS (SELECT q_id, r.vec_id AS n_id,
+        |        ROUND(list_cosine_similarity(q_emb, r.remb), 6) AS score
+        |      FROM q, r WHERE q_id <> r.vec_id),
+        |ti AS (SELECT q_id, n_id FROM (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn FROM si)
+        |      WHERE rn <= 10)
+        |SELECT tx.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        |  (CAST(COUNT(*) AS BIGINT) * 1000000) // 10 AS recall_ppm
+        |FROM tx JOIN ti ON tx.q_id = ti.q_id AND tx.n_id = ti.n_id
+        |GROUP BY tx.q_id ORDER BY tx.q_id""".stripMargin,
+
     // Topic labels: the kmeans a2 assignment CTEs verbatim + token
     // explode + term_keyness's add-one ratio, top-3 per cluster.
     "cluster_topics" ->

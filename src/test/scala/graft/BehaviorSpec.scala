@@ -422,4 +422,21 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(out(10)._2 == 181818L, "richest decile: 10/55")
     assert(out(10)._3 == 1000000L, "cumulative closes at 100%")
   }
+
+  test("markov accuracy: a deterministic chain scores 100% and beats the marginal") {
+    import java.sql.Timestamp
+    // Train (Jan 1-15): strict A->B->A... chains for 3 users; test
+    // (Jan 20): the same alternation. Rule: A predicts B, B predicts A.
+    def ev(u: Long, day: Int, sec: Int, t: String) =
+      (u, t, Timestamp.valueOf(f"2024-01-$day%02d 10:00:$sec%02d"), 1L + sec)
+    val rows = (1 to 3).flatMap { u =>
+      (0 until 6).map(i => ev(u, 2, i, if (i % 2 == 0) "A" else "B")) ++
+        (0 until 4).map(i => ev(u, 20, i, if (i % 2 == 0) "A" else "B"))
+    }.zipWithIndex.map { case ((u, t, ts, _), i) => (i.toLong, u, t, ts) }
+    val events = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val r = graft.operators.Behavior.markovAccuracyOf(events).collect().head
+    assert(r.getLong(0) == 9L, s"3 users x 3 test pairs: $r")
+    assert(r.getLong(2) == 1000000L, "the chain is perfectly predictable")
+    assert(r.getBoolean(4), "and the marginal cannot match it")
+  }
 }

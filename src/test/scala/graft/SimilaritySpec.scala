@@ -413,4 +413,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) == ((0.707107, true)), ">= is inclusive at the threshold")
     assert(!out(4L)._2, s"anti-correlated must not flag, got ${out(4L)}")
   }
+
+  test("quantize recall: exactly-representable vectors rank identically at 100%") {
+    // Components are multiples of maxabs/127, so round(x*127/maxabs)
+    // reconstructs bit-exactly and both rankings coincide.
+    val emb = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(4)(d =>
+        (((i + d) % 5) - 2).toFloat * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.quantizeRecallOf(emb, k = 3)
+      .collect()
+    assert(out.length == 8, "one row per query")
+    assert(out.forall(_.getLong(2) == 1000000L),
+      s"lossless reconstruction keeps every neighbor: ${out.toSeq}")
+  }
 }
