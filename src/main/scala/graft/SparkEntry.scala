@@ -321,7 +321,11 @@ object SparkEntry {
     // Round-10 eleventh tranche: sequence-model backtest + int8
     // retrieval fidelity (SURVEY §2 rows 257-258)
     "markov_accuracy"   -> (Behavior.markovAccuracy(_, _)),
-    "quantize_recall"   -> (Similarity.quantizeRecall(_, _))
+    "quantize_recall"   -> (Similarity.quantizeRecall(_, _)),
+    // Round-10 twelfth tranche: one-pass threshold sweeps (SURVEY §2
+    // rows 259-260)
+    "session_sweep"     -> (EventAnalytics.sessionSweep(_, _)),
+    "watermark_loss"    -> (EventAnalytics.watermarkLoss(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

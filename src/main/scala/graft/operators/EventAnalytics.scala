@@ -1086,4 +1086,87 @@ object EventAnalytics {
 
   def binarySegmentation(spark: SparkSession, dir: String): DataFrame =
     binarySegmentationOf(Tables.events(spark, dir))
+
+  /** Gap-threshold sensitivity sweep for sessionization: session
+    * counts and mean size at gap ∈ {5, 15, 30, 60} minutes — the knee
+    * read that justifies (or indicts) row 46's 30-minute convention:
+    * if 15 and 60 minutes give nearly the same session count, the
+    * choice doesn't matter; if counts swing, the analysis riding on
+    * "sessions" is really riding on an arbitrary constant. ONE pass
+    * computes every threshold: sessions(g) = users + Σ 1[gap > g]
+    * over adjacent same-user gaps, so the sweep is one lag window and
+    * four conditional sums — not one sessionize per threshold.
+    * All int64; mean events/session by one division, 4 dp.
+    *
+    * Shape: one user-keyed lag window (the only fact-scale shuffle)
+    * + a 1-row fold reshaped to |thresholds| rows. */
+  def sessionSweepOf(events: DataFrame,
+                     gapsMinutes: Seq[Int] = Seq(5, 15, 30, 60)): DataFrame = {
+    require(gapsMinutes.nonEmpty && gapsMinutes.forall(_ > 0),
+      s"positive gap minutes required: $gapsMinutes")
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+    val folded = gaps.agg(
+      (count(lit(1)) - sum(when(col("gap").isNull, 0L).otherwise(1L)))
+        .as("n_users"),
+      count(lit(1)).as("n_events"),
+      expr(s"named_struct(${gapsMinutes.map(g =>
+        s"'g$g', sum(if(gap > ${g.toLong * 60000000L}L, 1L, 0L))")
+        .mkString(", ")})").as("splits"))
+    folded.selectExpr("n_users", "n_events",
+      s"stack(${gapsMinutes.length}, " + gapsMinutes.map(g =>
+        s"$g, n_users + splits.g$g").mkString(", ") +
+        ") AS (gap_minutes, n_sessions)")
+      .select(col("gap_minutes"), col("n_sessions"),
+        graft.functions.TextF.round4HalfUp(col("n_events").cast("double")
+          / col("n_sessions").cast("double")).as("mean_events_per_session"))
+      .orderBy("gap_minutes")
+  }
+
+  def sessionSweep(spark: SparkSession, dir: String): DataFrame =
+    sessionSweepOf(Tables.events(spark, dir))
+
+  /** Watermark-loss trade-off curve: for allowed lateness w ∈ {1, 5,
+    * 30, 120} minutes, the exact count (and ppm) of events a
+    * watermark of w would DROP — an event is lost iff it arrives
+    * after the high-water mark has advanced more than w past its
+    * event time (arrival order = event_id, the [[disorderAuditOf]]
+    * proxy). The curve turns row 243's max-jump scalar into the
+    * actual loss-vs-latency menu a streaming deployment chooses from
+    * (2 hours of state for zero loss, or 1 minute for 0.3%?). ONE
+    * running-max window pass computes every threshold as conditional
+    * sums.
+    *
+    * Shape: one arrival-ordered window per type (type-keyed, the §4
+    * skew note) + a bounded fold reshaped to |thresholds| rows. */
+  def watermarkLossOf(events: DataFrame,
+                      lateMinutes: Seq[Int] = Seq(1, 5, 30, 120)): DataFrame = {
+    require(lateMinutes.nonEmpty && lateMinutes.forall(_ > 0),
+      s"positive lateness minutes required: $lateMinutes")
+    val byArrival = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lagged = events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("hwm", max("us").over(byArrival))
+      .withColumn("late_us",
+        when(col("hwm").isNotNull && col("hwm") > col("us"),
+          col("hwm") - col("us")).otherwise(0L))
+    val folded = lagged.agg(count(lit(1)).as("n_events"),
+      expr(s"named_struct(${lateMinutes.map(m =>
+        s"'m$m', sum(if(late_us > ${m.toLong * 60000000L}L, 1L, 0L))")
+        .mkString(", ")})").as("drops"))
+    folded.selectExpr("n_events",
+      s"stack(${lateMinutes.length}, " + lateMinutes.map(m =>
+        s"$m, drops.m$m").mkString(", ") +
+        ") AS (watermark_minutes, n_dropped)")
+      .select(col("watermark_minutes"), col("n_events"), col("n_dropped"),
+        expr("(n_dropped * 1000000) div n_events").as("dropped_ppm"))
+      .orderBy("watermark_minutes")
+  }
+
+  def watermarkLoss(spark: SparkSession, dir: String): DataFrame =
+    watermarkLossOf(Tables.events(spark, dir))
 }

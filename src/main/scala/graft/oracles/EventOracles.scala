@@ -629,6 +629,51 @@ private[graft] object EventOracles {
         |    AS hazard
         |FROM r ORDER BY duration""".stripMargin,
 
+    // Session sweep: one lag pass, per-threshold conditional sums.
+    "session_sweep" ->
+      """WITH g AS (SELECT us - lag(us) OVER
+        |        (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |      FROM (SELECT user_id, epoch_us(ts) AS us, event_id FROM events)),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT)
+        |          - CAST(SUM(CASE WHEN gap IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |          AS n_users,
+        |        CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        CAST(SUM(CASE WHEN gap > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS g5,
+        |        CAST(SUM(CASE WHEN gap > 900000000 THEN 1 ELSE 0 END) AS BIGINT) AS g15,
+        |        CAST(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS g30,
+        |        CAST(SUM(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS g60
+        |      FROM g),
+        |u AS (SELECT 5 AS gap_minutes, n_users + g5 AS n_sessions, n_events FROM f
+        |  UNION ALL SELECT 15, n_users + g15, n_events FROM f
+        |  UNION ALL SELECT 30, n_users + g30, n_events FROM f
+        |  UNION ALL SELECT 60, n_users + g60, n_events FROM f)
+        |SELECT gap_minutes, n_sessions,
+        |  floor(CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS mean_events_per_session
+        |FROM u ORDER BY gap_minutes""".stripMargin,
+
+    // Watermark loss: one running-max pass, per-threshold sums.
+    "watermark_loss" ->
+      """WITH l AS (SELECT us,
+        |        max(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |      FROM (SELECT event_type, event_id, epoch_us(ts) AS us FROM events)),
+        |d AS (SELECT CASE WHEN hwm IS NOT NULL AND hwm > us THEN hwm - us
+        |        ELSE 0 END AS late_us FROM l),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |        CAST(SUM(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS m5,
+        |        CAST(SUM(CASE WHEN late_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS m30,
+        |        CAST(SUM(CASE WHEN late_us > 7200000000 THEN 1 ELSE 0 END) AS BIGINT) AS m120
+        |      FROM d),
+        |u AS (SELECT 1 AS watermark_minutes, n_events, m1 AS n_dropped FROM f
+        |  UNION ALL SELECT 5, n_events, m5 FROM f
+        |  UNION ALL SELECT 30, n_events, m30 FROM f
+        |  UNION ALL SELECT 120, n_events, m120 FROM f)
+        |SELECT watermark_minutes, n_events, n_dropped,
+        |  (n_dropped * 1000000) // n_events AS dropped_ppm
+        |FROM u ORDER BY watermark_minutes""".stripMargin,
+
     // Markov backtest: argmax rule from pre-split pairs (smallest-type
     // tie), scored on post-split pairs vs the global-top baseline.
     "markov_accuracy" ->

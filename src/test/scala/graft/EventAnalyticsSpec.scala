@@ -547,4 +547,38 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(graft.operators.EventAnalytics.binarySegmentationOf(events)
       .collect().isEmpty)
   }
+
+  test("session sweep: matches a real sessionize run at each threshold") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(s"2026-01-01 $t")
+    val events = Seq(
+      (1L, 1L, ts("10:00:00")), (2L, 1L, ts("10:10:00")), // 10-min gap
+      (3L, 1L, ts("10:50:00")),                            // 40-min gap
+      (4L, 2L, ts("12:00:00")), (5L, 2L, ts("12:02:00")))  // 2-min gap
+      .toDF("event_id", "user_id", "ts")
+    val sweep = graft.operators.EventAnalytics.sessionSweepOf(events)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    for (g <- Seq(5, 15, 30, 60)) {
+      val direct = graft.operators.EventAnalytics
+        .sessionizeOf(events, gapMinutes = g).count()
+      assert(sweep(g) == direct,
+        s"one-pass sweep must equal sessionize at $g min: ${sweep(g)} vs $direct")
+    }
+    assert(sweep(5) == 4L && sweep(60) == 2L, s"knee visible: $sweep")
+  }
+
+  test("watermark loss: each lateness threshold drops exactly the too-late events") {
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(s"2026-01-01 $t")
+    // Arrival order: 10:00, 11:00, then stragglers 3 min and 40 min
+    // behind the 11:00 high-water mark.
+    val events = Seq((1L, "click", ts("10:00:00")), (2L, "click", ts("11:00:00")),
+      (3L, "click", ts("10:57:00")), (4L, "click", ts("10:20:00")))
+      .toDF("event_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.watermarkLossOf(events)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1) == ((2L, 500000L)), s"1-min watermark loses both stragglers: $out")
+    assert(out(5) == ((1L, 250000L)), "5-min keeps the 3-min-late event")
+    assert(out(30) == ((1L, 250000L)) && out(120) == ((0L, 0L)))
+  }
 }
