@@ -799,4 +799,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(hc.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 2,
       s"only the bounds/threshold crosses:\n$hc")
   }
+
+  test("round-10 sixth wave: backtests and sweeps stay bounded") {
+    // One-pass sweeps and the KS-style folds: no joins at all.
+    for (df <- Seq[DataFrame](
+      EventAnalytics.sessionSweep(spark, Sf),
+      EventAnalytics.watermarkLoss(spark, Sf))) {
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"one window pass + fold only:\n$p")
+    }
+    // markov: |types|-row rule broadcast + 1-row baseline cross.
+    val ma = plan(Behavior.markovAccuracy(spark, Sf))
+    assert(ma.collect { case j: CartesianProductExec => j }.isEmpty)
+    assert(ma.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"only the 1-row global-top cross:\n$ma")
+    // quantize_recall: two knn-shaped bounded query broadcasts.
+    val qr = plan(Similarity.quantizeRecall(spark, Sf))
+    assert(qr.collect { case j: CartesianProductExec => j }.isEmpty)
+    assert(qr.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 2,
+      s"one bounded query BNLJ per side:\n$qr")
+    assert(qr.collect { case w: WindowGroupLimitExec => w }.nonEmpty)
+  }
 }
