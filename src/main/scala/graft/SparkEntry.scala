@@ -247,6 +247,7 @@ object SparkEntry {
     // Round-10: CCNet-style normalized exact dedup (SURVEY row 15's
     // normalization-hardened sibling)
     "dedup_normalized"  -> (Dedup.dedupNormalized(_, _)),
+    "dup_inflation"     -> (Dedup.dupInflation(_, _)),
     // Round-10 widening tranche: graph structure, cluster validity,
     // LSH cost audit, curriculum/drift/burstiness (SURVEY §2 rows
     // 213-219)

@@ -730,4 +730,39 @@ object Dedup {
 
   def exactSubstringSpans(spark: SparkSession, dir: String): DataFrame =
     exactSubstringSpansOf(Tables.documents(spark, dir))
+
+  /** Duplicate token-inflation audit (the dedup-ROI read): per source,
+    * how many tokens the corpus carries vs how many survive exact
+    * dedup — `inflation` = total/unique tokens is the average copy
+    * count a training run would see per unique token, the number that
+    * prices a dedup pass before anyone runs one (the cross-SOURCE
+    * overlap twin is `dup_matrix`; this is the within-source scalar).
+    *
+    * Scale shape: one partial aggregation on (source, md5(text)) —
+    * fixed-width 32-char keys, so map-side combine absorbs the
+    * duplicate mass exactly where it sits — then a K-row source
+    * rollup. Token counts ride the FIRST aggregate (min over equal
+    * values: identical texts tokenize identically), so text is
+    * scanned once and never shuffled. */
+  def dupInflationOf(docs: DataFrame): DataFrame = {
+    val perText = docs
+      .select(col("source"), md5(col("text")).as("h"),
+        TextF.tokenCount(col("text")).cast("long").as("tok"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("cnt"), min("tok").as("tok"))
+    perText.groupBy("source")
+      .agg(sum("cnt").as("docs"),
+        count(lit(1)).as("distinct_texts"),
+        sum(col("cnt") * col("tok")).as("total_tokens"),
+        sum((col("cnt") - lit(1L)) * col("tok")).as("dup_tokens"))
+      .select(col("source"), col("docs"), col("distinct_texts"),
+        col("total_tokens"), col("dup_tokens"),
+        TextF.round4HalfUp(col("total_tokens").cast("double")
+          / (col("total_tokens") - col("dup_tokens")).cast("double"))
+          .as("inflation"))
+      .orderBy("source")
+  }
+
+  def dupInflation(spark: SparkSession, dir: String): DataFrame =
+    dupInflationOf(Tables.documents(spark, dir))
 }

@@ -472,4 +472,26 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out("2_jaccard") == ((3L, 1L, 2L)))
     assert(out("3_total") == ((4L, 2L, 2L)))
   }
+
+  test("dupInflation prices planted duplicate mass per source") {
+    import spark.implicits._
+    val docs = Seq(
+      // srcA: "one two three" (3 tok) ×3 + "four five" (2 tok) ×1
+      (1L, "one two three", "srcA"),
+      (2L, "one two three", "srcA"),
+      (3L, "one two three", "srcA"),
+      (4L, "four five", "srcA"),
+      // srcB: all unique, 2 tok each
+      (5L, "six seven", "srcB"),
+      (6L, "eight nine", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val rows = Dedup.dupInflationOf(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // srcA: 11 tokens total, 5 unique-text tokens, 6 duplicated → 2.2×
+    assert(rows("srcA") == ((4L, 2L, 11L, 6L, 2.2)), s"got ${rows("srcA")}")
+    // srcB: no duplicates → inflation exactly 1.0
+    assert(rows("srcB") == ((2L, 2L, 4L, 0L, 1.0)), s"got ${rows("srcB")}")
+  }
 }

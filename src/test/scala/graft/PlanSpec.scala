@@ -822,4 +822,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"one bounded query BNLJ per side:\n$qr")
     assert(qr.collect { case w: WindowGroupLimitExec => w }.nonEmpty)
   }
+
+  test("dupInflation: two aggregates, join- and window-free, text never shuffled") {
+    val p = plan(Dedup.dupInflation(spark, Sf))
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      p.collect { case j: CartesianProductExec => j }.isEmpty &&
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty,
+      s"pure aggregation pipeline:\n$p")
+    // The duplicate mass dies in the map-side partial of the first
+    // aggregate: every exchange carries only fixed-width agg keys.
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.forall(e => !e.child.schema.fieldNames.contains("text")),
+      s"text must be absorbed before any exchange:\n$p")
+  }
 }
