@@ -248,6 +248,7 @@ object SparkEntry {
     // normalization-hardened sibling)
     "dedup_normalized"  -> (Dedup.dedupNormalized(_, _)),
     "dup_inflation"     -> (Dedup.dupInflation(_, _)),
+    "banding_sweep"     -> (Dedup.bandingSweep(_, _)),
     // Round-10 widening tranche: graph structure, cluster validity,
     // LSH cost audit, curriculum/drift/burstiness (SURVEY §2 rows
     // 213-219)

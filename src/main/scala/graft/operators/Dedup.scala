@@ -765,4 +765,54 @@ object Dedup {
 
   def dupInflation(spark: SparkSession, dir: String): DataFrame =
     dupInflationOf(Tables.documents(spark, dir))
+
+  /** Banding-parameter sweep: the LSH knob curve behind rows 16/217
+    * measured in ONE pass. Every (bands, rowsPerBand) factorization of
+    * the 64-hash signature trades recall for candidate cost — the
+    * S-curve 1−(1−t^r)^b says HOW, this measures it on the actual
+    * corpus: per config, multi-occupied buckets, candidate pairs
+    * (Σ C(bucket,2)), and docs flagged into any bucket. More bands ⇒
+    * shorter band hashes ⇒ more collisions ⇒ cost grows as bands rise
+    * (the spec pins that monotonicity; exact twins collide under EVERY
+    * config because equal signatures slice equal).
+    *
+    * Scale shape: the signature pass runs ONCE — all four bandings
+    * concat into a single explode (a unioned per-config scan would
+    * re-run MinHash 4×: no cross-branch CSE) — then one window on the
+    * (config, band, hash) bucket key and a 4-row config rollup. Pair
+    * mass is counted, never enumerated: Σ(cnt−1) over member rows =
+    * 2·Σ C(cnt,2), so no self-join exists at any config. */
+  val SweepConfigs: Seq[(Int, Int)] = Seq(32 -> 2, 16 -> 4, 8 -> 8, 4 -> 16)
+
+  def bandingSweepOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = docs
+      .select(col("doc_id"), shingleHashes(col("text")).as("hashes"))
+      .select(col("doc_id"), minhashSignature(col("hashes")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val allBands = SweepConfigs.map { case (b, r) =>
+      transform(sequence(lit(0), lit(b - 1)), i =>
+        struct(lit(b).as("bands"), lit(r).as("rpb"), i.as("band"),
+          xxhash64(slice(col("sig"), i * r + 1, lit(r))).as("band_hash")))
+    }.reduce(concat(_, _))
+    val member = sigs
+      .select(col("doc_id"), explode(allBands).as("e"))
+      .select(col("e.bands").as("bands"), col("e.rpb").as("rows_per_band"),
+        col("e.band").as("band"), col("e.band_hash").as("band_hash"),
+        col("doc_id"))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy("bands", "band", "band_hash")))
+    member.groupBy("bands", "rows_per_band")
+      .agg(
+        (sum(when(col("cnt") >= 2, col("cnt") - 1).otherwise(0L)) / 2L)
+          .cast("long").as("candidate_pairs"),
+        countDistinct(when(col("cnt") >= 2,
+          struct(col("band"), col("band_hash")))).as("multi_buckets"),
+        countDistinct(when(col("cnt") >= 2, col("doc_id")))
+          .as("flagged_docs"))
+      .orderBy(col("bands").desc)
+  }
+
+  def bandingSweep(spark: SparkSession, dir: String): DataFrame =
+    bandingSweepOf(Tables.documents(spark, dir))
 }

@@ -308,6 +308,23 @@ private[graft] object DedupOracles {
     // verified dump (regenerate the same way if an op's contract
     // deliberately changes). With these, every registered query is
     // value-checked — no rows-only gate remains.
+    // Banding-parameter sweep (same xxhash signature pipeline as
+    // dedup_minhash → pinned frame). Pinned from a verified sf0.01
+    // dump; the monotone cost curve (more bands ⇒ more candidates)
+    // is the machine-checked part, in DedupSpec.
+    "banding_sweep" ->
+      """WITH r(bands, rows_per_band, candidate_pairs, multi_buckets, flagged_docs) AS (VALUES
+        |  (32, 2, 803, 731, 106),
+        |  (16, 4, 365, 335, 47),
+        |  (8, 8, 167, 153, 47),
+        |  (4, 16, 71, 65, 45))
+        |SELECT CAST(bands AS INTEGER) AS bands,
+        |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+        |  CAST(candidate_pairs AS BIGINT) AS candidate_pairs,
+        |  CAST(multi_buckets AS BIGINT) AS multi_buckets,
+        |  CAST(flagged_docs AS BIGINT) AS flagged_docs
+        |FROM r ORDER BY bands DESC""".stripMargin,
+
     // MinHash+LSH banding clusters (xxhash pipeline, fully deterministic).
     "dedup_minhash" ->
       """WITH r(doc_id, cluster_id) AS (VALUES

@@ -494,4 +494,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // srcB: no duplicates → inflation exactly 1.0
     assert(rows("srcB") == ((2L, 2L, 4L, 0L, 1.0)), s"got ${rows("srcB")}")
   }
+
+  test("bandingSweep: twins collide at every config, cost monotone in bands") {
+    val docs = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog every single day",
+      2L -> "the quick brown fox jumps over the lazy dog every single day",
+      3L -> "pack my box with five dozen liquor jugs before noon arrives",
+      4L -> "sphinx of black quartz judge my vow now and always forever",
+      5L -> "completely unrelated content about cooking pasta al dente tonight")
+    val rows = Dedup.bandingSweepOf(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(rows.map(_._1).toSeq == Seq(32, 16, 8, 4), s"got ${rows.toSeq}")
+    // identical docs have identical signatures → every slice collides:
+    // at least 1 candidate pair and 2 flagged docs under EVERY config
+    assert(rows.forall { case (_, (_, pairs, buckets, flagged)) =>
+      pairs >= 1L && buckets >= 1L && flagged >= 2L }, s"got ${rows.toSeq}")
+    // candidate cost never increases as bands shrink (rows lengthen)
+    val pairsByBandsDesc = rows.map(_._2._2).toSeq
+    assert(pairsByBandsDesc.zip(pairsByBandsDesc.tail).forall { case (a, b) => a >= b },
+      s"pairs must be monotone in bands: $pairsByBandsDesc")
+  }
 }

@@ -839,4 +839,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges.forall(e => !e.child.schema.fieldNames.contains("text")),
       s"text must be absorbed before any exchange:\n$p")
   }
+
+  test("bandingSweep: pair mass is counted, never enumerated — no join, one sig pass") {
+    val p = plan(Dedup.bandingSweep(spark, Sf))
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      p.collect { case j: CartesianProductExec => j }.isEmpty &&
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty &&
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.isEmpty,
+      s"window + rollup only — a join would mean enumeration:\n$p")
+    // all four configs ride ONE MinHash signature pass: one doc scan
+    assert(p.collect { case s: FileSourceScanExec => s }.length == 1,
+      s"a per-config union would re-scan and re-sign 4x:\n$p")
+  }
 }
