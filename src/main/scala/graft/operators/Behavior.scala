@@ -461,19 +461,22 @@ object Behavior {
     * isn't). Shares in exact ppm by integer division on micro-grid
     * revenue; decile assignment via ntile on the per-user frame.
     *
-    * Shape: one user-keyed aggregate at fact scale; the ntile is a
-    * GLOBAL window on the per-user frame — [[Corpus.curriculumOrder]]'s
-    * honest cost with the same documented two-phase decomposition
-    * (users ≪ events, and decile boundaries are order statistics a
-    * range-partitioned sort computes identically). */
+    * Shape: one user-keyed aggregate at fact scale; the decile
+    * assignment runs the two-phase global-rank decomposition
+    * ([[graft.Scale.twoPhaseRank]] on the per-user frame + the
+    * arithmetic ntile of [[graft.Scale.ntileFromRank]]) so no
+    * user-scale window is single-partition; the only remaining
+    * global windows (grand total + cumulative share) ride the
+    * 10-row decile frame. */
   def lorenzCurveOf(events: DataFrame): DataFrame = {
     val perUser = events
       .select(col("user_id"),
         floor(col("value") * 1e6 + lit(0.5)).cast("long").as("qv"))
       .groupBy("user_id").agg(sum("qv").as("rev"))
-    perUser
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("rev"), col("user_id"))))
+    val (ranked, total) = graft.Scale.twoPhaseRank(perUser, col("rev"),
+      Seq(col("rev"), col("user_id")))
+    ranked
+      .withColumn("decile", graft.Scale.ntileFromRank("__rank", 10, total))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum("rev").as("rev_q"))
       .withColumn("total", sum("rev_q").over(Window.partitionBy()))

@@ -857,24 +857,29 @@ object Corpus {
     * A curriculum run feeds batch 0, 1, 2… — so the (tier, batch_id)
     * columns ARE the schedule; the quality column survives for audit.
     *
-    * Shape: rank + ntile share one global window (a single-reducer
-    * sort over (quality, md5, id) triples — the full row never rides
-    * the shuffle). At 100 TB the same schedule comes from the
-    * two-phase form — per-range counts broadcast as offsets, rank =
-    * offset + local row_number — the standard global-rank
-    * decomposition; the triple stream here is small enough that the
-    * single window wins on plan simplicity. Everything downstream is
-    * per-row arithmetic. */
+    * Shape: the global rank runs the two-phase decomposition
+    * ([[graft.Scale.twoPhaseRank]] — quality-range buckets from a
+    * map-side sketch, per-bucket counts to a bounded offset literal,
+    * rank = offset + bucket-local row_number), so NO single-partition
+    * window exists in the plan at any scale; ntile(4) derives from
+    * the same rank arithmetically ([[graft.Scale.ntileFromRank]],
+    * bit-identical to the window function). Only the narrow
+    * (id, quality, tie) triple rides the decomposition — it is
+    * materialized once (localCheckpoint inside the helper) so the
+    * regex-heavy quality score computes one time, not three.
+    * Everything downstream is per-row arithmetic. */
   def curriculumOrderOf(docs: DataFrame, batchSize: Int = 64): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
-    val byCurriculum = Window.orderBy(col("quality").desc,
-      col("tie"), col("doc_id"))
-    docs
+    val triples = docs
       .select(col("doc_id"),
         TextF.qualityScore(col("text"), TextAnalysis.Stopwords).as("quality"),
         md5(col("doc_id").cast("string")).as("tie"))
-      .withColumn("rank", row_number().over(byCurriculum).cast("long") - 1L)
-      .withColumn("tier", ntile(4).over(byCurriculum))
+    // keyAsc = -quality: an ascending proxy of the DESC leading key.
+    val (ranked, total) = graft.Scale.twoPhaseRank(triples, -col("quality"),
+      Seq(col("quality").desc, col("tie"), col("doc_id")))
+    ranked
+      .withColumn("rank", col("__rank") - 1L)
+      .withColumn("tier", graft.Scale.ntileFromRank("__rank", 4, total))
       .select(col("doc_id"), col("quality"), col("rank"), col("tier"),
         expr(s"rank div $batchSize").as("batch_id"))
       .orderBy("rank")

@@ -779,17 +779,19 @@ object EventAnalytics {
     * interpolates on exact operands ([[Report.earningsPercentiles]]'s
     * single-buffer move), seconds render by one division each, 4 dp.
     *
-    * Shape: one per-type sort window (the only fact-scale shuffle,
-    * keyed by the bounded type vocabulary — a skew-prone partitioning
-    * at extreme scale; the §4 salting pattern applies if one type
-    * dominates) then a map-combinable bounded aggregate. */
+    * Shape: the per-type lag runs the boundary-carry decomposition
+    * ([[graft.Scale.boundaryCarryLag]]: time-range sub-buckets within
+    * each type, local lag per (type, bucket), each bucket's last
+    * timestamp carried to the next through a bounded broadcast) — so
+    * parallelism is types × buckets, not the 5-value type vocabulary,
+    * and a dominant type at 100 TB no longer funnels through one
+    * task. Then a map-combinable bounded aggregate. */
   def interarrivalPercentilesOf(events: DataFrame): DataFrame = {
-    val byType = Window.partitionBy("event_type")
-      .orderBy(col("us"), col("event_id"))
-    events
-      .select(col("event_type"), unix_micros(col("ts")).as("us"),
-        col("event_id"))
-      .withColumn("gap", col("us") - lag("us", 1).over(byType))
+    graft.Scale.boundaryCarryLag(
+        events.select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id")),
+        "event_type", col("us"), Seq(col("us"), col("event_id")), col("us"))
+      .withColumn("gap", col("us") - col("__prev"))
       .filter(col("gap").isNotNull)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_gaps"),
@@ -878,14 +880,16 @@ object EventAnalytics {
     * integer division; adjacent-pair disorder (not full inversion
     * count, which is Θ(n²) information for no added sizing value).
     *
-    * Shape: one type-keyed sort window (the only fact-scale shuffle)
-    * + a map-combinable fold per type. */
+    * Shape: the per-type arrival-order lag runs the boundary-carry
+    * decomposition ([[graft.Scale.boundaryCarryLag]] on event_id
+    * ranges within type — parallelism types × buckets, not the
+    * 5-value type vocabulary) + a map-combinable fold per type. */
   def disorderAuditOf(events: DataFrame): DataFrame = {
-    val byArrival = Window.partitionBy("event_type").orderBy("event_id")
-    events
-      .select(col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("us"))
-      .withColumn("prev_us", lag("us", 1).over(byArrival))
+    graft.Scale.boundaryCarryLag(
+        events.select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us")),
+        "event_type", col("event_id"), Seq(col("event_id")), col("us"))
+      .withColumnRenamed("__prev", "prev_us")
       .filter(col("prev_us").isNotNull)
       .select(col("event_type"),
         when(col("us") < col("prev_us"), 1L).otherwise(0L).as("bk"),
@@ -981,11 +985,14 @@ object EventAnalytics {
     * same-instant handoffs don't double-count: ends sort before
     * starts), and the running sum's per-day maximum is the day's
     * peak. The sweep runs on the SESSION frame (events ÷ session
-    * length), totally ordered by (µs, delta, user, session) — a
-    * GLOBAL window, the honest [[Corpus.curriculumOrder]] cost, with
-    * the same documented 100 TB decomposition (range-partition by
-    * time + carry boundary sums — concurrency is a prefix sum, so
-    * per-range offsets add). Days are attributed by marker time;
+    * length), totally ordered by (µs, delta, user, session), as the
+    * two-phase prefix sum ([[graft.Scale.twoPhaseRunningSum]]:
+    * time-range buckets from a map-side sketch, per-bucket delta
+    * totals to a bounded offset literal, running = offset + local
+    * running sum — concurrency is a prefix sum, so per-range offsets
+    * add) — no single-partition window at any scale, and the narrow
+    * marker frame materializes once so sessionize's shuffle doesn't
+    * recompute per pass. Days are attributed by marker time;
     * sessions spanning midnight contribute to both days' sweeps via
     * their markers (start day gains, end day releases) — the standard
     * continuous-sweep convention.
@@ -1000,11 +1007,10 @@ object EventAnalytics {
           .as("m"))
       .select(col("user_id"), col("session_idx"),
         col("m.us").as("us"), col("m.delta").as("delta"))
-    val sweep = Window.orderBy(col("us"), col("delta"), col("user_id"),
-      col("session_idx"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    markers
-      .withColumn("running", sum("delta").over(sweep))
+    graft.Scale.twoPhaseRunningSum(markers, col("us"),
+        Seq(col("us"), col("delta"), col("user_id"), col("session_idx")),
+        col("delta"))
+      .withColumnRenamed("__running", "running")
       .groupBy(timestamp_micros(col("us")).cast("date").as("day"))
       .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L))
         .as("n_sessions_started"),

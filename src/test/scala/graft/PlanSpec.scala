@@ -650,21 +650,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"only bounded centroid crosses:\n$ps")
   }
 
-  test("curriculumOrder reads two columns and sorts the global window once") {
+  test("curriculumOrder ranks on ONE bucket-partitioned window over the narrow triple") {
     val p = plan(Corpus.curriculumOrder(spark, Sf))
-    val scans = p.collect { case s: FileSourceScanExec => s }
-    assert(scans.map(_.requiredSchema.fieldNames.toSet) ==
-      Seq(Set("doc_id", "text")), s"doc_id+text-only scan:\n$p")
-    // rank + ntile share ONE Window operator (same spec → one sort, one
-    // exchange when the scan is multi-partition; the sf0.001 single
-    // file already satisfies the distribution, so pin the operator
-    // count, not the exchange)
+    // The doc scan (doc_id+text pruning) lives inside the helper's
+    // one-time localCheckpoint materialization; the final plan reads
+    // the narrow (doc_id, quality, tie) triples from that
+    // materialization — no re-scan, no re-derived quality regex.
+    assert(p.collect { case s: FileSourceScanExec => s }.isEmpty,
+      s"final plan must read the checkpointed triples, not re-scan:\n$p")
+    // rank is the only window function left (ntile derives from rank
+    // arithmetically) and it partitions by the range bucket.
     val windows = p.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(windows.length == 1 &&
-      windows.head.windowExpression.length == 2,
-      s"rank and ntile must share ONE window operator:\n$p")
+      windows.head.windowExpression.length == 1 &&
+      windows.head.partitionSpec.exists(_.toString.contains("__bkt")),
+      s"one __bkt-partitioned rank window:\n$p")
   }
 
   test("round-10 second wave: stats/graph/training plans stay equijoin + bounded-cross") {
@@ -854,5 +856,67 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // all four configs ride ONE MinHash signature pass: one doc scan
     assert(p.collect { case s: FileSourceScanExec => s }.length == 1,
       s"a per-config union would re-scan and re-sign 4x:\n$p")
+  }
+
+  test("two-phase decomposition: no fact-scale single-partition window remains") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    def windows(p: SparkPlan) = p.collect { case w: WindowExec => w }
+    def groupsOnBkt(p: SparkPlan): Boolean = p.collectFirst {
+      case a: HashAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("__bkt")) => a
+      case a: ObjectHashAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("__bkt")) => a
+      case a: SortAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("__bkt")) => a
+    }.nonEmpty
+
+    // Global rank / running sum (round-10 verdict's three global
+    // windows): every window partitions by the range bucket — ZERO
+    // empty-partitionSpec windows on the fact/user-scale side.
+    val co = plan(Corpus.curriculumOrder(spark, Sf))
+    assert(windows(co).forall(_.partitionSpec.nonEmpty),
+      s"curriculum_order must have no single-partition window:\n$co")
+    assert(windows(co).exists(_.partitionSpec.exists(_.toString.contains("__bkt"))),
+      s"rank must ride the __bkt-partitioned local window:\n$co")
+
+    val pc = plan(EventAnalytics.peakConcurrency(spark, Sf))
+    assert(windows(pc).forall(_.partitionSpec.nonEmpty),
+      s"peak_concurrency sweep must have no single-partition window:\n$pc")
+    assert(windows(pc).exists(_.partitionSpec.exists(_.toString.contains("__bkt"))),
+      s"running sum must ride the __bkt-partitioned local window:\n$pc")
+
+    // lorenz: the user-scale rank is __bkt-partitioned; the only
+    // global windows left (grand total + cumulative share) sit ABOVE
+    // the 10-row decile aggregate — bounded by construction.
+    val lz = plan(Behavior.lorenzCurve(spark, Sf))
+    assert(windows(lz).exists(_.partitionSpec.exists(_.toString.contains("__bkt"))),
+      s"user-scale ntile must decompose through __bkt:\n$lz")
+    windows(lz).filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst {
+        case a: HashAggregateExec
+          if a.groupingExpressions.exists(_.toString.contains("decile")) => a
+      }.nonEmpty,
+        s"global windows may only ride the bounded decile frame:\n$lz")
+    }
+
+    // Type-keyed lags (parallelism = the 5-value type vocabulary):
+    // the fact-scale lag partitions by (type, __bkt); any window
+    // partitioned WITHOUT __bkt must sit above the bounded
+    // (type, __bkt) aggregate (the boundary-carry frame).
+    for ((name, df) <- Seq(
+      "disorder_audit" -> EventAnalytics.disorderAudit(spark, Sf),
+      "interarrival_percentiles" ->
+        EventAnalytics.interarrivalPercentiles(spark, Sf))) {
+      val p = plan(df)
+      assert(windows(p).forall(_.partitionSpec.nonEmpty),
+        s"$name: no single-partition window:\n$p")
+      assert(windows(p).exists(_.partitionSpec.exists(_.toString.contains("__bkt"))),
+        s"$name: the lag must partition by (type, __bkt):\n$p")
+      windows(p)
+        .filter(!_.partitionSpec.exists(_.toString.contains("__bkt")))
+        .foreach { w => assert(groupsOnBkt(w.child),
+          s"$name: a type-only window must ride the bounded carry frame:\n$p") }
+    }
   }
 }

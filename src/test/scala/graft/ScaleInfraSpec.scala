@@ -66,4 +66,86 @@ class ScaleInfraSpec extends AnyFunSuite with SparkFixture {
     assert(got("hot") == ((750.0, 500L)))
     assert(got("cold") == ((5.0, 2L)))
   }
+
+  // md5-scrambled values: adversarial for range bucketing (no natural
+  // order), heavy ties (mod 17) to exercise the ties-share-a-bucket
+  // invariant, plus a desc leading key via negation.
+  private def scrambled(n: Int) = (1 to n)
+    .map(i => (i.toLong, (i * 2654435761L % 17) / 2.0,
+      f"u${i * 7919 % n}%05d"))
+    .toDF("id", "v", "u")
+
+  test("twoPhaseRank equals the single-partition window rank, ties and all") {
+    import org.apache.spark.sql.expressions.Window
+    val df = scrambled(3000)
+    val expect = df.withColumn("r",
+      row_number().over(Window.orderBy(col("v").desc, col("u"), col("id"))))
+      .select("id", "r").as[(Long, Int)].collect().toMap
+    val (ranked, total) = Scale.twoPhaseRank(df, -col("v"),
+      Seq(col("v").desc, col("u"), col("id")), buckets = 16)
+    val got = ranked.select(col("id"), col("__rank")).as[(Long, Long)]
+      .collect().toMap
+    assert(total == 3000L)
+    assert(got.size == 3000 && got.forall { case (id, r) => expect(id) == r })
+  }
+
+  test("ntileFromRank reproduces Spark's ntile bit-for-bit across remainders") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 3, 4, 5, 17, 40, 1000); tiles <- Seq(4, 10)) {
+      val df = (1L to n.toLong).toDF("rk")
+      val viaWindow = df
+        .withColumn("t", ntile(tiles).over(Window.orderBy("rk")))
+        .select("rk", "t").as[(Long, Int)].collect().toMap
+      val viaFormula = df
+        .withColumn("t", Scale.ntileFromRank("rk", tiles, n.toLong))
+        .select("rk", "t").as[(Long, Int)].collect().toMap
+      assert(viaFormula == viaWindow, s"n=$n tiles=$tiles")
+    }
+  }
+
+  test("twoPhaseRunningSum equals the single-partition running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val df = scrambled(2000).withColumn("delta",
+      when(col("id") % 2 === 0, 1L).otherwise(-1L))
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("rs", sum("delta").over(w))
+      .select("id", "rs").as[(Long, Long)].collect().toMap
+    val got = Scale.twoPhaseRunningSum(df, col("v"),
+        Seq(col("v"), col("id")), col("delta"), buckets = 16)
+      .select(col("id"), col("__running")).as[(Long, Long)].collect().toMap
+    assert(got.size == 2000 && got.forall { case (id, s) => expect(id) == s })
+  }
+
+  test("boundaryCarryLag equals the plain partitioned lag, including part firsts") {
+    import org.apache.spark.sql.expressions.Window
+    val df = scrambled(2000)
+      .withColumn("part", (col("id") % 3).cast("string"))
+    val w = Window.partitionBy("part").orderBy(col("v"), col("id"))
+    val expect = df.withColumn("p", lag(col("id"), 1).over(w))
+      .select("id", "p").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val got = Scale.boundaryCarryLag(df, "part", col("v"),
+        Seq(col("v"), col("id")), col("id"), buckets = 16)
+      .select(col("id"), col("__prev")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got.size == 2000 && got.forall { case (id, p) => expect(id) == p })
+  }
+
+  test("two-phase helpers survive empty and constant-key inputs") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val (er, en) = Scale.twoPhaseRank(empty, col("v"), Seq(col("v"), col("id")))
+    assert(en == 0L && er.collect().isEmpty)
+    assert(Scale.twoPhaseRunningSum(empty, col("v"), Seq(col("v"), col("id")),
+      col("id")).collect().isEmpty)
+    // constant key: one bucket (degenerate but correct — the caller's
+    // documented salting escape applies when this happens at scale)
+    val const = (1L to 50L).map(i => (i, 1.0)).toDF("id", "v")
+    val (cr, cn) = Scale.twoPhaseRank(const, col("v"), Seq(col("v"), col("id")))
+    assert(cn == 50L)
+    assert(cr.select(col("id"), col("__rank")).as[(Long, Long)].collect()
+      .forall { case (id, r) => r == id })
+  }
 }
