@@ -83,7 +83,9 @@ object WavCodec {
           if (audioFormat != 1 || bits != 16 ||
             channels <= 0 || sampleRate <= 0) return None
           fmt = Some((sampleRate, channels.toInt))
-          buf.position(p0 + size + (size & 1)) // skip extensions + pad
+          // skip extensions + pad; clamp so a truncated file (pad
+          // byte absent at EOF) returns None instead of throwing
+          buf.position(math.min(buf.limit(), p0 + size + (size & 1)))
         case "data" =>
           if (size % 2 != 0) return None
           val n = size / 2
@@ -92,8 +94,8 @@ object WavCodec {
           while (i < n) { s(i) = buf.getShort; i += 1 }
           data = Some(s)
           if ((size & 1) == 1 && buf.remaining() > 0) buf.get
-        case _ =>
-          buf.position(buf.position() + size + (size & 1)) // skip chunk
+        case _ => // skip chunk (clamped: truncated pad must not throw)
+          buf.position(math.min(buf.limit(), buf.position() + size + (size & 1)))
       }
     }
     for {

@@ -458,7 +458,12 @@ object Robust {
       .withColumn("na", sum("ca_bin").over(byType))
       .withColumn("nb", sum("cb_bin").over(byType))
       .filter(col("na") > 0 && col("nb") > 0)
-      .withColumn("dq", abs(col("ca") * col("nb") - col("cb") * col("na")))
+      // DECIMAL(38,0): ca*nb is bounded by na*nb, which crosses int64
+      // once both sides reach ~3e9 rows for one type — below the
+      // 100 TB target. Two int64 products fit 38 digits with room
+      // (8.5e37 < 1e38), the corr_matrix/lorenz_curve convention.
+      .withColumn("dq", abs(col("ca").cast("decimal(38,0)") * col("nb")
+        - col("cb").cast("decimal(38,0)") * col("na")))
       .groupBy("event_type", "na", "nb")
       .agg(max("dq").as("dmax"))
       .select(col("event_type"), col("na"), col("nb"),

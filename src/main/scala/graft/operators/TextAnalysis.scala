@@ -298,8 +298,12 @@ object TextAnalysis {
     val cjk = "[一-鿿぀-ヿ]"
     val latin = "[A-Za-zÀ-ɏ]"
     val cyr = "[Ѐ-ӿ]"
+    // BIGINT before the ×1e6: length() is INT, and a doc with >~2147
+    // matched chars would overflow int32 (ANSI throw) — the oracle
+    // computes the same expression in BIGINT, so widen to match.
     def ppm(re: String) =
-      expr(s"((length(text) - length(regexp_replace(text, '$re', ''))) " +
+      expr(s"((CAST(length(text) AS BIGINT) " +
+        s"- length(regexp_replace(text, '$re', ''))) " +
         "* 1000000) div length(text)")
     docs
       .filter(length(col("text")) > 0)

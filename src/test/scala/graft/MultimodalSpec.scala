@@ -165,6 +165,30 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(WavCodec.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("wav codec: odd-size chunk whose pad byte is truncated returns None, not a throw") {
+    import graft.functions.WavCodec
+    // An odd-size unknown chunk ending EXACTLY at the buffer end: the
+    // pad byte the spec promises is absent (truncated file). The
+    // clamped skip must land on the limit and fall out of the walk
+    // (None: no fmt/data ever seen), never IllegalArgumentException.
+    val hdr = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII")
+    val oddChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 1, 2, 3) // declared 3, no pad byte follows
+    assert(WavCodec.decodeWav(hdr ++ oddChunk).isEmpty)
+    // Same shape on a truncated-pad fmt chunk: a VALID PCM16 fmt with
+    // odd size 17 (1 extension byte) whose payload ends at EOF — the
+    // fmt parses fine, the clamped pad-skip lands on the limit, and
+    // the missing data chunk yields None, not a position() throw.
+    val fmtBody = java.nio.ByteBuffer.allocate(17)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16).put(0.toByte).array()
+    val oddFmt = "fmt ".getBytes("US-ASCII") ++
+      Array[Byte](17, 0, 0, 0) ++ fmtBody
+    assert(WavCodec.decodeWav(hdr ++ oddFmt).isEmpty)
+  }
+
   test("wav codec: features on a square wave are exact") {
     import graft.functions.WavCodec
     // +A -A +A -A at 4 samples/s: duration 1 s, rms = peak = A,
