@@ -80,6 +80,7 @@ object SparkEntry {
     "train_split"       -> (Corpus.trainSplit(_, _)),
     "kmeans_embed"      -> (Cluster.kmeansEmbed(_, _)),
     "dedup_components"  -> (Components.dedupComponents(_, _)),
+    "dedup_components_cascade" -> (Components.dedupComponentsCascade(_, _)),
     "mix_sources"       -> (Corpus.mixSources(_, _)),
     // rows-only: sketch internals are engine-specific (cf. #37 HLL)
     "earnings_percentiles_approx" -> (Report.earningsPercentilesApprox(_, _)),

@@ -506,32 +506,66 @@ object Behavior {
     *
     * Shape: the distinct item catalog is CATALOG-bounded and
     * broadcasts; user × catalog expands only ‖users‖·‖catalog‖ before
-    * the per-user top-k window prunes to k. At a 10⁶-item catalog the
-    * expansion step hash-samples candidates FIRST (filter
-    * md5(user:item) below a threshold sized to ~10·k expected
-    * survivors — the SAME key that ranks, so the sample IS the rank
-    * prefix in expectation); the bounded test catalog keeps the exact
-    * path. */
-  def negativeSamplesOf(events: DataFrame, k: Int = 5): DataFrame = {
+    * the per-user top-k window prunes to k. Above
+    * `prefilterCatalogMin` items the expansion hash-samples
+    * candidates FIRST: filter md5(user:item) below a threshold sized
+    * to `oversample`·k expected survivors per user — the SAME key
+    * that ranks, so for any user with ≥ k surviving candidates the
+    * sample provably CONTAINS the exact top-k (everything kept is
+    * below the threshold, everything dropped above it); the rare
+    * user left short re-draws on the exact path, so the two paths
+    * return IDENTICAL rows (draw-equivalence,
+    * BehaviorSpec-pinned). The filter rides the broadcast
+    * nested-loop's join condition (nothing materializes), and the
+    * downstream anti-join + rank window shuffle ~oversample·k rows
+    * per user instead of ‖catalog‖. The bounded test catalog keeps
+    * the exact path. */
+  def negativeSamplesOf(events: DataFrame, k: Int = 5,
+                        prefilterCatalogMin: Long = 200000L,
+                        oversample: Int = 10): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(oversample > 0, s"oversample must be positive, got $oversample")
     val interactions = events.select(col("user_id"),
       coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
         .as("item"))
       .distinct()
-      .localCheckpoint(false) // two consumers: catalog + the anti-join
+      .localCheckpoint(false) // consumers: catalog + anti-join (×2 paths)
     val catalog = interactions.select(col("item")).distinct()
     val users = interactions.select(col("user_id")).distinct()
-    val candidates = users.crossJoin(broadcast(catalog))
-      .join(interactions, Seq("user_id", "item"), "left_anti")
+    val hCol = md5(concat(col("user_id").cast("string"), lit(":"),
+      col("item").cast("string")))
     val byUser = Window.partitionBy("user_id").orderBy(col("h"), col("item"))
-    candidates
-      .withColumn("h",
-        md5(concat(col("user_id").cast("string"), lit(":"),
-          col("item").cast("string"))))
+    def topK(cand: DataFrame): DataFrame = cand
       .withColumn("rank", row_number().over(byUser))
       .filter(col("rank") <= k)
       .select(col("user_id"), col("item"), col("rank"))
-      .orderBy("user_id", "rank")
+    def exactCandidates(us: DataFrame): DataFrame = us
+      .crossJoin(broadcast(catalog))
+      .withColumn("h", hCol)
+      .join(interactions, Seq("user_id", "item"), "left_anti")
+    val catalogSize = catalog.count() // 1-row action, catalog-bounded
+    val out =
+      if (catalogSize <= prefilterCatalogMin) topK(exactCandidates(users))
+      else {
+        // Threshold on the first 8 hex chars of the ranking hash:
+        // keep h/2³² < oversample·k/‖catalog‖ (expected survivors per
+        // user = oversample·k).
+        val t = math.round(math.min(1.0,
+          oversample.toDouble * k / catalogSize) * 4294967296.0)
+        val cand = users.crossJoin(broadcast(catalog))
+          .withColumn("h", hCol)
+          .filter(conv(substring(col("h"), 1, 8), 16, 10).cast("long") < t)
+          .join(interactions, Seq("user_id", "item"), "left_anti")
+          .localCheckpoint(false) // counted (fallback gate) + ranked
+        val enough = cand.groupBy("user_id").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= k).select("user_id")
+        // Users with < k sampled survivors (incl. zero) re-draw exact:
+        // the union is therefore bit-identical to the exact path.
+        val short = users.join(enough, Seq("user_id"), "left_anti")
+        topK(cand.join(enough, Seq("user_id")))
+          .unionByName(topK(exactCandidates(short)))
+      }
+    out.orderBy("user_id", "rank")
   }
 
   def negativeSamples(spark: SparkSession, dir: String): DataFrame =

@@ -132,6 +132,43 @@ object Components {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     dedupComponentsOf(Tables.documents(spark, dir))
 
+  /** The PRODUCTION closure path ([[Dedup.dedupCascadeOf]]'s ordering,
+    * surfaced as the per-doc assignment): collapse byte-identical
+    * docs first (exact sha256 keep-first), run banded pair-gen +
+    * min-label closure on the SURVIVORS only, then propagate each
+    * removed twin to its keeper's component. Output is IDENTICAL to
+    * [[dedupComponentsOf]] on the full corpus — byte-identical docs
+    * have identical shingle sets (same neighbors, Jaccard 1 to their
+    * keeper) and each keeper is its exact-group's min id, so the
+    * full-closure min label equals the survivor-closure label — but
+    * the pair mass drops from Θ(Σ full-cluster²) to
+    * Θ(Σ distinct-text-cluster²): the exact twins that made the raw
+    * closure's pair join quadratic at the ×1000 rehearsal never reach
+    * the banded join. This is the path a 100 TB run registers;
+    * the raw [[dedupComponentsOf]] stays as the verification twin.
+    *
+    * Shape: one content-hash aggregate (map-combinable) + one doc_id
+    * equi-join picks survivors; the closure runs on the collapsed
+    * corpus; one (h)-equi-join + one (keep_id)-equi-join fan the
+    * labels back out. Nothing new is all-pairs. */
+  def dedupComponentsCascadeOf(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .localCheckpoint(false) // keeper set + member fan-out share it
+    val keep = hashed.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val survivors = docs.join(
+      keep.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+    val comp = dedupComponentsOf(survivors, threshold)
+      .select(col("doc_id").as("keep_id"), col("component"))
+    hashed.join(keep, Seq("h"))
+      .join(comp, Seq("keep_id"))
+      .select(col("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  def dedupComponentsCascade(spark: SparkSession, dir: String): DataFrame =
+    dedupComponentsCascadeOf(Tables.documents(spark, dir))
+
   /** Duplicate-cluster size distribution over [[dedupComponentsOf]]'s
     * closure: how many components exist at each size, and how many
     * documents (and removable duplicates) they carry — the power-law

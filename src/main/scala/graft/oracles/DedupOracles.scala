@@ -79,6 +79,24 @@ private[graft] object DedupOracles {
         |SELECT node AS doc_id, MIN(lbl) AS component FROM r
         |GROUP BY node ORDER BY doc_id""".stripMargin,
 
+    // The cascade path must produce the IDENTICAL assignment (exact
+    // twins share their keeper's neighbors and each keeper is its
+    // exact-group's min id), so its oracle IS the full closure.
+    "dedup_components_cascade" ->
+      s"""WITH RECURSIVE $ShingleSetsCte,
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) >= 0.5),
+        |e AS (SELECT a_id AS a, b_id AS b FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |r AS (
+        |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT e.a AS node, r.lbl FROM e JOIN r ON r.node = e.b)
+        |SELECT node AS doc_id, MIN(lbl) AS component FROM r
+        |GROUP BY node ORDER BY doc_id""".stripMargin,
+
     // Same recursive closure as dedup_components, folded to the size
     // histogram.
     "component_size_dist" ->

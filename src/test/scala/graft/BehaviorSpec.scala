@@ -247,6 +247,32 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(out.toSeq == again.toSeq, "hash-keyed draws are reproducible")
   }
+
+  test("negative samples: hash pre-filter path draws the EXACT same negatives") {
+    import spark.implicits._
+    // 400-item catalog across 20 users, each with a few interactions.
+    val ev = (for {
+      u <- 1L to 20L
+      item <- Seq(u % 400, (u * 7) % 400, (u * 13) % 400)
+    } yield (u, item)) ++ (1L to 400L).map(i => (9999L, i % 400))
+    val df = ev.zipWithIndex.map { case ((u, item), i) =>
+      (i.toLong, u, s"""{"k": $item}""") }
+      .toDF("event_id", "user_id", "props")
+    val exact = Behavior.negativeSamplesOf(df, k = 5,
+        prefilterCatalogMin = Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // Force the pre-filter on (min=1) with a LOW oversample so the
+    // short-user exact fallback engages for some users too — the
+    // equality then covers both branches of the union.
+    for (os <- Seq(1, 2, 10)) {
+      val sampled = Behavior.negativeSamplesOf(df, k = 5,
+          prefilterCatalogMin = 1L, oversample = os).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(sampled == exact, s"oversample=$os diverged from the exact draw")
+    }
+    // user 9999 saw the whole catalog: no negatives exist for them
+    assert(!exact.exists(_._1 == 9999L))
+  }
   test("ab test: arms partition users, conversion counts the report day, degenerate z is NULL") {
     import spark.implicits._
     import java.sql.Timestamp

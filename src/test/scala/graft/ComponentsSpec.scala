@@ -57,6 +57,29 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("cascade closure equals the raw closure on a corpus with exact twins") {
+    // Exact twins everywhere the propagation logic could slip: a twin
+    // of the chain's MIN-id member (5 copies doc 1), a twin of an
+    // interior member, a twin of a singleton, and twins whose ids
+    // interleave other clusters' ids.
+    val a = "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    val b = "x1 x2 x3 x4 x5 x6 x7 x8 x9 y1 y2 y3 y4 y5 y6 y7 y8 y9"
+    val c = "y1 y2 y3 y4 y5 y6 y7 y8 y9"
+    val docs = Seq(
+      1L -> a, 2L -> b, 3L -> c, 4L -> "totally different text here",
+      5L -> a, 6L -> a, 7L -> c, 8L -> "totally different text here",
+      9L -> a, 10L -> "another lonely string").toDF("doc_id", "text")
+    val raw = Components.dedupComponentsOf(docs, 0.4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cascade = Components.dedupComponentsCascadeOf(docs, 0.4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cascade == raw, s"cascade $cascade vs raw $raw")
+    // and the expected shape: one big near-dup cluster + the exact
+    // pair of 'different text' docs + the singleton.
+    assert(raw == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L,
+      7L -> 1L, 9L -> 1L, 4L -> 4L, 8L -> 4L, 10L -> 10L))
+  }
+
   test("pickRepresentatives keeps the best-quality member, ties to the lowest id") {
     import spark.implicits._
     val components = Seq(

@@ -830,4 +830,60 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(got.contains((2L, "2026-01-01 10:05:00.0", 1L)))
     } finally query.stop()
   }
+
+  test("StreamingConcurrency: closed-day peaks equal the batch sweep, carry across midnight") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // Two days of events incl. a midnight-spanning session (user 1)
+    // and overlapping day-2 sessions — the carry and the exclusive-end
+    // tie rule both matter.
+    val events = Seq(
+      (1L, "2026-01-01 23:40:00"), (1L, "2026-01-01 23:55:00"),
+      (1L, "2026-01-02 00:10:00"), // spans midnight: open at 00:00
+      (2L, "2026-01-01 10:00:00"), (2L, "2026-01-01 10:20:00"),
+      (3L, "2026-01-01 10:10:00"),
+      (2L, "2026-01-02 00:05:00"), (3L, "2026-01-02 00:05:00"),
+      (4L, "2026-01-02 09:00:00"))
+      .zipWithIndex.map { case ((u, s), i) => (i.toLong, u, t(s)) }
+      .toDF("event_id", "user_id", "ts")
+    val batch = graft.operators.EventAnalytics.peakConcurrencyOf(events)
+      .collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+
+    val sessions = graft.operators.EventAnalytics.sessionizeOf(events)
+      .select(col("user_id"), timestamp_micros(col("start_us")).as("start_ts"),
+        timestamp_micros(col("end_us")).as("end_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+
+    val input = MemoryStream[(Long, Timestamp, Timestamp)]
+    val stream = input.toDF().toDF("user_id", "start_ts", "end_ts")
+    val query = graft.streaming.StreamingConcurrency.dayPeaks(stream)
+      .writeStream.format("memory").queryName("conc_test")
+      .outputMode("append").start()
+    try {
+      input.addData(sessions.toIndexedSeq: _*)
+      query.processAllAvailable()
+      // The in-batch watermark (max end 09:00 − 30 min = day-2 08:30)
+      // already certifies day 1's midnight, and ONLY day 1's.
+      val early = spark.table("conc_test").collect()
+        .map(_.getDate(0).toString).toSet
+      assert(early == Set("2026-01-01"),
+        s"day 1 closes on the first watermark advance, day 2 stays open: $early")
+      // A far-future dummy session certifies both real days closed.
+      input.addData((9L, t("2026-01-10 00:00:00"), t("2026-01-10 00:05:00")))
+      query.processAllAvailable()
+      val streamed = spark.table("conc_test").collect()
+        .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed.keySet == Set("2026-01-01", "2026-01-02"),
+        s"both real days close, the dummy day stays open: $streamed")
+      streamed.foreach { case (day, got) =>
+        assert(got == batch(day), s"$day: streamed $got vs batch ${batch(day)}")
+      }
+      // The midnight carry is the whole point: day 2 peaks at 3
+      // concurrent (user 1's midnight-spanning session still open
+      // while users 2 and 3 fire at the same instant), which a
+      // carry-free per-day sweep would under-report.
+      assert(streamed("2026-01-02")._2 == 3L)
+    } finally query.stop()
+  }
 }
