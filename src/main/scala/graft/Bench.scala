@@ -83,6 +83,32 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shuffles = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Previous committed record (same sf only): the baseline for the
+    // end-of-run isolation re-time pass. Round 10 showed 1.3-1.6x
+    // full-suite drift on code-untouched queries that vanished when
+    // re-timed on an idle JVM (run-order cache/JIT noise) — so any
+    // query landing >1.3x its previous committed number re-times
+    // AFTER the suite and the re-time ships in bench_full.json's
+    // "isolated" map, separating real regressions from noise without
+    // a manual workflow. Read BEFORE this run overwrites the file.
+    val prevRecord: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      else {
+        val qs = txt.indexOf("\"queries\":{")
+        val qe = txt.indexOf("}", qs)
+        txt.substring(qs + "\"queries\":{".length, qe).split(",")
+          .flatMap { kv =>
+            kv.split(":", 2) match {
+              case Array(k, v) =>
+                try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+          }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
     // Optional comma-separated allowlist for local iteration (the
     // round driver never sets it → full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -133,6 +159,32 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
       }
     }
+    // Isolation re-time pass: flagged queries re-run min-of-2 on the
+    // now-idle JVM (everything else finished — the manual §6 noise
+    // workflow, automated). The suite timing stays the committed
+    // number; "isolated" records what the query costs without
+    // run-order neighbors.
+    val isolated = scala.collection.mutable.LinkedHashMap[String, Double]()
+    timings.foreach { case (name, v) =>
+      prevRecord.get(name).filter(p => v > p * 1.3).foreach { p =>
+        try {
+          var best = Double.MaxValue
+          var i = 0
+          while (i < repeat.max(2)) {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+            val s = (System.nanoTime() - t0) / 1e9
+            if (s < best) best = s
+            i += 1
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+          }
+          isolated(name) = best
+          System.err.println(
+            f"BENCHISO $name suite $v%.3f prev $p%.3f isolated $best%.3f")
+        } catch { case _: Throwable => () }
+      }
+    }
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -141,8 +193,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullSh = shuffles.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullIso = isolated.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":$fullQs,"shuffle_bytes":$fullSh,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":$fullQs,"shuffle_bytes":$fullSh,"isolated":$fullIso,"errors":$es,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -159,7 +213,7 @@ object Bench {
         sb.append(piece)
       } else omitted += 1
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeat":$repeat,"queries":{$sb},"queries_omitted":$omitted,"full":"bench_full.json","errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeat":$repeat,"queries":{$sb},"queries_omitted":$omitted,"isolated_n":${isolated.size},"full":"bench_full.json","errors":$es,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
