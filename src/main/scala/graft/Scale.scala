@@ -46,12 +46,14 @@ object Scale {
   // frame through one core. The standard decomposition (the
   // range-partitioned sort every distributed sort already does, made
   // explicit for window semantics):
-  //   1. one map-side sketch pass picks ~equi-depth boundaries of the
-  //      LEADING sort key (fixed-size QuantileSummaries, no shuffle);
-  //   2. every row gets a bucket id by comparing to the boundary
-  //      literals — a pure map; all rows with EQUAL leading keys land
-  //      in the same bucket, so concatenating per-bucket sorted runs
-  //      IS the global order;
+  //   1. `repartitionByRange` on the FULL sort order — the engine's
+  //      own sampled RangePartitioner; partition p holds tuples below
+  //      partition p+1's, and equal tuples never split, so
+  //      concatenating partitions in id order IS the global order;
+  //   2. a localCheckpoint FREEZES that assignment (the sampler draws
+  //      fresh bounds per action — without the freeze the counts pass
+  //      and the rank pass could disagree), and `spark_partition_id`
+  //      over the frozen blocks is the bucket id;
   //   3. per-bucket counts/sums (≤ `buckets` rows) collect to the
   //      driver, prefix-summed into offsets, and re-enter the plan as
   //      an array LITERAL indexed by bucket id — no join, no global
@@ -60,38 +62,29 @@ object Scale {
   //      function over Window.partitionBy(__bkt) — `buckets`-way
   //      parallel instead of 1.
   // Output is IDENTICAL to the single-window form whenever `order` is
-  // a total order (the callers' contract), whatever boundaries the
-  // sketch picks — boundaries only move rows between buckets, never
+  // a total order (the callers' contract), whatever bounds the
+  // sampler picks — bounds only move rows between buckets, never
   // reorder them. The input frame is narrow by contract (project
-  // first); it is localCheckpoint'ed so the sketch, count and rank
-  // passes share one materialization instead of recomputing upstream
-  // regex/shuffle work three times.
+  // first); it is localCheckpoint'ed BEFORE the range exchange so the
+  // sampler and the exchange read one materialization instead of
+  // recomputing upstream regex/shuffle work twice.
+  //
+  // (First cut assigned buckets by folding a quantile-sketch boundary
+  // array per row — functions.aggregate is an interpreted
+  // higher-order function, no codegen, and the ×100 rehearsal priced
+  // it at 10× the whole query. The range exchange is the same work
+  // the engine compiles natively.)
   // ---------------------------------------------------------------
 
   private def defaultBuckets(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt.max(1)
 
-  /** Phases 1–2: add `__sk` (the leading key as double — the cast is
-    * monotone, and bucket membership only needs monotonicity; ties
-    * that collapse in double share a bucket and re-separate in the
-    * local window's exact-typed orderBy) and `__bkt` (count of
-    * boundaries strictly below `__sk`, via one fold over the literal
-    * boundary array). */
-  private def bucketed(df: DataFrame, keyAsc: Column, buckets: Int): DataFrame = {
-    val keyed = df.withColumn("__sk", keyAsc.cast("double"))
-      .localCheckpoint(false) // 3 consumers: sketch, counts, final plan
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds =
-      if (probs.isEmpty) Array.empty[Double]
-      else keyed.stat.approxQuantile("__sk", probs, 0.001).distinct.sorted
-    if (bounds.isEmpty) keyed.withColumn("__bkt", lit(0))
-    else {
-      val arr = array(bounds.map(lit(_)): _*)
-      keyed.withColumn("__bkt",
-        aggregate(arr, lit(0),
-          (acc, b) => acc + when(b < col("__sk"), 1).otherwise(0)))
-    }
-  }
+  /** Phases 1–2: range-partition on `order`, freeze, tag `__bkt`. */
+  private def bucketed(df: DataFrame, order: Seq[Column], buckets: Int): DataFrame =
+    df.localCheckpoint(false) // upstream once: sampler + exchange share it
+      .repartitionByRange(buckets, order: _*)
+      .localCheckpoint(false) // freeze the sampled range assignment
+      .withColumn("__bkt", spark_partition_id())
 
   /** Driver-side prefix sums over the bounded per-bucket frame:
     * offsets(i) = Σ totals over buckets < i, as an array literal
@@ -107,28 +100,27 @@ object Scale {
   }
 
   /** Global dense row_number (1-based, column `__rank`) by the total
-    * order `order`, without a single-partition window. `keyAsc` must
-    * be an ASCENDING proxy of `order`'s leading key (negate for
-    * desc). Returns the ranked frame (input columns + `__rank`) and
-    * the total row count (for [[ntileFromRank]]). */
-  def twoPhaseRank(df: DataFrame, keyAsc: Column, order: Seq[Column],
+    * order `order`, without a single-partition window. Returns the
+    * ranked frame (input columns + `__rank`) and the total row count
+    * (for [[ntileFromRank]]). */
+  def twoPhaseRank(df: DataFrame, order: Seq[Column],
                    buckets: Int = 0): (DataFrame, Long) = {
-    val b = bucketed(df, keyAsc, if (buckets > 0) buckets else defaultBuckets(df))
+    val b = bucketed(df, order, if (buckets > 0) buckets else defaultBuckets(df))
     val counts = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ buckets rows
     val (offArr, total) = offsetsOf(counts)
     val w = Window.partitionBy(col("__bkt")).orderBy(order: _*)
     (b.withColumn("__rank",
         element_at(offArr, col("__bkt") + 1) + row_number().over(w).cast("long"))
-      .drop("__sk", "__bkt"), total)
+      .drop("__bkt"), total)
   }
 
   /** Global running sum of `value` (column `__running`) over the total
     * order `order` — the prefix-sum twin of [[twoPhaseRank]]: offsets
     * carry each bucket's value total instead of its row count. */
-  def twoPhaseRunningSum(df: DataFrame, keyAsc: Column, order: Seq[Column],
+  def twoPhaseRunningSum(df: DataFrame, order: Seq[Column],
                          value: Column, buckets: Int = 0): DataFrame = {
-    val b = bucketed(df, keyAsc, if (buckets > 0) buckets else defaultBuckets(df))
+    val b = bucketed(df, order, if (buckets > 0) buckets else defaultBuckets(df))
     val sums = b.groupBy(col("__bkt"))
       .agg(coalesce(sum(value), lit(0L)).cast("long").as("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ buckets rows
@@ -137,20 +129,21 @@ object Scale {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b.withColumn("__running",
         element_at(offArr, col("__bkt") + 1) + sum(value).over(w))
-      .drop("__sk", "__bkt")
+      .drop("__bkt")
   }
 
   /** lag(value, 1) over (PARTITION BY `part` ORDER BY `order`) when
     * the partition vocabulary is small (parallelism would equal it):
-    * sub-bucket each partition by `keyAsc` ranges, lag locally within
-    * (part, bucket), and carry each bucket's LAST value (max_by the
-    * order struct) to the next non-empty bucket through a bounded
+    * range-bucket the whole frame on `order` (each bucket holds every
+    * part's slice of one range), lag locally within (part, bucket),
+    * and carry each (part, bucket)'s LAST value (max_by the order
+    * struct) to the part's next non-empty bucket through a bounded
     * (parts × buckets) frame that broadcast-joins back. Adds
     * `__prev` (null on each part's first row, like the plain lag). */
-  def boundaryCarryLag(df: DataFrame, part: String, keyAsc: Column,
+  def boundaryCarryLag(df: DataFrame, part: String,
                        order: Seq[Column], value: Column,
                        buckets: Int = 0): DataFrame = {
-    val b = bucketed(df, keyAsc, if (buckets > 0) buckets else defaultBuckets(df))
+    val b = bucketed(df, order, if (buckets > 0) buckets else defaultBuckets(df))
     val localW = Window.partitionBy(col(part), col("__bkt")).orderBy(order: _*)
     val lasts = b.groupBy(col(part), col("__bkt"))
       .agg(max_by(value, struct(order: _*)).as("__last"))
@@ -161,7 +154,7 @@ object Scale {
     b.withColumn("__prev_local", lag(value, 1).over(localW))
       .join(broadcast(carry), Seq(part, "__bkt"))
       .withColumn("__prev", coalesce(col("__prev_local"), col("__carry")))
-      .drop("__sk", "__bkt", "__prev_local", "__carry")
+      .drop("__bkt", "__prev_local", "__carry")
   }
 
   /** Spark/DuckDB NTILE(tiles) derived from a global 1-based rank and

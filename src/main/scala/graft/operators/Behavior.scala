@@ -473,7 +473,7 @@ object Behavior {
       .select(col("user_id"),
         floor(col("value") * 1e6 + lit(0.5)).cast("long").as("qv"))
       .groupBy("user_id").agg(sum("qv").as("rev"))
-    val (ranked, total) = graft.Scale.twoPhaseRank(perUser, col("rev"),
+    val (ranked, total) = graft.Scale.twoPhaseRank(perUser,
       Seq(col("rev"), col("user_id")))
     ranked
       .withColumn("decile", graft.Scale.ntileFromRank("__rank", 10, total))

@@ -875,7 +875,7 @@ object Corpus {
         TextF.qualityScore(col("text"), TextAnalysis.Stopwords).as("quality"),
         md5(col("doc_id").cast("string")).as("tie"))
     // keyAsc = -quality: an ascending proxy of the DESC leading key.
-    val (ranked, total) = graft.Scale.twoPhaseRank(triples, -col("quality"),
+    val (ranked, total) = graft.Scale.twoPhaseRank(triples,
       Seq(col("quality").desc, col("tie"), col("doc_id")))
     ranked
       .withColumn("rank", col("__rank") - 1L)

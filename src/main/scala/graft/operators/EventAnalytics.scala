@@ -790,7 +790,7 @@ object EventAnalytics {
     graft.Scale.boundaryCarryLag(
         events.select(col("event_type"), unix_micros(col("ts")).as("us"),
           col("event_id")),
-        "event_type", col("us"), Seq(col("us"), col("event_id")), col("us"))
+        "event_type", Seq(col("us"), col("event_id")), col("us"))
       .withColumn("gap", col("us") - col("__prev"))
       .filter(col("gap").isNotNull)
       .groupBy("event_type")
@@ -888,7 +888,7 @@ object EventAnalytics {
     graft.Scale.boundaryCarryLag(
         events.select(col("event_type"), col("event_id"),
           unix_micros(col("ts")).as("us")),
-        "event_type", col("event_id"), Seq(col("event_id")), col("us"))
+        "event_type", Seq(col("event_id")), col("us"))
       .withColumnRenamed("__prev", "prev_us")
       .filter(col("prev_us").isNotNull)
       .select(col("event_type"),
@@ -1007,7 +1007,7 @@ object EventAnalytics {
           .as("m"))
       .select(col("user_id"), col("session_idx"),
         col("m.us").as("us"), col("m.delta").as("delta"))
-    graft.Scale.twoPhaseRunningSum(markers, col("us"),
+    graft.Scale.twoPhaseRunningSum(markers,
         Seq(col("us"), col("delta"), col("user_id"), col("session_idx")),
         col("delta"))
       .withColumnRenamed("__running", "running")

@@ -81,7 +81,7 @@ class ScaleInfraSpec extends AnyFunSuite with SparkFixture {
     val expect = df.withColumn("r",
       row_number().over(Window.orderBy(col("v").desc, col("u"), col("id"))))
       .select("id", "r").as[(Long, Int)].collect().toMap
-    val (ranked, total) = Scale.twoPhaseRank(df, -col("v"),
+    val (ranked, total) = Scale.twoPhaseRank(df,
       Seq(col("v").desc, col("u"), col("id")), buckets = 16)
     val got = ranked.select(col("id"), col("__rank")).as[(Long, Long)]
       .collect().toMap
@@ -111,7 +111,7 @@ class ScaleInfraSpec extends AnyFunSuite with SparkFixture {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val expect = df.withColumn("rs", sum("delta").over(w))
       .select("id", "rs").as[(Long, Long)].collect().toMap
-    val got = Scale.twoPhaseRunningSum(df, col("v"),
+    val got = Scale.twoPhaseRunningSum(df,
         Seq(col("v"), col("id")), col("delta"), buckets = 16)
       .select(col("id"), col("__running")).as[(Long, Long)].collect().toMap
     assert(got.size == 2000 && got.forall { case (id, s) => expect(id) == s })
@@ -126,7 +126,7 @@ class ScaleInfraSpec extends AnyFunSuite with SparkFixture {
       .select("id", "p").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
       .toMap
-    val got = Scale.boundaryCarryLag(df, "part", col("v"),
+    val got = Scale.boundaryCarryLag(df, "part",
         Seq(col("v"), col("id")), col("id"), buckets = 16)
       .select(col("id"), col("__prev")).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
@@ -136,14 +136,14 @@ class ScaleInfraSpec extends AnyFunSuite with SparkFixture {
 
   test("two-phase helpers survive empty and constant-key inputs") {
     val empty = Seq.empty[(Long, Double)].toDF("id", "v")
-    val (er, en) = Scale.twoPhaseRank(empty, col("v"), Seq(col("v"), col("id")))
+    val (er, en) = Scale.twoPhaseRank(empty, Seq(col("v"), col("id")))
     assert(en == 0L && er.collect().isEmpty)
-    assert(Scale.twoPhaseRunningSum(empty, col("v"), Seq(col("v"), col("id")),
+    assert(Scale.twoPhaseRunningSum(empty, Seq(col("v"), col("id")),
       col("id")).collect().isEmpty)
     // constant key: one bucket (degenerate but correct — the caller's
     // documented salting escape applies when this happens at scale)
     val const = (1L to 50L).map(i => (i, 1.0)).toDF("id", "v")
-    val (cr, cn) = Scale.twoPhaseRank(const, col("v"), Seq(col("v"), col("id")))
+    val (cr, cn) = Scale.twoPhaseRank(const, Seq(col("v"), col("id")))
     assert(cn == 50L)
     assert(cr.select(col("id"), col("__rank")).as[(Long, Long)].collect()
       .forall { case (id, r) => r == id })
