@@ -37,17 +37,24 @@ import org.apache.spark.sql.functions._
   * corners: twins bound the pair-mass law, perturb measures the
   * per-row engine scaling.
   *
-  * Usage: `runMain graft.ScaleUp <inDir> <outDir> <replicas> [perturb]`.
-  * Output is written as parquet DIRECTORIES named `<table>.parquet`,
-  * which `Tables`/Bench read exactly like the driver's single files.
+  * Usage: `runMain graft.ScaleUp <inDir> <outDir> <replicas> [perturb]
+  * [only=t1,t2]`. `only=` restricts output to the named fact tables
+  * (dimensions still copy) — a ×1000 twins corpus for a dedup
+  * rehearsal needs documents, not 600M lineitem rows. Output is
+  * written as parquet DIRECTORIES named `<table>.parquet`, which
+  * `Tables`/Bench read exactly like the driver's single files.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val (inDir, outDir, nStr, perturb) = args match {
-      case Array(i, o, n) => (i, o, n, false)
-      case Array(i, o, n, "perturb") => (i, o, n, true)
-      case _ => sys.error(s"usage: ScaleUp <inDir> <outDir> <replicas> [perturb]")
-    }
+    val onlyArg = args.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").map(_.trim).toSet)
+    val (inDir, outDir, nStr, perturb) =
+      args.filterNot(_.startsWith("only=")) match {
+        case Array(i, o, n) => (i, o, n, false)
+        case Array(i, o, n, "perturb") => (i, o, n, true)
+        case _ => sys.error(
+          s"usage: ScaleUp <inDir> <outDir> <replicas> [perturb] [only=t1,t2]")
+      }
     val n = nStr.toInt
     require(n >= 1, s"replicas must be >= 1, got $n")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -84,7 +91,8 @@ object ScaleUp {
       read(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[scaleup] $t: copied (dimension)")
     }
-    keyCols.foreach { case (t, keys) =>
+    keyCols.filter { case (t, _) => onlyArg.forall(_.contains(t)) }
+      .foreach { case (t, keys) =>
       val pairs = keys.map { case (k, owner) => k -> strides(owner) }
       val reps = spark.range(n).select(col("id").as("rep"))
       val shifted = pairs.foldLeft(read(t).crossJoin(broadcast(reps))) {
