@@ -136,4 +136,50 @@ class SinksSpec extends AnyFunSuite with SparkFixture {
       .flatMap(f => scala.io.Source.fromFile(f).getLines())
     assert(lines.length == 2 && lines.forall(l => l.startsWith("{") && l.endsWith("}")))
   }
+
+  test("BqStyleWriter: dispositions and the partition decorator match BQ load-job semantics") {
+    import graft.sources.BqStyleWriter
+    import graft.sources.BqStyleWriter._
+    val wh = tmp("graft-bq")
+    def rows(day: String, vs: Long*) =
+      vs.map(v => (v, java.sql.Date.valueOf(day))).toDF("v", "day")
+
+    // WRITE_EMPTY: first load succeeds, second refuses.
+    BqStyleWriter.load(rows("2024-01-01", 1L), wh, "guarded", WriteEmpty)
+    intercept[IllegalStateException] {
+      BqStyleWriter.load(rows("2024-01-01", 2L), wh, "guarded", WriteEmpty)
+    }
+
+    // Partitioned WRITE_APPEND accumulates; WRITE_TRUNCATE replaces all.
+    BqStyleWriter.load(rows("2024-01-01", 1L, 2L), wh, "daily",
+      WriteAppend, Some("day"))
+    BqStyleWriter.load(rows("2024-01-02", 3L), wh, "daily",
+      WriteAppend, Some("day"))
+    assert(spark.read.parquet(s"$wh/daily").count() == 3)
+
+    // Decorator: replaces exactly the decorated day, other days intact
+    // (the delete-date-then-append contract).
+    BqStyleWriter.load(rows("2024-01-01", 7L), wh, "daily$20240101",
+      WriteAppend, Some("day"))
+    val back = spark.read.parquet(s"$wh/daily")
+      .select(col("v"), col("day").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((7L, "2024-01-01"), (3L, "2024-01-02")), s"got $back")
+
+    // Decorated loads reject out-of-partition rows BEFORE writing.
+    intercept[IllegalArgumentException] {
+      BqStyleWriter.load(rows("2024-01-05", 9L), wh, "daily$20240101",
+        WriteAppend, Some("day"))
+    }
+    assert(spark.read.parquet(s"$wh/daily").count() == 2,
+      "a rejected load must leave the table untouched")
+    // Decorator without a partition field is a caller bug.
+    intercept[IllegalArgumentException] {
+      BqStyleWriter.load(rows("2024-01-01", 1L), wh, "daily$20240101")
+    }
+
+    BqStyleWriter.load(rows("2024-01-03", 8L), wh, "daily",
+      WriteTruncate, Some("day"))
+    assert(spark.read.parquet(s"$wh/daily").count() == 1)
+  }
 }
