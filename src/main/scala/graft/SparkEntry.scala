@@ -81,6 +81,7 @@ object SparkEntry {
     "kmeans_embed"      -> (Cluster.kmeansEmbed(_, _)),
     "dedup_components"  -> (Components.dedupComponents(_, _)),
     "dedup_components_cascade" -> (Components.dedupComponentsCascade(_, _)),
+    "dedup_quality_bias" -> (Components.dedupQualityBias(_, _)),
     "mix_sources"       -> (Corpus.mixSources(_, _)),
     // rows-only: sketch internals are engine-specific (cf. #37 HLL)
     "earnings_percentiles_approx" -> (Report.earningsPercentilesApprox(_, _)),
@@ -118,6 +119,7 @@ object SparkEntry {
     // Round-7 continuation: warehouse CDC, alert smoothers, runtime
     // bloom filter, corpus-LM scoring (#101-106)
     "snapshot_diff"     -> (Warehouse.snapshotDiff(_, _)),
+    "merge_upsert"      -> (Warehouse.mergeUpsert(_, _)),
     "scd2_history"      -> (Warehouse.scd2History(_, _)),
     "ewma_smooth"       -> (EventAnalytics.ewmaSmooth(_, _)),
     "rolling_median"    -> (Robust.rollingMedian(_, _)),
@@ -274,6 +276,7 @@ object SparkEntry {
     "benford_audit"     -> (Warehouse.benfordAudit(_, _)),
     "cramers_v"         -> (Behavior.cramersV(_, _)),
     "corr_matrix"       -> (Robust.corrMatrix(_, _)),
+    "spearman_matrix"   -> (Robust.spearmanMatrix(_, _)),
     "join_size_estimate" -> (Warehouse.joinSizeEstimate(_, _)),
     // Round-10 third tranche: community-quality scalar + BFS reach
     // profile on the shared item graph (SURVEY §2 rows 231-232)
@@ -296,6 +299,7 @@ object SparkEntry {
     // Round-10 sixth tranche: exact KS drift test, skyline frontier,
     // rolling metric coupling (SURVEY §2 rows 240-242)
     "ks_test"           -> (Robust.ksTest(_, _)),
+    "mannwhitney_test"  -> (Robust.mannWhitney(_, _)),
     "pareto_frontier"   -> (CorpusStats.paretoFrontier(_, _)),
     "rolling_corr"      -> (Robust.rollingCorr(_, _)),
     // Watermark-sizing disorder audit (batch predictor of the
@@ -325,6 +329,7 @@ object SparkEntry {
     // retrieval fidelity (SURVEY §2 rows 257-258)
     "markov_accuracy"   -> (Behavior.markovAccuracy(_, _)),
     "quantize_recall"   -> (Similarity.quantizeRecall(_, _)),
+    "rp_recall"         -> (Similarity.rpRecall(_, _)),
     // Round-10 twelfth tranche: one-pass threshold sweeps (SURVEY §2
     // rows 259-260)
     "session_sweep"     -> (EventAnalytics.sessionSweep(_, _)),

@@ -169,6 +169,55 @@ object Components {
   def dedupComponentsCascade(spark: SparkSession, dir: String): DataFrame =
     dedupComponentsCascadeOf(Tables.documents(spark, dir))
 
+  /** Dedup selection-bias audit — does keep-first near-dup dedup
+    * systematically change corpus quality? Per source: kept (component
+    * representative = the closure's min-id label) vs removed doc
+    * counts, each side's mean quality score, and the removed token
+    * mass — the governance read that catches a dedup pass quietly
+    * deleting the better copies (keep-first is id-blind; if crawl
+    * order correlates with quality, the bias shows HERE before
+    * training does). Quality on its exact 1e-4 grid (one int64 sum
+    * per side, ONE double division each, 4 dp half-up — NULL when a
+    * side is empty); token mass in whitespace tokens, ppm by integer
+    * division.
+    *
+    * Shape: the closure is [[dedupComponentsOf]]; the audit adds one
+    * doc-keyed equi-join (quality/token projection ⋈ labels) and a
+    * bounded source aggregate. */
+  def dedupQualityBiasOf(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextF
+    val comp = dedupComponentsOf(docs, threshold)
+      .select(col("doc_id"), col("component"))
+    docs.select(col("doc_id"), col("source"),
+        floor(TextF.qualityScore(col("text"), TextAnalysis.Stopwords) * 1e4
+          + lit(0.5)).cast("long").as("qk"),
+        TextF.tokenCount(col("text")).cast("long").as("tok"))
+      .join(comp, "doc_id")
+      .withColumn("kept", col("doc_id") === col("component"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("qk")).otherwise(0L)).as("qk_kept"),
+        sum(when(!col("kept"), col("qk")).otherwise(0L)).as("qk_removed"),
+        sum(col("tok")).as("tokens_total"),
+        sum(when(!col("kept"), col("tok")).otherwise(0L)).as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_removed"),
+        TextF.round4HalfUp(expr(
+          "try_divide(CAST(qk_kept AS DOUBLE), CAST(n_kept AS DOUBLE)) / 1e4"))
+          .as("mean_q_kept"),
+        TextF.round4HalfUp(expr(
+          "try_divide(CAST(qk_removed AS DOUBLE), CAST(n_docs - n_kept AS DOUBLE)) / 1e4"))
+          .as("mean_q_removed"),
+        col("tokens_removed"),
+        expr("(tokens_removed * 1000000) div tokens_total")
+          .as("removed_token_ppm"))
+      .orderBy("source")
+  }
+
+  def dedupQualityBias(spark: SparkSession, dir: String): DataFrame =
+    dedupQualityBiasOf(Tables.documents(spark, dir))
+
   /** Duplicate-cluster size distribution over [[dedupComponentsOf]]'s
     * closure: how many components exist at each size, and how many
     * documents (and removable duplicates) they carry — the power-law

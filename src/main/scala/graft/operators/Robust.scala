@@ -425,6 +425,74 @@ object Robust {
   def corrMatrix(spark: SparkSession, dir: String): DataFrame =
     corrMatrixOf(Tables.lineitem(spark, dir))
 
+  /** Spearman rank-correlation matrix over the same three lineitem
+    * measures — [[corrMatrixOf]]'s monotone sibling (Pearson reads
+    * LINEAR coupling and is hostage to outliers/heavy tails; Spearman
+    * on midranks reads any monotone relation, the robust
+    * feature-screen pairing). Exact throughout: ties get textbook
+    * MIDRANKS computed on the distinct-value frequency frame (2·mid =
+    * 2·count_below + cnt + 1 — integer half-units, no float rank),
+    * CENTERED as c = 2·mid − (n+1) so Σc = 0 EXACTLY (midrank sums
+    * are invariant under ties) and ρ = Σcxcy/√(Σcx²·Σcy²) needs no
+    * n·Σ products — that is what keeps the decimal(38,0) sums inside
+    * headroom to n ≈ 10¹² rows (|c| ≤ n ⇒ Σc² ≤ n³; the n·Σ form
+    * overflows 38 digits at n ≈ 10⁹). One try_divide per pair, 6-dp
+    * floor grid; zero-variance (all-tied) measures read NULL.
+    *
+    * Shape: rank frames are per-measure (value, cnt) aggregates —
+    * bounded by each measure's value vocabulary, which grows far
+    * slower than rows (the [[ksTestOf]] argument) — with cumulative
+    * counts via the two-phase prefix sum
+    * ([[graft.Scale.twoPhaseRunningSum]] — no single-partition window
+    * even on the grid); facts equi-join the three rank frames (AQE
+    * broadcasts the small ones) and fold into ONE map-combinable
+    * decimal moment aggregate. n is a 1-row count action on the
+    * checkpointed projection ([[graft.operators.Behavior
+    * .negativeSamplesOf]]'s bounded-action precedent). */
+  def spearmanMatrixOf(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = lineitem
+      .select(col("l_quantity").cast("long").as("q"),
+        floor(col("l_extendedprice") * lit(100)).cast("long").as("p"),
+        floor(col("l_discount") * lit(1e6)).cast("long").as("d"))
+      .localCheckpoint(false) // 3 rank frames + the fact join share it
+    val n = li.count() // 1-row action
+    def centeredRanks(c: String): DataFrame = {
+      val freq = li.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      graft.Scale.twoPhaseRunningSum(freq, Seq(col(c)), col("__cnt"))
+        .select(col(c),
+          (lit(2L) * (col("__running") - col("__cnt")) + col("__cnt") - n)
+            .as(s"c$c"))
+    }
+    val m = li
+      .join(centeredRanks("q"), "q")
+      .join(centeredRanks("p"), "p")
+      .join(centeredRanks("d"), "d")
+      .selectExpr(s"CAST(cq AS $dec) cq", s"CAST(cp AS $dec) cp",
+        s"CAST(cd AS $dec) cd")
+      .agg(sum(expr("cq * cq")).as("sqq"), sum(expr("cp * cp")).as("spp"),
+        sum(expr("cd * cd")).as("sdd"), sum(expr("cq * cp")).as("sqp"),
+        sum(expr("cq * cd")).as("sqd"), sum(expr("cp * cd")).as("spd"))
+    def rho(sxy: String, sxx: String, syy: String) =
+      TextF.round6HalfUp(expr(
+        s"""try_divide(CAST($sxy AS DOUBLE),
+           |  sqrt(CAST($sxx AS DOUBLE)) * sqrt(CAST($syy AS DOUBLE)))"""
+          .stripMargin))
+    m.select(lit(n).as("n"),
+      rho("sqp", "sqq", "spp").as("r_qp"),
+      rho("sqd", "sqq", "sdd").as("r_qd"),
+      rho("spd", "spp", "sdd").as("r_pd"))
+      .selectExpr("stack(3, " +
+        "'l_quantity', 'l_extendedprice', n, r_qp, " +
+        "'l_quantity', 'l_discount', n, r_qd, " +
+        "'l_extendedprice', 'l_discount', n, r_pd) " +
+        "AS (x_col, y_col, n, rho)")
+      .orderBy("x_col", "y_col")
+  }
+
+  def spearmanMatrix(spark: SparkSession, dir: String): DataFrame =
+    spearmanMatrixOf(Tables.lineitem(spark, dir))
+
   /** Two-sample Kolmogorov–Smirnov test per event type between the
     * two calendar periods — [[distributionDriftOf]]'s binless sibling
     * (TVD on shared bins answers "how much mass moved"; KS's
@@ -484,6 +552,68 @@ object Robust {
 
   def ksTest(spark: SparkSession, dir: String): DataFrame =
     ksTestOf(Tables.events(spark, dir))
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) A/B readout per event type —
+    * the nonparametric sibling of [[graft.operators.Behavior
+    * .abTestOf]]'s proportion z-test: arms split by the SAME
+    * md5-prefix parity, but the comparison is over the full VALUE
+    * distribution (a revenue experiment that shifts the median while
+    * the mean hides in the tail is exactly what U catches and a
+    * t/z-test misses). Exact integer machinery: values on the micro
+    * grid, pair counting by value — 2U₁ = Σᵥ c₁(v)·(2·below₀(v) +
+    * c₀(v)) (ties count half, so DOUBLED U stays integer) — and the
+    * tie-corrected variance's Σ(t³−t) term, all on decimal(38,0)
+    * (t³ ≤ N³ fits 38 digits to N ≈ 10¹²). Reported: the
+    * common-language effect size auc = U₁/(n₀·n₁) (the P(X₁ > X₀) +
+    * ½P(tie) ROC-AUC equivalence), the normal-approximation z with
+    * tie correction, and the α=0.05 verdict. Degenerate types
+    * (everything tied → zero variance) read NULL z via try_divide.
+    *
+    * Shape: one (type, value, arm) map-combinable count; cumsum +
+    * totals windows ride the bounded distinct-value frame
+    * ([[ksTestOf]]'s vocabulary argument); one bounded per-type fold.
+    */
+  def mannWhitneyOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cumW = Window.partitionBy("event_type").orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byType = Window.partitionBy("event_type")
+    events.select(col("event_type"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"),
+        pmod(conv(substring(md5(concat(lit("ab:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(2L)).as("arm"))
+      .groupBy("event_type", "vq")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("c1"))
+      .withColumn("below0", sum("c0").over(cumW) - col("c0"))
+      .withColumn("n0", sum("c0").over(byType))
+      .withColumn("n1", sum("c1").over(byType))
+      .filter(col("n0") > 0 && col("n1") > 0)
+      .groupBy("event_type", "n0", "n1")
+      .agg(
+        sum(expr(s"CAST(c1 AS $dec) * (2 * below0 + c0)")).as("u2"),
+        sum(expr(s"CAST(c0 + c1 AS $dec) * (c0 + c1) * (c0 + c1) - (c0 + c1)"))
+          .as("tcub"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        TextF.round6HalfUp(expr(
+          "CAST(u2 AS DOUBLE) / (2.0D * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))"))
+          .as("auc"),
+        TextF.round6HalfUp(expr(
+          """try_divide(
+            |  (CAST(u2 AS DOUBLE) - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) / 2.0D,
+            |  sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0D
+            |    * (CAST(n0 + n1 + 1 AS DOUBLE)
+            |       - CAST(tcub AS DOUBLE)
+            |         / (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 - 1 AS DOUBLE)))))"""
+            .stripMargin)).as("z"))
+      .withColumn("significant",
+        when(col("z").isNull, lit(false)).otherwise(abs(col("z")) > 1.96))
+      .orderBy("event_type")
+  }
+
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyOf(Tables.events(spark, dir))
 
   /** Trailing 7-day rolling correlation between the click and
     * purchase daily-count series — [[corrMatrixOf]]'s time-series

@@ -869,4 +869,68 @@ object Similarity {
 
   def quantizeRecall(spark: SparkSession, dir: String): DataFrame =
     quantizeRecallOf(Tables.embeddings(spark, dir))
+
+  /** Deterministic ±1 Johnson-Lindenstrauss sign matrix (dims ×
+    * outDims), derived from md5 so the Spark plan and the DuckDB
+    * oracle can embed the SAME literals (the oracle string is built
+    * from this method — one source of truth, no drift). */
+  def rpSigns(dims: Int, outDims: Int): Array[Array[Double]] =
+    Array.tabulate(dims, outDims) { (i, j) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** Random-projection (JL) retrieval fidelity — [[matryoshkaEnergyOf]]
+    * asks whether PREFIX truncation is safe, this asks the same of the
+    * other classic dimension cut: project 64 → `outDims` with a ±1
+    * sign matrix (Achlioptas'01 — the database-friendly JL, no
+    * gaussians, exact integer-weighted sums) and measure overlap@k
+    * against exact top-k — the eval that prices a 4× index-memory cut
+    * BEFORE an index rebuilds. Projection is a per-row unrolled
+    * codegen'd sum (element_at × literal — no interpreted
+    * higher-order function on the fact path, the §6 round-11 lesson);
+    * both searches are the [[knnTopk]] broadcast-query scan with
+    * rounded-then-ranked scores; recall in exact ppm.
+    * Queries with ZERO surviving overlap drop out (the
+    * [[quantizeRecallOf]] contract). */
+  def rpRecallOf(embeddings: DataFrame, outDims: Int = 16,
+                 k: Int = TopK): DataFrame = {
+    require(outDims > 0 && k > 0, s"outDims/k must be positive")
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .localCheckpoint(false) // queries + corpus + projection read it
+    val signs = rpSigns(64, outDims)
+    val proj = array((0 until outDims).map { j =>
+      (0 until 64).map { i =>
+        element_at(col("emb"), i + 1) * lit(signs(i)(j))
+      }.reduce(_ + _)
+    }: _*)
+    val pemb = emb.select(col("vec_id"), proj.as("pemb"))
+    def topk(qs: DataFrame, corpus: DataFrame, embCol: String) = {
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+      broadcast(qs).join(corpus, col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(VectorF.cosineSim(col("q_emb"), col(embCol)), 6).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"))
+    }
+    val exact = topk(
+      emb.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb")),
+      emb.select(col("vec_id").as("n_id"), col("emb")), "emb")
+    val approx = topk(
+      pemb.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("q_id"), col("pemb").as("q_emb")),
+      pemb.select(col("vec_id").as("n_id"), col("pemb")), "pemb")
+    exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        expr(s"(n_overlap * 1000000) div $k").as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
+  def rpRecall(spark: SparkSession, dir: String): DataFrame =
+    rpRecallOf(Tables.embeddings(spark, dir))
 }

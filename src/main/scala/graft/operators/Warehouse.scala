@@ -148,6 +148,43 @@ object Warehouse {
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
     snapshotDiffOf(Tables.events(spark, dir), "2024-01-15")
 
+  /** CDC MERGE / upsert — [[snapshotDiffOf]] DESCRIBES the delta,
+    * this APPLIES it: the post-merge per-key snapshot with its merge
+    * action, base = latest state before `splitDay`, changes = events
+    * on/after it. MERGE semantics per key: a changed key not in the
+    * base INSERTs, a changed key in the base UPDATEs (change wins —
+    * latest-writer, the CDC convention), an unchanged base key KEEPs
+    * its base row. Both sides come out of ONE map-combinable
+    * aggregate (two conditional lexicographic struct maxes on the
+    * same shuffle — the naive MERGE plans a full outer join of two
+    * changelog scans); versions order on exact nanoseconds with the
+    * event_id tiebreak, output in µs ([[latestPerKeyOf]]'s oracle
+    * grain). A tombstone event type would slot into the same CASE as
+    * a `delete` action — the changelog has none by construction. */
+  def mergeUpsertOf(events: DataFrame, splitDay: String = "2024-01-15"): DataFrame = {
+    val version = struct(col("ts_ns"), col("event_id"),
+      col("event_type"), col("value"))
+    events
+      .select(col("user_id"),
+        (col("ts") < lit(splitDay).cast("timestamp")).as("before"),
+        version.as("v"))
+      .groupBy("user_id")
+      .agg(max(when(col("before"), col("v"))).as("b"),
+        max(when(!col("before"), col("v"))).as("c"))
+      .select(col("user_id"),
+        when(col("b").isNull, lit("insert"))
+          .when(col("c").isNull, lit("keep"))
+          .otherwise(lit("update")).as("op"),
+        expr("coalesce(c.ts_ns, b.ts_ns) div 1000").as("us"),
+        coalesce(col("c.event_id"), col("b.event_id")).as("event_id"),
+        coalesce(col("c.event_type"), col("b.event_type")).as("event_type"),
+        coalesce(col("c.value"), col("b.value")).as("value"))
+      .orderBy("user_id")
+  }
+
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame =
+    mergeUpsertOf(Tables.events(spark, dir))
+
   /** SCD Type-2 dimension history from the changelog: per key, one row
     * per run of consecutive equal attribute values, with
     * [valid_from, valid_to) microsecond bounds (valid_to NULL = the

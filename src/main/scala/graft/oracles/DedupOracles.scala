@@ -97,6 +97,44 @@ private[graft] object DedupOracles {
         |SELECT node AS doc_id, MIN(lbl) AS component FROM r
         |GROUP BY node ORDER BY doc_id""".stripMargin,
 
+    // Closure CTE + quality grid + whitespace tokens, folded to the
+    // per-source kept-vs-removed audit (kept = doc_id = component).
+    "dedup_quality_bias" ->
+      s"""WITH RECURSIVE $ShingleSetsCte,
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) >= 0.5),
+        |e AS (SELECT a_id AS a, b_id AS b FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |r AS (
+        |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT e.a AS node, r.lbl FROM e JOIN r ON r.node = e.b),
+        |comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM r GROUP BY node),
+        |d AS (SELECT doc_id, source,
+        |    CAST(floor(($QualitySqlExpr) * 1e4 + 0.5) AS BIGINT) AS qk,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |j AS (SELECT d.*, d.doc_id = c.component AS kept
+        |      FROM d JOIN comp c USING (doc_id)),
+        |g AS (SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(SUM(CASE WHEN kept THEN qk ELSE 0 END) AS BIGINT) AS qk_kept,
+        |    CAST(SUM(CASE WHEN kept THEN 0 ELSE qk END) AS BIGINT) AS qk_removed,
+        |    CAST(SUM(tok) AS BIGINT) AS tokens_total,
+        |    CAST(SUM(CASE WHEN kept THEN 0 ELSE tok END) AS BIGINT) AS tokens_removed
+        |  FROM j GROUP BY source)
+        |SELECT source, n_docs, n_kept, n_docs - n_kept AS n_removed,
+        |  floor(CAST(qk_kept AS DOUBLE) / CAST(n_kept AS DOUBLE) / 1e4
+        |    * 1e4 + 0.5) / 1e4 AS mean_q_kept,
+        |  floor(CAST(qk_removed AS DOUBLE) / CAST(n_docs - n_kept AS DOUBLE) / 1e4
+        |    * 1e4 + 0.5) / 1e4 AS mean_q_removed,
+        |  tokens_removed,
+        |  (tokens_removed * 1000000) // tokens_total AS removed_token_ppm
+        |FROM g ORDER BY source""".stripMargin,
+
     // Same recursive closure as dedup_components, folded to the size
     // histogram.
     "component_size_dist" ->

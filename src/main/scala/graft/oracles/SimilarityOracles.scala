@@ -107,6 +107,39 @@ private[graft] object SimilarityOracles {
 
     // Int8 fidelity: reconstruction arithmetic mirrored exactly
     // (round(x*127/maxabs)*maxabs/127), 6-dp cosines before ranks.
+    // Oracle GENERATED from the same rpSigns matrix the Spark plan
+    // embeds (one source of truth); the projection is the identical
+    // left-to-right sum of CAST(embedding[i]) * ±1.0 terms, so the
+    // doubles agree bit-for-bit before the shared ROUND.
+    "rp_recall" -> {
+      val signs = graft.operators.Similarity.rpSigns(64, 16)
+      val projList = (0 until 16).map { j =>
+        (0 until 64).map { i =>
+          s"CAST(emb[${i + 1}] AS DOUBLE) * ${if (signs(i)(j) > 0) "1.0" else "-1.0"}"
+        }.mkString("(", " + ", ")")
+      }.mkString("list_value(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT vec_id, $projList AS pemb FROM e),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),
+        |sx AS (SELECT q_id, e.vec_id AS n_id,
+        |        ROUND(list_cosine_similarity(q_emb, e.emb), 6) AS score
+        |      FROM q, e WHERE q_id <> e.vec_id),
+        |tx AS (SELECT q_id, n_id FROM (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn FROM sx)
+        |      WHERE rn <= 10),
+        |pq AS (SELECT vec_id AS q_id, pemb AS q_pemb FROM p WHERE vec_id < 8),
+        |sp AS (SELECT q_id, p.vec_id AS n_id,
+        |        ROUND(list_cosine_similarity(q_pemb, p.pemb), 6) AS score
+        |      FROM pq, p WHERE q_id <> p.vec_id),
+        |tp AS (SELECT q_id, n_id FROM (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn FROM sp)
+        |      WHERE rn <= 10)
+        |SELECT tx.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        |  (CAST(COUNT(*) AS BIGINT) * 1000000) // 10 AS recall_ppm
+        |FROM tx JOIN tp ON tx.q_id = tp.q_id AND tx.n_id = tp.n_id
+        |GROUP BY tx.q_id ORDER BY tx.q_id""".stripMargin
+    },
+
     "quantize_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |rc AS (SELECT vec_id,

@@ -138,6 +138,30 @@ private[graft] object WarehouseOracles {
         |   OR s1.event_type <> s2.event_type OR s1.value <> s2.value
         |ORDER BY s2.user_id""".stripMargin,
 
+    // Same grain contract as latest_per_key: DuckDB ranks on (µs,
+    // event_id) where Spark ranks exact-ns — they agree because ids
+    // are time-monotone within a microsecond (hash-verified).
+    "merge_upsert" ->
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us, event_id,
+        |    event_type, value, ts < TIMESTAMP '2024-01-15' AS before
+        |  FROM events),
+        |br AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY us DESC, event_id DESC) AS rn FROM e WHERE before),
+        |b AS (SELECT * FROM br WHERE rn = 1),
+        |cr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY us DESC, event_id DESC) AS rn FROM e WHERE NOT before),
+        |c AS (SELECT * FROM cr WHERE rn = 1)
+        |SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+        |  CASE WHEN b.user_id IS NULL THEN 'insert'
+        |       WHEN c.user_id IS NULL THEN 'keep'
+        |       ELSE 'update' END AS op,
+        |  COALESCE(c.us, b.us) AS us,
+        |  COALESCE(c.event_id, b.event_id) AS event_id,
+        |  COALESCE(c.event_type, b.event_type) AS event_type,
+        |  COALESCE(c.value, b.value) AS value
+        |FROM c FULL JOIN b ON c.user_id = b.user_id
+        |ORDER BY 1""".stripMargin,
+
     // Runs/versions order on the TIMESTAMP_NS column directly (exact
     // ns, like snapshot_diff); the µs bounds come from epoch_ns // 1000
     // mirroring the Spark side's `ts_ns div 1000`.
@@ -551,8 +575,92 @@ private[graft] object WarehouseOracles {
         |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS drifted
         |FROM m ORDER BY event_type""".stripMargin,
 
+    // Mann-Whitney: doubled-U pair counting by value (2U1 = Σ c1 *
+    // (2*below0 + c0)) and the tie term Σ(t³−t) on HUGEINT (Spark:
+    // decimal(38,0)); z and auc are fixed-order double expressions.
+    "mannwhitney_test" ->
+      """WITH e AS (SELECT event_type,
+        |        CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
+        |        CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) % 2 AS arm
+        |      FROM events),
+        |g AS (SELECT event_type, vq,
+        |        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM e GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |        CAST(SUM(c0) OVER (PARTITION BY event_type ORDER BY vq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c0
+        |          AS BIGINT) AS below0,
+        |        CAST(SUM(c0) OVER (PARTITION BY event_type) AS BIGINT) AS n0,
+        |        CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1
+        |      FROM g),
+        |m AS (SELECT event_type, n0, n1,
+        |        SUM(CAST(c1 AS HUGEINT) * (2 * below0 + c0)) AS u2,
+        |        SUM(CAST(c0 + c1 AS HUGEINT) * (c0 + c1) * (c0 + c1)
+        |          - (c0 + c1)) AS tcub
+        |      FROM w WHERE n0 > 0 AND n1 > 0 GROUP BY 1, 2, 3),
+        |r AS (SELECT event_type, n0, n1,
+        |    floor(CAST(u2 AS DOUBLE)
+        |      / (2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) * 1e6 + 0.5)
+        |      / 1e6 AS auc,
+        |    floor(
+        |      (CAST(u2 AS DOUBLE) - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) / 2.0
+        |      / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
+        |        * (CAST(n0 + n1 + 1 AS DOUBLE)
+        |           - CAST(tcub AS DOUBLE)
+        |             / (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 - 1 AS DOUBLE))))
+        |      * 1e6 + 0.5) / 1e6 AS z
+        |  FROM m)
+        |SELECT event_type, n0, n1, auc, z,
+        |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.96 END AS significant
+        |FROM r ORDER BY event_type""".stripMargin,
+
     // Pearson moments on integer grids via HUGEINT sums (Spark side:
     // decimal(38,0)); the only floats are the final sqrt/divide.
+    // Midranks on the distinct-value frames (2·mid = 2·below+cnt+1),
+    // centered by n+1 so Σc = 0 exactly; HUGEINT moments mirror the
+    // Spark side's decimal(38,0).
+    "spearman_matrix" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(floor(l_discount * 1e6) AS BIGINT) AS d
+        |  FROM lineitem),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM li),
+        |rq AS (SELECT q, 2 * (SUM(cnt) OVER (ORDER BY q) - cnt) + cnt
+        |    - (SELECT n FROM nn) AS cq
+        |  FROM (SELECT q, COUNT(*) AS cnt FROM li GROUP BY 1)),
+        |rp AS (SELECT p, 2 * (SUM(cnt) OVER (ORDER BY p) - cnt) + cnt
+        |    - (SELECT n FROM nn) AS cp
+        |  FROM (SELECT p, COUNT(*) AS cnt FROM li GROUP BY 1)),
+        |rd AS (SELECT d, 2 * (SUM(cnt) OVER (ORDER BY d) - cnt) + cnt
+        |    - (SELECT n FROM nn) AS cd
+        |  FROM (SELECT d, COUNT(*) AS cnt FROM li GROUP BY 1)),
+        |j AS (SELECT cq, cp, cd FROM li
+        |  JOIN rq USING (q) JOIN rp USING (p) JOIN rd USING (d)),
+        |m AS (SELECT
+        |    SUM(CAST(cq AS HUGEINT) * cq) AS sqq,
+        |    SUM(CAST(cp AS HUGEINT) * cp) AS spp,
+        |    SUM(CAST(cd AS HUGEINT) * cd) AS sdd,
+        |    SUM(CAST(cq AS HUGEINT) * cp) AS sqp,
+        |    SUM(CAST(cq AS HUGEINT) * cd) AS sqd,
+        |    SUM(CAST(cp AS HUGEINT) * cd) AS spd
+        |  FROM j),
+        |r AS (SELECT (SELECT n FROM nn) AS n,
+        |  floor(CAST(sqp AS DOUBLE) / (sqrt(CAST(sqq AS DOUBLE))
+        |    * sqrt(CAST(spp AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS r_qp,
+        |  floor(CAST(sqd AS DOUBLE) / (sqrt(CAST(sqq AS DOUBLE))
+        |    * sqrt(CAST(sdd AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS r_qd,
+        |  floor(CAST(spd AS DOUBLE) / (sqrt(CAST(spp AS DOUBLE))
+        |    * sqrt(CAST(sdd AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS r_pd
+        |  FROM m)
+        |SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col, n, r_qp AS rho FROM r
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount', n, r_qd FROM r
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount', n, r_pd FROM r
+        |ORDER BY x_col, y_col""".stripMargin,
+
     "corr_matrix" ->
       """WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS q,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS p,

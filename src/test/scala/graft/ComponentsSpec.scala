@@ -80,6 +80,31 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
       7L -> 1L, 9L -> 1L, 4L -> 4L, 8L -> 4L, 10L -> 10L))
   }
 
+  test("dedupQualityBias splits kept vs removed on the closure's min-id keep rule") {
+    // One 2-doc near-dup cluster (1 kept, 2 removed) + a singleton,
+    // all in one source: n_kept = 2 of 3, removed tokens = doc 2's.
+    val a = "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    val docs = Seq((1L, a, "s0"), (2L, a, "s0"),
+      (3L, "totally different text here", "s0"))
+      .toDF("doc_id", "text", "source")
+    val Array(r) = Components.dedupQualityBiasOf(docs, 0.5).collect()
+    assert(r.getString(0) == "s0")
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L && r.getLong(3) == 1L,
+      s"3 docs, keep {1, 3}, remove {2}: $r")
+    // docs 1 and 2 are byte-identical, so the removed-side mean
+    // quality equals doc 1's (= doc 2's) exact score.
+    val q12 = r.getDouble(5)
+    assert(!r.isNullAt(4) && q12 > 0.0 && q12 <= 1.0)
+    assert(r.getLong(6) == 9L, s"doc 2's nine tokens are the removed mass: $r")
+    assert(r.getLong(7) == (9L * 1000000L) / 22L,
+      s"ppm over the 22 total tokens (9 + 9 + 4): $r")
+    // no removals at a high threshold -> NULL removed-side mean
+    val Array(r2) = Components.dedupQualityBiasOf(
+      Seq((1L, a, "s0"), (2L, "totally different text here", "s0"))
+        .toDF("doc_id", "text", "source"), 0.99).collect()
+    assert(r2.getLong(3) == 0L && r2.isNullAt(5) && r2.getLong(6) == 0L)
+  }
+
   test("pickRepresentatives keeps the best-quality member, ties to the lowest id") {
     import spark.implicits._
     val components = Seq(

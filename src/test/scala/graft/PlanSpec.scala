@@ -858,6 +858,39 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"a per-config union would re-scan and re-sign 4x:\n$p")
   }
 
+  test("round-11 tranche: merge/test/rank-eval plans bounded as designed") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // merge_upsert: ONE conditional-struct-max aggregate — no join of
+    // any kind (the naive MERGE would full-outer-join two scans).
+    val mu = plan(Warehouse.mergeUpsert(spark, Sf))
+    assert(mu.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      mu.collect { case j: CartesianProductExec => j }.isEmpty &&
+      mu.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"one-aggregate MERGE:\n$mu")
+    // mannwhitney: value-grid windows + bounded fold, join-free.
+    val mw = plan(graft.operators.Robust.mannWhitney(spark, Sf))
+    assert(mw.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      mw.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"grid windows only:\n$mw")
+    // spearman: rank frames re-enter as equijoins, nothing all-pairs,
+    // and no single-partition window (the two-phase prefix sum).
+    val sm = plan(graft.operators.Robust.spearmanMatrix(spark, Sf))
+    assert(sm.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      sm.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"equijoin rank frames only:\n$sm")
+    assert(sm.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.forall(_.partitionSpec.nonEmpty),
+      s"grid cumsums must ride the __bkt decomposition:\n$sm")
+    // rp_recall: the two bounded 8-query BNLJs, rank pruned
+    // partition-locally.
+    val rp = plan(Similarity.rpRecall(spark, Sf))
+    assert(rp.collect { case j: CartesianProductExec => j }.isEmpty)
+    assert(rp.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 2,
+      s"one bounded query BNLJ per space:\n$rp")
+    assert(rp.collect { case w: WindowGroupLimitExec => w }.nonEmpty)
+  }
+
   test("two-phase decomposition: no fact-scale single-partition window remains") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}

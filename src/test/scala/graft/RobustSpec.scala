@@ -243,4 +243,58 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     assert(out(6).getDouble(3) == 1.0 && out(7).getDouble(3) == 1.0,
       s"perfect coupling: ${out.toSeq}")
   }
+
+  test("spearman: monotone nonlinear reads ±1 exactly; zero-variance column reads NULL") {
+    import spark.implicits._
+    // p = q³ is monotone-but-nonlinear (Pearson < 1, Spearman = 1);
+    // d decreases strictly with q (ρ = −1 both against q and p).
+    val li = (1 to 10).map(q =>
+        (q.toDouble, (q * q * q).toDouble, (11 - q) / 100.0))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+    val out = graft.operators.Robust.spearmanMatrixOf(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("l_quantity", "l_extendedprice")) == 1.0, s"got $out")
+    assert(out(("l_quantity", "l_discount")) == -1.0)
+    assert(out(("l_extendedprice", "l_discount")) == -1.0)
+    // constant discount: zero rank variance -> NULL rho for its pairs
+    val flat = (1 to 10).map(q => (q.toDouble, q.toDouble, 0.05))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+    val o2 = graft.operators.Robust.spearmanMatrixOf(flat).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(o2(("l_quantity", "l_extendedprice")) == Some(1.0))
+    assert(o2(("l_quantity", "l_discount")).isEmpty)
+    assert(o2(("l_extendedprice", "l_discount")).isEmpty)
+  }
+
+  test("mann-whitney: hand-checked U on a 2-vs-1 split; all-tied reads auc 0.5 and NULL z") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Recompute the operator's arm assignment so the test controls
+    // which side each planted value lands on.
+    def arm(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % 2
+    }
+    val users = (1L to 60L).toSeq
+    val a0 = users.filter(arm(_) == 0L).take(2)
+    val a1 = users.filter(arm(_) == 1L).take(1)
+    assert(a0.size == 2 && a1.size == 1, "need both arms among user ids 1-60")
+    // arm0 values {1, 2}, arm1 value {3}: U1 = 2 of 2 pairs -> auc 1,
+    // z = 1/sqrt(2/3) = 1.224745 (no ties -> tie term 0).
+    val ev = Seq((a0(0), 1.0), (a0(1), 2.0), (a1(0), 3.0))
+      .toDF("user_id", "value").withColumn("event_type", lit("t"))
+    val Array(r) = graft.operators.Robust.mannWhitneyOf(ev).collect()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 1.0, s"auc: $r")
+    assert(r.getDouble(4) == 1.224745, s"z: $r")
+    assert(!r.getBoolean(5))
+    // every observation tied: auc is exactly 1/2, variance collapses
+    val tied = (a0 ++ a1).map(u => (u, 5.0))
+      .toDF("user_id", "value").withColumn("event_type", lit("t"))
+    val Array(rt) = graft.operators.Robust.mannWhitneyOf(tied).collect()
+    assert(rt.getDouble(3) == 0.5 && rt.isNullAt(4) && !rt.getBoolean(5), s"$rt")
+  }
 }

@@ -427,4 +427,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(out.forall(_.getLong(2) == 1000000L),
       s"lossless reconstruction keeps every neighbor: ${out.toSeq}")
   }
+
+  test("rpRecall: identical twins survive any sign projection; sign matrix is balanced") {
+    // Each query i (ids 0-7) has a byte-identical twin at id i+8 plus
+    // md5-scrambled noise vectors: identical inputs project
+    // identically (cosine 1 both spaces), so the twin sits at exact
+    // rank 1 AND projected rank 1 -> every query keeps >= 1 overlap
+    // whatever the signs do to the noise.
+    def v(seed: Long): Array[Float] = Array.tabulate(64) { d =>
+      (((seed * 2654435761L + d * 40503L) % 97) - 48).toFloat / 48f
+    }
+    val emb = ((0L until 8L).map(i => (i, v(i))) ++
+      (0L until 8L).map(i => (i + 8L, v(i))) ++
+      (16L until 40L).map(i => (i, v(i))))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.rpRecallOf(emb, outDims = 16, k = 3)
+      .collect()
+    assert(out.length == 8, s"every query keeps its twin: ${out.toSeq}")
+    assert(out.forall(_.getLong(1) >= 1L), s"twin overlap: ${out.toSeq}")
+    // the md5 sign matrix must not be degenerate: both signs present
+    // in every output dimension's column
+    val signs = graft.operators.Similarity.rpSigns(64, 16)
+    for (j <- 0 until 16) {
+      val col = (0 until 64).map(i => signs(i)(j))
+      assert(col.contains(1.0) && col.contains(-1.0), s"dim $j one-sided")
+    }
+  }
 }

@@ -291,4 +291,27 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out("value_non_negative")._2 == 1L)
     assert(out("props_present")._2 == 1L)
   }
+
+  test("mergeUpsert: insert/update/keep per key, change wins, base survives untouched keys") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: base only (keep); user 2: base + change (update, change
+    // wins); user 3: change only (insert); user 2's base has TWO
+    // versions (latest-before-split must win the base side).
+    val ev = Seq(
+      (1L, 1L, "view", 1.0, t("2024-01-10 10:00:00")),
+      (2L, 2L, "view", 2.0, t("2024-01-10 11:00:00")),
+      (3L, 2L, "click", 3.0, t("2024-01-12 11:00:00")),
+      (4L, 2L, "purchase", 9.0, t("2024-01-20 11:00:00")),
+      (5L, 3L, "view", 4.0, t("2024-01-21 12:00:00")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    val out = Warehouse.mergeUpsertOf(ev, "2024-01-15").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(4), r.getDouble(5)))
+      .toMap
+    assert(out(1L) == (("keep", "view", 1.0)))
+    assert(out(2L) == (("update", "purchase", 9.0)),
+      "the change side's latest row wins an update")
+    assert(out(3L) == (("insert", "view", 4.0)))
+  }
 }
