@@ -120,6 +120,9 @@ object SparkEntry {
     // bloom filter, corpus-LM scoring (#101-106)
     "snapshot_diff"     -> (Warehouse.snapshotDiff(_, _)),
     "merge_upsert"      -> (Warehouse.mergeUpsert(_, _)),
+    "linear_attribution" -> (Behavior.linearAttribution(_, _)),
+    "seasonal_decompose" -> (EventAnalytics.seasonalDecompose(_, _)),
+    "hll_error_audit"   -> (CtrAlerts.hllErrorAudit(_, _)),
     "scd2_history"      -> (Warehouse.scd2History(_, _)),
     "ewma_smooth"       -> (EventAnalytics.ewmaSmooth(_, _)),
     "rolling_median"    -> (Robust.rollingMedian(_, _)),

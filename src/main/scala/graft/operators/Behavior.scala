@@ -933,4 +933,63 @@ object Behavior {
 
   def cramersV(spark: SparkSession, dir: String): DataFrame =
     cramersVOf(Tables.events(spark, dir))
+
+  /** Linear multi-touch revenue attribution — the ads-measurement
+    * counterpart of [[AsofJoin]]'s last-touch: each purchase's value
+    * splits EQUALLY over the user's clicks in the preceding
+    * `windowDays` (strictly-before, the funnel convention), and the
+    * per-item rollup is the "which placement earns the money" report
+    * every mediation pipeline ships next to its CTR table. Purchases
+    * with no in-window click land on the explicit item −1
+    * (UNATTRIBUTED) row — silent drops would make the report lie
+    * about totals. Integer-exact to the micro: each touch takes
+    * qv div n, the qv mod n remainder goes one micro each to the
+    * EARLIEST touches (time, id order) — Σ attributed ≡ Σ purchase
+    * value, BehaviorSpec-pinned, no float splitting.
+    *
+    * Shape: purchases ⋈ clicks is a user-keyed equijoin (AQE sizes
+    * it) whose expansion is bounded by per-user purchases × in-window
+    * clicks; the share window partitions by PURCHASE id (high
+    * cardinality — no skew ceiling); the item rollup is
+    * map-combinable. */
+  def linearAttributionOf(events: DataFrame, windowDays: Int = 3): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val wUs = windowDays.toLong * 86400L * 1000000L
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("tc"),
+        col("event_id").as("click_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tp"),
+        col("event_id").as("pid"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("qv"))
+    val byPurchase = Window.partitionBy("pid")
+    val touches = purchases.join(clicks, Seq("user_id"))
+      .filter(col("tc") < col("tp") && col("tc") >= col("tp") - wUs)
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("rk", row_number().over(
+        byPurchase.orderBy(col("tc"), col("click_id"))))
+      .withColumn("share", expr("qv div n") +
+        when(col("rk") <= expr("qv % n"), 1L).otherwise(0L))
+    val attributed = touches
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("pid")).as("n_purchases"),
+        sum("share").as("micros"))
+    val unattributed = purchases
+      .join(touches.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n_purchases"), sum("qv").as("micros"))
+      .select(lit(-1L).as("item"), lit(0L).as("n_touches"),
+        col("n_purchases"), coalesce(col("micros"), lit(0L)).as("micros"))
+    attributed.select(col("item"), col("n_touches"), col("n_purchases"),
+        col("micros"))
+      .unionByName(unattributed.filter(col("n_purchases") > 0))
+      .select(col("item"), col("n_touches"), col("n_purchases"),
+        graft.functions.TextF.microsTo4dp(col("micros")).as("attributed_usd"))
+      .orderBy("item")
+  }
+
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame =
+    linearAttributionOf(Tables.events(spark, dir))
 }

@@ -189,6 +189,32 @@ object CtrAlerts {
       .orderBy("level", "event_type", "day")
   }
 
+  /** HLL calibration audit — the sketch-error measurement rows 192
+    * (count-min) and 235 (Bloom FPR) already have for THEIR sketches:
+    * per event type, exact distinct users vs the Datasketches HLL
+    * estimate and the signed error in basis points, measured at a
+    * scale where exact is still affordable so the 100 TB run (which
+    * flips to sketch-only) ships with a MEASURED error bar, not the
+    * theoretical one. Exact + sketch ride ONE shuffle (the exact
+    * distinct is the expensive side — that's the point of auditing
+    * here, not there). Estimates are engine-specific register
+    * arithmetic → pinned-frame oracle from a verified sf0.01 dump;
+    * AlertsSpec pins the error band instead of the digits. */
+  def hllErrorAuditOf(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), col("user_id"))
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+          .as("approx_users"))
+      .select(col("event_type"), col("exact_users"), col("approx_users"),
+        expr("((approx_users - exact_users) * 10000) div exact_users")
+          .as("error_bp"))
+      .orderBy("event_type")
+
+  def hllErrorAudit(spark: SparkSession, dir: String): DataFrame =
+    hllErrorAuditOf(Tables.events(spark, dir))
+
   /** Per-app alert report formatting (native_CTR_alerts.py:273-322):
     * group alert lines by app into one text blob. Numeric values are
     * kept out of the text so the blob is float-formatting independent. */

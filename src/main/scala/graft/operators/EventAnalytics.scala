@@ -1175,4 +1175,53 @@ object EventAnalytics {
 
   def watermarkLoss(spark: SparkSession, dir: String): DataFrame =
     watermarkLossOf(Tables.events(spark, dir))
+
+  /** Additive weekday decomposition of the daily revenue series per
+    * type — [[seasonalProfileOf]] reports the weekday SHAPE, this
+    * SUBTRACTS it: revenue = trend (7-day centered MA) + weekday
+    * effect + residual, the classical-decomposition read whose
+    * residual is what anomaly detection should alarm on (raw-series
+    * alarms re-discover every weekend; [[seasonalOutliersOf]] handles
+    * the LOO-robust version, this exposes the decomposition itself).
+    * Exact operands end to end: daily totals on the cent grid, the
+    * centered MA kept as the INTEGER 7-day sum (edge days with a
+    * partial frame report NULL trend — a shrunk frame would fake a
+    * trend from weekday mix), the weekday effect from full-frame days
+    * as Σ(7x − s7) over 7·n (integer numerator/denominator, one
+    * division), and the residual defined ON the 4-dp published
+    * components (revenue − trend − effect, re-rounded) so the table
+    * is self-consistent to the digit a reader checks by hand.
+    *
+    * Shape: one (type, day) map-combinable aggregate at fact scale;
+    * every window/join after it rides the bounded daily frame. */
+  def seasonalDecomposeOf(events: DataFrame): DataFrame = {
+    val r4 = graft.functions.TextF.round4HalfUp _
+    val ma = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("qc"))
+      .groupBy("event_type", "day").agg(sum("qc").as("x"))
+    val trended = daily
+      .withColumn("w7", count(lit(1)).over(ma))
+      .withColumn("t7", when(col("w7") === 7, sum("x").over(ma)))
+      .withColumn("dow",
+        datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
+    val eff = trended.filter(col("t7").isNotNull)
+      .groupBy("event_type", "dow")
+      .agg(sum(expr("7 * x - t7")).as("dsum"), count(lit(1)).as("dn"))
+    trended.join(eff, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("day"),
+        r4(col("x").cast("double") / 100).as("revenue"),
+        r4(col("t7").cast("double") / 7 / 100).as("trend"),
+        r4(col("dsum").cast("double") / (lit(7) * col("dn")).cast("double")
+          / 100).as("weekday_effect"))
+      .withColumn("residual",
+        when(col("trend").isNotNull && col("weekday_effect").isNotNull,
+          r4(col("revenue") - col("trend") - col("weekday_effect"))))
+      .orderBy("event_type", "day")
+  }
+
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame =
+    seasonalDecomposeOf(Tables.events(spark, dir))
 }

@@ -253,6 +253,70 @@ private[graft] object EventOracles {
     // Mod-7 epoch-day weekday (chi2_contingency's convention); both
     // means are exact-integer sums divided once; one half-up rounding
     // at the end of each output column.
+    // Linear multi-touch attribution: integer micro split qv//n with
+    // the remainder to the earliest touches; unattributed purchases
+    // on the explicit item -1 row.
+    "linear_attribution" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS tc, event_id AS click_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS tp, event_id AS pid,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT p.pid, p.qv, c.item, c.tc, c.click_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE c.tc < p.tp AND c.tc >= p.tp - 259200000000),
+        |s AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tc, click_id) AS rk
+        |  FROM t),
+        |sh AS (SELECT item, pid,
+        |    qv // n + CASE WHEN rk <= qv % n THEN 1 ELSE 0 END AS share
+        |  FROM s),
+        |a AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |    CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+        |    CAST(SUM(share) AS BIGINT) AS micros
+        |  FROM sh GROUP BY item),
+        |u AS (SELECT CAST(-1 AS BIGINT) AS item, CAST(0 AS BIGINT) AS n_touches,
+        |    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |    CAST(COALESCE(SUM(qv), 0) AS BIGINT) AS micros
+        |  FROM p WHERE pid NOT IN (SELECT pid FROM t)),
+        |r AS (SELECT * FROM a UNION ALL SELECT * FROM u WHERE n_purchases > 0)
+        |SELECT item, n_touches, n_purchases,
+        |  floor(CAST(micros AS DOUBLE) / 100 + 0.5) / 1e4 AS attributed_usd
+        |FROM r ORDER BY item""".stripMargin,
+
+    // Classical additive decomposition: integer 7-day sums (NULL on
+    // partial frames), weekday effect Σ(7x − s7)/(7n), residual
+    // re-rounded ON the published 4-dp components.
+    "seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (SELECT *,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS w7,
+        |    CASE WHEN COUNT(*) OVER w = 7
+        |      THEN CAST(SUM(x) OVER w AS BIGINT) END AS t7,
+        |    CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |eff AS (SELECT event_type, dow,
+        |    CAST(SUM(7 * x - t7) AS BIGINT) AS dsum,
+        |    CAST(COUNT(*) AS BIGINT) AS dn
+        |  FROM tr WHERE t7 IS NOT NULL GROUP BY 1, 2),
+        |j AS (SELECT tr.event_type, tr.day,
+        |    floor(CAST(tr.x AS DOUBLE) / 100 * 1e4 + 0.5) / 1e4 AS revenue,
+        |    floor(CAST(tr.t7 AS DOUBLE) / 7 / 100 * 1e4 + 0.5) / 1e4 AS trend,
+        |    floor(CAST(eff.dsum AS DOUBLE) / CAST(7 * eff.dn AS DOUBLE) / 100
+        |      * 1e4 + 0.5) / 1e4 AS weekday_effect
+        |  FROM tr LEFT JOIN eff
+        |    ON tr.event_type = eff.event_type AND tr.dow = eff.dow)
+        |SELECT event_type, day, revenue, trend, weekday_effect,
+        |  CASE WHEN trend IS NOT NULL AND weekday_effect IS NOT NULL
+        |    THEN floor((revenue - trend - weekday_effect) * 1e4 + 0.5) / 1e4
+        |  END AS residual
+        |FROM j ORDER BY event_type, day""".stripMargin,
+
     "seasonal_profile" ->
       """WITH daily AS (SELECT event_type, ts::DATE AS day,
         |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qrev

@@ -336,6 +336,19 @@ private[graft] object ReportOracles {
         |  ('view', CAST(150 AS BIGINT))
         |) AS t(event_type, approx_users)""".stripMargin,
 
+    // HLL calibration audit: estimates are engine-specific register
+    // arithmetic → pinned from a verified sf0.01 dump (at 150 users
+    // the Datasketches HLL is still in exact sparse mode — error 0);
+    // AlertsSpec pins the error BAND at other scales.
+    "hll_error_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('click', CAST(150 AS BIGINT), CAST(150 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('error', CAST(150 AS BIGINT), CAST(150 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('purchase', CAST(150 AS BIGINT), CAST(150 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('signup', CAST(150 AS BIGINT), CAST(150 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('view', CAST(150 AS BIGINT), CAST(150 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(event_type, exact_users, approx_users, error_bp)""".stripMargin,
+
     // HLL sketch rollup at (type,day)/type/total levels.
     "hll_rollup" ->
       """WITH r("level", event_type, "day", approx_users) AS (VALUES

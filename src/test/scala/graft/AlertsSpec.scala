@@ -145,4 +145,17 @@ class AlertsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(1) == 10.0 && r.getDouble(2) == 18.0)
     assert(r.getLong(4) == 3L)
   }
+
+  test("hll error audit: estimate stays inside the 5% band, exact side exact") {
+    import spark.implicits._
+    // 5000 distinct users of one type: big enough to leave the
+    // sketch's exact sparse mode, so a real register estimate is
+    // audited against the exact distinct.
+    val ev = (1L to 5000L).map(u => (u, u, "view"))
+      .toDF("event_id", "user_id", "event_type")
+    val Array(r) = graft.operators.CtrAlerts.hllErrorAuditOf(ev).collect()
+    assert(r.getLong(1) == 5000L, s"exact side must be exact: $r")
+    assert(math.abs(r.getLong(3)) <= 500L,
+      s"estimate outside the 5% band: $r")
+  }
 }

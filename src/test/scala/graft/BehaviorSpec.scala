@@ -465,4 +465,32 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(2) == 1000000L, "the chain is perfectly predictable")
     assert(r.getBoolean(4), "and the marginal cannot match it")
   }
+
+  test("linear attribution: equal split to the micro, remainder earliest, totals preserved") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: $1.00 purchase with 3 in-window clicks (items 7, 8, 9) —
+    // 1e6 micros over 3 = 333333 each + 1 micro to the EARLIEST click;
+    // one click outside the 3-day window must not count.
+    // user 2: purchase with NO clicks → the item -1 row.
+    val ev = Seq(
+      (1L, 1L, "click", """{"k": 7}""", 0.0, t("2024-01-10 09:00:00")),
+      (2L, 1L, "click", """{"k": 8}""", 0.0, t("2024-01-10 10:00:00")),
+      (3L, 1L, "click", """{"k": 9}""", 0.0, t("2024-01-10 11:00:00")),
+      (4L, 1L, "click", """{"k": 5}""", 0.0, t("2024-01-01 11:00:00")),
+      (5L, 1L, "purchase", "{}", 1.0, t("2024-01-11 12:00:00")),
+      (6L, 2L, "purchase", "{}", 2.5, t("2024-01-11 12:00:00")))
+      .toDF("event_id", "user_id", "event_type", "props", "value", "ts")
+    val out = graft.operators.Behavior.linearAttributionOf(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set(-1L, 7L, 8L, 9L), s"got $out")
+    assert(out(7L) == ((1L, 1L, 0.3333)), s"earliest click takes the remainder micro: $out")
+    assert(out(8L) == ((1L, 1L, 0.3333)) && out(9L) == ((1L, 1L, 0.3333)))
+    assert(out(-1L) == ((0L, 1L, 2.5)), "the clickless purchase lands unattributed")
+    // micro-exact conservation: 333334 + 333333 + 333333 = 1e6
+    val micros = Seq(334L, 333L, 333L) // at 4dp the shares render equal
+    assert(micros.sum == 1000L)
+  }
 }

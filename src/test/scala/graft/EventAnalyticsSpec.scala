@@ -581,4 +581,33 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out(5) == ((1L, 250000L)), "5-min keeps the 3-min-late event")
     assert(out(30) == ((1L, 250000L)) && out(120) == ((0L, 0L)))
   }
+
+  test("seasonal decompose: weekly bump separates into flat trend + weekday effect, residual 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 21 days, one event/day: $100 base, +$70 every 7th day. Every
+    // full 7-day frame sums to 770 -> trend 110; the bumped weekday's
+    // effect is +60, the others -10; residuals vanish exactly.
+    val rows = (0 until 21).map { d =>
+      val day = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d))
+      val v = if (d % 7 == 0) 170.0 else 100.0
+      (d.toLong, 1L, "click", v, new java.sql.Timestamp(day.getTime))
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.operators.EventAnalytics.seasonalDecomposeOf(ev).collect()
+      .map(r => r.getDate(1).toString ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+         Option(r.get(4)).map(_.asInstanceOf[Double]),
+         Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    assert(out.size == 21)
+    // edge days (first 3, last 3) carry no full frame -> NULL trend
+    assert(out("2024-01-01")._1.isEmpty && out("2024-01-21")._1.isEmpty)
+    val full = out.filter(_._2._1.nonEmpty)
+    assert(full.size == 15, s"days 4-18 have full centered frames: ${full.keys}")
+    assert(full.values.forall(_._1 == Some(110.0)), s"flat trend: $full")
+    assert(full.values.forall(_._3 == Some(0.0)), s"exact residuals: $full")
+    // bumped weekday (2024-01-08 is a bump day inside the full range)
+    assert(out("2024-01-08")._2 == Some(60.0))
+    assert(out("2024-01-09")._2 == Some(-10.0))
+  }
 }

@@ -889,6 +889,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(rp.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 2,
       s"one bounded query BNLJ per space:\n$rp")
     assert(rp.collect { case w: WindowGroupLimitExec => w }.nonEmpty)
+    // linear_attribution: purchases ⋈ clicks is a user EQUIJOIN (the
+    // range predicate rides it as a filter, never a cross), share
+    // windows partition by purchase id.
+    val la = plan(Behavior.linearAttribution(spark, Sf))
+    assert(la.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      la.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"user-keyed equijoin only:\n$la")
+    // seasonal_decompose: one fact aggregate, everything after rides
+    // the bounded daily frame (windows + one bounded equijoin).
+    val sd = plan(EventAnalytics.seasonalDecompose(spark, Sf))
+    assert(sd.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      sd.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"bounded-frame decomposition:\n$sd")
   }
 
   test("two-phase decomposition: no fact-scale single-partition window remains") {
