@@ -123,6 +123,9 @@ object SparkEntry {
     "linear_attribution" -> (Behavior.linearAttribution(_, _)),
     "seasonal_decompose" -> (EventAnalytics.seasonalDecompose(_, _)),
     "hll_error_audit"   -> (CtrAlerts.hllErrorAudit(_, _)),
+    "weekday_envelope"  -> (EventAnalytics.weekdayEnvelope(_, _)),
+    "entry_conversion"  -> (EventAnalytics.entryConversion(_, _)),
+    "embedding_drift"   -> (Cluster.embeddingDrift(_, _)),
     "scd2_history"      -> (Warehouse.scd2History(_, _)),
     "ewma_smooth"       -> (EventAnalytics.ewmaSmooth(_, _)),
     "rolling_median"    -> (Robust.rollingMedian(_, _)),

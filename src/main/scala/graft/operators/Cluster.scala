@@ -355,4 +355,50 @@ object Cluster {
 
   def clusterTopics(spark: SparkSession, dir: String): DataFrame =
     clusterTopicsOf(Tables.embeddings(spark, dir), Tables.documents(spark, dir))
+
+  /** Embedding drift monitor per label: cosine between the label's
+    * centroid over the OLD vintage and over the NEW one — the
+    * model-ops gate before an embedding refresh ships (a label whose
+    * centroid swings is re-indexed / re-evaluated; row 218 gates
+    * SCHEMA drift, this gates REPRESENTATION drift). Vintages split
+    * deterministically on vec_id parity (the corpus's stand-in for
+    * ingest batches — swap the predicate for a real vintage column in
+    * production). Centroids are the [[labelCentroidsOf]] quantized
+    * element-wise means (integer 1e-6 sums per dimension — no float
+    * accumulation order); ONE codegen'd cosine per label, 6 dp.
+    * Labels missing a vintage emit nothing (no centroid to compare).
+    *
+    * Shape: one (label, vintage, dim) map-combinable aggregate on the
+    * posexploded frame; everything after rides the bounded
+    * labels × 2 × 64 frame. */
+  def embeddingDriftOf(embeddings: DataFrame): DataFrame = {
+    val vecs = embeddings.select(col("label"),
+      (col("vec_id") % 2 === 0).as("old_half"),
+      col("embedding").cast("array<double>").as("emb"))
+    val cents = vecs
+      .select(col("label"), col("old_half"),
+        posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("label", "old_half", "pos")
+      .agg(sum(round(col("v") * 1e6).cast("long")).as("isum"),
+        count(lit(1)).as("cnt"))
+      .select(col("label"), col("old_half"), col("pos"), col("cnt"),
+        round(col("isum").cast("double") / 1e6 / col("cnt").cast("double"), 6)
+          .as("v"))
+      .groupBy("label", "old_half")
+      .agg(max("cnt").as("n"), // per-dim member count is constant
+        transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("c"))
+    val o = cents.filter(col("old_half"))
+      .select(col("label"), col("n").as("n_old"), col("c").as("c_old"))
+    val nw = cents.filter(!col("old_half"))
+      .select(col("label"), col("n").as("n_new"), col("c").as("c_new"))
+    o.join(nw, Seq("label"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(VectorF.cosineSim(col("c_old"), col("c_new")), 6)
+          .as("drift_cos"))
+      .orderBy("label")
+  }
+
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDriftOf(Tables.embeddings(spark, dir))
 }

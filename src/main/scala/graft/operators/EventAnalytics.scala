@@ -1224,4 +1224,78 @@ object EventAnalytics {
 
   def seasonalDecompose(spark: SparkSession, dir: String): DataFrame =
     seasonalDecomposeOf(Tables.events(spark, dir))
+
+  /** Weekday revenue envelope per type — the NORMAL BAND a monitoring
+    * dashboard draws under the live line (p10/p50/p90 of daily
+    * revenue, conditioned on weekday so Saturday isn't judged against
+    * Tuesday — [[seasonalDecomposeOf]] models the weekday effect,
+    * this publishes the empirical band an on-call human eyeballs).
+    * Daily totals on the exact cent grid; the ONE array-percentile
+    * aggregate interpolates on exact integer operands
+    * ([[interarrivalPercentilesOf]]'s single-buffer move) over the
+    * BOUNDED (type × weekday) daily frame; dollars at 4 dp.
+    *
+    * Shape: one (type, day) map-combinable aggregate at fact scale;
+    * the envelope aggregate runs on ≤ types × days rows. */
+  def weekdayEnvelopeOf(events: DataFrame): DataFrame = {
+    val r4 = graft.functions.TextF.round4HalfUp _
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("qc"))
+      .groupBy("event_type", "day").agg(sum("qc").as("x"))
+      .withColumn("dow",
+        datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        expr("percentile(x, array(0.1D, 0.5D, 0.9D))").as("ps"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        r4(element_at(col("ps"), 1) / 100).as("p10"),
+        r4(element_at(col("ps"), 2) / 100).as("p50"),
+        r4(element_at(col("ps"), 3) / 100).as("p90"))
+      .orderBy("event_type", "dow")
+  }
+
+  def weekdayEnvelope(spark: SparkSession, dir: String): DataFrame =
+    weekdayEnvelopeOf(Tables.events(spark, dir))
+
+  /** Session entry-point conversion (landing-page analysis): sessions
+    * grouped by their FIRST event's item, with the share that convert
+    * (contain a purchase) — the "which entry earns the session" read
+    * product teams pair with [[Behavior.funnelStepsOf]]'s global
+    * funnel. Session assignment is [[sessionizeOf]]'s exact lag/cumsum
+    * machinery (same gap, same (us, event_id) total order) kept at
+    * event grain; the entry event is the lexicographic struct MIN over
+    * (us, event_id) — map-combinable, no second window; conversion in
+    * exact ppm.
+    *
+    * Shape: one user-keyed sort window (sessionize's shuffle), one
+    * (user, session) aggregate, one bounded item rollup. */
+  def entryConversionOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(struct(col("us"), col("event_id"), col("item"))).as("first"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .groupBy(col("first.item").as("entry_item"))
+      .agg(count(lit(1)).as("n_sessions"), sum("conv").as("n_converted"))
+      .select(col("entry_item"), col("n_sessions"), col("n_converted"),
+        expr("(n_converted * 1000000) div n_sessions").as("conv_ppm"))
+      .orderBy("entry_item")
+  }
+
+  def entryConversion(spark: SparkSession, dir: String): DataFrame =
+    entryConversionOf(Tables.events(spark, dir))
 }

@@ -1180,6 +1180,44 @@ private[graft] object EventOracles {
     // Gaps are exact integer micros from the same (us, event_id)
     // order as the Spark window; quantile_cont interpolates on exact
     // operands, seconds render through the 4 dp floor grid.
+    // Weekday envelope: exact cent operands into quantile_cont (the
+    // interarrival precedent), 4-dp dollars.
+    "weekday_envelope" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow
+        |      FROM daily)
+        |SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  floor(quantile_cont(x, 0.1) / 100 * 1e4 + 0.5) / 1e4 AS p10,
+        |  floor(quantile_cont(x, 0.5) / 100 * 1e4 + 0.5) / 1e4 AS p50,
+        |  floor(quantile_cont(x, 0.9) / 100 * 1e4 + 0.5) / 1e4 AS p90
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Entry conversion: the sessionize lag/cumsum CTE at event grain,
+    // first event via window, conversion ppm by integer division.
+    "entry_conversion" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s2 AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS sid FROM s),
+        |g AS (SELECT user_id, sid, event_type,
+        |    FIRST_VALUE(item) OVER (PARTITION BY user_id, sid
+        |      ORDER BY us, event_id) AS entry_item
+        |  FROM s2),
+        |agg AS (SELECT user_id, sid, MIN(entry_item) AS entry_item,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM g GROUP BY 1, 2)
+        |SELECT entry_item, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  (CAST(SUM(conv) AS BIGINT) * 1000000) // COUNT(*) AS conv_ppm
+        |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "interarrival_percentiles" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
         |g AS (SELECT event_type,

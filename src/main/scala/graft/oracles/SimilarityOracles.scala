@@ -236,6 +236,24 @@ private[graft] object SimilarityOracles {
 
     // Same element-wise quantized-mean centroid machinery as the
     // kmeans oracle; cohesion means go through integer-quantized sums.
+    // Drift monitor: the label_centroids quantized-mean construction
+    // per vintage half, one cosine per label.
+    "embedding_drift" ->
+      """WITH v AS (SELECT label, vec_id % 2 = 0 AS old_half,
+        |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT label, old_half, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS cv,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM v, generate_series(1, 64) AS g(i) GROUP BY label, old_half, i),
+        |c AS (SELECT label, old_half, MAX(n) AS n, list(cv ORDER BY i) AS c_emb
+        |      FROM m GROUP BY 1, 2),
+        |o AS (SELECT label, n AS n_old, c_emb AS c_old FROM c WHERE old_half),
+        |nw AS (SELECT label, n AS n_new, c_emb AS c_new FROM c WHERE NOT old_half)
+        |SELECT o.label, n_old, n_new,
+        |  ROUND(list_cosine_similarity(c_old, c_new), 6) AS drift_cos
+        |FROM o JOIN nw ON o.label = nw.label ORDER BY o.label""".stripMargin,
+
     "label_centroids" ->
       """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |m AS (SELECT label, i,

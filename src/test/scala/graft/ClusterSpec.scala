@@ -140,4 +140,25 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(0L -> "apple", 1L -> "banana"),
       s"planted topics must win rank 1: $out")
   }
+
+  test("embedding drift: identical vintages read 1, flipped vintages read -1, half-less labels drop") {
+    import spark.implicits._
+    def v(x: Double) = Array.tabulate(64)(d => (x * (d + 1)).toFloat / 64f)
+    val emb = Seq(
+      // label A: even and odd ids carry the SAME vector → drift 1
+      (0L, "A", v(1.0)), (1L, "A", v(1.0)),
+      (2L, "A", v(1.0)), (3L, "A", v(1.0)),
+      // label B: odd (new) half is the NEGATED vector → drift -1
+      (10L, "B", v(2.0)), (11L, "B", v(-2.0)),
+      // label C: only an even-half member → no comparison possible
+      (20L, "C", v(3.0)))
+      .map { case (id, l, e) => (id, e, l) }
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Cluster.embeddingDriftOf(emb).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set("A", "B"), s"label C lacks a vintage: $out")
+    assert(out("A") == ((2L, 2L, 1.0)))
+    assert(out("B") == ((1L, 1L, -1.0)))
+  }
 }

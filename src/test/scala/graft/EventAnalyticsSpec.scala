@@ -610,4 +610,44 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out("2024-01-08")._2 == Some(60.0))
     assert(out("2024-01-09")._2 == Some(-10.0))
   }
+
+  test("weekday envelope: per-dow quantiles interpolate over exactly that weekday's days") {
+    import spark.implicits._
+    // 3 weeks, one event/day, same values {10, 20, 40} on every
+    // weekday: p10 = 10 + 0.2·10 = 12, p50 = 20, p90 = 20 + 0.8·20 = 36.
+    val rows = (0 until 21).map { d =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+      val v = Seq(10.0, 20.0, 40.0)(d / 7)
+      (d.toLong, 1L, "view", v,
+        java.sql.Timestamp.valueOf(day.atTime(12, 0)))
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.operators.EventAnalytics.weekdayEnvelopeOf(ev).collect()
+    assert(out.length == 7, "one row per weekday")
+    assert(out.forall(r => r.getLong(2) == 3L &&
+      r.getDouble(3) == 12.0 && r.getDouble(4) == 20.0 &&
+      r.getDouble(5) == 36.0), s"got ${out.toSeq}")
+  }
+
+  test("entry conversion: sessions credit their FIRST event's item, ppm exact") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1, session 1: entry item 7, converts
+      (1L, 1L, "view", """{"k": 7}""", t("2024-01-01 10:00:00")),
+      (2L, 1L, "purchase", """{"k": 9}""", t("2024-01-01 10:10:00")),
+      // user 1, session 2 (gap > 30 min): entry item 8, no purchase
+      (3L, 1L, "view", """{"k": 8}""", t("2024-01-01 12:00:00")),
+      // user 2, one session: entry item 7, no purchase
+      (4L, 2L, "view", """{"k": 7}""", t("2024-01-01 10:00:00")),
+      (5L, 2L, "click", """{"k": 5}""", t("2024-01-01 10:05:00")))
+      .toDF("event_id", "user_id", "event_type", "props", "ts")
+    val out = graft.operators.EventAnalytics.entryConversionOf(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      7L -> ((2L, 1L, 500000L)),
+      8L -> ((1L, 0L, 0L))), s"got $out")
+  }
 }
