@@ -126,6 +126,9 @@ object SparkEntry {
     "weekday_envelope"  -> (EventAnalytics.weekdayEnvelope(_, _)),
     "entry_conversion"  -> (EventAnalytics.entryConversion(_, _)),
     "embedding_drift"   -> (Cluster.embeddingDrift(_, _)),
+    "asof_nearest"      -> (AsofJoin.nearestAttribution(_, _)),
+    "session_campaign_overlap" -> (EventAnalytics.sessionCampaignOverlap(_, _)),
+    "deletion_audit"    -> (Warehouse.deletionAudit(_, _)),
     "scd2_history"      -> (Warehouse.scd2History(_, _)),
     "ewma_smooth"       -> (EventAnalytics.ewmaSmooth(_, _)),
     "rolling_median"    -> (Robust.rollingMedian(_, _)),

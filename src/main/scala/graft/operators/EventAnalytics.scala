@@ -1298,4 +1298,57 @@ object EventAnalytics {
 
   def entryConversion(spark: SparkSession, dir: String): DataFrame =
     entryConversionOf(Tables.events(spark, dir))
+
+  /** Interval-OVERLAP join: sessions × campaign windows weighted by
+    * the overlap DURATION — [[intervalJoinOf]] answers "which events
+    * fall inside a window" (point ∈ interval); this answers "how much
+    * session time each campaign actually covered" (interval ∩
+    * interval), the exposure denominator an attribution model
+    * normalizes by. Sessions are closed-start exclusive-end
+    * ([ss, se+1µs) — [[peakConcurrencyOf]]'s convention), campaigns
+    * cover [start_day 00:00, end_day+1 00:00); overlap in exact µs,
+    * reported seconds at 4 dp.
+    *
+    * Shape: the same 2-day-bucket equijoin as [[intervalJoinOf]] —
+    * each side explodes into the buckets it covers, pairs meet on the
+    * bucket key (never a theta join), a pair matching in several
+    * buckets dedups BEFORE aggregation. Campaign side is
+    * calendar-bounded and broadcasts. */
+  def sessionCampaignOverlapOf(events: DataFrame, campaigns: DataFrame,
+                               gapMinutes: Int = 30): DataFrame = {
+    val sess = sessionizeOf(events, gapMinutes)
+      .select(col("user_id"), col("session_idx"),
+        col("start_us"), col("end_us"))
+    val day0 = broadcast(events.agg(min(to_date(col("ts"))).as("day0")))
+    val campB = broadcast(campaigns.crossJoin(day0)
+      .select(col("campaign_id"),
+        unix_micros(col("start_day").cast("timestamp")).as("cs"),
+        unix_micros(date_add(col("end_day"), 1).cast("timestamp")).as("ce"),
+        explode(sequence(
+          expr("datediff(start_day, day0) div 2"),
+          expr("datediff(end_day, day0) div 2"))).as("bucket")))
+    val sessBucketed = sess.crossJoin(day0)
+      .withColumn("bucket", explode(sequence(
+        expr("datediff(CAST(timestamp_micros(start_us) AS DATE), day0) div 2"),
+        expr("datediff(CAST(timestamp_micros(end_us) AS DATE), day0) div 2"))))
+    sessBucketed.join(campB, Seq("bucket"))
+      .select(col("campaign_id"), col("user_id"), col("session_idx"),
+        greatest(lit(0L),
+          least(col("end_us") + 1L, col("ce"))
+            - greatest(col("start_us"), col("cs"))).as("overlap_us"))
+      .filter(col("overlap_us") > 0L)
+      .distinct() // a pair meeting in several buckets counts once
+      .groupBy("campaign_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("overlap_us").as("ou"))
+      .select(col("campaign_id"), col("n_sessions"),
+        graft.functions.TextF.round4HalfUp(col("ou").cast("double") / 1e6)
+          .as("total_overlap_s"))
+      .orderBy("campaign_id")
+  }
+
+  def sessionCampaignOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    sessionCampaignOverlapOf(events, campaignWindows(events))
+  }
 }

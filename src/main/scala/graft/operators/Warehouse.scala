@@ -185,6 +185,40 @@ object Warehouse {
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame =
     mergeUpsertOf(Tables.events(spark, dir))
 
+  /** Right-to-erasure (GDPR delete) cost audit: given a deletion set
+    * (here the deterministic user_id % 97 == 0 cohort standing in for
+    * a request table — swap the predicate for a real one), report per
+    * date partition how many rows the delete pass must remove and the
+    * partition's rewrite fraction — the number that prices the pass
+    * BEFORE it runs: a date-partitioned warehouse deletes by
+    * rewriting whole partitions ([[graft.sources.Sinks
+    * .idempotentDailyAppend]]'s dynamic overwrite), so cost is
+    * Σ touched-partition sizes, not Σ deleted rows, and a 50-ppm
+    * smear across every partition is a FULL-table rewrite (the
+    * classic argument for bucketing or deletion vectors, quantified).
+    * Partitions with nothing to delete are omitted (the pass skips
+    * them).
+    *
+    * Shape: ONE map-combinable (day) aggregate; the deletion
+    * predicate is a pushable map-side test. */
+  def deletionAuditOf(events: DataFrame): DataFrame = {
+    val doomed = col("user_id") % 97 === 0
+    events
+      .select(to_date(col("ts")).as("day"), col("user_id"), doomed.as("d"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("d"), 1L).otherwise(0L)).as("rows_to_delete"),
+        countDistinct(when(col("d"), col("user_id"))).as("users_to_delete"))
+      .filter(col("rows_to_delete") > 0)
+      .select(col("day"), col("n_rows"), col("rows_to_delete"),
+        col("users_to_delete"),
+        expr("(rows_to_delete * 1000000) div n_rows").as("delete_ppm"))
+      .orderBy("day")
+  }
+
+  def deletionAudit(spark: SparkSession, dir: String): DataFrame =
+    deletionAuditOf(Tables.events(spark, dir))
+
   /** SCD Type-2 dimension history from the changelog: per key, one row
     * per run of consecutive equal attribute values, with
     * [valid_from, valid_to) microsecond bounds (valid_to NULL = the

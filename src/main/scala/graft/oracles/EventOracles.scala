@@ -23,6 +23,52 @@ private[graft] object EventOracles {
         |  ROUND(CAST(MAX(us) - MIN(us) AS DOUBLE) / 1e6, 3) AS duration_sec
         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
 
+    // Nearest as-of: per click the view minimizing |Δ|, ties backward
+    // then smallest view_id (ORDER BY abs(d), d, view_id). The oracle
+    // theta-joins per user (fine at oracle scale); the Spark side is
+    // the two-pass union-and-carry. Grain: µs (the parquet view).
+    "asof_nearest" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+        |      FROM events WHERE event_type = 'view'),
+        |p AS (SELECT c.click_id, c.user_id, v.view_id,
+        |        v.vus - c.cus AS d,
+        |        ROW_NUMBER() OVER (PARTITION BY c.click_id
+        |          ORDER BY abs(v.vus - c.cus), v.vus - c.cus, v.view_id) AS rn
+        |      FROM c LEFT JOIN v ON c.user_id = v.user_id)
+        |SELECT click_id, user_id, view_id AS nearest_view_id,
+        |  d AS delta_us
+        |FROM p WHERE rn = 1 ORDER BY click_id""".stripMargin,
+
+    // Interval-overlap join: the sessionize CTE + calendar campaigns,
+    // exact-µs overlap of [ss, se+1) against [start 00:00, end+1 00:00).
+    "session_campaign_overlap" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f),
+        |sess AS (SELECT user_id, session_idx,
+        |        MIN(us) AS ss, MAX(us) AS se
+        |      FROM s GROUP BY user_id, session_idx),
+        |d0 AS (SELECT MIN(ts::DATE) AS day0 FROM events),
+        |camp AS (SELECT CAST(r.range AS BIGINT) AS campaign_id,
+        |        epoch_us(CAST(day0 + CAST(2 * r.range AS INTEGER) AS TIMESTAMP)) AS cs,
+        |        epoch_us(CAST(day0 + CAST(2 * r.range + 5 AS INTEGER) AS TIMESTAMP)) AS ce
+        |      FROM range(10) r, d0),
+        |ov AS (SELECT campaign_id, user_id, session_idx,
+        |        LEAST(se + 1, ce) - GREATEST(ss, cs) AS overlap_us
+        |      FROM sess, camp
+        |      WHERE LEAST(se + 1, ce) - GREATEST(ss, cs) > 0)
+        |SELECT campaign_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  floor(CAST(SUM(overlap_us) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4
+        |    AS total_overlap_s
+        |FROM ov GROUP BY campaign_id ORDER BY campaign_id""".stripMargin,
+
     "zscore_outliers" ->
       """WITH s AS (
         |  SELECT user_id, AVG(value) AS mu, STDDEV_SAMP(value) AS sd, COUNT(*) AS n

@@ -138,6 +138,19 @@ private[graft] object WarehouseOracles {
         |   OR s1.event_type <> s2.event_type OR s1.value <> s2.value
         |ORDER BY s2.user_id""".stripMargin,
 
+    // Deletion-cost audit: one day aggregate, ppm by integer division.
+    "deletion_audit" ->
+      """SELECT ts::DATE AS day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rows_to_delete,
+        |  CAST(COUNT(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END)
+        |    AS BIGINT) AS users_to_delete,
+        |  (CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // COUNT(*) AS delete_ppm
+        |FROM events GROUP BY 1
+        |HAVING SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) > 0
+        |ORDER BY day""".stripMargin,
+
     // Same grain contract as latest_per_key: DuckDB ranks on (µs,
     // event_id) where Spark ranks exact-ns — they agree because ids
     // are time-monotone within a microsecond (hash-verified).

@@ -67,4 +67,30 @@ class AsofJoinSpec extends AnyFunSuite with SparkFixture {
       assert(viewTs <= clickTs, s"view ${r.getLong(2)} after click ${r.getLong(0)}")
     }
   }
+
+  test("asofNearest: |delta| wins either direction, ties backward then smallest id") {
+    val left = Seq(
+      (1L, 100L, 10L), // views at 97 (d=-3) and 102 (d=+2): forward wins
+      (1L, 200L, 11L), // views at 195 (d=-5) and 205 (d=+5): TIE -> backward
+      (1L, 97L, 12L),  // view exactly AT 97: d=0 backward
+      (2L, 50L, 13L),  // keyless-views user: NULL match survives
+      (3L, 70L, 14L))  // two views BOTH at 70: smallest view_id wins
+      .toDF("user_id", "t", "click_id")
+    val right = Seq(
+      (1L, 97L, 901L), (1L, 102L, 902L), (1L, 195L, 903L), (1L, 205L, 904L),
+      (3L, 70L, 950L), (3L, 70L, 940L))
+      .toDF("user_id", "t", "view_id")
+    val out = graft.operators.AsofJoin
+      .asofNearest(left, right, "user_id", "t", "view_id", Seq("view_id"))
+      .collect()
+      .map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4),
+         if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(out(10L) == ((902L, 102L)), s"forward at |2| beats backward |3|: $out")
+    assert(out(11L) == ((903L, 195L)), "equidistant tie resolves backward")
+    assert(out(12L) == ((901L, 97L)), "an equal-time right row matches backward at d=0")
+    assert(out(13L) == ((-1L, -1L)), "no right rows for the key -> NULL, row kept")
+    assert(out(14L) == ((940L, 70L)), "equal-time right ties break to the smallest id")
+  }
 }

@@ -650,4 +650,30 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
       7L -> ((2L, 1L, 500000L)),
       8L -> ((1L, 0L, 0L))), s"got $out")
   }
+
+  test("session-campaign overlap: exact-microsecond clipping at window edges, pairs dedup") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // Campaign 0 covers [day0 00:00, day0+5 00:00). One session
+    // strides the campaign END boundary: 23:30 on day4 -> 00:30 on
+    // day5 (single session, 60-min gap tolerance via events 20 min
+    // apart) — only the part before midnight counts.
+    val ev = Seq(
+      (1L, 1L, t("2024-01-05 23:30:00")), (2L, 1L, t("2024-01-05 23:50:00")),
+      (3L, 1L, t("2024-01-06 00:10:00")), (4L, 1L, t("2024-01-06 00:30:00")),
+      // an in-window instant session (one event), also pinning day0
+      (5L, 2L, t("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val campaigns = graft.operators.EventAnalytics.campaignWindows(ev, 1)
+    val out = graft.operators.EventAnalytics
+      .sessionCampaignOverlapOf(ev, campaigns).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // day0 = 2024-01-01: campaign 0 = [01-01 00:00, 01-06 00:00).
+    // The striding session [23:30 01-05, 00:30 01-06 + 1 µs) clips at
+    // the campaign end -> exactly 1800 s; the instant session adds
+    // 1 µs; 1800.000001 + 0.000001 rounds to 1800.0 at 4 dp.
+    assert(out(0L)._1 == 2L, s"got $out")
+    assert(out(0L)._2 == 1800.0, s"midnight clipping must be exact: $out")
+  }
 }

@@ -902,6 +902,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(sd.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
       sd.collect { case j: CartesianProductExec => j }.isEmpty,
       s"bounded-frame decomposition:\n$sd")
+    // asof_nearest: the union-and-carry stays JOIN-FREE (both
+    // direction passes are windows over one union) — a range join or
+    // per-row subquery shape would regress the 100 TB contract.
+    val an = plan(graft.operators.AsofJoin.nearestAttribution(spark, Sf))
+    assert(an.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      an.collect { case j: CartesianProductExec => j }.isEmpty &&
+      an.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"two-pass union-and-carry only:\n$an")
+    // session_campaign_overlap: the bucket EQUIJOIN carries the pair
+    // generation; only the 1-row day0 bounds cross.
+    val sco = plan(EventAnalytics.sessionCampaignOverlap(spark, Sf))
+    assert(sco.collect { case j: CartesianProductExec => j }.isEmpty)
+    // 1-row day0 rides three branches (campaign synthesis, campaign
+    // bucketing, session bucketing) — all bounded broadcasts.
+    assert(sco.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 3,
+      s"only the 1-row day0 crosses:\n$sco")
   }
 
   test("two-phase decomposition: no fact-scale single-partition window remains") {

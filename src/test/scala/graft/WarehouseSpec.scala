@@ -314,4 +314,25 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
       "the change side's latest row wins an update")
     assert(out(3L) == (("insert", "view", 4.0)))
   }
+
+  test("deletionAudit: only touched partitions report, ppm prices the rewrite") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // Jan 1: 3 rows, one belongs to doomed user 97 -> 333333 ppm
+      (1L, 97L, t("2024-01-01 10:00:00")), (2L, 5L, t("2024-01-01 11:00:00")),
+      (3L, 6L, t("2024-01-01 12:00:00")),
+      // Jan 2: untouched partition -> omitted entirely
+      (4L, 7L, t("2024-01-02 10:00:00")),
+      // Jan 3: both rows doomed (users 97 and 194) -> full rewrite
+      (5L, 97L, t("2024-01-03 10:00:00")), (6L, 194L, t("2024-01-03 11:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = Warehouse.deletionAuditOf(ev).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set("2024-01-01", "2024-01-03"),
+      s"untouched partitions are skipped: $out")
+    assert(out("2024-01-01") == ((3L, 1L, 1L, 333333L)))
+    assert(out("2024-01-03") == ((2L, 2L, 2L, 1000000L)))
+  }
 }
