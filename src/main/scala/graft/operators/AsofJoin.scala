@@ -88,7 +88,17 @@ object AsofJoin {
                   valueCols: Seq[String]): DataFrame = {
     require(valueCols.contains(tieCol),
       s"tieCol $tieCol must be carried in valueCols")
+    val reserved = Seq("__side", "__tie", "__rv", "__b", "__f", "__n")
+    val clashes = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"asofNearest reserves internal column names ${reserved.mkString(", ")}; " +
+        s"rename input column(s) ${clashes.distinct.mkString(", ")}")
     val leftCols = left.columns.filterNot(c => c == key || c == time)
+    val dupOut = valueCols.filter(c => c == key || c == time ||
+      c == s"asof_$time" || leftCols.contains(c))
+    require(dupOut.isEmpty,
+      s"valueCols ${dupOut.mkString(", ")} collide with left-side output " +
+        "names; alias one side before joining")
     val rvType = org.apache.spark.sql.types.StructType(
       right.schema(right.schema.fieldIndex(time)) +:
         valueCols.map(c => right.schema(right.schema.fieldIndex(c))))

@@ -215,4 +215,45 @@ class EdgeCasesSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(1) == 0L, "pair must not survive one-endpoint sampling")
     assert(r.isNullAt(4), "no surviving pairs → NULL recall, not a verdict")
   }
+
+  test("round-11 tranche degenerates: empty/one-sided inputs degrade, never throw") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // linear attribution with no purchases at all: no rows, no
+    // spurious unattributed bucket.
+    val viewsOnly = Seq((1L, 1L, "view", "{}", 1.0, t("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "props", "value", "ts")
+    assert(Behavior.linearAttributionOf(viewsOnly).collect().isEmpty)
+    // merge-upsert where EVERYTHING is on one side of the split.
+    val allBefore = Seq((1L, 1L, "view", 1.0, t("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    val mu = Warehouse.mergeUpsertOf(allBefore, "2024-01-15").collect()
+    assert(mu.length == 1 && mu.head.getString(1) == "keep")
+    // mann-whitney when one arm is empty for a type: the type drops
+    // (no comparison exists), it must not emit a NaN row.
+    val oneUser = Seq((1L, 5.0, "t"), (1L, 6.0, "t"))
+      .toDF("user_id", "value", "event_type")
+    val mwRows = graft.operators.Robust.mannWhitneyOf(oneUser).collect()
+    assert(mwRows.isEmpty || mwRows.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+    // seasonal decompose on a 2-day series: no full frame anywhere →
+    // rows survive with NULL trend/effect/residual.
+    val twoDays = Seq(
+      (1L, 1L, "click", 5.0, t("2024-01-01 10:00:00")),
+      (2L, 1L, "click", 7.0, t("2024-01-02 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val sd = EventAnalytics.seasonalDecomposeOf(twoDays).collect()
+    assert(sd.length == 2 && sd.forall(r => r.isNullAt(3) && r.isNullAt(5)))
+    // nearest as-of with an EMPTY right side: all left rows kept, NULLs.
+    val l = Seq((1L, 10L, 100L)).toDF("user_id", "t", "click_id")
+    val rEmpty = Seq.empty[(Long, Long, Long)].toDF("user_id", "t", "view_id")
+    val an = graft.operators.AsofJoin
+      .asofNearest(l, rEmpty, "user_id", "t", "view_id", Seq("view_id"))
+      .collect()
+    assert(an.length == 1 && an.head.isNullAt(3) && an.head.isNullAt(4))
+    // deletion audit with nobody to delete: empty report.
+    val clean = Seq((1L, 5L, t("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    assert(Warehouse.deletionAuditOf(clean).collect().isEmpty)
+  }
 }
