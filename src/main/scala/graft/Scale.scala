@@ -65,9 +65,9 @@ object Scale {
   // a total order (the callers' contract), whatever bounds the
   // sampler picks — bounds only move rows between buckets, never
   // reorder them. The input frame is narrow by contract (project
-  // first); it is localCheckpoint'ed BEFORE the range exchange so the
-  // sampler and the exchange read one materialization instead of
-  // recomputing upstream regex/shuffle work twice.
+  // first); when upstream carries real work (regex, a shuffle) an
+  // optional first checkpoint computes it once for the sampler and
+  // the exchange — see `bucketed`'s snapshotInput note.
   //
   // (First cut assigned buckets by folding a quantile-sketch boundary
   // array per row — functions.aggregate is an interpreted
@@ -79,12 +79,23 @@ object Scale {
   private def defaultBuckets(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt.max(1)
 
-  /** Phases 1–2: range-partition on `order`, freeze, tag `__bkt`. */
-  private def bucketed(df: DataFrame, order: Seq[Column], buckets: Int): DataFrame =
-    df.localCheckpoint(false) // upstream once: sampler + exchange share it
-      .repartitionByRange(buckets, order: _*)
+  /** Phases 1–2: range-partition on `order`, freeze, tag `__bkt`.
+    * `snapshotInput` controls the OPTIONAL first checkpoint that
+    * computes upstream once for the sampler + exchange: keep it when
+    * upstream carries regex/shuffle work (curriculum's quality score,
+    * peak-concurrency's sessionize), drop it when upstream is a
+    * pruned scan+project — there the second scan is cheaper than
+    * doubling executor storage (the ×1000 OOM lesson: two 10⁸-row
+    * MEMORY_AND_DISK checkpoints where one suffices). The SECOND
+    * checkpoint is never optional — it freezes the sampled range
+    * bounds so every pass sees one assignment. */
+  private def bucketed(df: DataFrame, order: Seq[Column], buckets: Int,
+                       snapshotInput: Boolean): DataFrame = {
+    val in = if (snapshotInput) df.localCheckpoint(false) else df
+    in.repartitionByRange(buckets, order: _*)
       .localCheckpoint(false) // freeze the sampled range assignment
       .withColumn("__bkt", spark_partition_id())
+  }
 
   /** Driver-side prefix sums over the bounded per-bucket frame:
     * offsets(i) = Σ totals over buckets < i, as an array literal
@@ -104,8 +115,10 @@ object Scale {
     * ranked frame (input columns + `__rank`) and the total row count
     * (for [[ntileFromRank]]). */
   def twoPhaseRank(df: DataFrame, order: Seq[Column],
-                   buckets: Int = 0): (DataFrame, Long) = {
-    val b = bucketed(df, order, if (buckets > 0) buckets else defaultBuckets(df))
+                   buckets: Int = 0,
+                   snapshotInput: Boolean = true): (DataFrame, Long) = {
+    val b = bucketed(df, order,
+      if (buckets > 0) buckets else defaultBuckets(df), snapshotInput)
     val counts = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ buckets rows
     val (offArr, total) = offsetsOf(counts)
@@ -119,8 +132,10 @@ object Scale {
     * order `order` — the prefix-sum twin of [[twoPhaseRank]]: offsets
     * carry each bucket's value total instead of its row count. */
   def twoPhaseRunningSum(df: DataFrame, order: Seq[Column],
-                         value: Column, buckets: Int = 0): DataFrame = {
-    val b = bucketed(df, order, if (buckets > 0) buckets else defaultBuckets(df))
+                         value: Column, buckets: Int = 0,
+                         snapshotInput: Boolean = true): DataFrame = {
+    val b = bucketed(df, order,
+      if (buckets > 0) buckets else defaultBuckets(df), snapshotInput)
     val sums = b.groupBy(col("__bkt"))
       .agg(coalesce(sum(value), lit(0L)).cast("long").as("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ buckets rows
@@ -142,8 +157,10 @@ object Scale {
     * `__prev` (null on each part's first row, like the plain lag). */
   def boundaryCarryLag(df: DataFrame, part: String,
                        order: Seq[Column], value: Column,
-                       buckets: Int = 0): DataFrame = {
-    val b = bucketed(df, order, if (buckets > 0) buckets else defaultBuckets(df))
+                       buckets: Int = 0,
+                       snapshotInput: Boolean = true): DataFrame = {
+    val b = bucketed(df, order,
+      if (buckets > 0) buckets else defaultBuckets(df), snapshotInput)
     val localW = Window.partitionBy(col(part), col("__bkt")).orderBy(order: _*)
     val lasts = b.groupBy(col(part), col("__bkt"))
       .agg(max_by(value, struct(order: _*)).as("__last"))

@@ -790,7 +790,8 @@ object EventAnalytics {
     graft.Scale.boundaryCarryLag(
         events.select(col("event_type"), unix_micros(col("ts")).as("us"),
           col("event_id")),
-        "event_type", Seq(col("us"), col("event_id")), col("us"))
+        "event_type", Seq(col("us"), col("event_id")), col("us"),
+        snapshotInput = false) // upstream is a pruned scan+project
       .withColumn("gap", col("us") - col("__prev"))
       .filter(col("gap").isNotNull)
       .groupBy("event_type")
@@ -888,7 +889,8 @@ object EventAnalytics {
     graft.Scale.boundaryCarryLag(
         events.select(col("event_type"), col("event_id"),
           unix_micros(col("ts")).as("us")),
-        "event_type", Seq(col("event_id")), col("us"))
+        "event_type", Seq(col("event_id")), col("us"),
+        snapshotInput = false) // upstream is a pruned scan+project
       .withColumnRenamed("__prev", "prev_us")
       .filter(col("prev_us").isNotNull)
       .select(col("event_type"),
