@@ -129,6 +129,8 @@ object SparkEntry {
     "asof_nearest"      -> (AsofJoin.nearestAttribution(_, _)),
     "session_campaign_overlap" -> (EventAnalytics.sessionCampaignOverlap(_, _)),
     "deletion_audit"    -> (Warehouse.deletionAudit(_, _)),
+    "audience_overlap"  -> (Behavior.audienceOverlap(_, _)),
+    "trending_items"    -> (Behavior.trendingItems(_, _)),
     "scd2_history"      -> (Warehouse.scd2History(_, _)),
     "ewma_smooth"       -> (EventAnalytics.ewmaSmooth(_, _)),
     "rolling_median"    -> (Robust.rollingMedian(_, _)),

@@ -992,4 +992,83 @@ object Behavior {
 
   def linearAttribution(spark: SparkSession, dir: String): DataFrame =
     linearAttributionOf(Tables.events(spark, dir))
+
+  /** Day-over-day audience overlap: Jaccard between consecutive days'
+    * active-user SETS plus the retained share — the daily-churn read
+    * behind [[cohortRetentionOf]]'s cohort triangles (cohorts answer
+    * "do January users come back"; this answers "how much of
+    * YESTERDAY's audience is here today", the number a DAU dashboard
+    * pairs with its totals). Exact set arithmetic: (user, day)
+    * dedup first (activity volume never inflates overlap), common =
+    * one user-keyed self-equijoin on (user, day+1), sizes from the
+    * same deduped frame; Jaccard and retained share by one division
+    * each, 4 dp / exact ppm. Days without a successor emit nothing
+    * (no pair exists).
+    *
+    * Shape: the dedup is the only fact-scale shuffle; the overlap
+    * join is user-keyed (AQE-sized), the day frames are bounded. */
+  def audienceOverlapOf(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint(false) // sizes + both join sides read it
+    val sizes = ud.groupBy("day").agg(count(lit(1)).as("n"))
+    val common = ud
+      .join(ud.select(col("user_id"), date_sub(col("day"), 1).as("day")),
+        Seq("user_id", "day"))
+      .groupBy("day").agg(count(lit(1)).as("n_common"))
+    sizes
+      .join(sizes.select(date_sub(col("day"), 1).as("day"),
+        col("n").as("n_next")), Seq("day"))
+      .join(common, Seq("day"), "left")
+      .select(col("day"), col("n").as("n_users"), col("n_next"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .select(col("day"), col("n_users"), col("n_next"), col("n_common"),
+        graft.functions.TextF.round4HalfUp(col("n_common").cast("double")
+          / (col("n_users") + col("n_next") - col("n_common")).cast("double"))
+          .as("jaccard"),
+        expr("(n_common * 1000000) div n_users").as("retained_ppm"))
+      .orderBy("day")
+  }
+
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame =
+    audienceOverlapOf(Tables.events(spark, dir))
+
+  /** Trending items (exponentially decayed interaction counts, top-k):
+    * [[decayedEngagementOf]]'s integer-exact λ=½ machinery keyed by
+    * ITEM — each interaction weighs 2^(−age) and the top-k by decayed
+    * score is the "what's hot NOW" rail, where a raw count would
+    * crown last week's spike forever. Weights ride the 2^(horizon−age)
+    * integer grid (order-independent sums, int64 headroom bound
+    * documented at [[decayedEngagementOf]]); the top-k is a global
+    * TakeOrdered (never a full sort), rank assigned on the k-row
+    * result frame; ties break to the smaller item id. */
+  def trendingItemsOf(events: DataFrame, horizon: Int = 20,
+                      k: Int = 20): DataFrame = {
+    require(horizon > 0 && horizon < 60, s"horizon in (0,60), got $horizon")
+    require(k > 0, s"k must be positive, got $k")
+    val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))
+    val top = events
+      .select(to_date(col("ts")).as("day"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"))
+      .crossJoin(broadcast(maxDay)) // 1 row by construction
+      .withColumn("age", datediff(col("report_date"), col("day")))
+      .filter(col("age") <= horizon)
+      .select(col("item"), expr(s"shiftleft(1L, $horizon - age)").as("w"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_events"), sum("w").as("wsum"))
+      .orderBy(col("wsum").desc, col("item"))
+      .limit(k)
+    top // k rows: the rank window is bounded by construction
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("wsum").desc, col("item"))))
+      .select(col("rank"), col("item"), col("n_events"),
+        graft.functions.TextF.round4HalfUp(
+          col("wsum").cast("double") / lit((1L << horizon).toDouble))
+          .as("score"))
+      .orderBy("rank")
+  }
+
+  def trendingItems(spark: SparkSession, dir: String): DataFrame =
+    trendingItemsOf(Tables.events(spark, dir))
 }

@@ -23,6 +23,41 @@ private[graft] object EventOracles {
         |  ROUND(CAST(MAX(us) - MIN(us) AS DOUBLE) / 1e6, 3) AS duration_sec
         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
 
+    // Day-over-day audience Jaccard on the deduped (user, day) frame.
+    "audience_overlap" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |sz AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM ud GROUP BY 1),
+        |cm AS (SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_common
+        |      FROM ud a JOIN ud b
+        |        ON a.user_id = b.user_id AND b.day = a.day + 1
+        |      GROUP BY 1)
+        |SELECT s.day, s.n AS n_users, t.n AS n_next,
+        |  COALESCE(cm.n_common, 0) AS n_common,
+        |  floor(CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+        |    / CAST(s.n + t.n - COALESCE(cm.n_common, 0) AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS jaccard,
+        |  (COALESCE(cm.n_common, 0) * 1000000) // s.n AS retained_ppm
+        |FROM sz s JOIN sz t ON t.day = s.day + 1
+        |LEFT JOIN cm ON cm.day = s.day
+        |ORDER BY s.day""".stripMargin,
+
+    // Trending items: 2^(horizon-age) integer weights, top-20 by
+    // decayed mass, smaller-item ties.
+    "trending_items" ->
+      """WITH md AS (SELECT max(ts::DATE) AS report_date FROM events),
+        |e AS (SELECT
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item,
+        |    report_date - ts::DATE AS age
+        |  FROM events, md WHERE report_date - ts::DATE <= 20),
+        |g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (20 - age)) AS BIGINT) AS wsum
+        |  FROM e GROUP BY item),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY wsum DESC, item) AS rank
+        |      FROM g)
+        |SELECT CAST(rank AS INT) AS rank, item, n_events,
+        |  floor(CAST(wsum AS DOUBLE) / 1048576.0 * 1e4 + 0.5) / 1e4 AS score
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     // Nearest as-of: per click the view minimizing |Δ|, ties backward
     // then smallest view_id (ORDER BY abs(d), d, view_id). The oracle
     // theta-joins per user (fine at oracle scale); the Spark side is

@@ -493,4 +493,43 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     val micros = Seq(334L, 333L, 333L) // at 4dp the shares render equal
     assert(micros.sum == 1000L)
   }
+
+  test("audience overlap: activity volume can't inflate the set Jaccard") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"$s 10:00:00")
+    // day 1 = {1, 2, 3}, day 2 = {2, 3, 4, 5} (user 2 hits day 2
+    // THREE times — must still count once): common 2, union 5.
+    val ev = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-01"),
+      (2L, "2024-01-02"), (2L, "2024-01-02"), (2L, "2024-01-02"),
+      (3L, "2024-01-02"), (4L, "2024-01-02"), (5L, "2024-01-02"))
+      .zipWithIndex.map { case ((u, d), i) => (i.toLong, u, t(d)) }
+      .toDF("event_id", "user_id", "ts")
+    val out = Behavior.audienceOverlapOf(ev).collect()
+    assert(out.length == 1, "only day 1 has a successor")
+    val r = out.head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 4L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 0.4, s"J = 2/5: $r")
+    assert(r.getLong(5) == 666666L, s"2 of 3 retained: $r")
+  }
+
+  test("trending items: yesterday's spike loses to today's smaller burst") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"$s 10:00:00")
+    // item 1: 10 hits 3 days ago (decayed mass 10/8 = 1.25);
+    // item 2: 2 hits today (mass 2.0) — decay must rank 2 first
+    // even though raw counts say otherwise.
+    val ev = ((1 to 10).map(i => (7L, "2024-01-01")) ++
+      Seq((8L, "2024-01-04"), (8L, "2024-01-04")))
+      .zipWithIndex.map { case ((item, d), i) =>
+        (i.toLong, 1L, s"""{"k": $item}""", t(d)) }
+      .toDF("event_id", "user_id", "props", "ts")
+    val out = Behavior.trendingItemsOf(ev).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      1 -> ((8L, 2L, 2.0)),
+      2 -> ((7L, 10L, 1.25))), s"got ${out.toSeq}")
+  }
 }
