@@ -131,6 +131,8 @@ object SparkEntry {
     "deletion_audit"    -> (Warehouse.deletionAudit(_, _)),
     "audience_overlap"  -> (Behavior.audienceOverlap(_, _)),
     "trending_items"    -> (Behavior.trendingItems(_, _)),
+    "return_rate_by_brand" -> (Warehouse.returnRateByBrand(_, _)),
+    "supplier_hhi"      -> (Warehouse.supplierHhi(_, _)),
     "scd2_history"      -> (Warehouse.scd2History(_, _)),
     "ewma_smooth"       -> (EventAnalytics.ewmaSmooth(_, _)),
     "rolling_median"    -> (Robust.rollingMedian(_, _)),

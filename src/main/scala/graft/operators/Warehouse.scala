@@ -653,4 +653,78 @@ object Warehouse {
 
   def contractAudit(spark: SparkSession, dir: String): DataFrame =
     contractAuditOf(Tables.events(spark, dir))
+
+  /** Return rate by part brand — the goods-quality report a retail
+    * warehouse runs weekly (a brand whose lineitems come back as 'R'
+    * at twice the fleet rate is a supplier conversation): per brand,
+    * lineitems, returned share in exact basis points, and the
+    * returned revenue on the integer micro grid. Brand is a true
+    * dimension attribute, so the part side BROADCASTS ([[
+    * revenueByNationOf]]'s pyramid rule); one map-combinable brand
+    * aggregate after the join.
+    */
+  def returnRateByBrandOf(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"),
+      (col("l_returnflag") === "R").as("ret"),
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+        .cast("long").as("qrev"))
+    li.join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), Seq("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("ret"), 1L).otherwise(0L)).as("n_returned"),
+        sum(when(col("ret"), col("qrev")).otherwise(0L)).as("qret"))
+      .select(col("p_brand"), col("n_items"), col("n_returned"),
+        expr("(n_returned * 10000) div n_items").as("return_bp"),
+        TextF.microsTo4dp(col("qret")).as("returned_revenue"))
+      .orderBy("p_brand")
+  }
+
+  def returnRateByBrand(spark: SparkSession, dir: String): DataFrame =
+    returnRateByBrandOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  /** Supplier concentration per nation (procurement-risk HHI — the
+    * [[graft.operators.CorpusStats]] lang_hhi machinery on the supply
+    * chain): per supplier nation, revenue share HHI over its
+    * suppliers in ppm of squared share (integer Σq²/(Σq)² on
+    * decimal(38,0) — micro-revenue squares overflow int64), supplier
+    * count, and the top supplier's share — a nation whose supply
+    * concentrates in one vendor is a single point of failure the
+    * sourcing team prices. Lineitem⋈supplier shuffles once on
+    * suppkey (AQE sizes it; nation broadcasts); everything after
+    * rides the bounded supplier frame.
+    */
+  def supplierHhiOf(lineitem: DataFrame, supplier: DataFrame,
+                    nation: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perSupp = lineitem
+      .select(col("l_suppkey").as("s_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+          .cast("long").as("qrev"))
+      .groupBy("s_suppkey").agg(sum("qrev").as("q"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        Seq("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name"))), Seq("s_nationkey"))
+    val byNation = Window.partitionBy("n_name")
+    perSupp
+      .withColumn("tq", sum("q").over(byNation))
+      .withColumn("rn", row_number().over(
+        byNation.orderBy(col("q").desc, col("s_suppkey"))))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        max("tq").as("tq"),
+        sum(expr(s"CAST(q AS $dec) * q")).as("ssq"),
+        max(when(col("rn") === 1, col("q"))).as("top_q"))
+      .select(col("nation"), col("n_suppliers"),
+        expr(s"CAST((ssq * 1000000) div (CAST(tq AS $dec) * tq) AS BIGINT)")
+          .as("hhi_ppm"),
+        TextF.round4HalfUp(col("top_q").cast("double")
+          / col("tq").cast("double")).as("top_share"))
+      .orderBy("nation")
+  }
+
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame =
+    supplierHhiOf(Tables.lineitem(spark, dir), Tables.supplier(spark, dir),
+      Tables.nation(spark, dir))
 }

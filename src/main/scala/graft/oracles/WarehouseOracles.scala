@@ -138,6 +138,43 @@ private[graft] object WarehouseOracles {
         |   OR s1.event_type <> s2.event_type OR s1.value <> s2.value
         |ORDER BY s2.user_id""".stripMargin,
 
+    // Return rate per brand: broadcast dim join + one brand aggregate,
+    // bp by integer division, returned revenue on the micro grid.
+    "return_rate_by_brand" ->
+      """WITH li AS (SELECT l_partkey,
+        |    l_returnflag = 'R' AS ret,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6) AS BIGINT) AS qrev
+        |  FROM lineitem)
+        |SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |  (CAST(SUM(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+        |    // COUNT(*) AS return_bp,
+        |  floor(CAST(SUM(CASE WHEN ret THEN qrev ELSE 0 END) AS DOUBLE)
+        |    / 100 + 0.5) / 1e4 AS returned_revenue
+        |FROM li JOIN part p ON li.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    // Supplier-concentration HHI per nation: integer Σq²/(Σq)² on
+    // HUGEINT (Spark decimal(38,0)), ppm by integer division.
+    "supplier_hhi" ->
+      """WITH ps AS (SELECT l_suppkey AS s_suppkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT n.n_name AS nation, ps.s_suppkey, ps.q
+        |      FROM ps JOIN supplier s ON ps.s_suppkey = s.s_suppkey
+        |      JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |w AS (SELECT *, CAST(SUM(q) OVER (PARTITION BY nation) AS BIGINT) AS tq,
+        |        ROW_NUMBER() OVER (PARTITION BY nation
+        |          ORDER BY q DESC, s_suppkey) AS rn
+        |      FROM j)
+        |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  CAST((SUM(CAST(q AS HUGEINT) * q) * 1000000)
+        |    // (CAST(MAX(tq) AS HUGEINT) * MAX(tq)) AS BIGINT) AS hhi_ppm,
+        |  floor(CAST(MAX(CASE WHEN rn = 1 THEN q END) AS DOUBLE)
+        |    / CAST(MAX(tq) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS top_share
+        |FROM w GROUP BY nation ORDER BY nation""".stripMargin,
+
     // Deletion-cost audit: one day aggregate, ppm by integer division.
     "deletion_audit" ->
       """SELECT ts::DATE AS day, CAST(COUNT(*) AS BIGINT) AS n_rows,

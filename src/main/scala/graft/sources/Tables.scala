@@ -51,4 +51,5 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
 }

@@ -335,4 +335,36 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out("2024-01-01") == ((3L, 1L, 1L, 333333L)))
     assert(out("2024-01-03") == ((2L, 2L, 2L, 1000000L)))
   }
+
+  test("returnRateByBrand: only R-flag items count, revenue on the micro grid") {
+    val li = Seq(
+      (1L, "R", 100.0, 0.1), (1L, "N", 50.0, 0.0), (1L, "A", 10.0, 0.0),
+      (2L, "R", 200.0, 0.5))
+      .toDF("l_partkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val part = Seq((1L, "B#1"), (2L, "B#2"), (3L, "B#3"))
+      .toDF("p_partkey", "p_brand")
+    val out = Warehouse.returnRateByBrandOf(li, part).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("B#1") == ((3L, 1L, 3333L, 90.0)), s"got $out")
+    assert(out("B#2") == ((1L, 1L, 10000L, 100.0)))
+    assert(!out.contains("B#3"), "brands with no lineitems emit nothing")
+  }
+
+  test("supplierHhi: a single-vendor nation reads 1e6 ppm, an even split 1/n") {
+    val li = Seq(
+      // nation A: one supplier -> HHI 1e6, top share 1.0
+      (10L, 100.0, 0.0),
+      // nation B: two suppliers with EQUAL revenue -> HHI 500000
+      (20L, 50.0, 0.0), (21L, 50.0, 0.0))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val supp = Seq((10L, 0), (20L, 1), (21L, 1))
+      .toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((0, "ALPHA"), (1, "BETA")).toDF("n_nationkey", "n_name")
+    val out = Warehouse.supplierHhiOf(li, supp, nation).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out("ALPHA") == ((1L, 1000000L, 1.0)), s"got $out")
+    assert(out("BETA") == ((2L, 500000L, 0.5)))
+  }
 }
