@@ -133,6 +133,7 @@ object SparkEntry {
     "trending_items"    -> (Behavior.trendingItems(_, _)),
     "return_rate_by_brand" -> (Warehouse.returnRateByBrand(_, _)),
     "supplier_hhi"      -> (Warehouse.supplierHhi(_, _)),
+    "discount_elasticity" -> (Robust.discountElasticity(_, _)),
     "scd2_history"      -> (Warehouse.scd2History(_, _)),
     "ewma_smooth"       -> (EventAnalytics.ewmaSmooth(_, _)),
     "rolling_median"    -> (Robust.rollingMedian(_, _)),

@@ -493,6 +493,46 @@ object Robust {
   def spearmanMatrix(spark: SparkSession, dir: String): DataFrame =
     spearmanMatrixOf(Tables.lineitem(spark, dir))
 
+  /** Discount elasticity screen per part type — [[corrMatrixOf]]'s
+    * exact-moment machinery GROUPED by the part-type dimension: does
+    * discounting move volume for this category? (A category whose
+    * quantity doesn't correlate with discount is margin burned — the
+    * merchandising read behind every promo budget.) Pearson
+    * r(discount, quantity) per p_type on integer grids
+    * (micro-discount, raw quantity) with decimal(38,0) moments —
+    * map-combinable, one shuffle keyed by the bounded type
+    * vocabulary; the dim side broadcasts. Types under `minItems`
+    * lineitems are dropped (a 3-point correlation is noise dressed
+    * as signal); zero-variance groups read NULL via try_divide. */
+  def discountElasticityOf(lineitem: DataFrame, part: DataFrame,
+                           minItems: Long = 30): DataFrame = {
+    val dec = "decimal(38,0)"
+    lineitem
+      .select(col("l_partkey"),
+        floor(col("l_discount") * 1e6).cast("long").as("d"),
+        col("l_quantity").cast("long").as("q"))
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_type"))), Seq("l_partkey"))
+      .selectExpr("p_type", s"CAST(d AS $dec) d", s"CAST(q AS $dec) q")
+      .groupBy("p_type")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum("d").as("sd"), sum("q").as("sq"),
+        sum(expr("d * d")).as("sdd"), sum(expr("q * q")).as("sqq"),
+        sum(expr("d * q")).as("sdq"))
+      .filter(col("n") >= lit(minItems).cast(dec))
+      .select(col("p_type"), col("n").cast("long").as("n_items"),
+        TextF.round6HalfUp(expr(
+          """try_divide(
+            |  CAST(n * sdq - sd * sq AS DOUBLE),
+            |  sqrt(CAST(n * sdd - sd * sd AS DOUBLE))
+            |    * sqrt(CAST(n * sqq - sq * sq AS DOUBLE)))""".stripMargin))
+          .as("r_discount_qty"))
+      .orderBy("p_type")
+  }
+
+  def discountElasticity(spark: SparkSession, dir: String): DataFrame =
+    discountElasticityOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
   /** Two-sample Kolmogorov–Smirnov test per event type between the
     * two calendar periods — [[distributionDriftOf]]'s binless sibling
     * (TVD on shared bins answers "how much mass moved"; KS's

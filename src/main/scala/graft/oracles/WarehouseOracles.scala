@@ -138,6 +138,28 @@ private[graft] object WarehouseOracles {
         |   OR s1.event_type <> s2.event_type OR s1.value <> s2.value
         |ORDER BY s2.user_id""".stripMargin,
 
+    // Grouped Pearson per part type on HUGEINT moments (Spark:
+    // decimal(38,0)); < 30-item types dropped, zero variance -> NULL.
+    "discount_elasticity" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(floor(l_discount * 1e6) AS BIGINT) AS d,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |j AS (SELECT p.p_type, li.d, li.q
+        |      FROM li JOIN part p ON li.l_partkey = p.p_partkey),
+        |m AS (SELECT p_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(d AS HUGEINT)) AS sd, SUM(CAST(q AS HUGEINT)) AS sq,
+        |    SUM(CAST(d AS HUGEINT) * d) AS sdd,
+        |    SUM(CAST(q AS HUGEINT) * q) AS sqq,
+        |    SUM(CAST(d AS HUGEINT) * q) AS sdq
+        |  FROM j GROUP BY p_type HAVING COUNT(*) >= 30)
+        |SELECT p_type, CAST(n AS BIGINT) AS n_items,
+        |  floor(CAST(n * sdq - sd * sq AS DOUBLE)
+        |    / (sqrt(CAST(n * sdd - sd * sd AS DOUBLE))
+        |       * sqrt(CAST(n * sqq - sq * sq AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |    AS r_discount_qty
+        |FROM m ORDER BY p_type""".stripMargin,
+
     // Return rate per brand: broadcast dim join + one brand aggregate,
     // bp by integer division, returned revenue on the micro grid.
     "return_rate_by_brand" ->

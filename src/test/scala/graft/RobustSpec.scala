@@ -297,4 +297,24 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     val Array(rt) = graft.operators.Robust.mannWhitneyOf(tied).collect()
     assert(rt.getDouble(3) == 0.5 && rt.isNullAt(4) && !rt.getBoolean(5), s"$rt")
   }
+
+  test("discount elasticity: a perfect discount-quantity line reads 1, flat reads NULL, thin types drop") {
+    import spark.implicits._
+    // type ELASTIC: quantity tracks discount exactly (r = 1);
+    // type FLAT: constant quantity (zero variance -> NULL);
+    // type THIN: 5 items < minItems -> dropped.
+    val li = ((1 to 40).map(i => (1L, i / 1000.0, i.toDouble)) ++
+      (1 to 40).map(i => (2L, i / 1000.0, 7.0)) ++
+      (1 to 5).map(i => (3L, i / 1000.0, i.toDouble)))
+      .toDF("l_partkey", "l_discount", "l_quantity")
+    val part = Seq((1L, "ELASTIC"), (2L, "FLAT"), (3L, "THIN"))
+      .toDF("p_partkey", "p_type")
+    val out = graft.operators.Robust.discountElasticityOf(li, part).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(out.keySet == Set("ELASTIC", "FLAT"), s"got $out")
+    assert(out("ELASTIC") == ((40L, Some(1.0))))
+    assert(out("FLAT") == ((40L, None)))
+  }
 }
