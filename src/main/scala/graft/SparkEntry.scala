@@ -95,6 +95,7 @@ object SparkEntry {
     // boilerplate spans, sketch-confirmed heavy hitters, 1-bit ANN
     // (#73-82)
     "funnel_steps"      -> (Behavior.funnelSteps(_, _)),
+    "funnel_by_arm"     -> (Behavior.funnelByArm(_, _)),
     "cohort_retention"  -> (Behavior.cohortRetention(_, _)),
     "pivot_report"      -> (Behavior.pivotReport(_, _)),
     "mad_outliers"      -> (Robust.madOutliers(_, _)),

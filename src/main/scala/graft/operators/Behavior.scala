@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1071,4 +1071,60 @@ object Behavior {
 
   def trendingItems(spark: SparkSession, dir: String): DataFrame =
     trendingItemsOf(Tables.events(spark, dir))
+
+  /** Funnel split by experiment arm — the A/B read on the FUNNEL
+    * ([[abTestOf]] tests one conversion event; treatments usually
+    * move a STEP, and this shows which): [[funnelStepsOf]]'s chained
+    * strictly-after min-aggregates computed per md5-parity arm (the
+    * [[abTestOf]] assignment, one contract), per-step reach and
+    * conversion vs the arm's OWN step-1 base, and the
+    * treatment-minus-control gap in percentage points. Same exact
+    * integer-µs ordering; the floor-form rounding on each published
+    * number; arms ride the group keys so the chain is still three
+    * shrinking user-keyed aggregates — no window touches facts.
+    */
+  def funnelByArmOf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      pmod(conv(substring(md5(concat(lit("ab:"),
+        col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(2L)).as("arm"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("arm", "user_id").agg(min("us").as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("arm", "user_id")).filter(col("us") > col("t1"))
+      .groupBy("arm", "user_id").agg(min("us").as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("arm", "user_id")).filter(col("us") > col("t2"))
+      .groupBy("arm", "user_id").agg(min("us").as("t3"))
+    val rows = Seq(("view", 1, v), ("click", 2, c), ("purchase", 3, p))
+      .map { case (name, ord, df) =>
+        df.agg(
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("users_0"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("users_1"))
+          .select(lit(name).as("step"), lit(ord).as("ord"),
+            coalesce(col("users_0"), lit(0L)).as("users_0"),
+            coalesce(col("users_1"), lit(0L)).as("users_1"))
+      }.reduce(_.unionAll(_))
+    val whole = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    def pct(users: Column, base: Column): Column =
+      when(base === 0, lit(0.0)).otherwise(
+        floor(users.cast("double") / base.cast("double") * 100 * 100 + 0.5)
+          / 100)
+    rows
+      .withColumn("base_0",
+        max(when(col("ord") === 1, col("users_0"))).over(whole))
+      .withColumn("base_1",
+        max(when(col("ord") === 1, col("users_1"))).over(whole))
+      .select(col("step"), col("ord"), col("users_0"), col("users_1"),
+        pct(col("users_0"), col("base_0")).as("conv_pct_0"),
+        pct(col("users_1"), col("base_1")).as("conv_pct_1"))
+      .withColumn("lift_pp",
+        floor((col("conv_pct_1") - col("conv_pct_0")) * 100 + 0.5) / 100)
+      .orderBy("ord")
+  }
+
+  def funnelByArm(spark: SparkSession, dir: String): DataFrame =
+    funnelByArmOf(Tables.events(spark, dir))
 }

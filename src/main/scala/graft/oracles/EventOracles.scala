@@ -154,6 +154,45 @@ private[graft] object EventOracles {
     // Ordered-step funnel: each step's min-time is strictly after the
     // previous step's; conv_pct uses the floor-form rounding so the
     // halfway double rounds identically in both engines.
+    // Funnel per md5-parity arm: the funnel_steps CTEs with the arm
+    // riding the group keys; conversion vs each arm's own step-1 base,
+    // lift in floor-rounded percentage points.
+    "funnel_by_arm" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM events),
+        |v AS (SELECT arm, user_id, MIN(us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT e.arm, e.user_id, MIN(e.us) AS t2 FROM e
+        |      JOIN v ON e.arm = v.arm AND e.user_id = v.user_id AND e.us > v.t1
+        |      WHERE e.event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT e.arm, e.user_id, MIN(e.us) AS t3 FROM e
+        |      JOIN c ON e.arm = c.arm AND e.user_id = c.user_id AND e.us > c.t2
+        |      WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |s AS (SELECT 'view' AS step, 1 AS ord,
+        |        (SELECT CAST(COUNT(*) AS BIGINT) FROM v WHERE arm = 0) AS users_0,
+        |        (SELECT CAST(COUNT(*) AS BIGINT) FROM v WHERE arm = 1) AS users_1
+        |      UNION ALL SELECT 'click', 2,
+        |        (SELECT COUNT(*) FROM c WHERE arm = 0),
+        |        (SELECT COUNT(*) FROM c WHERE arm = 1)
+        |      UNION ALL SELECT 'purchase', 3,
+        |        (SELECT COUNT(*) FROM p WHERE arm = 0),
+        |        (SELECT COUNT(*) FROM p WHERE arm = 1)),
+        |r AS (SELECT step, ord, users_0, users_1,
+        |    CASE WHEN (SELECT users_0 FROM s WHERE ord = 1) = 0 THEN 0.0
+        |      ELSE floor(CAST(users_0 AS DOUBLE) /
+        |        CAST((SELECT users_0 FROM s WHERE ord = 1) AS DOUBLE)
+        |        * 100 * 100 + 0.5) / 100 END AS conv_pct_0,
+        |    CASE WHEN (SELECT users_1 FROM s WHERE ord = 1) = 0 THEN 0.0
+        |      ELSE floor(CAST(users_1 AS DOUBLE) /
+        |        CAST((SELECT users_1 FROM s WHERE ord = 1) AS DOUBLE)
+        |        * 100 * 100 + 0.5) / 100 END AS conv_pct_1
+        |  FROM s)
+        |SELECT step, ord, users_0, users_1, conv_pct_0, conv_pct_1,
+        |  floor((conv_pct_1 - conv_pct_0) * 100 + 0.5) / 100 AS lift_pp
+        |FROM r ORDER BY ord""".stripMargin,
+
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |v AS (SELECT user_id, MIN(us) AS t1 FROM e

@@ -494,6 +494,34 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(micros.sum == 1000L)
   }
 
+  test("funnel by arm: each arm converts against its OWN base, lift in points") {
+    import spark.implicits._
+    def arm(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % 2
+    }
+    val users = (1L to 80L).toSeq
+    val a0 = users.filter(arm(_) == 0L).take(2) // control: views only
+    val a1 = users.filter(arm(_) == 1L).take(2) // treatment: 1 of 2 clicks
+    assert(a0.size == 2 && a1.size == 2)
+    val rows =
+      a0.map(u => (u, "view", "2024-01-01 10:00:00")) ++
+      a1.map(u => (u, "view", "2024-01-01 10:00:00")) :+
+      ((a1.head, "click", "2024-01-01 10:05:00"))
+    val ev = rows.zipWithIndex.map { case ((u, et, t), i) =>
+      (i.toLong, u, et, java.sql.Timestamp.valueOf(t)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.operators.Behavior.funnelByArmOf(ev).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(1) == ((2L, 2L, 100.0, 100.0, 0.0)), s"got $out")
+    assert(out(2) == ((0L, 1L, 0.0, 50.0, 50.0)),
+      "treatment clicks at 50%, control at 0 -> +50.0 pp lift")
+    assert(out(3) == ((0L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("audience overlap: activity volume can't inflate the set Jaccard") {
     import spark.implicits._
     import java.sql.Timestamp
