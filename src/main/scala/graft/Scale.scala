@@ -147,6 +147,74 @@ object Scale {
       .drop("__bkt")
   }
 
+  /** Combined [[twoPhaseRank]] + [[twoPhaseRunningSum]] on ONE frozen
+    * range exchange, for callers that need the global rank AND the
+    * running sum of `value` over the SAME total order
+    * (coverage_curve's rank-by-count + cumulative occurrences): one
+    * bucketed pass, one bounded per-bucket aggregate carrying both
+    * the row count and the value total, both offset arrays from the
+    * same ≤-buckets-row collect. Adds `__rank` (1-based long) and
+    * `__running`; returns (frame, total rows, grand value total). */
+  def twoPhaseRankAndRunningSum(df: DataFrame, order: Seq[Column],
+                                value: Column, buckets: Int = 0,
+                                snapshotInput: Boolean = true)
+      : (DataFrame, Long, Long) = {
+    val b = bucketed(df, order,
+      if (buckets > 0) buckets else defaultBuckets(df), snapshotInput)
+    val per = b.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__c"),
+        coalesce(sum(value), lit(0L)).cast("long").as("__s"))
+      .collect() // ≤ buckets rows
+    val (cntArr, totalRows) = offsetsOf(per.map(r => r.getInt(0) -> r.getLong(1)))
+    val (sumArr, totalVal) = offsetsOf(per.map(r => r.getInt(0) -> r.getLong(2)))
+    val w = Window.partitionBy(col("__bkt")).orderBy(order: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (b.withColumn("__rank",
+        element_at(cntArr, col("__bkt") + 1) + row_number().over(w).cast("long"))
+      .withColumn("__running",
+        element_at(sumArr, col("__bkt") + 1) + sum(value).over(wRun))
+      .drop("__bkt"), totalRows, totalVal)
+  }
+
+  /** Grouped twin of [[twoPhaseRank]]: row_number over (PARTITION BY
+    * `part` ORDER BY `order`) when the part vocabulary is SMALL —
+    * plain Window.partitionBy(part) parallelism EQUALS that
+    * vocabulary, and real corpora are skewed (one dominant stratum ≈
+    * the whole frame through one task). Range-bucket the whole frame
+    * on `order` alone (each bucket holds every part's slice of one
+    * order range — [[boundaryCarryLag]]'s exchange), row_number
+    * locally within (part, bucket), and add the part's prior-bucket
+    * row count from a bounded (parts × buckets) offset frame that
+    * broadcast-joins back. Sound for the same reason as
+    * [[twoPhaseRank]]: the range exchange totally orders `order`
+    * across buckets, so within any part, bucket b's rows all precede
+    * bucket b+1's. `order` must be a total order WITHIN each part
+    * (callers pass a unique doc-id tiebreak).
+    *
+    * Adds `__rank` (1-based long within part) and `__cnt` (the
+    * part's total row count — the `count().over(partitionBy(part))`
+    * replacement, riding the same bounded frame instead of a
+    * stratum-width window). */
+  def groupedTwoPhaseRank(df: DataFrame, part: String, order: Seq[Column],
+                          buckets: Int = 0,
+                          snapshotInput: Boolean = true): DataFrame = {
+    val b = bucketed(df, order,
+      if (buckets > 0) buckets else defaultBuckets(df), snapshotInput)
+    val counts = b.groupBy(col(part), col("__bkt"))
+      .agg(count(lit(1)).as("__c")) // bounded: ≤ parts × buckets rows
+    val byPart = Window.partitionBy(col(part)).orderBy(col("__bkt"))
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        byPart.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cnt", sum(col("__c")).over(Window.partitionBy(col(part))))
+      .select(col(part), col("__bkt"), col("__off"), col("__cnt"))
+    val localW = Window.partitionBy(col(part), col("__bkt")).orderBy(order: _*)
+    b.withColumn("__rn_local", row_number().over(localW).cast("long"))
+      .join(broadcast(offsets), Seq(part, "__bkt"))
+      .withColumn("__rank", col("__off") + col("__rn_local"))
+      .drop("__bkt", "__rn_local", "__off")
+  }
+
   /** lag(value, 1) over (PARTITION BY `part` ORDER BY `order`) when
     * the partition vocabulary is small (parallelism would equal it):
     * range-bucket the whole frame on `order` (each bucket holds every

@@ -636,12 +636,15 @@ object Behavior {
     * spend). ntile orders carry a user-id tiebreak so bucket edges
     * are deterministic and engine-identical.
     *
-    * Shape: 1-row report-date broadcast, ONE user aggregate, three
-    * ntile windows over the user-level frame (user-bounded, not
-    * event-bounded). The ntile windows are global-ordered — fine up
-    * to ~10⁷ users; at 10⁹ swap the exact ntile for quintile CUT
-    * POINTS from the percentile sketch (row 67's path) joined
-    * broadcast, same output contract. */
+    * Shape: 1-row report-date broadcast, ONE user aggregate, then
+    * three CHAINED two-phase global ranks over the user-level frame
+    * ([[graft.Scale.twoPhaseRank]] per axis + the arithmetic ntile of
+    * [[graft.Scale.ntileFromRank]] — bit-identical to NTILE(5) under
+    * the unique (axis, user_id) order) — no single-partition window
+    * anywhere, so each axis cut runs `buckets`-way parallel at 10⁹
+    * users instead of funnelling the user frame through one task
+    * three times. The three passes share one total count (the frame
+    * doesn't change size between axes). */
   def rfmSegmentsOf(events: DataFrame): DataFrame = {
     val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))
     val per = events
@@ -655,14 +658,22 @@ object Behavior {
         datediff(col("report_date"), col("last_day")).cast("long")
           .as("recency_days"),
         col("frequency"), col("qm"))
-    // DESC recency order → ntile 5 = most recent; ASC for F and M.
-    val rW = Window.orderBy(col("recency_days").desc, col("user_id"))
-    val fW = Window.orderBy(col("frequency"), col("user_id"))
-    val mW = Window.orderBy(col("qm"), col("user_id"))
-    per
-      .withColumn("r", ntile(5).over(rW))
-      .withColumn("f", ntile(5).over(fW))
-      .withColumn("m", ntile(5).over(mW))
+    // DESC recency order → quintile 5 = most recent; ASC for F and M.
+    val (rRank, total) = graft.Scale.twoPhaseRank(per,
+      Seq(col("recency_days").desc, col("user_id")))
+    val withR = rRank
+      .withColumn("r", graft.Scale.ntileFromRank("__rank", 5, total))
+      .drop("__rank")
+    val (fRank, _) = graft.Scale.twoPhaseRank(withR,
+      Seq(col("frequency"), col("user_id")), snapshotInput = false)
+    val withF = fRank
+      .withColumn("f", graft.Scale.ntileFromRank("__rank", 5, total))
+      .drop("__rank")
+    val (mRank, _) = graft.Scale.twoPhaseRank(withF,
+      Seq(col("qm"), col("user_id")), snapshotInput = false)
+    mRank
+      .withColumn("m", graft.Scale.ntileFromRank("__rank", 5, total))
+      .drop("__rank")
       .select(col("user_id"), col("recency_days"), col("frequency"),
         graft.functions.TextF.microsTo4dp(col("qm")).as("monetary"),
         col("r"), col("f"), col("m"),

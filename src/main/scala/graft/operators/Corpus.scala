@@ -220,14 +220,24 @@ object Corpus {
     * partition by (md5(text), doc_id) — the content-keyed order that
     * is reproducible across runs, engines, and cluster sizes (unlike
     * `sample()`). The single rank both samplers share, so a change to
-    * the content key can't silently diverge between them. */
-  private def contentRanked(docs: DataFrame, partitionCol: String): DataFrame = {
-    val byHash = Window.partitionBy(partitionCol).orderBy(col("h"), col("doc_id"))
-    val whole = Window.partitionBy(partitionCol)
-    docs.select(col("doc_id"), col(partitionCol), md5(col("text")).as("h"))
-      .withColumn("rn", row_number().over(byHash))
-      .withColumn("cnt", count(lit(1)).over(whole))
-  }
+    * the content key can't silently diverge between them.
+    *
+    * Shape: the grouped two-phase rank decomposition
+    * ([[graft.Scale.groupedTwoPhaseRank]]) — a plain
+    * Window.partitionBy(lang|source) caps parallelism at the stratum
+    * VOCABULARY (~5 here) and real corpora are skewed (one dominant
+    * language ≈ the whole corpus through one task), so the rank
+    * range-buckets on (h, doc_id) instead and each stratum's
+    * per-bucket offsets ride a bounded (strata × buckets)
+    * broadcast; `cnt` rides the same bounded frame rather than a
+    * stratum-width `count().over`. */
+  private def contentRanked(docs: DataFrame, partitionCol: String): DataFrame =
+    graft.Scale.groupedTwoPhaseRank(
+        docs.select(col("doc_id"), col(partitionCol), md5(col("text")).as("h")),
+        partitionCol, Seq(col("h"), col("doc_id")), snapshotInput = false)
+      .withColumn("rn", col("__rank").cast("int"))
+      .withColumn("cnt", col("__cnt"))
+      .drop("__rank", "__cnt")
 
   /** Deterministic stratified sample: within each language stratum,
     * keep the first ceil(count/denom) of the content-keyed rank.

@@ -804,33 +804,36 @@ object CorpusStats {
     * cumsum, one division per k, 4 dp half-up.
     *
     * Shape: one token-explode count aggregate (map-combinable, the
-    * only fact-sized shuffle); the rank/cumsum window runs on the
-    * VOCABULARY (types, not occurrences) and the k-probe joins a
-    * |ks|-row broadcast against the exact clamped rank. */
+    * only fact-sized shuffle); the rank AND the cumsum both ride ONE
+    * frozen range exchange of the vocabulary frame
+    * ([[graft.Scale.twoPhaseRankAndRunningSum]] on (c DESC, token))
+    * — web-corpus vocabulary at 100 TB is 10⁸+ types (the hapax
+    * tail), so a global `Window.orderBy` here would be a single-task
+    * sort of the whole type frame; the two-phase form is
+    * `buckets`-way parallel and hands back the totals from its
+    * bounded per-bucket collect, so the old 1-row totals pass and
+    * its checkpoint both disappear. The k-probe joins a |ks|-row
+    * broadcast against the exact clamped rank as before. */
   def coverageCurveOf(docs: DataFrame,
                       ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive, got $ks")
     import docs.sparkSession.implicits._
-    val byCount = Window.orderBy(col("c").desc, col("token"))
-    val vocab = docs
+    val counts = docs
       .select(explode(TextF.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("c"))
-      .select(col("token"), col("c"),
-        row_number().over(byCount).cast("long").as("rank"))
-      .withColumn("cum", sum("c").over(
-        byCount.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      // two consumers (totals + the k-probe join) — materialize once
-      // or the fact-sized token count re-scans the corpus
-      .localCheckpoint(false)
-    val totals = vocab.agg(max("cum").as("total"),
-      max("rank").as("n_vocab")) // 1 row
-    ks.toDF("k").crossJoin(broadcast(totals))
-      .join(vocab, col("rank") === least(col("k").cast("long"), col("n_vocab")))
-      .select(col("k"), col("n_vocab"), col("total").as("total_tokens"),
+    val (ranked, nVocab, totalTokens) = graft.Scale.twoPhaseRankAndRunningSum(
+      counts, Seq(col("c").desc, col("token")), col("c"))
+    val vocab = ranked.select(col("token"), col("c"),
+      col("__rank").as("rank"), col("__running").as("cum"))
+    vocab
+      .join(broadcast(ks.toDF("k")),
+        col("rank") === least(col("k").cast("long"), lit(nVocab)))
+      .select(col("k"), lit(nVocab).as("n_vocab"),
+        lit(totalTokens).as("total_tokens"),
         col("cum").as("covered_tokens"),
         TextF.round4HalfUp(col("cum").cast("double")
-          / col("total").cast("double")).as("coverage"))
+          / lit(totalTokens.toDouble)).as("coverage"))
       .orderBy("k")
   }
 

@@ -962,6 +962,46 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         s"global windows may only ride the bounded decile frame:\n$lz")
     }
 
+    // Round-12 closures of the last three weak plans:
+    // rfm_segments — three chained two-phase ranks; every window must
+    // ride a __bkt partition (the user frame never single-tasks).
+    val rfm = plan(Behavior.rfmSegments(spark, Sf))
+    assert(windows(rfm).forall(_.partitionSpec.nonEmpty),
+      s"rfm_segments must have no single-partition window:\n$rfm")
+    // Only the LAST axis's window is visible here — the first two
+    // passes already executed behind their frozen checkpoints (each
+    // `bucketed` materializes eagerly); it must be __bkt-partitioned,
+    // and the forall above pins that no axis regressed to global.
+    assert(windows(rfm).exists(_.partitionSpec.exists(_.toString.contains("__bkt"))),
+      s"the ntile axes must ride __bkt-partitioned windows:\n$rfm")
+
+    // coverage_curve — the vocabulary rank+cumsum share ONE frozen
+    // range exchange; no global window over the type frame.
+    val cc = plan(graft.operators.CorpusStats.coverageCurve(spark, Sf))
+    assert(windows(cc).forall(_.partitionSpec.nonEmpty),
+      s"coverage_curve must have no single-partition window:\n$cc")
+    assert(windows(cc).exists(_.partitionSpec.exists(_.toString.contains("__bkt"))),
+      s"rank+cumsum must ride the __bkt-partitioned window:\n$cc")
+
+    // contentRanked consumers — the per-stratum rank decomposes
+    // through (stratum, __bkt); any window WITHOUT __bkt must sit
+    // above the bounded (stratum, __bkt) offsets aggregate.
+    for ((name, df) <- Seq(
+      "stratified_sample" -> Corpus.stratifiedSample(spark, Sf),
+      "kfold_assign" -> Corpus.kfoldAssign(spark, Sf),
+      "mix_sources" -> SparkEntry.queries("mix_sources")(spark, Sf))) {
+      val p = plan(df)
+      assert(windows(p).forall(_.partitionSpec.nonEmpty),
+        s"$name: no single-partition window:\n$p")
+      assert(windows(p).exists(w =>
+        w.partitionSpec.exists(_.toString.contains("__bkt"))),
+        s"$name: the stratum rank must partition by (stratum, __bkt):\n$p")
+      windows(p)
+        .filter(!_.partitionSpec.exists(_.toString.contains("__bkt")))
+        .foreach { w => assert(groupsOnBkt(w.child),
+          s"$name: a stratum-only window must ride the bounded offsets frame:\n$p") }
+    }
+
     // Type-keyed lags (parallelism = the 5-value type vocabulary):
     // the fact-scale lag partitions by (type, __bkt); any window
     // partitioned WITHOUT __bkt must sit above the bounded

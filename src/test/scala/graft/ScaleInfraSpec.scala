@@ -134,6 +134,63 @@ class ScaleInfraSpec extends AnyFunSuite with SparkFixture {
     assert(got.size == 2000 && got.forall { case (id, p) => expect(id) == p })
   }
 
+  test("twoPhaseRankAndRunningSum equals rank + running sum on one order, with exact totals") {
+    import org.apache.spark.sql.expressions.Window
+    val df = scrambled(2000).withColumn("c", (col("id") % 7) + 1L)
+    val order = Seq(col("v").desc, col("u"), col("id"))
+    val w = Window.orderBy(order: _*)
+    val expect = df
+      .withColumn("r", row_number().over(w))
+      .withColumn("rs", sum("c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "r", "rs").as[(Long, Int, Long)].collect()
+      .map(t => t._1 -> ((t._2.toLong, t._3))).toMap
+    val (both, nRows, totalC) = Scale.twoPhaseRankAndRunningSum(
+      df, order, col("c"), buckets = 16)
+    val got = both.select(col("id"), col("__rank"), col("__running"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(nRows == 2000L)
+    assert(totalC == df.agg(sum("c")).as[Long].head())
+    assert(got.size == 2000 && got.forall { case (id, rr) => expect(id) == rr })
+    // empty input: zero totals, zero rows
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val (eb, en, es) = Scale.twoPhaseRankAndRunningSum(
+      empty, Seq(col("v"), col("id")), col("id"))
+    assert(en == 0L && es == 0L && eb.collect().isEmpty)
+  }
+
+  test("groupedTwoPhaseRank equals the plain partitioned rank + count, skew and all") {
+    import org.apache.spark.sql.expressions.Window
+    // 90%-dominant stratum — the skew shape the decomposition exists
+    // for (plain partitionBy would push it through one task)
+    val df = scrambled(2000)
+      .withColumn("part",
+        when(col("id") % 10 =!= 0, "dominant").otherwise(
+          concat(lit("small_"), (col("id") % 3).cast("string"))))
+    val w = Window.partitionBy("part").orderBy(col("v"), col("id"))
+    val expect = df
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("part")))
+      .select("id", "r", "n").as[(Long, Int, Long)].collect()
+      .map(t => t._1 -> ((t._2.toLong, t._3))).toMap
+    val got = Scale.groupedTwoPhaseRank(df, "part",
+        Seq(col("v"), col("id")), buckets = 16)
+      .select(col("id"), col("__rank"), col("__cnt"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.size == 2000 && got.forall { case (id, rn) => expect(id) == rn })
+    // single part and empty input
+    val one = (1L to 40L).map(i => (i, 1.0, "only")).toDF("id", "v", "part")
+    val gotOne = Scale.groupedTwoPhaseRank(one, "part",
+        Seq(col("v"), col("id")))
+      .select(col("id"), col("__rank"), col("__cnt"))
+      .as[(Long, Long, Long)].collect()
+    assert(gotOne.length == 40 &&
+      gotOne.forall { case (id, r, n) => r == id && n == 40L })
+    val empty = Seq.empty[(Long, Double, String)].toDF("id", "v", "part")
+    assert(Scale.groupedTwoPhaseRank(empty, "part",
+      Seq(col("v"), col("id"))).collect().isEmpty)
+  }
+
   test("two-phase helpers survive empty and constant-key inputs") {
     val empty = Seq.empty[(Long, Double)].toDF("id", "v")
     val (er, en) = Scale.twoPhaseRank(empty, Seq(col("v"), col("id")))
