@@ -109,6 +109,14 @@ object Bench {
           }.toMap
       }
     } catch { case _: Throwable => Map.empty }
+    // A silent parser mismatch would read as "no regressions flagged"
+    // — make an empty parse visible when the file exists (stderr; the
+    // driver parses raw stdout only).
+    if (prevRecord.isEmpty &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get("bench_full.json")))
+      System.err.println(
+        "WARNING: bench_full.json exists but no previous timings parsed " +
+          "(different sf, or format drift) — isolation re-time pass disabled")
     // Optional comma-separated allowlist for local iteration (the
     // round driver never sets it → full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -1194,6 +1194,16 @@ object EventAnalytics {
     * components (revenue − trend − effect, re-rounded) so the table
     * is self-consistent to the digit a reader checks by hand.
     *
+    * GAP-FREE ASSUMPTION: the "centered 7-day MA" is a ROWS frame of
+    * 7 observed (type, day) rows — on a series with calendar gaps it
+    * spans more than 7 calendar days and mixes misaligned weekdays,
+    * so the published trend is only a 7-CALENDAR-day MA when every
+    * day in the span has at least one event of the type (true of the
+    * events corpus; a sparse deployment should densify each type's
+    * min..max day range with zero rows first — `sequence` + explode,
+    * still bounded by the daily frame — before this window). The
+    * oracle mirrors the same observed-rows frame on purpose.
+    *
     * Shape: one (type, day) map-combinable aggregate at fact scale;
     * every window/join after it rides the bounded daily frame. */
   def seasonalDecomposeOf(events: DataFrame): DataFrame = {

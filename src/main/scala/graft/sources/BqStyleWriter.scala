@@ -18,12 +18,18 @@ import org.apache.spark.sql.functions._
   * expressed in the only form that works at 100 TB.
   *
   * Semantics matched to BigQuery load jobs:
-  *  - `table$20240115` + any disposition replaces exactly that
-  *    partition; rows outside the decorated date are rejected before
-  *    anything writes (BQ errors the load job the same way).
-  *  - `WRITE_APPEND` appends; `WRITE_TRUNCATE` replaces the whole
-  *    table; `WRITE_EMPTY` succeeds only when the table does not yet
-  *    exist (BQ's duplicate-guard disposition).
+  *  - `table$20240115` scopes the job to exactly that partition, and
+  *    the DISPOSITION applies within it (as in BQ): `WRITE_APPEND`
+  *    appends into the decorated partition, `WRITE_TRUNCATE` replaces
+  *    only it (dynamic partition overwrite — the reference's
+  *    DELETE-scan-then-append in the only form that works at 100 TB),
+  *    and `WRITE_EMPTY` errors when the partition already holds data.
+  *    Rows outside the decorated date — including NULL partition
+  *    values — are rejected before anything writes (BQ errors the
+  *    load job the same way).
+  *  - Undecorated: `WRITE_APPEND` appends; `WRITE_TRUNCATE` replaces
+  *    the whole table; `WRITE_EMPTY` succeeds only when the table
+  *    does not yet exist (BQ's duplicate-guard disposition).
   *  - partitioned tables require `partitionField`; the decorator form
   *    requires a partitioned table.
   */
@@ -56,10 +62,24 @@ object BqStyleWriter {
       val iso = isoOf(day)
       // BQ rejects a decorated load containing out-of-partition rows;
       // a silent filter would hide a pipeline bug, so count-and-throw.
-      val stray = df.filter(col(field).cast("string") =!= iso).limit(1).count()
+      // Null-safe compare: a NULL partition value must be rejected
+      // too (BQ refuses NULL partition keys in a decorated load),
+      // and `=!=` would let it slip through as NULL.
+      val stray = df.filter(!(col(field).cast("string") <=> lit(iso)))
+        .limit(1).count()
       if (stray > 0) throw new IllegalArgumentException(
         s"rows outside decorated partition $iso in load to $tableSpec")
-      Sinks.idempotentDailyAppend(df, s"$warehouse/$name", field)
+      val partDir = s"$warehouse/$name/$field=$iso"
+      disposition match {
+        case WriteEmpty if exists(df, partDir) =>
+          throw new IllegalStateException(
+            s"WRITE_EMPTY: partition $iso of $name already holds data")
+        case WriteTruncate =>
+          Sinks.idempotentDailyAppend(df, s"$warehouse/$name", field)
+        case _ => // WriteAppend, or WriteEmpty onto a fresh partition
+          df.write.mode(SaveMode.Append).partitionBy(field)
+            .parquet(s"$warehouse/$name")
+      }
     case name =>
       val path = s"$warehouse/$name"
       disposition match {

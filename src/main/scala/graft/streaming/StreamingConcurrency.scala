@@ -61,8 +61,15 @@ object StreamingConcurrency {
         case (_, rows: Iterator[Sess], state: GroupState[St]) =>
           val prev = state.getOption.getOrElse(St(Vector.empty, 0L))
           val fresh = rows.flatMap { s =>
-            val su = s.start_ts.getTime * 1000L
-            val eu = s.end_ts.getTime * 1000L + 1L
+            // Full µs grain: getTime is ms-truncated, but Timestamp
+            // keeps sub-ms in getNanos — without the remainder term,
+            // µs-grain sessions collapse onto the wrong microsecond
+            // and the exclusive-end/handoff ordering can flip vs the
+            // batch sweep's exact unix_micros.
+            val su = s.start_ts.getTime * 1000L +
+              (s.start_ts.getNanos % 1000000) / 1000
+            val eu = s.end_ts.getTime * 1000L +
+              (s.end_ts.getNanos % 1000000) / 1000 + 1L
             Seq(Pending(Math.floorDiv(su, DayUs), su, 1),
               Pending(Math.floorDiv(eu, DayUs), eu, -1))
           }.toVector

@@ -157,21 +157,47 @@ class SinksSpec extends AnyFunSuite with SparkFixture {
       WriteAppend, Some("day"))
     assert(spark.read.parquet(s"$wh/daily").count() == 3)
 
-    // Decorator: replaces exactly the decorated day, other days intact
-    // (the delete-date-then-append contract).
+    // Decorator + WRITE_APPEND appends WITHIN the decorated day (real
+    // BQ appends into a decorated partition; only TRUNCATE replaces).
     BqStyleWriter.load(rows("2024-01-01", 7L), wh, "daily$20240101",
       WriteAppend, Some("day"))
-    val back = spark.read.parquet(s"$wh/daily")
+    def back() = spark.read.parquet(s"$wh/daily")
       .select(col("v"), col("day").cast("string"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(back == Set((7L, "2024-01-01"), (3L, "2024-01-02")), s"got $back")
+    assert(back() == Set((1L, "2024-01-01"), (2L, "2024-01-01"),
+      (7L, "2024-01-01"), (3L, "2024-01-02")), s"got ${back()}")
 
-    // Decorated loads reject out-of-partition rows BEFORE writing.
+    // Decorator + WRITE_TRUNCATE replaces exactly the decorated day,
+    // other days intact (the delete-date-then-append contract).
+    BqStyleWriter.load(rows("2024-01-01", 7L), wh, "daily$20240101",
+      WriteTruncate, Some("day"))
+    assert(back() == Set((7L, "2024-01-01"), (3L, "2024-01-02")),
+      s"got ${back()}")
+
+    // Decorator + WRITE_EMPTY errors on a non-empty partition instead
+    // of silently succeeding.
+    intercept[IllegalStateException] {
+      BqStyleWriter.load(rows("2024-01-01", 9L), wh, "daily$20240101",
+        WriteEmpty, Some("day"))
+    }
+    // ...but lands on a fresh one.
+    BqStyleWriter.load(rows("2024-01-04", 4L), wh, "daily$20240104",
+      WriteEmpty, Some("day"))
+    assert(back().contains((4L, "2024-01-04")))
+
+    // Decorated loads reject out-of-partition rows BEFORE writing —
+    // including NULL partition values (BQ refuses NULL keys in a
+    // decorated load; a non-null-safe compare would let them slip).
     intercept[IllegalArgumentException] {
       BqStyleWriter.load(rows("2024-01-05", 9L), wh, "daily$20240101",
         WriteAppend, Some("day"))
     }
-    assert(spark.read.parquet(s"$wh/daily").count() == 2,
+    intercept[IllegalArgumentException] {
+      BqStyleWriter.load(
+        Seq((9L, null: java.sql.Date)).toDF("v", "day"),
+        wh, "daily$20240101", WriteAppend, Some("day"))
+    }
+    assert(spark.read.parquet(s"$wh/daily").count() == 3,
       "a rejected load must leave the table untouched")
     // Decorator without a partition field is a caller bug.
     intercept[IllegalArgumentException] {

@@ -886,4 +886,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(streamed("2026-01-02")._2 == 3L)
     } finally query.stop()
   }
+
+  test("StreamingConcurrency: µs-grain handoffs keep the exclusive-end order (no ms collapse)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // Timestamp.getTime truncates to ms; the sub-ms grain lives in
+    // getNanos. These three sessions differ ONLY below the
+    // millisecond: user 1 hands off to user 2 (1's exclusive end ==
+    // 2's start µs — never concurrent), users 2 and 3 overlap → true
+    // peak 2. An ms-truncated sweep collapses every marker onto one
+    // µs and reads 3 — exactly the divergence from the batch twin's
+    // exact unix_micros sweep this pins against.
+    val sessions = Seq(
+      (1L, t("2026-01-01 10:00:00.000001"), t("2026-01-01 10:00:00.000003")),
+      (2L, t("2026-01-01 10:00:00.000004"), t("2026-01-01 10:00:00.000009")),
+      (3L, t("2026-01-01 10:00:00.000005"), t("2026-01-01 10:00:00.000007")))
+    val input = MemoryStream[(Long, Timestamp, Timestamp)]
+    val stream = input.toDF().toDF("user_id", "start_ts", "end_ts")
+    val query = graft.streaming.StreamingConcurrency.dayPeaks(stream)
+      .writeStream.format("memory").queryName("conc_us_test")
+      .outputMode("append").start()
+    try {
+      input.addData(sessions.toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData((9L, t("2026-01-10 00:00:00"), t("2026-01-10 00:05:00")))
+      query.processAllAvailable()
+      val streamed = spark.table("conc_us_test").collect()
+        .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed("2026-01-01") == ((3L, 2L)),
+        s"µs handoff must not collapse to a false peak: $streamed")
+    } finally query.stop()
+  }
 }
