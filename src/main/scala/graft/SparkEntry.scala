@@ -32,6 +32,8 @@ object SparkEntry {
     "window_running"   -> (Report.windowRunning(_, _)),
     "ctr_by_group"     -> (CtrAlerts.ctrByGroup(_, _)),
     "ctr_spike"        -> (CtrAlerts.ctrSpike(_, _)),
+    "ctr_spike_scoped" -> ((s, d) =>
+      CtrAlerts.ctrSpikeScoped(s, d, CtrAlerts.DemoUnitAllowlist)),
     "distinct_units"   -> (CtrAlerts.distinctUnits(_, _)),
     "alert_report"     -> (CtrAlerts.alertReport(_, _)),
     // LLM-data-pipeline operators (#15-26)
@@ -55,6 +57,8 @@ object SparkEntry {
     "approx_distinct_users" -> (CtrAlerts.approxDistinctUsers(_, _)),
     "earnings_percentiles" -> (Report.earningsPercentiles(_, _)),
     "report_spec_demo" -> (ReportSpecs.reportSpecDemo(_, _)),
+    "report_spec_mediation" -> (ReportSpecs.reportSpecMediation(_, _)),
+    "report_spec_network" -> (ReportSpecs.reportSpecNetwork(_, _)),
     "corpus_clean" -> (TextAnalysis.corpusClean(_, _)),
     "earnings_cube" -> (Report.earningsCube(_, _)),
     "top_customers" -> (Report.topCustomers(_, _)),

@@ -87,8 +87,35 @@ object CtrAlerts {
   /** The spike detector (native_CTR_alerts.py:226-268): trailing-7-day
     * avg CTR vs report-day CTR per group, |pct_change| > 25, ordered by
     * pct_change DESC. */
-  def ctrSpike(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyCtr(spark, dir)
+  def ctrSpike(spark: SparkSession, dir: String): DataFrame =
+    ctrSpikeImpl(spark, dir, None)
+
+  /** The PER-APP alert instance: the reference ships the spike check
+    * three times as `Native CTR Alerts_<app_id>.yaml` workflows, each
+    * scoping the query to that app's ad-unit allowlist
+    * (`check_native_ctr_alert(..., ad_units)` builds
+    * `ad_unit_name IN (...)` — native_CTR_alerts.py:121-126, 226-241).
+    * Here the group key (user_id) IS the (app, ad_unit) stand-in, so
+    * the allowlist composes the `matchesAny` IN-list (SURVEY row 5)
+    * over it — a pushable scan predicate, applied BEFORE the window
+    * aggregate like the reference's WHERE, so unlisted units never
+    * enter the shuffle at all. */
+  def ctrSpikeScoped(spark: SparkSession, dir: String,
+                     units: Seq[Long]): DataFrame = {
+    require(units.nonEmpty, "unit allowlist must be non-empty")
+    ctrSpikeImpl(spark, dir, Some(units))
+  }
+
+  /** The registered per-app instance's allowlist — the literal unit
+    * list one archived `Native CTR Alerts_<app_id>.yaml` workflow
+    * would carry. Shared with the oracle so both sides scope
+    * identically. */
+  val DemoUnitAllowlist: Seq[Long] = (0L to 59L).toSeq
+
+  private def ctrSpikeImpl(spark: SparkSession, dir: String,
+                           units: Option[Seq[Long]]): DataFrame = {
+    val all = dailyCtr(spark, dir)
+    val daily = units.fold(all)(u => all.filter(col("user_id").isin(u: _*)))
     val rd = reportDate(spark, dir)
 
     val withRd = daily.crossJoin(broadcast(rd))

@@ -123,6 +123,32 @@ private[graft] object ReportOracles {
         |WHERE ABS((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0.0) * 100) > 25
         |ORDER BY pct_change DESC, user_id""".stripMargin,
 
+    "ctr_spike_scoped" ->
+      s"""WITH d AS (
+        |  SELECT ts::DATE AS day, user_id,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+        |  FROM events
+        |  WHERE user_id IN (${graft.operators.CtrAlerts.DemoUnitAllowlist.mkString(", ")})),
+        |rd AS (SELECT MAX(ts::DATE) AS report_date FROM events),
+        |last7 AS (
+        |  SELECT user_id,
+        |    CAST(SUM(is_click) AS DOUBLE) / NULLIF(CAST(SUM(is_view) AS DOUBLE), 0.0) AS avg_ctr_7d
+        |  FROM d, rd
+        |  WHERE day BETWEEN report_date - 7 AND report_date - 1
+        |  GROUP BY user_id),
+        |today AS (
+        |  SELECT user_id,
+        |    CAST(SUM(is_click) AS DOUBLE) / NULLIF(CAST(SUM(is_view) AS DOUBLE), 0.0) AS today_ctr
+        |  FROM d, rd WHERE day = report_date GROUP BY user_id)
+        |SELECT t.user_id,
+        |  ROUND(l.avg_ctr_7d, 4) AS avg_ctr_7d,
+        |  ROUND(t.today_ctr, 4) AS today_ctr,
+        |  ROUND((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0.0) * 100, 2) AS pct_change
+        |FROM today t JOIN last7 l USING (user_id)
+        |WHERE ABS((t.today_ctr - l.avg_ctr_7d) / NULLIF(l.avg_ctr_7d, 0.0) * 100) > 25
+        |ORDER BY pct_change DESC, user_id""".stripMargin,
+
     "distinct_units" ->
       """SELECT DISTINCT event_type
         |FROM events, (SELECT MAX(ts::DATE) AS report_date FROM events)
@@ -177,6 +203,67 @@ private[graft] object ReportOracles {
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
         |GROUP BY date, app_name ORDER BY date, app_name""".stripMargin,
+
+    "report_spec_mediation" ->
+      """WITH agg AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS date,
+        |    l_returnflag AS app_name, l_linestatus AS ad_unit_name,
+        |    'src_' || CAST(l_partkey % 5 AS VARCHAR) AS ad_source,
+        |    'inst_' || CAST(l_partkey % 20 AS VARCHAR) AS ad_source_instance,
+        |    'mg_' || CAST(l_suppkey % 4 AS VARCHAR) AS mediation_group,
+        |    n.n_name AS country,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ad_requests,
+        |    CAST(SUM(CASE WHEN l_discount > 0 AND l_quantity <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS estimated_earnings_micros,
+        |    CAST(SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS BIGINT) AS impressions,
+        |    CAST(COUNT(*) AS BIGINT) AS matched_requests
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE l_shipdate >= DATE '1996-03-15' AND l_shipdate < DATE '1996-03-16'
+        |  GROUP BY 1, 2, 3, 4, 5, 6, 7)
+        |SELECT date, app_name, ad_unit_name, ad_source, ad_source_instance,
+        |  mediation_group, country, ad_requests, clicks,
+        |  estimated_earnings_micros, impressions,
+        |  ROUND(CAST(clicks AS DOUBLE) / NULLIF(CAST(impressions AS DOUBLE), 0.0), 6) AS impression_ctr,
+        |  matched_requests,
+        |  ROUND(CAST(matched_requests AS DOUBLE) / NULLIF(CAST(ad_requests AS DOUBLE), 0.0), 6) AS match_rate,
+        |  CAST(CASE WHEN impressions > 0 THEN (estimated_earnings_micros * 1000) // impressions END AS BIGINT)
+        |    AS observed_ecpm_micros
+        |FROM agg ORDER BY date""".stripMargin,
+
+    "report_spec_network" ->
+      """WITH agg AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS date,
+        |    strftime(l_shipdate, '%Y-%m') AS month,
+        |    CAST(weekofyear(l_shipdate) AS INT) AS week,
+        |    'src_' || CAST(l_partkey % 5 AS VARCHAR) AS ad_source,
+        |    'inst_' || CAST(l_partkey % 20 AS VARCHAR) AS ad_source_instance,
+        |    l_linestatus AS ad_unit_name, l_returnflag AS app_name,
+        |    'mg_' || CAST(l_suppkey % 4 AS VARCHAR) AS mediation_group,
+        |    n.n_name AS country,
+        |    'v' || CAST(l_linenumber AS VARCHAR) AS app_version_name,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ad_requests,
+        |    CAST(SUM(CASE WHEN l_discount > 0 AND l_quantity <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS estimated_earnings_micros,
+        |    CAST(SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS BIGINT) AS impressions,
+        |    CAST(COUNT(*) AS BIGINT) AS matched_requests
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE l_shipdate >= DATE '1996-03-15' AND l_shipdate < DATE '1996-03-16'
+        |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+        |SELECT date, month, week, ad_source, ad_source_instance, ad_unit_name,
+        |  app_name, mediation_group, country, app_version_name,
+        |  ad_requests, clicks, estimated_earnings_micros, impressions,
+        |  ROUND(CAST(clicks AS DOUBLE) / NULLIF(CAST(impressions AS DOUBLE), 0.0), 6) AS impression_ctr,
+        |  ROUND(CAST(estimated_earnings_micros AS DOUBLE) / 1000.0
+        |    / NULLIF(CAST(impressions AS DOUBLE), 0.0), 6) AS impression_rpm,
+        |  ROUND(CAST(matched_requests AS DOUBLE) / NULLIF(CAST(ad_requests AS DOUBLE), 0.0), 6) AS match_rate,
+        |  ROUND(CAST(impressions AS DOUBLE) / NULLIF(CAST(matched_requests AS DOUBLE), 0.0), 6) AS show_rate
+        |FROM agg ORDER BY date""".stripMargin,
 
     "top_customers" ->
       """SELECT o.o_custkey AS custkey, c.c_name, c.c_mktsegment,

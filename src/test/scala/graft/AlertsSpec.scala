@@ -158,4 +158,21 @@ class AlertsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getLong(3)) <= 500L,
       s"estimate outside the 5% band: $r")
   }
+
+  test("scoped ctr spike equals the global alert restricted to the allowlist") {
+    import graft.operators.CtrAlerts
+    // Per-unit groups + a GLOBAL report date mean pre-aggregation
+    // scoping must equal post-hoc filtering of the global alert —
+    // the property that makes the pushed-down IN-list safe.
+    val units = CtrAlerts.DemoUnitAllowlist
+    val scoped = CtrAlerts.ctrSpikeScoped(spark, Sf, units)
+      .collect().map(_.toString).toSeq
+    val filtered = CtrAlerts.ctrSpike(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("user_id").isin(units: _*))
+      .collect().map(_.toString).toSeq
+    assert(scoped.nonEmpty && scoped == filtered)
+    intercept[IllegalArgumentException] {
+      CtrAlerts.ctrSpikeScoped(spark, Sf, Seq.empty)
+    }
+  }
 }
