@@ -917,4 +917,157 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"µs handoff must not collapse to a false peak: $streamed")
     } finally query.stop()
   }
+
+  // --- checkpoint-restart audits for the newest stateful operators
+  // (rows 196/220/264): each op survives a stop/restart from its
+  // checkpoint with out-of-order replay arriving AFTER the restart,
+  // and the union of pre- and post-restart emissions equals the
+  // uninterrupted run's answer. Row 211's fencing test covers the
+  // crash-mid-write case; these cover clean-restart state recovery.
+
+  private def restartDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  // The memory sink refuses checkpoint recovery, so the restart
+  // audits collect through foreachBatch (which supports it) into a
+  // synchronized buffer — same rows, restart-safe.
+  private def collectingSink(df: org.apache.spark.sql.DataFrame,
+                             ckpt: String,
+                             buf: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]) =
+    df.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect()
+        buf.synchronized { buf ++= rows }
+        ()
+      }.start()
+
+  test("StreamingFunnel survives a checkpoint restart with out-of-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val ckpt = restartDir("graft-funnel-restart")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def start() = collectingSink(graft.streaming.StreamingFunnel
+      .funnelUsers(input.toDF().toDF("user_id", "event_type", "ts")).toDF(),
+      ckpt, buf)
+    var query = start()
+    try {
+      input.addData(
+        (11L, "view", ts("09:00")), (11L, "click", ts("09:20")),
+        (12L, "view", ts("09:10")))
+      query.processAllAvailable()
+    } finally { query.stop() }
+    // Down: u11's purchase and u12's OUT-OF-ORDER click (event-time
+    // BEFORE its view — must not count as a step) arrive while the
+    // query is off; the restarted query must resume u11/u12's open
+    // chains from state, not re-anchor them.
+    input.addData((11L, "purchase", ts("10:00")), (12L, "click", ts("09:05")))
+    query = start()
+    try {
+      query.processAllAvailable()
+      input.addData((99L, "view", ts("17:00"))) // sentinel closes all
+      query.processAllAvailable()
+      val out = buf.synchronized { buf.toSeq }
+        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(2)).isDefined,
+          Option(r.getTimestamp(3)).isDefined))).toMap
+      assert(out.keySet == Set(11L, 12L),
+        s"both pre-restart chains must finalize after the restart: ${out.keySet}")
+      assert(out(11L) == ((true, true)),
+        "u11's post-restart purchase must extend the RESTORED chain")
+      assert(out(12L) == ((false, false)),
+        "u12's out-of-order click (event-time before its view) must not count")
+    } finally query.stop()
+  }
+
+  test("streaming cusum restarts mid-baseline and still matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val ckpt = restartDir("graft-cusum-restart")
+    def day(d: Int, v: Double) =
+      ("click", Timestamp.valueOf(f"2026-01-$d%02d 12:00:00"), v)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def start() = collectingSink(graft.streaming.StreamingCusum
+      .alarms(input.toDF().toDF("event_type", "ts", "value"),
+        baseline = 3, h = 1L).toDF(), ckpt, buf)
+    var query = start()
+    try {
+      // Two baseline days, then stop — μ0 is NOT yet established, so
+      // the whole decision depends on restored per-day partial sums.
+      input.addData(day(1, 10.0), day(2, 10.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    // Remaining days arrive shuffled (out-of-order within the batch),
+    // including a second same-day event for day 3 that must merge
+    // into the restored daily total (6 + 4 = the baseline 10).
+    input.addData(day(5, 30.0), day(3, 6.0), day(4, 30.0), day(3, 4.0),
+      day(6, 30.0))
+    query = start()
+    try {
+      query.processAllAvailable()
+      input.addData(day(9, 30.0)) // watermark past day 6
+      query.processAllAvailable()
+      val got = buf.synchronized { buf.toArray }
+      assert(got.length == 1, s"exactly one alarm across the restart: ${got.toSeq}")
+      val rows = Seq(day(1, 10.0), day(2, 10.0), day(3, 6.0), day(3, 4.0),
+        day(4, 30.0), day(5, 30.0), day(6, 30.0))
+      val b = graft.operators.EventAnalytics
+        .cusumChangepointOf(rows.toDF("event_type", "ts", "value"),
+          baseline = 3, h = 1L).collect().head
+      val a = got.head
+      assert(a.getDate(1).toString == b.getDate(1).toString &&
+        a.getDouble(2) == b.getDouble(2) && a.getDouble(3) == b.getDouble(3),
+        s"stream $a vs batch $b")
+    } finally query.stop()
+  }
+
+  test("StreamingConcurrency restarts with open sessions and still matches the batch sweep") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, "2026-01-01 23:40:00"), (1L, "2026-01-01 23:55:00"),
+      (1L, "2026-01-02 00:10:00"),
+      (2L, "2026-01-01 10:00:00"), (2L, "2026-01-01 10:20:00"),
+      (3L, "2026-01-01 10:10:00"),
+      (2L, "2026-01-02 00:05:00"), (3L, "2026-01-02 00:05:00"),
+      (4L, "2026-01-02 09:00:00"))
+      .zipWithIndex.map { case ((u, s), i) => (i.toLong, u, t(s)) }
+      .toDF("event_id", "user_id", "ts")
+    val batch = graft.operators.EventAnalytics.peakConcurrencyOf(events)
+      .collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val sessions = graft.operators.EventAnalytics.sessionizeOf(events)
+      .select(col("user_id"), timestamp_micros(col("start_us")).as("start_ts"),
+        timestamp_micros(col("end_us")).as("end_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .sortBy(_._3.getTime)
+    val (early, late) = sessions.splitAt(sessions.length / 2)
+    val input = MemoryStream[(Long, Timestamp, Timestamp)]
+    val ckpt = restartDir("graft-conc-restart")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def start() = collectingSink(graft.streaming.StreamingConcurrency
+      .dayPeaks(input.toDF().toDF("user_id", "start_ts", "end_ts")).toDF(),
+      ckpt, buf)
+    val query0 = start()
+    try {
+      input.addData(early.toIndexedSeq: _*)
+      query0.processAllAvailable()
+    } finally query0.stop()
+    // The day-1 markers (incl. the midnight-spanning session's open
+    // end) are in state; the remaining sessions arrive REVERSED
+    // (latest first) after the restart, plus the far-future closer.
+    input.addData(late.reverse.toIndexedSeq: _*)
+    val query = start()
+    try {
+      query.processAllAvailable()
+      input.addData((9L, t("2026-01-10 00:00:00"), t("2026-01-10 00:05:00")))
+      query.processAllAvailable()
+      val streamed = buf.synchronized { buf.toSeq }
+        .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed.keySet == Set("2026-01-01", "2026-01-02"),
+        s"both days close across the restart: $streamed")
+      streamed.foreach { case (day, got) =>
+        assert(got == batch(day), s"$day: streamed $got vs batch ${batch(day)}")
+      }
+    } finally query.stop()
+  }
 }
