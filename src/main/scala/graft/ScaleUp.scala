@@ -118,3 +118,29 @@ object ScaleUp {
     spark.stop()
   }
 }
+
+/** Skew-corner generator for the stratified-sampling rehearsal:
+  * rewrites a documents table so ONE language dominates (default 90%
+  * of docs become 'en', deterministically by doc_id hash) — the
+  * distribution where a plain per-stratum window funnels ~the whole
+  * corpus through one task and the grouped two-phase rank
+  * ([[Scale.groupedTwoPhaseRank]]) keeps full parallelism. Usage:
+  * `runMain graft.SkewLang <inDir> <outDir> [dominantPct]`. */
+object SkewLang {
+  def main(args: Array[String]): Unit = {
+    val inDir = args(0)
+    val outDir = args(1)
+    val pct = args.lift(2).map(_.toInt).getOrElse(90)
+    require(pct > 0 && pct <= 100, s"dominantPct in (0,100], got $pct")
+    val spark = Sessions.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$inDir/documents.parquet")
+      .withColumn("lang",
+        when(pmod(xxhash64(col("doc_id")), lit(100)) < pct, lit("en"))
+          .otherwise(col("lang")))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    println(s"[skewlang] documents: $pct% dominant 'en' -> $outDir")
+    spark.stop()
+  }
+}

@@ -673,7 +673,12 @@ object Warehouse {
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_items"),
         sum(when(col("ret"), 1L).otherwise(0L)).as("n_returned"),
-        sum(when(col("ret"), col("qrev")).otherwise(0L)).as("qret"))
+        // decimal(38,0), not int64: a BRAND-level micro-revenue sum
+        // funnels ~1/25th of the corpus through one group — at 10¹⁰
+        // fact rows that crosses 2⁶³ (the lorenz_curve headroom
+        // class; DuckDB already sums into HUGEINT)
+        sum(when(col("ret"), col("qrev").cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("qret"))
       .select(col("p_brand"), col("n_items"), col("n_returned"),
         expr("(n_returned * 10000) div n_items").as("return_bp"),
         TextF.microsTo4dp(col("qret")).as("returned_revenue"))
@@ -708,7 +713,11 @@ object Warehouse {
         col("n_name"))), Seq("s_nationkey"))
     val byNation = Window.partitionBy("n_name")
     perSupp
-      .withColumn("tq", sum("q").over(byNation))
+      // decimal(38,0), not int64: the NATION-level total is ~1/25th
+      // of corpus micro-revenue — crosses 2⁶³ at 10¹⁰ fact rows
+      // (same headroom class as lorenz_curve / qret above); the
+      // per-SUPPLIER q stays comfortably long.
+      .withColumn("tq", sum(col("q").cast(dec)).over(byNation))
       .withColumn("rn", row_number().over(
         byNation.orderBy(col("q").desc, col("s_suppkey"))))
       .groupBy(col("n_name").as("nation"))
