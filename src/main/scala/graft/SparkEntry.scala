@@ -294,6 +294,9 @@ object SparkEntry {
     // audit (SURVEY §2 rows 227-230)
     "benford_audit"     -> (Warehouse.benfordAudit(_, _)),
     "cramers_v"         -> (Behavior.cramersV(_, _)),
+    "chi2_residuals"    -> (Behavior.chi2Residuals(_, _)),
+    "anova_f"           -> (Behavior.anovaF(_, _)),
+    "cohen_kappa"       -> (TextAnalysis.cohenKappa(_, _)),
     "corr_matrix"       -> (Robust.corrMatrix(_, _)),
     "spearman_matrix"   -> (Robust.spearmanMatrix(_, _)),
     "join_size_estimate" -> (Warehouse.joinSizeEstimate(_, _)),

@@ -324,6 +324,108 @@ object Behavior {
   def chi2Contingency(spark: SparkSession, dir: String): DataFrame =
     chi2ContingencyOf(Tables.events(spark, dir))
 
+  /** Standardized (adjusted, Haberman '73) residuals of the
+    * event-type × time-of-week table — [[chi2ContingencyOf]] reports
+    * per-cell χ² contributions; the ADJUSTED residual
+    * (O−E)/√(E·(1−rt/n)·(1−ct/n)) is the cell-level z-score that says
+    * which cells DRIVE the association and in which direction (a
+    * contribution is unsigned and uncalibrated; |resid| > 2 ≈ a 5%
+    * cell alarm). Same one-aggregate + bounded-frame-margins shape as
+    * the parent; the sqrt is one correctly-rounded IEEE op and the
+    * multiply chain is left-associated identically in the oracle, so
+    * the flag compares the SAME double on both engines. Degenerate
+    * single-row/column tables null out via the nullif'd denominator
+    * rather than dividing by zero. */
+  def chi2ResidualsOf(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"),
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")), lit(7))
+          .as("tow"))
+      .groupBy("event_type", "tow").agg(count(lit(1)).as("o"))
+    val byRow = Window.partitionBy("event_type")
+    val byCol = Window.partitionBy("tow")
+    val whole = Window.partitionBy()
+    val n = col("n").cast("double")
+    val e = col("rt").cast("double") * col("ct").cast("double") / n
+    val resid = (col("o").cast("double") - e) /
+      nullif(sqrt(e * (lit(1.0) - col("rt").cast("double") / n) *
+        (lit(1.0) - col("ct").cast("double") / n)), lit(0.0))
+    cells
+      .withColumn("rt", sum("o").over(byRow))
+      .withColumn("ct", sum("o").over(byCol))
+      .withColumn("n", sum("o").over(whole))
+      .select(col("event_type"), col("tow"), col("o"),
+        graft.functions.TextF.round4HalfUp(e).as("e"),
+        graft.functions.TextF.round4HalfUp(resid).as("adj_residual"),
+        (abs(resid) > 2).as("driving"))
+      .orderBy("event_type", "tow")
+  }
+
+  def chi2Residuals(spark: SparkSession, dir: String): DataFrame =
+    chi2ResidualsOf(Tables.events(spark, dir))
+
+  /** One-way ANOVA F per event type across a THREE-arm deterministic
+    * assignment (md5 mod 3 — [[abTestOf]]'s two-arm split generalized;
+    * the read an experimenter runs when a test has more than one
+    * treatment and pairwise z-tests would inflate α): F = (SSB/(k−1))
+    * / (SSW/(N−k)) over per-event values on the exact micro grid.
+    * All moments integer-exact — per-(type, arm) n/Σv/Σv² with
+    * decimal(38,0) sums (v² crosses int64 the way [[Robust.corrMatrixOf]]
+    * documents) — pivoted to FIXED arm order so the final double
+    * combination (three s²/n terms, two subtractions, one division)
+    * is computed in one deterministic sequence on both engines.
+    * `significant` compares F against 2.9957, the asymptotic
+    * F(2, ∞) = χ²₂/2 critical at α = 0.05 — exact for the fact-scale
+    * N this targets (the literal-constant rule of
+    * [[Robust.ksTestOf]]'s 1.358). Types missing an arm entirely are
+    * dropped (the md5 split populates all three at any real scale);
+    * zero within-arm variance nulls F via the nullif'd denominator.
+    *
+    * Shape: ONE map-combinable fact aggregate keyed by
+    * (type, arm) — k·|types| rows; everything after is arithmetic on
+    * that bounded frame. */
+  /** The three-arm deterministic assignment [[anovaFOf]] uses —
+    * exposed so specs can plant per-arm effects without reproducing
+    * the hash expression. */
+  def arm3(userId: Column): Column =
+    pmod(conv(substring(md5(concat(lit("ab:"),
+      userId.cast("string"))), 1, 8), 16, 10).cast("long"), lit(3L))
+
+  def anovaFOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = events.select(col("event_type"),
+      floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"),
+      arm3(col("user_id")).as("arm"))
+    val perArm = e.groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vq").cast(dec)).as("s"),
+        sum(expr(s"CAST(vq AS $dec) * vq")).as("ss"))
+    def pick(c: String, a: Int) = max(when(col("arm") === a, col(c)))
+    val wide = perArm.groupBy("event_type")
+      .agg(pick("n", 0).as("n0"), pick("n", 1).as("n1"), pick("n", 2).as("n2"),
+        pick("s", 0).as("s0"), pick("s", 1).as("s1"), pick("s", 2).as("s2"),
+        pick("ss", 0).as("ss0"), pick("ss", 1).as("ss1"), pick("ss", 2).as("ss2"))
+      .filter(col("n0").isNotNull && col("n1").isNotNull && col("n2").isNotNull)
+    def d(c: Column) = c.cast("double")
+    val bigN = col("n0") + col("n1") + col("n2")
+    val sb = d(col("s0")) * d(col("s0")) / d(col("n0")) +
+      d(col("s1")) * d(col("s1")) / d(col("n1")) +
+      d(col("s2")) * d(col("s2")) / d(col("n2"))
+    val sTot = d(col("s0") + col("s1") + col("s2"))
+    val ssb = sb - sTot * sTot / d(bigN)
+    val ssw = d(col("ss0") + col("ss1") + col("ss2")) - sb
+    val f = (ssb / lit(2.0)) / nullif(ssw / d(bigN - 3), lit(0.0))
+    wide
+      .filter(bigN > 3)
+      .select(col("event_type"), col("n0"), col("n1"), col("n2"),
+        graft.functions.TextF.round6HalfUp(f).as("f_stat"),
+        (f > lit(2.9957)).as("significant"))
+      .orderBy("event_type")
+  }
+
+  def anovaF(spark: SparkSession, dir: String): DataFrame =
+    anovaFOf(Tables.events(spark, dir))
+
   /** Conversion-latency distribution: for each user's FIRST view and
     * first purchase STRICTLY after it (the funnel pairing of
     * [[funnelStepsOf]], two chained min-aggregates — never a per-user

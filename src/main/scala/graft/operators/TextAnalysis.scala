@@ -166,6 +166,60 @@ object TextAnalysis {
           col("n").cast("double") / col("lang_total").cast("double")).as("frac"))
       .orderBy("lang", "pred_lang")
 
+  /** Cohen's kappa of the language detector vs the labeled truth, per
+    * source — the chance-corrected agreement scalar behind
+    * [[langConfusion]]'s matrix (raw accuracy flatters any detector
+    * on a skewed corpus; κ = (p_o − p_e)/(1 − p_e) discounts the
+    * agreement a marginal-matching coin would get). Exact integer
+    * contingency algebra: p_o's numerator is the diagonal count,
+    * p_e's is Σ_class row_marginal·col_marginal on decimal(38,0)
+    * (n² crosses int64 at ~3·10⁹ docs per source); each probability
+    * is ONE double division in fixed order and κ one nullif-guarded
+    * division (NULL when p_e = 1 — a single-class table carries no
+    * chance-corrected signal).
+    *
+    * Shape: one fact aggregate keyed by (source, lang, pred) —
+    * ≤ sources·|langs|² cells; marginals, diagonal, and the κ
+    * arithmetic all ride that bounded frame (the [[langConfusion]]
+    * window pattern, joined per class with full-outer + zero-fill so
+    * classes seen only as truth or only as prediction still enter
+    * p_e). */
+  def cohenKappaOf(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select(col("source"), col("lang"), langScores(col("text")).as("packed"))
+      .select(col("source"), col("lang"), langPred(col("packed")).as("pred_lang"))
+      .groupBy("source", "lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      // bounded (≤ sources·langs² rows); three consumers below
+      .localCheckpoint(false)
+    val rows = cells.groupBy(col("source"), col("lang").as("cls"))
+      .agg(sum("n").as("rt"))
+    val cols = cells.groupBy(col("source"), col("pred_lang").as("cls"))
+      .agg(sum("n").as("ct"))
+    val peNum = rows.join(cols, Seq("source", "cls"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("rt"), lit(0L)).cast("decimal(38,0)") *
+          coalesce(col("ct"), lit(0L))).as("rc"))
+      .groupBy("source").agg(sum("rc").as("pe_num"))
+    val totals = cells.groupBy("source")
+      .agg(sum("n").as("n_docs"),
+        sum(when(col("lang") === col("pred_lang"), col("n"))
+          .otherwise(0L)).as("diag"))
+    val po = col("diag").cast("double") / col("n_docs").cast("double")
+    val pe = col("pe_num").cast("double") /
+      (col("n_docs").cast("double") * col("n_docs").cast("double"))
+    totals.join(peNum, Seq("source"))
+      .select(col("source"), col("n_docs"),
+        TextF.round6HalfUp(po).as("po"),
+        TextF.round6HalfUp(pe).as("pe"),
+        TextF.round6HalfUp((po - pe) / nullif(lit(1.0) - pe, lit(0.0)))
+          .as("kappa"))
+      .orderBy("source")
+  }
+
+  def cohenKappa(spark: SparkSession, dir: String): DataFrame =
+    cohenKappaOf(Tables.documents(spark, dir))
+
   /** Keyword-in-context (KWIC) concordance: every occurrence of the
     * query token with its `ctx` tokens of left/right context — the
     * inspection surface a corpus curator greps before committing to a

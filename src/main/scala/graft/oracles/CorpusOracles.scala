@@ -373,6 +373,36 @@ private[graft] object CorpusOracles {
         |  floor(CAST(n AS DOUBLE) / CAST(lang_total AS DOUBLE) * 1e4 + 0.5) / 1e4 AS frac
         |FROM r ORDER BY lang, pred_lang""".stripMargin,
 
+    // Nests the lang_id builder with `source` carried through — the
+    // kappa can never drift from the per-document prediction oracle.
+    // Probability arithmetic mirrors the Spark expression ORDER
+    // (diag/n, pe_num/(n·n), then the nullif'd kappa division).
+    "cohen_kappa" ->
+      s"""WITH p AS (SELECT source, lang, pred_lang
+        |           FROM (${OracleFragments.langIdSqlWith(", source")})),
+        |cells AS (SELECT source, lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM p GROUP BY 1, 2, 3),
+        |r AS (SELECT source, lang AS cls, CAST(SUM(n) AS BIGINT) AS rt
+        |      FROM cells GROUP BY 1, 2),
+        |c AS (SELECT source, pred_lang AS cls, CAST(SUM(n) AS BIGINT) AS ct
+        |      FROM cells GROUP BY 1, 2),
+        |pe AS (SELECT source,
+        |         SUM(CAST(COALESCE(rt, 0) AS DECIMAL(38,0)) * COALESCE(ct, 0)) AS pe_num
+        |       FROM r FULL OUTER JOIN c USING (source, cls) GROUP BY source),
+        |t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |        CAST(SUM(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS diag
+        |      FROM cells GROUP BY source)
+        |SELECT source, n_docs,
+        |  floor(CAST(diag AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6 + 0.5) / 1e6 AS po,
+        |  floor(CAST(pe_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS pe,
+        |  floor((CAST(diag AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |      - CAST(pe_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+        |    / NULLIF(1.0 - CAST(pe_num AS DOUBLE)
+        |        / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 0.0)
+        |    * 1e6 + 0.5) / 1e6 AS kappa
+        |FROM t JOIN pe USING (source) ORDER BY source""".stripMargin,
+
     // Positional grams (pos, 8 tokens joined by one space) → df >= 2
     // across distinct docs → cut every covered token position →
     // reassemble survivors in order. md5 hash-checks the reassembled

@@ -310,6 +310,74 @@ private[graft] object EventOracles {
         |FROM cells c JOIN rt USING (event_type) JOIN ct USING (tow), n
         |ORDER BY c.event_type, c.tow""".stripMargin,
 
+    // Adjusted residuals share chi2_contingency's cells/margins CTEs;
+    // the multiply chain and the nullif'd sqrt denominator mirror the
+    // Spark expression ORDER exactly so the driving flag compares the
+    // same double.
+    "chi2_residuals" ->
+      """WITH cells AS (SELECT event_type,
+        |    CAST((ts::DATE - DATE '1970-01-01') % 7 AS INT) AS tow,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT tow, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |x AS (SELECT c.event_type, c.tow, c.o,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+        |    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / NULLIF(sqrt((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (1.0 - CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (1.0 - CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))), 0.0) AS resid
+        |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (tow), n)
+        |SELECT event_type, tow, o,
+        |  floor(e * 1e4 + 0.5) / 1e4 AS e,
+        |  floor(resid * 1e4 + 0.5) / 1e4 AS adj_residual,
+        |  abs(resid) > 2 AS driving
+        |FROM x ORDER BY event_type, tow""".stripMargin,
+
+    // One-way ANOVA per type over the md5-mod-3 arms: exact decimal
+    // moments pivoted to fixed arm order, the double combination in
+    // ONE deterministic sequence (three s²/n terms, two subtractions,
+    // one nullif'd division), F vs the asymptotic F(2,inf)=2.9957.
+    "anova_f" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 3 AS arm
+        |  FROM events),
+        |pa AS (SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(vq AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(vq AS DECIMAL(38,0)) * vq) AS ss
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type,
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN arm = 2 THEN n END) AS n2,
+        |    MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+        |    MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+        |    MAX(CASE WHEN arm = 2 THEN s END) AS s2,
+        |    MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+        |    MAX(CASE WHEN arm = 1 THEN ss END) AS ss1,
+        |    MAX(CASE WHEN arm = 2 THEN ss END) AS ss2
+        |  FROM pa GROUP BY 1),
+        |calc AS (SELECT event_type, n0, n1, n2,
+        |    CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS sb,
+        |    CAST(s0 + s1 + s2 AS DOUBLE) AS st,
+        |    CAST(ss0 + ss1 + ss2 AS DOUBLE) AS sst
+        |  FROM w
+        |  WHERE n0 IS NOT NULL AND n1 IS NOT NULL AND n2 IS NOT NULL
+        |    AND n0 + n1 + n2 > 3),
+        |f AS (SELECT event_type, n0, n1, n2,
+        |    ((sb - st * st / CAST(n0 + n1 + n2 AS DOUBLE)) / 2.0)
+        |      / NULLIF((sst - sb) / CAST(n0 + n1 + n2 - 3 AS DOUBLE), 0.0) AS f
+        |  FROM calc)
+        |SELECT event_type, n0, n1, n2,
+        |  floor(f * 1e6 + 0.5) / 1e6 AS f_stat,
+        |  f > 2.9957 AS significant
+        |FROM f ORDER BY event_type""".stripMargin,
+
     // Funnel pairing (first view, first strictly-later purchase) in µs;
     // quantile interpolation over exact integer delays, µs→sec + 4dp
     // floor rounding once at the edge.

@@ -48,14 +48,16 @@ private[graft] object OracleFragments {
       |SELECT q_id, n_id, score, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   /** Standalone oracle for the n-gram language detector; also nested
-    * as the prediction side of `lang_confusion` — one string, no
-    * drift (same pattern as [[KnnTopkSql]]). */
-  val LangIdSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks
+    * as the prediction side of `lang_confusion` (and, with `source`
+    * carried through, of `cohen_kappa`) — one builder, no drift
+    * (same pattern as [[KnnTopkSql]]). `extraCols` is a leading-comma
+    * column list threaded through every CTE (e.g. ", source"). */
+  def langIdSqlWith(extraCols: String): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang$extraCols, regexp_split_to_array(lower(text), '\\s+') AS toks
       |  FROM documents),
       |s AS (
-      |  SELECT doc_id, lang,
+      |  SELECT doc_id, lang$extraCols,
       |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','you','that'))) AS s_en,
       |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','ser','se','no'))) AS s_es,
       |    len(list_filter(toks, x -> x IN ('der','die','und','in','den','von','zu','das','mit','sich'))) AS s_de,
@@ -63,7 +65,7 @@ private[graft] object OracleFragments {
       |    len(list_filter(toks, x -> x IN ('的','一','是','不','了','人','我','在','有','他'))) AS s_zh
       |  FROM t),
       |m AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM s)
-      |SELECT doc_id, lang,
+      |SELECT doc_id, lang$extraCols,
       |  CASE WHEN best = 0 THEN 'und'
       |       WHEN s_zh = best THEN 'zh'
       |       WHEN s_fr = best THEN 'fr'
@@ -71,6 +73,8 @@ private[graft] object OracleFragments {
       |       WHEN s_en = best THEN 'en'
       |       ELSE 'de' END AS pred_lang
       |FROM m ORDER BY doc_id""".stripMargin
+
+  val LangIdSql: String = langIdSqlWith("")
 
   /** `src` parametrizes the document set: "documents" for the whole
     * corpus, a prior CTE name for staged pipelines (dedup_cascade

@@ -384,6 +384,70 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(Behavior.cramersVOf(indep).collect().head.getDouble(4) == 0.0)
   }
 
+  test("chi2 residuals: association drives cells above |2|, independence reads 0, degenerate nulls") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"1970-01-${day + 1}%02d 12:00:00")
+    // A only on tow 0 (3 events), B only on tow 1 (3) — adjusted
+    // residual (3−1.5)/√(1.5·0.5·0.5) ≈ 2.449 on every observed cell.
+    val assoc = Seq.fill(3)(("A", ts(0))) ++ Seq.fill(3)(("B", ts(1)))
+    val a = Behavior.chi2ResidualsOf(assoc.toDF("event_type", "ts"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(a(("A", 0)) == ((2.4495, true)) && a(("B", 1)) == ((2.4495, true)),
+      s"association must drive: $a")
+    // Uniform table: O = E in every cell → residual 0, not driving.
+    val indep = Seq(("A", ts(0)), ("A", ts(1)), ("B", ts(0)), ("B", ts(1)))
+    Behavior.chi2ResidualsOf(indep.toDF("event_type", "ts")).collect()
+      .foreach(r => assert(r.getDouble(4) == 0.0 && !r.getBoolean(5), s"$r"))
+    // Single event type: rt = n → the (1 − rt/n) factor zeroes the
+    // denominator → NULL residual, never a division blow-up.
+    val degen = Seq(("A", ts(0)), ("A", ts(1)))
+    Behavior.chi2ResidualsOf(degen.toDF("event_type", "ts")).collect()
+      .foreach(r => assert(r.isNullAt(4) && r.isNullAt(5), s"$r"))
+  }
+
+  test("anova f: per-arm shifts reproduce the hand-computed F; degenerate variance nulls") {
+    // Recover each test user's md5 arm through the SAME exposed
+    // expression, then plant a between-arm effect with within-arm
+    // spread and check F against the textbook formula computed here.
+    val users = (0L until 30L)
+    val armOf = users.toDF("user_id")
+      .select(col("user_id"), Behavior.arm3(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(armOf.values.toSet == Set(0L, 1L, 2L), "all arms populated")
+    val rows = users.zipWithIndex.map { case (u, i) =>
+      val base = 1.0 + armOf(u)           // means 1, 2, 3 by arm
+      val spread = if (i % 2 == 0) -0.5 else 0.5
+      (u, "click", "2026-01-01 10:00:00", base + spread)
+    }
+    def ev(rs: Seq[(Long, String, String, Double)]) =
+      rs.toDF("user_id", "event_type", "t", "value")
+        .select(col("user_id"), col("event_type"),
+          to_timestamp(col("t")).as("ts"), col("value"))
+    val got = Behavior.anovaFOf(ev(rows)).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == 30L)
+    // Hand computation on the micro grid from the same arm map.
+    val byArm: Map[Long, Seq[Double]] = rows.groupBy(t => armOf(t._1))
+      .map { case (a, ts) => a -> ts.map(t => math.floor(t._4 * 1e6 + 0.5)).toSeq }
+    val k = 3
+    val n = rows.size.toDouble
+    val all: Seq[Double] = byArm.values.flatten.toSeq
+    val sb: Double = (0 until k).map { a =>
+      val s = byArm(a.toLong).sum; s * s / byArm(a.toLong).size }.sum
+    val st: Double = all.sum
+    val ssb = sb - st * st / n
+    val ssw = all.map(v => v * v).sum - sb
+    val f = (ssb / 2.0) / (ssw / (n - k))
+    assert(math.abs(r.getDouble(4) - f) < 1e-4, s"F ${r.getDouble(4)} vs $f")
+    assert(r.getBoolean(5) == (f > 2.9957))
+    // All-constant values: SSW = 0 AND SSB = 0 → NULL F, no blow-up.
+    val const = users.map(u => (u, "click", "2026-01-01 10:00:00", 7.0))
+    val c = Behavior.anovaFOf(ev(const)).collect().head
+    assert(c.isNullAt(4) && c.isNullAt(5), s"degenerate must null: $c")
+  }
+
   test("nelson-aalen: hazard increments accumulate on the nano grid") {
     import java.sql.Timestamp
     def ev(u: Long, d: Int) =

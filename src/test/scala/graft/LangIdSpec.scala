@@ -47,4 +47,27 @@ class LangIdSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(split == direct)
   }
+
+  test("cohen kappa: perfect agreement 1, marginal-matching 0, single-class NULL") {
+    // s1: detector agrees on both classes → po 1, pe 0.5, κ = 1.
+    // s2: truth split en/es but every text reads en → po 0.5; row
+    //     marginals (2,2) × col marginals (4,0) → pe 0.5 → κ = 0 (the
+    //     marginal-matching coin gets the same accuracy).
+    // s3: one class on both sides → pe = 1 → κ NULL, not a blow-up.
+    val docs = Seq(
+      ("s1", "en", "the of and"), ("s1", "es", "el la de"),
+      ("s2", "en", "the of"), ("s2", "en", "the and"),
+      ("s2", "es", "the is"), ("s2", "es", "the you"),
+      ("s3", "en", "the of"), ("s3", "en", "the and"))
+      .toDF("source", "lang", "text")
+    val got = TextAnalysis.cohenKappaOf(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    assert(got("s1") == ((2L, 1.0, 0.5, 1.0)), s"s1: ${got("s1")}")
+    assert(got("s2") == ((4L, 0.5, 0.5, 0.0)), s"s2: ${got("s2")}")
+    val (n3, po3, pe3, k3) = got("s3")
+    assert(n3 == 2L && po3 == 1.0 && pe3 == 1.0 && k3.isNaN,
+      s"s3 single-class must NULL kappa: ${got("s3")}")
+  }
 }

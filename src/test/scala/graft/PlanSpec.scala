@@ -858,6 +858,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"a per-config union would re-scan and re-sign 4x:\n$p")
   }
 
+  test("round-12 tranche: stats plans are one fact aggregate + bounded-frame arithmetic") {
+    // anova_f: ONE fact aggregate on (type, arm); no join at all.
+    val af = plan(Behavior.anovaF(spark, Sf))
+    assert(af.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      af.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"anova_f joins nothing:\n$af")
+    // chi2_residuals: the margins are windows over the bounded cell
+    // frame, like the parent contingency query — no join, no cross.
+    val cr = plan(Behavior.chi2Residuals(spark, Sf))
+    assert(cr.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      cr.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"chi2_residuals joins nothing:\n$cr")
+    // cohen_kappa: every join (marginals full-outer, totals) rides
+    // the bounded ≤ sources·langs² cell frame behind the checkpoint —
+    // nothing fact-sized crosses.
+    val ck = plan(graft.operators.TextAnalysis.cohenKappa(spark, Sf))
+    assert(ck.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"cohen_kappa must not cross:\n$ck")
+  }
+
   test("round-11 tranche: merge/test/rank-eval plans bounded as designed") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     // merge_upsert: ONE conditional-struct-max aggregate — no join of
