@@ -297,6 +297,9 @@ object SparkEntry {
     "chi2_residuals"    -> (Behavior.chi2Residuals(_, _)),
     "anova_f"           -> (Behavior.anovaF(_, _)),
     "cohen_kappa"       -> (TextAnalysis.cohenKappa(_, _)),
+    "margin_mining"     -> (Similarity.marginMining(_, _)),
+    "l_diversity"       -> (Warehouse.lDiversity(_, _)),
+    "user_growth"       -> (Behavior.userGrowth(_, _)),
     "corr_matrix"       -> (Robust.corrMatrix(_, _)),
     "spearman_matrix"   -> (Robust.spearmanMatrix(_, _)),
     "join_size_estimate" -> (Warehouse.joinSizeEstimate(_, _)),

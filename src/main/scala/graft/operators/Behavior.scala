@@ -1146,6 +1146,39 @@ object Behavior {
   def audienceOverlap(spark: SparkSession, dir: String): DataFrame =
     audienceOverlapOf(Tables.events(spark, dir))
 
+  /** Audience growth curve — cumulative distinct users by FIRST-seen
+    * day (the "total users ever" line every dashboard draws;
+    * [[audienceOverlapOf]] reads day-over-day churn, this reads
+    * lifetime acquisition): each user counts exactly once, on the day
+    * of their first event, and the running sum of those daily cohort
+    * sizes IS the cumulative distinct-user count — a cumulative
+    * COUNT(DISTINCT) window over facts would hold per-day user sets
+    * in window state; first-seen attribution gets the same number
+    * from one user-keyed min and a calendar-bounded running sum.
+    * Also reports each day's active users, so the new/active ratio
+    * (the acquisition-vs-retention mix) reads off the row.
+    *
+    * Shape: one user-keyed min aggregate + one (user, day) dedup at
+    * fact scale; both daily frames and the running-sum window are
+    * calendar-bounded. */
+  def userGrowthOf(events: DataFrame): DataFrame = {
+    val byDay = events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstSeen = byDay.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new_users"))
+    val active = byDay.distinct()
+      .groupBy("day").agg(count(lit(1)).as("n_active_users"))
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("n_active_users"),
+        coalesce(col("n_new_users"), lit(0L)).as("n_new_users"))
+      .withColumn("cum_users", sum("n_new_users").over(cum))
+      .orderBy("day")
+  }
+
+  def userGrowth(spark: SparkSession, dir: String): DataFrame =
+    userGrowthOf(Tables.events(spark, dir))
+
   /** Trending items (exponentially decayed interaction counts, top-k):
     * [[decayedEngagementOf]]'s integer-exact λ=½ machinery keyed by
     * ITEM — each interaction weighs 2^(−age) and the top-k by decayed

@@ -933,4 +933,67 @@ object Similarity {
 
   def rpRecall(spark: SparkSession, dir: String): DataFrame =
     rpRecallOf(Tables.embeddings(spark, dir))
+
+  /** Margin-based cross-label pair mining (Artetxe & Schwenk '19's
+    * ratio margin — the bitext-mining criterion, and the general
+    * cross-corpus alignment read: raw cosine crowns HUB vectors that
+    * are near everything; dividing by the mean similarity of each
+    * side's own neighborhood cancels the hubness): between side A
+    * (label `labelA`) and side B (label `labelB`), each A-vector's
+    * BEST B-counterpart with margin = cos(x,y) /
+    * ((avgTop`k`(x→B) + avgTop`k`(y→A)) / 2), `accepted` at the
+    * conventional 1.05 threshold.
+    *
+    * Determinism: cosines quantize to the 1e-6 integer grid FIRST
+    * (floor-form — the [[knnTopk]] rounding convention), so the
+    * top-k averages are exact integer sums in any order and the
+    * margin is arithmetic over integer operands with one fixed-order
+    * double combination; the flag compares the same double on both
+    * engines. Non-positive neighborhood averages (all-negative
+    * cosine corners) null the margin via nullif rather than divide
+    * by zero.
+    *
+    * Shape: the bipartite score frame materializes once and feeds
+    * both top-k windows and the best-pair filter. Pair generation
+    * here is the exact |A|×|B| broadcast join (the verification
+    * query's contract); at corpus scale the candidate set comes from
+    * [[annLsh]]'s sign-bucket + multiprobe join on BOTH sides — same
+    * margin arithmetic over bucket-bounded candidates, the
+    * documented trade being recall of cross-bucket borderline
+    * pairs. */
+  def marginMiningOf(emb: DataFrame, labelA: Int = 0, labelB: Int = 1,
+                     k: Int = 4, threshold: Double = 1.05): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val a = emb.filter(col("label") === labelA)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.filter(col("label") === labelB)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val scored = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        floor(VectorF.cosineSim(col("a_emb"), col("b_emb")) * 1e6 + lit(0.5))
+          .cast("long").as("c6"))
+      .localCheckpoint(false) // three consumers: two top-k sides + best
+    val wA = Window.partitionBy("a_id").orderBy(col("c6").desc, col("b_id"))
+    val wB = Window.partitionBy("b_id").orderBy(col("c6").desc, col("a_id"))
+    val avgA = scored.withColumn("ra", row_number().over(wA))
+      .filter(col("ra") <= k)
+      .groupBy("a_id").agg(sum("c6").as("sa"), count(lit(1)).as("ka"))
+    val avgB = scored.withColumn("rb", row_number().over(wB))
+      .filter(col("rb") <= k)
+      .groupBy("b_id").agg(sum("c6").as("sb"), count(lit(1)).as("kb"))
+    val denom = (col("sa").cast("double") / col("ka").cast("double") +
+      col("sb").cast("double") / col("kb").cast("double")) / lit(2.0)
+    val margin = col("c6").cast("double") / nullif(denom, lit(0.0))
+    scored.withColumn("ra", row_number().over(wA)).filter(col("ra") === 1)
+      .join(avgA, Seq("a_id"))
+      .join(avgB, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("c6").cast("double") / 1e6).as("cos"),
+        graft.functions.TextF.round6HalfUp(margin).as("margin"),
+        (margin > lit(threshold)).as("accepted"))
+      .orderBy("a_id")
+  }
+
+  def marginMining(spark: SparkSession, dir: String): DataFrame =
+    marginMiningOf(Tables.embeddings(spark, dir))
 }

@@ -274,6 +274,43 @@ object Warehouse {
   def kanonRisk(spark: SparkSession, dir: String): DataFrame =
     kanonRiskOf(Tables.customer(spark, dir))
 
+  /** l-diversity audit — [[kanonRiskOf]]'s second gate (Machanavajjhala
+    * '07): a group can be k-anonymous yet still leak when everyone in
+    * it SHARES the sensitive value (homogeneity attack). QI here is
+    * the kanon tuple generalized one level (segment × nation — the
+    * suppression step a kanon failure forces); the sensitive
+    * attribute is the account-balance kilobucket. Per QI group:
+    * size, distinct sensitive values ł, the top value's share in ppm
+    * (a group can pass ł ≥ l and still be 99% one value — the
+    * probabilistic-disclosure read), `risky` = ł < l.
+    *
+    * Shape: one map-combinable (QI, sensitive) count at fact scale;
+    * the per-group fold (distinct count, argmax share) rides the
+    * bounded cell frame — the [[graft.operators.CorpusStats]]
+    * lang-HHI fold shape. */
+  def lDiversityOf(customer: DataFrame, l: Long = 3): DataFrame = {
+    require(l > 1, s"l must be > 1, got $l")
+    customer
+      .groupBy(col("c_mktsegment"),
+        col("c_nationkey").cast("int").as("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(sum("c").as("group_size"),
+        count(lit(1)).as("l_distinct"),
+        // argmax with ties to the SMALLEST bucket = min over (-c, b)
+        min(struct((-col("c")).as("nc"), col("bal_bucket").as("b"))).as("m"))
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        col("group_size"), col("l_distinct"),
+        col("m.b").as("top_sensitive"),
+        expr("((-m.nc) * 1000000) div group_size").as("top_share_ppm"),
+        (col("l_distinct") < l).as("risky"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversityOf(Tables.customer(spark, dir))
+
   /** Differential-privacy-style noised release of per-group counts: a
     * two-sided geometric perturbation (the discrete Laplace — the
     * standard integer mechanism for count queries) with α = 1/2,

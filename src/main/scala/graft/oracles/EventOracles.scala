@@ -24,6 +24,22 @@ private[graft] object EventOracles {
         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
 
     // Day-over-day audience Jaccard on the deduped (user, day) frame.
+    // First-seen cohort sizes + calendar running sum = cumulative
+    // distinct users; active side from the same (user, day) dedup.
+    "user_growth" ->
+      """WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |fs AS (SELECT user_id, MIN(day) AS day FROM d GROUP BY user_id),
+        |nu AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+        |       FROM fs GROUP BY day),
+        |na AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active_users
+        |       FROM d GROUP BY day)
+        |SELECT na.day, n_active_users,
+        |  COALESCE(n_new_users, 0) AS n_new_users,
+        |  CAST(SUM(COALESCE(n_new_users, 0)) OVER (ORDER BY na.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM na LEFT JOIN nu USING (day) ORDER BY day""".stripMargin,
+
     "audience_overlap" ->
       """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
         |sz AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM ud GROUP BY 1),

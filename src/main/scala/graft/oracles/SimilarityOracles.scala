@@ -10,6 +10,50 @@ private[graft] object SimilarityOracles {
 
     "knn_topk" -> KnnTopkSql,
 
+    // Margin mining: cosines quantize to the 1e-6 integer grid FIRST
+    // (floor form), so the top-k averages are exact integer sums in
+    // any order; the margin's double combination mirrors the Spark
+    // order and the accepted flag compares the same double. The
+    // cosine itself is the explicit DOUBLE-precision sequential form
+    // (inner products over DOUBLE[], two sqrts, one division) — NOT
+    // list_cosine_similarity, which computes in FLOAT for FLOAT[]
+    // input and lands one 1e-6 grid cell away from Spark's double
+    // fold at quantization boundaries (3 of 50 pairs at sf0.01).
+    "margin_mining" ->
+      """WITH a AS (SELECT vec_id AS a_id,
+        |             CAST(embedding AS DOUBLE[]) AS a_emb
+        |           FROM embeddings WHERE label = 0),
+        |b AS (SELECT vec_id AS b_id,
+        |        CAST(embedding AS DOUBLE[]) AS b_emb
+        |      FROM embeddings WHERE label = 1),
+        |s AS (SELECT a_id, b_id,
+        |        CAST(floor(list_inner_product(a_emb, b_emb)
+        |          / (sqrt(list_inner_product(a_emb, a_emb))
+        |             * sqrt(list_inner_product(b_emb, b_emb)))
+        |          * 1e6 + 0.5) AS BIGINT) AS c6
+        |      FROM a, b WHERE a_id <> b_id),
+        |ra AS (SELECT *, ROW_NUMBER() OVER
+        |         (PARTITION BY a_id ORDER BY c6 DESC, b_id) AS ra FROM s),
+        |rb AS (SELECT *, ROW_NUMBER() OVER
+        |         (PARTITION BY b_id ORDER BY c6 DESC, a_id) AS rb FROM s),
+        |avga AS (SELECT a_id, CAST(SUM(c6) AS BIGINT) AS sa,
+        |           CAST(COUNT(*) AS BIGINT) AS ka
+        |         FROM ra WHERE ra <= 4 GROUP BY a_id),
+        |avgb AS (SELECT b_id, CAST(SUM(c6) AS BIGINT) AS sb,
+        |           CAST(COUNT(*) AS BIGINT) AS kb
+        |         FROM rb WHERE rb <= 4 GROUP BY b_id),
+        |m AS (SELECT ra.a_id, ra.b_id, c6,
+        |        CAST(c6 AS DOUBLE) / NULLIF(
+        |          (CAST(sa AS DOUBLE) / CAST(ka AS DOUBLE)
+        |            + CAST(sb AS DOUBLE) / CAST(kb AS DOUBLE)) / 2.0, 0.0)
+        |          AS margin
+        |      FROM ra JOIN avga USING (a_id) JOIN avgb USING (b_id)
+        |      WHERE ra = 1)
+        |SELECT a_id, b_id, CAST(c6 AS DOUBLE) / 1e6 AS cos,
+        |  floor(margin * 1e6 + 0.5) / 1e6 AS margin,
+        |  margin > 1.05 AS accepted
+        |FROM m ORDER BY a_id""".stripMargin,
+
     // RRF hybrid retrieval: ranks are integers with id tie-breaks,
     // each reciprocal is one IEEE division, the fused score one sum
     // of two exactly-rounded doubles → engine-identical before round4.

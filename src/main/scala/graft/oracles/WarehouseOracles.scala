@@ -431,6 +431,28 @@ private[graft] object WarehouseOracles {
         |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
         |ORDER BY c_mktsegment, c_nationkey, bal_bucket""".stripMargin,
 
+    // l-diversity over the one-level-generalized QI; argmax via the
+    // lang_hhi ROW_NUMBER idiom (ties to the smallest bucket).
+    "l_diversity" ->
+      """WITH c AS (SELECT c_mktsegment, CAST(c_nationkey AS INT) AS c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |g AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(SUM(c) AS BIGINT) AS group_size,
+        |    CAST(COUNT(*) AS BIGINT) AS l_distinct
+        |  FROM c GROUP BY 1, 2),
+        |top AS (SELECT c_mktsegment, c_nationkey,
+        |    bal_bucket AS top_sensitive, c AS top_c FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment, c_nationkey
+        |      ORDER BY c DESC, bal_bucket) AS rn FROM c) WHERE rn = 1)
+        |SELECT g.c_mktsegment, g.c_nationkey, group_size, l_distinct,
+        |  top_sensitive,
+        |  (top_c * 1000000) // group_size AS top_share_ppm,
+        |  l_distinct < 3 AS risky
+        |FROM g JOIN top USING (c_mktsegment, c_nationkey)
+        |ORDER BY g.c_mktsegment, g.c_nationkey""".stripMargin,
+
     // fuzzy_match's blocked pair list -> recursive min-label closure
     // (dedup_components' oracle pattern on string ids).
     "entity_clusters" ->

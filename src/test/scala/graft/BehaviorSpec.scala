@@ -384,6 +384,23 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(Behavior.cramersVOf(indep).collect().head.getDouble(4) == 0.0)
   }
 
+  test("user growth: users count once on their first day, actives recount, cumsum exact") {
+    import java.sql.Timestamp
+    def ev(u: Long, d: Int) =
+      (u, Timestamp.valueOf(f"2026-01-$d%02d 10:00:00"))
+    // u1 active d1+d2 (new on d1 only), u2 new d1, u3 new d2 with two
+    // same-day events (dedup to one active), u4 new d3.
+    val events = Seq(ev(1, 1), ev(2, 1), ev(1, 2), ev(3, 2), ev(3, 2),
+      ev(4, 3)).toDF("user_id", "ts")
+    val got = Behavior.userGrowthOf(events).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("2026-01-01") == ((2L, 2L, 2L)), s"$got")
+    assert(got("2026-01-02") == ((2L, 1L, 3L)),
+      s"u1 returns (active, not new), u3 dedups same-day: $got")
+    assert(got("2026-01-03") == ((1L, 1L, 4L)), s"$got")
+  }
+
   test("chi2 residuals: association drives cells above |2|, independence reads 0, degenerate nulls") {
     import java.sql.Timestamp
     def ts(day: Int) = Timestamp.valueOf(f"1970-01-${day + 1}%02d 12:00:00")

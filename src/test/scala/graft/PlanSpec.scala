@@ -876,6 +876,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val ck = plan(graft.operators.TextAnalysis.cohenKappa(spark, Sf))
     assert(ck.collect { case j: CartesianProductExec => j }.isEmpty,
       s"cohen_kappa must not cross:\n$ck")
+    // l_diversity / user_growth: aggregate-only (user_growth's one
+    // join is the bounded daily-frame left join).
+    val ld = plan(Warehouse.lDiversity(spark, Sf))
+    assert(ld.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      ld.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"l_diversity joins nothing:\n$ld")
+    val ug = plan(Behavior.userGrowth(spark, Sf))
+    assert(ug.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"user_growth must not cross:\n$ug")
+    // margin_mining: the deliberate exact bipartite — exactly ONE
+    // nested loop (the broadcast A×B score join), documented as the
+    // verification contract; everything downstream is windows +
+    // equijoins over the materialized score frame.
+    val mm = plan(Similarity.marginMining(spark, Sf))
+    assert(mm.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1 &&
+      mm.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"margin_mining: one bipartite nested loop only:\n$mm")
   }
 
   test("round-11 tranche: merge/test/rank-eval plans bounded as designed") {

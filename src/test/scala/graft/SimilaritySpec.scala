@@ -453,4 +453,29 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(col.contains(1.0) && col.contains(-1.0), s"dim $j one-sided")
     }
   }
+
+  test("margin mining: a sharp exclusive pair accepts, a hub vector's best does not") {
+    // a0 pairs exclusively with b0 (cos 1, everything else 0); a1 is
+    // a HUB — cos 0.5 to every b. Hand margins with k=4:
+    //   a0→B avg = 1/4;  b0→A avg = (1 + 0.5)/2 = 0.75
+    //   margin(a0,b0) = 1 / ((0.25 + 0.75)/2) = 2.0   → accepted
+    //   margin(a1,b0) = 0.5 / ((0.5 + 0.75)/2) = 0.8  → rejected
+    // (the hubness cancellation the ratio margin exists for; raw
+    // cosine alone would accept the hub's 0.5 as confidently as any).
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.5f, 0.5f, 0.5f, 0.5f), 0),
+      (10L, Array(1f, 0f, 0f, 0f), 1),
+      (11L, Array(0f, 1f, 0f, 0f), 1),
+      (12L, Array(0f, 0f, 1f, 0f), 1),
+      (13L, Array(0f, 0f, 0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.marginMiningOf(vecs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got(0L) == ((10L, 1.0, 2.0, true)), s"sharp: ${got(0L)}")
+    // hub ties across all b at 0.5 → smallest b_id wins the best slot
+    assert(got(1L) == ((10L, 0.5, 0.8, false)), s"hub: ${got(1L)}")
+  }
 }

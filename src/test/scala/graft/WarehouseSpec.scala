@@ -367,4 +367,25 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out("ALPHA") == ((1L, 1000000L, 1.0)), s"got $out")
     assert(out("BETA") == ((2L, 500000L, 0.5)))
   }
+
+  test("lDiversity: homogeneous groups flag risky, diverse groups pass, shares exact") {
+    import spark.implicits._
+    // Group (SEG_A, 1): 4 customers all in balance bucket 2 → ł = 1,
+    // risky, top share 100%. Group (SEG_B, 2): buckets 0/1/2/2 →
+    // ł = 3, not risky at l = 3, top share 50%.
+    val cust = Seq(
+      (1L, "c1", 1, 2500.0, "SEG_A"), (2L, "c2", 1, 2600.0, "SEG_A"),
+      (3L, "c3", 1, 2700.0, "SEG_A"), (4L, "c4", 1, 2800.0, "SEG_A"),
+      (5L, "c5", 2, 500.0, "SEG_B"), (6L, "c6", 2, 1500.0, "SEG_B"),
+      (7L, "c7", 2, 2500.0, "SEG_B"), (8L, "c8", 2, 2600.0, "SEG_B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val got = graft.operators.Warehouse.lDiversityOf(cust).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(got(("SEG_A", 1)) == ((4L, 1L, 2L, 1000000L, true)),
+      s"homogeneous: ${got(("SEG_A", 1))}")
+    assert(got(("SEG_B", 2)) == ((4L, 3L, 2L, 500000L, false)),
+      s"diverse: ${got(("SEG_B", 2))}")
+  }
 }
