@@ -300,6 +300,8 @@ object SparkEntry {
     "margin_mining"     -> (Similarity.marginMining(_, _)),
     "l_diversity"       -> (Warehouse.lDiversity(_, _)),
     "user_growth"       -> (Behavior.userGrowth(_, _)),
+    "kcenter_select"    -> (Cluster.kCenterSelect(_, _)),
+    "apriori_triples"   -> (Behavior.aprioriTriples(_, _)),
     "corr_matrix"       -> (Robust.corrMatrix(_, _)),
     "spearman_matrix"   -> (Robust.spearmanMatrix(_, _)),
     "join_size_estimate" -> (Warehouse.joinSizeEstimate(_, _)),

@@ -503,6 +503,59 @@ object Behavior {
       .limit(k)
   }
 
+  /** Frequent 3-itemsets with Apriori candidate pruning (Agrawal-
+    * Srikant '94 level 3 — [[itemAffinityOf]] mines the pairs; the
+    * triple level is where naive enumeration explodes and the Apriori
+    * property starts paying): a triple can only be frequent if ALL
+    * THREE of its pairs are, so the basket self-join chain is
+    * semi-joined against the frequent-pair frame BEFORE the third
+    * expansion and again after — candidates never materialize beyond
+    * what level 2 already admitted. Identical output to the unpruned
+    * count (the downward-closure property makes the prune
+    * transparent, which is why the oracle can skip it), top `kTop`
+    * by support with lexicographic ties.
+    *
+    * Shape: the user-keyed self-joins are quadratic/cubic in BASKET
+    * size (distinct-deduped first), never in users — the standard
+    * Apriori cost; the frequent-pair prune frame is support-bounded
+    * and AQE-decided. */
+  def aprioriTriplesOf(events: DataFrame, minSupport: Long = 5,
+                       kTop: Int = 30): DataFrame = {
+    require(kTop > 0, s"kTop must be positive, got $kTop")
+    val items = events.select(col("user_id"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("item"))
+      .distinct()
+      .localCheckpoint(false) // four consumers (three legs + pairs)
+    val freqPairs = items.select(col("user_id"), col("item").as("pa"))
+      .join(items.select(col("user_id"), col("item").as("pb")), Seq("user_id"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .select(col("pa"), col("pb"))
+      .localCheckpoint(false) // support-bounded; three semi-join consumers
+    def frequent(a: String, b: String)(df: DataFrame): DataFrame =
+      df.join(freqPairs,
+        col(a) === col("pa") && col(b) === col("pb"), "left_semi")
+    val ab = items.select(col("user_id"), col("item").as("item_a"))
+      .join(items.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .transform(frequent("item_a", "item_b"))
+    val abc = ab
+      .join(items.select(col("user_id"), col("item").as("item_c")), Seq("user_id"))
+      .filter(col("item_b") < col("item_c"))
+      .transform(frequent("item_a", "item_c"))
+      .transform(frequent("item_b", "item_c"))
+      .groupBy("item_a", "item_b", "item_c").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    abc.orderBy(col("support").desc, col("item_a"), col("item_b"),
+        col("item_c"))
+      .limit(kTop)
+  }
+
+  def aprioriTriples(spark: SparkSession, dir: String): DataFrame =
+    aprioriTriplesOf(Tables.events(spark, dir))
+
   def itemAffinity(spark: SparkSession, dir: String): DataFrame =
     itemAffinityOf(Tables.events(spark, dir))
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,6 +132,63 @@ object Cluster {
 
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     labelCentroidsOf(Tables.embeddings(spark, dir))
+
+  /** k-center greedy coreset selection (Gonzalez '85 farthest-point
+    * traversal; the Sener-Savarese '18 active-learning coreset): pick
+    * `k` representatives by repeatedly taking the vector FARTHEST
+    * (max cosine distance) from the already-selected set — the
+    * diversity-first data-selection pass (dedup removes near-twins;
+    * this picks a budget-constrained spread that COVERS the corpus,
+    * with the classic 2-approximation of the optimal k-center
+    * radius). Each selection reports its distance to the prior set —
+    * the monotone non-increasing max-min covering-radius curve, the
+    * "how well do k exemplars cover the corpus" read that sizes k.
+    *
+    * Distances ride the 1e-6 integer grid (d6 = 10⁶ − cos6,
+    * floor-form) so the argmax is exact with smallest-id ties; the
+    * traversal seeds at the smallest vec_id.
+    *
+    * Shape: O(n·k), NEVER O(n²) — each round broadcasts ONE new
+    * center, updates the running min-distance column map-side, and
+    * takes a global top-1 (TakeOrderedAndProject, no full sort); the
+    * state localCheckpoints per round so the plan stays flat (the
+    * eager-iteration pattern of [[assignedOf]]'s Lloyd loop and the
+    * BPE merge trainer). */
+  def kCenterSelectOf(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 1 && k <= 64, s"k in (1, 64], got $k")
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def d6(a: Column, b: Column): Column =
+      lit(1000000L) - floor(VectorF.cosineSim(a, b) * 1e6 + lit(0.5)).cast("long")
+    val seedRow = vecs.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      .localCheckpoint(false) // 1 row; two consumers (output + distances)
+    var state: DataFrame = vecs.crossJoin(broadcast(seedRow))
+      .filter(col("vec_id") =!= col("c_id"))
+      .select(col("vec_id"), col("emb"), d6(col("emb"), col("c_emb")).as("best"))
+      .localCheckpoint(false)
+    var out: DataFrame = seedRow.select(lit(1).as("sel_order"),
+      col("c_id").as("vec_id"), lit(null).cast("double").as("radius"))
+    for (i <- 2 to k) {
+      val next = state.orderBy(col("best").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+          col("best").as("r6"))
+        .localCheckpoint(false) // 1 row; two consumers (output + update)
+      out = out.unionAll(next.select(lit(i).as("sel_order"),
+        col("c_id").as("vec_id"),
+        (col("r6").cast("double") / 1e6).as("radius")))
+      if (i < k)
+        state = state.crossJoin(broadcast(next.select(col("c_id"), col("c_emb"))))
+          .filter(col("vec_id") =!= col("c_id"))
+          .select(col("vec_id"), col("emb"),
+            least(col("best"), d6(col("emb"), col("c_emb"))).as("best"))
+          .localCheckpoint(false)
+    }
+    out.orderBy("sel_order")
+  }
+
+  def kCenterSelect(spark: SparkSession, dir: String): DataFrame =
+    kCenterSelectOf(Tables.embeddings(spark, dir))
 
   /** SemDeDup (Abbas'23): semantic dedup scoped to k-means cells —
     * pairwise cosine runs only WITHIN a cluster, so candidate pairs are

@@ -436,6 +436,23 @@ private[graft] object EventOracles {
         |SELECT item, neighbor, c12, cosine, "rank"
         |FROM r WHERE "rank" <= 3 ORDER BY item, "rank"""".stripMargin,
 
+    // Unpruned triple count — identical to the engine's Apriori-pruned
+    // form by downward closure (a frequent triple's pairs are all
+    // frequent), which is exactly what the hash equality certifies.
+    "apriori_triples" ->
+      """WITH i AS (SELECT DISTINCT user_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |t AS (SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+        |        CAST(COUNT(*) AS BIGINT) AS support
+        |      FROM i a
+        |      JOIN i b ON a.user_id = b.user_id AND a.item < b.item
+        |      JOIN i c ON b.user_id = c.user_id AND b.item < c.item
+        |      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5)
+        |SELECT item_a, item_b, item_c, support
+        |FROM t ORDER BY support DESC, item_a, item_b, item_c
+        |LIMIT 30""".stripMargin,
+
     "item_affinity" ->
       """WITH i AS (SELECT DISTINCT user_id,
         |    COALESCE(TRY_CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS item

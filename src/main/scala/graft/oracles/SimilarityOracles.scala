@@ -10,6 +10,36 @@ private[graft] object SimilarityOracles {
 
     "knn_topk" -> KnnTopkSql,
 
+    // k-center greedy traversal, unrolled to k=8 CTE stages; the
+    // cosine rides the explicit DOUBLE path (margin_mining's lesson)
+    // and every argmax is ORDER BY best DESC, vec_id LIMIT 1 — the
+    // same integer-grid tie rule as the engine's loop.
+    "kcenter_select" -> {
+      def dist(e1: String, e2: String): String =
+        s"1000000 - CAST(floor(list_inner_product($e1, $e2) / " +
+          s"(sqrt(list_inner_product($e1, $e1)) * " +
+          s"sqrt(list_inner_product($e2, $e2))) * 1e6 + 0.5) AS BIGINT)"
+      val k = 8
+      val sb = new StringBuilder
+      sb ++= "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),\n"
+      sb ++= "c1 AS (SELECT vec_id AS c_id, emb AS c_emb FROM v ORDER BY vec_id LIMIT 1),\n"
+      sb ++= s"d1 AS (SELECT vec_id, emb, ${dist("emb", "c_emb")} AS best " +
+        "FROM v, c1 WHERE vec_id <> c_id)"
+      for (i <- 2 to k) {
+        sb ++= s",\nc$i AS (SELECT vec_id AS c_id, emb AS c_emb, best AS r6 " +
+          s"FROM d${i - 1} ORDER BY best DESC, vec_id LIMIT 1)"
+        if (i < k)
+          sb ++= s",\nd$i AS (SELECT d.vec_id, d.emb, " +
+            s"least(best, ${dist("d.emb", "c_emb")}) AS best " +
+            s"FROM d${i - 1} d, c$i WHERE d.vec_id <> c_id)"
+      }
+      sb ++= "\nSELECT 1 AS sel_order, c_id AS vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1"
+      for (i <- 2 to k)
+        sb ++= s"\nUNION ALL SELECT $i, c_id, CAST(r6 AS DOUBLE) / 1e6 FROM c$i"
+      sb ++= "\nORDER BY sel_order"
+      sb.toString
+    },
+
     // Margin mining: cosines quantize to the 1e-6 integer grid FIRST
     // (floor form), so the top-k averages are exact integer sums in
     // any order; the margin's double combination mirrors the Spark

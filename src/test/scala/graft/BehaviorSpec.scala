@@ -179,6 +179,22 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       "exclusive pair ranks first on lift; sub-support pair (9,10) is gone")
   }
 
+  test("apriori triples: downward closure holds and the prune is output-transparent") {
+    def basket(u: Long, items: Long*) = items.map(i => (u, s"""{"k": $i}"""))
+    // {1,2,3} in 3 users (frequent triple at minSupport=3);
+    // {4,5} in 3 users but {4,5,6} in only 2 (pair frequent, triple
+    // not); a 4th user carries {1,2} only (pair support 4 > triple 3).
+    val ev = ((1L to 3L).flatMap(basket(_, 1L, 2L, 3L)) ++
+      basket(4L, 1L, 2L) ++
+      (5L to 6L).flatMap(basket(_, 4L, 5L, 6L)) ++
+      basket(7L, 4L, 5L))
+      .toDF("user_id", "props")
+    val got = Behavior.aprioriTriplesOf(ev, minSupport = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 3L)),
+      s"only the 3-user triple survives; (4,5,6) at support 2 must not: ${got.toSeq}")
+  }
+
   test("pivot: absent event types fill 0.0 and sums are exact") {
     val ev = Seq(
       (1L, "click", "2024-01-01 10:00:00", 1.25),

@@ -161,4 +161,37 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     assert(out("A") == ((2L, 2L, 1.0)))
     assert(out("B") == ((1L, 1L, -1.0)))
   }
+
+  test("k-center greedy: orthogonal spread beats near-duplicates, radius curve non-increasing") {
+    import spark.implicits._
+    // Three orthogonal directions + near-twins of the seed direction.
+    // Greedy MUST pick the three orthogonals (cos distance 1e6) before
+    // any near-twin of an already-selected center.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.999f, 0.01f, 0f, 0f)),  // near-twin of 0
+      (2L, Array(0.998f, 0.02f, 0f, 0f)),  // near-twin of 0
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f)),
+      (5L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Cluster.kCenterSelectOf(vecs, k = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(got.map(_._2).toSeq == Seq(0L, 3L, 4L, 5L),
+      s"seed = min id, then the three orthogonals (ties to smaller id): ${got.toSeq}")
+    assert(got.head._3 == -1.0, "seed has no radius")
+    val radii = got.tail.map(_._3)
+    assert(radii.forall(_ == 1.0), s"orthogonal picks all at distance 1: $radii")
+    // One more round would pick a near-twin at a TINY radius — the
+    // curve's knee. k = 5:
+    val got5 = graft.operators.Cluster.kCenterSelectOf(vecs, k = 5).collect()
+    val last = got5.last
+    assert(last.getLong(1) == 1L || last.getLong(1) == 2L)
+    assert(last.getDouble(2) < 0.01,
+      s"the 5th pick is a near-twin at near-zero radius: $last")
+    // monotone non-increasing radius curve
+    val curve = got5.drop(1).map(_.getDouble(2))
+    assert(curve.zip(curve.tail).forall { case (a, b) => a >= b }, curve.toSeq.toString)
+  }
 }

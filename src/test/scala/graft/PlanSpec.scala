@@ -893,6 +893,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(mm.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1 &&
       mm.collect { case j: CartesianProductExec => j }.isEmpty,
       s"margin_mining: one bipartite nested loop only:\n$mm")
+    // apriori_triples: user-keyed equijoins + pair semi-joins only.
+    val at = plan(Behavior.aprioriTriples(spark, Sf))
+    assert(at.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      at.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"apriori_triples: equijoin/semi-join only:\n$at")
+    // kcenter_select: the FINAL round's plan holds at most one 1-row
+    // center broadcast (earlier rounds already materialized behind
+    // their checkpoints); never a cartesian.
+    val kc = plan(graft.operators.Cluster.kCenterSelect(spark, Sf))
+    assert(kc.collect { case j: CartesianProductExec => j }.isEmpty &&
+      kc.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"kcenter_select: only the 1-row center broadcast crosses:\n$kc")
   }
 
   test("round-11 tranche: merge/test/rank-eval plans bounded as designed") {
