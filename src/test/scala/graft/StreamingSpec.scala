@@ -918,6 +918,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("StreamingGrowth: closed-day new-user counts match the batch curve; no TTL recount") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp)]
+    val query = graft.streaming.StreamingGrowth
+      .newUsersPerDay(input.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("growth_test")
+      .outputMode("append").start()
+    try {
+      // Day 1: u1, u2 (u1 twice — in-batch disorder: the later event
+      // arrives first in the tuple order). Day 2: u1 RETURNS (must not
+      // recount), u3 is new.
+      input.addData(
+        (1L, t("2026-01-01 12:00:00")), (1L, t("2026-01-01 09:00:00")),
+        (2L, t("2026-01-01 10:00:00")))
+      query.processAllAvailable()
+      input.addData((1L, t("2026-01-02 08:00:00")), (3L, t("2026-01-02 09:00:00")))
+      query.processAllAvailable()
+      // cross-batch disorder: u3's EARLIER day-1 event arrives after
+      // its day-2 emission — append mode cannot retract; the
+      // documented contract keeps u3 on day 2.
+      input.addData((3L, t("2026-01-01 23:00:00")))
+      query.processAllAvailable()
+      input.addData((9L, t("2026-01-10 00:00:00"))) // watermark closes all
+      query.processAllAvailable()
+      val streamed = spark.table("growth_test").collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(streamed.get("2026-01-01").contains(2L), s"$streamed")
+      assert(streamed.get("2026-01-02").contains(1L),
+        s"u1 returns un-recounted, u3 stays day-2 per the contract: $streamed")
+      // The batch twin on the same series WITHOUT the cross-batch
+      // disorder event agrees day-for-day (n_new_users column).
+      val batch = graft.operators.Behavior.userGrowthOf(
+        Seq((1L, t("2026-01-01 09:00:00")), (1L, t("2026-01-01 12:00:00")),
+          (2L, t("2026-01-01 10:00:00")), (1L, t("2026-01-02 08:00:00")),
+          (3L, t("2026-01-02 09:00:00")))
+          .toDF("user_id", "ts")).collect()
+        .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+      assert(batch == Map("2026-01-01" -> 2L, "2026-01-02" -> 1L),
+        s"batch curve: $batch")
+      assert(batch.forall { case (d, n) => streamed.get(d).contains(n) },
+        s"streamed ≡ batch on the in-order series: $batch vs $streamed")
+    } finally query.stop()
+  }
+
   // --- checkpoint-restart audits for the newest stateful operators
   // (rows 196/220/264): each op survives a stop/restart from its
   // checkpoint with out-of-order replay arriving AFTER the restart,
