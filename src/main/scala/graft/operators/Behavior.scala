@@ -518,7 +518,16 @@ object Behavior {
     * Shape: the user-keyed self-joins are quadratic/cubic in BASKET
     * size (distinct-deduped first), never in users — the standard
     * Apriori cost; the frequent-pair prune frame is support-bounded
-    * and AQE-decided. */
+    * and AQE-decided. Measured Θ(Σ C(basket,3)) exactly (×100
+    * rehearsal: 114× for 100× users at unchanged basket size, §6) —
+    * on the synthetic corpus baskets cover ~73 of a 100-item
+    * catalog, so every pair is frequent and the prune cannot bite
+    * (the dense-basket worst case that motivated FP-Growth). At
+    * scale: set `minSupport` as a USER SHARE (e.g. 1% of distinct
+    * users), not an absolute, and switch genuinely dense verticals
+    * to an FP-Growth conditional-tree pass — the prune here is the
+    * right shape for the sparse catalogs (10⁶+ items) that dominate
+    * in practice. */
   def aprioriTriplesOf(events: DataFrame, minSupport: Long = 5,
                        kTop: Int = 30): DataFrame = {
     require(kTop > 0, s"kTop must be positive, got $kTop")
