@@ -302,6 +302,12 @@ object SparkEntry {
     "user_growth"       -> (Behavior.userGrowth(_, _)),
     "kcenter_select"    -> (Cluster.kCenterSelect(_, _)),
     "apriori_triples"   -> (Behavior.aprioriTriples(_, _)),
+    // fpgrowth_triples is deliberately NOT registered: MLlib's
+    // FPGrowth enumerates the FULL frequent lattice with no
+    // itemset-size cap, and the dense synthetic baskets make that
+    // lattice ~10^10 itemsets at sf0.1 (measured timeout) — see the
+    // operator's scaladoc; BehaviorSpec pins its agreement with the
+    // Apriori chain on sparse baskets.
     "corr_matrix"       -> (Robust.corrMatrix(_, _)),
     "spearman_matrix"   -> (Robust.spearmanMatrix(_, _)),
     "join_size_estimate" -> (Warehouse.joinSizeEstimate(_, _)),

@@ -6,7 +6,27 @@ package graft.oracles
 private[graft] object EventOracles {
   import OracleFragments._
 
+  // The unpruned triple count — apriori_triples' oracle (identical to
+  // the engine's pruned form by downward closure; the un-REGISTERED
+  // FP-Growth twin is certified against the Apriori chain in
+  // BehaviorSpec instead — see SparkEntry's note).
+  private val FrequentTriplesSql: String =
+    """WITH i AS (SELECT DISTINCT user_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |t AS (SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+      |        CAST(COUNT(*) AS BIGINT) AS support
+      |      FROM i a
+      |      JOIN i b ON a.user_id = b.user_id AND a.item < b.item
+      |      JOIN i c ON b.user_id = c.user_id AND b.item < c.item
+      |      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5)
+      |SELECT item_a, item_b, item_c, support
+      |FROM t ORDER BY support DESC, item_a, item_b, item_c
+      |LIMIT 30""".stripMargin
+
   val sql: Map[String, String] = Map(
+
+    "apriori_triples" -> FrequentTriplesSql,
 
     "sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
@@ -435,23 +455,6 @@ private[graft] object EventOracles {
         |        ORDER BY cosine DESC, neighbor) AS INT) AS "rank" FROM sym)
         |SELECT item, neighbor, c12, cosine, "rank"
         |FROM r WHERE "rank" <= 3 ORDER BY item, "rank"""".stripMargin,
-
-    // Unpruned triple count — identical to the engine's Apriori-pruned
-    // form by downward closure (a frequent triple's pairs are all
-    // frequent), which is exactly what the hash equality certifies.
-    "apriori_triples" ->
-      """WITH i AS (SELECT DISTINCT user_id,
-        |    COALESCE(TRY_CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS item
-        |  FROM events),
-        |t AS (SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
-        |        CAST(COUNT(*) AS BIGINT) AS support
-        |      FROM i a
-        |      JOIN i b ON a.user_id = b.user_id AND a.item < b.item
-        |      JOIN i c ON b.user_id = c.user_id AND b.item < c.item
-        |      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5)
-        |SELECT item_a, item_b, item_c, support
-        |FROM t ORDER BY support DESC, item_a, item_b, item_c
-        |LIMIT 30""".stripMargin,
 
     "item_affinity" ->
       """WITH i AS (SELECT DISTINCT user_id,

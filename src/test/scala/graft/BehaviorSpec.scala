@@ -195,6 +195,20 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       s"only the 3-user triple survives; (4,5,6) at support 2 must not: ${got.toSeq}")
   }
 
+  test("fpgrowth triples equal the apriori join chain row-for-row") {
+    def basket(u: Long, items: Long*) = items.map(i => (u, s"""{"k": $i}"""))
+    val ev = ((1L to 6L).flatMap(basket(_, 1L, 2L, 3L, 4L)) ++
+      (7L to 9L).flatMap(basket(_, 2L, 3L, 5L)) ++
+      basket(10L, 5L, 6L))
+      .toDF("user_id", "props")
+    val ap = Behavior.aprioriTriplesOf(ev, minSupport = 3)
+      .collect().map(_.toString).toSeq
+    val fp = Behavior.fpgrowthTriplesOf(ev, minSupport = 3)
+      .collect().map(_.toString).toSeq
+    assert(ap.nonEmpty && ap == fp,
+      s"conditional-tree and candidate-join paths must agree:\n$ap\nvs\n$fp")
+  }
+
   test("pivot: absent event types fill 0.0 and sums are exact") {
     val ev = Seq(
       (1L, "click", "2024-01-01 10:00:00", 1.25),
