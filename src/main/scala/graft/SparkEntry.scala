@@ -302,6 +302,9 @@ object SparkEntry {
     "user_growth"       -> (Behavior.userGrowth(_, _)),
     "kcenter_select"    -> (Cluster.kCenterSelect(_, _)),
     "apriori_triples"   -> (Behavior.aprioriTriples(_, _)),
+    "did_readout"       -> (Behavior.didReadout(_, _)),
+    "qini_curve"        -> (Behavior.qiniCurve(_, _)),
+    "brier_decomposition" -> (CorpusStats.brierDecomposition(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

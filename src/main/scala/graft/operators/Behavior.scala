@@ -391,6 +391,12 @@ object Behavior {
     pmod(conv(substring(md5(concat(lit("ab:"),
       userId.cast("string"))), 1, 8), 16, 10).cast("long"), lit(3L))
 
+  /** The two-arm twin ([[abTestOf]] / [[didReadoutOf]] /
+    * [[qiniCurveOf]]'s assignment), exposed for the same reason. */
+  def arm2(userId: Column): Column =
+    pmod(conv(substring(md5(concat(lit("ab:"),
+      userId.cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+
   def anovaFOf(events: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val e = events.select(col("event_type"),
@@ -852,6 +858,145 @@ object Behavior {
 
   def abTest(spark: SparkSession, dir: String): DataFrame =
     abTestOf(Tables.events(spark, dir))
+
+  /** Difference-in-differences readout (the panel-data causal read
+    * [[abTestOf]] and [[cupedAdjustOf]] sit beside: when treatment
+    * started at `splitDay`, the treated arm's pre→post change MINUS
+    * the control arm's pre→post change nets out both the arm-level
+    * baseline difference and the common time trend). Unit of
+    * analysis = per-user PERIOD MEAN value on [[cupedAdjustOf]]'s
+    * milli grid (a user active in both periods contributes one
+    * observation to each cell — the repeated-cross-section form);
+    * arm = the md5-parity assignment (one contract with every other
+    * experiment read).
+    *
+    * Exact integer moments per (arm, period) cell — n, Σq, Σq² on
+    * decimal(38,0) — pivoted to FIXED cell order so the estimate,
+    * the four Welch variance terms, and z ride one deterministic
+    * double sequence (the [[anovaFOf]] convention). Degenerate cells
+    * (n ≤ 1 or zero variance) null z via nullif, never divide by
+    * zero.
+    *
+    * Shape: ONE map-combinable fact aggregate to the user×period
+    * grain, one 4-cell aggregate after — nothing else touches
+    * facts. */
+  def didReadoutOf(events: DataFrame, splitDay: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perUserPeriod = events
+      .select(col("user_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"),
+        when(col("ts") < lit(splitDay).cast("timestamp"), 0).otherwise(1)
+          .as("period"),
+        pmod(conv(substring(md5(concat(lit("ab:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(2L)).as("arm"))
+      .groupBy("user_id", "arm", "period")
+      .agg(floor(sum("qv").cast("double") / count(lit(1)).cast("double")
+        / 1000.0 + 0.5).cast("long").as("q")) // per-user period mean, milli grid
+    val cells = perUserPeriod.groupBy("arm", "period")
+      .agg(count(lit(1)).as("n"), sum(col("q").cast(dec)).as("s"),
+        sum(expr(s"CAST(q AS $dec) * q")).as("ss"))
+    def pick(c: String, a: Int, p: Int) =
+      max(when(col("arm") === a && col("period") === p, col(c)))
+    val wide = cells.agg(
+      pick("n", 0, 0).as("n00"), pick("n", 0, 1).as("n01"),
+      pick("n", 1, 0).as("n10"), pick("n", 1, 1).as("n11"),
+      pick("s", 0, 0).as("s00"), pick("s", 0, 1).as("s01"),
+      pick("s", 1, 0).as("s10"), pick("s", 1, 1).as("s11"),
+      pick("ss", 0, 0).as("ss00"), pick("ss", 0, 1).as("ss01"),
+      pick("ss", 1, 0).as("ss10"), pick("ss", 1, 1).as("ss11"))
+      .filter(col("n00").isNotNull && col("n01").isNotNull &&
+        col("n10").isNotNull && col("n11").isNotNull)
+    def d(c: Column) = c.cast("double")
+    def mean(s: String, n: String) = d(col(s)) / d(col(n)) / 1000.0
+    def varOverN(ss: String, s: String, n: String) =
+      (d(col(ss)) - d(col(s)) * d(col(s)) / d(col(n))) /
+        (d(col(n)) - 1.0) / d(col(n)) / 1e6
+    val did = (mean("s11", "n11") - mean("s10", "n10")) -
+      (mean("s01", "n01") - mean("s00", "n00"))
+    val se = sqrt(varOverN("ss11", "s11", "n11") +
+      varOverN("ss10", "s10", "n10") +
+      varOverN("ss01", "s01", "n01") + varOverN("ss00", "s00", "n00"))
+    val r4 = graft.functions.TextF.round4HalfUp _
+    wide
+      .filter(col("n00") > 1 && col("n01") > 1 &&
+        col("n10") > 1 && col("n11") > 1)
+      .select(col("n00"), col("n01"), col("n10"), col("n11"),
+        r4(mean("s00", "n00")).as("mean_ctrl_pre"),
+        r4(mean("s01", "n01")).as("mean_ctrl_post"),
+        r4(mean("s10", "n10")).as("mean_treat_pre"),
+        r4(mean("s11", "n11")).as("mean_treat_post"),
+        r4(did).as("did"),
+        r4(did / nullif(se, lit(0.0))).as("z"))
+  }
+
+  def didReadout(spark: SparkSession, dir: String): DataFrame =
+    didReadoutOf(Tables.events(spark, dir), "2024-01-16")
+
+  /** Qini uplift curve (Radcliffe '07 — the targeting read behind
+    * every uplift model: if we treated only the top-scored users,
+    * how many INCREMENTAL conversions would treatment buy?): users
+    * rank by their PRE-period mean value ([[cupedAdjustOf]]'s
+    * covariate — the stand-in for a model score), cut into deciles
+    * by the two-phase rank ([[graft.Scale.twoPhaseRank]] +
+    * [[graft.Scale.ntileFromRank]] — no single-task window at 10⁹
+    * users), and per decile the treated-vs-control POST-period
+    * conversion gap plus the cumulative Qini value
+    * CT − CC·(NT/NC) — incremental conversions at each targeting
+    * depth, the curve whose area ranks uplift models.
+    *
+    * Shape: one user-keyed fact aggregate, the two-phase decile cut,
+    * one decile aggregate; the cumulative windows ride the 10-row
+    * decile frame. */
+  def qiniCurveOf(events: DataFrame, splitDay: String): DataFrame = {
+    val perUser = events
+      .select(col("user_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"),
+        (col("ts") < lit(splitDay).cast("timestamp")).as("pre"),
+        (col("event_type") === "purchase" &&
+          col("ts") >= lit(splitDay).cast("timestamp")).as("conv"))
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), col("qv"))).as("pre_sum"),
+        count(when(col("pre"), lit(1))).as("pre_n"),
+        max(when(col("conv"), 1L).otherwise(0L)).as("converted"))
+      .filter(col("pre_n") > 0) // score needs a pre-period
+      .select(col("user_id"),
+        floor(col("pre_sum").cast("double") / col("pre_n").cast("double")
+          / 1000.0 + 0.5).cast("long").as("score"),
+        col("converted"),
+        pmod(conv(substring(md5(concat(lit("ab:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(2L)).as("arm"))
+    val (ranked, total) = graft.Scale.twoPhaseRank(perUser,
+      Seq(col("score").desc, col("user_id")))
+    val deciles = ranked
+      .withColumn("decile", graft.Scale.ntileFromRank("__rank", 10, total))
+      .groupBy("decile")
+      .agg(sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 1L, col("converted")).otherwise(0L)).as("conv_treat"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("arm") === 0L, col("converted")).otherwise(0L)).as("conv_ctrl"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r4 = graft.functions.TextF.round4HalfUp _
+    deciles
+      .withColumn("ct", sum("conv_treat").over(cum))
+      .withColumn("cc", sum("conv_ctrl").over(cum))
+      .withColumn("nt", sum("n_treat").over(cum))
+      .withColumn("nc", sum("n_ctrl").over(cum))
+      .select(col("decile"), col("n_treat"), col("n_ctrl"),
+        r4(col("conv_treat").cast("double")
+            / nullif(col("n_treat").cast("double"), lit(0.0)) -
+          col("conv_ctrl").cast("double")
+            / nullif(col("n_ctrl").cast("double"), lit(0.0))).as("uplift"),
+        r4(col("ct").cast("double") - col("cc").cast("double") *
+          (col("nt").cast("double")
+            / nullif(col("nc").cast("double"), lit(0.0)))).as("qini"))
+      .orderBy("decile")
+  }
+
+  def qiniCurve(spark: SparkSession, dir: String): DataFrame =
+    qiniCurveOf(Tables.events(spark, dir), "2024-01-16")
 
   /** RFM segmentation — the classic CRM feature triple: per user,
     * recency (days since last event, vs the corpus report date),

@@ -525,6 +525,71 @@ object CorpusStats {
   def calibrationCurve(spark: SparkSession, dir: String): DataFrame =
     calibrationCurveOf(Tables.documents(spark, dir))
 
+  /** Murphy decomposition of the Brier score over
+    * [[calibrationCurveOf]]'s binned frame — the curve shows WHERE
+    * calibration fails; this prices it: Brier = reliability −
+    * resolution + uncertainty (+ the within-bin residual, since bins
+    * hold non-constant scores). Reliability punishes p̄ₖ ≠ ōₖ
+    * (miscalibration), resolution rewards bins that separate the
+    * outcome, uncertainty is the data's irreducible ō(1−ō), and the
+    * direct Brier Σ(score − outcome)²/N closes the identity — all
+    * published, so the table audits itself to the printed digit.
+    *
+    * Determinism: every Σ is over integers/decimals (order-free);
+    * the per-bin reliability/resolution terms quantize to the micro
+    * grid through ONE fixed-order double chain each (floor — the
+    * best_split nano-quantize convention), so cross-engine equality
+    * is exact; the direct Brier numerator Σ(qq − pos·10⁴)² is pure
+    * decimal. Final combinations are single fixed-order expressions.
+    *
+    * Shape: one fact aggregate to the ≤`bins` cell frame; 1-row
+    * totals broadcast back; everything else is arithmetic on ≤ bins
+    * rows. */
+  def brierDecompositionOf(docs: DataFrame, posLang: String = "en",
+                           bins: Int = 20): DataFrame = {
+    require(bins > 1, s"bins must be > 1, got $bins")
+    val dec = "decimal(38,0)"
+    val score = TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
+    val perDoc = docs
+      .select(least(floor(score * bins), lit(bins - 1L)).cast("long").as("bin"),
+        floor(score * 1e4 + 0.5).cast("long").as("qq"),
+        when(col("lang") === posLang, 1L).otherwise(0L).as("pos"))
+    val cells = perDoc.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("qq").as("qsum"),
+        sum("pos").as("npos"),
+        sum(expr(s"CAST(qq - pos * 10000 AS $dec) * (qq - pos * 10000)"))
+          .as("sqerr"))
+    val totals = cells.agg(sum("n").as("nn"), sum("npos").as("tpos"),
+      sum(col("sqerr").cast(dec)).as("tsqerr")) // 1 row
+    def d(c: Column) = c.cast("double")
+    // a = qsum − npos·10⁴ → bin reliability term a²/(n·10⁸);
+    // b = npos·N − Npos·n → bin resolution term b²/(n·N²).
+    // Each quantized to micros through one fixed-order double chain.
+    val a = d(col("qsum")) - d(col("npos")) * 1e4
+    val b = d(col("npos")) * d(col("nn")) - d(col("tpos")) * d(col("n"))
+    val relT = floor(a * a / d(col("n")) / 1e8 * 1e6 + lit(0.5)).cast("long")
+    val resT = floor(b * b / d(col("n")) / d(col("nn")) / d(col("nn"))
+      * 1e6 + lit(0.5)).cast("long")
+    val agg = cells.crossJoin(broadcast(totals))
+      .select(col("n"), col("nn"), col("tpos"), col("tsqerr"),
+        relT.as("rel_t"), resT.as("res_t"))
+      .groupBy("nn", "tpos", "tsqerr")
+      .agg(sum("rel_t").as("rel_sum"), sum("res_t").as("res_sum"))
+    val r6 = TextF.round6HalfUp _
+    val rel = d(col("rel_sum")) / 1e6 / d(col("nn"))
+    val res = d(col("res_sum")) / 1e6 / d(col("nn"))
+    val unc = d(col("tpos")) * (d(col("nn")) - d(col("tpos"))) /
+      (d(col("nn")) * d(col("nn")))
+    val brier = d(col("tsqerr")) / d(col("nn")) / 1e8
+    agg.select(col("nn").as("n_docs"), col("tpos").as("n_pos"),
+      r6(brier).as("brier"), r6(rel).as("reliability"),
+      r6(res).as("resolution"), r6(unc).as("uncertainty"),
+      r6(brier - (rel - res + unc)).as("within_bin"))
+  }
+
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame =
+    brierDecompositionOf(Tables.documents(spark, dir))
+
   /** Term keyness: which words characterize the `focus` source against
     * the rest of the corpus (the corpus-linguistics comparison behind
     * "what is this source actually about"). Statistic is the add-one

@@ -266,6 +266,55 @@ private[graft] object CorpusStatsOracles {
         |    AS pos_rate
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
+    // Murphy decomposition over calibration_curve's binned frame; the
+    // per-bin reliability/resolution terms quantize through the SAME
+    // fixed-order double chain as the engine (floor to micros), so
+    // every published component is engine-identical.
+    "brier_decomposition" ->
+      s"""WITH s AS (SELECT $QualitySqlExpr AS q, lang FROM documents),
+        |pd AS (SELECT CAST(least(floor(q * 20), 19) AS BIGINT) AS bin,
+        |        CAST(floor(q * 1e4 + 0.5) AS BIGINT) AS qq,
+        |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |      FROM s),
+        |cells AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(qq) AS BIGINT) AS qsum,
+        |        CAST(SUM(pos) AS BIGINT) AS npos,
+        |        SUM(CAST(qq - pos * 10000 AS DECIMAL(38,0)) * (qq - pos * 10000)) AS sqerr
+        |      FROM pd GROUP BY bin),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |        CAST(SUM(npos) AS BIGINT) AS tpos,
+        |        SUM(CAST(sqerr AS DECIMAL(38,0))) AS tsqerr
+        |      FROM cells),
+        |qt AS (SELECT nn, tpos, tsqerr,
+        |        CAST(floor((CAST(qsum AS DOUBLE) - CAST(npos AS DOUBLE) * 1e4)
+        |            * (CAST(qsum AS DOUBLE) - CAST(npos AS DOUBLE) * 1e4)
+        |            / CAST(n AS DOUBLE) / 1e8 * 1e6 + 0.5) AS BIGINT) AS rel_t,
+        |        CAST(floor((CAST(npos AS DOUBLE) * CAST(nn AS DOUBLE)
+        |              - CAST(tpos AS DOUBLE) * CAST(n AS DOUBLE))
+        |            * (CAST(npos AS DOUBLE) * CAST(nn AS DOUBLE)
+        |              - CAST(tpos AS DOUBLE) * CAST(n AS DOUBLE))
+        |            / CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)
+        |            * 1e6 + 0.5) AS BIGINT) AS res_t
+        |      FROM cells, t),
+        |a AS (SELECT nn, tpos, tsqerr,
+        |        CAST(SUM(rel_t) AS BIGINT) AS rel_sum,
+        |        CAST(SUM(res_t) AS BIGINT) AS res_sum
+        |      FROM qt GROUP BY 1, 2, 3),
+        |f AS (SELECT nn, tpos,
+        |        CAST(tsqerr AS DOUBLE) / CAST(nn AS DOUBLE) / 1e8 AS brier,
+        |        CAST(rel_sum AS DOUBLE) / 1e6 / CAST(nn AS DOUBLE) AS rel,
+        |        CAST(res_sum AS DOUBLE) / 1e6 / CAST(nn AS DOUBLE) AS res,
+        |        CAST(tpos AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(tpos AS DOUBLE))
+        |          / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS unc
+        |      FROM a)
+        |SELECT nn AS n_docs, tpos AS n_pos,
+        |  floor(brier * 1e6 + 0.5) / 1e6 AS brier,
+        |  floor(rel * 1e6 + 0.5) / 1e6 AS reliability,
+        |  floor(res * 1e6 + 0.5) / 1e6 AS resolution,
+        |  floor(unc * 1e6 + 0.5) / 1e6 AS uncertainty,
+        |  floor((brier - (rel - res + unc)) * 1e6 + 0.5) / 1e6 AS within_bin
+        |FROM f""".stripMargin,
+
     // Mann-Whitney AUC with tie credit 1/2 in doubled-integer space:
     // 2U = Σ np·(2·nn_below + nn) is an exact BIGINT; one division at
     // the end, rounded half-up to 6 dp.

@@ -456,6 +456,108 @@ private[graft] object EventOracles {
         |SELECT item, neighbor, c12, cosine, "rank"
         |FROM r WHERE "rank" <= 3 ORDER BY item, "rank"""".stripMargin,
 
+    // DiD over per-user period means on the milli grid; cell moments
+    // pivoted to fixed order, Welch SE in the engine's exact double
+    // sequence (v11 + v10 + v01 + v00).
+    "did_readout" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS period,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv
+        |  FROM events),
+        |g AS (SELECT user_id, arm, period,
+        |    CAST(floor(CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |      / 1000.0 + 0.5) AS BIGINT) AS q
+        |  FROM pu GROUP BY 1, 2, 3),
+        |c AS (SELECT arm, period, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(q AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(q AS DECIMAL(38,0)) * q) AS ss
+        |  FROM g GROUP BY 1, 2),
+        |w AS (SELECT
+        |    MAX(CASE WHEN arm = 0 AND period = 0 THEN n END) AS n00,
+        |    MAX(CASE WHEN arm = 0 AND period = 1 THEN n END) AS n01,
+        |    MAX(CASE WHEN arm = 1 AND period = 0 THEN n END) AS n10,
+        |    MAX(CASE WHEN arm = 1 AND period = 1 THEN n END) AS n11,
+        |    MAX(CASE WHEN arm = 0 AND period = 0 THEN s END) AS s00,
+        |    MAX(CASE WHEN arm = 0 AND period = 1 THEN s END) AS s01,
+        |    MAX(CASE WHEN arm = 1 AND period = 0 THEN s END) AS s10,
+        |    MAX(CASE WHEN arm = 1 AND period = 1 THEN s END) AS s11,
+        |    MAX(CASE WHEN arm = 0 AND period = 0 THEN ss END) AS ss00,
+        |    MAX(CASE WHEN arm = 0 AND period = 1 THEN ss END) AS ss01,
+        |    MAX(CASE WHEN arm = 1 AND period = 0 THEN ss END) AS ss10,
+        |    MAX(CASE WHEN arm = 1 AND period = 1 THEN ss END) AS ss11
+        |  FROM c),
+        |m AS (SELECT *,
+        |    CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / 1000.0 AS m00,
+        |    CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / 1000.0 AS m01,
+        |    CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / 1000.0 AS m10,
+        |    CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / 1000.0 AS m11,
+        |    (CAST(ss00 AS DOUBLE) - CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE))
+        |      / (CAST(n00 AS DOUBLE) - 1.0) / CAST(n00 AS DOUBLE) / 1e6 AS v00,
+        |    (CAST(ss01 AS DOUBLE) - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE))
+        |      / (CAST(n01 AS DOUBLE) - 1.0) / CAST(n01 AS DOUBLE) / 1e6 AS v01,
+        |    (CAST(ss10 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+        |      / (CAST(n10 AS DOUBLE) - 1.0) / CAST(n10 AS DOUBLE) / 1e6 AS v10,
+        |    (CAST(ss11 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE))
+        |      / (CAST(n11 AS DOUBLE) - 1.0) / CAST(n11 AS DOUBLE) / 1e6 AS v11
+        |  FROM w
+        |  WHERE n00 IS NOT NULL AND n01 IS NOT NULL
+        |    AND n10 IS NOT NULL AND n11 IS NOT NULL),
+        |d AS (SELECT *, (m11 - m10) - (m01 - m00) AS did,
+        |    sqrt(v11 + v10 + v01 + v00) AS se FROM m)
+        |SELECT n00, n01, n10, n11,
+        |  floor(m00 * 1e4 + 0.5) / 1e4 AS mean_ctrl_pre,
+        |  floor(m01 * 1e4 + 0.5) / 1e4 AS mean_ctrl_post,
+        |  floor(m10 * 1e4 + 0.5) / 1e4 AS mean_treat_pre,
+        |  floor(m11 * 1e4 + 0.5) / 1e4 AS mean_treat_post,
+        |  floor(did * 1e4 + 0.5) / 1e4 AS did,
+        |  floor(did / NULLIF(se, 0.0) * 1e4 + 0.5) / 1e4 AS z
+        |FROM d
+        |WHERE n00 > 1 AND n01 > 1 AND n10 > 1 AND n11 > 1""".stripMargin,
+
+    // Qini: pre-period mean as the targeting score, NTILE(10) deciles
+    // (= the engine's two-phase arithmetic ntile), cumulative
+    // incremental conversions per depth.
+    "qini_curve" ->
+      """WITH pu AS (SELECT user_id,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |        THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) END) AS pre_sum,
+        |    COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END) AS pre_n,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |          AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT user_id,
+        |    CAST(floor(CAST(pre_sum AS DOUBLE) / CAST(pre_n AS DOUBLE)
+        |      / 1000.0 + 0.5) AS BIGINT) AS score,
+        |    converted,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM pu WHERE pre_n > 0),
+        |r AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY score DESC, user_id) AS INT)
+        |        AS decile FROM s),
+        |d AS (SELECT decile,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_treat,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_ctrl
+        |  FROM r GROUP BY decile),
+        |c AS (SELECT *,
+        |    CAST(SUM(conv_treat) OVER w AS BIGINT) AS ct,
+        |    CAST(SUM(conv_ctrl) OVER w AS BIGINT) AS cc,
+        |    CAST(SUM(n_treat) OVER w AS BIGINT) AS nt,
+        |    CAST(SUM(n_ctrl) OVER w AS BIGINT) AS nc
+        |  FROM d
+        |  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile, n_treat, n_ctrl,
+        |  floor((CAST(conv_treat AS DOUBLE) / NULLIF(CAST(n_treat AS DOUBLE), 0.0)
+        |    - CAST(conv_ctrl AS DOUBLE) / NULLIF(CAST(n_ctrl AS DOUBLE), 0.0))
+        |    * 1e4 + 0.5) / 1e4 AS uplift,
+        |  floor((CAST(ct AS DOUBLE) - CAST(cc AS DOUBLE)
+        |    * (CAST(nt AS DOUBLE) / NULLIF(CAST(nc AS DOUBLE), 0.0)))
+        |    * 1e4 + 0.5) / 1e4 AS qini
+        |FROM c ORDER BY decile""".stripMargin,
+
     "item_affinity" ->
       """WITH i AS (SELECT DISTINCT user_id,
         |    COALESCE(TRY_CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS item

@@ -195,6 +195,75 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       s"only the 3-user triple survives; (4,5,6) at support 2 must not: ${got.toSeq}")
   }
 
+  test("did readout: planted trend + treatment effect recovers did = 0.5; zero variance nulls z") {
+    val users = (0L until 20L)
+    val armOf = users.toDF("user_id")
+      .select(col("user_id"), Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(armOf.values.toSet == Set(0L, 1L))
+    // ctrl: pre 1.0 → post 1.2 (common trend +0.2);
+    // treat: pre 2.0 → post 2.7 (trend + effect 0.5) → DiD = 0.5.
+    def ev(u: Long, t: String, v: Double) = (u, t, v)
+    def cellV(arm: Long, post: Boolean) =
+      (if (arm == 0L) 1.0 else 2.0) +
+        (if (post) 0.2 + (if (arm == 1L) 0.5 else 0.0) else 0.0)
+    // ±0.1 within-cell spread (u even/odd) keeps variance nonzero.
+    val rows = users.flatMap { u =>
+      val d = if (u % 2 == 0) -0.1 else 0.1
+      Seq(ev(u, "2024-01-10 10:00:00", cellV(armOf(u), post = false) + d),
+        ev(u, "2024-01-20 10:00:00", cellV(armOf(u), post = true) + d))
+    }
+    def df(rs: Seq[(Long, String, Double)]) =
+      rs.toDF("user_id", "t", "value")
+        .select(col("user_id"), to_timestamp(col("t")).as("ts"), col("value"))
+    val r = Behavior.didReadoutOf(df(rows), "2024-01-16").collect().head
+    // each user carries its ±0.1 offset into BOTH periods, so the
+    // offsets cancel in the pre→post differences → DiD exactly 0.5
+    // even though the cell means shift with the arm's even/odd mix
+    assert(r.getDouble(8) == 0.5, s"did: $r")
+    assert(!r.isNullAt(9) && r.getDouble(9) > 0, s"z finite positive: $r")
+    // zero within-cell variance → exact planted cell means, SE 0 →
+    // z NULL, did unchanged
+    val flat = users.flatMap { u =>
+      Seq(ev(u, "2024-01-10 10:00:00", cellV(armOf(u), post = false)),
+        ev(u, "2024-01-20 10:00:00", cellV(armOf(u), post = true)))
+    }
+    val rf = Behavior.didReadoutOf(df(flat), "2024-01-16").collect().head
+    assert(rf.getDouble(4) == 1.0 && rf.getDouble(5) == 1.2 &&
+      rf.getDouble(6) == 2.0 && rf.getDouble(7) == 2.7, s"cell means: $rf")
+    assert(rf.getDouble(8) == 0.5 && rf.isNullAt(9), s"degenerate: $rf")
+  }
+
+  test("qini: deciles exhaust users and the final qini equals total incremental conversions") {
+    val users = (0L until 40L)
+    val armOf = users.toDF("user_id")
+      .select(col("user_id"), Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // score = user id (pre-period value u); treated users convert iff
+    // score >= 20 (uplift concentrated in the top half).
+    val rows = users.flatMap { u =>
+      val pre = Seq((u, "2024-01-10 10:00:00", "view", u.toDouble))
+      val post = if (armOf(u) == 1L && u >= 20L)
+        Seq((u, "2024-01-20 10:00:00", "purchase", 1.0)) else Seq.empty
+      pre ++ post
+    }
+    val ev = rows.toDF("user_id", "t", "event_type", "value")
+      .select(col("user_id"), to_timestamp(col("t")).as("ts"),
+        col("event_type"), col("value"))
+    val got = Behavior.qiniCurveOf(ev, "2024-01-16").collect()
+    assert(got.length == 10)
+    assert(got.map(r => r.getLong(1) + r.getLong(2)).sum == 40L,
+      "deciles exhaust the scored users")
+    // final row: CT = all treated conversions, CC = 0 →
+    // qini = total incremental = number of treated high-score users
+    val nTreatHigh = users.count(u => armOf(u) == 1L && u >= 20L)
+    assert(got.last.getDouble(4) == nTreatHigh.toDouble,
+      s"final qini = $nTreatHigh: ${got.last}")
+    // uplift lives in the top deciles (high score = low decile index)
+    val firstHalf = got.take(5).flatMap(r => Option(r.get(3)).map(_.toString.toDouble))
+    assert(firstHalf.exists(_ > 0), s"top deciles carry the uplift: ${got.toSeq}")
+  }
+
   test("fpgrowth triples equal the apriori join chain row-for-row") {
     def basket(u: Long, items: Long*) = items.map(i => (u, s"""{"k": $i}"""))
     val ev = ((1L to 6L).flatMap(basket(_, 1L, 2L, 3L, 4L)) ++

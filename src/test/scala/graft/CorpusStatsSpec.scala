@@ -539,4 +539,32 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out(50) == 6L, "five docs: shared + five fresh")
     assert(out(100) == 11L)
   }
+
+  test("brier decomposition: the Murphy identity closes; single-class corpus zeroes unc and res") {
+    import spark.implicits._
+    // Real corpus: identity brier = rel − res + unc + within_bin must
+    // close to the published 6-dp grid, and every component is a
+    // probability-scale non-negative (within_bin is the bin-variance
+    // remainder, also ≥ 0 in the binned decomposition).
+    val Array(r) = graft.operators.CorpusStats
+      .brierDecomposition(spark, Sf).collect()
+    val (brier, rel, res, unc, wb) = (r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(math.abs(brier - (rel - res + unc + wb)) < 5e-6,
+      s"identity must close: $r")
+    assert(brier >= 0 && brier <= 1 && rel >= 0 && res >= 0 &&
+      unc >= 0 && unc <= 0.25 && wb >= -5e-6, s"ranges: $r")
+    // All-positive corpus: ō = 1 → uncertainty 0, and every bin's
+    // rate equals the base rate → resolution 0.
+    val docs = Seq(
+      (1L, "the of and is a report", "en", "s", 20L),
+      (2L, "you that it in to is", "en", "s", 20L),
+      (3L, "the a of to you it is that", "en", "s", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val Array(p) = graft.operators.CorpusStats
+      .brierDecompositionOf(docs).collect()
+    assert(p.getLong(0) == 3L && p.getLong(1) == 3L)
+    assert(p.getDouble(5) == 0.0 && p.getDouble(4) == 0.0,
+      s"single-class: unc = res = 0: $p")
+  }
 }

@@ -905,6 +905,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(kc.collect { case j: CartesianProductExec => j }.isEmpty &&
       kc.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
       s"kcenter_select: only the 1-row center broadcast crosses:\n$kc")
+    // did_readout / qini_curve / brier_decomposition: one fact
+    // aggregate each; only brier's 1-row totals broadcast crosses,
+    // and qini's windows ride the bounded decile frame + __bkt.
+    for ((name, df, maxBnlj) <- Seq(
+      ("did_readout", Behavior.didReadout(spark, Sf), 0),
+      ("qini_curve", Behavior.qiniCurve(spark, Sf), 0),
+      ("brier_decomposition",
+        graft.operators.CorpusStats.brierDecomposition(spark, Sf), 1))) {
+      val p = plan(df)
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty &&
+        p.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= maxBnlj,
+        s"$name bounded as designed:\n$p")
+    }
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qn = plan(Behavior.qiniCurve(spark, Sf))
+    assert(qn.collect { case w: WindowExec => w }
+      .forall(w => w.partitionSpec.nonEmpty ||
+        w.child.toString.contains("decile")),
+      s"qini: user-scale rank rides __bkt; globals only on the decile frame:\n$qn")
   }
 
   test("round-11 tranche: merge/test/rank-eval plans bounded as designed") {
