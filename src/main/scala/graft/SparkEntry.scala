@@ -305,6 +305,11 @@ object SparkEntry {
     "did_readout"       -> (Behavior.didReadout(_, _)),
     "qini_curve"        -> (Behavior.qiniCurve(_, _)),
     "brier_decomposition" -> (CorpusStats.brierDecomposition(_, _)),
+    // Round-12 fifth tranche: survival A/B, concordance-algebra rank
+    // correlation, PR-AUC retrieval eval (SURVEY §2 rows 301-303)
+    "logrank_test"      -> (Behavior.logrankTest(_, _)),
+    "kendall_matrix"    -> (Robust.kendallMatrix(_, _)),
+    "pr_auc"            -> (CorpusStats.prAuc(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

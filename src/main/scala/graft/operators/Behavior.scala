@@ -1255,6 +1255,86 @@ object Behavior {
   def nelsonAalen(spark: SparkSession, dir: String): DataFrame =
     nelsonAalenOf(Tables.events(spark, dir))
 
+  /** Log-rank (Mantel-Cox) test of churn-survival equality between the
+    * two md5-parity experiment arms — the survival A/B readout beside
+    * [[abTestOf]] (one conversion day) and [[churnLifetableOf]] (one
+    * descriptive curve): does the treatment change how LONG users
+    * stay, not just whether they convert?  At each duration t the test
+    * compares arm-1's observed churn d1(t) with its expectation
+    * e1(t) = d(t)·n1(t)/n(t) under a shared hazard, normalized by the
+    * hypergeometric variance v(t) = d(t)·(n0/n)·(n1/n)·(n−d)/(n−1);
+    * z = Σ(d1−e1)/√Σv (χ² = z² against 3.8415 at 5%).
+    *
+    * Determinism: per-duration (d1−e1) and v are each quantized to an
+    * int64 NANO grid (one division each — [[nelsonAalenOf]]'s
+    * quantize-before-sum move), so both sums are integer and
+    * order-blind; z is one fixed-order double chain over the two exact
+    * sums, rendered 4 dp. A one-user risk set (nt = 1) nulls its
+    * variance term via nullif and contributes d1−e1 = 0 exactly.
+    *
+    * Shape: ONE user-keyed fact aggregate (duration, censor flag, arm
+    * per user — [[churnLifetableOf]]'s shuffle with the arm hash
+    * riding along), then everything lives on the duration frame
+    * (≤ day-span rows): per-arm reverse-cumulative risk sets on the
+    * bounded duration window, one global sum. No fact-scale window,
+    * nothing driver-side. */
+  def logrankTestOf(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    require(censorDays > 0, s"censorDays must be positive, got $censorDays")
+    val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))
+    val durations = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(maxDay)) // 1 row by construction
+      .groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"),
+        first("report_date").as("report_date"))
+      .select(
+        datediff(col("last_day"), col("first_day")).cast("long")
+          .as("duration"),
+        when(datediff(col("report_date"), col("last_day")) < censorDays, 1L)
+          .otherwise(0L).as("censored"),
+        arm2(col("user_id")).as("arm"))
+    val byDur = durations.groupBy("duration")
+      .agg(
+        sum(when(col("arm") === 0L, lit(1L) - col("censored"))
+          .otherwise(0L)).as("d0"),
+        sum(when(col("arm") === 1L, lit(1L) - col("censored"))
+          .otherwise(0L)).as("d1"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("t0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("t1"))
+    // Risk sets = reverse cumulative per-arm totals over the duration
+    // frame (≤ day-span rows — the single-partition window is bounded).
+    val riskW = Window.orderBy(col("duration"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def dd(c: Column) = c.cast("double")
+    val perDur = byDur
+      .withColumn("n0", sum("t0").over(riskW))
+      .withColumn("n1", sum("t1").over(riskW))
+      .withColumn("dt", col("d0") + col("d1"))
+      .withColumn("nt", col("n0") + col("n1"))
+      .select(col("d1"),
+        floor((dd(col("d1")) - dd(col("dt")) * dd(col("n1")) / dd(col("nt")))
+          * lit(1e9) + lit(0.5)).cast("long").as("ome_q"),
+        floor(dd(col("dt")) * (dd(col("n0")) / dd(col("nt")))
+          * (dd(col("n1")) / dd(col("nt")))
+          * (dd(col("nt")) - dd(col("dt")))
+          / nullif(dd(col("nt")) - lit(1.0), lit(0.0))
+          * lit(1e9) + lit(0.5)).cast("long").as("v_q"))
+    val r4 = graft.functions.TextF.round4HalfUp _
+    perDur.agg(
+        count(lit(1)).as("n_durations"),
+        sum("d1").as("obs_treat"),
+        sum("ome_q").as("sq"),
+        sum(coalesce(col("v_q"), lit(0L))).as("vq"))
+      .select(col("n_durations"), col("obs_treat"),
+        (floor(dd(col("sq")) / lit(1e3) + lit(0.5)) / lit(1e6))
+          .as("o_minus_e"),
+        r4(dd(col("sq")) / lit(1e9) /
+          nullif(sqrt(dd(col("vq")) / lit(1e9)), lit(0.0))).as("z"))
+  }
+
+  def logrankTest(spark: SparkSession, dir: String): DataFrame =
+    logrankTestOf(Tables.events(spark, dir))
+
   /** Cramér's V over the event-type × time-of-week contingency table —
     * [[chi2ContingencyOf]]'s one-number summary (that query reports
     * per-cell χ² contributions; V = √(χ²/(n·(min(r,c)−1))) normalizes

@@ -493,6 +493,56 @@ object CorpusStats {
   def aucQuality(spark: SparkSession, dir: String): DataFrame =
     aucQualityOf(Tables.documents(spark, dir))
 
+  /** Average precision (PR-AUC) of the quality score as a lang
+    * classifier, per source — [[aucQualityOf]]'s sibling on the
+    * PRECISION-RECALL plane, the eval that matters when positives are
+    * rare: ROC AUC stays flattering under class imbalance (the FPR
+    * denominator is the huge negative class), while AP prices every
+    * false positive against the small positive class. Step-function
+    * AP with sklearn's tie convention: thresholds at DISTINCT scores
+    * descending, AP = Σ_blocks (np_b/n_pos)·(cumTP_b/cumAll_b) with
+    * precision read at each block's end.
+    *
+    * Determinism: per-block precision is quantized to an int64 nano
+    * grid by integer division ((cumTP·10⁹) div cumAll — exact,
+    * positive operands), weighted by the block's positive count in
+    * decimal(38,0) (np·10⁹ crosses int64 at 10¹⁰-doc sources), summed
+    * order-free; ONE double chain at the edge renders 6 dp.
+    *
+    * Shape: identical to [[aucQualityOf]] — one (source, score) fact
+    * aggregate; the per-source cumulative window rides the SCORE
+    * frame, bounded at 10⁴ rows/source by the score's 4-dp grid, not
+    * by corpus size. Sources with zero positives drop (AP undefined);
+    * zero negatives keeps AP = 1 (unlike ROC AUC, PR handles it). */
+  def prAucOf(docs: DataFrame, posLang: String = "en"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cum = Window.partitionBy("source").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"),
+        TextF.qualityScore(col("text"), TextAnalysis.Stopwords).as("score"),
+        when(col("lang") === posLang, 1L).otherwise(0L).as("pos"))
+      .groupBy("source", "score")
+      .agg(sum("pos").as("np"), count(lit(1)).as("nb"))
+      .withColumn("cum_tp", sum("np").over(cum))
+      .withColumn("cum_all", sum("nb").over(cum))
+      .withColumn("tq", expr(
+        s"""CAST(np AS $dec) *
+           |  ((CAST(cum_tp AS $dec) * 1000000000) div CAST(cum_all AS $dec))
+           |""".stripMargin))
+      .groupBy("source")
+      .agg(sum("np").as("n_pos"), sum(col("nb") - col("np")).as("n_neg"),
+        sum("tq").as("sq"))
+      .filter(col("n_pos") > 0)
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        (floor(col("sq").cast("double") / col("n_pos").cast("double")
+          / lit(1e3) + lit(0.5)) / lit(1e6)).as("pr_auc"))
+      .orderBy("source")
+  }
+
+  def prAuc(spark: SparkSession, dir: String): DataFrame =
+    prAucOf(Tables.documents(spark, dir))
+
   /** Calibration (reliability) curve for the quality score against
     * `lang == posLang`: equal-width score bins over [0, 1], each
     * reporting its doc count, mean score, and observed positive rate —

@@ -493,6 +493,90 @@ object Robust {
   def spearmanMatrix(spark: SparkSession, dir: String): DataFrame =
     spearmanMatrixOf(Tables.lineitem(spark, dir))
 
+  /** Kendall τ-b rank-correlation matrix over lineitem's BOUNDED
+    * measures — the third of the correlation triple ([[corrMatrixOf]]
+    * Pearson: linear on values; [[spearmanMatrixOf]] Spearman: linear
+    * on ranks; Kendall: pure pairwise ORDER agreement, the most
+    * outlier-immune and the one with a direct probabilistic read:
+    * τ ≈ P(concordant) − P(discordant)).
+    *
+    * The trick that makes an O(n²)-pairs statistic one fact scan:
+    * concordance only depends on the JOINT VALUE DISTRIBUTION, so
+    * aggregate once to the (quantity, discount, tax) triple grid
+    * (≤ 50·11·9 = 4950 cells — the measure vocabularies are bounded
+    * by the TPC-H domain, NOT by row count), derive the three pair
+    * grids map-side, and count concordant/discordant MASS with a
+    * grid×grid self-join under a.x < b.x (each unordered pair with
+    * distinct x lands in exactly one orientation). Ties come off the
+    * marginals: τ-b = (C−D)/√((n0−n1)(n0−n2)) with n0 = n(n−1)/2,
+    * n1/n2 = Σ t(t−1)/2 over x/y marginal ties. All counts and
+    * products ride decimal(38,0) (C ~ n²/2 crosses int64 at ~6·10⁹
+    * rows); the doubled forms n·(n−1), Σt·(t−1) avoid /2 entirely —
+    * τ = 2(C−D)/√((n0·2−n1·2)(n0·2−n2·2)). The product under the
+    * root would cross decimal(38) at ~10¹⁰ rows, so each factor
+    * casts to double BEFORE multiplying (two √ factors, the
+    * [[corrMatrixOf]] move); try_divide nulls a fully-tied column.
+    *
+    * Shape: ONE map-combinable fact aggregate → 4950-cell grid;
+    * everything after (pair explode, self-join ≤ 550² rows, marginal
+    * folds) is constant-size. Extendedprice is deliberately NOT in
+    * this matrix: its cents vocabulary grows with data and would
+    * make the grid self-join quadratic in the vocabulary — Pearson/
+    * Spearman cover it on moment/rank machinery that stays linear. */
+  def kendallMatrixOf(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cube3 = lineitem
+      .select(col("l_quantity").cast("long").as("q"),
+        floor(col("l_discount") * lit(1e6)).cast("long").as("d"),
+        floor(col("l_tax") * lit(1e6)).cast("long").as("t"))
+      .groupBy("q", "d", "t").agg(count(lit(1)).as("c3"))
+    val grid = cube3
+      .select(explode(array(
+        struct(lit("l_quantity").as("xc"), lit("l_discount").as("yc"),
+          col("q").as("x"), col("d").as("y"), col("c3").as("c")),
+        struct(lit("l_quantity").as("xc"), lit("l_tax").as("yc"),
+          col("q").as("x"), col("t").as("y"), col("c3").as("c")),
+        struct(lit("l_discount").as("xc"), lit("l_tax").as("yc"),
+          col("d").as("x"), col("t").as("y"), col("c3").as("c"))))
+        .as("p"))
+      .select(col("p.*"))
+      .groupBy("xc", "yc", "x", "y").agg(sum("c").as("c"))
+    val cd = grid.as("a")
+      .join(grid.as("b"),
+        col("a.xc") === col("b.xc") && col("a.yc") === col("b.yc") &&
+          col("a.x") < col("b.x"))
+      .select(col("a.xc").as("xc"), col("a.yc").as("yc"),
+        when(col("a.y") < col("b.y"),
+          expr(s"CAST(a.c AS $dec) * b.c"))
+          .otherwise(lit(0).cast(dec)).as("conc"),
+        when(col("a.y") > col("b.y"),
+          expr(s"CAST(a.c AS $dec) * b.c"))
+          .otherwise(lit(0).cast(dec)).as("disc"))
+      .groupBy("xc", "yc")
+      .agg(sum("conc").as("concordant"), sum("disc").as("discordant"))
+    val xm = grid.groupBy("xc", "yc", "x").agg(sum("c").as("tx"))
+      .groupBy("xc", "yc")
+      .agg(sum(expr(s"CAST(tx AS $dec) * (tx - 1)")).as("n1x2"),
+        sum(col("tx").cast(dec)).as("n"))
+    val ym = grid.groupBy("xc", "yc", "y").agg(sum("c").as("ty"))
+      .groupBy("xc", "yc")
+      .agg(sum(expr(s"CAST(ty AS $dec) * (ty - 1)")).as("n2x2"))
+    cd.join(xm, Seq("xc", "yc")).join(ym, Seq("xc", "yc"))
+      .select(col("xc").as("x_col"), col("yc").as("y_col"),
+        col("n").cast("long").as("n"),
+        col("concordant"), col("discordant"),
+        TextF.round6HalfUp(expr(
+          """try_divide(
+            |  2.0 * CAST(concordant - discordant AS DOUBLE),
+            |  sqrt(CAST(n * (n - 1) - n1x2 AS DOUBLE))
+            |    * sqrt(CAST(n * (n - 1) - n2x2 AS DOUBLE)))""".stripMargin))
+          .as("tau_b"))
+      .orderBy("x_col", "y_col")
+  }
+
+  def kendallMatrix(spark: SparkSession, dir: String): DataFrame =
+    kendallMatrixOf(Tables.lineitem(spark, dir))
+
   /** Discount elasticity screen per part type — [[corrMatrixOf]]'s
     * exact-moment machinery GROUPED by the part-type dimension: does
     * discounting move volume for this category? (A category whose

@@ -336,6 +336,32 @@ private[graft] object CorpusStatsOracles {
         |    * 1e6 + 0.5) / 1e6 AS auc
         |FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""".stripMargin,
 
+    // PR-AUC: distinct-score blocks descending, nano-grid integer
+    // block precision ((cumTP·1e9) // cumAll), np-weighted HUGEINT
+    // sum, one double chain at the edge.
+    "pr_auc" ->
+      s"""WITH s AS (SELECT source, $QualitySqlExpr AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |g AS (SELECT source, score, CAST(SUM(pos) AS BIGINT) AS np,
+        |    CAST(COUNT(*) AS BIGINT) AS nb FROM s GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(SUM(np) OVER (PARTITION BY source ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tp,
+        |    CAST(SUM(nb) OVER (PARTITION BY source ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+        |  FROM g),
+        |q AS (SELECT source, np, nb,
+        |    CAST(np AS HUGEINT) *
+        |      ((CAST(cum_tp AS HUGEINT) * 1000000000) // CAST(cum_all AS HUGEINT))
+        |      AS tq
+        |  FROM w)
+        |SELECT source, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nb - np) AS BIGINT) AS n_neg,
+        |  floor(CAST(SUM(tq) AS DOUBLE) / CAST(SUM(np) AS DOUBLE) / 1e3 + 0.5)
+        |    / 1e6 AS pr_auc
+        |FROM q GROUP BY source HAVING SUM(np) > 0 ORDER BY source""".stripMargin,
+
     // Odds-form RSJ idf (no log), k1=1.2 b=0.75, len/avgdl expanded to
     // len·N/total; per-term weights quantize to 1e-6 ints before the
     // per-doc sum. Parenthesization mirrors the Spark expression.

@@ -1019,6 +1019,52 @@ private[graft] object EventOracles {
         |    AS hazard
         |FROM r ORDER BY duration""".stripMargin,
 
+    // Log-rank: per-arm risk sets on the duration frame, nano-grid
+    // quantized (d1−e1)/v terms, one fixed-order double chain for z.
+    "logrank_test" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |u AS (SELECT user_id,
+        |        min(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS first_day,
+        |        max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS last_day
+        |      FROM events GROUP BY user_id),
+        |d AS (SELECT CAST(datediff('day', first_day, last_day) AS BIGINT) AS duration,
+        |        CASE WHEN datediff('day', last_day, report_date) < 7
+        |          THEN 1 ELSE 0 END AS censored,
+        |        CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) % 2 AS arm
+        |      FROM u, md),
+        |t AS (SELECT duration,
+        |        CAST(SUM(CASE WHEN arm = 0 THEN 1 - censored ELSE 0 END) AS BIGINT) AS d0,
+        |        CAST(SUM(CASE WHEN arm = 1 THEN 1 - censored ELSE 0 END) AS BIGINT) AS d1,
+        |        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+        |        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+        |      FROM d GROUP BY duration),
+        |r AS (SELECT *,
+        |        CAST(SUM(t0) OVER (ORDER BY duration ROWS BETWEEN CURRENT ROW
+        |          AND UNBOUNDED FOLLOWING) AS BIGINT) AS n0,
+        |        CAST(SUM(t1) OVER (ORDER BY duration ROWS BETWEEN CURRENT ROW
+        |          AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1
+        |      FROM t),
+        |q AS (SELECT d1,
+        |        CAST(floor((CAST(d1 AS DOUBLE) - CAST(d0 + d1 AS DOUBLE)
+        |            * CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * 1e9 + 0.5)
+        |          AS BIGINT) AS ome_q,
+        |        CAST(floor(CAST(d0 + d1 AS DOUBLE)
+        |            * (CAST(n0 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |            * (CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |            * (CAST(n0 + n1 AS DOUBLE) - CAST(d0 + d1 AS DOUBLE))
+        |            / NULLIF(CAST(n0 + n1 AS DOUBLE) - 1.0, 0.0) * 1e9 + 0.5)
+        |          AS BIGINT) AS v_q
+        |      FROM r)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_durations,
+        |  CAST(SUM(d1) AS BIGINT) AS obs_treat,
+        |  floor(CAST(SUM(ome_q) AS DOUBLE) / 1e3 + 0.5) / 1e6 AS o_minus_e,
+        |  floor(CAST(SUM(ome_q) AS DOUBLE) / 1e9 /
+        |    NULLIF(sqrt(CAST(SUM(COALESCE(v_q, 0)) AS DOUBLE) / 1e9), 0.0)
+        |    * 1e4 + 0.5) / 1e4 AS z
+        |FROM q""".stripMargin,
+
     // Session sweep: one lag pass, per-threshold conditional sums.
     "session_sweep" ->
       """WITH g AS (SELECT us - lag(us) OVER

@@ -790,5 +790,50 @@ private[graft] object WarehouseOracles {
         |UNION ALL
         |SELECT 'l_extendedprice', 'l_discount', n, r_pd FROM r
         |ORDER BY x_col, y_col""".stripMargin,
+
+    // Kendall τ-b: joint-distribution concordance algebra on the
+    // bounded (q, d, t) triple grid; HUGEINT mass products, doubled
+    // tie forms, two √ factors like corr_matrix.
+    "kendall_matrix" ->
+      """WITH base AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_discount * 1e6) AS BIGINT) AS d,
+        |    CAST(floor(l_tax * 1e6) AS BIGINT) AS t
+        |  FROM lineitem),
+        |cube3 AS (SELECT q, d, t, CAST(COUNT(*) AS BIGINT) AS c3
+        |  FROM base GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT 'l_quantity' AS xc, 'l_discount' AS yc, q AS x, d AS y,
+        |      CAST(SUM(c3) AS BIGINT) AS c FROM cube3 GROUP BY 3, 4
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax', q, t, CAST(SUM(c3) AS BIGINT)
+        |  FROM cube3 GROUP BY 3, 4
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax', d, t, CAST(SUM(c3) AS BIGINT)
+        |  FROM cube3 GROUP BY 3, 4),
+        |cd AS (SELECT a.xc, a.yc,
+        |    SUM(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c
+        |      ELSE 0 END) AS concordant,
+        |    SUM(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c
+        |      ELSE 0 END) AS discordant
+        |  FROM grid a JOIN grid b
+        |    ON a.xc = b.xc AND a.yc = b.yc AND a.x < b.x
+        |  GROUP BY 1, 2),
+        |xm AS (SELECT xc, yc, SUM(CAST(tx AS HUGEINT) * (tx - 1)) AS n1x2,
+        |    CAST(SUM(tx) AS HUGEINT) AS n
+        |  FROM (SELECT xc, yc, x, CAST(SUM(c) AS BIGINT) AS tx
+        |        FROM grid GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |ym AS (SELECT xc, yc, SUM(CAST(ty AS HUGEINT) * (ty - 1)) AS n2x2
+        |  FROM (SELECT xc, yc, y, CAST(SUM(c) AS BIGINT) AS ty
+        |        FROM grid GROUP BY 1, 2, 3) GROUP BY 1, 2)
+        |SELECT cd.xc AS x_col, cd.yc AS y_col, CAST(xm.n AS BIGINT) AS n,
+        |  cd.concordant, cd.discordant,
+        |  floor(
+        |    2.0 * CAST(cd.concordant - cd.discordant AS DOUBLE) /
+        |    (sqrt(CAST(xm.n * (xm.n - 1) - xm.n1x2 AS DOUBLE))
+        |      * sqrt(CAST(xm.n * (xm.n - 1) - ym.n2x2 AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS tau_b
+        |FROM cd JOIN xm ON cd.xc = xm.xc AND cd.yc = xm.yc
+        |JOIN ym ON cd.xc = ym.xc AND cd.yc = ym.yc
+        |ORDER BY x_col, y_col""".stripMargin,
   )
 }

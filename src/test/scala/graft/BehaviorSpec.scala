@@ -264,6 +264,40 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(firstHalf.exists(_ > 0), s"top deciles carry the uplift: ${got.toSeq}")
   }
 
+  test("logrank: a later-churning arm pulls o_minus_e negative; same-time churn nulls z") {
+    val users = (0L until 20L)
+    val armOf = users.toDF("user_id")
+      .select(col("user_id"), Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (n0, n1) = (armOf.values.count(_ == 0L), armOf.values.count(_ == 1L))
+    assert(n0 > 0 && n1 > 0)
+    // arm 0 churns at duration 2, arm 1 at duration 7; an anchor user
+    // on Jan 20 fixes report_date so both arms count as churned
+    // (report − last ≥ 7). The anchor itself is censored at duration 0.
+    def ev(u: Long, t: String) = (u, "view", t)
+    val rows = users.flatMap { u =>
+      val last = if (armOf(u) == 0L) "2024-01-03 10:00:00"
+                 else "2024-01-08 10:00:00"
+      Seq(ev(u, "2024-01-01 10:00:00"), ev(u, last))
+    } :+ ev(999L, "2024-01-20 10:00:00")
+    val r = Behavior.logrankTestOf(eventsDf(rows: _*)).collect().head
+    assert(r.getLong(1) == n1.toLong, s"all arm-1 users churn: $r")
+    // the only nonzero O−E term is duration 2, where arm 1 is fully
+    // at risk but churns nobody: d1 − e1 = −d·n1/nt = −n0·n1/20
+    val expected = math.floor(-(n0.toDouble * n1 / 20.0) * 1e9 + 0.5) / 1e9
+    assert(r.getDouble(2) == math.floor(expected * 1e6 + 0.5) / 1e6,
+      s"o_minus_e = −n0·n1/20: $r")
+    assert(!r.isNullAt(3) && r.getDouble(3) < -1.96,
+      s"survival differs decisively: $r")
+    // both arms churning at ONE shared duration: every risk row has
+    // nt = dt → zero hypergeometric variance → z NULL, O−E exactly 0
+    val sync = users.flatMap { u =>
+      Seq(ev(u, "2024-01-01 10:00:00"), ev(u, "2024-01-03 10:00:00"))
+    } :+ ev(999L, "2024-01-20 10:00:00")
+    val rs = Behavior.logrankTestOf(eventsDf(sync: _*)).collect().head
+    assert(rs.getDouble(2) == 0.0 && rs.isNullAt(3), s"degenerate: $rs")
+  }
+
   test("fpgrowth triples equal the apriori join chain row-for-row") {
     def basket(u: Long, items: Long*) = items.map(i => (u, s"""{"k": $i}"""))
     val ev = ((1L to 6L).flatMap(basket(_, 1L, 2L, 3L, 4L)) ++

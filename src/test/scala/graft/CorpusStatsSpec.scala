@@ -330,6 +330,31 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.isEmpty)
   }
 
+  test("pr_auc: perfect ranking reads 1, inverted ranking reads prevalence, no-pos drops") {
+    val long = Seq.fill(60)("word").mkString(" ") // high quality score
+    // positives strictly above every negative → every positive block
+    // has precision 1 → AP = 1
+    val sep = CorpusStats.prAucOf(cardDocs(
+      (1L, "en", "s0", long), (2L, "en", "s0", long),
+      (3L, "de", "s0", "x"), (4L, "fr", "s0", "y"))).collect()
+    assert(sep.length == 1)
+    assert(sep.head.getLong(1) == 2L && sep.head.getLong(2) == 2L)
+    assert(sep.head.getDouble(3) == 1.0, s"perfect ranking: ${sep.head}")
+    // inverted: both positives share ONE block at the bottom →
+    // AP = (np/n_pos)·(cumTP/cumAll) = 1 · 2/4 = prevalence
+    val inv = CorpusStats.prAucOf(cardDocs(
+      (1L, "de", "s0", long), (2L, "fr", "s0", long),
+      (3L, "en", "s0", "x!x"), (4L, "en", "s0", "x!x"))).collect()
+    assert(inv.head.getDouble(3) == 0.5, s"inverted ranking: ${inv.head}")
+    // a source with zero positives has no defined AP → dropped;
+    // zero negatives keeps AP = 1 (PR handles it, unlike ROC)
+    val edge = CorpusStats.prAucOf(cardDocs(
+      (1L, "de", "neg_only", "a"),
+      (2L, "en", "pos_only", "b"))).collect()
+    assert(edge.length == 1 && edge.head.getString(0) == "pos_only")
+    assert(edge.head.getDouble(3) == 1.0, s"all-positive source: ${edge.head}")
+  }
+
   test("calibration curve bins by score and reports per-bin positive rate") {
     val text = Seq.fill(40)("the word").mkString(" ")
     val q = docsDf(1L -> text)

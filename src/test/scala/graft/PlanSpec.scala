@@ -1089,4 +1089,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
           s"$name: a type-only window must ride the bounded carry frame:\n$p") }
     }
   }
+
+  test("round-12 fifth tranche: logrank/kendall/pr_auc plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // logrank: one user-keyed fact aggregate; the only crossing join
+    // is the 1-row report_date broadcast; the global risk-set window
+    // rides the bounded duration frame (post-aggregate child).
+    val lr = plan(graft.operators.Behavior.logrankTest(spark, Sf))
+    assert(lr.collect { case j: CartesianProductExec => j }.isEmpty &&
+      lr.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"logrank: only the 1-row report_date broadcast crosses:\n$lr")
+    // kendall: the grid self-join must be an EQUIJOIN on the pair key
+    // (never a nested loop over the grid), and no window at all.
+    val km = plan(graft.operators.Robust.kendallMatrix(spark, Sf))
+    assert(km.collect { case j: CartesianProductExec => j }.isEmpty &&
+      km.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"kendall: grid self-join stays an equijoin:\n$km")
+    assert(km.collect { case w: WindowExec => w }.isEmpty,
+      s"kendall: concordance is pure aggregation, no windows:\n$km")
+    // pr_auc: join-free; every window partitions by source and rides
+    // the score-distinct frame (child aggregates on (source, score)).
+    val pa = plan(graft.operators.CorpusStats.prAuc(spark, Sf))
+    assert(pa.collect { case j: CartesianProductExec => j }.isEmpty &&
+      pa.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"pr_auc joins nothing:\n$pa")
+    assert(pa.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"pr_auc: no single-partition window:\n$pa")
+  }
 }

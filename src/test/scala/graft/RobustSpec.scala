@@ -244,6 +244,40 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
       s"perfect coupling: ${out.toSeq}")
   }
 
+  test("kendall: perfect agreement ±1, balanced ties read 0, constant column reads NULL") {
+    import spark.implicits._
+    def li(rows: Seq[(Double, Double, Double)]) =
+      rows.toDF("l_quantity", "l_discount", "l_tax")
+    // q and d rise together (τ = 1); t falls as both rise (τ = −1).
+    val mono = graft.operators.Robust.kendallMatrixOf(
+      li((1 to 5).map(i => (i.toDouble, 0.01 * i, 0.01 * (6 - i)))))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(mono(("l_quantity", "l_discount")) == Some(1.0), s"$mono")
+    assert(mono(("l_quantity", "l_tax")) == Some(-1.0))
+    assert(mono(("l_discount", "l_tax")) == Some(-1.0))
+    // the 2×2 balanced grid: one concordant pair, one discordant,
+    // four tie pairs → τ-b = 0 exactly (C−D = 0, denominator 4)
+    val grid = graft.operators.Robust.kendallMatrixOf(
+      li(Seq((1.0, 0.01, 0.0), (1.0, 0.02, 0.0),
+             (2.0, 0.01, 0.0), (2.0, 0.02, 0.0)))).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(grid(("l_quantity", "l_discount")) == Some(0.0), s"$grid")
+    // constant tax: every pair tied in t → n0·2 = n2·2 → NULL τ
+    assert(grid(("l_quantity", "l_tax")).isEmpty)
+    assert(grid(("l_discount", "l_tax")).isEmpty)
+    // concordant/discordant mass is exact: 2×2 grid has C = D = 1
+    val cd = graft.operators.Robust.kendallMatrixOf(
+      li(Seq((1.0, 0.01, 0.0), (1.0, 0.02, 0.0),
+             (2.0, 0.01, 0.0), (2.0, 0.02, 0.0)))).collect()
+      .filter(r => r.getString(0) == "l_quantity" &&
+        r.getString(1) == "l_discount").head
+    assert(cd.getDecimal(3).longValueExact == 1L &&
+      cd.getDecimal(4).longValueExact == 1L, s"C/D mass: $cd")
+  }
+
   test("spearman: monotone nonlinear reads ±1 exactly; zero-variance column reads NULL") {
     import spark.implicits._
     // p = q³ is monotone-but-nonlinear (Pearson < 1, Spearman = 1);
