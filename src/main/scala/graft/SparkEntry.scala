@@ -310,6 +310,11 @@ object SparkEntry {
     "logrank_test"      -> (Behavior.logrankTest(_, _)),
     "kendall_matrix"    -> (Robust.kendallMatrix(_, _)),
     "pr_auc"            -> (CorpusStats.prAuc(_, _)),
+    // Round-12 sixth tranche: sketch calibration, capacity integral,
+    // stratified causal estimate (SURVEY §2 rows 304-306)
+    "quantile_sketch_err" -> (Report.quantileSketchErr(_, _)),
+    "twap_concurrency"  -> (EventAnalytics.twapConcurrency(_, _)),
+    "stratified_ate"    -> (Behavior.stratifiedAte(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

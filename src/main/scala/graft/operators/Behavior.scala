@@ -998,6 +998,86 @@ object Behavior {
   def qiniCurve(spark: SparkSession, dir: String): DataFrame =
     qiniCurveOf(Tables.events(spark, dir), "2024-01-16")
 
+  /** Propensity-stratified ATE (subclassification, Cochran'68 /
+    * Rosenbaum-Rubin'83): the causal point estimate on a CONTINUOUS
+    * outcome where [[didReadoutOf]] needs a pre/post panel and
+    * [[qiniCurveOf]] ranks a binary conversion — stratify users into
+    * covariate deciles (pre-period mean value, [[qiniCurveOf]]'s
+    * score), compare treated vs control POST-period outcome within
+    * each stratum (like compares with like), weight each stratum's
+    * gap by its population share: ATE = Σ (nₛ/n)·(ȳ₁ₛ − ȳ₀ₛ).
+    *
+    * Output is the per-stratum table — n/means/gap per stratum plus
+    * the exact-integer weight_ppm and the micro-quantized contrib —
+    * so ATE = Σ contrib reads off the printed column (the
+    * [[CorpusStats.brierDecompositionOf]] audits-itself convention)
+    * and a reviewer sees WHERE the effect lives (uniform across
+    * strata = believable; one-stratum = investigate). A stratum
+    * missing an arm drops with its weight (conservative; cannot
+    * happen under md5-parity assignment at any real scale).
+    *
+    * Shape: one user-keyed fact aggregate (score + outcome + arm per
+    * user), the decile assignment on [[graft.Scale.twoPhaseRank]]
+    * (no single-task window at 10⁹ users), then a 10-row frame with
+    * a 1-row total broadcast. Outcome sums ride decimal(38,0) (milli
+    * grid × 10⁹ users/stratum crosses int64). */
+  def stratifiedAteOf(events: DataFrame, splitDay: String,
+                      strata: Int = 10): DataFrame = {
+    require(strata >= 2, s"strata must be >= 2, got $strata")
+    val dec = "decimal(38,0)"
+    val perUser = events
+      .select(col("user_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"),
+        (col("ts") < lit(splitDay).cast("timestamp")).as("pre"))
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), col("qv"))).as("pre_sum"),
+        count(when(col("pre"), lit(1))).as("pre_n"),
+        sum(when(!col("pre"), col("qv"))).as("post_sum"),
+        count(when(!col("pre"), lit(1))).as("post_n"))
+      // the estimate needs BOTH a covariate and an outcome
+      .filter(col("pre_n") > 0 && col("post_n") > 0)
+      .select(col("user_id"),
+        floor(col("pre_sum").cast("double") / col("pre_n").cast("double")
+          / 1000.0 + 0.5).cast("long").as("score"),
+        floor(col("post_sum").cast("double") / col("post_n").cast("double")
+          / 1000.0 + 0.5).cast("long").as("y"),
+        arm2(col("user_id")).as("arm"))
+    val (ranked, total) = graft.Scale.twoPhaseRank(perUser,
+      Seq(col("score").desc, col("user_id")))
+    val cells = ranked
+      .withColumn("stratum",
+        graft.Scale.ntileFromRank("__rank", strata, total))
+      .groupBy("stratum")
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 0L, col("y").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("s_ctrl"),
+        sum(when(col("arm") === 1L, col("y").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("s_treat"))
+    val tot = cells.agg(
+      sum(col("n_ctrl") + col("n_treat")).as("n_all"))
+    def d(c: Column) = c.cast("double")
+    val r4 = graft.functions.TextF.round4HalfUp _
+    val diff = d(col("s_treat")) / d(col("n_treat")) / lit(1000.0) -
+      d(col("s_ctrl")) / d(col("n_ctrl")) / lit(1000.0)
+    cells.crossJoin(broadcast(tot)) // 1 row by construction
+      .filter(col("n_ctrl") > 0 && col("n_treat") > 0)
+      .select(col("stratum"), col("n_ctrl"), col("n_treat"),
+        r4(d(col("s_ctrl")) / d(col("n_ctrl")) / lit(1000.0)).as("mean_ctrl"),
+        r4(d(col("s_treat")) / d(col("n_treat")) / lit(1000.0)).as("mean_treat"),
+        r4(diff).as("diff"),
+        expr(s"CAST((CAST(n_ctrl + n_treat AS $dec) * 1000000)" +
+          s" div CAST(n_all AS $dec) AS BIGINT)").as("weight_ppm"),
+        graft.functions.TextF.round6HalfUp(
+          diff * (d(col("n_ctrl") + col("n_treat")) / d(col("n_all"))))
+          .as("contrib"))
+      .orderBy("stratum")
+  }
+
+  def stratifiedAte(spark: SparkSession, dir: String): DataFrame =
+    stratifiedAteOf(Tables.events(spark, dir), "2024-01-16")
+
   /** RFM segmentation — the classic CRM feature triple: per user,
     * recency (days since last event, vs the corpus report date),
     * frequency (event count), monetary (micro-exact value sum), each

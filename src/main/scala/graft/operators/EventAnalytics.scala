@@ -1023,6 +1023,53 @@ object EventAnalytics {
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
     peakConcurrencyOf(Tables.events(spark, dir))
 
+  /** Time-weighted average (TWAP) concurrency per day —
+    * [[peakConcurrencyOf]]'s companion read: peak sizes the worst
+    * MOMENT (provision for it), the time integral sizes the typical
+    * LOAD (bill/capacity-plan for it; a one-minute spike and an
+    * all-day plateau can share a peak but differ 1000× in
+    * session-seconds). Per day: sessions touching the day, total
+    * session-seconds inside the day, and the time-weighted mean
+    * concurrency = session-µs / 86 400 µs·10⁶.
+    *
+    * Exactness: each session's [start, end] interval is clipped to
+    * the day in integer MICROSECONDS (UTC day bounds — the session
+    * fixes spark.sql.session.timeZone); the per-day sum rides
+    * decimal(38,0) (10⁹ users × 86 400·10⁶ µs crosses int64);
+    * renders divide once at the edge. Single-event sessions carry
+    * zero length but still count toward n_sessions — the same
+    * convention as [[sessionizeOf]]'s duration_sec.
+    *
+    * Shape: [[sessionizeOf]]'s one user-keyed shuffle, then a
+    * map-side day explode (a 30-min-gap session spans ≤ 2 calendar
+    * days, so the explode is ≤ 2×) into a day-keyed map-combinable
+    * aggregate. No window beyond sessionize's per-user lag, nothing
+    * driver-side. */
+  def twapConcurrencyOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val dec = "decimal(38,0)"
+    sessionizeOf(events, gapMinutes)
+      .select(col("start_us"), col("end_us"),
+        explode(sequence(timestamp_micros(col("start_us")).cast("date"),
+          timestamp_micros(col("end_us")).cast("date"))).as("day"))
+      .select(col("day"),
+        greatest(col("start_us"),
+          unix_micros(col("day").cast("timestamp"))).as("s"),
+        least(col("end_us"),
+          unix_micros(date_add(col("day"), 1).cast("timestamp"))).as("e"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum((col("e") - col("s")).cast(dec)).as("us"))
+      .select(col("day"), col("n_sessions"),
+        (floor(col("us").cast("double") / lit(1e3) + lit(0.5)) / lit(1e3))
+          .as("session_seconds"),
+        graft.functions.TextF.round4HalfUp(
+          col("us").cast("double") / lit(86400e6)).as("twap_concurrent"))
+      .orderBy("day")
+  }
+
+  def twapConcurrency(spark: SparkSession, dir: String): DataFrame =
+    twapConcurrencyOf(Tables.events(spark, dir))
+
   /** Binary-segmentation changepoint (the top-1 split of the classic
     * recursive scheme): per event type, the day boundary that
     * minimizes total within-segment squared error of the daily

@@ -234,6 +234,49 @@ object Report {
         col("line_count"))
       .orderBy("l_returnflag")
 
+  /** Quantile-sketch calibration audit — the error MEASUREMENT the
+    * sketch family's other members already have (count-min #192,
+    * Bloom #235, HLL #273): per returnflag and percentile, the exact
+    * order statistic, the KLL-family estimate, and the gap in basis
+    * points of the exact value. This is the number that justifies
+    * swapping `percentile` → `approx_percentile` at 100 TB (the exact
+    * side sorts each group; the sketch is fixed-size and map-side
+    * mergeable) — run the audit on a sampled day, read err_bp, then
+    * trust the sketch on the full corpus. Like every sketch audit the
+    * exact leg IS the verification contract and is priced accordingly
+    * (documented, run-at-audit-scale-only). err_bp is exact integer
+    * arithmetic on the cents grid; the oracle pins the frame from a
+    * verified sf0.01 dump (sketch register paths are engine-specific
+    * — the [[graft.operators.CtrAlerts.hllErrorAuditOf]] convention)
+    * and AlertsSpec pins the rank-error band scale-independently. */
+  def quantileSketchErr(spark: SparkSession, dir: String): DataFrame =
+    quantileSketchErrOf(Tables.lineitem(spark, dir))
+
+  def quantileSketchErrOf(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))")
+          .as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
+          .as("ap"),
+        count(lit(1)).as("line_count"))
+      .select(col("l_returnflag"), col("line_count"),
+        expr("""stack(3,
+          |  50L, element_at(ex, 1), element_at(ap, 1),
+          |  90L, element_at(ex, 2), element_at(ap, 2),
+          |  99L, element_at(ex, 3), element_at(ap, 3))
+          |AS (pct, exact_p, approx_p)""".stripMargin))
+      .select(col("l_returnflag"), col("pct"),
+        round(col("exact_p"), 4).as("exact_p"),
+        round(col("approx_p"), 4).as("approx_p"),
+        expr("""CAST(((CAST(floor(approx_p * 100) AS BIGINT)
+          |  - CAST(floor(exact_p * 100) AS BIGINT)) * 10000)
+          |  div CAST(floor(exact_p * 100) AS BIGINT) AS BIGINT)""".stripMargin)
+          .as("err_bp"),
+        col("line_count"))
+      .orderBy("l_returnflag", "pct")
+
   /** Equal-width value histogram — the distribution plot behind every
     * metrics dashboard. Two passes: a 1-row (min, max) aggregate
     * broadcasts, then binning is pure map-side math and the per-bin

@@ -1019,6 +1019,81 @@ private[graft] object EventOracles {
         |    AS hazard
         |FROM r ORDER BY duration""".stripMargin,
 
+    // TWAP concurrency: sessionize, clip each session to UTC day
+    // bounds in integer µs, day-keyed HUGEINT sum, divide at the edge.
+    "twap_concurrency" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f),
+        |sess AS (SELECT user_id, session_idx,
+        |    MIN(us) AS start_us, MAX(us) AS end_us
+        |  FROM s GROUP BY user_id, session_idx),
+        |x AS (SELECT start_us, end_us,
+        |        unnest(generate_series(CAST(make_timestamp(start_us) AS DATE),
+        |          CAST(make_timestamp(end_us) AS DATE), INTERVAL 1 DAY)) AS day
+        |      FROM sess),
+        |c AS (SELECT CAST(day AS DATE) AS day,
+        |        GREATEST(start_us, epoch_us(CAST(day AS TIMESTAMP))) AS s,
+        |        LEAST(end_us, epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) AS e
+        |      FROM x)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  floor(CAST(SUM(CAST(e - s AS HUGEINT)) AS DOUBLE) / 1e3 + 0.5) / 1e3
+        |    AS session_seconds,
+        |  floor(CAST(SUM(CAST(e - s AS HUGEINT)) AS DOUBLE) / 86400e6
+        |    * 1e4 + 0.5) / 1e4 AS twap_concurrent
+        |FROM c GROUP BY day ORDER BY day""".stripMargin,
+
+    // Stratified ATE: qini's score deciles via NTILE, per-stratum
+    // arm means on HUGEINT milli sums, exact ppm weights, micro
+    // contrib — Σ contrib IS the ATE.
+    "stratified_ate" ->
+      """WITH pu AS (SELECT user_id,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |        THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) END) AS pre_sum,
+        |    COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END) AS pre_n,
+        |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |        THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) END) AS post_sum,
+        |    COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END) AS post_n
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT user_id,
+        |    CAST(floor(CAST(pre_sum AS DOUBLE) / CAST(pre_n AS DOUBLE)
+        |      / 1000.0 + 0.5) AS BIGINT) AS score,
+        |    CAST(floor(CAST(post_sum AS DOUBLE) / CAST(post_n AS DOUBLE)
+        |      / 1000.0 + 0.5) AS BIGINT) AS y,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM pu WHERE pre_n > 0 AND post_n > 0),
+        |r AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY score DESC, user_id) AS INT)
+        |        AS stratum FROM s),
+        |c AS (SELECT stratum,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        |    SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS s_ctrl,
+        |    SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS s_treat
+        |  FROM r GROUP BY stratum),
+        |t AS (SELECT CAST(SUM(n_ctrl + n_treat) AS HUGEINT) AS n_all FROM c)
+        |SELECT stratum, n_ctrl, n_treat,
+        |  floor(CAST(s_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE) / 1000.0
+        |    * 1e4 + 0.5) / 1e4 AS mean_ctrl,
+        |  floor(CAST(s_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) / 1000.0
+        |    * 1e4 + 0.5) / 1e4 AS mean_treat,
+        |  floor((CAST(s_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) / 1000.0
+        |    - CAST(s_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE) / 1000.0)
+        |    * 1e4 + 0.5) / 1e4 AS diff,
+        |  CAST((CAST(n_ctrl + n_treat AS HUGEINT) * 1000000) // n_all AS BIGINT)
+        |    AS weight_ppm,
+        |  floor((CAST(s_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) / 1000.0
+        |    - CAST(s_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE) / 1000.0)
+        |    * (CAST(n_ctrl + n_treat AS DOUBLE) / CAST(n_all AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS contrib
+        |FROM c, t WHERE n_ctrl > 0 AND n_treat > 0
+        |ORDER BY stratum""".stripMargin,
+
     // Log-rank: per-arm risk sets on the duration frame, nano-grid
     // quantized (d1−e1)/v terms, one fixed-order double chain for z.
     "logrank_test" ->

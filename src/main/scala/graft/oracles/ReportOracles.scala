@@ -414,6 +414,33 @@ private[graft] object ReportOracles {
         |   CAST(103912.57 AS DOUBLE), CAST(20046 AS BIGINT))
         |) AS t(l_returnflag, p50, p90, p99, line_count)""".stripMargin,
 
+    // Quantile-sketch calibration audit: the approx leg is the same
+    // deterministic compactor path as earnings_percentiles_approx,
+    // the exact leg the true order statistic — pinned from a verified
+    // sf0.01 dump (the HLL-audit convention); ReportSpecSpec pins the
+    // rank-error band scale-independently.
+    "quantile_sketch_err" ->
+      """SELECT * FROM (VALUES
+        |  ('A', CAST(50 AS BIGINT), CAST(52840.435 AS DOUBLE),
+        |   CAST(52832.76 AS DOUBLE), CAST(-1 AS BIGINT), CAST(20028 AS BIGINT)),
+        |  ('A', CAST(90 AS BIGINT), CAST(94633.316 AS DOUBLE),
+        |   CAST(94628.55 AS DOUBLE), CAST(0 AS BIGINT), CAST(20028 AS BIGINT)),
+        |  ('A', CAST(99 AS BIGINT), CAST(103928.9112 AS DOUBLE),
+        |   CAST(103922.45 AS DOUBLE), CAST(0 AS BIGINT), CAST(20028 AS BIGINT)),
+        |  ('N', CAST(50 AS BIGINT), CAST(53052.915 AS DOUBLE),
+        |   CAST(53042.23 AS DOUBLE), CAST(-2 AS BIGINT), CAST(19926 AS BIGINT)),
+        |  ('N', CAST(90 AS BIGINT), CAST(94493.455 AS DOUBLE),
+        |   CAST(94480.99 AS DOUBLE), CAST(-1 AS BIGINT), CAST(19926 AS BIGINT)),
+        |  ('N', CAST(99 AS BIGINT), CAST(104004.635 AS DOUBLE),
+        |   CAST(104001.38 AS DOUBLE), CAST(0 AS BIGINT), CAST(19926 AS BIGINT)),
+        |  ('R', CAST(50 AS BIGINT), CAST(53230.485 AS DOUBLE),
+        |   CAST(53219.57 AS DOUBLE), CAST(-2 AS BIGINT), CAST(20046 AS BIGINT)),
+        |  ('R', CAST(90 AS BIGINT), CAST(94972.78 AS DOUBLE),
+        |   CAST(94969.75 AS DOUBLE), CAST(0 AS BIGINT), CAST(20046 AS BIGINT)),
+        |  ('R', CAST(99 AS BIGINT), CAST(103916.08 AS DOUBLE),
+        |   CAST(103912.57 AS DOUBLE), CAST(0 AS BIGINT), CAST(20046 AS BIGINT))
+        |) AS t(l_returnflag, pct, exact_p, approx_p, err_bp, line_count)""".stripMargin,
+
     // HLL++ estimates per event type (deterministic register path;
     // AlertsSpec pins the ≤5%-of-exact band at every scale).
     "approx_distinct_users" ->

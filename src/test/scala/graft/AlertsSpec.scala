@@ -27,6 +27,37 @@ class AlertsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("quantile sketch audit: exact leg is the true order statistic, err within band, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Report
+    // hand-checkable frame: values 1..100 under one flag — exact
+    // interpolated percentiles are p50 = 50.5, p90 = 90.1, p99 = 99.01
+    val li = (1 to 100).map(v => ("A", v.toDouble))
+      .toDF("l_returnflag", "l_extendedprice")
+    val out = Report.quantileSketchErrOf(li).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(out(50L)._1 == 50.5 && out(90L)._1 == 90.1 &&
+      out(99L)._1 == 99.01, s"exact leg: $out")
+    // at n = 100 and accuracy 10000 the sketch is rank-exact, so the
+    // audit must read (near) zero error — |err| ≤ 1% of value covers
+    // the interpolation gap between the exact and nearest-rank answers
+    assert(out.values.forall { case (_, _, bp) => math.abs(bp) <= 100 },
+      s"toy-frame error band: $out")
+    // the real table: 9 rows, every |err_bp| inside the band that
+    // justifies the sketch swap, and the estimate REPRODUCES under a
+    // different partitioning (the pinned-oracle precondition)
+    val real = Report.quantileSketchErr(spark, Sf).collect()
+    assert(real.length == 9)
+    assert(real.forall(r => math.abs(r.getLong(4)) <= 100),
+      s"sf band: ${real.toSeq}")
+    val reparted = Report.quantileSketchErrOf(
+      Tables.lineitem(spark, Sf).repartition(7)).collect()
+    assert(reparted.map(_.toString).sorted.sameElements(
+      real.map(_.toString).sorted),
+      "sketch result must be partitioning-invariant (pinned oracle relies on it)")
+  }
+
   test("value histogram partitions every row into clamped equal-width bins") {
     import graft.operators.Report
     val rows = Report.valueHistogram(spark, Sf).collect()

@@ -264,6 +264,36 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(firstHalf.exists(_ > 0), s"top deciles carry the uplift: ${got.toSeq}")
   }
 
+  test("stratified ate: a uniform planted effect reads 0.5 in every stratum and in the sum") {
+    val users = (0L until 80L)
+    val armOf = users.toDF("user_id")
+      .select(col("user_id"), Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // covariate = user id (pre value), outcome = 1.0 + 0.5·arm (post):
+    // every stratum's treated-control gap is exactly the effect
+    def ev(u: Long, t: String, v: Double) = (u, t, v)
+    val rows = users.flatMap { u =>
+      Seq(ev(u, "2024-01-10 10:00:00", u.toDouble),
+        ev(u, "2024-01-20 10:00:00",
+          1.0 + (if (armOf(u) == 1L) 0.5 else 0.0)))
+    } ++ Seq(ev(998L, "2024-01-10 09:00:00", 3.0)) // pre-only: excluded
+    val df = rows.toDF("user_id", "t", "value")
+      .select(col("user_id"), to_timestamp(col("t")).as("ts"),
+        col("value"))
+    val out = Behavior.stratifiedAteOf(df, "2024-01-16").collect()
+    assert(out.forall(_.getDouble(5) == 0.5), s"uniform effect: ${out.toSeq}")
+    assert(out.forall(r => r.getDouble(4) - r.getDouble(3) == 0.5),
+      s"means gap: ${out.toSeq}")
+    // the pre-only user is excluded from every stratum count
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == 80L)
+    // the table audits itself: Σ contrib = 0.5 · Σ weight (exact to
+    // the printed micro grid × strata)
+    val ate = out.map(_.getDouble(7)).sum
+    val wsum = out.map(_.getLong(6)).sum.toDouble / 1e6
+    assert(math.abs(ate - 0.5 * wsum) <= out.length * 1e-6,
+      s"ate $ate vs 0.5·$wsum")
+  }
+
   test("logrank: a later-churning arm pulls o_minus_e negative; same-time churn nulls z") {
     val users = (0L until 20L)
     val armOf = users.toDF("user_id")

@@ -523,6 +523,25 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(2) == 2L, s"u1 and u2 overlap at 10:30: $r")
   }
 
+  test("twap: midnight session splits across days, single events count with zero seconds") {
+    import java.sql.Timestamp
+    // u1: one session 23:50 Jan 1 → 00:10 Jan 2 (20-min gap, one
+    // session) — 600 s on each day; u2: a single event on Jan 1
+    // (zero length, still a session).
+    val events = Seq(
+      (1L, 1L, Timestamp.valueOf("2026-01-01 23:50:00")),
+      (2L, 1L, Timestamp.valueOf("2026-01-02 00:10:00")),
+      (3L, 2L, Timestamp.valueOf("2026-01-01 08:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = graft.operators.EventAnalytics.twapConcurrencyOf(events)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("2026-01-01") == ((2L, 600.0,
+      math.floor(600e6 / 86400e6 * 1e4 + 0.5) / 1e4)), s"$out")
+    assert(out("2026-01-02") == ((1L, 600.0,
+      math.floor(600e6 / 86400e6 * 1e4 + 0.5) / 1e4)), s"$out")
+  }
+
   test("binary segmentation: a planted level shift splits exactly at the boundary") {
     import java.sql.Timestamp
     // Days 1-5 at total 10/day, days 6-10 at 100/day.

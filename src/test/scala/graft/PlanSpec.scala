@@ -1117,4 +1117,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .forall(_.partitionSpec.nonEmpty),
       s"pr_auc: no single-partition window:\n$pa")
   }
+
+  test("round-12 sixth tranche: sketch-audit/twap/ate plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // quantile_sketch_err: ONE fact aggregate (exact + sketch legs in
+    // the same group-by), then constant-size stack — no joins, no
+    // windows anywhere.
+    val qs = plan(graft.operators.Report.quantileSketchErr(spark, Sf))
+    assert(qs.collect { case j: CartesianProductExec => j }.isEmpty &&
+      qs.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      qs.collect { case w: WindowExec => w }.isEmpty,
+      s"quantile_sketch_err is one aggregate:\n$qs")
+    // twap_concurrency: sessionize's per-user window, a ≤2× map-side
+    // day explode, one day-keyed aggregate — join-free, every window
+    // user-partitioned.
+    val tw = plan(graft.operators.EventAnalytics.twapConcurrency(spark, Sf))
+    assert(tw.collect { case j: CartesianProductExec => j }.isEmpty &&
+      tw.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"twap joins nothing:\n$tw")
+    assert(tw.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"twap: no single-partition window:\n$tw")
+    // stratified_ate: the decile rank rides the two-phase exchange
+    // (__bkt) like qini; the only crossing join is the 1-row total
+    // broadcast.
+    val sa = plan(graft.operators.Behavior.stratifiedAte(spark, Sf))
+    assert(sa.collect { case j: CartesianProductExec => j }.isEmpty &&
+      sa.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"stratified_ate: only the 1-row total broadcast crosses:\n$sa")
+    assert(sa.collect { case w: WindowExec => w }
+      .forall(w => w.partitionSpec.nonEmpty ||
+        w.child.toString.contains("__bkt")),
+      s"stratified_ate: user-scale rank rides __bkt:\n$sa")
+  }
 }
