@@ -315,6 +315,11 @@ object SparkEntry {
     "quantile_sketch_err" -> (Report.quantileSketchErr(_, _)),
     "twap_concurrency"  -> (EventAnalytics.twapConcurrency(_, _)),
     "stratified_ate"    -> (Behavior.stratifiedAte(_, _)),
+    // Round-12 seventh tranche: sampled centralities on one shared
+    // σ-BFS + Markov removal-effect attribution (rows 307-309)
+    "betweenness_sampled" -> (Graph.betweennessSampled(_, _)),
+    "harmonic_centrality" -> (Graph.harmonicCentrality(_, _)),
+    "markov_attribution" -> (Behavior.markovAttribution(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

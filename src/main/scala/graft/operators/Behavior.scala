@@ -285,6 +285,118 @@ object Behavior {
   def markovAccuracy(spark: SparkSession, dir: String): DataFrame =
     markovAccuracyOf(Tables.events(spark, dir))
 
+  /** Markov-chain (removal-effect) attribution (Anderl et al. '14 —
+    * the data-driven alternative to rows 33/271's positional models:
+    * last-touch crowns the closer, linear splits evenly; this asks
+    * the counterfactual "how much conversion DISAPPEARS if the
+    * channel vanishes?"): user journeys truncated at the FIRST
+    * purchase become a first-order chain (START → touches →
+    * purchase | NULL), absorption-into-purchase probability is
+    * iterated `iterations` steps (the k-step contract of
+    * [[Graph.pagerankOf]] — fixed, oracle-unrolled), then each
+    * channel is knocked out (its inbound edges re-route to NULL, its
+    * outbound rows drop) and re-absorbed; removal_effect =
+    * (p − p_removed)/p, shares normalize effects to 1.
+    *
+    * Arithmetic is INTEGER end to end: absorption mass on the nano
+    * grid with one `Σ n·pq div n_from` integral division per state
+    * per step (decimal(38,0) products — nano mass × fact-scale
+    * transition counts crosses int64), effects/shares in exact ppm.
+    * Bit-equal in any engine and partitioning; no doubles anywhere.
+    *
+    * Shape: ONE user-keyed fact pass (cutoff min + lag/lead ride one
+    * window spec) to the (from, to) count frame — bounded by
+    * (types+1)², like row 85. Everything after — the ≤
+    * (channels+1)-variant knockout expansion (a deliberate bounded
+    * crossJoin), the k-step iteration, the 1-row base/total
+    * broadcasts — runs on constant-size frames with per-step lazy
+    * checkpoints. */
+  def markovAttributionOf(events: DataFrame,
+                          iterations: Int = 12): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val dec = "decimal(38,0)"
+    val byU = Window.partitionBy("user_id")
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val kept = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("pk", when(col("event_type") === "purchase",
+        struct(col("us"), col("event_id"))))
+      .withColumn("cut", min("pk").over(byU))
+      .filter(col("cut").isNull ||
+        struct(col("us"), col("event_id")) <= col("cut"))
+    val stepped = kept
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .withColumn("nxt", lead("event_type", 1).over(w))
+    val trans = stepped
+      .select(coalesce(col("prev"), lit("START")).as("from"),
+        col("event_type").as("to"))
+      .union(stepped
+        .filter(col("nxt").isNull && col("event_type") =!= "purchase")
+        .select(col("event_type").as("from"), lit("NULL").as("to")))
+      .groupBy("from", "to").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val channels = trans.select(col("from").as("removed"))
+      .filter(col("removed") =!= "START").distinct()
+    val variants = channels
+      .union(events.sparkSession.range(1)
+        .select(lit("__none").as("removed")))
+      .localCheckpoint(false)
+    val tv = trans.crossJoin(variants) // bounded: (types+1)² × (types+1)
+      .filter(col("from") =!= col("removed"))
+      .select(col("removed"), col("from"),
+        when(col("to") === col("removed"), lit("NULL"))
+          .otherwise(col("to")).as("to"),
+        col("n"))
+      .groupBy("removed", "from", "to").agg(sum("n").as("n"))
+      // bounded-frame window: parallelism = variants × states, fine
+      .withColumn("n_from",
+        sum("n").over(Window.partitionBy("removed", "from")))
+      .localCheckpoint(false)
+    val absorbing = variants
+      .select(col("removed"), lit("purchase").as("state"),
+        lit(1000000000L).as("pq"))
+      .union(variants.select(col("removed"), lit("NULL").as("state"),
+        lit(0L).as("pq")))
+      .localCheckpoint(false)
+    var p = tv.select(col("removed"), col("from").as("state")).distinct()
+      .select(col("removed"), col("state"), lit(0L).as("pq"))
+      .union(absorbing)
+      .localCheckpoint(false)
+    for (_ <- 1 to iterations) {
+      p = tv
+        .join(p.select(col("removed"), col("state").as("to"), col("pq")),
+          Seq("removed", "to"))
+        .groupBy("removed", "from")
+        .agg(expr(s"CAST(SUM(CAST(n AS $dec) * pq)" +
+          s" div MAX(CAST(n_from AS $dec)) AS BIGINT)").as("pq"))
+        .select(col("removed"), col("from").as("state"), col("pq"))
+        .union(absorbing)
+        .localCheckpoint(false)
+    }
+    val pStart = p.filter(col("state") === "START")
+      .select(col("removed"), col("pq"))
+    val base = pStart.filter(col("removed") === "__none")
+      .select(col("pq").as("base_q"))
+    val out = pStart.filter(col("removed") =!= "__none")
+      .crossJoin(broadcast(base)) // 1 row by construction
+      .select(col("removed").as("channel"),
+        expr("base_q div 1000").as("conv_ppm_base"),
+        expr("pq div 1000").as("conv_ppm_removed"),
+        expr("CAST(((base_q - pq) * 1000000) div nullif(base_q, 0)" +
+          " AS BIGINT)").as("removal_effect_ppm"))
+    val tot = out.agg(sum("removal_effect_ppm").as("re_total"))
+    out.crossJoin(broadcast(tot)) // 1 row by construction
+      .select(col("channel"), col("conv_ppm_base"),
+        col("conv_ppm_removed"), col("removal_effect_ppm"),
+        expr("CAST((removal_effect_ppm * 1000000)" +
+          " div nullif(re_total, 0) AS BIGINT)").as("share_ppm"))
+      .orderBy("channel")
+  }
+
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame =
+    markovAttributionOf(Tables.events(spark, dir))
+
   /** χ² contingency table for event-type × time-of-week association
     * (the EDA pass behind "does behavior depend on the day"). The
     * time-of-week bucket is PURE ARITHMETIC — `pmod(days-since-epoch,

@@ -722,4 +722,132 @@ object Graph {
 
   def richClub(spark: SparkSession, dir: String): DataFrame =
     richClubOf(Tables.events(spark, dir))
+
+  /** Shared K-source depth-bounded BFS over the undirected item graph:
+    * sources = the top-`sources` degree hubs (deterministic tiebreak),
+    * frontier expansion to `depth` hops carrying shortest-path COUNTS
+    * (σ, Brandes' forward pass: σ(v) = Σ over dist-(d−1) predecessors'
+    * σ). Returns (adjacency, levels (s, item, dist, sigma)) — the
+    * one traversal [[betweennessSampledOf]] and
+    * [[harmonicCentralityOf]] both read. [[khopReachOf]]'s loop shape:
+    * every frame is bounded by sources × item-vocabulary, per-level
+    * lazy checkpoints keep the plan flat. */
+  private def boundedBfs(events: DataFrame, sources: Int,
+                         depth: Int): (DataFrame, DataFrame) = {
+    require(sources >= 1, s"sources must be >= 1, got $sources")
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val und = undirectedEdges(events).localCheckpoint(false)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    val seeds = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("u")).limit(sources)
+      .select(col("u").as("s"))
+      .localCheckpoint(false)
+    var all = seeds.select(col("s"), col("s").as("item"),
+      lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint(false)
+    var frontier = all
+    for (d <- 1 to depth) {
+      val next = adj
+        .join(frontier.select(col("s"), col("item").as("u"),
+          col("sigma")), "u")
+        .groupBy(col("s"), col("v").as("item"))
+        .agg(sum("sigma").as("sigma"))
+        .join(all.select("s", "item"), Seq("s", "item"), "left_anti")
+        .select(col("s"), col("item"), lit(d).as("dist"), col("sigma"))
+        .localCheckpoint(false)
+      all = all.union(next).localCheckpoint(false)
+      frontier = next
+    }
+    (adj, all)
+  }
+
+  /** Depth-bounded sampled betweenness centrality (Brandes '01
+    * restricted to the K highest-degree sources and paths ≤ `depth`
+    * hops — the k-betweenness of Brandes-Pich '07 / Borgatti's
+    * bounded-horizon variant): which items sit ON the shortest routes
+    * between hubs and the rest of the graph — the brokers whose
+    * removal disconnects navigation, invisible to pure degree (a
+    * bridge node of degree 2 can carry every cross-cluster path).
+    * Exact within its bound: dependency accumulation
+    * δ(v) = Σ_{w child} (σ(v)/σ(w))·(1+δ(w)) runs level-by-level on
+    * the BFS DAG; per-edge terms quantize to the int64 nano grid by
+    * integer division (decimal(38,0) product first — σ·(10⁹+δq)
+    * crosses int64 on dense hub tiers), so every sum is order-free
+    * integer and the result is bit-equal in any engine/partitioning.
+    * δ(source) is never computed (betweenness excludes endpoints).
+    *
+    * Shape: fact → distinct edge frame once; the forward pass is
+    * `depth` bounded joins, the backward pass `depth−1` — all on
+    * sources × vocabulary frames with per-level checkpoints. The
+    * sampled-K + bounded-depth design is WHY this scales: exact
+    * betweenness is Θ(V·E) with a V-wide source loop — at any real
+    * vocabulary the K-source estimate (Brandes-Pich: hub sources
+    * cover the heavy routes first) is the production form, and K is
+    * the audit knob (double K, compare ranks). */
+  def betweennessSampledOf(events: DataFrame, sources: Int = 4,
+                           depth: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (adj, all) = boundedBfs(events, sources, depth)
+    val term = s"CAST((CAST(sigma AS $dec) * (1000000000 + dq_w))" +
+      s" div CAST(sigma_w AS $dec) AS BIGINT)"
+    var delta = all.filter(col("dist") === depth)
+      .select(col("s"), col("item"), lit(0L).as("dq"))
+      .localCheckpoint(false)
+    var acc = delta
+    for (d <- (depth - 1) to 1 by -1) {
+      val children = all.filter(col("dist") === d + 1)
+        .join(delta, Seq("s", "item"))
+        .select(col("s"), col("item").as("w"), col("sigma").as("sigma_w"),
+          col("dq").as("dq_w"))
+      val contribs = adj.select(col("u").as("item"), col("v").as("w"))
+        .join(children, Seq("w"))
+        .select(col("s"), col("item"), col("sigma_w"), col("dq_w"))
+      delta = all.filter(col("dist") === d)
+        .join(contribs, Seq("s", "item"), "left")
+        .groupBy("s", "item")
+        .agg(coalesce(sum(expr(term)), lit(0L)).as("dq"))
+        .localCheckpoint(false)
+      acc = acc.union(delta).localCheckpoint(false)
+    }
+    acc
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_sources_reaching"), sum("dq").as("bcq"))
+      .select(col("item"), col("n_sources_reaching"),
+        (floor(col("bcq").cast("double") / lit(1e5) + lit(0.5)) / lit(1e4))
+          .as("betweenness"))
+      .orderBy(col("betweenness").desc, col("item"))
+  }
+
+  def betweennessSampled(spark: SparkSession, dir: String): DataFrame =
+    betweennessSampledOf(Tables.events(spark, dir))
+
+  /** Sampled harmonic centrality (Marchiori-Latora '00 closeness made
+    * disconnection-proof; Eppstein-Wang '01 sampling): ĥ(v) =
+    * Σ_{s ∈ sample} 1/d(s,v) over the same K hub sources and depth
+    * bound as [[betweennessSampledOf]] — the "how quickly can the
+    * core REACH this item" rank beside betweenness' "does this item
+    * BROKER the core's routes". Per-term 1/d quantizes by integer
+    * division on the nano grid; sums are order-free integers;
+    * unreached items simply don't appear (harmonic's advantage over
+    * classic closeness, where one unreachable node zeroes the score).
+    *
+    * Shape: reads [[boundedBfs]]'s level frame — one bounded
+    * aggregate after the shared traversal, nothing else. */
+  def harmonicCentralityOf(events: DataFrame, sources: Int = 4,
+                           depth: Int = 4): DataFrame = {
+    val (_, all) = boundedBfs(events, sources, depth)
+    all.filter(col("dist") > 0)
+      .select(col("item"),
+        expr("1000000000 div CAST(dist AS BIGINT)").as("hq"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_sources_reaching"), sum("hq").as("hs"))
+      .select(col("item"), col("n_sources_reaching"),
+        (floor(col("hs").cast("double") / lit(1e5) + lit(0.5)) / lit(1e4))
+          .as("harmonic"))
+      .orderBy(col("harmonic").desc, col("item"))
+  }
+
+  def harmonicCentrality(spark: SparkSession, dir: String): DataFrame =
+    harmonicCentralityOf(Tables.events(spark, dir))
 }

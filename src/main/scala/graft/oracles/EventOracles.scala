@@ -1623,6 +1623,9 @@ private[graft] object EventOracles {
     "kcore" -> KcoreSql,
     "modularity" -> ModularitySql,
     "khop_reach" -> KhopReachSql,
+    "betweenness_sampled" -> BetweennessSampledSql,
+    "harmonic_centrality" -> HarmonicCentralitySql,
+    "markov_attribution" -> MarkovAttributionSql,
 
     // Gaps are exact integer micros from the same (us, event_id)
     // order as the Spark window; quantile_cont interpolates on exact

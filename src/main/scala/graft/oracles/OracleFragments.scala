@@ -426,6 +426,139 @@ private[graft] object OracleFragments {
       |SELECT u AS item, deg AS core_degree FROM d8 ORDER BY item""".stripMargin
   }
 
+  /** Shared 4-source depth-4 σ-carrying BFS over the undirected item
+    * graph (Brandes' forward pass) — the common prefix of
+    * [[BetweennessSampledSql]] and [[HarmonicCentralitySql]]. Level
+    * CTEs l1..l4 carry (s, item, sigma); r0..r4 the visited sets. */
+  private val SigmaBfsCtes: String = {
+    def lvl(k: Int): String =
+      s"""l$k AS (SELECT l.s, adj.v AS item, CAST(SUM(l.sigma) AS BIGINT) AS sigma
+        |  FROM adj JOIN l${k - 1} l ON adj.u = l.item
+        |  WHERE NOT EXISTS (SELECT 1 FROM r${k - 1} r
+        |                    WHERE r.s = l.s AND r.item = adj.v)
+        |  GROUP BY 1, 2),
+        |r$k AS (SELECT * FROM r${k - 1} UNION ALL SELECT s, item FROM l$k)""".stripMargin
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+      |         item AS dst
+      |  FROM base),
+      |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |      FROM tr WHERE src IS NOT NULL AND src <> dst),
+      |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      |seeds AS (SELECT u AS s FROM (
+      |    SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1)
+      |  ORDER BY deg DESC, u LIMIT 4),
+      |l0 AS (SELECT s, s AS item, CAST(1 AS BIGINT) AS sigma FROM seeds),
+      |r0 AS (SELECT s, item FROM l0),
+      |""".stripMargin + (1 to 4).map(lvl).mkString(",\n")
+  }
+
+  /** Sampled harmonic centrality: per-term 1/d by nano-grid integer
+    * division over the shared σ-BFS levels. */
+  val HarmonicCentralitySql: String =
+    SigmaBfsCtes + """
+      |, lv AS (SELECT s, item, 1 AS dist FROM l1
+      |  UNION ALL SELECT s, item, 2 FROM l2
+      |  UNION ALL SELECT s, item, 3 FROM l3
+      |  UNION ALL SELECT s, item, 4 FROM l4)
+      |SELECT item, CAST(COUNT(*) AS BIGINT) AS n_sources_reaching,
+      |  floor(CAST(SUM(1000000000 // CAST(dist AS BIGINT)) AS DOUBLE)
+      |    / 1e5 + 0.5) / 1e4 AS harmonic
+      |FROM lv GROUP BY item ORDER BY harmonic DESC, item""".stripMargin
+
+  /** Depth-bounded sampled Brandes: backward dependency accumulation
+    * d3←d4, d2←d3, d1←d2 with HUGEINT-product nano-grid terms —
+    * mirrors the Spark per-level loop exactly (same quantization,
+    * same parent-child joins). */
+  val BetweennessSampledSql: String = {
+    def back(k: Int): String =
+      s"""d$k AS (SELECT p.s, p.item,
+        |    COALESCE(CAST(SUM((CAST(p.sigma AS HUGEINT) * (1000000000 + cw.dq))
+        |      // CAST(cw.sigma AS HUGEINT)) AS BIGINT), 0) AS dq
+        |  FROM l$k p
+        |  LEFT JOIN adj ON adj.u = p.item
+        |  LEFT JOIN (SELECT c.s, c.item, c.sigma, d.dq
+        |             FROM l${k + 1} c JOIN d${k + 1} d
+        |               ON d.s = c.s AND d.item = c.item) cw
+        |    ON cw.s = p.s AND cw.item = adj.v
+        |  GROUP BY 1, 2)""".stripMargin
+    SigmaBfsCtes +
+      ",\nd4 AS (SELECT s, item, CAST(0 AS BIGINT) AS dq FROM l4),\n" +
+      Seq(3, 2, 1).map(back).mkString(",\n") + """
+      |, allq AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+      |  UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM d4)
+      |SELECT item, CAST(COUNT(*) AS BIGINT) AS n_sources_reaching,
+      |  floor(CAST(SUM(dq) AS DOUBLE) / 1e5 + 0.5) / 1e4 AS betweenness
+      |FROM allq GROUP BY item ORDER BY betweenness DESC, item""".stripMargin
+  }
+
+  /** Markov removal-effect attribution: journey truncation at the
+    * first purchase (tuple-ordered), knockout variants via a bounded
+    * CROSS JOIN, 12 unrolled absorption steps with HUGEINT
+    * Σ n·pq // n_from mass updates, ppm effects/shares — mirrors the
+    * Spark loop exactly. */
+  val MarkovAttributionSql: String = {
+    def it(k: Int): String =
+      s"""p$k AS (
+        |  SELECT tv.removed, tv."from" AS state,
+        |    CAST(SUM(CAST(tv.n AS HUGEINT) * p.pq)
+        |      // MAX(CAST(tv.n_from AS HUGEINT)) AS BIGINT) AS pq
+        |  FROM tv JOIN p${k - 1} p
+        |    ON p.removed = tv.removed AND p.state = tv."to"
+        |  GROUP BY 1, 2
+        |  UNION ALL SELECT removed, state, pq FROM absorbing)""".stripMargin
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |fp AS (SELECT user_id, us AS cus, event_id AS ceid,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      |  FROM e WHERE event_type = 'purchase'),
+      |cut AS (SELECT user_id, cus, ceid FROM fp WHERE rn = 1),
+      |kept AS (SELECT e.* FROM e LEFT JOIN cut c ON e.user_id = c.user_id
+      |  WHERE c.user_id IS NULL OR (e.us, e.event_id) <= (c.cus, c.ceid)),
+      |st AS (SELECT user_id, event_type, us, event_id,
+      |    lag(event_type) OVER w AS prev, lead(event_type) OVER w AS nxt
+      |  FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |tr0 AS (SELECT COALESCE(prev, 'START') AS "from", event_type AS "to" FROM st
+      |  UNION ALL SELECT event_type, 'NULL' FROM st
+      |    WHERE nxt IS NULL AND event_type <> 'purchase'),
+      |trans AS (SELECT "from", "to", CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tr0 GROUP BY 1, 2),
+      |variants AS (SELECT DISTINCT "from" AS removed FROM trans
+      |    WHERE "from" <> 'START'
+      |  UNION ALL SELECT '__none'),
+      |tv1 AS (SELECT v.removed, t."from",
+      |    CASE WHEN t."to" = v.removed THEN 'NULL' ELSE t."to" END AS "to",
+      |    CAST(SUM(t.n) AS BIGINT) AS n
+      |  FROM trans t CROSS JOIN variants v WHERE t."from" <> v.removed
+      |  GROUP BY 1, 2, 3),
+      |tv AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY removed, "from")
+      |    AS BIGINT) AS n_from FROM tv1),
+      |absorbing AS (SELECT removed, 'purchase' AS state,
+      |    CAST(1000000000 AS BIGINT) AS pq FROM variants
+      |  UNION ALL SELECT removed, 'NULL', CAST(0 AS BIGINT) FROM variants),
+      |p0 AS (SELECT DISTINCT removed, "from" AS state, CAST(0 AS BIGINT) AS pq
+      |    FROM tv
+      |  UNION ALL SELECT removed, state, pq FROM absorbing),
+      |""".stripMargin + (1 to 12).map(it).mkString(",\n") + """
+      |, ps AS (SELECT removed, pq FROM p12 WHERE state = 'START'),
+      |b AS (SELECT pq AS base_q FROM ps WHERE removed = '__none'),
+      |o AS (SELECT ps.removed AS channel,
+      |    base_q // 1000 AS conv_ppm_base,
+      |    ps.pq // 1000 AS conv_ppm_removed,
+      |    CAST(((base_q - ps.pq) * 1000000) // NULLIF(base_q, 0) AS BIGINT)
+      |      AS removal_effect_ppm
+      |  FROM ps, b WHERE ps.removed <> '__none'),
+      |t2 AS (SELECT CAST(SUM(removal_effect_ppm) AS BIGINT) AS re_total FROM o)
+      |SELECT channel, conv_ppm_base, conv_ppm_removed, removal_effect_ppm,
+      |  CAST((removal_effect_ppm * 1000000) // NULLIF(re_total, 0) AS BIGINT)
+      |    AS share_ppm
+      |FROM o, t2 ORDER BY channel""".stripMargin
+  }
+
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
   // through integer micros (floor then int64 SUM), single final
   // divisions, explicit rounding before ranking.

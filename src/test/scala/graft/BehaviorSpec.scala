@@ -264,6 +264,41 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(firstHalf.exists(_ > 0), s"top deciles carry the uplift: ${got.toSeq}")
   }
 
+  test("markov attribution: hand-run removal effects on a 4-journey chain") {
+    // u1: view→click→purchase, u2: view→purchase, u3: click→(null),
+    // u4: view→(null). Base absorption = 2/4 = 0.5 exactly.
+    // Remove view: only START→click survives → p = 0.125.
+    // Remove click: view loses its click hop → p = 0.25 (truncated
+    // integer mass 249999999 → 249999 ppm).
+    val ev = eventsDf(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:01:00"),
+      (1L, "purchase", "2024-01-01 10:02:00"),
+      (2L, "view", "2024-01-01 11:00:00"),
+      (2L, "purchase", "2024-01-01 11:01:00"),
+      (3L, "click", "2024-01-01 12:00:00"),
+      (4L, "view", "2024-01-01 13:00:00"))
+    val out = Behavior.markovAttributionOf(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set("view", "click"), s"$out")
+    assert(out("view") == ((500000L, 125000L, 750000L, 600000L)), s"$out")
+    assert(out("click") == ((500000L, 249999L, 500000L, 400000L)), s"$out")
+  }
+
+  test("markov attribution: journeys truncate at the FIRST purchase") {
+    // after the purchase u1 keeps browsing — those touches must not
+    // enter the chain (the classic attribution-window contract)
+    val ev = eventsDf(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "purchase", "2024-01-01 10:01:00"),
+      (1L, "error", "2024-01-01 10:02:00"),
+      (2L, "view", "2024-01-01 11:00:00"))
+    val out = Behavior.markovAttributionOf(ev).collect()
+    assert(out.map(_.getString(0)).toSet == Set("view"),
+      s"post-purchase error must not become a channel: ${out.toSeq}")
+  }
+
   test("stratified ate: a uniform planted effect reads 0.5 in every stratum and in the sum") {
     val users = (0L until 80L)
     val armOf = users.toDF("user_id")

@@ -289,4 +289,28 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(out(1) == ((3L, 3L, Some(1.0))), s"deg>1 club is the full clique: $out")
     assert(out(2) == ((1L, 0L, None)), "a 1-node club has no possible edge")
   }
+
+  test("betweenness on a path graph matches hand-run Brandes; endpoints broker nothing") {
+    // path 1-2-3-4-5; sources = top-4 by (deg desc, item): 2, 3, 4, 1.
+    // δ sums: bc(2) = 3+1+1 = 5, bc(3) = 2+2+2 = 6, bc(4) = 1+1+1 = 3.
+    val ev = stream(1L, 2L, 3L, 4L, 5L)
+    val out = Graph.betweennessSampledOf(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(2L) == ((3L, 5.0)), s"$out")
+    assert(out(3L) == ((3L, 6.0)), s"$out")
+    assert(out(4L) == ((3L, 3.0)), s"$out")
+    assert(out(1L)._2 == 0.0 && out(5L)._2 == 0.0,
+      s"path endpoints carry no shortest path: $out")
+  }
+
+  test("harmonic centrality on the path: center highest, nano-grid 1/d terms exact") {
+    val ev = stream(1L, 2L, 3L, 4L, 5L)
+    val out = Graph.harmonicCentralityOf(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // sources {1,2,3,4}: h(3) = 1/2 + 1 + 1 = 2.5 (its own source row
+    // excluded); h(5) = 1/4 + 1/3 + 1/2 + 1 = 2.0833 on the nano grid
+    assert(out(3L) == ((3L, 2.5)), s"$out")
+    assert(out(5L) == ((4L, 2.0833)), s"$out")
+    assert(out(1L) == ((3L, 1.8333)), s"$out")
+  }
 }

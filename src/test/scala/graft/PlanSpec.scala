@@ -1150,4 +1150,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         w.child.toString.contains("__bkt")),
       s"stratified_ate: user-scale rank rides __bkt:\n$sa")
   }
+
+  test("round-12 seventh tranche: centrality/attribution plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // betweenness/harmonic: every BFS/backward step is an EQUIJOIN on
+    // vocabulary-bounded checkpointed frames — no nested loop, no
+    // cartesian; the only window is undirectedEdges' per-user lag.
+    for ((name, df) <- Seq(
+      "betweenness_sampled" -> graft.operators.Graph.betweennessSampled(spark, Sf),
+      "harmonic_centrality" -> graft.operators.Graph.harmonicCentrality(spark, Sf))) {
+      val p = plan(df)
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty &&
+        p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"$name: equijoins only:\n$p")
+      assert(p.collect { case w: WindowExec => w }
+        .forall(_.partitionSpec.nonEmpty),
+        s"$name: no single-partition window:\n$p")
+    }
+    // markov_attribution: exactly the three deliberate bounded
+    // crossings — the (types+1)-row variant knockout expansion and
+    // the two 1-row base/total broadcasts; the absorption iteration
+    // itself is equijoins on constant-size frames.
+    val ma = plan(graft.operators.Behavior.markovAttribution(spark, Sf))
+    val crossings =
+      ma.collect { case j: CartesianProductExec => j }.length +
+        ma.collect { case j: BroadcastNestedLoopJoinExec => j }.length
+    assert(crossings <= 3,
+      s"markov_attribution: only the bounded variant/base/total crossings:\n$ma")
+  }
 }
