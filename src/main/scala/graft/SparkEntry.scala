@@ -320,6 +320,11 @@ object SparkEntry {
     "betweenness_sampled" -> (Graph.betweennessSampled(_, _)),
     "harmonic_centrality" -> (Graph.harmonicCentrality(_, _)),
     "markov_attribution" -> (Behavior.markovAttribution(_, _)),
+    // Round-12 eighth tranche: ordinal effect size, corpus knockout,
+    // time-decay attribution (rows 310-312)
+    "cliffs_delta"      -> (Robust.cliffsDelta(_, _)),
+    "source_ablation"   -> (CorpusStats.sourceAblation(_, _)),
+    "decay_attribution" -> (Behavior.decayAttribution(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

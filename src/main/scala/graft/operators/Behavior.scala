@@ -1643,6 +1643,71 @@ object Behavior {
       .orderBy("item")
   }
 
+  /** Time-decay multi-touch attribution — the third positional model
+    * completing the triple (row 33 last-touch crowns the closer, row
+    * 271 linear splits evenly, this one says RECENCY EARNS SHARE:
+    * each click in the window weighs 2^(windowDays − age_days), so a
+    * same-day touch outweighs a 2-day-old one 4:1 at the default
+    * 3-day window; [[markovAttributionOf]] is the counterfactual
+    * alternative). Same touch-window contract as
+    * [[linearAttributionOf]] — clicks strictly before the purchase,
+    * within windowDays; purchases with no touch land on item −1.
+    *
+    * Conservation is EXACT: integer micro shares qv·w div Σw with the
+    * remainder (< n_touches micros) distributed +1 by RECENCY rank —
+    * the decay model's tiebreak, where linear gives it to the
+    * earliest. Weights are powers of two by shiftleft (no doubles);
+    * shares sum to qv bit-exactly per purchase (spec-pinned).
+    *
+    * Shape: identical to row 271 — purchases ⋈ clicks on user_id
+    * (both sides pre-filtered map-side), per-purchase windows over
+    * the ≤ window-sized touch frame, one item aggregate. */
+  def decayAttributionOf(events: DataFrame, windowDays: Int = 3): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val wUs = windowDays.toLong * 86400L * 1000000L
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("tc"),
+        col("event_id").as("click_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tp"),
+        col("event_id").as("pid"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("qv"))
+    val byPurchase = Window.partitionBy("pid")
+    val touches = purchases.join(clicks, Seq("user_id"))
+      .filter(col("tc") < col("tp") && col("tc") >= col("tp") - wUs)
+      .withColumn("age", expr("(tp - tc) div 86400000000"))
+      .withColumn("w", expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST($windowDays - age AS INT))"))
+      .withColumn("tw", sum("w").over(byPurchase))
+      .withColumn("base", expr("(qv * w) div tw"))
+      .withColumn("rk", row_number().over(
+        byPurchase.orderBy(col("tc").desc, col("click_id"))))
+      .withColumn("rem", col("qv") - sum("base").over(byPurchase))
+      .withColumn("share",
+        col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+    val attributed = touches
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("pid")).as("n_purchases"),
+        sum("share").as("micros"))
+    val unattributed = purchases
+      .join(touches.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n_purchases"), sum("qv").as("micros"))
+      .select(lit(-1L).as("item"), lit(0L).as("n_touches"),
+        col("n_purchases"), coalesce(col("micros"), lit(0L)).as("micros"))
+    attributed.select(col("item"), col("n_touches"), col("n_purchases"),
+        col("micros"))
+      .unionByName(unattributed.filter(col("n_purchases") > 0))
+      .select(col("item"), col("n_touches"), col("n_purchases"),
+        graft.functions.TextF.microsTo4dp(col("micros")).as("attributed_usd"))
+      .orderBy("item")
+  }
+
+  def decayAttribution(spark: SparkSession, dir: String): DataFrame =
+    decayAttributionOf(Tables.events(spark, dir))
+
   def linearAttribution(spark: SparkSession, dir: String): DataFrame =
     linearAttributionOf(Tables.events(spark, dir))
 

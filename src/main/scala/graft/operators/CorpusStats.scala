@@ -543,6 +543,63 @@ object CorpusStats {
   def prAuc(spark: SparkSession, dir: String): DataFrame =
     prAucOf(Tables.documents(spark, dir))
 
+  /** Leave-one-source-out corpus ablation — the governance read
+    * behind every mixture decision (rows 90/159/173 decide HOW MUCH
+    * of each source; this says WHAT EACH SOURCE COSTS): for every
+    * source, the corpus-level mean quality, mean whitespace tokens,
+    * and English share WITHOUT it, plus the quality delta vs the
+    * full corpus — positive delta = removing the source RAISES
+    * corpus quality (the source is a drag), the same knockout logic
+    * as [[graft.operators.Behavior.markovAttributionOf]] applied to
+    * corpus composition. Pure algebra off per-source sums:
+    * loo = (global − own)/(N − n_s), no second scan.
+    *
+    * Exactness: quality rides its native 1e-4 grid as int64 (the
+    * score is round4HalfUp by construction, so floor(q·10⁴ + 0.5) is
+    * lossless), tokens/flags are counts; sums ride decimal(38,0)
+    * (10¹² docs × 10⁴ quality units crosses int64); each published
+    * mean divides once; en-share in exact ppm by integer division.
+    * Single-source corpora null their LOO columns via nullif.
+    *
+    * Shape: ONE document scan → per-source sums (vocabulary-bounded),
+    * a 1-row global broadcast, map-side algebra after. */
+  def sourceAblationOf(docs: DataFrame, posLang: String = "en"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perSource = docs
+      .select(col("source"),
+        floor(TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
+          * 1e4 + lit(0.5)).cast("long").as("qq"),
+        TextF.tokenCount(col("text")).cast("long").as("tok"),
+        when(col("lang") === posLang, 1L).otherwise(0L).as("en"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("qq").cast(dec)).as("q"),
+        sum(col("tok").cast(dec)).as("t"),
+        sum(col("en").cast(dec)).as("e"))
+    val global = perSource.agg(
+      sum("n").as("gn"), sum("q").as("gq"),
+      sum("t").as("gt"), sum("e").as("ge"))
+    def d(c: Column) = c.cast("double")
+    val r4 = TextF.round4HalfUp _
+    perSource.crossJoin(broadcast(global)) // 1 row by construction
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        r4(d(col("gq")) / d(col("gn")) / lit(1e4)).as("mean_quality_all"),
+        r4(d(col("gq") - col("q")) / d(nullif(col("gn") - col("n"),
+          lit(0).cast(dec))) / lit(1e4)).as("mean_quality_loo"),
+        TextF.round6HalfUp(
+          d(col("gq") - col("q")) / d(nullif(col("gn") - col("n"),
+            lit(0).cast(dec))) / lit(1e4) -
+          d(col("gq")) / d(col("gn")) / lit(1e4)).as("quality_delta"),
+        r4(d(col("gt") - col("t")) / d(nullif(col("gn") - col("n"),
+          lit(0).cast(dec)))).as("mean_tokens_loo"),
+        expr(s"CAST(((ge - e) * 1000000) div nullif(gn - n," +
+          s" CAST(0 AS $dec)) AS BIGINT)").as("en_share_loo_ppm"))
+      .orderBy("source")
+  }
+
+  def sourceAblation(spark: SparkSession, dir: String): DataFrame =
+    sourceAblationOf(Tables.documents(spark, dir))
+
   /** Calibration (reliability) curve for the quality score against
     * `lang == posLang`: equal-width score bins over [0, 1], each
     * reporting its doc count, mean score, and observed positive rate —

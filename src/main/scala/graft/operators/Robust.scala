@@ -739,6 +739,54 @@ object Robust {
   def mannWhitney(spark: SparkSession, dir: String): DataFrame =
     mannWhitneyOf(Tables.events(spark, dir))
 
+  /** Cliff's delta effect SIZE per event type — [[mannWhitneyOf]]
+    * answers "is the arm difference real?"; this answers "is it
+    * BIG?": δ = P(treat > ctrl) − P(ctrl > treat), the ordinal
+    * effect size that ignores distribution shape entirely (at 10⁹
+    * events a 0.1% shift is "significant" — δ says whether anyone
+    * should care). Derived from the same doubled U statistic on the
+    * same (type, value-grid, arm) frame: δ = (2U − n0·n1)/(n0·n1)
+    * with ties counted half by construction. Magnitude labels use
+    * Romano et al. '06's standard cutoffs (|δ| < 0.147 negligible,
+    * < 0.33 small, < 0.474 medium, else large), applied to the
+    * ROUNDED δ so the label is grid-stable cross-engine.
+    *
+    * Shape: identical to [[mannWhitneyOf]] — the (type, vq) grid
+    * aggregate absorbs fact mass map-side; windows ride the bounded
+    * value-grid frame. */
+  def cliffsDeltaOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cumW = Window.partitionBy("event_type").orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byType = Window.partitionBy("event_type")
+    events.select(col("event_type"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"),
+        Behavior.arm2(col("user_id")).as("arm"))
+      .groupBy("event_type", "vq")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("c1"))
+      .withColumn("below0", sum("c0").over(cumW) - col("c0"))
+      .withColumn("n0", sum("c0").over(byType))
+      .withColumn("n1", sum("c1").over(byType))
+      .filter(col("n0") > 0 && col("n1") > 0)
+      .groupBy("event_type", "n0", "n1")
+      .agg(sum(expr(s"CAST(c1 AS $dec) * (2 * below0 + c0)")).as("u2"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        TextF.round6HalfUp(expr(s"""
+          |CAST(u2 - CAST(n0 AS $dec) * n1 AS DOUBLE)
+          |  / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))""".stripMargin))
+          .as("delta"))
+      .withColumn("magnitude",
+        when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large"))
+      .orderBy("event_type")
+  }
+
+  def cliffsDelta(spark: SparkSession, dir: String): DataFrame =
+    cliffsDeltaOf(Tables.events(spark, dir))
+
   /** Trailing 7-day rolling correlation between the click and
     * purchase daily-count series — [[corrMatrixOf]]'s time-series
     * form, the "are these metrics still coupled" monitor (a decoupling

@@ -362,6 +362,34 @@ private[graft] object CorpusStatsOracles {
         |    / 1e6 AS pr_auc
         |FROM q GROUP BY source HAVING SUM(np) > 0 ORDER BY source""".stripMargin,
 
+    // Source ablation: per-source HUGEINT sums, 1-row global, LOO
+    // algebra with single divisions; quality lossless on its 1e-4 grid.
+    "source_ablation" ->
+      s"""WITH s AS (SELECT source,
+        |    CAST(floor(($QualitySqlExpr) * 1e4 + 0.5) AS BIGINT) AS qq,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(qq AS HUGEINT)) AS q, SUM(CAST(tok AS HUGEINT)) AS t,
+        |    SUM(CAST(en AS HUGEINT)) AS e
+        |  FROM s GROUP BY source),
+        |g AS (SELECT CAST(SUM(n) AS HUGEINT) AS gn, CAST(SUM(q) AS HUGEINT) AS gq,
+        |    CAST(SUM(t) AS HUGEINT) AS gt, CAST(SUM(e) AS HUGEINT) AS ge FROM ps)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  floor(CAST(gq AS DOUBLE) / CAST(gn AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4
+        |    AS mean_quality_all,
+        |  floor(CAST(gq - q AS DOUBLE) / CAST(NULLIF(gn - n, 0) AS DOUBLE) / 1e4
+        |    * 1e4 + 0.5) / 1e4 AS mean_quality_loo,
+        |  floor((CAST(gq - q AS DOUBLE) / CAST(NULLIF(gn - n, 0) AS DOUBLE) / 1e4
+        |    - CAST(gq AS DOUBLE) / CAST(gn AS DOUBLE) / 1e4) * 1e6 + 0.5) / 1e6
+        |    AS quality_delta,
+        |  floor(CAST(gt - t AS DOUBLE) / CAST(NULLIF(gn - n, 0) AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS mean_tokens_loo,
+        |  CAST(((ge - e) * 1000000) // NULLIF(gn - n, 0) AS BIGINT)
+        |    AS en_share_loo_ppm
+        |FROM ps, g ORDER BY source""".stripMargin,
+
     // Odds-form RSJ idf (no log), k1=1.2 b=0.75, len/avgdl expanded to
     // len·N/total; per-term weights quantize to 1e-6 ints before the
     // per-doc sum. Parenthesization mirrors the Spark expression.

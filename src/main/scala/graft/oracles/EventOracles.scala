@@ -611,6 +611,43 @@ private[graft] object EventOracles {
         |  floor(CAST(micros AS DOUBLE) / 100 + 0.5) / 1e4 AS attributed_usd
         |FROM r ORDER BY item""".stripMargin,
 
+    // Time-decay attribution: linear_attribution's touch window with
+    // 2^(3−age_days) shift weights, qv·w // Σw base shares, remainder
+    // +1 by RECENCY rank — conservation exact per purchase.
+    "decay_attribution" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS tc, event_id AS click_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS tp, event_id AS pid,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT p.pid, p.qv, p.tp, c.item, c.tc, c.click_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE c.tc < p.tp AND c.tc >= p.tp - 259200000000),
+        |s AS (SELECT *,
+        |    (CAST(1 AS BIGINT) << CAST(3 - (tp - tc) // 86400000000 AS INT)) AS w,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tc DESC, click_id) AS rk
+        |  FROM t),
+        |s2 AS (SELECT *, CAST(SUM(w) OVER (PARTITION BY pid) AS BIGINT) AS tw
+        |  FROM s),
+        |s3 AS (SELECT *, (qv * w) // tw AS base FROM s2),
+        |s4 AS (SELECT *, qv - CAST(SUM(base) OVER (PARTITION BY pid) AS BIGINT)
+        |    AS rem FROM s3),
+        |sh AS (SELECT item, pid,
+        |    base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS share FROM s4),
+        |a AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |    CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+        |    CAST(SUM(share) AS BIGINT) AS micros
+        |  FROM sh GROUP BY item),
+        |u AS (SELECT CAST(-1 AS BIGINT) AS item, CAST(0 AS BIGINT) AS n_touches,
+        |    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |    CAST(COALESCE(SUM(qv), 0) AS BIGINT) AS micros
+        |  FROM p WHERE pid NOT IN (SELECT pid FROM t)),
+        |r AS (SELECT * FROM a UNION ALL SELECT * FROM u WHERE n_purchases > 0)
+        |SELECT item, n_touches, n_purchases,
+        |  floor(CAST(micros AS DOUBLE) / 100 + 0.5) / 1e4 AS attributed_usd
+        |FROM r ORDER BY item""".stripMargin,
+
     // Classical additive decomposition: integer 7-day sums (NULL on
     // partial frames), weekday effect Σ(7x − s7)/(7n), residual
     // re-rounded ON the published 4-dp components.

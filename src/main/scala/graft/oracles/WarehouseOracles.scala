@@ -710,6 +710,40 @@ private[graft] object WarehouseOracles {
         |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.96 END AS significant
         |FROM r ORDER BY event_type""".stripMargin,
 
+    // Cliff's delta: mannwhitney's doubled-U grid, one division,
+    // Romano'06 magnitude cutoffs on the rounded delta.
+    "cliffs_delta" ->
+      """WITH e AS (SELECT event_type,
+        |        CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
+        |        CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) % 2 AS arm
+        |      FROM events),
+        |g AS (SELECT event_type, vq,
+        |        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM e GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |        CAST(SUM(c0) OVER (PARTITION BY event_type ORDER BY vq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c0
+        |          AS BIGINT) AS below0,
+        |        CAST(SUM(c0) OVER (PARTITION BY event_type) AS BIGINT) AS n0,
+        |        CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1
+        |      FROM g),
+        |m AS (SELECT event_type, n0, n1,
+        |        SUM(CAST(c1 AS HUGEINT) * (2 * below0 + c0)) AS u2
+        |      FROM w WHERE n0 > 0 AND n1 > 0 GROUP BY 1, 2, 3),
+        |r AS (SELECT event_type, n0, n1,
+        |    floor(CAST(u2 - CAST(n0 AS HUGEINT) * n1 AS DOUBLE)
+        |      / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |      AS delta
+        |  FROM m)
+        |SELECT event_type, n0, n1, delta,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |       WHEN abs(delta) < 0.33 THEN 'small'
+        |       WHEN abs(delta) < 0.474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM r ORDER BY event_type""".stripMargin,
+
     // Pearson moments on integer grids via HUGEINT sums (Spark side:
     // decimal(38,0)); the only floats are the final sqrt/divide.
     // Midranks on the distinct-value frames (2·mid = 2·below+cnt+1),

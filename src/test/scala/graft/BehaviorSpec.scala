@@ -773,6 +773,35 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(micros.sum == 1000L)
   }
 
+  test("decay attribution: recency earns share 8:4:2, remainder to the newest, totals preserved") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // $1.00 purchase; clicks at age 0/1/2 days weigh 8/4/2 (Σ=14):
+    // bases 571428/285714/142857 sum to 999999 — the 1-micro
+    // remainder goes to the NEWEST click (linear gives it to the
+    // oldest). Out-of-window click and clickless purchase as in the
+    // linear spec.
+    val ev = Seq(
+      (1L, 1L, "click", """{"k": 7}""", 0.0, t("2024-01-11 11:00:00")),
+      (2L, 1L, "click", """{"k": 8}""", 0.0, t("2024-01-10 11:00:00")),
+      (3L, 1L, "click", """{"k": 9}""", 0.0, t("2024-01-09 11:00:00")),
+      (4L, 1L, "click", """{"k": 5}""", 0.0, t("2024-01-01 11:00:00")),
+      (5L, 1L, "purchase", "{}", 1.0, t("2024-01-11 12:00:00")),
+      (6L, 2L, "purchase", "{}", 2.5, t("2024-01-11 12:00:00")))
+      .toDF("event_id", "user_id", "event_type", "props", "value", "ts")
+    val out = graft.operators.Behavior.decayAttributionOf(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set(-1L, 7L, 8L, 9L), s"got $out")
+    assert(out(7L) == ((1L, 1L, 0.5714)),
+      s"newest click: 571428 + the remainder micro: $out")
+    assert(out(8L) == ((1L, 1L, 0.2857)), s"$out")
+    assert(out(9L) == ((1L, 1L, 0.1429)), s"$out")
+    assert(out(-1L) == ((0L, 1L, 2.5)), "clickless purchase unattributed")
+    assert(571429L + 285714L + 142857L == 1000000L, "micro conservation")
+  }
+
   test("funnel by arm: each arm converts against its OWN base, lift in points") {
     import spark.implicits._
     def arm(u: Long): Long = {

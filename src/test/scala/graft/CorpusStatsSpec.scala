@@ -330,6 +330,29 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.isEmpty)
   }
 
+  test("source ablation: removing the drag source raises LOO quality; singleton corpus nulls") {
+    val good = Seq.fill(60)("word").mkString(" ") // ~0.95 quality
+    val bad = "x!x"                               // ~0.2883
+    val out = CorpusStats.sourceAblationOf(cardDocs(
+      (1L, "en", "s_good", good), (2L, "en", "s_good", good),
+      (3L, "de", "s_bad", bad), (4L, "de", "s_bad", bad))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // dropping the bad source leaves only good docs, so its LOO mean
+    // sits strictly above the global mean
+    assert(out("s_bad").getDouble(3) > out("s_bad").getDouble(2),
+      s"LOO of the drag source exceeds the global mean: $out")
+    assert(out("s_bad").getDouble(4) > 0, s"positive delta: $out")
+    assert(out("s_good").getDouble(4) < 0, s"good source's removal hurts: $out")
+    // en share: dropping s_bad leaves only en docs → 1e6 ppm
+    assert(out("s_bad").getLong(6) == 1000000L, s"$out")
+    assert(out("s_good").getLong(6) == 0L, s"$out")
+    // a single-source corpus has no leave-one-out frame → NULLs
+    val solo = CorpusStats.sourceAblationOf(cardDocs(
+      (1L, "en", "only", good))).collect().head
+    assert(solo.isNullAt(3) && solo.isNullAt(4) && solo.isNullAt(6),
+      s"singleton: $solo")
+  }
+
   test("pr_auc: perfect ranking reads 1, inverted ranking reads prevalence, no-pos drops") {
     val long = Seq.fill(60)("word").mkString(" ") // high quality score
     // positives strictly above every negative → every positive block

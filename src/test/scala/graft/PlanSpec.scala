@@ -1178,4 +1178,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(crossings <= 3,
       s"markov_attribution: only the bounded variant/base/total crossings:\n$ma")
   }
+
+  test("round-12 eighth tranche: effect-size/ablation/decay plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // cliffs_delta: join-free, every window on the (type, value-grid)
+    // frame is type-partitioned.
+    val cdp = plan(graft.operators.Robust.cliffsDelta(spark, Sf))
+    assert(cdp.collect { case j: CartesianProductExec => j }.isEmpty &&
+      cdp.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"cliffs_delta joins nothing:\n$cdp")
+    assert(cdp.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"cliffs_delta: no single-partition window:\n$cdp")
+    // source_ablation: one scan + the 1-row global broadcast; no
+    // windows at all.
+    val sab = plan(graft.operators.CorpusStats.sourceAblation(spark, Sf))
+    assert(sab.collect { case j: CartesianProductExec => j }.isEmpty &&
+      sab.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"source_ablation: only the 1-row global broadcast crosses:\n$sab")
+    assert(sab.collect { case w: WindowExec => w }.isEmpty,
+      s"source_ablation is window-free:\n$sab")
+    // decay_attribution: user-keyed equijoin, per-purchase windows.
+    val dat = plan(graft.operators.Behavior.decayAttribution(spark, Sf))
+    assert(dat.collect { case j: CartesianProductExec => j }.isEmpty &&
+      dat.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"decay_attribution: equijoin only:\n$dat")
+    assert(dat.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"decay_attribution: no single-partition window:\n$dat")
+  }
 }

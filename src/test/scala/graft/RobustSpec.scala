@@ -301,6 +301,30 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     assert(o2(("l_extendedprice", "l_discount")).isEmpty)
   }
 
+  test("cliffs delta: full separation reads ±1 large, pure ties read 0 negligible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def arm(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % 2
+    }
+    val users = (1L to 60L).toSeq
+    val a0 = users.filter(arm(_) == 0L).take(2)
+    val a1 = users.filter(arm(_) == 1L).take(2)
+    // treat strictly above control: every cross pair concordant → δ=1
+    val ev = (a0.map((_, 1.0)) ++ a1.map((_, 9.0)))
+      .toDF("user_id", "value").withColumn("event_type", lit("t"))
+    val Array(r) = graft.operators.Robust.cliffsDeltaOf(ev).collect()
+    assert(r.getDouble(3) == 1.0 && r.getString(4) == "large", s"$r")
+    // all tied: u2 = n0·n1 exactly → δ = 0, negligible
+    val tied = (a0 ++ a1).map((_, 5.0))
+      .toDF("user_id", "value").withColumn("event_type", lit("t"))
+    val Array(t) = graft.operators.Robust.cliffsDeltaOf(tied).collect()
+    assert(t.getDouble(3) == 0.0 && t.getString(4) == "negligible", s"$t")
+  }
+
   test("mann-whitney: hand-checked U on a 2-vs-1 split; all-tied reads auc 0.5 and NULL z") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
