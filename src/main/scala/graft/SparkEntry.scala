@@ -325,6 +325,10 @@ object SparkEntry {
     "cliffs_delta"      -> (Robust.cliffsDelta(_, _)),
     "source_ablation"   -> (CorpusStats.sourceAblation(_, _)),
     "decay_attribution" -> (Behavior.decayAttribution(_, _)),
+    // Round-12 ninth tranche: game-theoretic attribution + edge-grain
+    // cohesion (rows 313-314)
+    "shapley_attribution" -> (Behavior.shapleyAttribution(_, _)),
+    "ktruss"            -> (Graph.ktruss(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

@@ -397,6 +397,101 @@ object Behavior {
   def markovAttribution(spark: SparkSession, dir: String): DataFrame =
     markovAttributionOf(Tables.events(spark, dir))
 
+  /** Exact Shapley-value attribution (Shapley '53 via the simplified
+    * coalition game of Dalessandro '12 — the method behind Google's
+    * data-driven attribution; the FOURTH model closing the family:
+    * positional rows 33/271/312 assume a sharing rule, row 309 a
+    * Markov walk, Shapley derives shares from the cooperative-game
+    * axioms): the characteristic value v(S) = observed conversion
+    * rate of users whose touched-channel set is EXACTLY S (unobserved
+    * coalitions read 0 — the estimator's standard convention,
+    * documented), and φ_c = Σ_{S ∌ c} |S|!(n−1−|S|)!/n! ·
+    * (v(S∪c) − v(S)). The channel list is an EXPLICIT parameter (the
+    * row-75 pivot explicit-value-list contract) — the 2ⁿ coalition
+    * frame must be a compile-time-bounded constant, and n ≤ 8 is
+    * enforced.
+    *
+    * Arithmetic is INTEGER end to end: v in exact ppm by integral
+    * division, factorial weights pre-multiplied by n! (6/2/2/6 at
+    * n = 4), φ·n! summed as integers and divided once — bit-equal
+    * anywhere; φ can be negative (a channel whose presence predicts
+    * WORSE conversion) and the signed value is published, not
+    * clamped.
+    *
+    * Shape: [[markovAttributionOf]]'s one user-keyed journey pass
+    * (truncate at first purchase, bit_or the channel mask, max the
+    * conversion flag) → a 2ⁿ-row coalition frame; the Shapley sum is
+    * a (2ⁿ × n) bounded crossJoin + two bounded self-joins. */
+  def shapleyAttributionOf(events: DataFrame,
+      channels: Seq[String] = Seq("click", "error", "signup", "view"))
+      : DataFrame = {
+    require(channels.nonEmpty && channels.size <= 8,
+      s"channels must be 1..8 explicit values, got $channels")
+    require(channels.distinct == channels, s"duplicate channel: $channels")
+    val sp = events.sparkSession
+    import sp.implicits._
+    val n = channels.size
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val byU = Window.partitionBy("user_id")
+    val kept = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("pk", when(col("event_type") === "purchase",
+        struct(col("us"), col("event_id"))))
+      .withColumn("cut", min("pk").over(byU))
+      .filter(col("cut").isNull ||
+        struct(col("us"), col("event_id")) <= col("cut"))
+    val bit = channels.zipWithIndex.map { case (c, i) =>
+      when(col("event_type") === c, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _) // one event carries exactly one channel bit
+    val vTab = kept
+      .select(col("user_id"), bit.as("bit"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+      .groupBy("user_id")
+      .agg(expr("bit_or(bit)").as("mask"), max("conv").as("converted"))
+      .groupBy("mask")
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+    val v = sp.range(1L << n).select(col("id").as("mask"))
+      .join(vTab, Seq("mask"), "left")
+      .select(col("mask"),
+        coalesce(expr("CAST((n_conv * 1000000) div n_users AS BIGINT)"),
+          lit(0L)).as("v_ppm"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .localCheckpoint(false)
+    val chDf = channels.zipWithIndex
+      .map { case (c, i) => (c, 1L << i) }.toDF("channel", "bit")
+    val wCase = channels.indices.map { s =>
+      s"WHEN $s THEN ${fact(s) * fact(n - 1 - s)}"
+    }.mkString("CASE bit_count(smask) ", " ", " END")
+    val phi = v.select(col("mask").as("smask"), col("v_ppm").as("v_s"))
+      .crossJoin(chDf) // 2ⁿ × n bounded
+      .filter(expr("(smask & bit) = 0"))
+      .join(v.select(col("mask").as("umask"), col("v_ppm").as("v_su")),
+        expr("umask = (smask | bit)"))
+      .groupBy("channel", "bit")
+      .agg(sum(expr(s"($wCase) * (v_su - v_s)")).as("num"))
+      // sign-split: Spark's `div` truncates toward zero, DuckDB's `//`
+      // floors — negative φ would land one unit apart; divide the
+      // magnitude and re-sign so both engines agree bit-for-bit.
+      .select(col("channel"), col("bit"),
+        expr(s"CAST(CASE WHEN num >= 0 THEN num div ${fact(n)}" +
+          s" ELSE -((-num) div ${fact(n)}) END AS BIGINT)")
+          .as("shapley_ppm"))
+    val touched = v.crossJoin(chDf.select(col("channel").as("ch"),
+        col("bit").as("cbit")))
+      .filter(expr("(mask & cbit) != 0"))
+      .groupBy(col("ch").as("channel"))
+      .agg(sum("n_users").as("n_users_touched"))
+    phi.join(touched, Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("n_users_touched"), lit(0L)).as("n_users_touched"),
+        col("shapley_ppm"))
+      .orderBy("channel")
+  }
+
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame =
+    shapleyAttributionOf(Tables.events(spark, dir))
+
   /** χ² contingency table for event-type × time-of-week association
     * (the EDA pass behind "does behavior depend on the day"). The
     * time-of-week bucket is PURE ARITHMETIC — `pmod(days-since-epoch,

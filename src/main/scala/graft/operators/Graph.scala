@@ -850,4 +850,43 @@ object Graph {
 
   def harmonicCentrality(spark: SparkSession, dir: String): DataFrame =
     harmonicCentralityOf(Tables.events(spark, dir))
+
+  /** k-truss decomposition (Cohen '08) at fixed k: the maximal
+    * subgraph where every surviving EDGE closes ≥ k−2 triangles with
+    * surviving edges — [[kcoreOf]]'s edge-grained big sibling and the
+    * standard community NUCLEUS extraction (a k-core keeps hub-and-
+    * spoke hairballs; a truss keeps only edges embedded in mutual
+    * triangles, so it separates genuinely cohesive groups from
+    * traffic-hub artifacts). Synchronous peeling, `rounds` FIXED and
+    * oracle-unrolled ([[kcoreOf]]'s contract — peeling is monotone,
+    * extra rounds are identity; GraphSpec pins convergence-within-
+    * rounds on the test corpus). Output: surviving (a, b, support)
+    * with support recomputed within the final truss.
+    *
+    * Shape: fact → distinct edge frame once; each round is the
+    * triangle-support join (edges ⋈ adj ⋈ adj on the two endpoints,
+    * all vocabulary-bounded) + one filter, with per-round lazy
+    * checkpoints truncating lineage. */
+  def ktrussOf(events: DataFrame, k: Int = 4, rounds: Int = 8): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def support(edges: DataFrame): DataFrame = {
+      val adj = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      edges
+        .join(adj.select(col("u").as("a"), col("v").as("w1")), Seq("a"))
+        .join(adj.select(col("u").as("b"), col("v").as("w2")), Seq("b"))
+        .filter(col("w1") === col("w2"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    }
+    var edges = undirectedEdges(events).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      edges = support(edges).filter(col("support") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint(false)
+    }
+    support(edges).orderBy("a", "b")
+  }
+
+  def ktruss(spark: SparkSession, dir: String): DataFrame =
+    ktrussOf(Tables.events(spark, dir))
 }

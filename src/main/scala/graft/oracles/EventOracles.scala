@@ -1663,6 +1663,8 @@ private[graft] object EventOracles {
     "betweenness_sampled" -> BetweennessSampledSql,
     "harmonic_centrality" -> HarmonicCentralitySql,
     "markov_attribution" -> MarkovAttributionSql,
+    "shapley_attribution" -> ShapleyAttributionSql,
+    "ktruss" -> KtrussSql,
 
     // Gaps are exact integer micros from the same (us, event_id)
     // order as the Spark window; quantile_cont interpolates on exact

@@ -559,6 +559,98 @@ private[graft] object OracleFragments {
       |FROM o, t2 ORDER BY channel""".stripMargin
   }
 
+  /** k-truss at k=4, 8 unrolled peel rounds (the KcoreSql contract)
+    * + a final within-truss support pass. */
+  val KtrussSql: String = {
+    // AS MATERIALIZED is load-bearing: each round references the
+    // previous round's edges 5× (once directly, 2×2 via adj), so an
+    // inlined expansion is 5⁸ scans of the base — DuckDB must pin
+    // each round to one evaluation.
+    def step(k: Int): String =
+      s"""a$k AS MATERIALIZED (SELECT a AS u, b AS v FROM t${k - 1}
+        |  UNION ALL SELECT b, a FROM t${k - 1}),
+        |t$k AS MATERIALIZED (SELECT e.a, e.b FROM t${k - 1} e
+        |  JOIN a$k n1 ON n1.u = e.a
+        |  JOIN a$k n2 ON n2.u = e.b AND n2.v = n1.v
+        |  GROUP BY e.a, e.b HAVING COUNT(*) >= 2)""".stripMargin
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+      |         item AS dst
+      |  FROM base),
+      |t0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |      FROM tr WHERE src IS NOT NULL AND src <> dst),
+      |""".stripMargin + (1 to 8).map(step).mkString(",\n") + """
+      |, af AS (SELECT a AS u, b AS v FROM t8 UNION ALL SELECT b, a FROM t8)
+      |SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS support
+      |FROM t8 e
+      |JOIN af n1 ON n1.u = e.a
+      |JOIN af n2 ON n2.u = e.b AND n2.v = n1.v
+      |GROUP BY e.a, e.b ORDER BY a, b""".stripMargin
+  }
+
+  /** Exact Shapley attribution over the fixed 4-channel coalition
+    * game: journey truncation as in [[MarkovAttributionSql]], masks
+    * by bit_or, v(S) in exact ppm, factorial weights ×4! as integer
+    * literals, one division at the edge. */
+  val ShapleyAttributionSql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val n = channels.size
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val bitCase = channels.zipWithIndex.map { case (c, i) =>
+      s"WHEN event_type = '$c' THEN ${1L << i}"
+    }.mkString("CASE ", " ", " ELSE 0 END")
+    val chValues = channels.zipWithIndex.map { case (c, i) =>
+      s"('$c', ${1L << i})"
+    }.mkString(", ")
+    val wCase = channels.indices.map { s =>
+      s"WHEN $s THEN ${fact(s) * fact(n - 1 - s)}"
+    }.mkString("CASE bit_count(smask) ", " ", " END")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |fp AS (SELECT user_id, us AS cus, event_id AS ceid,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      |  FROM e WHERE event_type = 'purchase'),
+      |cut AS (SELECT user_id, cus, ceid FROM fp WHERE rn = 1),
+      |kept AS (SELECT e.* FROM e LEFT JOIN cut c ON e.user_id = c.user_id
+      |  WHERE c.user_id IS NULL OR (e.us, e.event_id) <= (c.cus, c.ceid)),
+      |u AS (SELECT user_id,
+      |    CAST(bit_or($bitCase) AS BIGINT) AS mask,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM kept GROUP BY user_id),
+      |vt AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(converted) AS BIGINT) AS n_conv
+      |  FROM u GROUP BY mask),
+      |v AS (SELECT m.range AS mask,
+      |    COALESCE(CAST((vt.n_conv * 1000000) // vt.n_users AS BIGINT), 0)
+      |      AS v_ppm,
+      |    COALESCE(vt.n_users, 0) AS n_users
+      |  FROM range(${1L << n}) m LEFT JOIN vt ON vt.mask = m.range),
+      |ch(channel, bit) AS (VALUES $chValues),
+      |phi AS (SELECT ch.channel, ch.bit,
+      |    CAST(CASE WHEN SUM(($wCase) * (vu.v_ppm - vs.v_ppm)) >= 0
+      |      THEN SUM(($wCase) * (vu.v_ppm - vs.v_ppm)) // ${fact(n)}
+      |      ELSE -((-SUM(($wCase) * (vu.v_ppm - vs.v_ppm))) // ${fact(n)})
+      |      END AS BIGINT) AS shapley_ppm
+      |  FROM (SELECT mask AS smask, v_ppm FROM v) vs
+      |  CROSS JOIN ch
+      |  JOIN (SELECT mask AS umask, v_ppm FROM v) vu
+      |    ON vu.umask = (vs.smask | ch.bit)
+      |  WHERE (vs.smask & ch.bit) = 0
+      |  GROUP BY 1, 2),
+      |tc AS (SELECT ch.channel, CAST(SUM(v.n_users) AS BIGINT)
+      |      AS n_users_touched
+      |  FROM v CROSS JOIN ch WHERE (v.mask & ch.bit) != 0
+      |  GROUP BY 1)
+      |SELECT phi.channel, COALESCE(tc.n_users_touched, 0) AS n_users_touched,
+      |  phi.shapley_ppm
+      |FROM phi LEFT JOIN tc ON tc.channel = phi.channel
+      |ORDER BY phi.channel""".stripMargin
+  }
+
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
   // through integer micros (floor then int64 SUM), single final
   // divisions, explicit rounding before ranking.

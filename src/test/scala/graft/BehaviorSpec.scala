@@ -264,6 +264,32 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(firstHalf.exists(_ > 0), s"top deciles carry the uplift: ${got.toSeq}")
   }
 
+  test("shapley attribution: hand-run 4-channel coalition game, synergy priced to the ppm") {
+    // v({view}) = 2/4, v({click}) = 0/4, v({view,click}) = 2/2 = 1.
+    // φ·24: view = 6·(v(8)−v(0)) + 2·(v(9)−v(1)) = 6·5e5 + 2·1e6 =
+    // 5e6 → 208333; click = 2·(v(9)−v(8)) = 1e6 → 41666; others 0.
+    def u(id: Long, types: (String, String)*) = types.map { case (t, ts) => (id, t, ts) }
+    val rows =
+      (1L to 4L).flatMap(i => u(100 + i, "view" -> s"2024-01-01 0$i:00:00")) ++
+      (1L to 2L).flatMap(i => u(100 + i, "purchase" -> s"2024-01-02 0$i:00:00")) ++
+      (1L to 4L).flatMap(i => u(200 + i, "click" -> s"2024-01-01 0$i:00:00")) ++
+      (1L to 2L).flatMap(i => u(300 + i,
+        "view" -> s"2024-01-01 0$i:00:00",
+        "click" -> s"2024-01-01 0$i:30:00",
+        "purchase" -> s"2024-01-02 0$i:00:00"))
+    val out = Behavior.shapleyAttributionOf(eventsDf(rows: _*)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("view") == ((6L, 208333L)), s"$out")
+    assert(out("click") == ((6L, 41666L)), s"$out")
+    // untouched channels still price NEGATIVE here: the v(S)=0
+    // convention for unobserved coalitions makes v(S∪error) − v(S)
+    // = −v(S) wherever S converts — the estimator's documented
+    // artifact (error: 6·0 + 2·(0−5e5) + 2·(0−1e6) = −3e6 → −125000),
+    // and exactly why the signed φ is published unclamped.
+    assert(out("error") == ((0L, -125000L)) &&
+      out("signup") == ((0L, -125000L)), s"$out")
+  }
+
   test("markov attribution: hand-run removal effects on a 4-journey chain") {
     // u1: view→click→purchase, u2: view→purchase, u3: click→(null),
     // u4: view→(null). Base absorption = 2/4 = 0.5 exactly.

@@ -303,6 +303,17 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       s"path endpoints carry no shortest path: $out")
   }
 
+  test("ktruss: a 4-clique survives at k=4 with support 2; the pendant edge peels") {
+    // transitions build K4 on {1,2,3,4} plus the pendant 4-5
+    val ev = stream(1L, 2L, 3L, 1L, 4L, 2L, 4L, 3L, 4L, 5L)
+    val out = Graph.ktrussOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)), s"$out")
+    assert(out.values.forall(_ == 2L),
+      s"every K4 edge closes exactly 2 surviving triangles: $out")
+  }
+
   test("harmonic centrality on the path: center highest, nano-grid 1/d terms exact") {
     val ev = stream(1L, 2L, 3L, 4L, 5L)
     val out = Graph.harmonicCentralityOf(ev).collect()

@@ -1207,4 +1207,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .forall(_.partitionSpec.nonEmpty),
       s"decay_attribution: no single-partition window:\n$dat")
   }
+
+  test("round-12 ninth tranche: shapley/ktruss plans bounded as designed") {
+    // shapley: the coalition math crosses only the n-row channel
+    // frame against the 2ⁿ-row v frame (twice: φ and touched); the
+    // v(S∪c) lookup is an EQUIJOIN on umask = smask|bit.
+    val sh = plan(graft.operators.Behavior.shapleyAttribution(spark, Sf))
+    val shCross =
+      sh.collect { case j: CartesianProductExec => j }.length +
+        sh.collect { case j: BroadcastNestedLoopJoinExec => j }.length
+    assert(shCross <= 3,
+      s"shapley: only the bounded channel-frame crossings:\n$sh")
+    // ktruss: every peel round is equijoins on the bounded edge
+    // frame; the only window is undirectedEdges' per-user lag.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val kt = plan(graft.operators.Graph.ktruss(spark, Sf))
+    assert(kt.collect { case j: CartesianProductExec => j }.isEmpty &&
+      kt.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"ktruss: equijoins only:\n$kt")
+    assert(kt.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"ktruss: no single-partition window:\n$kt")
+  }
 }
