@@ -887,6 +887,55 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("StreamingTwap: closed-day session-seconds equal the batch integral, midnight split exact") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // the concurrency fixture: a midnight-spanning session (user 1),
+    // overlaps, and a single-event (zero-length) session — the split
+    // and the zero-seconds row both matter
+    val events = Seq(
+      (1L, "2026-01-01 23:40:00"), (1L, "2026-01-01 23:55:00"),
+      (1L, "2026-01-02 00:10:00"),
+      (2L, "2026-01-01 10:00:00"), (2L, "2026-01-01 10:20:00"),
+      (3L, "2026-01-01 10:10:00"),
+      (2L, "2026-01-02 00:05:00"), (3L, "2026-01-02 00:05:00"),
+      (4L, "2026-01-02 09:00:00"))
+      .zipWithIndex.map { case ((u, s), i) => (i.toLong, u, t(s)) }
+      .toDF("event_id", "user_id", "ts")
+    val batch = graft.operators.EventAnalytics.twapConcurrencyOf(events)
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val sessions = graft.operators.EventAnalytics.sessionizeOf(events)
+      .select(col("user_id"), timestamp_micros(col("start_us")).as("start_ts"),
+        timestamp_micros(col("end_us")).as("end_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    val input = MemoryStream[(Long, Timestamp, Timestamp)]
+    val stream = input.toDF().toDF("user_id", "start_ts", "end_ts")
+    val query = graft.streaming.StreamingTwap.dayTwap(stream)
+      .writeStream.format("memory").queryName("twap_test")
+      .outputMode("append").start()
+    try {
+      input.addData(sessions.toIndexedSeq: _*)
+      query.processAllAvailable()
+      // far-future dummy closes both real days
+      input.addData((9L, t("2026-01-10 00:00:00"), t("2026-01-10 00:05:00")))
+      query.processAllAvailable()
+      val streamed = spark.table("twap_test").collect()
+        .map(r => r.getDate(0).toString ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(streamed.keySet == Set("2026-01-01", "2026-01-02"),
+        s"both real days close, the dummy day stays open: $streamed")
+      streamed.foreach { case (day, got) =>
+        assert(got == batch(day), s"$day: streamed $got vs batch ${batch(day)}")
+      }
+      // the midnight-spanning session contributes 5 min to day 1 and
+      // 10 min to day 2 — day 2's seconds include the carry piece
+      assert(streamed("2026-01-01")._1 == 3L &&
+        streamed("2026-01-02")._1 == 4L, s"$streamed")
+    } finally query.stop()
+  }
+
   test("StreamingConcurrency: µs-grain handoffs keep the exclusive-end order (no ms collapse)") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = Timestamp.valueOf(s)
