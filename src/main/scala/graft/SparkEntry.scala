@@ -329,6 +329,11 @@ object SparkEntry {
     // cohesion (rows 313-314)
     "shapley_attribution" -> (Behavior.shapleyAttribution(_, _)),
     "ktruss"            -> (Graph.ktruss(_, _)),
+    // Round-12 tenth tranche: DAU decomposition, CCNet partitioning,
+    // coordinated sampling (rows 316-318)
+    "growth_accounting" -> (Behavior.growthAccounting(_, _)),
+    "ccnet_buckets"     -> (CorpusStats.ccnetBuckets(_, _)),
+    "consistent_sample" -> (Warehouse.consistentSample(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

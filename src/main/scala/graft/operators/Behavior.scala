@@ -492,6 +492,66 @@ object Behavior {
   def shapleyAttribution(spark: SparkSession, dir: String): DataFrame =
     shapleyAttributionOf(Tables.events(spark, dir))
 
+  /** Daily growth accounting (the Social Capital DAU decomposition —
+    * the STRUCTURE behind a flat DAU line that rows 74/280/293 each
+    * read one slice of): every active user-day is exactly one of
+    * new (first day ever), retained (active yesterday too), or
+    * resurrected (back after a gap), and churned(t) counts
+    * yesterday's actives who didn't return — so
+    * DAU(t) = new + retained + resurrected and the quick ratio
+    * (new + resurrected)/churned says whether growth outruns leak.
+    * Identities are structural, not rounded: the spec pins
+    * DAU(t) = DAU(t−1) + new + resurrected − churned on consecutive
+    * days.
+    *
+    * Shape: ONE (user, day) dedup shuffle; the lag/lead
+    * classification rides the per-user window; day frames join
+    * full-outer (a zero-DAU day can still owe churn) with the 1-row
+    * max-day broadcast fencing the phantom churn row past the
+    * corpus edge. quick_ratio nulls on churn-free days. */
+  def growthAccountingOf(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val flagged = ud
+      .withColumn("prev", lag("day", 1).over(w))
+      .withColumn("nxt", lead("day", 1).over(w))
+      .localCheckpoint(false) // two consumers: classes + churn
+    val maxDay = ud.agg(max("day").as("max_day"))
+    val classes = flagged
+      .select(col("day"),
+        when(col("prev").isNull, "new")
+          .when(col("prev") === date_sub(col("day"), 1), "retained")
+          .otherwise("resurrected").as("cls"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("resurrected"))
+    val churn = flagged
+      .filter(col("nxt").isNull || col("nxt") =!= date_add(col("day"), 1))
+      .select(date_add(col("day"), 1).as("day"))
+      .crossJoin(broadcast(maxDay)) // 1 row by construction
+      .filter(col("day") <= col("max_day"))
+      .groupBy("day").agg(count(lit(1)).as("churned"))
+    val r4 = graft.functions.TextF.round4HalfUp _
+    classes.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        coalesce(col("resurrected"), lit(0L)).as("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"))
+      .withColumn("quick_ratio",
+        r4((col("new_users") + col("resurrected")).cast("double") /
+          nullif(col("churned").cast("double"), lit(0.0))))
+      .orderBy("day")
+  }
+
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame =
+    growthAccountingOf(Tables.events(spark, dir))
+
   /** χ² contingency table for event-type × time-of-week association
     * (the EDA pass behind "does behavior depend on the day"). The
     * time-of-week bucket is PURE ARITHMETIC — `pmod(days-since-epoch,

@@ -600,6 +600,66 @@ object CorpusStats {
   def sourceAblation(spark: SparkSession, dir: String): DataFrame =
     sourceAblationOf(Tables.documents(spark, dir))
 
+  /** CCNet head/middle/tail partitioning (Wenzek '19 §4.3 — the step
+    * between row 106's fluency score and a training mix: per
+    * language, split the corpus into LM-score terciles and ship the
+    * head first): per-language tercile cutpoints by NEAREST-RANK on
+    * the (lang, score) GRID — the score is row 106's 4-dp ppm ratio,
+    * so the grid is score-vocabulary-bounded and the cumulative
+    * window never holds a language's documents in one task (the
+    * contentRanked lesson applied up front; `percentile()` over a
+    * lang partition would). Higher score = more typical of the
+    * corpus = head (the orientation mirror of CCNet's
+    * lower-perplexity-is-better). Rank boundaries r = ⌈total/3⌉,
+    * ⌈2·total/3⌉ in exact integers; every bucket stat (docs, tokens,
+    * mean score) aggregates off the same bounded grid.
+    *
+    * Shape: row 106's model pass (one gram shuffle) → per-doc
+    * scores; one (lang, score)-grid aggregate absorbs the doc frame;
+    * cutpoints, assignment, and bucket stats all ride the grid. */
+  def ccnetBucketsOf(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val scored = lmQualityOf(docs)
+      .join(docs.select(col("doc_id"), col("lang"),
+        TextF.tokenCount(col("text")).cast("long").as("tok")), "doc_id")
+    val grid = scored
+      .select(col("lang"),
+        floor(col("score_ppm") * 1e4 + lit(0.5)).cast("long").as("sq"),
+        col("tok"))
+      .groupBy("lang", "sq")
+      .agg(count(lit(1)).as("c"), sum(col("tok").cast(dec)).as("tokc"))
+      .localCheckpoint(false) // bounded by the 4-dp score vocabulary
+    val byLang = Window.partitionBy("lang")
+    val cum = byLang.orderBy("sq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = grid
+      .withColumn("cumc", sum("c").over(cum))
+      .withColumn("total", sum("c").over(byLang))
+      .groupBy("lang")
+      .agg(
+        min(when(col("cumc") >= expr("(total + 2) div 3"), col("sq")))
+          .as("cut1"),
+        min(when(col("cumc") >= expr("(2 * total + 2) div 3"), col("sq")))
+          .as("cut2"))
+    grid.join(cuts, Seq("lang")) // grid ⋈ langs, both bounded
+      .withColumn("bucket",
+        when(col("sq") <= col("cut1"), "tail")
+          .when(col("sq") <= col("cut2"), "middle")
+          .otherwise("head"))
+      .groupBy("lang", "bucket")
+      .agg(sum("c").as("n_docs"),
+        sum("tokc").cast(dec).as("tokens"),
+        sum(expr(s"CAST(sq AS $dec) * c")).as("sqs"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        col("tokens").cast("long").as("tokens"),
+        (floor(col("sqs").cast("double") / col("n_docs").cast("double")
+          + lit(0.5)) / lit(1e4)).as("mean_score"))
+      .orderBy("lang", "bucket")
+  }
+
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsOf(Tables.documents(spark, dir))
+
   /** Calibration (reliability) curve for the quality score against
     * `lang == posLang`: equal-width score bins over [0, 1], each
     * reporting its doc count, mean score, and observed positive rate —

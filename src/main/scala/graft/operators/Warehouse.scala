@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -773,4 +773,56 @@ object Warehouse {
   def supplierHhi(spark: SparkSession, dir: String): DataFrame =
     supplierHhiOf(Tables.lineitem(spark, dir), Tables.supplier(spark, dir),
       Tables.nation(spark, dir))
+
+  /** Coordinated (consistent-hash) dev-slice sampling across the
+    * customer→orders→lineitem star — the "carve a referentially-
+    * INTACT 5% of the warehouse" op behind every staging environment
+    * and data clean room (a per-table Bernoulli sample breaks every
+    * FK: a kept order's customer is missing with p = 95%): tables
+    * sharing the entity KEY sample map-side with the SAME md5
+    * predicate (customers and orders agree on custkey with NO join —
+    * the whole point of coordinated sampling), key-DERIVED tables
+    * (lineitem carries only orderkey) follow through one semi-join.
+    * Output: per-table totals, kept counts, exact-ppm kept share,
+    * and the fk_orphans column the audit exists for — 0 by
+    * construction for both derived tables, and the spec breaks it on
+    * purpose with an uncoordinated control sample.
+    *
+    * Shape: two map-side filters + one orderkey semi-join; the audit
+    * counts are 1-row aggregates unioned into the 3-row report. */
+  def consistentSampleOf(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, pct: Int = 5): DataFrame = {
+    require(pct >= 1 && pct <= 99, s"pct must be 1..99, got $pct")
+    def keep(id: Column): Column =
+      pmod(conv(substring(md5(concat(lit("smp:"), id.cast("string"))),
+        1, 8), 16, 10).cast("long"), lit(100L)) < pct
+    val cKept = customer.filter(keep(col("c_custkey"))).localCheckpoint(false)
+    val oKept = orders.filter(keep(col("o_custkey"))).localCheckpoint(false)
+    val lKept = lineitem.join(
+      oKept.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_semi")
+    def row(name: String, total: DataFrame, kept: DataFrame,
+            orphans: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("total_rows"))
+        .crossJoin(broadcast(kept.agg(count(lit(1)).as("kept_rows"))))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("fk_orphans"))))
+        .select(lit(name).as("table"), col("total_rows"), col("kept_rows"),
+          expr("CAST((kept_rows * 1000000) div nullif(total_rows, 0)" +
+            " AS BIGINT)").as("kept_ppm"),
+          col("fk_orphans"))
+    val oOrphans = oKept.join(
+      cKept.select(col("c_custkey").as("o_custkey")),
+      Seq("o_custkey"), "left_anti")
+    val lOrphans = lKept.join(
+      oKept.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_anti")
+    row("customer", customer, cKept, cKept.limit(0))
+      .unionByName(row("orders", orders, oKept, oOrphans))
+      .unionByName(row("lineitem", lineitem, lKept, lOrphans))
+      .orderBy("table")
+  }
+
+  def consistentSample(spark: SparkSession, dir: String): DataFrame =
+    consistentSampleOf(Tables.customer(spark, dir),
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir))
 }

@@ -116,6 +116,56 @@ private[graft] object CorpusStatsOracles {
         |    * 1e4 + 0.5) / 1e4 AS score_ppm
         |FROM per, tot ORDER BY doc_id""".stripMargin,
 
+    // CCNet buckets: lm_quality's model CTEs verbatim, nearest-rank
+    // tercile cutpoints on the (lang, score-grid) cumulative frame,
+    // all bucket stats off the grid.
+    "ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 2),
+        |                          i -> substr(t, i, 3))) AS g
+        |  FROM t),
+        |model AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY g),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_grams FROM model),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(m.cnt) AS BIGINT) AS sum_cnt
+        |  FROM g JOIN model m USING (g) GROUP BY doc_id),
+        |sc AS (SELECT doc_id,
+        |    floor(CAST(sum_cnt AS DOUBLE) * 1e6
+        |      / (CAST(n_grams AS DOUBLE) * CAST(total_grams AS DOUBLE))
+        |      * 1e4 + 0.5) / 1e4 AS score_ppm
+        |  FROM per, tot),
+        |dj AS (SELECT s.doc_id, d.lang,
+        |    CAST(floor(s.score_ppm * 1e4 + 0.5) AS BIGINT) AS sq,
+        |    CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT)
+        |      AS tok
+        |  FROM sc s JOIN documents d ON d.doc_id = s.doc_id),
+        |grid AS (SELECT lang, sq, CAST(COUNT(*) AS BIGINT) AS c,
+        |    SUM(CAST(tok AS HUGEINT)) AS tokc
+        |  FROM dj GROUP BY 1, 2),
+        |w2 AS (SELECT *,
+        |    CAST(SUM(c) OVER (PARTITION BY lang ORDER BY sq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumc,
+        |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |  FROM grid),
+        |cuts AS (SELECT lang,
+        |    MIN(CASE WHEN cumc >= (total + 2) // 3 THEN sq END) AS cut1,
+        |    MIN(CASE WHEN cumc >= (2 * total + 2) // 3 THEN sq END) AS cut2
+        |  FROM w2 GROUP BY lang),
+        |b AS (SELECT g2.lang,
+        |    CASE WHEN g2.sq <= cuts.cut1 THEN 'tail'
+        |         WHEN g2.sq <= cuts.cut2 THEN 'middle'
+        |         ELSE 'head' END AS bucket,
+        |    g2.c, g2.tokc, CAST(g2.sq AS HUGEINT) * g2.c AS sqs
+        |  FROM grid g2 JOIN cuts ON g2.lang = cuts.lang)
+        |SELECT lang, bucket, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tokc) AS BIGINT) AS tokens,
+        |  floor(CAST(SUM(sqs) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) + 0.5) / 1e4
+        |    AS mean_score
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
     // The vocabulary subquery is vocab_df's oracle verbatim (same
     // ordering and LIMIT), so the coverage metric and the vocabulary
     // builder can never drift apart.

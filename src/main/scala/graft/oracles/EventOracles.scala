@@ -611,6 +611,38 @@ private[graft] object EventOracles {
         |  floor(CAST(micros AS DOUBLE) / 100 + 0.5) / 1e4 AS attributed_usd
         |FROM r ORDER BY item""".stripMargin,
 
+    // Growth accounting: one (user, day) dedup, per-user lag/lead
+    // classification, full-outer day join, max-day churn fence.
+    "growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, day,
+        |    lag(day) OVER w AS prev, lead(day) OVER w AS nxt
+        |  FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |md AS (SELECT MAX(day) AS max_day FROM ud),
+        |c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+        |    CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS new_users,
+        |    CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS retained,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> day - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        |  FROM f GROUP BY day),
+        |ch AS (SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS churned
+        |  FROM f, md WHERE (nxt IS NULL OR nxt <> day + 1)
+        |    AND day + 1 <= max_day
+        |  GROUP BY 1),
+        |j AS (SELECT COALESCE(c.day, ch.day) AS day,
+        |    COALESCE(dau, 0) AS dau, COALESCE(new_users, 0) AS new_users,
+        |    COALESCE(retained, 0) AS retained,
+        |    COALESCE(resurrected, 0) AS resurrected,
+        |    COALESCE(churned, 0) AS churned
+        |  FROM c FULL OUTER JOIN ch ON c.day = ch.day)
+        |SELECT *, floor(CAST(new_users + resurrected AS DOUBLE)
+        |    / NULLIF(CAST(churned AS DOUBLE), 0.0) * 1e4 + 0.5) / 1e4
+        |  AS quick_ratio
+        |FROM j ORDER BY day""".stripMargin,
+
     // Time-decay attribution: linear_attribution's touch window with
     // 2^(3−age_days) shift weights, qv·w // Σw base shares, remainder
     // +1 by RECENCY rank — conservation exact per purchase.

@@ -710,6 +710,37 @@ private[graft] object WarehouseOracles {
         |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.96 END AS significant
         |FROM r ORDER BY event_type""".stripMargin,
 
+    // Coordinated sampling: the same md5 predicate on both key-
+    // coherent tables, an IN-list for the key-derived one, exact
+    // ppm shares, orphan audits.
+    "consistent_sample" ->
+      """WITH ck AS (SELECT * FROM customer
+        |  WHERE CAST(('0x' || substring(md5('smp:' || CAST(c_custkey AS VARCHAR)),
+        |    1, 8)) AS BIGINT) % 100 < 5),
+        |ok AS (SELECT * FROM orders
+        |  WHERE CAST(('0x' || substring(md5('smp:' || CAST(o_custkey AS VARCHAR)),
+        |    1, 8)) AS BIGINT) % 100 < 5),
+        |lk AS (SELECT * FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM ok)),
+        |r AS (
+        |  SELECT 'customer' AS "table",
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS total_rows,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ck) AS kept_rows,
+        |    CAST(0 AS BIGINT) AS fk_orphans
+        |  UNION ALL SELECT 'orders',
+        |    (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM ok),
+        |    (SELECT COUNT(*) FROM ok
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM ck))
+        |  UNION ALL SELECT 'lineitem',
+        |    (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM lk),
+        |    (SELECT COUNT(*) FROM lk
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ok)))
+        |SELECT "table", total_rows, kept_rows,
+        |  CAST((kept_rows * 1000000) // NULLIF(total_rows, 0) AS BIGINT)
+        |    AS kept_ppm,
+        |  fk_orphans
+        |FROM r ORDER BY "table"""".stripMargin,
+
     // Cliff's delta: mannwhitney's doubled-U grid, one division,
     // Romano'06 magnitude cutoffs on the rounded delta.
     "cliffs_delta" ->

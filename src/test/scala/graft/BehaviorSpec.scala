@@ -264,6 +264,35 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(firstHalf.exists(_ > 0), s"top deciles carry the uplift: ${got.toSeq}")
   }
 
+  test("growth accounting: classes partition DAU and the flow identity holds day over day") {
+    // u1 active days 1, 2, 4: new → retained → (churns d3) →
+    // resurrected → (churn d5 falls past the corpus edge, dropped);
+    // u2 active day 2 only: new, churns d3.
+    val ev = eventsDf(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-02 10:00:00"),
+      (1L, "view", "2024-01-04 10:00:00"),
+      (2L, "view", "2024-01-02 09:00:00"))
+    val out = Behavior.growthAccountingOf(ev).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out("2024-01-01") == ((1L, 1L, 0L, 0L, 0L)), s"$out")
+    assert(out("2024-01-02") == ((2L, 1L, 1L, 0L, 0L)), s"$out")
+    assert(out("2024-01-03") == ((0L, 0L, 0L, 0L, 2L)),
+      s"a zero-DAU day still owes its churn: $out")
+    assert(out("2024-01-04") == ((1L, 0L, 0L, 1L, 0L)), s"$out")
+    assert(!out.contains("2024-01-05"), "churn past the corpus edge drops")
+    // the flow identity on every consecutive pair:
+    // DAU(t) = DAU(t−1) + new(t) + resurrected(t) − churned(t)
+    val days = out.keys.toSeq.sorted
+    days.sliding(2).foreach { case Seq(a, b) =>
+      val (dau0, _, _, _, _) = out(a)
+      val (dau1, nw, _, res, ch) = out(b)
+      assert(dau1 == dau0 + nw + res - ch, s"identity broken $a→$b: $out")
+    }
+  }
+
   test("shapley attribution: hand-run 4-channel coalition game, synergy priced to the ppm") {
     // v({view}) = 2/4, v({click}) = 0/4, v({view,click}) = 2/2 = 1.
     // φ·24: view = 6·(v(8)−v(0)) + 2·(v(9)−v(1)) = 6·5e5 + 2·1e6 =

@@ -330,6 +330,50 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.isEmpty)
   }
 
+  test("ccnet buckets: nearest-rank terciles partition the corpus; head means top the tail") {
+    // six docs per lang with spread trigram typicality; the expected
+    // frame is recomputed from the operator's OWN per-doc scores with
+    // the same nearest-rank rule (draw-equivalence, not a second
+    // opinion on the LM model itself)
+    val docs = cardDocs(
+      (1L, "en", "s0", "the cat sat on the mat and the cat sat again"),
+      (2L, "en", "s0", "the cat sat on a mat"),
+      (3L, "en", "s0", "a dog ran far away from home"),
+      (4L, "en", "s0", "zq xv jk wp"),
+      (5L, "en", "s0", "the the the the the"),
+      (6L, "en", "s0", "cats sit mats fit"))
+    val perDoc = CorpusStats.lmQualityOf(docs).collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(2) * 1e4 + 0.5).toLong)
+      .toMap
+    val toks = Map(1L -> 11L, 2L -> 6L, 3L -> 7L, 4L -> 4L, 5L -> 5L,
+      6L -> 4L)
+    val sorted = perDoc.values.toSeq.sorted
+    val total = sorted.size
+    def cutAt(r: Long) = {
+      val grid = sorted.distinct
+      grid.find(s => sorted.count(_ <= s) >= r).get
+    }
+    val (c1, c2) = (cutAt((total + 2) / 3), cutAt((2 * total + 2) / 3))
+    val expected = perDoc.toSeq
+      .map { case (id, sq) =>
+        val b = if (sq <= c1) "tail" else if (sq <= c2) "middle" else "head"
+        (b, id, sq)
+      }
+      .groupBy(_._1)
+      .map { case (b, rows) =>
+        b -> (rows.size.toLong, rows.map(r => toks(r._2)).sum,
+          math.floor(rows.map(_._3).sum.toDouble / rows.size + 0.5) / 1e4)
+      }
+    val out = CorpusStats.ccnetBucketsOf(docs).collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out == expected, s"got $out want $expected")
+    assert(out.values.map(_._1).sum == 6L, "buckets partition the corpus")
+    for {
+      h <- out.get("head"); t <- out.get("tail")
+    } assert(h._3 > t._3, s"head mean above tail: $out")
+  }
+
   test("source ablation: removing the drag source raises LOO quality; singleton corpus nulls") {
     val good = Seq.fill(60)("word").mkString(" ") // ~0.95 quality
     val bad = "x!x"                               // ~0.2883

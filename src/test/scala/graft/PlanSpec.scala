@@ -1229,4 +1229,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .forall(_.partitionSpec.nonEmpty),
       s"ktruss: no single-partition window:\n$kt")
   }
+
+  test("round-12 tenth tranche: growth/ccnet/sampling plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // growth_accounting: one user-keyed dedup + lag/lead window;
+    // only the 1-row max-day broadcast crosses.
+    val ga = plan(graft.operators.Behavior.growthAccounting(spark, Sf))
+    assert(ga.collect { case j: CartesianProductExec => j }.isEmpty &&
+      ga.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"growth_accounting: only the max-day broadcast crosses:\n$ga")
+    assert(ga.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"growth_accounting: no single-partition window:\n$ga")
+    // ccnet_buckets: lm_quality's 1-row totals broadcast is the only
+    // crossing; the cumulative windows ride the lang-partitioned
+    // score GRID, never a document frame.
+    val cb = plan(graft.operators.CorpusStats.ccnetBuckets(spark, Sf))
+    assert(cb.collect { case j: CartesianProductExec => j }.isEmpty &&
+      cb.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"ccnet_buckets: only the grams-total broadcast crosses:\n$cb")
+    assert(cb.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"ccnet_buckets: no single-partition window:\n$cb")
+    // consistent_sample: two map-side filters, one semi-join, six
+    // 1-row count broadcasts assembling the 3-row report.
+    val cs = plan(graft.operators.Warehouse.consistentSample(spark, Sf))
+    assert(cs.collect { case j: CartesianProductExec => j }.isEmpty &&
+      cs.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 6,
+      s"consistent_sample: only 1-row count broadcasts cross:\n$cs")
+  }
 }

@@ -388,4 +388,41 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(got(("SEG_B", 2)) == ((4L, 3L, 2L, 500000L, false)),
       s"diverse: ${got(("SEG_B", 2))}")
   }
+
+  test("consistent sample: coordinated FKs stay intact; an uncoordinated control breaks them") {
+    val customer = (1L to 300L).map(i => (i, s"c$i")).toDF("c_custkey", "c_name")
+    val orders = (1L to 600L).map(o => (o, (o % 300L) + 1L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 1200L).map(l => (l, (l % 600L) + 1L))
+      .toDF("l_lineno", "l_orderkey")
+    val out = Warehouse.consistentSampleOf(customer, orders, lineitem)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set("customer", "orders", "lineitem"))
+    assert(out("customer")._1 == 300L && out("orders")._1 == 600L &&
+      out("lineitem")._1 == 1200L)
+    assert(out.values.forall(_._2 > 0), s"all tables keep rows: $out")
+    // the audit column the op exists for: zero orphans everywhere
+    assert(out.values.forall(_._4 == 0L), s"coordinated FKs intact: $out")
+    // kept_ppm is the exact integer share
+    out.values.foreach { case (total, kept, ppm, _) =>
+      assert(ppm == kept * 1000000L / total, s"$out")
+    }
+    // control: sample orders with a DIFFERENT salt — kept orders'
+    // customers are now an unrelated 5%, so orphans appear (the
+    // failure mode coordinated sampling prevents)
+    val cKept = customer.filter(
+      pmod(conv(substring(md5(concat(lit("smp:"),
+        col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(100L)) < 5)
+    val oUncoord = orders.filter(
+      pmod(conv(substring(md5(concat(lit("other:"),
+        col("o_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(100L)) < 5)
+    val orphans = oUncoord.join(
+      cKept.select(col("c_custkey").as("o_custkey")),
+      Seq("o_custkey"), "left_anti").count()
+    assert(orphans > 0, "an uncoordinated sample must orphan orders")
+  }
 }
