@@ -334,6 +334,11 @@ object SparkEntry {
     "growth_accounting" -> (Behavior.growthAccounting(_, _)),
     "ccnet_buckets"     -> (CorpusStats.ccnetBuckets(_, _)),
     "consistent_sample" -> (Warehouse.consistentSample(_, _)),
+    // Round-12 eleventh tranche: revenue-change decomposition, IVF
+    // audits (rows 319-321)
+    "price_volume_mix"  -> (Warehouse.priceVolumeMix(_, _)),
+    "nprobe_sweep"      -> ((s, d) => Similarity.nprobeSweep(s, d)),
+    "ivf_balance"       -> (Similarity.ivfBalance(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

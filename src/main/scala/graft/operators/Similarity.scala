@@ -106,7 +106,13 @@ object Similarity {
     * cell id only — candidates are nprobe/cells of the data, never
     * O(n) per query. Scores round to 6 places before ranking with id
     * tie-breaks so rank order is engine-reproducible. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfAt(spark, dir, IvfProbes)
+
+  /** [[annIvf]] with the probe count as a parameter — the registered
+    * query pins nprobe = [[IvfProbes]]; [[nprobeSweep]] walks it. */
+  def annIvfAt(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val cents = broadcast(emb.filter(col("vec_id") < IvfCells)
@@ -121,7 +127,7 @@ object Similarity {
     val probes = broadcast(
       scoredC.filter(col("vec_id") < QuerySetSize)
         .withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") <= IvfProbes)
+        .filter(col("rn") <= nprobe)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("c_id")))
     val scored = probes.join(cells, Seq("c_id"))
       .filter(col("q_id") =!= col("n_id"))
@@ -284,6 +290,76 @@ object Similarity {
         graft.functions.TextF.round4HalfUp(
           col("hits").cast("double") / col("k").cast("double")).as("recall"))
       .orderBy("q_id")
+  }
+
+  /** IVF nprobe sweep — the knob curve behind [[annIvf]], completing
+    * the ANN audit family (row 262 sweeps LSH's banding, row 92 reads
+    * ONE recall point; this prices the whole probe-vs-recall trade a
+    * deployment tunes): for nprobe 1..4, micro-averaged recall@k of
+    * the IVF result against [[knnTopk]]'s brute-force truth, in exact
+    * ppm ((Σhits·10⁶) div Σk — integer, order-free). The ground truth
+    * computes ONCE; each sweep point reuses [[annIvfAt]] unchanged,
+    * so the curve can never drift from the operator it audits.
+    * Monotonicity in nprobe is structural (more cells ⊇ fewer) and
+    * spec-pinned.
+    *
+    * Shape: Q = [[QuerySetSize]] bounds every leg (the knnTopk
+    * broadcast contract); 4 IVF passes over the bucketed frame —
+    * audit-priced like every sweep in the family. */
+  def nprobeSweep(spark: SparkSession, dir: String,
+                  probes: Seq[Int] = Seq(1, 2, 3, 4)): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= IvfCells),
+      s"probes must be within 1..$IvfCells: $probes")
+    val exact = knnTopk(spark, dir).select(col("q_id"), col("n_id"))
+      .localCheckpoint(false) // one truth, four consumers
+    probes.map { np =>
+      val approx = annIvfAt(spark, dir, np)
+        .select(col("q_id"), col("n_id")).withColumn("hit", lit(1L))
+      exact.join(approx, Seq("q_id", "n_id"), "left")
+        .agg(count(lit(1)).as("k_total"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(np).as("nprobe"), col("k_total"), col("hits"),
+          expr("CAST((hits * 1000000) div nullif(k_total, 0) AS BIGINT)")
+            .as("recall_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
+  /** IVF cell-balance audit — the occupancy read that SIZES
+    * [[annIvf]]'s probe count (a balanced index scans ≈ n·nprobe/C
+    * vectors per query; a skewed one scans whatever its fattest
+    * probed cell holds): per-cell occupancies of the same rn = 1
+    * assignment the index uses (reused verbatim — the audit cannot
+    * drift), imbalance factor λ = C·Σn²/(Σn)² in exact ppm (λ = 1e6
+    * is perfect balance; expected per-probe scan cost multiplies by
+    * λ), plus max/median cell sizes on the C-row frame.
+    *
+    * Shape: one corpus × C-centroid broadcast scoring pass (the
+    * [[annIvf]] assignment), a C-row aggregate after. */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = broadcast(emb.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(col("cscore").desc, col("c_id"))
+    val assigned = emb.join(cents)
+      .select(col("vec_id"), col("c_id"),
+        round(VectorF.cosineSim(col("embedding"), col("c_emb")), 6)
+          .as("cscore"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+    assigned.groupBy("c_id").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells_used"),
+        sum("n").as("n_vectors"),
+        sum(expr(s"CAST(n AS $dec) * n")).as("ssq"),
+        max("n").as("max_cell"),
+        expr("CAST(percentile(n, 0.5D) AS DOUBLE)").as("p50_cell"))
+      .select(col("n_cells_used"), col("n_vectors"),
+        expr(s"CAST((ssq * ${IvfCells} * 1000000)" +
+          s" div (CAST(n_vectors AS $dec) * n_vectors) AS BIGINT)")
+          .as("imbalance_ppm"),
+        col("max_cell"), col("p50_cell"))
   }
 
   /** Hard positive/negative mining for contrastive training: per query

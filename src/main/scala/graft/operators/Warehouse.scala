@@ -825,4 +825,62 @@ object Warehouse {
   def consistentSample(spark: SparkSession, dir: String): DataFrame =
     consistentSampleOf(Tables.customer(spark, dir),
       Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  /** Price/volume/mix decomposition of the revenue change between the
+    * corpus's two date halves, per part type (the index-number read
+    * behind every "why did revenue move" review — Laspeyres-style
+    * two-factor split with the exact joint term: Δ = (p₁−p₀)·q₀
+    * [price] + p₀·(q₁−q₀) [volume] + (Δp)(Δq) [joint], where pᵢ is
+    * the period's realized unit price Σrᵢ/Σqᵢ): row 157 decomposes a
+    * total across GROUPS; this decomposes each group's change across
+    * CAUSES. The split day is the midpoint of the shipdate span (a
+    * 1-row broadcast); types missing a period drop (the standard
+    * common-basket restriction, documented).
+    *
+    * Exactness: revenue rides the CENT grid (type-level cent effects
+    * stay inside int64 to ~$10¹⁴ per type per period — micro would
+    * cross at 100 TB scale), products in decimal(38,0), ONE integral
+    * division per rational term, and the joint term is the exact
+    * residual — price + volume + joint ≡ Δ bit-for-bit by
+    * construction (spec-pinned; the table audits itself).
+    *
+    * Shape: one broadcast-dim fact aggregate to the (type, period)
+    * grain; everything after rides the part-type frame. */
+  def priceVolumeMixOf(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bounds = lineitem.agg(min("l_shipdate").as("mn"),
+      max("l_shipdate").as("mx"))
+    val base = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .crossJoin(broadcast(bounds)) // 1 row by construction
+      .select(col("p_type"),
+        when(col("l_shipdate") <=
+          expr("date_add(mn, CAST(datediff(mx, mn) div 2 AS INT))"), 0)
+          .otherwise(1).as("period"),
+        col("l_quantity").cast("long").as("q"),
+        floor(col("l_extendedprice") * 100).cast("long").as("r"))
+    base.groupBy("p_type")
+      .agg(
+        sum(when(col("period") === 0, col("q")).otherwise(0L)).as("q0"),
+        sum(when(col("period") === 1, col("q")).otherwise(0L)).as("q1"),
+        sum(when(col("period") === 0, col("r").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("r0"),
+        sum(when(col("period") === 1, col("r").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("r1"))
+      .filter(col("q0") > 0 && col("q1") > 0)
+      .select(col("p_type"), col("q0"), col("q1"),
+        expr("CAST(r1 - r0 AS BIGINT)").as("delta_cents"),
+        expr(s"CAST((r1 * q0) div CAST(q1 AS $dec) AS BIGINT)" +
+          s" - CAST(r0 AS BIGINT)").as("price_effect_cents"),
+        expr(s"CAST((r0 * q1) div CAST(q0 AS $dec) AS BIGINT)" +
+          s" - CAST(r0 AS BIGINT)").as("volume_effect_cents"))
+      .withColumn("joint_cents",
+        col("delta_cents") - col("price_effect_cents") -
+          col("volume_effect_cents"))
+      .orderBy("p_type")
+  }
+
+  def priceVolumeMix(spark: SparkSession, dir: String): DataFrame =
+    priceVolumeMixOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
 }

@@ -26,10 +26,10 @@ private[graft] object OracleFragments {
       |      FROM s)
       |SELECT q_id, n_id, score, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
-  /** Standalone oracle for the IVF ANN; nested as the approximate side
-    * of `ann_recall` (same single-string rationale as [[KnnTopkSql]]). */
-  val AnnIvfSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  /** [[AnnIvfSql]] with the probe count as a parameter — the sweep
+    * oracle walks it; the registered ann_ivf pins nprobe = 2. */
+  def annIvfSqlAt(nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 16),
       |sc AS (SELECT e.vec_id, e.emb, c.c_id,
       |         ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) AS cs
@@ -39,13 +39,53 @@ private[graft] object OracleFragments {
       |          FROM sc),
       |cell AS (SELECT vec_id AS n_id, emb AS n_emb, c_id FROM cellr WHERE rn = 1),
       |qc AS (SELECT vec_id AS q_id, emb AS q_emb, c_id
-      |       FROM cellr WHERE rn <= 2 AND vec_id < 8),
+      |       FROM cellr WHERE rn <= $nprobe AND vec_id < 8),
       |s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 6) AS score
       |      FROM qc JOIN cell USING (c_id) WHERE q_id <> n_id),
       |r AS (SELECT q_id, n_id, score,
       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
       |      FROM s)
       |SELECT q_id, n_id, score, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** Standalone oracle for the IVF ANN; nested as the approximate side
+    * of `ann_recall` (same single-string rationale as [[KnnTopkSql]]). */
+  val AnnIvfSql: String = annIvfSqlAt(2)
+
+  /** nprobe sweep: four legs of the recall compare, each nesting the
+    * SAME knn/ivf oracle strings — micro-averaged exact-ppm recall. */
+  val NprobeSweepSql: String = {
+    def leg(np: Int): String =
+      s"""SELECT $np AS nprobe, CAST(COUNT(*) AS BIGINT) AS k_total,
+        |  CAST(SUM(COALESCE(ap.hit, 0)) AS BIGINT) AS hits,
+        |  CAST((SUM(COALESCE(ap.hit, 0)) * 1000000) // NULLIF(COUNT(*), 0)
+        |    AS BIGINT) AS recall_ppm
+        |FROM (SELECT q_id, n_id FROM ($KnnTopkSql)) ex
+        |LEFT JOIN (SELECT q_id, n_id, CAST(1 AS BIGINT) AS hit
+        |           FROM (${annIvfSqlAt(np)})) ap
+        |  USING (q_id, n_id)""".stripMargin
+    (1 to 4).map(leg).mkString("", "\nUNION ALL\n", "\nORDER BY nprobe")
+  }
+
+  /** IVF cell-balance audit: the AnnIvfSql assignment CTEs verbatim,
+    * HUGEINT imbalance factor, interpolated median on the cell frame. */
+  val IvfBalanceSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 16),
+      |sc AS (SELECT e.vec_id, c.c_id,
+      |         ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) AS cs
+      |       FROM e, c),
+      |cellr AS (SELECT vec_id, c_id,
+      |            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+      |          FROM sc),
+      |g AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM cellr WHERE rn = 1 GROUP BY c_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+      |  CAST(SUM(n) AS BIGINT) AS n_vectors,
+      |  CAST((SUM(CAST(n AS HUGEINT) * n) * 16 * 1000000)
+      |    // (CAST(SUM(n) AS HUGEINT) * SUM(n)) AS BIGINT) AS imbalance_ppm,
+      |  CAST(MAX(n) AS BIGINT) AS max_cell,
+      |  CAST(quantile_cont(n, 0.5) AS DOUBLE) AS p50_cell
+      |FROM g""".stripMargin
 
   /** Standalone oracle for the n-gram language detector; also nested
     * as the prediction side of `lang_confusion` (and, with `source`

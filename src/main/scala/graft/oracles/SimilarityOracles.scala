@@ -138,6 +138,8 @@ private[graft] object SimilarityOracles {
         |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "ann_ivf" -> AnnIvfSql,
+    "nprobe_sweep" -> NprobeSweepSql,
+    "ivf_balance" -> IvfBalanceSql,
 
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -710,6 +710,36 @@ private[graft] object WarehouseOracles {
         |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.96 END AS significant
         |FROM r ORDER BY event_type""".stripMargin,
 
+    // Price/volume/mix: midpoint split, cent-grid HUGEINT products,
+    // one integral division per rational term, joint = exact residual.
+    "price_volume_mix" ->
+      """WITH b AS (SELECT min(l_shipdate) AS mn, max(l_shipdate) AS mx
+        |  FROM lineitem),
+        |f AS (SELECT p.p_type,
+        |    CASE WHEN l.l_shipdate <= CAST(CAST(b.mn AS DATE)
+        |        + CAST(datediff('day', b.mn, b.mx) // 2 AS INTEGER)
+        |        AS TIMESTAMP)
+        |      THEN 0 ELSE 1 END AS period,
+        |    CAST(l.l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS r
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey, b),
+        |c AS (SELECT p_type,
+        |    CAST(SUM(CASE WHEN period = 0 THEN q ELSE 0 END) AS BIGINT) AS q0,
+        |    CAST(SUM(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT) AS q1,
+        |    SUM(CASE WHEN period = 0 THEN CAST(r AS HUGEINT) ELSE 0 END) AS r0,
+        |    SUM(CASE WHEN period = 1 THEN CAST(r AS HUGEINT) ELSE 0 END) AS r1
+        |  FROM f GROUP BY p_type),
+        |e AS (SELECT p_type, q0, q1,
+        |    CAST(r1 - r0 AS BIGINT) AS delta_cents,
+        |    CAST((r1 * q0) // CAST(q1 AS HUGEINT) AS BIGINT)
+        |      - CAST(r0 AS BIGINT) AS price_effect_cents,
+        |    CAST((r0 * q1) // CAST(q0 AS HUGEINT) AS BIGINT)
+        |      - CAST(r0 AS BIGINT) AS volume_effect_cents
+        |  FROM c WHERE q0 > 0 AND q1 > 0)
+        |SELECT *, delta_cents - price_effect_cents - volume_effect_cents
+        |    AS joint_cents
+        |FROM e ORDER BY p_type""".stripMargin,
+
     // Coordinated sampling: the same md5 predicate on both key-
     // coherent tables, an IN-list for the key-derived one, exact
     // ppm shares, orphan audits.

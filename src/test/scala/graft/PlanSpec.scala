@@ -1258,4 +1258,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       cs.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 6,
       s"consistent_sample: only 1-row count broadcasts cross:\n$cs")
   }
+
+  test("round-12 eleventh tranche: pvm/ivf-audit plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // price_volume_mix: broadcast part dim (equijoin) + the 1-row
+    // date-bounds broadcast; one fact aggregate, no windows.
+    val pv = plan(graft.operators.Warehouse.priceVolumeMix(spark, Sf))
+    assert(pv.collect { case j: CartesianProductExec => j }.isEmpty &&
+      pv.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"price_volume_mix: only the 1-row bounds broadcast crosses:\n$pv")
+    assert(pv.collect { case w: WindowExec => w }.isEmpty,
+      s"price_volume_mix is window-free:\n$pv")
+    // ivf_balance: the one corpus × 16-centroid assignment broadcast
+    // (the annIvf-exempted shape); per-vector windows partitioned.
+    val ib = plan(graft.operators.Similarity.ivfBalance(spark, Sf))
+    assert(ib.collect { case j: CartesianProductExec => j }.isEmpty &&
+      ib.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"ivf_balance: only the centroid broadcast crosses:\n$ib")
+    assert(ib.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"ivf_balance: no single-partition window:\n$ib")
+    // nprobe_sweep: five Q-or-centroid-bounded broadcast legs (the
+    // knn query set + four IVF assignments), nothing unbounded.
+    val ns = plan(graft.operators.Similarity.nprobeSweep(spark, Sf))
+    assert(ns.collect { case j: CartesianProductExec => j }.isEmpty &&
+      ns.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 16,
+      s"nprobe_sweep: only bounded audit legs cross:\n$ns")
+  }
 }

@@ -478,4 +478,35 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // hub ties across all b at 0.5 → smallest b_id wins the best slot
     assert(got(1L) == ((10L, 0.5, 0.8, false)), s"hub: ${got(1L)}")
   }
+
+  test("nprobe sweep: recall is monotone in nprobe and consistent with the registered point") {
+    import graft.operators.Similarity
+    val sweep = Similarity.nprobeSweep(spark, Sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(sweep.keySet == Set(1, 2, 3, 4))
+    // probing more cells can only add candidates — recall never drops
+    val ppms = (1 to 4).map(sweep(_)._3)
+    assert(ppms.sliding(2).forall { case Seq(a, b) => a <= b },
+      s"monotone: $sweep")
+    // the nprobe = 2 leg IS the registered ann_recall compare,
+    // micro-averaged: hits must agree exactly
+    val recallHits = Similarity.annRecall(spark, Sf).collect()
+      .map(_.getLong(2)).sum
+    assert(sweep(2)._2 == recallHits,
+      s"sweep(2) hits vs ann_recall: $sweep vs $recallHits")
+  }
+
+  test("ivf balance: every vector lands in one cell and the imbalance factor is >= 1") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val r = Similarity.ivfBalance(spark, Sf).collect().head
+    val nVec = Tables.embeddings(spark, Sf).count()
+    assert(r.getLong(1) == nVec, "the assignment partitions the corpus")
+    assert(r.getLong(0) <= 16L && r.getLong(0) >= 1L)
+    // Cauchy-Schwarz: C·Σn² ≥ (Σn)² — λ < 1e6 would mean broken math
+    assert(r.getLong(2) >= 1000000L, s"imbalance factor: $r")
+    assert(r.getLong(3) >= math.ceil(nVec.toDouble / 16).toLong,
+      "max cell at least the balanced size")
+  }
 }

@@ -389,6 +389,32 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
       s"diverse: ${got(("SEG_B", 2))}")
   }
 
+  test("price/volume/mix: planted doubling decomposes exactly; one-period types drop") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"$s 00:00:00")
+    // type A: period 0 sells q=10 at $1 (ext $10), period 1 q=20 at
+    // $2 (ext $40): Δ = 3000¢, price = (2−1)·10 = 1000¢, volume =
+    // 1·10 = 1000¢, joint = ΔpΔq = 1000¢ — all exact on the grid.
+    // type B only ships in period 0 → common-basket drop.
+    val li = Seq(
+      (1L, t("2020-01-02"), 10.0, 10.0),
+      (1L, t("2020-01-10"), 20.0, 40.0),
+      (2L, t("2020-01-02"), 5.0, 5.0),
+      (3L, t("2020-01-11"), 1.0, 1.0)) // pins max date; own type, drops
+      .toDF("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "TYPE_A"), (2L, "TYPE_B"), (3L, "TYPE_C"))
+      .toDF("p_partkey", "p_type")
+    val out = Warehouse.priceVolumeMixOf(li, part).collect()
+    assert(out.length == 1 && out.head.getString(0) == "TYPE_A",
+      s"one-period types drop: ${out.toSeq}")
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2)) == ((10L, 20L)), s"$r")
+    assert(r.getLong(3) == 3000L && r.getLong(4) == 1000L &&
+      r.getLong(5) == 1000L && r.getLong(6) == 1000L, s"$r")
+    // the identity is structural: Δ ≡ price + volume + joint
+    assert(r.getLong(3) == r.getLong(4) + r.getLong(5) + r.getLong(6))
+  }
+
   test("consistent sample: coordinated FKs stay intact; an uncoordinated control breaks them") {
     val customer = (1L to 300L).map(i => (i, s"c$i")).toDF("c_custkey", "c_name")
     val orders = (1L to 600L).map(o => (o, (o % 300L) + 1L))
