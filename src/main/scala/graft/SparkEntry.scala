@@ -339,6 +339,11 @@ object SparkEntry {
     "price_volume_mix"  -> (Warehouse.priceVolumeMix(_, _)),
     "nprobe_sweep"      -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "ivf_balance"       -> (Similarity.ivfBalance(_, _)),
+    // Round-12 twelfth tranche: source-distribution distance,
+    // embedding dim health, dormancy spells (rows 322-324)
+    "source_word_tvd"   -> (CorpusStats.sourceWordTvd(_, _)),
+    "dim_profile"       -> (Similarity.dimProfile(_, _)),
+    "dormancy_spells"   -> (Behavior.dormancySpells(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

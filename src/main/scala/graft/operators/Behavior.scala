@@ -552,6 +552,37 @@ object Behavior {
   def growthAccounting(spark: SparkSession, dir: String): DataFrame =
     growthAccountingOf(Tables.events(spark, dir))
 
+  /** Dormancy-spell distribution — how long do users sleep before
+    * [[growthAccountingOf]]'s `resurrected` brings them back? The
+    * day-grain gap histogram (gap ≥ 2 days between consecutive
+    * active days; 1 = consecutive = not dormancy) that SIZES a
+    * win-back campaign's timing window — row 252 reads event-grain
+    * return-time percentiles; this reads the user-day spell
+    * distribution the growth decomposition implies. Exact ppm
+    * shares by integral division against the 1-row spell total.
+    *
+    * Shape: one (user, day) dedup shuffle + the per-user lag; the
+    * output frame is bounded by the calendar span. */
+  def dormancySpellsOf(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val gaps = ud.withColumn("prev", lag("day", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("day"), col("prev")).cast("long").as("gap_days"))
+      .filter(col("gap_days") >= 2)
+    val tot = gaps.agg(count(lit(1)).as("n_total"))
+    gaps.groupBy("gap_days").agg(count(lit(1)).as("n_spells"))
+      .crossJoin(broadcast(tot)) // 1 row by construction
+      .select(col("gap_days"), col("n_spells"),
+        expr("CAST((n_spells * 1000000) div nullif(n_total, 0) AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy("gap_days")
+  }
+
+  def dormancySpells(spark: SparkSession, dir: String): DataFrame =
+    dormancySpellsOf(Tables.events(spark, dir))
+
   /** χ² contingency table for event-type × time-of-week association
     * (the EDA pass behind "does behavior depend on the day"). The
     * time-of-week bucket is PURE ARITHMETIC — `pmod(days-since-epoch,

@@ -660,6 +660,72 @@ object CorpusStats {
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
     ccnetBucketsOf(Tables.documents(spark, dir))
 
+  /** Pairwise source DISTRIBUTION distance — total variation over the
+    * coarsened word partition (top-K corpus words + OTHER): row 154
+    * reads which sources SHARE vocabulary (set Jaccard); this reads
+    * how differently they USE it (½ Σ|pₐ−p_b| — the mixture-design
+    * number: near-zero TVD sources are redundant in a training mix,
+    * the same coarsened-partition move row 108 makes over value bins).
+    * Coarsening to K+1 cells is what makes the op scale-honest: the
+    * full-vocabulary TVD would put an unbounded hapax tail through
+    * the pair join; the top-K + OTHER partition is a valid coarsened
+    * TVD (a lower bound of the full one, documented) on a bounded
+    * frame.
+    *
+    * Exactness: per-cell shares in exact ppm by integral division;
+    * TVD numerator = Σ_common|pₐ−p_b| + each side's missing-cell
+    * mass (Sₐ−Σ_common pₐ), all integer; one div 2 at the edge.
+    *
+    * Shape: one tokenize scan → (source, word) counts (checkpointed;
+    * the vocabulary-scale frame every corpus op here rides), top-K
+    * via a K-row TakeOrdered broadcast, then everything on the
+    * sources × (K+1) frame. */
+  def sourceWordTvdOf(docs: DataFrame, topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val counts = docs
+      .select(col("source"),
+        explode(TextF.tokens(lower(col("text")))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // two consumers: vocabulary + profile
+    val top = counts.groupBy("t").agg(sum("c").as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(topK)
+      .select(col("t"), lit(true).as("topw"))
+    val prof = counts.join(broadcast(top), Seq("t"), "left")
+      .select(col("source"),
+        when(col("topw"), col("t")).otherwise(lit("__OTHER__")).as("cell"),
+        col("c"))
+      .groupBy("source", "cell").agg(sum("c").as("c"))
+      .join(counts.groupBy("source").agg(sum("c").as("total")), "source")
+      .select(col("source"), col("cell"),
+        expr("CAST((c * 1000000) div total AS BIGINT)").as("p"))
+      .localCheckpoint(false) // sources × (K+1), bounded
+    val sums = prof.groupBy("source").agg(sum("p").as("sp"))
+    val common = prof.as("a")
+      .join(prof.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(sum(abs(col("a.p") - col("b.p"))).as("dcommon"),
+        sum(col("a.p")).as("ca"), sum(col("b.p")).as("cb"))
+    // EVERY unordered source pair appears — a pair sharing no cell at
+    // all reads its full disjoint mass (TVD ≈ 1e6), not a missing
+    // row; the pair frame is the bounded source-list cross.
+    sums.as("x").crossJoin(sums.as("y"))
+      .filter(col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"),
+        col("y.source").as("source_b"),
+        col("x.sp").as("spa"), col("y.sp").as("spb"))
+      .join(common, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        expr("CAST((coalesce(dcommon, 0) + (spa - coalesce(ca, 0))" +
+          " + (spb - coalesce(cb, 0))) div 2 AS BIGINT)").as("tvd_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceWordTvd(spark: SparkSession, dir: String): DataFrame =
+    sourceWordTvdOf(Tables.documents(spark, dir))
+
   /** Calibration (reliability) curve for the quality score against
     * `lang == posLang`: equal-width score bins over [0, 1], each
     * reporting its doc count, mean score, and observed positive rate —

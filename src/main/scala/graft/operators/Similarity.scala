@@ -362,6 +362,46 @@ object Similarity {
         col("max_cell"), col("p50_cell"))
   }
 
+  /** Per-DIMENSION embedding health profile (the index-build preflight
+    * beside row 162's per-VECTOR norms: a dead or near-constant
+    * dimension wastes index bytes and, under L2/cosine, silently
+    * down-weights every other dimension; anisotropy — wildly uneven
+    * per-dim variance — is the known failure mode of contextual
+    * embeddings that whitening/matryoshka decisions read first):
+    * per dimension, exact count/mean/std/min/max on the 1e-6 integer
+    * grid (float→double widening is exact; decimal(38,0) moments —
+    * the row-229 machinery turned sideways), `dead` flagged on the
+    * PUBLISHED 6-dp std against a 0.01 literal so the flag is
+    * grid-stable cross-engine.
+    *
+    * Shape: one map-side posexplode (×d, no shuffle inflation beyond
+    * it) into a d-row map-combinable aggregate; the output frame is
+    * the embedding width. */
+  def dimProfileOf(embeddings: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column) = c.cast("double")
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"),
+        floor(col("v").cast("double") * 1e6 + lit(0.5)).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("q").cast(dec)).as("s"),
+        sum(expr(s"CAST(q AS $dec) * q")).as("ss"),
+        min("q").as("mn"), max("q").as("mx"))
+      .select(col("dim"), col("n"),
+        graft.functions.TextF.round6HalfUp(d(col("s")) / d(col("n")) / lit(1e6)).as("mean"),
+        graft.functions.TextF.round6HalfUp(
+          sqrt((d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n")))
+            / d(col("n"))) / lit(1e6)).as("std"),
+        graft.functions.TextF.round6HalfUp(d(col("mn")) / lit(1e6)).as("min_v"),
+        graft.functions.TextF.round6HalfUp(d(col("mx")) / lit(1e6)).as("max_v"))
+      .withColumn("dead", col("std") < 0.01)
+      .orderBy("dim")
+  }
+
+  def dimProfile(spark: SparkSession, dir: String): DataFrame =
+    dimProfileOf(Tables.embeddings(spark, dir))
+
   /** Hard positive/negative mining for contrastive training: per query
     * vector, the most DISTANT same-label neighbor (hardest positive —
     * the in-class pair the model must still pull together) and the

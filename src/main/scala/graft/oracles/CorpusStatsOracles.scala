@@ -116,6 +116,42 @@ private[graft] object CorpusStatsOracles {
         |    * 1e4 + 0.5) / 1e4 AS score_ppm
         |FROM per, tot ORDER BY doc_id""".stripMargin,
 
+    // Source TVD: top-100 + OTHER coarsened partition, exact ppm
+    // shares, common-cell |Δ| plus each side's missing mass, div 2.
+    "source_word_tvd" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |counts AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |top AS (SELECT t FROM (SELECT t, CAST(SUM(c) AS BIGINT) AS cnt
+        |    FROM counts GROUP BY t)
+        |  ORDER BY cnt DESC, t LIMIT 100),
+        |cells AS (SELECT source,
+        |    CASE WHEN t IN (SELECT t FROM top) THEN t
+        |         ELSE '__OTHER__' END AS cell,
+        |    CAST(SUM(c) AS BIGINT) AS c
+        |  FROM counts GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS total
+        |  FROM counts GROUP BY source),
+        |prof AS (SELECT c2.source, c2.cell,
+        |    CAST((c2.c * 1000000) // tot.total AS BIGINT) AS p
+        |  FROM cells c2 JOIN tot ON c2.source = tot.source),
+        |sums AS (SELECT source, CAST(SUM(p) AS BIGINT) AS sp
+        |  FROM prof GROUP BY source),
+        |cm AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(SUM(abs(a.p - b.p)) AS BIGINT) AS dcommon,
+        |    CAST(SUM(a.p) AS BIGINT) AS ca, CAST(SUM(b.p) AS BIGINT) AS cb
+        |  FROM prof a JOIN prof b
+        |    ON a.cell = b.cell AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT x.source AS source_a, y.source AS source_b,
+        |  CAST((COALESCE(cm.dcommon, 0) + (x.sp - COALESCE(cm.ca, 0))
+        |    + (y.sp - COALESCE(cm.cb, 0))) // 2 AS BIGINT) AS tvd_ppm
+        |FROM sums x JOIN sums y ON x.source < y.source
+        |LEFT JOIN cm ON cm.source_a = x.source AND cm.source_b = y.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
     // CCNet buckets: lm_quality's model CTEs verbatim, nearest-rank
     // tercile cutpoints on the (lang, score-grid) cumulative frame,
     // all bucket stats off the grid.

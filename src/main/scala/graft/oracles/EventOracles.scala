@@ -611,6 +611,22 @@ private[graft] object EventOracles {
         |  floor(CAST(micros AS DOUBLE) / 100 + 0.5) / 1e4 AS attributed_usd
         |FROM r ORDER BY item""".stripMargin,
 
+    // Dormancy spells: (user, day) dedup + per-user lag, gap >= 2,
+    // exact ppm shares against the 1-row spell total.
+    "dormancy_spells" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day FROM events),
+        |g AS (SELECT CAST(datediff('day', lag(day) OVER
+        |      (PARTITION BY user_id ORDER BY day), day) AS BIGINT) AS gap_days
+        |  FROM ud),
+        |f AS (SELECT gap_days FROM g
+        |  WHERE gap_days IS NOT NULL AND gap_days >= 2),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM f)
+        |SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS n_spells,
+        |  CAST((COUNT(*) * 1000000) // NULLIF(MAX(t.n_total), 0) AS BIGINT)
+        |    AS share_ppm
+        |FROM f, t GROUP BY gap_days ORDER BY gap_days""".stripMargin,
+
     // Growth accounting: one (user, day) dedup, per-user lag/lead
     // classification, full-outer day join, max-day churn fence.
     "growth_accounting" ->

@@ -141,6 +141,29 @@ private[graft] object SimilarityOracles {
     "nprobe_sweep" -> NprobeSweepSql,
     "ivf_balance" -> IvfBalanceSql,
 
+    // Dim profile: lateral index unnest, 1e-6 grid HUGEINT moments,
+    // fixed-order std chain, dead flag on the published 6-dp std.
+    "dim_profile" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (SELECT i - 1 AS dim,
+        |    CAST(floor(emb[i] * 1e6 + 0.5) AS BIGINT) AS q
+        |  FROM e, unnest(generate_series(1, len(emb))) AS u(i)),
+        |m AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(q AS HUGEINT)) AS s,
+        |    SUM(CAST(q AS HUGEINT) * q) AS ss,
+        |    CAST(MIN(q) AS BIGINT) AS mn, CAST(MAX(q) AS BIGINT) AS mx
+        |  FROM x GROUP BY dim),
+        |r AS (SELECT dim, n,
+        |    floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+        |      AS mean,
+        |    floor(sqrt((CAST(ss AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)) / 1e6 * 1e6 + 0.5) / 1e6 AS std,
+        |    floor(CAST(mn AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS min_v,
+        |    floor(CAST(mx AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS max_v
+        |  FROM m)
+        |SELECT *, std < 0.01 AS dead FROM r ORDER BY dim""".stripMargin,
+
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |m AS (SELECT vec_id, emb,

@@ -264,6 +264,22 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(firstHalf.exists(_ > 0), s"top deciles carry the uplift: ${got.toSeq}")
   }
 
+  test("dormancy spells: consecutive days are not spells; shares split the spell total") {
+    // u1 active 1,2,5,9 → gaps 1 (consecutive, dropped), 3, 4;
+    // u2 active 1,3 → gap 2. Three spells → 333333 ppm each.
+    val ev = eventsDf(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-02 10:00:00"),
+      (1L, "view", "2024-01-05 10:00:00"),
+      (1L, "view", "2024-01-09 10:00:00"),
+      (2L, "view", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-03 09:00:00"))
+    val out = Behavior.dormancySpellsOf(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(2L -> ((1L, 333333L)), 3L -> ((1L, 333333L)),
+      4L -> ((1L, 333333L))), s"$out")
+  }
+
   test("growth accounting: classes partition DAU and the flow identity holds day over day") {
     // u1 active days 1, 2, 4: new → retained → (churns d3) →
     // resurrected → (churn d5 falls past the corpus edge, dropped);

@@ -330,6 +330,25 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.isEmpty)
   }
 
+  test("source word tvd: identical sources read 0, shared-anchor disjoint mass prices exactly") {
+    // s1/s2 carry identical text → TVD 0; s3/s4 share only the
+    // anchor word "x" (p = 250000 each) and put their remaining
+    // 750000 ppm on disjoint words → TVD = (0 + 75e4 + 75e4)/2
+    val out = CorpusStats.sourceWordTvdOf(cardDocs(
+      (1L, "en", "s1", "same words here today"),
+      (2L, "en", "s2", "same words here today"),
+      (3L, "en", "s3", "x aa aa aa"),
+      (4L, "en", "s4", "x bb bb bb"))).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("s1", "s2")) == 0L, s"$out")
+    assert(out(("s3", "s4")) == 750000L, s"$out")
+    // fully disjoint vocabularies read the maximum distance
+    assert(out(("s1", "s3")) == 1000000L && out(("s2", "s4")) == 1000000L,
+      s"$out")
+    // every unordered pair appears exactly once
+    assert(out.size == 6, s"$out")
+  }
+
   test("ccnet buckets: nearest-rank terciles partition the corpus; head means top the tail") {
     // six docs per lang with spread trigram typicality; the expected
     // frame is recomputed from the operator's OWN per-doc scores with

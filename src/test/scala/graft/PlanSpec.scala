@@ -1285,4 +1285,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       ns.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 16,
       s"nprobe_sweep: only bounded audit legs cross:\n$ns")
   }
+
+  test("round-12 twelfth tranche: tvd/dim/dormancy plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // source_word_tvd: the only crossing is the bounded source-list
+    // pair frame; the top-K pick is a TakeOrdered inside the
+    // checkpointed profile subtree.
+    // (the top-K TakeOrdered sits behind the profile frame's lazy
+    // checkpoint leaf, so it is not visible in this plan tree)
+    val tv = plan(graft.operators.CorpusStats.sourceWordTvd(spark, Sf))
+    assert(tv.collect { case j: CartesianProductExec => j }.isEmpty &&
+      tv.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"source_word_tvd: only the source-pair cross:\n$tv")
+    // dim_profile: one map-side explode + aggregate — nothing else.
+    val dp = plan(graft.operators.Similarity.dimProfile(spark, Sf))
+    assert(dp.collect { case j: CartesianProductExec => j }.isEmpty &&
+      dp.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      dp.collect { case w: WindowExec => w }.isEmpty,
+      s"dim_profile is one exploded aggregate:\n$dp")
+    // dormancy_spells: per-user lag + the 1-row total broadcast.
+    val ds = plan(graft.operators.Behavior.dormancySpells(spark, Sf))
+    assert(ds.collect { case j: CartesianProductExec => j }.isEmpty &&
+      ds.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      s"dormancy_spells: only the 1-row total crosses:\n$ds")
+    assert(ds.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"dormancy_spells: no single-partition window:\n$ds")
+  }
 }

@@ -479,6 +479,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(got(1L) == ((10L, 0.5, 0.8, false)), s"hub: ${got(1L)}")
   }
 
+  test("dim profile: exact per-dim moments, a constant dimension reads dead") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.dimProfileOf(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    // dim 0: mean 2, population std 1, span [1, 3], alive
+    assert(out(0) == ((2L, 2.0, 1.0, 1.0, 3.0, false)), s"$out")
+    // dim 1: constant zero → std 0 → dead
+    assert(out(1) == ((2L, 0.0, 0.0, 0.0, 0.0, true)), s"$out")
+  }
+
   test("nprobe sweep: recall is monotone in nprobe and consistent with the registered point") {
     import graft.operators.Similarity
     val sweep = Similarity.nprobeSweep(spark, Sf).collect()
