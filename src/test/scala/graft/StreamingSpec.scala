@@ -1073,6 +1073,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("StreamingTwap restarts mid-day and the restored integrals stay exact") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp, Timestamp)]
+    val ckpt = restartDir("graft-twap-restart")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def start() = collectingSink(graft.streaming.StreamingTwap
+      .dayTwap(input.toDF().toDF("user_id", "start_ts", "end_ts")).toDF(),
+      ckpt, buf)
+    var query = start()
+    try {
+      input.addData((1L, t("2026-01-01 10:00:00"), t("2026-01-01 10:20:00")))
+      query.processAllAvailable()
+    } finally { query.stop() }
+    // down: the midnight-spanning session — its day-1 piece must merge
+    // into the RESTORED day-1 state, its day-2 piece into fresh state —
+    // plus a plain day-2 session.
+    input.addData(
+      (2L, t("2026-01-01 23:50:00"), t("2026-01-02 00:10:00")),
+      (3L, t("2026-01-02 09:00:00"), t("2026-01-02 09:05:00")))
+    query = start()
+    try {
+      query.processAllAvailable()
+      input.addData((9L, t("2026-01-10 00:00:00"), t("2026-01-10 00:05:00")))
+      query.processAllAvailable()
+      val streamed = buf.synchronized { buf.toSeq }
+        .map(r => r.getDate(0).toString ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      // day 1: 1200 s (u1) + 600 s (u2's pre-midnight piece) = 1800 s;
+      // day 2: 600 s (u2's carry) + 300 s (u3) = 900 s
+      assert(streamed("2026-01-01") ==
+        ((2L, 1800.0, math.floor(1800e6 / 86400e6 * 1e4 + 0.5) / 1e4)),
+        s"$streamed")
+      assert(streamed("2026-01-02") ==
+        ((2L, 900.0, math.floor(900e6 / 86400e6 * 1e4 + 0.5) / 1e4)),
+        s"$streamed")
+    } finally query.stop()
+  }
+
   test("streaming cusum restarts mid-baseline and still matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Double)]
