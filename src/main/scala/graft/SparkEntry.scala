@@ -344,6 +344,10 @@ object SparkEntry {
     "source_word_tvd"   -> (CorpusStats.sourceWordTvd(_, _)),
     "dim_profile"       -> (Similarity.dimProfile(_, _)),
     "dormancy_spells"   -> (Behavior.dormancySpells(_, _)),
+    // Round-12 thirteenth tranche: fulfillment + inventory classes
+    // (rows 325-326; row 327 is the streaming growth-accounting twin)
+    "order_fill_rate"   -> (Warehouse.orderFillRate(_, _)),
+    "abc_classification" -> (Warehouse.abcClassification(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

@@ -883,4 +883,86 @@ object Warehouse {
 
   def priceVolumeMix(spark: SparkSession, dir: String): DataFrame =
     priceVolumeMixOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  /** Order fill-rate by order month — the fulfillment operations read
+    * beside row 166's ship-lag percentiles (lag says how FAST lines
+    * ship; this says whether orders ship COMPLETE — a month of
+    * partials is an inventory problem, not a speed problem):
+    * per order, its lineitems' L_LINESTATUS split (F finished / O
+    * open) classifies the order filled / partial / open; per month,
+    * counts and the exact-ppm fill rate.
+    *
+    * Shape: one orderkey-keyed fact⋈fact join (both sides shuffle on
+    * the join key; the lineitem side pre-aggregates to order grain
+    * FIRST so the join moves order-count rows, not line-count rows),
+    * then a month-keyed map-combinable aggregate. */
+  def orderFillRateOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val per = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("n_f"))
+    orders
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .join(per, col("o_orderkey") === col("l_orderkey"))
+      .select(col("month"),
+        when(col("n_f") === col("n_lines"), "filled")
+          .when(col("n_f") === 0L, "open")
+          .otherwise("partial").as("status"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("status") === "filled", 1L).otherwise(0L))
+          .as("n_filled"),
+        sum(when(col("status") === "partial", 1L).otherwise(0L))
+          .as("n_partial"),
+        sum(when(col("status") === "open", 1L).otherwise(0L)).as("n_open"))
+      .withColumn("fill_ppm",
+        expr("CAST((n_filled * 1000000) div n_orders AS BIGINT)"))
+      .orderBy("month")
+  }
+
+  def orderFillRate(spark: SparkSession, dir: String): DataFrame =
+    orderFillRateOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  /** ABC (Pareto) inventory classification over part revenue — the
+    * 80/95 cumulative-share cut behind every stocking policy (A-parts
+    * get safety stock and daily counts, C-parts get annual ones; row
+    * 255's Lorenz curve is the same mass concentration read over
+    * USERS, unclassified): parts ranked by revenue descending with
+    * rank AND running revenue off ONE [[graft.Scale]] two-phase pass
+    * (the part dimension SCALES WITH the corpus in TPC-H — a plain
+    * global window would be the exact single-task shape rounds 10-12
+    * eliminated), class cut at cum·100 ≤ total·80 / ·95 in
+    * decimal(38,0) (cum × 100 crosses int64 at corpus scale), then a
+    * 3-row class aggregate with exact-ppm part and revenue shares.
+    *
+    * Revenue rides the cent grid (the [[priceVolumeMixOf]] headroom
+    * argument; the two-phase value offsets are int64 — cents hold to
+    * ~$10¹⁷ corpus revenue where micros would not). */
+  def abcClassificationOf(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perPart = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")).as("rev"))
+    val (ranked, nParts, totalRev) = graft.Scale.twoPhaseRankAndRunningSum(
+      perPart, Seq(col("rev").desc, col("l_partkey")), col("rev"))
+    ranked
+      .withColumn("abc_class",
+        when(expr(s"CAST(__running AS $dec) * 100" +
+          s" <= CAST(${totalRev} AS $dec) * 80"), "A")
+          .when(expr(s"CAST(__running AS $dec) * 100" +
+            s" <= CAST(${totalRev} AS $dec) * 95"), "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev").cast(dec)).as("crev"))
+      .select(col("abc_class"), col("n_parts"),
+        expr(s"CAST((n_parts * 1000000) div ${nParts}L AS BIGINT)")
+          .as("part_share_ppm"),
+        expr(s"CAST((crev * 1000000) div CAST(${totalRev} AS $dec)" +
+          s" AS BIGINT)").as("revenue_share_ppm"))
+      .orderBy("abc_class")
+  }
+
+  def abcClassification(spark: SparkSession, dir: String): DataFrame =
+    abcClassificationOf(Tables.lineitem(spark, dir))
 }

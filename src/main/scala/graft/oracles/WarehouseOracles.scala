@@ -710,6 +710,52 @@ private[graft] object WarehouseOracles {
         |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.96 END AS significant
         |FROM r ORDER BY event_type""".stripMargin,
 
+    // Order fill rate: line frame to order grain first, month agg,
+    // exact ppm fill share.
+    "order_fill_rate" ->
+      """WITH per AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_f
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+        |    CASE WHEN p.n_f = p.n_lines THEN 'filled'
+        |         WHEN p.n_f = 0 THEN 'open' ELSE 'partial' END AS status
+        |  FROM orders o JOIN per p ON o.o_orderkey = p.l_orderkey)
+        |SELECT month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN status = 'filled' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_filled,
+        |  CAST(SUM(CASE WHEN status = 'partial' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_partial,
+        |  CAST(SUM(CASE WHEN status = 'open' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_open,
+        |  CAST((SUM(CASE WHEN status = 'filled' THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS fill_ppm
+        |FROM j GROUP BY month ORDER BY month""".stripMargin,
+
+    // ABC classification: cumulative cent revenue over parts desc,
+    // HUGEINT 80/95 cuts, 3-row class aggregate with exact ppm shares.
+    "abc_classification" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(rev) AS HUGEINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS np FROM pp),
+        |r AS (SELECT *, CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM pp),
+        |c AS (SELECT CASE
+        |      WHEN CAST(cum AS HUGEINT) * 100 <= t.total * 80 THEN 'A'
+        |      WHEN CAST(cum AS HUGEINT) * 100 <= t.total * 95 THEN 'B'
+        |      ELSE 'C' END AS abc_class, rev
+        |    FROM r, t)
+        |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST((COUNT(*) * 1000000) // MAX(t2.np) AS BIGINT)
+        |    AS part_share_ppm,
+        |  CAST((SUM(CAST(rev AS HUGEINT)) * 1000000) // MAX(t2.total)
+        |    AS BIGINT) AS revenue_share_ppm
+        |FROM c, t t2 GROUP BY 1 ORDER BY abc_class""".stripMargin,
+
     // Price/volume/mix: midpoint split, cent-grid HUGEINT products,
     // one integral division per rational term, joint = exact residual.
     "price_volume_mix" ->

@@ -1312,4 +1312,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .forall(_.partitionSpec.nonEmpty),
       s"dormancy_spells: no single-partition window:\n$ds")
   }
+
+  test("round-12 thirteenth tranche: fill-rate/abc plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // order_fill_rate: the line frame pre-aggregates to order grain,
+    // then ONE orderkey equijoin — no crossings, no windows.
+    val fr = plan(graft.operators.Warehouse.orderFillRate(spark, Sf))
+    assert(fr.collect { case j: CartesianProductExec => j }.isEmpty &&
+      fr.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      fr.collect { case w: WindowExec => w }.isEmpty,
+      s"order_fill_rate: one equijoin, no windows:\n$fr")
+    // abc_classification: the part rank rides the two-phase exchange
+    // (parts SCALE with the corpus in TPC-H) — every window __bkt-
+    // partitioned, no crossings.
+    val abc = plan(graft.operators.Warehouse.abcClassification(spark, Sf))
+    assert(abc.collect { case j: CartesianProductExec => j }.isEmpty &&
+      abc.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"abc: no crossings:\n$abc")
+    assert(abc.collect { case w: WindowExec => w }
+      .forall(w => w.partitionSpec.nonEmpty ||
+        w.child.toString.contains("__bkt")),
+      s"abc: the part rank rides __bkt:\n$abc")
+  }
 }

@@ -1073,6 +1073,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("StreamingGrowthAccounting: in-order classes equal the batch decomposition, churn both ways") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1 active days 1, 2, 4 (the gap churn must materialize AT
+    // ARRIVAL of day 4); u2 active day 2 only (its churn must
+    // materialize BY TIMEOUT); u9 is the watermark sentinel whose own
+    // trailing churn stays open — exactly the batch twin's edge fence.
+    val events = Seq(
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-02 10:00:00")),
+      (1L, t("2024-01-04 10:00:00")),
+      (2L, t("2024-01-02 09:00:00")),
+      (9L, t("2024-01-10 12:00:00")))
+    val input = MemoryStream[(Long, Timestamp)]
+    val query = graft.streaming.StreamingGrowthAccounting
+      .classified(input.toDF().toDF("user_id", "ts")).toDF()
+      .writeStream.format("memory").queryName("ga_test")
+      .outputMode("append").start()
+    try {
+      input.addData(events.toIndexedSeq: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("ga_test").collect()
+        .groupBy(r => (r.getTimestamp(0).toInstant.toString.take(10),
+          r.getString(1)))
+        .map { case (k, rows) => k -> rows.length.toLong }
+      val batch = graft.operators.Behavior.growthAccountingOf(
+        events.zipWithIndex.map { case ((u, ts0), i) => (i.toLong, u, ts0) }
+          .toDF("event_id", "user_id", "ts")
+          .withColumn("event_type", lit("view")))
+        .collect().flatMap { r =>
+          val day = r.getDate(0).toString
+          Seq("new" -> r.getLong(2), "retained" -> r.getLong(3),
+            "resurrected" -> r.getLong(4), "churned" -> r.getLong(5))
+            .collect { case (c, n) if n > 0 => (day, c) -> n }
+        }.toMap
+      assert(streamed == batch,
+        s"streamed ≡ batch decomposition:\n$streamed\nvs\n$batch")
+    } finally query.stop()
+  }
+
   test("StreamingTwap restarts mid-day and the restored integrals stay exact") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = Timestamp.valueOf(s)

@@ -415,6 +415,35 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(3) == r.getLong(4) + r.getLong(5) + r.getLong(6))
   }
 
+  test("order fill rate: all-F fills, mixed is partial, all-O is open, ppm exact") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"$s 00:00:00")
+    val orders = Seq((1L, t("2020-01-05")), (2L, t("2020-01-20")),
+      (3L, t("2020-02-01")), (4L, t("2020-02-10")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq((1L, "F"), (1L, "F"), (2L, "F"), (2L, "O"),
+      (3L, "O"), (4L, "F"))
+      .toDF("l_orderkey", "l_linestatus")
+    val out = Warehouse.orderFillRateOf(orders, li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("2020-01") == ((2L, 1L, 1L, 0L, 500000L)), s"$out")
+    assert(out("2020-02") == ((2L, 1L, 0L, 1L, 500000L)), s"$out")
+  }
+
+  test("abc classification: 80/95 cuts land on the boundary parts; shares exact") {
+    // cent revenues 80/15/5: cum 80 → A (boundary inclusive),
+    // 95 → B, 100 → C — one part per class, revenue shares 80/15/5%.
+    val li = Seq((1L, 0.80, 0.0), (2L, 0.15, 0.0), (3L, 0.05, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = Warehouse.abcClassificationOf(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out("A") == ((1L, 333333L, 800000L)), s"$out")
+    assert(out("B") == ((1L, 333333L, 150000L)), s"$out")
+    assert(out("C") == ((1L, 333333L, 50000L)), s"$out")
+  }
+
   test("consistent sample: coordinated FKs stay intact; an uncoordinated control breaks them") {
     val customer = (1L to 300L).map(i => (i, s"c$i")).toDF("c_custkey", "c_name")
     val orders = (1L to 600L).map(o => (o, (o % 300L) + 1L))
