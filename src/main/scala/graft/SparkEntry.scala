@@ -348,6 +348,11 @@ object SparkEntry {
     // (rows 325-326; row 327 is the streaming growth-accounting twin)
     "order_fill_rate"   -> (Warehouse.orderFillRate(_, _)),
     "abc_classification" -> (Warehouse.abcClassification(_, _)),
+    // Round-12 fourteenth tranche: experiment guardrails + the third
+    // privacy gate (rows 328-330)
+    "srm_check"         -> (Behavior.srmCheck(_, _)),
+    "mde_power"         -> (Behavior.mdePower(_, _)),
+    "t_closeness"       -> (Warehouse.tCloseness(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

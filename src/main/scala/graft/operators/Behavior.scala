@@ -2064,4 +2064,95 @@ object Behavior {
 
   def funnelByArm(spark: SparkSession, dir: String): DataFrame =
     funnelByArmOf(Tables.events(spark, dir))
+
+  /** Sample-ratio-mismatch (SRM) guardrail — the FIRST check every
+    * experiment readout runs before anyone looks at a metric: under
+    * the 50/50 [[arm2]] assignment the per-arm user counts should be
+    * binomially close; a skewed split means the assignment or logging
+    * is broken and every downstream readout ([[abTestOf]],
+    * [[cupedAdjustOf]], [[didReadoutOf]], …) is invalid. Per event
+    * type (the experiment proxy): distinct EXPOSED users per arm, the
+    * observed arm-0 share in exact ppm (integer div), the 1-df
+    * chi-square (n0−n1)²/(n0+n1) — integer numerator and denominator,
+    * ONE double division, 4 dp half-up — and `srm` = χ² > 3.8415
+    * (the χ²₁ 95% critical value, a literal constant like
+    * [[anovaFOf]]'s 2.9957: exact at the N this targets).
+    *
+    * Shape: one (type, user) dedup shuffle (the [[abTestOf]]
+    * exposure-dedup move), then a map-combinable per-type aggregate
+    * over the deduped frame with the arm derived map-side from the
+    * user id — the bounded |types| frame carries everything after. */
+  def srmCheckOf(events: DataFrame): DataFrame = {
+    val exposed = events.select(col("event_type"), col("user_id")).distinct()
+      .withColumn("arm", arm2(col("user_id")))
+    val d = col("n0") - col("n1")
+    val chi2 = (d * d).cast("double") / (col("n0") + col("n1")).cast("double")
+    exposed.groupBy("event_type")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        expr("(n0 * 1000000) div (n0 + n1)").as("arm0_ppm"),
+        graft.functions.TextF.round4HalfUp(chi2).as("chi2"),
+        (chi2 > 3.8415).as("srm"))
+      .orderBy("event_type")
+  }
+
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    srmCheckOf(Tables.events(spark, dir))
+
+  /** Minimum detectable effect / power sizing — the question asked
+    * BEFORE the experiment ships ([[abTestOf]] answers after): with
+    * the users and per-user value variance this event type actually
+    * has, what's the smallest lift a two-sided α=0.05 test detects
+    * with 80% power? MDE = (z₀.₉₇₅ + z₀.₈) · √(s₀²/n₀ + s₁²/n₁) with
+    * the Φ⁻¹ literals 1.959964 + 0.841621 = 2.801585 (the literal-
+    * constant rule of [[Robust.ksTestOf]]'s 1.358). Unit of analysis
+    * is the USER (the randomization unit — per-event moments
+    * understate user-level variance): per-user micro-exact value
+    * sums, then per-(type, arm) moments n/Σv/Σv² in decimal(38,0)
+    * (Σv² crosses int64 the way [[anovaFOf]] documents), pivoted to
+    * fixed arm order so the double combination — two sample
+    * variances, one sqrt, the literal multiply — runs in ONE
+    * deterministic sequence on both engines. Zero-variance arms
+    * clamp at 0 via greatest (exact-integer cancellation can land
+    * −ε); types with an arm of ≤1 user are dropped (no variance
+    * estimate). `mde_rel` is the lift relative to the CONTROL mean.
+    *
+    * Shape: one (type, user) shuffle for the per-user sums, one
+    * map-combinable moment aggregate, then arithmetic on the bounded
+    * |types| frame. */
+  def mdePowerOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = events
+      .select(col("event_type"), col("user_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+      .groupBy("event_type", "user_id")
+      .agg(sum("vq").as("uv"))
+      .withColumn("arm", arm2(col("user_id")))
+    val perArm = per.groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"),
+        sum(col("uv").cast(dec)).as("s"),
+        sum(expr(s"CAST(uv AS $dec) * uv")).as("ss"))
+    def pick(c: String, a: Int) = max(when(col("arm") === a, col(c)))
+    val wide = perArm.groupBy("event_type")
+      .agg(pick("n", 0).as("n0"), pick("n", 1).as("n1"),
+        pick("s", 0).as("s0"), pick("s", 1).as("s1"),
+        pick("ss", 0).as("ss0"), pick("ss", 1).as("ss1"))
+      .filter(col("n0") > 1 && col("n1") > 1)
+    def d(c: Column) = c.cast("double")
+    def variance(s: Column, ss: Column, n: Column): Column =
+      greatest((d(ss) - d(s) * d(s) / d(n)) / (d(n) - lit(1.0)), lit(0.0))
+    val se = sqrt(variance(col("s0"), col("ss0"), col("n0")) / d(col("n0")) +
+      variance(col("s1"), col("ss1"), col("n1")) / d(col("n1")))
+    val r4 = graft.functions.TextF.round4HalfUp _
+    wide.select(col("event_type"), col("n0"), col("n1"),
+        r4(d(col("s0")) / d(col("n0")) / 1e6).as("mean0"),
+        r4(lit(2.801585) * se / 1e6).as("mde_abs"),
+        r4(lit(2.801585) * se /
+          nullif(d(col("s0")) / d(col("n0")), lit(0.0))).as("mde_rel"))
+      .orderBy("event_type")
+  }
+
+  def mdePower(spark: SparkSession, dir: String): DataFrame =
+    mdePowerOf(Tables.events(spark, dir))
 }

@@ -311,6 +311,59 @@ object Warehouse {
   def lDiversity(spark: SparkSession, dir: String): DataFrame =
     lDiversityOf(Tables.customer(spark, dir))
 
+  /** t-closeness audit — the third privacy gate (Li '07), closing the
+    * [[kanonRiskOf]] → [[lDiversityOf]] chain: a group can be
+    * k-anonymous AND l-diverse yet still leak when its sensitive-value
+    * DISTRIBUTION differs sharply from the table's (skewness attack —
+    * "diverse but 90% high-balance" reveals plenty). Per QI group
+    * (the lDiversity tuple: segment × nation), the total-variation
+    * distance ½·Σ_s |p_g(s) − p(s)| between the group's
+    * account-balance-kilobucket distribution and the global one;
+    * `risky` = tvd > 0.2 (the threshold t, a policy literal). EXACT
+    * integer path: the per-bucket term is |c_gs·N − c_s·n_g| in
+    * decimal(38,0) (c·N crosses int64 at 10⁹ rows), summed over the
+    * DENSE group × bucket grid — absent buckets contribute c_s·n_g
+    * and a sparse join would silently drop them — then ONE double
+    * division by 2·n_g·N, 6 dp half-up.
+    *
+    * Shape: one map-combinable (QI, bucket) fact aggregate; the
+    * margins, the dense cross join, and the fold all ride bounded
+    * frames (groups × buckets — QI vocabularies by construction). */
+  def tClosenessOf(customer: DataFrame, t: Double = 0.2): DataFrame = {
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val dec = "decimal(38,0)"
+    val cells = customer
+      .groupBy(col("c_mktsegment"),
+        col("c_nationkey").cast("int").as("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("cgs"))
+    val groups = cells.groupBy("c_mktsegment", "c_nationkey")
+      .agg(sum("cgs").as("ng"))
+    val svals = cells.groupBy("bal_bucket").agg(sum("cgs").as("cs"))
+    val total = svals.agg(sum("cs").as("n_total"))
+    val dense = groups
+      .crossJoin(broadcast(svals))
+      .crossJoin(broadcast(total)) // 1 row by construction
+      .join(cells, Seq("c_mktsegment", "c_nationkey", "bal_bucket"), "left")
+      .withColumn("c_here", coalesce(col("cgs"), lit(0L)))
+    dense
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        col("ng").as("group_size"), col("n_total"))
+      .agg(sum(expr(s"abs(CAST(c_here AS $dec) * n_total" +
+        s" - CAST(cs AS $dec) * ng)")).as("tsum"))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("group_size"),
+        TextF.round6HalfUp(col("tsum").cast("double") /
+          (lit(2.0) * col("group_size").cast("double") *
+            col("n_total").cast("double"))).as("tvd"),
+        (col("tsum").cast("double") /
+          (lit(2.0) * col("group_size").cast("double") *
+            col("n_total").cast("double")) > t).as("risky"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOf(Tables.customer(spark, dir))
+
   /** Differential-privacy-style noised release of per-group counts: a
     * two-sided geometric perturbation (the discrete Laplace — the
     * standard integer mechanism for count queries) with α = 1/2,

@@ -1880,5 +1880,62 @@ private[graft] object EventOracles {
         |    / (CAST(n AS DOUBLE) * CAST(least(n_types, n_tows) - 1 AS DOUBLE)))
         |    * 1e6 + 0.5) / 1e6 AS cramers_v
         |FROM s""".stripMargin,
+
+    // SRM guardrail: distinct exposed users per md5-parity arm,
+    // integer 1-df chi-square numerator/denominator, one division.
+    "srm_check" ->
+      """WITH ex AS (SELECT DISTINCT event_type, user_id FROM events),
+        |a AS (SELECT event_type,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM ex),
+        |c AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM a GROUP BY 1)
+        |SELECT event_type, n0, n1,
+        |  (n0 * 1000000) // (n0 + n1) AS arm0_ppm,
+        |  floor(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+        |    / CAST(n0 + n1 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS chi2,
+        |  CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+        |    / CAST(n0 + n1 AS DOUBLE) > 3.8415 AS srm
+        |FROM c ORDER BY event_type""".stripMargin,
+
+    // MDE sizing: per-user micro sums, decimal(38,0) moments pivoted
+    // to fixed arm order, one deterministic double sequence.
+    "mde_power" ->
+      """WITH per AS (SELECT event_type, user_id,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS uv
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, uv,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM per),
+        |pa AS (SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(uv AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(uv AS DECIMAL(38,0)) * uv) AS ss
+        |  FROM a GROUP BY 1, 2),
+        |w AS (SELECT event_type,
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+        |    MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+        |    MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+        |    MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+        |  FROM pa GROUP BY 1),
+        |f AS (SELECT event_type, n0, n1,
+        |    sqrt(greatest((CAST(ss0 AS DOUBLE)
+        |          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |        / (CAST(n0 AS DOUBLE) - 1.0), 0.0) / CAST(n0 AS DOUBLE)
+        |      + greatest((CAST(ss1 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |        / (CAST(n1 AS DOUBLE) - 1.0), 0.0) / CAST(n1 AS DOUBLE)) AS se,
+        |    CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0
+        |  FROM w WHERE n0 > 1 AND n1 > 1)
+        |SELECT event_type, n0, n1,
+        |  floor(m0 / 1e6 * 1e4 + 0.5) / 1e4 AS mean0,
+        |  floor(2.801585 * se / 1e6 * 1e4 + 0.5) / 1e4 AS mde_abs,
+        |  floor(2.801585 * se / NULLIF(m0, 0.0) * 1e4 + 0.5) / 1e4 AS mde_rel
+        |FROM f ORDER BY event_type""".stripMargin,
   )
 }

@@ -976,5 +976,34 @@ private[graft] object WarehouseOracles {
         |FROM cd JOIN xm ON cd.xc = xm.xc AND cd.yc = xm.yc
         |JOIN ym ON cd.xc = ym.xc AND cd.yc = ym.yc
         |ORDER BY x_col, y_col""".stripMargin,
+
+    // t-closeness: dense group × bucket grid (absent buckets still
+    // contribute), HUGEINT cross-product terms, one double division.
+    "t_closeness" ->
+      """WITH cells AS (SELECT c_mktsegment,
+        |    CAST(c_nationkey AS INT) AS c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cgs
+        |  FROM customer GROUP BY 1, 2, 3),
+        |g AS (SELECT c_mktsegment, c_nationkey, CAST(SUM(cgs) AS BIGINT) AS ng
+        |  FROM cells GROUP BY 1, 2),
+        |s AS (SELECT bal_bucket, CAST(SUM(cgs) AS BIGINT) AS cs
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cs) AS BIGINT) AS n_total FROM s),
+        |d AS (SELECT g.c_mktsegment, g.c_nationkey, g.ng, t.n_total, s.cs,
+        |    COALESCE(c.cgs, 0) AS c_here
+        |  FROM g CROSS JOIN s CROSS JOIN t
+        |  LEFT JOIN cells c ON c.c_mktsegment = g.c_mktsegment
+        |    AND c.c_nationkey = g.c_nationkey AND c.bal_bucket = s.bal_bucket),
+        |f AS (SELECT c_mktsegment, c_nationkey, ng AS group_size, n_total,
+        |    SUM(abs(CAST(c_here AS HUGEINT) * n_total
+        |      - CAST(cs AS HUGEINT) * ng)) AS tsum
+        |  FROM d GROUP BY 1, 2, 3, 4)
+        |SELECT c_mktsegment, c_nationkey, group_size,
+        |  floor(CAST(tsum AS DOUBLE) / (2.0 * CAST(group_size AS DOUBLE)
+        |    * CAST(n_total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS tvd,
+        |  CAST(tsum AS DOUBLE) / (2.0 * CAST(group_size AS DOUBLE)
+        |    * CAST(n_total AS DOUBLE)) > 0.2 AS risky
+        |FROM f ORDER BY c_mktsegment, c_nationkey""".stripMargin,
   )
 }

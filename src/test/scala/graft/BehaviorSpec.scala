@@ -939,4 +939,74 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       1 -> ((8L, 2L, 2.0)),
       2 -> ((7L, 10L, 1.25))), s"got ${out.toSeq}")
   }
+
+  test("srm check: duplicate exposures dedup, planted one-arm logging flags srm") {
+    val users = (0L until 20L)
+    val armOf = users.toDF("user_id")
+      .select(col("user_id"), Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n0 = armOf.values.count(_ == 0L).toLong
+    val n1 = 20L - n0
+    assert(n0 >= 4 && n1 >= 4, s"md5 parity should roughly balance: $n0/$n1")
+    // "view": every user logged TWICE (the distinct must collapse);
+    // "click": only arm-0 users logged → a total one-arm SRM.
+    val rows = users.flatMap { u =>
+      Seq((u, "view", "2024-01-10 10:00:00"), (u, "view", "2024-01-10 11:00:00")) ++
+        (if (armOf(u) == 0L) Seq((u, "click", "2024-01-10 12:00:00")) else Nil)
+    }
+    val got = Behavior.srmCheckOf(eventsDf(rows: _*)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    val d = n0 - n1
+    val chi2View = math.floor(
+      (d * d).toDouble / 20.0 * 1e4 + 0.5) / 1e4
+    assert(got("view") == ((n0, n1, n0 * 1000000L / 20L, chi2View,
+      (d * d).toDouble / 20.0 > 3.8415)), s"view: ${got("view")}")
+    // one-arm logging: chi2 = n0² / n0 = n0 > 3.8415 → srm
+    assert(got("click") == ((n0, 0L, 1000000L, n0.toDouble, true)),
+      s"click: ${got("click")}")
+  }
+
+  test("mde power: planted per-user variance reproduces the hand-computed MDE; tiny arms drop") {
+    val users = (0L until 20L)
+    val armOf = users.toDF("user_id")
+      .select(col("user_id"), Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-user value: 10.0 ± 1.0 by user parity (both arms see both
+    // signs); each user logs TWO events of 5.0∓... split across two
+    // events so the per-user SUM is the unit that carries the spread.
+    def uv(u: Long): Double = if (u % 2 == 0) 9.0 else 11.0
+    val rows = users.flatMap { u =>
+      Seq((u, "purchase", "2024-01-10 10:00:00", uv(u) - 4.0),
+        (u, "purchase", "2024-01-10 11:00:00", 4.0)) ++
+        // a type with a single user per arm → must be dropped
+        (if (u == 0L) Seq((u, "tiny", "2024-01-10 10:00:00", 1.0)) else Nil)
+    }
+    val ev = rows.toDF("user_id", "event_type", "t", "value")
+      .select(lit(0L).as("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    val got = Behavior.mdePowerOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(!got.contains("tiny"), "single-user arms carry no variance estimate")
+    // hand-compute with the same double sequence over micro sums
+    def moments(arm: Long) = {
+      val vs = users.filter(armOf(_) == arm)
+        .map(u => math.floor((uv(u) - 4.0) * 1e6 + 0.5).toLong + 4000000L)
+      val n = vs.size.toDouble
+      val s = vs.map(BigDecimal(_)).sum
+      val ss = vs.map(v => BigDecimal(v) * BigDecimal(v)).sum
+      (n, s.toDouble, ss.toDouble)
+    }
+    val (na, sa, ssa) = moments(0L); val (nb, sb, ssb) = moments(1L)
+    def varOf(n: Double, s: Double, ss: Double) =
+      math.max((ss - s * s / n) / (n - 1.0), 0.0)
+    val se = math.sqrt(varOf(na, sa, ssa) / na + varOf(nb, sb, ssb) / nb)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val exp = (na.toLong, nb.toLong, r4(sa / na / 1e6),
+      r4(2.801585 * se / 1e6), r4(2.801585 * se / (sa / na)))
+    assert(got("purchase") == exp, s"got ${got("purchase")}, want $exp")
+  }
 }

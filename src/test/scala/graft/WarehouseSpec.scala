@@ -480,4 +480,25 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
       Seq("o_custkey"), "left_anti").count()
     assert(orphans > 0, "an uncoordinated sample must orphan orders")
   }
+
+  test("t-closeness: absent buckets count, matching group reads 0, skew flags risky") {
+    import spark.implicits._
+    // buckets: bal 500 → 0, bal 1500 → 1. Global: 4×b0, 4×b1 (N=8).
+    // A: 2×b1 only (b0 ABSENT — the dense grid must still charge it):
+    //   tvd = ½(|0−½| + |1−½|) = 0.5 → risky.
+    // B: 3×b0 + 1×b1: tvd = ½(¼+¼) = 0.25 → risky.
+    // C: 1×b0 + 1×b1 = the global mix exactly: tvd = 0 → clean.
+    val cust = Seq(
+      (1L, "c", 1, 1500.0, "A"), (2L, "c", 1, 1500.0, "A"),
+      (3L, "c", 1, 500.0, "B"), (4L, "c", 1, 500.0, "B"),
+      (5L, "c", 1, 500.0, "B"), (6L, "c", 1, 1500.0, "B"),
+      (7L, "c", 1, 500.0, "C"), (8L, "c", 1, 1500.0, "C"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val got = graft.operators.Warehouse.tClosenessOf(cust).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got("A") == ((2L, 0.5, true)), s"A: ${got("A")}")
+    assert(got("B") == ((4L, 0.25, true)), s"B: ${got("B")}")
+    assert(got("C") == ((2L, 0.0, false)), s"C: ${got("C")}")
+  }
 }
