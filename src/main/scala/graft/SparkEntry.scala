@@ -353,6 +353,11 @@ object SparkEntry {
     "srm_check"         -> (Behavior.srmCheck(_, _)),
     "mde_power"         -> (Behavior.mdePower(_, _)),
     "t_closeness"       -> (Warehouse.tCloseness(_, _)),
+    // Round-12 fifteenth tranche: price indices, DB cluster validity,
+    // readability (rows 331-333)
+    "fisher_price_index" -> (Warehouse.fisherPriceIndex(_, _)),
+    "davies_bouldin"    -> (Cluster.daviesBouldin(_, _)),
+    "readability"       -> (TextAnalysis.readability(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

@@ -362,6 +362,76 @@ object Cluster {
   def centroidSeparation(spark: SparkSession, dir: String): DataFrame =
     centroidSeparationOf(Tables.embeddings(spark, dir))
 
+  /** Davies–Bouldin validity per cluster over [[kmeansEmbedOf]]'s
+    * final geometry — the scatter-over-separation read that completes
+    * the cluster-evaluation trio ([[silhouetteOf]] scores POINTS,
+    * [[centroidSeparationOf]] reports raw GEOMETRY; DB '79 combines
+    * them: for each cluster the worst (Sᵢ+Sⱼ)/Mᵢⱼ over other clusters
+    * j, where S is mean within-cluster centroid distance and M the
+    * centroid-pair distance — a term near/above 1 reads "cluster i
+    * overlaps its neighbor j; merge or re-k before [[semDedupOf]]
+    * trusts the cells"). Cosine distances throughout (1 − the 6-dp
+    * assignment-contract cosine). Sᵢ quantizes member distances to
+    * 1e-6 ints before the mean (order-blind integer sums, the
+    * silhouette move); the per-pair ratio is a fixed double sequence
+    * on the bounded k×k frame; the worst-j pick is a (ratio DESC,
+    * j) row_number so ties break deterministically on both engines.
+    * Coincident centroids (M = 0) null the pair via nullif rather
+    * than dividing by zero; 6 dp half-up.
+    *
+    * Shape: the SAME k-row centroid broadcast + rank-1 scoring pass
+    * as the assignment (one fact-wide scan, map-combinable member
+    * stats); everything after — the k×k pair cross, the joins, the
+    * worst-j window — rides k-bounded frames. */
+  def daviesBouldinOf(embeddings: DataFrame, k: Int = K,
+                      iters: Int = Iterations): DataFrame = {
+    require(k >= 2 && iters > 0, s"need k >= 2 and iters > 0, got k=$k iters=$iters")
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val seeds = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val cents = (1 until iters).foldLeft(seeds) { (c, _) =>
+      recenter(assign(vecs, c))
+    }.localCheckpoint(false) // scored against AND pair-crossed
+    val byScore = Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("c_id"))
+    val own = vecs.join(broadcast(cents)) // k rows — bounded
+      .select(col("vec_id"), col("c_id"),
+        round(VectorF.cosineSim(col("emb"), col("c_emb")), 6).as("cs"))
+      .filter(col("cs").isNotNull)
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") === 1)
+    val si = own.groupBy(col("c_id").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor((lit(1.0) - col("cs")) * 1e6 + 0.5).cast("long")).as("ssum"))
+      .select(col("cluster"), col("n"),
+        (col("ssum").cast("double") / 1e6 / col("n").cast("double")).as("s"))
+    val pairs = cents.select(col("c_id").as("ci"), col("c_emb").as("ei"))
+      .join(broadcast(cents.select(col("c_id").as("cj"), col("c_emb").as("ej"))))
+      .filter(col("ci") =!= col("cj"))
+      .select(col("ci"), col("cj"),
+        (lit(1.0) - round(VectorF.cosineSim(col("ei"), col("ej")), 6)).as("mij"))
+    val terms = pairs
+      .join(broadcast(si.select(col("cluster").as("ci"),
+        col("n").as("n_i"), col("s").as("s_i"))), Seq("ci"))
+      .join(broadcast(si.select(col("cluster").as("cj"),
+        col("s").as("s_j"))), Seq("cj"))
+      .select(col("ci"), col("cj"), col("n_i"), col("s_i"),
+        ((col("s_i") + col("s_j")) / nullif(col("mij"), lit(0.0))).as("ratio"))
+    val byRatio = Window.partitionBy("ci")
+      .orderBy(col("ratio").desc_nulls_last, col("cj"))
+    terms.withColumn("rn", row_number().over(byRatio))
+      .filter(col("rn") === 1)
+      .select(col("ci").as("cluster"), col("n_i").as("n"),
+        graft.functions.TextF.round4HalfUp(col("s_i")).as("scatter"),
+        col("cj").as("worst_other"),
+        graft.functions.TextF.round6HalfUp(col("ratio")).as("db_term"))
+      .orderBy("cluster")
+  }
+
+  def daviesBouldin(spark: SparkSession, dir: String): DataFrame =
+    daviesBouldinOf(Tables.embeddings(spark, dir))
+
   /** Topic labels for the embedding clusters: the top keyness terms of
     * each kmeans cell's documents vs the rest of the corpus — the
     * human-readable "what IS cluster 3" read that turns row 62's

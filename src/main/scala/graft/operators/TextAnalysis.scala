@@ -373,4 +373,40 @@ object TextAnalysis {
 
   def scriptMix(spark: SparkSession, dir: String): DataFrame =
     scriptMixOf(Tables.documents(spark, dir))
+
+  /** Per-document readability via the Coleman–Liau index — the
+    * syllable-free member of the readability family (CLI = 0.0588·L −
+    * 0.296·S − 15.8 with L = letters per 100 words, S = sentences per
+    * 100 words: Coleman & Liau '75 fit it to cloze scores on LETTER
+    * counts precisely so machines could score text without a
+    * hyphenation dictionary — the right variant for a corpus
+    * pipeline, and a quality-gate input alongside the stopword/punct
+    * ratios of `quality_score`). Letters = [A-Za-z] runs (the
+    * `scriptMixOf` class convention), words = the whitespace tokens
+    * every counter here shares, sentences = runs of [.!?] clamped to
+    * ≥1 so headline-style fragments score rather than divide by zero.
+    * The only doubles are the final three-term literal combination in
+    * ONE fixed sequence, 4 dp half-up; empty-token docs drop.
+    *
+    * Shape: map-only over the document scan — three codegen'd regex
+    * passes, no shuffle, no state; trivially linear at any corpus
+    * size. */
+  def readabilityOf(docs: DataFrame): DataFrame = {
+    val counted = docs.select(col("doc_id"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+          .cast("long").as("n_letters"),
+        TextF.tokenCount(col("text")).cast("long").as("n_words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sents"))
+      .filter(col("n_words") > 0)
+    def d(c: Column) = c.cast("double")
+    val cli = lit(0.0588) * (d(col("n_letters")) * 100.0 / d(col("n_words"))) -
+      lit(0.296) * (d(col("n_sents")) * 100.0 / d(col("n_words"))) - lit(15.8)
+    counted.select(col("doc_id"), col("n_letters"), col("n_words"),
+        col("n_sents"), TextF.round4HalfUp(cli).as("cli"))
+      .orderBy("doc_id")
+  }
+
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOf(Tables.documents(spark, dir))
 }

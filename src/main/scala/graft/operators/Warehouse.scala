@@ -1018,4 +1018,65 @@ object Warehouse {
 
   def abcClassification(spark: SparkSession, dir: String): DataFrame =
     abcClassificationOf(Tables.lineitem(spark, dir))
+
+  /** Monthly Laspeyres / Paasche / Fisher price indices vs the base
+    * (earliest) month — the index-number read behind every "is
+    * revenue up because of PRICES or because of volume" deflation
+    * ([[priceVolumeMixOf]] decomposes one period pair additively;
+    * index numbers track the whole series multiplicatively, and
+    * Fisher = √(L·P) is the standard compromise between base-weighted
+    * L and current-weighted P). Per (part, month): exact cent revenue
+    * and integer quantity; the implied unit value e/q is the price.
+    * L's denominator Σp₀q₀ and P's numerator Σp₁q₁ are EXACT cent
+    * sums (p·q at a period's own weights IS that period's revenue);
+    * only the two cross terms p₁q₀ / p₀q₁ need floats — each
+    * quantized per part to the 10⁻⁴-cent grid (floor(e/q·q'·10⁴+0.5),
+    * one fixed double sequence) so the month sums are order-blind
+    * integer sums in decimal(38,0) (the ×1000 headroom rule: a 10⁹
+    * part dimension crosses int64). One division per index, √ is one
+    * correctly-rounded IEEE op, 6 dp half-up. Only parts present in
+    * BOTH months enter (the matched-basket convention).
+    *
+    * Shape: one map-combinable (part, month) fact aggregate; a
+    * part-keyed equijoin of the month frame to the 1-row-broadcast-
+    * selected base frame (both sides part-dimension-sized — scales
+    * with the corpus, AQE-planned); the index algebra rides the
+    * bounded |months| frame. */
+  def fisherPriceIndexOf(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = lineitem
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("ec"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("l_partkey", "month")
+      .agg(sum("ec").as("ec"), sum("q").as("q"))
+      .filter(col("q") > 0)
+    val base = per.agg(min("month").as("bm"))
+    val b = per.crossJoin(broadcast(base)) // 1 row by construction
+      .filter(col("month") === col("bm"))
+      .select(col("l_partkey"), col("ec").as("ec0"), col("q").as("q0"))
+    val cur = per.crossJoin(broadcast(base))
+      .filter(col("month") =!= col("bm")).drop("bm")
+    val j = cur.join(b, Seq("l_partkey"))
+    def d(c: Column) = c.cast("double")
+    val lterm = floor(d(col("ec")) / d(col("q")) * d(col("q0")) * 1e4 + 0.5)
+    val pterm = floor(d(col("ec0")) / d(col("q0")) * d(col("q")) * 1e4 + 0.5)
+    val agg = j.groupBy("month")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(lterm.cast(dec)).as("lnum"),
+        sum(col("ec0").cast(dec)).as("lden"),
+        sum(col("ec").cast(dec)).as("pnum"),
+        sum(pterm.cast(dec)).as("pden"))
+    val lIdx = (d(col("lnum")) / 1e4) / d(col("lden"))
+    val pIdx = d(col("pnum")) / (d(col("pden")) / 1e4)
+    agg.select(col("month"), col("n_parts"),
+        TextF.round6HalfUp(lIdx).as("laspeyres"),
+        TextF.round6HalfUp(pIdx).as("paasche"),
+        TextF.round6HalfUp(sqrt(lIdx * pIdx)).as("fisher"))
+      .orderBy("month")
+  }
+
+  def fisherPriceIndex(spark: SparkSession, dir: String): DataFrame =
+    fisherPriceIndexOf(Tables.lineitem(spark, dir))
 }

@@ -970,5 +970,23 @@ private[graft] object CorpusOracles {
         |  (498,89,350,3.9326), (499,33,119,3.6061))
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_subwords AS BIGINT) AS n_subwords, CAST(fertility AS DOUBLE) AS fertility
         |FROM r""".stripMargin,
+
+    // Coleman–Liau per doc: letter/word/sentence integer counts, one
+    // fixed three-term double sequence, 4 dp.
+    "readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+        |      AS n_letters,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |      AS n_sents
+        |  FROM documents)
+        |SELECT doc_id, n_letters, n_words, n_sents,
+        |  floor((0.0588 * (CAST(n_letters AS DOUBLE) * 100.0
+        |      / CAST(n_words AS DOUBLE))
+        |    - 0.296 * (CAST(n_sents AS DOUBLE) * 100.0
+        |      / CAST(n_words AS DOUBLE)) - 15.8) * 1e4 + 0.5) / 1e4 AS cli
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -875,5 +875,50 @@ private[graft] object SimilarityOracles {
         |    / 1e4 AS mean_silhouette,
         |  CAST(MIN(sq) AS DOUBLE) / 1e6 AS min_silhouette
         |FROM q GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // Davies–Bouldin per cluster: SAME c0→a1→c1 chain, rank-1 member
+    // scatter on the 1e-6 grid, k×k pair ratios, (ratio DESC, j) pick.
+    "davies_bouldin" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+        |s1 AS (SELECT e.vec_id, e.emb, c0.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c0.c_emb), 6) AS cs
+        |       FROM e, c0),
+        |a1 AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s1) WHERE rn = 1),
+        |m AS (SELECT cluster, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |      FROM a1, generate_series(1, 64) AS g(i) GROUP BY cluster, i),
+        |c1 AS (SELECT cluster AS c_id, list(v ORDER BY i) AS c_emb FROM m GROUP BY cluster),
+        |s2 AS (SELECT e.vec_id, c1.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c1.c_emb), 6) AS cs
+        |       FROM e, c1),
+        |r AS (SELECT vec_id, c_id, cs,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |      FROM s2 WHERE cs IS NOT NULL AND NOT isnan(cs)),
+        |st AS (SELECT c_id AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(CAST(floor((1.0 - cs) * 1e6 + 0.5) AS BIGINT)) AS ssum
+        |      FROM r WHERE rn = 1 GROUP BY 1),
+        |si AS (SELECT cluster, n,
+        |        CAST(ssum AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS s FROM st),
+        |pr AS (SELECT a.c_id AS ci, b.c_id AS cj,
+        |        1.0 - ROUND(list_cosine_similarity(a.c_emb, b.c_emb), 6) AS mij
+        |      FROM c1 a JOIN c1 b ON a.c_id <> b.c_id),
+        |t AS (SELECT pr.ci, pr.cj, i.n AS n_i, i.s AS s_i,
+        |        (i.s + j.s) / NULLIF(pr.mij, 0.0) AS ratio
+        |      FROM pr JOIN si i ON i.cluster = pr.ci
+        |      JOIN si j ON j.cluster = pr.cj),
+        |w AS (SELECT ci, cj, n_i, s_i, ratio,
+        |        ROW_NUMBER() OVER (PARTITION BY ci
+        |          ORDER BY ratio DESC NULLS LAST, cj) AS rn
+        |      FROM t)
+        |SELECT ci AS cluster, n_i AS n,
+        |  floor(s_i * 1e4 + 0.5) / 1e4 AS scatter,
+        |  cj AS worst_other,
+        |  floor(ratio * 1e6 + 0.5) / 1e6 AS db_term
+        |FROM w WHERE rn = 1 ORDER BY cluster""".stripMargin,
   )
 }

@@ -1005,5 +1005,38 @@ private[graft] object WarehouseOracles {
         |  CAST(tsum AS DOUBLE) / (2.0 * CAST(group_size AS DOUBLE)
         |    * CAST(n_total AS DOUBLE)) > 0.2 AS risky
         |FROM f ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // Price indices vs the base month: exact cent own-weight sums,
+    // 1e-4-cent-quantized cross terms, HUGEINT month sums, one
+    // division per index, IEEE sqrt for Fisher.
+    "fisher_price_index" ->
+      """WITH per AS (SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS ec,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 0),
+        |bm AS (SELECT MIN(month) AS bm FROM per),
+        |b AS (SELECT l_partkey, ec AS ec0, q AS q0 FROM per, bm WHERE month = bm),
+        |cur AS (SELECT per.l_partkey, per.month, per.ec, per.q
+        |  FROM per, bm WHERE month <> bm),
+        |j AS (SELECT cur.month, cur.ec, cur.q, b.ec0, b.q0
+        |  FROM cur JOIN b USING (l_partkey)),
+        |a AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |    SUM(CAST(floor(CAST(ec AS DOUBLE) / CAST(q AS DOUBLE)
+        |      * CAST(q0 AS DOUBLE) * 1e4 + 0.5) AS HUGEINT)) AS lnum,
+        |    SUM(CAST(ec0 AS HUGEINT)) AS lden,
+        |    SUM(CAST(ec AS HUGEINT)) AS pnum,
+        |    SUM(CAST(floor(CAST(ec0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+        |      * CAST(q AS DOUBLE) * 1e4 + 0.5) AS HUGEINT)) AS pden
+        |  FROM j GROUP BY 1)
+        |SELECT month, n_parts,
+        |  floor((CAST(lnum AS DOUBLE) / 1e4) / CAST(lden AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS laspeyres,
+        |  floor(CAST(pnum AS DOUBLE) / (CAST(pden AS DOUBLE) / 1e4)
+        |    * 1e6 + 0.5) / 1e6 AS paasche,
+        |  floor(sqrt((CAST(lnum AS DOUBLE) / 1e4) / CAST(lden AS DOUBLE)
+        |    * (CAST(pnum AS DOUBLE) / (CAST(pden AS DOUBLE) / 1e4)))
+        |    * 1e6 + 0.5) / 1e6 AS fisher
+        |FROM a ORDER BY month""".stripMargin,
   )
 }

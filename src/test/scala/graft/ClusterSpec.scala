@@ -194,4 +194,36 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     val curve = got5.drop(1).map(_.getDouble(2))
     assert(curve.zip(curve.tail).forall { case (a, b) => a >= b }, curve.toSeq.toString)
   }
+
+  test("davies-bouldin: orthogonal zero-scatter clusters score 0; a boundary point raises exactly one term") {
+    import spark.implicits._
+    // k=2, iters=1 → centroids are the seeds (0,1). Clusters are
+    // exact duplicates of their seed → scatter 0, M = 1 − 0 = 1,
+    // every term (0+0)/1 = 0.
+    val clean = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Cluster.daviesBouldinOf(clean, k = 2, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq((0L, 2L, 0.0, 1L, 0.0), (1L, 2L, 0.0, 0L, 0.0)),
+      s"got ${got.toSeq}")
+    // add a 45° point: cs ties at 0.707107 on both seeds → c_id
+    // tiebreak assigns cluster 0; its scatter and BOTH db terms move
+    // (the term is symmetric in S_i + S_j), cluster 1's scatter not.
+    val skew = clean.unionAll(
+      Seq((4L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding"))
+    val g2 = Cluster.daviesBouldinOf(skew, k = 2, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    // expected with the operator's own double sequence
+    val sq = math.floor((1.0 - 0.707107) * 1e6 + 0.5).toLong
+    val s0 = sq.toDouble / 1e6 / 3.0
+    def f4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val term = f6((s0 + 0.0) / 1.0)
+    assert(g2.toSeq == Seq((0L, 3L, f4(s0), 1L, term),
+      (1L, 2L, 0.0, 0L, term)), s"got ${g2.toSeq}")
+  }
 }

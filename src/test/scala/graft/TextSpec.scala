@@ -153,4 +153,24 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(out("zh") == ((0L, 1000000L, 0L)))
     assert(out("ru") == ((400000L, 0L, 400000L)), s"2/5 each: $out")
   }
+
+  test("readability: hand-counted CLI, sentence clamp, digits excluded from letters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // 18 letters, 6 words, 2 sents
+      (2L, "no terminal punctuation here"), // clamp: n_sents = 1
+      (3L, "a1b2 c3?! d4.")) // digits are not letters: 4 letters
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.readabilityOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def cli(l: Long, w: Long, s: Long): Double = {
+      val x = 0.0588 * (l.toDouble * 100.0 / w.toDouble) -
+        0.296 * (s.toDouble * 100.0 / w.toDouble) - 15.8
+      math.floor(x * 1e4 + 0.5) / 1e4
+    }
+    assert(got(1L) == ((18L, 6L, 2L, cli(18, 6, 2))), s"got ${got(1L)}")
+    assert(got(2L) == ((25L, 4L, 1L, cli(25, 4, 1))), s"got ${got(2L)}")
+    assert(got(3L) == ((4L, 3L, 2L, cli(4, 3, 2))), s"got ${got(3L)}")
+  }
 }

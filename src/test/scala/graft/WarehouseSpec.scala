@@ -501,4 +501,27 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(got("B") == ((4L, 0.25, true)), s"B: ${got("B")}")
     assert(got("C") == ((2L, 0.0, false)), s"C: ${got("C")}")
   }
+
+  test("fisher price index: planted price doubling reads L=1.5 P=1.667 F=√(LP); unmatched parts drop") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"$s 00:00:00")
+    // base 2000-01: part1 q=10 @$1 (ext 10), part2 q=5 @$2 (ext 10).
+    // 2000-02: part1 q=20 @$2 (ext 40), part2 q=5 @$2 (ext 10);
+    // part3 sells ONLY in 2000-02 → matched basket excludes it.
+    // L = (2·10 + 2·5)/(1·10 + 2·5) = 1.5
+    // P = (2·20 + 2·5)/(1·20 + 2·5) = 5/3
+    val li = Seq(
+      (1L, t("2000-01-05"), 10.0, 10.0), (2L, t("2000-01-06"), 5.0, 10.0),
+      (1L, t("2000-02-05"), 20.0, 40.0), (2L, t("2000-02-06"), 5.0, 10.0),
+      (3L, t("2000-02-07"), 7.0, 70.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    val got = graft.operators.Warehouse.fisherPriceIndexOf(li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val l = 1.5; val p = 50.0 / 30.0
+    assert(got.toSeq == Seq(("2000-02", 2L, f6(l), f6(p),
+      f6(math.sqrt(l * p)))), s"got ${got.toSeq}")
+  }
 }
