@@ -358,6 +358,13 @@ object SparkEntry {
     "fisher_price_index" -> (Warehouse.fisherPriceIndex(_, _)),
     "davies_bouldin"    -> (Cluster.daviesBouldin(_, _)),
     "readability"       -> (TextAnalysis.readability(_, _)),
+    // Round-12 sixteenth tranche: survival effect size, source
+    // distribution distance, Zipf fit, value reconciliation
+    // (rows 334-337)
+    "rmst_arms"         -> (Behavior.rmstArms(_, _)),
+    "hellinger_matrix"  -> (CorpusStats.hellingerMatrix(_, _)),
+    "zipf_slope"        -> (CorpusStats.zipfSlope(_, _)),
+    "order_reconcile"   -> (Warehouse.orderReconcile(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

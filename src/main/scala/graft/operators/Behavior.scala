@@ -1713,6 +1713,93 @@ object Behavior {
   def logrankTest(spark: SparkSession, dir: String): DataFrame =
     logrankTestOf(Tables.events(spark, dir))
 
+  /** Restricted mean survival time (RMST) per md5-parity arm — the
+    * EFFECT SIZE the survival A/B family was missing ([[logrankTestOf]]
+    * says "the curves differ", hazard ratios assume proportionality;
+    * RMST(τ) = ∫₀^τ S(t)dt is "mean days retained within the first τ
+    * days", a number in DAYS whose arm difference is directly a
+    * retention gain — Royston-Parmar's recommended readout exactly
+    * because it stays valid when hazards cross). S is Kaplan-Meier on
+    * [[churnLifetableOf]]'s day-grained risk sets; the integral is the
+    * exact step-function area Σ S(tᵢ₋₁)·(min(tᵢ,τ) − tᵢ₋₁) plus the
+    * tail S(t_last)·(τ − t_last).
+    *
+    * Determinism (the cross-engine product problem): each KM factor is
+    * 1 − (d·10⁹ div n)/10⁹ — an integer division, then ONE exact-int
+    * cast and one IEEE division, so both engines hold bit-equal
+    * factors; the running product folds those doubles in ascending
+    * duration order on BOTH engines (here a `functions.aggregate`
+    * left-fold over the per-arm sorted step array; the oracle a
+    * recursive CTE walking the same order — multiplication order
+    * fixed, hence bit-equal), and each step's area quantizes S to the
+    * 1e-9 grid so the accumulating sum is decimal-integer. The HOF
+    * fold is interpreted (no codegen) but runs on the BOUNDED per-arm
+    * step array (≤ day-span rows), never the fact stream.
+    *
+    * Shape: ONE user-keyed fact aggregate (the [[logrankTestOf]]
+    * shuffle); the life table, fold, and integral all live on the
+    * bounded (arm × durations) frame. */
+  def rmstArmsOf(events: DataFrame, censorDays: Int = 7,
+                 horizonDays: Int = 28): DataFrame = {
+    require(censorDays > 0 && horizonDays > 0,
+      s"need positive censorDays/horizonDays, got $censorDays/$horizonDays")
+    val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))
+    val durations = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(maxDay)) // 1 row by construction
+      .groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"),
+        first("report_date").as("report_date"))
+      .select(
+        datediff(col("last_day"), col("first_day")).cast("long")
+          .as("duration"),
+        when(datediff(col("report_date"), col("last_day")) < censorDays, 1L)
+          .otherwise(0L).as("censored"),
+        arm2(col("user_id")).as("arm"))
+    val byDur = durations.groupBy("arm", "duration")
+      .agg(sum(lit(1L) - col("censored")).as("d"), count(lit(1)).as("t"))
+    val riskW = Window.partitionBy("arm").orderBy(col("duration"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val steps = byDur
+      .withColumn("n", sum("t").over(riskW))
+      .filter(col("d") > 0)
+      .select(col("arm"), col("duration"),
+        ((lit(1000000000L) - expr("(d * 1000000000L) div n"))
+          .cast("double") / 1e9).as("f"))
+    val users = durations.groupBy("arm").agg(count(lit(1)).as("n_users"))
+    val packed = steps.groupBy("arm")
+      .agg(array_sort(collect_list(struct(col("duration"), col("f"))))
+        .as("arr"))
+    users.join(packed, Seq("arm"), "left")
+      .withColumn("arr2", coalesce(col("arr"),
+        expr("CAST(array() AS ARRAY<STRUCT<duration: BIGINT, f: DOUBLE>>)")))
+      .withColumn("rmst_q", expr(
+        s"""aggregate(arr2,
+           |  named_struct('s', CAST(1.0 AS DOUBLE), 'tp', 0L,
+           |    'tot', CAST(0 AS DECIMAL(38,0))),
+           |  (acc, x) -> named_struct(
+           |    's', acc.s * x.f,
+           |    'tp', x.duration,
+           |    'tot', acc.tot
+           |      + CAST(CAST(floor(acc.s * 1e9 + 0.5) AS BIGINT)
+           |          AS DECIMAL(38,0))
+           |      * CAST(least(x.duration, ${horizonDays}L)
+           |          - least(acc.tp, ${horizonDays}L) AS DECIMAL(38,0))),
+           |  acc -> acc.tot
+           |    + CAST(CAST(floor(acc.s * 1e9 + 0.5) AS BIGINT)
+           |        AS DECIMAL(38,0))
+           |    * CAST(${horizonDays}L - least(acc.tp, ${horizonDays}L)
+           |        AS DECIMAL(38,0)))""".stripMargin))
+      .select(col("arm"), col("n_users"),
+        coalesce(size(col("arr")), lit(0)).cast("long").as("n_steps"),
+        graft.functions.TextF.round6HalfUp(
+          col("rmst_q").cast("double") / 1e9).as("rmst_days"))
+      .orderBy("arm")
+  }
+
+  def rmstArms(spark: SparkSession, dir: String): DataFrame =
+    rmstArmsOf(Tables.events(spark, dir))
+
   /** Cramér's V over the event-type × time-of-week contingency table —
     * [[chi2ContingencyOf]]'s one-number summary (that query reports
     * per-cell χ² contributions; V = √(χ²/(n·(min(r,c)−1))) normalizes

@@ -1317,4 +1317,121 @@ object CorpusStats {
 
   def heapsCurve(spark: SparkSession, dir: String): DataFrame =
     heapsCurveOf(Tables.documents(spark, dir))
+
+  /** Pairwise Hellinger distance between source unigram
+    * distributions — the DISTRIBUTIONAL twin of `vocab_overlap`
+    * (Jaccard asks "do the sources share types?"; Hellinger asks "do
+    * they USE the shared types at the same rates?" — two sources can
+    * share 90% of their vocabulary and still be distributionally
+    * alien, which is what a mixture design actually cares about).
+    * BC(P,Q) = Σ√(pᵢqᵢ) is the Bhattacharyya affinity; H = √(1−BC)
+    * ∈ [0,1]. Tokens absent from either side contribute exactly 0, so
+    * the inner join IS the dense sum.
+    *
+    * Determinism: pᵢqᵢ = (cᵃ·cᵇ)/(Nᵃ·Nᵇ) rides ONE fixed double
+    * sequence (two exact-int multiplies — counts < 2⁵³ — one divide,
+    * one correctly-rounded IEEE √), each term quantized to the 1e-9
+    * grid so the cross-vocabulary sum is a decimal(38,0) order-blind
+    * integer sum (the ×1000 headroom rule: 10⁸ shared types × 1e9
+    * crosses int64); BC and H render 6 dp half-up at the edge.
+    *
+    * Shape: one token-explode count is the fact-sized shuffle; the
+    * pair cross is a token-keyed equijoin of the per-source vocab
+    * frame with itself (vocab-sized, never doc-sized — the
+    * `vocab_overlap` shape) with bounded per-source totals broadcast
+    * back; output is |sources|²/2 rows. */
+  def hellingerMatrixOf(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = docs
+      .select(col("source"), explode(TextF.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum("c").as("n")) // bounded
+    val pairs = counts
+      .select(col("source").as("source_a"), col("token"), col("c").as("ca"))
+      .join(counts.select(col("source").as("source_b"), col("token"),
+        col("c").as("cb")), Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .join(broadcast(totals.select(col("source").as("source_a"),
+        col("n").as("na"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("source").as("source_b"),
+        col("n").as("nb"))), Seq("source_b"))
+    def d(c: Column) = c.cast("double")
+    val termQ = floor(sqrt(d(col("ca")) * d(col("cb"))
+      / (d(col("na")) * d(col("nb")))) * 1e9 + 0.5).cast("long")
+    val sums = pairs.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"), sum(termQ.cast(dec)).as("bcq"))
+    // Dense pair scaffold off the bounded totals frame: a fully
+    // DISJOINT pair must still publish (n_shared = 0, H = 1) — the
+    // inner term join alone would silently drop exactly the most
+    // alien pairs.
+    val scaffold = totals.select(col("source").as("source_a"))
+      .crossJoin(broadcast(totals.select(col("source").as("source_b"))))
+      .filter(col("source_a") < col("source_b")) // bounded: |sources|²
+    scaffold.join(sums, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        TextF.round6HalfUp(
+          coalesce(d(col("bcq")), lit(0.0)) / 1e9).as("bhattacharyya"),
+        TextF.round6HalfUp(
+          sqrt(greatest(lit(0.0),
+            lit(1.0) - coalesce(d(col("bcq")), lit(0.0)) / 1e9)))
+          .as("hellinger"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def hellingerMatrix(spark: SparkSession, dir: String): DataFrame =
+    hellingerMatrixOf(Tables.documents(spark, dir))
+
+  /** Zipf rank-frequency slope per source on the DOUBLING grid — the
+    * one-number "is this source natural language" read behind
+    * `coverage_curve` (a Zipfian corpus reads slope ≈ −1 in log-log;
+    * machine-generated or boilerplate-heavy sources flatten or
+    * cliff). Fitting log f on log rank needs logs — banned libm — so
+    * both axes quantize to their ⌊log₂⌋ bucket via the BINARY-string
+    * trick (`length(bin(n)) − 1`, the `token_len_histogram` move) and
+    * the fit is token-WEIGHTED least squares over the integer grid:
+    * slope = (WΣxy − ΣxΣy)/(WΣx² − (Σx)²) with every sum exact (x, y
+    * ≤ 63, products in decimal(38,0) for the 10⁸-type headroom), ONE
+    * double division for the slope and one fixed two-term chain for
+    * the intercept, 6 dp. Degenerate sources (< 2 distinct rank
+    * buckets) null via nullif rather than fake a fit.
+    *
+    * Shape: one token-explode count (the fact shuffle); the
+    * within-source rank rides [[graft.Scale.groupedTwoPhaseRank]] —
+    * a plain Window.partitionBy(source) caps parallelism at the
+    * source vocabulary (~5) and one dominant source ≈ the whole vocab
+    * through one task (the contentRanked lesson); everything after is
+    * a per-source aggregate. */
+  def zipfSlopeOf(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = docs
+      .select(col("source"), explode(TextF.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("f"))
+    val ranked = graft.Scale.groupedTwoPhaseRank(counts, "source",
+      Seq(col("f").desc, col("token")), snapshotInput = false)
+    val xy = ranked.select(col("source"),
+      (length(bin(col("__rank"))) - 1).cast("long").as("x"),
+      (length(bin(col("f"))) - 1).cast("long").as("y"))
+    def d(c: Column) = c.cast("double")
+    val agg = xy.groupBy("source").agg(
+      count(lit(1)).as("n_types"),
+      countDistinct(col("x")).as("n_buckets"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    val w = col("n_types").cast(dec)
+    val den = w * col("sxx") - col("sx") * col("sx")
+    val slope = d(w * col("sxy") - col("sx") * col("sy")) /
+      nullif(d(den), lit(0.0))
+    agg.select(col("source"), col("n_types"), col("n_buckets"),
+        TextF.round6HalfUp(slope).as("slope"),
+        TextF.round6HalfUp(
+          (d(col("sy")) - slope * d(col("sx"))) / d(col("n_types")))
+          .as("intercept"))
+      .orderBy("source")
+  }
+
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame =
+    zipfSlopeOf(Tables.documents(spark, dir))
 }

@@ -1079,4 +1079,59 @@ object Warehouse {
 
   def fisherPriceIndex(spark: SparkSession, dir: String): DataFrame =
     fisherPriceIndexOf(Tables.lineitem(spark, dir))
+
+  /** Order-total reconciliation audit — the VALUE-level integrity gate
+    * beside [[fkCoverageOf]] (keys resolve) and [[contractAuditOf]]
+    * (rows are well-shaped): does the header's `o_totalprice` equal
+    * what its lines actually sum to under the TPC-H pricing identity
+    * Σ extendedprice·(1−discount)·(1+tax)? A warehouse where headers
+    * and lines drift apart double-counts revenue silently — this
+    * publishes the divergence per order status (count over 1%, mean
+    * and max relative divergence in ppm) so the break surfaces with
+    * its blast radius attached.
+    *
+    * Determinism: discount/tax live on the 0.01 grid, so each line's
+    * net value is EXACT integer arithmetic on the 10⁻⁴-cent grid
+    * (cents × (100−d%) × (100+t%)); order sums ride decimal(38,0)
+    * (the ×1000 headroom rule), the header total scales to the same
+    * grid, and relative divergence is one integer division
+    * (|Δ|·10⁶ div stated) — no doubles anywhere.
+    *
+    * Shape: one order-keyed map-combinable line aggregate, then ONE
+    * orderkey fact⋈fact equijoin (AQE-planned), then the bounded
+    * status frame. Headerless lines and lineless orders fall out of
+    * the inner join by design — key coverage is row 88's job. */
+  def orderReconcileOf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perOrder = lineitem
+      .select(col("l_orderkey").as("o_orderkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+          * (lit(100L) + floor(col("l_tax") * 100 + 0.5).cast("long")))
+          .cast(dec).as("net_q"))
+      .groupBy("o_orderkey")
+      .agg(sum("net_q").as("recomp_q"))
+    val audited = orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (floor(col("o_totalprice") * 100 + 0.5).cast("long").cast(dec)
+          * lit(10000L).cast(dec)).as("stated_q"))
+      .join(perOrder, Seq("o_orderkey"))
+      .withColumn("div_ppm", expr(
+        """CASE WHEN stated_q > 0
+          |  THEN (abs(recomp_q - stated_q) * 1000000) div stated_q
+          |  ELSE NULL END""".stripMargin))
+    audited.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("div_ppm") > 10000L, 1L).otherwise(0L))
+          .as("n_over_1pct"),
+        sum(col("div_ppm").cast(dec)).as("dsum"),
+        count(col("div_ppm")).as("dn"),
+        max("div_ppm").as("max_div_ppm"))
+      .select(col("o_orderstatus"), col("n_orders"), col("n_over_1pct"),
+        expr("dsum div dn").as("mean_div_ppm"), col("max_div_ppm"))
+      .orderBy("o_orderstatus")
+  }
+
+  def orderReconcile(spark: SparkSession, dir: String): DataFrame =
+    orderReconcileOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
 }

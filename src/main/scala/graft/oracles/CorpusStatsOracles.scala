@@ -1257,5 +1257,69 @@ private[graft] object CorpusStatsOracles {
         |  floor(CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE) * 1e4 + 0.5) / 1e4
         |    AS target_rate_right
         |FROM q ORDER BY gain_q DESC, t4 LIMIT 1""".stripMargin,
+
+    // Pairwise source Hellinger: per-term √((ca·cb)/(na·nb)) in one
+    // fixed double sequence, 1e-9-quantized, HUGEINT sums.
+    "hellinger_matrix" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM tok GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |        SUM(CAST(floor(sqrt(CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)
+        |            / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)))
+        |          * 1e9 + 0.5) AS HUGEINT)) AS bcq
+        |      FROM c a JOIN c b ON a.token = b.token AND a.source < b.source
+        |      JOIN n na ON na.source = a.source
+        |      JOIN n nb ON nb.source = b.source
+        |      GROUP BY 1, 2),
+        |sc AS (SELECT na.source AS source_a, nb.source AS source_b
+        |      FROM n na JOIN n nb ON na.source < nb.source)
+        |SELECT sc.source_a, sc.source_b,
+        |  COALESCE(p.n_shared, 0) AS n_shared,
+        |  floor(COALESCE(CAST(p.bcq AS DOUBLE), 0.0) / 1e9 * 1e6 + 0.5) / 1e6
+        |    AS bhattacharyya,
+        |  floor(sqrt(greatest(0.0,
+        |      1.0 - COALESCE(CAST(p.bcq AS DOUBLE), 0.0) / 1e9))
+        |    * 1e6 + 0.5) / 1e6 AS hellinger
+        |FROM sc LEFT JOIN p USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // Zipf doubling-grid slope: ⌊log2⌋ via bin(), token-weighted OLS
+    // on exact integer sums, one slope division + a fixed intercept
+    // chain.
+    "zipf_slope" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f
+        |      FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT source, f,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY f DESC, token) AS BIGINT) AS r
+        |      FROM c),
+        |xy AS (SELECT source,
+        |        CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+        |        CAST(length(bin(f)) - 1 AS BIGINT) AS y
+        |      FROM rk),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |        CAST(COUNT(DISTINCT x) AS BIGINT) AS n_buckets,
+        |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |        SUM(CAST(x * y AS HUGEINT)) AS sxy,
+        |        SUM(CAST(x * x AS HUGEINT)) AS sxx
+        |      FROM xy GROUP BY 1),
+        |sl AS (SELECT source, n_types, n_buckets, sx, sy,
+        |        CAST(CAST(n_types AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |          / NULLIF(CAST(CAST(n_types AS HUGEINT) * sxx - sx * sx
+        |            AS DOUBLE), 0.0) AS slope
+        |      FROM a)
+        |SELECT source, n_types, n_buckets,
+        |  floor(slope * 1e6 + 0.5) / 1e6 AS slope,
+        |  floor((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / CAST(n_types AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept
+        |FROM sl ORDER BY source""".stripMargin,
   )
 }

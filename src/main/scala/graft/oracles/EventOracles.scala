@@ -1937,5 +1937,60 @@ private[graft] object EventOracles {
         |  floor(2.801585 * se / 1e6 * 1e4 + 0.5) / 1e4 AS mde_abs,
         |  floor(2.801585 * se / NULLIF(m0, 0.0) * 1e4 + 0.5) / 1e4 AS mde_rel
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // RMST per arm: KM factors 1 − (d·1e9 // n)/1e9 folded in
+    // ascending duration order by a recursive CTE (the operator's
+    // aggregate() left-fold — same order, bit-equal doubles), each
+    // step's area S-quantized to 1e-9 and summed in HUGEINT.
+    "rmst_arms" ->
+      """WITH RECURSIVE md AS (
+        |  SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |        min(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS first_day,
+        |        max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS last_day
+        |      FROM events GROUP BY user_id),
+        |d AS (SELECT CAST(datediff('day', first_day, last_day) AS BIGINT) AS duration,
+        |        CASE WHEN datediff('day', last_day, report_date) < 7
+        |          THEN 1 ELSE 0 END AS censored,
+        |        CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) % 2 AS arm
+        |      FROM u, md),
+        |t AS (SELECT arm, duration,
+        |        CAST(SUM(1 - censored) AS BIGINT) AS dd,
+        |        CAST(COUNT(*) AS BIGINT) AS tt
+        |      FROM d GROUP BY 1, 2),
+        |r AS (SELECT arm, duration, dd,
+        |        CAST(SUM(tt) OVER (PARTITION BY arm ORDER BY duration
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+        |      FROM t),
+        |s AS (SELECT arm, duration,
+        |        CAST(1000000000 - (dd * 1000000000) // n AS DOUBLE) / 1e9 AS f,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY arm ORDER BY duration)
+        |          AS BIGINT) AS i
+        |      FROM r WHERE dd > 0),
+        |arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users FROM d GROUP BY 1),
+        |sc AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_steps FROM s GROUP BY 1),
+        |rec AS (
+        |  SELECT arm, CAST(0 AS BIGINT) AS i, CAST(1.0 AS DOUBLE) AS sv,
+        |         CAST(0 AS BIGINT) AS tp, CAST(0 AS HUGEINT) AS tot
+        |  FROM arms
+        |  UNION ALL
+        |  SELECT r2.arm, st.i, r2.sv * st.f, st.duration,
+        |    r2.tot + CAST(CAST(floor(r2.sv * 1e9 + 0.5) AS BIGINT) AS HUGEINT)
+        |      * CAST(least(st.duration, 28) - least(r2.tp, 28) AS HUGEINT)
+        |  FROM rec r2 JOIN s st ON st.arm = r2.arm AND st.i = r2.i + 1),
+        |fin AS (SELECT arm, sv, tp, tot,
+        |          ROW_NUMBER() OVER (PARTITION BY arm ORDER BY i DESC) AS rn
+        |        FROM rec)
+        |SELECT a.arm, a.n_users, COALESCE(sc.n_steps, 0) AS n_steps,
+        |  floor(CAST(f.tot
+        |      + CAST(CAST(floor(f.sv * 1e9 + 0.5) AS BIGINT) AS HUGEINT)
+        |        * CAST(28 - least(f.tp, 28) AS HUGEINT) AS DOUBLE)
+        |    / 1e9 * 1e6 + 0.5) / 1e6 AS rmst_days
+        |FROM arms a
+        |JOIN fin f ON f.arm = a.arm AND f.rn = 1
+        |LEFT JOIN sc ON sc.arm = a.arm
+        |ORDER BY a.arm""".stripMargin,
   )
 }

@@ -1038,5 +1038,32 @@ private[graft] object WarehouseOracles {
         |    * (CAST(pnum AS DOUBLE) / (CAST(pden AS DOUBLE) / 1e4)))
         |    * 1e6 + 0.5) / 1e6 AS fisher
         |FROM a ORDER BY month""".stripMargin,
+
+    // Order-total reconciliation: exact 1e-4-cent integer pricing
+    // identity per line, HUGEINT order sums, integer ppm divisions —
+    // no doubles anywhere.
+    "order_reconcile" ->
+      """WITH per AS (SELECT l_orderkey AS o_orderkey,
+        |    SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS HUGEINT))
+        |      AS recomp_q
+        |  FROM lineitem GROUP BY 1),
+        |a AS (SELECT o.o_orderstatus,
+        |        CAST(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |          AS HUGEINT) * 10000 AS stated_q,
+        |        per.recomp_q
+        |      FROM orders o JOIN per USING (o_orderkey)),
+        |d AS (SELECT o_orderstatus,
+        |        CASE WHEN stated_q > 0
+        |          THEN (abs(recomp_q - stated_q) * 1000000) // stated_q
+        |          ELSE NULL END AS div_ppm
+        |      FROM a)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN div_ppm > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_over_1pct,
+        |  CAST(SUM(div_ppm) // COUNT(div_ppm) AS BIGINT) AS mean_div_ppm,
+        |  CAST(MAX(div_ppm) AS BIGINT) AS max_div_ppm
+        |FROM d GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
   )
 }

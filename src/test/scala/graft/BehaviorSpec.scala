@@ -1009,4 +1009,68 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       r4(2.801585 * se / 1e6), r4(2.801585 * se / (sa / na)))
     assert(got("purchase") == exp, s"got ${got("purchase")}, want $exp")
   }
+
+  // Independent KM/RMST fold (all-churned cohort, day grid): the
+  // operator's algebra re-derived in plain Scala, used as the spec
+  // oracle for the quantized multi-step case.
+  private def expectedRmst(durations: Seq[Long], tau: Long): Double = {
+    val byDur = durations.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (t, ds) => (t, ds.size.toLong) }
+    var atRisk = durations.size.toLong
+    var s = 1.0; var tp = 0L; var tot = BigInt(0)
+    for ((t, d) <- byDur) {
+      tot += BigInt(math.floor(s * 1e9 + 0.5).toLong) *
+        (math.min(t, tau) - math.min(tp, tau))
+      val q = d * 1000000000L / atRisk
+      s = s * ((1000000000L - q).toDouble / 1e9)
+      tp = t; atRisk -= d
+    }
+    tot += BigInt(math.floor(s * 1e9 + 0.5).toLong) * (tau - math.min(tp, tau))
+    math.floor(tot.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+  }
+
+  test("rmst: un-churned arm reads the full horizon; churn areas match the independent KM fold") {
+    val users = (0L until 20L)
+    val armOf = users.toDF("user_id")
+      .select(col("user_id"), Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arm0 = users.filter(armOf(_) == 0L)
+    val arm1 = users.filter(armOf(_) == 1L)
+    assert(arm0.nonEmpty && arm1.nonEmpty)
+    def ev(u: Long, t: String) = (u, "view", t)
+    // Case 1: arm 0 all churns at duration 2; arm 1 stays through the
+    // report date (censored) → S₀ drops to 0 at t=2 (area exactly 2),
+    // S₁ ≡ 1 (area = τ). Anchor 999 fixes report_date = Jan 20.
+    val rows = arm0.flatMap(u =>
+      Seq(ev(u, "2024-01-01 10:00:00"), ev(u, "2024-01-03 10:00:00"))) ++
+      arm1.flatMap(u =>
+        Seq(ev(u, "2024-01-01 10:00:00"), ev(u, "2024-01-20 10:00:00"))) :+
+      ev(999L, "2024-01-20 10:00:00")
+    val got = Behavior.rmstArmsOf(eventsDf(rows: _*), horizonDays = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val anchorArm = armOf.getOrElse(999L,
+      spark.range(1).select(Behavior.arm2(lit(999L))).collect().head.getLong(0))
+    val (u0, u1) = (arm0.size + (if (anchorArm == 0L) 1 else 0),
+      arm1.size + (if (anchorArm == 1L) 1 else 0))
+    assert(got(0L) == ((u0.toLong, 1L, 2.0)), s"arm0: ${got(0L)}")
+    assert(got(1L) == ((u1.toLong, 0L, 10.0)), s"arm1: ${got(1L)}")
+    // Case 2: staggered churn (arm 0 splits 2/5, arm 1 all at 3) —
+    // the quantized multi-step fold vs the independent Scala oracle.
+    val (h0a, h0b) = arm0.splitAt(arm0.size / 2)
+    val rows2 = h0a.flatMap(u =>
+      Seq(ev(u, "2024-01-01 10:00:00"), ev(u, "2024-01-03 10:00:00"))) ++
+      h0b.flatMap(u =>
+        Seq(ev(u, "2024-01-01 10:00:00"), ev(u, "2024-01-06 10:00:00"))) ++
+      arm1.flatMap(u =>
+        Seq(ev(u, "2024-01-01 10:00:00"), ev(u, "2024-01-04 10:00:00"))) :+
+      ev(999L, "2024-01-25 10:00:00")
+    val got2 = Behavior.rmstArmsOf(eventsDf(rows2: _*), horizonDays = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val exp0 = expectedRmst(
+      h0a.map(_ => 2L) ++ h0b.map(_ => 5L), 10L)
+    val exp1 = expectedRmst(arm1.map(_ => 3L), 10L)
+    assert(got2(0L) == exp0, s"arm0: ${got2(0L)} vs $exp0")
+    assert(got2(1L) == exp1, s"arm1: ${got2(1L)} vs $exp1")
+  }
 }

@@ -678,4 +678,53 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(p.getDouble(5) == 0.0 && p.getDouble(4) == 0.0,
       s"single-class: unc = res = 0: $p")
   }
+
+  test("hellinger: identical sources ~0, disjoint sources exactly 1, hand case reads sqrt(1/2)") {
+    val docs = Seq(
+      (1L, "a", "x x y"), (2L, "b", "x x y"), // identical distributions
+      (3L, "c", "z z z"),                     // disjoint from everything
+      (4L, "d", "x y y y"))                   // vs a-restricted: hand case below
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.hellingerMatrixOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == 6, s"dense pair scaffold: $got")
+    val (nsAb, bcAb, hAb) = got(("a", "b"))
+    assert(nsAb == 2L && bcAb >= 0.999999 && hAb <= 0.001001,
+      s"identical: ${got(("a", "b"))}")
+    // c is disjoint from every other source: the scaffold must still
+    // publish the pair with BC = 0 and H = 1 exactly.
+    assert(got(("a", "c")) == ((0L, 0.0, 1.0)), s"${got(("a", "c"))}")
+    assert(got(("b", "c")) == ((0L, 0.0, 1.0)))
+    assert(got(("c", "d")) == ((0L, 0.0, 1.0)))
+    // a = {x:2/3, y:1/3}, d = {x:1/4, y:3/4}:
+    // BC = sqrt(2·1/(3·4)) + sqrt(1·3/(3·4)) = sqrt(1/6) + 1/2
+    val term1 = math.floor(math.sqrt(2.0 * 1.0 / (3.0 * 4.0)) * 1e9 + 0.5)
+    val term2 = math.floor(math.sqrt(1.0 * 3.0 / (3.0 * 4.0)) * 1e9 + 0.5)
+    val bc = (term1 + term2) / 1e9
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(("a", "d")) == ((2L, f6(bc), f6(math.sqrt(1.0 - bc)))),
+      s"${got(("a", "d"))}")
+  }
+
+  test("zipf slope: planted 8/4/2/1 frequencies read slope -1.5 intercept 3 on the doubling grid") {
+    // ranks 1..4 → x = 0,1,1,2; freqs 8,4,2,1 → y = 3,2,1,0.
+    // Weighted OLS: W=4 Σx=4 Σy=6 Σxy=3 Σx²=6 →
+    // slope = (12−24)/(24−16) = −1.5; intercept = (6+1.5·4)/4 = 3.
+    val docs = Seq(
+      (1L, "s1", (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+        Seq.fill(2)("c") ++ Seq("d")).mkString(" ")),
+      (2L, "s2", "u v"))                      // flat 2-type source
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.zipfSlopeOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = got("s1")
+    assert((s1.getLong(1), s1.getLong(2)) == ((4L, 3L)), s"s1: $s1")
+    assert(s1.getDouble(3) == -1.5 && s1.getDouble(4) == 3.0, s"s1: $s1")
+    // s2: both tokens at f=1 → ranks 1,2 → x = 0,1 BUT y = 0,0:
+    // den = 2·1 − 1 = 1 ≠ 0 → slope 0, intercept 0 (a flat corpus
+    // fits a flat line — only a SINGLE rank bucket nulls).
+    val s2 = got("s2")
+    assert(s2.getDouble(3) == 0.0 && s2.getDouble(4) == 0.0, s"s2: $s2")
+  }
 }

@@ -524,4 +524,27 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == Seq(("2000-02", 2L, f6(l), f6(p),
       f6(math.sqrt(l * p)))), s"got ${got.toSeq}")
   }
+
+  test("order reconcile: exact headers read 0 ppm; discount/tax drift reads exact integer ppm") {
+    import spark.implicits._
+    // order 1 (status O): two clean lines summing exactly to the
+    // header → 0 ppm. order 2 (status O): a 10% discount the header
+    // ignores → |90−100|/100 = 100000 ppm (> 1%). order 3 (status F):
+    // tax-inflated lines vs a 200 header → |108−200|/200 = 460000 ppm.
+    val li = Seq(
+      (1L, 50.0, 0.0, 0.0), (1L, 50.0, 0.0, 0.0),
+      (2L, 100.0, 0.10, 0.0),
+      (3L, 100.0, 0.0, 0.08))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val ord = Seq(
+      (1L, "O", 100.0), (2L, "O", 100.0), (3L, "F", 200.0),
+      (4L, "F", 50.0)) // lineless: excluded from the audit
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val got = graft.operators.Warehouse.orderReconcileOf(li, ord).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // status O: orders 1 (0 ppm) + 2 (100000 ppm) → mean 50000
+    assert(got("O") == ((2L, 1L, 50000L, 100000L)), s"O: ${got("O")}")
+    assert(got("F") == ((1L, 1L, 460000L, 460000L)), s"F: ${got("F")}")
+  }
 }
