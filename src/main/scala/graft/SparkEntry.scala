@@ -365,6 +365,12 @@ object SparkEntry {
     "hellinger_matrix"  -> (CorpusStats.hellingerMatrix(_, _)),
     "zipf_slope"        -> (CorpusStats.zipfSlope(_, _)),
     "order_reconcile"   -> (Warehouse.orderReconcile(_, _)),
+    // Round-12 seventeenth tranche: forecast-eval pair + embedding-
+    // health pair (rows 338-341)
+    "holt_backtest"     -> (EventAnalytics.holtBacktest(_, _)),
+    "pinball_loss"      -> (EventAnalytics.pinballLoss(_, _)),
+    "isotropy_audit"    -> (Cluster.isotropyAudit(_, _)),
+    "hubness_audit"     -> (Cluster.hubnessAudit(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

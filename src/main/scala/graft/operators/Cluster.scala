@@ -528,4 +528,114 @@ object Cluster {
 
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
     embeddingDriftOf(Tables.embeddings(spark, dir))
+
+  /** Embedding isotropy audit — the "has the space collapsed" gate
+    * (Ethayarajh '19; Mu & Viswanath '18's all-but-the-top
+    * motivation) run BEFORE any cosine-based operator here is
+    * trusted: in a healthy centered space the mean vector is small
+    * and points spread around it (cosine-to-centroid ≈ 0 on average,
+    * anisotropy = ‖μ‖/mean‖x‖ ≈ 0); a collapsed space piles every
+    * vector onto one dominant direction (avg cos → 1, anisotropy →
+    * 1) and cosine similarity stops discriminating — ANN recall,
+    * SemDeDup cells, and kNN labels all degrade together.
+    *
+    * Determinism: μ is the 1e-6-quantized element-wise global
+    * centroid (the [[labelCentroidsOf]] contract with one constant
+    * key); cosines are the rounded-6dp native-expression contract;
+    * squared norms quantize PER ELEMENT (⌊v²·10⁹+½⌋) so the
+    * accumulating sums are order-blind integers and the norm is ONE
+    * IEEE √ of an exact ratio; means ride quantized integer sums.
+    *
+    * Shape: one posexplode centroid aggregate + one map-only scoring
+    * scan against the 1-row broadcast μ — linear, no pair mass. */
+  def isotropyAuditOf(embeddings: DataFrame): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val mu = quantizedCentroids(vecs.withColumn("g", lit(0)), "g")
+      .select(col("c_emb")) // 1 row
+    val sq = aggregate(col("emb"), lit(0L),
+      (acc, v) => acc + floor(v * v * 1e9 + 0.5).cast("long"))
+    val muSq = aggregate(col("c_emb"), lit(0L),
+      (acc, v) => acc + floor(v * v * 1e9 + 0.5).cast("long"))
+    def d(c: Column) = c.cast("double")
+    val scored = vecs.crossJoin(broadcast(mu)) // 1 row by construction
+      .select(
+        round(VectorF.cosineSim(col("emb"), col("c_emb")), 6).as("cs"),
+        floor(sqrt(d(sq) / 1e9) * 1e6 + 0.5).cast("long").as("normq"),
+        muSq.as("mu_sq"))
+    scored.agg(
+        count(lit(1)).as("n"),
+        count(col("cs")).as("n_scored"),
+        sum(floor(col("cs") * 1e6 + 0.5).cast("long")).as("csum"),
+        min("cs").as("min_cos"),
+        sum(when(col("cs") < 0.0, 1L).otherwise(0L)).as("nneg"),
+        sum("normq").as("nsum"),
+        max("mu_sq").as("mu_sq")) // constant column
+      .select(col("n"), col("n_scored"),
+        graft.functions.TextF.round4HalfUp(
+          d(col("csum")) / 1e6 / d(col("n_scored"))).as("avg_cos"),
+        col("min_cos"),
+        expr("(nneg * 1000000) div n_scored").as("neg_ppm"),
+        graft.functions.TextF.round6HalfUp(
+          d(col("nsum")) / 1e6 / d(col("n"))).as("mean_norm"),
+        graft.functions.TextF.round6HalfUp(
+          sqrt(d(col("mu_sq")) / 1e9)).as("norm_of_mean"),
+        graft.functions.TextF.round6HalfUp(
+          sqrt(d(col("mu_sq")) / 1e9)
+            / nullif(d(col("nsum")) / 1e6 / d(col("n")), lit(0.0)))
+          .as("anisotropy"))
+  }
+
+  def isotropyAudit(spark: SparkSession, dir: String): DataFrame =
+    isotropyAuditOf(Tables.embeddings(spark, dir))
+
+  /** Hubness audit over the k-means cells (Radovanović '10): in high
+    * dimensions a few points ("hubs") appear in a disproportionate
+    * share of other points' k-NN lists while "antihubs" appear in
+    * none — skewed hubness silently degrades every kNN consumer here
+    * (label votes, SemDeDup representatives, retrieval evals). Per
+    * cell: each member's 3-NN among cellmates under the rounded-
+    * cosine total order (cs DESC, id — the shared contract), then
+    * the IN-degree distribution: max, antihub share (in-degree 0),
+    * hub share (in-degree ≥ 2k = 6).
+    *
+    * Shape: pairwise only WITHIN cells (Σ‖cell‖², never n² — the
+    * [[semDedupOf]] bound and its documented scale posture: cells
+    * grow with k ∝ n); the top-k pick is a per-POINT window
+    * (parallelism = points), in-degree one bounded-key aggregate. */
+  def hubnessAuditOf(embeddings: DataFrame, k: Int = K,
+                     iters: Int = Iterations, nn: Int = 3): DataFrame = {
+    require(nn > 0, s"nn must be positive, got $nn")
+    val a = assignedOf(embeddings, k, iters)
+      .select(col("vec_id"), col("emb"), col("cluster"))
+      .localCheckpoint(false) // joined with itself
+    val b = a.select(col("cluster").as("b_cluster"),
+      col("vec_id").as("b_id"), col("emb").as("b_emb"))
+    val byPoint = Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("b_id"))
+    val edges = a.join(b, col("cluster") === col("b_cluster") &&
+        col("b_id") =!= col("vec_id"))
+      .select(col("cluster"), col("vec_id"), col("b_id"),
+        round(VectorF.cosineSim(col("emb"), col("b_emb")), 6).as("cs"))
+      .filter(col("cs").isNotNull)
+      .withColumn("rn", row_number().over(byPoint))
+      .filter(col("rn") <= nn)
+    val indeg = edges.groupBy(col("cluster"), col("b_id").as("vec_id"))
+      .agg(count(lit(1)).as("indeg"))
+    a.select(col("cluster"), col("vec_id"))
+      .join(indeg, Seq("cluster", "vec_id"), "left")
+      .select(col("cluster"), coalesce(col("indeg"), lit(0L)).as("indeg"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        max("indeg").as("max_indegree"),
+        sum(when(col("indeg") === 0L, 1L).otherwise(0L)).as("n_antihubs"),
+        sum(when(col("indeg") >= 2L * nn, 1L).otherwise(0L)).as("n_hubs"))
+      .select(col("cluster"), col("n"), col("max_indegree"),
+        expr("(n_antihubs * 1000000) div n").as("antihub_ppm"),
+        expr("(n_hubs * 1000000) div n").as("hub_ppm"))
+      .orderBy("cluster")
+  }
+
+  def hubnessAudit(spark: SparkSession, dir: String): DataFrame =
+    hubnessAuditOf(Tables.embeddings(spark, dir))
 }

@@ -1410,4 +1410,149 @@ object EventAnalytics {
     val events = Tables.events(spark, dir)
     sessionCampaignOverlapOf(events, campaignWindows(events))
   }
+
+  /** Shared dense per-type daily spine for the forecast evaluators:
+    * every (event_type, day) cell between the GLOBAL min and max day,
+    * observed count or 0 (a model recursion or a lag-7 baseline that
+    * skips calendar gaps silently misaligns — the `daily_fill`
+    * lesson). `idx` is days since the global min; `si` the train/test
+    * split index (last `testDays` days held out). Bounded: types ×
+    * day-span rows. */
+  private def denseDaily(events: DataFrame, testDays: Int): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1")) // 1 row
+    val spine = daily.select("event_type").distinct() // bounded
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("d0"),
+        (datediff(col("d1"), col("d0")).cast("long") - testDays).as("si"),
+        explode(sequence(lit(0L),
+          datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
+      .select(col("event_type"), col("idx"), col("si"),
+        date_add(col("d0"), col("idx").cast("int")).as("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("idx"), col("si"),
+        coalesce(col("c"), lit(0L)).as("y"))
+  }
+
+  /** Holt double-exponential-smoothing backtest per type (α = β = ½)
+    * vs the lag-7 seasonal naive — the "does a TREND model pay"
+    * go/no-go beside `forecast_backtest` (which only compares naives;
+    * a series with real drift beats lag-7 exactly where Holt's trend
+    * state earns its keep, and a seasonal series punishes it — this
+    * measures which regime the corpus is in). Train on all but the
+    * last `testDays` days, forecast h-step as level + h·trend, score
+    * both models by WAPE on the held-out days.
+    *
+    * Determinism: the recursion is ENTIRELY integer — counts scale to
+    * the milli grid and each update halves by ARITHMETIC RIGHT SHIFT
+    * (`shiftright`/`>>` both floor on negatives, dodging the Spark
+    * `div`-truncates/DuckDB-`//`-floors crossing that the Shapley row
+    * sign-splits): l′ = (y+l+b)»1, b′ = (l′−l+b)»1, folded in
+    * ascending day order on both engines (bounded-array aggregate()
+    * left-fold ≡ the oracle's recursive CTE). WAPE by integer ppm
+    * division, the `forecast_backtest` contract.
+    *
+    * Shape: one (type, day) fact aggregate; the spine, fold, and
+    * eval all ride the bounded types × day-span frame. */
+  def holtBacktestOf(events: DataFrame, testDays: Int = 14): DataFrame = {
+    require(testDays > 0, s"testDays must be positive, got $testDays")
+    val dense = denseDaily(events, testDays)
+      .withColumn("ym", col("y") * 1000L).localCheckpoint(false)
+    val fitted = dense.filter(col("idx") <= col("si"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("idx"), col("ym"))))
+        .as("arr"), max("si").as("si"))
+      .withColumn("fit", expr(
+        """aggregate(arr,
+          |  named_struct('first', true, 'l', 0L, 'b', 0L),
+          |  (acc, x) -> CASE WHEN acc.first
+          |    THEN named_struct('first', false, 'l', x.ym, 'b', 0L)
+          |    ELSE named_struct('first', false,
+          |      'l', shiftright(x.ym + acc.l + acc.b, 1),
+          |      'b', shiftright(
+          |        shiftright(x.ym + acc.l + acc.b, 1) - acc.l + acc.b, 1))
+          |    END)""".stripMargin))
+      .select(col("event_type"), col("si").as("si_f"),
+        col("fit.l").as("l"), col("fit.b").as("b"))
+    val naive = dense.select(col("event_type"),
+      (col("idx") + 7L).as("idx"), col("ym").as("y7"))
+    dense.filter(col("idx") > col("si"))
+      .join(naive, Seq("event_type", "idx"))
+      .join(broadcast(fitted), Seq("event_type")) // bounded: one row/type
+      .select(col("event_type"), col("ym"),
+        abs(col("ym") - (col("l") + (col("idx") - col("si_f")) * col("b")))
+          .as("errh"),
+        abs(col("ym") - col("y7")).as("err7"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"), sum("ym").as("actual_m"),
+        sum("errh").as("errh"), sum("err7").as("err7"))
+      .filter(col("actual_m") > 0)
+      .select(col("event_type"), col("n_test"),
+        expr("(errh * 1000000) div actual_m").as("wape_holt_ppm"),
+        expr("(err7 * 1000000) div actual_m").as("wape_naive_ppm"),
+        (col("errh") < col("err7")).as("holt_wins"))
+      .orderBy("event_type")
+  }
+
+  def holtBacktest(spark: SparkSession, dir: String): DataFrame =
+    holtBacktestOf(Tables.events(spark, dir))
+
+  /** Pinball (quantile) loss of lag-7-plus-residual-quantile daily
+    * forecasts at q ∈ {0.5, 0.9} — the PROPER score for the quantile
+    * bands this repo already ships (`conformal_interval` calibrates a
+    * band, `weekday_envelope` draws one; neither is ever SCORED — and
+    * an uncalibrated p90 that "looks fine" loses exactly here). Per
+    * type: train-side residuals r = y − y(t−7), nearest-rank
+    * quantile r̂_q (k = ⌈q·n⌉, exact integers), forecast ŷ = y(t−7) +
+    * r̂_q on the held-out days, loss·10 = q₁₀(y−ŷ)⁺ + (10−q₁₀)(ŷ−y)⁺
+    * — all integer (q on the 0.1 grid); coverage = share of test
+    * days with y ≤ ŷ (should read ≈ q — the calibration check rides
+    * along). Mean loss renders 4 dp through one double division.
+    *
+    * Shape: everything after the one (type, day) fact aggregate rides
+    * the bounded types × day-span frame (the residual rank window is
+    * day-span-bounded per type — the `rolling_median` convention). */
+  def pinballLossOf(events: DataFrame, testDays: Int = 14): DataFrame = {
+    require(testDays > 0, s"testDays must be positive, got $testDays")
+    val dense = denseDaily(events, testDays).localCheckpoint(false)
+    val lag7 = dense.select(col("event_type"), (col("idx") + 7L).as("idx"),
+      col("y").as("y7"))
+    val resid = dense.join(lag7, Seq("event_type", "idx"))
+      .withColumn("r", col("y") - col("y7"))
+    val train = resid.filter(col("idx") <= col("si"))
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("r"), col("idx")))) // bounded: ≤ day-span rows/type
+    val nTrain = train.groupBy("event_type").agg(count(lit(1)).as("n_train"))
+    val qs = dense.select("event_type").distinct()
+      .select(col("event_type"), explode(array(lit(5L), lit(9L))).as("q10"))
+      .join(broadcast(nTrain), Seq("event_type"))
+      .withColumn("k", expr("(q10 * n_train + 9) div 10"))
+    val qhat = qs.join(broadcast(train.select(col("event_type"), col("rn"),
+        col("r").as("rhat"))), Seq("event_type"))
+      .filter(col("rn") === col("k"))
+      .select(col("event_type"), col("q10"), col("n_train"), col("rhat"))
+    dense.filter(col("idx") > col("si"))
+      .join(lag7, Seq("event_type", "idx"))
+      .join(broadcast(qhat), Seq("event_type")) // bounded: 2 rows/type
+      .select(col("event_type"), col("q10"), col("n_train"),
+        (col("y") - (col("y7") + col("rhat"))).as("diff"))
+      .groupBy("event_type", "q10")
+      .agg(max("n_train").as("n_train"), count(lit(1)).as("n_test"),
+        sum(when(col("diff") >= 0L, col("q10") * col("diff"))
+          .otherwise((lit(10L) - col("q10")) * -col("diff")))
+          .as("loss_x10"),
+        sum(when(col("diff") <= 0L, 1L).otherwise(0L)).as("n_covered"))
+      .select(col("event_type"), (col("q10").cast("double") / 10.0).as("q"),
+        col("n_train"), col("n_test"),
+        graft.functions.TextF.round4HalfUp(
+          col("loss_x10").cast("double") / 10.0
+            / col("n_test").cast("double")).as("mean_pinball"),
+        expr("(n_covered * 1000000) div n_test").as("coverage_ppm"))
+      .orderBy("event_type", "q")
+  }
+
+  def pinballLoss(spark: SparkSession, dir: String): DataFrame =
+    pinballLossOf(Tables.events(spark, dir))
 }

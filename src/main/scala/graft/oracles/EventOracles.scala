@@ -1992,5 +1992,104 @@ private[graft] object EventOracles {
         |JOIN fin f ON f.arm = a.arm AND f.rn = 1
         |LEFT JOIN sc ON sc.arm = a.arm
         |ORDER BY a.arm""".stripMargin,
+
+    // Holt backtest: milli-scaled integer recursion halved by
+    // arithmetic right shift (>> floors on both engines), recursive
+    // CTE ≡ the operator's ascending-order fold; WAPE ppm integer div.
+    "holt_backtest" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |ty AS (SELECT DISTINCT event_type FROM daily),
+        |ix AS (SELECT unnest(generate_series(0,
+        |      CAST(datediff('day', d0, d1) AS BIGINT))) AS idx,
+        |    CAST(datediff('day', d0, d1) AS BIGINT) - 14 AS si, d0
+        |  FROM bo),
+        |spine AS (SELECT ty.event_type, CAST(ix.idx AS BIGINT) AS idx, ix.si,
+        |    ix.d0 + CAST(ix.idx AS INT) AS day
+        |  FROM ty, ix),
+        |dense AS (SELECT s.event_type, s.idx, s.si,
+        |    COALESCE(d.c, 0) * 1000 AS ym
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.event_type = s.event_type AND d.day = s.day),
+        |tr AS (SELECT event_type, ym,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY idx) AS i
+        |  FROM dense WHERE idx <= si),
+        |rec AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS i, ym AS l,
+        |    CAST(0 AS BIGINT) AS b
+        |  FROM tr WHERE i = 1
+        |  UNION ALL
+        |  SELECT t.event_type, t.i, (t.ym + r.l + r.b) >> 1,
+        |    (((t.ym + r.l + r.b) >> 1) - r.l + r.b) >> 1
+        |  FROM rec r JOIN tr t ON t.event_type = r.event_type AND t.i = r.i + 1),
+        |fit AS (SELECT event_type, si_f, l, b FROM (
+        |  SELECT r.event_type, r.l, r.b,
+        |    (SELECT MAX(si) FROM dense) AS si_f,
+        |    ROW_NUMBER() OVER (PARTITION BY r.event_type ORDER BY r.i DESC) AS rn
+        |  FROM rec r) WHERE rn = 1),
+        |ev AS (SELECT d.event_type, d.ym,
+        |    abs(d.ym - (f.l + (d.idx - f.si_f) * f.b)) AS errh,
+        |    abs(d.ym - n7.ym) AS err7
+        |  FROM dense d
+        |  JOIN dense n7 ON n7.event_type = d.event_type AND n7.idx = d.idx - 7
+        |  JOIN fit f ON f.event_type = d.event_type
+        |  WHERE d.idx > d.si)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST((SUM(errh) * 1000000) // SUM(ym) AS BIGINT) AS wape_holt_ppm,
+        |  CAST((SUM(err7) * 1000000) // SUM(ym) AS BIGINT) AS wape_naive_ppm,
+        |  SUM(errh) < SUM(err7) AS holt_wins
+        |FROM ev GROUP BY event_type
+        |HAVING SUM(ym) > 0 ORDER BY event_type""".stripMargin,
+
+    // Pinball loss at q ∈ {.5, .9}: nearest-rank train residual
+    // quantiles, integer loss×10, coverage ppm integer div.
+    "pinball_loss" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |ty AS (SELECT DISTINCT event_type FROM daily),
+        |ix AS (SELECT unnest(generate_series(0,
+        |      CAST(datediff('day', d0, d1) AS BIGINT))) AS idx,
+        |    CAST(datediff('day', d0, d1) AS BIGINT) - 14 AS si, d0
+        |  FROM bo),
+        |spine AS (SELECT ty.event_type, CAST(ix.idx AS BIGINT) AS idx, ix.si,
+        |    ix.d0 + CAST(ix.idx AS INT) AS day
+        |  FROM ty, ix),
+        |dense AS (SELECT s.event_type, s.idx, s.si, COALESCE(d.c, 0) AS y
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.event_type = s.event_type AND d.day = s.day),
+        |res AS (SELECT d.event_type, d.idx, d.si, d.y, n7.y AS y7,
+        |    d.y - n7.y AS r
+        |  FROM dense d
+        |  JOIN dense n7 ON n7.event_type = d.event_type AND n7.idx = d.idx - 7),
+        |tr AS (SELECT event_type, r,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, idx) AS rn
+        |  FROM res WHERE idx <= si),
+        |nt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train
+        |  FROM tr GROUP BY 1),
+        |q AS (SELECT event_type, CAST(q10 AS BIGINT) AS q10, n_train,
+        |    (CAST(q10 AS BIGINT) * n_train + 9) // 10 AS k
+        |  FROM nt, (SELECT unnest([5, 9]) AS q10)),
+        |qh AS (SELECT q.event_type, q.q10, q.n_train, t.r AS rhat
+        |  FROM q JOIN tr t ON t.event_type = q.event_type AND t.rn = q.k),
+        |te AS (SELECT r.event_type, qh.q10, qh.n_train,
+        |    r.y - (r.y7 + qh.rhat) AS diff
+        |  FROM res r JOIN qh ON qh.event_type = r.event_type
+        |  WHERE r.idx > r.si)
+        |SELECT event_type, CAST(q10 AS DOUBLE) / 10.0 AS q,
+        |  n_train, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  floor(CAST(SUM(CASE WHEN diff >= 0 THEN q10 * diff
+        |      ELSE (10 - q10) * (-diff) END) AS DOUBLE)
+        |    / 10.0 / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS mean_pinball,
+        |  CAST((SUM(CASE WHEN diff <= 0 THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS coverage_ppm
+        |FROM te GROUP BY event_type, q10, n_train
+        |ORDER BY event_type, q""".stripMargin,
   )
 }

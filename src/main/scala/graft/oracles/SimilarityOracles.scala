@@ -920,5 +920,90 @@ private[graft] object SimilarityOracles {
         |  cj AS worst_other,
         |  floor(ratio * 1e6 + 0.5) / 1e6 AS db_term
         |FROM w WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
+    // Isotropy audit: quantized global centroid, 6-dp cosines to it,
+    // per-element-quantized squared norms (order-blind integer sums),
+    // NaN-cosines normalized to NULL to match the native expression.
+    "isotropy_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT))
+        |            AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |      FROM e, generate_series(1, 64) AS g(i) GROUP BY i),
+        |mu AS (SELECT list(v ORDER BY i) AS c_emb FROM m),
+        |musq AS (SELECT SUM(CAST(floor(v * v * 1e9 + 0.5) AS BIGINT)) AS mu_sq
+        |         FROM m),
+        |s0 AS (SELECT
+        |        ROUND(list_cosine_similarity(e.emb, mu.c_emb), 6) AS cs0,
+        |        list_sum(list_transform(e.emb,
+        |          x -> CAST(floor(x * x * 1e9 + 0.5) AS BIGINT))) AS sq
+        |      FROM e, mu),
+        |s AS (SELECT CASE WHEN isnan(cs0) THEN NULL ELSE cs0 END AS cs,
+        |        CAST(floor(sqrt(CAST(sq AS DOUBLE) / 1e9) * 1e6 + 0.5)
+        |          AS BIGINT) AS normq
+        |      FROM s0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(cs) AS BIGINT) AS n_scored,
+        |  floor(CAST(SUM(CAST(floor(cs * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / CAST(COUNT(cs) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_cos,
+        |  MIN(cs) AS min_cos,
+        |  CAST((SUM(CASE WHEN cs < 0.0 THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(cs) AS BIGINT) AS neg_ppm,
+        |  floor(CAST(SUM(normq) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS mean_norm,
+        |  floor(sqrt(CAST(MAX(mu_sq) AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6
+        |    AS norm_of_mean,
+        |  floor(sqrt(CAST(MAX(mu_sq) AS DOUBLE) / 1e9)
+        |    / NULLIF(CAST(SUM(normq) AS DOUBLE) / 1e6
+        |      / CAST(COUNT(*) AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6
+        |    AS anisotropy
+        |FROM s, musq""".stripMargin,
+
+    // Hubness audit over the kmeans cells: the sem_dedup assignment
+    // chain, per-point 3-NN under (cs DESC, id), in-degree histogram.
+    "hubness_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+        |s1 AS (SELECT e.vec_id, e.emb, c0.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c0.c_emb), 6) AS cs
+        |       FROM e, c0),
+        |a1 AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s1) WHERE rn = 1),
+        |m AS (SELECT cluster, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |      FROM a1, generate_series(1, 64) AS g(i) GROUP BY cluster, i),
+        |c1 AS (SELECT cluster AS c_id, list(v ORDER BY i) AS c_emb FROM m GROUP BY cluster),
+        |s2 AS (SELECT e.vec_id, e.emb, c1.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c1.c_emb), 6) AS cs
+        |       FROM e, c1),
+        |a2 AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s2) WHERE rn = 1),
+        |ed AS (SELECT a.cluster, a.vec_id, b.vec_id AS b_id,
+        |         ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cs
+        |       FROM a2 a JOIN a2 b
+        |         ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+        |top AS (SELECT cluster, b_id FROM (
+        |         SELECT cluster, b_id, cs,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |             ORDER BY cs DESC, b_id) AS rn
+        |         FROM ed WHERE cs IS NOT NULL AND NOT isnan(cs))
+        |       WHERE rn <= 3),
+        |ind AS (SELECT cluster, b_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS indeg
+        |        FROM top GROUP BY 1, 2),
+        |f AS (SELECT a2.cluster, COALESCE(ind.indeg, 0) AS indeg
+        |      FROM a2 LEFT JOIN ind
+        |        ON ind.cluster = a2.cluster AND ind.vec_id = a2.vec_id)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(indeg) AS BIGINT) AS max_indegree,
+        |  CAST((SUM(CASE WHEN indeg = 0 THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS antihub_ppm,
+        |  CAST((SUM(CASE WHEN indeg >= 6 THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS hub_ppm
+        |FROM f GROUP BY cluster ORDER BY cluster""".stripMargin,
   )
 }

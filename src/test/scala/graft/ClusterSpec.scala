@@ -226,4 +226,52 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     assert(g2.toSeq == Seq((0L, 3L, f4(s0), 1L, term),
       (1L, 2L, 0.0, 0L, term)), s"got ${g2.toSeq}")
   }
+
+  test("isotropy: a collapsed space reads 1.0 everywhere; an orthogonal pair reads 1/sqrt(2)") {
+    import spark.implicits._
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val collapsed = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Cluster.isotropyAuditOf(collapsed).collect().head
+    assert((c.getLong(0), c.getLong(1)) == ((3L, 3L)), s"$c")
+    assert(c.getDouble(2) == 1.0 && c.getDouble(3) == 1.0 &&
+      c.getLong(4) == 0L, s"$c")
+    assert(c.getDouble(5) == 1.0 && c.getDouble(6) == 1.0 &&
+      c.getDouble(7) == 1.0, s"collapsed: anisotropy 1: $c")
+    val ortho = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val o = Cluster.isotropyAuditOf(ortho).collect().head
+    // μ = (.5, .5): cos to both = 1/sqrt(2) → 0.707107 at 6 dp
+    val cs = math.floor(0.5 / (math.sqrt(0.5)) * 1e6 + 0.5) / 1e6
+    assert(o.getDouble(2) == math.floor(cs * 1e4 + 0.5) / 1e4, s"$o")
+    val muSq = 2L * math.floor(0.25 * 1e9 + 0.5).toLong
+    assert(o.getDouble(6) == f6(math.sqrt(muSq / 1e9)), s"$o")
+    assert(o.getDouble(7) == f6(math.sqrt(muSq / 1e9) / 1.0), s"$o")
+    assert(o.getLong(4) == 0L && o.getDouble(5) == 1.0, s"$o")
+  }
+
+  test("hubness: planted angular cluster reads hand-counted in-degrees; a singleton cell is all antihub") {
+    import spark.implicits._
+    def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // k=2, iters=1 → cells are the seed directions (0°, 90°). Cell 0:
+    // five points at 0/10/21/33/44° (all pairwise gaps distinct, ≥1°
+    // apart — no 6-dp cosine ties). Cell 1: the seed alone.
+    val vecs = Seq(0L -> at(0), 1L -> at(90), 2L -> at(10), 3L -> at(21),
+      4L -> at(33), 5L -> at(44)).map { case (i, v) => (i, v) }
+      .toDF("vec_id", "embedding")
+    // 3-NN by angular gap: 0→{2,3,4}, 2→{0,3,4}, 3→{2,4,0},
+    // 4→{3,5,2}, 5→{4,3,2} → in-degrees 0:2, 2:4, 3:4, 4:4, 5:1.
+    val g3 = Cluster.hubnessAuditOf(vecs, k = 2, iters = 1, nn = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(g3(0L) == ((5L, 4L, 0L, 0L)), s"cell 0: ${g3(0L)}")
+    assert(g3(1L) == ((1L, 0L, 1000000L, 0L)), s"singleton: ${g3(1L)}")
+    // nn=1: 0→2, 2→0, 3→2, 4→5, 5→4 → in-degrees 0:1, 2:2, 3:0,
+    // 4:1, 5:1 → one hub (2, indeg ≥ 2), one antihub (3).
+    val g1 = Cluster.hubnessAuditOf(vecs, k = 2, iters = 1, nn = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(g1(0L) == ((5L, 2L, 200000L, 200000L)), s"cell 0: ${g1(0L)}")
+  }
 }

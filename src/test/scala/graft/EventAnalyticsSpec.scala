@@ -695,4 +695,68 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out(0L)._1 == 2L, s"got $out")
     assert(out(0L)._2 == 1800.0, s"midnight clipping must be exact: $out")
   }
+
+  // y(t) events for one type over idx 0..days-1 starting Jan 1, y
+  // copies of the event per day.
+  private def countedSeries(tpe: String, days: Int, y: Int => Int) =
+    (0 until days).flatMap { t =>
+      (0 until y(t)).map { i =>
+        (tpe, f"2024-01-${t + 1}%02d ${10 + i / 60}%02d:${i % 60}%02d:00", 1.0)
+      }
+    }
+
+  // The operator's integer Holt recursion re-derived in plain Scala.
+  private def holtFold(ys: Seq[Long]): (Long, Long) = {
+    var l = 0L; var b = 0L; var first = true
+    for (y <- ys) {
+      val ym = y * 1000L
+      if (first) { l = ym; b = 0L; first = false }
+      else { val l2 = (ym + l + b) >> 1; b = ((l2 - l) + b) >> 1; l = l2 }
+    }
+    (l, b)
+  }
+
+  test("holt backtest: trend series beats the naive, weekly series loses, ppm matches the integer fold") {
+    val days = 30 // si = 15, test idx 16..29
+    def yLin(t: Int) = 1 + t               // pure trend: naive errs 7/day
+    def yAlt(t: Int) = if (t % 7 == 0) 20 else 5 // weekly: naive is exact
+    val ev = dailyEvents(
+      (countedSeries("lin", days, yLin) ++
+        countedSeries("alt", days, yAlt)): _*)
+    val got = EventAnalytics.holtBacktestOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    def expected(y: Int => Int) = {
+      val (l, b) = holtFold((0 to 15).map(t => y(t).toLong))
+      val test = (16 until days)
+      val errh = test.map(t => math.abs(y(t) * 1000L - (l + (t - 15) * b))).sum
+      val err7 = test.map(t => math.abs(y(t) * 1000L - y(t - 7) * 1000L)).sum
+      val act = test.map(y(_).toLong * 1000L).sum
+      (14L, errh * 1000000L / act, err7 * 1000000L / act, errh < err7)
+    }
+    assert(got("lin") == expected(yLin), s"lin: ${got("lin")} vs ${expected(yLin)}")
+    assert(got("alt") == expected(yAlt), s"alt: ${got("alt")} vs ${expected(yAlt)}")
+    assert(got("lin")._4, "trend series: holt must win")
+    assert(!got("alt")._4, "weekly series: the naive must win")
+    assert(got("alt")._3 == 0L, "naive is exact on a pure weekly series")
+  }
+
+  test("pinball loss: constant residual forecasts exactly (0 loss), alternating residual prices the miss") {
+    val days = 30
+    def yLin(t: Int) = 1 + t            // r = 7 constant → exact forecast
+    def yAlt(t: Int) = 10 + 7 * (t % 2) // r alternates ±7
+    val ev = dailyEvents(
+      (countedSeries("lin", days, yLin) ++
+        countedSeries("alt", days, yAlt)): _*)
+    val got = EventAnalytics.pinballLossOf(ev).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got(("lin", 0.5)) == ((9L, 14L, 0.0, 1000000L)), s"${got(("lin", 0.5))}")
+    assert(got(("lin", 0.9)) == ((9L, 14L, 0.0, 1000000L)))
+    // alt train residuals idx 7..15: four −7, five +7 → k(.5)=5 → +7,
+    // k(.9)=9 → +7; test diffs: odd t → 0, even t (7 days) → −14.
+    // q.5: 5·0 + (10−5)·14·7 = 490 → 3.5; q.9: (10−9)·14·7 = 98 → 0.7.
+    assert(got(("alt", 0.5)) == ((9L, 14L, 3.5, 1000000L)), s"${got(("alt", 0.5))}")
+    assert(got(("alt", 0.9)) == ((9L, 14L, 0.7, 1000000L)), s"${got(("alt", 0.9))}")
+  }
 }
