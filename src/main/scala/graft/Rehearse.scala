@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.Dedup
+import graft.operators.{Cluster, Dedup}
 import graft.sources.Tables
 
 /** Scale-rehearsal probes that Bench can't express: PARAMETERIZED
@@ -17,7 +17,12 @@ object Rehearse {
   def probes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "lsh_recall_s8" -> ((s, d) => Dedup.lshRecallOf(Tables.documents(s, d), 0.5, sampleOneIn = 8)),
     "lsh_recall_s16" -> ((s, d) => Dedup.lshRecallOf(Tables.documents(s, d), 0.5, sampleOneIn = 16)),
-    "lsh_recall_s32" -> ((s, d) => Dedup.lshRecallOf(Tables.documents(s, d), 0.5, sampleOneIn = 32)))
+    "lsh_recall_s32" -> ((s, d) => Dedup.lshRecallOf(Tables.documents(s, d), 0.5, sampleOneIn = 32)),
+    // The hubness audit at the k ∝ n posture (SURVEY row 341): frozen
+    // k=8 over a ×100 vector corpus is the deliberate Σ‖cell‖²
+    // quadratic corner; a deployment sizes cells to the corpus.
+    "hubness_k256" -> ((s, d) =>
+      Cluster.hubnessAuditOf(Tables.embeddings(s, d), k = 256, iters = 2)))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption

@@ -1334,4 +1334,68 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         w.child.toString.contains("__bkt")),
       s"abc: the part rank rides __bkt:\n$abc")
   }
+
+  test("round-12 tranches 15-17: index/eval/embedding-health plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    // fisher_price_index: two 1-row base-month crosses, the basket
+    // join is a part-keyed equijoin.
+    val fp = plan(Warehouse.fisherPriceIndex(spark, Sf))
+    noCartesian("fisher", fp)
+    assert(bnlj(fp).size <= 2, s"fisher: only the 1-row bounds cross:\n$fp")
+    // order_reconcile: one line aggregate + ONE orderkey equijoin —
+    // no crossings, no windows at all.
+    val or = plan(Warehouse.orderReconcile(spark, Sf))
+    noCartesian("order_reconcile", or)
+    assert(bnlj(or).isEmpty &&
+      or.collect { case w: WindowExec => w }.isEmpty,
+      s"order_reconcile: equijoin only, window-free:\n$or")
+    // hellinger: the term join is token-keyed; only the bounded
+    // totals-scaffold crosses.
+    val hm = plan(CorpusStats.hellingerMatrix(spark, Sf))
+    noCartesian("hellinger", hm)
+    assert(bnlj(hm).size <= 1, s"hellinger: scaffold cross only:\n$hm")
+    // zipf_slope: the within-source vocabulary rank rides the grouped
+    // two-phase exchange — every window partitioned or __bkt-bucketed,
+    // never a source-width single task.
+    val zs = plan(CorpusStats.zipfSlope(spark, Sf))
+    noCartesian("zipf", zs)
+    assert(zs.collect { case w: WindowExec => w }
+      .forall(w => w.child.toString.contains("__bkt") ||
+        w.partitionSpec.exists(_.toString.contains("__bkt"))),
+      s"zipf: the vocab rank rides __bkt:\n$zs")
+    // holt/pinball: one 1-row bounds cross each (the day spine);
+    // every window partitioned (bounded daily frames).
+    Seq("holt" -> plan(EventAnalytics.holtBacktest(spark, Sf)),
+      "pinball" -> plan(EventAnalytics.pinballLoss(spark, Sf))).foreach {
+      case (n, p) =>
+        noCartesian(n, p)
+        assert(bnlj(p).size <= 1, s"$n: only the day-spine cross:\n$p")
+        assert(p.collect { case w: WindowExec => w }
+          .forall(_.partitionSpec.nonEmpty), s"$n: windows partitioned:\n$p")
+    }
+    // isotropy: map-only against the 1-row centroid — no equijoin
+    // shuffle, no windows, one bounded cross.
+    val ia = plan(Cluster.isotropyAudit(spark, Sf))
+    noCartesian("isotropy", ia)
+    assert(ia.collect { case w: WindowExec => w }.isEmpty,
+      s"isotropy: window-free:\n$ia")
+    // hubness: pairs ride the cluster equijoin (never cross-cell);
+    // the only crosses are the k-row centroid broadcasts of the
+    // assignment; the top-k window is per-point.
+    val ha = plan(Cluster.hubnessAudit(spark, Sf))
+    noCartesian("hubness", ha)
+    assert(ha.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty), s"hubness: per-point window:\n$ha")
+    // rmst: the life-table risk window is arm-partitioned; the only
+    // crosses are the 1-row report-date bound (planned once per
+    // consumer subtree: the life table and the per-arm user count).
+    val rm = plan(Behavior.rmstArms(spark, Sf))
+    noCartesian("rmst", rm)
+    assert(bnlj(rm).size <= 2, s"rmst: 1-row crosses only:\n$rm")
+  }
 }
