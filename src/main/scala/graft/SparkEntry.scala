@@ -371,6 +371,12 @@ object SparkEntry {
     "pinball_loss"      -> (EventAnalytics.pinballLoss(_, _)),
     "isotropy_audit"    -> (Cluster.isotropyAudit(_, _)),
     "hubness_audit"     -> (Cluster.hubnessAudit(_, _)),
+    // Round-12 eighteenth tranche: Q17/Q22 shapes, skip-gram
+    // co-occurrence, early-LTV signal (rows 342-345)
+    "small_order_revenue" -> (Warehouse.smallOrderRevenue(_, _)),
+    "idle_customers"    -> (Warehouse.idleCustomers(_, _)),
+    "skipgram_pairs"    -> (CorpusStats.skipgramPairs(_, _)),
+    "ltv_early_signal"  -> (Behavior.ltvEarlySignal(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

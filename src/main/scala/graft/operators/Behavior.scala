@@ -1800,6 +1800,53 @@ object Behavior {
   def rmstArms(spark: SparkSession, dir: String): DataFrame =
     rmstArmsOf(Tables.events(spark, dir))
 
+  /** Early-spend → lifetime-value signal strength: the Pearson r
+    * between each user's revenue in their own first `earlyDays` days
+    * and their revenue AFTER it — the one number that says whether
+    * [[cohortLtvOf]]'s payback curve can be forecast from week one
+    * (r near 0 means early spend tells you nothing and any
+    * "predicted LTV" dashboard built on it is fiction). Both sums in
+    * exact micro cents; moments in decimal(38,0); r through one fixed
+    * double chain (num / (√dx·√dy), each √ one correctly-rounded IEEE
+    * op), 4 dp; the early share of total revenue rides along as an
+    * exact integer ppm.
+    *
+    * Shape: the two-pass per-user split ([[EventAnalytics
+    * .zscoreOutliersOf]]'s shape): one user-keyed min-day aggregate,
+    * ONE user-keyed equijoin back, one user aggregate, one 1-row
+    * moment fold. */
+  def ltvEarlySignalOf(events: DataFrame, earlyDays: Int = 7): DataFrame = {
+    require(earlyDays > 0, s"earlyDays must be positive, got $earlyDays")
+    val dec = "decimal(38,0)"
+    val e = events.select(col("user_id"), to_date(col("ts")).as("day"),
+      floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+    val firstDay = e.groupBy("user_id").agg(min("day").as("first_day"))
+    val per = e.join(firstDay, Seq("user_id"))
+      .groupBy("user_id")
+      .agg(
+        sum(when(datediff(col("day"), col("first_day")) < earlyDays,
+          col("vq")).otherwise(0L)).as("x"),
+        sum(when(datediff(col("day"), col("first_day")) >= earlyDays,
+          col("vq")).otherwise(0L)).as("y"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val num = col("n").cast(dec) * col("sxy") - col("sx") * col("sy")
+    val dx = col("n").cast(dec) * col("sxx") - col("sx") * col("sx")
+    val dy = col("n").cast(dec) * col("syy") - col("sy") * col("sy")
+    m.select(col("n").as("n_users"),
+      expr("CAST((sx * 1000000) div (sx + sy) AS BIGINT)")
+        .as("early_share_ppm"),
+      graft.functions.TextF.round4HalfUp(
+        d(num) / nullif(sqrt(d(dx)) * sqrt(d(dy)), lit(0.0))).as("r"))
+  }
+
+  def ltvEarlySignal(spark: SparkSession, dir: String): DataFrame =
+    ltvEarlySignalOf(Tables.events(spark, dir))
+
   /** Cramér's V over the event-type × time-of-week contingency table —
     * [[chi2ContingencyOf]]'s one-number summary (that query reports
     * per-cell χ² contributions; V = √(χ²/(n·(min(r,c)−1))) normalizes

@@ -1434,4 +1434,62 @@ object CorpusStats {
 
   def zipfSlope(spark: SparkSession, dir: String): DataFrame =
     zipfSlopeOf(Tables.documents(spark, dir))
+
+  /** Skip-gram collocations: unordered token pairs co-occurring
+    * within a ±`window` token window, ranked by log-free lift — the
+    * word2vec/GloVe co-occurrence-table prep ([[collocationsOf]]
+    * mines ADJACENT bigrams; distributional semantics needs the
+    * window) and the phrase-table read behind "which terms travel
+    * together". Pair count normalizes by the total window-pair mass;
+    * lift parenthesization mirrors the oracle exactly (correctly-
+    * rounded IEEE ops ⇒ same bits), 4 dp, min-count floor, top-k by
+    * (lift DESC, count DESC, pair) so ties break deterministically.
+    *
+    * Shape: pairs materialize as `window` zip_with slices of the
+    * per-doc token array (map-side, no per-doc window function, no
+    * positional self-join — the span-dedup lesson), one (w1, w2)
+    * map-combinable aggregate; unigrams and the 1-row totals ride
+    * [[collocationsOf]]'s exact checkpoint discipline. Pair-explode
+    * mass is `window`·tokens — linear with a small constant. */
+  def skipgramPairsOf(docs: DataFrame, window: Int = 3,
+                      minCount: Long = 5, k: Int = 20): DataFrame = {
+    require(window >= 1 && k > 0, s"need window >= 1 and k > 0, got $window/$k")
+    val toks = docs
+      .select(col("doc_id"), TextF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .localCheckpoint(false)
+    val uni = toks.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false)
+    def pairsAt(off: Int): Column =
+      when(col("n") >= off + 1, zip_with(
+        slice(col("toks"), lit(1), col("n") - off),
+        slice(col("toks"), lit(off + 1), col("n") - off),
+        (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = toks
+      .select(explode(concat((1 to window).map(pairsAt): _*)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
+      .filter(col("cp") >= minCount)
+    val totals = toks.agg(
+      sum(col("n")).as("n_uni"),
+      sum((1 to window).map(off => greatest(col("n") - off, lit(0)))
+        .reduce(_ + _)).as("n_pairs"))
+    val lift = round(
+      (col("cp").cast("double") / col("n_pairs").cast("double")) /
+        ((col("c1a").cast("double") / col("n_uni").cast("double")) *
+          (col("c1b").cast("double") / col("n_uni").cast("double"))),
+      4)
+    pairs
+      .join(uni.select(col("token").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("token").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(broadcast(totals)) // 1 row by construction
+      .select(col("w1"), col("w2"), col("cp"), lift.as("lift"))
+      .orderBy(col("lift").desc, col("cp").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def skipgramPairs(spark: SparkSession, dir: String): DataFrame =
+    skipgramPairsOf(Tables.documents(spark, dir))
 }

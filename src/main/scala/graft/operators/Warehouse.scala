@@ -1134,4 +1134,89 @@ object Warehouse {
 
   def orderReconcile(spark: SparkSession, dir: String): DataFrame =
     orderReconcileOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  /** Small-quantity-order revenue per brand (the TPC-H Q17 shape —
+    * "how much revenue is locked in orders below a fifth of the
+    * part's typical quantity", the drop-small-orders what-if a
+    * warehouse runs before minimum-order-size policy): a line is
+    * SMALL when q < 0.2·avg(part quantity), tested as the EXACT
+    * integer cross-multiplication 5·q·n_part < Σq_part — no division,
+    * no doubles anywhere; revenue in exact cents; per-brand share by
+    * integer ppm division.
+    *
+    * Shape: the classic fact⋈per-key-aggregate pattern — one
+    * (partkey) map-combinable aggregate, ONE partkey equijoin back to
+    * the fact (AQE-planned), the brand dim broadcast; everything
+    * after on the bounded brand frame. */
+  def smallOrderRevenueOf(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val l = lineitem.select(col("l_partkey"),
+      col("l_quantity").cast("long").as("q"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("ec"))
+    val perPart = l.groupBy("l_partkey")
+      .agg(sum("q").as("sumq"), count(lit(1)).as("nq"))
+    l.join(perPart, Seq("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), Seq("l_partkey"))
+      .withColumn("small",
+        col("q") * lit(5L) * col("nq") < col("sumq"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("small"), 1L).otherwise(0L)).as("n_small"),
+        sum(when(col("small"), col("ec")).otherwise(0L).cast(dec))
+          .as("small_rev"),
+        sum(col("ec").cast(dec)).as("total_rev"))
+      .select(col("p_brand"), col("n_lines"), col("n_small"),
+        col("small_rev").cast("long").as("small_revenue_cents"),
+        expr("CAST((small_rev * 1000000) div total_rev AS BIGINT)")
+          .as("small_share_ppm"))
+      .orderBy("p_brand")
+  }
+
+  def smallOrderRevenue(spark: SparkSession, dir: String): DataFrame =
+    smallOrderRevenueOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  /** Idle high-balance customers per market segment (the TPC-H Q22
+    * shape — "who holds above-average money with us and stopped
+    * ordering", the reactivation-campaign target list): customers
+    * with a positive account balance above the positive-balance
+    * average (exact integer cross-multiplication bal·n > Σbal — no
+    * division) and no orders in the trailing `dormantDays` days
+    * ending at the newest order date, found by a LEFT ANTI join
+    * against the recent distinct order-customer set. (Q22's literal
+    * "never ordered" is vacuous on a warehouse where every account
+    * has history — the dormancy window is the live form of the same
+    * question and keeps the anti-join non-trivially exercised.)
+    *
+    * Shape: two 1-row broadcasts (report date, balance threshold),
+    * then the anti-join — the dim-side probe of a fact-derived
+    * distinct-key set (the one join type no other registered query
+    * exercises); bounded segment frame after. */
+  def idleCustomersOf(customer: DataFrame, orders: DataFrame,
+                      dormantDays: Int = 30): DataFrame = {
+    require(dormantDays > 0, s"dormantDays must be positive, got $dormantDays")
+    val dec = "decimal(38,0)"
+    val c = customer.select(col("c_custkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_c"))
+    val posStats = c.filter(col("bal_c") > 0L)
+      .agg(sum(col("bal_c").cast(dec)).as("pos_sum"),
+        count(lit(1)).as("pos_n")) // 1 row
+    val bounds = orders.agg(max(to_date(col("o_orderdate"))).as("md"))
+    val recent = orders.crossJoin(broadcast(bounds)) // 1 row by construction
+      .filter(to_date(col("o_orderdate")) >= date_sub(col("md"), dormantDays))
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    c.crossJoin(broadcast(posStats)) // 1 row by construction
+      .filter(col("bal_c").cast(dec) * col("pos_n").cast(dec)
+        > col("pos_sum"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_idle"),
+        sum(col("bal_c").cast(dec)).as("balsum"))
+      .select(col("c_mktsegment"), col("n_idle"),
+        col("balsum").cast("long").as("idle_balance_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame =
+    idleCustomersOf(Tables.customer(spark, dir), Tables.orders(spark, dir))
 }

@@ -1321,5 +1321,33 @@ private[graft] object CorpusStatsOracles {
         |  floor((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
         |    / CAST(n_types AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept
         |FROM sl ORDER BY source""".stripMargin,
+
+    // Skip-gram collocations: ±3-window unordered pairs, the
+    // collocations lift form on the window-pair mass.
+    "skipgram_pairs" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1
+        |        FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+        |pg AS (SELECT split_part(pg, ' ', 1) AS w1, split_part(pg, ' ', 2) AS w2,
+        |          CAST(COUNT(*) AS BIGINT) AS cp
+        |        FROM (SELECT unnest(flatten(list_transform([1, 2, 3], o ->
+        |                CASE WHEN len(toks) >= o + 1
+        |                  THEN list_transform(generate_series(1, len(toks) - o),
+        |                         i -> least(toks[i], toks[i+o]) || ' ' ||
+        |                              greatest(toks[i], toks[i+o]))
+        |                  ELSE [] END))) AS pg FROM t)
+        |        GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        |tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_uni,
+        |          CAST(SUM(GREATEST(len(toks) - 1, 0)
+        |            + GREATEST(len(toks) - 2, 0)
+        |            + GREATEST(len(toks) - 3, 0)) AS BIGINT) AS n_pairs
+        |        FROM t)
+        |SELECT w1, w2, cp,
+        |  ROUND((CAST(cp AS DOUBLE) / CAST(n_pairs AS DOUBLE)) /
+        |        ((CAST(a.c1 AS DOUBLE) / CAST(n_uni AS DOUBLE)) *
+        |         (CAST(b.c1 AS DOUBLE) / CAST(n_uni AS DOUBLE))), 4) AS lift
+        |FROM pg JOIN uni a ON pg.w1 = a.token JOIN uni b ON pg.w2 = b.token, tot
+        |ORDER BY lift DESC, cp DESC, w1, w2 LIMIT 20""".stripMargin,
   )
 }

@@ -2091,5 +2091,32 @@ private[graft] object EventOracles {
         |    // COUNT(*) AS BIGINT) AS coverage_ppm
         |FROM te GROUP BY event_type, q10, n_train
         |ORDER BY event_type, q""".stripMargin,
+
+    // Early-spend → LTV Pearson r: exact micro-cent per-user split
+    // sums, HUGEINT moments, one fixed double chain, 4 dp.
+    "ltv_early_signal" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq FROM events),
+        |fd AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY 1),
+        |per AS (SELECT e.user_id,
+        |    SUM(CASE WHEN datediff('day', fd.first_day, e.day) < 7
+        |      THEN vq ELSE 0 END) AS x,
+        |    SUM(CASE WHEN datediff('day', fd.first_day, e.day) >= 7
+        |      THEN vq ELSE 0 END) AS y
+        |  FROM e JOIN fd USING (user_id) GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |  FROM per)
+        |SELECT n AS n_users,
+        |  CAST((sx * 1000000) // (sx + sy) AS BIGINT) AS early_share_ppm,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+        |    * 1e4 + 0.5) / 1e4 AS r
+        |FROM m""".stripMargin,
   )
 }

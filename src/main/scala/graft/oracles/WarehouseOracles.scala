@@ -1065,5 +1065,45 @@ private[graft] object WarehouseOracles {
         |  CAST(SUM(div_ppm) // COUNT(div_ppm) AS BIGINT) AS mean_div_ppm,
         |  CAST(MAX(div_ppm) AS BIGINT) AS max_div_ppm
         |FROM d GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    // Q17 shape: small = 5·q·n < Σq exact cross-multiplication, cents
+    // revenue, integer ppm share.
+    "small_order_revenue" ->
+      """WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ec
+        |  FROM lineitem),
+        |pp AS (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS sumq,
+        |    CAST(COUNT(*) AS BIGINT) AS nq FROM l GROUP BY 1),
+        |j AS (SELECT p.p_brand, l.ec, (l.q * 5 * pp.nq < pp.sumq) AS small
+        |  FROM l JOIN pp USING (l_partkey)
+        |  JOIN part p ON p.p_partkey = l.l_partkey)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN small THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        |  CAST(SUM(CASE WHEN small THEN ec ELSE 0 END) AS BIGINT)
+        |    AS small_revenue_cents,
+        |  CAST((SUM(CASE WHEN small THEN CAST(ec AS HUGEINT) ELSE 0 END)
+        |    * 1000000) // SUM(CAST(ec AS HUGEINT)) AS BIGINT)
+        |    AS small_share_ppm
+        |FROM j GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    // Q22 shape: above-positive-average balance by exact cross-mult,
+    // NOT EXISTS against the 30-day recent-order set ≡ the operator's
+    // left-anti join.
+    "idle_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+        |  FROM customer),
+        |ps AS (SELECT SUM(CAST(bal AS HUGEINT)) AS pos_sum,
+        |    CAST(COUNT(*) AS BIGINT) AS pos_n FROM c WHERE bal > 0),
+        |bo AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders, bo
+        |  WHERE CAST(o_orderdate AS DATE) >= md - 30),
+        |rich AS (SELECT c.* FROM c, ps
+        |  WHERE CAST(bal AS HUGEINT) * pos_n > pos_sum),
+        |idle AS (SELECT r.* FROM rich r WHERE NOT EXISTS
+        |  (SELECT 1 FROM recent o WHERE o.o_custkey = r.c_custkey))
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_idle,
+        |  CAST(SUM(bal) AS BIGINT) AS idle_balance_cents
+        |FROM idle GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
   )
 }

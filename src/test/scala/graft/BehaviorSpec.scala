@@ -1073,4 +1073,31 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(got2(0L) == exp0, s"arm0: ${got2(0L)} vs $exp0")
     assert(got2(1L) == exp1, s"arm1: ${got2(1L)} vs $exp1")
   }
+
+  test("ltv early signal: perfect linear late spend reads r=1, inverted reads r=-1, zero-variance nulls") {
+    import spark.implicits._
+    def df(rows: (Long, String, Double)*) =
+      rows.zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, v) }
+        .toDF("event_id", "user_id", "t", "value")
+        .select(col("user_id"), to_timestamp(col("t")).as("ts"), col("value"))
+    // early = the user's own first 7 days; late = day 10
+    val lin = df(
+      (1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-11 10:00:00", 2.0),
+      (2L, "2024-01-01 10:00:00", 2.0), (2L, "2024-01-11 10:00:00", 4.0),
+      (3L, "2024-01-01 10:00:00", 3.0), (3L, "2024-01-11 10:00:00", 6.0))
+    val r1 = Behavior.ltvEarlySignalOf(lin).collect().head
+    assert(r1.getLong(0) == 3L && r1.getDouble(2) == 1.0, s"$r1")
+    // early 6 of 18 total → 333333 ppm
+    assert(r1.getLong(1) == 333333L, s"$r1")
+    val inv = df(
+      (1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-11 10:00:00", 6.0),
+      (2L, "2024-01-01 10:00:00", 2.0), (2L, "2024-01-11 10:00:00", 4.0),
+      (3L, "2024-01-01 10:00:00", 3.0), (3L, "2024-01-11 10:00:00", 2.0))
+    assert(Behavior.ltvEarlySignalOf(inv).collect().head.getDouble(2) == -1.0)
+    // identical early spend for every user → dx = 0 → r NULL
+    val flat = df(
+      (1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-11 10:00:00", 2.0),
+      (2L, "2024-01-01 10:00:00", 1.0), (2L, "2024-01-11 10:00:00", 5.0))
+    assert(Behavior.ltvEarlySignalOf(flat).collect().head.isNullAt(2))
+  }
 }

@@ -727,4 +727,33 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     val s2 = got("s2")
     assert(s2.getDouble(3) == 0.0 && s2.getDouble(4) == 0.0, s"s2: $s2")
   }
+
+  test("skipgram pairs match an independent window-3 brute force, lift ordering and floor included") {
+    val text = Seq.fill(8)("x y z w").mkString(" ") // 32 tokens, period 4
+    val docs = docsDf(1L -> text)
+    val got = CorpusStats.skipgramPairsOf(docs, window = 3, minCount = 5,
+      k = 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // independent brute force over the token list
+    val toks = text.split("\\s+").toSeq
+    val n = toks.size
+    val pairCounts = (for {
+      off <- 1 to 3
+      i <- 0 until n - off
+      a = toks(i); b = toks(i + off)
+    } yield (Seq(a, b).min, Seq(a, b).max))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 5)
+    val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nPairs = (1 to 3).map(off => math.max(0, n - off).toLong).sum
+    def rnd4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = pairCounts.toSeq.map { case ((a, b), cp) =>
+      val lift = rnd4((cp.toDouble / nPairs) /
+        ((uni(a).toDouble / n) * (uni(b).toDouble / n)))
+      (a, b, cp, lift)
+    }.sortBy { case (a, b, cp, l) => (-l, -cp, a, b) }.take(20)
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexp $expected")
+  }
 }

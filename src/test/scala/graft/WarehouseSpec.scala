@@ -547,4 +547,46 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(got("O") == ((2L, 1L, 50000L, 100000L)), s"O: ${got("O")}")
     assert(got("F") == ((1L, 1L, 460000L, 460000L)), s"F: ${got("F")}")
   }
+
+  test("small order revenue: the exact 5qn<sum cross-multiplication flags below-fifth-of-average lines") {
+    import spark.implicits._
+    // part 1 (B1): quantities 1,10,10,10 → small iff 5q·4 < 31 → q=1
+    // only. part 2 (B2): 5,5 → 50 < 10 never.
+    val li = Seq(
+      (1L, 1.0, 7.00), (1L, 10.0, 100.0), (1L, 10.0, 100.0),
+      (1L, 10.0, 100.0),
+      (2L, 5.0, 40.0), (2L, 5.0, 60.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+    val got = graft.operators.Warehouse.smallOrderRevenueOf(li, part)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // B1: small rev 700 cents of 30700 total → 22800 ppm (integer div)
+    assert(got("B1") == ((4L, 1L, 700L, 700L * 1000000L / 30700L)),
+      s"B1: ${got("B1")}")
+    assert(got("B2") == ((2L, 0L, 0L, 0L)), s"B2: ${got("B2")}")
+  }
+
+  test("idle customers: above-positive-average balance AND orderless, negative balances never enter the average") {
+    import spark.implicits._
+    val cust = Seq(
+      (1L, "S1", 100.0),  // below avg
+      (2L, "S1", 50.0),   // below avg
+      (3L, "S2", 200.0),  // rich, no orders → idle
+      (4L, "S2", -10.0),  // negative: excluded from the average
+      (5L, "S1", 300.0))  // rich but ordered recently
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    // max order date 03-05 → window opens 02-04: customer 3's old
+    // January order does NOT count as activity (dormant, not never).
+    val ord = Seq(
+      (10L, 1L, "2024-03-01 00:00:00"), (11L, 5L, "2024-03-05 00:00:00"),
+      (12L, 3L, "2024-01-01 00:00:00"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_timestamp(col("d")).as("o_orderdate"))
+    // positive avg = 650/4 = 162.5 → rich = {3, 5}; idle = {3}
+    val got = graft.operators.Warehouse.idleCustomersOf(cust, ord).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("S2", 1L, 20000L)), s"got ${got.toSeq}")
+  }
 }
