@@ -377,6 +377,11 @@ object SparkEntry {
     "idle_customers"    -> (Warehouse.idleCustomers(_, _)),
     "skipgram_pairs"    -> (CorpusStats.skipgramPairs(_, _)),
     "ltv_early_signal"  -> (Behavior.ltvEarlySignal(_, _)),
+    // Round-12 nineteenth tranche: clustering stability, median CI,
+    // image perceptual-hash dedup (rows 346-348)
+    "cluster_stability_ari" -> (Cluster.clusterStabilityAri(_, _)),
+    "median_ci"         -> (Robust.medianCi(_, _)),
+    "image_ahash_dedup" -> (Multimodal.imageAhashDedup(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

@@ -638,4 +638,71 @@ object Cluster {
 
   def hubnessAudit(spark: SparkSession, dir: String): DataFrame =
     hubnessAuditOf(Tables.embeddings(spark, dir))
+
+  /** Clustering stability via the Adjusted Rand Index between two
+    * k-means runs seeded on DISJOINT seed sets (vectors 0..k−1 vs
+    * k..2k−1) — the "is this partition real structure or seed
+    * noise" gate the validity trio (silhouette / separation /
+    * Davies-Bouldin) cannot answer, because all three score ONE run
+    * against itself. ARI near 1 ⇒ the cells [[semDedupOf]] trusts
+    * are reproducible; near 0 ⇒ they are artifacts of where Lloyd
+    * started (Hubert-Arabie '85 chance-corrected form).
+    *
+    * Determinism: both assignments are the standard 6-dp-cosine
+    * chain; the contingency table is bounded (≤ k² cells) and every
+    * pair count C(x,2) = x(x−1) div 2 is EXACT integer; the
+    * chance-correction algebra clears denominators —
+    * ARI = (2·T·Σij − 2·Σa·Σb) / (T·(Σa+Σb) − 2·Σa·Σb) — so ONE
+    * double division renders it, 6 dp; identical-partition
+    * degeneracy (both sides one cluster) nulls via nullif.
+    *
+    * Shape: two k-row-broadcast assignment scans over one
+    * checkpointed vector frame, one vec-keyed equijoin, then
+    * everything on the bounded k×k contingency frame. */
+  def clusterStabilityAriOf(embeddings: DataFrame, k: Int = K,
+                            iters: Int = Iterations): DataFrame = {
+    require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
+    val dec = "decimal(38,0)"
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .localCheckpoint(false) // two assignment chains share it
+    def chain(seeds: DataFrame): DataFrame =
+      (1 until iters).foldLeft(assign(vecs, seeds)) { (a, _) =>
+        assign(vecs, recenter(a))
+      }
+    val a = chain(vecs.filter(col("vec_id") < k)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb")))
+      .select(col("vec_id"), col("cluster").as("ca"))
+    val b = chain(vecs.filter(col("vec_id") >= k && col("vec_id") < 2L * k)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb")))
+      .select(col("vec_id"), col("cluster").as("cb"))
+    val cont = a.join(b, Seq("vec_id"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("nij")) // ≤ k² cells
+      .localCheckpoint(false) // marginals + cells share it
+    val sij = cont.agg(sum(expr("((nij * (nij - 1)) div 2)").cast(dec))
+      .as("sij"), sum(col("nij").cast(dec)).as("n"),
+      countDistinct("ca").as("ka"), countDistinct("cb").as("kb"))
+    val sa = cont.groupBy("ca").agg(sum("nij").as("ai"))
+      .agg(sum(expr("((ai * (ai - 1)) div 2)").cast(dec)).as("sa"))
+    val sb = cont.groupBy("cb").agg(sum("nij").as("bi"))
+      .agg(sum(expr("((bi * (bi - 1)) div 2)").cast(dec)).as("sb"))
+    def d(c: Column) = c.cast("double")
+    sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb)) // 1-row frames
+      .withColumn("t", expr("CAST((n * (n - 1)) div 2 AS DECIMAL(38,0))"))
+      .select(col("n").cast("long").as("n_vectors"),
+        col("ka"), col("kb"),
+        // Rand index = 1 − (Σa + Σb − 2Σij)/T
+        graft.functions.TextF.round6HalfUp(
+          lit(1.0) - d(col("sa") + col("sb") - lit(2).cast(dec) * col("sij"))
+            / nullif(d(col("t")), lit(0.0))).as("rand_index"),
+        graft.functions.TextF.round6HalfUp(
+          d(lit(2).cast(dec) * col("t") * col("sij")
+            - lit(2).cast(dec) * col("sa") * col("sb"))
+            / nullif(d(col("t") * (col("sa") + col("sb"))
+              - lit(2).cast(dec) * col("sa") * col("sb")), lit(0.0)))
+          .as("ari"))
+  }
+
+  def clusterStabilityAri(spark: SparkSession, dir: String): DataFrame =
+    clusterStabilityAriOf(Tables.embeddings(spark, dir))
 }

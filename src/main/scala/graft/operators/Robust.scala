@@ -828,4 +828,58 @@ object Robust {
 
   def rollingCorr(spark: SparkSession, dir: String): DataFrame =
     rollingCorrOf(Tables.events(spark, dir))
+
+  /** Distribution-free confidence interval for the per-type median
+    * (binomial order-statistic bounds, normal approximation z =
+    * Φ⁻¹(.975) = 1.959964 — the literal-constant rule): the band a
+    * dashboard should draw around `weighted_median`/`mad_outliers`'
+    * point estimates before anyone reads day-to-day wiggle as signal.
+    * Ranks k_lo = max(1, ⌊(n − z√n)/2⌋), k_hi = min(n, ⌈(n + z√n)/2
+    * + 1⌉), median = the lower (n+1) div 2 order statistic; each rank
+    * resolves to a value through the cents-grid cumulative — never a
+    * fact-scale sort.
+    *
+    * Determinism: ranks come from ONE fixed double chain (one √, one
+    * multiply, one divide, floor/ceil) on exact n; everything else is
+    * integer. The rank→value probe is a 3-rows-per-type join against
+    * the bounded (type × cents) grid — the `ks_test` grid shape.
+    *
+    * Shape: one map-combinable (type, cents) aggregate absorbs the
+    * fact mass; the cumulative window and the probe ride the bounded
+    * value grid. */
+  def medianCiOf(events: DataFrame): DataFrame = {
+    val g = events.select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // grid feeds the cumsum and the totals
+    val byType = Window.partitionBy("event_type").orderBy("c")
+    val cum = g.withColumn("r_hi", sum("cnt").over(byType))
+      .withColumn("r_lo", col("r_hi") - col("cnt") + 1L)
+    def d(c: Column) = c.cast("double")
+    val ranks = g.groupBy("event_type").agg(sum("cnt").as("n"))
+      .select(col("event_type"), col("n"),
+        expr("(n + 1) div 2").as("k_med"),
+        greatest(floor((d(col("n")) - lit(1.959964) * sqrt(d(col("n"))))
+          / 2.0).cast("long"), lit(1L)).as("k_lo"),
+        least(ceil((d(col("n")) + lit(1.959964) * sqrt(d(col("n"))))
+          / 2.0 + 1.0).cast("long"), col("n")).as("k_hi"))
+    val probes = ranks.select(col("event_type"), col("n"),
+        explode(array(
+          struct(lit("med").as("which"), col("k_med").as("k")),
+          struct(lit("lo").as("which"), col("k_lo").as("k")),
+          struct(lit("hi").as("which"), col("k_hi").as("k")))).as("p"))
+      .select(col("event_type"), col("n"), col("p.which").as("which"),
+        col("p.k").as("k"))
+    probes.join(cum, Seq("event_type")) // grid-bounded
+      .filter(col("k") >= col("r_lo") && col("k") <= col("r_hi"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        max(when(col("which") === "med", col("c"))).as("median_cents"),
+        max(when(col("which") === "lo", col("c"))).as("ci_lo_cents"),
+        max(when(col("which") === "hi", col("c"))).as("ci_hi_cents"))
+      .orderBy("event_type")
+  }
+
+  def medianCi(spark: SparkSession, dir: String): DataFrame =
+    medianCiOf(Tables.events(spark, dir))
 }

@@ -971,6 +971,17 @@ private[graft] object CorpusOracles {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_subwords AS BIGINT) AS n_subwords, CAST(fertility AS DOUBLE) AS fertility
         |FROM r""".stripMargin,
 
+    // Image aHash dedup: pinned literal frame (the multimodal_features
+    // convention — the PPM decode + pixel aHash has no SQL
+    // counterpart; the pin regression-locks the sf0.01 result).
+    "image_ahash_dedup" ->
+      """WITH r(n_images, n_candidate_pairs, n_dup_pairs) AS (VALUES
+        |  (500, 277, 31))
+        |SELECT CAST(n_images AS BIGINT) AS n_images,
+        |  CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+        |  CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs
+        |FROM r""".stripMargin,
+
     // Coleman–Liau per doc: letter/word/sentence integer counts, one
     // fixed three-term double sequence, 4 dp.
     "readability" ->

@@ -2118,5 +2118,38 @@ private[graft] object EventOracles {
         |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
         |    * 1e4 + 0.5) / 1e4 AS r
         |FROM m""".stripMargin,
+
+    // Median order-statistic CI per type: binomial-normal ranks (one
+    // fixed double chain on exact n), rank→value through the bounded
+    // cents-grid cumulative.
+    "median_ci" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c)
+        |      AS BIGINT) AS r_hi
+        |  FROM g),
+        |cum2 AS (SELECT *, r_hi - cnt + 1 AS r_lo FROM cum),
+        |nt AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM g GROUP BY 1),
+        |rk AS (SELECT event_type, n, (n + 1) // 2 AS k_med,
+        |    GREATEST(CAST(floor((CAST(n AS DOUBLE)
+        |      - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT), 1)
+        |      AS k_lo,
+        |    LEAST(CAST(ceil((CAST(n AS DOUBLE)
+        |      + 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0 + 1.0) AS BIGINT),
+        |      n) AS k_hi
+        |  FROM nt),
+        |pr AS (SELECT event_type, n, 'med' AS which, k_med AS k FROM rk
+        |  UNION ALL SELECT event_type, n, 'lo', k_lo FROM rk
+        |  UNION ALL SELECT event_type, n, 'hi', k_hi FROM rk)
+        |SELECT p.event_type, MAX(p.n) AS n,
+        |  MAX(CASE WHEN which = 'med' THEN c END) AS median_cents,
+        |  MAX(CASE WHEN which = 'lo' THEN c END) AS ci_lo_cents,
+        |  MAX(CASE WHEN which = 'hi' THEN c END) AS ci_hi_cents
+        |FROM pr p JOIN cum2 m ON m.event_type = p.event_type
+        |  AND p.k BETWEEN m.r_lo AND m.r_hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1005,5 +1005,71 @@ private[graft] object SimilarityOracles {
         |  CAST((SUM(CASE WHEN indeg >= 6 THEN 1 ELSE 0 END) * 1000000)
         |    // COUNT(*) AS BIGINT) AS hub_ppm
         |FROM f GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // ARI between the vec_id<8 and 8..15 seed chains: doubled kmeans
+    // CTE chain, exact pair combinatorics, denominators cleared so
+    // ONE double division renders each index.
+    "cluster_stability_ari" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0a AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+        |s1a AS (SELECT e.vec_id, e.emb, c0a.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c0a.c_emb), 6) AS cs
+        |       FROM e, c0a),
+        |a1a AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s1a) WHERE rn = 1),
+        |ma AS (SELECT cluster, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |      FROM a1a, generate_series(1, 64) AS g(i) GROUP BY cluster, i),
+        |c1a AS (SELECT cluster AS c_id, list(v ORDER BY i) AS c_emb FROM ma GROUP BY cluster),
+        |s2a AS (SELECT e.vec_id, c1a.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c1a.c_emb), 6) AS cs
+        |       FROM e, c1a),
+        |a2a AS (SELECT vec_id, c_id AS ca FROM (
+        |         SELECT vec_id, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s2a) WHERE rn = 1),
+        |c0b AS (SELECT vec_id AS c_id, emb AS c_emb FROM e
+        |        WHERE vec_id >= 8 AND vec_id < 16),
+        |s1b AS (SELECT e.vec_id, e.emb, c0b.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c0b.c_emb), 6) AS cs
+        |       FROM e, c0b),
+        |a1b AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s1b) WHERE rn = 1),
+        |mb AS (SELECT cluster, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |      FROM a1b, generate_series(1, 64) AS g(i) GROUP BY cluster, i),
+        |c1b AS (SELECT cluster AS c_id, list(v ORDER BY i) AS c_emb FROM mb GROUP BY cluster),
+        |s2b AS (SELECT e.vec_id, c1b.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c1b.c_emb), 6) AS cs
+        |       FROM e, c1b),
+        |a2b AS (SELECT vec_id, c_id AS cb FROM (
+        |         SELECT vec_id, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s2b) WHERE rn = 1),
+        |ct AS (SELECT a.ca, b.cb, CAST(COUNT(*) AS BIGINT) AS nij
+        |       FROM a2a a JOIN a2b b USING (vec_id) GROUP BY 1, 2),
+        |sij AS (SELECT SUM(CAST((nij * (nij - 1)) // 2 AS HUGEINT)) AS sij,
+        |         SUM(CAST(nij AS HUGEINT)) AS n,
+        |         CAST(COUNT(DISTINCT ca) AS BIGINT) AS ka,
+        |         CAST(COUNT(DISTINCT cb) AS BIGINT) AS kb
+        |       FROM ct),
+        |sa AS (SELECT SUM(CAST((ai * (ai - 1)) // 2 AS HUGEINT)) AS sa
+        |       FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM ct GROUP BY ca)),
+        |sb AS (SELECT SUM(CAST((bi * (bi - 1)) // 2 AS HUGEINT)) AS sb
+        |       FROM (SELECT CAST(SUM(nij) AS BIGINT) AS bi FROM ct GROUP BY cb)),
+        |f AS (SELECT *, (n * (n - 1)) // 2 AS t FROM sij, sa, sb)
+        |SELECT CAST(n AS BIGINT) AS n_vectors, ka, kb,
+        |  floor((1.0 - CAST(sa + sb - 2 * sij AS DOUBLE)
+        |    / NULLIF(CAST(t AS DOUBLE), 0.0)) * 1e6 + 0.5) / 1e6 AS rand_index,
+        |  floor(CAST(2 * t * sij - 2 * sa * sb AS DOUBLE)
+        |    / NULLIF(CAST(t * (sa + sb) - 2 * sa * sb AS DOUBLE), 0.0)
+        |    * 1e6 + 0.5) / 1e6 AS ari
+        |FROM f""".stripMargin,
   )
 }

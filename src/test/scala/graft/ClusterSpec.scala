@@ -274,4 +274,33 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(g1(0L) == ((5L, 2L, 200000L, 200000L)), s"cell 0: ${g1(0L)}")
   }
+
+  test("cluster stability: blob-respecting seed sets read ARI 1; same-blob seeds read the hand ARI 0") {
+    import spark.implicits._
+    // stable: A seeds (0, 1) and B seeds (2, 3) each straddle the two
+    // orthogonal blobs → identical partitions → rand = ari = 1.
+    val stable = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.995f, 0.1f)), (3L, Array(0.1f, 0.995f)),
+      (4L, Array(0.99f, 0.05f)), (5L, Array(0.05f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val s = Cluster.clusterStabilityAriOf(stable, k = 2, iters = 1)
+      .collect().head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) == ((6L, 2L, 2L)), s"$s")
+    assert(s.getDouble(3) == 1.0 && s.getDouble(4) == 1.0, s"$s")
+    // unstable: B's seeds (2, 3) BOTH sit in the X blob → partition B
+    // splits X and swallows Y. Hand contingency: A = {0,2,3}/{1,4,5},
+    // B = {0,1,2,4,5}/{3} → sij=4, sa=6, sb=10, T=15 →
+    // rand = 1 − 8/15, ari = (120−120)/(240−120) = 0 exactly.
+    val unstable = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.995f, 0.1f)), (3L, Array(0.995f, -0.1f)),
+      (4L, Array(0.1f, 0.995f)), (5L, Array(-0.1f, 0.995f)))
+      .toDF("vec_id", "embedding")
+    val u = Cluster.clusterStabilityAriOf(unstable, k = 2, iters = 1)
+      .collect().head
+    assert(u.getDouble(3) == math.floor(7.0 / 15.0 * 1e6 + 0.5) / 1e6,
+      s"rand 7/15: $u")
+    assert(u.getDouble(4) == 0.0, s"ari exactly 0: $u")
+  }
 }

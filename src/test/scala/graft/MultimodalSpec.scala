@@ -207,4 +207,25 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getInt(1) == 8000))
     assert(rows.forall(r => r.getLong(3) == r.getInt(2).toLong * 1000 / 8000))
   }
+
+  test("aHash: half-black/half-white image reads 0x0F0F0F0F0F0F0F0F; identical images dedup exactly") {
+    import graft.functions.PpmCodec
+    // 16×16, left half black, right half white → each grid row byte
+    // 0b00001111 (bit 63 = cell (0,0)).
+    val rgb = new Array[Byte](16 * 16 * 3)
+    for (y <- 0 until 16; x <- 8 until 16; ch <- 0 until 3)
+      rgb(3 * (y * 16 + x) + ch) = 0xff.toByte
+    assert(Multimodal.aHash64(PpmCodec.Image(16, 16, rgb)) ==
+      0x0F0F0F0F0F0F0F0FL)
+    // three identical payload texts + one structurally different one:
+    // the three dup pairwise (hamming 0), the outlier pairs with none.
+    val same = ("z" * 40 + " " * 40) * 12
+    val other = Seq.tabulate(960)(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq((1L, same), (2L, same), (3L, same), (4L, other))
+      .toDF("doc_id", "text")
+    val r = Multimodal.imageAhashDedupOf(spark, docs).collect().head
+    assert(r.getLong(0) == 4L, s"$r")
+    assert(r.getLong(2) == 3L, s"exactly the identical C(3,2) pairs: $r")
+    assert(r.getLong(1) >= 3L, s"candidates include the dup pairs: $r")
+  }
 }

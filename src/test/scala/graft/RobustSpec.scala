@@ -375,4 +375,22 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     assert(out("ELASTIC") == ((40L, Some(1.0))))
     assert(out("FLAT") == ((40L, None)))
   }
+
+  test("median CI: order-statistic ranks on a planted 1..100 grid; tiny groups clamp to the extremes") {
+    import spark.implicits._
+    // type a: cents 1..100 → n=100, z√n = 19.59964 →
+    // k_lo = ⌊80.40036/2⌋ = 40, k_med = 50, k_hi = ⌈119.59964/2+1⌉ = 61
+    val rows = (1 to 100).map(i => ("a", i / 100.0)) ++
+      Seq(("b", 0.10), ("b", 0.20))
+    val ev = rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+      .select($"event_type", $"value")
+    val got = Robust.medianCiOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val kHi = math.ceil((100.0 + 1.959964 * 10.0) / 2.0 + 1.0).toLong
+    assert(got("a") == ((100L, 50L, 40L, kHi)), s"a: ${got("a")} (k_hi=$kHi)")
+    // n=2: k_lo clamps to 1, k_hi clamps to n → the full range
+    assert(got("b") == ((2L, 10L, 10L, 20L)), s"b: ${got("b")}")
+  }
 }
