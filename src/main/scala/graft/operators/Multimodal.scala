@@ -237,12 +237,19 @@ object Multimodal {
     * deduplicated the images themselves).
     *
     * Shape: one mapPartitions decode+hash pass (map-only, the codec
-    * convention), a (band, value)-keyed candidate equijoin (bucket-
-    * bounded, never all-pairs), one distinct + one fold. */
+    * convention), then the `dup_matrix` DISTINCT-collapse: identical
+    * hashes group FIRST (their C(m,2) pairs are all Hamming-0 dups —
+    * counted arithmetically, never enumerated), the band join runs
+    * over DISTINCT hashes only, and cross-hash pair counts weight by
+    * m_a·m_b — bit-identical totals with pair mass collapsed from
+    * duplicate-clique² to distinct-hash-clique² (the ×100 TWINS
+    * rehearsal priced the naive doc-pair join at 305×; this shape is
+    * what makes replication NOT quadratic). */
   def imageAhashDedupOf(spark: SparkSession, docs: DataFrame,
                         maxHamming: Int = 6): DataFrame = {
     import spark.implicits._
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val dec = "decimal(38,0)"
     val hashes = docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
       .as[(Long, Array[Byte])]
@@ -258,26 +265,38 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "ahash")
-      .localCheckpoint(false) // feeds the count and both join sides
-    val bands = hashes.select(col("doc_id"), col("ahash"),
+    val groups = hashes.groupBy("ahash").agg(count(lit(1)).as("m"))
+      .localCheckpoint(false) // feeds the fold and both join sides
+    val within = groups.agg(
+      sum(col("m").cast(dec)).as("n_images"),
+      coalesce(sum(expr("((m * (m - 1)) div 2)").cast(dec)),
+        lit(0L).cast(dec)).as("wpairs"))
+    val bands = groups.select(col("ahash"), col("m"),
         explode(array((0 until 4).map(i => struct(lit(i).as("band"),
           shiftright(col("ahash"), i * 16).bitwiseAND(lit(0xffffL))
             .as("bv"))): _*)).as("b"))
-      .select(col("doc_id"), col("ahash"), col("b.band").as("band"),
+      .select(col("ahash"), col("m"), col("b.band").as("band"),
         col("b.bv").as("bv"))
-    val l = bands.select(col("band"), col("bv"), col("doc_id").as("a_id"),
-      col("ahash").as("a_h"))
-    val r = bands.select(col("band"), col("bv"), col("doc_id").as("b_id"),
-      col("ahash").as("b_h"))
-    val pairs = l.join(r, Seq("band", "bv"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_h"), col("b_h"))
+    val l = bands.select(col("band"), col("bv"), col("ahash").as("a_h"),
+      col("m").as("a_m"))
+    val r = bands.select(col("band"), col("bv"), col("ahash").as("b_h"),
+      col("m").as("b_m"))
+    val cross = l.join(r, Seq("band", "bv"))
+      .filter(col("a_h") < col("b_h"))
+      .select(col("a_h"), col("b_h"), col("a_m"), col("b_m"))
       .distinct()
-    hashes.agg(count(lit(1)).as("n_images"))
-      .crossJoin(pairs.agg( // 1-row frames
-        count(lit(1)).as("n_candidate_pairs"),
-        sum(when(bit_count(col("a_h").bitwiseXOR(col("b_h")))
-          <= maxHamming, 1L).otherwise(0L)).as("n_dup_pairs")))
+      .agg(
+        coalesce(sum((col("a_m") * col("b_m")).cast(dec)),
+          lit(0L).cast(dec)).as("cpairs"),
+        coalesce(sum(when(
+          bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= maxHamming,
+          col("a_m") * col("b_m")).otherwise(0L).cast(dec)),
+          lit(0L).cast(dec)).as("dpairs"))
+    within.crossJoin(cross) // 1-row frames
+      .select(col("n_images").cast("long").as("n_images"),
+        (col("wpairs") + col("cpairs")).cast("long")
+          .as("n_candidate_pairs"),
+        (col("wpairs") + col("dpairs")).cast("long").as("n_dup_pairs"))
   }
 
   def imageAhashDedup(spark: SparkSession, dir: String): DataFrame =
