@@ -382,6 +382,11 @@ object SparkEntry {
     "cluster_stability_ari" -> (Cluster.clusterStabilityAri(_, _)),
     "median_ci"         -> (Robust.medianCi(_, _)),
     "image_ahash_dedup" -> (Multimodal.imageAhashDedup(_, _)),
+    // Round-12 twentieth tranche: TPC-H Q1 pricing summary, HL
+    // pseudo-median, cross-modal dedup audit (rows 349-351)
+    "pricing_summary"   -> (Warehouse.pricingSummary(_, _)),
+    "hodges_lehmann"    -> (Robust.hodgesLehmann(_, _)),
+    "crossmodal_dedup_audit" -> (Multimodal.crossmodalDedupAudit(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

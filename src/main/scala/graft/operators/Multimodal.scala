@@ -301,4 +301,39 @@ object Multimodal {
 
   def imageAhashDedup(spark: SparkSession, dir: String): DataFrame =
     imageAhashDedupOf(spark, Tables.documents(spark, dir))
+
+  /** Cross-modal dedup agreement: exact TEXT duplicate pairs vs
+    * [[imageAhashDedupOf]]'s image near-dup pairs over the same
+    * corpus — identical text implies identical pixels, so text pairs
+    * are a SUBSET of image pairs by construction and the report reads
+    * the two interesting gaps: image-only pairs (perceptual near-dups
+    * OR aHash collisions — the FP-rate read a 64-bit perceptual hash
+    * needs before anyone deletes on it) and the containment share
+    * (text_pairs/image_pairs, 1e6 = the image hash adds nothing
+    * beyond exact dedup).
+    *
+    * Shape: the text leg is one md5-group aggregate with C(m,2)
+    * counted arithmetically (never enumerated); the image leg is the
+    * collapsed band join; both fold to 1-row frames. */
+  def crossmodalDedupAuditOf(spark: SparkSession, docs: DataFrame,
+                             maxHamming: Int = 6): DataFrame = {
+    val dec = "decimal(38,0)"
+    val txt = docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(expr("((m * (m - 1)) div 2)").cast(dec)),
+        lit(0L).cast(dec)).as("tpairs"))
+    imageAhashDedupOf(spark, docs, maxHamming)
+      .crossJoin(txt) // 1-row frames
+      .select(col("n_images"),
+        col("tpairs").cast("long").as("text_dup_pairs"),
+        col("n_dup_pairs").as("image_dup_pairs"),
+        (col("n_dup_pairs") - col("tpairs").cast("long"))
+          .as("image_only_pairs"),
+        expr("""CASE WHEN n_dup_pairs > 0
+                THEN (tpairs * 1000000) div n_dup_pairs
+                ELSE NULL END""").as("containment_ppm"))
+  }
+
+  def crossmodalDedupAudit(spark: SparkSession, dir: String): DataFrame =
+    crossmodalDedupAuditOf(spark, Tables.documents(spark, dir))
 }

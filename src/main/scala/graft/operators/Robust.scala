@@ -882,4 +882,50 @@ object Robust {
 
   def medianCi(spark: SparkSession, dir: String): DataFrame =
     medianCiOf(Tables.events(spark, dir))
+
+  /** Hodges–Lehmann pseudo-median of the per-type DAILY revenue
+    * series (the median of all Walsh averages (vᵢ+vⱼ)/2, i ≤ j — the
+    * location estimator behind the Wilcoxon signed-rank CI: ~95%
+    * Gaussian efficiency yet a 29% breakdown point, where the plain
+    * median of daily totals throws away half the information and the
+    * mean breaks on one spike day). Pair sums stay EXACT integers on
+    * the cent grid (the half only divides at the rendered edge:
+    * hl_cents = pairsum div 2, plus the exact half-cent flag), the
+    * median is the lower nearest-rank order statistic with a (sum,
+    * i, j) total order.
+    *
+    * Shape: one (type, day) fact aggregate, then the Walsh self-join
+    * and its rank window ride the bounded daily frame (≤ day-span²/2
+    * pairs per type — the theilsen_trend pair discipline). */
+  def hodgesLehmannOf(events: DataFrame): DataFrame = {
+    val daily = events.select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .groupBy("event_type", "day")
+      .agg(sum("vc").as("v"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast("long"))
+      .localCheckpoint(false) // both Walsh-join sides
+    val l = daily.select(col("event_type"), col("i").as("ia"),
+      col("v").as("va"))
+    val r = daily.select(col("event_type"), col("i").as("ib"),
+      col("v").as("vb"))
+    val walsh = l.join(r, Seq("event_type"))
+      .filter(col("ia") <= col("ib")) // bounded: day-span²/2 per type
+      .select(col("event_type"), (col("va") + col("vb")).as("ps"),
+        col("ia"), col("ib"))
+    val ranked = walsh.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("ps"), col("ia"), col("ib"))))
+    val counts = walsh.groupBy("event_type").agg(count(lit(1)).as("m"),
+      countDistinct("ib").as("n_days"))
+    ranked.join(broadcast(counts), Seq("event_type"))
+      .filter(col("rn") === expr("(m + 1) div 2"))
+      .select(col("event_type"), col("n_days"), col("m").as("n_pairs"),
+        expr("ps div 2").as("hl_cents"),
+        (pmod(col("ps"), lit(2L)) === 1L).as("half_cent"))
+      .orderBy("event_type")
+  }
+
+  def hodgesLehmann(spark: SparkSession, dir: String): DataFrame =
+    hodgesLehmannOf(Tables.events(spark, dir))
 }

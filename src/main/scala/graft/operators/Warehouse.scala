@@ -1219,4 +1219,50 @@ object Warehouse {
 
   def idleCustomers(spark: SparkSession, dir: String): DataFrame =
     idleCustomersOf(Tables.customer(spark, dir), Tables.orders(spark, dir))
+
+  /** Pricing summary report — the literal TPC-H Q1 shape (per
+    * returnflag × linestatus: quantity/price/discount/charge sums,
+    * averages, line count, over lines shipped ≥ 90 days before the
+    * newest shipdate), the single most-benchmarked aggregate in
+    * warehousing, published on EXACT integer grids: base price in
+    * cents, discounted in 10⁻²-cent units (cents × (100−d%)), charged
+    * in 10⁻⁴-cent units, averages by integer division (milli-quantity,
+    * cents, discount basis points) — no doubles anywhere, so the
+    * report is bit-stable under any partitioning.
+    *
+    * Shape: ONE map-side-combinable aggregate over the pruned scan
+    * (six columns read) behind a 1-row date-bound broadcast —
+    * whole-stage-codegen end to end; the canonical scan-bound query. */
+  def pricingSummaryOf(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bounds = lineitem.agg(max(to_date(col("l_shipdate"))).as("md"))
+    val l = lineitem.crossJoin(broadcast(bounds)) // 1 row by construction
+      .filter(to_date(col("l_shipdate")) <= date_sub(col("md"), 90))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("q"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("ep_c"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("d_pct"),
+        floor(col("l_tax") * 100 + 0.5).cast("long").as("t_pct"))
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("q").as("sum_qty"),
+        sum(col("ep_c").cast(dec)).as("spc"),
+        sum((col("ep_c") * (lit(100L) - col("d_pct"))).cast(dec)).as("sdc"),
+        sum((col("ep_c") * (lit(100L) - col("d_pct"))
+          * (lit(100L) + col("t_pct"))).cast(dec)).as("scc"),
+        sum("d_pct").as("sd"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("spc").cast("long").as("sum_base_cents"),
+        col("sdc").cast("long").as("sum_disc_c100"),
+        col("scc").cast("long").as("sum_charge_c10000"),
+        expr("(sum_qty * 1000) div count_order").as("avg_qty_milli"),
+        expr("CAST(spc div count_order AS BIGINT)").as("avg_price_cents"),
+        expr("(sd * 100) div count_order").as("avg_disc_bp"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    pricingSummaryOf(Tables.lineitem(spark, dir))
 }

@@ -982,6 +982,20 @@ private[graft] object CorpusOracles {
         |  CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs
         |FROM r""".stripMargin,
 
+    // Cross-modal dedup audit: pinned literal frame (image leg is the
+    // pixel pipeline; at sf0.01 the corpus carries no exact text dups,
+    // so all 31 image pairs are the perceptual-hash-FP read).
+    "crossmodal_dedup_audit" ->
+      """WITH r(n_images, text_dup_pairs, image_dup_pairs,
+        |       image_only_pairs, containment_ppm) AS (VALUES
+        |  (500, 0, 31, 31, 0))
+        |SELECT CAST(n_images AS BIGINT) AS n_images,
+        |  CAST(text_dup_pairs AS BIGINT) AS text_dup_pairs,
+        |  CAST(image_dup_pairs AS BIGINT) AS image_dup_pairs,
+        |  CAST(image_only_pairs AS BIGINT) AS image_only_pairs,
+        |  CAST(containment_ppm AS BIGINT) AS containment_ppm
+        |FROM r""".stripMargin,
+
     // Coleman–Liau per doc: letter/word/sentence integer counts, one
     // fixed three-term double sequence, 4 dp.
     "readability" ->

@@ -2151,5 +2151,30 @@ private[graft] object EventOracles {
         |FROM pr p JOIN cum2 m ON m.event_type = p.event_type
         |  AND p.k BETWEEN m.r_lo AND m.r_hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Hodges–Lehmann pseudo-median: Walsh pair sums on the exact cent
+    // grid over the bounded daily frame, lower nearest-rank median.
+    "hodges_lehmann" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (SELECT event_type, v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM daily),
+        |w AS (SELECT a.event_type, a.v + b.v AS ps, a.i AS ia, b.i AS ib
+        |  FROM ix a JOIN ix b ON a.event_type = b.event_type AND a.i <= b.i),
+        |rk AS (SELECT event_type, ps,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ps, ia, ib)
+        |      AS rn
+        |  FROM w),
+        |ct AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(MAX(ib) AS BIGINT) AS n_days FROM w GROUP BY 1)
+        |SELECT r.event_type, ct.n_days, ct.m AS n_pairs,
+        |  CAST(ps // 2 AS BIGINT) AS hl_cents, (ps % 2 = 1) AS half_cent
+        |FROM rk r JOIN ct ON ct.event_type = r.event_type
+        |  AND r.rn = (ct.m + 1) // 2
+        |ORDER BY r.event_type""".stripMargin,
   )
 }

@@ -1105,5 +1105,29 @@ private[graft] object WarehouseOracles {
         |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_idle,
         |  CAST(SUM(bal) AS BIGINT) AS idle_balance_cents
         |FROM idle GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    // TPC-H Q1 on exact integer grids: cent sums, 1e-2/1e-4-cent
+    // discount/charge units, integer-division averages.
+    "pricing_summary" ->
+      """WITH bo AS (SELECT max(CAST(l_shipdate AS DATE)) AS md FROM lineitem),
+        |l AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep_c,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d_pct,
+        |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t_pct
+        |  FROM lineitem, bo WHERE CAST(l_shipdate AS DATE) <= md - 90)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(q) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ep_c AS HUGEINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(SUM(CAST(ep_c * (100 - d_pct) AS HUGEINT)) AS BIGINT)
+        |    AS sum_disc_c100,
+        |  CAST(SUM(CAST(ep_c * (100 - d_pct) * (100 + t_pct) AS HUGEINT))
+        |    AS BIGINT) AS sum_charge_c10000,
+        |  CAST((SUM(q) * 1000) // COUNT(*) AS BIGINT) AS avg_qty_milli,
+        |  CAST(SUM(CAST(ep_c AS HUGEINT)) // COUNT(*) AS BIGINT)
+        |    AS avg_price_cents,
+        |  CAST((SUM(d_pct) * 100) // COUNT(*) AS BIGINT) AS avg_disc_bp,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

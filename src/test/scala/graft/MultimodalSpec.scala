@@ -228,4 +228,18 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(2) == 3L, s"exactly the identical C(3,2) pairs: $r")
     assert(r.getLong(1) >= 3L, s"candidates include the dup pairs: $r")
   }
+
+  test("cross-modal audit: text pairs contained in image pairs; a one-char edit is image-only") {
+    val same = ("z" * 40 + " " * 40) * 12
+    val nearSame = same.dropRight(1) + "y" // pixels ~identical, text differs
+    val other = Seq.tabulate(960)(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq((1L, same), (2L, same), (3L, same), (4L, nearSame),
+      (5L, other)).toDF("doc_id", "text")
+    val r = Multimodal.crossmodalDedupAuditOf(spark, docs).collect().head
+    assert(r.getLong(0) == 5L, s"$r")
+    assert(r.getLong(1) == 3L, s"text pairs = C(3,2): $r")
+    // the one-char edit pairs with all three identical docs by pixels
+    assert(r.getLong(2) == 6L && r.getLong(3) == 3L, s"$r")
+    assert(r.getLong(4) == 3L * 1000000L / 6L, s"containment: $r")
+  }
 }

@@ -393,4 +393,22 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     // n=2: k_lo clamps to 1, k_hi clamps to n → the full range
     assert(got("b") == ((2L, 10L, 10L, 20L)), s"b: ${got("b")}")
   }
+
+  test("hodges-lehmann: hand Walsh medians, exact half-cent flag") {
+    import spark.implicits._
+    // type a: daily cents 10/20/40 → Walsh sums 20,30,40,50,60,80 →
+    // k = 3 → 40 → HL 20c. type b: 10/21 → sums 20,31,42 → k = 2 →
+    // 31 → HL 15c + the half flag.
+    val rows = Seq(
+      ("a", "2024-01-01 10:00:00", 0.10), ("a", "2024-01-02 10:00:00", 0.20),
+      ("a", "2024-01-03 10:00:00", 0.40),
+      ("b", "2024-01-01 10:00:00", 0.10), ("b", "2024-01-02 10:00:00", 0.21))
+    val ev = rows.toDF("event_type", "s", "value")
+      .select($"event_type", org.apache.spark.sql.functions.to_timestamp($"s").as("ts"), $"value")
+    val got = Robust.hodgesLehmannOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("a") == ((3L, 6L, 20L, false)), s"a: ${got("a")}")
+    assert(got("b") == ((2L, 3L, 15L, true)), s"b: ${got("b")}")
+  }
 }

@@ -589,4 +589,29 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq(("S2", 1L, 20000L)), s"got ${got.toSeq}")
   }
+
+  test("pricing summary: exact integer grids, 90-day cutoff excludes late lines") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"$s 00:00:00")
+    // max shipdate 2000-06-30 → cutoff 2000-04-01 (inclusive): the
+    // first two lines count, the 2000-06-30 anchor line does not.
+    val li = Seq(
+      ("A", "F", t("2000-01-10"), 10.0, 100.00, 0.05, 0.08),
+      ("A", "F", t("2000-02-10"), 20.0, 200.00, 0.10, 0.00),
+      ("N", "O", t("2000-06-30"), 5.0, 50.00, 0.00, 0.00))
+      .toDF("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+    val got = graft.operators.Warehouse.pricingSummaryOf(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 1 && got.contains(("A", "F")), s"cutoff: $got")
+    val r = got(("A", "F"))
+    // sums: qty 30; base 30000c; disc 10000·95 + 20000·90 = 2750000;
+    // charge 10000·95·108 + 20000·90·100 = 282600000;
+    // avgs: 15000 milli-qty, 15000c, (15·100) div 2 = 750 bp
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((30L, 30000L, 2750000L, 282600000L)), s"$r")
+    assert((r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)) ==
+      ((15000L, 15000L, 750L, 2L)), s"$r")
+  }
 }
