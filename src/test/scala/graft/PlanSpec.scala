@@ -1398,4 +1398,55 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     noCartesian("rmst", rm)
     assert(bnlj(rm).size <= 2, s"rmst: 1-row crosses only:\n$rm")
   }
+
+  test("round-12 tranches 18-20: query-shape/dedup/robust plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    // pricing_summary: ONE aggregate behind the 1-row date bound — no
+    // windows, no equijoin shuffles beyond the bound cross.
+    val ps = plan(Warehouse.pricingSummary(spark, Sf))
+    noCartesian("pricing_summary", ps)
+    assert(ps.collect { case w: WindowExec => w }.isEmpty &&
+      bnlj(ps).size <= 1, s"pricing_summary: one cross, window-free:\n$ps")
+    // idle_customers: the LEFT ANTI probe must actually plan as an
+    // anti join (the row exists to exercise that shape).
+    val ic = plan(Warehouse.idleCustomers(spark, Sf))
+    noCartesian("idle_customers", ic)
+    def antiJoins(p: SparkPlan) = p.collect {
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftAnti" => j
+      case j: SortMergeJoinExec if j.joinType.toString == "LeftAnti" => j
+      case j: ShuffledHashJoinExec if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(antiJoins(ic).nonEmpty, s"idle_customers: anti-join planned:\n$ic")
+    // small_order_revenue / ltv_early_signal: pure equijoin shapes.
+    Seq("small_order_revenue" -> plan(Warehouse.smallOrderRevenue(spark, Sf)),
+      "ltv_early_signal" -> plan(Behavior.ltvEarlySignal(spark, Sf))).foreach {
+      case (n, p) => noCartesian(n, p)
+        assert(bnlj(p).isEmpty, s"$n: equijoins only:\n$p")
+    }
+    // skipgram: map-side pair explode + the 1-row totals cross only.
+    val sg = plan(CorpusStats.skipgramPairs(spark, Sf))
+    noCartesian("skipgram", sg)
+    assert(bnlj(sg).size <= 1, s"skipgram: totals cross only:\n$sg")
+    // hodges_lehmann / median_ci: every window partitioned (bounded
+    // daily/grid frames), no crossings.
+    Seq("hodges_lehmann" -> plan(graft.operators.Robust.hodgesLehmann(spark, Sf)),
+      "median_ci" -> plan(graft.operators.Robust.medianCi(spark, Sf))).foreach {
+      case (n, p) => noCartesian(n, p)
+        assert(p.collect { case w: WindowExec => w }
+          .forall(_.partitionSpec.nonEmpty), s"$n: windows partitioned:\n$p")
+    }
+    // image/crossmodal dedup: the band join is an equijoin over
+    // DISTINCT hashes; only bounded 1-row folds cross.
+    Seq("image_ahash" -> plan(graft.operators.Multimodal.imageAhashDedup(spark, Sf)),
+      "crossmodal" -> plan(graft.operators.Multimodal.crossmodalDedupAudit(spark, Sf)))
+      .foreach { case (n, p) => noCartesian(n, p) }
+    // cluster_stability_ari: k-row/1-row crosses only, no cartesian.
+    noCartesian("ari", plan(Cluster.clusterStabilityAri(spark, Sf)))
+  }
 }
