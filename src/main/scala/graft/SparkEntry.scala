@@ -387,6 +387,12 @@ object SparkEntry {
     "pricing_summary"   -> (Warehouse.pricingSummary(_, _)),
     "hodges_lehmann"    -> (Robust.hodgesLehmann(_, _)),
     "crossmodal_dedup_audit" -> (Multimodal.crossmodalDedupAudit(_, _)),
+    // Round-12 twenty-first tranche: Q14, DeLong SE, mutual-kNN,
+    // aHash threshold sweep (rows 352-355)
+    "promotion_effect"  -> (Warehouse.promotionEffect(_, _)),
+    "auc_delong_se"     -> (CorpusStats.aucDelongSe(_, _)),
+    "mutual_knn_rate"   -> (Cluster.mutualKnnRate(_, _)),
+    "ahash_threshold_sweep" -> (Multimodal.ahashThresholdSweep(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

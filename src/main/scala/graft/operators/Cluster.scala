@@ -603,8 +603,13 @@ object Cluster {
     * [[semDedupOf]] bound and its documented scale posture: cells
     * grow with k ∝ n); the top-k pick is a per-POINT window
     * (parallelism = points), in-degree one bounded-key aggregate. */
-  def hubnessAuditOf(embeddings: DataFrame, k: Int = K,
-                     iters: Int = Iterations, nn: Int = 3): DataFrame = {
+  /** The per-point `nn`-NN edge frame within k-means cells (cluster,
+    * vec_id → b_id) under the rounded-cosine total order — shared by
+    * the hubness audit and the mutual-kNN rate so the two always read
+    * the SAME graph. Pairwise only within cells (the [[semDedupOf]]
+    * bound). */
+  private def knnEdges(embeddings: DataFrame, k: Int, iters: Int,
+                       nn: Int): DataFrame = {
     require(nn > 0, s"nn must be positive, got $nn")
     val a = assignedOf(embeddings, k, iters)
       .select(col("vec_id"), col("emb"), col("cluster"))
@@ -613,13 +618,25 @@ object Cluster {
       col("vec_id").as("b_id"), col("emb").as("b_emb"))
     val byPoint = Window.partitionBy("vec_id")
       .orderBy(col("cs").desc, col("b_id"))
-    val edges = a.join(b, col("cluster") === col("b_cluster") &&
+    a.join(b, col("cluster") === col("b_cluster") &&
         col("b_id") =!= col("vec_id"))
       .select(col("cluster"), col("vec_id"), col("b_id"),
         round(VectorF.cosineSim(col("emb"), col("b_emb")), 6).as("cs"))
       .filter(col("cs").isNotNull)
       .withColumn("rn", row_number().over(byPoint))
       .filter(col("rn") <= nn)
+      .select(col("cluster"), col("vec_id"), col("b_id"))
+  }
+
+  /** The membership frame matching [[knnEdges]]' assignment. */
+  private def memberFrame(embeddings: DataFrame, k: Int,
+                          iters: Int): DataFrame =
+    assignedOf(embeddings, k, iters).select(col("cluster"), col("vec_id"))
+
+  def hubnessAuditOf(embeddings: DataFrame, k: Int = K,
+                     iters: Int = Iterations, nn: Int = 3): DataFrame = {
+    val a = memberFrame(embeddings, k, iters)
+    val edges = knnEdges(embeddings, k, iters, nn)
     val indeg = edges.groupBy(col("cluster"), col("b_id").as("vec_id"))
       .agg(count(lit(1)).as("indeg"))
     a.select(col("cluster"), col("vec_id"))
@@ -638,6 +655,37 @@ object Cluster {
 
   def hubnessAudit(spark: SparkSession, dir: String): DataFrame =
     hubnessAuditOf(Tables.embeddings(spark, dir))
+
+  /** Mutual-kNN (reciprocity) rate per cell over the SAME edge frame
+    * as [[hubnessAuditOf]] — the manifold-health twin: in a clean
+    * embedding neighborhoods are symmetric (you are your neighbor's
+    * neighbor — reciprocity near 1); hub-dominated or noisy spaces
+    * read low reciprocity, and mutual-NN filtering is the standard
+    * rescue (reciprocal-rank fusion's geometric cousin). Reported as
+    * exact ppm: 2·mutual_pairs / edges.
+    *
+    * Shape: the shared within-cell kNN edges, one self-equijoin on
+    * the reversed edge key, bounded per-cluster fold. */
+  def mutualKnnRateOf(embeddings: DataFrame, k: Int = K,
+                      iters: Int = Iterations, nn: Int = 3): DataFrame = {
+    val e = knnEdges(embeddings, k, iters, nn)
+      .select(col("cluster"), col("vec_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint(false) // both sides of the reciprocity join
+    val rev = e.select(col("cluster"), col("v").as("u"), col("u").as("v"))
+    val mutual = e.join(rev, Seq("cluster", "u", "v"))
+      .filter(col("u") < col("v"))
+      .groupBy("cluster").agg(count(lit(1)).as("n_mutual"))
+    e.groupBy("cluster").agg(count(lit(1)).as("n_edges"))
+      .join(mutual, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual_pairs"),
+        expr("""(coalesce(n_mutual, 0L) * 2000000) div n_edges""")
+          .as("reciprocity_ppm"))
+      .orderBy("cluster")
+  }
+
+  def mutualKnnRate(spark: SparkSession, dir: String): DataFrame =
+    mutualKnnRateOf(Tables.embeddings(spark, dir))
 
   /** Clustering stability via the Adjusted Rand Index between two
     * k-means runs seeded on DISJOINT seed sets (vectors 0..k−1 vs

@@ -1492,4 +1492,75 @@ object CorpusStats {
 
   def skipgramPairs(spark: SparkSession, dir: String): DataFrame =
     skipgramPairsOf(Tables.documents(spark, dir))
+
+  /** DeLong standard error for [[aucQualityOf]]'s per-source AUC —
+    * the error bar the eval family's point estimates were missing
+    * (row 118 bootstraps MEANS; AUC has a closed-form nonparametric
+    * variance, DeLong '88, from the per-observation placement
+    * values): V₁₀ for a positive = its share of negatives below
+    * (ties half), V₀₁ symmetric; SE² = S₁₀/n_pos + S₀₁/n_neg.
+    *
+    * Determinism: placements are CONSTANT per (score) grid cell, so
+    * each squared deviation clears denominators to the exact integer
+    * (p·n − u2)² in decimal(38,0) (p = 2·below + ties, u2 = the
+    * 2·U statistic [[aucQualityOf]] already sums), weighted by cell
+    * counts — ONE double chain with oracle-mirrored parenthesization
+    * renders SE and the 95% band. Degenerate classes (n ≤ 1 on a
+    * side) null via nullif.
+    *
+    * Shape: the same (source, score) grid as the AUC — one
+    * map-combinable aggregate absorbs the fact mass; the grid windows
+    * are value-vocabulary-bounded. */
+  def aucDelongSeOf(docs: DataFrame, posLang: String = "en"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy("source").orderBy("score")
+    val below = w.rowsBetween(Window.unboundedPreceding, -1)
+    val above = w.rowsBetween(1, Window.unboundedFollowing)
+    val grid = docs
+      .select(col("source"),
+        TextF.qualityScore(col("text"), TextAnalysis.Stopwords).as("score"),
+        when(col("lang") === posLang, 1L).otherwise(0L).as("pos"))
+      .groupBy("source", "score")
+      .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
+      .withColumn("nn_below", coalesce(sum("nn").over(below), lit(0L)))
+      .withColumn("np_above", coalesce(sum("np").over(above), lit(0L)))
+    val tot = grid.groupBy("source")
+      .agg(sum("np").as("tp"), sum("nn").as("tn"),
+        sum(col("np") * (lit(2L) * col("nn_below") + col("nn"))).as("u2"))
+    val dev = grid.join(broadcast(tot), Seq("source")) // bounded: 1 row/source
+      .select(col("source"),
+        (col("np").cast(dec) *
+          (((lit(2L) * col("nn_below") + col("nn")) * col("tp") - col("u2"))
+            .cast(dec) *
+           ((lit(2L) * col("nn_below") + col("nn")) * col("tp") - col("u2"))
+            .cast(dec))).as("d10"),
+        (col("nn").cast(dec) *
+          (((lit(2L) * col("np_above") + col("np")) * col("tn") - col("u2"))
+            .cast(dec) *
+           ((lit(2L) * col("np_above") + col("np")) * col("tn") - col("u2"))
+            .cast(dec))).as("d01"))
+      .groupBy("source")
+      .agg(sum("d10").as("s10"), sum("d01").as("s01"))
+    def d(c: Column) = c.cast("double")
+    val out = tot.join(dev, Seq("source"))
+      .filter(col("tp") > 0 && col("tn") > 0)
+    val auc = d(col("u2")) /
+      (lit(2.0) * d(col("tp")) * d(col("tn")))
+    val se = sqrt(
+      d(col("s10")) / (lit(4.0) * d(col("tp")) * d(col("tp"))
+        * d(col("tn")) * d(col("tn"))
+        * nullif(d(col("tp")) - 1.0, lit(0.0)) * d(col("tp")))
+      + d(col("s01")) / (lit(4.0) * d(col("tp")) * d(col("tp"))
+        * d(col("tn")) * d(col("tn"))
+        * nullif(d(col("tn")) - 1.0, lit(0.0)) * d(col("tn"))))
+    out.select(col("source"), col("tp").as("n_pos"), col("tn").as("n_neg"),
+        (floor(auc * 1e6 + 0.5) / 1e6).as("auc"),
+        TextF.round6HalfUp(se).as("delong_se"),
+        TextF.round6HalfUp(auc - lit(1.959964) * se).as("ci_lo"),
+        TextF.round6HalfUp(auc + lit(1.959964) * se).as("ci_hi"))
+      .orderBy("source")
+  }
+
+  def aucDelongSe(spark: SparkSession, dir: String): DataFrame =
+    aucDelongSeOf(Tables.documents(spark, dir))
 }

@@ -245,12 +245,12 @@ object Multimodal {
     * duplicate-clique² to distinct-hash-clique² (the ×100 TWINS
     * rehearsal priced the naive doc-pair join at 305×; this shape is
     * what makes replication NOT quadratic). */
-  def imageAhashDedupOf(spark: SparkSession, docs: DataFrame,
-                        maxHamming: Int = 6): DataFrame = {
+  /** (ahash, m) distinct-hash groups of the synthesized image corpus —
+    * the shared substrate of the image-dedup rows (the decode+hash
+    * pass and the identical-hash collapse happen ONCE here). */
+  private def ahashGroups(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val dec = "decimal(38,0)"
-    val hashes = docs
+    docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -265,12 +265,14 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "ahash")
-    val groups = hashes.groupBy("ahash").agg(count(lit(1)).as("m"))
+      .groupBy("ahash").agg(count(lit(1)).as("m"))
       .localCheckpoint(false) // feeds the fold and both join sides
-    val within = groups.agg(
-      sum(col("m").cast(dec)).as("n_images"),
-      coalesce(sum(expr("((m * (m - 1)) div 2)").cast(dec)),
-        lit(0L).cast(dec)).as("wpairs"))
+  }
+
+  /** Distinct-hash band-candidate frame over [[ahashGroups]]: each
+    * (a_h < b_h) hash pair sharing ≥ 1 of the four 16-bit bands, with
+    * multiplicities and the exact Hamming distance. */
+  private def ahashCross(groups: DataFrame): DataFrame = {
     val bands = groups.select(col("ahash"), col("m"),
         explode(array((0 until 4).map(i => struct(lit(i).as("band"),
           shiftright(col("ahash"), i * 16).bitwiseAND(lit(0xffffL))
@@ -281,15 +283,27 @@ object Multimodal {
       col("m").as("a_m"))
     val r = bands.select(col("band"), col("bv"), col("ahash").as("b_h"),
       col("m").as("b_m"))
-    val cross = l.join(r, Seq("band", "bv"))
+    l.join(r, Seq("band", "bv"))
       .filter(col("a_h") < col("b_h"))
       .select(col("a_h"), col("b_h"), col("a_m"), col("b_m"))
       .distinct()
+      .withColumn("h", bit_count(col("a_h").bitwiseXOR(col("b_h"))))
+  }
+
+  def imageAhashDedupOf(spark: SparkSession, docs: DataFrame,
+                        maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val dec = "decimal(38,0)"
+    val groups = ahashGroups(spark, docs)
+    val within = groups.agg(
+      sum(col("m").cast(dec)).as("n_images"),
+      coalesce(sum(expr("((m * (m - 1)) div 2)").cast(dec)),
+        lit(0L).cast(dec)).as("wpairs"))
+    val cross = ahashCross(groups)
       .agg(
         coalesce(sum((col("a_m") * col("b_m")).cast(dec)),
           lit(0L).cast(dec)).as("cpairs"),
-        coalesce(sum(when(
-          bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= maxHamming,
+        coalesce(sum(when(col("h") <= maxHamming,
           col("a_m") * col("b_m")).otherwise(0L).cast(dec)),
           lit(0L).cast(dec)).as("dpairs"))
     within.crossJoin(cross) // 1-row frames
@@ -336,4 +350,41 @@ object Multimodal {
 
   def crossmodalDedupAudit(spark: SparkSession, dir: String): DataFrame =
     crossmodalDedupAuditOf(spark, Tables.documents(spark, dir))
+
+  /** Hamming-threshold sensitivity sweep for the image near-dup
+    * detector — row 348's knob curve (the `banding_sweep`/
+    * `session_sweep` discipline: before anyone trusts "Hamming ≤ 6",
+    * show how many pairs every threshold admits, so the knee — or
+    * its absence — is visible): ONE candidate enumeration, the
+    * distance histogram on the bounded h ∈ 0..64 frame, a cumulative
+    * per threshold. Thresholds beyond the banding's pigeonhole
+    * guarantee (> 3·16 bits could in principle miss) read as the
+    * CANDIDATE-visible count, as documented for the banded detector
+    * itself.
+    *
+    * Shape: the shared collapsed band join, then an ≤ 65-row
+    * histogram and an 11-row threshold probe — no re-enumeration per
+    * threshold. */
+  def ahashThresholdSweepOf(spark: SparkSession, docs: DataFrame,
+                            maxThreshold: Int = 10): DataFrame = {
+    require(maxThreshold >= 0, s"maxThreshold must be >= 0, got $maxThreshold")
+    val dec = "decimal(38,0)"
+    val groups = ahashGroups(spark, docs)
+    val within = groups.agg(
+      coalesce(sum(expr("((m * (m - 1)) div 2)").cast(dec)),
+        lit(0L).cast(dec)).as("wpairs")) // Hamming 0 by construction
+    val hist = ahashCross(groups)
+      .groupBy("h").agg(sum((col("a_m") * col("b_m")).cast(dec)).as("w"))
+    spark.range(0L, maxThreshold + 1L).toDF("threshold")
+      .join(hist, col("h") <= col("threshold"), "left") // ≤ 65×11 rows
+      .groupBy("threshold")
+      .agg(coalesce(sum("w"), lit(0L).cast(dec)).as("cpairs"))
+      .crossJoin(broadcast(within)) // 1 row by construction
+      .select(col("threshold"),
+        (col("wpairs") + col("cpairs")).cast("long").as("n_dup_pairs"))
+      .orderBy("threshold")
+  }
+
+  def ahashThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    ahashThresholdSweepOf(spark, Tables.documents(spark, dir))
 }

@@ -1265,4 +1265,40 @@ object Warehouse {
 
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
     pricingSummaryOf(Tables.lineitem(spark, dir))
+
+  /** Promotion revenue share by ship month — the TPC-H Q14 shape
+    * ("what fraction of net revenue came from promotional parts"),
+    * the marketing-spend justification read: net revenue
+    * extendedprice·(1−discount) EXACT on the 10⁻²-cent integer grid
+    * (cents × (100−d%)), promo flagged off the broadcast part dim
+    * (p_type = 'PROMO'), share by integer ppm division.
+    *
+    * Shape: one broadcast dim hash join into one map-combinable
+    * month aggregate — the Q5/row-282 join discipline; bounded month
+    * frame after. */
+  def promotionEffectOf(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    lineitem
+      .select(col("l_partkey").as("p_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+          .as("net_q"))
+      .join(broadcast(part.select(col("p_partkey"),
+        (col("p_type") === "PROMO").as("is_promo"))), Seq("p_partkey"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_promo"), col("net_q")).otherwise(0L).cast(dec))
+          .as("promo_q"),
+        sum(col("net_q").cast(dec)).as("total_q"))
+      .select(col("month"), col("n_lines"),
+        col("promo_q").cast("long").as("promo_rev_c100"),
+        col("total_q").cast("long").as("total_rev_c100"),
+        expr("CAST((promo_q * 1000000) div total_q AS BIGINT)")
+          .as("promo_share_ppm"))
+      .orderBy("month")
+  }
+
+  def promotionEffect(spark: SparkSession, dir: String): DataFrame =
+    promotionEffectOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
 }

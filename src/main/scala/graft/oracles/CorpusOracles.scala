@@ -996,6 +996,16 @@ private[graft] object CorpusOracles {
         |  CAST(containment_ppm AS BIGINT) AS containment_ppm
         |FROM r""".stripMargin,
 
+    // aHash threshold sweep: pinned literal curve (the image-leg
+    // convention); threshold 6 must agree with image_ahash_dedup's 31.
+    "ahash_threshold_sweep" ->
+      """WITH r(threshold, n_dup_pairs) AS (VALUES
+        |  (0, 2), (1, 8), (2, 11), (3, 15), (4, 18), (5, 25),
+        |  (6, 31), (7, 43), (8, 52), (9, 62), (10, 68))
+        |SELECT CAST(threshold AS BIGINT) AS threshold,
+        |  CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs
+        |FROM r ORDER BY threshold""".stripMargin,
+
     // Coleman–Liau per doc: letter/word/sentence integer counts, one
     // fixed three-term double sequence, 4 dp.
     "readability" ->

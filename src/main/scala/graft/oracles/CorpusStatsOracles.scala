@@ -1349,5 +1349,58 @@ private[graft] object CorpusStatsOracles {
         |         (CAST(b.c1 AS DOUBLE) / CAST(n_uni AS DOUBLE))), 4) AS lift
         |FROM pg JOIN uni a ON pg.w1 = a.token JOIN uni b ON pg.w2 = b.token, tot
         |ORDER BY lift DESC, cp DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // DeLong SE for the AUC: per-cell placement deviations with
+    // cleared denominators (exact HUGEINT squares), one mirrored
+    // double chain for SE and the 95% band.
+    "auc_delong_se" ->
+      s"""WITH s AS (SELECT source, $QualitySqlExpr AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |g AS (SELECT source, score, CAST(SUM(pos) AS BIGINT) AS np,
+        |    CAST(SUM(1 - pos) AS BIGINT) AS nn FROM s GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    COALESCE(CAST(SUM(nn) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS nn_below,
+        |    COALESCE(CAST(SUM(np) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT),
+        |      0) AS np_above
+        |  FROM g),
+        |a AS (SELECT source, CAST(SUM(np) AS BIGINT) AS tp,
+        |    CAST(SUM(nn) AS BIGINT) AS tn,
+        |    CAST(SUM(np * (2 * nn_below + nn)) AS BIGINT) AS u2
+        |  FROM w GROUP BY 1),
+        |dv AS (SELECT w.source,
+        |    SUM(CAST(w.np AS HUGEINT)
+        |      * CAST((2 * w.nn_below + w.nn) * a.tp - a.u2 AS HUGEINT)
+        |      * CAST((2 * w.nn_below + w.nn) * a.tp - a.u2 AS HUGEINT))
+        |      AS s10,
+        |    SUM(CAST(w.nn AS HUGEINT)
+        |      * CAST((2 * w.np_above + w.np) * a.tn - a.u2 AS HUGEINT)
+        |      * CAST((2 * w.np_above + w.np) * a.tn - a.u2 AS HUGEINT))
+        |      AS s01
+        |  FROM w JOIN a ON a.source = w.source GROUP BY 1),
+        |f AS (SELECT a.source, a.tp, a.tn, a.u2, dv.s10, dv.s01,
+        |    CAST(a.u2 AS DOUBLE) / (2.0 * CAST(a.tp AS DOUBLE)
+        |      * CAST(a.tn AS DOUBLE)) AS auc,
+        |    sqrt(CAST(dv.s10 AS DOUBLE) / (4.0 * CAST(a.tp AS DOUBLE)
+        |        * CAST(a.tp AS DOUBLE) * CAST(a.tn AS DOUBLE)
+        |        * CAST(a.tn AS DOUBLE)
+        |        * NULLIF(CAST(a.tp AS DOUBLE) - 1.0, 0.0)
+        |        * CAST(a.tp AS DOUBLE))
+        |      + CAST(dv.s01 AS DOUBLE) / (4.0 * CAST(a.tp AS DOUBLE)
+        |        * CAST(a.tp AS DOUBLE) * CAST(a.tn AS DOUBLE)
+        |        * CAST(a.tn AS DOUBLE)
+        |        * NULLIF(CAST(a.tn AS DOUBLE) - 1.0, 0.0)
+        |        * CAST(a.tn AS DOUBLE))) AS se
+        |  FROM a JOIN dv ON dv.source = a.source
+        |  WHERE a.tp > 0 AND a.tn > 0)
+        |SELECT source, tp AS n_pos, tn AS n_neg,
+        |  floor(auc * 1e6 + 0.5) / 1e6 AS auc,
+        |  floor(se * 1e6 + 0.5) / 1e6 AS delong_se,
+        |  floor((auc - 1.959964 * se) * 1e6 + 0.5) / 1e6 AS ci_lo,
+        |  floor((auc + 1.959964 * se) * 1e6 + 0.5) / 1e6 AS ci_hi
+        |FROM f ORDER BY source""".stripMargin,
   )
 }

@@ -1006,6 +1006,53 @@ private[graft] object SimilarityOracles {
         |    // COUNT(*) AS BIGINT) AS hub_ppm
         |FROM f GROUP BY cluster ORDER BY cluster""".stripMargin,
 
+    // Mutual-kNN reciprocity over the hubness 3-NN edges: same chain,
+    // one reversed-edge self-join.
+    "mutual_knn_rate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+        |s1 AS (SELECT e.vec_id, e.emb, c0.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c0.c_emb), 6) AS cs
+        |       FROM e, c0),
+        |a1 AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s1) WHERE rn = 1),
+        |m AS (SELECT cluster, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |      FROM a1, generate_series(1, 64) AS g(i) GROUP BY cluster, i),
+        |c1 AS (SELECT cluster AS c_id, list(v ORDER BY i) AS c_emb FROM m GROUP BY cluster),
+        |s2 AS (SELECT e.vec_id, e.emb, c1.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c1.c_emb), 6) AS cs
+        |       FROM e, c1),
+        |a2 AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s2) WHERE rn = 1),
+        |ed AS (SELECT a.cluster, a.vec_id, b.vec_id AS b_id,
+        |         ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cs
+        |       FROM a2 a JOIN a2 b
+        |         ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+        |top AS (SELECT cluster, vec_id, b_id FROM (
+        |         SELECT cluster, vec_id, b_id, cs,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |             ORDER BY cs DESC, b_id) AS rn
+        |         FROM ed WHERE cs IS NOT NULL AND NOT isnan(cs))
+        |       WHERE rn <= 3),
+        |mu AS (SELECT t.cluster, CAST(COUNT(*) AS BIGINT) AS n_mutual
+        |       FROM top t JOIN top r ON r.cluster = t.cluster
+        |         AND r.vec_id = t.b_id AND r.b_id = t.vec_id
+        |       WHERE t.vec_id < t.b_id GROUP BY 1),
+        |eg AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_edges
+        |       FROM top GROUP BY 1)
+        |SELECT eg.cluster, eg.n_edges,
+        |  COALESCE(mu.n_mutual, 0) AS n_mutual_pairs,
+        |  CAST((COALESCE(mu.n_mutual, 0) * 2000000) // eg.n_edges AS BIGINT)
+        |    AS reciprocity_ppm
+        |FROM eg LEFT JOIN mu ON mu.cluster = eg.cluster
+        |ORDER BY eg.cluster""".stripMargin,
+
     // ARI between the vec_id<8 and 8..15 seed chains: doubled kmeans
     // CTE chain, exact pair combinatorics, denominators cleared so
     // ONE double division renders each index.

@@ -1129,5 +1129,24 @@ private[graft] object WarehouseOracles {
         |  CAST((SUM(d_pct) * 100) // COUNT(*) AS BIGINT) AS avg_disc_bp,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Q14 shape: promo net-revenue share on the exact 1e-2-cent grid.
+    "promotion_effect" ->
+      """WITH l AS (SELECT l_partkey AS p_partkey,
+        |    strftime(l_shipdate, '%Y-%m') AS month,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      AS net_q
+        |  FROM lineitem),
+        |j AS (SELECT l.month, l.net_q, p.p_type = 'PROMO' AS is_promo
+        |  FROM l JOIN part p USING (p_partkey))
+        |SELECT month, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN is_promo THEN CAST(net_q AS HUGEINT)
+        |    ELSE 0 END) AS BIGINT) AS promo_rev_c100,
+        |  CAST(SUM(CAST(net_q AS HUGEINT)) AS BIGINT) AS total_rev_c100,
+        |  CAST((SUM(CASE WHEN is_promo THEN CAST(net_q AS HUGEINT)
+        |      ELSE 0 END) * 1000000)
+        |    // SUM(CAST(net_q AS HUGEINT)) AS BIGINT) AS promo_share_ppm
+        |FROM j GROUP BY 1 ORDER BY month""".stripMargin,
   )
 }

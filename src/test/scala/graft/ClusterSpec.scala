@@ -303,4 +303,25 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
       s"rand 7/15: $u")
     assert(u.getDouble(4) == 0.0, s"ari exactly 0: $u")
   }
+
+  test("mutual knn rate: hand reciprocity on the angular cluster; edge-free singleton absent") {
+    import spark.implicits._
+    def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val vecs = Seq(0L -> at(0), 1L -> at(90), 2L -> at(10), 3L -> at(21),
+      4L -> at(33), 5L -> at(44)).map { case (i, v) => (i, v) }
+      .toDF("vec_id", "embedding")
+    // nn=1 edges 0→2, 2→0, 3→2, 4→5, 5→4: mutual {0,2}, {4,5} →
+    // 2·2e6 div 5 = 800000.
+    val g1 = Cluster.mutualKnnRateOf(vecs, k = 2, iters = 1, nn = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(g1(0L) == ((5L, 2L, 800000L)), s"${g1(0L)}")
+    assert(!g1.contains(1L), s"singleton cell has no edges: $g1")
+    // nn=3: 15 edges, mutual pairs {0,2},{0,3},{2,3},{2,4},{3,4},{4,5}
+    val g3 = Cluster.mutualKnnRateOf(vecs, k = 2, iters = 1, nn = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(g3(0L) == ((15L, 6L, 800000L)), s"${g3(0L)}")
+  }
 }

@@ -756,4 +756,27 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     }.sortBy { case (a, b, cp, l) => (-l, -cp, a, b) }.take(20)
     assert(got.toSeq == expected, s"got ${got.toSeq}\nexp $expected")
   }
+
+  test("delong se: perfect separation reads auc 1 with zero variance; an inversion opens the band") {
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over the lazy dog and then " +
+      "walks on to the next field where it rests for a while in peace"
+    val junk = "!!! ??? !!!"
+    val perfect = ((1L to 5L).map(i => (i, clean + " " + i, "en", "s1")) ++
+      (6L to 10L).map(i => (i, junk + " " + i, "de", "s1")))
+      .toDF("doc_id", "text", "lang", "source")
+    val p = CorpusStats.aucDelongSeOf(perfect).collect().head
+    assert((p.getLong(1), p.getLong(2)) == ((5L, 5L)), s"$p")
+    assert(p.getDouble(3) == 1.0 && p.getDouble(4) == 0.0, s"$p")
+    assert(p.getDouble(5) == 1.0 && p.getDouble(6) == 1.0, s"$p")
+    // flip one label: auc drops below 1 and the band opens
+    val mixed = ((1L to 5L).map(i => (i, clean + " " + i, "en", "s1")) ++
+      (6L to 9L).map(i => (i, junk + " " + i, "de", "s1")) :+
+      ((10L, junk + " x", "en", "s1")))
+      .toDF("doc_id", "text", "lang", "source")
+    val m = CorpusStats.aucDelongSeOf(mixed).collect().head
+    assert(m.getDouble(3) < 1.0 && m.getDouble(4) > 0.0, s"$m")
+    assert(m.getDouble(5) < m.getDouble(3) && m.getDouble(6) > m.getDouble(3),
+      s"band brackets the point: $m")
+  }
 }

@@ -242,4 +242,18 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(2) == 6L && r.getLong(3) == 3L, s"$r")
     assert(r.getLong(4) == 3L * 1000000L / 6L, s"containment: $r")
   }
+
+  test("ahash threshold sweep: identical-image floor at t=0, monotone, one enumeration") {
+    val same = ("z" * 40 + " " * 40) * 12
+    val other = Seq.tabulate(960)(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq((1L, same), (2L, same), (3L, same), (4L, other))
+      .toDF("doc_id", "text")
+    val got = Multimodal.ahashThresholdSweepOf(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 11 && got(0L) == 3L,
+      s"Hamming-0 = the identical C(3,2): $got")
+    val curve = (0L to 10L).map(got)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+      s"monotone: $curve")
+  }
 }

@@ -614,4 +614,21 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert((r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)) ==
       ((15000L, 15000L, 750L, 2L)), s"$r")
   }
+
+  test("promotion effect: exact net grid, promo share by integer ppm") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"$s 00:00:00")
+    val li = Seq(
+      (1L, t("2000-01-05"), 100.0, 0.00),  // PROMO net 1000000
+      (2L, t("2000-01-06"), 100.0, 0.10))  // STANDARD net 900000
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val part = Seq((1L, "PROMO"), (2L, "STANDARD"))
+      .toDF("p_partkey", "p_type")
+    val got = graft.operators.Warehouse.promotionEffectOf(li, part)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("2000-01", 2L, 1000000L, 1900000L,
+      1000000L * 1000000L / 1900000L)), s"got ${got.toSeq}")
+  }
 }
