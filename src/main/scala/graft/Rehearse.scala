@@ -22,7 +22,10 @@ object Rehearse {
     // k=8 over a ×100 vector corpus is the deliberate Σ‖cell‖²
     // quadratic corner; a deployment sizes cells to the corpus.
     "hubness_k256" -> ((s, d) =>
-      Cluster.hubnessAuditOf(Tables.embeddings(s, d), k = 256, iters = 2)))
+      Cluster.hubnessAuditOf(Tables.embeddings(s, d), k = 256, iters = 2)),
+    // The mutual-kNN twin at the same k ∝ n posture (SURVEY row 354).
+    "mutual_knn_k256" -> ((s, d) =>
+      Cluster.mutualKnnRateOf(Tables.embeddings(s, d), k = 256, iters = 2)))
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption
