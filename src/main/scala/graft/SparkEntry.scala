@@ -393,6 +393,11 @@ object SparkEntry {
     "auc_delong_se"     -> (CorpusStats.aucDelongSe(_, _)),
     "mutual_knn_rate"   -> (Cluster.mutualKnnRate(_, _)),
     "ahash_threshold_sweep" -> (Multimodal.ahashThresholdSweep(_, _)),
+    // Round-12 twenty-second tranche: Q13 distribution, decile lift
+    // table, weekday effect size (rows 356-358)
+    "orders_per_customer_dist" -> (Warehouse.ordersPerCustomerDist(_, _)),
+    "lift_table"        -> (CorpusStats.liftTable(_, _)),
+    "seasonal_strength" -> (EventAnalytics.seasonalStrength(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

@@ -1563,4 +1563,51 @@ object CorpusStats {
 
   def aucDelongSe(spark: SparkSession, dir: String): DataFrame =
     aucDelongSeOf(Tables.documents(spark, dir))
+
+  /** Decile lift table for the quality score as a `posLang` detector —
+    * THE practitioner table behind every targeting decision (AUC/PR/
+    * Brier say the score works; this says "mail the top 2 deciles,
+    * capture X% of positives at Y× the base rate"): documents ranked
+    * by (score DESC, doc_id) into exact ntile deciles, per-decile
+    * positive rate, lift vs the base rate, cumulative capture.
+    *
+    * Determinism: the rank rides [[graft.Scale.twoPhaseRank]] +
+    * `ntileFromRank` (a fact-scale frame — never a single-task
+    * window); every published number is an exact integer ppm division
+    * with decimal(38,0) cross-products (lift's n_pos·N crosses int64
+    * at 10⁹ docs).
+    *
+    * Shape: one scoring scan into the two-phase range exchange, one
+    * bounded decile aggregate, the cumsum on the 10-row frame. */
+  def liftTableOf(docs: DataFrame, posLang: String = "en",
+                  tiles: Int = 10): DataFrame = {
+    require(tiles >= 2, s"tiles must be >= 2, got $tiles")
+    val scored = docs.select(col("doc_id"),
+      TextF.qualityScore(col("text"), TextAnalysis.Stopwords).as("score"),
+      when(col("lang") === posLang, 1L).otherwise(0L).as("pos"))
+    val (ranked, total) = graft.Scale.twoPhaseRank(scored,
+      Seq(col("score").desc, col("doc_id")))
+    val per = ranked
+      .withColumn("decile", graft.Scale.ntileFromRank("__rank", tiles, total))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"))
+    val tot = per.agg(sum("n_docs").as("nn"), sum("n_pos").as("np")) // 1 row
+    val cumW = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow) // ≤ tiles
+    per.withColumn("cum_pos", sum("n_pos").over(cumW))
+      .crossJoin(broadcast(tot)) // 1 row by construction
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        expr("(n_pos * 1000000) div n_docs").as("pos_rate_ppm"),
+        expr("""CASE WHEN np > 0 THEN
+                (CAST(n_pos AS DECIMAL(38,0)) * nn * 1000000)
+                  div (CAST(n_docs AS DECIMAL(38,0)) * np)
+                ELSE NULL END""").as("lift_ppm"),
+        expr("""CASE WHEN np > 0
+                THEN (cum_pos * 1000000) div np ELSE NULL END""")
+          .as("capture_ppm"))
+      .orderBy("decile")
+  }
+
+  def liftTable(spark: SparkSession, dir: String): DataFrame =
+    liftTableOf(Tables.documents(spark, dir))
 }

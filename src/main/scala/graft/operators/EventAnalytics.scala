@@ -1555,4 +1555,58 @@ object EventAnalytics {
 
   def pinballLoss(spark: SparkSession, dir: String): DataFrame =
     pinballLossOf(Tables.events(spark, dir))
+
+  /** Weekday seasonality STRENGTH per type — the η² effect size the
+    * seasonality family was missing (`chi2_contingency` tests counts,
+    * `seasonal_profile` reports the shape, `cramers_v` scores the
+    * count table; none says how much of the REVENUE series' variance
+    * the weekday explains — the one number that decides between the
+    * seasonal and non-seasonal forecast branch): η² = 1 − SS_resid/
+    * SS_total with weekday means as the model.
+    *
+    * Determinism: daily cent totals; grand/weekday means quantized to
+    * the micro grid by integer division (the quantize-before-residual
+    * move — exact rational means would square into unbounded
+    * denominators); squared deviations in decimal(38,0), ONE double
+    * division, 6 dp; a constant series (SS_total = 0) nulls.
+    *
+    * Shape: one (type, day) fact aggregate; means, residuals, and
+    * sums all ride the bounded daily frame. Weekday is the arithmetic
+    * mod-7 bucket (the `chi2_contingency` convention — no
+    * engine-specific dayofweek). */
+  def seasonalStrengthOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events.select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .groupBy("event_type", "day").agg(sum("vc").as("v"))
+      .withColumn("w", pmod(
+        datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+      .localCheckpoint(false) // feeds both mean frames and the residuals
+    val gm = daily.groupBy("event_type").agg(count(lit(1)).as("n"),
+      expr("(CAST(sum(v) AS DECIMAL(38,0)) * 1000000) div count(1)")
+        .as("gmq"))
+    val wm = daily.groupBy("event_type", "w").agg(
+      expr("(CAST(sum(v) AS DECIMAL(38,0)) * 1000000) div count(1)")
+        .as("wmq"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    daily.join(broadcast(gm), "event_type")
+      .join(broadcast(wm), Seq("event_type", "w")) // bounded: types × 7
+      .select(col("event_type"), col("n"),
+        ((col("v") * lit(1000000L)).cast(dec) - col("gmq").cast(dec))
+          .as("dt"),
+        ((col("v") * lit(1000000L)).cast(dec) - col("wmq").cast(dec))
+          .as("dr"))
+      .groupBy("event_type")
+      .agg(max("n").as("n_days"),
+        sum(col("dt") * col("dt")).as("sst"),
+        sum(col("dr") * col("dr")).as("ssr"))
+      .select(col("event_type"), col("n_days"),
+        graft.functions.TextF.round6HalfUp(
+          lit(1.0) - d(col("ssr")) / nullif(d(col("sst")), lit(0.0)))
+          .as("eta2_weekday"))
+      .orderBy("event_type")
+  }
+
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame =
+    seasonalStrengthOf(Tables.events(spark, dir))
 }

@@ -1301,4 +1301,30 @@ object Warehouse {
 
   def promotionEffect(spark: SparkSession, dir: String): DataFrame =
     promotionEffectOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  /** Customer order-count distribution — the TPC-H Q13 shape ("how
+    * many customers placed 0, 1, 2, … orders", the engagement
+    * histogram whose ZERO bucket is the whole point: an inner join
+    * silently deletes the never-ordered customers a win-back campaign
+    * targets): customers LEFT JOIN the per-customer order counts,
+    * absent → 0, then the count-of-counts.
+    *
+    * Shape: one custkey fact aggregate, one dim-side LEFT equijoin,
+    * one bounded count-of-counts aggregate (distinct order counts ≤
+    * hundreds at any scale). */
+  def ordersPerCustomerDistOf(customer: DataFrame,
+                              orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    customer.select(col("c_custkey"))
+      .join(perCust, Seq("c_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+  }
+
+  def ordersPerCustomerDist(spark: SparkSession, dir: String): DataFrame =
+    ordersPerCustomerDistOf(Tables.customer(spark, dir),
+      Tables.orders(spark, dir))
 }

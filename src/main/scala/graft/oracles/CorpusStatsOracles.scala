@@ -1402,5 +1402,28 @@ private[graft] object CorpusStatsOracles {
         |  floor((auc - 1.959964 * se) * 1e6 + 0.5) / 1e6 AS ci_lo,
         |  floor((auc + 1.959964 * se) * 1e6 + 0.5) / 1e6 AS ci_hi
         |FROM f ORDER BY source""".stripMargin,
+
+    // Decile lift table: NTILE(10) ≡ the operator's two-phase
+    // ntileFromRank bit-for-bit; exact ppm divisions throughout.
+    "lift_table" ->
+      s"""WITH s AS (SELECT doc_id, $QualitySqlExpr AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |d AS (SELECT NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile,
+        |        pos FROM s),
+        |per AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+        |    CAST(SUM(n_pos) AS BIGINT) AS np FROM per),
+        |c AS (SELECT *, CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT)
+        |    AS cum_pos FROM per)
+        |SELECT decile, n_docs, n_pos,
+        |  CAST((n_pos * 1000000) // n_docs AS BIGINT) AS pos_rate_ppm,
+        |  CASE WHEN np > 0 THEN CAST((CAST(n_pos AS HUGEINT) * nn * 1000000)
+        |    // (CAST(n_docs AS HUGEINT) * np) AS BIGINT)
+        |    ELSE NULL END AS lift_ppm,
+        |  CASE WHEN np > 0 THEN CAST((cum_pos * 1000000) // np AS BIGINT)
+        |    ELSE NULL END AS capture_ppm
+        |FROM c, tot ORDER BY decile""".stripMargin,
   )
 }

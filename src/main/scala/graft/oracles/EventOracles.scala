@@ -2176,5 +2176,34 @@ private[graft] object EventOracles {
         |FROM rk r JOIN ct ON ct.event_type = r.event_type
         |  AND r.rn = (ct.m + 1) // 2
         |ORDER BY r.event_type""".stripMargin,
+
+    // Weekday η² per type: micro-quantized grand/weekday means,
+    // HUGEINT squared deviations, one double division.
+    "seasonal_strength" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, v,
+        |    CAST(datediff('day', DATE '1970-01-01', day) % 7 AS BIGINT) AS w
+        |  FROM daily),
+        |gm AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST((CAST(SUM(v) AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT)
+        |      AS gmq
+        |  FROM dw GROUP BY 1),
+        |wm AS (SELECT event_type, w,
+        |    CAST((CAST(SUM(v) AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT)
+        |      AS wmq
+        |  FROM dw GROUP BY 1, 2),
+        |r AS (SELECT dw.event_type, gm.n,
+        |    CAST(dw.v AS HUGEINT) * 1000000 - gmq AS dt,
+        |    CAST(dw.v AS HUGEINT) * 1000000 - wmq AS dr
+        |  FROM dw JOIN gm USING (event_type)
+        |  JOIN wm ON wm.event_type = dw.event_type AND wm.w = dw.w)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |  floor((1.0 - CAST(SUM(dr * dr) AS DOUBLE)
+        |    / NULLIF(CAST(SUM(dt * dt) AS DOUBLE), 0.0)) * 1e6 + 0.5) / 1e6
+        |    AS eta2_weekday
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -1148,5 +1148,14 @@ private[graft] object WarehouseOracles {
         |      ELSE 0 END) * 1000000)
         |    // SUM(CAST(net_q AS HUGEINT)) AS BIGINT) AS promo_share_ppm
         |FROM j GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // Q13 shape: zero-inclusive count-of-counts via the LEFT join.
+    "orders_per_customer_dist" ->
+      """WITH pc AS (SELECT o_custkey AS c_custkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+        |SELECT COALESCE(pc.n_orders, 0) AS n_orders,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer c LEFT JOIN pc USING (c_custkey)
+        |GROUP BY 1 ORDER BY n_orders""".stripMargin,
   )
 }

@@ -779,4 +779,25 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(m.getDouble(5) < m.getDouble(3) && m.getDouble(6) > m.getDouble(3),
       s"band brackets the point: $m")
   }
+
+  test("lift table: separable score reads 2x lift in the positive deciles, capture climbs to 1") {
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over the lazy dog and then " +
+      "walks on to the next field where it rests for a while in peace"
+    val junk = "!!! ??? !!!"
+    val docs = ((1L to 5L).map(i => (i, clean + " " + i, "en")) ++
+      (6L to 10L).map(i => (i, junk + " " + i, "de")))
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusStats.liftTableOf(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size == 10)
+    (1 to 5).foreach { k =>
+      assert(got(k) == ((1L, 1L, 1000000L, 2000000L, k * 200000L)),
+        s"decile $k: ${got(k)}")
+    }
+    (6 to 10).foreach { k =>
+      assert(got(k) == ((1L, 0L, 0L, 0L, 1000000L)), s"decile $k: ${got(k)}")
+    }
+  }
 }

@@ -759,4 +759,19 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(got(("alt", 0.5)) == ((9L, 14L, 3.5, 1000000L)), s"${got(("alt", 0.5))}")
     assert(got(("alt", 0.9)) == ((9L, 14L, 0.7, 1000000L)), s"${got(("alt", 0.9))}")
   }
+
+  test("seasonal strength: a pure weekday series reads eta2 = 1; a constant series nulls") {
+    val days = 21
+    val rows = (0 until days).flatMap { t =>
+      Seq(("weekly", f"2024-01-${t + 1}%02d 10:00:00",
+        if (t % 7 == 0) 5.0 else 1.0),
+        ("flat", f"2024-01-${t + 1}%02d 10:00:00", 2.0))
+    }
+    val got = EventAnalytics.seasonalStrengthOf(dailyEvents(rows: _*))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got("weekly") == ((21L, Some(1.0))), s"${got("weekly")}")
+    assert(got("flat") == ((21L, None)), s"constant: ${got("flat")}")
+  }
 }

@@ -631,4 +631,14 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == Seq(("2000-01", 2L, 1000000L, 1900000L,
       1000000L * 1000000L / 1900000L)), s"got ${got.toSeq}")
   }
+
+  test("orders per customer dist: the zero bucket keeps never-ordered customers") {
+    import spark.implicits._
+    val cust = (1L to 5L).map(i => Tuple1(i)).toDF("c_custkey")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val got = graft.operators.Warehouse.ordersPerCustomerDistOf(cust, ord)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 1L, 2L -> 1L), s"got $got")
+  }
 }
