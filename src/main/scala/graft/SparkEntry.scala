@@ -398,6 +398,10 @@ object SparkEntry {
     "orders_per_customer_dist" -> (Warehouse.ordersPerCustomerDist(_, _)),
     "lift_table"        -> (CorpusStats.liftTable(_, _)),
     "seasonal_strength" -> (EventAnalytics.seasonalStrength(_, _)),
+    // Round-12 twenty-third tranche: stickiness gauge + cross-source
+    // dup provenance (rows 359-360)
+    "dau_stickiness"    -> (EventAnalytics.dauStickiness(_, _)),
+    "cross_source_dup_share" -> (Components.crossSourceDupShare(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

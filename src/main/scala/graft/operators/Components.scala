@@ -242,4 +242,40 @@ object Components {
 
   def componentSizeDist(spark: SparkSession, dir: String): DataFrame =
     componentSizeDistOf(Tables.documents(spark, dir))
+
+  /** Cross-SOURCE duplication share over the near-dup closure — the
+    * provenance/licensing read the dedup family's audits don't
+    * answer: of the duplicate clusters, how many span two or more
+    * sources (content that leaked between providers — a licensing
+    * and train/test-contamination flag) vs duplicate WITHIN one
+    * source (ordinary re-publication)? Reports component counts,
+    * cross-source counts, the docs they cover, and the exact-ppm
+    * cross share among dup components.
+    *
+    * Shape: the row-64 closure, one doc-keyed equijoin to the source
+    * dim, a component-keyed aggregate, one bounded fold. */
+  def crossSourceDupShareOf(docs: DataFrame,
+                            threshold: Double = 0.5): DataFrame = {
+    val per = dedupComponentsOf(docs, threshold)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"))
+    per.agg(
+        count(lit(1)).as("n_components"),
+        sum(when(col("n_docs") > 1L, 1L).otherwise(0L))
+          .as("n_dup_components"),
+        sum(when(col("n_sources") > 1L, 1L).otherwise(0L))
+          .as("n_cross_source"),
+        sum(when(col("n_sources") > 1L, col("n_docs")).otherwise(0L))
+          .as("docs_in_cross"))
+      .select(col("n_components"), col("n_dup_components"),
+        col("n_cross_source"), col("docs_in_cross"),
+        expr("""CASE WHEN n_dup_components > 0
+                THEN (n_cross_source * 1000000) div n_dup_components
+                ELSE NULL END""").as("cross_share_ppm"))
+  }
+
+  def crossSourceDupShare(spark: SparkSession, dir: String): DataFrame =
+    crossSourceDupShareOf(Tables.documents(spark, dir))
 }

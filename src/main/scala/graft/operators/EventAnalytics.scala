@@ -1609,4 +1609,39 @@ object EventAnalytics {
 
   def seasonalStrength(spark: SparkSession, dir: String): DataFrame =
     seasonalStrengthOf(Tables.events(spark, dir))
+
+  /** DAU/MAU stickiness per day (the growth-dashboard headline "what
+    * share of the monthly audience shows up daily" — the habit
+    * metric [[Behavior.userGrowthOf]]'s flow accounting and
+    * [[rollingReachOf]]'s single window don't read directly): daily
+    * distinct users over trailing-`windowDays` distinct users, exact
+    * ppm. Days before a full window pay partial-window honesty the
+    * same way rolling_reach does (ratio runs against what's
+    * observed).
+    *
+    * Shape: the rolling_reach sliding-distinct contribution explode
+    * (windowDays × (user, day) pairs — bounded multiplier, never a
+    * self-join) shares ONE dedup with the DAU leg; both aggregates
+    * map-combine. */
+  def dauStickinessOf(events: DataFrame, windowDays: Int = 28): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val act = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().localCheckpoint(false) // feeds both legs
+    val days = act.select(col("day")).distinct()
+    val dau = act.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val mau = act
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+      .join(days, "day")
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        expr("(dau * 1000000) div mau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
+  def dauStickiness(spark: SparkSession, dir: String): DataFrame =
+    dauStickinessOf(Tables.events(spark, dir))
 }

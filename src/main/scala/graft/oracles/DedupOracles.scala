@@ -601,5 +601,38 @@ private[graft] object DedupOracles {
         |  ('src5', 'src8', 76))
         |SELECT CAST(source_a AS VARCHAR) AS source_a, CAST(source_b AS VARCHAR) AS source_b, CAST(n_shared AS BIGINT) AS n_shared FROM r""".stripMargin,
 
+    // Cross-source duplication share over the row-64 closure: the
+    // same recursive min-label CTE, joined to the source dim, one
+    // bounded fold with exact ppm.
+    "cross_source_dup_share" ->
+      s"""WITH RECURSIVE $ShingleSetsCte,
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) >= 0.5),
+        |e AS (SELECT a_id AS a, b_id AS b FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |r AS (
+        |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT e.a AS node, r.lbl FROM e JOIN r ON r.node = e.b),
+        |comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM r
+        |         GROUP BY node),
+        |per AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+        |  FROM comp JOIN documents d USING (doc_id) GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+        |  CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_components,
+        |  CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cross_source,
+        |  CAST(SUM(CASE WHEN n_sources > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+        |    AS docs_in_cross,
+        |  CASE WHEN SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) > 0
+        |    THEN CAST((SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+        |        * 1000000)
+        |      // SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    ELSE NULL END AS cross_share_ppm
+        |FROM per""".stripMargin,
   )
 }

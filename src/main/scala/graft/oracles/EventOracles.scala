@@ -2205,5 +2205,21 @@ private[graft] object EventOracles {
         |    / NULLIF(CAST(SUM(dt * dt) AS DOUBLE), 0.0)) * 1e6 + 0.5) / 1e6
         |    AS eta2_weekday
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // DAU/MAU stickiness: the rolling_reach sliding-distinct explode
+    // at the 28-day window, exact ppm ratio.
+    "dau_stickiness" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM act),
+        |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM act GROUP BY 1),
+        |ct AS (SELECT user_id, day + CAST(off AS INT) AS day
+        |       FROM act, (SELECT unnest(generate_series(0, 27)) AS off)),
+        |mau AS (SELECT c.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS mau
+        |        FROM ct c JOIN days d ON d.day = c.day GROUP BY 1)
+        |SELECT dau.day, dau.dau, mau.mau,
+        |  CAST((dau.dau * 1000000) // mau.mau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN mau ON mau.day = dau.day ORDER BY dau.day""".stripMargin,
   )
 }

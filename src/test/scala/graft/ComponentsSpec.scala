@@ -158,4 +158,20 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(out(5L) == ((1L, 5L, 4L)), s"one 5-cluster, 4 removable: $out")
     assert(out.keySet == Set(1L, 5L), s"got $out")
   }
+
+  test("cross-source dup share: within-source twins vs a cross-source leak, hand ppm") {
+    import spark.implicits._
+    val t1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    val t2 = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    val docs = Seq(
+      (1L, t1, "src1"), (2L, t1, "src1"),           // within-source twin
+      (3L, t2, "src1"), (4L, t2, "src2"),           // cross-source leak
+      (5L, "totally different words here entirely now", "src2"))
+      .toDF("doc_id", "text", "source")
+    val r = Components.crossSourceDupShareOf(docs).collect().head
+    // components {1,2}, {3,4}, {5}: 2 dup comps, 1 cross, 2 docs in it
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 1L, 2L)), s"$r")
+    assert(r.getLong(4) == 500000L, s"half the dup mass crosses: $r")
+  }
 }

@@ -774,4 +774,16 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(got("weekly") == ((21L, Some(1.0))), s"${got("weekly")}")
     assert(got("flat") == ((21L, None)), s"constant: ${got("flat")}")
   }
+
+  test("dau stickiness: trailing window carries yesterday's audience into today's MAU") {
+    val ev = eventsDf(
+      (1L, 1L, "2024-01-01 10:00:00"), (2L, 2L, "2024-01-01 11:00:00"),
+      (3L, 1L, "2024-01-02 10:00:00"))
+    val got = EventAnalytics.dauStickinessOf(ev).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("2024-01-01") == ((2L, 2L, 1000000L)), s"$got")
+    // day 2: DAU {1}, trailing-28 MAU {1, 2} → 500000 ppm
+    assert(got("2024-01-02") == ((1L, 2L, 500000L)), s"$got")
+  }
 }
