@@ -1449,4 +1449,45 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // cluster_stability_ari: k-row/1-row crosses only, no cartesian.
     noCartesian("ari", plan(Cluster.clusterStabilityAri(spark, Sf)))
   }
+
+  test("round-12 tranches 21-23: eval/growth/provenance plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    // promotion_effect / orders_per_customer_dist: equijoins only.
+    Seq("promotion_effect" -> plan(Warehouse.promotionEffect(spark, Sf)),
+      "orders_per_customer_dist" ->
+        plan(Warehouse.ordersPerCustomerDist(spark, Sf))).foreach {
+      case (n, p) => noCartesian(n, p)
+        assert(bnlj(p).isEmpty, s"$n: equijoins only:\n$p")
+    }
+    // auc_delong_se: grid windows partitioned by source; no crossings.
+    val ad = plan(CorpusStats.aucDelongSe(spark, Sf))
+    noCartesian("auc_delong_se", ad)
+    assert(ad.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty), s"delong: grid windows:\n$ad")
+    // lift_table: the decile rank rides the two-phase exchange (__bkt
+    // windows only besides the bounded 10-row cumsum).
+    val lt = plan(CorpusStats.liftTable(spark, Sf))
+    noCartesian("lift_table", lt)
+    assert(lt.collect { case w: WindowExec => w }
+      .forall(w => w.partitionSpec.nonEmpty ||
+        w.child.toString.contains("__bkt") ||
+        w.toString.contains("decile")),
+      s"lift: rank rides __bkt, cumsum is the 10-row frame:\n$lt")
+    // seasonal_strength / dau_stickiness / mutual_knn /
+    // ahash_threshold_sweep / cross_source_dup_share: no cartesian.
+    Seq(
+      "seasonal_strength" -> plan(EventAnalytics.seasonalStrength(spark, Sf)),
+      "dau_stickiness" -> plan(EventAnalytics.dauStickiness(spark, Sf)),
+      "mutual_knn_rate" -> plan(Cluster.mutualKnnRate(spark, Sf)),
+      "ahash_threshold_sweep" ->
+        plan(graft.operators.Multimodal.ahashThresholdSweep(spark, Sf)),
+      "cross_source_dup_share" ->
+        plan(graft.operators.Components.crossSourceDupShare(spark, Sf)))
+      .foreach { case (n, p) => noCartesian(n, p) }
+  }
 }
