@@ -921,8 +921,12 @@ object Robust {
     ranked.join(broadcast(counts), Seq("event_type"))
       .filter(col("rn") === expr("(m + 1) div 2"))
       .select(col("event_type"), col("n_days"), col("m").as("n_pairs"),
+        // div truncates toward zero on BOTH engines (measured); the
+        // half flag tests |ps| so a refund-negative pair sum can't
+        // flip it cross-engine (Spark pmod vs DuckDB % disagree on
+        // negative operands).
         expr("ps div 2").as("hl_cents"),
-        (pmod(col("ps"), lit(2L)) === 1L).as("half_cent"))
+        (pmod(abs(col("ps")), lit(2L)) === 1L).as("half_cent"))
       .orderBy("event_type")
   }
 

@@ -2172,7 +2172,8 @@ private[graft] object EventOracles {
         |ct AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
         |    CAST(MAX(ib) AS BIGINT) AS n_days FROM w GROUP BY 1)
         |SELECT r.event_type, ct.n_days, ct.m AS n_pairs,
-        |  CAST(ps // 2 AS BIGINT) AS hl_cents, (ps % 2 = 1) AS half_cent
+        |  CAST(ps // 2 AS BIGINT) AS hl_cents,
+        |  (abs(ps) % 2 = 1) AS half_cent
         |FROM rk r JOIN ct ON ct.event_type = r.event_type
         |  AND r.rn = (ct.m + 1) // 2
         |ORDER BY r.event_type""".stripMargin,

@@ -402,7 +402,10 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     val rows = Seq(
       ("a", "2024-01-01 10:00:00", 0.10), ("a", "2024-01-02 10:00:00", 0.20),
       ("a", "2024-01-03 10:00:00", 0.40),
-      ("b", "2024-01-01 10:00:00", 0.10), ("b", "2024-01-02 10:00:00", 0.21))
+      ("b", "2024-01-01 10:00:00", 0.10), ("b", "2024-01-02 10:00:00", 0.21),
+      // refund-negative series: sums −20,−31,−42 → median −31 →
+      // trunc(−31/2) = −15, |−31| odd → half flag set
+      ("c", "2024-01-01 10:00:00", -0.10), ("c", "2024-01-02 10:00:00", -0.21))
     val ev = rows.toDF("event_type", "s", "value")
       .select($"event_type", org.apache.spark.sql.functions.to_timestamp($"s").as("ts"), $"value")
     val got = Robust.hodgesLehmannOf(ev).collect()
@@ -410,5 +413,6 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     assert(got("a") == ((3L, 6L, 20L, false)), s"a: ${got("a")}")
     assert(got("b") == ((2L, 3L, 15L, true)), s"b: ${got("b")}")
+    assert(got("c") == ((2L, 3L, -15L, true)), s"c: ${got("c")}")
   }
 }
