@@ -402,6 +402,10 @@ object SparkEntry {
     // dup provenance (rows 359-360)
     "dau_stickiness"    -> (EventAnalytics.dauStickiness(_, _)),
     "cross_source_dup_share" -> (Components.crossSourceDupShare(_, _)),
+    // Round-12 twenty-fourth tranche: tail risk + supervised cluster
+    // quality (rows 361-362)
+    "revenue_var"       -> (Robust.revenueVar(_, _)),
+    "cluster_purity"    -> (Cluster.clusterPurity(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

@@ -753,4 +753,46 @@ object Cluster {
 
   def clusterStabilityAri(spark: SparkSession, dir: String): DataFrame =
     clusterStabilityAriOf(Tables.embeddings(spark, dir))
+
+  /** Label purity + Gini impurity per k-means cell — the SUPERVISED
+    * cluster-quality read ([[knnClassifyOf]] scores points, the
+    * validity trio scores geometry; this asks whether the cells line
+    * up with the labels at the CELL level — the read that justifies
+    * per-cluster label propagation or flags a k mismatch): purity =
+    * majority-label share, Gini = 1 − Σp² with denominators cleared
+    * to exact integers ((n² − Σc²)·10⁶ div n²), majority ties to the
+    * smaller label.
+    *
+    * Shape: the standard assignment chain, one (cluster, label)
+    * bounded aggregate, a k-bounded ranker. */
+  def clusterPurityOf(embeddings: DataFrame, k: Int = K,
+                      iters: Int = Iterations): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = assignedOf(embeddings, k, iters)
+      .select(col("vec_id"), col("cluster"))
+      .join(embeddings.select(col("vec_id"),
+        col("label").cast("long").as("label")), Seq("vec_id"))
+      .groupBy("cluster", "label").agg(count(lit(1)).as("c"))
+    val byCell = Window.partitionBy("cluster")
+      .orderBy(col("c").desc, col("label"))
+    val major = cells.withColumn("rn", row_number().over(byCell))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("majority_label"),
+        col("c").as("n_majority"))
+    cells.groupBy("cluster")
+      .agg(sum("c").as("n"),
+        sum((col("c") * col("c")).cast(dec)).as("sq"),
+        countDistinct("label").as("n_labels"))
+      .join(major, Seq("cluster"))
+      .select(col("cluster"), col("n"), col("n_labels"),
+        col("majority_label"),
+        expr("(n_majority * 1000000) div n").as("purity_ppm"),
+        expr("""CAST(((CAST(n AS DECIMAL(38,0)) * n - sq) * 1000000)
+                div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""")
+          .as("gini_ppm"))
+      .orderBy("cluster")
+  }
+
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame =
+    clusterPurityOf(Tables.embeddings(spark, dir))
 }

@@ -932,4 +932,43 @@ object Robust {
 
   def hodgesLehmann(spark: SparkSession, dir: String): DataFrame =
     hodgesLehmannOf(Tables.events(spark, dir))
+
+  /** Daily-revenue Value-at-Risk and expected shortfall per type —
+    * the worst-day planning read (VaR₉₅ = the 5th-percentile daily
+    * total by LOWER nearest-rank; CVaR = the mean of the days at or
+    * below it — the coherent tail measure that prices HOW bad the bad
+    * tail is, not just where it starts): both exact on the cent grid,
+    * CVaR by integer division.
+    *
+    * Shape: one (type, day) fact aggregate; rank and tail mean on the
+    * bounded daily frame. */
+  def revenueVarOf(events: DataFrame, pct: Int = 5): DataFrame = {
+    require(pct >= 1 && pct <= 50, s"pct in [1,50], got $pct")
+    val dec = "decimal(38,0)"
+    val daily = events.select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .groupBy("event_type", "day").agg(sum("vc").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("v"), col("day"))))
+      .localCheckpoint(false) // rank probe + tail fold share it
+    val counts = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("k", greatest(expr(s"(n * $pct) div 100"), lit(1L)))
+    val varRow = daily.join(broadcast(counts), Seq("event_type"))
+      .filter(col("rn") === col("k"))
+      .select(col("event_type"), col("n"), col("k"),
+        col("v").as("var_cents"))
+    daily.join(broadcast(varRow.select(col("event_type"),
+        col("k").as("kk"))), Seq("event_type"))
+      .filter(col("rn") <= col("kk"))
+      .groupBy("event_type")
+      .agg(sum(col("v").cast(dec)).as("tail_sum"),
+        count(lit(1)).as("n_tail"))
+      .join(varRow, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_days"), col("var_cents"),
+        expr("CAST(tail_sum div n_tail AS BIGINT)").as("cvar_cents"))
+      .orderBy("event_type")
+  }
+
+  def revenueVar(spark: SparkSession, dir: String): DataFrame =
+    revenueVarOf(Tables.events(spark, dir))
 }

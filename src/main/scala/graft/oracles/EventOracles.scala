@@ -2222,5 +2222,29 @@ private[graft] object EventOracles {
         |SELECT dau.day, dau.dau, mau.mau,
         |  CAST((dau.dau * 1000000) // mau.mau AS BIGINT) AS stickiness_ppm
         |FROM dau JOIN mau ON mau.day = dau.day ORDER BY dau.day""".stripMargin,
+
+    // Daily-revenue VaR/CVaR per type: lower nearest-rank on the
+    // bounded daily frame, integer-division tail mean.
+    "revenue_var" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, day) AS rn
+        |  FROM daily),
+        |ct AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    GREATEST((COUNT(*) * 5) // 100, 1) AS k FROM daily GROUP BY 1),
+        |vr AS (SELECT r.event_type, ct.n, ct.k, r.v AS var_cents
+        |  FROM rk r JOIN ct ON ct.event_type = r.event_type AND r.rn = ct.k),
+        |tl AS (SELECT r.event_type,
+        |    SUM(CAST(r.v AS HUGEINT)) AS tail_sum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tail
+        |  FROM rk r JOIN vr ON vr.event_type = r.event_type
+        |  WHERE r.rn <= vr.k GROUP BY 1)
+        |SELECT vr.event_type, vr.n AS n_days, vr.var_cents,
+        |  CAST(tl.tail_sum // tl.n_tail AS BIGINT) AS cvar_cents
+        |FROM vr JOIN tl ON tl.event_type = vr.event_type
+        |ORDER BY vr.event_type""".stripMargin,
   )
 }

@@ -1006,6 +1006,49 @@ private[graft] object SimilarityOracles {
         |    // COUNT(*) AS BIGINT) AS hub_ppm
         |FROM f GROUP BY cluster ORDER BY cluster""".stripMargin,
 
+    // Cluster label purity/Gini: the assignment chain + one
+    // (cluster, label) contingency, denominators cleared.
+    "cluster_purity" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+        |s1 AS (SELECT e.vec_id, e.emb, c0.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c0.c_emb), 6) AS cs
+        |       FROM e, c0),
+        |a1 AS (SELECT vec_id, emb, c_id AS cluster FROM (
+        |         SELECT vec_id, emb, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s1) WHERE rn = 1),
+        |m AS (SELECT cluster, i,
+        |        ROUND(CAST(SUM(CAST(round(list_extract(emb, i) * 1e6) AS BIGINT)) AS DOUBLE)
+        |          / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS v
+        |      FROM a1, generate_series(1, 64) AS g(i) GROUP BY cluster, i),
+        |c1 AS (SELECT cluster AS c_id, list(v ORDER BY i) AS c_emb FROM m GROUP BY cluster),
+        |s2 AS (SELECT e.vec_id, c1.c_id,
+        |         ROUND(list_cosine_similarity(e.emb, c1.c_emb), 6) AS cs
+        |       FROM e, c1),
+        |a2 AS (SELECT vec_id, c_id AS cluster FROM (
+        |         SELECT vec_id, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+        |         FROM s2) WHERE rn = 1),
+        |cl AS (SELECT a2.cluster, CAST(em.label AS BIGINT) AS label,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM a2 JOIN embeddings em USING (vec_id) GROUP BY 1, 2),
+        |mj AS (SELECT cluster, label AS majority_label, c AS n_majority
+        |       FROM (SELECT cluster, label, c,
+        |               ROW_NUMBER() OVER (PARTITION BY cluster
+        |                 ORDER BY c DESC, label) AS rn FROM cl)
+        |       WHERE rn = 1),
+        |ag AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS n,
+        |         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sq,
+        |         CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+        |       FROM cl GROUP BY 1)
+        |SELECT ag.cluster, ag.n, ag.n_labels, mj.majority_label,
+        |  CAST((mj.n_majority * 1000000) // ag.n AS BIGINT) AS purity_ppm,
+        |  CAST(((CAST(ag.n AS HUGEINT) * ag.n - ag.sq) * 1000000)
+        |    // (CAST(ag.n AS HUGEINT) * ag.n) AS BIGINT) AS gini_ppm
+        |FROM ag JOIN mj ON mj.cluster = ag.cluster
+        |ORDER BY ag.cluster""".stripMargin,
+
     // Mutual-kNN reciprocity over the hubness 3-NN edges: same chain,
     // one reversed-edge self-join.
     "mutual_knn_rate" ->

@@ -324,4 +324,18 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(g3(0L) == ((15L, 6L, 800000L)), s"${g3(0L)}")
   }
+
+  test("cluster purity: mixed cell reads hand purity/gini; pure singleton reads 1/0") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(1.0f, 0.1f), 0), (3L, Array(1.0f, 0.2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Cluster.clusterPurityOf(vecs, k = 2, iters = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // cell 0 = {0,2,3}: labels 0,0,1 → purity 2/3, gini (9−5)/9
+    assert(got(0L) == ((3L, 2L, 0L, 666666L, 444444L)), s"${got(0L)}")
+    assert(got(1L) == ((1L, 1L, 1L, 1000000L, 0L)), s"${got(1L)}")
+  }
 }

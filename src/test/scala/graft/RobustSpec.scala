@@ -415,4 +415,20 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     assert(got("b") == ((2L, 3L, 15L, true)), s"b: ${got("b")}")
     assert(got("c") == ((2L, 3L, -15L, true)), s"c: ${got("c")}")
   }
+
+  test("revenue var: rank clamps to 1 on short series; cvar averages the exact tail") {
+    import spark.implicits._
+    // type a: 10 days, cents 10..100 → k = max(1, 0) = 1 → VaR = 10,
+    // CVaR = 10. type b: 40 days, cents 1..40 → k = 2 → VaR = 2,
+    // CVaR = (1+2) div 2 = 1.
+    val rows = (1 to 10).map(i => ("a", f"2024-01-$i%02d 10:00:00", i / 10.0)) ++
+      (1 to 40).map(i => ("b", f"2024-${1 + (i - 1) / 28}%02d-${1 + (i - 1) % 28}%02d 10:00:00", i / 100.0))
+    val ev = rows.toDF("event_type", "s", "value")
+      .select($"event_type", org.apache.spark.sql.functions.to_timestamp($"s").as("ts"), $"value")
+    val got = Robust.revenueVarOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((10L, 10L, 10L)), s"a: ${got("a")}")
+    assert(got("b") == ((40L, 2L, 1L)), s"b: ${got("b")}")
+  }
 }
