@@ -406,6 +406,10 @@ object SparkEntry {
     // quality (rows 361-362)
     "revenue_var"       -> (Robust.revenueVar(_, _)),
     "cluster_purity"    -> (Cluster.clusterPurity(_, _)),
+    // Round-12 twenty-fifth tranche: catalog connectivity + momentum
+    // streaks (rows 363-364)
+    "item_graph_components" -> (Graph.itemGraphComponents(_, _)),
+    "streak_stats"      -> (EventAnalytics.streakStats(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

@@ -1644,4 +1644,44 @@ object EventAnalytics {
 
   def dauStickiness(spark: SparkSession, dir: String): DataFrame =
     dauStickinessOf(Tables.events(spark, dir))
+
+  /** Revenue momentum streaks per type — the gaps-and-islands read
+    * (longest run of up-days, longest run of down-days, run count):
+    * the classic SQL islands pattern (island id = rn − rn-within-
+    * direction, both on the SAME ordered frame) this engine's window
+    * surface hadn't exercised; an on-call reads "9 down-days in a
+    * row" very differently from nine scattered dips, and a streak
+    * beyond the envelope is the classic change-vs-noise tiebreak.
+    * Flat days (Δ = 0) break both kinds of streak.
+    *
+    * Shape: one (type, day) fact aggregate; lag, islands, and the
+    * run fold all ride the bounded daily frame. */
+  def streakStatsOf(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    val daily = events.select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .groupBy("event_type", "day").agg(sum("vc").as("v"))
+      .withColumn("prev", lag("v", 1).over(byType))
+      .filter(col("prev").isNotNull)
+      .withColumn("dir",
+        when(col("v") > col("prev"), 1).when(col("v") < col("prev"), -1)
+          .otherwise(0))
+      .withColumn("rn", row_number().over(byType))
+      .withColumn("rnd", row_number().over(
+        Window.partitionBy("event_type", "dir").orderBy("day")))
+      .withColumn("island", col("rn") - col("rnd"))
+    val runs = daily.filter(col("dir") =!= 0)
+      .groupBy("event_type", "dir", "island")
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy("event_type")
+      .agg(max(when(col("dir") === 1, col("len")).otherwise(0L))
+        .as("longest_up"),
+        max(when(col("dir") === -1, col("len")).otherwise(0L))
+          .as("longest_down"),
+        count(lit(1)).as("n_runs"))
+      .orderBy("event_type")
+  }
+
+  def streakStats(spark: SparkSession, dir: String): DataFrame =
+    streakStatsOf(Tables.events(spark, dir))
 }

@@ -889,4 +889,35 @@ object Graph {
 
   def ktruss(spark: SparkSession, dir: String): DataFrame =
     ktrussOf(Tables.events(spark, dir))
+
+  /** Connectivity profile of the undirected item graph — the "is the
+    * catalog one connected market or several disjoint ones" read
+    * every structural row here quietly assumes (PageRank/LPA/k-core
+    * on a fragmented graph mean something different; a giant-
+    * component share near 10⁶ ppm certifies the assumption, a low
+    * one flags siloed sub-catalogs): node/edge counts, component
+    * count, and the giant component's exact-ppm share, via the SAME
+    * shared edge derivation and the [[Components]] min-label closure
+    * (maxIter-guarded — a silently split component never escapes).
+    *
+    * Shape: one lag pass for edges, the bounded-diameter label
+    * propagation, two bounded folds. */
+  def itemGraphComponentsOf(events: DataFrame): DataFrame = {
+    val e = undirectedEdges(events).localCheckpoint(false)
+    val nodes = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct()
+    val comp = graft.operators.Components.connectedComponents(e, nodes)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+    val giant = sizes.agg(max("sz").as("giant_size"),
+      count(lit(1)).as("n_components"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(nodes.agg(count(lit(1)).as("n_nodes"))) // 1-row frames
+      .crossJoin(giant)
+      .select(col("n_nodes"), col("n_edges"), col("n_components"),
+        col("giant_size"),
+        expr("(giant_size * 1000000) div n_nodes").as("giant_share_ppm"))
+  }
+
+  def itemGraphComponents(spark: SparkSession, dir: String): DataFrame =
+    itemGraphComponentsOf(Tables.events(spark, dir))
 }

@@ -2246,5 +2246,60 @@ private[graft] object EventOracles {
         |  CAST(tl.tail_sum // tl.n_tail AS BIGINT) AS cvar_cents
         |FROM vr JOIN tl ON tl.event_type = vr.event_type
         |ORDER BY vr.event_type""".stripMargin,
+
+    // Revenue momentum streaks: the gaps-and-islands pattern (island
+    // = rn − rn-within-direction); flat days break both streak kinds.
+    "streak_stats" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, v,
+        |    lag(v) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM daily),
+        |f AS (SELECT event_type, day,
+        |    CASE WHEN v > prev THEN 1 WHEN v < prev THEN -1 ELSE 0 END AS dir,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM l WHERE prev IS NOT NULL),
+        |g AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, dir
+        |    ORDER BY day) AS rnd FROM f),
+        |runs AS (SELECT event_type, dir, rn - rnd AS island,
+        |    CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM g WHERE dir <> 0 GROUP BY 1, 2, 3)
+        |SELECT event_type,
+        |  CAST(MAX(CASE WHEN dir = 1 THEN len ELSE 0 END) AS BIGINT)
+        |    AS longest_up,
+        |  CAST(MAX(CASE WHEN dir = -1 THEN len ELSE 0 END) AS BIGINT)
+        |    AS longest_down,
+        |  CAST(COUNT(*) AS BIGINT) AS n_runs
+        |FROM runs GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Item-graph connectivity profile: the shared edge CTE + the
+    // recursive min-label closure, two bounded folds.
+    "item_graph_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         item AS dst
+        |  FROM base),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM tr WHERE src IS NOT NULL AND src <> dst),
+        |nodes AS (SELECT DISTINCT id FROM
+        |          (SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |r AS (SELECT id AS node, id AS lbl FROM nodes
+        |  UNION SELECT sym.a AS node, r.lbl FROM sym JOIN r ON r.node = sym.b),
+        |comp AS (SELECT node, MIN(lbl) AS component FROM r GROUP BY 1),
+        |sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+        |          FROM comp GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_components,
+        |  (SELECT CAST(MAX(sz) AS BIGINT) FROM sizes) AS giant_size,
+        |  CAST(((SELECT MAX(sz) FROM sizes) * 1000000)
+        |    // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS giant_share_ppm""".stripMargin,
   )
 }

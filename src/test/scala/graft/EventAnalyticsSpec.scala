@@ -786,4 +786,18 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     // day 2: DAU {1}, trailing-28 MAU {1, 2} → 500000 ppm
     assert(got("2024-01-02") == ((1L, 2L, 500000L)), s"$got")
   }
+
+  test("streak stats: hand islands — flat days break runs, longest up/down counted exactly") {
+    // daily values: 1,2,3,3,2,1,2 → dirs from day2: +,+,0,−,−,+ →
+    // up runs {2}, {1}; down run {2} → longest_up 2, longest_down 2,
+    // n_runs 3.
+    val vals = Seq(1, 2, 3, 3, 2, 1, 2)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("a", f"2024-01-${i + 1}%02d 10:00:00", v / 100.0)
+    }
+    val got = EventAnalytics.streakStatsOf(dailyEvents(rows: _*)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((2L, 2L, 3L)), s"${got("a")}")
+  }
 }

@@ -324,4 +324,13 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(out(5L) == ((4L, 2.0833)), s"$out")
     assert(out(1L) == ((3L, 1.8333)), s"$out")
   }
+
+  test("item graph components: two disjoint chains read a 3/5 giant share") {
+    // user 1 walks 1→2→3, user 2 walks 10→11: nodes 5, edges 3,
+    // components 2, giant {1,2,3} → 600000 ppm.
+    val ev = streams(1L -> Seq(1L, 2L, 3L), 2L -> Seq(10L, 11L))
+    val r = Graph.itemGraphComponentsOf(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((5L, 3L, 2L, 3L, 600000L)), s"$r")
+  }
 }
