@@ -662,6 +662,19 @@ object Behavior {
   def chi2Residuals(spark: SparkSession, dir: String): DataFrame =
     chi2ResidualsOf(Tables.events(spark, dir))
 
+  /** The three-arm deterministic assignment [[anovaFOf]] uses —
+    * exposed so specs can plant per-arm effects without reproducing
+    * the hash expression. */
+  def arm3(userId: Column): Column =
+    pmod(conv(substring(md5(concat(lit("ab:"),
+      userId.cast("string"))), 1, 8), 16, 10).cast("long"), lit(3L))
+
+  /** The two-arm twin ([[abTestOf]] / [[didReadoutOf]] /
+    * [[qiniCurveOf]]'s assignment), exposed for the same reason. */
+  def arm2(userId: Column): Column =
+    pmod(conv(substring(md5(concat(lit("ab:"),
+      userId.cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+
   /** One-way ANOVA F per event type across a THREE-arm deterministic
     * assignment (md5 mod 3 — [[abTestOf]]'s two-arm split generalized;
     * the read an experimenter runs when a test has more than one
@@ -682,19 +695,6 @@ object Behavior {
     * Shape: ONE map-combinable fact aggregate keyed by
     * (type, arm) — k·|types| rows; everything after is arithmetic on
     * that bounded frame. */
-  /** The three-arm deterministic assignment [[anovaFOf]] uses —
-    * exposed so specs can plant per-arm effects without reproducing
-    * the hash expression. */
-  def arm3(userId: Column): Column =
-    pmod(conv(substring(md5(concat(lit("ab:"),
-      userId.cast("string"))), 1, 8), 16, 10).cast("long"), lit(3L))
-
-  /** The two-arm twin ([[abTestOf]] / [[didReadoutOf]] /
-    * [[qiniCurveOf]]'s assignment), exposed for the same reason. */
-  def arm2(userId: Column): Column =
-    pmod(conv(substring(md5(concat(lit("ab:"),
-      userId.cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
-
   def anovaFOf(events: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val e = events.select(col("event_type"),
@@ -835,6 +835,9 @@ object Behavior {
   def aprioriTriplesOf(events: DataFrame, minSupport: Long = 5,
                        kTop: Int = 30): DataFrame = {
     require(kTop > 0, s"kTop must be positive, got $kTop")
+    // minSupport <= 0 would make every pair "frequent" and turn the
+    // pruned self-join chain into the full cubic basket expansion.
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     val items = events.select(col("user_id"),
       coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
         .as("item"))
@@ -903,6 +906,9 @@ object Behavior {
   def fpgrowthTriplesOf(events: DataFrame, minSupport: Long = 5,
                         kTop: Int = 30): DataFrame = {
     require(kTop > 0, s"kTop must be positive, got $kTop")
+    // minSupport <= 0 collapses the support prune AND sends the
+    // fractional (s - 0.5) / n FPGrowth support negative.
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     val baskets = events.select(col("user_id"),
       coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
         .as("item"))
@@ -1916,9 +1922,12 @@ object Behavior {
     * with no in-window click land on the explicit item −1
     * (UNATTRIBUTED) row — silent drops would make the report lie
     * about totals. Integer-exact to the micro: each touch takes
-    * qv div n, the qv mod n remainder goes one micro each to the
-    * EARLIEST touches (time, id order) — Σ attributed ≡ Σ purchase
-    * value, BehaviorSpec-pinned, no float splitting.
+    * |qv| div n, the |qv| mod n remainder goes one micro each to the
+    * EARLIEST touches (time, id order), and the share re-signs by
+    * sign(qv) — magnitude division sidesteps toward-zero truncation
+    * on negatives, so Σ attributed ≡ Σ purchase value holds for
+    * refunds too (the [[shapleyAttributionOf]] sign-split),
+    * BehaviorSpec-pinned, no float splitting.
     *
     * Shape: purchases ⋈ clicks is a user-keyed equijoin (AQE sizes
     * it) whose expansion is bounded by per-user purchases × in-window
@@ -1943,8 +1952,10 @@ object Behavior {
       .withColumn("n", count(lit(1)).over(byPurchase))
       .withColumn("rk", row_number().over(
         byPurchase.orderBy(col("tc"), col("click_id"))))
-      .withColumn("share", expr("qv div n") +
-        when(col("rk") <= expr("qv % n"), 1L).otherwise(0L))
+      .withColumn("share",
+        (expr("abs(qv) div n") +
+          when(col("rk") <= expr("abs(qv) % n"), 1L).otherwise(0L)) *
+          when(col("qv") < 0, -1L).otherwise(1L))
     val attributed = touches
       .groupBy("item")
       .agg(count(lit(1)).as("n_touches"),
@@ -1973,11 +1984,15 @@ object Behavior {
     * [[linearAttributionOf]] — clicks strictly before the purchase,
     * within windowDays; purchases with no touch land on item −1.
     *
-    * Conservation is EXACT: integer micro shares qv·w div Σw with the
-    * remainder (< n_touches micros) distributed +1 by RECENCY rank —
-    * the decay model's tiebreak, where linear gives it to the
-    * earliest. Weights are powers of two by shiftleft (no doubles);
-    * shares sum to qv bit-exactly per purchase (spec-pinned).
+    * Conservation is EXACT: integer micro shares |qv|·w div Σw with
+    * the remainder (< n_touches micros) distributed +1 by RECENCY
+    * rank — the decay model's tiebreak, where linear gives it to the
+    * earliest — and the share re-signed by sign(qv) (the
+    * [[shapleyAttributionOf]] sign-split: dividing the MAGNITUDE
+    * keeps the remainder non-negative, so the rk ≤ rem top-up fires
+    * for refunds too and shares sum to qv bit-exactly per purchase
+    * for either sign, spec-pinned). Weights are powers of two by
+    * shiftleft (no doubles).
     *
     * Shape: identical to row 271 — purchases ⋈ clicks on user_id
     * (both sides pre-filtered map-side), per-purchase windows over
@@ -2001,12 +2016,13 @@ object Behavior {
       .withColumn("w", expr(
         s"shiftleft(CAST(1 AS BIGINT), CAST($windowDays - age AS INT))"))
       .withColumn("tw", sum("w").over(byPurchase))
-      .withColumn("base", expr("(qv * w) div tw"))
+      .withColumn("base", expr("(abs(qv) * w) div tw"))
       .withColumn("rk", row_number().over(
         byPurchase.orderBy(col("tc").desc, col("click_id"))))
-      .withColumn("rem", col("qv") - sum("base").over(byPurchase))
+      .withColumn("rem", abs(col("qv")) - sum("base").over(byPurchase))
       .withColumn("share",
-        col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+        (col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L)) *
+          when(col("qv") < 0, -1L).otherwise(1L))
     val attributed = touches
       .groupBy("item")
       .agg(count(lit(1)).as("n_touches"),

@@ -227,12 +227,16 @@ object Multimodal {
   }
 
   /** Image near-duplicate detection on REAL decoded pixels: aHash of
-    * each PPM payload, LSH-banded into four 16-bit bands (two images
-    * within Hamming 6 of each other agree exactly on ≥ 1 band by
-    * pigeonhole when the 6 flips spread, and the band join never
-    * enumerates cross-bucket pairs — the [[graft.operators.Dedup]]
-    * SimHash discipline applied to PIXELS), then the exact Hamming
-    * verify on candidates. This is the missing DEDUP member of the
+    * each PPM payload, LSH-banded into four 16-bit bands (pigeonhole
+    * over 4 bands guarantees an untouched — hence exactly-agreeing —
+    * band only for Hamming ≤ 3; pairs at Hamming 4-6 whose flips
+    * happen to touch all four bands are not candidates, so the
+    * reported `n_dup_pairs` at the Hamming-6 verify threshold is a
+    * CANDIDATE-VISIBLE count, not full recall — the same stance as
+    * the threshold sweep's "> 3·16 bits could in principle miss"
+    * caveat. The band join never enumerates cross-bucket pairs —
+    * the [[graft.operators.Dedup]] SimHash discipline applied to
+    * PIXELS), then the exact Hamming verify on candidates. This is the missing DEDUP member of the
     * multimodal family (rows 26/36/41 decode and featurize; nothing
     * deduplicated the images themselves).
     *

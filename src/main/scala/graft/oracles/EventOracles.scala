@@ -596,7 +596,9 @@ private[graft] object EventOracles {
         |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tc, click_id) AS rk
         |  FROM t),
         |sh AS (SELECT item, pid,
-        |    qv // n + CASE WHEN rk <= qv % n THEN 1 ELSE 0 END AS share
+        |    (CASE WHEN qv < 0 THEN -1 ELSE 1 END)
+        |      * (abs(qv) // n
+        |         + CASE WHEN rk <= abs(qv) % n THEN 1 ELSE 0 END) AS share
         |  FROM s),
         |a AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_touches,
         |    CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
@@ -660,8 +662,9 @@ private[graft] object EventOracles {
         |FROM j ORDER BY day""".stripMargin,
 
     // Time-decay attribution: linear_attribution's touch window with
-    // 2^(3−age_days) shift weights, qv·w // Σw base shares, remainder
-    // +1 by RECENCY rank — conservation exact per purchase.
+    // 2^(3−age_days) shift weights, |qv|·w // Σw base shares re-signed
+    // by sign(qv), remainder +1 by RECENCY rank — conservation exact
+    // per purchase for either sign (refunds included).
     "decay_attribution" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS tc, event_id AS click_id,
         |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
@@ -678,11 +681,14 @@ private[graft] object EventOracles {
         |  FROM t),
         |s2 AS (SELECT *, CAST(SUM(w) OVER (PARTITION BY pid) AS BIGINT) AS tw
         |  FROM s),
-        |s3 AS (SELECT *, (qv * w) // tw AS base FROM s2),
-        |s4 AS (SELECT *, qv - CAST(SUM(base) OVER (PARTITION BY pid) AS BIGINT)
+        |s3 AS (SELECT *, (abs(qv) * w) // tw AS base FROM s2),
+        |s4 AS (SELECT *, abs(qv)
+        |      - CAST(SUM(base) OVER (PARTITION BY pid) AS BIGINT)
         |    AS rem FROM s3),
         |sh AS (SELECT item, pid,
-        |    base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS share FROM s4),
+        |    (CASE WHEN qv < 0 THEN -1 ELSE 1 END)
+        |      * (base + CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS share
+        |  FROM s4),
         |a AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_touches,
         |    CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
         |    CAST(SUM(share) AS BIGINT) AS micros

@@ -934,7 +934,12 @@ private[graft] object WarehouseOracles {
 
     // Kendall τ-b: joint-distribution concordance algebra on the
     // bounded (q, d, t) triple grid; HUGEINT mass products, doubled
-    // tie forms, two √ factors like corr_matrix.
+    // tie forms, two √ factors like corr_matrix. The OUTPUT mass
+    // columns cast to DECIMAL(38,0): the engine emits decimal(38,0)
+    // (C ~ n²/2 needs it past ~6·10⁹ rows) and the driver's hash is
+    // value-REPR-sensitive — a HUGEINT fetches as a Python int while
+    // parquet decimal fetches as Decimal, hash-mismatching on equal
+    // values (caught by CORRECTNESS_r12's one red row).
     "kendall_matrix" ->
       """WITH base AS (SELECT CAST(l_quantity AS BIGINT) AS q,
         |    CAST(floor(l_discount * 1e6) AS BIGINT) AS d,
@@ -967,7 +972,8 @@ private[graft] object WarehouseOracles {
         |  FROM (SELECT xc, yc, y, CAST(SUM(c) AS BIGINT) AS ty
         |        FROM grid GROUP BY 1, 2, 3) GROUP BY 1, 2)
         |SELECT cd.xc AS x_col, cd.yc AS y_col, CAST(xm.n AS BIGINT) AS n,
-        |  cd.concordant, cd.discordant,
+        |  CAST(cd.concordant AS DECIMAL(38,0)) AS concordant,
+        |  CAST(cd.discordant AS DECIMAL(38,0)) AS discordant,
         |  floor(
         |    2.0 * CAST(cd.concordant - cd.discordant AS DOUBLE) /
         |    (sqrt(CAST(xm.n * (xm.n - 1) - xm.n1x2 AS DOUBLE))

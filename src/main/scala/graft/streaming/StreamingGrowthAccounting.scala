@@ -86,7 +86,19 @@ object StreamingGrowthAccounting {
   /** Per-day class counts, closed by the watermark — the production
     * shape. The extra delay covers the churn rows' emission lag
     * (a (t+1, churned) row materializes when the watermark passes
-    * t+2, i.e. one day behind the stream's frontier). */
+    * t+2, i.e. one day behind the stream's frontier).
+    *
+    * Sizing `closeDelay`: it must exceed the maximum EVENT-TIME JUMP
+    * the frontier can make in one micro-batch, plus the ~1-day
+    * emission lag. If a single batch advances the watermark by more
+    * than `closeDelay` (a backfill replay draining days of backlog at
+    * once), the just-emitted churn rows are already behind the new
+    * watermark and the downstream aggregation silently drops them —
+    * breaking the DAU flow identity (dau(t) = dau(t−1) + new +
+    * resurrected − churned). The default 3 days is sized for
+    * steady-state ingestion; for replay/backfill drives, derive it
+    * from the replay chunk size the same way [[StreamingTwap]] sizes
+    * its delay ≥ the max session span. */
   def dayCounts(events: DataFrame, lateness: String = "1 day",
                 closeDelay: String = "3 days"): DataFrame =
     classified(events, lateness)

@@ -873,6 +873,31 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(571429L + 285714L + 142857L == 1000000L, "micro conservation")
   }
 
+  test("attribution conservation holds for refunds (negative value, sign-split)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // A -$1.00 refund with the decay spec's 3-click window: magnitude
+    // division keeps the remainder non-negative so the top-up fires,
+    // and the re-signed shares sum to qv = -1e6 bit-exactly. Before
+    // the sign-split, (qv*w) div tw truncated toward zero and the
+    // rk <= rem top-up never fired, losing micros.
+    val ev = Seq(
+      (1L, 1L, "click", """{"k": 7}""", 0.0, t("2024-01-11 11:00:00")),
+      (2L, 1L, "click", """{"k": 8}""", 0.0, t("2024-01-10 11:00:00")),
+      (3L, 1L, "click", """{"k": 9}""", 0.0, t("2024-01-09 11:00:00")),
+      (5L, 1L, "purchase", "{}", -1.0, t("2024-01-11 12:00:00")))
+      .toDF("event_id", "user_id", "event_type", "props", "value", "ts")
+    val decay = graft.operators.Behavior.decayAttributionOf(ev).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(decay == Map(7L -> -0.5714, 8L -> -0.2857, 9L -> -0.1429),
+      s"decay shares re-sign, newest takes the remainder micro: $decay")
+    val linear = graft.operators.Behavior.linearAttributionOf(ev).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(linear == Map(7L -> -0.3333, 8L -> -0.3333, 9L -> -0.3333),
+      s"linear refund thirds: $linear")
+  }
+
   test("funnel by arm: each arm converts against its OWN base, lift in points") {
     import spark.implicits._
     def arm(u: Long): Long = {
