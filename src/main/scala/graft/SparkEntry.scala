@@ -410,6 +410,11 @@ object SparkEntry {
     // streaks (rows 363-364)
     "item_graph_components" -> (Graph.itemGraphComponents(_, _)),
     "streak_stats"      -> (EventAnalytics.streakStats(_, _)),
+    // Round-13 first tranche: the k-sample rank test, the continuous
+    // A/B readout, and the CTR uncertainty band (rows 365-367)
+    "kruskal_wallis"    -> (Robust.kruskalWallis(_, _)),
+    "welch_test"        -> (Behavior.welchTest(_, _)),
+    "ctr_wilson"        -> (CtrAlerts.ctrWilson(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

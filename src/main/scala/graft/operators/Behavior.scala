@@ -1163,6 +1163,83 @@ object Behavior {
   def abTest(spark: SparkSession, dir: String): DataFrame =
     abTestOf(Tables.events(spark, dir))
 
+  /** Welch's unequal-variance t-test + Cohen's d per event type over
+    * the two-arm md5 assignment — the CONTINUOUS-value A/B readout
+    * beside [[abTestOf]] (proportions) and
+    * [[graft.operators.Robust.mannWhitneyOf]] (ranks): does the
+    * treatment move mean REVENUE, with arms allowed different
+    * variances (Welch — the default any stats reviewer demands over
+    * Student's pooled t), and by how many pooled standard deviations
+    * (Cohen's d, the effect size that survives unit changes)?
+    * Direction is treatment − control (arm 1 − arm 0), matching
+    * [[abTestOf]]'s lift sign.
+    * Welch–Satterthwaite df is published so the reader sees the
+    * effective sample the test ran on.
+    *
+    * All moments integer-exact — per-(type, arm) n/Σv/Σv² on the
+    * micro grid with decimal(38,0) sums, pivoted to FIXED arm order
+    * ([[anovaFOf]]'s template) — so the double combination (means,
+    * variances, se², t, df, d) is ONE deterministic sequence,
+    * textually identical in the oracle. Arms need n ≥ 2 for a
+    * variance; zero-variance pairs null t via NULLIF. `significant`
+    * compares |t| against 1.96 — exact asymptotically, and the
+    * fact-scale df this targets is ≫ 30 (the
+    * [[graft.operators.Robust.ksTestOf]] literal-constant rule).
+    *
+    * Shape: ONE map-combinable fact aggregate keyed by (type, arm);
+    * everything after is arithmetic on the 2·|types| frame. */
+  def welchTestOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perArm = events.select(col("event_type"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"),
+        arm2(col("user_id")).as("arm"))
+      .groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vq").cast(dec)).as("s"),
+        sum(expr(s"CAST(vq AS $dec) * vq")).as("ss"))
+    def pick(c: String, a: Int) = max(when(col("arm") === a, col(c)))
+    val wide = perArm.groupBy("event_type")
+      .agg(pick("n", 0).as("n0"), pick("n", 1).as("n1"),
+        pick("s", 0).as("s0"), pick("s", 1).as("s1"),
+        pick("ss", 0).as("ss0"), pick("ss", 1).as("ss1"))
+      .filter(col("n0") > 1 && col("n1") > 1)
+    val calc = wide.selectExpr("event_type", "n0", "n1",
+      "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0",
+      "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1",
+      """(CAST(ss0 AS DOUBLE)
+        | - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |/ CAST(n0 - 1 AS DOUBLE)""".stripMargin + " AS v0",
+      """(CAST(ss1 AS DOUBLE)
+        | - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |/ CAST(n1 - 1 AS DOUBLE)""".stripMargin + " AS v1")
+      .withColumn("se2", expr(
+        "v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)"))
+    calc.select(col("event_type"), col("n0"), col("n1"),
+        graft.functions.TextF.round6HalfUp(expr("(m1 - m0) / 1e6")).as("mean_diff"),
+        graft.functions.TextF.round6HalfUp(expr(
+          "(m1 - m0) / NULLIF(sqrt(se2), 0.0)")).as("t_stat"),
+        graft.functions.TextF.round4HalfUp(expr(
+          """se2 * se2
+            |/ NULLIF((v0 / CAST(n0 AS DOUBLE)) * (v0 / CAST(n0 AS DOUBLE))
+            |           / CAST(n0 - 1 AS DOUBLE)
+            |       + (v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+            |           / CAST(n1 - 1 AS DOUBLE), 0.0)""".stripMargin))
+          .as("df"),
+        graft.functions.TextF.round6HalfUp(expr(
+          """(m1 - m0)
+            |/ NULLIF(sqrt((CAST(n0 - 1 AS DOUBLE) * v0
+            |             + CAST(n1 - 1 AS DOUBLE) * v1)
+            |            / CAST(n0 + n1 - 2 AS DOUBLE)), 0.0)""".stripMargin))
+          .as("cohens_d"))
+      .withColumn("significant",
+        when(col("t_stat").isNull, lit(false))
+          .otherwise(abs(col("t_stat")) > 1.96))
+      .orderBy("event_type")
+  }
+
+  def welchTest(spark: SparkSession, dir: String): DataFrame =
+    welchTestOf(Tables.events(spark, dir))
+
   /** Difference-in-differences readout (the panel-data causal read
     * [[abTestOf]] and [[cupedAdjustOf]] sit beside: when treatment
     * started at `splitDay`, the treated arm's pre→post change MINUS

@@ -84,6 +84,63 @@ object CtrAlerts {
       .orderBy("item")
   }
 
+  /** Wilson score interval per item CTR — the FREQUENTIST uncertainty
+    * band beside [[ctrShrunkOf]]'s Bayesian point shrinkage (the
+    * alerting read: a 2-click/3-view item shows ctr_raw 0.67 but a
+    * Wilson low of 0.21 — rank or threshold on the LOWER bound and
+    * small-sample flukes stop topping every report; the same reason
+    * Reddit sorts comments by it). Unlike the normal ±z√(p(1−p)/n)
+    * band, Wilson never leaves [0, 1] and stays sane at tiny n — the
+    * regime alerts actually fire in.
+    *
+    * low/high = (p̂ + z²/2n ∓ z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    * at z = 1.96. One deterministic double sequence over the exact
+    * integer (clicks, impressions) counts, textually identical in
+    * the oracle (z² is written 1.96 * 1.96, never a rounded 3.8416);
+    * zero-impression items publish NULL bounds via NULLIF, not 0/0,
+    * and clicks > impressions (p̂ > 1 — not a binomial proportion in
+    * this event model) nulls the band rather than faking one.
+    *
+    * Shape: the [[ctrShrunkOf]] conditional fact aggregate on the
+    * bounded item key; the interval is per-row arithmetic — no
+    * second scan, no broadcast, nothing fact-scale after the one
+    * shuffle. */
+  def ctrWilsonOf(events: DataFrame): DataFrame = {
+    val items = events
+      .filter(col("event_type").isin("click", "view"))
+      .select(
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("is_click"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("is_view"))
+      .groupBy("item")
+      .agg(sum("is_click").as("clicks"), sum("is_view").as("impressions"))
+    items.selectExpr("item", "clicks", "impressions",
+        "CAST(clicks AS DOUBLE) / NULLIF(CAST(impressions AS DOUBLE), 0.0) AS phat",
+        "CAST(impressions AS DOUBLE) AS nd")
+      .withColumn("z2", expr("1.96 * 1.96"))
+      .withColumn("center", expr("phat + z2 / NULLIF(2.0 * nd, 0.0)"))
+      // clicks > views puts p̂ outside [0, 1] — not a binomial
+      // proportion, and the sqrt goes negative (NaN here, an ERROR
+      // in DuckDB): such items publish NULL bounds explicitly.
+      .withColumn("margin", expr(
+        """CASE WHEN phat <= 1.0 THEN
+          |  1.96 * sqrt(phat * (1.0 - phat) / NULLIF(nd, 0.0)
+          |             + z2 / NULLIF(4.0 * nd * nd, 0.0))
+          |END""".stripMargin))
+      .withColumn("denom", expr("1.0 + z2 / NULLIF(nd, 0.0)"))
+      .select(col("item"), col("clicks"), col("impressions"),
+        graft.functions.TextF.round6HalfUp(col("phat")).as("ctr_raw"),
+        graft.functions.TextF.round6HalfUp(
+          expr("(center - margin) / denom")).as("wilson_low"),
+        graft.functions.TextF.round6HalfUp(
+          expr("(center + margin) / denom")).as("wilson_high"))
+      .orderBy("item")
+  }
+
+  def ctrWilson(spark: SparkSession, dir: String): DataFrame =
+    ctrWilsonOf(Tables.events(spark, dir))
+
   /** The spike detector (native_CTR_alerts.py:226-268): trailing-7-day
     * avg CTR vs report-day CTR per group, |pct_change| > 25, ordered by
     * pct_change DESC. */

@@ -739,6 +739,73 @@ object Robust {
   def mannWhitney(spark: SparkSession, dir: String): DataFrame =
     mannWhitneyOf(Tables.events(spark, dir))
 
+  /** Kruskal–Wallis H per event type across the THREE-arm md5
+    * assignment — [[mannWhitneyOf]]'s k-sample generalization and
+    * [[graft.operators.Behavior.anovaFOf]]'s rank-based twin (the
+    * test an experimenter reaches for when a 3-treatment readout
+    * can't assume normal values — revenue is heavy-tailed — and
+    * running three pairwise U tests would inflate α). H =
+    * 12/(N(N+1)) Σ R_g²/n_g − 3(N+1), tie-corrected by
+    * 1 − Σ(t³−t)/(N³−N).
+    *
+    * Integer-exact ranks off the VALUE GRID: per-(type, value)
+    * per-arm counts, cumulative `below` via one bounded window —
+    * the [[mannWhitneyOf]] frame, sized by the value vocabulary,
+    * not rows — give each distinct value the DOUBLED midrank
+    * 2·below + t + 1, so per-arm rank sums ride decimal(38,0)
+    * with no halves (Σ R_g²/n_g folds the ×4 into H's 12 → 3).
+    * The final combination (three r²/n terms, one division, the
+    * tie factor) is ONE deterministic double sequence, textually
+    * identical in the oracle; NULLIF nulls H when every value is
+    * tied (correction = 0). `significant` compares H against
+    * 5.9915 = χ²₂ critical at α = 0.05 (df = k−1 = 2, the
+    * [[graft.operators.Behavior.anovaFOf]] literal-constant rule).
+    * Types missing an arm are dropped (md5 populates all three at
+    * any real scale).
+    *
+    * Shape: ONE map-combinable fact aggregate to the (type, value)
+    * grid; the cumulative window and the final fold ride that
+    * bounded frame — nothing fact-scale past the first shuffle. */
+  def kruskalWallisOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cumW = Window.partitionBy("event_type").orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = events.select(col("event_type"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"),
+        graft.operators.Behavior.arm3(col("user_id")).as("arm"))
+      .groupBy("event_type", "vq")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 2L, 1L).otherwise(0L)).as("c2"))
+      .withColumn("ct", col("c0") + col("c1") + col("c2"))
+      .withColumn("below", sum("ct").over(cumW) - col("ct"))
+    val agg = grid.groupBy("event_type")
+      .agg(sum("c0").as("n0"), sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(expr(s"CAST(c0 AS $dec) * (2 * below + ct + 1)")).as("r0"),
+        sum(expr(s"CAST(c1 AS $dec) * (2 * below + ct + 1)")).as("r1"),
+        sum(expr(s"CAST(c2 AS $dec) * (2 * below + ct + 1)")).as("r2"),
+        sum(expr(s"CAST(ct AS $dec) * ct * ct - ct")).as("tcub"))
+      .filter(col("n0") > 0 && col("n1") > 0 && col("n2") > 0)
+      .withColumn("nn", col("n0") + col("n1") + col("n2"))
+      .filter(col("nn") > 3)
+    agg.select(col("event_type"), col("n0"), col("n1"), col("n2"),
+        TextF.round6HalfUp(expr(
+          """(3.0 * (CAST(r0 AS DOUBLE) * CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            |      + CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            |      + CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+            |   / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+            | - 3.0 * CAST(nn + 1 AS DOUBLE))
+            |/ NULLIF(1.0 - CAST(tcub AS DOUBLE)
+            |  / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+            |     - CAST(nn AS DOUBLE)), 0.0)""".stripMargin)).as("h"))
+      .withColumn("significant",
+        when(col("h").isNull, lit(false)).otherwise(col("h") > 5.9915))
+      .orderBy("event_type")
+  }
+
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalWallisOf(Tables.events(spark, dir))
+
   /** Cliff's delta effect SIZE per event type — [[mannWhitneyOf]]
     * answers "is the arm difference real?"; this answers "is it
     * BIG?": δ = P(treat > ctrl) − P(ctrl > treat), the ordinal

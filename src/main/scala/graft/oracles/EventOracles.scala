@@ -414,6 +414,105 @@ private[graft] object EventOracles {
         |  f > 2.9957 AS significant
         |FROM f ORDER BY event_type""".stripMargin,
 
+    // Kruskal–Wallis H: doubled midranks off the (type, value) grid,
+    // DECIMAL rank sums, tie-corrected; the double combination and
+    // the rounded-H significance compare mirror the engine textually.
+    "kruskal_wallis" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 3 AS arm
+        |  FROM events),
+        |g AS (SELECT event_type, vq,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT *, c0 + c1 + c2 AS ct,
+        |    CAST(SUM(c0 + c1 + c2) OVER (PARTITION BY event_type ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - (c0 + c1 + c2) AS below
+        |  FROM g),
+        |a AS (SELECT event_type,
+        |    CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2,
+        |    SUM(CAST(c0 AS DECIMAL(38,0)) * (2 * below + ct + 1)) AS r0,
+        |    SUM(CAST(c1 AS DECIMAL(38,0)) * (2 * below + ct + 1)) AS r1,
+        |    SUM(CAST(c2 AS DECIMAL(38,0)) * (2 * below + ct + 1)) AS r2,
+        |    SUM(CAST(ct AS DECIMAL(38,0)) * ct * ct - ct) AS tcub
+        |  FROM w GROUP BY 1),
+        |f AS (SELECT *, n0 + n1 + n2 AS nn FROM a
+        |  WHERE n0 > 0 AND n1 > 0 AND n2 > 0 AND n0 + n1 + n2 > 3),
+        |hv AS (SELECT event_type, n0, n1, n2,
+        |    floor(
+        |      (3.0 * (CAST(r0 AS DOUBLE) * CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |            + CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |            + CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |         / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+        |       - 3.0 * CAST(nn + 1 AS DOUBLE))
+        |      / NULLIF(1.0 - CAST(tcub AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |           - CAST(nn AS DOUBLE)), 0.0)
+        |      * 1e6 + 0.5) / 1e6 AS h
+        |  FROM f)
+        |SELECT event_type, n0, n1, n2, h,
+        |  CASE WHEN h IS NULL THEN FALSE ELSE h > 5.9915 END AS significant
+        |FROM hv ORDER BY event_type""".stripMargin,
+
+    // Welch t + Cohen's d: anova_f's pivoted integer moments with two
+    // arms; means/variances/se²/t/df/d in the engine's exact double
+    // sequence; significance compares the ROUNDED t.
+    "welch_test" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM events),
+        |pa AS (SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(vq AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(vq AS DECIMAL(38,0)) * vq) AS ss
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type,
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+        |    MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+        |    MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+        |    MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+        |  FROM pa GROUP BY 1),
+        |c AS (SELECT event_type, n0, n1,
+        |    CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    (CAST(ss0 AS DOUBLE)
+        |     - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |    / CAST(n0 - 1 AS DOUBLE) AS v0,
+        |    (CAST(ss1 AS DOUBLE)
+        |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    / CAST(n1 - 1 AS DOUBLE) AS v1
+        |  FROM w WHERE n0 > 1 AND n1 > 1),
+        |c2 AS (SELECT *, v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)
+        |    AS se2 FROM c),
+        |r AS (SELECT event_type, n0, n1,
+        |    floor((m1 - m0) / 1e6 * 1e6 + 0.5) / 1e6 AS mean_diff,
+        |    floor((m1 - m0) / NULLIF(sqrt(se2), 0.0) * 1e6 + 0.5) / 1e6
+        |      AS t_stat,
+        |    floor(se2 * se2
+        |      / NULLIF((v0 / CAST(n0 AS DOUBLE)) * (v0 / CAST(n0 AS DOUBLE))
+        |                 / CAST(n0 - 1 AS DOUBLE)
+        |             + (v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+        |                 / CAST(n1 - 1 AS DOUBLE), 0.0)
+        |      * 1e4 + 0.5) / 1e4 AS df,
+        |    floor((m1 - m0)
+        |      / NULLIF(sqrt((CAST(n0 - 1 AS DOUBLE) * v0
+        |                   + CAST(n1 - 1 AS DOUBLE) * v1)
+        |                  / CAST(n0 + n1 - 2 AS DOUBLE)), 0.0)
+        |      * 1e6 + 0.5) / 1e6 AS cohens_d
+        |  FROM c2)
+        |SELECT event_type, n0, n1, mean_diff, t_stat, df, cohens_d,
+        |  CASE WHEN t_stat IS NULL THEN FALSE
+        |    ELSE abs(t_stat) > 1.96 END AS significant
+        |FROM r ORDER BY event_type""".stripMargin,
+
     // Funnel pairing (first view, first strictly-later purchase) in µs;
     // quantile interpolation over exact integer delays, µs→sec + 4dp
     // floor rounding once at the edge.

@@ -402,6 +402,37 @@ private[graft] object ReportOracles {
         |  p0
         |FROM i CROSS JOIN t ORDER BY item""".stripMargin,
 
+    // Wilson score interval per item CTR: the engine's exact double
+    // sequence (z² written 1.96 * 1.96), NULL bounds on
+    // zero-impression items via NULLIF.
+    "ctr_wilson" ->
+      """WITH ev AS (SELECT
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |i AS (SELECT item, CAST(SUM(is_click) AS BIGINT) AS clicks,
+        |        CAST(SUM(is_view) AS BIGINT) AS impressions
+        |      FROM ev GROUP BY 1),
+        |c AS (SELECT item, clicks, impressions,
+        |    CAST(clicks AS DOUBLE) / NULLIF(CAST(impressions AS DOUBLE), 0.0)
+        |      AS phat,
+        |    CAST(impressions AS DOUBLE) AS nd,
+        |    1.96 * 1.96 AS z2
+        |  FROM i),
+        |d AS (SELECT *, phat + z2 / NULLIF(2.0 * nd, 0.0) AS center,
+        |    CASE WHEN phat <= 1.0 THEN
+        |      1.96 * sqrt(phat * (1.0 - phat) / NULLIF(nd, 0.0)
+        |                 + z2 / NULLIF(4.0 * nd * nd, 0.0))
+        |    END AS margin,
+        |    1.0 + z2 / NULLIF(nd, 0.0) AS denom
+        |  FROM c)
+        |SELECT item, clicks, impressions,
+        |  floor(phat * 1e6 + 0.5) / 1e6 AS ctr_raw,
+        |  floor((center - margin) / denom * 1e6 + 0.5) / 1e6 AS wilson_low,
+        |  floor((center + margin) / denom * 1e6 + 0.5) / 1e6 AS wilson_high
+        |FROM d ORDER BY item""".stripMargin,
+
     // KLL-family sketch percentiles per returnflag (fixed compactor
     // path ⇒ deterministic); exact counts ride along.
     "earnings_percentiles_approx" ->

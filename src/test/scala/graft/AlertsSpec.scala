@@ -108,6 +108,33 @@ class AlertsSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) == ((1L, 0L, None, 0.438571)))
   }
 
+  test("wilson interval brackets the raw ctr and nulls on non-binomial slices") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 1L), (2L, "view", 1L), (3L, "view", 1L), // 1: 1/3
+      (4L, "view", 1L),
+      (5L, "view", 2L), (6L, "view", 2L), (7L, "view", 2L),  // 2: 0/5
+      (8L, "view", 2L), (9L, "view", 2L),
+      (10L, "click", 3L), (11L, "click", 3L), (12L, "view", 3L), // 3: 2/1
+      (13L, "click", 4L))                                    // 4: 1/0
+      .map { case (id, t, k) => (id, t, s"""{"k": $k}""") }
+      .toDF("event_id", "event_type", "props")
+    val out = CtrAlerts.ctrWilsonOf(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    // 1/3: p̂ = 0.333333 ∈ [0.06149, 0.792345] (hand-checked Wilson)
+    assert(out(1L) == ((1L, 3L, Some(0.333333), Some(0.06149), Some(0.792345))),
+      s"got $out")
+    // 0/5: the low bound pins to 0 exactly; high stays well under 1
+    assert(out(2L) == ((0L, 5L, Some(0.0), Some(0.0), Some(0.434491))))
+    // clicks > views: p̂ > 1 is not a binomial proportion → NULL band
+    assert(out(3L) == ((2L, 1L, Some(2.0), None, None)))
+    // zero impressions: everything NULL, nothing NaN
+    assert(out(4L) == ((1L, 0L, None, None, None)))
+  }
+
   test("ctr shrinkage degrades to NULL, not NaN, when the slice has zero views") {
     import spark.implicits._
     val ev = Seq((1L, "click", 1L), (2L, "click", 2L))

@@ -898,6 +898,41 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       s"linear refund thirds: $linear")
   }
 
+  test("welch test: hand-checked t/df/d on a 3-vs-3 split; zero variance nulls the stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def arm(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % 2
+    }
+    val users = (1L to 60L).toSeq
+    val a0 = users.filter(arm(_) == 0L).take(3)
+    val a1 = users.filter(arm(_) == 1L).take(3)
+    assert(a0.size == 3 && a1.size == 3, "need both arms among user ids 1-60")
+    // arm0 {1,2,3}: m0 = 2, v0 = 1; arm1 {2,4,6}: m1 = 4, v1 = 4.
+    // diff = 2, se² = 1/3 + 4/3 → t = 2/√(5/3) = 1.549193,
+    // df = (5/3)²/((1/9)/2 + (16/9)/2) = 2.9412,
+    // d = 2/√(((2·1)+(2·4))/4) = 2/√2.5 = 1.264911.
+    val ev = Seq((a0(0), 1.0), (a0(1), 2.0), (a0(2), 3.0),
+        (a1(0), 2.0), (a1(1), 4.0), (a1(2), 6.0))
+      .toDF("user_id", "value").withColumn("event_type", lit("t"))
+    val Array(r) = graft.operators.Behavior.welchTestOf(ev).collect()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2.0, s"mean_diff: $r")
+    assert(r.getDouble(4) == 1.549193, s"t: $r")
+    assert(r.getDouble(5) == 2.9412, s"df: $r")
+    assert(r.getDouble(6) == 1.264911, s"d: $r")
+    assert(!r.getBoolean(7))
+    // both arms constant: se² = 0 → NULL t/df/d, not significant
+    val flat = (a0 ++ a1).map((_, 5.0))
+      .toDF("user_id", "value").withColumn("event_type", lit("t"))
+    val Array(f) = graft.operators.Behavior.welchTestOf(flat).collect()
+    assert(f.getDouble(3) == 0.0 && f.isNullAt(4) && f.isNullAt(5) &&
+      f.isNullAt(6) && !f.getBoolean(7), s"$f")
+  }
+
   test("funnel by arm: each arm converts against its OWN base, lift in points") {
     import spark.implicits._
     def arm(u: Long): Long = {

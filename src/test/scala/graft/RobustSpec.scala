@@ -356,6 +356,38 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     assert(rt.getDouble(3) == 0.5 && rt.isNullAt(4) && !rt.getBoolean(5), s"$rt")
   }
 
+  test("kruskal-wallis: hand-checked H on a 2-2-2 split; all-tied nulls H via the tie correction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def arm(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % 3
+    }
+    val users = (1L to 90L).toSeq
+    val a0 = users.filter(arm(_) == 0L).take(2)
+    val a1 = users.filter(arm(_) == 1L).take(2)
+    val a2 = users.filter(arm(_) == 2L).take(2)
+    assert(a0.size == 2 && a1.size == 2 && a2.size == 2,
+      "need all three arms among user ids 1-90")
+    // arm values {1,2} / {3,4} / {5,6}: ranks 1..6 → R = 3/7/11 →
+    // H = 12/(6·7)·(9/2 + 49/2 + 121/2) − 3·7 = 4.571429; no ties so
+    // the correction is exactly 1.
+    val ev = Seq((a0(0), 1.0), (a0(1), 2.0), (a1(0), 3.0),
+        (a1(1), 4.0), (a2(0), 5.0), (a2(1), 6.0))
+      .toDF("user_id", "value").withColumn("event_type", lit("t"))
+    val Array(r) = graft.operators.Robust.kruskalWallisOf(ev).collect()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 4.571429, s"h: $r")
+    assert(!r.getBoolean(5), "4.57 < 5.9915")
+    // every observation tied: Σ(t³−t) = N³−N, correction 0 → NULL H
+    val tied = (a0 ++ a1 ++ a2).map((_, 5.0))
+      .toDF("user_id", "value").withColumn("event_type", lit("t"))
+    val Array(t) = graft.operators.Robust.kruskalWallisOf(tied).collect()
+    assert(t.isNullAt(4) && !t.getBoolean(5), s"$t")
+  }
+
   test("discount elasticity: a perfect discount-quantity line reads 1, flat reads NULL, thin types drop") {
     import spark.implicits._
     // type ELASTIC: quantity tracks discount exactly (r = 1);
