@@ -415,6 +415,12 @@ object SparkEntry {
     "kruskal_wallis"    -> (Robust.kruskalWallis(_, _)),
     "welch_test"        -> (Behavior.welchTest(_, _)),
     "ctr_wilson"        -> (CtrAlerts.ctrWilson(_, _)),
+    // Round-13 second tranche: the forecasting shelf beyond naives —
+    // seasonal state, intermittent demand, predictability classes
+    // (rows 368-370)
+    "holt_winters_backtest" -> (EventAnalytics.holtWintersBacktest(_, _)),
+    "croston_backtest"  -> (EventAnalytics.crostonBacktest(_, _)),
+    "xyz_classification" -> (Warehouse.xyzClassification(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

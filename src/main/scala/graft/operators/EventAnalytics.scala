@@ -1499,6 +1499,164 @@ object EventAnalytics {
   def holtBacktest(spark: SparkSession, dir: String): DataFrame =
     holtBacktestOf(Tables.events(spark, dir))
 
+  /** Holt-Winters ADDITIVE-SEASONAL backtest per type (α = β = γ = ½,
+    * weekly m = 7) vs the lag-7 naive — the model that carries BOTH
+    * the trend state [[holtBacktestOf]] adds AND the weekday shape
+    * the naive gets for free; the go/no-go that decides whether a
+    * real forecaster pays over "same weekday last week" (lag-7 is
+    * the bar precisely because it nails pure weekly shape — HW must
+    * win on drift + shape TOGETHER to justify its state).
+    *
+    * Determinism: the [[holtBacktestOf]] integer discipline extended
+    * to the seasonal state — milli-grid counts, every α/β/γ = ½
+    * update an ARITHMETIC RIGHT SHIFT (floors on negatives on both
+    * engines; seasonals go negative by construction):
+    * l′ = (y − s_old + l + b)»1, b′ = (l′ − l + b)»1,
+    * s′ = (y − l′ + s_old)»1 at phase idx mod 7. Seeding is the
+    * classical first-week init made integer-exact: l₀ = ⌊Σ week₀/7⌋
+    * (both engines truncate nonneg), s₀ⱼ = yⱼ − l₀, b₀ = 0; the fold
+    * starts at idx 7 with that seed as the aggregate()'s zero (a
+    * COLUMN, not a literal — the bounded-array left fold ≡ the
+    * oracle's recursive CTE carrying s0..s6). Forecast
+    * l + h·b + s[phase]; WAPE by integer ppm division.
+    *
+    * Shape: one (type, day) fact aggregate; seed, fold, and eval
+    * ride the bounded types × day-span frame. */
+  def holtWintersBacktestOf(events: DataFrame, testDays: Int = 14): DataFrame = {
+    require(testDays > 0, s"testDays must be positive, got $testDays")
+    val dense = denseDaily(events, testDays)
+      .withColumn("ym", col("y") * 1000L).localCheckpoint(false)
+    val seed = dense.filter(col("idx") <= 6)
+      .groupBy("event_type")
+      .agg(expr("CAST(sum(ym) AS BIGINT) div 7").as("l0"),
+        array_sort(collect_list(struct(col("idx"), col("ym")))).as("w0"))
+      .select(col("event_type"), col("l0"),
+        expr("transform(w0, x -> x.ym - l0)").as("s0"))
+    val fitted = dense.filter(col("idx") > 6 && col("idx") <= col("si"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("idx"), col("ym"))))
+        .as("arr"), max("si").as("si"))
+      .join(seed, Seq("event_type"))
+      .withColumn("fit", expr(
+        """aggregate(arr,
+          |  named_struct('l', l0, 'b', CAST(0 AS BIGINT), 's', s0),
+          |  (acc, x) -> named_struct(
+          |    'l', shiftright(x.ym - element_at(acc.s,
+          |           CAST(x.idx % 7 AS INT) + 1) + acc.l + acc.b, 1),
+          |    'b', shiftright(
+          |           shiftright(x.ym - element_at(acc.s,
+          |             CAST(x.idx % 7 AS INT) + 1) + acc.l + acc.b, 1)
+          |           - acc.l + acc.b, 1),
+          |    's', transform(acc.s, (v, j) -> IF(j = CAST(x.idx % 7 AS INT),
+          |           shiftright(x.ym
+          |             - shiftright(x.ym - element_at(acc.s,
+          |                 CAST(x.idx % 7 AS INT) + 1) + acc.l + acc.b, 1)
+          |             + v, 1),
+          |           v))))""".stripMargin))
+      .select(col("event_type"), col("si").as("si_f"),
+        col("fit.l").as("l"), col("fit.b").as("b"), col("fit.s").as("s"))
+    val naive = dense.select(col("event_type"),
+      (col("idx") + 7L).as("idx"), col("ym").as("y7"))
+    dense.filter(col("idx") > col("si"))
+      .join(naive, Seq("event_type", "idx"))
+      .join(broadcast(fitted), Seq("event_type")) // bounded: one row/type
+      .select(col("event_type"), col("ym"),
+        abs(col("ym") - (col("l") + (col("idx") - col("si_f")) * col("b")
+          + expr("element_at(s, CAST(idx % 7 AS INT) + 1)"))).as("errw"),
+        abs(col("ym") - col("y7")).as("err7"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"), sum("ym").as("actual_m"),
+        sum("errw").as("errw"), sum("err7").as("err7"))
+      .filter(col("actual_m") > 0)
+      .select(col("event_type"), col("n_test"),
+        expr("(errw * 1000000) div actual_m").as("wape_hw_ppm"),
+        expr("(err7 * 1000000) div actual_m").as("wape_naive_ppm"),
+        (col("errw") < col("err7")).as("hw_wins"))
+      .orderBy("event_type")
+  }
+
+  def holtWintersBacktest(spark: SparkSession, dir: String): DataFrame =
+    holtWintersBacktestOf(Tables.events(spark, dir))
+
+  /** Croston's method backtest per ITEM — the INTERMITTENT-demand
+    * forecaster ([[holtBacktestOf]]/[[holtWintersBacktestOf]] model
+    * continuous daily series; an item purchased a handful of days a
+    * month breaks them — SES over the zeros drives the level to 0
+    * and every demand day reads as an anomaly). Croston smooths TWO
+    * series, both updated ONLY on demand days: demand SIZE z and
+    * inter-demand INTERVAL p; the flat rate forecast is z/p per day
+    * (Croston '72, the spare-parts-planning standard).
+    *
+    * Determinism: the [[holtBacktestOf]] integer discipline — milli
+    * grid, α = ½ updates by arithmetic shift (z′ = (y+z)»1,
+    * p′ = (q·1000+p)»1 with q the day gap), seeded z = first demand,
+    * p = (first_idx+1)·1000 (the interval from series start — the
+    * classical q₀ convention made explicit); rate (z·1000) div p,
+    * mean-rate baseline train_total div train_days, WAPE by integer
+    * ppm with the (testDays − demand_days)·rate zero-day mass added
+    * arithmetically — the test window is NEVER densified.
+    *
+    * Shape: one (item, day) aggregate off the purchase slice; folds
+    * and eval ride the bounded items × demand-days frame; items
+    * with no training demand (or no test actuals) drop — WAPE is
+    * undefined there, and silence would read as a forecast. */
+  def crostonBacktestOf(events: DataFrame, testDays: Int = 14): DataFrame = {
+    require(testDays > 0, s"testDays must be positive, got $testDays")
+    val daily = events.filter(col("event_type") === "purchase")
+      .select(
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        to_date(col("ts")).as("day"))
+      .groupBy("item", "day").agg((count(lit(1)) * 1000L).as("ym"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1")) // 1 row
+    val d = daily.crossJoin(broadcast(bounds))
+      .select(col("item"),
+        datediff(col("day"), col("d0")).cast("long").as("idx"),
+        (datediff(col("d1"), col("d0")).cast("long") - testDays).as("si"),
+        col("ym"))
+      .localCheckpoint(false)
+    val fitted = d.filter(col("idx") <= col("si"))
+      .groupBy("item")
+      .agg(array_sort(collect_list(struct(col("idx"), col("ym"))))
+        .as("arr"), max("si").as("si"),
+        count(lit(1)).as("n_demand"), sum("ym").as("train_m"))
+      .withColumn("fit", expr(
+        """aggregate(arr,
+          |  named_struct('first', true, 'z', CAST(0 AS BIGINT),
+          |    'p', CAST(0 AS BIGINT), 'last', CAST(0 AS BIGINT)),
+          |  (acc, x) -> CASE WHEN acc.first
+          |    THEN named_struct('first', false, 'z', x.ym,
+          |      'p', (x.idx + 1) * 1000, 'last', x.idx)
+          |    ELSE named_struct('first', false,
+          |      'z', shiftright(x.ym + acc.z, 1),
+          |      'p', shiftright((x.idx - acc.last) * 1000 + acc.p, 1),
+          |      'last', x.idx) END)""".stripMargin))
+      .select(col("item"), col("n_demand"),
+        expr("(fit.z * 1000) div fit.p").as("r"),
+        expr("train_m div (si + 1)").as("m"))
+    d.filter(col("idx") > col("si"))
+      .join(fitted, Seq("item"))
+      .groupBy("item")
+      .agg(max("n_demand").as("n_demand"), max("r").as("r"),
+        max("m").as("m"), count(lit(1)).as("nz"),
+        sum("ym").as("actual_m"),
+        sum(abs(col("ym") - col("r"))).as("ecnz"),
+        sum(abs(col("ym") - col("m"))).as("emnz"))
+      .filter(col("actual_m") > 0)
+      .select(col("item"), col("n_demand"),
+        col("r").as("rate_croston_mpd"), col("m").as("rate_mean_mpd"),
+        expr(s"((ecnz + ($testDays - nz) * r) * 1000000) div actual_m")
+          .as("wape_croston_ppm"),
+        expr(s"((emnz + ($testDays - nz) * m) * 1000000) div actual_m")
+          .as("wape_mean_ppm"),
+        expr(s"(ecnz + ($testDays - nz) * r)" +
+          s" < (emnz + ($testDays - nz) * m)").as("croston_wins"))
+      .orderBy("item")
+  }
+
+  def crostonBacktest(spark: SparkSession, dir: String): DataFrame =
+    crostonBacktestOf(Tables.events(spark, dir))
+
   /** Pinball (quantile) loss of lag-7-plus-residual-quantile daily
     * forecasts at q ∈ {0.5, 0.9} — the PROPER score for the quantile
     * bands this repo already ships (`conformal_interval` calibrates a

@@ -1019,6 +1019,68 @@ object Warehouse {
   def abcClassification(spark: SparkSession, dir: String): DataFrame =
     abcClassificationOf(Tables.lineitem(spark, dir))
 
+  /** XYZ demand-variability classification per part — [[abcClassificationOf]]'s
+    * canonical companion axis (ABC says how much a part MATTERS, XYZ
+    * says how PREDICTABLE it is; the 2-axis grid drives the stocking
+    * policy — AX parts get automated replenishment, AZ parts get a
+    * human planner): coefficient of variation of WEEKLY demand over
+    * the full ship-date span, zero weeks included (a part shipped one
+    * enormous week and silent otherwise is the textbook Z), classes
+    * X: CV ≤ ½, Y: ≤ 1, Z: above.
+    *
+    * The class cut is EXACT integer algebra, never a rounded CV:
+    * with S = Σq, Q = Σq², W weeks, population σ²/μ² =
+    * (W·Q − S²)/S² — so X ⟺ 4(W·Q − S²) ≤ S², Y ⟺ W·Q − S² ≤ S²,
+    * cross-multiplied in decimal(38,0) (the [[abcClassificationOf]]
+    * headroom rule); W·Q ≥ S² by Cauchy-Schwarz so the published
+    * 4-dp CV's sqrt is never negative. Zero-demand… S = 0 reads
+    * class Z with NULL CV (nothing shipped is maximally
+    * unpredictable, and 0/0 is not a CV).
+    *
+    * Shape: one (part, week) fact aggregate (observed cells only —
+    * zero weeks enter through W, a 1-row broadcast constant, never a
+    * densified spine), one part fold, a 3-row class rollup with
+    * exact-ppm part shares. Parts scale with the corpus; every
+    * frame here is part- or class-keyed. */
+  def xyzClassificationOf(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bounds = lineitem
+      .agg(min(col("l_shipdate")).as("d0"), max(col("l_shipdate")).as("d1"))
+      .select(col("d0"),
+        expr("CAST(datediff(d1, d0) AS BIGINT) div 7 + 1").as("nw"))
+    val weekly = lineitem.crossJoin(broadcast(bounds))
+      .select(col("l_partkey"),
+        expr("CAST(datediff(l_shipdate, d0) AS BIGINT) div 7").as("wk"),
+        col("nw"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_partkey", "wk")
+      .agg(max("nw").as("nw"), sum("q").as("qw"))
+    val perPart = weekly.groupBy("l_partkey")
+      .agg(max("nw").as("nw"), count(lit(1)).as("nzw"),
+        sum(col("qw").cast(dec)).as("s"),
+        sum(expr(s"CAST(qw AS $dec) * qw")).as("qq"))
+      .withColumn("vr", expr(s"CAST(nw AS $dec) * qq - s * s"))
+      .withColumn("xyz_class",
+        when(col("s") === 0, "Z")
+          .when(expr("4 * vr <= s * s"), "X")
+          .when(expr("vr <= s * s"), "Y")
+          .otherwise("Z"))
+      .withColumn("cv", graft.functions.TextF.round4HalfUp(expr(
+        "sqrt(CAST(vr AS DOUBLE)) / NULLIF(CAST(s AS DOUBLE), 0.0)")))
+    val total = perPart.agg(count(lit(1)).as("np")) // 1 row
+    perPart.groupBy("xyz_class")
+      .agg(count(lit(1)).as("n_parts"),
+        min("cv").as("cv_min"), max("cv").as("cv_max"))
+      .crossJoin(broadcast(total))
+      .select(col("xyz_class"), col("n_parts"),
+        expr("CAST((n_parts * 1000000) div np AS BIGINT)")
+          .as("part_share_ppm"),
+        col("cv_min"), col("cv_max"))
+      .orderBy("xyz_class")
+  }
+
+  def xyzClassification(spark: SparkSession, dir: String): DataFrame =
+    xyzClassificationOf(Tables.lineitem(spark, dir))
+
   /** Monthly Laspeyres / Paasche / Fisher price indices vs the base
     * (earliest) month — the index-number read behind every "is
     * revenue up because of PRICES or because of volume" deflation

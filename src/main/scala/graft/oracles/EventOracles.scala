@@ -2149,6 +2149,135 @@ private[graft] object EventOracles {
         |FROM ev GROUP BY event_type
         |HAVING SUM(ym) > 0 ORDER BY event_type""".stripMargin,
 
+    // Holt-Winters additive weekly: the holt_backtest recursion with
+    // seven seasonal columns carried through the recursive CTE; the
+    // level-update fragment (lp) is textually repeated wherever the
+    // engine's fold references l' — recursive CTEs cannot name a
+    // computed column in their own step.
+    "holt_winters_backtest" -> {
+      val sel = "CASE t.idx % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1" +
+        " WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4" +
+        " WHEN 5 THEN r.s5 ELSE r.s6 END"
+      val lp = s"((t.ym - ($sel) + r.l + r.b) >> 1)"
+      def sj(j: Int) =
+        s"CASE WHEN t.idx % 7 = $j THEN ((t.ym - $lp + r.s$j) >> 1)" +
+          s" ELSE r.s$j END AS s$j"
+      val fsel = "CASE d.idx % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1" +
+        " WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4" +
+        " WHEN 5 THEN f.s5 ELSE f.s6 END"
+      s"""WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |ty AS (SELECT DISTINCT event_type FROM daily),
+        |ix AS (SELECT unnest(generate_series(0,
+        |      CAST(datediff('day', d0, d1) AS BIGINT))) AS idx,
+        |    CAST(datediff('day', d0, d1) AS BIGINT) - 14 AS si, d0
+        |  FROM bo),
+        |spine AS (SELECT ty.event_type, CAST(ix.idx AS BIGINT) AS idx, ix.si,
+        |    ix.d0 + CAST(ix.idx AS INT) AS day
+        |  FROM ty, ix),
+        |dense AS (SELECT s.event_type, s.idx, s.si,
+        |    COALESCE(d.c, 0) * 1000 AS ym
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.event_type = s.event_type AND d.day = s.day),
+        |sd AS (SELECT event_type, CAST(SUM(ym) // 7 AS BIGINT) AS l0
+        |  FROM dense WHERE idx <= 6 GROUP BY 1),
+        |sw AS (SELECT d.event_type, sd.l0,
+        |    MAX(CASE WHEN d.idx = 0 THEN d.ym - sd.l0 END) AS s0,
+        |    MAX(CASE WHEN d.idx = 1 THEN d.ym - sd.l0 END) AS s1,
+        |    MAX(CASE WHEN d.idx = 2 THEN d.ym - sd.l0 END) AS s2,
+        |    MAX(CASE WHEN d.idx = 3 THEN d.ym - sd.l0 END) AS s3,
+        |    MAX(CASE WHEN d.idx = 4 THEN d.ym - sd.l0 END) AS s4,
+        |    MAX(CASE WHEN d.idx = 5 THEN d.ym - sd.l0 END) AS s5,
+        |    MAX(CASE WHEN d.idx = 6 THEN d.ym - sd.l0 END) AS s6
+        |  FROM dense d JOIN sd ON sd.event_type = d.event_type
+        |  WHERE d.idx <= 6 GROUP BY 1, 2),
+        |tr AS (SELECT event_type, idx, ym,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY idx) AS i
+        |  FROM dense WHERE idx > 6 AND idx <= si),
+        |rec AS (
+        |  SELECT event_type, CAST(0 AS BIGINT) AS i, l0 AS l,
+        |    CAST(0 AS BIGINT) AS b, s0, s1, s2, s3, s4, s5, s6
+        |  FROM sw
+        |  UNION ALL
+        |  SELECT t.event_type, t.i, $lp,
+        |    (($lp - r.l + r.b) >> 1),
+        |    ${sj(0)}, ${sj(1)}, ${sj(2)}, ${sj(3)}, ${sj(4)}, ${sj(5)},
+        |    ${sj(6)}
+        |  FROM rec r JOIN tr t ON t.event_type = r.event_type
+        |    AND t.i = r.i + 1),
+        |fit AS (SELECT event_type, l, b, s0, s1, s2, s3, s4, s5, s6,
+        |    (SELECT MAX(si) FROM dense) AS si_f FROM (
+        |  SELECT r.*, ROW_NUMBER() OVER (PARTITION BY r.event_type
+        |      ORDER BY r.i DESC) AS rn
+        |  FROM rec r) WHERE rn = 1),
+        |ev AS (SELECT d.event_type, d.ym,
+        |    abs(d.ym - (f.l + (d.idx - f.si_f) * f.b + ($fsel))) AS errw,
+        |    abs(d.ym - n7.ym) AS err7
+        |  FROM dense d
+        |  JOIN dense n7 ON n7.event_type = d.event_type AND n7.idx = d.idx - 7
+        |  JOIN fit f ON f.event_type = d.event_type
+        |  WHERE d.idx > d.si)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST((SUM(errw) * 1000000) // SUM(ym) AS BIGINT) AS wape_hw_ppm,
+        |  CAST((SUM(err7) * 1000000) // SUM(ym) AS BIGINT) AS wape_naive_ppm,
+        |  SUM(errw) < SUM(err7) AS hw_wins
+        |FROM ev GROUP BY event_type
+        |HAVING SUM(ym) > 0 ORDER BY event_type""".stripMargin
+    },
+
+    // Croston intermittent-demand backtest: recursive (z, p) SES over
+    // demand days only; zero-day test mass added arithmetically.
+    "croston_backtest" ->
+      """WITH RECURSIVE p AS (SELECT
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+        |      AS item,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |daily AS (SELECT item, day, CAST(COUNT(*) AS BIGINT) * 1000 AS ym
+        |  FROM p GROUP BY 1, 2),
+        |bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |d AS (SELECT item, CAST(datediff('day', d0, day) AS BIGINT) AS idx,
+        |    CAST(datediff('day', d0, d1) AS BIGINT) - 14 AS si, ym
+        |  FROM daily, bo),
+        |tr AS (SELECT item, idx, ym, si,
+        |    ROW_NUMBER() OVER (PARTITION BY item ORDER BY idx) AS i
+        |  FROM d WHERE idx <= si),
+        |ft AS (SELECT item, MAX(si) AS si, CAST(COUNT(*) AS BIGINT)
+        |      AS n_demand, CAST(SUM(ym) AS BIGINT) AS train_m
+        |  FROM tr GROUP BY 1),
+        |rec AS (
+        |  SELECT item, i, ym AS z, (idx + 1) * 1000 AS pp, idx AS last
+        |  FROM tr WHERE i = 1
+        |  UNION ALL
+        |  SELECT t.item, t.i, ((t.ym + r.z) >> 1),
+        |    (((t.idx - r.last) * 1000 + r.pp) >> 1), t.idx
+        |  FROM rec r JOIN tr t ON t.item = r.item AND t.i = r.i + 1),
+        |fin AS (SELECT item, z, pp FROM (
+        |  SELECT r.*, ROW_NUMBER() OVER (PARTITION BY item ORDER BY i DESC)
+        |      AS rn FROM rec r) WHERE rn = 1),
+        |rates AS (SELECT ft.item, ft.n_demand,
+        |    CAST((f.z * 1000) // f.pp AS BIGINT) AS r,
+        |    CAST(ft.train_m // (ft.si + 1) AS BIGINT) AS m
+        |  FROM ft JOIN fin f ON f.item = ft.item),
+        |te AS (SELECT d.item, d.ym, ra.r, ra.m, ra.n_demand
+        |  FROM d JOIN rates ra ON ra.item = d.item WHERE d.idx > d.si),
+        |ag AS (SELECT item, MAX(n_demand) AS n_demand, MAX(r) AS r,
+        |    MAX(m) AS m, CAST(COUNT(*) AS BIGINT) AS nz,
+        |    CAST(SUM(ym) AS BIGINT) AS actual_m,
+        |    CAST(SUM(abs(ym - r)) AS BIGINT) AS ecnz,
+        |    CAST(SUM(abs(ym - m)) AS BIGINT) AS emnz
+        |  FROM te GROUP BY item)
+        |SELECT item, n_demand, r AS rate_croston_mpd, m AS rate_mean_mpd,
+        |  CAST(((ecnz + (14 - nz) * r) * 1000000) // actual_m AS BIGINT)
+        |    AS wape_croston_ppm,
+        |  CAST(((emnz + (14 - nz) * m) * 1000000) // actual_m AS BIGINT)
+        |    AS wape_mean_ppm,
+        |  (ecnz + (14 - nz) * r) < (emnz + (14 - nz) * m) AS croston_wins
+        |FROM ag WHERE actual_m > 0 ORDER BY item""".stripMargin,
+
     // Pinball loss at q ∈ {.5, .9}: nearest-rank train residual
     // quantiles, integer loss×10, coverage ppm integer div.
     "pinball_loss" ->

@@ -757,6 +757,40 @@ private[graft] object WarehouseOracles {
         |FROM c, t t2 GROUP BY 1 ORDER BY abc_class""".stripMargin,
 
     // Price/volume/mix: midpoint split, cent-grid HUGEINT products,
+    // XYZ variability classes: exact cross-multiplied CV cuts on
+    // DECIMAL (4(WQ−S²) ≤ S² etc.), zero weeks through the global W
+    // constant, 4-dp CV published only.
+    "xyz_classification" ->
+      """WITH bo AS (SELECT MIN(l_shipdate) AS d0, MAX(l_shipdate) AS d1
+        |  FROM lineitem),
+        |w AS (SELECT l_partkey,
+        |    CAST(datediff('day', d0, l_shipdate) AS BIGINT) // 7 AS wk,
+        |    CAST(datediff('day', d0, d1) AS BIGINT) // 7 + 1 AS nw,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem, bo),
+        |g AS (SELECT l_partkey, wk, MAX(nw) AS nw,
+        |    CAST(SUM(q) AS BIGINT) AS qw FROM w GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, MAX(nw) AS nw,
+        |    CAST(SUM(qw) AS DECIMAL(38,0)) AS s,
+        |    SUM(CAST(qw AS DECIMAL(38,0)) * qw) AS qq
+        |  FROM g GROUP BY 1),
+        |c AS (SELECT l_partkey,
+        |    CASE WHEN s = 0 THEN 'Z'
+        |      WHEN 4 * (CAST(nw AS DECIMAL(38,0)) * qq - s * s) <= s * s
+        |        THEN 'X'
+        |      WHEN CAST(nw AS DECIMAL(38,0)) * qq - s * s <= s * s THEN 'Y'
+        |      ELSE 'Z' END AS xyz_class,
+        |    floor(sqrt(CAST(CAST(nw AS DECIMAL(38,0)) * qq - s * s
+        |        AS DOUBLE))
+        |      / NULLIF(CAST(s AS DOUBLE), 0.0) * 1e4 + 0.5) / 1e4 AS cv
+        |  FROM pp),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM c)
+        |SELECT xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST((COUNT(*) * 1000000) // MAX(t.np) AS BIGINT)
+        |    AS part_share_ppm,
+        |  MIN(cv) AS cv_min, MAX(cv) AS cv_max
+        |FROM c, t GROUP BY 1 ORDER BY xyz_class""".stripMargin,
+
     // one integral division per rational term, joint = exact residual.
     "price_volume_mix" ->
       """WITH b AS (SELECT min(l_shipdate) AS mn, max(l_shipdate) AS mx

@@ -741,6 +741,81 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(got("alt")._3 == 0L, "naive is exact on a pure weekly series")
   }
 
+  // The operator's integer Holt-Winters recursion re-derived in
+  // plain Scala (weekly m = 7, shift halving, first-week seed).
+  private def hwFold(ys: Seq[Long]): (Long, Long, Array[Long]) = {
+    val ym = ys.map(_ * 1000L)
+    var l = ym.take(7).sum / 7
+    val s = Array.tabulate(7)(j => ym(j) - l)
+    var b = 0L
+    for (t <- 7 until ym.length) {
+      val pos = t % 7
+      val l2 = (ym(t) - s(pos) + l + b) >> 1
+      b = ((l2 - l) + b) >> 1
+      s(pos) = (ym(t) - l2 + s(pos)) >> 1
+      l = l2
+    }
+    (l, b, s)
+  }
+
+  test("holt-winters backtest: trend+weekly beats lag-7, pure weekly is a double-zero tie, ppm matches the fold") {
+    val days = 63 // si = 48, fold idx 7..48, test 49..62
+    def yMix(t: Int) = 10 + 2 * t + 3 * (t % 7) // drift + shape: HW wins
+    def yWk(t: Int) = 10 + 5 * (t % 7) // pure shape: both models exact
+    // countedSeries formats a fixed January — 63 days crosses months,
+    // so generate dates with LocalDate here.
+    def series(tpe: String, y: Int => Int) = (0 until days).flatMap { t =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(t.toLong)
+      (0 until y(t)).map(i =>
+        (tpe, f"$d ${10 + i / 60}%02d:${i % 60}%02d:00", 1.0))
+    }
+    val ev = dailyEvents((series("mix", yMix) ++ series("wk", yWk)): _*)
+    val got = EventAnalytics.holtWintersBacktestOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    def expected(y: Int => Int) = {
+      val (l, b, s) = hwFold((0 to 48).map(t => y(t).toLong))
+      val test = (49 until days)
+      val errw = test.map(t =>
+        math.abs(y(t) * 1000L - (l + (t - 48) * b + s(t % 7)))).sum
+      val err7 = test.map(t => math.abs(y(t) * 1000L - y(t - 7) * 1000L)).sum
+      val act = test.map(y(_).toLong * 1000L).sum
+      (14L, errw * 1000000L / act, err7 * 1000000L / act, errw < err7)
+    }
+    assert(got("mix") == expected(yMix), s"mix: ${got("mix")} vs ${expected(yMix)}")
+    assert(got("wk") == expected(yWk), s"wk: ${got("wk")} vs ${expected(yWk)}")
+    assert(got("mix")._4, "drift + shape: holt-winters must win")
+    assert(got("wk")._2 == 0L && got("wk")._3 == 0L && !got("wk")._4,
+      "pure weekly shape: the seed is a fixed point and both models are exact")
+  }
+
+  test("croston backtest: hand-folded z/p on a 2-day-cycle item; the croston rate beats the thin mean baseline") {
+    import spark.implicits._
+    // Anchor item 1 pins the global span to days 0..20 (si = 6).
+    // Item 2: train demands days 0,2,4,6 → z=1000, p folds
+    // 1000→1500→1750→1875 → rate (1000·1000) div 1875 = 533 vs the
+    // mean 4000 div 7 = 571; test demands days 8,10 (12 zero days).
+    val rows =
+      Seq((1L, 0), (1L, 20), (2L, 0), (2L, 2), (2L, 4), (2L, 6),
+        (2L, 8), (2L, 10))
+        .map { case (k, d) =>
+          (s"""{"k": $k}""", "purchase", f"2024-01-${d + 1}%02d 10:00:00")
+        }
+    val ev = rows.toDF("props", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = EventAnalytics.crostonBacktestOf(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // item 2: errC = 2·|1000−533| + 12·533 = 7330 → 3 665 000 ppm;
+    //         errM = 2·|1000−571| + 12·571 = 7710 → 3 855 000 ppm.
+    assert(got(2L) == ((4L, 533L, 571L, 3665000L, 3855000L, true)),
+      s"got ${got(2L)}")
+    // item 1: one training demand → rate 1000 vs mean 142; the lone
+    // test hit is exact for croston but 13 zero days price the rate.
+    assert(got(1L) == ((1L, 1000L, 142L, 13000000L, 2704000L, false)),
+      s"got ${got(1L)}")
+  }
+
   test("pinball loss: constant residual forecasts exactly (0 loss), alternating residual prices the miss") {
     val days = 30
     def yLin(t: Int) = 1 + t            // r = 7 constant → exact forecast

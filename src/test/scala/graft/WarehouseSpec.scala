@@ -444,6 +444,30 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out("C") == ((1L, 333333L, 50000L)), s"$out")
   }
 
+  test("xyz classification: exact CV cuts on a 4-week grid — steady X, lumpy Y, one-spike Z") {
+    import java.sql.Date
+    // span 2024-01-01..01-22 → W = 4 weeks.
+    // part 1: 10 every week → CV 0 → X;
+    // part 3: 10,10,10,30 → S=60, Q=1200, vr=1200 ≤ S²=3600 → Y
+    //   (but 4·1200 > 3600 — not X), cv = √1200/60 = 0.5774;
+    // part 2: 10 wk0 + 30 wk2 → vr=2400 > S²=1600 → Z, cv 1.2247.
+    val li = Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-08", 10.0),
+      (1L, "2024-01-15", 10.0), (1L, "2024-01-22", 10.0),
+      (3L, "2024-01-01", 10.0), (3L, "2024-01-08", 10.0),
+      (3L, "2024-01-15", 10.0), (3L, "2024-01-22", 30.0),
+      (2L, "2024-01-01", 10.0), (2L, "2024-01-15", 30.0))
+      .map { case (p, d, q) => (p, Date.valueOf(d), q) }
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+    val out = Warehouse.xyzClassificationOf(li).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set("X", "Y", "Z"), s"got $out")
+    assert(out("X") == ((1L, 333333L, 0.0, 0.0)), s"$out")
+    assert(out("Y") == ((1L, 333333L, 0.5774, 0.5774)), s"$out")
+    assert(out("Z") == ((1L, 333333L, 1.2247, 1.2247)), s"$out")
+  }
+
   test("consistent sample: coordinated FKs stay intact; an uncoordinated control breaks them") {
     val customer = (1L to 300L).map(i => (i, s"c$i")).toDF("c_custkey", "c_name")
     val orders = (1L to 600L).map(o => (o, (o % 300L) + 1L))
