@@ -421,6 +421,12 @@ object SparkEntry {
     "holt_winters_backtest" -> (EventAnalytics.holtWintersBacktest(_, _)),
     "croston_backtest"  -> (EventAnalytics.crostonBacktest(_, _)),
     "xyz_classification" -> (Warehouse.xyzClassification(_, _)),
+    // Round-13 third tranche: the remaining classic TPC-H query
+    // shapes — Q3 backlog top-k, Q8 market share, Q19 OR-of-ANDs
+    // (rows 371-373)
+    "unshipped_orders"  -> (Warehouse.unshippedOrders(_, _)),
+    "nation_market_share" -> (Warehouse.nationMarketShare(_, _)),
+    "brand_basket_revenue" -> (Warehouse.brandBasketRevenue(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

@@ -1389,4 +1389,154 @@ object Warehouse {
   def ordersPerCustomerDist(spark: SparkSession, dir: String): DataFrame =
     ordersPerCustomerDistOf(Tables.customer(spark, dir),
       Tables.orders(spark, dir))
+
+  /** Unshipped high-value orders — the TPC-H Q3 "shipping priority"
+    * shape (orders a BUILDING-segment customer placed before the
+    * cutoff whose lines are still shipping after it, ranked by open
+    * revenue: the expedite list a fulfillment lead reads every
+    * morning). Top-k rides orderBy+limit — TakeOrderedAndProject,
+    * per-partition heaps, never a global sort — with the total
+    * (qsum DESC, o_orderdate, l_orderkey) tiebreak so the k-boundary
+    * is engine-independent; revenue publishes on the
+    * [[Report.earningsMicros]]/[[TextF.microsTo4dp]] money contract.
+    *
+    * Shape: both fact sides pre-filtered map-side (date pushdown on
+    * the scans), the segment dim a LEFT SEMI prune on orders BEFORE
+    * the fact⋈fact equijoin, one order-keyed aggregate, bounded
+    * top-k. */
+  def unshippedOrdersOf(customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, cutoff: String = "1998-06-01",
+                        k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = orders
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    lineitem
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select(col("l_orderkey"), Report.earningsMicros.as("qrev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), sum("qrev").as("qsum"))
+      .orderBy(col("qsum").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(k)
+      .select(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"), col("n_lines"),
+        TextF.microsTo4dp(col("qsum")).as("revenue"))
+  }
+
+  def unshippedOrders(spark: SparkSession, dir: String): DataFrame =
+    unshippedOrdersOf(Tables.customer(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir))
+
+  /** National market share — the TPC-H Q8 shape: of the revenue that
+    * MEDIUM-type parts earned from AMERICA-region customers, what
+    * fraction came through NATION_3's suppliers, by order year? (The
+    * competitive-position trend line behind every "are we gaining
+    * share" board slide.) Both legs of the ratio come out of ONE
+    * conditional aggregate over one join tree — never two scans —
+    * and the share is an exact ppm integer division on decimal
+    * (micros × 10⁶ crosses int64 at corpus scale).
+    *
+    * Shape: part/customer/nation/region reduce to two semi-join
+    * prunes on the fact (the part filter and the customer-region
+    * filter); the supplier nation rides a dimension equijoin (AQE
+    * sizes it — supplier SCALES with the corpus, no forced
+    * broadcast); one year-keyed aggregate. */
+  def nationMarketShareOf(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          part: DataFrame,
+                          targetNation: String = "NATION_3",
+                          targetRegion: String = "AMERICA",
+                          partType: String = "MEDIUM"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val okPart = part.filter(col("p_type") === partType)
+      .select(col("p_partkey"))
+    val okNation = nation
+      .join(broadcast(region.filter(col("r_name") === targetRegion)
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .select(col("n_nationkey"))
+    val okCust = customer
+      .join(broadcast(okNation), col("c_nationkey") === col("n_nationkey"),
+        "left_semi")
+      .select(col("c_custkey"))
+    val supNation = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = orders
+      .join(okCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    lineitem
+      .join(okPart, col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        Report.earningsMicros.as("qrev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("qrev").as("trev"),
+        sum(when(col("n_name") === targetNation, col("qrev")).otherwise(0L))
+          .as("nrev"))
+      .filter(col("trev") > 0)
+      .select(col("o_year"), col("n_lines"),
+        TextF.microsTo4dp(col("trev")).as("revenue_total"),
+        TextF.microsTo4dp(col("nrev")).as("revenue_nation"),
+        expr(s"CAST((CAST(nrev AS $dec) * 1000000) div CAST(trev AS $dec)" +
+          s" AS BIGINT)").as("share_ppm"))
+      .orderBy("o_year")
+  }
+
+  def nationMarketShare(spark: SparkSession, dir: String): DataFrame =
+    nationMarketShareOf(Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir), Tables.customer(spark, dir),
+      Tables.supplier(spark, dir), Tables.nation(spark, dir),
+      Tables.region(spark, dir), Tables.part(spark, dir))
+
+  /** Discounted revenue under an OR-of-ANDs basket predicate — the
+    * TPC-H Q19 shape (three brand × size × quantity "baskets" in one
+    * disjunction; the query pattern every ad-hoc BI tool generates
+    * and the one that tests whether a planner pushes a DISJUNCTION
+    * down): the part side pre-filters to the UNION of the baskets'
+    * brand/size envelopes (so the disjunction prunes the dimension
+    * scan, not just the joined rows), the per-basket quantity windows
+    * apply post-join where both sides are in scope, and the report
+    * is per basket — brand, line count, revenue on the money
+    * contract.
+    *
+    * Shape: one dimension prune + one fact equijoin (AQE sizes the
+    * filtered part side; at any scale it is the smaller input) +
+    * one 3-row aggregate. */
+  def brandBasketRevenueOf(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val baskets = Seq(
+      ("Brand#1", 1, 5, 1L, 11L),
+      ("Brand#2", 1, 10, 10L, 20L),
+      ("Brand#3", 1, 15, 20L, 30L))
+    val partPred = baskets.map { case (b, s0, s1, _, _) =>
+      col("p_brand") === b && col("p_size").between(s0, s1)
+    }.reduce(_ || _)
+    val fullPred = baskets.map { case (b, s0, s1, q0, q1) =>
+      col("p_brand") === b && col("p_size").between(s0, s1) &&
+        col("l_quantity") >= q0 && col("l_quantity") <= q1
+    }.reduce(_ || _)
+    lineitem
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("l_quantity"),
+        Report.earningsMicros.as("qrev"))
+      .join(part.filter(partPred)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(fullPred)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"), sum("qrev").as("qsum"))
+      .select(col("p_brand"), col("n_lines"),
+        TextF.microsTo4dp(col("qsum")).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  def brandBasketRevenue(spark: SparkSession, dir: String): DataFrame =
+    brandBasketRevenueOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
 }

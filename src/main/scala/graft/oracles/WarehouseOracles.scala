@@ -757,6 +757,79 @@ private[graft] object WarehouseOracles {
         |FROM c, t t2 GROUP BY 1 ORDER BY abc_class""".stripMargin,
 
     // Price/volume/mix: midpoint split, cent-grid HUGEINT products,
+    // TPC-H Q3 shape: segment-pruned unshipped revenue top-10;
+    // LIMIT ties broken on the exact integer qsum, never the 4-dp
+    // rounded revenue.
+    "unshipped_orders" ->
+      """WITH cust AS (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-06-01'
+        |    AND o_custkey IN (SELECT c_custkey FROM cust)),
+        |li AS (SELECT l_orderkey,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)
+        |      AS BIGINT) AS qrev
+        |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'),
+        |g AS (SELECT li.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(qrev) AS BIGINT) AS qsum
+        |  FROM li JOIN o ON li.l_orderkey = o.o_orderkey GROUP BY 1, 2, 3)
+        |SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  o_orderpriority, n_lines,
+        |  floor(CAST(qsum AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue
+        |FROM g ORDER BY qsum DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // TPC-H Q8 shape: both ratio legs from ONE conditional aggregate,
+    // exact ppm share on HUGEINT — DuckDB's // on DECIMAL operands
+    // ROUNDS the decimal division before truncating (measured: one
+    // ppm high on this very query); integer-typed // is exact floor.
+    "nation_market_share" ->
+      """WITH okp AS (SELECT p_partkey FROM part WHERE p_type = 'MEDIUM'),
+        |okn AS (SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'),
+        |okc AS (SELECT c_custkey FROM customer
+        |  WHERE c_nationkey IN (SELECT n_nationkey FROM okn)),
+        |sn AS (SELECT s_suppkey, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |o AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year
+        |  FROM orders WHERE o_custkey IN (SELECT c_custkey FROM okc)),
+        |li AS (SELECT l_orderkey, l_suppkey,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)
+        |      AS BIGINT) AS qrev
+        |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM okp)),
+        |j AS (SELECT o.o_year, sn.n_name, li.qrev
+        |  FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+        |  JOIN sn ON li.l_suppkey = sn.s_suppkey),
+        |g AS (SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(qrev) AS BIGINT) AS trev,
+        |    CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN qrev ELSE 0 END)
+        |      AS BIGINT) AS nrev
+        |  FROM j GROUP BY 1)
+        |SELECT o_year, n_lines,
+        |  floor(CAST(trev AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue_total,
+        |  floor(CAST(nrev AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue_nation,
+        |  CAST((CAST(nrev AS HUGEINT) * 1000000)
+        |    // CAST(trev AS HUGEINT) AS BIGINT) AS share_ppm
+        |FROM g WHERE trev > 0 ORDER BY o_year""".stripMargin,
+
+    // TPC-H Q19 shape: OR-of-ANDs brand/size/quantity baskets,
+    // per-basket revenue on the money contract.
+    "brand_basket_revenue" ->
+      """SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  floor(CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * 1000000.0) AS BIGINT)) AS DOUBLE) / 100 + 0.5) / 1e4
+        |    AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+        |    AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 11)
+        |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+        |    AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 20)
+        |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |    AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // XYZ variability classes: exact cross-multiplied CV cuts on
     // DECIMAL (4(WQ−S²) ≤ S² etc.), zero weeks through the global W
     // constant, 4-dp CV published only.

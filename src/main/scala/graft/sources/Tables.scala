@@ -50,6 +50,7 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
 }

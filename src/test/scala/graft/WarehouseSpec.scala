@@ -468,6 +468,81 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out("Z") == ((1L, 333333L, 1.2247, 1.2247)), s"$out")
   }
 
+  test("unshipped orders: segment + date gates compose; k=1 keeps the exact-qsum leader") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val customer = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, "1998-01-01", "1-URGENT"), // in: before cutoff, BUILDING
+      (11L, 1L, "1998-07-01", "2-HIGH"),   // out: ordered after cutoff
+      (12L, 2L, "1998-01-01", "5-LOW"),    // out: wrong segment
+      (13L, 1L, "1998-02-01", "3-MEDIUM")) // in, higher revenue
+      .map { case (o, c, d, p) => (o, c, t(d), p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (10L, "1998-08-01", 1.0), (10L, "1998-09-01", 2.0), // open: 3.00
+      (10L, "1998-01-15", 9.0),                           // already shipped
+      (11L, "1998-08-01", 5.0), (12L, "1998-08-01", 5.0),
+      (13L, "1998-08-01", 4.0))                           // open: 4.00
+      .map { case (o, d, p) => (o, t(d), p, 0.0) }
+      .toDF("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val all = Warehouse.unshippedOrdersOf(customer, orders, li).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(all.toSet == Set(
+      (13L, "1998-02-01", "3-MEDIUM", 1L, 4.0),
+      (10L, "1998-01-01", "1-URGENT", 2L, 3.0)), s"got ${all.toSeq}")
+    val top1 = Warehouse.unshippedOrdersOf(customer, orders, li, k = 1)
+      .collect()
+    assert(top1.map(_.getLong(0)).toSeq == Seq(13L),
+      "k = 1 keeps the larger open revenue")
+  }
+
+  test("nation market share: part/region gates prune, the target-nation leg is exact ppm") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val region = Seq((0L, "AMERICA"), (1L, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((3L, "NATION_3", 0L), (4L, "NATION_4", 0L),
+      (5L, "NATION_5", 1L)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((1L, 3L), (2L, 5L)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((1L, 3L), (2L, 4L)).toDF("s_suppkey", "s_nationkey")
+    val part = Seq((1L, "MEDIUM"), (2L, "LARGE")).toDF("p_partkey", "p_type")
+    val orders = Seq((10L, 1L, "1995-03-01"), (11L, 2L, "1995-03-01"))
+      .map { case (o, c, d) => (o, c, t(d)) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (10L, 1L, 1L, 100.0), // in, target supplier nation
+      (10L, 1L, 2L, 300.0), // in, other nation
+      (10L, 2L, 1L, 50.0),  // out: part type
+      (11L, 1L, 1L, 70.0))  // out: customer region
+      .map { case (o, p, s, pr) => (o, p, s, pr, 0.0) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    val Array(r) = Warehouse.nationMarketShareOf(
+      li, orders, customer, supplier, nation, region, part).collect()
+    assert((r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getLong(4)) == ((1995, 2L, 400.0, 100.0, 250000L)), s"got $r")
+  }
+
+  test("brand basket revenue: the OR-of-ANDs keeps only in-envelope (brand, size, qty) lines") {
+    val part = Seq((1L, "Brand#1", 3), (2L, "Brand#2", 8),
+      (3L, "Brand#1", 20), (4L, "Brand#9", 3))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val li = Seq(
+      (1L, 5.0, 10.0),  // in: Brand#1, size 3, qty 5
+      (1L, 20.0, 10.0), // out: qty outside Brand#1's 1..11
+      (2L, 15.0, 20.0), // in: Brand#2, size 8, qty 15
+      (3L, 5.0, 10.0),  // out: size 20 outside Brand#1's 1..5
+      (4L, 5.0, 10.0))  // out: brand not in any basket
+      .map { case (p, q, pr) => (p, q, pr, 0.0) }
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val out = Warehouse.brandBasketRevenueOf(li, part).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map("Brand#1" -> ((1L, 10.0)), "Brand#2" -> ((1L, 20.0))),
+      s"got $out")
+  }
+
   test("consistent sample: coordinated FKs stay intact; an uncoordinated control breaks them") {
     val customer = (1L to 300L).map(i => (i, s"c$i")).toDF("c_custkey", "c_name")
     val orders = (1L to 600L).map(o => (o, (o % 300L) + 1L))
