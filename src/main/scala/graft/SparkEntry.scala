@@ -427,6 +427,11 @@ object SparkEntry {
     "unshipped_orders"  -> (Warehouse.unshippedOrders(_, _)),
     "nation_market_share" -> (Warehouse.nationMarketShare(_, _)),
     "brand_basket_revenue" -> (Warehouse.brandBasketRevenue(_, _)),
+    // Round-13 fourth tranche: engagement-depth curve, L28 power-user
+    // histogram, AP double-payment audit (rows 374-376)
+    "session_depth_conversion" -> (EventAnalytics.sessionDepthConversion(_, _)),
+    "power_user_curve"  -> (EventAnalytics.powerUserCurve(_, _)),
+    "duplicate_payments" -> (Warehouse.duplicatePayments(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

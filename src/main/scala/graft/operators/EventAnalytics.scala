@@ -1842,4 +1842,79 @@ object EventAnalytics {
 
   def streakStats(spark: SparkSession, dir: String): DataFrame =
     streakStatsOf(Tables.events(spark, dir))
+
+  /** Conversion by session DEPTH — does a longer session actually
+    * convert better? ([[sessionizeOf]] builds the sessions,
+    * [[bounceRateOf]] reads depth 1, [[entryConversionOf]] reads the
+    * entry TYPE; this is the engagement-depth curve a funnel owner
+    * uses to justify "keep them one more page" work — and when the
+    * curve is FLAT past depth 3, to kill it). Depth buckets cap at
+    * 10 (`10+`) so the tail vocabulary stays bounded; conversion =
+    * the session contains ≥ 1 purchase.
+    *
+    * Shape: the [[sessionizeOf]] window pass (one user-keyed
+    * shuffle, total (us, event_id) order) with the purchase flag
+    * folded into the same per-session aggregate, then a ≤ 10-row
+    * bucket rollup with exact-ppm conversion. */
+  def sessionDepthConversionOf(events: DataFrame,
+                               gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val ev = events.select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sessions = ev
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("depth"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    sessions
+      .withColumn("depth_bucket", least(col("depth"), lit(10L)))
+      .groupBy("depth_bucket")
+      .agg(count(lit(1)).as("n_sessions"), sum("converted").as("n_converted"))
+      .select(col("depth_bucket"), col("n_sessions"), col("n_converted"),
+        expr("CAST((n_converted * 1000000) div n_sessions AS BIGINT)")
+          .as("conv_ppm"))
+      .orderBy("depth_bucket")
+  }
+
+  def sessionDepthConversion(spark: SparkSession, dir: String): DataFrame =
+    sessionDepthConversionOf(Tables.events(spark, dir))
+
+  /** Power-user curve (the L28 histogram): how many of the window's
+    * active users showed up on exactly 1, 2, …, 28 of the last 28
+    * days — [[dauStickinessOf]] publishes the MEAN of this
+    * distribution as one ratio; the curve's SHAPE is the actual
+    * health read (a smile — casual mass plus a daily-habit hump at
+    * 25+ — vs the monotone decay of a product nobody returns to).
+    *
+    * Shape: one (user, day) dedup over the window (day ≥ max−27 via
+    * a 1-row broadcast bound), one user fold, a ≤ 28-row histogram
+    * with exact-ppm user shares. */
+  def powerUserCurveOf(events: DataFrame, windowDays: Int = 28): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val bound = events.agg(max(to_date(col("ts"))).as("d1")) // 1 row
+    val perUser = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(bound))
+      .filter(col("day") >= date_sub(col("d1"), windowDays - 1))
+      .select("user_id", "day").distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("days_active"))
+    val total = perUser.agg(count(lit(1)).as("n_total")) // 1 row
+    perUser.groupBy("days_active")
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("days_active"), col("n_users"),
+        expr("CAST((n_users * 1000000) div n_total AS BIGINT)")
+          .as("user_share_ppm"))
+      .orderBy("days_active")
+  }
+
+  def powerUserCurve(spark: SparkSession, dir: String): DataFrame =
+    powerUserCurveOf(Tables.events(spark, dir))
 }

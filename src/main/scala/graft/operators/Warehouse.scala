@@ -1539,4 +1539,47 @@ object Warehouse {
 
   def brandBasketRevenue(spark: SparkSession, dir: String): DataFrame =
     brandBasketRevenueOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  /** Duplicate-payment audit — the classic AP double-pay screen
+    * ([[benfordAuditOf]] hunts fabricated amounts, this hunts
+    * REPEATED ones): order pairs from the SAME customer within
+    * `windowDays` whose totals agree to 1% — the industry screen
+    * matches NEAR, not exact, because the retry that double-pays
+    * often differs by a fee or a day of tax — rolled up by the day
+    * gap (gap 0-1 spike = a broken retry path; a flat tail =
+    * coincidence). The 1% tolerance is EXACT integer algebra on the
+    * cent grid — |Δcents|·100 ≤ least(cents_a, cents_b), never a
+    * rounded ratio — and amount-at-risk prices the SMALLER leg once
+    * per pair on the money contract (the conservative recoverable
+    * figure).
+    *
+    * Shape: the self-join is a custkey EQUIJOIN — pair mass is
+    * Σ C(orders_per_customer, 2) with the gap/tolerance filters on
+    * the joined row; per-customer order history is bounded (tens)
+    * at any corpus scale, so no salt is needed; a.orderkey <
+    * b.orderkey orients each pair once. */
+  def duplicatePaymentsOf(orders: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val o = orders.select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+      to_date(col("o_orderdate")).as("day"))
+    o.as("a")
+      .join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") < col("b.o_orderkey"))
+      .select(abs(datediff(col("b.day"), col("a.day"))).cast("long")
+          .as("gap_days"),
+        abs(col("a.cents") - col("b.cents")).as("dc"),
+        least(col("a.cents"), col("b.cents")).as("risk_cents"))
+      .filter(col("gap_days") <= windowDays &&
+        col("dc") * 100L <= col("risk_cents"))
+      .groupBy("gap_days")
+      .agg(count(lit(1)).as("n_pairs"), sum("risk_cents").as("csum"))
+      .select(col("gap_days"), col("n_pairs"),
+        TextF.microsTo4dp(col("csum") * 10000L).as("dup_amount_usd"))
+      .orderBy("gap_days")
+  }
+
+  def duplicatePayments(spark: SparkSession, dir: String): DataFrame =
+    duplicatePaymentsOf(Tables.orders(spark, dir))
 }

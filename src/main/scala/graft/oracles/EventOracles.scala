@@ -43,6 +43,45 @@ private[graft] object EventOracles {
         |  ROUND(CAST(MAX(us) - MIN(us) AS DOUBLE) / 1e6, 3) AS duration_sec
         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
 
+    // Session-depth conversion: the sessionize window pass with the
+    // purchase flag in the same per-session aggregate; depth capped
+    // at 10, exact-ppm conversion.
+    "session_depth_conversion" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f),
+        |g AS (SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS depth,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM s GROUP BY 1, 2),
+        |b AS (SELECT LEAST(depth, 10) AS depth_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |    CAST(SUM(converted) AS BIGINT) AS n_converted
+        |  FROM g GROUP BY 1)
+        |SELECT depth_bucket, n_sessions, n_converted,
+        |  CAST((n_converted * 1000000) // n_sessions AS BIGINT) AS conv_ppm
+        |FROM b ORDER BY depth_bucket""".stripMargin,
+
+    // Power-user L28 curve: windowed (user, day) dedup, user fold,
+    // ≤ 28-row histogram with exact-ppm shares.
+    "power_user_curve" ->
+      """WITH bo AS (SELECT MAX(ts::DATE) AS d1 FROM events),
+        |ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events, bo
+        |  WHERE ts::DATE >= d1 - 27),
+        |pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS days_active
+        |  FROM ud GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM pu)
+        |SELECT days_active, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST((COUNT(*) * 1000000) // MAX(t.n_total) AS BIGINT)
+        |    AS user_share_ppm
+        |FROM pu, t GROUP BY 1 ORDER BY days_active""".stripMargin,
+
     // Day-over-day audience Jaccard on the deduped (user, day) frame.
     // First-seen cohort sizes + calendar running sum = cumulative
     // distinct users; active side from the same (user, day) dedup.

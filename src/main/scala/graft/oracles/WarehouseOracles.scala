@@ -830,6 +830,26 @@ private[graft] object WarehouseOracles {
         |    AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Duplicate-payment suspects: custkey equijoin, a < b
+    // orientation, exact integer 1% tolerance on the cent grid
+    // (|Δ|·100 ≤ least leg), smaller leg priced once.
+    "duplicate_payments" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(o_orderdate AS DATE) AS day
+        |  FROM orders),
+        |p AS (SELECT abs(datediff('day', a.day, b.day)) AS gap_days,
+        |    abs(a.cents - b.cents) AS dc,
+        |    LEAST(a.cents, b.cents) AS risk_cents
+        |  FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+        |    AND a.o_orderkey < b.o_orderkey
+        |  WHERE abs(datediff('day', a.day, b.day)) <= 7
+        |    AND abs(a.cents - b.cents) * 100 <= LEAST(a.cents, b.cents))
+        |SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  floor(CAST(SUM(risk_cents) * 10000 AS DOUBLE) / 100 + 0.5) / 1e4
+        |    AS dup_amount_usd
+        |FROM p GROUP BY 1 ORDER BY gap_days""".stripMargin,
+
     // XYZ variability classes: exact cross-multiplied CV cuts on
     // DECIMAL (4(WQ−S²) ≤ S² etc.), zero weeks through the global W
     // constant, 4-dp CV published only.

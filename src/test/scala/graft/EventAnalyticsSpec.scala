@@ -816,6 +816,48 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
       s"got ${got(1L)}")
   }
 
+  test("session depth conversion: gap splits sessions, purchase flags convert, 10+ bucket caps the tail") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val rows =
+      // user 1 session A: depth 3, converts
+      Seq((1L, 1L, "view", "2024-01-01 10:00:00"),
+        (2L, 1L, "click", "2024-01-01 10:05:00"),
+        (3L, 1L, "purchase", "2024-01-01 10:10:00"),
+        // user 1 session B (41 min later): depth 1, no purchase
+        (4L, 1L, "view", "2024-01-01 10:51:00")) ++
+      // user 2: 12 views in one session → bucket 10+
+      (0 until 12).map(i =>
+        (10L + i, 2L, "view", f"2024-01-01 10:${i * 2}%02d:00"))
+    val ev = rows.map { case (id, u, ty, s) => (id, u, ty, t(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.sessionDepthConversionOf(ev)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(1L -> ((1L, 0L, 0L)), 3L -> ((1L, 1L, 1000000L)),
+      10L -> ((1L, 0L, 0L))), s"got $out")
+  }
+
+  test("power-user curve: only the trailing 28 days count; shares are exact ppm of windowed users") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def day(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    // max day 2024-02-28; window = 2024-02-01..02-28.
+    val rows =
+      (0 until 28).map(i =>
+        (1L, day(java.time.LocalDate.of(2024, 2, 1).plusDays(i.toLong).toString))) ++
+      Seq((2L, day("2024-02-10")), (2L, day("2024-02-10")), // dup day: 1
+        (2L, day("2024-02-11")),
+        (3L, day("2024-01-05"))) // active only before the window
+    val ev = rows.toDF("user_id", "ts")
+    val out = graft.operators.EventAnalytics.powerUserCurveOf(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(2L -> ((1L, 500000L)), 28L -> ((1L, 500000L))),
+      s"got $out")
+  }
+
   test("pinball loss: constant residual forecasts exactly (0 loss), alternating residual prices the miss") {
     val days = 30
     def yLin(t: Int) = 1 + t            // r = 7 constant → exact forecast

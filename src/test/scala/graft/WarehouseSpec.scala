@@ -543,6 +543,22 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
       s"got $out")
   }
 
+  test("duplicate payments: 1% cent-exact tolerance and the 7-day window gate pairs; smaller leg priced") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    val orders = Seq(
+      (1L, 1L, 100.00, 0), (2L, 1L, 100.50, 1), // pair: 50·100 ≤ 10000
+      (3L, 1L, 100.00, 20),                     // out: gap 20 > 7
+      (4L, 1L, 150.00, 2),                      // out: 2% off both others
+      (5L, 2L, 200.00, 0), (6L, 2L, 200.00, 0)) // exact same-day pair
+      .map { case (o, c, p, d) => (o, c, p, t(d)) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val out = Warehouse.duplicatePaymentsOf(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(0L -> ((1L, 200.0)), 1L -> ((1L, 100.0))),
+      s"got $out")
+  }
+
   test("consistent sample: coordinated FKs stay intact; an uncoordinated control breaks them") {
     val customer = (1L to 300L).map(i => (i, s"c$i")).toDF("c_custkey", "c_name")
     val orders = (1L to 600L).map(o => (o, (o % 300L) + 1L))
