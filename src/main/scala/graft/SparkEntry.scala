@@ -432,6 +432,10 @@ object SparkEntry {
     "session_depth_conversion" -> (EventAnalytics.sessionDepthConversion(_, _)),
     "power_user_curve"  -> (EventAnalytics.powerUserCurve(_, _)),
     "duplicate_payments" -> (Warehouse.duplicatePayments(_, _)),
+    // Round-13 fifth tranche: word-graph keywording + the catalog
+    // width certificate (rows 377-378)
+    "textrank_keywords" -> (CorpusStats.textrankKeywords(_, _)),
+    "diameter_estimate" -> (Graph.diameterEstimate(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

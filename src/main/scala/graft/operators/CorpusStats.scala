@@ -1493,6 +1493,90 @@ object CorpusStats {
   def skipgramPairs(spark: SparkSession, dir: String): DataFrame =
     skipgramPairsOf(Tables.documents(spark, dir))
 
+  /** TextRank keyword extraction (Mihalcea-Tarau '04): PageRank over
+    * the word co-occurrence graph — [[skipgramPairsOf]] builds the
+    * edges (±`window` token pairs on the STOPWORD-FILTERED sequence,
+    * the TextRank convention), [[graft.operators.Graph.pagerankOf]]'s
+    * exact-integer damped iteration ranks them, top-k publish. The
+    * corpus-level sibling of [[tfidfTopTermsOf]]: tf-idf scores a
+    * term by its own counts; TextRank scores it by the COMPANY it
+    * keeps — a term bridging many frequent contexts outranks a
+    * frequent-but-isolated one.
+    *
+    * Determinism: the [[graft.operators.Graph.pagerankOf]] contract
+    * verbatim — rank mass on the 10¹² integer grid, (rq·w) div Σw
+    * contributions, 15/85 damping by integer div, lazy checkpoints;
+    * ties at the top-k boundary break on the token. Edges are
+    * symmetric (undirected co-occurrence), self-pairs dropped,
+    * cp ≥ `minCount` prunes hapax noise map-side.
+    *
+    * Shape: pair explode is map-side zip_with slices (window·tokens
+    * mass, the [[skipgramPairsOf]] lesson — no positional
+    * self-join); every iteration shuffles the VOCABULARY-bounded
+    * edge frame only. */
+  def textrankKeywordsOf(docs: DataFrame, window: Int = 2,
+                         minCount: Long = 2, iterations: Int = 10,
+                         k: Int = 20): DataFrame = {
+    require(window >= 1 && iterations > 0 && k > 0,
+      s"need window/iterations/k positive, got $window/$iterations/$k")
+    val scale = 1000000000000L
+    val stop = graft.operators.TextAnalysis.Stopwords
+    val toks = docs
+      .select(filter(TextF.tokens(col("text")),
+        t => !t.isin(stop.map(_.asInstanceOf[Any]): _*) && length(t) >= 2)
+        .as("toks"))
+      .select(col("toks"), size(col("toks")).as("n"))
+      .localCheckpoint(false)
+    def pairsAt(off: Int): Column =
+      when(col("n") >= off + 1, zip_with(
+        slice(col("toks"), lit(1), col("n") - off),
+        slice(col("toks"), lit(off + 1), col("n") - off),
+        (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = toks
+      .select(explode(concat((1 to window).map(pairsAt): _*)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
+      .filter(col("cp") >= minCount)
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"),
+        col("cp").as("w"))
+      .union(pairs.select(col("w2").as("src"), col("w1").as("dst"),
+        col("cp").as("w")))
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val edgeOut = edges.join(outw, "src").localCheckpoint(false)
+    val nodes = edgeOut.select(col("src").as("token")).distinct()
+      .localCheckpoint(false) // symmetric edges: every node is a src
+    val nDf = nodes.agg(count(lit(1)).as("nn")) // 1 row
+    var rank = nodes.crossJoin(broadcast(nDf))
+      .select(col("token"), expr(s"${scale}L div nn").as("rq"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iterations) {
+      val inflow = rank
+        .join(edgeOut, rank("token") === edgeOut("src"))
+        .select(col("dst"), expr("(rq * w) div ow").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("inflow"))
+      rank = nodes.crossJoin(broadcast(nDf))
+        .join(inflow, col("token") === col("dst"), "left")
+        .select(col("token"), col("nn"),
+          coalesce(col("inflow"), lit(0L)).as("infl"))
+        .select(col("token"),
+          (expr(s"(15 * ${scale}L) div (100 * nn)") +
+            expr("(85 * infl) div 100")).as("rq"))
+        .localCheckpoint(false)
+    }
+    rank
+      .orderBy(col("rq").desc, col("token"))
+      .limit(k)
+      .select(col("token"), col("rq"),
+        (floor(col("rq").cast("double") / lit(1e12) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("score"))
+  }
+
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame =
+    textrankKeywordsOf(Tables.documents(spark, dir))
+
   /** DeLong standard error for [[aucQualityOf]]'s per-source AUC —
     * the error bar the eval family's point estimates were missing
     * (row 118 bootstraps MEANS; AUC has a closed-form nonparametric

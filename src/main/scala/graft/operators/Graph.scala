@@ -920,4 +920,70 @@ object Graph {
 
   def itemGraphComponents(spark: SparkSession, dir: String): DataFrame =
     itemGraphComponentsOf(Tables.events(spark, dir))
+
+  /** Graph diameter estimate by DOUBLE-SWEEP BFS (Magnien-Latapy-
+    * Habib '09 — the standard cheap lower bound: BFS from a
+    * max-degree seed, then BFS again from the farthest node found;
+    * the second eccentricity is ≥ half the true diameter and in
+    * practice usually exact): the "how many hops wide IS this
+    * catalog" scalar [[khopReachOf]]'s fixed-3-hop rings can't give,
+    * and the sanity bound for every "k-hop covers everything" claim.
+    *
+    * Each sweep is the [[khopReachOf]] frontier loop (distinct next
+    * frontier, left-anti against reached, lazy checkpoints) carrying
+    * first-visit distance = BFS distance; `maxIter` guards the loop
+    * the way [[itemGraphComponentsOf]]'s closure does, and both
+    * seeds break ties totally (degree DESC then id; distance DESC
+    * then id). Unreached components simply don't appear —
+    * `n_reached` beside [[itemGraphComponentsOf]]'s node count
+    * exposes that.
+    *
+    * Shape: per-iteration work is one vocab-bounded adjacency join;
+    * iteration count = the eccentricity itself (tiny on any
+    * small-world catalog). The oracle runs the same two sweeps as
+    * depth-capped recursive UNION CTEs folded by MIN(dist). */
+  def diameterEstimateOf(events: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val und = undirectedEdges(events).localCheckpoint(false)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    def bfs(seed: DataFrame): DataFrame = {
+      var reached = seed.withColumn("dist", lit(0L)).localCheckpoint(false)
+      var frontier = reached
+      var h = 0L
+      var done = false
+      while (!done && h < maxIter) {
+        h += 1
+        val next = adj.join(frontier.select(col("item").as("u")), "u")
+          .select(col("v").as("item")).distinct()
+          .join(reached.select("item"), Seq("item"), "left_anti")
+          .withColumn("dist", lit(h))
+          .localCheckpoint(false)
+        if (next.isEmpty) done = true
+        else {
+          reached = reached.union(next).localCheckpoint(false)
+          frontier = next
+        }
+      }
+      reached
+    }
+    val seed1 = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("u")).limit(1)
+      .select(col("u").as("item"))
+      .localCheckpoint(false)
+    val r1 = bfs(seed1)
+    val far = r1.orderBy(col("dist").desc, col("item")).limit(1)
+      .select(col("item"))
+      .localCheckpoint(false)
+    val r2 = bfs(far)
+    seed1.select(col("item").as("start_node"))
+      .crossJoin(broadcast(
+        r1.agg(max("dist").as("ecc_start"), count(lit(1)).as("n_reached"))))
+      .crossJoin(broadcast(far.select(col("item").as("far_node"))))
+      .crossJoin(broadcast(r2.agg(max("dist").as("diameter_lb"))))
+  }
+
+  def diameterEstimate(spark: SparkSession, dir: String): DataFrame =
+    diameterEstimateOf(Tables.events(spark, dir))
 }

@@ -1350,6 +1350,48 @@ private[graft] object CorpusStatsOracles {
         |FROM pg JOIN uni a ON pg.w1 = a.token JOIN uni b ON pg.w2 = b.token, tot
         |ORDER BY lift DESC, cp DESC, w1, w2 LIMIT 20""".stripMargin,
 
+    // TextRank keywords: skipgram-window edges on the stopword-
+    // filtered token sequence, then the PagerankSql unrolled
+    // exact-integer iteration over the word graph.
+    "textrank_keywords" -> {
+      val step = (i: Int) => s"""it$i AS (
+        |  SELECT n2.token,
+        |    CAST(15000000000000 // (100 * (SELECT nn FROM n))
+        |      + (85 * COALESCE(fl.inflow, 0)) // 100 AS BIGINT) AS rq
+        |  FROM nodes n2 LEFT JOIN (
+        |    SELECT e.dst, CAST(SUM((p.rq * e.w) // o.ow) AS BIGINT) AS inflow
+        |    FROM it${i - 1} p JOIN e ON e.src = p.token
+        |    JOIN outw o ON o.src = p.token
+        |    GROUP BY 1) fl ON fl.dst = n2.token)""".stripMargin
+      """WITH t AS (SELECT list_filter(
+        |      regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x NOT IN ('the', 'a') AND len(x) >= 2) AS toks
+        |    FROM documents),
+        |pg AS (SELECT split_part(pg, ' ', 1) AS w1, split_part(pg, ' ', 2) AS w2,
+        |          CAST(COUNT(*) AS BIGINT) AS cp
+        |        FROM (SELECT unnest(flatten(list_transform([1, 2], o ->
+        |                CASE WHEN len(toks) >= o + 1
+        |                  THEN list_transform(generate_series(1, len(toks) - o),
+        |                         i -> least(toks[i], toks[i+o]) || ' ' ||
+        |                              greatest(toks[i], toks[i+o]))
+        |                  ELSE [] END))) AS pg FROM t)
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |pgf AS (SELECT * FROM pg WHERE w1 <> w2),
+        |e AS (SELECT w1 AS src, w2 AS dst, cp AS w FROM pgf
+        |      UNION ALL SELECT w2, w1, cp FROM pgf),
+        |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS token FROM e),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+        |it0 AS (SELECT token,
+        |    CAST(1000000000000 // (SELECT nn FROM n) AS BIGINT) AS rq
+        |  FROM nodes),
+        |""".stripMargin +
+        (1 to 10).map(step).mkString(",\n") + """
+        |SELECT token, rq,
+        |  floor(CAST(rq AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS score
+        |FROM it10 ORDER BY rq DESC, token LIMIT 20""".stripMargin
+    },
+
     // DeLong SE for the AUC: per-cell placement deviations with
     // cleared denominators (exact HUGEINT squares), one mirrored
     // double chain for SE and the 95% band.

@@ -1852,6 +1852,43 @@ private[graft] object EventOracles {
     "kcore" -> KcoreSql,
     "modularity" -> ModularitySql,
     "khop_reach" -> KhopReachSql,
+
+    // Double-sweep BFS diameter bound: two depth-capped recursive
+    // UNION BFS CTEs folded by MIN(dist); UNION dedup keeps the
+    // (item, dist) pair space finite on the cyclic graph, the dist
+    // cap mirrors the engine's maxIter guard.
+    "diameter_estimate" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         item AS dst
+        |  FROM base),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM tr WHERE src IS NOT NULL AND src <> dst),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        |s1 AS (SELECT u AS item FROM deg ORDER BY deg DESC, u LIMIT 1),
+        |b1 AS (SELECT item, CAST(0 AS BIGINT) AS dist FROM s1
+        |  UNION
+        |  SELECT a.v, b.dist + 1 FROM b1 b JOIN adj a ON a.u = b.item
+        |  WHERE b.dist < 20),
+        |d1 AS (SELECT item, CAST(MIN(dist) AS BIGINT) AS dist
+        |  FROM b1 GROUP BY 1),
+        |f1 AS (SELECT item FROM d1 ORDER BY dist DESC, item LIMIT 1),
+        |b2 AS (SELECT item, CAST(0 AS BIGINT) AS dist FROM f1
+        |  UNION
+        |  SELECT a.v, b.dist + 1 FROM b2 b JOIN adj a ON a.u = b.item
+        |  WHERE b.dist < 20),
+        |d2 AS (SELECT item, CAST(MIN(dist) AS BIGINT) AS dist
+        |  FROM b2 GROUP BY 1)
+        |SELECT (SELECT item FROM s1) AS start_node,
+        |  (SELECT MAX(dist) FROM d1) AS ecc_start,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d1) AS n_reached,
+        |  (SELECT item FROM f1) AS far_node,
+        |  (SELECT MAX(dist) FROM d2) AS diameter_lb""".stripMargin,
     "betweenness_sampled" -> BetweennessSampledSql,
     "harmonic_centrality" -> HarmonicCentralitySql,
     "markov_attribution" -> MarkovAttributionSql,

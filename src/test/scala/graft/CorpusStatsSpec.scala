@@ -800,4 +800,20 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
       assert(got(k) == ((1L, 0L, 0L, 0L, 1000000L)), s"decile $k: ${got(k)}")
     }
   }
+
+  test("textrank: the hub word outranks isolated pairs; stopwords and 1-char tokens never enter the graph") {
+    import spark.implicits._
+    // 'hub' co-occurs with four distinct partners (each pair twice to
+    // clear minCount); 'xx yy' is a frequent but isolated pair; 'the'
+    // and the 1-char 'z' must be filtered before pair construction.
+    val docs = (Seq.fill(2)(Seq("the hub aa z", "hub bb", "hub cc", "hub dd",
+        "xx yy")).flatten.zipWithIndex)
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.operators.CorpusStats.textrankKeywordsOf(docs).collect()
+    val toks = out.map(_.getString(0)).toSeq
+    assert(toks.head == "hub", s"the connector must rank first: $toks")
+    assert(!toks.contains("the") && !toks.contains("z"),
+      s"stopword/1-char tokens filtered: $toks")
+    assert(out.forall(_.getLong(1) > 0L), "rank mass is positive")
+  }
 }

@@ -333,4 +333,15 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) == ((5L, 3L, 2L, 3L, 600000L)), s"$r")
   }
+
+  test("diameter estimate: double sweep on a path graph reads the exact diameter") {
+    // Path 1-2-3-4-5 (sequential touches). Max degree is 2, shared by
+    // nodes 2/3/4 -> seed 2 by the (deg DESC, id) tiebreak; ecc(2)=3
+    // with farthest node 5; the second sweep from 5 spans the whole
+    // path: diameter_lb = 4, all 5 nodes reached.
+    val Array(r) = Graph.diameterEstimateOf(stream(1L, 2L, 3L, 4L, 5L))
+      .collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 3L, 5L, 5L, 4L)), s"got $r")
+  }
 }
