@@ -1905,6 +1905,9 @@ object EventAnalytics {
       .filter(col("day") >= date_sub(col("d1"), windowDays - 1))
       .select("user_id", "day").distinct()
       .groupBy("user_id").agg(count(lit(1)).as("days_active"))
+      // user-bounded frame feeds BOTH the histogram and the total —
+      // checkpoint so the fact scan runs once, not twice.
+      .localCheckpoint(false)
     val total = perUser.agg(count(lit(1)).as("n_total")) // 1 row
     perUser.groupBy("days_active")
       .agg(count(lit(1)).as("n_users"))

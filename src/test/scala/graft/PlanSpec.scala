@@ -1490,4 +1490,79 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         plan(graft.operators.Components.crossSourceDupShare(spark, Sf)))
       .foreach { case (n, p) => noCartesian(n, p) }
   }
+
+  test("round-13 tranches: stat/forecast/TPC-H/behavior/graph plans bounded as designed") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    // Rank/stat tests: windows ride the (type, value) grid — always
+    // partitioned; equijoins only.
+    Seq("kruskal_wallis" -> plan(graft.operators.Robust.kruskalWallis(spark, Sf)),
+      "welch_test" -> plan(Behavior.welchTest(spark, Sf)),
+      "ctr_wilson" -> plan(CtrAlerts.ctrWilson(spark, Sf))).foreach {
+      case (n, p) =>
+        noCartesian(n, p)
+        assert(bnlj(p).isEmpty, s"$n: equijoins only:\n$p")
+        assert(p.collect { case w: WindowExec => w }
+          .forall(_.partitionSpec.nonEmpty), s"$n: grid windows only:\n$p")
+    }
+    // Forecast family: the only non-equijoins are the 1-row bounds
+    // broadcasts (dense spine / croston bounds / xyz W + totals).
+    Seq("holt_winters_backtest" ->
+        plan(EventAnalytics.holtWintersBacktest(spark, Sf)),
+      "croston_backtest" -> plan(EventAnalytics.crostonBacktest(spark, Sf)),
+      "xyz_classification" -> plan(Warehouse.xyzClassification(spark, Sf)))
+      .foreach { case (n, p) =>
+        noCartesian(n, p)
+        assert(bnlj(p).length <= 3, s"$n: only 1-row bounds broadcasts:\n$p")
+      }
+    // TPC-H shapes: Q3's top-k must be TakeOrderedAndProject (never a
+    // global sort) with both date gates pushed to the scans; Q8/Q19
+    // are pure equijoin trees with the Q19 disjunction pruning the
+    // part scan.
+    val uo = plan(Warehouse.unshippedOrders(spark, Sf))
+    noCartesian("unshipped_orders", uo)
+    assert(uo.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"unshipped_orders: top-k via TakeOrderedAndProject:\n$uo")
+    val uoPushed = uo.collect { case f: FileSourceScanExec => f }
+      .map(_.metadata("PushedFilters")).mkString
+    assert(uoPushed.contains("l_shipdate") && uoPushed.contains("o_orderdate"),
+      s"unshipped_orders: date gates pushed: $uoPushed")
+    val nms = plan(Warehouse.nationMarketShare(spark, Sf))
+    noCartesian("nation_market_share", nms)
+    assert(bnlj(nms).isEmpty, s"nation_market_share: equijoins only:\n$nms")
+    val bbr = plan(Warehouse.brandBasketRevenue(spark, Sf))
+    noCartesian("brand_basket_revenue", bbr)
+    assert(bnlj(bbr).isEmpty, s"brand_basket_revenue: equijoins only:\n$bbr")
+    val bbrPushed = bbr.collect { case f: FileSourceScanExec => f }
+      .map(_.metadata("PushedFilters")).mkString
+    assert(bbrPushed.contains("p_brand"),
+      s"brand_basket_revenue: the disjunction prunes the part scan: $bbrPushed")
+    // Behavior tranche: session windows are user-partitioned; the L28
+    // curve and the payment audit stay equijoin/1-row-broadcast.
+    val sdc = plan(EventAnalytics.sessionDepthConversion(spark, Sf))
+    noCartesian("session_depth_conversion", sdc)
+    assert(sdc.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"session_depth_conversion: user-partitioned windows:\n$sdc")
+    val puc = plan(EventAnalytics.powerUserCurve(spark, Sf))
+    noCartesian("power_user_curve", puc)
+    assert(bnlj(puc).length <= 2, s"power_user_curve: 1-row bounds only:\n$puc")
+    val dp = plan(Warehouse.duplicatePayments(spark, Sf))
+    noCartesian("duplicate_payments", dp)
+    assert(bnlj(dp).isEmpty, s"duplicate_payments: custkey equijoin:\n$dp")
+    // Graph tranche: textrank's only non-equijoins are the 1-row nn
+    // broadcasts; its top-k is TakeOrderedAndProject. The diameter
+    // assembly is 1-row broadcast crossJoins over checkpointed BFS
+    // results.
+    val tk = plan(CorpusStats.textrankKeywords(spark, Sf))
+    noCartesian("textrank_keywords", tk)
+    assert(tk.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"textrank: top-k via TakeOrderedAndProject:\n$tk")
+    noCartesian("diameter_estimate", plan(Graph.diameterEstimate(spark, Sf)))
+  }
 }
