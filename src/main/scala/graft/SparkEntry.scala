@@ -436,6 +436,11 @@ object SparkEntry {
     // width certificate (rows 377-378)
     "textrank_keywords" -> (CorpusStats.textrankKeywords(_, _)),
     "diameter_estimate" -> (Graph.diameterEstimate(_, _)),
+    // Round-13 sixth tranche: the Q4/Q7/Q10 query shapes
+    // (rows 379-381)
+    "late_orders_by_priority" -> (Warehouse.lateOrdersByPriority(_, _)),
+    "trade_flows"       -> (Warehouse.tradeFlows(_, _)),
+    "returned_revenue_topk" -> (Warehouse.returnedRevenueTopk(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

@@ -1582,4 +1582,135 @@ object Warehouse {
 
   def duplicatePayments(spark: SparkSession, dir: String): DataFrame =
     duplicatePaymentsOf(Tables.orders(spark, dir))
+
+  /** Late orders by priority — the TPC-H Q4 shape (how many orders per
+    * priority had AT LEAST one line shipping more than `lateDays`
+    * after the order date — the EXISTS pattern, and the one report
+    * that tells a COO whether priority labels actually change
+    * fulfillment). This schema has no commit/receipt dates, so "late"
+    * is the ship-lag gate [[shipLagPercentilesOf]] already measures
+    * continuously; the late-line probe compiles to a LEFT SEMI join
+    * (exists ⇒ semi — never a count-then-filter of the whole fact),
+    * and the denominator rides the same order frame, so the share is
+    * exact ppm.
+    *
+    * Shape: one order⋈line equijoin pre-filtered map-side to
+    * candidate-late lines, one semi prune, one ≤ 5-row priority
+    * rollup over the order dimension. */
+  def lateOrdersByPriorityOf(orders: DataFrame, lineitem: DataFrame,
+                             lateDays: Int = 90): DataFrame = {
+    require(lateDays > 0, s"lateDays must be positive, got $lateDays")
+    val ord = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      to_date(col("o_orderdate")).as("oday"))
+    val lateOrders = lineitem
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sday"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("sday"), col("oday")) > lateDays)
+      .select(col("o_orderkey")).distinct()
+    val flagged = ord
+      .join(lateOrders, Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_late"))
+    ord.groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .join(flagged, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"), col("n_orders"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"))
+      .withColumn("late_ppm",
+        expr("CAST((n_late * 1000000) div n_orders AS BIGINT)"))
+      .orderBy("o_orderpriority")
+  }
+
+  def lateOrdersByPriority(spark: SparkSession, dir: String): DataFrame =
+    lateOrdersByPriorityOf(Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir))
+
+  /** Bilateral trade flows — the TPC-H Q7 shape: revenue shipped
+    * between two nations by year, BOTH directions published (supplier
+    * nation → customer nation), the import/export ledger behind every
+    * trade-balance read. Nation names resolve through two broadcast
+    * dim joins; the pair filter applies on the JOINED bounded keys so
+    * only the two nations' supplier/customer rows survive the fact
+    * joins (semi-pruned on both sides before the fact⋈fact).
+    *
+    * Shape: supplier/customer pre-filtered to the two nations (semi
+    * prunes), one orders equijoin for the year, one ≤ 2·years-row
+    * rollup on the money contract. */
+  def tradeFlowsOf(lineitem: DataFrame, orders: DataFrame,
+                   customer: DataFrame, supplier: DataFrame,
+                   nation: DataFrame,
+                   nationA: String = "NATION_1",
+                   nationB: String = "NATION_2"): DataFrame = {
+    val nk = nation.select(col("n_nationkey"), col("n_name"))
+      .filter(col("n_name").isin(nationA, nationB))
+    val sup = supplier
+      .join(broadcast(nk), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer
+      .join(broadcast(nk), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = orders.select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        Report.earningsMicros.as("qrev"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "o_year")
+      .agg(count(lit(1)).as("n_lines"), sum("qrev").as("qsum"))
+      .select(col("supp_nation"), col("cust_nation"), col("o_year"),
+        col("n_lines"), TextF.microsTo4dp(col("qsum")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "o_year")
+  }
+
+  def tradeFlows(spark: SparkSession, dir: String): DataFrame =
+    tradeFlowsOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.supplier(spark, dir),
+      Tables.nation(spark, dir))
+
+  /** Returned-item revenue top-k — the TPC-H Q10 shape: which
+    * customers returned the most money in a quarter-sized window
+    * (returnflag = 'R'), with enough identity to route the list to a
+    * account manager. The same top-k discipline as
+    * [[unshippedOrdersOf]]: TakeOrderedAndProject on the EXACT
+    * integer revenue with the custkey tiebreak; the returned-lines
+    * filter and the date window push to the scans.
+    *
+    * Shape: map-side-filtered fact, one orders equijoin (window),
+    * one custkey aggregate; the customer/nation identity joins run
+    * on the already-customer-bounded rollup frame BEFORE the top-k
+    * (so the heap orders on the exact revenue with identity in
+    * hand), and TakeOrdered bounds the output. */
+  def returnedRevenueTopkOf(lineitem: DataFrame, orders: DataFrame,
+                            customer: DataFrame, nation: DataFrame,
+                            from: String = "1998-01-01",
+                            until: String = "1998-04-01",
+                            k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perCust = lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), Report.earningsMicros.as("qrev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_lines"), sum("qrev").as("qsum"))
+    perCust
+      .join(customer.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_nationkey")), Seq("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("qsum").desc, col("c_custkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        col("c_acctbal"), col("n_lines"),
+        TextF.microsTo4dp(col("qsum")).as("returned_revenue"))
+  }
+
+  def returnedRevenueTopk(spark: SparkSession, dir: String): DataFrame =
+    returnedRevenueTopkOf(Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir), Tables.customer(spark, dir),
+      Tables.nation(spark, dir))
 }

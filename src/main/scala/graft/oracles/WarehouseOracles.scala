@@ -850,6 +850,70 @@ private[graft] object WarehouseOracles {
         |    AS dup_amount_usd
         |FROM p GROUP BY 1 ORDER BY gap_days""".stripMargin,
 
+    // TPC-H Q4 shape: EXISTS-late-line as a distinct-orderkey semi,
+    // exact-ppm late share per priority.
+    "late_orders_by_priority" ->
+      """WITH ord AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_orderdate AS DATE) AS oday FROM orders),
+        |lo AS (SELECT DISTINCT o.o_orderkey
+        |  FROM lineitem l JOIN ord o ON l.l_orderkey = o.o_orderkey
+        |  WHERE datediff('day', o.oday, CAST(l.l_shipdate AS DATE)) > 90),
+        |fl AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+        |  FROM ord WHERE o_orderkey IN (SELECT o_orderkey FROM lo)
+        |  GROUP BY 1),
+        |al AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM ord GROUP BY 1)
+        |SELECT al.o_orderpriority, al.n_orders,
+        |  COALESCE(fl.n_late, 0) AS n_late,
+        |  CAST((COALESCE(fl.n_late, 0) * 1000000) // al.n_orders AS BIGINT)
+        |    AS late_ppm
+        |FROM al LEFT JOIN fl ON fl.o_orderpriority = al.o_orderpriority
+        |ORDER BY al.o_orderpriority""".stripMargin,
+
+    // TPC-H Q7 shape: both directions between the two nations, money
+    // contract revenue per (supp_nation, cust_nation, year).
+    "trade_flows" ->
+      """WITH nk AS (SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |sup AS (SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier JOIN nk ON s_nationkey = n_nationkey),
+        |cust AS (SELECT c_custkey, n_name AS cust_nation
+        |  FROM customer JOIN nk ON c_nationkey = n_nationkey),
+        |ord AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+        |    cust_nation
+        |  FROM orders JOIN cust ON o_custkey = c_custkey),
+        |li AS (SELECT l_orderkey, l_suppkey,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)
+        |      AS BIGINT) AS qrev
+        |  FROM lineitem)
+        |SELECT supp_nation, cust_nation, o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  floor(CAST(SUM(qrev) AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue
+        |FROM li JOIN sup ON li.l_suppkey = sup.s_suppkey
+        |JOIN ord ON li.l_orderkey = ord.o_orderkey
+        |WHERE supp_nation <> cust_nation
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // TPC-H Q10 shape: returned-revenue top-20, LIMIT ties on the
+    // exact integer revenue then custkey.
+    "returned_revenue_topk" ->
+      """WITH ord AS (SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-04-01'),
+        |pc AS (SELECT o.o_custkey AS c_custkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS qsum
+        |  FROM lineitem l JOIN ord o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R' GROUP BY 1)
+        |SELECT pc.c_custkey, c.c_name, n.n_name AS nation, c.c_acctbal,
+        |  pc.n_lines,
+        |  floor(CAST(pc.qsum AS DOUBLE) / 100 + 0.5) / 1e4
+        |    AS returned_revenue
+        |FROM pc JOIN customer c ON c.c_custkey = pc.c_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |ORDER BY pc.qsum DESC, pc.c_custkey LIMIT 20""".stripMargin,
+
     // XYZ variability classes: exact cross-multiplied CV cuts on
     // DECIMAL (4(WQ−S²) ≤ S² etc.), zero weeks through the global W
     // constant, 4-dp CV published only.

@@ -559,6 +559,81 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
       s"got $out")
   }
 
+  test("late orders by priority: one late line flags the whole order once; shares exact") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, "1-URGENT", "2024-01-01"), // late (one of two lines)
+      (2L, "1-URGENT", "2024-01-01"), // on time
+      (3L, "5-LOW", "2024-01-01"))    // late
+      .map { case (o, p, d) => (o, p, t(d)) }
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq(
+      (1L, "2024-04-02"), (1L, "2024-01-10"), // 92 days late + on time
+      (2L, "2024-01-15"),
+      (3L, "2024-04-15"), (3L, "2024-05-01")) // two late lines: count once
+      .map { case (o, d) => (o, t(d)) }
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Warehouse.lateOrdersByPriorityOf(orders, li).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out == Map("1-URGENT" -> ((2L, 1L, 500000L)),
+      "5-LOW" -> ((1L, 1L, 1000000L))), s"got $out")
+  }
+
+  test("trade flows: both directions between the pair publish; third nations and domestic flows drop") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val nation = Seq((1L, "NATION_1"), (2L, "NATION_2"), (3L, "NATION_3"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((1L, 1L), (2L, 2L)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((10L, 2L, "1995-06-01"), (11L, 1L, "1996-06-01"))
+      .map { case (o, c, d) => (o, c, t(d)) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (10L, 1L, 100.0), // N1 supplier → N2 customer, 1995
+      (10L, 2L, 50.0),  // domestic N2→N2: dropped
+      (10L, 3L, 70.0),  // third nation: dropped
+      (11L, 2L, 30.0))  // N2 supplier → N1 customer, 1996
+      .map { case (o, s, p) => (o, s, p, 0.0) }
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = Warehouse.tradeFlowsOf(li, orders, customer, supplier, nation)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      ("NATION_1", "NATION_2", 1995) -> ((1L, 100.0)),
+      ("NATION_2", "NATION_1", 1996) -> ((1L, 30.0))), s"got $out")
+  }
+
+  test("returned revenue top-k: window + returnflag gate, exact-revenue ordering, custkey boundary tie") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val nation = Seq((0L, "NATION_0")).toDF("n_nationkey", "n_name")
+    val customer = Seq((1L, "c1", 10.0, 0L), (2L, "c2", 20.0, 0L),
+      (3L, "c3", 30.0, 0L))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val orders = Seq(
+      (10L, 1L, "1998-02-01"), (11L, 2L, "1998-02-01"),
+      (12L, 3L, "1998-02-01"), (13L, 1L, "1997-06-01")) // out of window
+      .map { case (o, c, d) => (o, c, t(d)) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (10L, "R", 50.0), (10L, "A", 500.0), // cust 1: R-revenue 50
+      (11L, "R", 50.0),                    // cust 2: 50 — ties cust 1
+      (12L, "R", 10.0),                    // cust 3: 10 — below the k=2 cut
+      (13L, "R", 900.0))                   // out-of-window order
+      .map { case (o, f, p) => (o, f, p, 0.0) }
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val out = Warehouse.returnedRevenueTopkOf(li, orders, customer, nation,
+      k = 2).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L),
+      s"tie at the k boundary keeps the lower custkeys: ${out.toSeq}")
+    assert(out.forall(_.getDouble(5) == 50.0), s"${out.toSeq}")
+  }
+
   test("consistent sample: coordinated FKs stay intact; an uncoordinated control breaks them") {
     val customer = (1L to 300L).map(i => (i, s"c$i")).toDF("c_custkey", "c_name")
     val orders = (1L to 600L).map(o => (o, (o % 300L) + 1L))
