@@ -441,6 +441,11 @@ object SparkEntry {
     "late_orders_by_priority" -> (Warehouse.lateOrdersByPriority(_, _)),
     "trade_flows"       -> (Warehouse.tradeFlows(_, _)),
     "returned_revenue_topk" -> (Warehouse.returnedRevenueTopk(_, _)),
+    // Round-13 seventh tranche: count-metric A/B, ordered-arm trend,
+    // syllable readability (rows 382-384)
+    "poisson_rate_test" -> (Behavior.poissonRateTest(_, _)),
+    "cochran_armitage"  -> (Behavior.cochranArmitage(_, _)),
+    "flesch_kincaid"    -> (TextAnalysis.fleschKincaid(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

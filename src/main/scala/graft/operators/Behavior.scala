@@ -1240,6 +1240,109 @@ object Behavior {
   def welchTest(spark: SparkSession, dir: String): DataFrame =
     welchTestOf(Tables.events(spark, dir))
 
+  /** Two-sample Poisson rate test per event type — the COUNT-metric
+    * A/B readout ([[abTestOf]] tests a per-user proportion,
+    * [[welchTestOf]] a per-event value; "did the treatment change how
+    * OFTEN users do X" is neither): events-per-exposed-user rates
+    * under the two-arm md5 assignment, z = (r₁−r₀)/√(c₀/n₀² + c₁/n₁²)
+    * — the unconditional normal approximation on Poisson counts,
+    * exact enough at the fact-scale counts this targets (the
+    * [[anovaFOf]] literal-constant rule for the 1.96 bar).
+    *
+    * Exposure is DISTINCT USERS PER ARM, a global 2-row frame from
+    * one user dedup (not per type — a user exposed to the experiment
+    * is at risk for every event type, which is what makes the rates
+    * comparable across types). One conditional fact aggregate per
+    * type + the 1-row exposure broadcast; the double chain is
+    * textually mirrored in the oracle; zero counts in both arms null
+    * z via NULLIF.
+    *
+    * Shape: one (type, arm) fact aggregate + one user-dedup
+    * aggregate; everything after is arithmetic on 2·|types| rows. */
+  def poissonRateTestOf(events: DataFrame): DataFrame = {
+    val users = events.select(col("user_id")).distinct()
+      .select(arm2(col("user_id")).as("arm"))
+      .groupBy()
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"))
+    val perType = events.select(col("event_type"),
+        arm2(col("user_id")).as("arm"))
+      .groupBy("event_type")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("c1"))
+    perType.crossJoin(broadcast(users))
+      .filter(col("n0") > 0 && col("n1") > 0)
+      .select(col("event_type"), col("c0"), col("c1"), col("n0"), col("n1"),
+        graft.functions.TextF.round6HalfUp(expr(
+          "CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)")).as("rate0"),
+        graft.functions.TextF.round6HalfUp(expr(
+          "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)")).as("rate1"),
+        graft.functions.TextF.round6HalfUp(expr(
+          """(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            | - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+            |/ NULLIF(sqrt(
+            |    CAST(c0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE))
+            |  + CAST(c1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))),
+            |  0.0)""".stripMargin)).as("z"))
+      .withColumn("significant",
+        when(col("z").isNull, lit(false)).otherwise(abs(col("z")) > 1.96))
+      .orderBy("event_type")
+  }
+
+  def poissonRateTest(spark: SparkSession, dir: String): DataFrame =
+    poissonRateTestOf(Tables.events(spark, dir))
+
+  /** Cochran-Armitage trend test across the THREE ordered arms — the
+    * dose-response read ([[anovaFOf]] asks "do the arms differ";
+    * this asks "does conversion move MONOTONICALLY with treatment
+    * intensity", one df instead of two, which is the whole power
+    * argument for ordered arms): arm scores x = 0, 1, 2 over
+    * per-user conversion (≥ 1 purchase).
+    *
+    * The statistic is EXACT integer algebra until one final double
+    * chain: with per-arm (nᵢ, rᵢ), N = Σn, R = Σr, A = Σnᵢxᵢ²,
+    * B = Σnᵢxᵢ, the numerator N·T = Σxᵢ(rᵢN − nᵢR) and
+    * z = N·T / √(R(N−R)(N·A − B²)/N) — denominators cleared so every
+    * product rides decimal(38,0) (r·N crosses int64 at ~3·10⁹
+    * users); NULLIF nulls z when conversion is 0% or 100% (no
+    * variance). |z| > 1.96 at α = 0.05.
+    *
+    * Shape: ONE user-dedup fact aggregate (user, arm, converted) →
+    * a 3-row frame; everything after is constant-size arithmetic. */
+  def cochranArmitageOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perArm = events.select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy("user_id").agg(max("p").as("conv"))
+      .select(arm3(col("user_id")).as("arm"), col("conv"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("r"))
+    def pick(c: String, a: Int) = max(when(col("arm") === a, col(c)))
+    val wide = perArm.groupBy()
+      .agg(pick("n", 0).as("n0"), pick("n", 1).as("n1"), pick("n", 2).as("n2"),
+        pick("r", 0).as("r0"), pick("r", 1).as("r1"), pick("r", 2).as("r2"))
+      .filter(col("n0").isNotNull && col("n1").isNotNull && col("n2").isNotNull)
+      .withColumn("nn", col("n0") + col("n1") + col("n2"))
+      .withColumn("rr", col("r0") + col("r1") + col("r2"))
+    wide.select(col("n0"), col("n1"), col("n2"),
+        col("r0"), col("r1"), col("r2"),
+        graft.functions.TextF.round6HalfUp(expr(
+          s"""CAST(CAST(r1 AS $dec) * nn - CAST(n1 AS $dec) * rr
+             |  + 2 * (CAST(r2 AS $dec) * nn - CAST(n2 AS $dec) * rr)
+             |  AS DOUBLE)
+             |/ NULLIF(sqrt(CAST(
+             |    CAST(rr AS $dec) * (nn - rr)
+             |      * (CAST(nn AS $dec) * (n1 + 4 * n2)
+             |         - CAST(n1 + 2 * n2 AS $dec) * (n1 + 2 * n2))
+             |    AS DOUBLE) / CAST(nn AS DOUBLE)), 0.0)""".stripMargin))
+          .as("z"))
+      .withColumn("significant",
+        when(col("z").isNull, lit(false)).otherwise(abs(col("z")) > 1.96))
+  }
+
+  def cochranArmitage(spark: SparkSession, dir: String): DataFrame =
+    cochranArmitageOf(Tables.events(spark, dir))
+
   /** Difference-in-differences readout (the panel-data causal read
     * [[abTestOf]] and [[cupedAdjustOf]] sit beside: when treatment
     * started at `splitDay`, the treated arm's pre→post change MINUS

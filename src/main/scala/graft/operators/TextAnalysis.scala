@@ -409,4 +409,37 @@ object TextAnalysis {
 
   def readability(spark: SparkSession, dir: String): DataFrame =
     readabilityOf(Tables.documents(spark, dir))
+
+  /** Flesch-Kincaid grade level per doc — [[readabilityOf]]'s
+    * Coleman-Liau deliberately avoids syllables (letters are safer
+    * cross-engine); this is the OTHER classic, with the syllable
+    * count as the standard vowel-group heuristic: one [aeiouAEIOU]+
+    * run ≈ one syllable, counted over the whole text (per-word
+    * min-1 correction intentionally omitted — it needs a per-word
+    * explode for a correction that moves the grade by < 0.2 on
+    * running text, and the heuristic is documented AS the contract).
+    * FK = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59.
+    * Both regex counts are alternation-free character classes —
+    * Java (here) and RE2 (oracle) agree on every input.
+    *
+    * Shape: map-only per-doc counting, one double chain, 4-dp grid
+    * — the [[readabilityOf]] contract verbatim. */
+  def fleschKincaidOf(docs: DataFrame): DataFrame = {
+    val counted = docs.select(col("doc_id"),
+        TextF.tokenCount(col("text")).cast("long").as("n_words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sents"),
+        regexp_count(col("text"), lit("[aeiouAEIOU]+"))
+          .cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+    def d(c: Column) = c.cast("double")
+    val fk = lit(0.39) * (d(col("n_words")) / d(col("n_sents"))) +
+      lit(11.8) * (d(col("n_syllables")) / d(col("n_words"))) - lit(15.59)
+    counted.select(col("doc_id"), col("n_words"), col("n_sents"),
+        col("n_syllables"), TextF.round4HalfUp(fk).as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
+  def fleschKincaid(spark: SparkSession, dir: String): DataFrame =
+    fleschKincaidOf(Tables.documents(spark, dir))
 }

@@ -1023,5 +1023,23 @@ private[graft] object CorpusOracles {
         |    - 0.296 * (CAST(n_sents AS DOUBLE) * 100.0
         |      / CAST(n_words AS DOUBLE)) - 15.8) * 1e4 + 0.5) / 1e4 AS cli
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    // Flesch-Kincaid per doc: vowel-group syllable heuristic
+    // (character classes only — Java and RE2 agree), one fixed
+    // three-term double sequence, 4 dp.
+    "flesch_kincaid" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |      AS n_sents,
+        |    CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syllables,
+        |  floor((0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - 15.59) * 1e4 + 0.5) / 1e4 AS fk_grade
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
   )
 }

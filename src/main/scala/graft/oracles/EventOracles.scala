@@ -2225,6 +2225,81 @@ private[graft] object EventOracles {
         |FROM ev GROUP BY event_type
         |HAVING SUM(ym) > 0 ORDER BY event_type""".stripMargin,
 
+    // Poisson rate test: per-type counts vs the global 2-row user
+    // exposure, the engine's exact double chain; rounded-z compare.
+    "poisson_rate_test" ->
+      """WITH u AS (SELECT
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |ex AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM u),
+        |pt AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN CAST(('0x' || substring(md5('ab:' ||
+        |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN CAST(('0x' || substring(md5('ab:' ||
+        |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT event_type, c0, c1, n0, n1,
+        |    floor(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |      AS rate0,
+        |    floor(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |      AS rate1,
+        |    floor((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |       - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      / NULLIF(sqrt(
+        |          CAST(c0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE))
+        |        + CAST(c1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))),
+        |        0.0) * 1e6 + 0.5) / 1e6 AS z
+        |  FROM pt, ex WHERE n0 > 0 AND n1 > 0)
+        |SELECT event_type, c0, c1, n0, n1, rate0, rate1, z,
+        |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.96 END AS significant
+        |FROM r ORDER BY event_type""".stripMargin,
+
+    // Cochran-Armitage trend: one user-dedup aggregate, cleared
+    // denominators on DECIMAL, the engine's exact double chain.
+    "cochran_armitage" ->
+      """WITH u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |pa AS (SELECT
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 3 AS arm, conv
+        |  FROM u),
+        |g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS r
+        |  FROM pa GROUP BY 1),
+        |w AS (SELECT
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN arm = 2 THEN n END) AS n2,
+        |    MAX(CASE WHEN arm = 0 THEN r END) AS r0,
+        |    MAX(CASE WHEN arm = 1 THEN r END) AS r1,
+        |    MAX(CASE WHEN arm = 2 THEN r END) AS r2
+        |  FROM g),
+        |f AS (SELECT *, n0 + n1 + n2 AS nn, r0 + r1 + r2 AS rr FROM w
+        |  WHERE n0 IS NOT NULL AND n1 IS NOT NULL AND n2 IS NOT NULL),
+        |zc AS (SELECT n0, n1, n2, r0, r1, r2,
+        |    floor(
+        |      CAST(CAST(r1 AS DECIMAL(38,0)) * nn - CAST(n1 AS DECIMAL(38,0)) * rr
+        |        + 2 * (CAST(r2 AS DECIMAL(38,0)) * nn
+        |               - CAST(n2 AS DECIMAL(38,0)) * rr)
+        |        AS DOUBLE)
+        |      / NULLIF(sqrt(CAST(
+        |          CAST(rr AS DECIMAL(38,0)) * (nn - rr)
+        |            * (CAST(nn AS DECIMAL(38,0)) * (n1 + 4 * n2)
+        |               - CAST(n1 + 2 * n2 AS DECIMAL(38,0)) * (n1 + 2 * n2))
+        |          AS DOUBLE) / CAST(nn AS DOUBLE)), 0.0)
+        |      * 1e6 + 0.5) / 1e6 AS z
+        |  FROM f)
+        |SELECT n0, n1, n2, r0, r1, r2, z,
+        |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.96 END AS significant
+        |FROM zc""".stripMargin,
+
     // Holt-Winters additive weekly: the holt_backtest recursion with
     // seven seasonal columns carried through the recursive CTE; the
     // level-update fragment (lp) is textually repeated wherever the

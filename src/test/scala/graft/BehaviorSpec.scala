@@ -933,6 +933,54 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       f.isNullAt(6) && !f.getBoolean(7), s"$f")
   }
 
+  test("poisson rate test: 2-vs-1 events-per-user reads z = -1 exactly") {
+    import spark.implicits._
+    def arm(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % 2
+    }
+    val users = (1L to 60L).toSeq
+    val a0 = users.filter(arm(_) == 0L).take(3)
+    val a1 = users.filter(arm(_) == 1L).take(3)
+    // arm0: 2 clicks/user (rate 2), arm1: 1 (rate 1):
+    // z = (1−2)/√(6/9 + 3/9) = −1 exactly.
+    val ev = (a0.flatMap(u => Seq((u, "click"), (u, "click"))) ++
+      a1.map(u => (u, "click")))
+      .toDF("user_id", "event_type")
+    val Array(r) = graft.operators.Behavior.poissonRateTestOf(ev).collect()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((6L, 3L, 3L, 3L)), s"$r")
+    assert(r.getDouble(5) == 2.0 && r.getDouble(6) == 1.0, s"$r")
+    assert(r.getDouble(7) == -1.0 && !r.getBoolean(8), s"$r")
+  }
+
+  test("cochran-armitage: a perfect 0/50/100% dose-response reads z = 2.828427") {
+    import spark.implicits._
+    def arm(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % 3
+    }
+    val users = (1L to 120L).toSeq
+    val a0 = users.filter(arm(_) == 0L).take(4)
+    val a1 = users.filter(arm(_) == 1L).take(4)
+    val a2 = users.filter(arm(_) == 2L).take(4)
+    assert(a0.size == 4 && a1.size == 4 && a2.size == 4)
+    // converts: 0/4, 2/4, 4/4 → N·T = 48, R(N−R)(NA−B²)/N = 288,
+    // z = 48/√288 = 2.828427.
+    val ev = (a0.map((_, "view")) ++
+      a1.take(2).map((_, "purchase")) ++ a1.drop(2).map((_, "view")) ++
+      a2.map((_, "purchase")))
+      .toDF("user_id", "event_type")
+    val Array(r) = graft.operators.Behavior.cochranArmitageOf(ev).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((4L, 4L, 4L, 0L, 2L, 4L)), s"$r")
+    assert(r.getDouble(6) == 2.828427 && r.getBoolean(7), s"$r")
+  }
+
   test("funnel by arm: each arm converts against its OWN base, lift in points") {
     import spark.implicits._
     def arm(u: Long): Long = {

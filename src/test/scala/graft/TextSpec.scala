@@ -154,6 +154,24 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(out("ru") == ((400000L, 0L, 400000L)), s"2/5 each: $out")
   }
 
+  test("flesch-kincaid: hand-counted vowel-group syllables, sentence clamp") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello world."),       // 2 words, 1 sent, 3 vowel groups
+      (2L, "Beautiful day today!"))// 3 words, 1 sent: eau-i-u, a, o-a = 6
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.fleschKincaidOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def fk(w: Long, s: Long, sy: Long): Double = {
+      val x = 0.39 * (w.toDouble / s.toDouble) +
+        11.8 * (sy.toDouble / w.toDouble) - 15.59
+      math.floor(x * 1e4 + 0.5) / 1e4
+    }
+    assert(got(1L) == ((2L, 1L, 3L, fk(2, 1, 3))), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 1L, 6L, fk(3, 1, 6))), s"got ${got(2L)}")
+  }
+
   test("readability: hand-counted CLI, sentence clamp, digits excluded from letters") {
     import spark.implicits._
     val docs = Seq(
