@@ -1242,4 +1242,77 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       }
     } finally query.stop()
   }
+
+  test("streaming croston: the z/p fold matches the batch recursion after each closed demand day") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    val events = input.toDF().toDF("event_type", "ts", "props")
+    def p(d: Int, k: Long = 2L) =
+      ("purchase", Timestamp.valueOf(f"2026-01-$d%02d 12:00:00"), s"""{"k": $k}""")
+
+    val query = graft.streaming.StreamingCroston.rates(events).writeStream
+      .format("memory").queryName("croston_test").outputMode("append").start()
+    try {
+      // demand days 1, 3, 5, 7 (one purchase each), split across
+      // batches; day 9 closes day 7 via arrival, day 13 pushes the
+      // watermark so nothing stays buffered.
+      input.addData(p(1), p(3))
+      query.processAllAvailable()
+      input.addData(p(5), p(7), p(9))
+      query.processAllAvailable()
+      input.addData(p(13))
+      query.processAllAvailable()
+      val got = spark.table("croston_test").collect()
+        .map(r => r.getDate(1).toString ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      // seed: z=1000, p=1000 (documented stream seed) → rate 1000;
+      // then gap-2 updates: p 1000→1500→1750→1875... day 1 closes with
+      // the seed; day 3/5/7 fold gap 2: p=(2000+1000)>>1=1500, then
+      // 1750, then 1875; z stays 1000. Rates: 1000000/p.
+      assert(got("2026-01-01") == ((1L, 1000L, 1000L, 1000L)), s"$got")
+      assert(got("2026-01-03") == ((2L, 1000L, 1500L, 666L)), s"$got")
+      assert(got("2026-01-05") == ((3L, 1000L, 1750L, 571L)), s"$got")
+      assert(got("2026-01-07") == ((4L, 1000L, 1875L, 533L)), s"$got")
+      // day 9 closed by the day-13 watermark push (timeout path)
+      assert(got.contains("2026-01-09"), s"timeout must close day 9: $got")
+    } finally query.stop()
+  }
+
+  test("streaming dup payments: pairs match the batch twin's gap rollup across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double, Timestamp)]
+    val orders = input.toDF()
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // the batch spec's planted frame: cust 1 near-pair gap 1 (100.00
+    // vs 100.50), a 2%-off decoy, an out-of-window day-20 twin;
+    // cust 2 exact same-day pair.
+    val b1 = Seq((1L, 1L, 100.00, t(1)), (2L, 5L, 200.00, t(1)),
+      (2L, 6L, 200.00, t(1)))
+    val b2 = Seq((1L, 2L, 100.50, t(2)), (1L, 4L, 150.00, t(3)),
+      (1L, 3L, 100.00, t(21)))
+
+    val query = graft.streaming.StreamingDupPayments.pairs(orders)
+      .writeStream
+      .format("memory").queryName("dup_pay_test").outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val got = spark.table("dup_pay_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+      assert(got.toSet == Set((2L, 5L, 6L, 0L, 200.0), (1L, 1L, 2L, 1L, 100.0)),
+        s"got ${got.toSeq}")
+      // the gap rollup equals the batch twin's on the same orders
+      val batch = graft.operators.Warehouse.duplicatePaymentsOf(
+        (b1 ++ b2).toDF("o_custkey", "o_orderkey", "o_totalprice",
+          "o_orderdate")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val stream = got.groupBy(_._4).map { case (g, ps) =>
+        g -> ((ps.length.toLong, ps.map(_._5).sum)) }
+      assert(stream == batch, s"stream $stream vs batch $batch")
+    } finally query.stop()
+  }
 }
