@@ -446,6 +446,11 @@ object SparkEntry {
     "poisson_rate_test" -> (Behavior.poissonRateTest(_, _)),
     "cochran_armitage"  -> (Behavior.cochranArmitage(_, _)),
     "flesch_kincaid"    -> (TextAnalysis.fleschKincaid(_, _)),
+    // Round-13 eighth tranche: tokenizer economics, directed SCC,
+    // repeat-purchase latency (rows 387-389)
+    "tokenizer_efficiency" -> (CorpusStats.tokenizerEfficiency(_, _)),
+    "pivot_scc"         -> (Graph.pivotScc(_, _)),
+    "repeat_purchase_latency" -> (Behavior.repeatPurchaseLatency(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

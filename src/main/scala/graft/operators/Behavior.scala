@@ -1343,6 +1343,46 @@ object Behavior {
   def cochranArmitage(spark: SparkSession, dir: String): DataFrame =
     cochranArmitageOf(Tables.events(spark, dir))
 
+  /** Repeat-purchase latency per first-purchase month — the
+    * retention-economics gap [[conversionLatencyOf]] (view→first
+    * purchase) doesn't cover: how long until a NEW customer buys
+    * AGAIN (first→second purchase), the number that sets payback
+    * windows and win-back timer defaults, cohorted by the month the
+    * relationship started. Same two-chained-min pairing — never a
+    * per-user sort: t₁ = min purchase time, t₂ = min strictly-later
+    * purchase; users who never repeat simply don't appear (the
+    * repeat RATE is [[cohortRetentionOf]]'s job; this prices the
+    * latency of those who do).
+    *
+    * Exact integer µs gaps; percentile interpolation over exact
+    * integers is the one `(a+b)·q` form both engines compute
+    * identically ([[conversionLatencyOf]]'s contract), published as
+    * 4-dp days.
+    *
+    * Shape: two user-keyed min-aggregates + one user equijoin; the
+    * month rollup is bounded by the calendar. */
+  def repeatPurchaseLatencyOf(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .localCheckpoint(false) // both mins read the same slice
+    val first = p.groupBy("user_id").agg(min("us").as("t1"))
+    val second = p.join(first, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1"))
+    second.select(
+        date_format(timestamp_micros(col("t1")), "yyyy-MM").as("month"),
+        (col("t2") - col("t1")).as("gap_us"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_repeaters"),
+        graft.functions.TextF.round4HalfUp(
+          expr("percentile(gap_us, 0.5)") / lit(86400e6)).as("p50_days"),
+        graft.functions.TextF.round4HalfUp(
+          expr("percentile(gap_us, 0.9)") / lit(86400e6)).as("p90_days"))
+      .orderBy("month")
+  }
+
+  def repeatPurchaseLatency(spark: SparkSession, dir: String): DataFrame =
+    repeatPurchaseLatencyOf(Tables.events(spark, dir))
+
   /** Difference-in-differences readout (the panel-data causal read
     * [[abTestOf]] and [[cupedAdjustOf]] sit beside: when treatment
     * started at `splitDay`, the treated arm's pre→post change MINUS

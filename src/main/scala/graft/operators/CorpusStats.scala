@@ -1577,6 +1577,42 @@ object CorpusStats {
   def textrankKeywords(spark: SparkSession, dir: String): DataFrame =
     textrankKeywordsOf(Tables.documents(spark, dir))
 
+  /** Tokenizer efficiency per language — the budgeting table behind
+    * every multilingual-mix decision ([[corpusCardOf]] counts tokens;
+    * this prices them): characters per BPE token (how much TEXT a
+    * token buys — the number that collapses for scripts a tokenizer
+    * underserves) and BPE-per-whitespace fertility (how many
+    * subwords a "word" costs — [[graft.operators.Tokenizer]] measures
+    * this for the LEARNED merges; this is the pre-tokenizer floor).
+    * A language paying 2× the characters-per-token of English gets
+    * half the context window — the fairness/cost read.
+    *
+    * Shape: one map-side counting scan (the native
+    * [[graft.functions.TextF.bpeTokenCount]] — counting, not
+    * materializing, tokens), one bounded lang aggregate, 4-dp
+    * ratios. */
+  def tokenizerEfficiencyOf(docs: DataFrame): DataFrame = {
+    docs.select(col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        TextF.tokenCount(col("text")).cast("long").as("ws"),
+        TextF.bpeTokenCount(col("text")).cast("long").as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("n_chars"),
+        sum("ws").as("n_ws_tokens"), sum("bpe").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        col("n_ws_tokens"), col("n_bpe_tokens"),
+        TextF.round4HalfUp(expr(
+          "CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)"))
+          .as("chars_per_bpe"),
+        TextF.round4HalfUp(expr(
+          "CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE)"))
+          .as("bpe_per_word"))
+      .orderBy("lang")
+  }
+
+  def tokenizerEfficiency(spark: SparkSession, dir: String): DataFrame =
+    tokenizerEfficiencyOf(Tables.documents(spark, dir))
+
   /** DeLong standard error for [[aucQualityOf]]'s per-source AUC —
     * the error bar the eval family's point estimates were missing
     * (row 118 bootstraps MEANS; AUC has a closed-form nonparametric

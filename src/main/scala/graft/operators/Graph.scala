@@ -986,4 +986,78 @@ object Graph {
 
   def diameterEstimate(spark: SparkSession, dir: String): DataFrame =
     diameterEstimateOf(Tables.events(spark, dir))
+
+  /** Pivot strongly-connected component of the DIRECTED transition
+    * graph — every component row so far ([[itemGraphComponentsOf]],
+    * the closure family) is UNDIRECTED; navigation is not: A→B
+    * without B→A is a one-way funnel, and the "core you can wander
+    * forever" is the SCC. Full distributed SCC is the iterated
+    * forward-backward decomposition (Fleischer-Hendrickson-Pinar
+    * '00); ONE round from a max-out-degree pivot already answers the
+    * question that matters — how much of the catalog is mutually
+    * navigable — as SCC(pivot) = forward-reach(pivot) ∩
+    * backward-reach(pivot), two [[diameterEstimateOf]] BFS loops (the
+    * second on the REVERSED adjacency).
+    *
+    * Shape: directed distinct edges off one lag pass; per-iteration
+    * work is the vocab-bounded adjacency join, maxIter-guarded;
+    * the intersection is a semi-join of two reach frames; exact-ppm
+    * share against the node count. Oracle: two recursive
+    * reachability CTEs (UNION dedup on the node alone — reach sets
+    * are monotone, the closure terminates) intersected. */
+  def pivotSccOf(events: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val edges = events
+      .select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("src", lag("item", 1).over(byUser))
+      .filter(col("src").isNotNull && col("src") =!= col("item"))
+      .select(col("src").as("u"), col("item").as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val nodes = edges.select(col("u").as("item"))
+      .union(edges.select(col("v").as("item"))).distinct()
+      .localCheckpoint(false)
+    def reach(adj: DataFrame, seed: DataFrame): DataFrame = {
+      var reached = seed.localCheckpoint(false)
+      var frontier = reached
+      var h = 0
+      var done = false
+      while (!done && h < maxIter) {
+        h += 1
+        val next = adj.join(frontier.select(col("item").as("u")), "u")
+          .select(col("v").as("item")).distinct()
+          .join(reached, Seq("item"), "left_anti")
+          .localCheckpoint(false)
+        if (next.isEmpty) done = true
+        else {
+          reached = reached.union(next).localCheckpoint(false)
+          frontier = next
+        }
+      }
+      reached
+    }
+    val pivot = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("u")).limit(1)
+      .select(col("u").as("item"))
+      .localCheckpoint(false)
+    val fwd = reach(edges, pivot)
+    val bwd = reach(edges.select(col("v").as("u"), col("u").as("v")), pivot)
+    val scc = fwd.join(bwd, Seq("item"), "left_semi")
+    pivot.select(col("item").as("pivot"))
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+      .crossJoin(broadcast(fwd.agg(count(lit(1)).as("forward_reach"))))
+      .crossJoin(broadcast(bwd.agg(count(lit(1)).as("backward_reach"))))
+      .crossJoin(broadcast(scc.agg(count(lit(1)).as("scc_size"))))
+      .select(col("pivot"), col("n_nodes"), col("forward_reach"),
+        col("backward_reach"), col("scc_size"),
+        expr("CAST((scc_size * 1000000) div n_nodes AS BIGINT)")
+          .as("scc_share_ppm"))
+  }
+
+  def pivotScc(spark: SparkSession, dir: String): DataFrame =
+    pivotSccOf(Tables.events(spark, dir))
 }

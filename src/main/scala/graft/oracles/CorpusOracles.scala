@@ -104,6 +104,27 @@ private[graft] object CorpusOracles {
         |  CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+')) AS INT) AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Tokenizer economics per language: character/word/BPE-token sums,
+    // two 4-dp ratios; len() counts characters in both engines.
+    "tokenizer_efficiency" ->
+      """WITH c AS (SELECT lang, len(text) AS chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS ws,
+        |    len(regexp_extract_all(text,
+        |      ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+'))
+        |      AS bpe
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(chars) AS BIGINT) AS n_chars,
+        |    CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+        |    CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens
+        |  FROM c GROUP BY 1)
+        |SELECT lang, n_docs, n_chars, n_ws_tokens, n_bpe_tokens,
+        |  floor(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS chars_per_bpe,
+        |  floor(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS bpe_per_word
+        |FROM g ORDER BY lang""".stripMargin,
+
     "token_count" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
         |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,

@@ -2225,6 +2225,58 @@ private[graft] object EventOracles {
         |FROM ev GROUP BY event_type
         |HAVING SUM(ym) > 0 ORDER BY event_type""".stripMargin,
 
+    // Pivot SCC: two recursive reachability closures (UNION dedup on
+    // the node alone — monotone, terminates) intersected VIA JOIN —
+    // INTERSECT is rejected inside a WITH RECURSIVE block; the nodes
+    // helper dedups via DISTINCT-over-UNION-ALL (the recursive-block
+    // UNION pitfall).
+    "pivot_scc" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         item AS dst
+        |  FROM base),
+        |e AS (SELECT DISTINCT src AS u, dst AS v FROM tr
+        |      WHERE src IS NOT NULL AND src <> dst),
+        |nodes AS (SELECT DISTINCT item FROM
+        |  (SELECT u AS item FROM e UNION ALL SELECT v FROM e)),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |pv AS (SELECT u AS item FROM deg ORDER BY deg DESC, u LIMIT 1),
+        |fw AS (SELECT item FROM pv
+        |  UNION
+        |  SELECT e.v FROM fw JOIN e ON e.u = fw.item),
+        |bw AS (SELECT item FROM pv
+        |  UNION
+        |  SELECT e.u FROM bw JOIN e ON e.v = bw.item),
+        |scc AS (SELECT fw.item FROM fw JOIN bw ON bw.item = fw.item)
+        |SELECT (SELECT item FROM pv) AS pivot,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fw) AS forward_reach,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bw) AS backward_reach,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM scc) AS scc_size,
+        |  CAST(((SELECT COUNT(*) FROM scc) * 1000000)
+        |    // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS scc_share_ppm""".stripMargin,
+
+    // Repeat-purchase latency: two chained purchase mins, exact µs
+    // gaps, quantile_cont ≡ percentile on exact integers, 4-dp days.
+    "repeat_purchase_latency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, MIN(us) AS t1 FROM e GROUP BY 1),
+        |s AS (SELECT e.user_id, MIN(e.us) AS t2, MIN(f.t1) AS t1
+        |  FROM e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.us > f.t1 GROUP BY 1)
+        |SELECT strftime(make_timestamp(t1), '%Y-%m') AS month,
+        |  CAST(COUNT(*) AS BIGINT) AS n_repeaters,
+        |  floor(quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.5) / 86400e6
+        |    * 1e4 + 0.5) / 1e4 AS p50_days,
+        |  floor(quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.9) / 86400e6
+        |    * 1e4 + 0.5) / 1e4 AS p90_days
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Poisson rate test: per-type counts vs the global 2-row user
     // exposure, the engine's exact double chain; rounded-z compare.
     "poisson_rate_test" ->

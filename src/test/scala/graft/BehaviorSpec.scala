@@ -981,6 +981,27 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(6) == 2.828427 && r.getBoolean(7), s"$r")
   }
 
+
+  test("repeat purchase latency: first-to-second gaps interpolate exactly; one-timers drop") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "purchase", t("2024-01-01 00:00:00")),
+      (1L, "purchase", t("2024-01-03 00:00:00")), // gap 2 days
+      (1L, "purchase", t("2024-01-09 00:00:00")), // third: ignored
+      (2L, "purchase", t("2024-01-01 00:00:00")),
+      (2L, "purchase", t("2024-01-02 00:00:00")), // gap 1 day
+      (3L, "purchase", t("2024-01-05 00:00:00")), // never repeats
+      (4L, "view", t("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val Array(r) = graft.operators.Behavior.repeatPurchaseLatencyOf(ev)
+      .collect()
+    // gaps {1d, 2d}: p50 = 1.5, p90 = 1.9 (linear interpolation)
+    assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      (("2024-01", 2L, 1.5, 1.9)), s"got $r")
+  }
+
   test("funnel by arm: each arm converts against its OWN base, lift in points") {
     import spark.implicits._
     def arm(u: Long): Long = {

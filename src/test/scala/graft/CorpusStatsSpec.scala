@@ -816,4 +816,18 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
       s"stopword/1-char tokens filtered: $toks")
     assert(out.forall(_.getLong(1) > 0L), "rank mass is positive")
   }
+
+  test("tokenizer efficiency: hand-tokenized BPE/ws counts and exact 4-dp ratios") {
+    import spark.implicits._
+    // en: "ab cd" → 5 chars, 2 ws tokens, 2 BPE tokens ("ab", " cd");
+    // xx: "a1b!" → 4 chars, 1 ws token, 4 BPE tokens (L/N/L/sym runs).
+    val docs = Seq((1L, "en", "ab cd"), (2L, "xx", "a1b!"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.CorpusStats.tokenizerEfficiencyOf(docs)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("en") == ((1L, 5L, 2L, 2L, 2.5, 1.0)), s"got $out")
+    assert(out("xx") == ((1L, 4L, 1L, 4L, 1.0, 4.0)), s"got $out")
+  }
 }

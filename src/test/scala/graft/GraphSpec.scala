@@ -344,4 +344,16 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) == ((2L, 3L, 5L, 5L, 4L)), s"got $r")
   }
+
+  test("pivot scc: a cycle with a one-way tail reads forward 4, backward 3, scc 3") {
+    // user 1 walks the 1→2→3→1 cycle; user 2 adds the one-way 3→4.
+    // Out-degrees: 3 has 2 → pivot. fwd(3) = {1,2,3,4}, bwd(3) =
+    // {1,2,3} → SCC {1,2,3}, share 750000 ppm of 4 nodes.
+    val ev = stream(1L, 2L, 3L, 1L, 2L, 3L)
+      .union(stream(3L, 4L).withColumn("user_id", lit(2L)))
+    val Array(r) = Graph.pivotSccOf(ev).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 4L, 4L, 3L, 3L, 750000L)),
+      s"got $r")
+  }
 }
