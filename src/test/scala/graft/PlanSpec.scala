@@ -1565,4 +1565,48 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"textrank: top-k via TakeOrderedAndProject:\n$tk")
     noCartesian("diameter_estimate", plan(Graph.diameterEstimate(spark, Sf)))
   }
+
+  test("round-13 tranches 6-9: query-shape/stat/graph plans bounded as designed") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    // Q4/Q7: equijoin/semi trees only.
+    Seq("late_orders_by_priority" ->
+        plan(Warehouse.lateOrdersByPriority(spark, Sf)),
+      "trade_flows" -> plan(Warehouse.tradeFlows(spark, Sf)),
+      "repeat_purchase_latency" ->
+        plan(Behavior.repeatPurchaseLatency(spark, Sf))).foreach {
+      case (n, p) => noCartesian(n, p)
+        assert(bnlj(p).isEmpty, s"$n: equijoins only:\n$p")
+    }
+    // Q10: TakeOrdered top-k with the returnflag + window pushed.
+    val rr = plan(Warehouse.returnedRevenueTopk(spark, Sf))
+    noCartesian("returned_revenue_topk", rr)
+    assert(rr.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"returned_revenue_topk: top-k via TakeOrderedAndProject:\n$rr")
+    val rrPushed = rr.collect { case f: FileSourceScanExec => f }
+      .map(_.metadata("PushedFilters")).mkString
+    assert(rrPushed.contains("l_returnflag") && rrPushed.contains("o_orderdate"),
+      s"returned_revenue_topk: gates pushed: $rrPushed")
+    // Stat tranche: poisson's exposure is the one 1-row broadcast;
+    // cochran/flesch/tokenizer are join-free.
+    val pr = plan(Behavior.poissonRateTest(spark, Sf))
+    noCartesian("poisson_rate_test", pr)
+    assert(bnlj(pr).length <= 1, s"poisson: 1-row exposure only:\n$pr")
+    Seq("cochran_armitage" -> plan(Behavior.cochranArmitage(spark, Sf)),
+      "flesch_kincaid" -> plan(TextAnalysis.fleschKincaid(spark, Sf)),
+      "tokenizer_efficiency" ->
+        plan(CorpusStats.tokenizerEfficiency(spark, Sf))).foreach {
+      case (n, p) => noCartesian(n, p)
+        assert(bnlj(p).isEmpty &&
+          p.collect { case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }.isEmpty,
+          s"$n: join-free:\n$p")
+    }
+    // pivot_scc: checkpointed BFS results assemble via 1-row
+    // broadcasts only.
+    noCartesian("pivot_scc", plan(Graph.pivotScc(spark, Sf)))
+  }
 }
