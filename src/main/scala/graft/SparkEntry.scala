@@ -451,6 +451,11 @@ object SparkEntry {
     "tokenizer_efficiency" -> (CorpusStats.tokenizerEfficiency(_, _)),
     "pivot_scc"         -> (Graph.pivotScc(_, _)),
     "repeat_purchase_latency" -> (Behavior.repeatPurchaseLatency(_, _)),
+    // Round-13 tenth tranche: funnel decomposition, acquisition
+    // surface, within-session conversion (rows 390-392)
+    "funnel_stage_latency" -> (Behavior.funnelStageLatency(_, _)),
+    "gateway_items"     -> (Behavior.gatewayItems(_, _)),
+    "session_funnel"    -> (EventAnalytics.sessionFunnel(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

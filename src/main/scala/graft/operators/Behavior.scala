@@ -1383,6 +1383,91 @@ object Behavior {
   def repeatPurchaseLatency(spark: SparkSession, dir: String): DataFrame =
     repeatPurchaseLatencyOf(Tables.events(spark, dir))
 
+  /** Funnel STAGE latency decomposition — [[conversionLatencyOf]]
+    * prices the whole view→purchase span; this splits it at the
+    * click ([[funnelStepsOf]]'s strictly-after step chain, timed):
+    * first view → first later click → first still-later purchase,
+    * p50/p90 per stage. The read that tells a funnel owner WHICH
+    * handoff is slow — consideration (view→click) or checkout
+    * (click→purchase) — before anyone redesigns the wrong page.
+    *
+    * Same machinery end-to-end: chained min-aggregates (never a
+    * per-user sort), exact integer µs gaps, percentile ≡
+    * quantile_cont on exact integers, 4-dp seconds; one row per
+    * stage so the report reads as the funnel. Users counted at a
+    * stage completed it — the DROP between stage n_users is
+    * [[funnelStepsOf]]'s conversion read, carried here so the
+    * latencies come with their denominators. */
+  def funnelStageLatencyOf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .localCheckpoint(false) // three stage slices read it
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"), min("t2").as("t2"))
+    def stage(df: DataFrame, name: String, gap: Column): DataFrame =
+      df.select(gap.as("gap_us"))
+        .agg(count(lit(1)).as("n_users"),
+          graft.functions.TextF.round4HalfUp(
+            expr("percentile(gap_us, 0.5)") / lit(1e6)).as("p50_sec"),
+          graft.functions.TextF.round4HalfUp(
+            expr("percentile(gap_us, 0.9)") / lit(1e6)).as("p90_sec"))
+        .select(lit(name).as("stage"), col("n_users"), col("p50_sec"),
+          col("p90_sec"))
+    stage(c, "view_to_click", col("t2") - col("t1"))
+      .unionByName(stage(p, "click_to_purchase", col("t3") - col("t2")))
+      .orderBy("stage")
+  }
+
+  def funnelStageLatency(spark: SparkSession, dir: String): DataFrame =
+    funnelStageLatencyOf(Tables.events(spark, dir))
+
+  /** Gateway items — which item a user touches FIRST, and how often
+    * that first touch becomes a customer ([[entryConversionOf]] asks
+    * this of the entry event TYPE; merchandising needs it per ITEM:
+    * the acquisition surface worth front-paging). First touch =
+    * the user's earliest event carrying an item, total
+    * (us, event_id) order so equal timestamps can't flip the
+    * attribution; converted = the user EVER purchases strictly
+    * after that first touch.
+    *
+    * Shape: one user-keyed min-struct aggregate (never a sort), one
+    * purchase-slice min, one item rollup with exact-ppm conversion
+    * — item vocabulary bounded. */
+  def gatewayItemsOf(events: DataFrame): DataFrame = {
+    val touches = events
+      .select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val first = touches
+      .groupBy("user_id")
+      .agg(min(struct(col("us"), col("event_id"), col("item"))).as("f"))
+      .select(col("user_id"), col("f.us").as("t1"), col("f.item").as("item"))
+    val purchased = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+      .groupBy("user_id").agg(max("pus").as("last_purchase"))
+    first.join(purchased, Seq("user_id"), "left")
+      .select(col("item"),
+        when(col("last_purchase") > col("t1"), 1L).otherwise(0L)
+          .as("converted"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_first_users"),
+        sum("converted").as("n_converted"))
+      .select(col("item"), col("n_first_users"), col("n_converted"),
+        expr("CAST((n_converted * 1000000) div n_first_users AS BIGINT)")
+          .as("conv_ppm"))
+      .orderBy("item")
+  }
+
+  def gatewayItems(spark: SparkSession, dir: String): DataFrame =
+    gatewayItemsOf(Tables.events(spark, dir))
+
   /** Difference-in-differences readout (the panel-data causal read
     * [[abTestOf]] and [[cupedAdjustOf]] sit beside: when treatment
     * started at `splitDay`, the treated arm's pre→post change MINUS

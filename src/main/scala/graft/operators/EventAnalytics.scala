@@ -1920,4 +1920,47 @@ object EventAnalytics {
 
   def powerUserCurve(spark: SparkSession, dir: String): DataFrame =
     powerUserCurveOf(Tables.events(spark, dir))
+
+  /** Within-session funnel — [[graft.operators.Behavior.funnelStepsOf]]
+    * chains steps over a user's WHOLE history; a merchandiser's
+    * "did the click convert" question is session-scoped (the intent
+    * that produced the click is gone by tomorrow): per session, a
+    * click, then a purchase STRICTLY after the first click in the
+    * SAME session. One global row — total sessions, click-sessions,
+    * converted click-sessions, exact-ppm in-session conversion —
+    * the companion denominator to [[sessionDepthConversionOf]]'s
+    * depth curve.
+    *
+    * Shape: the [[sessionizeOf]] window pass; per-session first-click
+    * min and last-purchase max fold in ONE aggregate (exists
+    * purchase-after-first-click ⟺ max purchase time > first click —
+    * no second pass); a 1-row fold after. */
+  def sessionFunnelOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val ev = events.select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sessions = ev
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min(when(col("event_type") === "click", col("us"))).as("fc"),
+        max(when(col("event_type") === "purchase", col("us"))).as("lp"))
+    sessions.agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("fc").isNotNull, 1L).otherwise(0L))
+          .as("n_click_sessions"),
+        sum(when(col("fc").isNotNull && col("lp") > col("fc"), 1L)
+          .otherwise(0L)).as("n_converted"))
+      .select(col("n_sessions"), col("n_click_sessions"), col("n_converted"),
+        expr("CAST((n_converted * 1000000) div" +
+          " NULLIF(n_click_sessions, 0) AS BIGINT)").as("conv_ppm"))
+  }
+
+  def sessionFunnel(spark: SparkSession, dir: String): DataFrame =
+    sessionFunnelOf(Tables.events(spark, dir))
 }

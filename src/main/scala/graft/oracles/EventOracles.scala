@@ -2225,6 +2225,83 @@ private[graft] object EventOracles {
         |FROM ev GROUP BY event_type
         |HAVING SUM(ym) > 0 ORDER BY event_type""".stripMargin,
 
+    // Funnel stage latency: the conversion_latency pairing chained
+    // through the click; quantile_cont ≡ percentile on exact µs.
+    "funnel_stage_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.us) AS t2, MIN(v.t1) AS t1
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.us) AS t3, MIN(c.t2) AS t2
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY 1),
+        |s1 AS (SELECT 'view_to_click' AS stage,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    floor(quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.5) / 1e6
+        |      * 1e4 + 0.5) / 1e4 AS p50_sec,
+        |    floor(quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.9) / 1e6
+        |      * 1e4 + 0.5) / 1e4 AS p90_sec
+        |  FROM c),
+        |s2 AS (SELECT 'click_to_purchase' AS stage,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    floor(quantile_cont(CAST(t3 - t2 AS DOUBLE), 0.5) / 1e6
+        |      * 1e4 + 0.5) / 1e4 AS p50_sec,
+        |    floor(quantile_cont(CAST(t3 - t2 AS DOUBLE), 0.9) / 1e6
+        |      * 1e4 + 0.5) / 1e4 AS p90_sec
+        |  FROM p)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""".stripMargin,
+
+    // Gateway items: first touch via rn = 1 (≡ the engine's
+    // lexicographic struct min — event_id is unique), ever-purchased-
+    // after flag, exact-ppm conversion.
+    "gateway_items" ->
+      """WITH t AS (SELECT user_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+        |      AS item,
+        |    epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |f AS (SELECT user_id, us AS t1, item FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS rn FROM t) WHERE rn = 1),
+        |pu AS (SELECT user_id, MAX(epoch_us(ts)) AS lp FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT f.item,
+        |    CASE WHEN pu.lp > f.t1 THEN 1 ELSE 0 END AS conv
+        |  FROM f LEFT JOIN pu ON pu.user_id = f.user_id)
+        |SELECT item, CAST(COUNT(*) AS BIGINT) AS n_first_users,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  CAST((SUM(conv) * 1000000) // COUNT(*) AS BIGINT) AS conv_ppm
+        |FROM j GROUP BY 1 ORDER BY item""".stripMargin,
+
+    // Within-session funnel: the sessionize pass, first-click min +
+    // last-purchase max in one aggregate, 1-row fold.
+    "session_funnel" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f),
+        |g AS (SELECT user_id, session_idx,
+        |    MIN(CASE WHEN event_type = 'click' THEN us END) AS fc,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN us END) AS lp
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_click_sessions,
+        |  CAST(SUM(CASE WHEN fc IS NOT NULL AND lp > fc THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_converted,
+        |  CAST((SUM(CASE WHEN fc IS NOT NULL AND lp > fc THEN 1 ELSE 0 END)
+        |      * 1000000)
+        |    // NULLIF(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS conv_ppm
+        |FROM g""".stripMargin,
+
     // Pivot SCC: two recursive reachability closures (UNION dedup on
     // the node alone — monotone, terminates) intersected VIA JOIN —
     // INTERSECT is rejected inside a WITH RECURSIVE block; the nodes

@@ -1002,6 +1002,46 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       (("2024-01", 2L, 1.5, 1.9)), s"got $r")
   }
 
+  test("funnel stage latency: the click splits the span; per-stage percentiles interpolate exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:00:10"),     // v2c 10 s
+      (1L, "purchase", "2024-01-01 10:00:30"),  // c2p 20 s
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 10:00:20"))     // v2c 20 s, no purchase
+      .map { case (u, ty, s) => (u, ty, t(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Behavior.funnelStageLatencyOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // v2c gaps {10, 20}: p50 = 15, p90 = 19; c2p gaps {20}: both 20.
+    assert(out("view_to_click") == ((2L, 15.0, 19.0)), s"got $out")
+    assert(out("click_to_purchase") == ((1L, 20.0, 20.0)), s"got $out")
+  }
+
+  test("gateway items: the first touch owns the user; conversion needs a strictly-later purchase") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, "view", 7L, "2024-01-01 10:00:00"),
+      (2L, 1L, "view", 8L, "2024-01-01 11:00:00"), // later: not first
+      (3L, 1L, "purchase", 5L, "2024-01-02 10:00:00"), // converts u1
+      (4L, 2L, "view", 8L, "2024-01-01 10:00:00"),     // never buys
+      (5L, 3L, "purchase", 9L, "2024-01-01 10:00:00")) // first IS purchase
+      .map { case (id, u, ty, k, s) => (id, u, ty, s"""{"k": $k}""", t(s)) }
+      .toDF("event_id", "user_id", "event_type", "props", "ts")
+    val out = graft.operators.Behavior.gatewayItemsOf(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(7L -> ((1L, 1L, 1000000L)), 8L -> ((1L, 0L, 0L)),
+      9L -> ((1L, 0L, 0L))),
+      s"a first-touch purchase is not strictly-later: $out")
+  }
+
   test("funnel by arm: each arm converts against its OWN base, lift in points") {
     import spark.implicits._
     def arm(u: Long): Long = {

@@ -858,6 +858,31 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
       s"got $out")
   }
 
+  test("session funnel: conversion is session-scoped — a later-session purchase does not count") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 session A: click → purchase in-session (converts)
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:01:00"),
+      (3L, 1L, "purchase", "2024-01-01 10:02:00"),
+      // u1 session B (41 min later): click, no purchase
+      (4L, 1L, "click", "2024-01-01 10:43:00"),
+      // u2: a click session whose purchase lands in the NEXT session
+      (5L, 2L, "click", "2024-01-01 10:00:00"),
+      (6L, 2L, "purchase", "2024-01-01 11:00:00"),
+      // u3: views only — not a click session
+      (7L, 3L, "view", "2024-01-01 10:00:00"))
+      .map { case (id, u, ty, s) => (id, u, ty, t(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val Array(r) = graft.operators.EventAnalytics.sessionFunnelOf(ev).collect()
+    // sessions: u1 A, u1 B, u2 click, u2 purchase, u3 = 5;
+    // click sessions: u1 A, u1 B, u2's = 3; converted in-session: u1 A.
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 3L, 1L, 333333L)), s"got $r")
+  }
+
   test("pinball loss: constant residual forecasts exactly (0 loss), alternating residual prices the miss") {
     val days = 30
     def yLin(t: Int) = 1 + t            // r = 7 constant → exact forecast
