@@ -456,6 +456,11 @@ object SparkEntry {
     "funnel_stage_latency" -> (Behavior.funnelStageLatency(_, _)),
     "gateway_items"     -> (Behavior.gatewayItems(_, _)),
     "session_funnel"    -> (EventAnalytics.sessionFunnel(_, _)),
+    // Round-13 eleventh tranche: padding economics, directed
+    // reciprocity, arrival heatmap (rows 393-395)
+    "padding_waste"     -> (Corpus.paddingWaste(_, _)),
+    "reciprocity"       -> (Graph.reciprocity(_, _)),
+    "hourly_heatmap"    -> (EventAnalytics.hourlyHeatmap(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

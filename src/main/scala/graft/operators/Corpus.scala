@@ -799,6 +799,49 @@ object Corpus {
   def tokenLenHistogram(spark: SparkSession, dir: String): DataFrame =
     tokenLenHistogramOf(Tables.documents(spark, dir))
 
+  /** Padding-waste audit per length bucket — the cost
+    * [[lengthBatchingOf]] exists to avoid, MEASURED (the number that
+    * justifies length-bucketed batching to whoever pays the GPU
+    * bill): if every doc in a power-of-two length bucket
+    * ([[tokenLenHistogramOf]]'s grid) pads to the bucket's observed
+    * max, what share of the batch is padding? waste_ppm =
+    * (n·max − Σlen)·10⁶ div (n·max), exact integers end to end;
+    * the corpus-level row rides along so the headline "x% of
+    * compute is padding without bucketing vs y% with" is one
+    * report.
+    *
+    * Shape: one map-side counting scan, a ≤ 64-row bucket rollup +
+    * a 1-row global fold (global max via the bounded bucket frame,
+    * not a second scan). */
+  def paddingWasteOf(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val n = TextF.tokenCount(col("text")).cast("long")
+    val buckets = docs
+      .select(when(n > 0, length(bin(n))).otherwise(0).as("bucket"),
+        n.as("t"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("total_tokens"),
+        max("t").as("max_tokens"))
+      .localCheckpoint(false) // per-bucket rows + the global fold
+    val perBucket = buckets.select(col("bucket").cast("long").as("bucket"),
+      col("n_docs"), col("max_tokens"), col("total_tokens"),
+      expr(s"CAST((CAST(n_docs AS $dec) * max_tokens - total_tokens)" +
+        s" * 1000000 div NULLIF(CAST(n_docs AS $dec) * max_tokens, 0)" +
+        s" AS BIGINT)").as("pad_waste_ppm"))
+    val global = buckets.agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"),
+        max("max_tokens").as("max_tokens"))
+      .select(lit(-1L).as("bucket"), col("n_docs"), col("max_tokens"),
+        col("total_tokens"),
+        expr(s"CAST((CAST(n_docs AS $dec) * max_tokens - total_tokens)" +
+          s" * 1000000 div NULLIF(CAST(n_docs AS $dec) * max_tokens, 0)" +
+          s" AS BIGINT)").as("pad_waste_ppm"))
+    perBucket.unionByName(global).orderBy("bucket")
+  }
+
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame =
+    paddingWasteOf(Tables.documents(spark, dir))
+
   /** DSIR-style importance weights for data selection (Xie et al.
     * '23): score every raw document by how target-domain-like its
     * hashed-unigram profile is, so a selection pass can sample raw

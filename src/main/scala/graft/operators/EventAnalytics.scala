@@ -1963,4 +1963,39 @@ object EventAnalytics {
 
   def sessionFunnel(spark: SparkSession, dir: String): DataFrame =
     sessionFunnelOf(Tables.events(spark, dir))
+
+  /** Hour-of-day × day-of-week arrival heatmap — the on-call
+    * load-shape dashboard ([[seasonalProfileOf]] reads weekday MEANS
+    * per type; capacity planning needs the 168-cell intensity grid:
+    * when do the batch windows actually open?): per (weekday, hour)
+    * cell, event count, exact-ppm share of all traffic, and revenue
+    * on the cent grid. Weekday is the arithmetic mod-7 epoch-day
+    * form ([[graft.operators.Behavior.chi2ContingencyOf]]'s `tow` —
+    * engine-portable, no locale-dependent dayofweek), hour the
+    * timestamp's clock hour (both engines read the same
+    * parquet timestamps).
+    *
+    * Shape: ONE map-combinable fact aggregate to the fixed 168-cell
+    * grid + a 1-row total broadcast. */
+  def hourlyHeatmapOf(events: DataFrame): DataFrame = {
+    val cells = events.select(
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+          lit(7)).as("weekday"),
+        hour(col("ts")).as("hour_of_day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
+      .groupBy("weekday", "hour_of_day")
+      .agg(count(lit(1)).as("n_events"), sum("vc").as("cents"))
+      .localCheckpoint(false) // grid rows + the 1-row total
+    val total = cells.agg(sum("n_events").as("n_total")) // 1 row
+    cells.crossJoin(broadcast(total))
+      .select(col("weekday"), col("hour_of_day"), col("n_events"),
+        expr("CAST((n_events * 1000000) div n_total AS BIGINT)")
+          .as("share_ppm"),
+        graft.functions.TextF.microsTo4dp(col("cents") * 10000L)
+          .as("revenue"))
+      .orderBy("weekday", "hour_of_day")
+  }
+
+  def hourlyHeatmap(spark: SparkSession, dir: String): DataFrame =
+    hourlyHeatmapOf(Tables.events(spark, dir))
 }

@@ -1060,4 +1060,40 @@ object Graph {
 
   def pivotScc(spark: SparkSession, dir: String): DataFrame =
     pivotSccOf(Tables.events(spark, dir))
+
+  /** Edge reciprocity of the directed transition graph — the scalar
+    * that says whether navigation is a two-way market or a funnel
+    * ([[pivotSccOf]] finds the mutually-navigable CORE; this prices
+    * how mutual the EDGES are — a high-reciprocity catalog browses,
+    * a low one drains toward checkout): share of directed edges
+    * whose reverse edge also exists, r = |E ∩ Eᵀ| / |E| in exact
+    * ppm.
+    *
+    * Shape: the directed distinct-edge frame off one lag pass, one
+    * self-semi-join on the reversed key (vocab-bounded), a 1-row
+    * readout. */
+  def reciprocityOf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val edges = events
+      .select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("src", lag("item", 1).over(byUser))
+      .filter(col("src").isNotNull && col("src") =!= col("item"))
+      .select(col("src").as("u"), col("item").as("v"))
+      .distinct()
+      .localCheckpoint(false) // both legs of the ratio read it
+    val recip = edges.join(
+      edges.select(col("v").as("u"), col("u").as("v")),
+      Seq("u", "v"), "left_semi")
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("CAST((n_reciprocal * 1000000) div n_edges AS BIGINT)")
+          .as("reciprocity_ppm"))
+  }
+
+  def reciprocity(spark: SparkSession, dir: String): DataFrame =
+    reciprocityOf(Tables.events(spark, dir))
 }

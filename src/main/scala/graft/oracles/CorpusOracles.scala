@@ -570,6 +570,38 @@ private[graft] object CorpusOracles {
         |  CAST(MAX(n) AS BIGINT) AS max_tokens
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // Padding waste per pow-2 length bucket + the -1 global row:
+    // exact HUGEINT (n·max − Σ)·10⁶ // (n·max) shares.
+    "padding_waste" ->
+      """WITH t AS (SELECT
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT CASE WHEN n > 0 THEN CAST(length(bin(n)) AS BIGINT)
+        |        ELSE 0 END AS bucket, n FROM t),
+        |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |    CAST(MAX(n) AS BIGINT) AS max_tokens
+        |  FROM b GROUP BY 1),
+        |pb AS (SELECT bucket, n_docs, max_tokens, total_tokens,
+        |    CAST(((CAST(n_docs AS HUGEINT) * max_tokens - total_tokens)
+        |        * 1000000)
+        |      // NULLIF(CAST(n_docs AS HUGEINT) * max_tokens, 0) AS BIGINT)
+        |      AS pad_waste_ppm
+        |  FROM g),
+        |gl AS (SELECT CAST(-1 AS BIGINT) AS bucket,
+        |    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(MAX(max_tokens) AS BIGINT) AS max_tokens,
+        |    CAST(SUM(total_tokens) AS BIGINT) AS total_tokens
+        |  FROM g),
+        |gl2 AS (SELECT bucket, n_docs, max_tokens, total_tokens,
+        |    CAST(((CAST(n_docs AS HUGEINT) * max_tokens - total_tokens)
+        |        * 1000000)
+        |      // NULLIF(CAST(n_docs AS HUGEINT) * max_tokens, 0) AS BIGINT)
+        |      AS pad_waste_ppm
+        |  FROM gl)
+        |SELECT * FROM pb UNION ALL SELECT * FROM gl2
+        |ORDER BY bucket""".stripMargin,
+
     // 0-based match position (pos), 1-based list slicing; left context
     // is the up-to-ctx tokens before the match, right the 3 after.
     "kwic_snippets" ->

@@ -2225,6 +2225,45 @@ private[graft] object EventOracles {
         |FROM ev GROUP BY event_type
         |HAVING SUM(ym) > 0 ORDER BY event_type""".stripMargin,
 
+    // Directed reciprocity: distinct-edge frame, reversed-key join
+    // (distinct ⇒ ≤ 1 match ≡ semi), exact ppm.
+    "reciprocity" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         item AS dst
+        |  FROM base),
+        |e AS (SELECT DISTINCT src AS u, dst AS v FROM tr
+        |      WHERE src IS NOT NULL AND src <> dst),
+        |r AS (SELECT e1.u, e1.v FROM e e1
+        |      JOIN e e2 ON e2.u = e1.v AND e2.v = e1.u)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_reciprocal,
+        |  CAST(((SELECT COUNT(*) FROM r) * 1000000)
+        |    // (SELECT COUNT(*) FROM e) AS BIGINT) AS reciprocity_ppm""".stripMargin,
+
+    // Hour × weekday heatmap: arithmetic mod-7 weekday (engine-
+    // portable), clock hour, 168-cell grid + 1-row total.
+    "hourly_heatmap" ->
+      """WITH c AS (SELECT
+        |    CAST(datediff('day', DATE '1970-01-01', ts::DATE) % 7 AS INT)
+        |      AS weekday,
+        |    CAST(hour(ts) AS INT) AS hour_of_day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        |  FROM events),
+        |g AS (SELECT weekday, hour_of_day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(vc) AS BIGINT) AS cents
+        |  FROM c GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM g)
+        |SELECT weekday, hour_of_day, n_events,
+        |  CAST((n_events * 1000000) // t.n_total AS BIGINT) AS share_ppm,
+        |  floor(CAST(cents * 10000 AS DOUBLE) / 100 + 0.5) / 1e4 AS revenue
+        |FROM g, t ORDER BY weekday, hour_of_day""".stripMargin,
+
     // Funnel stage latency: the conversion_latency pairing chained
     // through the click; quantile_cont ≡ percentile on exact µs.
     "funnel_stage_latency" ->

@@ -461,4 +461,20 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert((a intersect b).size >= a.size - 2,
       s"all but the head chunk resync: |a|=${a.size} shared=${(a intersect b).size}")
   }
+
+  test("padding waste: per-bucket and global pad shares are exact ppm") {
+    import spark.implicits._
+    // token counts 5 and 7 share bucket 3 (4..7): pad to max 7 →
+    // (14-12)/14 = 142857 ppm; the single 1-token doc pads nothing;
+    // global (pad everything to 7): (21-13)/21 = 380952 ppm.
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e f g"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Corpus.paddingWasteOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 1L, 1L, 0L)),
+      3L -> ((2L, 7L, 12L, 142857L)),
+      -1L -> ((3L, 7L, 13L, 380952L))), s"got $out")
+  }
 }

@@ -942,4 +942,21 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got("a") == ((2L, 2L, 3L)), s"${got("a")}")
   }
+
+  test("hourly heatmap: arithmetic weekday cells, exact shares, cent-grid revenue") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday; days-since-epoch 19723 % 7 = 4.
+    val ev = Seq(
+      ("2024-01-01 10:15:00", 1.0), ("2024-01-01 10:45:00", 2.0),
+      ("2024-01-02 23:05:00", 0.5))
+      .map { case (s, v) => (t(s), v) }.toDF("ts", "value")
+    val out = graft.operators.EventAnalytics.hourlyHeatmapOf(ev).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      (4, 10) -> ((2L, 666666L, 3.0)),
+      (5, 23) -> ((1L, 333333L, 0.5))), s"got $out")
+  }
 }

@@ -356,4 +356,12 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       r.getLong(4), r.getLong(5)) == ((3L, 4L, 4L, 3L, 3L, 750000L)),
       s"got $r")
   }
+
+  test("reciprocity: a mutual pair beside a one-way edge reads 2 of 3") {
+    val ev = stream(1L, 2L, 1L)
+      .union(stream(2L, 3L).withColumn("user_id", lit(2L)))
+    val Array(r) = Graph.reciprocityOf(ev).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((3L, 2L, 666666L)), s"got $r")
+  }
 }
