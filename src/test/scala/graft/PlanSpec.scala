@@ -1609,4 +1609,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // broadcasts only.
     noCartesian("pivot_scc", plan(Graph.pivotScc(spark, Sf)))
   }
+
+  test("round-13 tranches 10-11: funnel/graph/heatmap plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    // Funnel tranche: chained-min equijoins, user-partitioned
+    // session windows, no nested loops.
+    Seq("funnel_stage_latency" -> plan(Behavior.funnelStageLatency(spark, Sf)),
+      "gateway_items" -> plan(Behavior.gatewayItems(spark, Sf))).foreach {
+      case (n, p) => noCartesian(n, p)
+        assert(bnlj(p).isEmpty, s"$n: equijoins only:\n$p")
+    }
+    val sfp = plan(EventAnalytics.sessionFunnel(spark, Sf))
+    noCartesian("session_funnel", sfp)
+    assert(sfp.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"session_funnel: user-partitioned windows:\n$sfp")
+    // padding_waste: one scan + bounded bucket frame, join-free
+    // besides the union of the two readout legs.
+    val pw = plan(graft.operators.Corpus.paddingWaste(spark, Sf))
+    noCartesian("padding_waste", pw)
+    assert(bnlj(pw).isEmpty, s"padding_waste: join-free:\n$pw")
+    // reciprocity / hourly_heatmap: only 1-row readout broadcasts.
+    Seq("reciprocity" -> plan(Graph.reciprocity(spark, Sf)),
+      "hourly_heatmap" -> plan(EventAnalytics.hourlyHeatmap(spark, Sf)))
+      .foreach { case (n, p) =>
+        noCartesian(n, p)
+        assert(bnlj(p).length <= 1, s"$n: 1-row readout broadcast only:\n$p")
+      }
+  }
 }
