@@ -461,6 +461,10 @@ object SparkEntry {
     "padding_waste"     -> (Corpus.paddingWaste(_, _)),
     "reciprocity"       -> (Graph.reciprocity(_, _)),
     "hourly_heatmap"    -> (EventAnalytics.hourlyHeatmap(_, _)),
+    // Round-13 twelfth tranche: CV-fold balance audit + pricing
+    // governance (rows 396-397)
+    "kfold_balance"     -> (Corpus.kfoldBalance(_, _)),
+    "price_dispersion"  -> (Warehouse.priceDispersion(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

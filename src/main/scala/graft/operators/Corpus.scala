@@ -414,6 +414,34 @@ object Corpus {
   def kfoldAssign(spark: SparkSession, dir: String): DataFrame =
     kfoldAssignOf(Tables.documents(spark, dir))
 
+  /** Fold-balance audit over [[kfoldAssignOf]]'s assignment — the
+    * check a CV harness runs before trusting fold variance (a fold
+    * starved of one language reads as model noise): per language,
+    * the smallest and largest fold populations and the exact-ppm
+    * imbalance (max − min)·10⁶ div max. Round-robin within stratum
+    * guarantees ≤ 1 doc of spread BY CONSTRUCTION — the audit's
+    * value is exactly that it would catch the assignment REGRESSING
+    * (a hash swap, a stratum key typo) the moment it happens.
+    *
+    * Shape: the assignment's own frames + one bounded (lang, fold)
+    * aggregate and a lang fold — nothing fact-scale beyond the
+    * assignment itself. */
+  def kfoldBalanceOf(docs: DataFrame, k: Int = 5): DataFrame = {
+    kfoldAssignOf(docs, k)
+      .groupBy("lang", "fold").agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(sum("n").as("n_docs"), count(lit(1)).as("n_folds"),
+        min("n").as("min_fold_n"), max("n").as("max_fold_n"))
+      .select(col("lang"), col("n_docs"), col("n_folds"),
+        col("min_fold_n"), col("max_fold_n"),
+        expr("CAST(((max_fold_n - min_fold_n) * 1000000)" +
+          " div max_fold_n AS BIGINT)").as("imbalance_ppm"))
+      .orderBy("lang")
+  }
+
+  def kfoldBalance(spark: SparkSession, dir: String): DataFrame =
+    kfoldBalanceOf(Tables.documents(spark, dir))
+
   /** Inverse-frequency class weights (the sklearn "balanced" formula
     * with additive smoothing): w_c = N / (K · (n_c + α)) — what a
     * trainer multiplies into the loss so rare languages are not

@@ -1713,4 +1713,52 @@ object Warehouse {
     returnedRevenueTopkOf(Tables.lineitem(spark, dir),
       Tables.orders(spark, dir), Tables.customer(spark, dir),
       Tables.nation(spark, dir))
+
+  /** Unit-price dispersion per brand — the pricing-governance screen
+    * ([[benfordAuditOf]] hunts fabricated totals, [[duplicatePaymentsOf]]
+    * repeated ones; this hunts INCONSISTENT pricing: the same part
+    * billed at materially different unit prices is either
+    * negotiated-discount policy working or revenue leaking): per
+    * part, the exact unit-cent range ppm (max − min)·10⁶ div max
+    * over its lines, rolled up per brand as the share of parts
+    * dispersed beyond 10% — the cross-multiplied EXACT cut
+    * range·10 > max·1 ([[xyzClassificationOf]]'s discipline, never
+    * a rounded ratio) — plus the worst offender.
+    *
+    * Unit cents quantize as floor(extprice/qty·100 + 0.5) — one
+    * double division both engines compute identically, then integer
+    * algebra; zero/negative-quantity lines drop (not a unit price).
+    *
+    * Shape: one part-keyed fact aggregate, one AQE-sized dim
+    * equijoin (part scales with the corpus — no forced broadcast),
+    * one ≤ |brands|-row rollup. */
+  def priceDispersionOf(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .filter(col("l_quantity") > 0)
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") / col("l_quantity") * 100 + lit(0.5))
+          .cast("long").as("uc"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"), min("uc").as("min_uc"),
+        max("uc").as("max_uc"))
+      .select(col("l_partkey"), col("n_lines"),
+        expr("CAST(((max_uc - min_uc) * 1000000) div" +
+          " NULLIF(max_uc, 0) AS BIGINT)").as("range_ppm"))
+    perPart
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("range_ppm") > 100000L, 1L).otherwise(0L))
+          .as("n_dispersed"),
+        max("range_ppm").as("max_range_ppm"))
+      .select(col("p_brand"), col("n_parts"), col("n_dispersed"),
+        expr("CAST((n_dispersed * 1000000) div n_parts AS BIGINT)")
+          .as("dispersed_share_ppm"),
+        col("max_range_ppm"))
+      .orderBy("p_brand")
+  }
+
+  def priceDispersion(spark: SparkSession, dir: String): DataFrame =
+    priceDispersionOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
 }

@@ -678,6 +678,24 @@ private[graft] object CorpusOracles {
         |SELECT doc_id, lang, CAST((rn - 1) % 5 AS INT) AS fold
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    // Fold-balance audit: the kfold_assign CTE + a (lang, fold)
+    // aggregate and exact-ppm spread.
+    "kfold_balance" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(text), doc_id) AS BIGINT) AS rn
+        |  FROM documents),
+        |a AS (SELECT lang, CAST((rn - 1) % 5 AS INT) AS fold FROM r),
+        |g AS (SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM a GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_folds,
+        |  CAST(MIN(n) AS BIGINT) AS min_fold_n,
+        |  CAST(MAX(n) AS BIGINT) AS max_fold_n,
+        |  CAST(((MAX(n) - MIN(n)) * 1000000) // MAX(n) AS BIGINT)
+        |    AS imbalance_ppm
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+
     // sklearn-"balanced" inverse-frequency weights, alpha = 0.
     "class_weights" ->
       """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs

@@ -914,6 +914,30 @@ private[graft] object WarehouseOracles {
         |JOIN nation n ON n.n_nationkey = c.c_nationkey
         |ORDER BY pc.qsum DESC, pc.c_custkey LIMIT 20""".stripMargin,
 
+    // Unit-price dispersion: per-part exact range ppm on the
+    // quantized unit cent, brand rollup with the >10% cut and HUGEINT
+    // integer divisions.
+    "price_dispersion" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    MIN(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5)
+        |      AS BIGINT)) AS min_uc,
+        |    MAX(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5)
+        |      AS BIGINT)) AS max_uc
+        |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1),
+        |pr AS (SELECT l_partkey,
+        |    CAST(((max_uc - min_uc) * 1000000) // NULLIF(max_uc, 0)
+        |      AS BIGINT) AS range_ppm
+        |  FROM pp)
+        |SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(CASE WHEN pr.range_ppm > 100000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dispersed,
+        |  CAST((SUM(CASE WHEN pr.range_ppm > 100000 THEN 1 ELSE 0 END)
+        |      * 1000000) // COUNT(*) AS BIGINT) AS dispersed_share_ppm,
+        |  CAST(MAX(pr.range_ppm) AS BIGINT) AS max_range_ppm
+        |FROM pr JOIN part p ON p.p_partkey = pr.l_partkey
+        |GROUP BY 1 ORDER BY p.p_brand""".stripMargin,
+
     // XYZ variability classes: exact cross-multiplied CV cuts on
     // DECIMAL (4(WQ−S²) ≤ S² etc.), zero weeks through the global W
     // constant, 4-dp CV published only.

@@ -477,4 +477,16 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
       3L -> ((2L, 7L, 12L, 142857L)),
       -1L -> ((3L, 7L, 13L, 380952L))), s"got $out")
   }
+
+  test("kfold balance: round-robin spread is at most one doc; imbalance exact ppm") {
+    import spark.implicits._
+    val docs = (1L to 7L).map(i => (i, "en", s"doc body $i"))
+      .toDF("doc_id", "lang", "text")
+    val Array(r) = graft.operators.Corpus.kfoldBalanceOf(docs).collect()
+    // 7 docs over 5 folds: two folds of 2, three of 1 → spread 1,
+    // imbalance (2-1)/2 = 500000 ppm.
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (("en", 7L, 5L, 1L, 2L, 500000L)),
+      s"got $r")
+  }
 }

@@ -831,4 +831,21 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 3L, 1L -> 1L, 2L -> 1L), s"got $got")
   }
+
+  test("price dispersion: the 10% cut is exact cross-multiplied; constant pricing reads zero") {
+    val part = Seq((1L, "Brand#1"), (2L, "Brand#1"), (3L, "Brand#2"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, 2.0, 200.0), (1L, 2.0, 224.0), // units 100/112: range 107142 ppm
+      (2L, 1.0, 50.0), (2L, 3.0, 150.0),  // constant unit 50: range 0
+      (3L, 1.0, 100.0), (3L, 2.0, 210.0), // units 100/105: 47619 ppm
+      (3L, 0.0, 999.0))                   // zero qty: dropped
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val out = Warehouse.priceDispersionOf(li, part).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out == Map(
+      "Brand#1" -> ((2L, 1L, 500000L, 107142L)),
+      "Brand#2" -> ((1L, 0L, 0L, 47619L))), s"got $out")
+  }
 }
