@@ -1641,5 +1641,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         noCartesian(n, p)
         assert(bnlj(p).length <= 1, s"$n: 1-row readout broadcast only:\n$p")
       }
+    // kfold_balance rides the assignment's stratum windows
+    // (partitioned); price_dispersion is an equijoin tree.
+    Seq("kfold_balance" ->
+        plan(graft.operators.Corpus.kfoldBalance(spark, Sf)),
+      "price_dispersion" -> plan(Warehouse.priceDispersion(spark, Sf)))
+      .foreach { case (n, p) =>
+        noCartesian(n, p)
+        assert(bnlj(p).isEmpty, s"$n: equijoins only:\n$p")
+      }
   }
 }
