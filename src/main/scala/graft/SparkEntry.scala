@@ -465,6 +465,9 @@ object SparkEntry {
     // governance (rows 396-397)
     "kfold_balance"     -> (Corpus.kfoldBalance(_, _)),
     "price_dispersion"  -> (Warehouse.priceDispersion(_, _)),
+    // Round-13 thirteenth tranche: directional association rules
+    // (row 398)
+    "association_rules" -> (Behavior.associationRules(_, _)),
     // fpgrowth_triples is deliberately NOT registered: MLlib's
     // FPGrowth enumerates the FULL frequent lattice with no
     // itemset-size cap, and the dense synthetic baskets make that

@@ -1468,6 +1468,54 @@ object Behavior {
   def gatewayItems(spark: SparkSession, dir: String): DataFrame =
     gatewayItemsOf(Tables.events(spark, dir))
 
+  /** Association RULES with directional confidence — the actionable
+    * form of [[itemAffinityOf]]'s symmetric pairs (lift says the
+    * pair co-occurs beyond chance; a merchandiser places the
+    * recommendation in ONE direction, and conf(a→b) = c12/c1(a) vs
+    * conf(b→a) tells them which: the classic Agrawal-Srikant rule
+    * read with the asymmetry [[containmentPairsOf]] exploits for
+    * documents applied to baskets). Both directions publish per
+    * unordered pair in one row — emitting the pair twice would make
+    * the report's top-k double-count.
+    *
+    * Confidences are exact-ppm integer divisions ((c12·10⁶) div c1 —
+    * no float ratio to round); the same minSupport floor, top-k by
+    * support with the [[itemAffinityOf]] tiebreak.
+    *
+    * Shape: identical to [[itemAffinityOf]] — distinct baskets, one
+    * user-keyed pair self-join bounded by basket size, two c1
+    * equijoins, bounded top-k. */
+  def associationRulesOf(events: DataFrame, minSupport: Long = 5,
+                         k: Int = 50): DataFrame = {
+    require(k > 0 && minSupport >= 1,
+      s"need k > 0 and minSupport >= 1, got $k/$minSupport")
+    val items = events.select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"))
+      .distinct()
+      .localCheckpoint(false)
+    val pairs = items.select(col("user_id"), col("item").as("item_a"))
+      .join(items.select(col("user_id"), col("item").as("item_b")),
+        Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minSupport)
+    val c1 = items.groupBy("item").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false)
+    pairs
+      .join(c1.select(col("item").as("item_a"), col("c1").as("c1a")), "item_a")
+      .join(c1.select(col("item").as("item_b"), col("c1").as("c1b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("c12"),
+        col("c1a"), col("c1b"),
+        expr("CAST((c12 * 1000000) div c1a AS BIGINT)").as("conf_ab_ppm"),
+        expr("CAST((c12 * 1000000) div c1b AS BIGINT)").as("conf_ba_ppm"))
+      .orderBy(col("c12").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  def associationRules(spark: SparkSession, dir: String): DataFrame =
+    associationRulesOf(Tables.events(spark, dir))
+
   /** Difference-in-differences readout (the panel-data causal read
     * [[abTestOf]] and [[cupedAdjustOf]] sit beside: when treatment
     * started at `splitDay`, the treated arm's pre→post change MINUS

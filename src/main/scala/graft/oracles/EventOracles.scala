@@ -2225,6 +2225,25 @@ private[graft] object EventOracles {
         |FROM ev GROUP BY event_type
         |HAVING SUM(ym) > 0 ORDER BY event_type""".stripMargin,
 
+    // Association rules: the item_affinity pair frame with BOTH
+    // directional confidences as exact ppm; LIMIT ties total on
+    // (support DESC, item_a, item_b).
+    "association_rules" ->
+      """WITH it AS (SELECT DISTINCT user_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |        CAST(COUNT(*) AS BIGINT) AS c12
+        |      FROM it a JOIN it b ON a.user_id = b.user_id AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |c1 AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c1 FROM it GROUP BY 1)
+        |SELECT p.item_a, p.item_b, p.c12, ca.c1 AS c1a, cb.c1 AS c1b,
+        |  CAST((p.c12 * 1000000) // ca.c1 AS BIGINT) AS conf_ab_ppm,
+        |  CAST((p.c12 * 1000000) // cb.c1 AS BIGINT) AS conf_ba_ppm
+        |FROM p JOIN c1 ca ON ca.item = p.item_a
+        |JOIN c1 cb ON cb.item = p.item_b
+        |ORDER BY p.c12 DESC, p.item_a, p.item_b LIMIT 50""".stripMargin,
+
     // Directed reciprocity: distinct-edge frame, reversed-key join
     // (distinct ⇒ ≤ 1 match ≡ semi), exact ppm.
     "reciprocity" ->

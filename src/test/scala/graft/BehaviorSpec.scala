@@ -1269,4 +1269,20 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       (2L, "2024-01-01 10:00:00", 1.0), (2L, "2024-01-11 10:00:00", 5.0))
     assert(Behavior.ltvEarlySignalOf(flat).collect().head.isNullAt(2))
   }
+
+  test("association rules: directional confidences are exact ppm and asymmetric") {
+    import spark.implicits._
+    // item 1 in 10 baskets, item 2 in 6; together in 6 →
+    // conf(1→2) = 600000 ppm, conf(2→1) = 1000000 ppm.
+    val rows =
+      (1L to 10L).map(u => (u, 1L)) ++ (1L to 6L).map(u => (u, 2L))
+    val ev = rows.map { case (u, k) => (u, s"""{"k": $k}""") }
+      .toDF("user_id", "props")
+    val out = graft.operators.Behavior.associationRulesOf(ev).collect()
+    assert(out.length == 1, s"${out.toSeq}")
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((1L, 2L, 6L, 10L, 6L, 600000L, 1000000L)), s"got $r")
+  }
 }

@@ -1650,5 +1650,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         noCartesian(n, p)
         assert(bnlj(p).isEmpty, s"$n: equijoins only:\n$p")
       }
+    // association_rules: the item_affinity equijoin tree + TakeOrdered.
+    val ar = plan(Behavior.associationRules(spark, Sf))
+    noCartesian("association_rules", ar)
+    assert(bnlj(ar).isEmpty, s"association_rules: equijoins only:\n$ar")
   }
 }
