@@ -564,7 +564,15 @@ object Robust {
     cd.join(xm, Seq("xc", "yc")).join(ym, Seq("xc", "yc"))
       .select(col("xc").as("x_col"), col("yc").as("y_col"),
         col("n").cast("long").as("n"),
-        col("concordant"), col("discordant"),
+        // Edge cast: the INTERNAL mass algebra stays decimal(38,0),
+        // but the OUTPUT emits BIGINT — concordant ~ n²/2 fits int64
+        // through ~4.3·10⁹ input rows (n²/2 < 2⁶³ ⇒ n < 4.3·10⁹),
+        // and a decimal-typed output column is the one value class
+        // the verification edge fetches inconsistently across
+        // drivers (the suite's only two decimal outputs were its
+        // only hash-red rows in r12/r13).
+        col("concordant").cast("long").as("concordant"),
+        col("discordant").cast("long").as("discordant"),
         TextF.round6HalfUp(expr(
           """try_divide(
             |  2.0 * CAST(concordant - discordant AS DOUBLE),

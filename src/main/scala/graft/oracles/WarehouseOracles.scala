@@ -1150,11 +1150,12 @@ private[graft] object WarehouseOracles {
     // Kendall τ-b: joint-distribution concordance algebra on the
     // bounded (q, d, t) triple grid; HUGEINT mass products, doubled
     // tie forms, two √ factors like corr_matrix. The OUTPUT mass
-    // columns cast to DECIMAL(38,0): the engine emits decimal(38,0)
-    // (C ~ n²/2 needs it past ~6·10⁹ rows) and the driver's hash is
-    // value-REPR-sensitive — a HUGEINT fetches as a Python int while
-    // parquet decimal fetches as Decimal, hash-mismatching on equal
-    // values (caught by CORRECTNESS_r12's one red row).
+    // columns cast to BIGINT on BOTH sides: the internal algebra
+    // stays HUGEINT/decimal(38,0) but a decimal-typed OUTPUT column
+    // is the one value class the driver's fetch treats
+    // inconsistently (r12/r13's only hash-red row, bit-identical on
+    // local replay). C ~ n²/2 fits int64 to ~4.3·10⁹ input rows —
+    // documented bound at the engine edge cast (Robust.scala).
     "kendall_matrix" ->
       """WITH base AS (SELECT CAST(l_quantity AS BIGINT) AS q,
         |    CAST(floor(l_discount * 1e6) AS BIGINT) AS d,
@@ -1187,8 +1188,8 @@ private[graft] object WarehouseOracles {
         |  FROM (SELECT xc, yc, y, CAST(SUM(c) AS BIGINT) AS ty
         |        FROM grid GROUP BY 1, 2, 3) GROUP BY 1, 2)
         |SELECT cd.xc AS x_col, cd.yc AS y_col, CAST(xm.n AS BIGINT) AS n,
-        |  CAST(cd.concordant AS DECIMAL(38,0)) AS concordant,
-        |  CAST(cd.discordant AS DECIMAL(38,0)) AS discordant,
+        |  CAST(cd.concordant AS BIGINT) AS concordant,
+        |  CAST(cd.discordant AS BIGINT) AS discordant,
         |  floor(
         |    2.0 * CAST(cd.concordant - cd.discordant AS DOUBLE) /
         |    (sqrt(CAST(xm.n * (xm.n - 1) - xm.n1x2 AS DOUBLE))
