@@ -302,6 +302,7 @@ object SparkEntry {
     "user_growth"       -> (Behavior.userGrowth(_, _)),
     "kcenter_select"    -> (Cluster.kCenterSelect(_, _)),
     "apriori_triples"   -> (Behavior.aprioriTriples(_, _)),
+    "fpgrowth_triples"  -> (Behavior.fpgrowthTriples(_, _)),
     "did_readout"       -> (Behavior.didReadout(_, _)),
     "qini_curve"        -> (Behavior.qiniCurve(_, _)),
     "brier_decomposition" -> (CorpusStats.brierDecomposition(_, _)),
@@ -468,12 +469,13 @@ object SparkEntry {
     // Round-13 thirteenth tranche: directional association rules
     // (row 398)
     "association_rules" -> (Behavior.associationRules(_, _)),
-    // fpgrowth_triples is deliberately NOT registered: MLlib's
-    // FPGrowth enumerates the FULL frequent lattice with no
-    // itemset-size cap, and the dense synthetic baskets make that
-    // lattice ~10^10 itemsets at sf0.1 (measured timeout) — see the
-    // operator's scaladoc; BehaviorSpec pins its agreement with the
-    // Apriori chain on sparse baskets.
+    // fpgrowth_triples (registered round 14, row 297) mines the
+    // purchase-only basket slice: MLlib's FPGrowth enumerates the
+    // FULL frequent lattice with no itemset-size cap, and ALL-event
+    // baskets make that lattice ~10^10 itemsets at sf0.1 (measured
+    // timeout) — purchase baskets keep it at depth ~3-4; see the
+    // operator's scaladoc. BehaviorSpec additionally pins agreement
+    // with the Apriori chain on a sparse fixture.
     "corr_matrix"       -> (Robust.corrMatrix(_, _)),
     "spearman_matrix"   -> (Robust.spearmanMatrix(_, _)),
     "join_size_estimate" -> (Warehouse.joinSizeEstimate(_, _)),

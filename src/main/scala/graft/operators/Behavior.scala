@@ -891,18 +891,23 @@ object Behavior {
     * everything after its freqItemsets frame is plain DataFrame
     * algebra.
     *
-    * MEASURED LIMIT (why this is NOT a registered query): MLlib's
-    * FPGrowth has no itemset-SIZE cap — it enumerates every frequent
-    * itemset and only then can the size-3 slice be taken. On the
-    * dense synthetic baskets (~73 of a 100-item catalog) the
-    * frequent lattice reaches depth ~7 at sf0.1's support share,
-    * ≈10¹⁰ itemsets — measured as a bench timeout, where the Apriori
-    * chain (which enumerates ONLY level 3) finishes in 8 s. The
-    * conditional-tree path wins on SPARSE catalogs (10⁶+ items,
-    * shallow lattices — the production shape); on dense verticals
-    * cap the lattice via the support share before reaching for it.
-    * BehaviorSpec certifies agreement with the Apriori chain on a
-    * sparse fixture. */
+    * MEASURED LIMIT: MLlib's FPGrowth has no itemset-SIZE cap — it
+    * enumerates every frequent itemset and only then can the size-3
+    * slice be taken. On ALL-event baskets (~49 of a 100-item
+    * catalog) the frequent lattice reaches depth ~7 at sf0.1's
+    * support share, ≈10¹⁰ itemsets — measured as a bench timeout,
+    * where the Apriori chain (which enumerates ONLY level 3)
+    * finishes in 8 s. The conditional-tree path wins on SPARSE
+    * baskets (shallow lattices — the production shape), so the
+    * REGISTERED query `fpgrowth_triples` mines the natural
+    * market-basket slice — purchase events only (avg ~12.5 items/
+    * basket, lattice depth ~3-4: item share ~12.5% ⇒ expected triple
+    * support n·0.125³ ≈ s at the default floor, 4-sets mostly
+    * infrequent) — and its DuckDB Apriori-join oracle certifies the
+    * ML path's counts by hash. On dense verticals cap the lattice
+    * via the support share before reaching for FP-Growth.
+    * BehaviorSpec additionally certifies agreement with the Apriori
+    * chain on a sparse fixture. */
   def fpgrowthTriplesOf(events: DataFrame, minSupport: Long = 5,
                         kTop: Int = 30): DataFrame = {
     require(kTop > 0, s"kTop must be positive, got $kTop")
@@ -934,7 +939,8 @@ object Behavior {
   }
 
   def fpgrowthTriples(spark: SparkSession, dir: String): DataFrame =
-    fpgrowthTriplesOf(Tables.events(spark, dir))
+    fpgrowthTriplesOf(
+      Tables.events(spark, dir).filter(col("event_type") === "purchase"))
 
   def itemAffinity(spark: SparkSession, dir: String): DataFrame =
     itemAffinityOf(Tables.events(spark, dir))

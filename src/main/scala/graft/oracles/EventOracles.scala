@@ -7,13 +7,15 @@ private[graft] object EventOracles {
   import OracleFragments._
 
   // The unpruned triple count — apriori_triples' oracle (identical to
-  // the engine's pruned form by downward closure; the un-REGISTERED
-  // FP-Growth twin is certified against the Apriori chain in
-  // BehaviorSpec instead — see SparkEntry's note).
-  private val FrequentTriplesSql: String =
-    """WITH i AS (SELECT DISTINCT user_id,
-      |    COALESCE(TRY_CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS item
-      |  FROM events),
+  // the engine's pruned form by downward closure). The same join
+  // chain with `where` restricting the basket events also serves the
+  // FP-Growth twin `fpgrowth_triples` (purchase-only baskets — the
+  // sparse slice whose lattice MLlib's uncapped miner can walk; hash
+  // equality certifies the ML path's counts against exact SQL).
+  private def frequentTriplesSql(where: String): String =
+    s"""WITH i AS (SELECT DISTINCT user_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props,'$$.k') AS BIGINT), 0) AS item
+      |  FROM events$where),
       |t AS (SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
       |        CAST(COUNT(*) AS BIGINT) AS support
       |      FROM i a
@@ -26,7 +28,10 @@ private[graft] object EventOracles {
 
   val sql: Map[String, String] = Map(
 
-    "apriori_triples" -> FrequentTriplesSql,
+    "apriori_triples" -> frequentTriplesSql(""),
+
+    "fpgrowth_triples" ->
+      frequentTriplesSql(" WHERE event_type = 'purchase'"),
 
     "sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
