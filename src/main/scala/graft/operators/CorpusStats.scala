@@ -1554,7 +1554,8 @@ object CorpusStats {
     for (_ <- 1 to iterations) {
       val inflow = rank
         .join(edgeOut, rank("token") === edgeOut("src"))
-        .select(col("dst"), expr("(rq * w) div ow").as("contrib"))
+        .select(col("dst"), expr("CAST((CAST(rq AS DECIMAL(38,0)) * w) div ow AS BIGINT)")
+          .as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("inflow"))
       rank = nodes.crossJoin(broadcast(nDf))

@@ -1532,10 +1532,10 @@ object EventAnalytics {
         array_sort(collect_list(struct(col("idx"), col("ym")))).as("w0"))
       .select(col("event_type"), col("l0"),
         expr("transform(w0, x -> x.ym - l0)").as("s0"))
-    val fitted = dense.filter(col("idx") > 6 && col("idx") <= col("si"))
+    val folded = dense.filter(col("idx") > 6 && col("idx") <= col("si"))
       .groupBy("event_type")
       .agg(array_sort(collect_list(struct(col("idx"), col("ym"))))
-        .as("arr"), max("si").as("si"))
+        .as("arr"))
       .join(seed, Seq("event_type"))
       .withColumn("fit", expr(
         """aggregate(arr,
@@ -1553,15 +1553,28 @@ object EventAnalytics {
           |                 CAST(x.idx % 7 AS INT) + 1) + acc.l + acc.b, 1)
           |             + v, 1),
           |           v))))""".stripMargin))
-      .select(col("event_type"), col("si").as("si_f"),
-        col("fit.l").as("l"), col("fit.b").as("b"), col("fit.s").as("s"))
+      .select(col("event_type"), col("fit.l").as("lt"),
+        col("fit.b").as("bt"), col("fit.s").as("st"))
+    // A span ≤ 20 days (si ≤ 6) makes the train slice EMPTY — the
+    // oracle's recursive CTE then keeps its seed row (i = 0) and
+    // still forecasts the test window from it, so the engine must
+    // too: left-join the fold onto the seed and fall back to
+    // (l0, b = 0, s0) where no train rows folded. si is a constant
+    // of the dense frame, so the forecast horizon reads it off the
+    // eval row directly (≡ the oracle's si_f = MAX(si)).
+    val fitted = seed
+      .join(folded, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("lt"), col("l0")).as("l"),
+        coalesce(col("bt"), lit(0L)).as("b"),
+        coalesce(col("st"), col("s0")).as("s"))
     val naive = dense.select(col("event_type"),
       (col("idx") + 7L).as("idx"), col("ym").as("y7"))
     dense.filter(col("idx") > col("si"))
       .join(naive, Seq("event_type", "idx"))
       .join(broadcast(fitted), Seq("event_type")) // bounded: one row/type
       .select(col("event_type"), col("ym"),
-        abs(col("ym") - (col("l") + (col("idx") - col("si_f")) * col("b")
+        abs(col("ym") - (col("l") + (col("idx") - col("si")) * col("b")
           + expr("element_at(s, CAST(idx % 7 AS INT) + 1)"))).as("errw"),
         abs(col("ym") - col("y7")).as("err7"))
       .groupBy("event_type")

@@ -29,6 +29,11 @@ import graft.sources.Tables
   * per-edge contribution `(rq·w) div ow` and the damping `(85·Σ) div
   * 100` — so every iteration is bit-exact in any engine and any
   * partitioning (float PageRank sums in nondeterministic order).
+  * The rq·w product rides decimal(38,0) (HUGEINT in the oracle): rq
+  * reaches ~10¹² and w is an UNBOUNDED co-occurrence count, so the
+  * raw Long intermediate crosses int64 near w ~ 9·10⁶ — Spark would
+  * wrap silently while DuckDB errors, the worst possible divergence
+  * shape. The quotient ≤ rq, so it casts back to BIGINT safely.
   * Teleport/damping is the classic 0.15/0.85; dangling mass (nodes
   * with no out-edges) evaporates, the standard simplification.
   */
@@ -70,7 +75,8 @@ object Graph {
     for (_ <- 1 to iterations) {
       val inflow = rank
         .join(edgeOut, rank("item") === edgeOut("src"))
-        .select(col("dst"), expr("(rq * w) div ow").as("contrib"))
+        .select(col("dst"), expr("CAST((CAST(rq AS DECIMAL(38,0)) * w) div ow AS BIGINT)")
+          .as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("inflow"))
       rank = nodes.crossJoin(broadcast(nDf))
@@ -137,7 +143,8 @@ object Graph {
     for (_ <- 1 to iterations) {
       val inflow = rank
         .join(edgeOut, rank("item") === edgeOut("src"))
-        .select(col("dst"), expr("(rq * w) div ow").as("contrib"))
+        .select(col("dst"), expr("CAST((CAST(rq AS DECIMAL(38,0)) * w) div ow AS BIGINT)")
+          .as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("inflow"))
       rank = nodes.crossJoin(broadcast(nSeed))
@@ -1000,13 +1007,18 @@ object Graph {
     * second on the REVERSED adjacency).
     *
     * Shape: directed distinct edges off one lag pass; per-iteration
-    * work is the vocab-bounded adjacency join, maxIter-guarded;
-    * the intersection is a semi-join of two reach frames; exact-ppm
-    * share against the node count. Oracle: two recursive
-    * reachability CTEs (UNION dedup on the node alone — reach sets
-    * are monotone, the closure terminates) intersected. */
-  def pivotSccOf(events: DataFrame, maxIter: Int = 20): DataFrame = {
-    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    * work is the vocab-bounded adjacency join, iterated to FIXPOINT
+    * (isEmpty-driven exit — the reach set is monotone and bounded by
+    * the item vocabulary, so the loop terminates in ≤ |V| sweeps;
+    * the oracle's recursive CTEs are likewise uncapped, so a reach
+    * chain longer than any fixed hop budget can't diverge the two
+    * sides — [[diameterEstimateOf]] keeps its cap because ITS oracle
+    * mirrors it with `dist < 20`); the intersection is a semi-join
+    * of two reach frames; exact-ppm share against the node count.
+    * Oracle: two recursive reachability CTEs (UNION dedup on the
+    * node alone — reach sets are monotone, the closure terminates)
+    * intersected. */
+  def pivotSccOf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val edges = events
       .select(col("user_id"),
@@ -1024,10 +1036,8 @@ object Graph {
     def reach(adj: DataFrame, seed: DataFrame): DataFrame = {
       var reached = seed.localCheckpoint(false)
       var frontier = reached
-      var h = 0
       var done = false
-      while (!done && h < maxIter) {
-        h += 1
+      while (!done) {
         val next = adj.join(frontier.select(col("item").as("u")), "u")
           .select(col("v").as("item")).distinct()
           .join(reached, Seq("item"), "left_anti")

@@ -1359,7 +1359,7 @@ private[graft] object CorpusStatsOracles {
         |    CAST(15000000000000 // (100 * (SELECT nn FROM n))
         |      + (85 * COALESCE(fl.inflow, 0)) // 100 AS BIGINT) AS rq
         |  FROM nodes n2 LEFT JOIN (
-        |    SELECT e.dst, CAST(SUM((p.rq * e.w) // o.ow) AS BIGINT) AS inflow
+        |    SELECT e.dst, CAST(SUM((CAST(p.rq AS HUGEINT) * e.w) // o.ow) AS BIGINT) AS inflow
         |    FROM it${i - 1} p JOIN e ON e.src = p.token
         |    JOIN outw o ON o.src = p.token
         |    GROUP BY 1) fl ON fl.dst = n2.token)""".stripMargin

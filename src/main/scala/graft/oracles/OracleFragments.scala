@@ -168,7 +168,7 @@ private[graft] object OracleFragments {
       |    CAST(15000000000000 // (100 * (SELECT nn FROM n))
       |      + (85 * COALESCE(fl.inflow, 0)) // 100 AS BIGINT) AS rq
       |  FROM nodes n2 LEFT JOIN (
-      |    SELECT e.dst, CAST(SUM((p.rq * e.w) // o.ow) AS BIGINT) AS inflow
+      |    SELECT e.dst, CAST(SUM((CAST(p.rq AS HUGEINT) * e.w) // o.ow) AS BIGINT) AS inflow
       |    FROM it${k - 1} p JOIN e ON e.src = p.item JOIN outw o ON o.src = p.item
       |    GROUP BY 1) fl ON fl.dst = n2.item)""".stripMargin
     """WITH base AS (
@@ -409,7 +409,7 @@ private[graft] object OracleFragments {
       |        ELSE 0 END
       |      + (85 * COALESCE(fl.inflow, 0)) // 100 AS BIGINT) AS rq
       |  FROM nodes n2 LEFT JOIN (
-      |    SELECT e.dst, CAST(SUM((p.rq * e.w) // o.ow) AS BIGINT) AS inflow
+      |    SELECT e.dst, CAST(SUM((CAST(p.rq AS HUGEINT) * e.w) // o.ow) AS BIGINT) AS inflow
       |    FROM it${k - 1} p JOIN e ON e.src = p.item JOIN outw o ON o.src = p.item
       |    GROUP BY 1) fl ON fl.dst = n2.item)""".stripMargin
     """WITH base AS (

@@ -22,16 +22,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * halving has washed the seed to < 25% weight). Rate =
   * (z·1000) div p milli-units/day.
   *
-  * A demand day closes exactly like [[StreamingCusum]]'s days: a
-  * later-day purchase for the item arrives, or the event-time
-  * timeout fires one watermark past the open day's end. State per
-  * item is constant-size (open day partial + z/p/last) forever.
+  * Demand days close IN EVENT-TIME ORDER even under 1-day frontier
+  * disorder: state buffers up to TWO open day buckets (the open day
+  * plus one predecessor), and a day is closed — folded into z/p and
+  * emitted — only when the WATERMARK passes its end (so every
+  * watermark-legal late purchase for it has been counted), when a
+  * third distinct day forces the oldest bucket out, or when the
+  * event-time timeout fires. A purchase for openDay−1 arriving after
+  * a newer day opened therefore lands in its OWN bucket and closes
+  * as its own demand day, matching the batch fold (the previous
+  * single-bucket design merged it into the open day, inflating z and
+  * dropping an interval). Residual divergence: an arrival ≥ 2 days
+  * behind the buffered frontier (or behind a cap-forced close) folds
+  * into the oldest held bucket — bounded by the 2-day buffer, and
+  * only reachable while the watermark lags the frontier by that
+  * much. State per item stays constant-size (two day partials +
+  * z/p/last) forever.
   */
 object StreamingCroston {
 
   case class Ev(item: Long, ts: Timestamp)
 
-  case class St(openDay: Long, openCount: Long,
+  /** Up to two open day buckets, oldest in (d0, c0); d0 = -1 ⇒ none,
+    * d1 = -1 ⇒ one. Invariant: d0 < d1 when both held. */
+  case class St(d0: Long, c0: Long, d1: Long, c1: Long,
                 z: Long, p: Long, last: Long, first: Boolean)
 
   case class Rate(item: Long, day: Date, n_demand: Long, z_m: Long,
@@ -44,18 +58,16 @@ object StreamingCroston {
     import events.sparkSession.implicits._
     val dayMs = DayMs
 
-    def close(st: St, nDemandSoFar: Long): (St, Rate) = {
-      val ym = st.openCount * 1000L
-      val st2 =
-        if (st.first) St(-1L, 0L, ym, 1000L, st.openDay, first = false)
-        else {
-          val z2 = (ym + st.z) >> 1
-          val p2 = ((st.openDay - st.last) * 1000L + st.p) >> 1
-          St(-1L, 0L, z2, p2, st.openDay, first = false)
-        }
-      val rate = (st2.z * 1000L) / st2.p
-      (st2, Rate(0L, new Date(st.openDay * dayMs), nDemandSoFar,
-        st2.z, st2.p, rate))
+    // Fold the oldest bucket into z/p, emit its rate, shift d1 down.
+    def closeOldest(item: Long, st: St, nd: Long): (St, Long, Rate) = {
+      val ym = st.c0 * 1000L
+      val (z2, p2) =
+        if (st.first) (ym, 1000L)
+        else ((ym + st.z) >> 1, ((st.d0 - st.last) * 1000L + st.p) >> 1)
+      val st2 = St(st.d1, st.c1, -1L, 0L, z2, p2, st.d0, first = false)
+      val nd2 = nd + 1L
+      (st2, nd2, Rate(item, new Date(st.d0 * dayMs), nd2, z2, p2,
+        (z2 * 1000L) / p2))
     }
 
     events.filter(col("event_type") === "purchase")
@@ -69,38 +81,43 @@ object StreamingCroston {
       .flatMapGroupsWithState[(St, Long), Rate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (item, evs: Iterator[Ev], state: GroupState[(St, Long)]) =>
-          if (state.hasTimedOut) {
-            val (st, nd) = state.get
-            if (st.openDay >= 0L) {
-              val (nxt, rate) = close(st, nd + 1L)
-              state.update((nxt, nd + 1L))
-              Iterator.single(rate.copy(item = item))
-            } else Iterator.empty
-          } else {
+          val wm = state.getCurrentWatermarkMs()
+          var (cur, nd) = state.getOption
+            .getOrElse((St(-1L, 0L, -1L, 0L, 0L, 1000L, -1L, first = true),
+              0L))
+          val out = Vector.newBuilder[Rate]
+          def close(): Unit = {
+            val (st2, nd2, rate) = closeOldest(item, cur, nd)
+            cur = st2; nd = nd2; out += rate
+          }
+          if (!state.hasTimedOut) {
             val days = evs.map(e => Math.floorDiv(e.ts.getTime, dayMs))
               .toArray.sorted
-            var (cur, nd) = state.getOption
-              .getOrElse((St(-1L, 0L, 0L, 1000L, -1L, first = true), 0L))
-            val out = Vector.newBuilder[Rate]
             days.foreach { d =>
-              if (cur.openDay == -1L) cur = cur.copy(openDay = d, openCount = 1L)
-              else if (d == cur.openDay)
-                cur = cur.copy(openCount = cur.openCount + 1L)
-              else if (d > cur.openDay) {
-                nd += 1L
-                val (nxt, rate) = close(cur, nd)
-                out += rate.copy(item = item)
-                cur = nxt.copy(openDay = d, openCount = 1L)
-              } else
-                // late below the open day: fold into the open day —
-                // the watermark guarantees no CLOSED day is reachable
-                cur = cur.copy(openCount = cur.openCount + 1L)
+              if (cur.d0 == -1L) cur = cur.copy(d0 = d, c0 = 1L)
+              else if (d == cur.d0) cur = cur.copy(c0 = cur.c0 + 1L)
+              else if (cur.d1 == -1L) {
+                if (d > cur.d0) cur = cur.copy(d1 = d, c1 = 1L)
+                // behind a lone bucket: the predecessor slot is
+                // free, so the late day gets its OWN bucket and the
+                // wm-close loop keeps the close order
+                else cur = St(d, 1L, cur.d0, cur.c0,
+                  cur.z, cur.p, cur.last, cur.first)
+              }
+              else if (d == cur.d1) cur = cur.copy(c1 = cur.c1 + 1L)
+              else if (d > cur.d1) { close(); cur = cur.copy(d1 = d, c1 = 1L) }
+              else if (d > cur.d0) { close(); cur = cur.copy(d0 = d, c0 = 1L) }
+              else cur = cur.copy(c0 = cur.c0 + 1L) // ≥2-late residual
             }
-            state.update((cur, nd))
-            if (cur.openDay >= 0L)
-              state.setTimeoutTimestamp((cur.openDay + 1L) * dayMs - 1L, "1 day")
-            out.result().iterator
           }
+          // Watermark-gated ordered closes: a bucket is final once
+          // the watermark passes its day end (1-day delay already
+          // inside the watermark itself).
+          while (cur.d0 >= 0L && (cur.d0 + 1L) * dayMs <= wm) close()
+          state.update((cur, nd))
+          if (cur.d0 >= 0L)
+            state.setTimeoutTimestamp((cur.d0 + 1L) * dayMs)
+          out.result().iterator
       }
   }
 }

@@ -1315,4 +1315,87 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(stream == batch, s"stream $stream vs batch $batch")
     } finally query.stop()
   }
+
+  test("StreamingCroston survives a checkpoint restart and closes a 1-day-disordered demand day in order") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    val ckpt = restartDir("graft-croston-restart")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def p(d: Int, hm: String = "12:00") =
+      ("purchase", Timestamp.valueOf(f"2026-01-$d%02d $hm:00"), """{"k": 2}""")
+    def start() = collectingSink(graft.streaming.StreamingCroston
+      .rates(input.toDF().toDF("event_type", "ts", "props")).toDF(),
+      ckpt, buf)
+    var query = start()
+    try {
+      // demand days 1 and 3 open; day 3 at 09:00 keeps the watermark
+      // at Jan 2 09:00 so the down-time day-2 arrival stays legal
+      input.addData(p(1), p(3, "09:00"))
+      query.processAllAvailable()
+    } finally { query.stop() }
+    // Down: day 2 — a demand day BETWEEN the two restored buckets
+    // (the frontier-disorder case the two-bucket buffer exists for:
+    // it must close as its OWN demand day, not fold into an open
+    // one) — plus day 5 pushing the frontier.
+    input.addData(p(2), p(5))
+    query = start()
+    try {
+      query.processAllAvailable()
+      input.addData(p(9))
+      query.processAllAvailable()
+      input.addData(p(13)) // watermark push: timeout closes day 9
+      query.processAllAvailable()
+      val got = buf.synchronized { buf.toSeq }
+        .map(r => r.getDate(1).toString ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      // the uninterrupted fold over demand days 1,2,3,5,9:
+      // seed (z=1000, p=1000); gap-1 closes keep p=1000; then gap 2
+      // (p=(2000+1000)>>1=1500) and gap 4 (p=(4000+1500)>>1=2750)
+      assert(got == Map(
+        "2026-01-01" -> ((1L, 1000L, 1000L, 1000L)),
+        // the down-time day-2 arrival must close as its OWN demand
+        // day (frontier disorder), not fold into an open bucket
+        "2026-01-02" -> ((2L, 1000L, 1000L, 1000L)),
+        "2026-01-03" -> ((3L, 1000L, 1000L, 1000L)),
+        "2026-01-05" -> ((4L, 1000L, 1500L, 666L)),
+        // closed by timeout from restored state
+        "2026-01-09" -> ((5L, 1000L, 2750L, 363L))), s"$got")
+    } finally query.stop()
+  }
+
+  test("StreamingDupPayments survives a checkpoint restart: the restored window still pairs and still expires") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double, Timestamp)]
+    val ckpt = restartDir("graft-duppay-restart")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    def start() = collectingSink(graft.streaming.StreamingDupPayments
+      .pairs(input.toDF()
+        .toDF("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"))
+      .toDF(), ckpt, buf)
+    var query = start()
+    try {
+      input.addData((1L, 1L, 100.00, t(1)), (2L, 5L, 200.00, t(1)),
+        (2L, 6L, 200.00, t(1)))
+      query.processAllAvailable()
+    } finally { query.stop() }
+    // Down: the 1%-near twin of cust 1's restored order (must pair
+    // against RESTORED state) and a day-21 order outside the window
+    // (must not pair, and must evict the old window entries).
+    input.addData((1L, 2L, 100.50, t(2)), (1L, 3L, 100.00, t(21)))
+    query = start()
+    try {
+      query.processAllAvailable()
+      // after the prune, only the day-21 entry is live: a day-22
+      // exact twin pairs with it and ONLY it
+      input.addData((1L, 4L, 100.00, t(22)))
+      query.processAllAvailable()
+      val got = buf.synchronized { buf.toSeq }
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(got == Set((2L, 5L, 6L, 0L, 200.0), (1L, 1L, 2L, 1L, 100.0),
+        (1L, 3L, 4L, 1L, 100.0)),
+        s"restored window must pair the near-twin and expire for day 22: $got")
+    } finally query.stop()
+  }
 }
