@@ -425,7 +425,12 @@ object Corpus {
     *
     * Shape: the assignment's own frames + one bounded (lang, fold)
     * aggregate and a lang fold — nothing fact-scale beyond the
-    * assignment itself. */
+    * assignment itself.
+    *
+    * Edge read: min_fold_n ranges over folds PRESENT for the
+    * language, so a fold with ZERO docs of a rare language (stratum
+    * smaller than k) surfaces as n_folds < k, not min_fold_n = 0 —
+    * audit the n_folds column alongside imbalance_ppm. */
   def kfoldBalanceOf(docs: DataFrame, k: Int = 5): DataFrame = {
     kfoldAssignOf(docs, k)
       .groupBy("lang", "fold").agg(count(lit(1)).as("n"))

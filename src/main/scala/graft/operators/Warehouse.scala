@@ -1743,14 +1743,18 @@ object Warehouse {
         max("uc").as("max_uc"))
       .select(col("l_partkey"), col("n_lines"),
         expr("CAST(((max_uc - min_uc) * 1000000) div" +
-          " NULLIF(max_uc, 0) AS BIGINT)").as("range_ppm"))
+          " NULLIF(max_uc, 0) AS BIGINT)").as("range_ppm"),
+        // the >10% cut cross-multiplies the RAW cents (range·10 >
+        // max) — the truncated range_ppm would miss the boundary
+        // sliver where range·10⁶ lands in (10⁵·max, 10⁵·max + max)
+        when(expr("(max_uc - min_uc) * 10 > max_uc"), 1L).otherwise(0L)
+          .as("dispersed"))
     perPart
       .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_parts"),
-        sum(when(col("range_ppm") > 100000L, 1L).otherwise(0L))
-          .as("n_dispersed"),
+        sum(col("dispersed")).as("n_dispersed"),
         max("range_ppm").as("max_range_ppm"))
       .select(col("p_brand"), col("n_parts"), col("n_dispersed"),
         expr("CAST((n_dispersed * 1000000) div n_parts AS BIGINT)")

@@ -927,13 +927,14 @@ private[graft] object WarehouseOracles {
         |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1),
         |pr AS (SELECT l_partkey,
         |    CAST(((max_uc - min_uc) * 1000000) // NULLIF(max_uc, 0)
-        |      AS BIGINT) AS range_ppm
+        |      AS BIGINT) AS range_ppm,
+        |    CASE WHEN (max_uc - min_uc) * 10 > max_uc THEN 1 ELSE 0 END
+        |      AS dispersed
         |  FROM pp)
         |SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
-        |  CAST(SUM(CASE WHEN pr.range_ppm > 100000 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_dispersed,
-        |  CAST((SUM(CASE WHEN pr.range_ppm > 100000 THEN 1 ELSE 0 END)
-        |      * 1000000) // COUNT(*) AS BIGINT) AS dispersed_share_ppm,
+        |  CAST(SUM(pr.dispersed) AS BIGINT) AS n_dispersed,
+        |  CAST((SUM(pr.dispersed) * 1000000) // COUNT(*) AS BIGINT)
+        |    AS dispersed_share_ppm,
         |  CAST(MAX(pr.range_ppm) AS BIGINT) AS max_range_ppm
         |FROM pr JOIN part p ON p.p_partkey = pr.l_partkey
         |GROUP BY 1 ORDER BY p.p_brand""".stripMargin,
