@@ -210,6 +210,10 @@ object SparkEntry {
     // Round-9: graph + crawl-cleaning tranche
     "hits"              -> (Graph.hits(_, _)),
     "lpa_communities"   -> (Graph.lpaCommunities(_, _)),
+    // Round-14 first tranche: recursive-importance centrality +
+    // exact token-repeat diversity (SURVEY §2 rows 399-400)
+    "eigenvector_centrality" -> (Graph.eigenvectorCentrality(_, _)),
+    "simpson_diversity" -> (CorpusStats.simpsonDiversity(_, _)),
     "strip_markup"      -> (TextAnalysis.stripMarkup(_, _)),
     "mojibake_stats"    -> (TextAnalysis.mojibakeStats(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),

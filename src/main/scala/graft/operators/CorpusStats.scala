@@ -1093,6 +1093,51 @@ object CorpusStats {
   def langHhi(spark: SparkSession, dir: String): DataFrame =
     langHhiOf(Tables.documents(spark, dir))
 
+  /** Simpson token-repeat index per source — the EXACT-pair
+    * diversity scalar beside [[langHhiOf]] (HHI squares SHARES of
+    * the bounded language vocabulary; Simpson's λ = Σc(c−1)/(N(N−1))
+    * is literally "the probability two token occurrences drawn
+    * WITHOUT replacement are the same type", over the unbounded
+    * TOKEN vocabulary) and [[ngramDiversityOf]] (distinct-n counts
+    * types; λ weights them by mass — a corpus can keep a huge
+    * vocabulary and still be dominated by ten boilerplate tokens,
+    * which distinct-n misses and λ nails). The published inverse
+    * 1/λ is the "effective vocabulary size" a language model
+    * actually experiences.
+    *
+    * Exact integers end to end: c(c−1) and N(N−1) ride
+    * decimal(38,0) (c approaches N ~ 10¹² occurrences per source at
+    * 100 TB, so the products cross int64 at ~3·10⁹ — the
+    * [[pagerankOf]] overflow posture), λ as (Σc(c−1))·10⁶ div
+    * N(N−1) exact ppm, the inverse as ONE correctly-rounded double
+    * division (both engines convert the same decimal values the
+    * same way). Single-token sources null both via try_divide /
+    * NULLIF — a 1-token λ is undefined, not zero.
+    *
+    * Shape: one (source, token) map-combinable count aggregate —
+    * the only fact-sized shuffle — then a bounded source fold. */
+  def simpsonDiversityOf(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    docs.select(col("source"), explode(TextF.tokens(col("text"))).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(expr(s"CAST(c AS $dec) * (c - 1)")).as("rep2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr(s"""CAST((rep2 * 1000000) div
+                |  NULLIF(CAST(n_tokens AS $dec) * (n_tokens - 1), 0)
+                |  AS BIGINT)""".stripMargin).as("simpson_ppm"),
+        TextF.round4HalfUp(expr(
+          s"""try_divide(
+             |  CAST(CAST(n_tokens AS $dec) * (n_tokens - 1) AS DOUBLE),
+             |  CAST(rep2 AS DOUBLE))""".stripMargin)).as("effective_types"))
+      .orderBy("source")
+  }
+
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    simpsonDiversityOf(Tables.documents(spark, dir))
+
   /** Vocabulary coverage curve: what fraction of all corpus token
     * OCCURRENCES the top-k vocabulary types cover, at k ∈ `ks` — the
     * tokenizer/vocab-sizing read ([[oovRateOf]] fixes ONE k and scores

@@ -429,6 +429,81 @@ object Graph {
   def lpaCommunities(spark: SparkSession, dir: String): DataFrame =
     lpaCommunitiesOf(Tables.events(spark, dir))
 
+  /** Eigenvector centrality (Bonacich '72) over the weighted
+    * undirected item graph — the recursive-importance read the
+    * degree/strength profile can't give ([[pagerankOf]] answers it
+    * for the DIRECTED walk with teleport; merchandising often wants
+    * the undirected "embedded in the heavy co-navigation core"
+    * variant: a node is central iff its NEIGHBORS are central, no
+    * damping, no walk semantics). Power iteration on the SHIFTED
+    * matrix A + I with INFINITY-NORM normalization — the one norm
+    * that stays on an integer grid: s_i = rq_i + Σ_j w_ij·rq_j,
+    * then rq′ = (s·10⁶) div max(s). The +I shift is the standard
+    * bipartite guard (a star or any bipartite component gives A the
+    * eigenvalue pair ±λ and raw power iteration oscillates with
+    * period 2; A + I keeps the same eigenvectors and makes the
+    * dominant eigenvalue unique in magnitude). L2 normalization
+    * would need a square root per iteration; max-normalization
+    * converges to the same dominant eigenvector direction and keeps
+    * every step exact-integer (the [[pagerankOf]] determinism
+    * contract).
+    *
+    * Never divides by zero, by induction: after each normalization
+    * the argmax node holds rq = 10⁶ exactly, so next iteration's
+    * max(s) ≥ w·10⁶ ≥ 10⁶ > 0 (every node has ≥ 1 edge by
+    * construction). Products ride decimal(38,0) (w unbounded, the
+    * [[pagerankOf]] overflow posture); disconnected minor
+    * components decay toward 0 under the GLOBAL max — the standard
+    * dominant-eigenvector behavior, stated so a reader doesn't
+    * mistake decayed scores for missing data.
+    *
+    * Shape: one user-keyed lag pass → the vocab-bounded weighted
+    * edge frame (checkpointed once); per iteration one rank⋈adj
+    * equijoin + one bounded aggregate + a 1-row max broadcast. */
+  def eigenvectorCentralityOf(events: DataFrame,
+                              iterations: Int = 12): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val und = events
+      .select(col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("src", lag("item", 1).over(byUser))
+      .filter(col("src").isNotNull && col("src") =!= col("item"))
+      .groupBy(least(col("src"), col("item")).as("a"),
+        greatest(col("src"), col("item")).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val adj = und.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(und.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint(false) // static per-iteration frame
+    var rank = adj.select(col("u").as("item")).distinct()
+      .select(col("item"), lit(1000000L).as("rq"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iterations) {
+      val inflow = rank
+        .join(adj, rank("item") === adj("v"))
+        .select(col("u"), expr("CAST(w AS DECIMAL(38,0)) * rq").as("contrib"))
+        .groupBy("u")
+        .agg(sum("contrib").as("nsum"))
+        // the +I shift: a node's own mass joins its neighbors'
+        .join(rank.select(col("item").as("u"), col("rq").as("own")), "u")
+        .select(col("u"),
+          (col("nsum") + col("own").cast("decimal(38,0)")).as("s"))
+      val smax = inflow.agg(max("s").as("smax")) // 1 row by construction
+      rank = inflow.crossJoin(broadcast(smax))
+        .select(col("u").as("item"),
+          expr("CAST((s * 1000000) div smax AS BIGINT)").as("rq"))
+        .localCheckpoint(false)
+    }
+    rank.select(col("item"), col("rq").as("score_ppm"),
+        (col("rq").cast("double") / lit(1e6)).as("score"))
+      .orderBy("item")
+  }
+
+  def eigenvectorCentrality(spark: SparkSession, dir: String): DataFrame =
+    eigenvectorCentralityOf(Tables.events(spark, dir))
+
   /** The undirected distinct-neighbor item graph (a < b, self-loops
     * dropped) every structural operator here shares — ONE derivation
     * ([[triangleCountOf]]'s, factored) so k-core, assortativity and

@@ -1167,6 +1167,27 @@ private[graft] object CorpusStatsOracles {
         |FROM g JOIN top ON top.source = g.source
         |ORDER BY g.source""".stripMargin,
 
+    // Simpson λ over (source, token) counts: HUGEINT c(c-1)/N(N-1)
+    // mass, exact-ppm integer division, one double division for the
+    // inverse; 1-token sources null via NULLIF / div-by-zero-NULL.
+    "simpson_diversity" ->
+      """WITH t AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    SUM(CAST(c AS HUGEINT) * (c - 1)) AS rep2
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  CAST((rep2 * 1000000) //
+        |    NULLIF(CAST(n_tokens AS HUGEINT) * (n_tokens - 1), 0)
+        |    AS BIGINT) AS simpson_ppm,
+        |  floor(CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE)
+        |    / CAST(rep2 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS effective_types
+        |FROM s ORDER BY source""".stripMargin,
+
     // Rank vocabulary by (count DESC, token), int64 cumsum, probe the
     // clamped rank per k.
     "coverage_curve" ->

@@ -903,6 +903,8 @@ private[graft] object EventOracles {
 
     "lpa_communities" -> LpaSql,
 
+    "eigenvector_centrality" -> EigenvectorSql,
+
     "personalized_pagerank" -> PprSql,
 
     // Low->high oriented wedges closed by the third edge: each

@@ -274,6 +274,50 @@ private[graft] object OracleFragments {
   val LpaSql: String = LpaCtes + """
     |SELECT item, label FROM l2 ORDER BY item""".stripMargin
 
+  /** Unrolled 12-iteration max-normalized eigenvector power
+    * iteration on A + I over the weighted undirected graph (the
+    * [[LpaCtes]] base/tr/und/adj derivation verbatim;
+    * unroll-not-recurse per [[PagerankSql]]'s rationale). HUGEINT
+    * products, truncating `//` normalization — `//` and Spark's
+    * `div` agree on the non-negative domain; MAX(s) > 0 by the
+    * argmax-holds-10⁶ induction the engine scaladoc states. */
+  val EigenvectorSql: String = {
+    // single-reference discipline: each it{k-1} is referenced ONCE
+    // (the +I shift rides a unit self-loop in adjx instead of a
+    // second join) and the max is a window over s$k, not a
+    // subquery — a CTE-inlining engine would otherwise recompute
+    // the whole chain per extra reference, exponentially.
+    def step(k: Int): String =
+      s"""s$k AS (SELECT adjx.u, SUM(CAST(adjx.w AS HUGEINT) * r.rq) AS s
+        |  FROM adjx JOIN it${k - 1} r ON r.item = adjx.v GROUP BY 1),
+        |it$k AS (SELECT u AS item,
+        |  CAST((s * 1000000) // MAX(s) OVER () AS HUGEINT) AS rq
+        |  FROM s$k)""".stripMargin
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+      |         item AS dst
+      |  FROM base),
+      |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM tr WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+      |adj AS (SELECT a AS u, b AS v, w FROM und
+      |        UNION ALL SELECT b, a, w FROM und),
+      |adjx AS (SELECT u, v, w FROM adj
+      |         UNION ALL SELECT DISTINCT u, u AS v, CAST(1 AS BIGINT) AS w
+      |                   FROM adj),
+      |it0 AS (SELECT DISTINCT u AS item, CAST(1000000 AS HUGEINT) AS rq
+      |        FROM adj),
+      |""".stripMargin +
+      (1 to 12).map(step).mkString(",\n") + """
+      |SELECT item, CAST(rq AS BIGINT) AS score_ppm,
+      |  CAST(rq AS DOUBLE) / 1e6 AS score
+      |FROM it12 ORDER BY item""".stripMargin
+  }
+
   /** Newman Q of the LPA partition: integer-polynomial form
     * (4m·W_in − Σd_c²)/4m², one division, 6-dp directed half-up. */
   val ModularitySql: String = LpaCtes + """,

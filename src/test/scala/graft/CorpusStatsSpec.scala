@@ -830,4 +830,24 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("en") == ((1L, 5L, 2L, 2L, 2.5, 1.0)), s"got $out")
     assert(out("xx") == ((1L, 4L, 1L, 4L, 1.0, 4.0)), s"got $out")
   }
+
+  test("simpson diversity: hand-computed repeat mass, 1-token and all-distinct edges null/zero") {
+    import spark.implicits._
+    // A: tokens (a, a, b) → N=3, rep2 = 2·1 = 2, λ = 2/6 → 333333
+    //    ppm, effective = 6/2 = 3.0
+    // B: single token → both undefined (NULL, never 0)
+    // C: all distinct → λ = 0 exactly, effective undefined (NULL)
+    val docs = Seq(
+      (1L, "A", "a a b"), (2L, "B", "solo"), (3L, "C", "p q"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.CorpusStats.simpsonDiversityOf(docs)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+        if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)))))
+      .toMap
+    assert(out("A") == ((3L, 2L, 333333L, 3.0)), s"got $out")
+    assert(out("B") == ((1L, 1L, null, null)), s"got $out")
+    assert(out("C") == ((2L, 2L, 0L, null)), s"got $out")
+  }
 }

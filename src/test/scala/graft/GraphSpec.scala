@@ -364,4 +364,34 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
       ((3L, 2L, 666666L)), s"got $r")
   }
+
+  test("eigenvector centrality: a uniform triangle holds the uniform fixed point exactly") {
+    // 1→2→3→1: K3 with unit weights. s_i = rq_i + 2·rq = 3e6 uniform,
+    // max-normalization returns 1e6 — the exact integer fixed point.
+    val out = Graph.eigenvectorCentralityOf(stream(1L, 2L, 3L, 1L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out == Map(1L -> ((1000000L, 1.0)), 2L -> ((1000000L, 1.0)),
+      3L -> ((1000000L, 1.0))), s"got $out")
+  }
+
+  test("eigenvector centrality: the star center dominates without bipartite oscillation") {
+    // 2→1, 1→3, 3→1, 1→4, 4→1: undirected star at 1 with weights
+    // w(1,2)=1, w(1,3)=2, w(1,4)=2 — bipartite, the exact shape raw
+    // (unshifted) power iteration oscillates on; the +I shift must
+    // converge the center to the argmax and rank leaves by weight.
+    val out = Graph.eigenvectorCentralityOf(stream(2L, 1L, 3L, 1L, 4L, 1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1000000L, s"center holds the max: $out")
+    assert(out(3L) == out(4L), s"equal-weight leaves tie: $out")
+    assert(out(3L) > out(2L) && out(2L) > 0L,
+      s"heavier leaves outrank the lighter one: $out")
+  }
+
+  test("eigenvector centrality is deterministic across runs") {
+    val ev = stream(5L, 7L, 5L, 9L, 7L, 5L)
+    val a = Graph.eigenvectorCentralityOf(ev, iterations = 4).collect().toSeq
+    val b = Graph.eigenvectorCentralityOf(ev, iterations = 4).collect().toSeq
+    assert(a == b)
+  }
 }
