@@ -214,6 +214,10 @@ object SparkEntry {
     // exact token-repeat diversity (SURVEY §2 rows 399-400)
     "eigenvector_centrality" -> (Graph.eigenvectorCentrality(_, _)),
     "simpson_diversity" -> (CorpusStats.simpsonDiversity(_, _)),
+    // Round-14 second tranche: winnowing fingerprint sample + exact
+    // label alignment/separation (SURVEY §2 rows 401-402)
+    "winnow_fingerprints" -> (TextAnalysis.winnowFingerprints(_, _)),
+    "embedding_alignment" -> (Similarity.embeddingAlignment(_, _)),
     "strip_markup"      -> (TextAnalysis.stripMarkup(_, _)),
     "mojibake_stats"    -> (TextAnalysis.mojibakeStats(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),

@@ -729,6 +729,76 @@ object Similarity {
   def embeddingNormStats(spark: SparkSession, dir: String): DataFrame =
     embeddingNormStatsOf(Tables.embeddings(spark, dir))
 
+  /** Alignment / separation report per label (the Wang-Isola '20
+    * "alignment" read made EXACT and linear): mean pairwise cosine
+    * WITHIN a label vs the mean cosine against the REST of the
+    * corpus — the one-table answer to "do my labels form tight,
+    * separated clusters" that [[labelCentroids]] approximates
+    * through a centroid and [[hardMiningOf]] samples. No pair is
+    * ever materialized: for unit vectors, Σ_{a≠b} cos(a,b) =
+    * ‖Σv‖² − Σ‖v‖², so per-label component sums S_l and the global
+    * S_g give within = (‖S_l‖² − T_l)/(n_l(n_l−1)) and cross =
+    * S_l·(S_g − S_l)/(n_l(N − n_l)) — two exact integer identities
+    * over ONE aggregation pass.
+    *
+    * Determinism: vectors unit-normalize then quantize to the 1e-6
+    * component grid (floor(x/‖v‖·10⁶ + 0.5), half-up — negatives
+    * round toward +∞ identically in both engines); every sum/square
+    * rides decimal(38,0) (‖S_l‖² ≤ d·(10⁶·n)² — headroom to ~10¹²
+    * vectors per label at d = 64); the ONLY floats are one division
+    * chain per published cell, identical text both engines.
+    * Zero-norm vectors drop (no direction to compare); n = 1 labels
+    * null `within`, a single-label corpus nulls `cross`.
+    *
+    * Shape: one map-side normalize/quantize pass, one posexplode to
+    * (label, dim) sums — the only fact-scale shuffle, keyed by a
+    * labels×dims-bounded frame — then label-frame algebra. */
+  def embeddingAlignmentOf(embeddings: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = embeddings
+      .select(col("label").cast("int").as("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("label"), col("v"),
+        expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))")
+          .as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("label"),
+        expr("transform(v, x -> CAST(floor(x / nrm * 1e6 + 0.5) AS BIGINT))")
+          .as("q"))
+      .localCheckpoint(false) // the T fold and the dim sums both read it
+    val t = q
+      .select(col("label"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("tq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("tq").cast(dec)).as("tt"))
+    val dimSums = q
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "qd")))
+      .groupBy("label", "d")
+      .agg(sum(col("qd").cast(dec)).as("s"))
+      .localCheckpoint(false) // label norms + global sums both read it
+    val sl = dimSums.groupBy("label").agg(sum(expr("s * s")).as("s2"))
+    val sg = dimSums.groupBy("d").agg(sum("s").as("gs"))
+    val xdot = dimSums.join(sg, "d")
+      .groupBy("label")
+      .agg(sum(expr("s * (gs - s)")).as("xd"))
+    val nTotal = t.agg(sum("n").as("nt")) // 1 row by construction
+    t.join(sl, "label").join(xdot, "label")
+      .crossJoin(broadcast(nTotal))
+      .select(col("label"), col("n"),
+        graft.functions.TextF.round6HalfUp(expr(
+          """CAST(s2 - tt AS DOUBLE)
+            |  / CAST(NULLIF(CAST(n AS DECIMAL(38,0)) * (n - 1), 0) AS DOUBLE)
+            |  / 1e12""".stripMargin)).as("within_cos"),
+        graft.functions.TextF.round6HalfUp(expr(
+          """CAST(xd AS DOUBLE)
+            |  / CAST(NULLIF(CAST(n AS DECIMAL(38,0)) * (nt - n), 0) AS DOUBLE)
+            |  / 1e12""".stripMargin)).as("cross_cos"))
+      .orderBy("label")
+  }
+
+  def embeddingAlignment(spark: SparkSession, dir: String): DataFrame =
+    embeddingAlignmentOf(Tables.embeddings(spark, dir))
+
   /** Label-noise suspects (confident-learning-lite): points whose k
     * nearest neighbors vote AGAINST their own label — the
     * training-data QA pass that catches mislabeled rows before they

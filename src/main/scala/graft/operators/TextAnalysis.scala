@@ -69,6 +69,74 @@ object TextAnalysis {
       .select(col("doc_id"), TextF.rollingFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken '03 —
+    * the MOSS scheme): hash every k-token gram, slide a w-hash
+    * window, keep each window's MINIMUM — the position-robust
+    * fingerprint SAMPLE with the paper's guarantee (any shared run
+    * of ≥ w+k−1 tokens shares a selected print) at ~2/(w+1) the full
+    * gram density. [[docFingerprint]] keys the whole doc (exact-dup
+    * only) and row 198's suffix-gram spans pay full gram mass; this
+    * is the storage/bandwidth posture between them — the sampled
+    * index a plagiarism/overlap service actually persists. Published
+    * per source: doc/gram/selected-print masses, the realized
+    * selection density (post per-doc distinct, so ≤ the 2/(w+1)
+    * theory line — stated to make the audit readable), distinct and
+    * cross-doc-shared print counts (the overlap-candidate signal).
+    *
+    * Determinism: grams hash as lowercase-hex md5 STRINGS and the
+    * window minimum is their LEXICOGRAPHIC min — no hex→int
+    * conversion to disagree on; density rides decimal(38,0)
+    * (print·10⁶ mass crosses int64 near 10¹³ tokens/source).
+    * Docs shorter than k tokens select nothing; 1 ≤ grams < w
+    * selects min of what exists (the paper's short-doc convention).
+    *
+    * Shape: gram hashing, window minima, and the per-doc distinct
+    * all happen MAP-SIDE inside array transforms (per-doc bounded);
+    * the only fact-scale shuffles are the (source, print) count and
+    * the bounded source rollup. */
+  def winnowFingerprintsOf(docs: DataFrame, k: Int = 5,
+                           w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k/w positive, got $k/$w")
+    val dec = "decimal(38,0)"
+    val perDoc = docs
+      .select(col("source"), col("doc_id"), TextF.tokens(col("text")).as("toks"))
+      .select(col("source"), col("doc_id"),
+        expr(s"""CASE WHEN size(toks) >= $k THEN
+                |  transform(sequence(1, size(toks) - ${k - 1}),
+                |    i -> md5(concat_ws(' ', slice(toks, i, $k))))
+                |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+          .as("grams"))
+      .select(col("source"), col("doc_id"), size(col("grams")).as("n_grams"),
+        expr(s"""CASE WHEN size(grams) >= 1 THEN
+                |  array_distinct(
+                |    transform(sequence(1, greatest(size(grams) - ${w - 1}, 1)),
+                |      j -> array_min(slice(grams, j, $w))))
+                |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+          .as("prints"))
+      .localCheckpoint(false) // the doc rollup and the print explode both read it
+    val bySource = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_grams").as("n_grams"),
+        sum(size(col("prints"))).as("n_prints"))
+    val printStats = perDoc
+      .select(col("source"), col("doc_id"), explode(col("prints")).as("p"))
+      .groupBy("source", "p")
+      .agg(count(lit(1)).as("nd")) // prints are per-doc distinct already
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_distinct_prints"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_prints"))
+    bySource.join(printStats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_grams"), col("n_prints"),
+        expr(s"""CAST((CAST(n_prints AS $dec) * 1000000)
+                |  div NULLIF(CAST(n_grams AS $dec), 0) AS BIGINT)"""
+          .stripMargin).as("density_ppm"),
+        coalesce(col("n_distinct_prints"), lit(0L)).as("n_distinct_prints"),
+        coalesce(col("n_shared_prints"), lit(0L)).as("n_shared_prints"))
+      .orderBy("source")
+  }
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsOf(Tables.documents(spark, dir))
+
   /** The composite corpus-cleaning pass an LLM-data pipeline runs
     * before training: quality threshold + length band + language
     * allowlist, composed from the primitives above so the whole

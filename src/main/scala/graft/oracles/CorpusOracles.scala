@@ -159,6 +159,42 @@ private[graft] object CorpusOracles {
         |SELECT doc_id, quality, "rank", tier, "rank" // 64 AS batch_id
         |FROM r ORDER BY "rank"""".stripMargin,
 
+    // Winnowing: md5-hex gram STRINGS, window min = lexicographic
+    // min (no hex→int conversion to disagree on), HUGEINT density.
+    "winnow_fingerprints" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT source, doc_id,
+        |    CASE WHEN len(toks) >= 5 THEN
+        |      list_transform(generate_series(1, len(toks) - 4),
+        |        i -> md5(array_to_string(toks[i:i+4], ' ')))
+        |    ELSE [] END AS grams
+        |  FROM d),
+        |p AS (SELECT source, doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |    CASE WHEN len(grams) >= 1 THEN
+        |      list_distinct(list_transform(
+        |        generate_series(1, greatest(len(grams) - 3, 1)),
+        |        j -> list_aggregate(grams[j:j+3], 'min')))
+        |    ELSE [] END AS prints
+        |  FROM g),
+        |bs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+        |    CAST(SUM(len(prints)) AS BIGINT) AS n_prints
+        |  FROM p GROUP BY 1),
+        |sp AS (SELECT source, unnest(prints) AS pr, doc_id FROM p),
+        |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct_prints,
+        |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_shared_prints
+        |  FROM (SELECT source, pr, CAST(COUNT(*) AS BIGINT) AS nd
+        |        FROM sp GROUP BY 1, 2) GROUP BY 1)
+        |SELECT bs.source, n_docs, n_grams, n_prints,
+        |  CAST((CAST(n_prints AS HUGEINT) * 1000000)
+        |    // NULLIF(CAST(n_grams AS HUGEINT), 0) AS BIGINT) AS density_ppm,
+        |  COALESCE(n_distinct_prints, 0) AS n_distinct_prints,
+        |  COALESCE(n_shared_prints, 0) AS n_shared_prints
+        |FROM bs LEFT JOIN ps ON ps.source = bs.source
+        |ORDER BY bs.source""".stripMargin,
+
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -531,6 +531,43 @@ private[graft] object SimilarityOracles {
         |    AS mean_norm2
         |FROM q GROUP BY label ORDER BY label""".stripMargin,
 
+    // Alignment/separation: the sum-vector identity on 1e-6-quantized
+    // unit vectors — HUGEINT component sums, squares and cross dots;
+    // norm via the same index-order list_reduce fold as the engine's
+    // aggregate(); the only floats are the published division chains.
+    "embedding_alignment" ->
+      """WITH v AS (SELECT CAST(label AS INT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n0 AS (SELECT label, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+        |  FROM v),
+        |q AS (SELECT label,
+        |    list_transform(v, x -> CAST(floor(x / nrm * 1e6 + 0.5) AS BIGINT))
+        |      AS q
+        |  FROM n0 WHERE nrm > 0),
+        |t AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(q, x -> x * x)), (a, b) -> a + b) AS HUGEINT))
+        |      AS tt
+        |  FROM q GROUP BY 1),
+        |d AS (SELECT label, i, SUM(CAST(q[i] AS HUGEINT)) AS s
+        |  FROM q, generate_series(1, 64) AS g(i) GROUP BY 1, 2),
+        |sl AS (SELECT label, SUM(s * s) AS s2 FROM d GROUP BY 1),
+        |sg AS (SELECT i, SUM(s) AS gs FROM d GROUP BY 1),
+        |xd AS (SELECT d.label, SUM(d.s * (sg.gs - d.s)) AS xd
+        |  FROM d JOIN sg ON sg.i = d.i GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM t)
+        |SELECT t.label, t.n,
+        |  floor(CAST(sl.s2 - t.tt AS DOUBLE)
+        |    / CAST(NULLIF(CAST(t.n AS HUGEINT) * (t.n - 1), 0) AS DOUBLE)
+        |    / 1e12 * 1e6 + 0.5) / 1e6 AS within_cos,
+        |  floor(CAST(xd.xd AS DOUBLE)
+        |    / CAST(NULLIF(CAST(t.n AS HUGEINT) * (nn.nt - t.n), 0) AS DOUBLE)
+        |    / 1e12 * 1e6 + 0.5) / 1e6 AS cross_cos
+        |FROM t JOIN sl USING (label) JOIN xd USING (label) CROSS JOIN nn
+        |ORDER BY t.label""".stripMargin,
+
     // Multiprobe random-hyperplane ANN top-k per query (seed-42 planes).
     "ann_lsh" ->
       """WITH r(q_id, n_id, score, "rank") AS (VALUES

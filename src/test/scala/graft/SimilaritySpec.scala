@@ -525,4 +525,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(3) >= math.ceil(nVec.toDouble / 16).toLong,
       "max cell at least the balanced size")
   }
+
+  test("embedding alignment: planted identical/orthogonal labels read exact 1.0 / 0.0 / null") {
+    import graft.operators.Similarity
+    def e(i: Int): Array[Float] =
+      Array.tabulate(64)(d => if (d == i) 1f else 0f)
+    val emb = Seq(
+      (0L, e(0), 0), (1L, e(0), 0),            // two identical → within 1.0
+      (2L, e(1), 1), (3L, e(2), 1),            // two orthogonal → within 0.0
+      (4L, e(3), 2))                           // singleton → within null
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingAlignmentOf(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)))))
+      .toMap
+    // every label's vectors are orthogonal to every other label's,
+    // so cross_cos is exactly 0.0 throughout
+    assert(out(0) == ((2L, 1.0, 0.0)), s"got $out")
+    assert(out(1) == ((2L, 0.0, 0.0)), s"got $out")
+    assert(out(2) == ((1L, null, 0.0)), s"got $out")
+  }
 }

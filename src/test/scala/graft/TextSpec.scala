@@ -191,4 +191,27 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(got(2L) == ((25L, 4L, 1L, cli(25, 4, 1))), s"got ${got(2L)}")
     assert(got(3L) == ((4L, 3L, 2L, cli(4, 3, 2))), s"got ${got(3L)}")
   }
+
+  test("winnowing: the w+k-1 shared-run guarantee holds and short docs select nothing") {
+    import spark.implicits._
+    // k=5, w=4: docs 1 and 2 share a run of 8 = w+k−1 tokens — the
+    // paper's guarantee says they MUST share a selected fingerprint.
+    // doc 3 (4 tokens < k) contributes zero grams and zero prints.
+    val docs = Seq(
+      (1L, "A", "a b c d e f g h tail1 tail2"),
+      (2L, "A", "lead0 a b c d e f g h"),
+      (3L, "A", "too short for k"),
+      (4L, "B", "p q r s t")) // exactly k tokens → 1 gram → 1 print
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.winnowFingerprintsOf(docs)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val (aDocs, aGrams, aPrints, aDens, aDistinct, aShared) = out("A")
+    assert(aDocs == 3L && aGrams == 6L + 5L + 0L, s"got $out")
+    assert(aShared >= 1L,
+      s"docs sharing a w+k-1 token run must share a print: $out")
+    assert(aPrints >= aDistinct && aDens <= 1000000L, s"got $out")
+    assert(out("B") == ((1L, 1L, 1L, 1000000L, 1L, 0L)), s"got $out")
+  }
 }
