@@ -218,6 +218,10 @@ object SparkEntry {
     // label alignment/separation (SURVEY §2 rows 401-402)
     "winnow_fingerprints" -> (TextAnalysis.winnowFingerprints(_, _)),
     "embedding_alignment" -> (Similarity.embeddingAlignment(_, _)),
+    // Round-14 third tranche: supplier-concentration risk + RAKE
+    // phrase keywords (SURVEY §2 rows 403-404)
+    "single_sourcing"   -> (Warehouse.singleSourcing(_, _)),
+    "rake_keywords"     -> (CorpusStats.rakeKeywords(_, _)),
     "strip_markup"      -> (TextAnalysis.stripMarkup(_, _)),
     "mojibake_stats"    -> (TextAnalysis.mojibakeStats(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),

@@ -1138,6 +1138,74 @@ object CorpusStats {
   def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
     simpsonDiversityOf(Tables.documents(spark, dir))
 
+  /** RAKE keyword extraction (Rose '10 — Rapid Automatic Keyword
+    * Extraction): candidate PHRASES are the maximal stopword-free
+    * token runs, each word scores degree/frequency (degree = Σ
+    * phrase length over its occurrences — co-occurrence inside
+    * phrases is the whole trick), a phrase scores the sum of its
+    * words. The PHRASE-level sibling of [[textrankKeywordsOf]]
+    * (TextRank ranks single tokens by graph centrality at 10
+    * iterations; RAKE surfaces multi-word terms in ONE pass — the
+    * cheap-first keyword ladder).
+    *
+    * Determinism: degree/frequency is a RATIONAL per word — summing
+    * float ratios per phrase would be order-sensitive, so each word
+    * score quantizes to the 1e-6 integer grid FIRST
+    * ((degree·10⁶) div freq, ≤ maxLen·10⁶ by degree ≤ freq·maxLen)
+    * and phrase scores are exact integer sums; top-k breaks ties on
+    * the phrase text. Products ride decimal(38,0) (degree sums are
+    * corpus-scale).
+    *
+    * Shape: one posexplode + per-DOC cumulative-stopword window
+    * (bounded per doc — the sessionize contract), one (doc, seg)
+    * phrase fold, bounded word/phrase vocabulary aggregates, TakeOrdered
+    * top-k. */
+  def rakeKeywordsOf(docs: DataFrame, maxLen: Int = 4,
+                     minCount: Long = 2, k: Int = 20): DataFrame = {
+    require(maxLen >= 1 && minCount >= 1 && k > 0,
+      s"need maxLen/minCount/k positive, got $maxLen/$minCount/$k")
+    val stop = graft.operators.TextAnalysis.Stopwords
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val words = docs
+      .select(col("doc_id"), posexplode(TextF.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+      .withColumn("st",
+        when(col("tok").isin(stop.map(_.asInstanceOf[Any]): _*)
+          || length(col("tok")) < 2, 1L).otherwise(0L))
+      .withColumn("seg", sum("st").over(byDoc))
+      .filter(col("st") === 0L)
+    val phrases = words.groupBy("doc_id", "seg")
+      .agg(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+        .as("phrase"), count(lit(1)).as("plen"))
+      .filter(col("plen") <= maxLen)
+      .localCheckpoint(false) // word stats, support and members read it
+    val wordScore = phrases
+      .select(explode(split(col("phrase"), " ")).as("tok"), col("plen"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"),
+        sum(col("plen").cast("decimal(38,0)")).as("degree"))
+      .select(col("tok"),
+        expr("CAST((degree * 1000000) div freq AS BIGINT)").as("wscore"))
+    val support = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), min("plen").as("n_words"))
+      .filter(col("n_occurrences") >= minCount)
+    support
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("tok"))
+      .join(wordScore, "tok")
+      .groupBy("phrase", "n_words", "n_occurrences")
+      .agg(sum("wscore").as("score_q"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        (col("score_q").cast("double") / lit(1e6)).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
+
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame =
+    rakeKeywordsOf(Tables.documents(spark, dir))
+
   /** Vocabulary coverage curve: what fraction of all corpus token
     * OCCURRENCES the top-k vocabulary types cover, at k ∈ `ks` — the
     * tokenizer/vocab-sizing read ([[oovRateOf]] fixes ONE k and scores

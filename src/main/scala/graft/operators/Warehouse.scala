@@ -1765,4 +1765,49 @@ object Warehouse {
 
   def priceDispersion(spark: SparkSession, dir: String): DataFrame =
     priceDispersionOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  /** Single-sourcing supply risk per brand ([[priceDispersionOf]]
+    * polices a part's PRICE spread; this polices its SUPPLY spread —
+    * a part whose volume rides one supplier is a disruption away
+    * from a stockout, the classic supplier-concentration screen):
+    * per part, the top supplier's share of shipped quantity (argmax
+    * with ties to the SMALLEST suppkey — the [[langHhiOf]]-family
+    * lexicographic-min-over-(-qty, key) contract), rolled up per
+    * brand as the share of parts whose top supplier carries ≥ 90% —
+    * the cut CROSS-MULTIPLIED on raw quantities (top·10 ≥ total·9,
+    * never a rounded ppm — the [[priceDispersionOf]] boundary
+    * lesson) — plus the worst part's exact-ppm concentration.
+    *
+    * Shape: one (part, supplier) map-combinable quantity aggregate,
+    * one part fold, one AQE-sized dim equijoin (part scales with
+    * the corpus — no forced broadcast), one ≤|brands|-row rollup. */
+  def singleSourcingOf(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("q").as("qs"))
+      .groupBy("l_partkey")
+      .agg(sum("qs").as("qt"), count(lit(1)).as("n_suppliers"),
+        min(struct((-col("qs")).as("nq"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"), col("qt"), col("n_suppliers"),
+        (-col("m.nq")).as("top_q"))
+    perPart
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(expr("top_q * 10 >= qt * 9"), 1L).otherwise(0L))
+          .as("n_single_sourced"),
+        max(expr("CAST((top_q * 1000000) div qt AS BIGINT)"))
+          .as("max_top_share_ppm"))
+      .select(col("p_brand"), col("n_parts"), col("n_single_sourced"),
+        expr("CAST((n_single_sourced * 1000000) div n_parts AS BIGINT)")
+          .as("single_share_ppm"),
+        col("max_top_share_ppm"))
+      .orderBy("p_brand")
+  }
+
+  def singleSourcing(spark: SparkSession, dir: String): DataFrame =
+    singleSourcingOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
 }

@@ -1188,6 +1188,44 @@ private[graft] object CorpusStatsOracles {
         |    / CAST(rep2 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS effective_types
         |FROM s ORDER BY source""".stripMargin,
 
+    // RAKE: zipped unnest for (pos, tok), per-doc stopword cumsum
+    // segments phrases, 1e-6-quantized degree/freq word scores,
+    // integer phrase sums, (score DESC, phrase) top-k.
+    "rake_keywords" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |flat AS (SELECT doc_id,
+        |    unnest(generate_series(1, len(toks))) AS pos,
+        |    unnest(toks) AS tok FROM d),
+        |f2 AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN tok IN ('the', 'a') OR length(tok) < 2
+        |      THEN 1 ELSE 0 END AS st FROM flat),
+        |sg AS (SELECT *, SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM f2),
+        |ph AS (SELECT doc_id, seg,
+        |    array_to_string(list(tok ORDER BY pos), ' ') AS phrase,
+        |    CAST(COUNT(*) AS BIGINT) AS plen
+        |  FROM sg WHERE st = 0 GROUP BY 1, 2),
+        |phf AS (SELECT * FROM ph WHERE plen <= 4),
+        |ws AS (SELECT tok,
+        |    CAST((CAST(SUM(plen) AS HUGEINT) * 1000000) // COUNT(*)
+        |      AS BIGINT) AS wscore
+        |  FROM (SELECT unnest(string_split(phrase, ' ')) AS tok, plen
+        |        FROM phf) GROUP BY 1),
+        |occ AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |    CAST(MIN(plen) AS BIGINT) AS n_words
+        |  FROM phf GROUP BY 1 HAVING COUNT(*) >= 2),
+        |sc AS (SELECT o.phrase, o.n_words, o.n_occurrences,
+        |    CAST(SUM(ws.wscore) AS BIGINT) AS score_q
+        |  FROM (SELECT phrase, n_words, n_occurrences,
+        |          unnest(string_split(phrase, ' ')) AS tok FROM occ) o
+        |  JOIN ws ON ws.tok = o.tok
+        |  GROUP BY 1, 2, 3)
+        |SELECT phrase, n_words, n_occurrences,
+        |  CAST(score_q AS DOUBLE) / 1e6 AS score
+        |FROM sc ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
+
     // Rank vocabulary by (count DESC, token), int64 cumsum, probe the
     // clamped rank per k.
     "coverage_curve" ->

@@ -939,6 +939,32 @@ private[graft] object WarehouseOracles {
         |FROM pr JOIN part p ON p.p_partkey = pr.l_partkey
         |GROUP BY 1 ORDER BY p.p_brand""".stripMargin,
 
+    // Single-sourcing: argmax supplier via ROW_NUMBER (qty DESC,
+    // suppkey), cross-multiplied 90% cut on raw quantities.
+    "single_sourcing" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qs
+        |  FROM lineitem GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, CAST(SUM(qs) AS BIGINT) AS qt,
+        |    CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        |  FROM ps GROUP BY 1),
+        |tp AS (SELECT l_partkey, qs AS top_q FROM (
+        |    SELECT l_partkey, qs,
+        |      ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |        ORDER BY qs DESC, l_suppkey) AS rn
+        |    FROM ps) WHERE rn = 1),
+        |pf AS (SELECT pp.l_partkey, pp.qt, tp.top_q
+        |  FROM pp JOIN tp ON tp.l_partkey = pp.l_partkey)
+        |SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(CASE WHEN pf.top_q * 10 >= pf.qt * 9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_single_sourced,
+        |  CAST((SUM(CASE WHEN pf.top_q * 10 >= pf.qt * 9 THEN 1 ELSE 0 END)
+        |      * 1000000) // COUNT(*) AS BIGINT) AS single_share_ppm,
+        |  CAST(MAX((pf.top_q * 1000000) // pf.qt) AS BIGINT)
+        |    AS max_top_share_ppm
+        |FROM pf JOIN part p ON p.p_partkey = pf.l_partkey
+        |GROUP BY 1 ORDER BY p.p_brand""".stripMargin,
+
     // XYZ variability classes: exact cross-multiplied CV cuts on
     // DECIMAL (4(WQ−S²) ≤ S² etc.), zero weeks through the global W
     // constant, 4-dp CV published only.

@@ -850,4 +850,23 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("B") == ((1L, 1L, null, null)), s"got $out")
     assert(out("C") == ((2L, 2L, 0L, null)), s"got $out")
   }
+
+  test("rake keywords: degree/freq phrase scores by hand, maxLen cap, minCount floor") {
+    import spark.implicits._
+    // per doc: phrases [red apple], [banana] — 'the' delimits;
+    // doc 3's 5-token run exceeds maxLen=4 and is dropped whole.
+    val docs = Seq(
+      (1L, "red apple the banana"),
+      (2L, "red apple the banana"),
+      (3L, "vv ww xx yy zz"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.CorpusStats.rakeKeywordsOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // red: freq 2, degree 4 → 2.0; apple: 2.0; banana: freq 2,
+    // degree 2 → 1.0. "red apple" = 4.0, "banana" = 1.0.
+    assert(out == Map(
+      "red apple" -> ((2L, 2L, 4.0)),
+      "banana" -> ((1L, 2L, 1.0))), s"got $out")
+  }
 }

@@ -848,4 +848,20 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
       "Brand#1" -> ((2L, 1L, 500000L, 107142L)),
       "Brand#2" -> ((1L, 0L, 0L, 47619L))), s"got $out")
   }
+
+  test("single sourcing: the 90% cut is boundary-inclusive cross-multiplied; ties break to the smaller suppkey") {
+    val part = Seq((1L, "Brand#1"), (2L, "Brand#1"), (3L, "Brand#2"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, 10L, 9.0), (1L, 20L, 1.0),  // top 9/10 = exactly 90% → single
+      (2L, 10L, 1.0), (2L, 20L, 1.0),  // 50/50 tie → top 500000 ppm
+      (3L, 10L, 8.0), (3L, 20L, 2.0))  // 80% → not single
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val out = graft.operators.Warehouse.singleSourcingOf(li, part).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out == Map(
+      "Brand#1" -> ((2L, 1L, 500000L, 900000L)),
+      "Brand#2" -> ((1L, 0L, 0L, 800000L))), s"got $out")
+  }
 }
