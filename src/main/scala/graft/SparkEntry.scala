@@ -222,6 +222,10 @@ object SparkEntry {
     // phrase keywords (SURVEY §2 rows 403-404)
     "single_sourcing"   -> (Warehouse.singleSourcing(_, _)),
     "rake_keywords"     -> (CorpusStats.rakeKeywords(_, _)),
+    // Round-14 fourth tranche: Church-Gale term dispersion + Pettitt
+    // rank changepoint (SURVEY §2 rows 405-406)
+    "term_burstiness"   -> (CorpusStats.termBurstiness(_, _)),
+    "pettitt_changepoint" -> (EventAnalytics.pettittChangepoint(_, _)),
     "strip_markup"      -> (TextAnalysis.stripMarkup(_, _)),
     "mojibake_stats"    -> (TextAnalysis.mojibakeStats(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),

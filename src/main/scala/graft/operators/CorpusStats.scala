@@ -1206,6 +1206,50 @@ object CorpusStats {
   def rakeKeywords(spark: SparkSession, dir: String): DataFrame =
     rakeKeywordsOf(Tables.documents(spark, dir))
 
+  /** Term burstiness (Church-Gale '95): per-term dispersion of the
+    * per-DOCUMENT count — D = var/mean over all N docs with absent
+    * docs as real zeros. A Poisson-scattered term reads D ≈ 1
+    * (function words); a term that arrives in BURSTS (all its mass
+    * in few docs) reads D ≫ 1 — the classical signal that a term is
+    * topical, which raw frequency can't see ([[tfidfTopTermsOf]]
+    * scores docs by terms; this profiles the TERMS themselves, the
+    * keyword-vs-glue diagnostic under every stopword list). Top-K
+    * terms by collection frequency.
+    *
+    * Exact: D = (N·Σc² − cf²)/(N·cf) — population variance over the
+    * implicit zero-padded doc vector, cleared denominators, no
+    * densification (absent docs add nothing to either sum). All
+    * products decimal(38,0) (cf² crosses int64 at ~3·10⁹
+    * occurrences), exact-ppm division, df carried for the
+    * bursty-AND-rare read.
+    *
+    * Shape: one (doc, token) map-combinable count — the only
+    * fact-scale shuffle — one token-keyed moment fold on the
+    * vocabulary frame, a 1-row doc-count broadcast, TakeOrdered
+    * top-K. */
+  def termBurstinessOf(docs: DataFrame, k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dec = "decimal(38,0)"
+    val perDoc = docs
+      .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs")) // 1 row
+    perDoc.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("c").as("cf"),
+        sum(expr(s"CAST(c AS $dec) * c")).as("c2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("cf"), col("df"),
+        expr(s"""CAST(((n_docs * c2 - CAST(cf AS $dec) * cf) * 1000000)
+                |  div (CAST(n_docs AS $dec) * cf) AS BIGINT)"""
+          .stripMargin).as("dispersion_ppm"))
+      .orderBy(col("cf").desc, col("token"))
+      .limit(k)
+  }
+
+  def termBurstiness(spark: SparkSession, dir: String): DataFrame =
+    termBurstinessOf(Tables.documents(spark, dir))
+
   /** Vocabulary coverage curve: what fraction of all corpus token
     * OCCURRENCES the top-k vocabulary types cover, at k ∈ `ks` — the
     * tokenizer/vocab-sizing read ([[oovRateOf]] fixes ONE k and scores

@@ -1418,6 +1418,80 @@ object EventAnalytics {
     * lesson). `idx` is days since the global min; `si` the train/test
     * split index (last `testDays` days held out). Bounded: types ×
     * day-span rows. */
+  /** Pettitt changepoint test per event type (Pettitt '79) — the
+    * RANK-based single-changepoint detector beside the mean-based
+    * pair ([[cusumChangepointOf]] needs a baseline + threshold,
+    * binary segmentation minimizes SSE): K = max_t |U_t| with
+    * U_t = Σ_{i≤t}Σ_{j>t} sgn(y_i − y_j) over the dense daily count
+    * series — distribution-free, outlier-immune (a single spiked day
+    * moves U by at most T, where it moves an SSE split by the square
+    * of the spike). Earliest argmax on ties; the α=0.05 verdict uses
+    * the standard approximation p ≈ 2·exp(−6K²/(T³+T²)) rearranged
+    * to the CROSS-MULTIPLIED literal form 6K² > 3.68888·(T³+T²)
+    * (−ln 0.025 = 3.68888…, a shared literal both engines compare
+    * with one multiply — the madOutliers literal rule; no exp/ln at
+    * runtime). Integer exact: pairwise signs as CASE (engine sign()
+    * types differ), U sums and K on int64 (K ≤ T²/2 — int64 to
+    * T ≈ 4·10⁶ days; the calendar caps T far below).
+    *
+    * Shape: one (type, day) fact aggregate; the sign pairs and the
+    * boundary sums all ride the bounded types × span² day frame. */
+  def pettittChangepointOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1")) // 1 row
+    val dense = daily.select("event_type").distinct() // bounded
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("d0"),
+        explode(sequence(lit(0L),
+          datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
+      .join(daily.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          datediff(col("day"), col("d0")).cast("long").as("idx"),
+          col("c")),
+        Seq("event_type", "idx"), "left")
+      .select(col("event_type"), col("d0"), col("idx"),
+        coalesce(col("c"), lit(0L)).as("y"))
+      .localCheckpoint(false) // pairs, boundaries and the day lookup read it
+    val pairs = dense.as("l")
+      .join(dense.as("r"),
+        col("l.event_type") === col("r.event_type")
+          && col("l.idx") < col("r.idx"))
+      .select(col("l.event_type").as("event_type"),
+        col("l.idx").as("i"), col("r.idx").as("j"),
+        when(col("l.y") > col("r.y"), 1L)
+          .when(col("l.y") < col("r.y"), -1L).otherwise(0L).as("s"))
+    val boundaries = dense
+      .groupBy("event_type").agg(max("idx").as("tmax"))
+      .select(col("event_type"),
+        explode(sequence(lit(0L), col("tmax") - 1L)).as("t"))
+    val u = pairs.join(boundaries, Seq("event_type"))
+      .filter(col("i") <= col("t") && col("j") > col("t"))
+      .groupBy("event_type", "t")
+      .agg(sum("s").as("u"))
+    u.groupBy("event_type")
+      .agg(count(lit(1)).as("n_boundaries"),
+        min(struct((-abs(col("u"))).as("nk"), col("t"))).as("m"))
+      .select(col("event_type"),
+        (col("n_boundaries") + 1L).as("t_days"),
+        (-col("m.nk")).as("k_stat"), col("m.t").as("change_idx"))
+      .join(dense.select(col("event_type"),
+        col("idx").as("change_idx"),
+        expr("date_add(d0, CAST(idx AS INT))").as("change_day")),
+        Seq("event_type", "change_idx"))
+      .select(col("event_type"), col("t_days"), col("k_stat"),
+        col("change_idx"), col("change_day"),
+        (expr("CAST(6 * k_stat * k_stat AS DOUBLE)") >
+          lit(3.68888) * expr(
+            "CAST(t_days * t_days * t_days + t_days * t_days AS DOUBLE)"))
+          .as("significant"))
+      .orderBy("event_type")
+  }
+
+  def pettittChangepoint(spark: SparkSession, dir: String): DataFrame =
+    pettittChangepointOf(Tables.events(spark, dir))
+
   private def denseDaily(events: DataFrame, testDays: Int): DataFrame = {
     val daily = events
       .select(col("event_type"), to_date(col("ts")).as("day"))

@@ -1188,6 +1188,27 @@ private[graft] object CorpusStatsOracles {
         |    / CAST(rep2 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS effective_types
         |FROM s ORDER BY source""".stripMargin,
 
+    // Church-Gale burstiness: cleared-denominator Fano factor
+    // (N·Σc² − cf²)/(N·cf) per term, HUGEINT products, zero docs
+    // implicit (they add nothing to either sum).
+    "term_burstiness" ->
+      """WITH pd AS (SELECT doc_id, tok AS token,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |m AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(c) AS BIGINT) AS cf,
+        |    SUM(CAST(c AS HUGEINT) * c) AS c2
+        |  FROM pd GROUP BY 1)
+        |SELECT token, cf, df,
+        |  CAST(((nd.n_docs * c2 - CAST(cf AS HUGEINT) * cf) * 1000000)
+        |    // (CAST(nd.n_docs AS HUGEINT) * cf) AS BIGINT)
+        |    AS dispersion_ppm
+        |FROM m, nd ORDER BY cf DESC, token LIMIT 50""".stripMargin,
+
     // RAKE: zipped unnest for (pos, tok), per-doc stopword cumsum
     // segments phrases, 1e-6-quantized degree/freq word scores,
     // integer phrase sums, (score DESC, phrase) top-k.

@@ -931,6 +931,50 @@ private[graft] object EventOracles {
 
     // Exact-integer CUSUM: baseline mean as integer micros, running
     // deviation sum, first |S| > h*mu0 crossing per type.
+    // Pettitt: pairwise CASE signs on the dense daily grid, boundary
+    // sums, earliest |U| argmax, cross-multiplied 3.68888 verdict.
+    "pettitt_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |ty AS (SELECT DISTINCT event_type FROM daily),
+        |ix AS (SELECT unnest(generate_series(0,
+        |      CAST(datediff('day', d0, d1) AS BIGINT))) AS idx, d0
+        |  FROM bo),
+        |dense AS (SELECT ty.event_type, CAST(ix.idx AS BIGINT) AS idx,
+        |    ix.d0, COALESCE(d.c, 0) AS y
+        |  FROM ty CROSS JOIN ix LEFT JOIN daily d
+        |    ON d.event_type = ty.event_type
+        |    AND d.day = ix.d0 + CAST(ix.idx AS INT)),
+        |pairs AS (SELECT l.event_type, l.idx AS i, r.idx AS j,
+        |    CASE WHEN l.y > r.y THEN 1 WHEN l.y < r.y THEN -1
+        |      ELSE 0 END AS s
+        |  FROM dense l JOIN dense r ON r.event_type = l.event_type
+        |    AND l.idx < r.idx),
+        |bd AS (SELECT event_type,
+        |    unnest(generate_series(0, CAST(MAX(idx) - 1 AS BIGINT))) AS t
+        |  FROM dense GROUP BY event_type),
+        |u AS (SELECT p.event_type, bd.t, CAST(SUM(p.s) AS BIGINT) AS u
+        |  FROM pairs p JOIN bd ON bd.event_type = p.event_type
+        |  WHERE p.i <= bd.t AND p.j > bd.t
+        |  GROUP BY 1, 2),
+        |k AS (SELECT event_type,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) + 1 AS BIGINT)
+        |      AS t_days,
+        |    abs(u) AS k_stat, t AS change_idx,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY abs(u) DESC, t) AS rn
+        |  FROM u)
+        |SELECT k.event_type, k.t_days, k.k_stat, k.change_idx,
+        |  bo.d0 + CAST(k.change_idx AS INT) AS change_day,
+        |  CAST(6 * k.k_stat * k.k_stat AS DOUBLE) >
+        |    3.68888 * CAST(k.t_days * k.t_days * k.t_days
+        |      + k.t_days * k.t_days AS DOUBLE) AS significant
+        |FROM k CROSS JOIN bo WHERE k.rn = 1
+        |ORDER BY k.event_type""".stripMargin,
+
     "cusum_changepoint" ->
       """WITH daily AS (SELECT event_type, ts::DATE AS day,
         |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qrev

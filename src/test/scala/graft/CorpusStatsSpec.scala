@@ -869,4 +869,17 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
       "red apple" -> ((2L, 2L, 4.0)),
       "banana" -> ((1L, 2L, 1.0))), s"got $out")
   }
+
+  test("term burstiness: a bursty term reads D > 1e6, an everywhere-constant term reads 0") {
+    import spark.implicits._
+    // x: 3 occurrences all in doc 1 → D = (3·9 − 9)/(3·3) = 2.0;
+    // y: once per doc → zero variance → D = 0.
+    val docs = Seq((1L, "x x x y"), (2L, "y"), (3L, "y"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.CorpusStats.termBurstinessOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out == Map("x" -> ((3L, 1L, 2000000L)),
+      "y" -> ((3L, 3L, 0L))), s"got $out")
+  }
 }

@@ -959,4 +959,32 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
       (4, 10) -> ((2L, 666666L, 3.0)),
       (5, 23) -> ((1L, 333333L, 0.5))), s"got $out")
   }
+
+  test("pettitt: a level shift argmaxes |U| at the shift boundary with the exact pair count") {
+    // counts 1,1,1,5,5,5 over six days: every (low, high) pair signs
+    // −1; the t=2 boundary separates all 9 of them → K = 9 at idx 2.
+    // 6K² = 486 < 3.68888·(216+36) ≈ 929.6 → not significant at this
+    // tiny span (the verdict needs length, not just shape).
+    val rows = (1 to 6).flatMap { d =>
+      val copies = if (d <= 3) 1 else 5
+      Seq.fill(copies)(("buy", f"2024-01-$d%02d 10:00:00", 1.0))
+    }
+    val out = EventAnalytics.pettittChangepointOf(dailyEvents(rows: _*))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDate(4).toString, r.getBoolean(5)) ==
+      ((6L, 9L, 2L, "2024-01-03", false)), s"got $r")
+  }
+
+  test("pettitt: a stationary series keeps K small and earliest-tie deterministic") {
+    val ev = dailyEvents((1 to 8).map(d =>
+      ("view", f"2024-01-$d%02d 10:00:00", 1.0)): _*)
+    val Array(r) = EventAnalytics.pettittChangepointOf(ev).collect()
+    // all counts equal → every pairwise sign is 0 → K = 0, argmax
+    // ties broken to the earliest boundary t = 0
+    assert((r.getLong(2), r.getLong(3), r.getBoolean(5)) ==
+      ((0L, 0L, false)), s"got $r")
+  }
 }
