@@ -1655,4 +1655,43 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     noCartesian("association_rules", ar)
     assert(bnlj(ar).isEmpty, s"association_rules: equijoins only:\n$ar")
   }
+
+  test("round-14 tranches: new-operator plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    // join-free map-side counting shapes (the only broadcast is a
+    // 1-row readout where present)
+    Seq("simpson_diversity" -> plan(CorpusStats.simpsonDiversity(spark, Sf)),
+      "term_burstiness" -> plan(CorpusStats.termBurstiness(spark, Sf)),
+      "winnow_fingerprints" ->
+        plan(TextAnalysis.winnowFingerprints(spark, Sf)))
+      .foreach { case (n, p) =>
+        noCartesian(n, p)
+        assert(bnlj(p).length <= 1, s"$n: 1-row readout broadcast only:\n$p")
+      }
+    // equijoin trees
+    Seq("single_sourcing" -> plan(Warehouse.singleSourcing(spark, Sf)),
+      "rake_keywords" -> plan(CorpusStats.rakeKeywords(spark, Sf)))
+      .foreach { case (n, p) =>
+        noCartesian(n, p)
+        assert(bnlj(p).isEmpty, s"$n: equijoins only:\n$p")
+      }
+    // rake's only window is the per-doc stopword cumsum — partitioned
+    val rk = plan(CorpusStats.rakeKeywords(spark, Sf))
+    assert(rk.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"rake_keywords: doc-partitioned windows only:\n$rk")
+    // eigenvector / alignment / pettitt: bounded-frame or 1-row
+    // broadcasts only (edge frames, dim sums, day spans)
+    Seq("eigenvector_centrality" ->
+        plan(Graph.eigenvectorCentrality(spark, Sf)),
+      "embedding_alignment" -> plan(Similarity.embeddingAlignment(spark, Sf)),
+      "pettitt_changepoint" ->
+        plan(EventAnalytics.pettittChangepoint(spark, Sf)))
+      .foreach { case (n, p) => noCartesian(n, p) }
+  }
 }
