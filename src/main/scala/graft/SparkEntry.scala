@@ -226,6 +226,10 @@ object SparkEntry {
     // rank changepoint (SURVEY §2 rows 405-406)
     "term_burstiness"   -> (CorpusStats.termBurstiness(_, _)),
     "pettitt_changepoint" -> (EventAnalytics.pettittChangepoint(_, _)),
+    // Round-14 fifth tranche: variance-homogeneity pre-check +
+    // Mann-Kendall trend significance (SURVEY §2 rows 407-408)
+    "brown_forsythe"    -> (Behavior.brownForsythe(_, _)),
+    "mann_kendall"      -> (Robust.mannKendall(_, _)),
     "strip_markup"      -> (TextAnalysis.stripMarkup(_, _)),
     "mojibake_stats"    -> (TextAnalysis.mojibakeStats(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),

@@ -730,6 +730,75 @@ object Behavior {
   def anovaF(spark: SparkSession, dir: String): DataFrame =
     anovaFOf(Tables.events(spark, dir))
 
+  /** Brown–Forsythe variance-homogeneity test per event type across
+    * the [[arm3]] assignment — the pre-check [[anovaFOf]] silently
+    * assumes (ANOVA compares MEANS under equal variances; when one
+    * arm's spread balloons — a treatment that destabilizes revenue
+    * without moving its mean — F stays quiet and this fires):
+    * Levene's W computed on |v − median_arm| with the MEDIAN center
+    * (Brown-Forsythe '74's heavy-tail-robust choice), which is the
+    * one-way ANOVA F over the transformed values — the same exact
+    * moment machinery, the same F(2, ∞) = 2.9957 α = 0.05 literal.
+    *
+    * Exactness: medians are LOWER medians off the (type, arm, value)
+    * micro-grid cumsum (rank (n+1) div 2 — both engines truncate
+    * nonneg identically; no interpolation, so z = |v − m| stays an
+    * exact integer); z-moments per arm ride decimal(38,0); the final
+    * double combination mirrors [[anovaFOf]] textually.
+    *
+    * Shape: one (type, arm, value) map-combinable grid count — the
+    * only fact-sized shuffle ([[Robust.ksTestOf]]'s vocabulary
+    * argument); median, z-moments, pivot and F all ride the bounded
+    * grid. */
+  def brownForsytheOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val grid = events.select(col("event_type"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"),
+        arm3(col("user_id")).as("arm"))
+      .groupBy("event_type", "arm", "vq")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // the median pass and the z-moments both read it
+    val cumW = Window.partitionBy("event_type", "arm").orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byArm = Window.partitionBy("event_type", "arm")
+    val med = grid
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(byArm))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("event_type", "arm").agg(min("vq").as("m"))
+    val perArm = grid.join(med, Seq("event_type", "arm"))
+      .select(col("event_type"), col("arm"),
+        abs(col("vq") - col("m")).as("z"), col("c"))
+      .groupBy("event_type", "arm")
+      .agg(sum("c").as("n"),
+        sum(expr(s"CAST(z AS $dec) * c")).as("s"),
+        sum(expr(s"CAST(z AS $dec) * z * c")).as("ss"))
+    def pick(c: String, a: Int) = max(when(col("arm") === a, col(c)))
+    val wide = perArm.groupBy("event_type")
+      .agg(pick("n", 0).as("n0"), pick("n", 1).as("n1"), pick("n", 2).as("n2"),
+        pick("s", 0).as("s0"), pick("s", 1).as("s1"), pick("s", 2).as("s2"),
+        pick("ss", 0).as("ss0"), pick("ss", 1).as("ss1"), pick("ss", 2).as("ss2"))
+      .filter(col("n0").isNotNull && col("n1").isNotNull && col("n2").isNotNull)
+    def d(c: Column) = c.cast("double")
+    val bigN = col("n0") + col("n1") + col("n2")
+    val sb = d(col("s0")) * d(col("s0")) / d(col("n0")) +
+      d(col("s1")) * d(col("s1")) / d(col("n1")) +
+      d(col("s2")) * d(col("s2")) / d(col("n2"))
+    val sTot = d(col("s0") + col("s1") + col("s2"))
+    val ssb = sb - sTot * sTot / d(bigN)
+    val ssw = d(col("ss0") + col("ss1") + col("ss2")) - sb
+    val w = (ssb / lit(2.0)) / nullif(ssw / d(bigN - 3), lit(0.0))
+    wide
+      .filter(bigN > 3)
+      .select(col("event_type"), col("n0"), col("n1"), col("n2"),
+        graft.functions.TextF.round6HalfUp(w).as("w_stat"),
+        (w > lit(2.9957)).as("significant"))
+      .orderBy("event_type")
+  }
+
+  def brownForsythe(spark: SparkSession, dir: String): DataFrame =
+    brownForsytheOf(Tables.events(spark, dir))
+
   /** Conversion-latency distribution: for each user's FIRST view and
     * first purchase STRICTLY after it (the funnel pairing of
     * [[funnelStepsOf]], two chained min-aggregates — never a per-user

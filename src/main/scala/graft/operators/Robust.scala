@@ -303,6 +303,63 @@ object Robust {
   def theilSenTrend(spark: SparkSession, dir: String): DataFrame =
     theilSenTrendOf(Tables.events(spark, dir))
 
+  /** Mann–Kendall trend test per event type — the SIGNIFICANCE twin
+    * of [[theilSenTrendOf]] (Theil–Sen estimates the robust slope;
+    * Mann–Kendall says whether ANY monotone trend exists at all,
+    * rank-based, magnitude-free — the pair every hydrology/ops
+    * handbook ships together): S = Σ_{i<j} sgn(v_j − v_i) over the
+    * daily-total series, tie-corrected normal approximation
+    * z = (S ∓ 1)/√Var with 18·Var = T(T−1)(2T+5) − Σt(t−1)(2t+5)
+    * (tie groups t over equal daily VALUES), trend verdict
+    * |z| > 1.96 at α = 0.05 ([[madOutliersOf]]'s literal rule).
+    *
+    * Exactness: S, both variance polynomials, and the ∓1 continuity
+    * correction are pure int64 (T is calendar-bounded — int64 to
+    * T ≈ 10⁶ days); the only floats are one division-by-18, one
+    * sqrt, one division, identical text both engines; a fully-tied
+    * or 1-day series nulls z via try_divide (√0 denominator).
+    *
+    * Shape: the [[theilSenTrendOf]] (type, day) aggregate + its
+    * calendar-bounded pair self-join; ties come off a (type, value)
+    * fold of the SAME daily frame. */
+  def mannKendallOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .groupBy("event_type", "day").agg(sum("qv").as("v"))
+      .localCheckpoint(false) // pair join (both sides), T count, tie fold
+    val b = daily.select(col("event_type").as("bt"),
+      col("day").as("bday"), col("v").as("bv"))
+    val sAgg = daily
+      .join(b, col("event_type") === col("bt") && col("day") < col("bday"))
+      .select(col("event_type"),
+        when(col("bv") > col("v"), 1L)
+          .when(col("bv") < col("v"), -1L).otherwise(0L).as("sg"))
+      .groupBy("event_type")
+      .agg(sum("sg").as("s"), count(lit(1)).as("n_pairs"))
+    val tAgg = daily.groupBy("event_type").agg(count(lit(1)).as("t_days"))
+    val ties = daily.groupBy("event_type", "v")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tcorr"))
+    sAgg.join(tAgg, "event_type").join(ties, "event_type")
+      .select(col("event_type"), col("t_days"), col("s"),
+        expr("t_days * (t_days - 1) * (2 * t_days + 5) - tcorr").as("v18"),
+        expr("CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END")
+          .as("sadj"))
+      .select(col("event_type"), col("t_days"), col("s"),
+        TextF.round4HalfUp(expr(
+          "try_divide(CAST(sadj AS DOUBLE), sqrt(CAST(v18 AS DOUBLE) / 18.0))"))
+          .as("z"),
+        expr("""abs(try_divide(CAST(sadj AS DOUBLE),
+                |  sqrt(CAST(v18 AS DOUBLE) / 18.0))) > 1.96""".stripMargin)
+          .as("trending"))
+      .orderBy("event_type")
+  }
+
+  def mannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendallOf(Tables.events(spark, dir))
+
   /** Robust (median/IQR) feature scaling of the order-value column,
     * per priority group — the outlier-immune standardization a feature
     * pipeline applies before modeling (z-scores move with every

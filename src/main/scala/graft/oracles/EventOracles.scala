@@ -458,6 +458,60 @@ private[graft] object EventOracles {
         |  f > 2.9957 AS significant
         |FROM f ORDER BY event_type""".stripMargin,
 
+    // Brown–Forsythe W: lower medians off the (type, arm, value)
+    // grid cumsum, exact integer |v − m| z-moments on DECIMAL, then
+    // the anova_f double chain verbatim on the z frame.
+    "brown_forsythe" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 3 AS arm
+        |  FROM events),
+        |grid AS (SELECT event_type, arm, vq, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |cum AS (SELECT *, SUM(c) OVER (PARTITION BY event_type, arm
+        |      ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type, arm) AS n
+        |  FROM grid),
+        |med AS (SELECT event_type, arm, MIN(vq) AS m
+        |  FROM cum WHERE cum >= (n + 1) // 2 GROUP BY 1, 2),
+        |pa AS (SELECT g.event_type, g.arm, CAST(SUM(g.c) AS BIGINT) AS n,
+        |    SUM(CAST(abs(g.vq - med.m) AS DECIMAL(38,0)) * g.c) AS s,
+        |    SUM(CAST(abs(g.vq - med.m) AS DECIMAL(38,0))
+        |      * abs(g.vq - med.m) * g.c) AS ss
+        |  FROM grid g JOIN med ON med.event_type = g.event_type
+        |    AND med.arm = g.arm
+        |  GROUP BY 1, 2),
+        |w AS (SELECT event_type,
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN arm = 2 THEN n END) AS n2,
+        |    MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+        |    MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+        |    MAX(CASE WHEN arm = 2 THEN s END) AS s2,
+        |    MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+        |    MAX(CASE WHEN arm = 1 THEN ss END) AS ss1,
+        |    MAX(CASE WHEN arm = 2 THEN ss END) AS ss2
+        |  FROM pa GROUP BY 1),
+        |calc AS (SELECT event_type, n0, n1, n2,
+        |    CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS sb,
+        |    CAST(s0 + s1 + s2 AS DOUBLE) AS st,
+        |    CAST(ss0 + ss1 + ss2 AS DOUBLE) AS sst
+        |  FROM w
+        |  WHERE n0 IS NOT NULL AND n1 IS NOT NULL AND n2 IS NOT NULL
+        |    AND n0 + n1 + n2 > 3),
+        |f AS (SELECT event_type, n0, n1, n2,
+        |    ((sb - st * st / CAST(n0 + n1 + n2 AS DOUBLE)) / 2.0)
+        |      / NULLIF((sst - sb) / CAST(n0 + n1 + n2 - 3 AS DOUBLE), 0.0) AS f
+        |  FROM calc)
+        |SELECT event_type, n0, n1, n2,
+        |  floor(f * 1e6 + 0.5) / 1e6 AS w_stat,
+        |  f > 2.9957 AS significant
+        |FROM f ORDER BY event_type""".stripMargin,
+
     // Kruskal–Wallis H: doubled midranks off the (type, value) grid,
     // DECIMAL rank sums, tie-corrected; the double combination and
     // the rounded-H significance compare mirror the engine textually.

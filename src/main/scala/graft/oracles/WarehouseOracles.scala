@@ -349,6 +349,39 @@ private[graft] object WarehouseOracles {
         |            ELSE 0 END AS INT) AS direction
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Mann–Kendall: integer S and tie-corrected 18·Var polynomials
+    // over theilsen's daily frame; one /18 + sqrt + division chain.
+    "mann_kendall" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sa AS (SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |ta AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t_days
+        |  FROM daily GROUP BY 1),
+        |ti AS (SELECT event_type,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tcorr
+        |  FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY 1, 2) GROUP BY 1),
+        |c AS (SELECT sa.event_type, ta.t_days, sa.s,
+        |    ta.t_days * (ta.t_days - 1) * (2 * ta.t_days + 5) - ti.tcorr
+        |      AS v18,
+        |    CASE WHEN sa.s > 0 THEN sa.s - 1 WHEN sa.s < 0 THEN sa.s + 1
+        |      ELSE 0 END AS sadj
+        |  FROM sa JOIN ta ON ta.event_type = sa.event_type
+        |  JOIN ti ON ti.event_type = sa.event_type)
+        |SELECT event_type, t_days, s,
+        |  floor(CAST(sadj AS DOUBLE)
+        |    / sqrt(CAST(v18 AS DOUBLE) / 18.0) * 1e4 + 0.5) / 1e4 AS z,
+        |  abs(CAST(sadj AS DOUBLE)
+        |    / sqrt(CAST(v18 AS DOUBLE) / 18.0)) > 1.96 AS trending
+        |FROM c ORDER BY event_type""".stripMargin,
+
     // Dictionary-level fuzzy pairs: block on the last token, length
     // band then classic Levenshtein (exact integer on both engines),
     // lexicographic pair order.

@@ -1285,4 +1285,55 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       r.getLong(4), r.getLong(5), r.getLong(6)) ==
       ((1L, 2L, 6L, 10L, 6L, 600000L, 1000000L)), s"got $r")
   }
+
+  test("brown-forsythe fires on a pure SPREAD effect that anova F cannot see") {
+    // equal means (10) in every arm, arm-dependent spread ±(arm+1):
+    // ANOVA on the raw values reads ~zero between-arm signal; the
+    // Levene |v − median| transform turns the spread difference into
+    // a MEAN difference and W fires. Hand-compute W through the same
+    // lower-median/moment algebra on the recovered arm map.
+    val users = (0L until 60L)
+    val armOf = users.toDF("user_id")
+      .select(col("user_id"), Behavior.arm3(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(armOf.values.toSet == Set(0L, 1L, 2L), "all arms populated")
+    // signs alternate WITHIN each arm (a global parity leaves arms
+    // sign-skewed under the hash split) and spreads go 1:4:9 so the
+    // between-arm z signal clears the critical decisively
+    val rows = users.groupBy(armOf).toSeq.flatMap { case (a, us) =>
+      us.toSeq.sorted.zipWithIndex.map { case (u, j) =>
+        val d = ((a + 1) * (a + 1)).toDouble
+        (u, "click", "2026-01-01 10:00:00",
+          10.0 + (if (j % 2 == 0) -d else d))
+      }
+    }
+    def ev(rs: Seq[(Long, String, String, Double)]) =
+      rs.toDF("user_id", "event_type", "t", "value")
+        .select(col("user_id"), col("event_type"),
+          to_timestamp(col("t")).as("ts"), col("value"))
+    val r = Behavior.brownForsytheOf(ev(rows)).collect().head
+    // replicate: micro grid, per-arm LOWER median, z = |v − m|, then
+    // the one-way F combination over z
+    val byArm: Map[Long, Seq[Long]] = rows.groupBy(t => armOf(t._1))
+      .map { case (a, ts) =>
+        a -> ts.map(t => math.floor(t._4 * 1e6 + 0.5).toLong).toSeq }
+    val z: Map[Long, Seq[Double]] = byArm.map { case (a, vs) =>
+      val sorted = vs.sorted
+      val m = sorted((vs.size + 1) / 2 - 1)
+      a -> vs.map(v => math.abs(v - m).toDouble)
+    }
+    val n = rows.size.toDouble
+    val all = z.values.flatten.toSeq
+    val sb = (0 until 3).map { a =>
+      val s = z(a.toLong).sum; s * s / z(a.toLong).size }.sum
+    val st = all.sum
+    val ssb = sb - st * st / n
+    val ssw = all.map(v => v * v).sum - sb
+    val w = (ssb / 2.0) / (ssw / (n - 3))
+    assert(r.getDouble(4) == math.floor(w * 1e6 + 0.5) / 1e6, s"got $r vs $w")
+    assert(r.getBoolean(5), "a 1:2:3 spread ratio at n=60 must fire")
+    // the same data's ANOVA reads equal means: F far below critical
+    val f = Behavior.anovaFOf(ev(rows)).collect().head
+    assert(!f.getBoolean(5), s"anova must NOT fire on a spread effect: $f")
+  }
 }
