@@ -230,6 +230,9 @@ object SparkEntry {
     // Mann-Kendall trend significance (SURVEY §2 rows 407-408)
     "brown_forsythe"    -> (Behavior.brownForsythe(_, _)),
     "mann_kendall"      -> (Robust.mannKendall(_, _)),
+    // Round-14 sixth tranche: Syntetos-Boylan demand quadrant
+    // (SURVEY §2 row 409)
+    "demand_classes"    -> (EventAnalytics.demandClasses(_, _)),
     "strip_markup"      -> (TextAnalysis.stripMarkup(_, _)),
     "mojibake_stats"    -> (TextAnalysis.mojibakeStats(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),

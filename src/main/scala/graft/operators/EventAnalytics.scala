@@ -1492,6 +1492,65 @@ object EventAnalytics {
   def pettittChangepoint(spark: SparkSession, dir: String): DataFrame =
     pettittChangepointOf(Tables.events(spark, dir))
 
+  /** Syntetos–Boylan demand classification per item (SBC '05 — the
+    * quadrant chart that DECIDES which forecaster an item gets;
+    * [[crostonBacktestOf]] assumes intermittency, this is the gate
+    * that routes items there): ADI = calendar periods per demand
+    * day (how OFTEN it sells) × CV² of the demand SIZES (how
+    * LUMPILY), cut at the classical ADI = 4/3 and CV² = 0.49 into
+    * smooth / intermittent / erratic / lumpy.
+    *
+    * Both cutoffs are RATIONAL, so the cuts are exact integer
+    * cross-multiplications — never a rounded ratio at the boundary
+    * (the [[Warehouse.priceDispersionOf]] lesson): ADI ≥ 4/3 ⟺
+    * 3·T ≥ 4·n_d, and CV² ≥ 49/100 ⟺ 100·(n_d·Σs² − S²) ≥ 49·S²
+    * (population variance of per-day sizes, cleared denominators on
+    * decimal(38,0) — S² crosses int64 at ~3·10⁹ units). The
+    * published ppm columns are truncated integer divisions for the
+    * READOUT; the class NEVER reads them. T is the GLOBAL calendar
+    * span (one 1-row broadcast) — the shared denominator that makes
+    * items comparable; single-demand-day items have CV² = 0
+    * (degenerate-variance convention) and classify by ADI alone.
+    *
+    * Shape: one (item, day) aggregate off the purchase slice, one
+    * item fold on the vocabulary-bounded frame, a 1-row bounds
+    * broadcast. */
+  def demandClassesOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events.filter(col("event_type") === "purchase")
+      .select(
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("item"),
+        to_date(col("ts")).as("day"))
+      .groupBy("item", "day").agg(count(lit(1)).as("s"))
+    val bounds = daily.agg(
+      (datediff(max("day"), min("day")) + 1).cast("long").as("t_days")) // 1 row
+    daily.groupBy("item")
+      .agg(count(lit(1)).as("nd"), sum(col("s").cast(dec)).as("ssum"),
+        sum(expr(s"CAST(s AS $dec) * s")).as("ssq"))
+      .crossJoin(broadcast(bounds))
+      .select(col("item"), col("t_days"), col("nd"),
+        expr("CAST((t_days * 1000000) div nd AS BIGINT)").as("adi_ppm"),
+        expr(s"""CAST(((nd * ssq - ssum * ssum) * 1000000)
+                |  div (ssum * ssum) AS BIGINT)""".stripMargin).as("cv2_ppm"),
+        concat(
+          when(expr("3 * t_days >= 4 * nd"), lit("intermittent_"))
+            .otherwise(lit("smooth_")),
+          when(expr("100 * (nd * ssq - ssum * ssum) >= 49 * ssum * ssum"),
+            lit("erratic")).otherwise(lit("regular"))).as("quadrant"))
+      .select(col("item"), col("t_days"), col("nd"), col("adi_ppm"),
+        col("cv2_ppm"),
+        expr("""CASE quadrant
+                |  WHEN 'smooth_regular' THEN 'smooth'
+                |  WHEN 'smooth_erratic' THEN 'erratic'
+                |  WHEN 'intermittent_regular' THEN 'intermittent'
+                |  ELSE 'lumpy' END""".stripMargin).as("demand_class"))
+      .orderBy("item")
+  }
+
+  def demandClasses(spark: SparkSession, dir: String): DataFrame =
+    demandClassesOf(Tables.events(spark, dir))
+
   private def denseDaily(events: DataFrame, testDays: Int): DataFrame = {
     val daily = events
       .select(col("event_type"), to_date(col("ts")).as("day"))

@@ -985,6 +985,36 @@ private[graft] object EventOracles {
 
     // Exact-integer CUSUM: baseline mean as integer micros, running
     // deviation sum, first |S| > h*mu0 crossing per type.
+    // Syntetos-Boylan quadrant: exact rational cutoffs
+    // cross-multiplied on HUGEINT (3T >= 4n_d; 100·var-mass >=
+    // 49·S²); ppm columns are readout-only.
+    "demand_classes" ->
+      """WITH p AS (SELECT
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+        |      AS item,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |daily AS (SELECT item, day, CAST(COUNT(*) AS BIGINT) AS s
+        |  FROM p GROUP BY 1, 2),
+        |bo AS (SELECT CAST(datediff('day', MIN(day), MAX(day)) + 1 AS BIGINT)
+        |    AS t_days FROM daily),
+        |m AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    SUM(CAST(s AS HUGEINT)) AS ssum,
+        |    SUM(CAST(s AS HUGEINT) * s) AS ssq
+        |  FROM daily GROUP BY 1)
+        |SELECT item, bo.t_days, nd,
+        |  CAST((bo.t_days * 1000000) // nd AS BIGINT) AS adi_ppm,
+        |  CAST(((nd * ssq - ssum * ssum) * 1000000) // (ssum * ssum)
+        |    AS BIGINT) AS cv2_ppm,
+        |  CASE WHEN 3 * bo.t_days >= 4 * nd THEN
+        |    CASE WHEN 100 * (nd * ssq - ssum * ssum) >= 49 * ssum * ssum
+        |      THEN 'lumpy' ELSE 'intermittent' END
+        |  ELSE
+        |    CASE WHEN 100 * (nd * ssq - ssum * ssum) >= 49 * ssum * ssum
+        |      THEN 'erratic' ELSE 'smooth' END
+        |  END AS demand_class
+        |FROM m, bo ORDER BY item""".stripMargin,
+
     // Pettitt: pairwise CASE signs on the dense daily grid, boundary
     // sums, earliest |U| argmax, cross-multiplied 3.68888 verdict.
     "pettitt_changepoint" ->

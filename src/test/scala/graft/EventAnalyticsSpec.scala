@@ -978,6 +978,37 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
       ((6L, 9L, 2L, "2024-01-03", false)), s"got $r")
   }
 
+  test("demand classes: all four SBC quadrants land, the ADI cut is boundary-inclusive") {
+    import spark.implicits._
+    // span days 1..8 (t_days = 8). sizes per demand day:
+    //  1: every day ×1            → ADI 1,  CV² 0     → smooth
+    //  2: days 1,8 ×1             → ADI 4,  CV² 0     → intermittent
+    //  3: every day, 1/10 alt     → ADI 1,  CV² > .49 → erratic
+    //  4: days 1,8 sizes 1,10     → ADI 4,  CV² > .49 → lumpy
+    //  5: 6 demand days ×1        → ADI exactly 4/3   → intermittent
+    val rows = Seq.newBuilder[(String, String, String)]
+    def p(item: Long, d: Int, n: Int): Unit = (1 to n).foreach { _ =>
+      rows += (("purchase", f"2024-01-$d%02d 10:00:00", s"""{"k": $item}"""))
+    }
+    (1 to 8).foreach(d => p(1L, d, 1))
+    p(2L, 1, 1); p(2L, 8, 1)
+    (1 to 8).foreach(d => p(3L, d, if (d % 2 == 0) 10 else 1))
+    p(4L, 1, 1); p(4L, 8, 10)
+    (1 to 6).foreach(d => p(5L, d, 1))
+    rows += (("view", "2024-01-04 10:00:00", """{"k": 1}""")) // not demand
+    val ev = rows.result().toDF("event_type", "s", "props")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"), col("props"))
+    val out = EventAnalytics.demandClassesOf(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) == ((8L, 8L, 1000000L, 0L, "smooth")), s"got $out")
+    assert(out(2L) == ((8L, 2L, 4000000L, 0L, "intermittent")), s"got $out")
+    assert(out(3L) == ((8L, 8L, 1000000L, 669421L, "erratic")), s"got $out")
+    assert(out(4L) == ((8L, 2L, 4000000L, 669421L, "lumpy")), s"got $out")
+    assert(out(5L)._5 == "intermittent",
+      s"ADI exactly 4/3 is boundary-inclusive: ${out(5L)}")
+  }
+
   test("pettitt: a stationary series keeps K small and earliest-tie deterministic") {
     val ev = dailyEvents((1 to 8).map(d =>
       ("view", f"2024-01-$d%02d 10:00:00", 1.0)): _*)
