@@ -233,6 +233,10 @@ object SparkEntry {
     // Round-14 sixth tranche: Syntetos-Boylan demand quadrant
     // (SURVEY §2 row 409)
     "demand_classes"    -> (EventAnalytics.demandClasses(_, _)),
+    // Round-14 seventh tranche: earth-mover drift + Wald-Wolfowitz
+    // runs test (SURVEY §2 rows 410-411)
+    "wasserstein_drift" -> (Robust.wassersteinDrift(_, _)),
+    "runs_test"         -> (Robust.runsTest(_, _)),
     "strip_markup"      -> (TextAnalysis.stripMarkup(_, _)),
     "mojibake_stats"    -> (TextAnalysis.mojibakeStats(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),

@@ -742,6 +742,135 @@ object Robust {
   def ksTest(spark: SparkSession, dir: String): DataFrame =
     ksTestOf(Tables.events(spark, dir))
 
+  /** 1-D Wasserstein (earth-mover) drift per event type between the
+    * two calendar periods — the THIRD drift lens beside
+    * [[ksTestOf]] (max CDF gap: "did it change") and
+    * [[distributionDriftOf]] (binned TVD: "how much mass moved"):
+    * W₁ = ∫|F_a − F_b| prices how FAR the mass moved in value units
+    * — a $1 shift and a $100 shift read identically to KS/TVD and
+    * 100× apart here, which is what a revenue-drift monitor
+    * actually bills.
+    *
+    * Exact: on the discrete micro grid W₁ = Σ_v |F_a(v) − F_b(v)| ·
+    * gap(v) with ECDFs as integer cumulative counts, so the mass is
+    * Σ |ca·nb − cb·na| · gap on decimal(38,0) (ca·nb crosses int64
+    * at ~3·10⁹ rows/side — [[ksTestOf]]'s documented class; the gap
+    * factor stays inside 38 digits to ~10⁶-unit value ranges) and
+    * ONE division by na·nb·10⁶ at the edge converts to value units.
+    * The last grid point's lead is null → its term is 0 (both CDFs
+    * are 1 at the max).
+    *
+    * Shape: one (type, value) map-combinable count; cumsum/lead/
+    * totals windows share the type partitioning on the bounded
+    * distinct-value frame; one bounded per-type fold. */
+  def wassersteinDriftOf(events: DataFrame,
+                         splitDay: String = "2024-01-16"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cumW = Window.partitionBy("event_type").orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leadW = Window.partitionBy("event_type").orderBy("vq")
+    val byType = Window.partitionBy("event_type")
+    events.select(col("event_type"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"),
+        (col("ts") < lit(splitDay).cast("timestamp")).as("in_a"))
+      .groupBy("event_type", "vq")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca_bin"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb_bin"))
+      .withColumn("ca", sum("ca_bin").over(cumW))
+      .withColumn("cb", sum("cb_bin").over(cumW))
+      .withColumn("gap", lead("vq", 1).over(leadW) - col("vq"))
+      .withColumn("na", sum("ca_bin").over(byType))
+      .withColumn("nb", sum("cb_bin").over(byType))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("mass",
+        expr(s"""abs(CAST(ca AS $dec) * nb - CAST(cb AS $dec) * na)
+                |  * COALESCE(gap, 0)""".stripMargin))
+      .groupBy("event_type", "na", "nb")
+      .agg(sum("mass").as("m"))
+      .select(col("event_type"), col("na"), col("nb"),
+        TextF.round6HalfUp(expr(
+          """CAST(m AS DOUBLE)
+            |  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e6"""
+            .stripMargin)).as("w1"))
+      .orderBy("event_type")
+  }
+
+  def wassersteinDrift(spark: SparkSession, dir: String): DataFrame =
+    wassersteinDriftOf(Tables.events(spark, dir))
+
+  /** Wald–Wolfowitz runs test per event type on the daily-total
+    * series vs its own median — the RANDOMNESS gate under every
+    * time-series read here ([[mannKendallOf]] asks "monotone
+    * trend?", [[Behavior.anovaFOf]]-family asks "level shift?";
+    * this asks "is it even exchangeable?" — too FEW runs means
+    * clustering/regime structure, too MANY means oscillation):
+    * signs vs the LOWER median (ties at the median drop, the
+    * standard convention), R = sign-change runs counted by one lag
+    * pass, E[R] = 1 + 2·n₊n₋/n, Var = 2n₊n₋(2n₊n₋ − n)/(n²(n−1)),
+    * z = (R − E)/√Var.
+    *
+    * Exactness: R, n₊, n₋ pure int64 on the calendar-bounded daily
+    * frame; E and Var ride ONE double chain with cleared integer
+    * products computed first (2n₊n₋ ≤ n²/2 — int64 to n ≈ 3·10⁹
+    * days, i.e. forever); degenerate series (all one side, or
+    * n < 2) null z via try_divide. Verdict |z| > 1.96.
+    *
+    * Shape: one (type, day) fact aggregate; median, signs, the lag
+    * pass and the fold all ride the bounded daily frame. */
+  def runsTestOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .groupBy("event_type", "day").agg(sum("qv").as("v"))
+      .localCheckpoint(false) // median pass + sign pass both read it
+    val cumW = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byType = Window.partitionBy("event_type")
+    val med = daily
+      .withColumn("cum", count(lit(1)).over(cumW))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("event_type").agg(min("v").as("m"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val signs = daily.join(med, "event_type")
+      .filter(col("v") =!= col("m"))
+      .select(col("event_type"), col("day"),
+        when(col("v") > col("m"), 1L).otherwise(-1L).as("sg"))
+      .withColumn("chg",
+        when(lag("sg", 1).over(byDay).isNull
+          || lag("sg", 1).over(byDay) =!= col("sg"), 1L).otherwise(0L))
+    signs.groupBy("event_type")
+      .agg(sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("sg") === -1L, 1L).otherwise(0L)).as("n_neg"),
+        sum("chg").as("runs"))
+      .select(col("event_type"), col("n_pos"), col("n_neg"), col("runs"),
+        TextF.round4HalfUp(expr(
+          """try_divide(
+            |  CAST(runs AS DOUBLE) - (1.0
+            |    + CAST(2 * n_pos * n_neg AS DOUBLE)
+            |      / CAST(n_pos + n_neg AS DOUBLE)),
+            |  sqrt(CAST(2 * n_pos * n_neg AS DOUBLE)
+            |    * CAST(2 * n_pos * n_neg - n_pos - n_neg AS DOUBLE)
+            |    / (CAST(n_pos + n_neg AS DOUBLE)
+            |       * CAST(n_pos + n_neg AS DOUBLE)
+            |       * CAST(n_pos + n_neg - 1 AS DOUBLE))))"""
+            .stripMargin)).as("z"),
+        expr("""abs(try_divide(
+               |  CAST(runs AS DOUBLE) - (1.0
+               |    + CAST(2 * n_pos * n_neg AS DOUBLE)
+               |      / CAST(n_pos + n_neg AS DOUBLE)),
+               |  sqrt(CAST(2 * n_pos * n_neg AS DOUBLE)
+               |    * CAST(2 * n_pos * n_neg - n_pos - n_neg AS DOUBLE)
+               |    / (CAST(n_pos + n_neg AS DOUBLE)
+               |       * CAST(n_pos + n_neg AS DOUBLE)
+               |       * CAST(n_pos + n_neg - 1 AS DOUBLE))))) > 1.96"""
+          .stripMargin).as("nonrandom"))
+      .orderBy("event_type")
+  }
+
+  def runsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestOf(Tables.events(spark, dir))
+
   /** Mann-Whitney U (Wilcoxon rank-sum) A/B readout per event type —
     * the nonparametric sibling of [[graft.operators.Behavior
     * .abTestOf]]'s proportion z-test: arms split by the SAME

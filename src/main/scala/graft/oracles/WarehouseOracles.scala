@@ -702,6 +702,83 @@ private[graft] object WarehouseOracles {
         |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS drifted
         |FROM m ORDER BY event_type""".stripMargin,
 
+    // 1-D Wasserstein: the ks_test CTEs + a lead() gap; HUGEINT
+    // |ca·nb − cb·na|·gap mass, one division at the edge.
+    "wasserstein_drift" ->
+      """WITH e AS (SELECT event_type,
+        |        CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
+        |        (ts < TIMESTAMP '2024-01-16') AS in_a
+        |      FROM events),
+        |g AS (SELECT event_type, vq,
+        |        CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca_bin,
+        |        CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb_bin
+        |      FROM e GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |        CAST(SUM(ca_bin) OVER (PARTITION BY event_type ORDER BY vq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |        CAST(SUM(cb_bin) OVER (PARTITION BY event_type ORDER BY vq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+        |        lead(vq) OVER (PARTITION BY event_type ORDER BY vq) - vq AS gap,
+        |        CAST(SUM(ca_bin) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        |        CAST(SUM(cb_bin) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |      FROM g),
+        |m AS (SELECT event_type, na, nb,
+        |        SUM(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+        |          * COALESCE(gap, 0)) AS m
+        |      FROM w WHERE na > 0 AND nb > 0 GROUP BY 1, 2, 3)
+        |SELECT event_type, na, nb,
+        |  floor(CAST(m AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e6
+        |    * 1e6 + 0.5) / 1e6 AS w1
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // Wald-Wolfowitz runs: lower median off the daily frame, ties
+    // drop, lag-pass run count, one double chain for E/Var/z.
+    "runs_test" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |med AS (SELECT event_type, MIN(v) AS m
+        |  FROM cum WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |sg AS (SELECT d.event_type, d.day,
+        |    CASE WHEN d.v > med.m THEN 1 ELSE -1 END AS sg
+        |  FROM daily d JOIN med ON med.event_type = d.event_type
+        |  WHERE d.v <> med.m),
+        |ch AS (SELECT event_type, sg,
+        |    CASE WHEN lag(sg) OVER (PARTITION BY event_type ORDER BY day)
+        |        IS DISTINCT FROM sg THEN 1 ELSE 0 END AS chg
+        |  FROM sg),
+        |a AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |    CAST(SUM(chg) AS BIGINT) AS runs
+        |  FROM ch GROUP BY 1)
+        |SELECT event_type, n_pos, n_neg, runs,
+        |  floor((CAST(runs AS DOUBLE) - (1.0
+        |      + CAST(2 * n_pos * n_neg AS DOUBLE)
+        |        / CAST(n_pos + n_neg AS DOUBLE)))
+        |    / sqrt(CAST(2 * n_pos * n_neg AS DOUBLE)
+        |      * CAST(2 * n_pos * n_neg - n_pos - n_neg AS DOUBLE)
+        |      / (CAST(n_pos + n_neg AS DOUBLE)
+        |         * CAST(n_pos + n_neg AS DOUBLE)
+        |         * CAST(n_pos + n_neg - 1 AS DOUBLE)))
+        |    * 1e4 + 0.5) / 1e4 AS z,
+        |  abs((CAST(runs AS DOUBLE) - (1.0
+        |      + CAST(2 * n_pos * n_neg AS DOUBLE)
+        |        / CAST(n_pos + n_neg AS DOUBLE)))
+        |    / sqrt(CAST(2 * n_pos * n_neg AS DOUBLE)
+        |      * CAST(2 * n_pos * n_neg - n_pos - n_neg AS DOUBLE)
+        |      / (CAST(n_pos + n_neg AS DOUBLE)
+        |         * CAST(n_pos + n_neg AS DOUBLE)
+        |         * CAST(n_pos + n_neg - 1 AS DOUBLE)))) > 1.96 AS nonrandom
+        |FROM a ORDER BY event_type""".stripMargin,
+
     // Mann-Whitney: doubled-U pair counting by value (2U1 = Σ c1 *
     // (2*below0 + c0)) and the tie term Σ(t³−t) on HUGEINT (Spark:
     // decimal(38,0)); z and auc are fixed-order double expressions.

@@ -465,6 +465,53 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     assert(got("b") == ((40L, 2L, 1L)), s"b: ${got("b")}")
   }
 
+  test("wasserstein: a pure location shift prices exactly its distance; identical periods read 0") {
+    import org.apache.spark.sql.functions._
+    def ev(rows: (String, String, Double)*) =
+      rows.toDF("event_type", "s", "value")
+        .select(col("event_type"), to_timestamp(col("s")).as("ts"),
+          col("value"))
+    // 'shift': period A uniform {1, 2}, period B uniform {4, 5} — a
+    // +3.0 translation, so W1 = 3.0 exactly (KS reads 1.0 for ANY
+    // disjoint shift; W1 prices the distance). 'same': identical.
+    val out = Robust.wassersteinDriftOf(ev(
+      ("shift", "2024-01-10 00:00:00", 1.0), ("shift", "2024-01-10 00:00:00", 2.0),
+      ("shift", "2024-01-20 00:00:00", 4.0), ("shift", "2024-01-20 00:00:00", 5.0),
+      ("same", "2024-01-10 00:00:00", 1.0), ("same", "2024-01-10 00:00:00", 9.0),
+      ("same", "2024-01-20 00:00:00", 1.0), ("same", "2024-01-20 00:00:00", 9.0)),
+      "2024-01-16").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out == Map("shift" -> 3.0, "same" -> 0.0), s"got $out")
+  }
+
+  test("runs test: a perfectly alternating series over-runs; a two-block series under-runs") {
+    import org.apache.spark.sql.functions._
+    def ev(rows: (String, String, Double)*) =
+      rows.toDF("event_type", "s", "value")
+        .select(col("event_type"), to_timestamp(col("s")).as("ts"),
+          col("value"))
+    // nine days with values {1, 5, 9}: the lone 5-day IS the lower
+    // median and drops (tie convention), leaving 4 below / 4 above.
+    // alt orders them −+−+−+−+ (8 runs, maximal); block −−−−++++
+    // (2 runs, minimal).
+    val altDays = Seq(5.0, 1.0, 9.0, 1.0, 9.0, 1.0, 9.0, 1.0, 9.0)
+    val blockDays = Seq(5.0, 1.0, 1.0, 1.0, 1.0, 9.0, 9.0, 9.0, 9.0)
+    val rows =
+      altDays.zipWithIndex.map { case (v, i) =>
+        ("alt", f"2024-01-${i + 1}%02d 10:00:00", v) } ++
+      blockDays.zipWithIndex.map { case (v, i) =>
+        ("block", f"2024-01-${i + 1}%02d 10:00:00", v) }
+    val out = Robust.runsTestOf(ev(rows: _*)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    // E[R] = 1 + 32/8 = 5; Var = 32·24/(64·7)
+    assert(out("alt") == ((4L, 4L, 8L,
+      math.floor((8.0 - 5.0) / math.sqrt(32.0 * 24.0 / (64.0 * 7.0))
+        * 1e4 + 0.5) / 1e4)), s"got $out")
+    assert(out("block")._3 == 2L &&
+      out("block")._4 < 0, s"two blocks must under-run: $out")
+  }
+
   test("mann-kendall: a strictly rising series scores the textbook z; a flat one nulls") {
     import org.apache.spark.sql.functions._
     def ev(rows: (String, String, Double)*) =
