@@ -237,6 +237,10 @@ object SparkEntry {
     // runs test (SURVEY §2 rows 410-411)
     "wasserstein_drift" -> (Robust.wassersteinDrift(_, _)),
     "runs_test"         -> (Robust.runsTest(_, _)),
+    // Round-14 eighth tranche: stylometric source distance +
+    // hub-ablation robustness (SURVEY §2 rows 412-413)
+    "burrows_delta"     -> (CorpusStats.burrowsDelta(_, _)),
+    "hub_ablation"      -> (Graph.hubAblation(_, _)),
     "strip_markup"      -> (TextAnalysis.stripMarkup(_, _)),
     "mojibake_stats"    -> (TextAnalysis.mojibakeStats(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),

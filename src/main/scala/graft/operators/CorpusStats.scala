@@ -1250,6 +1250,75 @@ object CorpusStats {
   def termBurstiness(spark: SparkSession, dir: String): DataFrame =
     termBurstinessOf(Tables.documents(spark, dir))
 
+  /** Burrows' Delta stylometric distance between sources (Burrows
+    * '02 — the authorship-attribution standard): z-normalize each
+    * source's relative frequency of the top-`k` corpus words across
+    * sources, Delta(a,b) = mean |z_a − z_b|. The STYLE lens beside
+    * [[graft.operators.Corpus]]'s source governance —
+    * `source_word_tvd` reads raw share differences (dominated by
+    * topic); z-normalizing per WORD cancels the corpus-wide usage
+    * level, leaving each source's stylistic deviation profile, which
+    * is what separates "same content, different register" sources.
+    *
+    * Determinism: relative frequencies quantize to exact ppb
+    * integers ((count·10⁹) div source_total, decimal(38,0) —
+    * count·10⁹ crosses int64 at ~9·10⁹ tokens); per-word z clears
+    * denominators — z = (S·f − Σf)/√(S·Σf² − (Σf)²) — computed as
+    * ONE double division+sqrt then quantized to the 1e-6 grid
+    * BEFORE the pairwise |Δ| sums (integer, order-free); words with
+    * zero cross-source variance drop (z undefined; they carry no
+    * signal) and `n_words` publishes the surviving count. Absent
+    * (source, word) cells are REAL zeros via the bounded
+    * sources × top-k cross.
+    *
+    * Shape: one (source, token) map-combinable count — the only
+    * fact-scale shuffle — a k-row TakeOrdered vocabulary broadcast,
+    * then sources×k / pair-frame algebra. */
+  def burrowsDeltaOf(docs: DataFrame, k: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = "decimal(38,0)"
+    val counts = docs
+      .select(col("source"), explode(TextF.tokens(col("text"))).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // totals, top-k and the dense join read it
+    val totals = counts.groupBy("source").agg(sum("c").as("total"))
+      .localCheckpoint(false)
+    val topk = counts.groupBy("token").agg(sum("c").as("tc"))
+      .orderBy(col("tc").desc, col("token")).limit(k)
+      .select(col("token")).localCheckpoint(false)
+    val dense = totals.crossJoin(broadcast(topk)) // bounded: S × k
+      .join(counts, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        expr(s"""CAST((CAST(COALESCE(c, 0) AS $dec) * 1000000000)
+                |  div total AS BIGINT)""".stripMargin).as("f"))
+    val byWord = Window.partitionBy("token")
+    val z = dense
+      .withColumn("s_src", count(lit(1)).over(byWord))
+      .withColumn("sw", sum(col("f").cast(dec)).over(byWord))
+      .withColumn("sww", sum(expr(s"CAST(f AS $dec) * f")).over(byWord))
+      .filter(expr("s_src * sww - sw * sw > 0")) // zero-variance words drop
+      .select(col("source"), col("token"),
+        expr("""CAST(floor(
+               |  CAST(s_src * f - sw AS DOUBLE)
+               |    / sqrt(CAST(s_src * sww - sw * sw AS DOUBLE))
+               |  * 1e6 + 0.5) AS BIGINT)""".stripMargin).as("zq"))
+      .localCheckpoint(false) // both pair legs read it
+    z.select(col("source").as("source_a"), col("token"), col("zq").as("za"))
+      .join(z.select(col("source").as("source_b"), col("token"),
+        col("zq").as("zb")), Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_words"), sum(abs(col("za") - col("zb"))).as("m"))
+      .select(col("source_a"), col("source_b"), col("n_words"),
+        TextF.round4HalfUp(expr(
+          "CAST(m AS DOUBLE) / CAST(n_words AS DOUBLE) / 1e6")).as("delta"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def burrowsDelta(spark: SparkSession, dir: String): DataFrame =
+    burrowsDeltaOf(Tables.documents(spark, dir))
+
   /** Vocabulary coverage curve: what fraction of all corpus token
     * OCCURRENCES the top-k vocabulary types cover, at k ∈ `ks` — the
     * tokenizer/vocab-sizing read ([[oovRateOf]] fixes ONE k and scores

@@ -1188,6 +1188,41 @@ private[graft] object CorpusStatsOracles {
         |    / CAST(rep2 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS effective_types
         |FROM s ORDER BY source""".stripMargin,
 
+    // Burrows' Delta: exact-ppb shares on the dense sources × top-k
+    // cross, cleared-denominator z quantized to 1e-6 BEFORE the
+    // pairwise |Δ| integer sums; zero-variance words drop.
+    "burrows_delta" ->
+      """WITH t AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS total
+        |  FROM c GROUP BY 1),
+        |topk AS (SELECT token FROM (SELECT token, SUM(c) AS tc
+        |    FROM c GROUP BY 1 ORDER BY tc DESC, token LIMIT 30)),
+        |dense AS (SELECT tot.source, k.token,
+        |    CAST((CAST(COALESCE(c.c, 0) AS HUGEINT) * 1000000000)
+        |      // tot.total AS BIGINT) AS f
+        |  FROM tot CROSS JOIN topk k
+        |  LEFT JOIN c ON c.source = tot.source AND c.token = k.token),
+        |w AS (SELECT *,
+        |    CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS s_src,
+        |    SUM(CAST(f AS HUGEINT)) OVER (PARTITION BY token) AS sw,
+        |    SUM(CAST(f AS HUGEINT) * f) OVER (PARTITION BY token) AS sww
+        |  FROM dense),
+        |z AS (SELECT source, token,
+        |    CAST(floor(CAST(s_src * f - sw AS DOUBLE)
+        |      / sqrt(CAST(s_src * sww - sw * sw AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS zq
+        |  FROM w WHERE s_src * sww - sw * sw > 0)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  floor(CAST(SUM(abs(a.zq - b.zq)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS delta
+        |FROM z a JOIN z b ON b.token = a.token AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Church-Gale burstiness: cleared-denominator Fano factor
     // (N·Σc² − cf²)/(N·cf) per term, HUGEINT products, zero docs
     // implicit (they add nothing to either sum).

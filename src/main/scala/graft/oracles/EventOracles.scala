@@ -2983,6 +2983,50 @@ private[graft] object EventOracles {
 
     // Item-graph connectivity profile: the shared edge CTE + the
     // recursive min-label closure, two bounded folds.
+    // Hub ablation: two min-label closures (the item_graph_components
+    // recursive-UNION pattern twice), ROW_NUMBER hub pick, exact ppm.
+    "hub_ablation" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         item AS dst
+        |  FROM base),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM tr WHERE src IS NOT NULL AND src <> dst),
+        |nodes AS (SELECT DISTINCT id FROM
+        |          (SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |        (SELECT a AS u FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |hubs AS (SELECT u FROM (SELECT u,
+        |    ROW_NUMBER() OVER (ORDER BY deg DESC, u) AS rn FROM deg)
+        |  WHERE rn <= 3),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |r AS (SELECT id AS node, id AS lbl FROM nodes
+        |  UNION SELECT sym.a AS node, r.lbl FROM sym JOIN r ON r.node = sym.b),
+        |comp AS (SELECT node, MIN(lbl) AS component FROM r GROUP BY 1),
+        |gb AS (SELECT CAST(MAX(sz) AS BIGINT) AS giant_before FROM
+        |       (SELECT component, COUNT(*) AS sz FROM comp GROUP BY 1)),
+        |e2 AS (SELECT a, b FROM e WHERE a NOT IN (SELECT u FROM hubs)
+        |       AND b NOT IN (SELECT u FROM hubs)),
+        |nodes2 AS (SELECT id FROM nodes
+        |           WHERE id NOT IN (SELECT u FROM hubs)),
+        |sym2 AS (SELECT a, b FROM e2 UNION ALL SELECT b AS a, a AS b FROM e2),
+        |r2 AS (SELECT id AS node, id AS lbl FROM nodes2
+        |  UNION SELECT sym2.a AS node, r2.lbl
+        |        FROM sym2 JOIN r2 ON r2.node = sym2.b),
+        |comp2 AS (SELECT node, MIN(lbl) AS component FROM r2 GROUP BY 1),
+        |ga AS (SELECT CAST(MAX(sz) AS BIGINT) AS giant_after FROM
+        |       (SELECT component, COUNT(*) AS sz FROM comp2 GROUP BY 1))
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hubs) AS n_hubs_removed,
+        |  gb.giant_before, ga.giant_after,
+        |  CAST((ga.giant_after * 1000000) // gb.giant_before AS BIGINT)
+        |    AS retained_ppm
+        |FROM gb, ga""".stripMargin,
+
     "item_graph_components" ->
       """WITH RECURSIVE base AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,

@@ -870,6 +870,22 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
       "banana" -> ((1L, 2L, 1.0))), s"got $out")
   }
 
+  test("burrows delta: identical-style sources read 0, the deviant source reads symmetric positive") {
+    import spark.implicits._
+    // A and B share the exact frequency profile; C inverts it. Both
+    // words survive (nonzero cross-source variance) → n_words = 2.
+    val docs = Seq(
+      (1L, "A", "x x y"), (2L, "B", "x x y"), (3L, "C", "y y x"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.CorpusStats.burrowsDeltaOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("A", "B")) == ((2L, 0.0)), s"got $out")
+    assert(out(("A", "C")) == out(("B", "C")), s"got $out")
+    assert(out(("A", "C"))._2 > 1.0,
+      s"a full profile inversion is > 1 sd apart: $out")
+  }
+
   test("term burstiness: a bursty term reads D > 1e6, an everywhere-constant term reads 0") {
     import spark.implicits._
     // x: 3 occurrences all in doc 1 → D = (3·9 − 9)/(3·3) = 2.0;

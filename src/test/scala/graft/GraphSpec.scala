@@ -388,6 +388,17 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       s"heavier leaves outrank the lighter one: $out")
   }
 
+  test("hub ablation: bridged triangles shatter when the bridge endpoints go") {
+    // triangles {1,2,3} and {4,5,6} bridged through 7 (7–1, 7–4).
+    // degrees: 1,4 → 3; the rest → 2; hubs (top-3 by deg, then id)
+    // = {1, 4, 2}. Survivors {3,5,6,7} keep only edge (5,6) →
+    // giant 7 → 2.
+    val ev = stream(1L, 2L, 3L, 1L, 7L, 4L, 5L, 6L, 4L, 7L)
+    val Array(r) = Graph.hubAblationOf(ev).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((7L, 3L, 7L, 2L, 285714L)), s"got $r")
+  }
+
   test("eigenvector centrality is deterministic across runs") {
     val ev = stream(5L, 7L, 5L, 9L, 7L, 5L)
     val a = Graph.eigenvectorCentralityOf(ev, iterations = 4).collect().toSeq
