@@ -1693,5 +1693,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "pettitt_changepoint" ->
         plan(EventAnalytics.pettittChangepoint(spark, Sf)))
       .foreach { case (n, p) => noCartesian(n, p) }
+    // tranches 5-8: every window partitioned (type/arm/token-keyed —
+    // no single-task global sort), no cartesians anywhere
+    Seq("brown_forsythe" -> plan(Behavior.brownForsythe(spark, Sf)),
+      "mann_kendall" -> plan(graft.operators.Robust.mannKendall(spark, Sf)),
+      "demand_classes" -> plan(EventAnalytics.demandClasses(spark, Sf)),
+      "wasserstein_drift" ->
+        plan(graft.operators.Robust.wassersteinDrift(spark, Sf)),
+      "runs_test" -> plan(graft.operators.Robust.runsTest(spark, Sf)),
+      "burrows_delta" -> plan(CorpusStats.burrowsDelta(spark, Sf)),
+      "hub_ablation" -> plan(Graph.hubAblation(spark, Sf)))
+      .foreach { case (n, p) =>
+        noCartesian(n, p)
+        assert(p.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w }
+          .forall(_.partitionSpec.nonEmpty),
+          s"$n: partitioned windows only:\n$p")
+      }
   }
 }
