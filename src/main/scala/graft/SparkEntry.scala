@@ -241,6 +241,9 @@ object SparkEntry {
     // hub-ablation robustness (SURVEY §2 rows 412-413)
     "burrows_delta"     -> (CorpusStats.burrowsDelta(_, _)),
     "hub_ablation"      -> (Graph.hubAblation(_, _)),
+    // Round-14 ninth tranche: Rocchio pseudo-relevance feedback
+    // (SURVEY §2 row 414)
+    "prf_search"        -> (CorpusStats.prfSearch(_, _)),
     "strip_markup"      -> (TextAnalysis.stripMarkup(_, _)),
     "mojibake_stats"    -> (TextAnalysis.mojibakeStats(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),

@@ -415,6 +415,93 @@ object CorpusStats {
   def bm25Search(spark: SparkSession, dir: String): DataFrame =
     bm25SearchOf(Tables.documents(spark, dir), Seq("spark", "merge", "window"))
 
+  /** Pseudo-relevance-feedback retrieval (Rocchio '71 via the modern
+    * RM/PRF recipe): run [[bm25SearchOf]], treat its top-`fDocs`
+    * docs as relevant, mine the `mTerms` highest-weight expansion
+    * terms from them (feedback term frequency × ratio-idf — the
+    * vocabulary-mismatch fix: a query says "merge", the relevant
+    * docs also say "join", the second pass finds docs that only say
+    * "join"), re-run BM25 with the expanded query. The second-pass
+    * stage the sparse stack ([[bm25SearchOf]] → `hybrid_search`)
+    * was missing.
+    *
+    * Determinism: expansion weights are EXACT integers — tfb ×
+    * ((N·10⁶) div df) on decimal(38,0) (ratio-idf on the ppm grid;
+    * N·10⁶ crosses int64 at ~9·10⁹ docs) — ranked (weight DESC,
+    * token); seed terms, [[graft.operators.TextAnalysis.Stopwords]]
+    * and 1-char tokens are excluded from expansion; both BM25
+    * passes share [[bm25SearchOf]]'s quantized-term-weight contract.
+    *
+    * Shape: pass 1 is [[bm25SearchOf]]; the candidate mine joins
+    * the corpus against a BROADCAST fDocs-row feedback set; the
+    * corpus-df pass semi-joins the bounded candidate vocabulary
+    * map-side; pass 2 is one more filtered scan. Four fact scans
+    * total, every intermediate frame bounded. */
+  def prfSearchOf(docs: DataFrame, query: Seq[String] =
+                    Seq("spark", "merge", "window"),
+                  fDocs: Int = 5, mTerms: Int = 3,
+                  k: Int = 20): DataFrame = {
+    require(query.nonEmpty && fDocs > 0 && mTerms > 0 && k > 0,
+      s"need nonempty query and positive fDocs/mTerms/k")
+    val dec = "decimal(38,0)"
+    val stop = graft.operators.TextAnalysis.Stopwords
+    val lens = docs.select(col("doc_id"),
+      TextF.tokenCount(col("text")).cast("long").as("len"))
+      .localCheckpoint(false) // both scoring passes read it
+    val totals = lens.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("total_tokens")).localCheckpoint(false)
+    def bm25Pass(termFilter: DataFrame => DataFrame,
+                 topK: Int): DataFrame = {
+      val tf = termFilter(docs
+        .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("token")))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      val lenNorm = col("len").cast("double") * col("n_docs").cast("double") /
+        col("total_tokens").cast("double")
+      val w = (col("tf").cast("double") * 2.2 /
+        (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * lenNorm))) *
+        ((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5))
+      tf.join(lens, "doc_id")
+        .crossJoin(broadcast(totals)) // 1 row by construction
+        .select(col("doc_id"), floor(w * 1e6 + 0.5).cast("long").as("qw"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          TextF.round4HalfUp(sum("qw").cast("double") / 1e6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(topK)
+    }
+    val fb = bm25Pass(_.filter(col("token").isin(query: _*)), fDocs)
+      .select(col("doc_id")).localCheckpoint(false)
+    val banned = (stop ++ query).map(_.asInstanceOf[Any])
+    val cand = docs.join(broadcast(fb), "doc_id")
+      .select(explode(TextF.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) >= 2 && !col("token").isin(banned: _*))
+      .groupBy("token").agg(count(lit(1)).as("tfb"))
+      .localCheckpoint(false) // the df pass and the weight rank read it
+    val dfc = docs
+      .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("token"))
+      .join(broadcast(cand.select("token")), Seq("token"), "left_semi")
+      .distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val expTerms = cand.join(dfc, "token")
+      .crossJoin(broadcast(totals))
+      .select(col("token"),
+        expr(s"""CAST(tfb AS $dec)
+                |  * ((CAST(n_docs AS $dec) * 1000000) div df)"""
+          .stripMargin).as("wq"))
+      .orderBy(col("wq").desc, col("token")).limit(mTerms)
+      .select(col("token"))
+    val allTerms = {
+      import docs.sparkSession.implicits._
+      query.toDF("token").union(expTerms).distinct().localCheckpoint(false)
+    }
+    bm25Pass(_.join(broadcast(allTerms), Seq("token"), "left_semi"), k)
+  }
+
+  def prfSearch(spark: SparkSession, dir: String): DataFrame =
+    prfSearchOf(Tables.documents(spark, dir))
+
   /** Dataset card per (lang, source) — the one-table summary a corpus
     * release ships: document count, whitespace and BPE-ish token
     * totals (the two costing bases, [[TextF.tokenCount]] /

@@ -504,6 +504,72 @@ private[graft] object CorpusStatsOracles {
         |FROM s GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+    // Rocchio PRF: the bm25_search chain twice, HUGEINT
+    // tfb·ratio-idf expansion weights between them; seed terms,
+    // stopwords and 1-char tokens banned from expansion.
+    "prf_search" ->
+      """WITH lens AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS len
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len) AS BIGINT) AS total_tokens FROM lens),
+        |ex AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf1 AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM ex WHERE token IN ('spark', 'merge', 'window')
+        |  GROUP BY 1, 2),
+        |d1 AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT)
+        |    AS df FROM tf1),
+        |s1 AS (SELECT d1.doc_id,
+        |    CAST(floor(
+        |      (CAST(tf AS DOUBLE) * 2.2 /
+        |        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(len AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) *
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * 1e6 + 0.5) AS BIGINT) AS qw
+        |  FROM d1 JOIN lens ON d1.doc_id = lens.doc_id, tot),
+        |fb AS (SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      floor(CAST(SUM(qw) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS score
+        |    FROM s1 GROUP BY doc_id)
+        |  ORDER BY score DESC, doc_id LIMIT 5),
+        |cand AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tfb
+        |  FROM ex WHERE doc_id IN (SELECT doc_id FROM fb)
+        |    AND length(token) >= 2
+        |    AND token NOT IN ('the', 'a', 'spark', 'merge', 'window')
+        |  GROUP BY 1),
+        |dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM ex
+        |        WHERE token IN (SELECT token FROM cand))
+        |  GROUP BY 1),
+        |expt AS (SELECT token FROM (
+        |    SELECT c.token,
+        |      CAST(c.tfb AS HUGEINT)
+        |        * ((CAST(tot.n_docs AS HUGEINT) * 1000000) // dfc.df) AS wq
+        |    FROM cand c JOIN dfc ON dfc.token = c.token, tot)
+        |  ORDER BY wq DESC, token LIMIT 3),
+        |terms AS (SELECT DISTINCT token FROM (
+        |  SELECT unnest(['spark', 'merge', 'window']) AS token
+        |  UNION ALL SELECT token FROM expt)),
+        |tf2 AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM ex WHERE token IN (SELECT token FROM terms)
+        |  GROUP BY 1, 2),
+        |d2 AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT)
+        |    AS df FROM tf2),
+        |s2 AS (SELECT d2.doc_id,
+        |    CAST(floor(
+        |      (CAST(tf AS DOUBLE) * 2.2 /
+        |        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(len AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) *
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * 1e6 + 0.5) AS BIGINT) AS qw
+        |  FROM d2 JOIN lens ON d2.doc_id = lens.doc_id, tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  floor(CAST(SUM(qw) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS score
+        |FROM s2 GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     // Complete 10-band grid (empty bands report zeros), descending
     // running sum = >= -threshold retention.
     "quality_retention" ->

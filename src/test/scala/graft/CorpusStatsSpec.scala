@@ -870,6 +870,28 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
       "banana" -> ((1L, 2L, 1.0))), s"got $out")
   }
 
+  test("prf: an expansion-only doc surfaces in pass 2 that seed-only bm25 cannot see") {
+    import spark.implicits._
+    // docs 1-5 carry the seed term AND hammer 'join'; doc 6 says
+    // ONLY 'join' — invisible to the seed query, reachable through
+    // the mined expansion. doc 7 is noise and must stay invisible.
+    val docs = ((1L to 5L).map(i =>
+      (i, s"spark join join join extra$i")) ++ Seq(
+      (6L, "join join join"),
+      (7L, "nothing relevant here")))
+      .toDF("doc_id", "text")
+    val seedOnly = graft.operators.CorpusStats
+      .bm25SearchOf(docs, Seq("spark", "merge", "window"))
+      .collect().map(_.getLong(0)).toSet
+    val prf = graft.operators.CorpusStats.prfSearchOf(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(!seedOnly.contains(6L), s"seed-only must miss doc 6: $seedOnly")
+    assert(prf.contains(6L),
+      s"the mined 'join' expansion must surface doc 6: $prf")
+    assert(!prf.contains(7L), s"noise stays out: $prf")
+    assert((1L to 5L).forall(prf.contains), s"feedback docs stay in: $prf")
+  }
+
   test("burrows delta: identical-style sources read 0, the deviant source reads symmetric positive") {
     import spark.implicits._
     // A and B share the exact frequency profile; C inverts it. Both
