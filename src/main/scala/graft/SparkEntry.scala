@@ -244,6 +244,10 @@ object SparkEntry {
     // Round-14 ninth tranche: Rocchio pseudo-relevance feedback
     // (SURVEY §2 row 414)
     "prf_search"        -> (CorpusStats.prfSearch(_, _)),
+    // Round-14 tenth tranche: language-purity profile + seasonal
+    // Mann-Kendall (SURVEY §2 rows 415-416)
+    "code_switch"       -> (TextAnalysis.codeSwitch(_, _)),
+    "seasonal_mk"       -> (Robust.seasonalMk(_, _)),
     "strip_markup"      -> (TextAnalysis.stripMarkup(_, _)),
     "mojibake_stats"    -> (TextAnalysis.mojibakeStats(_, _)),
     "change_contrib"    -> (EventAnalytics.changeContrib(_, _)),

@@ -360,6 +360,71 @@ object Robust {
   def mannKendall(spark: SparkSession, dir: String): DataFrame =
     mannKendallOf(Tables.events(spark, dir))
 
+  /** Seasonal Mann–Kendall trend test per event type (Hirsch-Slack
+    * '84): [[mannKendallOf]] with pairs restricted to the SAME
+    * weekday stratum, S and the tie-corrected variance summed across
+    * the seven strata — the weekly cycle every daily business series
+    * carries reads as concordant/discordant pairs to plain MK and
+    * CANCELS here (Monday only ever compares to Monday), so a real
+    * drift is detected without the seasonality inflating or masking
+    * it. Weekday by ARITHMETIC days-since-epoch mod 7 (the
+    * hourly-heatmap engine-portable convention, no locale
+    * dayofweek).
+    *
+    * Exactness: the [[mannKendallOf]] integer contract per stratum
+    * — S_g, 18·Var_g = T_g(T_g−1)(2T_g+5) − Σt(t−1)(2t+5) — summed
+    * exactly, the ∓1 continuity correction on the TOTAL S, one
+    * /18+sqrt+division chain; all-tied series null via try_divide.
+    *
+    * Shape: the (type, day) aggregate; pairs join within (type,
+    * weekday) — ≤ 1/7 of plain MK's pair mass — everything
+    * calendar-bounded. */
+  def seasonalMkOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .groupBy("event_type", "day").agg(sum("qv").as("v"))
+      .select(col("event_type"), col("day"), col("v"),
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7))
+          .as("dow"))
+      .localCheckpoint(false) // pair join (both sides) + strata folds
+    val b = daily.select(col("event_type").as("bt"), col("dow").as("bw"),
+      col("day").as("bday"), col("v").as("bv"))
+    val sAgg = daily
+      .join(b, col("event_type") === col("bt") && col("dow") === col("bw")
+        && col("day") < col("bday"))
+      .select(col("event_type"),
+        when(col("bv") > col("v"), 1L)
+          .when(col("bv") < col("v"), -1L).otherwise(0L).as("sg"))
+      .groupBy("event_type")
+      .agg(sum("sg").as("s"), count(lit(1)).as("n_pairs"))
+    val strata = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("tg"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_strata"), sum("tg").as("t_days"),
+        sum(expr("tg * (tg - 1) * (2 * tg + 5)")).as("vpos"))
+    val ties = daily.groupBy("event_type", "dow", "v")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tcorr"))
+    sAgg.join(strata, "event_type").join(ties, "event_type")
+      .select(col("event_type"), col("t_days"), col("n_strata"), col("s"),
+        (col("vpos") - col("tcorr")).as("v18"),
+        expr("CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END")
+          .as("sadj"))
+      .select(col("event_type"), col("t_days"), col("n_strata"), col("s"),
+        TextF.round4HalfUp(expr(
+          "try_divide(CAST(sadj AS DOUBLE), sqrt(CAST(v18 AS DOUBLE) / 18.0))"))
+          .as("z"),
+        expr("""abs(try_divide(CAST(sadj AS DOUBLE),
+                |  sqrt(CAST(v18 AS DOUBLE) / 18.0))) > 1.96""".stripMargin)
+          .as("trending"))
+      .orderBy("event_type")
+  }
+
+  def seasonalMk(spark: SparkSession, dir: String): DataFrame =
+    seasonalMkOf(Tables.events(spark, dir))
+
   /** Robust (median/IQR) feature scaling of the order-value column,
     * per priority group — the outlier-immune standardization a feature
     * pipeline applies before modeling (z-scores move with every

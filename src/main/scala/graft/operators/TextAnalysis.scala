@@ -183,6 +183,59 @@ object TextAnalysis {
     * [[graft.plans.PackedWordScore]] expression — hash lookup per
     * token inside whole-stage codegen (the interpreted
     * aggregate+element_at form scanned all map entries per token). */
+  /** Code-switching / language-purity profile per source — the
+    * intra-doc mixing read the per-doc [[langId]] argmax throws
+    * away (a "en" doc that is 60% English and 40% Spanish stopwords
+    * is a translation artifact or a scraped comment thread; a
+    * corpus gate that only sees the winner ships it): per doc the
+    * five profile-stopword counts, purity = best/total matched,
+    * mixed = ≥ `minEvidence` matches from OTHER languages; per
+    * source the matched/mixed counts and exact-ppm shares.
+    *
+    * Exactness: counts via map-side array filters on the SAME
+    * lowercased whitespace split and stopword lists as the langId
+    * oracle — deliberately NOT the packed native expression, whose
+    * 12-bit lanes saturate at 4095 matches/doc (fine for an argmax,
+    * wrong for totals on book-length docs); per-doc purity is one
+    * integer division, source means are integer-ppm divisions.
+    *
+    * Shape: one map-side counting scan, one bounded source
+    * aggregate. */
+  def codeSwitchOf(docs: DataFrame, minEvidence: Long = 2): DataFrame = {
+    // tokenize ONCE behind a projection boundary — inlining the
+    // split into each language's filter would re-tokenize five
+    // times (no CSE for interpreted HOFs; the langScores scaladoc's
+    // measured 13.5 s lesson)
+    def cnt(words: Seq[String]): Column =
+      size(filter(col("toks"),
+        x => x.isin(words.map(_.asInstanceOf[Any]): _*))).cast("long")
+    val scores = LangProfiles.map { case (_, words) => cnt(words) }
+    val total = scores.reduce(_ + _)
+    val best = greatest(scores: _*)
+    docs
+      .select(col("source"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("source"), total.as("total"), best.as("best"))
+      .select(col("source"), col("total"), col("best"),
+        (col("total") > 0).as("matched"),
+        (col("total") - col("best") >= minEvidence).as("mixed"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("matched") && col("mixed"), 1L).otherwise(0L))
+          .as("n_mixed"),
+        sum(when(col("matched"),
+          expr("(best * 1000000) div total")).otherwise(0L)).as("psum"))
+      .select(col("source"), col("n_docs"), col("n_matched"), col("n_mixed"),
+        expr("CAST((n_mixed * 1000000) div NULLIF(n_matched, 0) AS BIGINT)")
+          .as("mixed_share_ppm"),
+        expr("CAST(psum div NULLIF(n_matched, 0) AS BIGINT)")
+          .as("mean_purity_ppm"))
+      .orderBy("source")
+  }
+
+  def codeSwitch(spark: SparkSession, dir: String): DataFrame =
+    codeSwitchOf(Tables.documents(spark, dir))
+
   def langScores(text: Column): Column =
     graft.plans.ColumnBridge.column(graft.plans.PackedWordScore(
       graft.plans.ColumnBridge.expression(lower(text)), langMasks, LangBits))

@@ -421,6 +421,40 @@ private[graft] object CorpusOracles {
 
     // Nests the lang_id oracle verbatim — the confusion matrix can
     // never drift from the per-document prediction oracle.
+    // Code-switch: the langId stopword lists as exact list_filter
+    // counts (no 12-bit lane saturation), per-doc purity division,
+    // ppm source rollup.
+    "code_switch" ->
+      """WITH t AS (SELECT source,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT source,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','you','that'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','ser','se','no'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','in','den','von','zu','das','mit','sich'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','est','un','une','que'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(toks, x -> x IN ('的','一','是','不','了','人','我','在','有','他'))) AS BIGINT) AS s_zh
+        |  FROM t),
+        |d AS (SELECT source,
+        |    s_en + s_es + s_de + s_fr + s_zh AS total,
+        |    greatest(s_en, s_es, s_de, s_fr, s_zh) AS best
+        |  FROM s),
+        |f AS (SELECT source, total, best, total > 0 AS matched,
+        |    total - best >= 2 AS mixed FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matched,
+        |  CAST(SUM(CASE WHEN matched AND mixed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mixed,
+        |  CAST((SUM(CASE WHEN matched AND mixed THEN 1 ELSE 0 END) * 1000000)
+        |    // NULLIF(SUM(CASE WHEN matched THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS mixed_share_ppm,
+        |  CAST(SUM(CASE WHEN matched THEN (best * 1000000) // total
+        |    ELSE 0 END)
+        |    // NULLIF(SUM(CASE WHEN matched THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS mean_purity_ppm
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
+
     "lang_confusion" ->
       s"""WITH p AS (SELECT lang, pred_lang FROM ($LangIdSql)),
         |g AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n

@@ -382,6 +382,44 @@ private[graft] object WarehouseOracles {
         |    / sqrt(CAST(v18 AS DOUBLE) / 18.0)) > 1.96 AS trending
         |FROM c ORDER BY event_type""".stripMargin,
 
+    // Seasonal Mann–Kendall: the mann_kendall algebra per weekday
+    // stratum (arithmetic epoch-mod-7), S and 18·Var summed exactly.
+    "seasonal_mk" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (SELECT event_type, day, v,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS dow
+        |  FROM daily),
+        |sa AS (SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s
+        |  FROM dd a JOIN dd b ON b.event_type = a.event_type
+        |    AND b.dow = a.dow AND a.day < b.day
+        |  GROUP BY 1),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(tg) AS BIGINT) AS t_days,
+        |    CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS vpos
+        |  FROM (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS tg
+        |        FROM dd GROUP BY 1, 2) GROUP BY 1),
+        |ti AS (SELECT event_type,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tcorr
+        |  FROM (SELECT event_type, dow, v, CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM dd GROUP BY 1, 2, 3) GROUP BY 1),
+        |c AS (SELECT sa.event_type, st.t_days, st.n_strata, sa.s,
+        |    st.vpos - ti.tcorr AS v18,
+        |    CASE WHEN sa.s > 0 THEN sa.s - 1 WHEN sa.s < 0 THEN sa.s + 1
+        |      ELSE 0 END AS sadj
+        |  FROM sa JOIN st ON st.event_type = sa.event_type
+        |  JOIN ti ON ti.event_type = sa.event_type)
+        |SELECT event_type, t_days, n_strata, s,
+        |  floor(CAST(sadj AS DOUBLE)
+        |    / sqrt(CAST(v18 AS DOUBLE) / 18.0) * 1e4 + 0.5) / 1e4 AS z,
+        |  abs(CAST(sadj AS DOUBLE)
+        |    / sqrt(CAST(v18 AS DOUBLE) / 18.0)) > 1.96 AS trending
+        |FROM c ORDER BY event_type""".stripMargin,
+
     // Dictionary-level fuzzy pairs: block on the last token, length
     // band then classic Levenshtein (exact integer on both engines),
     // lexicographic pair order.

@@ -512,6 +512,32 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
       out("block")._4 < 0, s"two blocks must under-run: $out")
   }
 
+  test("seasonal mann-kendall: a pure weekly sawtooth nulls, within-weekday drift scores exactly") {
+    import org.apache.spark.sql.functions._
+    def ev(rows: (String, String, Double)*) =
+      rows.toDF("event_type", "s", "value")
+        .select(col("event_type"), to_timestamp(col("s")).as("ts"),
+          col("value"))
+    // saw: value repeats per weekday over 2 weeks → every in-stratum
+    //   pair TIES → S = 0 AND the tie correction cancels the whole
+    //   variance → z null (plain MK would see 91 mixed-sign pairs).
+    // drift: +1 per week inside every stratum → S = 7, per-stratum
+    //   18·Var = 2·1·9, summed 126 → z = 6/sqrt(126/18).
+    val rows = (0 until 14).flatMap { i =>
+      val d = f"2024-01-${i + 1}%02d 10:00:00"
+      Seq(("saw", d, (i % 7).toDouble),
+        ("drift", d, (i % 7) * 10.0 + (i / 7).toDouble))
+    }
+    val out = Robust.seasonalMkOf(ev(rows: _*)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)),
+        if (r.isNullAt(5)) null
+        else java.lang.Boolean.valueOf(r.getBoolean(5))))).toMap
+    val z = math.floor(6.0 / math.sqrt(126.0 / 18.0) * 1e4 + 0.5) / 1e4
+    assert(out("saw") == ((14L, 7L, 0L, null, null)), s"got $out")
+    assert(out("drift") == ((14L, 7L, 7L, z, true)), s"got $out")
+  }
+
   test("mann-kendall: a strictly rising series scores the textbook z; a flat one nulls") {
     import org.apache.spark.sql.functions._
     def ev(rows: (String, String, Double)*) =

@@ -192,6 +192,22 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(got(3L) == ((4L, 3L, 2L, cli(4, 3, 2))), s"got ${got(3L)}")
   }
 
+  test("code switch: mixed-language evidence counts; unmatched docs leave the denominators") {
+    import spark.implicits._
+    // doc 1: en 3 + es 2 ('la' also scores fr 1) → total 6, best 3,
+    //   mixed (3 foreign ≥ 2), purity 500000; doc 2: pure en,
+    //   purity 1e6; doc 3: no profile word at all → unmatched.
+    val docs = Seq(
+      (1L, "A", "the of and el la"),
+      (2L, "A", "the the the"),
+      (3L, "A", "xyz abc"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.codeSwitchOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out("A") == ((3L, 2L, 1L, 500000L, 750000L)), s"got $out")
+  }
+
   test("winnowing: the w+k-1 shared-run guarantee holds and short docs select nothing") {
     import spark.implicits._
     // k=5, w=4: docs 1 and 2 share a run of 8 = w+k−1 tokens — the
