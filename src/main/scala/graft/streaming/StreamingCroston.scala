@@ -106,7 +106,15 @@ object StreamingCroston {
               }
               else if (d == cur.d1) cur = cur.copy(c1 = cur.c1 + 1L)
               else if (d > cur.d1) { close(); cur = cur.copy(d1 = d, c1 = 1L) }
-              else if (d > cur.d0) { close(); cur = cur.copy(d0 = d, c0 = 1L) }
+              else if (d > cur.d0) {
+                // middle insertion (d0 < d < d1): close the oldest to
+                // free a slot — close() shifts (d1,c1) down into slot 0
+                // — then slot the late day BELOW that survivor so both
+                // are kept and the wm-close order stays event-time
+                close()
+                cur = St(d, 1L, cur.d0, cur.c0,
+                  cur.z, cur.p, cur.last, cur.first)
+              }
               else cur = cur.copy(c0 = cur.c0 + 1L) // ≥2-late residual
             }
           }

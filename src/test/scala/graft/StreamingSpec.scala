@@ -1278,6 +1278,54 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("streaming croston: a middle demand day (d0 < d < d1, both buckets held) keeps BOTH neighbors' counts") {
+    // The both-buckets middle-insertion branch: batch A delivers days
+    // D and D+2, the next batch (same query run, no restart) delivers
+    // a still-watermark-legal D+1. The forced close of D must NOT
+    // drop the shifted D+2 bucket — all three days emit, with D's two
+    // purchases and D+2's one purchase both counted.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    val events = input.toDF().toDF("event_type", "ts", "props")
+    def p(d: Int, hm: String = "12:00") =
+      ("purchase", Timestamp.valueOf(f"2026-01-$d%02d $hm:00"), """{"k": 7}""")
+
+    val query = graft.streaming.StreamingCroston.rates(events).writeStream
+      .format("memory").queryName("croston_middle_test")
+      .outputMode("append").start()
+    try {
+      // day 1 twice (so a dropped-count bug is visible in z) + day 3;
+      // watermark after this batch = Jan 2 12:00
+      input.addData(p(1), p(1, "13:00"), p(3))
+      query.processAllAvailable()
+      // day 2 at 13:00 — legal (> wm Jan 2 12:00), lands BETWEEN the
+      // two held buckets: close(day 1) shifts day 3 down; the late day
+      // must slot BELOW it, not overwrite it
+      input.addData(p(2, "13:00"))
+      query.processAllAvailable()
+      // frontier pushes: each arrival force-closes the oldest bucket
+      input.addData(p(5))
+      query.processAllAvailable()
+      input.addData(p(9))
+      query.processAllAvailable()
+      input.addData(p(13))
+      query.processAllAvailable()
+      val got = spark.table("croston_middle_test").collect()
+        .map(r => r.getDate(1).toString ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      // fold over demand days 1(×2),2,3,5,9: seed z=2000 (two
+      // purchases), p=1000; gap-1 closes keep p=1000; then gap 2
+      // (p=(2000+1000)>>1=1500) and gap 4 (p=(4000+1500)>>1=2750).
+      assert(got == Map(
+        "2026-01-01" -> ((1L, 2000L, 1000L, 2000L)),
+        "2026-01-02" -> ((2L, 1500L, 1000L, 1500L)),
+        // day 3's purchase survives the middle insertion's close
+        "2026-01-03" -> ((3L, 1250L, 1000L, 1250L)),
+        "2026-01-05" -> ((4L, 1125L, 1500L, 750L)),
+        "2026-01-09" -> ((5L, 1062L, 2750L, 386L))), s"$got")
+    } finally query.stop()
+  }
+
   test("streaming dup payments: pairs match the batch twin's gap rollup across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double, Timestamp)]
