@@ -33,11 +33,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * as its own demand day, matching the batch fold (the previous
   * single-bucket design merged it into the open day, inflating z and
   * dropping an interval). Residual divergence: an arrival ≥ 2 days
-  * behind the buffered frontier (or behind a cap-forced close) folds
-  * into the oldest held bucket — bounded by the 2-day buffer, and
-  * only reachable while the watermark lags the frontier by that
-  * much. State per item stays constant-size (two day partials +
-  * z/p/last) forever.
+  * behind the buffered frontier is DROPPED by the engine's watermark
+  * filter before it reaches this operator — once d1 has survived a
+  * batch boundary the global watermark is ≥ start(d0), so any event
+  * in a day < d0 is late-filtered (standard streaming late-drop; the
+  * batch twin would count it). The fold-into-oldest `else` arm below
+  * is therefore defensive dead code kept for non-watermarked reuse;
+  * the drop semantics are pinned by a StreamingSpec case. State per
+  * item stays constant-size (two day partials + z/p/last) forever.
   */
 object StreamingCroston {
 

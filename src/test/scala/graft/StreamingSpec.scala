@@ -1326,6 +1326,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("streaming croston: an arrival >= 2 days behind the buffered frontier is late-DROPPED, not merged") {
+    // The documented residual divergence vs the batch fold: once the
+    // two-bucket frontier {D, D+2} has crossed a batch boundary, the
+    // global watermark is >= start(D), so a second purchase for day D
+    // arriving 2 days behind the frontier is filtered as late data —
+    // day D must close with ONE purchase (z = 1000), not two.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    val events = input.toDF().toDF("event_type", "ts", "props")
+    def p(d: Int, hm: String = "09:00") =
+      ("purchase", Timestamp.valueOf(f"2026-01-$d%02d $hm:00"), """{"k": 5}""")
+
+    val query = graft.streaming.StreamingCroston.rates(events).writeStream
+      .format("memory").queryName("croston_latedrop_test")
+      .outputMode("append").start()
+    try {
+      input.addData(p(1), p(3))          // frontier {1, 3}; wm -> Jan 2 09:00
+      query.processAllAvailable()
+      input.addData(p(1, "10:00"))       // 2 days behind day-3 frontier: late
+      query.processAllAvailable()
+      input.addData(p(7))                // push: force-close 1 and 3
+      query.processAllAvailable()
+      input.addData(p(11))               // wm push: timeout closes day 7
+      query.processAllAvailable()
+      val got = spark.table("croston_latedrop_test").collect()
+        .map(r => r.getDate(1).toString -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got.get("2026-01-01").map(_._2).contains(1000L),
+        s"the 2-day-late twin purchase must be watermark-dropped: $got")
+      assert(got.keySet == Set("2026-01-01", "2026-01-03", "2026-01-07"), s"$got")
+    } finally query.stop()
+  }
+
   test("streaming dup payments: pairs match the batch twin's gap rollup across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double, Timestamp)]
