@@ -317,7 +317,9 @@ object Robust {
     * correction are pure int64 (T is calendar-bounded — int64 to
     * T ≈ 10⁶ days); the only floats are one division-by-18, one
     * sqrt, one division, identical text both engines; a fully-tied
-    * or 1-day series nulls z via try_divide (√0 denominator).
+    * series nulls z via try_divide (√0 denominator), while a 1-day
+    * series has no pair at all — the inner pair-join drops the type
+    * row entirely (pinned by TrancheAuditSpec).
     *
     * Shape: the [[theilSenTrendOf]] (type, day) aggregate + its
     * calendar-bounded pair self-join; ties come off a (type, value)
@@ -909,26 +911,32 @@ object Robust {
         sum(when(col("sg") === -1L, 1L).otherwise(0L)).as("n_neg"),
         sum("chg").as("runs"))
       .select(col("event_type"), col("n_pos"), col("n_neg"), col("runs"),
+        // the variance's OWN denominator n²(n−1) is 0 on an n=1
+        // series (one day off the median) — try_divide must wrap the
+        // inner division too, or ANSI mode throws DIVIDE_BY_ZERO
+        // before the outer guard ever runs (caught by TrancheAuditSpec)
         TextF.round4HalfUp(expr(
           """try_divide(
             |  CAST(runs AS DOUBLE) - (1.0
             |    + CAST(2 * n_pos * n_neg AS DOUBLE)
             |      / CAST(n_pos + n_neg AS DOUBLE)),
-            |  sqrt(CAST(2 * n_pos * n_neg AS DOUBLE)
-            |    * CAST(2 * n_pos * n_neg - n_pos - n_neg AS DOUBLE)
-            |    / (CAST(n_pos + n_neg AS DOUBLE)
-            |       * CAST(n_pos + n_neg AS DOUBLE)
-            |       * CAST(n_pos + n_neg - 1 AS DOUBLE))))"""
+            |  sqrt(try_divide(
+            |    CAST(2 * n_pos * n_neg AS DOUBLE)
+            |      * CAST(2 * n_pos * n_neg - n_pos - n_neg AS DOUBLE),
+            |    CAST(n_pos + n_neg AS DOUBLE)
+            |      * CAST(n_pos + n_neg AS DOUBLE)
+            |      * CAST(n_pos + n_neg - 1 AS DOUBLE))))"""
             .stripMargin)).as("z"),
         expr("""abs(try_divide(
                |  CAST(runs AS DOUBLE) - (1.0
                |    + CAST(2 * n_pos * n_neg AS DOUBLE)
                |      / CAST(n_pos + n_neg AS DOUBLE)),
-               |  sqrt(CAST(2 * n_pos * n_neg AS DOUBLE)
-               |    * CAST(2 * n_pos * n_neg - n_pos - n_neg AS DOUBLE)
-               |    / (CAST(n_pos + n_neg AS DOUBLE)
-               |       * CAST(n_pos + n_neg AS DOUBLE)
-               |       * CAST(n_pos + n_neg - 1 AS DOUBLE))))) > 1.96"""
+               |  sqrt(try_divide(
+               |    CAST(2 * n_pos * n_neg AS DOUBLE)
+               |      * CAST(2 * n_pos * n_neg - n_pos - n_neg AS DOUBLE),
+               |    CAST(n_pos + n_neg AS DOUBLE)
+               |      * CAST(n_pos + n_neg AS DOUBLE)
+               |      * CAST(n_pos + n_neg - 1 AS DOUBLE))))) > 1.96"""
           .stripMargin).as("nonrandom"))
       .orderBy("event_type")
   }
