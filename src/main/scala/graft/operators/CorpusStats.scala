@@ -910,6 +910,77 @@ object CorpusStats {
   def brierDecomposition(spark: SparkSession, dir: String): DataFrame =
     brierDecompositionOf(Tables.documents(spark, dir))
 
+  /** Isotonic (PAVA) calibration of the quality score against
+    * `lang == posLang` — the FIT the calibration family still lacked:
+    * [[calibrationCurveOf]] shows the raw reliability curve,
+    * [[brierDecompositionOf]] prices its miscalibration, this produces
+    * the monotone recalibration map itself (Zadrozny-Elkan '02: the
+    * standard score→probability post-hoc fit, assumption-free beyond
+    * monotonicity). Pool-adjacent-violators is computed by its minimax
+    * identity rather than the sequential merge loop:
+    * fitted(i) = max_{j≤i} min_{k≥i} pooledRate(j..k) — fully
+    * declarative, no driver-side stack, no recursion.
+    *
+    * Determinism: interval pooled rates land on the 1e-12 integer grid
+    * by integer division ((R·10¹²) div N on DECIMAL(38,0) — R can pass
+    * int64·10¹² at corpus scale) BEFORE the minimax, so both engines
+    * take min/max over identical integers; published ppm values divide
+    * the grid down by integer division. Two interval rates closer than
+    * 10⁻¹² collapse to the same grid point — the documented (and
+    * engine-identical) quantization.
+    *
+    * Shape: ONE fact aggregate to the ≤`bins` cell frame; everything
+    * after is arithmetic on bounded frames (≤ bins·(bins+1)/2 interval
+    * rows theta-joined back to ≤ bins anchors — a few hundred rows
+    * regardless of corpus size; the single-partition prefix window is
+    * the bounded-frame idiom, cf. [[Behavior]]'s decile curves). The
+    * cell frame is checkpointed once: prefix, interval, and output
+    * legs all read it without re-scanning the corpus. */
+  def isotonicCalibrationOf(docs: DataFrame, posLang: String = "en",
+                            bins: Int = 20): DataFrame = {
+    require(bins > 1, s"bins must be > 1, got $bins")
+    val score = TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
+    val cells = docs
+      .select(least(floor(score * bins), lit(bins - 1L)).cast("long").as("bin"),
+        when(col("lang") === posLang, 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"))
+    isotonicFitOf(cells)
+  }
+
+  /** PAVA minimax fit over a prepared (bin, n_docs, n_pos) cell frame
+    * — split from [[isotonicCalibrationOf]] so the merge algebra is
+    * directly testable on constructed curves. Bounded: ≤ bins rows in,
+    * the interval theta-join never sees the corpus. */
+  private[graft] def isotonicFitOf(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn.localCheckpoint(false) // bounded; three legs read it
+    val pref = cells.select(col("bin"), col("n_docs"), col("n_pos"),
+      sum("n_docs").over(Window.orderBy("bin")).as("cn"),
+      sum("n_pos").over(Window.orderBy("bin")).as("cr"))
+    val lo = pref.select(col("bin").as("j"),
+      (col("cn") - col("n_docs")).as("cn0"),
+      (col("cr") - col("n_pos")).as("cr0"))
+    val hi = pref.select(col("bin").as("k"), col("cn").as("cn1"),
+      col("cr").as("cr1"))
+    val intervals = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("""CAST((CAST(cr1 - cr0 AS DECIMAL(38,0)) * 1000000000000)
+               |  div (cn1 - cn0) AS BIGINT)""".stripMargin).as("re12"))
+    val fitted = intervals
+      .join(cells.select(col("bin").as("i")),
+        col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("i", "j").agg(min("re12").as("mn"))
+      .groupBy("i").agg(max("mn").as("fe12"))
+    cells.join(fitted, cells("bin") === fitted("i"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("(n_pos * 1000000) div n_docs").as("raw_ppm"),
+        expr("fe12 div 1000000").as("iso_ppm"))
+      .orderBy("bin")
+  }
+
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame =
+    isotonicCalibrationOf(Tables.documents(spark, dir))
+
   /** Term keyness: which words characterize the `focus` source against
     * the rest of the corpus (the corpus-linguistics comparison behind
     * "what is this source actually about"). Statistic is the add-one

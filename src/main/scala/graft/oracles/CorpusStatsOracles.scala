@@ -401,6 +401,38 @@ private[graft] object CorpusStatsOracles {
         |  floor((brier - (rel - res + unc)) * 1e6 + 0.5) / 1e6 AS within_bin
         |FROM f""".stripMargin,
 
+    // Isotonic (PAVA) fit via the minimax identity over the
+    // calibration-curve bins: fitted(i) = max_{j<=i} min_{k>=i}
+    // pooledRate(j..k), pooled rates quantized to the 1e-12 integer
+    // grid by HUGEINT floor-division BEFORE min/max (DECIMAL-//
+    // rounds in DuckDB — the Q8 pitfall).
+    "isotonic_calibration" ->
+      s"""WITH s AS (SELECT $QualitySqlExpr AS q, lang FROM documents),
+        |b AS (SELECT CAST(least(floor(q * 20), 19) AS BIGINT) AS bin,
+        |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |      FROM s),
+        |cells AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(pos) AS BIGINT) AS n_pos
+        |      FROM b GROUP BY bin),
+        |pref AS (SELECT bin, n_docs, n_pos,
+        |        SUM(n_docs) OVER (ORDER BY bin) AS cn,
+        |        SUM(n_pos) OVER (ORDER BY bin) AS cr
+        |      FROM cells),
+        |iv AS (SELECT l.bin AS j, h.bin AS k,
+        |        CAST((CAST(h.cr - (l.cr - l.n_pos) AS HUGEINT) * 1000000000000)
+        |          // CAST(h.cn - (l.cn - l.n_docs) AS HUGEINT) AS BIGINT) AS re12
+        |      FROM pref l JOIN pref h ON l.bin <= h.bin),
+        |fit AS (SELECT i, MAX(mn) AS fe12 FROM
+        |        (SELECT c.bin AS i, iv.j, MIN(iv.re12) AS mn
+        |         FROM iv JOIN cells c ON iv.j <= c.bin AND c.bin <= iv.k
+        |         GROUP BY 1, 2)
+        |      GROUP BY i)
+        |SELECT c.bin, c.n_docs, c.n_pos,
+        |  CAST((c.n_pos * 1000000) // c.n_docs AS BIGINT) AS raw_ppm,
+        |  CAST(fit.fe12 // 1000000 AS BIGINT) AS iso_ppm
+        |FROM cells c JOIN fit ON c.bin = fit.i
+        |ORDER BY c.bin""".stripMargin,
+
     // Mann-Whitney AUC with tie credit 1/2 in doubled-integer space:
     // 2U = Σ np·(2·nn_below + nn) is an exact BIGINT; one division at
     // the end, rounded half-up to 6 dp.

@@ -456,6 +456,41 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(1) == 2L && r.getDouble(2) == q && r.getDouble(3) == 0.5)
   }
 
+  private def cellsDf(rows: (Long, Long, Long)*): DataFrame =
+    rows.toDF("bin", "n_docs", "n_pos")
+
+  test("isotonic fit pools adjacent violators and keeps monotone runs") {
+    // rates 0.4, 0.8, 0.2: pooling (0.8, 0.2) gives 0.5 >= 0.4 → done
+    val out = CorpusStats.isotonicFitOf(cellsDf(
+      (0L, 5L, 2L), (1L, 5L, 4L), (2L, 5L, 1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 400000L, 400000L),
+      (1L, 800000L, 500000L), (2L, 200000L, 500000L)), s"got ${out.toSeq}")
+  }
+
+  test("isotonic fit is the identity on an already-monotone curve") {
+    val out = CorpusStats.isotonicFitOf(cellsDf(
+      (0L, 4L, 0L), (1L, 4L, 2L), (2L, 4L, 4L)))
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(out.forall { case (raw, iso) => raw == iso }, s"got ${out.toSeq}")
+  }
+
+  test("isotonic fit pools a fully-decreasing curve to the global rate") {
+    // rates 1.0, 0.5, 0.0 all pool: (4+2+0)/12 = 0.5
+    val out = CorpusStats.isotonicFitOf(cellsDf(
+      (0L, 4L, 4L), (1L, 4L, 2L), (2L, 4L, 0L)))
+      .collect().map(_.getLong(4))
+    assert(out.forall(_ == 500000L), s"got ${out.toSeq}")
+  }
+
+  test("isotonic calibration is monotone end-to-end on the corpus") {
+    val out = CorpusStats.isotonicCalibration(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(out.nonEmpty)
+    assert(out.sortBy(_._1).map(_._2).sliding(2).forall(
+      s => s.length < 2 || s(0) <= s(1)), s"non-monotone fit: ${out.toSeq}")
+  }
+
   test("term keyness promotes focus-exclusive terms with exact smoothed ratios") {
     val docs = Seq(
       (1L, "src0", "zebra zebra common"),
