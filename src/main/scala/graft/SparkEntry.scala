@@ -486,6 +486,8 @@ object SparkEntry {
     // syllable readability (rows 382-384)
     "poisson_rate_test" -> (Behavior.poissonRateTest(_, _)),
     "cochran_armitage"  -> (Behavior.cochranArmitage(_, _)),
+    // Round-15 tranche: stratified CMH test (SURVEY §2 row 418)
+    "mantel_haenszel"   -> (Behavior.mantelHaenszel(_, _)),
     "flesch_kincaid"    -> (TextAnalysis.fleschKincaid(_, _)),
     // Round-13 eighth tranche: tokenizer economics, directed SCC,
     // repeat-purchase latency (rows 387-389)

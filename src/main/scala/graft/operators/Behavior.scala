@@ -1238,6 +1238,92 @@ object Behavior {
   def abTest(spark: SparkSession, dir: String): DataFrame =
     abTestOf(Tables.events(spark, dir))
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 test + MH common odds
+    * ratio — the Simpson's-paradox-proof A/B readout the experiment
+    * family lacked: [[abTestOf]] pools every user into one 2×2 (a
+    * lurking activity↔assignment imbalance can fake or mask a lift);
+    * this stratifies by activity band (fixed event-count cuts — the
+    * synthetic stream holds events/user ≈ 66 across SFs, so the cuts
+    * are scale-stable AND map-side: no global rank shuffle to build
+    * terciles), tests the arm effect WITHIN bands, and pools evidence
+    * across them. χ²_MH = (|Σaᵢ−ΣEᵢ|−½)²/ΣVᵢ (continuity-corrected,
+    * clamped at 0), OR_MH = Σ(aᵢdᵢ/Tᵢ)/Σ(bᵢcᵢ/Tᵢ).
+    *
+    * Determinism: every per-stratum rational lands on the 1e-9
+    * integer grid by DECIMAL(38,0) floor-division before summing
+    * (E_nano, the V product chained through three divisions to stay
+    * ≤10²⁷ at any stratum size, the two OR legs); the published χ²/OR
+    * are ONE fixed double chain each off exact integers (the
+    * [[cochranArmitageOf]] contract). Strata with T<2 drop (V
+    * undefined). E/V nano sums publish as BIGINT — ≤3·10¹⁸ up to
+    * ~10⁹ users/stratum, the documented headroom.
+    *
+    * Shape: ONE user aggregate (count + max-flag — map-combinable),
+    * one 3-key cell aggregate, arithmetic on a ≤3-row frame. */
+  def mantelHaenszelOf(events: DataFrame, cut1: Long = 62,
+                       cut2: Long = 70): DataFrame = {
+    require(cut1 < cut2, s"need cut1 < cut2, got $cut1/$cut2")
+    val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))
+    val users = events
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .crossJoin(broadcast(maxDay)) // 1 row by construction
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        // lifetime MAX(purchase) is vacuous on this stream (every user
+        // buys eventually — measured all-1s at sf0.01); report-day
+        // conversion is [[abTestOf]]'s outcome and actually varies
+        max(when(col("event_type") === "purchase" &&
+          col("day") === col("report_date"), 1L).otherwise(0L)).as("conv"))
+      .select(
+        when(col("n_ev") <= cut1, 0L).when(col("n_ev") <= cut2, 1L)
+          .otherwise(2L).as("stratum"),
+        arm2(col("user_id")).as("arm"), col("conv"))
+    val cells = users.groupBy("stratum").agg(
+      sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("a"),
+      sum(when(col("arm") === 1L, lit(1L) - col("conv")).otherwise(0L)).as("b"),
+      sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("c"),
+      sum(when(col("arm") === 0L, lit(1L) - col("conv")).otherwise(0L)).as("d"))
+    val terms = cells
+      .withColumn("t", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("t") >= 2)
+      // each div stage re-casts to DECIMAL(38,0): Spark's IntegralDivide
+      // narrows to BIGINT and the next ×n would overflow at extreme
+      // stratum sizes; the staged form stays exact to ~10⁹ users/stratum
+      .withColumn("e_nano",
+        expr("(CAST(a + b AS DECIMAL(38,0)) * (a + c) * 1000000000) div t"))
+      .withColumn("v1",
+        expr("(CAST(e_nano AS DECIMAL(38,0)) * (c + d)) div t"))
+      .withColumn("v_nano",
+        expr("(CAST(v1 AS DECIMAL(38,0)) * (b + d)) div (t - 1)"))
+      .withColumn("ad_nano",
+        expr("(CAST(a AS DECIMAL(38,0)) * d * 1000000000) div t"))
+      .withColumn("bc_nano",
+        expr("(CAST(b AS DECIMAL(38,0)) * c * 1000000000) div t"))
+    val r6 = graft.functions.TextF.round6HalfUp _
+    terms.agg(count(lit(1)).as("n_strata"), sum("a").as("sum_a"),
+        sum(col("e_nano").cast("decimal(38,0)")).as("es"),
+        sum(col("v_nano").cast("decimal(38,0)")).as("vs"),
+        sum(col("ad_nano").cast("decimal(38,0)")).as("ads"),
+        sum(col("bc_nano").cast("decimal(38,0)")).as("bcs"))
+      .select(col("n_strata"), col("sum_a"),
+        col("es").cast("long").as("e_nano"),
+        col("vs").cast("long").as("v_nano"),
+        r6(col("ads").cast("double") /
+          nullif(col("bcs").cast("double"), lit(0.0))).as("or_mh"),
+        r6(expr("""CAST(greatest(abs(CAST(sum_a AS DECIMAL(38,0))
+               |  * 1000000000 - es) - 500000000, 0) AS DOUBLE)""".stripMargin)
+          * expr("""CAST(greatest(abs(CAST(sum_a AS DECIMAL(38,0))
+               |  * 1000000000 - es) - 500000000, 0) AS DOUBLE)""".stripMargin)
+          / nullif(col("vs").cast("double") * lit(1e9), lit(0.0)))
+          .as("chi2_mh"))
+      .withColumn("significant",
+        when(col("chi2_mh").isNull, lit(false))
+          .otherwise(col("chi2_mh") > 3.841459))
+  }
+
+  def mantelHaenszel(spark: SparkSession, dir: String): DataFrame =
+    mantelHaenszelOf(Tables.events(spark, dir))
+
   /** Welch's unequal-variance t-test + Cohen's d per event type over
     * the two-arm md5 assignment — the CONTINUOUS-value A/B readout
     * beside [[abTestOf]] (proportions) and

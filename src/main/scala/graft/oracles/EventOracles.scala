@@ -2622,6 +2622,58 @@ private[graft] object EventOracles {
         |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.96 END AS significant
         |FROM zc""".stripMargin,
 
+    // Cochran-Mantel-Haenszel stratified 2x2: per-stratum rationals on
+    // the 1e-9 HUGEINT grid (floor-division staged exactly like the
+    // engine's DECIMAL chain), one fixed double chain each for chi2/OR.
+    "mantel_haenszel" ->
+      """WITH md AS (SELECT MAX(CAST(make_timestamp(epoch_us(ts)) AS DATE))
+        |    AS report_date FROM events),
+        |u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |          AND CAST(make_timestamp(epoch_us(ts)) AS DATE) = report_date
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events, md GROUP BY 1),
+        |s AS (SELECT
+        |    CASE WHEN n_ev <= 62 THEN 0 WHEN n_ev <= 70 THEN 1 ELSE 2 END
+        |      AS stratum,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm, conv
+        |  FROM u),
+        |cells AS (SELECT stratum,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 - conv ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 - conv ELSE 0 END) AS BIGINT) AS d
+        |  FROM s GROUP BY 1),
+        |terms AS (SELECT a, b, c, d, t,
+        |    (CAST(a + b AS HUGEINT) * (a + c) * 1000000000) // t AS e_nano
+        |  FROM (SELECT *, a + b + c + d AS t FROM cells) WHERE t >= 2),
+        |terms2 AS (SELECT a, e_nano,
+        |    ((e_nano * (c + d)) // t * (b + d)) // (t - 1) AS v_nano,
+        |    (CAST(a AS HUGEINT) * d * 1000000000) // t AS ad_nano,
+        |    (CAST(b AS HUGEINT) * c * 1000000000) // t AS bc_nano
+        |  FROM terms),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(a) AS BIGINT) AS sum_a,
+        |    SUM(e_nano) AS es, SUM(v_nano) AS vs,
+        |    SUM(ad_nano) AS ads, SUM(bc_nano) AS bcs
+        |  FROM terms2),
+        |f AS (SELECT n_strata, sum_a,
+        |    CAST(es AS BIGINT) AS e_nano, CAST(vs AS BIGINT) AS v_nano,
+        |    floor(CAST(ads AS DOUBLE) / NULLIF(CAST(bcs AS DOUBLE), 0.0)
+        |      * 1e6 + 0.5) / 1e6 AS or_mh,
+        |    floor(CAST(greatest(abs(CAST(sum_a AS HUGEINT) * 1000000000 - es)
+        |          - 500000000, 0) AS DOUBLE)
+        |      * CAST(greatest(abs(CAST(sum_a AS HUGEINT) * 1000000000 - es)
+        |          - 500000000, 0) AS DOUBLE)
+        |      / NULLIF(CAST(vs AS DOUBLE) * 1e9, 0.0) * 1e6 + 0.5) / 1e6
+        |      AS chi2_mh
+        |  FROM tot)
+        |SELECT n_strata, sum_a, e_nano, v_nano, or_mh, chi2_mh,
+        |  CASE WHEN chi2_mh IS NULL THEN FALSE
+        |       ELSE chi2_mh > 3.841459 END AS significant
+        |FROM f""".stripMargin,
+
     // Holt-Winters additive weekly: the holt_backtest recursion with
     // seven seasonal columns carried through the recursive CTE; the
     // level-update fragment (lp) is textually repeated wherever the

@@ -234,6 +234,52 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(rf.getDouble(8) == 0.5 && rf.isNullAt(9), s"degenerate: $rf")
   }
 
+  test("mantel-haenszel pools per-stratum evidence to exact hand-computed values") {
+    val pool = (0L until 200L)
+    val armOf = pool.toDF("user_id")
+      .select(col("user_id"), Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val treated = pool.filter(armOf(_) == 1L).take(12)
+    val control = pool.filter(armOf(_) == 0L).take(12)
+    // per stratum: 4 treated (3 convert), 4 control (1 converts)
+    // → a=3 b=1 c=1 d=3, T=8: E=2, V=4⁴/(64·7), ad/T=9/8, bc/T=1/8
+    def mk(u: Long, s: Int, convert: Boolean) = {
+      val head = if (convert) Seq((u, "2024-01-20 10:00:00", "purchase"))
+                 else Seq((u, "2024-01-10 09:00:00", "view"))
+      head ++ (1 to s).map(i => (u, s"2024-01-10 0$i:00:00", "view"))
+    }
+    val rows = (0 until 3).flatMap { s =>
+      val t = treated.slice(s * 4, s * 4 + 4)
+      val c = control.slice(s * 4, s * 4 + 4)
+      t.take(3).flatMap(mk(_, s, convert = true)) ++
+        t.drop(3).flatMap(mk(_, s, convert = false)) ++
+        c.take(1).flatMap(mk(_, s, convert = true)) ++
+        c.drop(1).flatMap(mk(_, s, convert = false))
+    }
+    val ev = rows.toDF("user_id", "t", "event_type")
+      .select(col("user_id"), to_timestamp(col("t")).as("ts"),
+        col("event_type"))
+    val r = Behavior.mantelHaenszelOf(ev, cut1 = 1, cut2 = 2).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L, s"strata/sum_a: $r")
+    // E_nano = 3·2e9; V_nano = 3·((2e9·4)//8·4)//7 = 3·571428571
+    assert(r.getLong(2) == 6000000000L, s"e_nano: $r")
+    assert(r.getLong(3) == 1714285713L, s"v_nano: $r")
+    // OR = Σ(9/8·1e9)/Σ(1/8·1e9) = 9; chi2 = (2.5e9)²/(vs·1e9)
+    assert(r.getDouble(4) == 9.0, s"or_mh: $r")
+    assert(r.getDouble(5) == 3.645833, s"chi2_mh: $r")
+    assert(!r.getBoolean(6), s"3.6458 < 3.8415: $r")
+  }
+
+  test("mantel-haenszel drops strata below T=2 and survives the empty frame") {
+    val ev = Seq((7L, "2024-01-20 10:00:00", "purchase"))
+      .toDF("user_id", "t", "event_type")
+      .select(col("user_id"), to_timestamp(col("t")).as("ts"),
+        col("event_type"))
+    val r = Behavior.mantelHaenszelOf(ev).collect().head
+    assert(r.getLong(0) == 0L, s"single-user stratum must drop: $r")
+    assert(!r.getBoolean(6), s"null chi2 → not significant: $r")
+  }
+
   test("qini: deciles exhaust users and the final qini equals total incremental conversions") {
     val users = (0L until 40L)
     val armOf = users.toDF("user_id")
