@@ -543,6 +543,8 @@ object SparkEntry {
     // rolling metric coupling (SURVEY §2 rows 240-242)
     "ks_test"           -> (Robust.ksTest(_, _)),
     "mannwhitney_test"  -> (Robust.mannWhitney(_, _)),
+    // Round-15 tranche: ordered-alternative trend test (SURVEY §2 row 419)
+    "jonckheere_trend"  -> (Robust.jonckheereTrend(_, _)),
     "pareto_frontier"   -> (CorpusStats.paretoFrontier(_, _)),
     "rolling_corr"      -> (Robust.rollingCorr(_, _)),
     // Watermark-sizing disorder audit (batch predictor of the

@@ -1073,6 +1073,80 @@ object Robust {
   def kruskalWallis(spark: SparkSession, dir: String): DataFrame =
     kruskalWallisOf(Tables.events(spark, dir))
 
+  /** Jonckheere–Terpstra ordered-alternative trend test: does
+    * l_quantity rise (or fall) MONOTONICALLY across the ordered
+    * discount ladder? [[kruskalWallisOf]] asks "do the groups differ
+    * at all" — JT spends its power on the one alternative a pricing
+    * owner actually posits (ordered dose-response), summing the
+    * Mann-Whitney U of every lower-vs-higher group pair:
+    * 2J = Σ_{g<h} Σ_v c_h(v)·(2·below_g(v) + c_g(v)) (ties half).
+    *
+    * Exactness: J, E[J] = (N²−Σn²)/4 and every tie-corrected variance
+    * polynomial (Hollander-Wolfe 6.19: the /72 term plus the two
+    * tie-product terms) are DECIMAL(38,0) off one bounded histogram;
+    * the doubled 2J/2E forms stay integral (N²−Σn² is even by the
+    * pair identity). z is ONE fixed double chain — each polynomial
+    * casts to double once, a3·b3 multiplies as doubles (their exact
+    * product would pass 38 digits at ~10¹⁰ rows; one IEEE rounding
+    * per factor is engine-identical). 2J/2E publish as DOUBLE (exact
+    * to 2⁵³ — audit columns, not inputs to z).
+    *
+    * Shape: ONE fact aggregate to the ≤groups×values histogram
+    * (map-combinable), then dense cumulative + pair join + moment
+    * folds all on bounded frames (11 discounts × 50 quantities). The
+    * dense (group × value) cross is the bounded-frame idiom. */
+  def jonckheereTrendOf(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hist = lineitem
+      .select(floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("g"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("g", "q").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // bounded; dense frame + both moment folds
+    val dense = hist.select("g").distinct()
+      .crossJoin(hist.select("q").distinct()) // bounded ladder × domain
+      .join(hist, Seq("g", "q"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("below",
+        sum("c").over(Window.partitionBy("g").orderBy("q")) - col("c"))
+    val lo = dense.select(col("g").as("gl"), col("q"),
+      col("c").as("cl"), col("below").as("bl"))
+    val hi = dense.select(col("g").as("gh"), col("q"), col("c").as("ch"))
+    val j2 = hi.join(lo, Seq("q")).filter(col("gl") < col("gh"))
+      .agg(coalesce(sum(expr(s"CAST(ch AS $dec) * (2 * bl + cl)")),
+        lit(0L).cast(dec)).as("j2"))
+    val gm = hist.groupBy("g").agg(sum("c").as("n"))
+      .agg(count(lit(1)).as("n_groups"), sum("n").as("nn"),
+        sum(expr(s"CAST(n AS $dec) * n")).as("sn2"),
+        sum(expr(s"CAST(n AS $dec) * (n - 1) * (2 * n + 5)")).as("p2"),
+        sum(expr(s"CAST(n AS $dec) * (n - 1) * (n - 2)")).as("a3"),
+        sum(expr(s"CAST(n AS $dec) * (n - 1)")).as("a2"))
+    val tm = hist.groupBy("q").agg(sum("c").as("t"))
+      .agg(sum(expr(s"CAST(t AS $dec) * (t - 1) * (2 * t + 5)")).as("p3"),
+        sum(expr(s"CAST(t AS $dec) * (t - 1) * (t - 2)")).as("b3"),
+        sum(expr(s"CAST(t AS $dec) * (t - 1)")).as("b2"))
+    j2.crossJoin(gm).crossJoin(tm) // 1-row frames
+      .withColumn("e2", expr(s"(CAST(nn AS $dec) * nn - sn2) div 2"))
+      .select(col("nn").cast("long").as("n"), col("n_groups"),
+        col("j2").cast("double").as("j2"), col("e2").cast("double").as("e2"),
+        TextF.round4HalfUp(expr(
+          s"""try_divide(CAST(j2 - e2 AS DOUBLE),
+             |  2.0 * sqrt(
+             |    CAST(CAST(nn AS $dec) * (nn - 1) * (2 * nn + 5)
+             |         - p2 - p3 AS DOUBLE) / 72.0
+             |    + CAST(a3 AS DOUBLE) * CAST(b3 AS DOUBLE)
+             |      / NULLIF(CAST(36 * CAST(nn AS $dec) * (nn - 1) * (nn - 2)
+             |               AS DOUBLE), 0.0)
+             |    + CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)
+             |      / NULLIF(CAST(8 * CAST(nn AS $dec) * (nn - 1)
+             |               AS DOUBLE), 0.0)))"""
+            .stripMargin)).as("z"))
+      .withColumn("trending",
+        when(col("z").isNull, lit(false)).otherwise(abs(col("z")) > 1.96))
+  }
+
+  def jonckheereTrend(spark: SparkSession, dir: String): DataFrame =
+    jonckheereTrendOf(Tables.lineitem(spark, dir))
+
   /** Cliff's delta effect SIZE per event type — [[mannWhitneyOf]]
     * answers "is the arm difference real?"; this answers "is it
     * BIG?": δ = P(treat > ctrl) − P(ctrl > treat), the ordinal

@@ -382,6 +382,57 @@ private[graft] object WarehouseOracles {
         |    / sqrt(CAST(v18 AS DOUBLE) / 18.0)) > 1.96 AS trending
         |FROM c ORDER BY event_type""".stripMargin,
 
+    // Jonckheere-Terpstra ordered trend across the discount ladder:
+    // doubled-U off one bounded histogram, tie-corrected variance
+    // polynomials on HUGEINT, z through the engine's fixed chain.
+    "jonckheere_trend" ->
+      """WITH hist AS (SELECT
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS g,
+        |    CAST(l_quantity AS BIGINT) AS q, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |dense AS (SELECT gg.g, qq.q, COALESCE(h.c, 0) AS c
+        |  FROM (SELECT DISTINCT g FROM hist) gg
+        |  CROSS JOIN (SELECT DISTINCT q FROM hist) qq
+        |  LEFT JOIN hist h ON h.g = gg.g AND h.q = qq.q),
+        |cum AS (SELECT g, q, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY q) - c AS below
+        |  FROM dense),
+        |j AS (SELECT COALESCE(SUM(CAST(hi.c AS HUGEINT)
+        |      * (2 * lo.below + lo.c)), 0) AS j2
+        |  FROM cum hi JOIN cum lo ON hi.q = lo.q AND lo.g < hi.g),
+        |gm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(n) AS BIGINT) AS nn,
+        |    SUM(CAST(n AS HUGEINT) * n) AS sn2,
+        |    SUM(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)) AS p2,
+        |    SUM(CAST(n AS HUGEINT) * (n - 1) * (n - 2)) AS a3,
+        |    SUM(CAST(n AS HUGEINT) * (n - 1)) AS a2
+        |  FROM (SELECT g, SUM(c) AS n FROM hist GROUP BY 1)),
+        |tm AS (SELECT
+        |    SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS p3,
+        |    SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS b3,
+        |    SUM(CAST(t AS HUGEINT) * (t - 1)) AS b2
+        |  FROM (SELECT q, SUM(c) AS t FROM hist GROUP BY 1)),
+        |f AS (SELECT nn, n_groups, j2,
+        |    (CAST(nn AS HUGEINT) * nn - sn2) // 2 AS e2,
+        |    p2, p3, a3, a2, b3, b2 FROM j, gm, tm),
+        |zc AS (SELECT nn, n_groups,
+        |    CAST(j2 AS DOUBLE) AS j2, CAST(e2 AS DOUBLE) AS e2,
+        |    floor(CAST(j2 - e2 AS DOUBLE)
+        |      / (2.0 * sqrt(
+        |          CAST(CAST(nn AS HUGEINT) * (nn - 1) * (2 * nn + 5)
+        |               - p2 - p3 AS DOUBLE) / 72.0
+        |          + CAST(a3 AS DOUBLE) * CAST(b3 AS DOUBLE)
+        |            / NULLIF(CAST(36 * CAST(nn AS HUGEINT) * (nn - 1)
+        |                * (nn - 2) AS DOUBLE), 0.0)
+        |          + CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)
+        |            / NULLIF(CAST(8 * CAST(nn AS HUGEINT) * (nn - 1)
+        |                AS DOUBLE), 0.0)))
+        |      * 1e4 + 0.5) / 1e4 AS z
+        |  FROM f)
+        |SELECT nn AS n, n_groups, j2, e2, z,
+        |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.96 END AS trending
+        |FROM zc""".stripMargin,
+
     // Seasonal Mann–Kendall: the mann_kendall algebra per weekday
     // stratum (arithmetic epoch-mod-7), S and 18·Var summed exactly.
     "seasonal_mk" ->

@@ -357,6 +357,40 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     assert(rt.getDouble(3) == 0.5 && rt.isNullAt(4) && !rt.getBoolean(5), s"$rt")
   }
 
+  test("jonckheere: hand-checked z on a planted monotone ladder, sign-symmetric on reversal") {
+    def li(rows: (Double, Double)*): DataFrame =
+      rows.toDF("l_discount", "l_quantity")
+    // g0={1,1} g1={2,2} g2={3,3}: every cross pair concordant →
+    // 2J=24, 2E=12; Var = 402/72 + 0 + 36/240 = 5.7333…
+    // z = 12 / (2·√5.7333) = 2.5058
+    val up = li((0.00, 1), (0.00, 1), (0.01, 2), (0.01, 2),
+      (0.02, 3), (0.02, 3))
+    val r = Robust.jonckheereTrendOf(up).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L, s"n/groups: $r")
+    assert(r.getDouble(2) == 24.0 && r.getDouble(3) == 12.0, s"2J/2E: $r")
+    assert(r.getDouble(4) == 2.5058 && r.getBoolean(5), s"z: $r")
+    // reversed ladder → same magnitude, negative
+    val down = li((0.00, 3), (0.00, 3), (0.01, 2), (0.01, 2),
+      (0.02, 1), (0.02, 1))
+    val d = Robust.jonckheereTrendOf(down).collect().head
+    assert(d.getDouble(4) == -2.5058 && d.getBoolean(5), s"z down: $d")
+  }
+
+  test("jonckheere: ties credit half and a single group nulls z") {
+    // g0={1,2} g1={1,2}: 2U = 2·(#below) + #ties = 2·1 + 2 = 4 → 2J=4;
+    // 2E = (16-8)/2 = 4 → z = 0 (exactly balanced under ties)
+    val tied = Seq((0.00, 1.0), (0.00, 2.0), (0.01, 1.0), (0.01, 2.0))
+      .toDF("l_discount", "l_quantity")
+    val t = Robust.jonckheereTrendOf(tied).collect().head
+    assert(t.getDouble(2) == 4.0 && t.getDouble(3) == 4.0, s"2J/2E: $t")
+    assert(t.getDouble(4) == 0.0 && !t.getBoolean(5), s"z: $t")
+    // one group: no pairs, zero variance → z NULL, trending false
+    val one = Seq((0.00, 1.0), (0.00, 2.0)).toDF("l_discount", "l_quantity")
+    val o = Robust.jonckheereTrendOf(one).collect().head
+    assert(o.getDouble(2) == 0.0 && o.isNullAt(4) && !o.getBoolean(5),
+      s"single group: $o")
+  }
+
   test("kruskal-wallis: hand-checked H on a 2-2-2 split; all-tied nulls H via the tie correction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
