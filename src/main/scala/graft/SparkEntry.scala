@@ -344,8 +344,10 @@ object SparkEntry {
     "did_readout"       -> (Behavior.didReadout(_, _)),
     "qini_curve"        -> (Behavior.qiniCurve(_, _)),
     "brier_decomposition" -> (CorpusStats.brierDecomposition(_, _)),
-    // Round-15 tranche: isotonic recalibration fit (SURVEY §2 row 417)
+    // Round-15 tranche: isotonic recalibration fit (SURVEY §2 row 417),
+    // paired-gate McNemar (row 420)
     "isotonic_calibration" -> (CorpusStats.isotonicCalibration(_, _)),
+    "mcnemar_test"      -> (CorpusStats.mcnemarGates(_, _)),
     // Round-12 fifth tranche: survival A/B, concordance-algebra rank
     // correlation, PR-AUC retrieval eval (SURVEY §2 rows 301-303)
     "logrank_test"      -> (Behavior.logrankTest(_, _)),

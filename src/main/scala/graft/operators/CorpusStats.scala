@@ -981,6 +981,54 @@ object CorpusStats {
   def isotonicCalibration(spark: SparkSession, dir: String): DataFrame =
     isotonicCalibrationOf(Tables.documents(spark, dir))
 
+  /** McNemar's paired test between the two quality gates the corpus
+    * family already ships — [[gopherRulesOf]]'s rule conjunction vs
+    * the quality-score threshold ([[graft.operators.TextAnalysis]]'s
+    * corpus_clean gate): do the gates disagree SYSTEMATICALLY, or
+    * symmetrically? Unpaired comparison (each gate's pass rate) can't
+    * answer that — McNemar conditions on the disagreeing pairs only:
+    * χ² = (|b−c|−1)²/(b+c) (continuity-corrected, clamped), b/c the
+    * gopher-only / quality-only counts ON THE SAME documents. The
+    * read that tells a pipeline owner whether swapping gates would
+    * RESHAPE the corpus (one-sided disagreement) or just resample it.
+    *
+    * Exactness: the 2×2 is four exact conditional counts off ONE
+    * projection (both gates evaluate in the same map — no doc_id
+    * self-join, the fact never shuffles at all: a single 1-row global
+    * aggregate); χ² is one fixed double chain; b+c = 0 (gates agree
+    * everywhere) nulls χ² via try_divide → not significant. */
+  def mcnemarGatesOf(docs: DataFrame, minQuality: Double = 0.9): DataFrame = {
+    val r6 = TextF.round6HalfUp _
+    docs
+      .select(gopherKeep(50, 100000).as("g1"),
+        (TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
+          >= minQuality).as("g2"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("g1") && col("g2"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("g1") && !col("g2"), 1L).otherwise(0L))
+          .as("n_only_gopher"),
+        sum(when(!col("g1") && col("g2"), 1L).otherwise(0L))
+          .as("n_only_quality"),
+        sum(when(!col("g1") && !col("g2"), 1L).otherwise(0L))
+          .as("n_neither"))
+      .select(col("n_docs"), col("n_both"), col("n_only_gopher"),
+        col("n_only_quality"), col("n_neither"),
+        r6(expr(
+          """try_divide(
+            |  CAST(greatest(abs(n_only_gopher - n_only_quality) - 1, 0)
+            |       AS DOUBLE)
+            |  * CAST(greatest(abs(n_only_gopher - n_only_quality) - 1, 0)
+            |       AS DOUBLE),
+            |  CAST(n_only_gopher + n_only_quality AS DOUBLE))"""
+            .stripMargin)).as("chi2_mcnemar"))
+      .withColumn("significant",
+        when(col("chi2_mcnemar").isNull, lit(false))
+          .otherwise(col("chi2_mcnemar") > 3.841459))
+  }
+
+  def mcnemarGates(spark: SparkSession, dir: String): DataFrame =
+    mcnemarGatesOf(Tables.documents(spark, dir))
+
   /** Term keyness: which words characterize the `focus` source against
     * the rest of the corpus (the corpus-linguistics comparison behind
     * "what is this source actually about"). Statistic is the add-one

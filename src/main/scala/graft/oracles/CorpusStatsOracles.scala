@@ -433,6 +433,58 @@ private[graft] object CorpusStatsOracles {
         |FROM cells c JOIN fit ON c.bin = fit.i
         |ORDER BY c.bin""".stripMargin,
 
+    // McNemar over the two gates on ONE scan: the gopher keep
+    // conjunction (the gopher_rules fragments verbatim) paired with
+    // the quality threshold; continuity-corrected chi2, engine chain.
+    "mcnemar_test" ->
+      s"""WITH b AS (SELECT
+        |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+        |    length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g'))
+        |      AS char_len,
+        |    $QualitySqlExpr AS q
+        |  FROM documents),
+        |g AS (SELECT
+        |    (CAST(len(toks) AS INT) >= 50 AND CAST(len(toks) AS INT) <= 100000
+        |     AND floor(CAST(char_len AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |         * 1e4 + 0.5) / 1e4 >= 3.0
+        |     AND floor(CAST(char_len AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |         * 1e4 + 0.5) / 1e4 <= 10.0
+        |     AND floor(CAST(len(list_filter(toks, t -> starts_with(t, '#')
+        |           OR contains(t, '...'))) AS DOUBLE)
+        |         / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 <= 0.1
+        |     AND floor(CAST(len(list_filter(toks,
+        |           t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |         / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 >= 0.8
+        |     AND CAST(len(list_intersect(list_distinct(toks),
+        |       ['the','be','to','of','and','that','have','with']))
+        |       AS BIGINT) >= 2) AS g1,
+        |    q >= 0.9 AS g2
+        |  FROM b),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both,
+        |    CAST(SUM(CASE WHEN g1 AND NOT g2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_only_gopher,
+        |    CAST(SUM(CASE WHEN NOT g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_only_quality,
+        |    CAST(SUM(CASE WHEN NOT g1 AND NOT g2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neither
+        |  FROM g),
+        |f AS (SELECT n_docs, n_both, n_only_gopher, n_only_quality, n_neither,
+        |    floor(
+        |      CAST(greatest(abs(n_only_gopher - n_only_quality) - 1, 0)
+        |           AS DOUBLE)
+        |      * CAST(greatest(abs(n_only_gopher - n_only_quality) - 1, 0)
+        |           AS DOUBLE)
+        |      / NULLIF(CAST(n_only_gopher + n_only_quality AS DOUBLE), 0.0)
+        |      * 1e6 + 0.5) / 1e6 AS chi2_mcnemar
+        |  FROM t)
+        |SELECT n_docs, n_both, n_only_gopher, n_only_quality, n_neither,
+        |  chi2_mcnemar,
+        |  CASE WHEN chi2_mcnemar IS NULL THEN FALSE
+        |       ELSE chi2_mcnemar > 3.841459 END AS significant
+        |FROM f""".stripMargin,
+
     // Mann-Whitney AUC with tie credit 1/2 in doubled-integer space:
     // 2U = Σ np·(2·nn_below + nn) is an exact BIGINT; one division at
     // the end, rounded half-up to 6 dp.

@@ -491,6 +491,40 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
       s => s.length < 2 || s(0) <= s(1)), s"non-monotone fit: ${out.toSeq}")
   }
 
+  // Gate-controlled fixtures for McNemar: A passes both gates, B only
+  // gopher (comma mass zeroes the quality punct leg), C only quality
+  // (23 tokens < 50), D neither.
+  private val McA = (Seq.fill(51)("wordword") ++ Seq.fill(8)("the") :+ "and")
+    .mkString(" ")
+  private val McB = (Seq.fill(51)("wordword") ++ Seq.fill(8)("the")
+    ++ Seq("and") ++ Seq.fill(8)(",,,,,,,,")).mkString(" ")
+  private val McC = (Seq.fill(20)("abcdefghij") ++ Seq.fill(2)("the")
+    :+ "and").mkString(" ")
+  private val McD = "x! x! x!"
+
+  test("mcnemar: balanced disagreement scores zero, cells partition the corpus") {
+    val out = CorpusStats.mcnemarGatesOf(docsDf(
+      1L -> McA, 2L -> McB, 3L -> McC, 4L -> McD)).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4)) == ((4L, 1L, 1L, 1L, 1L)), s"$out")
+    // b=c=1: continuity correction clamps (|0|-1) to 0 → chi2 = 0
+    assert(out.getDouble(5) == 0.0 && !out.getBoolean(6), s"$out")
+  }
+
+  test("mcnemar: one-sided disagreement crosses 3.841 and perfect agreement nulls") {
+    val oneSided = CorpusStats.mcnemarGatesOf(docsDf(
+      (Seq(1L -> McA) ++ (2L to 7L).map(_ -> McB) :+ (8L -> McD)): _*))
+      .collect().head
+    // b=6, c=0: chi2 = (6-1)²/6 = 4.166667
+    assert(oneSided.getLong(2) == 6L && oneSided.getLong(3) == 0L, s"$oneSided")
+    assert(oneSided.getDouble(5) == 4.166667 && oneSided.getBoolean(6),
+      s"$oneSided")
+    val agree = CorpusStats.mcnemarGatesOf(docsDf(1L -> McA, 2L -> McD))
+      .collect().head
+    assert(agree.isNullAt(5) && !agree.getBoolean(6),
+      s"agreement must null chi2: $agree")
+  }
+
   test("term keyness promotes focus-exclusive terms with exact smoothed ratios") {
     val docs = Seq(
       (1L, "src0", "zebra zebra common"),
