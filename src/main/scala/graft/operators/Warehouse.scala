@@ -185,6 +185,50 @@ object Warehouse {
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame =
     mergeUpsertOf(Tables.events(spark, dir))
 
+  /** Small-file compaction plan — the OPTIMIZE/bin-pack planner every
+    * 100 TB lake runs nightly (Delta OPTIMIZE, Iceberg rewrite_data_
+    * files), expressed declaratively: the hourly ingest "files" of
+    * each (event_type, day) partition (size = rows × `rowBytes`, the
+    * stand-in width — swap a real manifest in at the same schema) are
+    * grouped, IN TIME ORDER, into target-size compaction bins:
+    * bin = floor(bytes-before-this-file / targetBytes) over the
+    * hour-ordered running sum. Time-order grouping is the part that
+    * matters at scale: each output bin spans a CONTIGUOUS hour range
+    * (first_hour..last_hour published), so file-level min/max
+    * envelopes on the time column keep pruning after compaction —
+    * a size-sorted bin-pack (FFD) packs tighter but scrambles time
+    * and destroys zonemap skipping. Greedy overshoot: the file that
+    * straddles a boundary joins the bin it started in, so a bin is
+    * bounded by target + one file — the standard planner contract.
+    *
+    * Shape: ONE fact aggregate to the (type, day, hour) manifest
+    * (map-combinable), one window over (type, day) — a single
+    * key-shuffle; the plan output is manifest-bounded, never
+    * row-bounded. All integer arithmetic. */
+  def compactionPlanOf(events: DataFrame, rowBytes: Int = 64,
+                       targetBytes: Long = 4096): DataFrame = {
+    require(rowBytes > 0 && targetBytes > 0,
+      s"need positive sizes, got $rowBytes/$targetBytes")
+    val files = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"))
+      .groupBy("event_type", "day", "hr")
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bytes", col("n_rows") * rowBytes)
+    files
+      .withColumn("bin_id",
+        expr(s"(sum(bytes) OVER (PARTITION BY event_type, day ORDER BY hr)"
+          + s" - bytes) div ${targetBytes}L"))
+      .groupBy("event_type", "day", "bin_id")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("bytes_in"),
+        min("hr").cast("long").as("first_hour"),
+        max("hr").cast("long").as("last_hour"))
+      .orderBy("event_type", "day", "bin_id")
+  }
+
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame =
+    compactionPlanOf(Tables.events(spark, dir))
+
   /** Right-to-erasure (GDPR delete) cost audit: given a deletion set
     * (here the deterministic user_id % 97 == 0 cohort standing in for
     * a request table — swap the predicate for a real one), report per

@@ -213,6 +213,26 @@ private[graft] object WarehouseOracles {
     // Same grain contract as latest_per_key: DuckDB ranks on (µs,
     // event_id) where Spark ranks exact-ns — they agree because ids
     // are time-monotone within a microsecond (hash-verified).
+    // Compaction plan: hour-ordered running-sum binning of the hourly
+    // file manifest per (type, day) partition; pure integer.
+    "compaction_plan" ->
+      """WITH files AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(hour(make_timestamp(epoch_us(ts))) AS BIGINT) AS hr,
+        |    CAST(COUNT(*) AS BIGINT) * 64 AS bytes
+        |  FROM events GROUP BY 1, 2, 3),
+        |binned AS (SELECT event_type, day, hr, bytes,
+        |    (SUM(bytes) OVER (PARTITION BY event_type, day ORDER BY hr)
+        |     - bytes) // 4096 AS bin_id
+        |  FROM files)
+        |SELECT event_type, day, bin_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS bytes_in,
+        |  CAST(MIN(hr) AS BIGINT) AS first_hour,
+        |  CAST(MAX(hr) AS BIGINT) AS last_hour
+        |FROM binned GROUP BY 1, 2, 3
+        |ORDER BY event_type, day, bin_id""".stripMargin,
+
     "merge_upsert" ->
       """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us, event_id,
         |    event_type, value, ts < TIMESTAMP '2024-01-15' AS before

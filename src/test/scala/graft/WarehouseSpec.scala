@@ -292,6 +292,26 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out("props_present")._2 == 1L)
   }
 
+  test("compaction plan: time-ordered bins, straddler overshoot, byte conservation") {
+    import java.sql.Timestamp
+    def rows(hr: Int, n: Int) = (1 to n).map(_ =>
+      ("e", Timestamp.valueOf(f"2024-01-01 $hr%02d:30:00")))
+    // hourly files (×64B): h0=2560 h1=2560 h2=640 h3=3840 h4=64
+    // cum-before: 0, 2560, 5120, 5760, 9600 → bins 0,0,1,1,2
+    val ev = (rows(0, 40) ++ rows(1, 40) ++ rows(2, 10) ++ rows(3, 60)
+      ++ rows(4, 1)).toDF("event_type", "ts")
+    val out = Warehouse.compactionPlanOf(ev).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 5120L, 0L, 1L),  // straddler joins the bin it started in
+      (1L, 2L, 4480L, 2L, 3L),
+      (2L, 1L, 64L, 4L, 4L)), s"got ${out.toSeq}")
+    assert(out.map(_._3).sum == 151L * 64, "bytes conserved")
+    // hour spans are contiguous and non-overlapping in time order
+    assert(out.sliding(2).forall(p => p.length < 2 || p(0)._5 < p(1)._4))
+  }
+
   test("mergeUpsert: insert/update/keep per key, change wins, base survives untouched keys") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)
