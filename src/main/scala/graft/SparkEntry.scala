@@ -125,8 +125,10 @@ object SparkEntry {
     // bloom filter, corpus-LM scoring (#101-106)
     "snapshot_diff"     -> (Warehouse.snapshotDiff(_, _)),
     "merge_upsert"      -> (Warehouse.mergeUpsert(_, _)),
-    // Round-15 tranche: small-file compaction planner (SURVEY §2 row 421)
+    // Round-15 tranche: small-file compaction planner (SURVEY §2 row 421),
+    // FIFO lot-matching interval join (row 422)
     "compaction_plan"   -> (Warehouse.compactionPlan(_, _)),
+    "fifo_match"        -> (Warehouse.fifoMatch(_, _)),
     "linear_attribution" -> (Behavior.linearAttribution(_, _)),
     "seasonal_decompose" -> (EventAnalytics.seasonalDecompose(_, _)),
     "hll_error_audit"   -> (CtrAlerts.hllErrorAudit(_, _)),

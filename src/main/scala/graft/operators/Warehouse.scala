@@ -229,6 +229,61 @@ object Warehouse {
   def compactionPlan(spark: SparkSession, dir: String): DataFrame =
     compactionPlanOf(Tables.events(spark, dir))
 
+  /** FIFO lot matching — the inventory-costing allocation join (match
+    * each RETURNED unit of a part against the OLDEST shipped units of
+    * that part, the way FIFO cost layers and lot-tracked recalls
+    * resolve): both sides become CUMULATIVE-UNIT intervals per part
+    * (supply lot i covers [Σqty_before, +qty) in ship order; return
+    * lot j covers its interval of the returned-unit axis), and a FIFO
+    * allocation is exactly the INTERVAL OVERLAP of the two axes —
+    * qty = min(s1,r1) − max(s0,r0) on matched pairs. No sequential
+    * consume-loop, no per-key state: two windows + one equijoin.
+    *
+    * Scale: the join is a plain partkey equijoin with the range
+    * predicate as post-filter — safe because lots-per-part is BOUNDED
+    * by the data model (TPC-H holds ~30 lineitems/part at every SF;
+    * per-key candidate mass is 30×8, never n²), and matched output is
+    * structurally ≤ n_sup + n_ret − 1 rows per key (consecutive
+    * interval chains). Ship-order ties break on (orderkey, linenumber)
+    * — both engines sort identical total orders. All-integer units
+    * (l_quantity is integral by construction); lag_days = return ship
+    * − matched lot ship is the shelf-age read that prices returned
+    * stock. One localCheckpoint: both interval legs read the same
+    * pruned projection without re-scanning the fact. */
+  def fifoMatchOf(lineitem: DataFrame): DataFrame = {
+    val li = lineitem
+      .select(col("l_partkey").as("pk"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity").cast("long").as("qty"),
+        col("l_shipdate"), col("l_returnflag"))
+      .localCheckpoint(false) // supply + demand legs share the scan
+    val ord = Window.partitionBy("pk")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val sup = li
+      .withColumn("s1", sum("qty").over(ord))
+      .select(col("pk"), col("l_orderkey").as("sup_order"),
+        col("l_linenumber").as("sup_line"),
+        col("l_shipdate").as("sup_ship"),
+        (col("s1") - col("qty")).as("s0"), col("s1"))
+    val ret = li.filter(col("l_returnflag") === "R")
+      .withColumn("r1", sum("qty").over(ord))
+      .select(col("pk"), col("l_orderkey").as("ret_order"),
+        col("l_linenumber").as("ret_line"),
+        col("l_shipdate").as("ret_ship"),
+        (col("r1") - col("qty")).as("r0"), col("r1"))
+    sup.join(ret, Seq("pk"))
+      .filter(col("s0") < col("r1") && col("r0") < col("s1"))
+      .select(col("pk").as("l_partkey"),
+        col("ret_order"), col("ret_line"), col("sup_order"), col("sup_line"),
+        (least(col("s1"), col("r1")) - greatest(col("s0"), col("r0")))
+          .as("qty_matched"),
+        datediff(to_date(col("ret_ship")), to_date(col("sup_ship")))
+          .cast("long").as("lag_days"))
+      .orderBy("l_partkey", "ret_order", "ret_line", "sup_order", "sup_line")
+  }
+
+  def fifoMatch(spark: SparkSession, dir: String): DataFrame =
+    fifoMatchOf(Tables.lineitem(spark, dir))
+
   /** Right-to-erasure (GDPR delete) cost audit: given a deletion set
     * (here the deterministic user_id % 97 == 0 cohort standing in for
     * a request table — swap the predicate for a real one), report per

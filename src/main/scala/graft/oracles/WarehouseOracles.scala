@@ -213,6 +213,34 @@ private[graft] object WarehouseOracles {
     // Same grain contract as latest_per_key: DuckDB ranks on (µs,
     // event_id) where Spark ranks exact-ns — they agree because ids
     // are time-monotone within a microsecond (hash-verified).
+    // FIFO lot matching: cumulative-unit interval overlap per part —
+    // two windows + one equijoin, all-integer units.
+    "fifo_match" ->
+      """WITH li AS (SELECT l_partkey AS pk, l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty, l_shipdate, l_returnflag
+        |  FROM lineitem),
+        |sup AS (SELECT pk, l_orderkey AS sup_order,
+        |    l_linenumber AS sup_line, l_shipdate AS sup_ship,
+        |    SUM(qty) OVER w - qty AS s0, SUM(qty) OVER w AS s1
+        |  FROM li
+        |  WINDOW w AS (PARTITION BY pk
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+        |ret AS (SELECT pk, l_orderkey AS ret_order,
+        |    l_linenumber AS ret_line, l_shipdate AS ret_ship,
+        |    SUM(qty) OVER w - qty AS r0, SUM(qty) OVER w AS r1
+        |  FROM li WHERE l_returnflag = 'R'
+        |  WINDOW w AS (PARTITION BY pk
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |SELECT s.pk AS l_partkey, r.ret_order, r.ret_line,
+        |  s.sup_order, s.sup_line,
+        |  CAST(least(s.s1, r.r1) - greatest(s.s0, r.r0) AS BIGINT)
+        |    AS qty_matched,
+        |  CAST(datediff('day', CAST(s.sup_ship AS DATE),
+        |    CAST(r.ret_ship AS DATE)) AS BIGINT) AS lag_days
+        |FROM sup s JOIN ret r
+        |  ON s.pk = r.pk AND s.s0 < r.r1 AND r.r0 < s.s1
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+
     // Compaction plan: hour-ordered running-sum binning of the hourly
     // file manifest per (type, day) partition; pure integer.
     "compaction_plan" ->

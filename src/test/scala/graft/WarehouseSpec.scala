@@ -312,6 +312,32 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out.sliding(2).forall(p => p.length < 2 || p(0)._5 < p(1)._4))
   }
 
+  test("fifo match: returns consume oldest lots, conserve quantity, keys isolate") {
+    import java.sql.Timestamp
+    def li(pk: Long, ok: Long, ln: Int, qty: Double, day: Int, rf: String) =
+      (pk, ok, ln, qty, Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"), rf)
+    // part 1 supply axis: A[0,10) B[10,15) C[15,23); returns B[0,5) C[5,13)
+    // part 2: one self-matching returned lot
+    val rows = Seq(
+      li(1L, 100L, 1, 10, 1, "N"),
+      li(1L, 200L, 1, 5, 2, "R"),
+      li(1L, 300L, 1, 8, 3, "R"),
+      li(2L, 400L, 1, 4, 5, "R"))
+      .toDF("l_partkey", "l_orderkey", "l_linenumber", "l_quantity",
+        "l_shipdate", "l_returnflag")
+    val out = Warehouse.fifoMatchOf(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (1L, 200L, 100L, 5L, 1L),   // B's 5 units ← oldest lot A
+      (1L, 300L, 100L, 5L, 2L),   // C spills: 5 from A…
+      (1L, 300L, 200L, 3L, 1L),   // …then 3 from B (FIFO chain)
+      (2L, 400L, 400L, 4L, 0L)),  // other part: self-match, lag 0
+      s"got ${out.toSeq}")
+    // conservation: every returned unit is matched exactly once
+    assert(out.filter(_._1 == 1L).map(_._4).sum == 13L)
+  }
+
   test("mergeUpsert: insert/update/keep per key, change wins, base survives untouched keys") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)
