@@ -429,6 +429,8 @@ object SparkEntry {
     "cluster_stability_ari" -> (Cluster.clusterStabilityAri(_, _)),
     "median_ci"         -> (Robust.medianCi(_, _)),
     "image_ahash_dedup" -> (Multimodal.imageAhashDedup(_, _)),
+    // Round-15 tranche: DCT perceptual-hash twin (SURVEY §2 row 423)
+    "image_phash_dedup" -> (Multimodal.imagePhashDedup(_, _)),
     // Round-12 twentieth tranche: TPC-H Q1 pricing summary, HL
     // pseudo-median, cross-modal dedup audit (rows 349-351)
     "pricing_summary"   -> (Warehouse.pricingSummary(_, _)),

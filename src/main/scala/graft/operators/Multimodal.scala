@@ -249,10 +249,12 @@ object Multimodal {
     * duplicate-clique² to distinct-hash-clique² (the ×100 TWINS
     * rehearsal priced the naive doc-pair join at 305×; this shape is
     * what makes replication NOT quadratic). */
-  /** (ahash, m) distinct-hash groups of the synthesized image corpus —
+  /** (hash, m) distinct-hash groups of the synthesized image corpus —
     * the shared substrate of the image-dedup rows (the decode+hash
-    * pass and the identical-hash collapse happen ONCE here). */
-  private def ahashGroups(spark: SparkSession, docs: DataFrame): DataFrame = {
+    * pass and the identical-hash collapse happen ONCE here); `hasher`
+    * selects the 64-bit perceptual hash ([[aHash64]] / [[pHash64]]). */
+  private def hashGroups(spark: SparkSession, docs: DataFrame,
+                         hasher: PpmCodec.Image => Long): DataFrame = {
     import spark.implicits._
     docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
@@ -265,12 +267,100 @@ object Multimodal {
           val img = PpmCodec.decodeP6(
             PpmCodec.encodeP6(w, h, java.util.Arrays.copyOf(b, 3 * w * h)))
             .getOrElse(PpmCodec.Image(0, 0, Array.emptyByteArray))
-          (id, aHash64(img))
+          (id, hasher(img))
         }
       }
       .toDF("doc_id", "ahash")
       .groupBy("ahash").agg(count(lit(1)).as("m"))
       .localCheckpoint(false) // feeds the fold and both join sides
+  }
+
+  private def ahashGroups(spark: SparkSession, docs: DataFrame): DataFrame =
+    hashGroups(spark, docs, aHash64)
+
+  /** 32-point DCT-II row basis for the 8 lowest frequencies,
+    * fixed-point 2¹⁴ — tabulated once with StrictMath so the table is
+    * bit-identical on every JVM/platform (Math.cos may use platform
+    * intrinsics; the hash must not depend on where it runs). */
+  private val DctN = 32
+  private lazy val dctT: Array[Array[Long]] = Array.tabulate(8, DctN) {
+    (u, x) => Math.round(
+      StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * DctN))
+        * (1 << 14))
+  }
+
+  /** pHash: 64-bit DCT perceptual hash — [[aHash64]] thresholds block
+    * LUMA against the mean (cheap, but any smooth gradient flips half
+    * the bits); pHash thresholds the 8×8 LOWEST-FREQUENCY DCT
+    * coefficients of the 32×32 downscale against their median, so the
+    * hash captures image STRUCTURE and is invariant to global
+    * brightness (DC shifts don't move AC coefficients) and contrast
+    * scaling (all coefficients scale together, the median with them).
+    * All arithmetic is fixed-point integer: box-average luma ≪8 per
+    * cell, two staged basis multiplies each rescaled ≫14 (arithmetic
+    * shift — floors on negatives, deterministically), worst-case
+    * magnitude ≤ 9·10¹⁵ < 2⁶³. Median = lower median of the 63 non-DC
+    * coefficients (DC joins the bit comparison but not the median —
+    * the standard pHash recipe). */
+  private[graft] def pHash64(img: PpmCodec.Image): Long = {
+    val n = DctN
+    val w = img.width; val h = img.height
+    val s = new Array[Long](n * n); val c = new Array[Long](n * n)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(n - 1, y * n / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(n - 1, x * n / w)
+        val i = 3 * (y * w + x)
+        val lum = 2L * (img.rgb(i) & 0xff) + 5L * (img.rgb(i + 1) & 0xff) +
+          (img.rgb(i + 2) & 0xff)
+        s(gy * n + gx) += lum; c(gy * n + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val g = new Array[Long](n * n)
+    var j = 0
+    while (j < n * n) {
+      if (c(j) > 0) g(j) = (s(j) << 8) / c(j)
+      j += 1
+    }
+    // M(x,v) = (Σ_y g(x,y)·T(v,y)) >> 14, then F(u,v) = (Σ_x T(u,x)·M) >> 14
+    val m = Array.ofDim[Long](n, 8)
+    var x = 0
+    while (x < n) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L; var yy = 0
+        while (yy < n) { acc += g(x * n + yy) * dctT(v)(yy); yy += 1 }
+        m(x)(v) = acc >> 14
+        v += 1
+      }
+      x += 1
+    }
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L; var xx = 0
+        while (xx < n) { acc += dctT(u)(xx) * m(xx)(v); xx += 1 }
+        f(u * 8 + v) = acc >> 14
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var bits = 0L
+    j = 0
+    while (j < 64) {
+      if (f(j) > med) bits |= 1L << (63 - j)
+      j += 1
+    }
+    bits
   }
 
   /** Distinct-hash band-candidate frame over [[ahashGroups]]: each
@@ -295,10 +385,27 @@ object Multimodal {
   }
 
   def imageAhashDedupOf(spark: SparkSession, docs: DataFrame,
-                        maxHamming: Int = 6): DataFrame = {
+                        maxHamming: Int = 6): DataFrame =
+    imageHashDedupFold(ahashGroups(spark, docs), maxHamming)
+
+  /** pHash twin of [[imageAhashDedupOf]]: the DCT perceptual hash
+    * ([[pHash64]]) through the identical collapsed-band fold — same
+    * banding pigeonhole contract (an exactly-agreeing 16-bit band is
+    * guaranteed only at Hamming ≤ 3; beyond that the count is
+    * candidate-visible), same distinct-hash pair-mass collapse. The
+    * pair belongs together in the registry: aHash fires on luma-block
+    * equality (cheap, gradient-fragile), pHash on low-frequency
+    * structure (brightness/contrast-invariant) — the FP/FN trade
+    * between them is the `crossmodal_dedup_audit` read extended to a
+    * second operating point. */
+  def imagePhashDedupOf(spark: SparkSession, docs: DataFrame,
+                        maxHamming: Int = 6): DataFrame =
+    imageHashDedupFold(hashGroups(spark, docs, pHash64), maxHamming)
+
+  private def imageHashDedupFold(groups: DataFrame,
+                                 maxHamming: Int): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val dec = "decimal(38,0)"
-    val groups = ahashGroups(spark, docs)
     val within = groups.agg(
       sum(col("m").cast(dec)).as("n_images"),
       coalesce(sum(expr("((m * (m - 1)) div 2)").cast(dec)),
@@ -319,6 +426,9 @@ object Multimodal {
 
   def imageAhashDedup(spark: SparkSession, dir: String): DataFrame =
     imageAhashDedupOf(spark, Tables.documents(spark, dir))
+
+  def imagePhashDedup(spark: SparkSession, dir: String): DataFrame =
+    imagePhashDedupOf(spark, Tables.documents(spark, dir))
 
   /** Cross-modal dedup agreement: exact TEXT duplicate pairs vs
     * [[imageAhashDedupOf]]'s image near-dup pairs over the same

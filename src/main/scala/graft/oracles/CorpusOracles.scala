@@ -1123,6 +1123,20 @@ private[graft] object CorpusOracles {
         |  CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs
         |FROM r""".stripMargin,
 
+    // Image pHash dedup: pinned literal frame (the image-leg
+    // convention — the fixed-point DCT has no SQL counterpart; the
+    // pin regression-locks the sf0.01 result). The DCT hash spreads
+    // the synthetic corpus wider than aHash (1509 candidates / 17
+    // dups vs 277 / 31): low-frequency structure separates docs whose
+    // luma-block means collide.
+    "image_phash_dedup" ->
+      """WITH r(n_images, n_candidate_pairs, n_dup_pairs) AS (VALUES
+        |  (500, 1509, 17))
+        |SELECT CAST(n_images AS BIGINT) AS n_images,
+        |  CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+        |  CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs
+        |FROM r""".stripMargin,
+
     // Cross-modal dedup audit: pinned literal frame (image leg is the
     // pixel pipeline; at sf0.01 the corpus carries no exact text dups,
     // so all 31 image pairs are the perceptual-hash-FP read).

@@ -229,6 +229,45 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(1) >= 3L, s"candidates include the dup pairs: $r")
   }
 
+  test("pHash: brightness/contrast invariant, structure sensitive, DC-only on flat images") {
+    import graft.functions.PpmCodec
+    def img(f: (Int, Int) => Int): PpmCodec.Image = {
+      val rgb = new Array[Byte](64 * 64 * 3)
+      for (y <- 0 until 64; x <- 0 until 64; ch <- 0 until 3)
+        rgb(3 * (y * 64 + x) + ch) = f(x, y).toByte
+      PpmCodec.Image(64, 64, rgb)
+    }
+    def checker(t: Int, hi: Int, lo: Int) =
+      img((x, y) => if (((x / t) + (y / t)) % 2 == 0) hi else lo)
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val p = Multimodal.pHash64 _
+    // flat image: every AC coefficient 0 → only the DC bit (bit 63)
+    assert(p(img((_, _) => 100)) == 0x8000000000000000L)
+    // global brightness shift: DC absorbs it, AC bits untouched
+    assert(hd(p(checker(8, 200, 40)), p(checker(8, 220, 60))) == 0,
+      "brightness must not move the hash")
+    // contrast doubling: all coefficients scale, the median with them
+    assert(hd(p(checker(8, 100, 20)), p(checker(8, 200, 40))) == 0,
+      "contrast must not move the hash")
+    // different low-frequency structure moves many bits
+    assert(hd(p(checker(8, 200, 40)), p(checker(16, 200, 40))) >= 6,
+      "coarser checker must be far in hamming")
+    assert(hd(p(checker(8, 200, 40)),
+      p(img((x, _) => if ((x / 8) % 2 == 0) 200 else 40))) >= 12,
+      "stripes vs checker must be far in hamming")
+  }
+
+  test("pHash dedup fold: identical images dup exactly, structural outlier stays out") {
+    val same = ("z" * 40 + " " * 40) * 12
+    val other = Seq.tabulate(960)(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq((1L, same), (2L, same), (3L, same), (4L, other))
+      .toDF("doc_id", "text")
+    val r = Multimodal.imagePhashDedupOf(spark, docs).collect().head
+    assert(r.getLong(0) == 4L, s"$r")
+    assert(r.getLong(2) == 3L, s"exactly the identical C(3,2) pairs: $r")
+    assert(r.getLong(1) >= 3L, s"candidates include the dup pairs: $r")
+  }
+
   test("cross-modal audit: text pairs contained in image pairs; a one-char edit is image-only") {
     val same = ("z" * 40 + " " * 40) * 12
     val nearSame = same.dropRight(1) + "y" // pixels ~identical, text differs
