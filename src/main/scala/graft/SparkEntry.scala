@@ -539,6 +539,8 @@ object SparkEntry {
     // Round-10: the REAL WAV codec behind the audio half of the
     // multimodal family (pinned-frame oracle; cf. multimodal_features)
     "audio_features"    -> (Multimodal.audioFeatures(_, _)),
+    // Round-15 tranche: Goertzel pilot-tone detection (SURVEY §2 row 424)
+    "audio_tone_detect" -> (Multimodal.audioToneDetect(_, _)),
     // pinned-frame gate: positions are Spark-native xxhash64
     // (cf. lsh_precision)
     "bloom_fpr"         -> (BloomJoin.bloomFpr(_, _)),

@@ -132,4 +132,43 @@ object WavCodec {
       else math.floor(math.sqrt(ssq.toDouble / n) * 100.0 + 0.5).toLong
     (durationMs, peak, rmsQ, zc)
   }
+
+  /** Block-wise Goertzel single-bin DFT power — the classic O(N)
+    * tone detector (DTMF/dial-tone/pilot-tone monitoring): for each
+    * full `blockSize`-sample block, run the recurrence
+    * s[i] = x[i] + (c·s₁ ≫ 14) − s₂ with the FIXED-POINT coefficient
+    * c = round(2·cos(2πk/N)·2¹⁴) (StrictMath — bit-identical tables
+    * on any JVM, the [[graft.operators.Multimodal]] pHash contract),
+    * then block power |X(k)|² ≈ s₁² + s₂² − (c·s₁ ≫ 14)·s₂, clamped
+    * at 0 (fixed-point roundoff can graze negative). Returns
+    * (nBlocks, tonePower, totalPower) where totalPower = Σx² over the
+    * SAME full blocks — the exact broadband energy the tone share is
+    * judged against. Bounds: |s| ≤ N·32767·k_growth ≲ 2²⁶ on-bin at
+    * N = 256, squares ≤ 2⁵²; the tail partial block is dropped from
+    * BOTH powers (symmetric, documented). */
+  def goertzel(a: Audio, k: Int, blockSize: Int): (Long, Long, Long) = {
+    require(blockSize > 1 && k >= 0 && k <= blockSize / 2,
+      s"need 0 <= k <= blockSize/2, got $k/$blockSize")
+    val c = Math.round(
+      2.0 * StrictMath.cos(2.0 * StrictMath.PI * k / blockSize) * (1 << 14))
+    val n = a.samples.length
+    val nBlocks = n / blockSize
+    var tone = 0L; var total = 0L
+    var b = 0
+    while (b < nBlocks) {
+      var s1 = 0L; var s2 = 0L
+      var i = 0
+      while (i < blockSize) {
+        val x = a.samples(b * blockSize + i).toLong
+        val s0 = x + ((c * s1) >> 14) - s2
+        s2 = s1; s1 = s0
+        total += x * x
+        i += 1
+      }
+      val p = s1 * s1 + s2 * s2 - ((c * s1) >> 14) * s2
+      tone += math.max(0L, p)
+      b += 1
+    }
+    (nBlocks.toLong, tone, total)
+  }
 }

@@ -191,6 +191,56 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Pilot-tone detection per source — the spectral member the audio
+    * family lacked ([[audioFeatures]]'s zero-crossing count is a
+    * broadband noisiness proxy; this measures energy AT a frequency):
+    * every doc round-trips the real RIFF/WAVE codec, then the
+    * block-wise Goertzel single-bin DFT ([[WavCodec.goertzel]],
+    * k = 32 of 256 ⇒ 1 kHz at the 8 kHz stand-in rate) accumulates
+    * tone vs broadband power, rolled up per source. tone_ppm =
+    * tone·10⁶ div (total·N/2) — the normalization under which a pure
+    * on-bin tone reads ≈10⁶ (|X(k)|² = N²A²/4 against Σx² = NA²/2
+    * per block ⇒ ratio N/2). All-integer (fixed-point 2¹⁴ Goertzel
+    * coefficient, exact Σx²), map-only to the per-source aggregate —
+    * sums ride DECIMAL(38,0) (per-block powers reach 2⁵²; int64 sums
+    * saturate at ~10⁶ blocks/source), published at the BIGINT edge.
+    * Pinned-frame oracle (byte-level DSP has no SQL counterpart). */
+  def audioToneDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (_, src, b) =>
+          val pcm = Array.tabulate[Short](b.length) { i =>
+            val v = ((b(i) & 0xff) << 7) + 64
+            (if ((b(i) & 1) == 1) -v else v).toShort
+          }
+          val wav = WavCodec.encodeWav(8000, 1, pcm)
+          WavCodec.decodeWav(wav) match {
+            case Some(a) =>
+              val (nb, tone, total) = WavCodec.goertzel(a, 32, 256)
+              (src, nb, tone, total)
+            case None => (src, 0L, 0L, 0L) // unreachable: own output
+          }
+        }
+      }
+      .toDF("source", "nb", "tone", "total")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nb").as("n_blocks"),
+        sum(col("tone").cast(dec)).as("tq"),
+        sum(col("total").cast(dec)).as("wq"))
+      .select(col("source"), col("n_docs"), col("n_blocks"),
+        col("tq").cast("long").as("tone_q"),
+        col("wq").cast("long").as("total_q"),
+        expr("CAST((tq * 1000000) div greatest(wq * 128, 1) AS BIGINT)")
+          .as("tone_ppm"))
+      .orderBy("source")
+  }
+
   /** 64-bit average-hash (aHash) of a decoded image: 8×8 luminance
     * grid, bit = 1 where the cell's mean outshines the global mean.
     * Entirely integer — luma is the 2R+5G+B octuple, cell-vs-global

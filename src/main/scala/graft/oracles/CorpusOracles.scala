@@ -1112,6 +1112,38 @@ private[graft] object CorpusOracles {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_subwords AS BIGINT) AS n_subwords, CAST(fertility AS DOUBLE) AS fertility
         |FROM r""".stripMargin,
 
+    // Goertzel pilot-tone detection: pinned literal frame (the audio
+    // DSP convention — byte-level WAV parsing + fixed-point Goertzel
+    // has no SQL counterpart; the pin regression-locks sf0.01).
+    "audio_tone_detect" ->
+      """WITH r(source, n_docs, n_blocks, tone_q, total_q, tone_ppm) AS (VALUES
+        |  ('src0', 25, 15, 323075866613, 627156779008, 4024),
+        |  ('src1', 25, 19, 621483922211, 790305996800, 6143),
+        |  ('src10', 25, 15, 341408611187, 624764092416, 4269),
+        |  ('src11', 25, 23, 564560235006, 956688564224, 4610),
+        |  ('src12', 25, 14, 223060331285, 578692710400, 3011),
+        |  ('src13', 25, 18, 328478823095, 743006633984, 3453),
+        |  ('src14', 25, 14, 235208572678, 581943197696, 3157),
+        |  ('src15', 25, 16, 304026255779, 663437443072, 3580),
+        |  ('src16', 25, 19, 419387069025, 789402583040, 4150),
+        |  ('src17', 25, 16, 371619129221, 660679786496, 4394),
+        |  ('src18', 25, 16, 313729583517, 663136239616, 3696),
+        |  ('src19', 25, 13, 225851948229, 541823533056, 3256),
+        |  ('src2', 25, 18, 177976703374, 744612757504, 1867),
+        |  ('src3', 25, 16, 401177893846, 664630165504, 4715),
+        |  ('src4', 25, 14, 233210541319, 583170949120, 3124),
+        |  ('src5', 25, 18, 663917195224, 747556798464, 6938),
+        |  ('src6', 25, 13, 389917223390, 539868626944, 5642),
+        |  ('src7', 25, 17, 288268229165, 704468975616, 3196),
+        |  ('src8', 25, 10, 229854232891, 416031571968, 4316),
+        |  ('src9', 25, 16, 425844072268, 663844421632, 5011))
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(tone_q AS BIGINT) AS tone_q,
+        |  CAST(total_q AS BIGINT) AS total_q,
+        |  CAST(tone_ppm AS BIGINT) AS tone_ppm
+        |FROM r ORDER BY source""".stripMargin,
+
     // Image aHash dedup: pinned literal frame (the multimodal_features
     // convention — the PPM decode + pixel aHash has no SQL
     // counterpart; the pin regression-locks the sf0.01 result).

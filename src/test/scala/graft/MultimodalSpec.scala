@@ -229,6 +229,29 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(1) >= 3L, s"candidates include the dup pairs: $r")
   }
 
+  test("goertzel: on-bin tone reads ~1e6 ppm, off-bin stays low, tail blocks drop") {
+    import graft.functions.WavCodec
+    def tone(k: Int, n: Int, amp: Double): Array[Short] =
+      Array.tabulate[Short](n)(i => Math.round(
+        amp * StrictMath.cos(2.0 * StrictMath.PI * k * i / 256.0)).toShort)
+    def audio(s: Array[Short]) = WavCodec.Audio(8000, 1, s)
+    def ppm(t: (Long, Long, Long)) =
+      if (t._3 == 0) 0L else t._2 * 1000000L / (t._3 * 128L)
+    // pure 1 kHz (bin 32 of 256): the detector's own bin → ≈ 1e6
+    val on = WavCodec.goertzel(audio(tone(32, 512, 10000)), 32, 256)
+    assert(on._1 == 2L, s"two full blocks: $on")
+    assert(ppm(on) > 900000L && ppm(on) < 1100000L, s"on-bin ppm: ${ppm(on)}")
+    // pure 2 kHz (bin 64): orthogonal bin → a few percent at most
+    val off = WavCodec.goertzel(audio(tone(64, 512, 10000)), 32, 256)
+    assert(ppm(off) < 50000L, s"off-bin ppm: ${ppm(off)}")
+    // silence and the empty tail block
+    assert(WavCodec.goertzel(audio(new Array[Short](512)), 32, 256) ==
+      ((2L, 0L, 0L)))
+    val tail = new Array[Short](300); tail(299) = 30000
+    val t = WavCodec.goertzel(audio(tail), 32, 256)
+    assert(t == ((1L, 0L, 0L)), s"partial tail block must drop: $t")
+  }
+
   test("pHash: brightness/contrast invariant, structure sensitive, DC-only on flat images") {
     import graft.functions.PpmCodec
     def img(f: (Int, Int) => Int): PpmCodec.Image = {
