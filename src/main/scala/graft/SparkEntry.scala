@@ -553,8 +553,10 @@ object SparkEntry {
     // rolling metric coupling (SURVEY §2 rows 240-242)
     "ks_test"           -> (Robust.ksTest(_, _)),
     "mannwhitney_test"  -> (Robust.mannWhitney(_, _)),
-    // Round-15 tranche: ordered-alternative trend test (SURVEY §2 row 419)
+    // Round-15 tranche: ordered-alternative trend test (SURVEY §2 row 419),
+    // blocked-rank Friedman test (row 425)
     "jonckheere_trend"  -> (Robust.jonckheereTrend(_, _)),
+    "friedman_test"     -> (Robust.friedmanTest(_, _)),
     "pareto_frontier"   -> (CorpusStats.paretoFrontier(_, _)),
     "rolling_corr"      -> (Robust.rollingCorr(_, _)),
     // Watermark-sizing disorder audit (batch predictor of the

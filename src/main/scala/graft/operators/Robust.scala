@@ -1147,6 +1147,71 @@ object Robust {
   def jonckheereTrend(spark: SparkSession, dir: String): DataFrame =
     jonckheereTrendOf(Tables.lineitem(spark, dir))
 
+  /** Friedman test over day-blocked daily revenue by event type — the
+    * BLOCKED twin of [[kruskalWallisOf]] (KW pools all observations
+    * as if exchangeable; Friedman ranks WITHIN each day, so the huge
+    * day-to-day level swings every business series carries cancel
+    * instead of drowning the treatment signal — the same
+    * stratification instinct as seasonal MK and CMH). Complete-block
+    * design: the (day × type) frame densifies with 0 (a day with no
+    * purchases genuinely observed zero revenue).
+    *
+    * Ties-corrected statistic (Conover 1999 §5.8) entirely on the
+    * DOUBLED-rank integer grid: within-day average ranks as
+    * r2 = 2·below + t + 1 ([[kruskalWallisOf]]'s device), per-type
+    * doubled rank-sums R2_j, Q = (k−1)·Σ_j(R2_j − b(k+1))² /
+    * (Σr2² − b·k·(k+1)²) — numerator and denominator both exact
+    * DECIMAL(38,0) (the /4 scale cancels), ONE double division,
+    * fully-tied data nulls via try_divide. χ²_{k−1} verdict at 0.05.
+    *
+    * Shape: ONE fact aggregate to the calendar-bounded (day, type)
+    * frame; dense cross, within-day rank window, and both folds all
+    * run on that bounded frame. */
+  def friedmanTestOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"))
+      .groupBy("day", "event_type").agg(sum("vq").as("v"))
+      .localCheckpoint(false) // dense cross reads it thrice
+    val dense = daily.select("day").distinct()
+      .crossJoin(daily.select("event_type").distinct()) // bounded
+      .join(daily, Seq("day", "event_type"), "left")
+      .withColumn("v", coalesce(col("v"), lit(0L)))
+    // within-day average rank on the doubled grid: rank() = below + 1,
+    // so r2 = 2·below + t + 1 — integral even through tie midpoints
+    val ranked2 = dense
+      .withColumn("rk", rank().over(Window.partitionBy("day").orderBy("v")))
+      .withColumn("t",
+        count(lit(1)).over(Window.partitionBy("day", "v")))
+      .withColumn("r2", lit(2L) * (col("rk") - 1) + col("t") + 1)
+    val blocks = ranked2.agg(
+      countDistinct("day").as("b"), countDistinct("event_type").as("k"),
+      sum(expr(s"CAST(r2 AS $dec) * r2")).as("a4"))
+    val perType = ranked2.groupBy("event_type")
+      .agg(sum("r2").as("r2sum"))
+    val r6 = TextF.round6HalfUp _
+    perType.crossJoin(blocks) // bounded k rows × 1
+      .select(col("event_type"), col("r2sum"), col("b"), col("k"),
+        col("a4"),
+        expr(s"""CAST(r2sum AS $dec) - CAST(b AS $dec) * (k + 1)""")
+          .as("dev"))
+      .agg(max("b").as("b"), max("k").as("k"), max("a4").as("a4"),
+        sum(expr(s"CAST(dev AS $dec) * dev")).as("devsq"))
+      .select(col("b"), col("k"),
+        r6(expr(s"""try_divide(
+             |  CAST((k - 1) * devsq AS DOUBLE),
+             |  CAST(a4 - CAST(b AS $dec) * k * (k + 1) * (k + 1)
+             |       AS DOUBLE))""".stripMargin)).as("q"))
+      .withColumn("significant",
+        when(col("q").isNull, lit(false)).otherwise(
+          col("q") > when(col("k") === 3, 5.991465).otherwise(
+            when(col("k") === 2, 3.841459).otherwise(lit(9.487729)))))
+  }
+
+  def friedmanTest(spark: SparkSession, dir: String): DataFrame =
+    friedmanTestOf(Tables.events(spark, dir))
+
   /** Cliff's delta effect SIZE per event type — [[mannWhitneyOf]]
     * answers "is the arm difference real?"; this answers "is it
     * BIG?": δ = P(treat > ctrl) − P(ctrl > treat), the ordinal

@@ -391,6 +391,33 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
       s"single group: $o")
   }
 
+  test("friedman: perfect concordance reads b(k-1), midranks exact, full ties null") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    def df(rows: Seq[(String, String, Double)]) =
+      rows.toDF("t", "event_type", "value")
+        .select(to_timestamp(col("t")).as("ts"), col("event_type"),
+          col("value"))
+    def ev(day: Int, t: String, v: Double) =
+      (f"2024-01-$day%02d 10:00:00", t, v)
+    // two identically-ordered blocks, k=3: Q maxes at b(k−1) = 4
+    val conc = df(Seq(ev(1, "a", 1), ev(1, "b", 2), ev(1, "c", 3),
+      ev(2, "a", 1), ev(2, "b", 2), ev(2, "c", 3)))
+    val r = Robust.friedmanTestOf(conc).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L, s"b/k: $r")
+    assert(r.getDouble(2) == 4.0 && !r.getBoolean(3), s"q: $r")
+    // within-day tie (a=b): midrank 1.5 doubled → same max Q via the
+    // ties-corrected denominator (a4 108 − C4 96 = 12, devsq 24)
+    val mid = df(Seq(ev(1, "a", 5), ev(1, "b", 5), ev(1, "c", 9),
+      ev(2, "a", 5), ev(2, "b", 5), ev(2, "c", 9)))
+    val m = Robust.friedmanTestOf(mid).collect().head
+    assert(m.getDouble(2) == 4.0 && !m.getBoolean(3), s"midrank q: $m")
+    // every block fully tied → zero denominator → NULL, not significant
+    val flat = df(Seq(ev(1, "a", 7), ev(1, "b", 7), ev(1, "c", 7),
+      ev(2, "a", 7), ev(2, "b", 7), ev(2, "c", 7)))
+    val f = Robust.friedmanTestOf(flat).collect().head
+    assert(f.isNullAt(2) && !f.getBoolean(3), s"tied: $f")
+  }
+
   test("kruskal-wallis: hand-checked H on a 2-2-2 split; all-tied nulls H via the tie correction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
