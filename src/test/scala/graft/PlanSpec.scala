@@ -1711,4 +1711,73 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
           s"$n: partitioned windows only:\n$p")
       }
   }
+
+  test("round-15 tranche: new-operator plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    // single-scan single-aggregate shapes: both quality gates ride ONE
+    // projection (mcnemar), the CMH user fold carries only the 1-row
+    // report-date broadcast
+    val mc = plan(CorpusStats.mcnemarGates(spark, Sf))
+    noCartesian("mcnemar_test", mc)
+    assert(mc.collect { case f: FileSourceScanExec => f }.length == 1,
+      s"mcnemar: both gates must ride ONE scan:\n$mc")
+    assert(bnlj(mc).isEmpty, s"mcnemar: join-free:\n$mc")
+    val mh = plan(Behavior.mantelHaenszel(spark, Sf))
+    noCartesian("mantel_haenszel", mh)
+    assert(bnlj(mh).length <= 1,
+      s"mantel_haenszel: 1-row report-date broadcast only:\n$mh")
+    // manifest-bounded planner: one window, partitioned, no join
+    val cp = plan(Warehouse.compactionPlan(spark, Sf))
+    noCartesian("compaction_plan", cp)
+    assert(bnlj(cp).isEmpty, s"compaction_plan: join-free:\n$cp")
+    assert(cp.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"compaction_plan: partitioned windows only:\n$cp")
+    // FIFO match: windows partitioned by part, the allocation join is
+    // an equijoin (range predicate rides as post-filter, never a
+    // nested loop)
+    val fm = plan(Warehouse.fifoMatch(spark, Sf))
+    noCartesian("fifo_match", fm)
+    assert(bnlj(fm).isEmpty, s"fifo_match: equijoin only:\n$fm")
+    assert(fm.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"fifo_match: part-keyed windows only:\n$fm")
+    // bounded-frame statistics: every cross/theta join runs on
+    // aggregate-bounded frames (≤ bins/ladder/calendar rows), never
+    // on a fact side; windows partitioned where a fact could flow
+    for ((n, p) <- Seq(
+      "isotonic_calibration" ->
+        plan(CorpusStats.isotonicCalibration(spark, Sf)),
+      "jonckheere_trend" ->
+        plan(graft.operators.Robust.jonckheereTrend(spark, Sf)),
+      "friedman_test" -> plan(graft.operators.Robust.friedmanTest(spark, Sf)))) {
+      noCartesian(n, p)
+      assert(p.collect { case f: FileSourceScanExec => f }.length <= 1,
+        s"$n: the fact must ride ONE scan (bounded frames re-derive " +
+          s"from the checkpoint, not the parquet):\n$p")
+    }
+    val fr = plan(graft.operators.Robust.friedmanTest(spark, Sf))
+    assert(fr.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"friedman: day-partitioned rank windows only:\n$fr")
+    // image/audio folds: map-only to bounded aggregates, the only
+    // nested loops are 1-row readout crosses
+    for ((n, p) <- Seq(
+      "image_phash_dedup" ->
+        plan(graft.operators.Multimodal.imagePhashDedup(spark, Sf)),
+      "audio_tone_detect" ->
+        plan(graft.operators.Multimodal.audioToneDetect(spark, Sf)))) {
+      noCartesian(n, p)
+      assert(bnlj(p).length <= 1, s"$n: 1-row readout cross only:\n$p")
+    }
+    // mcnemar stays one shuffle (the 1-row global aggregate) plus none
+    assert(mc.collect { case e: ShuffleExchangeExec => e }.length <= 1,
+      s"mcnemar: single global aggregate:\n$mc")
+  }
 }
