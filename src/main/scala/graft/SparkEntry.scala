@@ -41,6 +41,8 @@ object SparkEntry {
     "dedup_minhash"    -> (Dedup.dedupMinhash(_, _)),
     "dedup_jaccard"    -> (Dedup.dedupJaccard(_, _)),
     "dedup_simhash"    -> (Dedup.dedupSimhash(_, _)),
+    // Round-15 tranche: Chapman capture-recapture undercount (row 426)
+    "dedup_capture_recapture" -> (Dedup.dedupCaptureRecapture(_, _)),
     "dedup_cosine"     -> (Similarity.dedupCosine(_, _)),
     "knn_topk"         -> (Similarity.knnTopk(_, _)),
     "ann_lsh"          -> (Similarity.annLsh(_, _)),
@@ -557,6 +559,7 @@ object SparkEntry {
     // blocked-rank Friedman test (row 425)
     "jonckheere_trend"  -> (Robust.jonckheereTrend(_, _)),
     "friedman_test"     -> (Robust.friedmanTest(_, _)),
+    "yuen_test"         -> (Robust.yuenTest(_, _)),
     "pareto_frontier"   -> (CorpusStats.paretoFrontier(_, _)),
     "rolling_corr"      -> (Robust.rollingCorr(_, _)),
     // Watermark-sizing disorder audit (batch predictor of the

@@ -381,6 +381,52 @@ object Dedup {
     * least one band with high probability). The signature runs as the
     * native [[graft.plans.SimHash64]] expression — the earlier typed
     * `Dataset.map` encoded/decoded every row and left codegen. */
+  /** Capture–recapture estimate of the TRUE near-duplicate population
+    * (Chapman'51): MinHash and SimHash are two independent-ish
+    * "capture occasions" over the same corpus; from n₁ = docs MinHash
+    * flags (cluster size ≥ 2), n₂ = SimHash's, m = both, the Chapman
+    * estimator N̂ = (n₁+1)(n₂+1)/(m+1) − 1 prices how many near-dup
+    * docs exist BEYOND what either detector finds — the undercount
+    * read no single-detector dedup report can give. Honesty caveat
+    * (documented, not hidden): the detectors are positively dependent
+    * (both catch exact dups with certainty), so N̂ is biased LOW — a
+    * floor on the true population, still strictly more informative
+    * than either count alone.
+    *
+    * Exactness: three conditional counts + Chapman on integers
+    * ((n₁+1)(n₂+1) div (m+1), DECIMAL-safe product); per-detector
+    * coverage shares exact ppm. Shape: both detector runs are the
+    * registered single-pass pipelines; flags come from ONE
+    * cluster-size window each; the doc_id equijoin of two doc-keyed
+    * frames folds to a 1-row report. */
+  def dedupCaptureRecaptureOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def flags(d: DataFrame, name: String) = d
+      .withColumn("sz",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("doc_id"), (col("sz") > 1).as(name))
+    flags(dedupMinhashOf(docs), "f1")
+      .join(flags(dedupSimhashOf(docs).select("doc_id", "cluster_id"),
+        "f2"), "doc_id")
+      .agg(
+        sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("m"))
+      .select(col("n1"), col("n2"), col("m"),
+        expr("""(CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)) div (m + 1) - 1""")
+          .cast("long").as("n_hat"))
+      .select(col("n1"), col("n2"), col("m"), col("n_hat"),
+        expr("(n1 * 1000000) div greatest(n_hat, 1)")
+          .as("cov_minhash_ppm"),
+        expr("(n2 * 1000000) div greatest(n_hat, 1)")
+          .as("cov_simhash_ppm"),
+        expr("((n1 + n2 - m) * 1000000) div greatest(n_hat, 1)")
+          .as("cov_union_ppm"))
+  }
+
+  def dedupCaptureRecapture(spark: SparkSession, dir: String): DataFrame =
+    dedupCaptureRecaptureOf(Tables.documents(spark, dir))
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     dedupSimhashOf(Tables.documents(spark, dir))
 

@@ -1212,6 +1212,91 @@ object Robust {
   def friedmanTest(spark: SparkSession, dir: String): DataFrame =
     friedmanTestOf(Tables.events(spark, dir))
 
+  /** Yuen's trimmed-mean two-sample test per event type (Yuen '74 —
+    * the ROBUST twin of [[welchTest]]: one whale in either arm drags
+    * a mean-based t anywhere it likes; Yuen compares 20%-trimmed
+    * means with winsorized variances, so the middle 60% decides and
+    * heavy tails cost power instead of validity). Trimming is BY
+    * POSITION on the value histogram — c_mid(v) = the count of order
+    * positions of value v inside [g+1, n−g] — so boundary ties
+    * resolve exactly as a per-row sort would, without ever sorting
+    * rows: the same (type, arm, value-grid) + cumulative-window
+    * machinery as [[kruskalWallisOf]], ONE map-combinable fact
+    * aggregate then grid-sized work.
+    *
+    * Exactness: trimmed/winsorized sums and squares are DECIMAL(38,0)
+    * on the 1e-6 value grid (L/U order statistics read off the
+    * cumulative counts); t and the Welch–Satterthwaite df are ONE
+    * fixed double chain each (t is grid-scale-invariant — numerator
+    * and √denominator both carry the micro unit). h ≤ 1 arms drop;
+    * zero pooled variance nulls t via try_divide. Normal-approx
+    * verdict at 1.96 (documented — at warehouse n the t quantile is
+    * indistinguishable). */
+  def yuenTestOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val byGroup = Window.partitionBy("event_type", "arm")
+    val grid = events
+      .select(col("event_type"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"),
+        graft.operators.Behavior.arm2(col("user_id")).as("arm"))
+      .groupBy("event_type", "arm", "vq").agg(count(lit(1)).as("c"))
+      .withColumn("b", sum("c").over(byGroup.orderBy("vq")) - col("c"))
+      .withColumn("n", sum("c").over(byGroup))
+      .withColumn("g", expr("n div 5"))
+      .withColumn("cmid", greatest(lit(0L),
+        least(col("b") + col("c"), col("n") - col("g"))
+          - greatest(col("b"), col("g"))))
+    val agg = grid.groupBy("event_type", "arm")
+      .agg(max("n").as("n"), max("g").as("g"),
+        min(when(col("b") + col("c") >= col("g") + 1, col("vq"))).as("lo"),
+        min(when(col("b") + col("c") >= col("n") - col("g"), col("vq")))
+          .as("hi"),
+        sum(expr(s"CAST(cmid AS $dec) * vq")).as("ts"),
+        sum(expr(s"CAST(cmid AS $dec) * vq * vq")).as("ts2"))
+      .withColumn("h", col("n") - lit(2L) * col("g"))
+      .withColumn("sw",
+        expr(s"ts + CAST(g AS $dec) * lo + CAST(g AS $dec) * hi"))
+      .withColumn("sw2",
+        expr(s"ts2 + CAST(g AS $dec) * lo * lo + CAST(g AS $dec) * hi * hi"))
+    def pick(c: String, a: Int) = max(when(col("arm") === a, col(c)))
+    val wide = agg.groupBy("event_type")
+      .agg(pick("n", 0).as("n0"), pick("h", 0).as("h0"),
+        pick("ts", 0).as("ts0"), pick("sw", 0).as("sw0"),
+        pick("sw2", 0).as("sw20"),
+        pick("n", 1).as("n1"), pick("h", 1).as("h1"),
+        pick("ts", 1).as("ts1"), pick("sw", 1).as("sw1"),
+        pick("sw2", 1).as("sw21"))
+      .filter(col("h0") > 1 && col("h1") > 1)
+    val d0 = """(CAST(sw20 AS DOUBLE)
+        | - CAST(sw0 AS DOUBLE) * CAST(sw0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        | / (CAST(h0 AS DOUBLE) * CAST(h0 - 1 AS DOUBLE))""".stripMargin
+    val d1 = """(CAST(sw21 AS DOUBLE)
+        | - CAST(sw1 AS DOUBLE) * CAST(sw1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        | / (CAST(h1 AS DOUBLE) * CAST(h1 - 1 AS DOUBLE))""".stripMargin
+    val r4 = TextF.round4HalfUp _
+    wide.select(col("event_type"), col("n0"), col("n1"),
+        r4(expr("CAST(ts0 AS DOUBLE) / CAST(h0 AS DOUBLE) / 1e6"))
+          .as("tmean0"),
+        r4(expr("CAST(ts1 AS DOUBLE) / CAST(h1 AS DOUBLE) / 1e6"))
+          .as("tmean1"),
+        r4(expr(
+          s"""try_divide(
+             |  CAST(ts0 AS DOUBLE) / CAST(h0 AS DOUBLE)
+             |    - CAST(ts1 AS DOUBLE) / CAST(h1 AS DOUBLE),
+             |  sqrt(($d0) + ($d1)))""".stripMargin)).as("t"),
+        r4(expr(
+          s"""try_divide((($d0) + ($d1)) * (($d0) + ($d1)),
+             |  ($d0) * ($d0) / CAST(h0 - 1 AS DOUBLE)
+             |    + ($d1) * ($d1) / CAST(h1 - 1 AS DOUBLE))""".stripMargin))
+          .as("df"))
+      .withColumn("significant",
+        when(col("t").isNull, lit(false)).otherwise(abs(col("t")) > 1.96))
+      .orderBy("event_type")
+  }
+
+  def yuenTest(spark: SparkSession, dir: String): DataFrame =
+    yuenTestOf(Tables.events(spark, dir))
+
   /** Cliff's delta effect SIZE per event type — [[mannWhitneyOf]]
     * answers "is the arm difference real?"; this answers "is it
     * BIG?": δ = P(treat > ctrl) − P(ctrl > treat), the ordinal

@@ -2622,6 +2622,72 @@ private[graft] object EventOracles {
         |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.96 END AS significant
         |FROM zc""".stripMargin,
 
+    // Yuen trimmed-mean test: position-trimming off the value
+    // histogram (HUGEINT sums), t/df through the engine's chains.
+    "yuen_test" -> {
+      val dd0 = """(CAST(sw20 AS DOUBLE)
+        | - CAST(sw0 AS DOUBLE) * CAST(sw0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        | / (CAST(h0 AS DOUBLE) * CAST(h0 - 1 AS DOUBLE))""".stripMargin
+      val dd1 = """(CAST(sw21 AS DOUBLE)
+        | - CAST(sw1 AS DOUBLE) * CAST(sw1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        | / (CAST(h1 AS DOUBLE) * CAST(h1 - 1 AS DOUBLE))""".stripMargin
+      s"""WITH g0 AS (SELECT event_type,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM events),
+        |grid AS (SELECT event_type, arm, vq, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g0 GROUP BY 1, 2, 3),
+        |w AS (SELECT event_type, arm, vq, c,
+        |    SUM(c) OVER (PARTITION BY event_type, arm ORDER BY vq) - c AS b,
+        |    SUM(c) OVER (PARTITION BY event_type, arm) AS n
+        |  FROM grid),
+        |w2 AS (SELECT *, n // 5 AS g FROM w),
+        |w3 AS (SELECT *,
+        |    greatest(0, least(b + c, n - g) - greatest(b, g)) AS cmid
+        |  FROM w2),
+        |agg AS (SELECT event_type, arm, MAX(n) AS n, MAX(g) AS g,
+        |    MIN(CASE WHEN b + c >= g + 1 THEN vq END) AS lo,
+        |    MIN(CASE WHEN b + c >= n - g THEN vq END) AS hi,
+        |    SUM(CAST(cmid AS HUGEINT) * vq) AS ts,
+        |    SUM(CAST(cmid AS HUGEINT) * vq * vq) AS ts2
+        |  FROM w3 GROUP BY 1, 2),
+        |agg2 AS (SELECT *, n - 2 * g AS h,
+        |    ts + CAST(g AS HUGEINT) * lo + CAST(g AS HUGEINT) * hi AS sw,
+        |    ts2 + CAST(g AS HUGEINT) * lo * lo
+        |        + CAST(g AS HUGEINT) * hi * hi AS sw2
+        |  FROM agg),
+        |wide AS (SELECT event_type,
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN arm = 0 THEN h END) AS h0,
+        |    MAX(CASE WHEN arm = 0 THEN ts END) AS ts0,
+        |    MAX(CASE WHEN arm = 0 THEN sw END) AS sw0,
+        |    MAX(CASE WHEN arm = 0 THEN sw2 END) AS sw20,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN arm = 1 THEN h END) AS h1,
+        |    MAX(CASE WHEN arm = 1 THEN ts END) AS ts1,
+        |    MAX(CASE WHEN arm = 1 THEN sw END) AS sw1,
+        |    MAX(CASE WHEN arm = 1 THEN sw2 END) AS sw21
+        |  FROM agg2 GROUP BY 1),
+        |ok AS (SELECT * FROM wide WHERE h0 > 1 AND h1 > 1),
+        |f AS (SELECT event_type, n0, n1,
+        |    floor(CAST(ts0 AS DOUBLE) / CAST(h0 AS DOUBLE) / 1e6
+        |      * 1e4 + 0.5) / 1e4 AS tmean0,
+        |    floor(CAST(ts1 AS DOUBLE) / CAST(h1 AS DOUBLE) / 1e6
+        |      * 1e4 + 0.5) / 1e4 AS tmean1,
+        |    floor((CAST(ts0 AS DOUBLE) / CAST(h0 AS DOUBLE)
+        |        - CAST(ts1 AS DOUBLE) / CAST(h1 AS DOUBLE))
+        |      / sqrt(($dd0) + ($dd1)) * 1e4 + 0.5) / 1e4 AS t,
+        |    floor((($dd0) + ($dd1)) * (($dd0) + ($dd1))
+        |      / (($dd0) * ($dd0) / CAST(h0 - 1 AS DOUBLE)
+        |         + ($dd1) * ($dd1) / CAST(h1 - 1 AS DOUBLE))
+        |      * 1e4 + 0.5) / 1e4 AS df
+        |  FROM ok)
+        |SELECT event_type, n0, n1, tmean0, tmean1, t, df,
+        |  CASE WHEN t IS NULL THEN FALSE ELSE abs(t) > 1.96 END AS significant
+        |FROM f ORDER BY event_type""".stripMargin
+    },
+
     // Friedman blocked-rank test: doubled within-day ranks, Conover
     // ties correction, everything integer until one double division.
     "friedman_test" ->

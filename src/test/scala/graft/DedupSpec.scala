@@ -459,6 +459,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       "doc 4 duplicates doc 1 (the global keep), so source B carries it")
   }
 
+  test("capture-recapture: identical flag sets read full coverage; clean corpus reads zero") {
+    // three twins + one unique: both detectors flag exactly the twins
+    // → n1 = n2 = m = 3, Chapman N̂ = 4·4/4 − 1 = 3, full coverage
+    val twin = ("z" * 30 + " y" * 30) * 5
+    val docs = Seq((1L, twin), (2L, twin), (3L, twin),
+      (4L, Seq.tabulate(300)(i => ('a' + (i * 11) % 26).toChar).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup.dedupCaptureRecaptureOf(docs)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 3L, 3L, 3L)), s"$r")
+    assert(r.getLong(4) == 1000000L && r.getLong(6) == 1000000L, s"$r")
+    // no duplicates anywhere → N̂ = 0 and coverages read 0, not NULL
+    val clean = Seq(
+      (1L, "alpha beta gamma delta " * 8),
+      (2L, Seq.tabulate(200)(i => ('a' + (i * 13) % 26).toChar).mkString(" ")))
+      .toDF("doc_id", "text")
+    val c = graft.operators.Dedup.dedupCaptureRecaptureOf(clean)
+      .collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
+      ((0L, 0L, 0L, 0L)), s"$c")
+    assert(c.getLong(4) == 0L && c.getLong(5) == 0L && c.getLong(6) == 0L)
+  }
+
   test("dedup cascade: exact removes the twin, jaccard folds the near-dup") {
     val df = docsDf(
       1L -> "a b c d e f",

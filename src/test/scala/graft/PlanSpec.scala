@@ -1779,5 +1779,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // mcnemar stays one shuffle (the 1-row global aggregate) plus none
     assert(mc.collect { case e: ShuffleExchangeExec => e }.length <= 1,
       s"mcnemar: single global aggregate:\n$mc")
+    // yuen: the KW value-grid machinery — partitioned windows, no join
+    val yu = plan(graft.operators.Robust.yuenTest(spark, Sf))
+    noCartesian("yuen_test", yu)
+    assert(bnlj(yu).isEmpty, s"yuen: join-free:\n$yu")
+    assert(yu.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"yuen: (type, arm)-partitioned windows only:\n$yu")
+    // capture-recapture: two registered detector pipelines + one
+    // doc_id equijoin — nothing unbounded crosses
+    val cr = plan(Dedup.dedupCaptureRecapture(spark, Sf))
+    noCartesian("dedup_capture_recapture", cr)
   }
 }

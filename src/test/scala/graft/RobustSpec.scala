@@ -418,6 +418,38 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     assert(f.isNullAt(2) && !f.getBoolean(3), s"tied: $f")
   }
 
+  test("yuen: hand-checked trimmed t, whale-immune by construction, short arms drop") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val pool = (0L until 200L)
+    val armOf = pool.toDF("user_id")
+      .select(col("user_id"),
+        graft.operators.Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a0 = pool.filter(armOf(_) == 0L).take(10)
+    val a1 = pool.filter(armOf(_) == 1L).take(10)
+    def df(v0: Seq[Double], v1: Seq[Double]) =
+      (a0.zip(v0) ++ a1.zip(v1)).map { case (u, v) => (u, "t", v) }
+        .toDF("user_id", "event_type", "value")
+    // arm0 = 0..9, arm1 = 10..19: g=2, trim keeps 2..7 / 12..17 →
+    // tmeans 4.5 / 14.5, d = 42.5/30 each, df = 10 exactly
+    val base = df((0 to 9).map(_.toDouble), (10 to 19).map(_.toDouble))
+    val r = Robust.yuenTestOf(base).collect().head
+    assert(r.getDouble(3) == 4.5 && r.getDouble(4) == 14.5, s"tmeans: $r")
+    assert(r.getDouble(5) < -5.9 && r.getBoolean(7), s"t: $r")
+    assert(r.getDouble(6) == 10.0, s"df: $r")
+    // a 9e9 whale replacing arm0's max lands OUTSIDE the trim window:
+    // every published number must be bit-identical (Welch would explode)
+    val whale = df((0 to 8).map(_.toDouble) :+ 9e9,
+      (10 to 19).map(_.toDouble))
+    val w = Robust.yuenTestOf(whale).collect().head
+    assert(w.getDouble(3) == r.getDouble(3) && w.getDouble(5) == r.getDouble(5)
+      && w.getDouble(6) == r.getDouble(6), s"whale moved the stats: $w vs $r")
+    // one-value arm → h = 1 → the type drops entirely
+    val short = (Seq((a0.head, "s", 1.0), (a1.head, "s", 2.0),
+      (a1(1), "s", 3.0))).toDF("user_id", "event_type", "value")
+    assert(Robust.yuenTestOf(short).count() == 0)
+  }
+
   test("kruskal-wallis: hand-checked H on a 2-2-2 split; all-tied nulls H via the tie correction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
