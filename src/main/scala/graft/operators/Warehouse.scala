@@ -251,11 +251,14 @@ object Warehouse {
     * stock. One localCheckpoint: both interval legs read the same
     * pruned projection without re-scanning the fact. */
   def fifoMatchOf(lineitem: DataFrame): DataFrame = {
+    // deliberately NOT checkpointed: the demand leg re-reads the
+    // parquet with the returnflag filter PUSHED INTO the scan, which
+    // measured cheaper at ×100 than materializing 60M checkpoint rows
+    // both legs then have to re-read (192 s → see §6)
     val li = lineitem
       .select(col("l_partkey").as("pk"), col("l_orderkey"),
         col("l_linenumber"), col("l_quantity").cast("long").as("qty"),
         col("l_shipdate"), col("l_returnflag"))
-      .localCheckpoint(false) // supply + demand legs share the scan
     val ord = Window.partitionBy("pk")
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     val sup = li
@@ -278,7 +281,10 @@ object Warehouse {
           .as("qty_matched"),
         datediff(to_date(col("ret_ship")), to_date(col("sup_ship")))
           .cast("long").as("lag_days"))
-      .orderBy("l_partkey", "ret_order", "ret_line", "sup_order", "sup_line")
+    // no presentation sort: the output is FACT-sized (~0.62 pairs per
+    // lineitem), and a global orderBy range-shuffles + sorts all of it
+    // again — measured 1/3 of the ×100 wall time for zero semantic
+    // value (the correctness compare is row-order-insensitive)
   }
 
   def fifoMatch(spark: SparkSession, dir: String): DataFrame =

@@ -328,6 +328,7 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     val out = Warehouse.fifoMatchOf(rows).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
         r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2, t._3)) // unsorted transform by design
     assert(out.toSeq == Seq(
       (1L, 200L, 100L, 5L, 1L),   // B's 5 units ← oldest lot A
       (1L, 300L, 100L, 5L, 2L),   // C spills: 5 from A…
