@@ -48,6 +48,8 @@ object SparkEntry {
     "ann_lsh"          -> (Similarity.annLsh(_, _)),
     "token_count"      -> (TextAnalysis.tokenCount(_, _)),
     "token_count_bpe"  -> (TextAnalysis.tokenCountBpe(_, _)),
+    // Round-15 tranche: tokenizer Bland-Altman agreement (row 429)
+    "bland_altman"     -> (TextAnalysis.blandAltman(_, _)),
     "ann_ivf"          -> (Similarity.annIvf(_, _)),
     "text_stats"       -> (TextAnalysis.textStats(_, _)),
     "quality_score"    -> (TextAnalysis.qualityScore(_, _)),
@@ -131,6 +133,7 @@ object SparkEntry {
     // FIFO lot-matching interval join (row 422)
     "compaction_plan"   -> (Warehouse.compactionPlan(_, _)),
     "fifo_match"        -> (Warehouse.fifoMatch(_, _)),
+    "blocking_suppliers" -> (Warehouse.blockingSuppliers(_, _)),
     "linear_attribution" -> (Behavior.linearAttribution(_, _)),
     "seasonal_decompose" -> (EventAnalytics.seasonalDecompose(_, _)),
     "hll_error_audit"   -> (CtrAlerts.hllErrorAudit(_, _)),
@@ -560,6 +563,7 @@ object SparkEntry {
     "jonckheere_trend"  -> (Robust.jonckheereTrend(_, _)),
     "friedman_test"     -> (Robust.friedmanTest(_, _)),
     "yuen_test"         -> (Robust.yuenTest(_, _)),
+    "overdispersion_check" -> (Robust.overdispersionCheck(_, _)),
     "pareto_frontier"   -> (CorpusStats.paretoFrontier(_, _)),
     "rolling_corr"      -> (Robust.rollingCorr(_, _)),
     // Watermark-sizing disorder audit (batch predictor of the

@@ -1297,6 +1297,56 @@ object Robust {
   def yuenTest(spark: SparkSession, dir: String): DataFrame =
     yuenTestOf(Tables.events(spark, dir))
 
+  /** Index-of-dispersion (Fisher) Poisson check on daily event counts
+    * per type — the distributional sanity gate the rate family lacked:
+    * [[graft.operators.EventAnalytics]]'s Poisson rate test COMPARES
+    * two arms' rates but silently assumes the counts are Poisson at
+    * all; this tests that assumption. I = s²/x̄ over the daily-count
+    * series, D = (T−1)·I ~ χ²_{T−1} under H₀; burstiness/clumping
+    * reads over-dispersed (I ≫ 1 — the usual verdict for anything
+    * driven by sessions, campaigns, or weekly cycles), quota-like
+    * regularity under-dispersed. Verdict via the Wilson–Hilferty-free
+    * Fisher normal approximation z = √(2D) − √(2(T−1)−1) (no χ²
+    * quantile function needed — engine-identical sqrt arithmetic).
+    *
+    * Exactness: Σc and Σc² are exact DECIMAL(38,0) off ONE daily
+    * aggregate; mean/var/I/z are ONE fixed double chain each; a
+    * single-day series drops (variance undefined); an all-zero... a
+    * zero-mean series cannot occur (a day only exists in the frame
+    * because events happened). Shape: one fact aggregate to the
+    * calendar-bounded (type, day) frame, one bounded fold. */
+  def overdispersionCheckOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val agg = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("t_days"),
+        sum(col("c").cast(dec)).as("s1"),
+        sum(expr(s"CAST(c AS $dec) * c")).as("s2"))
+      .filter(col("t_days") > 1)
+    val r4 = TextF.round4HalfUp _
+    val disp = """((CAST(s2 AS DOUBLE)
+        | - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(t_days AS DOUBLE))
+        | / CAST(t_days - 1 AS DOUBLE))
+        | / (CAST(s1 AS DOUBLE) / CAST(t_days AS DOUBLE))""".stripMargin
+    agg.select(col("event_type"), col("t_days"),
+        r4(expr("CAST(s1 AS DOUBLE) / CAST(t_days AS DOUBLE)")).as("mean_c"),
+        r4(expr(disp)).as("dispersion"),
+        r4(expr(
+          s"""sqrt(2.0 * CAST(t_days - 1 AS DOUBLE) * ($disp))
+             |  - sqrt(2.0 * CAST(t_days - 1 AS DOUBLE) - 1.0)"""
+            .stripMargin)).as("z"))
+      .withColumn("verdict",
+        when(col("z") > 1.96, lit("overdispersed"))
+          .when(col("z") < -1.96, lit("underdispersed"))
+          .otherwise(lit("poisson")))
+      .orderBy("event_type")
+  }
+
+  def overdispersionCheck(spark: SparkSession, dir: String): DataFrame =
+    overdispersionCheckOf(Tables.events(spark, dir))
+
   /** Cliff's delta effect SIZE per event type — [[mannWhitneyOf]]
     * answers "is the arm difference real?"; this answers "is it
     * BIG?": δ = P(treat > ctrl) − P(ctrl > treat), the ordinal

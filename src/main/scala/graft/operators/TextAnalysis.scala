@@ -39,6 +39,61 @@ object TextAnalysis {
         TextF.bpeTokenCount(col("text")).as("n_tokens_bpe"))
       .orderBy("doc_id")
 
+  /** Bland–Altman agreement between the chars/4 token-budget
+    * heuristic and the real BPE-style counter (Bland-Altman '86 —
+    * the measurement-agreement read tokenizer_efficiency's mean
+    * fertility stops short of): every budget conversation starts
+    * from "tokens ≈ characters / 4"; per doc d = ⌊chars/4⌋ − BPE
+    * count, published as the bias (mean d), the spread (sd), the 95%
+    * limits of agreement mean ± 1.96·sd, and the share of docs
+    * OUTSIDE those limits — whether the estimate is systematically
+    * off (bias), merely noisy (wide limits), or tail-unreliable
+    * (outside mass in specific docs). (The whitespace-vs-BPE pair
+    * was measured VACUOUS here — d ≡ 0 on this corpus's punctuation-
+    * free text — so the heuristic leg is the one with a real
+    * distribution to bound.)
+    *
+    * Exactness: d is an exact integer per doc; Σd / Σd² ride
+    * DECIMAL(38,0); mean/sd/limits are ONE fixed double chain each
+    * (sample sd, n−1); the outside test compares the integer d
+    * against the UNROUNDED double limits — the same comparison both
+    * engines execute. Shape: one map-side projection, one 1-row
+    * global aggregate, a second conditional 1-row aggregate against
+    * the broadcast limits; no shuffle beyond the two folds. */
+  def blandAltmanOf(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = docs.select(
+      (expr("length(text) div 4")
+        - TextF.bpeTokenCount(col("text")).cast("long")).as("d"))
+      .localCheckpoint(false) // moment fold + outside fold share it
+    val mom = d.agg(count(lit(1)).as("n"),
+      sum(col("d").cast(dec)).as("sd1"),
+      sum(expr(s"CAST(d AS $dec) * d")).as("sd2"))
+    val lim = mom.select(col("n"), col("sd1"), col("sd2"),
+      expr("CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_d"),
+      expr("""sqrt((CAST(sd2 AS DOUBLE)
+             |  - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE)
+             |    / CAST(n AS DOUBLE))
+             |  / CAST(n - 1 AS DOUBLE))""".stripMargin).as("sd_d"))
+      .select(col("n"), col("mean_d"), col("sd_d"),
+        (col("mean_d") - lit(1.96) * col("sd_d")).as("lo"),
+        (col("mean_d") + lit(1.96) * col("sd_d")).as("hi"))
+    val r4 = TextF.round4HalfUp _
+    d.crossJoin(broadcast(lim)) // 1 row by construction
+      .agg(max("n").as("n_docs"), max("mean_d").as("m"),
+        max("sd_d").as("s"), max("lo").as("l"), max("hi").as("h"),
+        sum(when(col("d").cast("double") < col("lo") ||
+          col("d").cast("double") > col("hi"), 1L).otherwise(0L))
+          .as("n_out"))
+      .select(col("n_docs"), r4(col("m")).as("mean_diff"),
+        r4(col("s")).as("sd_diff"), r4(col("l")).as("loa_low"),
+        r4(col("h")).as("loa_high"),
+        expr("(n_out * 1000000) div n_docs").as("outside_ppm"))
+  }
+
+  def blandAltman(spark: SparkSession, dir: String): DataFrame =
+    blandAltmanOf(Tables.documents(spark, dir))
+
   /** Per-language corpus stats. Ratios are single divisions of exact
     * integer sums — reproducible across engines and partitionings. */
   def textStats(spark: SparkSession, dir: String): DataFrame =

@@ -1728,6 +1728,53 @@ object Warehouse {
     lateOrdersByPriorityOf(Tables.orders(spark, dir),
       Tables.lineitem(spark, dir))
 
+  /** Suppliers who kept orders waiting — the TPC-H Q21 shape, the one
+    * query form still missing from the warehouse family: for FINISHED
+    * multi-supplier orders, find the supplier whose lines were the
+    * ONLY late ones (late = the row-166 ship-lag gate, shipdate >
+    * orderdate + `lateDays`; this schema carries no commit/receipt
+    * dates), i.e. the party that single-handedly blocked the order.
+    * Q21's double-correlated EXISTS / NOT EXISTS compiles here to
+    * conditional AGGREGATION — Spark-first, no correlated subqueries:
+    * per (order, supplier) a late flag, per order the supplier count
+    * and late-supplier count as windows, blocking ⟺ late ∧ n_supp ≥ 2
+    * ∧ n_late_supp = 1.
+    *
+    * Shape: status filter pushed into the orders scan, ONE fact⋈order
+    * equijoin, one map-combinable (order, supplier) aggregate, then
+    * the two order-keyed windows share one re-shuffle of the
+    * SUB-fact-sized (order, supplier) frame (deliberately NOT
+    * pre-partitioning the raw fact by order alone — that would trade
+    * away map-side combine on the bigger stream); top-k is
+    * TakeOrderedAndProject on (numwait DESC, suppkey). */
+  def blockingSuppliersOf(orders: DataFrame, lineitem: DataFrame,
+                          lateDays: Int = 90, k: Int = 20): DataFrame = {
+    require(lateDays > 0 && k > 0, s"need positive args, got $lateDays/$k")
+    val ord = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("oday"))
+    val per = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        to_date(col("l_shipdate")).as("sday"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(datediff(col("sday"), col("oday")) > lateDays, 1L)
+        .otherwise(0L)).as("late"))
+    val w = Window.partitionBy("l_orderkey")
+    per
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp", sum("late").over(w))
+      .filter(col("late") === 1L && col("n_supp") >= 2 &&
+        col("n_late_supp") === 1L)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
+  def blockingSuppliers(spark: SparkSession, dir: String): DataFrame =
+    blockingSuppliersOf(Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir))
+
   /** Bilateral trade flows — the TPC-H Q7 shape: revenue shipped
     * between two nations by year, BOTH directions published (supplier
     * nation → customer nation), the import/export ledger behind every

@@ -104,6 +104,41 @@ private[graft] object CorpusOracles {
         |  CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+')) AS INT) AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Bland-Altman agreement of the two token counters: exact integer
+    // diffs, HUGEINT moments, the engine's fixed double chains.
+    "bland_altman" ->
+      """WITH d AS (SELECT
+        |    CAST(length(text) AS BIGINT) // 4
+        |    - CAST(len(regexp_extract_all(text,
+        |      ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+'))
+        |      AS BIGINT) AS d
+        |  FROM documents),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(d AS HUGEINT)) AS sd1,
+        |    SUM(CAST(d AS HUGEINT) * d) AS sd2
+        |  FROM d),
+        |lim AS (SELECT n,
+        |    CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d,
+        |    sqrt((CAST(sd2 AS DOUBLE)
+        |      - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n - 1 AS DOUBLE)) AS sd_d
+        |  FROM mom),
+        |lim2 AS (SELECT n, mean_d, sd_d,
+        |    mean_d - 1.96 * sd_d AS lo, mean_d + 1.96 * sd_d AS hi
+        |  FROM lim),
+        |f AS (SELECT l.n AS n_docs, l.mean_d, l.sd_d, l.lo, l.hi,
+        |    CAST(SUM(CASE WHEN CAST(d.d AS DOUBLE) < l.lo
+        |          OR CAST(d.d AS DOUBLE) > l.hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_out
+        |  FROM d, lim2 l GROUP BY 1, 2, 3, 4, 5)
+        |SELECT n_docs,
+        |  floor(mean_d * 1e4 + 0.5) / 1e4 AS mean_diff,
+        |  floor(sd_d * 1e4 + 0.5) / 1e4 AS sd_diff,
+        |  floor(lo * 1e4 + 0.5) / 1e4 AS loa_low,
+        |  floor(hi * 1e4 + 0.5) / 1e4 AS loa_high,
+        |  CAST((n_out * 1000000) // n_docs AS BIGINT) AS outside_ppm
+        |FROM f""".stripMargin,
+
     // Tokenizer economics per language: character/word/BPE-token sums,
     // two 4-dp ratios; len() counts characters in both engines.
     "tokenizer_efficiency" ->

@@ -2622,6 +2622,37 @@ private[graft] object EventOracles {
         |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.96 END AS significant
         |FROM zc""".stripMargin,
 
+    // Fisher index-of-dispersion Poisson check: exact HUGEINT daily
+    // moments, the engine's fixed chains, sqrt-based normal approx.
+    "overdispersion_check" -> {
+      val disp = """((CAST(s2 AS DOUBLE)
+        | - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(t_days AS DOUBLE))
+        | / CAST(t_days - 1 AS DOUBLE))
+        | / (CAST(s1 AS DOUBLE) / CAST(t_days AS DOUBLE))""".stripMargin
+      s"""WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t_days,
+        |    SUM(CAST(c AS HUGEINT)) AS s1,
+        |    SUM(CAST(c AS HUGEINT) * c) AS s2
+        |  FROM daily GROUP BY 1),
+        |ok AS (SELECT * FROM agg WHERE t_days > 1),
+        |f AS (SELECT event_type, t_days,
+        |    floor(CAST(s1 AS DOUBLE) / CAST(t_days AS DOUBLE) * 1e4 + 0.5)
+        |      / 1e4 AS mean_c,
+        |    floor(($disp) * 1e4 + 0.5) / 1e4 AS dispersion,
+        |    floor((sqrt(2.0 * CAST(t_days - 1 AS DOUBLE) * ($disp))
+        |      - sqrt(2.0 * CAST(t_days - 1 AS DOUBLE) - 1.0))
+        |      * 1e4 + 0.5) / 1e4 AS z
+        |  FROM ok)
+        |SELECT event_type, t_days, mean_c, dispersion, z,
+        |  CASE WHEN z > 1.96 THEN 'overdispersed'
+        |       WHEN z < -1.96 THEN 'underdispersed'
+        |       ELSE 'poisson' END AS verdict
+        |FROM f ORDER BY event_type""".stripMargin
+    },
+
     // Yuen trimmed-mean test: position-trimming off the value
     // histogram (HUGEINT sums), t/df through the engine's chains.
     "yuen_test" -> {

@@ -213,6 +213,28 @@ private[graft] object WarehouseOracles {
     // Same grain contract as latest_per_key: DuckDB ranks on (µs,
     // event_id) where Spark ranks exact-ns — they agree because ids
     // are time-monotone within a microsecond (hash-verified).
+    // Q21 shape: EXISTS/NOT-EXISTS as conditional aggregation over
+    // the (order, supplier) frame; ties break on suppkey.
+    "blocking_suppliers" ->
+      """WITH ord AS (SELECT o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS oday
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |per AS (SELECT l.l_orderkey, l.l_suppkey,
+        |    MAX(CASE WHEN datediff('day', o.oday,
+        |          CAST(l.l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END)
+        |      AS late
+        |  FROM lineitem l JOIN ord o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |fl AS (SELECT l_suppkey, late,
+        |    COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |    SUM(late) OVER (PARTITION BY l_orderkey) AS n_late_supp
+        |  FROM per)
+        |SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+        |  CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM fl
+        |WHERE late = 1 AND n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+
     // FIFO lot matching: cumulative-unit interval overlap per part —
     // two windows + one equijoin, all-integer units.
     "fifo_match" ->

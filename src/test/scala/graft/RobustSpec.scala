@@ -450,6 +450,33 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
     assert(Robust.yuenTestOf(short).count() == 0)
   }
 
+  test("overdispersion: bursty days flag over, clockwork days under, single day drops") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    def ev(rows: Seq[(String, Int)]) = rows.zipWithIndex
+      .map { case ((t, day), i) =>
+        (i.toLong, t, f"2024-01-$day%02d 10:00:00") }
+      .toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"))
+    // bursty: [16,1,1,1,1] → mean 4, I = 45/4 = 11.25,
+    // z = √90 − √7 = 6.8411 → overdispersed
+    // clockwork: 2/day × 5 days → I = 0 → z = −√7 → underdispersed
+    // lonely: one day only → dropped
+    val rows = Seq.fill(16)(("bursty", 1)) ++
+      (2 to 5).map(d => ("bursty", d)) ++
+      (1 to 5).flatMap(d => Seq(("clockwork", d), ("clockwork", d))) ++
+      Seq(("lonely", 1))
+    val out = Robust.overdispersionCheckOf(ev(rows)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getString(5)))
+      .toMap
+    assert(!out.contains("lonely"), s"single-day series must drop: $out")
+    assert(out("bursty") == ((5L, 11.25, 6.8411, "overdispersed")), s"$out")
+    val (t, disp, z, v) = out("clockwork")
+    assert(t == 5L && disp == 0.0 && v == "underdispersed", s"$out")
+    assert(z == -2.6458, s"z = -sqrt(7): $out")
+  }
+
   test("kruskal-wallis: hand-checked H on a 2-2-2 split; all-tied nulls H via the tie correction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

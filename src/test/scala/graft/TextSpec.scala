@@ -9,6 +9,27 @@ import graft.operators.{Dedup, TextAnalysis}
 class TextSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
+  test("bland-altman: hand-checked bias/limits, whale lands outside") {
+    // "aaaa bbbb": 9 chars → 2 est, 2 BPE tokens → d = 0
+    // "a"*12: 12 chars → 3 est, 1 token → d = 2
+    def docs(texts: Seq[String]) =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+    val base = docs(Seq("aaaa bbbb", "aaaa bbbb", "a" * 12, "a" * 12))
+    val r = TextAnalysis.blandAltmanOf(base).collect().head
+    // d = [0,0,2,2]: mean 1, sample sd √(4/3) = 1.1547,
+    // limits 1 ∓ 1.96·1.15470… = [-1.2632, 3.2632], nothing outside
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 1.0, s"$r")
+    assert(r.getDouble(2) == 1.1547, s"sd: $r")
+    assert(r.getDouble(3) == -1.2632 && r.getDouble(4) == 3.2632, s"$r")
+    assert(r.getLong(5) == 0L, s"$r")
+    // twenty agreeing docs + one d=10 whale → exactly the whale is
+    // outside the limits: 1e6 div 21 = 47619 ppm
+    val whale = docs(Seq.fill(20)("aaaa bbbb") :+ ("aaaa " * 8 + "a" * 22))
+    val w = TextAnalysis.blandAltmanOf(whale).collect().head
+    assert(w.getLong(0) == 21L && w.getLong(5) == 47619L, s"$w")
+  }
+
   test("shingles: n-grams when long enough, whole tokens as fallback") {
     val df = Seq("a b c d", "a b", "", "  x  ").toDF("text")
       .select(TextF.shingles(col("text"), 3).as("sh"))

@@ -312,6 +312,26 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(out.sliding(2).forall(p => p.length < 2 || p(0)._5 < p(1)._4))
   }
 
+  test("blocking suppliers: only the sole late supplier of a finished multi-supplier order counts") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, "F", t("2024-01-01")), (2L, "F", t("2024-01-01")),
+      (3L, "F", t("2024-01-01")), (4L, "O", t("2024-01-01")))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+    def li(ok: Long, sk: Long, ship: String) = (ok, sk, t(ship))
+    val late = "2024-06-01"; val ontime = "2024-02-01"
+    val lineitem = Seq(
+      li(1L, 10L, late), li(1L, 20L, ontime),   // 10 blocks order 1
+      li(2L, 10L, late), li(2L, 20L, late),      // two late: nobody blocks
+      li(3L, 10L, late),                         // single-supplier: excluded
+      li(4L, 10L, late), li(4L, 20L, ontime))    // status O: excluded
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val out = Warehouse.blockingSuppliersOf(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((10L, 1L)), s"got ${out.toSeq}")
+  }
+
   test("fifo match: returns consume oldest lots, conserve quantity, keys isolate") {
     import java.sql.Timestamp
     def li(pk: Long, ok: Long, ln: Int, qty: Double, day: Int, rf: String) =
