@@ -1790,5 +1790,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // doc_id equijoin — nothing unbounded crosses
     val cr = plan(Dedup.dedupCaptureRecapture(spark, Sf))
     noCartesian("dedup_capture_recapture", cr)
+    // Q21: equijoin + order-keyed windows; status filter reaches the
+    // orders scan; top-k is a global-limit, never a full sort
+    val bs = plan(Warehouse.blockingSuppliers(spark, Sf))
+    noCartesian("blocking_suppliers", bs)
+    assert(bs.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"blocking: order-keyed windows only:\n$bs")
+    assert(bs.collect { case f: FileSourceScanExec => f }
+      .exists(_.dataFilters.exists(_.toString.contains("o_orderstatus"))),
+      s"blocking: status filter must reach the orders scan:\n$bs")
+    assert(bs.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"blocking: top-k must be TakeOrderedAndProject:\n$bs")
+    // bland-altman / overdispersion: scan + bounded folds only
+    for ((n, p) <- Seq(
+      "bland_altman" -> plan(TextAnalysis.blandAltman(spark, Sf)),
+      "overdispersion_check" ->
+        plan(graft.operators.Robust.overdispersionCheck(spark, Sf)))) {
+      noCartesian(n, p)
+      assert(bnlj(p).length <= 1, s"$n: 1-row limits broadcast only:\n$p")
+    }
   }
 }
