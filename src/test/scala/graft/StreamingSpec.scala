@@ -725,6 +725,66 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("streaming sprt: a planted lift crosses Wald's A at trial 12 and latches") {
+    implicit val sqlCtx = spark.sqlContext
+    val pool = (0L until 100L)
+    val armOf = pool.toDF("user_id")
+      .select(col("user_id"), graft.operators.Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val treated = pool.filter(armOf(_) == 1L).take(15)
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val events = input.toDF().toDF("event_type", "ts", "user_id")
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val query = graft.streaming.StreamingSprt.decisions(events).writeStream
+      .format("memory").queryName("sprt_lift").outputMode("append").start()
+    try {
+      // 15 treated purchases + an unmonitored view: ln(1.3) per trial
+      // crosses A = ln 18 = 2.8904 at the 12th (12·0.262364 = 3.1484)
+      input.addData(
+        (treated.map(u => ("purchase", t0, u)) :+ (("view", t0, 999L))): _*)
+      query.processAllAvailable()
+      val got = spark.table("sprt_lift").collect()
+      assert(got.length == 1, s"one decision: ${got.toSeq}")
+      val d = got.head
+      assert(d.getString(0) == "purchase" && d.getString(1) == "accept_h1",
+        s"$d")
+      assert(d.getLong(2) == 12L && d.getLong(3) == 12L, s"$d")
+      assert(d.getDouble(4) == 3.1484, s"$d")
+      // the decision latches: further trials emit nothing
+      input.addData(treated.take(5).map(u => ("purchase", t0, u)): _*)
+      query.processAllAvailable()
+      assert(spark.table("sprt_lift").count() == 1)
+    } finally query.stop()
+  }
+
+  test("streaming sprt: a control-heavy stream accepts H0; a short balanced one stays open") {
+    implicit val sqlCtx = spark.sqlContext
+    val pool = (0L until 100L)
+    val armOf = pool.toDF("user_id")
+      .select(col("user_id"), graft.operators.Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val treated = pool.filter(armOf(_) == 1L).take(5)
+    val control = pool.filter(armOf(_) == 0L).take(10)
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val events = input.toDF().toDF("event_type", "ts", "user_id")
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val query = graft.streaming.StreamingSprt.decisions(events).writeStream
+      .format("memory").queryName("sprt_null").outputMode("append").start()
+    try {
+      // 3 + 3 balanced: llr = 3(ln1.3 + ln0.7) = −0.2829 — no boundary
+      input.addData((treated.take(3).map(u => ("purchase", t0, u))
+        ++ control.take(3).map(u => ("purchase", t0, u))): _*)
+      query.processAllAvailable()
+      assert(spark.table("sprt_null").isEmpty, "balanced stream stays open")
+      // 7 more control-only: cumulative llr falls through B = −2.2513
+      input.addData(control.drop(3).take(7).map(u => ("purchase", t0, u)): _*)
+      query.processAllAvailable()
+      val got = spark.table("sprt_null").collect()
+      assert(got.length == 1, s"${got.toSeq}")
+      assert(got.head.getString(1) == "accept_h0", s"${got.head}")
+    } finally query.stop()
+  }
+
   test("streaming cusum: a baseline-quiet type never alarms; state survives idle days") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Double)]
