@@ -999,10 +999,13 @@ object CorpusStats {
     * everywhere) nulls χ² via try_divide → not significant. */
   def mcnemarGatesOf(docs: DataFrame, minQuality: Double = 0.9): DataFrame = {
     val r6 = TextF.round6HalfUp _
+    // coalesce: an empty/whitespace-only doc nulls both measures
+    // (0-token divisions) — a null gate must read "rejected", or the
+    // doc counts in n_docs yet falls in NO 2×2 cell
     docs
-      .select(gopherKeep(50, 100000).as("g1"),
-        (TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
-          >= minQuality).as("g2"))
+      .select(coalesce(gopherKeep(50, 100000), lit(false)).as("g1"),
+        coalesce(TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
+          >= minQuality, lit(false)).as("g2"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("g1") && col("g2"), 1L).otherwise(0L)).as("n_both"),
         sum(when(col("g1") && !col("g2"), 1L).otherwise(0L))

@@ -444,7 +444,7 @@ private[graft] object CorpusStatsOracles {
         |    $QualitySqlExpr AS q
         |  FROM documents),
         |g AS (SELECT
-        |    (CAST(len(toks) AS INT) >= 50 AND CAST(len(toks) AS INT) <= 100000
+        |    COALESCE(CAST(len(toks) AS INT) >= 50 AND CAST(len(toks) AS INT) <= 100000
         |     AND floor(CAST(char_len AS DOUBLE) / CAST(len(toks) AS DOUBLE)
         |         * 1e4 + 0.5) / 1e4 >= 3.0
         |     AND floor(CAST(char_len AS DOUBLE) / CAST(len(toks) AS DOUBLE)
@@ -457,8 +457,8 @@ private[graft] object CorpusStatsOracles {
         |         / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 >= 0.8
         |     AND CAST(len(list_intersect(list_distinct(toks),
         |       ['the','be','to','of','and','that','have','with']))
-        |       AS BIGINT) >= 2) AS g1,
-        |    q >= 0.9 AS g2
+        |       AS BIGINT) >= 2, FALSE) AS g1,
+        |    COALESCE(q >= 0.9, FALSE) AS g2
         |  FROM b),
         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT)

@@ -503,10 +503,13 @@ class CorpusStatsSpec extends AnyFunSuite with SparkFixture {
   private val McD = "x! x! x!"
 
   test("mcnemar: balanced disagreement scores zero, cells partition the corpus") {
+    // the whitespace-only doc nulls both raw gate measures (0-token
+    // divisions): it must land in n_neither, not vanish from the 2×2
     val out = CorpusStats.mcnemarGatesOf(docsDf(
-      1L -> McA, 2L -> McB, 3L -> McC, 4L -> McD)).collect().head
+      1L -> McA, 2L -> McB, 3L -> McC, 4L -> McD, 5L -> "   "))
+      .collect().head
     assert((out.getLong(0), out.getLong(1), out.getLong(2),
-      out.getLong(3), out.getLong(4)) == ((4L, 1L, 1L, 1L, 1L)), s"$out")
+      out.getLong(3), out.getLong(4)) == ((5L, 1L, 1L, 1L, 2L)), s"$out")
     // b=c=1: continuity correction clamps (|0|-1) to 0 → chi2 = 0
     assert(out.getDouble(5) == 0.0 && !out.getBoolean(6), s"$out")
   }
