@@ -74,7 +74,8 @@ object TextAnalysis {
       expr("""sqrt((CAST(sd2 AS DOUBLE)
              |  - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE)
              |    / CAST(n AS DOUBLE))
-             |  / CAST(n - 1 AS DOUBLE))""".stripMargin).as("sd_d"))
+             |  / NULLIF(CAST(n - 1 AS DOUBLE), 0.0))""".stripMargin)
+        .as("sd_d")) // n = 1 → sd NULL (not NaN), limits null-propagate
       .select(col("n"), col("mean_d"), col("sd_d"),
         (col("mean_d") - lit(1.96) * col("sd_d")).as("lo"),
         (col("mean_d") + lit(1.96) * col("sd_d")).as("hi"))

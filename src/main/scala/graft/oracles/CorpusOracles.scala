@@ -121,7 +121,7 @@ private[graft] object CorpusOracles {
         |    CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d,
         |    sqrt((CAST(sd2 AS DOUBLE)
         |      - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |      / CAST(n - 1 AS DOUBLE)) AS sd_d
+        |      / NULLIF(CAST(n - 1 AS DOUBLE), 0.0)) AS sd_d
         |  FROM mom),
         |lim2 AS (SELECT n, mean_d, sd_d,
         |    mean_d - 1.96 * sd_d AS lo, mean_d + 1.96 * sd_d AS hi

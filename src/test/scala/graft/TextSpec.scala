@@ -28,6 +28,11 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     val whale = docs(Seq.fill(20)("aaaa bbbb") :+ ("aaaa " * 8 + "a" * 22))
     val w = TextAnalysis.blandAltmanOf(whale).collect().head
     assert(w.getLong(0) == 21L && w.getLong(5) == 47619L, s"$w")
+    // a single doc has no sample sd: limits NULL (not NaN), none outside
+    val one = TextAnalysis.blandAltmanOf(docs(Seq("a" * 12))).collect().head
+    assert(one.getLong(0) == 1L && one.getDouble(1) == 2.0, s"$one")
+    assert(one.isNullAt(2) && one.isNullAt(3) && one.isNullAt(4), s"$one")
+    assert(one.getLong(5) == 0L, s"$one")
   }
 
   test("shingles: n-grams when long enough, whole tokens as fallback") {
