@@ -562,6 +562,7 @@ object SparkEntry {
     // blocked-rank Friedman test (row 425)
     "jonckheere_trend"  -> (Robust.jonckheereTrend(_, _)),
     "friedman_test"     -> (Robust.friedmanTest(_, _)),
+    "kendall_w"         -> (Robust.kendallW(_, _)),
     "yuen_test"         -> (Robust.yuenTest(_, _)),
     "overdispersion_check" -> (Robust.overdispersionCheck(_, _)),
     "pareto_frontier"   -> (CorpusStats.paretoFrontier(_, _)),

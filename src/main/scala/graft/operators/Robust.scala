@@ -1212,6 +1212,34 @@ object Robust {
   def friedmanTest(spark: SparkSession, dir: String): DataFrame =
     friedmanTestOf(Tables.events(spark, dir))
 
+  /** Kendall's W coefficient of concordance — [[friedmanTestOf]]'s
+    * EFFECT SIZE (W = Q/(b(k−1)), the ties-corrected identity): the
+    * Friedman Q says whether the day-blocks agree on a type ordering
+    * at all; W ∈ [0,1] says how STRONGLY (1 = every day ranks the
+    * types identically, 0 = no agreement) — the number that survives
+    * growing b, where Q mechanically inflates. Standard verbal bands
+    * published (≥0.7 strong, ≥0.3 moderate, else weak — applied to
+    * the ROUNDED W so the label is grid-stable cross-engine).
+    *
+    * Derivation rides the registered Friedman output (same frames,
+    * same rounding contract — W divides the published 6-dp Q once and
+    * re-rounds to 6 dp identically in both engines); a fully-tied
+    * corpus nulls Q hence W. */
+  def kendallWOf(events: DataFrame): DataFrame = {
+    val r6 = TextF.round6HalfUp _
+    friedmanTestOf(events)
+      .select(col("b"), col("k"),
+        r6(col("q") / (col("b") * (col("k") - 1)).cast("double")).as("w"))
+      .withColumn("agreement",
+        when(col("w").isNull, lit("undefined"))
+          .when(col("w") >= 0.7, lit("strong"))
+          .when(col("w") >= 0.3, lit("moderate"))
+          .otherwise(lit("weak")))
+  }
+
+  def kendallW(spark: SparkSession, dir: String): DataFrame =
+    kendallWOf(Tables.events(spark, dir))
+
   /** Yuen's trimmed-mean two-sample test per event type (Yuen '74 —
     * the ROBUST twin of [[welchTest]]: one whale in either arm drags
     * a mean-based t anywhere it likes; Yuen compares 20%-trimmed

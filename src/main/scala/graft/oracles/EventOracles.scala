@@ -2719,6 +2719,51 @@ private[graft] object EventOracles {
         |FROM f ORDER BY event_type""".stripMargin
     },
 
+    // Kendall's W: the Friedman effect size off the SAME pipeline —
+    // W = Q/(b(k−1)) dividing the published 6-dp Q once, re-rounded.
+    "kendall_w" ->
+      """WITH daily AS (SELECT
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day, event_type,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |dense AS (SELECT d.day, t.event_type, COALESCE(x.v, 0) AS v
+        |  FROM (SELECT DISTINCT day FROM daily) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+        |  LEFT JOIN daily x ON x.day = d.day AND x.event_type = t.event_type),
+        |rk AS (SELECT day, event_type, v,
+        |    RANK() OVER (PARTITION BY day ORDER BY v) AS rnk,
+        |    CAST(COUNT(*) OVER (PARTITION BY day, v) AS BIGINT) AS t
+        |  FROM dense),
+        |r2t AS (SELECT day, event_type,
+        |    2 * (rnk - 1) + t + 1 AS r2 FROM rk),
+        |blocks AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS b,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k,
+        |    SUM(CAST(r2 AS HUGEINT) * r2) AS a4
+        |  FROM r2t),
+        |pt AS (SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2sum
+        |  FROM r2t GROUP BY 1),
+        |dev AS (SELECT b, k, a4,
+        |    SUM((CAST(r2sum AS HUGEINT) - CAST(b AS HUGEINT) * (k + 1))
+        |      * (CAST(r2sum AS HUGEINT) - CAST(b AS HUGEINT) * (k + 1)))
+        |      AS devsq
+        |  FROM pt, blocks GROUP BY 1, 2, 3),
+        |f AS (SELECT b, k,
+        |    floor(CAST((k - 1) * devsq AS DOUBLE)
+        |      / CAST(a4 - CAST(b AS HUGEINT) * k * (k + 1) * (k + 1)
+        |             AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 AS q
+        |  FROM dev),
+        |wv AS (SELECT b, k,
+        |    floor(q / CAST(b * (k - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS w
+        |  FROM f)
+        |SELECT b, k, w,
+        |  CASE WHEN w IS NULL THEN 'undefined'
+        |       WHEN w >= 0.7 THEN 'strong'
+        |       WHEN w >= 0.3 THEN 'moderate'
+        |       ELSE 'weak' END AS agreement
+        |FROM wv""".stripMargin,
+
     // Friedman blocked-rank test: doubled within-day ranks, Conover
     // ties correction, everything integer until one double division.
     "friedman_test" ->

@@ -416,6 +416,12 @@ class RobustSpec extends AnyFunSuite with SparkFixture {
       ev(2, "a", 7), ev(2, "b", 7), ev(2, "c", 7)))
     val f = Robust.friedmanTestOf(flat).collect().head
     assert(f.isNullAt(2) && !f.getBoolean(3), s"tied: $f")
+    // Kendall's W: concordance maxes at exactly 1.0 (Q = b(k−1));
+    // the tied corpus reads undefined
+    val kw = Robust.kendallWOf(conc).collect().head
+    assert(kw.getDouble(2) == 1.0 && kw.getString(3) == "strong", s"$kw")
+    val kt = Robust.kendallWOf(flat).collect().head
+    assert(kt.isNullAt(2) && kt.getString(3) == "undefined", s"$kt")
   }
 
   test("yuen: hand-checked trimmed t, whale-immune by construction, short arms drop") {
