@@ -61,13 +61,21 @@ object Smoke {
       }
     }
 
+    // 4. Registry consistency (VERDICT r15 #5): every oracle key must
+    //    resolve to a registered query — a dangling oracle is exactly
+    //    how a silently-dropped query would hide behind a wrong
+    //    close-note denominator.
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    if (dangling.nonEmpty)
+      failures("registry") = s"oracle keys without queries: ${dangling.mkString(",")}"
+
     if (failures.nonEmpty) {
       failures.foreach { case (k, v) => System.err.println(s"SMOKE FAIL $k: $v") }
       println(s"""{"smoke":"FAIL","failures":${failures.size},"sf":"$sfDir"}""")
       spark.stop()
       sys.exit(1)
     }
-    println(s"""{"smoke":"OK","tables":${Tables.all.size},"queries":${SparkEntry.queries.size},"sf":"$sfDir"}""")
+    println(s"""{"smoke":"OK","tables":${Tables.all.size},"queries":${SparkEntry.queries.size},"oracles":${SparkEntry.oracleSql.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

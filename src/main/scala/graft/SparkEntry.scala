@@ -598,7 +598,20 @@ object SparkEntry {
     // Round-10 twelfth tranche: one-pass threshold sweeps (SURVEY §2
     // rows 259-260)
     "session_sweep"     -> (EventAnalytics.sessionSweep(_, _)),
-    "watermark_loss"    -> (EventAnalytics.watermarkLoss(_, _))
+    "watermark_loss"    -> (EventAnalytics.watermarkLoss(_, _)),
+    // Round-16 tranche: TPC-H Q15/Q18/Q6 shapes, post-hoc + agreement
+    // stats, residual autocorrelation, experiment design, embedding
+    // two-sample, audio level audit
+    "top_supplier_share" -> (Warehouse.topSupplierShare(_, _)),
+    "large_orders"      -> (Warehouse.largeOrders(_, _)),
+    "discount_whatif"   -> (Warehouse.discountWhatif(_, _)),
+    "dunn_posthoc"      -> (Robust.dunnPosthoc(_, _)),
+    "cochran_q_gates"   -> (CorpusStats.cochranQGates(_, _)),
+    "fleiss_kappa_gates" -> (CorpusStats.fleissKappaGates(_, _)),
+    "durbin_watson"     -> (EventAnalytics.durbinWatson(_, _)),
+    "power_mde"         -> (Behavior.powerMde(_, _)),
+    "embedding_mmd"     -> (Similarity.embeddingMmd(_, _)),
+    "audio_clipping_audit" -> (Multimodal.audioClippingAudit(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

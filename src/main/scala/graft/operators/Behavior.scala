@@ -1238,6 +1238,69 @@ object Behavior {
   def abTest(spark: SparkSession, dir: String): DataFrame =
     abTestOf(Tables.events(spark, dir))
 
+  /** Minimum-detectable-effect design readout for the running A/B
+    * (the experiment-DESIGN number every "the test read flat" debrief
+    * needs before concluding anything: at these arm sizes and this
+    * pooled conversion rate, what lift COULD the two-proportion test
+    * even see at α = 0.05 / power 0.8? [[abTestOf]] reports the
+    * verdict; this reports the instrument's resolution — a flat read
+    * under an MDE of 4 points says nothing about a 2-point lift):
+    * MDE = (z_{α/2} + z_β)·√(p̄(1−p̄)·(1/n₀ + 1/n₁)) with the fixed
+    * literals 1.959964 / 0.841621 (the literal-constant rule — no
+    * quantile function), published beside the observed |Δp| and the
+    * `adequately_powered` flag |Δp| > MDE. Normal-approximation
+    * caveat: valid when n·p̄ ≥ ~5 both arms, which any real scale
+    * satisfies; p̄ ∈ {0, 1} (no variance) nulls via try_divide-style
+    * guards.
+    *
+    * Shape: EXACTLY the [[abTestOf]] fold — 1-row report-date
+    * broadcast, ONE user aggregate, ONE 1-row conditional aggregate;
+    * the MDE chain is map-side arithmetic on that single row. */
+  def powerMdeOf(events: DataFrame): DataFrame = {
+    val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))
+    val users = events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .crossJoin(broadcast(maxDay)) // 1 row by construction
+      .select(col("user_id"),
+        when(col("event_type") === "purchase" &&
+          col("day") === col("report_date"), 1L).otherwise(0L).as("p"))
+      .groupBy("user_id")
+      .agg(max("p").as("converted"))
+      .select(col("converted"),
+        pmod(conv(substring(md5(concat(lit("ab:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(2L)).as("arm"))
+    val r6 = graft.functions.TextF.round6HalfUp _
+    users.agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0L, col("converted")).otherwise(0L)).as("conv0"),
+        sum(when(col("arm") === 1L, col("converted")).otherwise(0L)).as("conv1"))
+      .filter(col("n0") > 0 && col("n1") > 0)
+      .select(col("n0"), col("n1"), col("conv0"), col("conv1"),
+        r6(expr(
+          """(1.959964D + 0.841621D)
+            |* sqrt(CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+            |  * (1.0D - CAST(conv0 + conv1 AS DOUBLE)
+            |            / CAST(n0 + n1 AS DOUBLE))
+            |  * (1.0D / CAST(n0 AS DOUBLE) + 1.0D / CAST(n1 AS DOUBLE)))"""
+            .stripMargin)).as("mde"),
+        r6(expr(
+          """abs(CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            |  - CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE))""".stripMargin))
+          .as("observed_diff"))
+      // p̄ ∈ {0,1} → mde = 0.0 exactly: no detectable-effect claim
+      .withColumn("mde", when(col("mde") === 0.0,
+        lit(null).cast("double")).otherwise(col("mde")))
+      .withColumn("adequately_powered",
+        when(col("mde").isNull, lit(false))
+          .otherwise(col("observed_diff") > col("mde")))
+  }
+
+  def powerMde(spark: SparkSession, dir: String): DataFrame =
+    powerMdeOf(Tables.events(spark, dir))
+
   /** Cochran–Mantel–Haenszel stratified 2×2 test + MH common odds
     * ratio — the Simpson's-paradox-proof A/B readout the experiment
     * family lacked: [[abTestOf]] pools every user into one 2×2 (a

@@ -2166,4 +2166,113 @@ object CorpusStats {
 
   def liftTable(spark: SparkSession, dir: String): DataFrame =
     liftTableOf(Tables.documents(spark, dir))
+
+  /** The three corpus gates evaluated in ONE projection — the shared
+    * frame [[cochranQGatesOf]] and [[fleissKappaGatesOf]] fold:
+    * [[gopherRulesOf]]'s rule conjunction, the corpus_clean quality
+    * threshold, and the target-language gate (ground-truth `lang` ==
+    * 'en' — the allowlist cut every monolingual pipeline runs).
+    * Null-gate docs read rejected (the [[mcnemarGatesOf]] coalesce
+    * contract). */
+  private def threeGates(minQuality: Double): DataFrame => DataFrame =
+    docs => docs.select(
+      coalesce(gopherKeep(50, 100000), lit(false)).as("g1"),
+      coalesce(TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
+        >= minQuality, lit(false)).as("g2"),
+      coalesce(col("lang") === "en", lit(false)).as("g3"))
+
+  /** Cochran's Q test across the THREE corpus gates (Cochran '50 —
+    * [[mcnemarGatesOf]]'s k-treatment generalization: McNemar asks
+    * whether TWO gates disagree systematically; Q asks whether the
+    * three gates' pass rates differ AT ALL on the same documents,
+    * the omnibus a pipeline owner runs before pairwise McNemars):
+    * Q = (k−1)·(k·ΣC_j² − T²)/(k·T − ΣR_i²) with C_j the per-gate
+    * pass counts, R_i each doc's pass count, T = ΣC_j = ΣR_i;
+    * χ²_{k−1} verdict (df = 2 → 5.991465 at α = 0.05).
+    *
+    * Exactness: every term is an exact integer off ONE map-side
+    * projection and ONE 1-row aggregate (ΣR² folds as sum(r·r) — no
+    * doc_id shuffle, the fact never repartitions); squares ride
+    * decimal(38,0) (C_j² passes 2⁶³ at ~10¹⁰ docs); Q is one double
+    * division. All-unanimous docs (every R_i ∈ {0, k}) zero the
+    * denominator → Q NULL via try_divide → not significant. */
+  def cochranQGatesOf(docs: DataFrame, minQuality: Double = 0.9): DataFrame = {
+    val dec = "decimal(38,0)"
+    val r6 = TextF.round6HalfUp _
+    threeGates(minQuality)(docs)
+      .select((when(col("g1"), 1L).otherwise(0L)
+        + when(col("g2"), 1L).otherwise(0L)
+        + when(col("g3"), 1L).otherwise(0L)).as("r"),
+        when(col("g1"), 1L).otherwise(0L).as("b1"),
+        when(col("g2"), 1L).otherwise(0L).as("b2"),
+        when(col("g3"), 1L).otherwise(0L).as("b3"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("b1").as("c_gopher"), sum("b2").as("c_quality"),
+        sum("b3").as("c_lang"),
+        sum("r").as("t"), sum(expr("r * r")).as("r2"))
+      .select(col("n_docs"), col("c_gopher"), col("c_quality"),
+        col("c_lang"),
+        r6(expr(
+          s"""try_divide(
+             |  2.0D * CAST(3 * (CAST(c_gopher AS $dec) * c_gopher
+             |      + CAST(c_quality AS $dec) * c_quality
+             |      + CAST(c_lang AS $dec) * c_lang)
+             |    - CAST(t AS $dec) * t AS DOUBLE),
+             |  CAST(3 * t - r2 AS DOUBLE))""".stripMargin)).as("q_cochran"))
+      .withColumn("significant",
+        when(col("q_cochran").isNull, lit(false))
+          .otherwise(col("q_cochran") > 5.991465))
+  }
+
+  def cochranQGates(spark: SparkSession, dir: String): DataFrame =
+    cochranQGatesOf(Tables.documents(spark, dir))
+
+  /** Fleiss' kappa across the three corpus gates (Fleiss '71 — the
+    * AGREEMENT companion to [[cochranQGatesOf]]'s difference test:
+    * Q says whether pass rates differ, κ says how much the gates
+    * agree BEYOND CHANCE doc-by-doc — the multi-rater read
+    * cohen_kappa's two-rater form can't give): per-doc agreement
+    * P_i = (R(R−1) + (k−R)(k−R−1))/(k(k−1)), chance from the pooled
+    * pass rate, κ = (P̄ − P̄e)/(1 − P̄e); Landis-Koch verbal bands on
+    * the ROUNDED κ (the kendall_w grid-stable-label rule).
+    *
+    * Exactness: with denominators CLEARED, κ = (3n·(ΣR² − 3T + 3n)
+    * − D)/(9n² − D) where D = T² + (3n−T)² — every term an exact
+    * integer off the SAME one-projection one-fold shape as Q
+    * (decimal(38,0) products), ONE double division at the edge.
+    * T = 0 or T = 3n (chance agreement 1) nulls κ via try_divide →
+    * 'undefined'. */
+  def fleissKappaGatesOf(docs: DataFrame, minQuality: Double = 0.9): DataFrame = {
+    val dec = "decimal(38,0)"
+    val r6 = TextF.round6HalfUp _
+    threeGates(minQuality)(docs)
+      .select((when(col("g1"), 1L).otherwise(0L)
+        + when(col("g2"), 1L).otherwise(0L)
+        + when(col("g3"), 1L).otherwise(0L)).as("r"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("r").as("t"), sum(expr("r * r")).as("r2"))
+      .select(col("n_docs"), col("t"),
+        r6(expr(
+          s"""try_divide(
+             |  CAST(3 * CAST(n_docs AS $dec) * (r2 - 3 * t + 3 * n_docs)
+             |    - (CAST(t AS $dec) * t
+             |       + CAST(3 * CAST(n_docs AS $dec) - t AS $dec)
+             |         * (3 * CAST(n_docs AS $dec) - t)) AS DOUBLE),
+             |  CAST(9 * CAST(n_docs AS $dec) * n_docs
+             |    - (CAST(t AS $dec) * t
+             |       + CAST(3 * CAST(n_docs AS $dec) - t AS $dec)
+             |         * (3 * CAST(n_docs AS $dec) - t)) AS DOUBLE))"""
+            .stripMargin)).as("kappa"))
+      .withColumn("agreement",
+        when(col("kappa").isNull, lit("undefined"))
+          .when(col("kappa") >= 0.8, lit("almost_perfect"))
+          .when(col("kappa") >= 0.6, lit("substantial"))
+          .when(col("kappa") >= 0.4, lit("moderate"))
+          .when(col("kappa") >= 0.2, lit("fair"))
+          .when(col("kappa") >= 0.0, lit("slight"))
+          .otherwise(lit("poor")))
+  }
+
+  def fleissKappaGates(spark: SparkSession, dir: String): DataFrame =
+    fleissKappaGatesOf(Tables.documents(spark, dir))
 }

@@ -2144,4 +2144,63 @@ object EventAnalytics {
 
   def hourlyHeatmap(spark: SparkSession, dir: String): DataFrame =
     hourlyHeatmapOf(Tables.events(spark, dir))
+
+  /** Durbin–Watson serial-correlation statistic on the daily-revenue
+    * residuals of [[seasonalStrengthOf]]'s weekday-mean model (Durbin
+    * -Watson '50 — the "are the residuals still structured" gate: η²
+    * says how much the weekday explains; DW says whether what's LEFT
+    * is independent day to day, the assumption every ±1.96σ band in
+    * the forecast family silently makes. DW = Σ(e_t − e_{t−1})²/Σe_t²
+    * ∈ [0,4]; ≈2 independent, <1.5 positively autocorrelated (bands
+    * too narrow), >2.5 negatively (over-differenced)). The exact
+    * critical bounds depend on n and the regressor count — the 1.5/
+    * 2.5 rule-of-thumb bands are published AS the verdict and
+    * documented as such, the standing heuristic-bands contract.
+    *
+    * Determinism: residuals on the exact micro grid (daily cents ×
+    * 10⁶ minus the integer-division weekday mean — the
+    * [[seasonalStrengthOf]] quantize-before-residual move), both
+    * quadratic sums exact decimal(38,0), DW ONE double division 6 dp;
+    * a residual-free series (constant within every weekday) nulls.
+    *
+    * Shape: one (type, day) fact aggregate; the weekday-mean join,
+    * the day-ordered lag window, and the fold all ride the bounded
+    * daily frame — nothing fact-scale past the first shuffle. */
+  def durbinWatsonOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events.select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .groupBy("event_type", "day").agg(sum("vc").as("v"))
+      .withColumn("w", pmod(
+        datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+    val wm = daily.groupBy("event_type", "w").agg(
+      expr("(CAST(sum(v) AS DECIMAL(38,0)) * 1000000) div count(1)")
+        .as("wmq"))
+    val lagW = Window.partitionBy("event_type").orderBy("day")
+    val res = daily.join(broadcast(wm), Seq("event_type", "w"))
+      .select(col("event_type"), col("day"),
+        ((col("v") * lit(1000000L)).cast(dec) - col("wmq").cast(dec))
+          .as("e"))
+      .withColumn("ep", lag("e", 1).over(lagW))
+    res.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("e") * col("e")).as("se2"),
+        sum(when(col("ep").isNotNull,
+          (col("e") - col("ep")) * (col("e") - col("ep")))
+          .otherwise(lit(0L).cast(dec))).as("sd2"))
+      .filter(col("n_days") > 1)
+      .select(col("event_type"), col("n_days"),
+        graft.functions.TextF.round6HalfUp(expr(
+          "try_divide(CAST(sd2 AS DOUBLE), CAST(se2 AS DOUBLE))"))
+          .as("dw"))
+      .withColumn("autocorrelation",
+        when(col("dw").isNull, lit("undefined"))
+          .when(col("dw") < 1.5, lit("positive"))
+          .when(col("dw") > 2.5, lit("negative"))
+          .otherwise(lit("none")))
+      .orderBy("event_type")
+  }
+
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame =
+    durbinWatsonOf(Tables.events(spark, dir))
 }

@@ -241,6 +241,75 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** Clipping / headroom audit per source — the level-integrity gate
+    * of the audio family ([[audioFeatures]] reports per-doc levels,
+    * [[audioToneDetect]] spectral content; neither answers the intake
+    * QA question "is any source delivering clipped or near-full-scale
+    * audio", the first thing a speech-data pipeline checks before
+    * features are worth computing): every doc round-trips the real
+    * RIFF/WAVE codec, samples at |s| ≥ `hotThreshold` count as hot,
+    * rolled up per source as sample-level ppm, the hot-doc count
+    * (any hot sample), and the source's true peak.
+    *
+    * Threshold calibration, measured honestly: on REAL recordings
+    * the gate is ~32000 (within 2.3% of PCM16 full scale, ceiling
+    * 32767) — but this corpus's synthetic byte→sample map tops out
+    * at 15680 (lowercase ASCII ≤ 'z'=122 → 122·128+64), so the
+    * full-scale cut is structurally VACUOUS here (every count zero,
+    * the bland_altman ws-leg lesson). The default therefore sits
+    * just inside the top of the synthetic range (15000 ⇔ bytes ≥
+    * 117 'u'), where hot mass varies with real text content and the
+    * fold is exercised; production callers pass 32000.
+    *
+    * All-integer (counts and one max — no divisions before the ppm
+    * edge), map-only to one per-source aggregate; int64 sample
+    * counts saturate at ~9·10¹⁸ — no decimal needed. Pinned-frame
+    * oracle (byte-level WAV parsing has no SQL counterpart). */
+  def audioClippingAuditOf(docs: DataFrame,
+      hotThreshold: Int = 15000): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (_, src, b) =>
+          val pcm = Array.tabulate[Short](b.length) { i =>
+            val v = ((b(i) & 0xff) << 7) + 64
+            (if ((b(i) & 1) == 1) -v else v).toShort
+          }
+          val wav = WavCodec.encodeWav(8000, 1, pcm)
+          WavCodec.decodeWav(wav) match {
+            case Some(a) =>
+              var hot = 0L; var peak = 0; var i = 0
+              while (i < a.samples.length) {
+                val v = math.abs(a.samples(i).toInt)
+                if (v >= hotThreshold) hot += 1
+                if (v > peak) peak = v
+                i += 1
+              }
+              (src, a.samples.length.toLong, hot, peak)
+            case None => (src, 0L, 0L, 0) // unreachable: own output
+          }
+        }
+      }
+      .toDF("source", "ns", "hot", "peak")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ns").as("n_samples"),
+        sum("hot").as("hot_samples"),
+        sum(when(col("hot") > 0L, 1L).otherwise(0L)).as("hot_docs"),
+        max("peak").cast("long").as("max_peak"))
+      .select(col("source"), col("n_docs"), col("n_samples"),
+        col("hot_samples"), col("hot_docs"), col("max_peak"),
+        expr("(hot_samples * 1000000) div greatest(n_samples, 1)")
+          .as("hot_ppm"))
+      .orderBy("source")
+  }
+
+  def audioClippingAudit(spark: SparkSession, dir: String): DataFrame =
+    audioClippingAuditOf(Tables.documents(spark, dir))
+
   /** 64-bit average-hash (aHash) of a decoded image: 8×8 luminance
     * grid, bit = 1 where the cell's mean outshines the global mean.
     * Entirely integer — luma is the 2R+5G+B octuple, cell-vs-global

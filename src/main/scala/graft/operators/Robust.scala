@@ -1203,10 +1203,24 @@ object Robust {
              |  CAST((k - 1) * devsq AS DOUBLE),
              |  CAST(a4 - CAST(b AS $dec) * k * (k + 1) * (k + 1)
              |       AS DOUBLE))""".stripMargin)).as("q"))
+      // α=0.05 χ² critical values, df = k−1 for k ∈ [2, 11]; outside
+      // the ladder the verdict is NULL (refused), never a df=4 guess
+      .withColumn("crit",
+        when(col("k") === 2, 3.841459)
+          .when(col("k") === 3, 5.991465)
+          .when(col("k") === 4, 7.814728)
+          .when(col("k") === 5, 9.487729)
+          .when(col("k") === 6, 11.070498)
+          .when(col("k") === 7, 12.591587)
+          .when(col("k") === 8, 14.067140)
+          .when(col("k") === 9, 15.507313)
+          .when(col("k") === 10, 16.918978)
+          .when(col("k") === 11, 18.307038))
       .withColumn("significant",
-        when(col("q").isNull, lit(false)).otherwise(
-          col("q") > when(col("k") === 3, 5.991465).otherwise(
-            when(col("k") === 2, 3.841459).otherwise(lit(9.487729)))))
+        when(col("q").isNull, lit(false))
+          .when(col("crit").isNull, lit(null).cast("boolean"))
+          .otherwise(col("q") > col("crit")))
+      .drop("crit")
   }
 
   def friedmanTest(spark: SparkSession, dir: String): DataFrame =
@@ -1607,4 +1621,88 @@ object Robust {
 
   def revenueVar(spark: SparkSession, dir: String): DataFrame =
     revenueVarOf(Tables.events(spark, dir))
+
+  /** Dunn's post-hoc pairwise test after [[kruskalWallisOf]] (Dunn
+    * '64 — KW's H says the three arms differ SOMEWHERE; Dunn says
+    * WHICH pairs, on the same pooled ranks, with the Bonferroni
+    * correction the three-naive-U-tests shortcut skips): for each
+    * arm pair, z = (R̄_a − R̄_b) / √(σ²·(1/n_a + 1/n_b)) with the
+    * tie-corrected pooled-rank variance σ² = N(N+1)/12 −
+    * Σ(t³−t)/(12(N−1)), significance at |z| > 2.393980 = Φ⁻¹(1 −
+    * 0.05/6) (two-sided α = 0.05 over m = 3 pairs).
+    *
+    * Integer-exact machinery is EXACTLY the KW fold (same value
+    * grid, same doubled midranks, same per-arm decimal(38,0) rank
+    * sums — R̄ halves only inside the final double chain); the pair
+    * fan-out is a 3-element explode on the ≤|types| aggregated
+    * frame. An all-tied type nulls σ² → z NULL → not significant
+    * (try_divide, the KW contract).
+    *
+    * Shape: ONE map-combinable fact aggregate to the (type, value)
+    * grid; everything after — cumulative window, fold, pair explode,
+    * z chains — rides bounded frames. */
+  def dunnPosthocOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cumW = Window.partitionBy("event_type").orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = events.select(col("event_type"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"),
+        graft.operators.Behavior.arm3(col("user_id")).as("arm"))
+      .groupBy("event_type", "vq")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 2L, 1L).otherwise(0L)).as("c2"))
+      .withColumn("ct", col("c0") + col("c1") + col("c2"))
+      .withColumn("below", sum("ct").over(cumW) - col("ct"))
+    val agg = grid.groupBy("event_type")
+      .agg(sum("c0").as("n0"), sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(expr(s"CAST(c0 AS $dec) * (2 * below + ct + 1)")).as("r0"),
+        sum(expr(s"CAST(c1 AS $dec) * (2 * below + ct + 1)")).as("r1"),
+        sum(expr(s"CAST(c2 AS $dec) * (2 * below + ct + 1)")).as("r2"),
+        sum(expr(s"CAST(ct AS $dec) * ct * ct - ct")).as("tcub"))
+      .filter(col("n0") > 0 && col("n1") > 0 && col("n2") > 0)
+      .withColumn("nn", col("n0") + col("n1") + col("n2"))
+      .filter(col("nn") > 3)
+    val r6 = TextF.round6HalfUp _
+    val r4 = TextF.round4HalfUp _
+    // 3-pair fan-out on the ≤|types| frame: (a, b) ∈ {01, 02, 12}
+    val pairs = agg
+      .withColumn("ns", array(col("n0"), col("n1"), col("n2")))
+      .withColumn("rs", array(col("r0"), col("r1"), col("r2")))
+      .withColumn("pair", explode(array(
+        struct(lit(0L).as("a"), lit(1L).as("b")),
+        struct(lit(0L).as("a"), lit(2L).as("b")),
+        struct(lit(1L).as("a"), lit(2L).as("b")))))
+      .select(col("event_type"), col("nn"), col("tcub"),
+        col("pair.a").as("arm_a"), col("pair.b").as("arm_b"),
+        element_at(col("ns"), (col("pair.a") + 1).cast("int")).as("na"),
+        element_at(col("ns"), (col("pair.b") + 1).cast("int")).as("nb"),
+        element_at(col("rs"), (col("pair.a") + 1).cast("int")).as("ra"),
+        element_at(col("rs"), (col("pair.b") + 1).cast("int")).as("rb"))
+    pairs.select(col("event_type"), col("arm_a"), col("arm_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        // mean rank on the REAL (undoubled) scale, 4 dp
+        r4(expr("CAST(ra AS DOUBLE) / CAST(na AS DOUBLE) / 2.0D"))
+          .as("mean_rank_a"),
+        r4(expr("CAST(rb AS DOUBLE) / CAST(nb AS DOUBLE) / 2.0D"))
+          .as("mean_rank_b"),
+        r6(expr(
+          """try_divide(
+            |  CAST(ra AS DOUBLE) / CAST(na AS DOUBLE)
+            |    - CAST(rb AS DOUBLE) / CAST(nb AS DOUBLE),
+            |  2.0D * sqrt(
+            |    greatest(
+            |      CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE) / 12.0D
+            |      - CAST(tcub AS DOUBLE)
+            |        / (12.0D * CAST(nn - 1 AS DOUBLE)), 0.0D)
+            |    * (1.0D / CAST(na AS DOUBLE)
+            |       + 1.0D / CAST(nb AS DOUBLE))))""".stripMargin))
+          .as("z"))
+      .withColumn("significant",
+        when(col("z").isNull, lit(false)).otherwise(abs(col("z")) > 2.393980))
+      .orderBy("event_type", "arm_a", "arm_b")
+  }
+
+  def dunnPosthoc(spark: SparkSession, dir: String): DataFrame =
+    dunnPosthocOf(Tables.events(spark, dir))
 }

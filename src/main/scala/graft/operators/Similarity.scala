@@ -1182,4 +1182,68 @@ object Similarity {
 
   def marginMining(spark: SparkSession, dir: String): DataFrame =
     marginMiningOf(Tables.embeddings(spark, dir))
+
+  /** Linear-kernel MMD² between each label's embeddings and the rest
+    * of the corpus (Gretton '12 two-sample read, linear kernel — for
+    * which MMD² reduces EXACTLY to ‖μ_in − μ_out‖², the squared
+    * mean-embedding gap: the distribution-shift score that says
+    * which classes occupy their OWN region of embedding space vs
+    * blend into the corpus — the one-number read behind "can a
+    * linear probe even see this label"; the per-dim argmax names the
+    * axis carrying the separation): per label, MMD², the top
+    * separating dimension, and its share of the total gap.
+    *
+    * Exactness: per-(label, dim) integer sums on the 1e-6 grid
+    * (floor(x·1e6 + 0.5) — the dim_profile convention), complement
+    * sums by per-dim TOTAL minus own (one bounded window, never a
+    * self-join); both means on the 1e-12 grid by integer division,
+    * squared gaps decimal(38,0), MMD² ONE double division 6 dp;
+    * argmax by min-struct on (−gap², dim) — smallest-dim ties. An
+    * empty complement (single-label corpus) nulls via try_divide.
+    *
+    * Shape: ONE map-combinable posexplode aggregate to the |labels|
+    * × dim frame (~10 × 64); the total window, gap fold, and argmax
+    * all ride that bounded frame. */
+  def embeddingMmdOf(embeddings: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val dimW = Window.partitionBy("pos")
+    val perDim = embeddings
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        floor(col("v") * 1e6 + lit(0.5)).cast("long").as("q"))
+      .groupBy("label", "pos")
+      .agg(sum("q").as("s"), count(lit(1)).as("cnt"))
+      .withColumn("st", sum("s").over(dimW))
+      .withColumn("nt", sum("cnt").over(dimW))
+    val gaps = perDim
+      .filter(col("nt") > col("cnt")) // complement non-empty
+      .select(col("label"), col("pos"), col("cnt"),
+        (col("nt") - col("cnt")).as("cnt_out"),
+        // own and complement means on the exact 1e-12 grid
+        expr(s"(CAST(s AS $dec) * 1000000) div cnt").as("mq_in"),
+        expr(s"(CAST(st - s AS $dec) * 1000000) div (nt - cnt)")
+          .as("mq_out"))
+      .select(col("label"), col("pos"), col("cnt"), col("cnt_out"),
+        // div narrows to BIGINT: the 1e-12-grid gap squares past 2^63
+        // — lift to decimal BEFORE the product
+        ((col("mq_in") - col("mq_out")).cast(dec)
+          * (col("mq_in") - col("mq_out")).cast(dec)).as("gap2"))
+    gaps.groupBy("label")
+      .agg(max("cnt").as("n_in"), max("cnt_out").as("n_out"),
+        sum("gap2").as("tg2"),
+        min(struct((-col("gap2")).as("ng"), col("pos"))).as("m"))
+      .select(col("label"), col("n_in"), col("n_out"),
+        graft.functions.TextF.round6HalfUp(
+          expr("CAST(tg2 AS DOUBLE) / 1e24")).as("mmd2"),
+        col("m.pos").as("top_dim"),
+        when(col("tg2") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(((-m.ng) * 1000000) div tg2 AS BIGINT)"))
+          .as("top_dim_share_ppm"))
+      .orderBy("label")
+  }
+
+  def embeddingMmd(spark: SparkSession, dir: String): DataFrame =
+    embeddingMmdOf(Tables.embeddings(spark, dir))
 }

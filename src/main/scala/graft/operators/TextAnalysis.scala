@@ -90,6 +90,10 @@ object TextAnalysis {
         r4(col("s")).as("sd_diff"), r4(col("l")).as("loa_low"),
         r4(col("h")).as("loa_high"),
         expr("(n_out * 1000000) div n_docs").as("outside_ppm"))
+      // empty corpus: Spark's global agg over the empty crossJoin
+      // yields one all-null row while the oracle's GROUP BY yields
+      // zero rows — drop the degenerate row so both engines agree
+      .where(col("n_docs").isNotNull && col("n_docs") > 0)
   }
 
   def blandAltman(spark: SparkSession, dir: String): DataFrame =

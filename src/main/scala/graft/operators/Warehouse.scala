@@ -248,8 +248,9 @@ object Warehouse {
     * — both engines sort identical total orders. All-integer units
     * (l_quantity is integral by construction); lag_days = return ship
     * − matched lot ship is the shelf-age read that prices returned
-    * stock. One localCheckpoint: both interval legs read the same
-    * pruned projection without re-scanning the fact. */
+    * stock. Deliberately NOT checkpointed: each interval leg re-reads
+    * the parquet with its returnflag filter pushed into the scan,
+    * which measured cheaper at ×100 than materializing the fact. */
   def fifoMatchOf(lineitem: DataFrame): DataFrame = {
     // deliberately NOT checkpointed: the demand leg re-reads the
     // parquet with the returnflag filter PUSHED INTO the scan, which
@@ -1969,4 +1970,124 @@ object Warehouse {
 
   def singleSourcing(spark: SparkSession, dir: String): DataFrame =
     singleSourcingOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  /** Top supplier per quarter — the TPC-H Q15 shape ("which supplier
+    * generated the most revenue last quarter", the vendor-award /
+    * contract-renewal read), generalized to every quarter in the
+    * fact: per-(quarter, supplier) net revenue on the exact
+    * 10⁻²-cent integer grid (cents × (100−d%) — the
+    * [[promotionEffectOf]] contract), the max-revenue supplier(s)
+    * selected by a window MAX over the bounded (quarter × supplier)
+    * frame — no correlated subquery, ties keep BOTH suppliers (the
+    * Q15 view semantics), share published as exact ppm of the
+    * quarter's total.
+    *
+    * Shape: ONE map-combinable fact aggregate to the quarter ×
+    * |suppliers| frame (~28 × 100 rows at any SF — suppliers are a
+    * dim, quarters are calendar-bounded); both windows and the name
+    * join ride that bounded frame, the supplier dim broadcasts. */
+  def topSupplierShareOf(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val qw = Window.partitionBy("quarter")
+    val perSupp = lineitem
+      .select(
+        concat(year(col("l_shipdate")).cast("string"), lit("-Q"),
+          quarter(col("l_shipdate")).cast("string")).as("quarter"),
+        col("l_suppkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+          .as("net_q"))
+      .groupBy("quarter", "l_suppkey")
+      .agg(sum(col("net_q").cast(dec)).as("rev"))
+    perSupp
+      .withColumn("max_rev", max("rev").over(qw))
+      .withColumn("total_rev", sum("rev").over(qw))
+      .filter(col("rev") === col("max_rev"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("quarter"), col("l_suppkey").as("s_suppkey"), col("s_name"),
+        col("rev").cast("long").as("revenue_c100"),
+        expr("CAST((rev * 1000000) div total_rev AS BIGINT)")
+          .as("quarter_share_ppm"))
+      .orderBy("quarter", "s_suppkey")
+  }
+
+  def topSupplierShare(spark: SparkSession, dir: String): DataFrame =
+    topSupplierShareOf(Tables.lineitem(spark, dir), Tables.supplier(spark, dir))
+
+  /** Large-volume orders — the TPC-H Q18 shape ("which customers
+    * placed orders above a quantity threshold", the bulk-buyer /
+    * capacity-planning read): orders whose TOTAL line quantity
+    * exceeds 150 units (this schema's orders carry ~4 lines × ≤50
+    * units, so 150 is the top-quantile bulk cut Q18's 300 maps to),
+    * joined back to the order header and customer dim, top-100 by
+    * (quantity DESC, orderkey) via TakeOrderedAndProject — never a
+    * global sort.
+    *
+    * Shape: ONE map-combinable orderkey fact aggregate with the
+    * HAVING cut applied BEFORE any join (the selective aggregate
+    * drives both joins — at 100× the cut passes the same few-permille
+    * of orders), one AQE orderkey equijoin to the header, customer
+    * dim broadcast, bounded top-k. */
+  def largeOrdersOf(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, minQty: Long = 150L): DataFrame = {
+    val big = lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .as("totalprice_cents")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("totalprice_cents"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  def largeOrders(spark: SparkSession, dir: String): DataFrame =
+    largeOrdersOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir))
+
+  /** Discount what-if — the TPC-H Q6 shape ("how much revenue would
+    * we gain by eliminating mid-band discounts on small-quantity
+    * lines"), per ship year: forgone revenue Σ extendedprice·discount
+    * over lines with discount in the 5–7% band and quantity < 24,
+    * EXACT in 10⁻²-cent units (cents × d% — the discount integer
+    * grid), beside the band's line count and its gross revenue so
+    * the what-if has a denominator.
+    *
+    * Shape: the canonical scan-bound filter-aggregate — both
+    * predicates PUSH INTO the parquet scan (discount and quantity
+    * are scan columns; at 100 TB the band cut skips row groups via
+    * min/max envelopes), then ONE map-combinable year aggregate;
+    * no join, no window, nothing post-shuffle beyond ≤|years| rows. */
+  def discountWhatifOf(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    lineitem
+      .filter(col("l_discount") >= 0.045 && col("l_discount") <= 0.075 &&
+        col("l_quantity") < 24)
+      .select(year(col("l_shipdate")).cast("long").as("ship_year"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("ep_c"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("d_pct"))
+      .groupBy("ship_year")
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("ep_c") * col("d_pct")).cast(dec)).as("forgone"),
+        sum(col("ep_c").cast(dec)).as("gross"))
+      .select(col("ship_year"), col("n_lines"),
+        col("forgone").cast("long").as("forgone_rev_c100"),
+        col("gross").cast("long").as("gross_rev_cents"),
+        // forgone rides the 10⁻²-cent grid, gross the cent grid:
+        // bp = (forgone/100)/gross · 10⁴ = forgone·100 div gross
+        expr("CAST((forgone * 100) div gross AS BIGINT)")
+          .as("forgone_share_bp"))
+      .orderBy("ship_year")
+  }
+
+  def discountWhatif(spark: SparkSession, dir: String): DataFrame =
+    discountWhatifOf(Tables.lineitem(spark, dir))
 }

@@ -1147,6 +1147,40 @@ private[graft] object CorpusOracles {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_subwords AS BIGINT) AS n_subwords, CAST(fertility AS DOUBLE) AS fertility
         |FROM r""".stripMargin,
 
+    // Clipping/headroom audit: pinned literal frame (the audio codec
+    // convention; recompute via Verify at sf0.01 if the corpus or the
+    // synthetic byte->sample map ever changes).
+    "audio_clipping_audit" ->
+      """WITH r(source, n_docs, n_samples, hot_samples, hot_docs,
+        |       max_peak, hot_ppm) AS (VALUES
+        |  ('src0', 25, 7949, 630, 25, 15552, 79255),
+        |  ('src1', 25, 8570, 681, 25, 15552, 79463),
+        |  ('src10', 25, 7161, 589, 25, 15552, 82251),
+        |  ('src11', 25, 8387, 670, 25, 15552, 79885),
+        |  ('src12', 25, 6927, 512, 25, 15552, 73913),
+        |  ('src13', 25, 8462, 670, 25, 15552, 79177),
+        |  ('src14', 25, 7216, 569, 25, 15552, 78852),
+        |  ('src15', 25, 7100, 582, 25, 15552, 81971),
+        |  ('src16', 25, 7484, 580, 25, 15552, 77498),
+        |  ('src17', 25, 7477, 566, 25, 15552, 75698),
+        |  ('src18', 25, 7556, 567, 24, 15552, 75039),
+        |  ('src19', 25, 6306, 506, 25, 15552, 80241),
+        |  ('src2', 25, 7689, 628, 25, 15552, 81675),
+        |  ('src3', 25, 7620, 599, 25, 15552, 78608),
+        |  ('src4', 25, 7098, 571, 25, 15552, 80445),
+        |  ('src5', 25, 7254, 571, 25, 15552, 78715),
+        |  ('src6', 25, 6964, 521, 25, 15552, 74813),
+        |  ('src7', 25, 8201, 644, 25, 15552, 78527),
+        |  ('src8', 25, 6277, 505, 25, 15552, 80452),
+        |  ('src9', 25, 7476, 588, 25, 15552, 78651))
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(hot_samples AS BIGINT) AS hot_samples,
+        |  CAST(hot_docs AS BIGINT) AS hot_docs,
+        |  CAST(max_peak AS BIGINT) AS max_peak,
+        |  CAST(hot_ppm AS BIGINT) AS hot_ppm
+        |FROM r""".stripMargin,
+
     // Goertzel pilot-tone detection: pinned literal frame (the audio
     // DSP convention — byte-level WAV parsing + fixed-point Goertzel
     // has no SQL counterpart; the pin regression-locks sf0.01).

@@ -433,6 +433,117 @@ private[graft] object CorpusStatsOracles {
         |FROM cells c JOIN fit ON c.bin = fit.i
         |ORDER BY c.bin""".stripMargin,
 
+    // Cochran's Q over the three gates (gopher conjunction, quality
+    // threshold, lang=='en'): all-integer cells off one scan, one
+    // double division, chi2 df=2 verdict.
+    "cochran_q_gates" ->
+      s"""WITH b AS (SELECT lang,
+        |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+        |    length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g'))
+        |      AS char_len,
+        |    $QualitySqlExpr AS q
+        |  FROM documents),
+        |g AS (SELECT
+        |    COALESCE(CAST(len(toks) AS INT) >= 50 AND CAST(len(toks) AS INT) <= 100000
+        |     AND floor(CAST(char_len AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |         * 1e4 + 0.5) / 1e4 >= 3.0
+        |     AND floor(CAST(char_len AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |         * 1e4 + 0.5) / 1e4 <= 10.0
+        |     AND floor(CAST(len(list_filter(toks, t -> starts_with(t, '#')
+        |           OR contains(t, '...'))) AS DOUBLE)
+        |         / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 <= 0.1
+        |     AND floor(CAST(len(list_filter(toks,
+        |           t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |         / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 >= 0.8
+        |     AND CAST(len(list_intersect(list_distinct(toks),
+        |       ['the','be','to','of','and','that','have','with']))
+        |       AS BIGINT) >= 2, FALSE) AS g1,
+        |    COALESCE(q >= 0.9, FALSE) AS g2,
+        |    COALESCE(lang = 'en', FALSE) AS g3
+        |  FROM b),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c_gopher,
+        |    CAST(SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS c_quality,
+        |    CAST(SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS c_lang,
+        |    CAST(SUM((CASE WHEN g1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN g2 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN g3 THEN 1 ELSE 0 END)) AS BIGINT) AS t,
+        |    CAST(SUM(((CASE WHEN g1 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN g2 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN g3 THEN 1 ELSE 0 END))
+        |           * ((CASE WHEN g1 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN g2 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN g3 THEN 1 ELSE 0 END))) AS BIGINT) AS r2
+        |  FROM g),
+        |f AS (SELECT n_docs, c_gopher, c_quality, c_lang,
+        |    floor(
+        |      2.0 * CAST(3 * (CAST(c_gopher AS HUGEINT) * c_gopher
+        |          + CAST(c_quality AS HUGEINT) * c_quality
+        |          + CAST(c_lang AS HUGEINT) * c_lang)
+        |        - CAST(t AS HUGEINT) * t AS DOUBLE)
+        |      / NULLIF(CAST(3 * t - r2 AS DOUBLE), 0.0)
+        |      * 1e6 + 0.5) / 1e6 AS q_cochran
+        |  FROM t)
+        |SELECT n_docs, c_gopher, c_quality, c_lang, q_cochran,
+        |  CASE WHEN q_cochran IS NULL THEN FALSE
+        |       ELSE q_cochran > 5.991465 END AS significant
+        |FROM f""".stripMargin,
+
+    // Fleiss' kappa over the same three gates: denominators cleared
+    // to exact integers, one double division, Landis-Koch bands on
+    // the rounded kappa.
+    "fleiss_kappa_gates" ->
+      s"""WITH b AS (SELECT lang,
+        |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+        |    length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g'))
+        |      AS char_len,
+        |    $QualitySqlExpr AS q
+        |  FROM documents),
+        |g AS (SELECT
+        |    (CASE WHEN COALESCE(CAST(len(toks) AS INT) >= 50 AND CAST(len(toks) AS INT) <= 100000
+        |     AND floor(CAST(char_len AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |         * 1e4 + 0.5) / 1e4 >= 3.0
+        |     AND floor(CAST(char_len AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |         * 1e4 + 0.5) / 1e4 <= 10.0
+        |     AND floor(CAST(len(list_filter(toks, t -> starts_with(t, '#')
+        |           OR contains(t, '...'))) AS DOUBLE)
+        |         / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 <= 0.1
+        |     AND floor(CAST(len(list_filter(toks,
+        |           t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |         / CAST(len(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 >= 0.8
+        |     AND CAST(len(list_intersect(list_distinct(toks),
+        |       ['the','be','to','of','and','that','have','with']))
+        |       AS BIGINT) >= 2, FALSE) THEN 1 ELSE 0 END)
+        |    + (CASE WHEN COALESCE(q >= 0.9, FALSE) THEN 1 ELSE 0 END)
+        |    + (CASE WHEN COALESCE(lang = 'en', FALSE) THEN 1 ELSE 0 END)
+        |      AS r
+        |  FROM b),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(r) AS BIGINT) AS t,
+        |    CAST(SUM(r * r) AS BIGINT) AS r2
+        |  FROM g),
+        |f AS (SELECT n_docs, t,
+        |    floor(
+        |      CAST(3 * CAST(n_docs AS HUGEINT) * (r2 - 3 * t + 3 * n_docs)
+        |        - (CAST(t AS HUGEINT) * t
+        |           + (3 * CAST(n_docs AS HUGEINT) - t)
+        |             * (3 * CAST(n_docs AS HUGEINT) - t)) AS DOUBLE)
+        |      / NULLIF(CAST(9 * CAST(n_docs AS HUGEINT) * n_docs
+        |        - (CAST(t AS HUGEINT) * t
+        |           + (3 * CAST(n_docs AS HUGEINT) - t)
+        |             * (3 * CAST(n_docs AS HUGEINT) - t)) AS DOUBLE), 0.0)
+        |      * 1e6 + 0.5) / 1e6 AS kappa
+        |  FROM t)
+        |SELECT n_docs, t, kappa,
+        |  CASE WHEN kappa IS NULL THEN 'undefined'
+        |       WHEN kappa >= 0.8 THEN 'almost_perfect'
+        |       WHEN kappa >= 0.6 THEN 'substantial'
+        |       WHEN kappa >= 0.4 THEN 'moderate'
+        |       WHEN kappa >= 0.2 THEN 'fair'
+        |       WHEN kappa >= 0.0 THEN 'slight'
+        |       ELSE 'poor' END AS agreement
+        |FROM f""".stripMargin,
+
     // McNemar over the two gates on ONE scan: the gopher keep
     // conjunction (the gopher_rules fragments verbatim) paired with
     // the quality threshold; continuity-corrected chi2, engine chain.

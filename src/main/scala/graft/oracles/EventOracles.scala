@@ -515,6 +515,137 @@ private[graft] object EventOracles {
     // Kruskal–Wallis H: doubled midranks off the (type, value) grid,
     // DECIMAL rank sums, tie-corrected; the double combination and
     // the rounded-H significance compare mirror the engine textually.
+    // Dunn post-hoc: the kruskal_wallis grid/rank chain verbatim, a
+    // 3-pair VALUES fan-out on the bounded frame, the engine z chain.
+    "dunn_posthoc" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 3 AS arm
+        |  FROM events),
+        |g AS (SELECT event_type, vq,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT *, c0 + c1 + c2 AS ct,
+        |    CAST(SUM(c0 + c1 + c2) OVER (PARTITION BY event_type ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - (c0 + c1 + c2) AS below
+        |  FROM g),
+        |a AS (SELECT event_type,
+        |    CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2,
+        |    SUM(CAST(c0 AS DECIMAL(38,0)) * (2 * below + ct + 1)) AS r0,
+        |    SUM(CAST(c1 AS DECIMAL(38,0)) * (2 * below + ct + 1)) AS r1,
+        |    SUM(CAST(c2 AS DECIMAL(38,0)) * (2 * below + ct + 1)) AS r2,
+        |    SUM(CAST(ct AS DECIMAL(38,0)) * ct * ct - ct) AS tcub
+        |  FROM w GROUP BY 1),
+        |f AS (SELECT *, n0 + n1 + n2 AS nn FROM a
+        |  WHERE n0 > 0 AND n1 > 0 AND n2 > 0 AND n0 + n1 + n2 > 3),
+        |pr AS (SELECT f.event_type, f.nn, f.tcub,
+        |    CAST(p.a AS BIGINT) AS arm_a, CAST(p.b AS BIGINT) AS arm_b,
+        |    CASE p.a WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END AS na,
+        |    CASE p.b WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END AS nb,
+        |    CASE p.a WHEN 0 THEN r0 WHEN 1 THEN r1 ELSE r2 END AS ra,
+        |    CASE p.b WHEN 0 THEN r0 WHEN 1 THEN r1 ELSE r2 END AS rb
+        |  FROM f, (VALUES (0, 1), (0, 2), (1, 2)) AS p(a, b)),
+        |zc AS (SELECT event_type, arm_a, arm_b, na AS n_a, nb AS n_b,
+        |    floor(CAST(ra AS DOUBLE) / CAST(na AS DOUBLE) / 2.0
+        |      * 1e4 + 0.5) / 1e4 AS mean_rank_a,
+        |    floor(CAST(rb AS DOUBLE) / CAST(nb AS DOUBLE) / 2.0
+        |      * 1e4 + 0.5) / 1e4 AS mean_rank_b,
+        |    floor(
+        |      (CAST(ra AS DOUBLE) / CAST(na AS DOUBLE)
+        |        - CAST(rb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / NULLIF(2.0 * sqrt(
+        |          greatest(
+        |            CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE) / 12.0
+        |            - CAST(tcub AS DOUBLE)
+        |              / (12.0 * CAST(nn - 1 AS DOUBLE)), 0.0)
+        |          * (1.0 / CAST(na AS DOUBLE)
+        |             + 1.0 / CAST(nb AS DOUBLE))), 0.0)
+        |      * 1e6 + 0.5) / 1e6 AS z
+        |  FROM pr)
+        |SELECT event_type, arm_a, arm_b, n_a, n_b, mean_rank_a,
+        |  mean_rank_b, z,
+        |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 2.393980 END
+        |    AS significant
+        |FROM zc ORDER BY event_type, arm_a, arm_b""".stripMargin,
+
+    // Durbin-Watson on the seasonal_strength weekday-model residuals:
+    // exact HUGEINT quadratic sums, one double division, heuristic
+    // 1.5/2.5 bands.
+    "durbin_watson" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, day, v,
+        |    CAST(datediff('day', DATE '1970-01-01', day) % 7 AS BIGINT) AS w
+        |  FROM daily),
+        |wm AS (SELECT event_type, w,
+        |    CAST((CAST(SUM(v) AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT)
+        |      AS wmq
+        |  FROM dw GROUP BY 1, 2),
+        |r AS (SELECT dw.event_type, dw.day,
+        |    CAST(dw.v AS HUGEINT) * 1000000 - wmq AS e
+        |  FROM dw JOIN wm ON wm.event_type = dw.event_type AND wm.w = dw.w),
+        |lg AS (SELECT event_type, e,
+        |    lag(e) OVER (PARTITION BY event_type ORDER BY day) AS ep
+        |  FROM r),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(e * e) AS se2,
+        |    SUM(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+        |        ELSE 0 END) AS sd2
+        |  FROM lg GROUP BY 1 HAVING COUNT(*) > 1),
+        |d AS (SELECT event_type, n_days,
+        |    floor(CAST(sd2 AS DOUBLE) / NULLIF(CAST(se2 AS DOUBLE), 0.0)
+        |      * 1e6 + 0.5) / 1e6 AS dw
+        |  FROM s)
+        |SELECT event_type, n_days, dw,
+        |  CASE WHEN dw IS NULL THEN 'undefined'
+        |       WHEN dw < 1.5 THEN 'positive'
+        |       WHEN dw > 2.5 THEN 'negative'
+        |       ELSE 'none' END AS autocorrelation
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    // MDE design readout off the ab_test user/arm fold: fixed
+    // z-literals 1.959964/0.841621, rounded then NULLIF(0) when the
+    // pooled rate carries no variance.
+    "power_mde" ->
+      """WITH md AS (SELECT max(CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS report_date
+        |            FROM events),
+        |u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |          AND CAST(make_timestamp(epoch_us(ts)) AS DATE) = report_date
+        |        THEN 1 ELSE 0 END) AS converted,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(MIN(user_id) AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM events, md GROUP BY user_id),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv1
+        |  FROM u),
+        |f AS (SELECT n0, n1, conv0, conv1,
+        |    NULLIF(floor(
+        |      (1.959964 + 0.841621)
+        |      * sqrt(CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+        |        * (1.0 - CAST(conv0 + conv1 AS DOUBLE)
+        |                 / CAST(n0 + n1 AS DOUBLE))
+        |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |      * 1e6 + 0.5) / 1e6, 0.0) AS mde,
+        |    floor(abs(CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 AS observed_diff
+        |  FROM a WHERE n0 > 0 AND n1 > 0)
+        |SELECT n0, n1, conv0, conv1, mde, observed_diff,
+        |  CASE WHEN mde IS NULL THEN FALSE
+        |       ELSE observed_diff > mde END AS adequately_powered
+        |FROM f""".stripMargin,
+
     "kruskal_wallis" ->
       """WITH e AS (SELECT event_type,
         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
@@ -2714,7 +2845,9 @@ private[graft] object EventOracles {
         |         + ($dd1) * ($dd1) / CAST(h1 - 1 AS DOUBLE))
         |      * 1e4 + 0.5) / 1e4 AS df
         |  FROM ok)
-        |SELECT event_type, n0, n1, tmean0, tmean1, t, df,
+        |SELECT event_type,
+        |  CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  tmean0, tmean1, t, df,
         |  CASE WHEN t IS NULL THEN FALSE ELSE abs(t) > 1.96 END AS significant
         |FROM f ORDER BY event_type""".stripMargin
     },
@@ -2799,13 +2932,19 @@ private[graft] object EventOracles {
         |             AS DOUBLE)
         |      * 1e6 + 0.5) / 1e6 AS q
         |  FROM dev)
+        |,crit AS (SELECT b, k, q,
+        |    CASE WHEN k = 2 THEN 3.841459 WHEN k = 3 THEN 5.991465
+        |         WHEN k = 4 THEN 7.814728 WHEN k = 5 THEN 9.487729
+        |         WHEN k = 6 THEN 11.070498 WHEN k = 7 THEN 12.591587
+        |         WHEN k = 8 THEN 14.067140 WHEN k = 9 THEN 15.507313
+        |         WHEN k = 10 THEN 16.918978 WHEN k = 11 THEN 18.307038
+        |    END AS cv
+        |  FROM f)
         |SELECT b, k, q,
         |  CASE WHEN q IS NULL THEN FALSE
-        |       ELSE q > (CASE WHEN k = 3 THEN 5.991465
-        |                      WHEN k = 2 THEN 3.841459
-        |                      ELSE 9.487729 END)
-        |  END AS significant
-        |FROM f""".stripMargin,
+        |       WHEN cv IS NULL THEN NULL
+        |       ELSE q > cv END AS significant
+        |FROM crit""".stripMargin,
 
     // Cochran-Mantel-Haenszel stratified 2x2: per-stratum rationals on
     // the 1e-9 HUGEINT grid (floor-division staged exactly like the

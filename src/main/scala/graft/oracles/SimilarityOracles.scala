@@ -141,6 +141,45 @@ private[graft] object SimilarityOracles {
     "nprobe_sweep" -> NprobeSweepSql,
     "ivf_balance" -> IvfBalanceSql,
 
+    // Linear-kernel MMD^2 per label vs rest: 1e-6 grid per-dim sums,
+    // complement via per-dim window totals, 1e-12 grid means by
+    // HUGEINT division, argmax by (gap2 DESC, pos) row_number.
+    "embedding_mmd" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |x AS (SELECT label, i - 1 AS pos,
+        |    CAST(floor(emb[i] * 1e6 + 0.5) AS BIGINT) AS q
+        |  FROM e, unnest(generate_series(1, len(emb))) AS u(i)),
+        |pd AS (SELECT label, pos, CAST(SUM(q) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM x GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(SUM(s) OVER (PARTITION BY pos) AS BIGINT) AS st,
+        |    CAST(SUM(cnt) OVER (PARTITION BY pos) AS BIGINT) AS nt
+        |  FROM pd),
+        |gp AS (SELECT label, pos, cnt, nt - cnt AS cnt_out,
+        |    (CAST(s AS HUGEINT) * 1000000) // cnt AS mq_in,
+        |    (CAST(st - s AS HUGEINT) * 1000000) // (nt - cnt) AS mq_out
+        |  FROM w WHERE nt > cnt),
+        |g2 AS (SELECT label, pos, cnt, cnt_out,
+        |    (mq_in - mq_out) * (mq_in - mq_out) AS gap2
+        |  FROM gp),
+        |a AS (SELECT label, CAST(MAX(cnt) AS BIGINT) AS n_in,
+        |    CAST(MAX(cnt_out) AS BIGINT) AS n_out, SUM(gap2) AS tg2
+        |  FROM g2 GROUP BY 1),
+        |tp AS (SELECT label, pos, gap2,
+        |    ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY gap2 DESC, pos) AS rn
+        |  FROM g2)
+        |SELECT a.label, a.n_in, a.n_out,
+        |  floor(CAST(tg2 AS DOUBLE) / 1e24 * 1e6 + 0.5) / 1e6 AS mmd2,
+        |  CAST(t.pos AS BIGINT) AS top_dim,
+        |  CASE WHEN tg2 = 0 THEN NULL
+        |       ELSE CAST((t.gap2 * 1000000) // tg2 AS BIGINT)
+        |  END AS top_dim_share_ppm
+        |FROM a JOIN tp t ON t.label = a.label AND t.rn = 1
+        |ORDER BY a.label""".stripMargin,
+
     // Dim profile: lateral index unnest, 1e-6 grid HUGEINT moments,
     // fixed-order std chain, dead flag on the published 6-dp std.
     "dim_profile" ->

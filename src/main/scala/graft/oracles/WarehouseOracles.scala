@@ -272,8 +272,8 @@ private[graft] object WarehouseOracles {
         |    CAST(COUNT(*) AS BIGINT) * 64 AS bytes
         |  FROM events GROUP BY 1, 2, 3),
         |binned AS (SELECT event_type, day, hr, bytes,
-        |    (SUM(bytes) OVER (PARTITION BY event_type, day ORDER BY hr)
-        |     - bytes) // 4096 AS bin_id
+        |    CAST((SUM(bytes) OVER (PARTITION BY event_type, day ORDER BY hr)
+        |     - bytes) // 4096 AS BIGINT) AS bin_id
         |  FROM files)
         |SELECT event_type, day, bin_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_files,
@@ -282,6 +282,67 @@ private[graft] object WarehouseOracles {
         |  CAST(MAX(hr) AS BIGINT) AS last_hour
         |FROM binned GROUP BY 1, 2, 3
         |ORDER BY event_type, day, bin_id""".stripMargin,
+
+    // TPC-H Q15 shape: per-quarter supplier revenue on the 10^-2-cent
+    // grid, window max keeps ties, share as exact ppm.
+    "top_supplier_share" ->
+      """WITH rev AS (SELECT
+        |    CAST(year(CAST(l_shipdate AS DATE)) AS VARCHAR) || '-Q'
+        |      || CAST(quarter(CAST(l_shipdate AS DATE)) AS VARCHAR)
+        |      AS quarter,
+        |    l_suppkey,
+        |    SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |        AS HUGEINT)) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT quarter, l_suppkey, rev,
+        |    MAX(rev) OVER (PARTITION BY quarter) AS max_rev,
+        |    SUM(rev) OVER (PARTITION BY quarter) AS total_rev
+        |  FROM rev)
+        |SELECT w.quarter, CAST(w.l_suppkey AS BIGINT) AS s_suppkey,
+        |  s.s_name,
+        |  CAST(rev AS BIGINT) AS revenue_c100,
+        |  CAST((rev * 1000000) // total_rev AS BIGINT)
+        |    AS quarter_share_ppm
+        |FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        |WHERE rev = max_rev
+        |ORDER BY w.quarter, s_suppkey""".stripMargin,
+
+    // TPC-H Q18 shape: total-quantity HAVING cut before any join,
+    // deterministic top-100 on (qty DESC, orderkey).
+    "large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  CAST(o.o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS totalprice_cents,
+        |  b.total_qty
+        |FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY b.total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin,
+
+    // TPC-H Q6 shape: band predicates pushed to the scan, forgone
+    // revenue in 10^-2-cent units, share in basis points.
+    "discount_whatif" ->
+      """WITH l AS (SELECT
+        |    CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep_c,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d_pct
+        |  FROM lineitem
+        |  WHERE l_discount >= 0.045 AND l_discount <= 0.075
+        |    AND l_quantity < 24),
+        |a AS (SELECT ship_year, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    SUM(CAST(ep_c * d_pct AS HUGEINT)) AS forgone,
+        |    SUM(CAST(ep_c AS HUGEINT)) AS gross
+        |  FROM l GROUP BY 1)
+        |SELECT ship_year, n_lines,
+        |  CAST(forgone AS BIGINT) AS forgone_rev_c100,
+        |  CAST(gross AS BIGINT) AS gross_rev_cents,
+        |  CAST((forgone * 100) // gross AS BIGINT) AS forgone_share_bp
+        |FROM a ORDER BY ship_year""".stripMargin,
 
     "merge_upsert" ->
       """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us, event_id,
