@@ -2173,6 +2173,7 @@ object EventAnalytics {
       .groupBy("event_type", "day").agg(sum("vc").as("v"))
       .withColumn("w", pmod(
         datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+      .localCheckpoint(false) // feeds the weekday means AND the residuals
     val wm = daily.groupBy("event_type", "w").agg(
       expr("(CAST(sum(v) AS DECIMAL(38,0)) * 1000000) div count(1)")
         .as("wmq"))

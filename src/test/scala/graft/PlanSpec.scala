@@ -1812,4 +1812,85 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       assert(bnlj(p).length <= 1, s"$n: 1-row limits broadcast only:\n$p")
     }
   }
+
+  test("round-16 tranche: new-operator plans bounded as designed") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    // Q15: ONE fact aggregate, quarter-partitioned windows on the
+    // bounded frame, supplier dim broadcast
+    val ts = plan(Warehouse.topSupplierShare(spark, Sf))
+    noCartesian("top_supplier_share", ts)
+    assert(ts.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"top_supplier: quarter-partitioned windows only:\n$ts")
+    assert(ts.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"top_supplier: the supplier dim must broadcast:\n$ts")
+    // Q18: the HAVING cut drives the joins, customer broadcast,
+    // top-k as TakeOrderedAndProject — never a global sort
+    val lo = plan(Warehouse.largeOrders(spark, Sf))
+    noCartesian("large_orders", lo)
+    assert(lo.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"large_orders: top-100 must be TakeOrderedAndProject:\n$lo")
+    assert(lo.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"large_orders: the customer dim must broadcast:\n$lo")
+    // Q6: join-free scan-bound aggregate with BOTH band predicates
+    // pushed into the parquet scan
+    val dw = plan(Warehouse.discountWhatif(spark, Sf))
+    noCartesian("discount_whatif", dw)
+    assert(bnlj(dw).isEmpty, s"discount_whatif: join-free:\n$dw")
+    val scans = dw.collect { case f: FileSourceScanExec => f }
+    assert(scans.length == 1, s"discount_whatif: one scan:\n$dw")
+    assert(scans.head.dataFilters.exists(_.toString.contains("l_discount")) &&
+      scans.head.dataFilters.exists(_.toString.contains("l_quantity")),
+      s"discount_whatif: band predicates must reach the scan:\n$dw")
+    // rank/residual statistics: partitioned windows, no cartesian,
+    // the fact on one scan
+    for ((n, p) <- Seq(
+      "dunn_posthoc" -> plan(graft.operators.Robust.dunnPosthoc(spark, Sf)),
+      "durbin_watson" -> plan(EventAnalytics.durbinWatson(spark, Sf)))) {
+      noCartesian(n, p)
+      assert(bnlj(p).isEmpty, s"$n: equijoin/window only:\n$n")
+      assert(p.collect { case w: WindowExec => w }
+        .forall(_.partitionSpec.nonEmpty),
+        s"$n: partitioned windows only:\n$p")
+      assert(p.collect { case f: FileSourceScanExec => f }.length <= 1,
+        s"$n: the fact must ride ONE scan:\n$p")
+    }
+    // gate agreement: ONE scan, join-free, a single global aggregate
+    for ((n, p) <- Seq(
+      "cochran_q_gates" -> plan(CorpusStats.cochranQGates(spark, Sf)),
+      "fleiss_kappa_gates" -> plan(CorpusStats.fleissKappaGates(spark, Sf)))) {
+      noCartesian(n, p)
+      assert(bnlj(p).isEmpty, s"$n: join-free:\n$p")
+      assert(p.collect { case f: FileSourceScanExec => f }.length == 1,
+        s"$n: all three gates must ride ONE scan:\n$p")
+      assert(p.collect { case e: ShuffleExchangeExec => e }.length <= 1,
+        s"$n: single global aggregate:\n$p")
+    }
+    // power_mde: the ab_test fold — only the 1-row report-date cross
+    val pm = plan(Behavior.powerMde(spark, Sf))
+    noCartesian("power_mde", pm)
+    assert(bnlj(pm).length <= 1, s"power_mde: 1-row broadcast only:\n$pm")
+    // embedding MMD: dim-partitioned windows on the bounded frame,
+    // one embedding scan, no join at all
+    val em = plan(Similarity.embeddingMmd(spark, Sf))
+    noCartesian("embedding_mmd", em)
+    assert(bnlj(em).isEmpty, s"embedding_mmd: join-free:\n$em")
+    assert(em.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"embedding_mmd: dim-partitioned windows only:\n$em")
+    assert(em.collect { case f: FileSourceScanExec => f }.length == 1,
+      s"embedding_mmd: one embedding scan:\n$em")
+    // audio clipping: map-only codec fold into one bounded aggregate
+    val ac = plan(graft.operators.Multimodal.audioClippingAudit(spark, Sf))
+    noCartesian("audio_clipping_audit", ac)
+    assert(bnlj(ac).isEmpty, s"audio_clipping: join-free:\n$ac")
+  }
 }

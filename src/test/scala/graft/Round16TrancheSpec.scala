@@ -1,0 +1,286 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Behavior, CorpusStats, EventAnalytics, Multimodal,
+  Robust, Similarity, Warehouse}
+
+/** Adversarial edge-case audit of the round-16 operator tranche (the
+  * standing TrancheAuditSpec practice): every case pins either a
+  * hand-computed exact value on a fixture built to stress the
+  * argued-but-untested property (threshold boundaries, window-max
+  * ties, denominator-zero refusals) or the DOCUMENTED degradation on
+  * degenerate input — never an exception. */
+class Round16TrancheSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  // ---- TPC-H Q15 shape: window-max tie keeps BOTH suppliers ----
+
+  private def li(rows: (String, Long, Double, Double)*): DataFrame =
+    rows.map { case (d, sk, ep, disc) => (d, sk, ep, disc) }
+      .toDF("d", "l_suppkey", "l_extendedprice", "l_discount")
+      .select(to_timestamp(col("d")).as("l_shipdate"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+
+  private def supp(rows: (Long, String)*): DataFrame =
+    rows.toDF("s_suppkey", "s_name")
+
+  test("top_supplier_share: a revenue tie keeps both suppliers, share is exact ppm") {
+    // Q1-1995: s1 and s2 tie at net 100.00 with zero discount
+    // (rev_c100 = 10000*100 = 1000000), s3 trails at 50.00; total =
+    // 2500.00 → share = 1000000*1e6 div 2500000 = 400000 ppm each.
+    val l = li(
+      ("1995-01-10 00:00:00", 1L, 100.0, 0.0),
+      ("1995-02-11 00:00:00", 2L, 100.0, 0.0),
+      ("1995-03-12 00:00:00", 3L, 50.0, 0.0))
+    val out = Warehouse.topSupplierShareOf(l,
+      supp(1L -> "alpha", 2L -> "beta", 3L -> "gamma")).collect()
+    assert(out.length == 2, s"tie must keep both: ${out.mkString(";")}")
+    assert(out.map(_.getString(2)).toSet == Set("alpha", "beta"))
+    assert(out.forall(_.getLong(4) == 400000L),
+      s"share 1000000/2500000 = 400000 ppm: ${out.mkString(";")}")
+    assert(out.forall(_.getString(0) == "1995-Q1"))
+  }
+
+  // ---- TPC-H Q18 shape: the strict > threshold boundary ----
+
+  test("large_orders: total quantity exactly at the threshold is excluded") {
+    val lines = Seq(
+      (1L, 75L), (1L, 75L),        // order 1: 150 — boundary, OUT
+      (2L, 75L), (2L, 76L))        // order 2: 151 — IN
+      .toDF("l_orderkey", "l_quantity")
+    val orders = Seq((1L, 10L, "1995-01-01", 100.0),
+        (2L, 20L, "1995-01-02", 200.0))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val cust = Seq((10L, "c-ten"), (20L, "c-twenty"))
+      .toDF("c_custkey", "c_name")
+    val out = Warehouse.largeOrdersOf(lines, orders, cust).collect()
+    assert(out.length == 1, s"only 151 passes >150: ${out.mkString(";")}")
+    assert(out(0).getString(1) == "c-twenty")
+    assert(out(0).getLong(5) == 151L)
+    assert(out(0).getLong(4) == 20000L, "totalprice 200.00 → 20000 cents")
+  }
+
+  // ---- TPC-H Q6 shape: band boundaries and the exact what-if sum ----
+
+  test("discount_whatif: band/quantity boundaries and hand-computed forgone revenue") {
+    def line(d: String, qty: Long, ep: Double, disc: Double) =
+      (d, qty, ep, disc)
+    val rows = Seq(
+      line("1997-03-01 00:00:00", 23L, 100.0, 0.05), // IN: forgone 5.00
+      line("1997-04-01 00:00:00", 23L, 100.0, 0.07), // IN: forgone 7.00
+      line("1997-05-01 00:00:00", 24L, 100.0, 0.06), // qty 24: OUT (<24)
+      line("1997-06-01 00:00:00", 23L, 100.0, 0.04), // below band: OUT
+      line("1997-07-01 00:00:00", 23L, 100.0, 0.08)) // above band: OUT
+      .toDF("d", "l_quantity", "l_extendedprice", "l_discount")
+      .select(to_timestamp(col("d")).as("l_shipdate"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val out = Warehouse.discountWhatifOf(rows).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 1997L && r.getLong(1) == 2L)
+    // forgone: 10000c*5 + 10000c*7 = 120000 c100-units = $12.00
+    assert(r.getLong(2) == 120000L, s"forgone: $r")
+    assert(r.getLong(3) == 20000L, s"gross cents of the two IN lines: $r")
+    // bp = forgone*100 div gross = 12000000 div 20000 = 600 (6%)
+    assert(r.getLong(4) == 600L, s"share bp: $r")
+  }
+
+  // ---- Dunn post-hoc: separation, ordering, and the all-tied null ----
+
+  private def armedEvents(n: Int): DataFrame = {
+    // Resolve each user's md5 arm with the ENGINE's own assignment,
+    // then plant fully separated values arm0 < arm1 < arm2.
+    val arms = (1L to n.toLong).toDF("user_id")
+      .select(col("user_id"), Behavior.arm3(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to n.toLong).map { u =>
+      (u, u, "buy", "2024-01-01 00:00:00", 1.0 + arms(u).toDouble)
+    }.toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+  }
+
+  test("dunn_posthoc: planted arm separation is significant with ordered mean ranks") {
+    val out = Robust.dunnPosthocOf(armedEvents(60)).collect()
+    assert(out.length == 3, "three pairs for one type")
+    out.foreach { r =>
+      val (a, b) = (r.getLong(1), r.getLong(2))
+      val z = r.getDouble(7)
+      assert(z < 0.0, s"arm $a ranks below arm $b on planted values: $r")
+      assert(r.getBoolean(8), s"full separation must be significant: $r")
+      assert(r.getDouble(5) < r.getDouble(6),
+        s"mean_rank_a < mean_rank_b under planted ordering: $r")
+    }
+  }
+
+  test("dunn_posthoc: an all-tied type nulls z and reads not significant") {
+    val ev = (1L to 30L).map { u =>
+      (u, u, "buy", "2024-01-01 00:00:00", 7.0)
+    }.toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    val out = Robust.dunnPosthocOf(ev).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.isNullAt(7), s"tied variance must null z, not NaN: $r")
+      assert(!r.getBoolean(8))
+    }
+  }
+
+  // ---- Cochran's Q + Fleiss kappa: exact hand pins via the lang gate ----
+
+  /** Docs whose ONLY passable gate is lang=='en': empty text fails the
+    * gopher conjunction and the quality threshold via the coalesce
+    * contract, so each doc's pass count is 1 (en) or 0 (other). */
+  private def langOnlyDocs(en: Int, other: Int): DataFrame =
+    ((1 to en).map(i => (i.toLong, "", "en")) ++
+      (1 to other).map(i => ((en + i).toLong, "", "de")))
+      .toDF("doc_id", "text", "lang")
+
+  test("cochran_q_gates: lang-only passes give the exact Q = 2c pin") {
+    // c_gopher = c_quality = 0, c_lang = c, T = c, sum R^2 = c →
+    // Q = 2*(3c^2 - c^2)/(3c - c) = 2c. c = 10 → Q = 20, significant.
+    val out = CorpusStats.cochranQGatesOf(langOnlyDocs(10, 5)).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 15L && r.getLong(1) == 0L &&
+      r.getLong(2) == 0L && r.getLong(3) == 10L, s"cells: $r")
+    assert(r.getDouble(4) == 20.0, s"Q = 2c exactly: $r")
+    assert(r.getBoolean(5))
+  }
+
+  test("cochran_q_gates: unanimous docs zero the denominator and refuse the verdict") {
+    val out = CorpusStats.cochranQGatesOf(langOnlyDocs(0, 8)).collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(4), s"all-R=0 → Q undefined: ${out(0)}")
+    assert(!out(0).getBoolean(5))
+  }
+
+  test("fleiss_kappa_gates: the hand-computed kappa = -0.2 'poor' pin") {
+    // n = 4, 2 en + 2 other: P(R=1) = 1/3, P(R=0) = 1 → Pbar = 2/3;
+    // p = 2/12 → Pe = 13/18; kappa = (2/3 - 13/18)/(5/18) = -0.2.
+    val out = CorpusStats.fleissKappaGatesOf(langOnlyDocs(2, 2)).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(2) == -0.2, s"kappa: ${out(0)}")
+    assert(out(0).getString(3) == "poor")
+  }
+
+  test("fleiss_kappa_gates: all-R-equal chance agreement 1 reads 'undefined'") {
+    val out = CorpusStats.fleissKappaGatesOf(langOnlyDocs(0, 6)).collect()
+    assert(out(0).isNullAt(2) && out(0).getString(3) == "undefined")
+  }
+
+  // ---- Durbin-Watson: exact DW pins on two-week fixtures ----
+
+  private def dailyEvents(rows: (String, Double)*): DataFrame =
+    rows.zipWithIndex.map { case ((d, v), i) =>
+      (i.toLong, i.toLong, "rev", d + " 12:00:00", v)
+    }.toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+
+  test("durbin_watson: a two-week level shift pins DW = 1.0 'positive'") {
+    // Weekday means are the midpoints, residuals [-1,-1,+1,+1]·1e9:
+    // num = 0 + (2e9)^2 + 0, den = 4e18 → DW = 1.0 exactly.
+    val out = EventAnalytics.durbinWatsonOf(dailyEvents(
+      "2024-01-01" -> 10.0, "2024-01-02" -> 20.0,
+      "2024-01-08" -> 30.0, "2024-01-09" -> 40.0)).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(2) == 1.0, s"DW: ${out(0)}")
+    assert(out(0).getString(3) == "positive")
+  }
+
+  test("durbin_watson: an alternating shift pins DW = 2.0 'none'") {
+    // Residuals [+1,-1,-1,+1]·1e9 → num 8e18 / den 4e18 = 2.0.
+    val out = EventAnalytics.durbinWatsonOf(dailyEvents(
+      "2024-01-01" -> 30.0, "2024-01-02" -> 10.0,
+      "2024-01-08" -> 10.0, "2024-01-09" -> 30.0)).collect()
+    assert(out(0).getDouble(2) == 2.0, s"DW: ${out(0)}")
+    assert(out(0).getString(3) == "none")
+  }
+
+  test("durbin_watson: weekday-constant series nulls DW as 'undefined'") {
+    val out = EventAnalytics.durbinWatsonOf(dailyEvents(
+      "2024-01-01" -> 10.0, "2024-01-02" -> 20.0,
+      "2024-01-08" -> 10.0, "2024-01-09" -> 20.0)).collect()
+    assert(out(0).isNullAt(2), s"zero residuals → null, not NaN: ${out(0)}")
+    assert(out(0).getString(3) == "undefined")
+  }
+
+  // ---- power_mde: the published cells recompute the chain exactly ----
+
+  private def purchaseEvents(n: Int, buyers: Long => Boolean): DataFrame =
+    (1L to n.toLong).map { u =>
+      val et = if (buyers(u)) "purchase" else "view"
+      (u, u, et, "2024-01-05 00:00:00", 1.0)
+    }.toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+
+  test("power_mde: the MDE chain recomputes exactly from the published cells") {
+    val out = Behavior.powerMdeOf(purchaseEvents(80, _ % 3 == 0)).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val (n0, n1, c0, c1) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(n0 + n1 == 80L && c0 + c1 > 0L)
+    val p = (c0 + c1).toDouble / (n0 + n1).toDouble
+    val raw = (1.959964 + 0.841621) *
+      math.sqrt(p * (1.0 - p) * (1.0 / n0 + 1.0 / n1))
+    val expected = math.floor(raw * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(4) == expected, s"mde chain: $r vs $expected")
+    assert(r.getBoolean(6) == (r.getDouble(5) > r.getDouble(4)))
+  }
+
+  test("power_mde: a conversion-free corpus nulls the MDE, never claims power") {
+    val out = Behavior.powerMdeOf(purchaseEvents(40, _ => false)).collect()
+    assert(out(0).isNullAt(4), s"p=0 has no variance: ${out(0)}")
+    assert(!out(0).getBoolean(6))
+  }
+
+  // ---- embedding MMD: exact separation pin + single-label refusal ----
+
+  private def embs(rows: (Long, Seq[Double], Long)*): DataFrame =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("embedding_mmd: orthogonal one-hot labels pin MMD^2 = 2.0 exactly") {
+    // label 0 mean (1,0), complement mean (0,1): per-dim gaps ±1e12,
+    // MMD^2 = 2e24/1e24 = 2.0; top_dim ties on gap^2 → smallest pos.
+    val out = Similarity.embeddingMmdOf(embs(
+      (1L, Seq(1.0, 0.0), 0L), (2L, Seq(1.0, 0.0), 0L),
+      (3L, Seq(0.0, 1.0), 1L))).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getDouble(3) == 2.0, s"mmd2: $r")
+      assert(r.getInt(4) == 0, s"tie → smallest dim: $r")
+      assert(r.getLong(5) == 500000L, s"even split: $r")
+    }
+    val byLabel = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byLabel(0L) == (2L, 1L) && byLabel(1L) == (1L, 2L))
+  }
+
+  test("embedding_mmd: a single-label corpus has no complement and emits nothing") {
+    val out = Similarity.embeddingMmdOf(embs(
+      (1L, Seq(1.0, 0.0), 0L), (2L, Seq(0.5, 0.5), 0L))).collect()
+    assert(out.isEmpty, s"no complement → no row: ${out.mkString(";")}")
+  }
+
+  // ---- audio clipping: the hot-threshold boundary on exact bytes ----
+
+  test("audio_clipping_audit: the 15000 boundary splits 'u' (15040) from 't' (14976)") {
+    // byte b → |sample| = (b<<7)+64: 'u'=117 → 15040 (hot), 't'=116 →
+    // 14976 (cold); "uuut" → 3 hot of 4, ppm = 750000.
+    val docs = Seq((1L, "uuut", "xsrc")).toDF("doc_id", "text", "source")
+    val out = Multimodal.audioClippingAuditOf(docs).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 3L, s"hot count: $r")
+    assert(r.getLong(4) == 1L, "one hot doc")
+    assert(r.getLong(5) == 15040L, s"peak: $r")
+    assert(r.getLong(6) == 750000L, s"ppm: $r")
+  }
+}
