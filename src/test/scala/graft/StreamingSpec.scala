@@ -1538,4 +1538,63 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"restored window must pair the near-twin and expire for day 22: $got")
     } finally query.stop()
   }
+
+  test("streaming page-hinkley: an upward level shift fires at the hand-traced trial and latches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, Double)]
+    val events = input.toDF().toDF("event_type", "ts", "event_id", "value")
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val query = graft.streaming.StreamingPageHinkley
+      .alarms(events, delta = 0.0, lambda = 10.0).writeStream
+      .format("memory").queryName("ph_up").outputMode("append").start()
+    try {
+      // 10 at 1.0 (m stays 0), then 3.0s: the integer-mean trace puts
+      // m - min m over 1e7 micro exactly at trial 17 (hand-traced:
+      // m = 1818182, 3484849, 5023311, 6451883, 7785217, 9035217,
+      // 10211688).
+      val steady = (1 to 10).map(i => ("m", t0, i.toLong, 1.0))
+      val drift = (11 to 17).map(i => ("m", t0, i.toLong, 3.0))
+      input.addData(steady ++ drift: _*)
+      query.processAllAvailable()
+      val got = spark.table("ph_up").collect()
+      assert(got.length == 1, s"one alarm: ${got.toSeq}")
+      val a = got.head
+      assert(a.getString(0) == "m" && a.getString(1) == "up", s"$a")
+      assert(a.getLong(2) == 17L, s"fires exactly at trial 17: $a")
+      assert(a.getDouble(3) == 1.8235, s"running mean at alarm: $a")
+      assert(a.getDouble(4) == 10.2117, s"PH gap at alarm: $a")
+      // latch: further drift emits nothing
+      input.addData((18 to 25).map(i => ("m", t0, i.toLong, 3.0)): _*)
+      query.processAllAvailable()
+      assert(spark.table("ph_up").count() == 1)
+    } finally query.stop()
+  }
+
+  test("streaming page-hinkley: a downward shift fires 'down'; a steady type stays quiet") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, Double)]
+    val events = input.toDF().toDF("event_type", "ts", "event_id", "value")
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val query = graft.streaming.StreamingPageHinkley
+      .alarms(events, delta = 0.0, lambda = 10.0).writeStream
+      .format("memory").queryName("ph_down").outputMode("append").start()
+    try {
+      // type "d": 10 at 3.0 then 0.5s — max m - m crosses 1e7 at
+      // trial 16 (hand-traced m: -2272727, -4356060, -6279136,
+      // -8064850, -9731516, -11294016); type "s" steady at 2.0
+      // through both batches never fires.
+      val d = (1 to 10).map(i => ("d", t0, i.toLong, 3.0)) ++
+        (11 to 16).map(i => ("d", t0, i.toLong, 0.5))
+      val s = (1 to 20).map(i => ("s", t0, (100 + i).toLong, 2.0))
+      input.addData(d ++ s: _*)
+      query.processAllAvailable()
+      val got = spark.table("ph_down").collect()
+      assert(got.length == 1, s"only the shifted type alarms: ${got.toSeq}")
+      val a = got.head
+      assert(a.getString(0) == "d" && a.getString(1) == "down", s"$a")
+      assert(a.getLong(2) == 16L, s"fires exactly at trial 16: $a")
+      assert(a.getDouble(3) == 2.0625, s"running mean at alarm: $a")
+      assert(a.getDouble(4) == 11.294, s"PH gap at alarm: $a")
+    } finally query.stop()
+  }
 }
