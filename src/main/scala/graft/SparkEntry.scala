@@ -611,7 +611,8 @@ object SparkEntry {
     "durbin_watson"     -> (EventAnalytics.durbinWatson(_, _)),
     "power_mde"         -> (Behavior.powerMde(_, _)),
     "embedding_mmd"     -> (Similarity.embeddingMmd(_, _)),
-    "audio_clipping_audit" -> (Multimodal.audioClippingAudit(_, _))
+    "audio_clipping_audit" -> (Multimodal.audioClippingAudit(_, _)),
+    "release_funnel"    -> (CorpusReleasePipeline.releaseFunnel(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -136,4 +136,20 @@ object CorpusReleasePipeline {
       RunResult(funnel, splitCounts, nSeqs, s"$outDir/release", manifestPath)
     } finally checkpoints.foreach(Components.freeCheckpoint)
   }
+
+  /** The pipeline as a REGISTERED query (round-16, VERDICT r15 #6):
+    * runs the full clean→dedup→decontaminate→mix→split→pack chain
+    * into a fresh temp dir and returns the stage funnel — so the
+    * end-to-end release cost is a Bench line with round-over-round
+    * regression visibility, and the funnel counts are a pinned
+    * correctness row instead of scalatest-only. The release itself
+    * is budget-bounded (15k tokens water-filled), so the artifact
+    * write is tiny at every SF — the timed mass is the real corpus
+    * scan + cascade + gram probe. */
+  def releaseFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-release-funnel").toString
+    run(spark, dir, out).funnel.toDF().orderBy("ord")
+  }
 }

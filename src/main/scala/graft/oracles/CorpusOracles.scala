@@ -1147,6 +1147,23 @@ private[graft] object CorpusOracles {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_subwords AS BIGINT) AS n_subwords, CAST(fertility AS DOUBLE) AS fertility
         |FROM r""".stripMargin,
 
+    // End-to-end release-pipeline funnel: pinned literal frame (the
+    // chain composes five registered pipelines; its stage counts are
+    // deterministic — recompute via Verify at sf0.01 when any member
+    // contract changes).
+    "release_funnel" ->
+      """WITH r(stage, ord, n_in, n_removed, n_out) AS (VALUES
+        |  ('1_clean', 1, 500, 98, 402),
+        |  ('2_dedup', 2, 402, 17, 385),
+        |  ('3_decontaminate', 3, 385, 1, 384),
+        |  ('4_mixture', 4, 384, 92, 292),
+        |  ('5_total', 5, 500, 208, 292))
+        |SELECT stage, CAST(ord AS INT) AS ord,
+        |  CAST(n_in AS BIGINT) AS n_in,
+        |  CAST(n_removed AS BIGINT) AS n_removed,
+        |  CAST(n_out AS BIGINT) AS n_out
+        |FROM r""".stripMargin,
+
     // Clipping/headroom audit: pinned literal frame (the audio codec
     // convention; recompute via Verify at sf0.01 if the corpus or the
     // synthetic byte->sample map ever changes).
