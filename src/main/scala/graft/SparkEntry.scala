@@ -612,7 +612,13 @@ object SparkEntry {
     "power_mde"         -> (Behavior.powerMde(_, _)),
     "embedding_mmd"     -> (Similarity.embeddingMmd(_, _)),
     "audio_clipping_audit" -> (Multimodal.audioClippingAudit(_, _)),
-    "release_funnel"    -> (CorpusReleasePipeline.releaseFunnel(_, _))
+    "release_funnel"    -> (CorpusReleasePipeline.releaseFunnel(_, _)),
+    // Round-16 second tranche: paired/distributional tests,
+    // sentence-level dedup, provenance matrix
+    "wilcoxon_signed_rank" -> (Robust.wilcoxonSignedRank(_, _)),
+    "quantile_lift"     -> (Robust.quantileLift(_, _)),
+    "sentence_dedup"    -> (Corpus.sentenceDedup(_, _)),
+    "source_overlap_matrix" -> (Corpus.sourceOverlapMatrix(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

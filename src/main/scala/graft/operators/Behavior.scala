@@ -1301,6 +1301,7 @@ object Behavior {
   def powerMde(spark: SparkSession, dir: String): DataFrame =
     powerMdeOf(Tables.events(spark, dir))
 
+
   /** Cochran–Mantel–Haenszel stratified 2×2 test + MH common odds
     * ratio — the Simpson's-paradox-proof A/B readout the experiment
     * family lacked: [[abTestOf]] pools every user into one 2×2 (a

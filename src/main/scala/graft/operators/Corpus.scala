@@ -973,4 +973,96 @@ object Corpus {
 
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
     curriculumOrderOf(Tables.documents(spark, dir))
+
+  /** Sentence-level duplication rate per source — the C4-style
+    * boilerplate read at SENTENCE granularity ([[boilerplateStatsOf]]
+    * measures 8-gram span mass per DOC; C4's actual rule deduplicates
+    * three-sentence spans, and nav/footer/disclaimer boilerplate
+    * repeats as whole sentences across a source's pages — the unit a
+    * cleaning pass would actually drop): sentences split on terminal
+    * punctuation runs `[.!?]+` (identical regex semantics in both
+    * engines — no lookbehind, RE2-safe), trimmed, short fragments
+    * (< `minChars` chars) ignored; a sentence INSTANCE is duplicated
+    * iff its corpus-wide occurrence count ≥ 2.
+    *
+    * Shape: ONE map-combinable (source, md5-sentence) aggregate
+    * (md5 keeps the shuffle key 32 bytes instead of sentence text);
+    * the corpus-wide count rides a hash-partitioned window over that
+    * aggregated frame (the [[graft.operators.Similarity]] MMD
+    * complement trick — never a per-instance self-join), then one
+    * ≤|sources| rollup. Exact ppm. */
+  def sentenceDedupOf(docs: DataFrame, minChars: Int = 20): DataFrame = {
+    require(minChars > 0, s"minChars must be positive, got $minChars")
+    val perSrc = docs
+      .select(col("source"),
+        explode(split(col("text"), "[.!?]+")).as("raw"))
+      .select(col("source"), trim(col("raw")).as("s"))
+      .filter(length(col("s")) >= minChars)
+      .groupBy(col("source"), md5(col("s")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("total", sum("c").over(Window.partitionBy("h")))
+    perSrc.groupBy("source")
+      .agg(count(lit(1)).as("n_distinct_sentences"),
+        sum("c").as("n_sentences"),
+        sum(when(col("total") >= 2L, col("c")).otherwise(0L))
+          .as("n_dup_instances"))
+      .select(col("source"), col("n_sentences"),
+        col("n_distinct_sentences"), col("n_dup_instances"),
+        expr("(n_dup_instances * 1000000) div n_sentences")
+          .as("dup_ppm"))
+      .orderBy("source")
+  }
+
+  def sentenceDedup(spark: SparkSession, dir: String): DataFrame =
+    sentenceDedupOf(Tables.documents(spark, dir))
+
+  /** Pairwise 8-gram overlap matrix between sources — the provenance
+    * read that names WHO shares content with WHOM
+    * ([[graft.operators.Components]]' cross_source_dup_share says how
+    * much near-dup mass crosses ANY source boundary; licensing/
+    * provenance triage needs the pair: which provider pairs share
+    * text, and how much): per source-pair, the count of distinct
+    * strict 8-grams present in BOTH, with the exact-ppm Jaccard
+    * shared/(|A|+|B|−shared).
+    *
+    * Shape: the [[boilerplateStatsOf]] gram machinery — one distinct
+    * (gram, source) aggregate (the fact's only heavy shuffle), then
+    * collect_set(source) per gram (≤|sources| entries, bounded) and a
+    * map-side ordered-pair explode whose mass is ≤ C(|sources|,2)
+    * per gram — never a gram-keyed self-join; per-source totals ride
+    * the SAME frame as a ≤|sources|-row broadcast. Output is
+    * ≤ C(|sources|,2) rows. */
+  def sourceOverlapMatrixOf(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n > 1, s"n-gram order must be > 1, got $n")
+    val grams = explode(graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
+      graft.plans.ColumnBridge.expression(col("text")), n, Long.MaxValue,
+      strict = true))).as("g")
+    val gs = docs.select(col("source"), grams)
+      .groupBy("g", "source").agg(count(lit(1)).as("_c")).drop("_c")
+      .localCheckpoint(false) // feeds the pair explode AND the totals
+    val totals = gs.groupBy("source").agg(count(lit(1)).as("tot"))
+    val pairs = gs.groupBy("g")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b -> struct(a, b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("source_a"),
+        col("tot").as("tot_a"))), "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"),
+        col("tot").as("tot_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("tot_a"), col("tot_b"),
+        expr("""(shared_grams * 1000000)
+               | div (tot_a + tot_b - shared_grams)""".stripMargin)
+          .as("jaccard_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapMatrixOf(Tables.documents(spark, dir))
 }

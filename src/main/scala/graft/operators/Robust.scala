@@ -1705,4 +1705,131 @@ object Robust {
 
   def dunnPosthoc(spark: SparkSession, dir: String): DataFrame =
     dunnPosthocOf(Tables.events(spark, dir))
+
+  /** Wilcoxon signed-rank test on the DAY-PAIRED daily revenues of
+    * two event types (Wilcoxon '45 — the PAIRED continuous member
+    * the test family lacked: mannwhitney compares two independent
+    * samples, mcnemar pairs binaries; this pairs each day's
+    * purchase revenue with the SAME day's view revenue, so
+    * day-to-day level swings cancel — the blocked-design instinct
+    * of friedman_test at k = 2 with magnitudes kept): d_t = rev_A −
+    * rev_B per day on the exact cent grid, zero differences dropped
+    * (the standard convention), |d| midranks on the DOUBLED integer
+    * grid (the KW/MW device — r2 = 2·below + t + 1, so rank sums
+    * stay integral through ties), W⁺ = Σ_{d>0} ranks published
+    * doubled (`w_plus_x2`, the hodges_lehmann half-grid trick), and
+    * the tie-corrected normal approximation z = (2W⁺ − n(n+1)/2) /
+    * √(n(n+1)(2n+1)/6 − Σ(t³−t)/12) — each moment exact
+    * decimal(38,0), ONE double chain, |z| > 1.96.
+    *
+    * Degenerate contract: n = 0 (every day ties exactly) emits
+    * nothing — no vacuous verdict; the variance term is positive
+    * for every n ≥ 1 but stays try_divide-guarded anyway (the
+    * standing null-not-NaN contract).
+    *
+    * Shape: ONE (type, day) fact aggregate; the day pairing, the
+    * |d| grid, its cumulative window, and the moment fold all ride
+    * the calendar-bounded daily frame. */
+  def wilcoxonSignedRankOf(events: DataFrame, typeA: String = "purchase",
+      typeB: String = "view"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .groupBy("day")
+      .agg(sum(when(col("event_type") === typeA, col("vc"))
+        .otherwise(0L)).as("ra"),
+        sum(when(col("event_type") === typeB, col("vc"))
+          .otherwise(0L)).as("rb"))
+      .select((col("ra") - col("rb")).as("d"))
+      .filter(col("d") =!= 0L)
+    val cumW = Window.orderBy("ad")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = daily
+      .select(abs(col("d")).as("ad"),
+        when(col("d") > 0L, 1L).otherwise(0L).as("pos"))
+      .groupBy("ad")
+      .agg(count(lit(1)).as("t"), sum("pos").as("np"))
+      // single-task window is FINE here: the |d| grid is bounded by
+      // the calendar (≤ days rows), never fact-scale
+      .withColumn("below", sum("t").over(cumW) - col("t"))
+    val r6 = TextF.round6HalfUp _
+    grid.agg(
+        sum("t").as("n"),
+        sum(expr(s"CAST(np AS $dec) * (2 * below + t + 1)")).as("w2"),
+        sum(expr(s"CAST(t AS $dec) * t * t - t")).as("tcub"))
+      .filter(col("n") > 0)
+      .select(col("n").as("n_pairs"),
+        col("w2").cast("long").as("w_plus_x2"),
+        r6(expr(
+          """try_divide(
+            |  CAST(w2 AS DOUBLE)
+            |    - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 2.0D,
+            |  sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+            |         * CAST(2 * n + 1 AS DOUBLE) / 6.0D
+            |       - CAST(tcub AS DOUBLE) / 12.0D))""".stripMargin))
+          .as("z"))
+      .withColumn("significant",
+        when(col("z").isNull, lit(false)).otherwise(abs(col("z")) > 1.96))
+  }
+
+  def wilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame =
+    wilcoxonSignedRankOf(Tables.events(spark, dir))
+
+  /** Quantile treatment effect (QTE) per event type — the
+    * DISTRIBUTIONAL A/B readout the mean-based tests compress away
+    * (ab_test/welch read the average; a treatment that fattens the
+    * p90 while thinning the median reads FLAT on means — QTE
+    * reports the arm difference AT each quantile, the
+    * Doksum/Lehmann shift read): per (type, md5-arm) value
+    * distributions, lower nearest-rank quantiles at p25/p50/p75/p90
+    * read off cumulative counts on the value grid (the KW
+    * machinery — never a per-arm sort), lift = v₁ − v₀ exact on the
+    * micro grid.
+    *
+    * Exactness: nearest-rank position ⌈q·n/100⌉ computed as the
+    * integer (q·n + 99) div 100; the quantile pick is min vq with
+    * cum ≥ pos — a ≤4-row broadcast theta-join against the bounded
+    * grid, exact integers end to end (no interpolation, so no
+    * doubles at all). Types missing an arm drop (md5 fills both at
+    * any real scale).
+    *
+    * Shape: ONE map-combinable fact aggregate to the (type, arm,
+    * value) grid; cumulative windows and the quantile pick ride
+    * that bounded frame. */
+  def quantileLiftOf(events: DataFrame): DataFrame = {
+    val cumW = Window.partitionBy("event_type", "arm").orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = events.select(col("event_type"),
+        graft.operators.Behavior.arm2(col("user_id")).as("arm"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"))
+      .groupBy("event_type", "arm", "vq")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(
+        Window.partitionBy("event_type", "arm")))
+    val qs = grid.sparkSession.range(0, 4)
+      .select((col("id") * 0L).as("zero"),
+        element_at(array(lit(25L), lit(50L), lit(75L), lit(90L)),
+          (col("id") + 1).cast("int")).as("q"))
+      .drop("zero")
+    val picks = grid.join(broadcast(qs),
+        col("cum") >= expr("(q * n + 99) div 100"))
+      .groupBy("event_type", "arm", "q")
+      .agg(min("vq").as("v"), max("n").as("n"))
+    // arm pivot by conditional aggregate (the mdePower pick pattern)
+    // — an arm self-join would re-plan the whole grid subtree twice
+    def pick(c: String, a: Int) = max(when(col("arm") === a, col(c)))
+    picks.groupBy("event_type", "q")
+      .agg(pick("n", 0).as("n0"), pick("n", 1).as("n1"),
+        pick("v", 0).as("v0"), pick("v", 1).as("v1"))
+      .filter(col("v0").isNotNull && col("v1").isNotNull)
+      .select(col("event_type"), col("q"), col("n0"), col("n1"),
+        col("v0"), col("v1"), (col("v1") - col("v0")).as("lift_micro"))
+      .orderBy("event_type", "q")
+  }
+
+  def quantileLift(spark: SparkSession, dir: String): DataFrame =
+    quantileLiftOf(Tables.events(spark, dir))
 }

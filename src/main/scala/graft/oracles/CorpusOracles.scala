@@ -1147,6 +1147,60 @@ private[graft] object CorpusOracles {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_subwords AS BIGINT) AS n_subwords, CAST(fertility AS DOUBLE) AS fertility
         |FROM r""".stripMargin,
 
+    // Sentence-level duplication per source: RE2-safe terminal-
+    // punctuation split, md5 sentence keys, hash-window totals.
+    "sentence_dedup" ->
+      """WITH s0 AS (SELECT source, trim(s) AS s FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+        |    FROM documents)),
+        |s1 AS (SELECT source, s FROM s0 WHERE length(s) >= 20),
+        |g AS (SELECT source, md5(s) AS h, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM s1 GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(SUM(c) OVER (PARTITION BY h) AS BIGINT) AS total
+        |  FROM g),
+        |a AS (SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct_sentences,
+        |    CAST(SUM(c) AS BIGINT) AS n_sentences,
+        |    CAST(SUM(CASE WHEN total >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_dup_instances
+        |  FROM w GROUP BY 1)
+        |SELECT source, n_sentences, n_distinct_sentences,
+        |  n_dup_instances,
+        |  CAST((n_dup_instances * 1000000) // n_sentences AS BIGINT)
+        |    AS dup_ppm
+        |FROM a ORDER BY source""".stripMargin,
+
+    // Pairwise source 8-gram overlap: the boilerplate text-gram
+    // mirror, distinct (gram, source), ordered-pair self-join (oracle
+    // scale only), exact-ppm Jaccard.
+    "source_overlap_matrix" ->
+      """WITH toks AS (SELECT source,
+        |    regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT source,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(t) - 7),
+        |      i -> array_to_string(t[i:i+7], ' ')))) AS gram
+        |  FROM toks WHERE len(t) >= 8),
+        |gs AS (SELECT DISTINCT gram, source FROM g),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tot
+        |  FROM gs GROUP BY 1),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared_grams
+        |  FROM gs a JOIN gs b
+        |    ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared_grams,
+        |  ta.tot AS tot_a, tb.tot AS tot_b,
+        |  CAST((shared_grams * 1000000)
+        |    // (ta.tot + tb.tot - shared_grams) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM pr
+        |JOIN tot ta ON ta.source = pr.source_a
+        |JOIN tot tb ON tb.source = pr.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
     // End-to-end release-pipeline funnel: pinned literal frame (the
     // chain composes five registered pipelines; its stage counts are
     // deterministic — recompute via Verify at sf0.01 when any member

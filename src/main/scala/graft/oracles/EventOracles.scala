@@ -515,6 +515,76 @@ private[graft] object EventOracles {
     // Kruskal–Wallis H: doubled midranks off the (type, value) grid,
     // DECIMAL rank sums, tie-corrected; the double combination and
     // the rounded-H significance compare mirror the engine textually.
+    // Wilcoxon signed-rank on day-paired purchase/view revenue:
+    // doubled midranks on the |d| grid, tie-corrected normal z.
+    "wilcoxon_signed_rank" ->
+      """WITH daily AS (SELECT
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |        ELSE 0 END) AS BIGINT) AS ra,
+        |    CAST(SUM(CASE WHEN event_type = 'view'
+        |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |        ELSE 0 END) AS BIGINT) AS rb
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |dd AS (SELECT ra - rb AS d FROM daily WHERE ra - rb <> 0),
+        |g AS (SELECT abs(d) AS ad, CAST(COUNT(*) AS BIGINT) AS t,
+        |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM dd GROUP BY 1),
+        |w AS (SELECT *,
+        |    CAST(SUM(t) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - t AS below
+        |  FROM g),
+        |a AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+        |    SUM(CAST(np AS DECIMAL(38,0)) * (2 * below + t + 1)) AS w2,
+        |    SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tcub
+        |  FROM w),
+        |f AS (SELECT n, CAST(w2 AS BIGINT) AS w_plus_x2,
+        |    floor(
+        |      (CAST(w2 AS DOUBLE)
+        |        - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 2.0)
+        |      / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+        |            * CAST(2 * n + 1 AS DOUBLE) / 6.0
+        |          - CAST(tcub AS DOUBLE) / 12.0), 0.0)
+        |      * 1e6 + 0.5) / 1e6 AS z
+        |  FROM a WHERE n > 0)
+        |SELECT n AS n_pairs, w_plus_x2, z,
+        |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.96 END
+        |    AS significant
+        |FROM f""".stripMargin,
+
+    // QTE: per (type, arm) nearest-rank quantiles off the cumulative
+    // value grid, integer position (q*n+99)//100, exact micro lifts.
+    "quantile_lift" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |g AS (SELECT event_type, arm, vq, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |w AS (SELECT *,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type, arm ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type, arm) AS BIGINT)
+        |      AS n
+        |  FROM g),
+        |p AS (SELECT event_type, arm, q, CAST(MIN(vq) AS BIGINT) AS v,
+        |    CAST(MAX(n) AS BIGINT) AS n
+        |  FROM w, (VALUES (25), (50), (75), (90)) AS qq(q)
+        |  WHERE cum >= (q * n + 99) // 100
+        |  GROUP BY 1, 2, 3)
+        |SELECT a0.event_type, CAST(a0.q AS BIGINT) AS q,
+        |  a0.n AS n0, a1.n AS n1, a0.v AS v0, a1.v AS v1,
+        |  a1.v - a0.v AS lift_micro
+        |FROM p a0 JOIN p a1
+        |  ON a0.event_type = a1.event_type AND a0.q = a1.q
+        |  AND a0.arm = 0 AND a1.arm = 1
+        |ORDER BY a0.event_type, q""".stripMargin,
+
     // Dunn post-hoc: the kruskal_wallis grid/rank chain verbatim, a
     // 3-pair VALUES fan-out on the bounded frame, the engine z chain.
     "dunn_posthoc" ->

@@ -1892,5 +1892,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val ac = plan(graft.operators.Multimodal.audioClippingAudit(spark, Sf))
     noCartesian("audio_clipping_audit", ac)
     assert(bnlj(ac).isEmpty, s"audio_clipping: join-free:\n$ac")
+    // second tranche: paired test, QTE, sentence dedup, provenance
+    val wsr = plan(graft.operators.Robust.wilcoxonSignedRank(spark, Sf))
+    noCartesian("wilcoxon_signed_rank", wsr)
+    assert(bnlj(wsr).isEmpty, s"wilcoxon: join-free:\n$wsr")
+    assert(wsr.collect { case f: FileSourceScanExec => f }.length == 1,
+      s"wilcoxon: one fact scan:\n$wsr")
+    val ql = plan(graft.operators.Robust.quantileLift(spark, Sf))
+    noCartesian("quantile_lift", ql)
+    assert(bnlj(ql).length <= 1,
+      s"quantile_lift: only the 4-row quantile broadcast:\n$ql")
+    assert(ql.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"quantile_lift: (type, arm)-partitioned windows only:\n$ql")
+    val sd = plan(graft.operators.Corpus.sentenceDedup(spark, Sf))
+    noCartesian("sentence_dedup", sd)
+    assert(bnlj(sd).isEmpty, s"sentence_dedup: join-free:\n$sd")
+    assert(sd.collect { case f: FileSourceScanExec => f }.length == 1,
+      s"sentence_dedup: one scan:\n$sd")
+    assert(sd.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"sentence_dedup: hash-partitioned total window only:\n$sd")
+    val som = plan(graft.operators.Corpus.sourceOverlapMatrix(spark, Sf))
+    noCartesian("source_overlap_matrix", som)
+    assert(bnlj(som).isEmpty,
+      s"source_overlap: pair mass explodes map-side, never a joins:\n$som")
   }
 }

@@ -269,6 +269,112 @@ class Round16TrancheSpec extends AnyFunSuite with SparkFixture {
     assert(out.isEmpty, s"no complement → no row: ${out.mkString(";")}")
   }
 
+  // ---- Wilcoxon signed-rank: hand-computed doubled-rank pin ----
+
+  test("wilcoxon_signed_rank: the hand-computed tie-corrected z pin, zero diffs dropped") {
+    // Day diffs (cents): +10, -10, +20, +20, and one exact-zero day
+    // (dropped). |d| grid: 10 (t=2, 1 positive), 20 (t=2, 2 positive)
+    // → 2W+ = 1·3 + 2·7 = 17, n = 4, tcub = 12,
+    // z = (17 − 10)/√(4·5·9/6 − 1) = 7/√29.
+    val rows = Seq(
+      ("2024-01-01", "purchase", 1.10), ("2024-01-01", "view", 1.00),
+      ("2024-01-02", "purchase", 1.00), ("2024-01-02", "view", 1.10),
+      ("2024-01-03", "purchase", 1.20), ("2024-01-03", "view", 1.00),
+      ("2024-01-04", "purchase", 1.20), ("2024-01-04", "view", 1.00),
+      ("2024-01-05", "purchase", 1.00), ("2024-01-05", "view", 1.00))
+    val ev = rows.zipWithIndex.map { case ((d, et, v), i) =>
+      (i.toLong, i.toLong, et, d + " 12:00:00", v)
+    }.toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    val out = Robust.wilcoxonSignedRankOf(ev).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 4L, s"zero-diff day dropped: $r")
+    assert(r.getLong(1) == 17L, s"doubled W+: $r")
+    val z = math.floor(7.0 / math.sqrt(29.0) * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(2) == z, s"z = 7/sqrt(29): $r")
+    assert(!r.getBoolean(3))
+  }
+
+  test("wilcoxon_signed_rank: an everywhere-tied pairing emits nothing") {
+    val ev = Seq(
+      (1L, 1L, "purchase", "2024-01-01 12:00:00", 2.0),
+      (2L, 2L, "view", "2024-01-01 12:00:00", 2.0))
+      .toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    assert(Robust.wilcoxonSignedRankOf(ev).collect().isEmpty)
+  }
+
+  // ---- quantile lift: planted separation pins every quantile ----
+
+  test("quantile_lift: planted arm values pin v0/v1/lift at every quantile") {
+    val arms = (1L to 40L).toDF("user_id")
+      .select(col("user_id"), Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = (1L to 40L).map { u =>
+      (u, u, "buy", "2024-01-01 00:00:00", 1.0 + arms(u).toDouble)
+    }.toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    val out = Robust.quantileLiftOf(ev).collect()
+    assert(out.length == 4, s"p25/p50/p75/p90: ${out.mkString(";")}")
+    val n0 = arms.values.count(_ == 0L).toLong
+    out.foreach { r =>
+      assert(r.getLong(2) == n0 && r.getLong(3) == 40L - n0, s"$r")
+      assert(r.getLong(4) == 1000000L && r.getLong(5) == 2000000L, s"$r")
+      assert(r.getLong(6) == 1000000L, s"constant unit lift: $r")
+    }
+  }
+
+  test("quantile_lift: a type missing an arm drops instead of publishing a half-read") {
+    val arms = (1L to 60L).toDF("user_id")
+      .select(col("user_id"), Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arm0 = (1L to 60L).filter(arms(_) == 0L).take(5)
+    val ev = arm0.map { u =>
+      (u, u, "buy", "2024-01-01 00:00:00", 1.0)
+    }.toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    assert(Robust.quantileLiftOf(ev).collect().isEmpty)
+  }
+
+  // ---- sentence dedup: exact per-source duplication accounting ----
+
+  test("sentence_dedup: cross-source duplicate sentences count per instance; fragments filter") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the dog. Alpha beta gamma delta epsilon zeta eta.", "a"),
+      (2L, "The quick brown fox jumps over the dog. Short.", "a"),
+      (3L, "The quick brown fox jumps over the dog.", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Corpus.sentenceDedupOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((3L, 2L, 2L, 666666L)),
+      s"src a: 3 sentences, 2 distinct, 2 dup instances: $out")
+    assert(out("b") == ((1L, 1L, 1L, 1000000L)),
+      s"src b: its one sentence is a corpus-wide dup: $out")
+  }
+
+  // ---- source overlap: exact gram pair + absent-pair contract ----
+
+  test("source_overlap_matrix: one shared 8-gram pins the pair; disjoint pairs emit no row") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "a"),  // grams: [w1..w8], [w2..w9]
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 x9", "b"),  // shares [w1..w8] only
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8", "c"))     // disjoint
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Corpus.sourceOverlapMatrixOf(docs).collect()
+    assert(out.length == 1, s"only (a,b) overlaps: ${out.mkString(";")}")
+    val r = out(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 2L && r.getLong(4) == 2L,
+      s"shared/totals: $r")
+    assert(r.getLong(5) == 333333L, s"jaccard 1/3 ppm: $r")
+  }
+
   // ---- audio clipping: the hot-threshold boundary on exact bytes ----
 
   test("audio_clipping_audit: the 15000 boundary splits 'u' (15040) from 't' (14976)") {
