@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 400+ codegen-heavy queries overflow the default 240 MB JIT code
+  // cache and the sweeper de-optimizes hot code suite-wide (measured
+  // round 16: full Bench 368 s at default vs 331 s at 1g, with 189
+  // vs 49 queries tripping the >1.3x isolation re-time)
+  "-XX:ReservedCodeCacheSize=1g",
 )
