@@ -618,7 +618,15 @@ object SparkEntry {
     "wilcoxon_signed_rank" -> (Robust.wilcoxonSignedRank(_, _)),
     "quantile_lift"     -> (Robust.quantileLift(_, _)),
     "sentence_dedup"    -> (Corpus.sentenceDedup(_, _)),
-    "source_overlap_matrix" -> (Corpus.sourceOverlapMatrix(_, _))
+    "source_overlap_matrix" -> (Corpus.sourceOverlapMatrix(_, _)),
+    // Round-16 third tranche: the six remaining TPC-H query shapes
+    // (Q2/Q9/Q11/Q12/Q16/Q20) — the warehouse dial is now complete
+    "min_cost_supplier" -> (Warehouse.minCostSupplier(_, _)),
+    "nation_profit"     -> (Warehouse.nationProfit(_, _)),
+    "important_parts"   -> (Warehouse.importantParts(_, _)),
+    "priority_ship_mix" -> (Warehouse.priorityShipMix(_, _)),
+    "part_supplier_variety" -> (Warehouse.partSupplierVariety(_, _)),
+    "excess_shippers"   -> (Warehouse.excessShippers(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -2090,4 +2090,276 @@ object Warehouse {
 
   def discountWhatif(spark: SparkSession, dir: String): DataFrame =
     discountWhatifOf(Tables.lineitem(spark, dir))
+
+  /** Min-cost supplier per part — the TPC-H Q2 shape ("which supplier
+    * should fulfil this part in this region", the sourcing decision),
+    * adapted to this schema's lack of a partsupp table the same way
+    * [[singleSourcingOf]] treats lineitem as the observed
+    * part×supplier relation: realized unit cost per (part, supplier)
+    * = Σcents div Σunits (integer cents, deterministic), scope =
+    * STANDARD-type parts supplied from EUROPE-region nations, keep
+    * the supplier(s) achieving the part's minimum unit cost (window
+    * MIN keeps ties — the Q2 view semantics), present Q2's output
+    * (acctbal, supplier, nation, part) as the top-100 by acctbal
+    * DESC with a total (s_suppkey, p_partkey) tie-break so LIMIT is
+    * deterministic.
+    *
+    * Shape: ONE map-combinable (part, supplier) fact aggregate; the
+    * region→nation→supplier chain broadcasts (dims), the part join is
+    * AQE-sized (parts scale with the corpus); the min-cost window
+    * rides the bounded (part × |suppliers|) frame; top-100 is
+    * TakeOrderedAndProject, never a global sort. */
+  def minCostSupplierOf(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    val euroSupp = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val stdParts = part.filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_size"))
+    val unitCost = lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("units"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("cents").as("c"), sum("units").as("u"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("c div u").as("unit_cost_cents"))
+    unitCost
+      .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(stdParts, col("l_partkey") === col("p_partkey"))
+      .withColumn("min_cost",
+        min("unit_cost_cents").over(Window.partitionBy("p_partkey")))
+      .filter(col("unit_cost_cents") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_size").cast("long").as("p_size"),
+        col("unit_cost_cents"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame =
+    minCostSupplierOf(Tables.lineitem(spark, dir), Tables.part(spark, dir),
+      Tables.supplier(spark, dir), Tables.nation(spark, dir),
+      Tables.region(spark, dir))
+
+  /** Realized-vs-list margin by supplier nation × ship year — the
+    * TPC-H Q9 shape ("product-type profit", the sourcing-P&L read),
+    * adapted to this schema's lack of ps_supplycost with the honest
+    * cost basis it does carry: the part's LIST price. margin =
+    * Σ(net revenue − qty·list), both on the exact 10⁻²-cent grid
+    * (net = cents × (100−d%), list = cents × 100 × qty), negative
+    * when a nation's suppliers systematically sell under list —
+    * that sign is the read. Margin share published as basis points
+    * of net revenue (truncating div, sign-preserving both engines).
+    *
+    * Shape: the fact joins part (AQE-sized — parts scale) for the
+    * list cents and the broadcast supplier→nation chain for the
+    * grouping key, then ONE map-combinable aggregate to the
+    * ≤|nations|×|years| frame. No window, no subquery — Q9's
+    * correlated profit expression folds into the aggregate. */
+  def nationProfitOf(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val suppNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        col("l_quantity").cast("long").as("units"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+          .as("net_c100"))
+      .join(part.select(col("p_partkey"),
+          floor(col("p_retailprice") * 100 + 0.5).cast("long").as("list_c")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name", "ship_year")
+      .agg(sum(col("net_c100").cast(dec)).as("rev"),
+        sum((col("units") * col("list_c") * 100L).cast(dec)).as("list"))
+      .select(col("n_name"), col("ship_year"),
+        col("rev").cast("long").as("revenue_c100"),
+        col("list").cast("long").as("list_c100"),
+        (col("rev") - col("list")).cast("long").as("margin_c100"),
+        expr("CAST(((rev - list) * 10000) div rev AS BIGINT)")
+          .as("margin_bp"))
+      .orderBy("n_name", "ship_year")
+  }
+
+  def nationProfit(spark: SparkSession, dir: String): DataFrame =
+    nationProfitOf(Tables.lineitem(spark, dir), Tables.part(spark, dir),
+      Tables.supplier(spark, dir), Tables.nation(spark, dir))
+
+  /** Important parts for one nation's suppliers — the TPC-H Q11
+    * shape ("which parts represent a significant share of the value
+    * this nation supplies", the strategic-stock read), adapted to
+    * shipped value (this schema's observable partsupp proxy, the
+    * [[minCostSupplierOf]] convention): per-part net revenue from
+    * NATION_7's suppliers on the exact 10⁻²-cent grid, keep parts
+    * whose value exceeds 0.05% of the nation's total (value·2000 >
+    * total — Q11's magic fraction rescaled to this corpus's
+    * part-to-line density; the threshold is the documented knob).
+    *
+    * Shape: the nation filter broadcasts into the fact scan (4 of
+    * 100 suppliers — most of the fact never leaves the scan), ONE
+    * map-combinable part aggregate; the nation total is a 1-row
+    * broadcast (parts scale with the corpus, so no single-partition
+    * window over that frame). Ordered by (value DESC, partkey) —
+    * deterministic without a LIMIT. */
+  def importantPartsOf(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val suppKeys = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_7")
+      .select(col("s_suppkey"))
+    val perPart = lineitem
+      .join(broadcast(suppKeys), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .select(col("l_partkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+          .as("net_c100"))
+      .groupBy("l_partkey")
+      .agg(sum(col("net_c100").cast(dec)).as("value"))
+    val total = perPart.agg(sum("value").as("total"))
+    perPart
+      .crossJoin(broadcast(total))
+      .filter(col("value") * 2000 > col("total"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value").cast("long").as("value_c100"),
+        expr("CAST((value * 1000000) div total AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("value_c100").desc, col("p_partkey"))
+  }
+
+  def importantParts(spark: SparkSession, dir: String): DataFrame =
+    importantPartsOf(Tables.lineitem(spark, dir),
+      Tables.supplier(spark, dir), Tables.nation(spark, dir))
+
+  /** Priority mix by shipping-speed class — the TPC-H Q12 shape
+    * ("are critical-priority orders riding the slow ship modes", the
+    * logistics-SLA read), adapted to this schema's lack of
+    * l_shipmode with the speed class the data does define: FAST =
+    * shipped within 30 days of the order date, SLOW = later (the
+    * row-379 shipdate-vs-orderdate convention). Per ship year ×
+    * class: lines on 1-URGENT/2-HIGH orders vs all lower priorities
+    * — Q12's exact output pair.
+    *
+    * Shape: ONE AQE-sized orderkey equijoin (fact⋈fact — never
+    * broadcast at scale) feeding ONE map-combinable aggregate to the
+    * ≤|years|×2 frame; the priority CASE folds into the aggregate,
+    * no second pass. */
+  def priorityShipMixOf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    lineitem
+      .select(col("l_orderkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("ship_year"),
+        when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30,
+          lit("FAST")).otherwise(lit("SLOW")).as("speed_class"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("is_high"))
+      .groupBy("ship_year", "speed_class")
+      .agg(sum(col("is_high")).as("high_line_count"),
+        sum(lit(1L) - col("is_high")).as("low_line_count"))
+      .orderBy("ship_year", "speed_class")
+  }
+
+  def priorityShipMix(spark: SparkSession, dir: String): DataFrame =
+    priorityShipMixOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  /** Supplier variety per part group — the TPC-H Q16 shape ("how
+    * many distinct suppliers can fulfil each (brand, type, size)
+    * bucket", the supplier-relationship breadth read): distinct
+    * supplier count per group over the observed lineitem relation,
+    * excluding one brand under review (Brand#13 — Q16's excluded-
+    * brand clause) and excluding suppliers in the deficit book
+    * (s_acctbal < 0 — the deterministic stand-in for Q16's
+    * complaint-suppliers NOT IN, shipped as a real anti-join), sizes
+    * restricted to Q16's 8-value IN list rescaled to this corpus's
+    * 1..50 grid.
+    *
+    * Shape: the supplier exclusion is a broadcast LEFT ANTI on the
+    * fact scan; the part join is AQE-sized; distinct-suppliers
+    * resolves as a (brand, type, size, suppkey) map-combinable
+    * DISTINCT aggregate then a count — never count(DISTINCT) over a
+    * wide shuffle. Ordered by (count DESC, brand, type, size). */
+  def partSupplierVarietyOf(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val badSupp = supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    val parts = part
+      .filter(col("p_brand") =!= "Brand#13" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"))
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("bad_suppkey"),
+        "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"), col("l_suppkey"))
+      .distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  def partSupplierVariety(spark: SparkSession, dir: String): DataFrame =
+    partSupplierVarietyOf(Tables.lineitem(spark, dir),
+      Tables.part(spark, dir), Tables.supplier(spark, dir))
+
+  /** Excess-volume shippers — the TPC-H Q20 shape ("which of this
+    * region's suppliers hold surplus of the promotion-candidate
+    * parts", the stock-rebalancing read), adapted to shipped volume
+    * (the partsupp-availqty proxy, [[minCostSupplierOf]]
+    * convention): ASIA-region suppliers who shipped MORE THAN HALF
+    * of some small-prefix part's total 1997 volume — the
+    * dominant-shipper evidence that the stock sits with them.
+    * Distinct suppliers, Q20's (name, acctbal) output, ordered by
+    * name.
+    *
+    * Shape: the year + name-prefix cuts push into the scans (part
+    * prefix prunes the AQE part join's build side); ONE
+    * map-combinable (part, supplier) aggregate; the half-share test
+    * rides a window over the bounded (part × |suppliers|) frame;
+    * the region chain broadcasts and the final supplier set
+    * resolves by semi-join — Q20's nested EXISTS chain with zero
+    * correlated subqueries. */
+  def excessShippersOf(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    val smallParts = part.filter(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val perSupp = lineitem
+      .filter(year(col("l_shipdate")) === 1997)
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("units"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("units").as("q"))
+      .withColumn("total_q",
+        sum("q").over(Window.partitionBy("l_partkey")))
+      .filter(col("q") * 2 > col("total_q"))
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .join(perSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
+  def excessShippers(spark: SparkSession, dir: String): DataFrame =
+    excessShippersOf(Tables.lineitem(spark, dir), Tables.part(spark, dir),
+      Tables.supplier(spark, dir), Tables.nation(spark, dir),
+      Tables.region(spark, dir))
 }

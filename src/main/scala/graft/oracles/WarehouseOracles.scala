@@ -1736,5 +1736,125 @@ private[graft] object WarehouseOracles {
         |  CAST(COUNT(*) AS BIGINT) AS n_customers
         |FROM customer c LEFT JOIN pc USING (c_custkey)
         |GROUP BY 1 ORDER BY n_orders""".stripMargin,
+
+    // Q2 shape: realized unit cost per (part, supplier), window MIN
+    // over EUROPE suppliers of STANDARD parts keeps ties, top-100 by
+    // acctbal DESC on a total tie-break.
+    "min_cost_supplier" ->
+      """WITH uc AS (SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      // SUM(CAST(l_quantity AS BIGINT)) AS unit_cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |es AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |j AS (SELECT es.s_acctbal, es.s_name, es.n_name, p.p_partkey,
+        |    CAST(p.p_size AS BIGINT) AS p_size, uc.unit_cost_cents,
+        |    MIN(uc.unit_cost_cents)
+        |      OVER (PARTITION BY p.p_partkey) AS min_cost
+        |  FROM uc
+        |  JOIN es ON uc.l_suppkey = es.s_suppkey
+        |  JOIN part p ON uc.l_partkey = p.p_partkey
+        |  WHERE p.p_type = 'STANDARD')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_size,
+        |  CAST(unit_cost_cents AS BIGINT) AS unit_cost_cents
+        |FROM j WHERE unit_cost_cents = min_cost
+        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    // Q9 shape: realized-vs-list margin per supplier nation x ship
+    // year, both legs on the 1e-2-cent grid, share in basis points.
+    "nation_profit" ->
+      """WITH l AS (SELECT l_partkey, l_suppkey,
+        |    CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+        |    CAST(l_quantity AS BIGINT) AS units,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      AS net_c100
+        |  FROM lineitem),
+        |j AS (SELECT n.n_name, l.ship_year,
+        |    CAST(l.net_c100 AS HUGEINT) AS net_c100,
+        |    CAST(l.units AS HUGEINT)
+        |      * CAST(floor(p.p_retailprice * 100 + 0.5) AS HUGEINT)
+        |      * 100 AS list_c100
+        |  FROM l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |SELECT n_name, ship_year,
+        |  CAST(SUM(net_c100) AS BIGINT) AS revenue_c100,
+        |  CAST(SUM(list_c100) AS BIGINT) AS list_c100,
+        |  CAST(SUM(net_c100) - SUM(list_c100) AS BIGINT) AS margin_c100,
+        |  CAST(((SUM(net_c100) - SUM(list_c100)) * 10000)
+        |    // SUM(net_c100) AS BIGINT) AS margin_bp
+        |FROM j GROUP BY 1, 2 ORDER BY n_name, ship_year""".stripMargin,
+
+    // Q11 shape: per-part shipped value of NATION_7's suppliers,
+    // keep parts above 0.05% of the nation total (value*2000 > total).
+    "important_parts" ->
+      """WITH v AS (SELECT l.l_partkey,
+        |    SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      AS HUGEINT)) AS value
+        |  FROM lineitem l
+        |  WHERE l.l_suppkey IN (SELECT s_suppkey FROM supplier s
+        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |    WHERE n.n_name = 'NATION_7')
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(value) AS total FROM v)
+        |SELECT v.l_partkey AS p_partkey,
+        |  CAST(v.value AS BIGINT) AS value_c100,
+        |  CAST((v.value * 1000000) // t.total AS BIGINT) AS share_ppm
+        |FROM v, t WHERE v.value * 2000 > t.total
+        |ORDER BY value_c100 DESC, p_partkey""".stripMargin,
+
+    // Q12 shape: FAST (<=30d order-to-ship) vs SLOW lines, urgent/high
+    // priorities vs the rest, per ship year.
+    "priority_ship_mix" ->
+      """SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+        |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) <= 30
+        |    THEN 'FAST' ELSE 'SLOW' END AS speed_class,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY ship_year, speed_class""".stripMargin,
+
+    // Q16 shape: distinct suppliers per (brand, type, size), one brand
+    // excluded, deficit-book suppliers anti-joined out, 8 sizes.
+    "part_supplier_variety" ->
+      """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        |  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#13'
+        |  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Q20 shape: ASIA suppliers who shipped >half of a small-prefix
+    // part's total 1997 volume.
+    "excess_shippers" ->
+      """WITH q AS (SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS q
+        |  FROM lineitem
+        |  WHERE year(CAST(l_shipdate AS DATE)) = 1997
+        |    AND l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY 1, 2),
+        |w AS (SELECT l_suppkey, q,
+        |    SUM(q) OVER (PARTITION BY l_partkey) AS total_q FROM q)
+        |SELECT s.s_name, s.s_acctbal
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND s.s_suppkey IN (SELECT DISTINCT l_suppkey FROM w
+        |    WHERE q * 2 > total_q)
+        |ORDER BY s_name""".stripMargin,
   )
 }

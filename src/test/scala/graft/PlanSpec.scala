@@ -1918,4 +1918,66 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(bnlj(som).isEmpty,
       s"source_overlap: pair mass explodes map-side, never a joins:\n$som")
   }
+
+  test("round-16 third tranche: the six TPC-H completions bounded as designed") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    // Q2: dims broadcast, the min-cost window rides the bounded
+    // (part × supplier) frame, top-100 is TakeOrderedAndProject
+    val mc = plan(Warehouse.minCostSupplier(spark, Sf))
+    noCartesian("min_cost_supplier", mc)
+    assert(mc.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"min_cost: the region→nation→supplier chain must broadcast:\n$mc")
+    assert(mc.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"min_cost: part-partitioned window only:\n$mc")
+    assert(mc.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"min_cost: top-100 must be TakeOrderedAndProject:\n$mc")
+    // Q9: no window at all — the profit expression folds into ONE
+    // aggregate; the nation chain broadcasts
+    val np = plan(Warehouse.nationProfit(spark, Sf))
+    noCartesian("nation_profit", np)
+    assert(bnlj(np).isEmpty, s"nation_profit: equijoins only:\n$np")
+    assert(np.collect { case w: WindowExec => w }.isEmpty,
+      s"nation_profit: aggregate-only, no window:\n$np")
+    assert(np.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"nation_profit: the supplier→nation chain must broadcast:\n$np")
+    // Q11: the nation's supplier keys broadcast as a semi-join; the
+    // total is a 1-row broadcast (never a single-partition window)
+    val ip = plan(Warehouse.importantParts(spark, Sf))
+    noCartesian("important_parts", ip)
+    assert(bnlj(ip).length <= 1,
+      s"important_parts: only the 1-row total broadcast:\n$ip")
+    assert(ip.collect { case w: WindowExec => w }.isEmpty,
+      s"important_parts: no window — the total is a 1-row broadcast:\n$ip")
+    // Q12: one fact⋈fact equijoin into one bounded aggregate
+    val pm2 = plan(Warehouse.priorityShipMix(spark, Sf))
+    noCartesian("priority_ship_mix", pm2)
+    assert(bnlj(pm2).isEmpty, s"priority_ship_mix: equijoin only:\n$pm2")
+    assert(pm2.collect { case w: WindowExec => w }.isEmpty,
+      s"priority_ship_mix: the CASE folds into the aggregate:\n$pm2")
+    // Q16: the deficit-book anti-join broadcasts; distinct resolves
+    // as an aggregate, never count(DISTINCT) over a wide shuffle
+    val psv = plan(Warehouse.partSupplierVariety(spark, Sf))
+    noCartesian("part_supplier_variety", psv)
+    assert(psv.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"part_supplier_variety: broadcast anti-join:\n$psv")
+    // Q20: year+prefix cuts reach the scans; the half-share window
+    // rides the part-partitioned bounded frame
+    val ex = plan(Warehouse.excessShippers(spark, Sf))
+    noCartesian("excess_shippers", ex)
+    assert(ex.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"excess_shippers: part-partitioned window only:\n$ex")
+    val exScans = ex.collect { case f: FileSourceScanExec => f }
+    assert(exScans.exists(_.dataFilters.exists(
+        _.toString.contains("l_shipdate"))),
+      s"excess_shippers: the 1997 cut must reach the fact scan:\n$ex")
+  }
 }
