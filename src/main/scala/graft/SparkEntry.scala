@@ -626,7 +626,14 @@ object SparkEntry {
     "important_parts"   -> (Warehouse.importantParts(_, _)),
     "priority_ship_mix" -> (Warehouse.priorityShipMix(_, _)),
     "part_supplier_variety" -> (Warehouse.partSupplierVariety(_, _)),
-    "excess_shippers"   -> (Warehouse.excessShippers(_, _))
+    "excess_shippers"   -> (Warehouse.excessShippers(_, _)),
+    // Round-16 fourth tranche: the assumption-audit stats shelf —
+    // sign test, Mood's median, Cox-Stuart, Ljung-Box, TOST
+    "sign_test"         -> (Robust.signTest(_, _)),
+    "mood_median"       -> (Robust.moodMedian(_, _)),
+    "cox_stuart"        -> (Robust.coxStuart(_, _)),
+    "ljung_box"         -> (EventAnalytics.ljungBox(_, _)),
+    "tost_equivalence"  -> (Behavior.tostEquivalence(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -1465,6 +1465,69 @@ object Behavior {
   def welchTest(spark: SparkSession, dir: String): DataFrame =
     welchTestOf(Tables.events(spark, dir))
 
+  /** TOST equivalence test per event type (Schuirmann '87 two
+    * one-sided tests — the question every OTHER test in the shelf
+    * cannot answer: not "did the treatment move the metric?" but
+    * "are the arms the SAME within a margin?" — the read a
+    * no-regression deploy, a holdback audit, or a cheaper-variant
+    * swap actually needs, where a flat [[welchTestOf]] p-value is
+    * NOT evidence of equivalence, only absence of evidence): margin
+    * δ = 10% of |control mean|, z_lower = (Δ̄ + δ)/SE and z_upper =
+    * (δ − Δ̄)/SE on [[welchTestOf]]'s exact moment machinery
+    * (integer micro-grid n/Σv/Σv² per arm, fixed arm order, ONE
+    * double chain), equivalent iff BOTH exceed 1.644854 (one-sided
+    * 5% — the fixed-literal rule).
+    *
+    * Degenerate contract: arms need n ≥ 2; a zero control mean
+    * makes δ = 0 (equivalence then demands Δ̄ exactly inside ±0) and
+    * zero-variance pairs null the z's via NULLIF — never a
+    * fabricated verdict.
+    *
+    * Shape: EXACTLY the welch fold — ONE map-combinable (type, arm)
+    * fact aggregate, arithmetic on the ≤|types| frame after. */
+  def tostEquivalenceOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perArm = events.select(col("event_type"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"),
+        arm2(col("user_id")).as("arm"))
+      .groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vq").cast(dec)).as("s"),
+        sum(expr(s"CAST(vq AS $dec) * vq")).as("ss"))
+    def pick(c: String, a: Int) = max(when(col("arm") === a, col(c)))
+    val wide = perArm.groupBy("event_type")
+      .agg(pick("n", 0).as("n0"), pick("n", 1).as("n1"),
+        pick("s", 0).as("s0"), pick("s", 1).as("s1"),
+        pick("ss", 0).as("ss0"), pick("ss", 1).as("ss1"))
+      .filter(col("n0") > 1 && col("n1") > 1)
+    val calc = wide.selectExpr("event_type", "n0", "n1",
+      "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0",
+      "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1",
+      """(CAST(ss0 AS DOUBLE)
+        | - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |/ CAST(n0 - 1 AS DOUBLE)""".stripMargin + " AS v0",
+      """(CAST(ss1 AS DOUBLE)
+        | - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |/ CAST(n1 - 1 AS DOUBLE)""".stripMargin + " AS v1")
+      .withColumn("se", expr(
+        "sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE))"))
+      .withColumn("delta", expr("abs(m0) * 0.1"))
+    val r6 = graft.functions.TextF.round6HalfUp _
+    calc.select(col("event_type"), col("n0"), col("n1"),
+        r6(expr("(m1 - m0) / 1e6")).as("mean_diff"),
+        r6(expr("delta / 1e6")).as("margin"),
+        r6(expr("((m1 - m0) + delta) / NULLIF(se, 0.0)")).as("z_lower"),
+        r6(expr("(delta - (m1 - m0)) / NULLIF(se, 0.0)")).as("z_upper"))
+      .withColumn("equivalent",
+        when(col("z_lower").isNull || col("z_upper").isNull, lit(false))
+          .otherwise(col("z_lower") > 1.644854 &&
+            col("z_upper") > 1.644854))
+      .orderBy("event_type")
+  }
+
+  def tostEquivalence(spark: SparkSession, dir: String): DataFrame =
+    tostEquivalenceOf(Tables.events(spark, dir))
+
   /** Two-sample Poisson rate test per event type — the COUNT-metric
     * A/B readout ([[abTestOf]] tests a per-user proportion,
     * [[welchTestOf]] a per-event value; "did the treatment change how

@@ -1832,4 +1832,189 @@ object Robust {
 
   def quantileLift(spark: SparkSession, dir: String): DataFrame =
     quantileLiftOf(Tables.events(spark, dir))
+
+  /** Sign test on the day-paired purchase/view daily revenues — the
+    * DISTRIBUTION-FREE-est member of the paired family
+    * ([[wilcoxonSignedRankOf]] assumes symmetric differences to use
+    * magnitudes; the sign test assumes NOTHING but exchangeability,
+    * so it is the pair the reviewer reaches for when the wilcoxon
+    * verdict needs a no-assumptions second): d_t = rev_A − rev_B per
+    * day on the exact cent grid, ties (d = 0) dropped and COUNTED
+    * (the tie mass is the published honesty check), z =
+    * (n⁺ − n⁻)/√(n⁺ + n⁻) — the binomial normal approximation with
+    * every operand an exact integer and ONE double division.
+    *
+    * Degenerate contract: every day tying exactly (n⁺ + n⁻ = 0)
+    * emits nothing — no vacuous verdict (the wilcoxon convention).
+    *
+    * Shape: ONE (day) fact aggregate; the sign fold is a 1-row
+    * global aggregate over the calendar-bounded day frame. */
+  def signTestOf(events: DataFrame, typeA: String = "purchase",
+      typeB: String = "view"): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .groupBy("day")
+      .agg(sum(when(col("event_type") === typeA, col("vc"))
+        .otherwise(0L)).as("ra"),
+        sum(when(col("event_type") === typeB, col("vc"))
+          .otherwise(0L)).as("rb"))
+      .select((col("ra") - col("rb")).as("d"))
+    daily.agg(
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("d") < 0L, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("d") === 0L, 1L).otherwise(0L)).as("n_ties"))
+      .filter(col("n_pos") + col("n_neg") > 0L)
+      .select(col("n_pos"), col("n_neg"), col("n_ties"),
+        TextF.round6HalfUp(
+          (col("n_pos") - col("n_neg")).cast("double") /
+            sqrt((col("n_pos") + col("n_neg")).cast("double"))).as("z"))
+      .withColumn("significant",
+        when(col("z").isNull, lit(false)).otherwise(abs(col("z")) > 1.959964))
+  }
+
+  def signTest(spark: SparkSession, dir: String): DataFrame =
+    signTestOf(Tables.events(spark, dir))
+
+  /** Mood's median test per event type across the three-arm md5
+    * assignment — the k-sample location test that survives what
+    * breaks [[kruskalWallisOf]]'s rank machinery (a heavy-tailed
+    * metric with gross outliers: ranks still move with every value,
+    * the median test only asks ABOVE OR NOT): the type's grand
+    * median is the lower nearest-rank off the cumulative value grid
+    * (the KW/QTE machinery — never a per-arm sort), each arm splits
+    * into above/not-above (ties sit NOT-above, the documented
+    * convention), and χ² = Σ(O−E)²/E over the 2×k table with
+    * E = row·col/n — integer counts into ONE double chain, χ²
+    * df = k−1 verdict off the fixed literals (3.841459 / 5.991465;
+    * k outside 2..3 refuses with NULL, the friedman-ladder rule).
+    *
+    * Degenerate contract: an arm with zero rows simply isn't a
+    * column (k shrinks); all values equal (above-row total 0) nulls
+    * χ² via try_divide — never a fabricated verdict.
+    *
+    * Shape: ONE map-combinable (type, value, arm) fact aggregate;
+    * the cumulative window rides the type-partitioned value grid;
+    * the median frame (≤|types| rows) broadcasts back; everything
+    * after is arithmetic on the ≤|types|×3 frame. */
+  def moodMedianOf(events: DataFrame): DataFrame = {
+    val grid = events
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"),
+        Behavior.arm3(col("user_id")).as("arm"))
+      .groupBy("event_type", "vc", "arm")
+      .agg(count(lit(1)).as("c"))
+    val byTypeVal = grid.groupBy("event_type", "vc")
+      .agg(sum("c").as("tc"))
+      .withColumn("cum", sum("tc").over(
+        Window.partitionBy("event_type").orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("tc").over(Window.partitionBy("event_type")))
+    val med = byTypeVal
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("event_type")
+      .agg(min("vc").as("med"), max("n").as("n"))
+    val perArm = grid
+      .join(broadcast(med), "event_type")
+      .groupBy("event_type", "arm")
+      .agg(sum("c").as("na"),
+        sum(when(col("vc") > col("med"), col("c")).otherwise(0L)).as("aa"),
+        max("med").as("med"), max("n").as("n"))
+    perArm
+      .withColumn("atot", sum("aa").over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("med").as("median_cents"),
+        count(lit(1)).as("k_arms"),
+        max("atot").as("atot"),
+        sum(expr(
+          """try_divide(
+            |  (CAST(aa AS DOUBLE)
+            |    - CAST(atot AS DOUBLE) * na / CAST(n AS DOUBLE))
+            |  * (CAST(aa AS DOUBLE)
+            |    - CAST(atot AS DOUBLE) * na / CAST(n AS DOUBLE)),
+            |  CAST(atot AS DOUBLE) * na / CAST(n AS DOUBLE))
+            |+ try_divide(
+            |  (CAST(na - aa AS DOUBLE)
+            |    - CAST(n - atot AS DOUBLE) * na / CAST(n AS DOUBLE))
+            |  * (CAST(na - aa AS DOUBLE)
+            |    - CAST(n - atot AS DOUBLE) * na / CAST(n AS DOUBLE)),
+            |  CAST(n - atot AS DOUBLE) * na / CAST(n AS DOUBLE))""".stripMargin))
+          .as("chi2_raw"))
+      .select(col("event_type"), col("n"), col("median_cents"),
+        col("k_arms"),
+        // SUM skips NULL terms in both engines, so an all-equal type
+        // (atot = 0: every above-expected count zero) must refuse
+        // EXPLICITLY — the try_divide nulls alone would silently sum
+        // the surviving half-terms into a fabricated χ².
+        when(col("atot") === 0L || col("atot") === col("n"),
+          lit(null).cast("double"))
+          .otherwise(TextF.round6HalfUp(col("chi2_raw"))).as("chi2"))
+      .withColumn("significant",
+        when(col("chi2").isNull, lit(null).cast("boolean"))
+          .otherwise(when(col("k_arms") === 2L, col("chi2") > 3.841459)
+            .otherwise(when(col("k_arms") === 3L, col("chi2") > 5.991465)
+              .otherwise(lit(null).cast("boolean")))))
+      .orderBy("event_type")
+  }
+
+  def moodMedian(spark: SparkSession, dir: String): DataFrame =
+    moodMedianOf(Tables.events(spark, dir))
+
+  /** Cox–Stuart trend test per event type on daily revenue — the
+    * sign test bent into a trend detector (pair day i with day
+    * i + ⌈n/2⌉ and ask which half is bigger; [[mannKendallOf]] reads
+    * ALL O(n²) pairs for power, Cox–Stuart reads n/2 INDEPENDENT
+    * pairs — the five-line answer whose verdict survives any
+    * monotone transform of the metric): daily totals on the exact
+    * micro grid, the middle day of an odd series drops (standard),
+    * tied pairs drop and are counted, z = (S⁺ − S⁻)/√(S⁺ + S⁻) with
+    * |z| > 1.959964 mapping to increasing/decreasing/none.
+    *
+    * Shape: ONE (type, day) fact aggregate; the half-pairing is a
+    * map-side pair index on the calendar-bounded daily frame (half
+    * label + position arithmetic — no self-join, the frame never
+    * scans twice), one bounded per-type fold. */
+  def coxStuartOf(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .groupBy("event_type", "day")
+      .agg(sum("qv").as("qrev"))
+      .withColumn("rn", row_number().over(byType))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("event_type")))
+      // c = ⌈n/2⌉ = (n+1) div 2: first half rn ≤ n div 2 (odd middle
+      // drops), second half rn > c; pair index i = rn or rn − c.
+      .withColumn("half",
+        when(col("rn") <= expr("nn div 2"), 1L)
+          .when(col("rn") > expr("(nn + 1) div 2"), 2L))
+      .filter(col("half").isNotNull)
+      .withColumn("i",
+        when(col("half") === 1L, col("rn"))
+          .otherwise(col("rn") - expr("(nn + 1) div 2")))
+    daily
+      .groupBy("event_type", "i")
+      .agg(max(when(col("half") === 1L, col("qrev"))).as("x1"),
+        max(when(col("half") === 2L, col("qrev"))).as("x2"))
+      .filter(col("x1").isNotNull && col("x2").isNotNull)
+      .groupBy("event_type")
+      .agg(sum(when(col("x2") > col("x1"), 1L).otherwise(0L)).as("s_plus"),
+        sum(when(col("x2") < col("x1"), 1L).otherwise(0L)).as("s_minus"),
+        sum(when(col("x2") === col("x1"), 1L).otherwise(0L)).as("n_ties"))
+      .filter(col("s_plus") + col("s_minus") > 0L)
+      .select(col("event_type"), col("s_plus"), col("s_minus"),
+        col("n_ties"),
+        TextF.round6HalfUp(
+          (col("s_plus") - col("s_minus")).cast("double") /
+            sqrt((col("s_plus") + col("s_minus")).cast("double"))).as("z"))
+      .withColumn("trend",
+        when(col("z") > 1.959964, lit("increasing"))
+          .when(col("z") < -1.959964, lit("decreasing"))
+          .otherwise(lit("none")))
+      .orderBy("event_type")
+  }
+
+  def coxStuart(spark: SparkSession, dir: String): DataFrame =
+    coxStuartOf(Tables.events(spark, dir))
 }

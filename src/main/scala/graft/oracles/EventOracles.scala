@@ -3498,5 +3498,231 @@ private[graft] object EventOracles {
         |  (SELECT CAST(MAX(sz) AS BIGINT) FROM sizes) AS giant_size,
         |  CAST(((SELECT MAX(sz) FROM sizes) * 1000000)
         |    // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS giant_share_ppm""".stripMargin,
+
+    // Sign test: day-paired purchase/view cent-grid differences,
+    // ties dropped and counted, one double division.
+    "sign_test" ->
+      """WITH daily AS (SELECT
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |        ELSE 0 END) AS BIGINT) AS ra,
+        |    CAST(SUM(CASE WHEN event_type = 'view'
+        |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |        ELSE 0 END) AS BIGINT) AS rb
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN ra > rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(SUM(CASE WHEN ra < rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg,
+        |    CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ties
+        |  FROM daily),
+        |f AS (SELECT n_pos, n_neg, n_ties,
+        |    floor(CAST(n_pos - n_neg AS DOUBLE)
+        |      / sqrt(CAST(n_pos + n_neg AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS z
+        |  FROM a WHERE n_pos + n_neg > 0)
+        |SELECT n_pos, n_neg, n_ties, z,
+        |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.959964 END
+        |    AS significant
+        |FROM f""".stripMargin,
+
+    // Mood's median test: grand median off the cumulative value grid,
+    // 2xk above/not-above table, chi2 df = k-1, all-equal type refuses.
+    "mood_median" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 3 AS arm
+        |  FROM events),
+        |g AS (SELECT event_type, vc, arm, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |tv AS (SELECT event_type, vc, CAST(SUM(c) AS BIGINT) AS tc
+        |  FROM g GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(SUM(tc) OVER (PARTITION BY event_type ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(tc) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM tv),
+        |med AS (SELECT event_type, CAST(MIN(vc) AS BIGINT) AS med,
+        |    CAST(MAX(n) AS BIGINT) AS n
+        |  FROM w WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |pa AS (SELECT g.event_type, g.arm,
+        |    CAST(SUM(g.c) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN g.vc > med.med THEN g.c ELSE 0 END)
+        |      AS BIGINT) AS aa,
+        |    CAST(MAX(med.med) AS BIGINT) AS med,
+        |    CAST(MAX(med.n) AS BIGINT) AS n
+        |  FROM g JOIN med ON g.event_type = med.event_type
+        |  GROUP BY 1, 2),
+        |pa2 AS (SELECT *,
+        |    CAST(SUM(aa) OVER (PARTITION BY event_type) AS BIGINT) AS atot
+        |  FROM pa),
+        |f AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(MAX(med) AS BIGINT) AS median_cents,
+        |    CAST(COUNT(*) AS BIGINT) AS k_arms,
+        |    CAST(MAX(atot) AS BIGINT) AS atot,
+        |    SUM(
+        |      (CAST(aa AS DOUBLE)
+        |        - CAST(atot AS DOUBLE) * na / CAST(n AS DOUBLE))
+        |      * (CAST(aa AS DOUBLE)
+        |        - CAST(atot AS DOUBLE) * na / CAST(n AS DOUBLE))
+        |      / NULLIF(CAST(atot AS DOUBLE) * na / CAST(n AS DOUBLE), 0.0)
+        |      + (CAST(na - aa AS DOUBLE)
+        |        - CAST(n - atot AS DOUBLE) * na / CAST(n AS DOUBLE))
+        |      * (CAST(na - aa AS DOUBLE)
+        |        - CAST(n - atot AS DOUBLE) * na / CAST(n AS DOUBLE))
+        |      / NULLIF(CAST(n - atot AS DOUBLE) * na / CAST(n AS DOUBLE),
+        |          0.0)) AS chi2_raw
+        |  FROM pa2 GROUP BY 1),
+        |r AS (SELECT event_type, n, median_cents, k_arms,
+        |    CASE WHEN atot = 0 OR atot = n THEN NULL
+        |      ELSE floor(chi2_raw * 1e6 + 0.5) / 1e6 END AS chi2
+        |  FROM f)
+        |SELECT event_type, n, median_cents, k_arms, chi2,
+        |  CASE WHEN chi2 IS NULL THEN NULL
+        |    WHEN k_arms = 2 THEN chi2 > 3.841459
+        |    WHEN k_arms = 3 THEN chi2 > 5.991465
+        |    ELSE NULL END AS significant
+        |FROM r ORDER BY event_type""".stripMargin,
+
+    // Cox-Stuart: half-pairing by position on the daily micro-grid
+    // frame, odd middle drops, sign fold, trend verdict.
+    "cox_stuart" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS qrev
+        |  FROM events GROUP BY 1, 2),
+        |rn AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+        |  FROM daily),
+        |h AS (SELECT event_type, qrev,
+        |    CASE WHEN rn <= nn // 2 THEN 1
+        |      WHEN rn > (nn + 1) // 2 THEN 2 END AS half,
+        |    CASE WHEN rn <= nn // 2 THEN rn
+        |      ELSE rn - (nn + 1) // 2 END AS i
+        |  FROM rn
+        |  WHERE rn <= nn // 2 OR rn > (nn + 1) // 2),
+        |p AS (SELECT event_type, i,
+        |    MAX(CASE WHEN half = 1 THEN qrev END) AS x1,
+        |    MAX(CASE WHEN half = 2 THEN qrev END) AS x2
+        |  FROM h GROUP BY 1, 2),
+        |s AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN x2 > x1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s_plus,
+        |    CAST(SUM(CASE WHEN x2 < x1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s_minus,
+        |    CAST(SUM(CASE WHEN x2 = x1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ties
+        |  FROM p WHERE x1 IS NOT NULL AND x2 IS NOT NULL
+        |  GROUP BY 1),
+        |f AS (SELECT event_type, s_plus, s_minus, n_ties,
+        |    floor(CAST(s_plus - s_minus AS DOUBLE)
+        |      / sqrt(CAST(s_plus + s_minus AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |      AS z
+        |  FROM s WHERE s_plus + s_minus > 0)
+        |SELECT event_type, s_plus, s_minus, n_ties, z,
+        |  CASE WHEN z > 1.959964 THEN 'increasing'
+        |    WHEN z < -1.959964 THEN 'decreasing'
+        |    ELSE 'none' END AS trend
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // Ljung-Box: acf_daily's dense-grid integer deviations, unrounded
+    // r_k, Q = n(n+2) sum r_k^2/(n-k), df=7 literal; partial-lag
+    // series refuse the verdict.
+    "ljung_box" ->
+      """WITH ev AS (SELECT event_type,
+        |        CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day FROM events),
+        |daily AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+        |          FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT t.event_type, CAST(g.gs AS DATE) AS day
+        |         FROM (SELECT DISTINCT event_type FROM daily) t,
+        |              (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS gs
+        |               FROM b) g),
+        |dense AS (SELECT grid.event_type, grid.day, COALESCE(daily.x, 0) AS x
+        |          FROM grid LEFT JOIN daily
+        |            ON grid.event_type = daily.event_type AND grid.day = daily.day),
+        |dev AS (SELECT event_type, day,
+        |          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+        |            - CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS d
+        |        FROM dense),
+        |num AS (SELECT a.event_type, l.k AS lag, CAST(SUM(a.d * p.d) AS BIGINT) AS num
+        |        FROM dev a
+        |        JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) l(k) ON TRUE
+        |        JOIN dev p ON p.event_type = a.event_type AND p.day = a.day + l.k
+        |        GROUP BY 1, 2),
+        |den AS (SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS den,
+        |          CAST(COUNT(*) AS BIGINT) AS n_days
+        |        FROM dev GROUP BY 1),
+        |q AS (SELECT n.event_type, d.n_days,
+        |        CAST(COUNT(*) AS BIGINT) AS lags_used,
+        |        SUM((CAST(n.num AS DOUBLE) / NULLIF(CAST(d.den AS DOUBLE), 0.0))
+        |          * (CAST(n.num AS DOUBLE) / NULLIF(CAST(d.den AS DOUBLE), 0.0))
+        |          / CAST(d.n_days - n.lag AS DOUBLE)) AS qterm
+        |      FROM num n JOIN den d USING (event_type)
+        |      GROUP BY 1, 2),
+        |f AS (SELECT event_type, n_days, lags_used,
+        |        floor(CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE)
+        |          * qterm * 1e6 + 0.5) / 1e6 AS q_stat
+        |      FROM q)
+        |SELECT event_type, n_days, lags_used, q_stat,
+        |  CASE WHEN q_stat IS NULL OR lags_used <> 7 THEN NULL
+        |    ELSE q_stat > 14.067140 END AS significant
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // TOST equivalence: the welch moment machinery, margin = 10% of
+    // |control mean|, both one-sided z's above 1.644854.
+    "tost_equivalence" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM events),
+        |pa AS (SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(vq AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(vq AS DECIMAL(38,0)) * vq) AS ss
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type,
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+        |    MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+        |    MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+        |    MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+        |  FROM pa GROUP BY 1),
+        |c AS (SELECT event_type, n0, n1,
+        |    CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    (CAST(ss0 AS DOUBLE)
+        |     - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |    / CAST(n0 - 1 AS DOUBLE) AS v0,
+        |    (CAST(ss1 AS DOUBLE)
+        |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    / CAST(n1 - 1 AS DOUBLE) AS v1
+        |  FROM w WHERE n0 > 1 AND n1 > 1),
+        |c2 AS (SELECT *,
+        |    sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)) AS se,
+        |    abs(m0) * 0.1 AS delta
+        |  FROM c),
+        |r AS (SELECT event_type, n0, n1,
+        |    floor((m1 - m0) / 1e6 * 1e6 + 0.5) / 1e6 AS mean_diff,
+        |    floor(delta / 1e6 * 1e6 + 0.5) / 1e6 AS margin,
+        |    floor(((m1 - m0) + delta) / NULLIF(se, 0.0) * 1e6 + 0.5) / 1e6
+        |      AS z_lower,
+        |    floor((delta - (m1 - m0)) / NULLIF(se, 0.0) * 1e6 + 0.5) / 1e6
+        |      AS z_upper
+        |  FROM c2)
+        |SELECT event_type, n0, n1, mean_diff, margin, z_lower, z_upper,
+        |  CASE WHEN z_lower IS NULL OR z_upper IS NULL THEN FALSE
+        |    ELSE z_lower > 1.644854 AND z_upper > 1.644854 END
+        |    AS equivalent
+        |FROM r ORDER BY event_type""".stripMargin,
   )
 }

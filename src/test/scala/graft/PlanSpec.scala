@@ -1980,4 +1980,50 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         _.toString.contains("l_shipdate"))),
       s"excess_shippers: the 1997 cut must reach the fact scan:\n$ex")
   }
+
+  test("round-16 fourth tranche: stats-shelf plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    // sign test + TOST: join-free single folds off ONE fact scan
+    for ((n, p) <- Seq(
+      "sign_test" -> plan(graft.operators.Robust.signTest(spark, Sf)),
+      "tost_equivalence" ->
+        plan(Behavior.tostEquivalence(spark, Sf)))) {
+      noCartesian(n, p)
+      assert(bnlj(p).isEmpty, s"$n: join-free:\n$p")
+      assert(p.collect { case f: FileSourceScanExec => f }.length == 1,
+        s"$n: one fact scan:\n$p")
+    }
+    // Mood median: type-partitioned cumulative window, the ≤|types|
+    // median frame broadcast back — never a per-arm sort
+    val mm = plan(graft.operators.Robust.moodMedian(spark, Sf))
+    noCartesian("mood_median", mm)
+    assert(mm.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"mood_median: partitioned windows only:\n$mm")
+    // Cox-Stuart: the half-pairing is POSITION ARITHMETIC on the daily
+    // frame — one fact scan, no self-join of the aggregate
+    val cs = plan(graft.operators.Robust.coxStuart(spark, Sf))
+    noCartesian("cox_stuart", cs)
+    assert(bnlj(cs).isEmpty, s"cox_stuart: join-free:\n$cs")
+    assert(cs.collect { case f: FileSourceScanExec => f }.length == 1,
+      s"cox_stuart: the pairing must not re-scan the fact:\n$cs")
+    assert(cs.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"cox_stuart: type-partitioned windows only:\n$cs")
+    // Ljung-Box: the acf shape — only the 1-row bounds broadcast
+    val lb = plan(EventAnalytics.ljungBox(spark, Sf))
+    noCartesian("ljung_box", lb)
+    // the dev subtree feeds BOTH the num and den folds (the shipped
+    // acf_daily shape), so the 1-row bounds broadcast plans twice
+    assert(bnlj(lb).length <= 2,
+      s"ljung_box: only the 1-row bounds broadcasts:\n$lb")
+    assert(lb.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"ljung_box: type-partitioned windows only:\n$lb")
+  }
 }

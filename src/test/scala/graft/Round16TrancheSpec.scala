@@ -528,4 +528,134 @@ class Round16TrancheSpec extends AnyFunSuite with SparkFixture {
     assert(out.length == 1, s"only the >half shipper: ${out.mkString(";")}")
     assert(out(0).getString(0) == "s-two")
   }
+
+  // ---- fourth tranche: the assumption-audit stats shelf ----
+
+  private def pvEvents(rows: (String, Double, Double)*): DataFrame =
+    // one purchase and one view row per day
+    rows.flatMap { case (d, p, v) =>
+      Seq((d, "purchase", p), (d, "view", v))
+    }.zipWithIndex.map { case ((d, t, x), i) => (i.toLong, i.toLong, t, d, x) }
+      .toDF("event_id", "user_id", "event_type", "d", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("d")).as("ts"), col("value"))
+
+  test("sign_test: hand-counted signs, tie mass published, z = 2/sqrt(4)") {
+    val e = pvEvents(
+      ("2024-01-01 00:00:00", 2.0, 1.0),  // +
+      ("2024-01-02 00:00:00", 3.0, 1.0),  // +
+      ("2024-01-03 00:00:00", 4.0, 1.0),  // +
+      ("2024-01-04 00:00:00", 1.0, 2.0),  // −
+      ("2024-01-05 00:00:00", 5.0, 5.0))  // tie: dropped, counted
+    val out = Robust.signTestOf(e).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 1.0, s"z = (3-1)/sqrt(4): $r")
+    assert(!r.getBoolean(4))
+  }
+
+  test("sign_test: every day tying emits nothing") {
+    val e = pvEvents(("2024-01-01 00:00:00", 2.0, 2.0),
+      ("2024-01-02 00:00:00", 3.0, 3.0))
+    assert(Robust.signTestOf(e).collect().isEmpty)
+  }
+
+  test("mood_median: planted arm separation is significant; all-equal type refuses") {
+    // Resolve the engine's own arm assignment, plant arm-ordered
+    // values for 'buy' and a constant for 'flat'.
+    val arms = (1L to 90L).toDF("user_id")
+      .select(col("user_id"), Behavior.arm3(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = (1L to 90L).flatMap { u =>
+      Seq((u, u, "buy", "2024-01-01 00:00:00", 1.0 + arms(u) * 100.0),
+        (u, u, "flat", "2024-01-01 00:00:00", 7.0))
+    }.toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    val out = Robust.moodMedianOf(e).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val buy = out("buy")
+    assert(buy.getLong(3) == 3L, s"three arms present: $buy")
+    assert(!buy.isNullAt(4) && buy.getDouble(4) > 5.991465, s"chi2: $buy")
+    assert(buy.getBoolean(5), s"full separation significant: $buy")
+    val flat = out("flat")
+    assert(flat.isNullAt(4) && flat.isNullAt(5),
+      s"all-equal type refuses (atot = 0): $flat")
+    assert(flat.getLong(2) == 700L, "median on the cent grid")
+  }
+
+  test("cox_stuart: a monotone series reads increasing; the odd middle drops; tied pair counted") {
+    def days(vals: Double*) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong, "buy", f"2024-01-${i + 1}%02d 00:00:00", v)
+    }.toDF("event_id", "user_id", "event_type", "d", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("d")).as("ts"), col("value"))
+    // 9 days strictly increasing: c = 5, middle (rn=5) drops, 4 pairs
+    // all positive → z = 4/sqrt(4) = 2.0 > 1.959964
+    val out = Robust.coxStuartOf(
+      days(1, 2, 3, 4, 5, 6, 7, 8, 9)).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+    assert(r.getDouble(4) == 2.0 && r.getString(5) == "increasing", s"$r")
+    // one tied pair (day1 = day5 under c = 4, n = 8): dropped + counted
+    val out2 = Robust.coxStuartOf(
+      days(5, 2, 3, 4, 5, 6, 7, 8)).collect()(0)
+    assert(out2.getLong(3) == 1L, s"tie mass published: $out2")
+    assert(out2.getLong(1) == 3L && out2.getLong(2) == 0L, s"$out2")
+  }
+
+  test("ljung_box: a period-2 cycle is detected; short series refuses; constant series nulls Q") {
+    def mk(rows: Seq[(String, Int)]): DataFrame =
+      rows.zipWithIndex.flatMap { case ((d, c), _) =>
+        (1 to c).map(j => (d, j))
+      }.zipWithIndex.map { case ((d, _), i) => (i.toLong, i.toLong, "buy", d) }
+        .toDF("event_id", "user_id", "event_type", "d")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_timestamp(col("d")).as("ts"), lit(1.0).as("value"))
+    // 30 days alternating 1/11 events: strong negative lag-1, positive
+    // lag-2 autocorrelation → Q far above 14.067
+    val alt = mk((1 to 30).map(i =>
+      (f"2024-01-$i%02d 00:00:00", if (i % 2 == 0) 11 else 1)))
+    val out = EventAnalytics.ljungBoxOf(alt).collect()(0)
+    assert(out.getLong(1) == 30L && out.getLong(2) == 7L, s"$out")
+    assert(out.getDouble(3) > 14.067140 && out.getBoolean(4), s"$out")
+    // 6 days: only 5 lags observable → verdict refuses
+    val short = mk((1 to 6).map(i =>
+      (f"2024-01-$i%02d 00:00:00", i)))
+    val s = EventAnalytics.ljungBoxOf(short).collect()(0)
+    assert(s.getLong(2) == 5L && s.isNullAt(4), s"partial lags refuse: $s")
+    // constant series: den = 0 → Q null, verdict null
+    val const = mk((1 to 20).map(i => (f"2024-01-$i%02d 00:00:00", 3)))
+    val c = EventAnalytics.ljungBoxOf(const).collect()(0)
+    assert(c.isNullAt(3) && c.isNullAt(4), s"constant refuses: $c")
+  }
+
+  test("tost_equivalence: same-mean arms read equivalent, a planted lift does not") {
+    // every user contributes 8.0 and 12.0 → each arm's mean is
+    // EXACTLY 10, within-arm variance 4 → se ~ 0.28 at ~100/arm,
+    // margin = 1.0 → both z ~ 3.5
+    val same = (1L to 100L).flatMap { u =>
+      Seq((u * 2, u, "buy", 8.0), (u * 2 + 1, u, "buy", 12.0))
+    }.toDF("event_id", "user_id", "event_type", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts"), col("value"))
+    val eq = Behavior.tostEquivalenceOf(same).collect()(0)
+    assert(eq.getDouble(3) == 0.0, s"mean diff exactly 0: $eq")
+    assert(eq.getDouble(4) == 1.0, s"margin = 10% of control mean: $eq")
+    assert(eq.getBoolean(7), s"same-mean arms must read equivalent: $eq")
+    // resolve arms, plant +10 on arm 1: far outside the 1.0 margin
+    val arms = (1L to 100L).toDF("user_id")
+      .select(col("user_id"), Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shifted = (1L to 100L).flatMap { u =>
+      val base = 10.0 * arms(u)
+      Seq((u * 2, u, "buy", base + 8.0), (u * 2 + 1, u, "buy", base + 12.0))
+    }.toDF("event_id", "user_id", "event_type", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts"), col("value"))
+    val ne = Behavior.tostEquivalenceOf(shifted).collect()(0)
+    assert(!ne.getBoolean(7), s"a 10-unit lift is not equivalence: $ne")
+  }
 }
