@@ -633,7 +633,12 @@ object SparkEntry {
     "mood_median"       -> (Robust.moodMedian(_, _)),
     "cox_stuart"        -> (Robust.coxStuart(_, _)),
     "ljung_box"         -> (EventAnalytics.ljungBox(_, _)),
-    "tost_equivalence"  -> (Behavior.tostEquivalence(_, _))
+    "tost_equivalence"  -> (Behavior.tostEquivalence(_, _)),
+    // Round-16 fifth tranche: truncated Katz centrality, arrival-order
+    // n-gram novelty + the acquisition curve
+    "katz_centrality"   -> (Graph.katzCentrality(_, _)),
+    "ngram_novelty"     -> (Dedup.ngramNovelty(_, _)),
+    "novelty_curve"     -> (Dedup.noveltyCurve(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextF
@@ -861,4 +862,79 @@ object Dedup {
 
   def bandingSweep(spark: SparkSession, dir: String): DataFrame =
     bandingSweepOf(Tables.documents(spark, dir))
+
+  /** Per-doc 8-gram novelty in ARRIVAL order (Lee '21's memorization
+    * framing turned into the acquisition read: of this document's
+    * distinct 8-grams, how many had never appeared in any EARLIER
+    * document? — [[dupInflationOf]] prices duplicate mass corpus-wide,
+    * this attributes it along the arrival axis, which is what "is new
+    * data still adding information" actually asks): a gram is novel
+    * for the doc holding its MINIMUM doc_id (distinct grams per doc,
+    * so a within-doc repeat can't self-claim twice), novelty as exact
+    * ppm of the doc's gram set. Docs with fewer than 8 tokens have no
+    * grams and emit nothing (the strict-shingle contract).
+    *
+    * Shape: ONE (gram-hash)-keyed shuffle (the dup_matrix machinery)
+    * carrying (doc, gram-hash) pairs; first-seen resolves as a
+    * gram-partitioned window MIN; one doc-keyed aggregate after.
+    * Nothing pairwise anywhere — novelty is a first-seen fold, not a
+    * similarity join. */
+  private[operators] def ngramNoveltyFrame(docs: DataFrame,
+      n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          graft.functions.TextF.strictShingles(col("text"), n))).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
+    grams
+      .withColumn("first_doc",
+        min("doc_id").over(Window.partitionBy("h")))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+  }
+
+  def ngramNoveltyOf(docs: DataFrame, n: Int = 8): DataFrame =
+    ngramNoveltyFrame(docs, n)
+      .select(col("doc_id"), col("source"), col("n_grams"), col("n_novel"),
+        expr("CAST((n_novel * 1000000) div n_grams AS BIGINT)")
+          .as("novelty_ppm"))
+      .orderBy("doc_id")
+
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(spark, dir))
+
+  /** The acquisition CURVE over [[ngramNoveltyOf]]'s per-doc frame:
+    * novel-gram fraction per arrival DECILE (doc_id axis — the
+    * synthetic ids are arrival-dense, the production caller's
+    * ingest sequence number) — the diminishing-returns read that
+    * prices the NEXT batch of data before anyone pays for it: a
+    * curve still high at decile 9 says new data keeps adding
+    * information; one collapsing to boilerplate says the crawl is
+    * saturating.
+    *
+    * Scale note: the decile is MAP-SIDE id arithmetic off the 1-row
+    * bounds broadcast (least(9, (id−min)·10 div span)) — never an
+    * ntile over a single-partition fact-scale window. */
+  def noveltyCurveOf(docs: DataFrame, n: Int = 8): DataFrame = {
+    val perDoc = ngramNoveltyFrame(docs, n)
+    val bounds = perDoc.agg(min("doc_id").as("id0"), max("doc_id").as("id1"))
+    perDoc
+      .crossJoin(broadcast(bounds))
+      .select(least(lit(9L),
+          expr("((doc_id - id0) * 10) div (id1 - id0 + 1)")).as("decile"),
+        col("n_grams"), col("n_novel"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_grams").as("n_grams"),
+        sum("n_novel").as("n_novel"))
+      .select(col("decile"), col("n_docs"), col("n_grams"), col("n_novel"),
+        expr("CAST((n_novel * 1000000) div n_grams AS BIGINT)")
+          .as("novelty_ppm"))
+      .orderBy("decile")
+  }
+
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame =
+    noveltyCurveOf(Tables.documents(spark, dir))
 }

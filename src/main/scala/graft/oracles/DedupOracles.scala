@@ -650,5 +650,58 @@ private[graft] object DedupOracles {
         |      // SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    ELSE NULL END AS cross_share_ppm
         |FROM per""".stripMargin,
+
+    // Arrival-order 8-gram novelty: a gram is novel for its MIN
+    // doc_id holder; distinct grams per doc; exact ppm.
+    "ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, source,
+        |        regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        unnest(list_distinct(list_transform(
+        |          generate_series(1, len(toks) - 7),
+        |          i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+        |      FROM t WHERE len(toks) >= 8),
+        |f AS (SELECT doc_id, source,
+        |        MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+        |      FROM g),
+        |s AS (SELECT doc_id, source,
+        |        CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |        CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_novel
+        |      FROM f GROUP BY 1, 2)
+        |SELECT doc_id, source, n_grams, n_novel,
+        |  CAST((n_novel * 1000000) // n_grams AS BIGINT) AS novelty_ppm
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // The acquisition curve: map-side arrival deciles off the 1-row
+    // id bounds, per-decile novel-gram mass.
+    "novelty_curve" ->
+      """WITH t AS (SELECT doc_id,
+        |        regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(
+        |          generate_series(1, len(toks) - 7),
+        |          i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+        |      FROM t WHERE len(toks) >= 8),
+        |f AS (SELECT doc_id,
+        |        MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+        |      FROM g),
+        |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |        CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_novel
+        |      FROM f GROUP BY 1),
+        |b AS (SELECT MIN(doc_id) AS id0, MAX(doc_id) AS id1 FROM s),
+        |d AS (SELECT LEAST(9, ((s.doc_id - b.id0) * 10)
+        |          // (b.id1 - b.id0 + 1)) AS decile,
+        |        s.n_grams, s.n_novel
+        |      FROM s, b)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+        |  CAST((SUM(n_novel) * 1000000) // SUM(n_grams) AS BIGINT)
+        |    AS novelty_ppm
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
   )
 }

@@ -1154,6 +1154,8 @@ private[graft] object EventOracles {
 
     "pagerank" -> PagerankSql,
 
+    "katz_centrality" -> KatzSql,
+
     "hits" -> HitsSql,
 
     "lpa_communities" -> LpaSql,

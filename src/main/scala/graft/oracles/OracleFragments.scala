@@ -735,6 +735,46 @@ private[graft] object OracleFragments {
       |ORDER BY phi.channel""".stripMargin
   }
 
+  /** Unrolled 6-step truncated Katz (α = 1/2 as the 2^(6−k) integer
+    * weights — katz·64 is exact). Every it_k is AS MATERIALIZED: each
+    * step is referenced twice (by the next step and by the final
+    * weighted sum), and inlining would recompute the chain per
+    * reference (the eigenvector-oracle lesson). */
+  val KatzSql: String = {
+    val step = (k: Int) => s"""it$k AS MATERIALIZED (
+      |  SELECT n2.item, COALESCE(fl.pin, CAST(0 AS HUGEINT)) AS p
+      |  FROM nodes n2 LEFT JOIN (
+      |    SELECT e.dst, CAST(SUM(p.p) AS HUGEINT) AS pin
+      |    FROM it${k - 1} p JOIN e ON e.src = p.item GROUP BY 1) fl
+      |    ON fl.dst = n2.item)""".stripMargin
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+      |         item AS dst
+      |  FROM base),
+      |e AS (SELECT DISTINCT src, dst FROM tr WHERE src IS NOT NULL),
+      |nodes AS (SELECT DISTINCT src AS item FROM e UNION SELECT DISTINCT dst FROM e),
+      |it0 AS MATERIALIZED (SELECT item, CAST(1 AS HUGEINT) AS p FROM nodes),
+      |""".stripMargin +
+      (1 to 6).map(step).mkString(",\n") + """,
+      |acc AS (SELECT n.item,
+      |    32 * i1.p + 16 * i2.p + 8 * i3.p + 4 * i4.p
+      |      + 2 * i5.p + 1 * i6.p AS a
+      |  FROM nodes n
+      |  JOIN it1 i1 ON i1.item = n.item
+      |  JOIN it2 i2 ON i2.item = n.item
+      |  JOIN it3 i3 ON i3.item = n.item
+      |  JOIN it4 i4 ON i4.item = n.item
+      |  JOIN it5 i5 ON i5.item = n.item
+      |  JOIN it6 i6 ON i6.item = n.item)
+      |SELECT item, CAST(a AS BIGINT) AS katz_x64,
+      |  floor(CAST(a AS DOUBLE) / 64.0 * 1e6 + 0.5) / 1e6 AS katz
+      |FROM acc ORDER BY item""".stripMargin
+  }
+
   // DuckDB oracle SQL. Deterministic cross-engine numerics: money math
   // through integer micros (floor then int64 SUM), single final
   // divisions, explicit rounding before ranking.

@@ -2026,4 +2026,36 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .forall(_.partitionSpec.nonEmpty),
       s"ljung_box: type-partitioned windows only:\n$lb")
   }
+
+  test("round-16 fifth tranche: katz/novelty plans bounded as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    // Katz: the checkpointed-loop posture — the final plan reads
+    // checkpoint RDDs, no fact re-scan, equijoins only
+    val kc = plan(graft.operators.Graph.katzCentrality(spark, Sf))
+    noCartesian("katz_centrality", kc)
+    assert(bnlj(kc).isEmpty, s"katz: equijoins only:\n$kc")
+    // novelty: ONE fact scan, the first-seen fold is a gram-
+    // partitioned window — nothing pairwise anywhere
+    val nn = plan(graft.operators.Dedup.ngramNovelty(spark, Sf))
+    noCartesian("ngram_novelty", nn)
+    assert(bnlj(nn).isEmpty, s"ngram_novelty: join-free:\n$nn")
+    assert(nn.collect { case f: FileSourceScanExec => f }.length == 1,
+      s"ngram_novelty: one scan:\n$nn")
+    assert(nn.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"ngram_novelty: gram-partitioned window only:\n$nn")
+    // curve: same machinery + only the 1-row id-bounds broadcast
+    val nc = plan(graft.operators.Dedup.noveltyCurve(spark, Sf))
+    noCartesian("novelty_curve", nc)
+    assert(bnlj(nc).length <= 1,
+      s"novelty_curve: only the 1-row bounds broadcast:\n$nc")
+    assert(nc.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"novelty_curve: gram-partitioned window only:\n$nc")
+  }
 }

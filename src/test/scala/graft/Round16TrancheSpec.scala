@@ -658,4 +658,59 @@ class Round16TrancheSpec extends AnyFunSuite with SparkFixture {
     val ne = Behavior.tostEquivalenceOf(shifted).collect()(0)
     assert(!ne.getBoolean(7), s"a 10-unit lift is not equivalence: $ne")
   }
+
+  // ---- fifth tranche: Katz, n-gram novelty, the acquisition curve ----
+
+  private def walk(items: Long*): DataFrame =
+    items.zipWithIndex.map { case (k, i) =>
+      (i.toLong, 1L, f"2024-01-01 00:00:$i%02d", s"""{"k": $k}""")
+    }.toDF("event_id", "user_id", "s", "props")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("s")).as("ts"), col("props"))
+
+  test("katz_centrality: hand-traced path and cycle walk counts") {
+    // path 1→2→3: into-2 = one 1-walk (32); into-3 = one 1-walk +
+    // one 2-walk (32 + 16 = 48); into-1 = none.
+    val path = graft.operators.Graph.katzCentralityOf(walk(1L, 2L, 3L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(path == Map(1L -> 0L, 2L -> 32L, 3L -> 48L), s"$path")
+    // 2-cycle: exactly one k-walk into each node for every k ≤ 6 →
+    // 32+16+8+4+2+1 = 63, katz = 63/64.
+    val cyc = graft.operators.Graph.katzCentralityOf(walk(1L, 2L, 1L))
+      .collect()
+    assert(cyc.forall(_.getLong(1) == 63L), s"${cyc.mkString(";")}")
+    assert(cyc.forall(_.getDouble(2) == 0.984375), s"${cyc.mkString(";")}")
+  }
+
+  test("ngram_novelty: the first holder claims the gram, repeats claim nothing") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "a"),  // both grams novel
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "a"),  // exact repeat: 0
+      (3L, "w2 w3 w4 w5 w6 w7 w8 w9 x1", "b"),  // shares [w2..w9]: 1/2
+      (4L, "too short", "b"))                   // <8 tokens: absent
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Dedup.ngramNoveltyOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 3 && !out.contains(4L))
+    assert(out(1L).getLong(3) == 2L && out(1L).getLong(4) == 1000000L)
+    assert(out(2L).getLong(3) == 0L && out(2L).getLong(4) == 0L)
+    assert(out(3L).getLong(2) == 2L && out(3L).getLong(3) == 1L &&
+      out(3L).getLong(4) == 500000L, s"${out(3L)}")
+  }
+
+  test("novelty_curve: dense ids 1..10 land one per decile; repeats sink late deciles") {
+    val text = (1 to 9).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 10L).map { id =>
+      // first five docs novel texts, last five repeat doc 1
+      val t = if (id <= 5) text.replace("w1", s"u$id") else text
+      (id, t, "a")
+    }.toDF("doc_id", "text", "source")
+    val out = graft.operators.Dedup.noveltyCurveOf(docs).collect()
+    assert(out.length == 10, s"${out.mkString(";")}")
+    assert(out.map(_.getLong(0)).toSeq == (0L to 9L), s"one per decile")
+    val ppm = out.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(ppm(0L) == 1000000L, "decile 0 is all-novel")
+    assert((6L to 9L).forall(ppm(_) == 0L),
+      s"the repeated tail adds nothing: $ppm")
+  }
 }
