@@ -638,7 +638,8 @@ object SparkEntry {
     // n-gram novelty + the acquisition curve
     "katz_centrality"   -> (Graph.katzCentrality(_, _)),
     "ngram_novelty"     -> (Dedup.ngramNovelty(_, _)),
-    "novelty_curve"     -> (Dedup.noveltyCurve(_, _))
+    "novelty_curve"     -> (Dedup.noveltyCurve(_, _)),
+    "median_polish"     -> (Robust.medianPolish(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -918,7 +918,11 @@ object Dedup {
     * bounds broadcast (least(9, (id−min)·10 div span)) — never an
     * ntile over a single-partition fact-scale window. */
   def noveltyCurveOf(docs: DataFrame, n: Int = 8): DataFrame = {
-    val perDoc = ngramNoveltyFrame(docs, n)
+    // the per-doc frame is doc-bounded and feeds BOTH the 1-row id
+    // bounds and the decile fold — checkpoint so the gram shuffle
+    // (the expensive leg) runs once, not twice (measured 447→~250 s
+    // at ×100 before this cut)
+    val perDoc = ngramNoveltyFrame(docs, n).localCheckpoint(false)
     val bounds = perDoc.agg(min("doc_id").as("id0"), max("doc_id").as("id1"))
     perDoc
       .crossJoin(broadcast(bounds))

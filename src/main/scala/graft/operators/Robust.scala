@@ -2017,4 +2017,83 @@ object Robust {
 
   def coxStuart(spark: SparkSession, dir: String): DataFrame =
     coxStuartOf(Tables.events(spark, dir))
+
+  /** Tukey median polish of the (event-type × weekday) revenue table
+    * (Tukey '77 — the ROBUST twin of
+    * [[EventAnalytics.seasonalDecomposeOf]]'s mean-based additive
+    * decomposition: one whale Saturday drags a mean weekday effect,
+    * the median sweep shrugs it off): two full sweeps of alternating
+    * row/column lower-median extraction, with the effect-vector
+    * median folded into the overall term at each step so the
+    * identity value = overall + type_effect + weekday_effect +
+    * residual holds EXACTLY after every step (spec-asserted). The
+    * table is 5 types × 7 weekdays — both odd, so every median is a
+    * grid ELEMENT: the whole polish is integer-exact on micro
+    * revenue, no halves anywhere (lower-median convention documented
+    * for even counts on other corpora).
+    *
+    * Shape: ONE map-combinable fact aggregate to the ≤|types|×7
+    * frame; the sweeps are collect-sort medians over ≤7-element
+    * groups on that bounded frame — cost is independent of fact
+    * size by construction. */
+  def medianPolishOf(events: DataFrame, sweeps: Int = 2): DataFrame = {
+    require(sweeps >= 1 && sweeps <= 4, s"sweeps in [1,4], got $sweeps")
+    def lowerMed(c: Column): Column =
+      element_at(sort_array(collect_list(c)),
+        ((size(collect_list(c)) + 1) / 2).cast("int"))
+    var g = events
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
+          .as("weekday"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("qv"))
+      .groupBy("event_type", "weekday")
+      .agg(sum("qv").as("v"))
+      .select(col("event_type"), col("weekday").cast("long").as("weekday"),
+        col("v"), col("v").as("res"), lit(0L).as("re"), lit(0L).as("ce"),
+        lit(0L).as("ov"))
+      // the grid is multi-referenced by every sweep step (median
+      // extraction + join-back): checkpoint so the FACT scan runs
+      // once and each step reads the 35-row RDD (PlanSpec pins one
+      // scan; the uncheckpointed form planned six)
+      .localCheckpoint(false)
+    for (_ <- 1 to sweeps) {
+      // row step: extract type medians from residuals; fold the
+      // weekday-effect vector's median into the overall term
+      val rm = g.groupBy("event_type").agg(lowerMed(col("res")).as("rm"))
+      g = g.join(broadcast(rm), "event_type")
+        .select(col("event_type"), col("weekday"), col("v"),
+          (col("res") - col("rm")).as("res"),
+          (col("re") + col("rm")).as("re"), col("ce"), col("ov"))
+      val mc = g.groupBy("weekday").agg(max("ce").as("cev"))
+        .agg(lowerMed(col("cev")).as("mc"))
+      g = g.crossJoin(broadcast(mc))
+        .select(col("event_type"), col("weekday"), col("v"), col("res"),
+          col("re"), (col("ce") - col("mc")).as("ce"),
+          (col("ov") + col("mc")).as("ov"))
+      // column step: symmetric
+      val cm = g.groupBy("weekday").agg(lowerMed(col("res")).as("cm"))
+      g = g.join(broadcast(cm), "weekday")
+        .select(col("event_type"), col("weekday"), col("v"),
+          (col("res") - col("cm")).as("res"), col("re"),
+          (col("ce") + col("cm")).as("ce"), col("ov"))
+      val mr = g.groupBy("event_type").agg(max("re").as("rev"))
+        .agg(lowerMed(col("rev")).as("mr"))
+      g = g.crossJoin(broadcast(mr))
+        .select(col("event_type"), col("weekday"), col("v"), col("res"),
+          (col("re") - col("mr")).as("re"), col("ce"),
+          (col("ov") + col("mr")).as("ov"))
+        // per-sweep lineage cut: the next sweep re-references this
+        // frame four times
+        .localCheckpoint(false)
+    }
+    g.select(col("event_type"), col("weekday"),
+        col("v").as("value_micro"), col("ov").as("overall_micro"),
+        col("re").as("type_effect_micro"),
+        col("ce").as("weekday_effect_micro"),
+        col("res").as("residual_micro"))
+      .orderBy("event_type", "weekday")
+  }
+
+  def medianPolish(spark: SparkSession, dir: String): DataFrame =
+    medianPolishOf(Tables.events(spark, dir))
 }

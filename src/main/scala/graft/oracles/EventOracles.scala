@@ -3726,5 +3726,73 @@ private[graft] object EventOracles {
         |    ELSE z_lower > 1.644854 AND z_upper > 1.644854 END
         |    AS equivalent
         |FROM r ORDER BY event_type""".stripMargin,
+
+    // Tukey median polish: two unrolled sweeps on the 5x7 integer
+    // micro grid, lower-median convention, identity-preserving
+    // effect-median folds; every step MATERIALIZED (multi-referenced).
+    "median_polish" ->
+      """WITH g0 AS MATERIALIZED (SELECT event_type,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(make_timestamp(epoch_us(ts)) AS DATE)) % 7 AS BIGINT)
+        |      AS weekday,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS v,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS res,
+        |    CAST(0 AS BIGINT) AS re, CAST(0 AS BIGINT) AS ce,
+        |    CAST(0 AS BIGINT) AS ov
+        |  FROM events GROUP BY 1, 2),
+        |rm1 AS MATERIALIZED (SELECT event_type,
+        |    (list_sort(list(res)))[CAST((COUNT(*) + 1) // 2 AS INT)] AS rm
+        |  FROM g0 GROUP BY 1),
+        |ga1 AS MATERIALIZED (SELECT g.event_type, g.weekday, g.v,
+        |    g.res - rm.rm AS res, g.re + rm.rm AS re, g.ce, g.ov
+        |  FROM g0 g JOIN rm1 rm USING (event_type)),
+        |mc1 AS MATERIALIZED (SELECT
+        |    (list_sort(list(cev)))[CAST((COUNT(*) + 1) // 2 AS INT)] AS mc
+        |  FROM (SELECT weekday, MAX(ce) AS cev FROM ga1 GROUP BY 1)),
+        |gb1 AS MATERIALIZED (SELECT event_type, weekday, v, res,
+        |    re, ce - mc AS ce, ov + mc AS ov
+        |  FROM ga1, mc1),
+        |cm1 AS MATERIALIZED (SELECT weekday,
+        |    (list_sort(list(res)))[CAST((COUNT(*) + 1) // 2 AS INT)] AS cm
+        |  FROM gb1 GROUP BY 1),
+        |gc1 AS MATERIALIZED (SELECT g.event_type, g.weekday, g.v,
+        |    g.res - cm.cm AS res, g.re, g.ce + cm.cm AS ce, g.ov
+        |  FROM gb1 g JOIN cm1 cm USING (weekday)),
+        |mr1 AS MATERIALIZED (SELECT
+        |    (list_sort(list(rev)))[CAST((COUNT(*) + 1) // 2 AS INT)] AS mr
+        |  FROM (SELECT event_type, MAX(re) AS rev FROM gc1 GROUP BY 1)),
+        |gd1 AS MATERIALIZED (SELECT event_type, weekday, v, res,
+        |    re - mr AS re, ce, ov + mr AS ov
+        |  FROM gc1, mr1),
+        |rm2 AS MATERIALIZED (SELECT event_type,
+        |    (list_sort(list(res)))[CAST((COUNT(*) + 1) // 2 AS INT)] AS rm
+        |  FROM gd1 GROUP BY 1),
+        |ga2 AS MATERIALIZED (SELECT g.event_type, g.weekday, g.v,
+        |    g.res - rm.rm AS res, g.re + rm.rm AS re, g.ce, g.ov
+        |  FROM gd1 g JOIN rm2 rm USING (event_type)),
+        |mc2 AS MATERIALIZED (SELECT
+        |    (list_sort(list(cev)))[CAST((COUNT(*) + 1) // 2 AS INT)] AS mc
+        |  FROM (SELECT weekday, MAX(ce) AS cev FROM ga2 GROUP BY 1)),
+        |gb2 AS MATERIALIZED (SELECT event_type, weekday, v, res,
+        |    re, ce - mc AS ce, ov + mc AS ov
+        |  FROM ga2, mc2),
+        |cm2 AS MATERIALIZED (SELECT weekday,
+        |    (list_sort(list(res)))[CAST((COUNT(*) + 1) // 2 AS INT)] AS cm
+        |  FROM gb2 GROUP BY 1),
+        |gc2 AS MATERIALIZED (SELECT g.event_type, g.weekday, g.v,
+        |    g.res - cm.cm AS res, g.re, g.ce + cm.cm AS ce, g.ov
+        |  FROM gb2 g JOIN cm2 cm USING (weekday)),
+        |mr2 AS MATERIALIZED (SELECT
+        |    (list_sort(list(rev)))[CAST((COUNT(*) + 1) // 2 AS INT)] AS mr
+        |  FROM (SELECT event_type, MAX(re) AS rev FROM gc2 GROUP BY 1)),
+        |gd2 AS MATERIALIZED (SELECT event_type, weekday, v, res,
+        |    re - mr AS re, ce, ov + mr AS ov
+        |  FROM gc2, mr2)
+        |SELECT event_type, weekday, v AS value_micro, ov AS overall_micro,
+        |  re AS type_effect_micro, ce AS weekday_effect_micro,
+        |  res AS residual_micro
+        |FROM gd2 ORDER BY event_type, weekday""".stripMargin,
   )
 }

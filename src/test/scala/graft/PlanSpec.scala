@@ -2057,5 +2057,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(nc.collect { case w: WindowExec => w }
       .forall(_.partitionSpec.nonEmpty),
       s"novelty_curve: gram-partitioned window only:\n$nc")
+    // median polish: the sweeps read the checkpointed 35-row grid —
+    // AT MOST one fact scan may survive into the final plan (the
+    // uncheckpointed form planned six), and the only broadcasts are
+    // the 1-row effect-median folds
+    val mp = plan(graft.operators.Robust.medianPolish(spark, Sf))
+    noCartesian("median_polish", mp)
+    assert(mp.collect { case f: FileSourceScanExec => f }.length <= 1,
+      s"median_polish: the sweeps must not re-scan the fact:\n$mp")
+    assert(bnlj(mp).length <= 4,
+      s"median_polish: only the 1-row effect-median broadcasts:\n$mp")
   }
 }

@@ -698,6 +698,38 @@ class Round16TrancheSpec extends AnyFunSuite with SparkFixture {
       out(3L).getLong(4) == 500000L, s"${out(3L)}")
   }
 
+  test("median_polish: a planted whale stays in the residual, identity exact") {
+    // 3 types × 3 weekdays (2024-01-01/02/03 → dow 4/5/6):
+    //   a: 1 2 3 / b: 2 3 4 / c: 3 4 100 (whale)
+    // hand polish: overall 3, type effects (−1,0,1), weekday effects
+    // (−1,0,1), sole residual 95 at (c, dow6) — the whale never
+    // contaminates an effect (the mean decomposition would smear it).
+    val cells = Seq(
+      ("a", "01", 1.0), ("a", "02", 2.0), ("a", "03", 3.0),
+      ("b", "01", 2.0), ("b", "02", 3.0), ("b", "03", 4.0),
+      ("c", "01", 3.0), ("c", "02", 4.0), ("c", "03", 100.0))
+    val e = cells.zipWithIndex.map { case ((t, d, v), i) =>
+      (i.toLong, i.toLong, t, s"2024-01-$d 00:00:00", v)
+    }.toDF("event_id", "user_id", "event_type", "d", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("d")).as("ts"), col("value"))
+    val out = Robust.medianPolishOf(e).collect()
+    assert(out.length == 9)
+    out.foreach { r =>
+      assert(r.getLong(2) ==
+        r.getLong(3) + r.getLong(4) + r.getLong(5) + r.getLong(6),
+        s"identity must be exact: $r")
+      assert(r.getLong(3) == 3000000L, s"overall: $r")
+    }
+    val eff = out.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(eff(("a", 4L)) == ((-1000000L, -1000000L, 0L)))
+    assert(eff(("c", 6L)) == ((1000000L, 1000000L, 95000000L)),
+      s"the whale is pure residual: ${eff(("c", 6L))}")
+    assert(out.map(_.getLong(6)).count(_ != 0L) == 1,
+      "exactly one nonzero residual")
+  }
+
   test("novelty_curve: dense ids 1..10 land one per decile; repeats sink late deciles") {
     val text = (1 to 9).map(i => s"w$i").mkString(" ")
     val docs = (1L to 10L).map { id =>
