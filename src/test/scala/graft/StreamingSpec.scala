@@ -1597,4 +1597,73 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(a.getDouble(4) == 11.294, s"PH gap at alarm: $a")
     } finally query.stop()
   }
+
+  test("streaming tost: the gauge certifies equivalence, then revokes it when the arm drifts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, Double)]
+    val events = input.toDF().toDF("event_type", "ts", "user_id", "value")
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val query = graft.streaming.StreamingTost.gauges(events).writeStream
+      .format("memory").queryName("tost_gauge").outputMode("append").start()
+    try {
+      // batch 1: every user contributes 8.0 and 12.0 → both arm
+      // means EXACTLY 10, margin 1.0 → equivalent (the batch twin's
+      // same-mean fixture)
+      val same = (1L to 100L).flatMap(u =>
+        Seq(("buy", t0, u, 8.0), ("buy", t0, u, 12.0)))
+      input.addData(same: _*)
+      query.processAllAvailable()
+      val g1 = spark.table("tost_gauge").collect()
+      assert(g1.length == 1, s"one gauge row per batch: ${g1.toSeq}")
+      assert(g1.head.getDouble(3) == 0.0 && g1.head.getDouble(4) == 1.0,
+        s"mean diff / margin: ${g1.head}")
+      assert(g1.head.getBoolean(7), s"same-mean arms certify: ${g1.head}")
+      // the final gauge must agree with the BATCH twin on the union
+      val batchDf = same.toDF("event_type", "t", "user_id", "value")
+        .select(lit(1L).as("event_id"), col("user_id"), col("event_type"),
+          col("t").as("ts"), col("value"))
+      val b = graft.operators.Behavior.tostEquivalenceOf(batchDf).collect()(0)
+      assert(b.getBoolean(7) && b.getDouble(3) == 0.0 &&
+        b.getDouble(4) == 1.0, s"batch twin agrees: $b")
+      assert(g1.head.getDouble(5) == b.getDouble(5) &&
+        g1.head.getDouble(6) == b.getDouble(6),
+        s"z pair streamed ≡ batch: ${g1.head} vs $b")
+      // batch 2: the treated arm drifts +50 — equivalence is LOST
+      // and the gauge SAYS so (running readout, not a latch)
+      val arms = (1L to 100L).toDF("user_id")
+        .select(col("user_id"),
+          graft.operators.Behavior.arm2(col("user_id")).as("arm"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val treated = (1L to 100L).filter(arms(_) == 1L).take(20)
+      input.addData(treated.map(u => ("buy", t0, u, 60.0)): _*)
+      query.processAllAvailable()
+      val g2 = spark.table("tost_gauge").collect()
+      assert(g2.length == 2, s"a second gauge row: ${g2.toSeq}")
+      val last = g2.maxBy(_.getLong(2))
+      assert(!last.getBoolean(7), s"drift revokes the certificate: $last")
+      assert(last.getDouble(3) > 1.0, s"the lift is visible: $last")
+    } finally query.stop()
+  }
+
+  test("streaming tost: under two observations per arm the gauge stays silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, Double)]
+    val events = input.toDF().toDF("event_type", "ts", "user_id", "value")
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val query = graft.streaming.StreamingTost.gauges(events).writeStream
+      .format("memory").queryName("tost_quiet").outputMode("append").start()
+    try {
+      // one user per arm, one event each: n0 = n1 = 1 — no variance,
+      // no gauge
+      val arms = (1L to 10L).toDF("user_id")
+        .select(col("user_id"),
+          graft.operators.Behavior.arm2(col("user_id")).as("arm"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val u0 = (1L to 10L).find(arms(_) == 0L).get
+      val u1 = (1L to 10L).find(arms(_) == 1L).get
+      input.addData(("buy", t0, u0, 5.0), ("buy", t0, u1, 5.0))
+      query.processAllAvailable()
+      assert(spark.table("tost_quiet").isEmpty, "needs n ≥ 2 per arm")
+    } finally query.stop()
+  }
 }
