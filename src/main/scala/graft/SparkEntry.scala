@@ -639,7 +639,11 @@ object SparkEntry {
     "katz_centrality"   -> (Graph.katzCentrality(_, _)),
     "ngram_novelty"     -> (Dedup.ngramNovelty(_, _)),
     "novelty_curve"     -> (Dedup.noveltyCurve(_, _)),
-    "median_polish"     -> (Robust.medianPolish(_, _))
+    "median_polish"     -> (Robust.medianPolish(_, _)),
+    // Round-16 sixth tranche: the third residual gate + the
+    // crawl-health arrival dashboard
+    "breusch_pagan"     -> (EventAnalytics.breuschPagan(_, _)),
+    "arrival_quality_mix" -> (CorpusStats.arrivalQualityMix(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

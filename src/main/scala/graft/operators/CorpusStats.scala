@@ -2275,4 +2275,45 @@ object CorpusStats {
 
   def fleissKappaGates(spark: SparkSession, dir: String): DataFrame =
     fleissKappaGatesOf(Tables.documents(spark, dir))
+
+  /** Arrival-decile quality & source-mix drift (the crawl-health
+    * dashboard beside row 462's novelty curve: novelty says whether
+    * new data ADDS information, this says whether it's GETTING WORSE
+    * and whether the source mix is drifting — the two silent ways a
+    * long-running ingest degrades a training corpus): per (arrival
+    * decile, source): doc count, mean quality on the 4-dp grid
+    * (per-doc scores quantize to 1e4-integers BEFORE the mean — the
+    * sum is exact, ONE double division at the edge), whitespace +
+    * BPE token mass. The decile is [[graft.operators.Dedup
+    * .noveltyCurveOf]]'s map-side id arithmetic off the 1-row bounds
+    * broadcast — never an ntile over a fact-scale window.
+    *
+    * Shape: ONE documents scan, map-side regex scoring (codegen'd,
+    * the corpus_clean class), one bounded (≤10×|sources|) aggregate. */
+  def arrivalQualityMixOf(docs: DataFrame): DataFrame = {
+    val bounds = docs.agg(min("doc_id").as("id0"), max("doc_id").as("id1"))
+    docs
+      .crossJoin(broadcast(bounds))
+      .select(least(lit(9L),
+          expr("((doc_id - id0) * 10) div (id1 - id0 + 1)")).as("decile"),
+        col("source"),
+        floor(TextF.qualityScore(col("text"), TextAnalysis.Stopwords)
+          * 1e4 + 0.5).cast("long").as("q4"),
+        TextF.tokenCount(col("text")).cast("long").as("ws_toks"),
+        TextF.bpeTokenCount(col("text")).cast("long").as("bpe_toks"))
+      .groupBy("decile", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("q4").as("q4s"),
+        sum("ws_toks").as("ws_tokens"),
+        sum("bpe_toks").as("bpe_tokens"))
+      .select(col("decile"), col("source"), col("n_docs"),
+        TextF.round4HalfUp(
+          col("q4s").cast("double") / col("n_docs").cast("double") / 1e4)
+          .as("mean_quality"),
+        col("ws_tokens"), col("bpe_tokens"))
+      .orderBy("decile", "source")
+  }
+
+  def arrivalQualityMix(spark: SparkSession, dir: String): DataFrame =
+    arrivalQualityMixOf(Tables.documents(spark, dir))
 }

@@ -2277,4 +2277,69 @@ object EventAnalytics {
 
   def durbinWatson(spark: SparkSession, dir: String): DataFrame =
     durbinWatsonOf(Tables.events(spark, dir))
+
+  /** Breusch–Pagan heteroscedasticity gate on the weekday-mean model
+    * (BP '79 in the Koenker studentized LM form — the THIRD residual
+    * assumption the family now covers in full: [[durbinWatsonOf]]
+    * tests lag-1 independence, [[ljungBoxOf]] the omnibus, this
+    * tests CONSTANT VARIANCE — the assumption every ±1.96σ band and
+    * every OLS standard error silently makes, and the one weekday
+    * revenue data most often breaks: busy days are noisier days):
+    * auxiliary regression of e² on the fitted weekday mean, LM =
+    * n·R², χ² df = 1 at 3.841459.
+    *
+    * Numeric design: residuals ride the CENT grid with the weekday
+    * mean as truncating integer division (documented — the e⁴ moment
+    * this test needs crosses decimal(38,0) on [[durbinWatsonOf]]'s
+    * exact micro grid: 1e48; cents keep Σe⁴ ≤ ~1e27). All five
+    * moments are exact decimal(38,0) sums; R² combines them in ONE
+    * double chain (the n·Σfg − ΣfΣg cross terms would square past
+    * decimal38 — the welch convention). Constant fitted means or
+    * zero residual variance null the verdict via try_divide.
+    *
+    * Shape: [[durbinWatsonOf]]'s exact posture — one (type, day)
+    * fact aggregate checkpointed, the ≤35-row weekday-mean broadcast
+    * back, one bounded moment fold. */
+  def breuschPaganOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events.select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .groupBy("event_type", "day").agg(sum("vc").as("v"))
+      .withColumn("w", pmod(
+        datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+      .localCheckpoint(false) // feeds the weekday means AND the residuals
+    val wm = daily.groupBy("event_type", "w").agg(
+      expr("sum(v) div count(1)").as("f"))
+    val res = daily.join(broadcast(wm), Seq("event_type", "w"))
+      .select(col("event_type"), col("f"),
+        (col("v") - col("f")).as("e"))
+    res.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("f").cast(dec)).as("sf"),
+        sum(expr(s"CAST(f AS $dec) * f")).as("sff"),
+        sum(expr(s"CAST(e AS $dec) * e")).as("sg"),
+        sum(expr(s"CAST(e AS $dec) * e * e * e")).as("sgg"),
+        sum(expr(s"CAST(f AS $dec) * e * e")).as("sfg"))
+      .filter(col("n_days") > 2)
+      .select(col("event_type"), col("n_days"),
+        graft.functions.TextF.round6HalfUp(expr(
+          """CAST(n_days AS DOUBLE) *
+            |  (CAST(n_days AS DOUBLE) * CAST(sfg AS DOUBLE)
+            |    - CAST(sf AS DOUBLE) * CAST(sg AS DOUBLE))
+            |* (CAST(n_days AS DOUBLE) * CAST(sfg AS DOUBLE)
+            |    - CAST(sf AS DOUBLE) * CAST(sg AS DOUBLE))
+            |/ NULLIF(
+            |    (CAST(n_days AS DOUBLE) * CAST(sff AS DOUBLE)
+            |      - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+            |  * (CAST(n_days AS DOUBLE) * CAST(sgg AS DOUBLE)
+            |      - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)), 0.0)"""
+            .stripMargin)).as("lm_stat"))
+      .withColumn("heteroscedastic",
+        when(col("lm_stat").isNull, lit(null).cast("boolean"))
+          .otherwise(col("lm_stat") > 3.841459))
+      .orderBy("event_type")
+  }
+
+  def breuschPagan(spark: SparkSession, dir: String): DataFrame =
+    breuschPaganOf(Tables.events(spark, dir))
 }

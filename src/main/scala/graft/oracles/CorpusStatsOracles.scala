@@ -1843,5 +1843,28 @@ private[graft] object CorpusStatsOracles {
         |  CASE WHEN np > 0 THEN CAST((cum_pos * 1000000) // np AS BIGINT)
         |    ELSE NULL END AS capture_ppm
         |FROM c, tot ORDER BY decile""".stripMargin,
+
+    // Arrival-decile quality & mix: map-side deciles off the 1-row id
+    // bounds; 1e4-quantized quality summed exactly, one edge division.
+    "arrival_quality_mix" ->
+      s"""WITH b AS (SELECT MIN(doc_id) AS id0, MAX(doc_id) AS id1
+        |  FROM documents),
+        |m AS (SELECT
+        |    LEAST(9, ((d.doc_id - b.id0) * 10) // (b.id1 - b.id0 + 1))
+        |      AS decile,
+        |    d.source,
+        |    CAST(floor(($QualitySqlExpr) * 1e4 + 0.5) AS BIGINT) AS q4,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+        |      AS ws_toks,
+        |    CAST(len(regexp_extract_all(text,
+        |      ' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+'))
+        |      AS BIGINT) AS bpe_toks
+        |  FROM documents d, b)
+        |SELECT decile, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  floor(CAST(SUM(q4) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e4
+        |    * 1e4 + 0.5) / 1e4 AS mean_quality,
+        |  CAST(SUM(ws_toks) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(bpe_toks) AS BIGINT) AS bpe_tokens
+        |FROM m GROUP BY 1, 2 ORDER BY decile, source""".stripMargin,
   )
 }

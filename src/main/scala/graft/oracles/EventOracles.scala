@@ -3794,5 +3794,48 @@ private[graft] object EventOracles {
         |  re AS type_effect_micro, ce AS weekday_effect_micro,
         |  res AS residual_micro
         |FROM gd2 ORDER BY event_type, weekday""".stripMargin,
+
+    // Breusch-Pagan (Koenker LM) on the cent-grid weekday-mean model:
+    // five exact HUGEINT moments, one double R^2 chain, chi2 df=1.
+    "breusch_pagan" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |wd AS (SELECT *,
+        |    datediff('day', DATE '1970-01-01', day) % 7 AS w
+        |  FROM daily),
+        |wm AS (SELECT event_type, w,
+        |    CAST(SUM(v) // COUNT(*) AS BIGINT) AS f
+        |  FROM wd GROUP BY 1, 2),
+        |res AS (SELECT wd.event_type, wm.f, wd.v - wm.f AS e
+        |  FROM wd JOIN wm ON wd.event_type = wm.event_type
+        |    AND wd.w = wm.w),
+        |mo AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(CAST(f AS HUGEINT)) AS sf,
+        |    SUM(CAST(f AS HUGEINT) * f) AS sff,
+        |    SUM(CAST(e AS HUGEINT) * e) AS sg,
+        |    SUM(CAST(e AS HUGEINT) * e * e * e) AS sgg,
+        |    SUM(CAST(f AS HUGEINT) * e * e) AS sfg
+        |  FROM res GROUP BY 1),
+        |r AS (SELECT event_type, n_days,
+        |    floor(CAST(n_days AS DOUBLE) *
+        |        (CAST(n_days AS DOUBLE) * CAST(sfg AS DOUBLE)
+        |          - CAST(sf AS DOUBLE) * CAST(sg AS DOUBLE))
+        |      * (CAST(n_days AS DOUBLE) * CAST(sfg AS DOUBLE)
+        |          - CAST(sf AS DOUBLE) * CAST(sg AS DOUBLE))
+        |      / NULLIF(
+        |          (CAST(n_days AS DOUBLE) * CAST(sff AS DOUBLE)
+        |            - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+        |        * (CAST(n_days AS DOUBLE) * CAST(sgg AS DOUBLE)
+        |            - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)), 0.0)
+        |      * 1e6 + 0.5) / 1e6 AS lm_stat
+        |  FROM mo WHERE n_days > 2)
+        |SELECT event_type, n_days, lm_stat,
+        |  CASE WHEN lm_stat IS NULL THEN NULL
+        |    ELSE lm_stat > 3.841459 END AS heteroscedastic
+        |FROM r ORDER BY event_type""".stripMargin,
   )
 }

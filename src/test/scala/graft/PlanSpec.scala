@@ -2067,5 +2067,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"median_polish: the sweeps must not re-scan the fact:\n$mp")
     assert(bnlj(mp).length <= 4,
       s"median_polish: only the 1-row effect-median broadcasts:\n$mp")
+    // Breusch-Pagan: the durbin_watson posture — checkpointed daily
+    // frame, weekday-mean broadcast back, bounded moment fold
+    val bp = plan(EventAnalytics.breuschPagan(spark, Sf))
+    noCartesian("breusch_pagan", bp)
+    assert(bp.collect { case f: FileSourceScanExec => f }.length <= 1,
+      s"breusch_pagan: the moments must not re-scan the fact:\n$bp")
+    // arrival dashboard: one documents scan + the 1-row id bounds
+    val aq = plan(graft.operators.CorpusStats.arrivalQualityMix(spark, Sf))
+    noCartesian("arrival_quality_mix", aq)
+    assert(aq.collect { case f: FileSourceScanExec => f }.length <= 2,
+      s"arrival_quality_mix: one scan + the bounds scan at most:\n$aq")
+    assert(bnlj(aq).length <= 1,
+      s"arrival_quality_mix: only the 1-row bounds broadcast:\n$aq")
   }
 }

@@ -730,6 +730,67 @@ class Round16TrancheSpec extends AnyFunSuite with SparkFixture {
       "exactly one nonzero residual")
   }
 
+  // ---- sixth tranche: the third residual gate + the arrival dashboard ----
+
+  private def weekEvents(resid: Int => Long): DataFrame = {
+    // 4 weeks × 7 weekdays, base level 100·(w+1) dollars, residuals
+    // ±resid(w) alternating within each weekday so the weekday mean
+    // is EXACTLY the base (cent grid, no truncation loss).
+    val rows = for {
+      week <- 0 until 4
+      w <- 0 until 7
+    } yield {
+      val dayIdx = week * 7 + w
+      val sign = if (week % 2 == 0) 1L else -1L
+      val cents = (w + 1) * 10000L + sign * resid(w)
+      (dayIdx.toLong, dayIdx.toLong, "buy",
+        f"2024-01-${dayIdx + 1}%02d 00:00:00", cents / 100.0)
+    }
+    rows.toDF("event_id", "user_id", "event_type", "d", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("d")).as("ts"), col("value"))
+  }
+
+  test("breusch_pagan: level-proportional noise flags, alternating noise does not") {
+    // NOTE 2024-01-01 is a Monday but the op buckets by epoch-day mod
+    // 7 — the fixture only needs each calendar weekday to hold its own
+    // level, which consecutive days give regardless of phase.
+    val het = EventAnalytics.breuschPaganOf(
+      weekEvents(w => (w + 1) * 1000L)).collect()(0)
+    assert(het.getLong(1) == 28L, s"$het")
+    assert(!het.isNullAt(2) && het.getDouble(2) > 3.841459, s"lm: $het")
+    assert(het.getBoolean(3), s"level-proportional noise must flag: $het")
+    val hom = EventAnalytics.breuschPaganOf(
+      weekEvents(w => if (w % 2 == 0) 2000L else 1000L)).collect()(0)
+    assert(!hom.isNullAt(2) && hom.getDouble(2) < 3.841459, s"lm: $hom")
+    assert(!hom.getBoolean(3), s"level-blind noise must not flag: $hom")
+    // constant residual variance: the aux regression is 0/0 — refuse
+    val const = EventAnalytics.breuschPaganOf(
+      weekEvents(_ => 1000L)).collect()(0)
+    assert(const.isNullAt(2) && const.isNullAt(3),
+      s"degenerate constant e² refuses: $const")
+  }
+
+  test("arrival_quality_mix: exact token masses, decile arithmetic, quality consistency") {
+    val text = "the cat sat on a mat with the hat"   // 9 ws tokens
+    val docs = (1L to 10L).map { id =>
+      (id, text, if (id <= 5) "early-src" else "late-src")
+    }.toDF("doc_id", "text", "source")
+    val out = graft.operators.CorpusStats.arrivalQualityMixOf(docs).collect()
+    assert(out.length == 10, s"one (decile, source) row per doc here")
+    assert(out.map(_.getLong(0)).toSeq == (0L to 9L))
+    out.foreach { r =>
+      assert(r.getLong(2) == 1L && r.getLong(4) == 9L,
+        s"ws tokens exact: $r")
+      assert(r.getString(1) == (if (r.getLong(0) <= 4) "early-src"
+        else "late-src"), s"source mix follows arrival: $r")
+    }
+    // identical text ⇒ identical quality in every decile
+    assert(out.map(_.getDouble(3)).distinct.length == 1)
+    val q = out.head.getDouble(3)
+    assert(q > 0.0 && q <= 1.0, s"quality in (0,1]: $q")
+  }
+
   test("novelty_curve: dense ids 1..10 land one per decile; repeats sink late deciles") {
     val text = (1 to 9).map(i => s"w$i").mkString(" ")
     val docs = (1L to 10L).map { id =>
