@@ -585,8 +585,8 @@ object Behavior {
 
   /** χ² contingency table for event-type × time-of-week association
     * (the EDA pass behind "does behavior depend on the day"). The
-    * time-of-week bucket is PURE ARITHMETIC — `pmod(days-since-epoch,
-    * 7)` — not a calendar dayofweek() whose week-start convention
+    * time-of-week bucket is PURE ARITHMETIC — `days-since-epoch % 7`
+    * (truncating %, same convention both engine- and oracle-side) — not a calendar dayofweek() whose week-start convention
     * differs between engines; the bucket is a category, so the phase
     * is irrelevant. Expected counts and per-cell contributions
     * `(O−E)²/E` are plain IEEE arithmetic on exact integer totals
@@ -600,7 +600,7 @@ object Behavior {
   def chi2ContingencyOf(events: DataFrame): DataFrame = {
     val cells = events
       .select(col("event_type"),
-        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")), lit(7))
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
           .as("tow"))
       .groupBy("event_type", "tow").agg(count(lit(1)).as("o"))
     val byRow = Window.partitionBy("event_type")
@@ -637,7 +637,7 @@ object Behavior {
   def chi2ResidualsOf(events: DataFrame): DataFrame = {
     val cells = events
       .select(col("event_type"),
-        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")), lit(7))
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
           .as("tow"))
       .groupBy("event_type", "tow").agg(count(lit(1)).as("o"))
     val byRow = Window.partitionBy("event_type")
@@ -2516,7 +2516,7 @@ object Behavior {
   def cramersVOf(events: DataFrame): DataFrame = {
     val cells = events
       .select(col("event_type"),
-        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")), lit(7))
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
           .as("tow"))
       .groupBy("event_type", "tow").agg(count(lit(1)).as("o"))
     val rt = cells.groupBy("event_type").agg(sum("o").as("rt"))

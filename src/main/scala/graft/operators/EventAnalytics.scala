@@ -688,8 +688,8 @@ object EventAnalytics {
     * SAME dense-calendar deviation machinery as the ACF (d = n·x −
     * S keeps deviations integer-exact; r_k = num_k/den is the one
     * double division per lag, UNROUNDED — the published acf's 4 dp
-    * grid is for reading, not for squaring), χ² df = 7 verdict at
-    * the fixed literal 14.067140.
+    * grid is for reading, not for squaring), χ² df = maxLag verdict
+    * against the [[chiSq95]] quantile table (14.067140 at df = 7).
     *
     * Degenerate contract: a constant series (den = 0) nulls Q via
     * try_divide; a series too short for all 7 lags (n ≤ 7) publishes
@@ -745,9 +745,20 @@ object EventAnalytics {
       .withColumn("significant",
         when(col("q_stat").isNull || col("lags_used") =!= maxLag.toLong,
           lit(null).cast("boolean"))
-          .otherwise(col("q_stat") > 14.067140))
+          .otherwise(col("q_stat") > chiSq95(maxLag)))
       .orderBy("event_type")
   }
+
+  /** χ²(df) 0.95 quantiles for df ∈ [1,30] — the [[ljungBoxOf]]
+    * verdict gate must track maxLag, not the df=7 default, or a
+    * full-length series at a non-default lag gets a wrong boolean. */
+  private val chiSq95: Array[Double] = Array(Double.NaN,
+    3.841459, 5.991465, 7.814728, 9.487729, 11.070498,
+    12.591587, 14.067140, 15.507313, 16.918978, 18.307038,
+    19.675138, 21.026070, 22.362032, 23.684791, 24.995790,
+    26.296228, 27.587112, 28.869299, 30.143527, 31.410433,
+    32.670573, 33.924438, 35.172462, 36.415029, 37.652484,
+    38.885139, 40.113272, 41.337138, 42.556968, 43.772972)
 
   def ljungBox(spark: SparkSession, dir: String): DataFrame =
     ljungBoxOf(Tables.events(spark, dir))
@@ -1956,8 +1967,8 @@ object EventAnalytics {
     val daily = events.select(col("event_type"), to_date(col("ts")).as("day"),
         floor(col("value") * 100 + 0.5).cast("long").as("vc"))
       .groupBy("event_type", "day").agg(sum("vc").as("v"))
-      .withColumn("w", pmod(
-        datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+      .withColumn("w",
+        datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
       .localCheckpoint(false) // feeds both mean frames and the residuals
     val gm = daily.groupBy("event_type").agg(count(lit(1)).as("n"),
       expr("(CAST(sum(v) AS DECIMAL(38,0)) * 1000000) div count(1)")
@@ -2198,8 +2209,8 @@ object EventAnalytics {
     * grid + a 1-row total broadcast. */
   def hourlyHeatmapOf(events: DataFrame): DataFrame = {
     val cells = events.select(
-        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
-          lit(7)).as("weekday"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
+          .as("weekday"),
         hour(col("ts")).as("hour_of_day"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
       .groupBy("weekday", "hour_of_day")
@@ -2244,8 +2255,8 @@ object EventAnalytics {
     val daily = events.select(col("event_type"), to_date(col("ts")).as("day"),
         floor(col("value") * 100 + 0.5).cast("long").as("vc"))
       .groupBy("event_type", "day").agg(sum("vc").as("v"))
-      .withColumn("w", pmod(
-        datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+      .withColumn("w",
+        datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
       .localCheckpoint(false) // feeds the weekday means AND the residuals
     val wm = daily.groupBy("event_type", "w").agg(
       expr("(CAST(sum(v) AS DECIMAL(38,0)) * 1000000) div count(1)")
@@ -2305,8 +2316,8 @@ object EventAnalytics {
     val daily = events.select(col("event_type"), to_date(col("ts")).as("day"),
         floor(col("value") * 100 + 0.5).cast("long").as("vc"))
       .groupBy("event_type", "day").agg(sum("vc").as("v"))
-      .withColumn("w", pmod(
-        datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+      .withColumn("w",
+        datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
       .localCheckpoint(false) // feeds the weekday means AND the residuals
     val wm = daily.groupBy("event_type", "w").agg(
       expr("sum(v) div count(1)").as("f"))

@@ -1295,8 +1295,13 @@ object Graph {
         .select(col("item"), (col("acc") + col("p") * w).as("acc"))
         .localCheckpoint(false)
     }
-    acc.select(col("item"), col("acc").cast("long").as("katz_x64"),
-        (floor(col("acc").cast("double") / lit(64.0) * lit(1e6) + lit(0.5))
+    // The integer column is katz·2^iterations (x64 at the default 6);
+    // the normalizer must track the parameter or non-default runs are
+    // mis-scaled by 2^iterations/64.
+    val scale = (1L << iterations).toDouble
+    acc.select(col("item"),
+        col("acc").cast("long").as(s"katz_x${1L << iterations}"),
+        (floor(col("acc").cast("double") / lit(scale) * lit(1e6) + lit(0.5))
           / lit(1e6)).as("katz"))
       .orderBy("item")
   }
