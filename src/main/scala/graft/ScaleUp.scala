@@ -126,6 +126,38 @@ object ScaleUp {
   * corpus through one task and the grouped two-phase rank
   * ([[Scale.groupedTwoPhaseRank]]) keeps full parallelism. Usage:
   * `runMain graft.SkewLang <inDir> <outDir> [dominantPct]`. */
+/** Skew-corner generator for the gram-keyed rehearsals (r17): plants
+  * ONE shared 16-token run at the end of a fraction of documents
+  * (default 30%, deterministically by doc_id hash), so the planted
+  * run contributes 9 single-gram-dominant 8-grams and one viral
+  * 16-gram — the distribution where the r16 per-gram window MIN/COUNT
+  * in ngram_novelty / boilerplate_stats / substr_dup_spans funnelled
+  * ~a third of the corpus through one task, and the r17 map-side-
+  * combinable aggregate + AQE-splittable join-back keeps full
+  * parallelism. Usage: `runMain graft.SkewGram <inDir> <outDir>
+  * [plantPct]`. */
+object SkewGram {
+  def main(args: Array[String]): Unit = {
+    val inDir = args(0)
+    val outDir = args(1)
+    val pct = args.lift(2).map(_.toInt).getOrElse(30)
+    require(pct > 0 && pct <= 100, s"plantPct in (0,100], got $pct")
+    val spark = Sessions.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val planted = (1 to 16).map(i => s"plantedboiler$i").mkString(" ")
+    spark.read.parquet(s"$inDir/documents.parquet")
+      .withColumn("text",
+        when(pmod(xxhash64(col("doc_id")), lit(100)) < pct,
+          concat(col("text"), lit(" " + planted)))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("int"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    println(s"[skewgram] documents: $pct% share one 16-token run -> $outDir")
+    spark.stop()
+  }
+}
+
 object SkewLang {
   def main(args: Array[String]): Unit = {
     val inDir = args(0)

@@ -162,25 +162,36 @@ object Corpus {
     * Documents shorter than n tokens contribute nothing (strict
     * shingles — cf. [[decontaminateOf]]).
     *
-    * 100 TB shape: ONE gram explode feeds both counts — per-gram doc
-    * frequency comes from an unordered COUNT window on the gram-keyed
-    * shuffle (gram sets are distinct per doc, so partition rows = df),
-    * then a single doc-keyed aggregate folds each document's grams into
-    * (n_grams, n_dup). Two shuffles total, no join against an
-    * unbounded "hot grams" side, nothing broadcast.
+    * 100 TB shape (hot-key-proof, r17): per-gram doc frequency is a
+    * map-side-combinable `groupBy(g).count` — the r16 COUNT window
+    * funnelled a viral gram's every occurrence through one task,
+    * where the aggregate emits one partial row per map task. Only
+    * the df ≥ minDocs survivors (the corpus's boilerplate mass, the
+    * bound every duplicated-span method pays) join back against the
+    * gram stream as a LEFT SEMI equi-join — AQE's skew-join split
+    * applies to the probe side, which no window shape allows. The
+    * per-doc gram totals come map-side from the shingle-SET length;
+    * the compact (doc, hash[]) frame checkpoints once and feeds both
+    * legs. Final doc-keyed join: unique keys both sides, no skew.
     */
   def boilerplateStatsOf(docs: DataFrame, n: Int = 8, minDocs: Int = 3): DataFrame = {
     require(n > 1, s"n-gram order must be > 1, got $n")
     require(minDocs > 1, s"minDocs must be > 1, got $minDocs")
-    val grams = explode(graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
+    val hs = graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
       graft.plans.ColumnBridge.expression(col("text")), n, Long.MaxValue,
-      strict = true))).as("g")
-    val dg = docs.select(col("doc_id"), grams)
-    val withDf = dg.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("g")))
-    withDf.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+      strict = true))
+    val hg = docs.select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint(false) // feeds the per-doc totals AND the df fold
+    val dg = hg.select(col("doc_id"), explode(col("hs")).as("g"))
+    val hot = dg.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+    val dup = dg.join(hot, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    hg.select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         TextF.round4HalfUp(
           col("n_dup").cast("double") / col("n_grams").cast("double"))

@@ -729,37 +729,51 @@ object Dedup {
     *
     * Shape, suffix-array-free: positional `minLen`-grams from
     * minLen−1 `lead()`s on ONE doc-keyed window pass (no per-position
-    * slice lambda — spanDedup's lesson); occurrence count and
-    * first-occurrence rank as TWO windows on ONE gram-keyed shuffle
-    * (every occurrence needs its rank, so a window pass is inherent —
-    * no aggregate+join detour); non-canonical duplicated gram starts
-    * become [pos, pos+L−1] intervals that merge into maximal spans by
-    * the classic running-max island scan on the doc-keyed order.
-    * Interval merge instead of covered-position explode: the ×L
-    * fan-out never materializes. Gram-partition sizes are bounded by
-    * the corpus's duplicate mass (a gram's partition is its
-    * occurrence list), the same Θ(dup mass) every exact-substring
-    * method pays.
+    * slice lambda — spanDedup's lesson). Hot-key-proof (r17): the
+    * per-gram occurrence count and canonical first occurrence come
+    * from a map-side-combinable `groupBy(g).agg(count,
+    * min(struct(doc_id, pos)))` — the r16 twin windows funnelled a
+    * viral license gram's every occurrence through one task, where
+    * the aggregate emits one partial row per map task. Only the
+    * occ ≥ 2 survivors (the corpus's duplicate mass, the Θ(dup mass)
+    * bound every exact-substring method pays) join back against the
+    * checkpointed positional-gram frame as an inner equi-join —
+    * AQE's skew-join split applies to the probe side, which no
+    * window shape allows. Non-canonical duplicated gram starts
+    * become [pos, pos+L−1] intervals that merge into maximal spans
+    * by the classic running-max island scan on the doc-keyed order
+    * (doc-bounded window — fine). Interval merge instead of
+    * covered-position explode: the ×L fan-out never materializes.
     */
-  def exactSubstringSpansOf(docs: DataFrame, minLen: Int = 16): DataFrame = {
+  /** The pre-checkpoint positional `minLen`-gram frame of
+    * [[exactSubstringSpansOf]] — exposed so PlanSpec can pin the
+    * scan pruning the checkpoint boundary hides from the outer plan. */
+  private[graft] def substrGramFrame(docs: DataFrame, minLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(minLen > 1, s"minLen must be > 1, got $minLen")
     val tp = docs
       .select(col("doc_id"), posexplode(graft.functions.TextF.tokens(col("text"))))
       .toDF("doc_id", "pos", "tok")
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val tail = (1 until minLen).map(i => lead(col("tok"), i).over(byPos))
-    val grams = tp
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+    tp.select(col("doc_id"), col("pos").cast("long").as("pos"),
         xxhash64((col("tok") +: tail): _*).as("g"),
         tail.last.isNotNull.as("full"))
       .filter(col("full"))
-    val byGram = Window.partitionBy("g")
-    val byGramOrd = byGram.orderBy("doc_id", "pos")
+  }
+
+  def exactSubstringSpansOf(docs: DataFrame, minLen: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen > 1, s"minLen must be > 1, got $minLen")
+    val grams = substrGramFrame(docs, minLen)
+      .localCheckpoint(false) // feeds the per-gram stats AND the join probe
+    val dupGrams = grams
+      .groupBy("g").agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("occ") >= 2)
     val ivals = grams
-      .withColumn("occ", count(lit(1)).over(byGram))
-      .withColumn("rn", row_number().over(byGramOrd))
-      .filter(col("occ") >= 2 && col("rn") > 1) // canonical copy survives
+      .join(dupGrams, Seq("g")) // inner: unique grams drop here
+      .filter(col("doc_id") =!= col("first.doc_id") ||
+        col("pos") =!= col("first.pos")) // canonical copy survives
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + minLen - 1).as("e"))
     val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
@@ -874,25 +888,37 @@ object Dedup {
     * ppm of the doc's gram set. Docs with fewer than 8 tokens have no
     * grams and emit nothing (the strict-shingle contract).
     *
-    * Shape: ONE (gram-hash)-keyed shuffle (the dup_matrix machinery)
-    * carrying (doc, gram-hash) pairs; first-seen resolves as a
-    * gram-partitioned window MIN; one doc-keyed aggregate after.
-    * Nothing pairwise anywhere — novelty is a first-seen fold, not a
+    * Shape (hot-key-proof, r17): the first-seen fold is a map-side-
+    * combinable `groupBy(h).agg(min(doc_id))` — a viral boilerplate
+    * gram contributes ONE partial row per map task instead of
+    * funnelling every occurrence through one window partition (the
+    * r16 window-MIN shape put 30% of the corpus in a single task on
+    * a single-gram-dominant corpus). Novel counts then fold the
+    * |distinct grams|-row first-seen frame by owner doc; per-doc
+    * gram totals come map-side from the hashed shingle-SET length.
+    * The compact (doc, hash[]) frame checkpoints once (8 B/gram) and
+    * feeds both legs — one scan, one tokenize. The final doc-keyed
+    * join has unique keys on both sides: no skew anywhere.
+    * Nothing pairwise — novelty is a first-seen fold, not a
     * similarity join. */
   private[operators] def ngramNoveltyFrame(docs: DataFrame,
       n: Int = 8): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(
-          graft.functions.TextF.strictShingles(col("text"), n))).as("g"))
-      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
-    grams
-      .withColumn("first_doc",
-        min("doc_id").over(Window.partitionBy("h")))
-      .groupBy("doc_id", "source")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+    val hs = graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
+      graft.plans.ColumnBridge.expression(col("text")), n, Long.MaxValue,
+      strict = true))
+    val hg = docs
+      .select(col("doc_id"), col("source"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint(false) // feeds the per-doc totals AND the first-seen fold
+    val novel = hg
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    hg.select(col("doc_id"), col("source"),
+        size(col("hs")).cast("long").as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
   }
 
   def ngramNoveltyOf(docs: DataFrame, n: Int = 8): DataFrame =

@@ -520,23 +520,42 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
 
   // ── round-9 tranche ──────────────────────────────────────────────
 
-  test("exactSubstringSpans: no quadratic join, doc_id+text-only scan, bounded shuffles") {
+  test("exactSubstringSpans: no quadratic join, hot-key-proof gram stats, bounded shuffles") {
     val p = plan(Dedup.exactSubstringSpans(spark, Sf))
     assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
       p.collect { case j: CartesianProductExec => j }.isEmpty,
       s"exact-substring must stay gram-keyed, never all-pairs:\n$p")
-    val scans = p.collect { case s: FileSourceScanExec => s }
-    assert(scans.map(_.requiredSchema.fieldNames.toSet) ==
-      Seq(Set("doc_id", "text")),
-      s"one scan, pruned to doc_id+text:\n$p")
-    // one doc-keyed window (positional grams), one gram-keyed window
-    // pass (occ + rank share the shuffle), one doc-keyed island/agg
-    // re-shuffle, one final range sort = 4; a 5th would mean the
-    // occ/rank windows stopped sharing their gram exchange.
+    // r17 hot-key-proof shape: the per-gram occ/first stats are a
+    // map-side-combinable aggregate + join-back (AQE can split a
+    // skewed probe), NOT the r16 gram-partitioned twin windows (one
+    // viral license gram = one straggler task). The positional-gram
+    // lead window and the pruned doc_id+text scan ride inside the
+    // checkpointed gram frame; the ONLY windows left in the outer
+    // plan are the doc-keyed (bounded) island scan's pair (the
+    // lookbehind MAX and the running island SUM share one exchange).
+    assert(p.collect { case f: FileSourceScanExec => f }.isEmpty,
+      s"the pruned scan rides the checkpointed gram frame:\n$p")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.length <= 2 && wins.forall(_.partitionSpec.nonEmpty),
+      s"only the doc-keyed island windows may remain:\n$p")
+    // gram agg exchange, join-back probe exchange, doc-keyed island
+    // re-shuffle, final range sort = 4 (AQE may reuse the gram pair)
     val shuffles = p.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.length
     assert(shuffles <= 4, s"expected <= 4 exchanges, got $shuffles:\n$p")
+  }
+
+  test("exactSubstringSpans gram frame: doc_id+text-only scan feeds the checkpoint") {
+    // the scan-pruning pin the checkpoint hides from the outer plan:
+    // plan the pre-checkpoint positional-gram frame directly
+    val p = plan(Dedup.substrGramFrame(
+      graft.sources.Tables.documents(spark, Sf), 16))
+    val scans = p.collect { case s: FileSourceScanExec => s }
+    assert(scans.map(_.requiredSchema.fieldNames.toSet) ==
+      Seq(Set("doc_id", "text")),
+      s"one scan, pruned to doc_id+text:\n$p")
   }
 
   test("hits/lpa: iteration joins stay equijoins; only hits' 1-row renorm totals cross") {
@@ -2039,24 +2058,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val kc = plan(graft.operators.Graph.katzCentrality(spark, Sf))
     noCartesian("katz_centrality", kc)
     assert(bnlj(kc).isEmpty, s"katz: equijoins only:\n$kc")
-    // novelty: ONE fact scan, the first-seen fold is a gram-
-    // partitioned window — nothing pairwise anywhere
+    // novelty (r17 hot-key-proof shape): the first-seen fold is a
+    // map-side-combinable gram aggregate — NO window anywhere (the
+    // r16 gram-partitioned window MIN funnelled a viral boilerplate
+    // gram's every occurrence through one task); the single pruned
+    // scan rides inside the checkpointed (doc, hash[]) frame
     val nn = plan(graft.operators.Dedup.ngramNovelty(spark, Sf))
     noCartesian("ngram_novelty", nn)
-    assert(bnlj(nn).isEmpty, s"ngram_novelty: join-free:\n$nn")
-    assert(nn.collect { case f: FileSourceScanExec => f }.length == 1,
-      s"ngram_novelty: one scan:\n$nn")
-    assert(nn.collect { case w: WindowExec => w }
-      .forall(_.partitionSpec.nonEmpty),
-      s"ngram_novelty: gram-partitioned window only:\n$nn")
+    assert(bnlj(nn).isEmpty, s"ngram_novelty: equijoins only:\n$nn")
+    assert(nn.collect { case f: FileSourceScanExec => f }.isEmpty,
+      s"ngram_novelty: the one scan rides the checkpointed frame:\n$nn")
+    assert(nn.collect { case w: WindowExec => w }.isEmpty,
+      s"ngram_novelty: hot-key-proof = window-free:\n$nn")
     // curve: same machinery + only the 1-row id-bounds broadcast
     val nc = plan(graft.operators.Dedup.noveltyCurve(spark, Sf))
     noCartesian("novelty_curve", nc)
     assert(bnlj(nc).length <= 1,
       s"novelty_curve: only the 1-row bounds broadcast:\n$nc")
-    assert(nc.collect { case w: WindowExec => w }
-      .forall(_.partitionSpec.nonEmpty),
-      s"novelty_curve: gram-partitioned window only:\n$nc")
+    assert(nc.collect { case w: WindowExec => w }.isEmpty,
+      s"novelty_curve: hot-key-proof = window-free:\n$nc")
     // median polish: the sweeps read the checkpointed 35-row grid —
     // AT MOST one fact scan may survive into the final plan (the
     // uncheckpointed form planned six), and the only broadcasts are
