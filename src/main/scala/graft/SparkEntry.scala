@@ -643,7 +643,17 @@ object SparkEntry {
     // Round-16 sixth tranche: the third residual gate + the
     // crawl-health arrival dashboard
     "breusch_pagan"     -> (EventAnalytics.breuschPagan(_, _)),
-    "arrival_quality_mix" -> (CorpusStats.arrivalQualityMix(_, _))
+    "arrival_quality_mix" -> (CorpusStats.arrivalQualityMix(_, _)),
+    // Round-17: sketch twins for the round-14+ exact-distinct gram
+    // heavies (VERDICT r16 #3) — graft.scale.approx forced on at
+    // plan build, pinned-frame oracles (HLL merges and the 1/4
+    // key-space hash-samples are order-blind/deterministic)
+    "source_overlap_matrix_approx" ->
+      ((s, d) => Scale.withApprox(s)(Corpus.sourceOverlapMatrix(s, d))),
+    "sentence_dedup_approx" ->
+      ((s, d) => Scale.withApprox(s)(Corpus.sentenceDedup(s, d))),
+    "winnow_fingerprints_approx" ->
+      ((s, d) => Scale.withApprox(s)(TextAnalysis.winnowFingerprints(s, d)))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -1002,8 +1002,10 @@ object Corpus {
     * aggregated frame (the [[graft.operators.Similarity]] MMD
     * complement trick — never a per-instance self-join), then one
     * ≤|sources| rollup. Exact ppm. */
-  def sentenceDedupOf(docs: DataFrame, minChars: Int = 20): DataFrame = {
+  def sentenceDedupOf(docs: DataFrame, minChars: Int = 20,
+                      approx: Boolean = false): DataFrame = {
     require(minChars > 0, s"minChars must be positive, got $minChars")
+    if (approx) return sentenceDedupSketchOf(docs, minChars)
     val perSrc = docs
       .select(col("source"),
         explode(split(col("text"), "[.!?]+")).as("raw"))
@@ -1024,8 +1026,51 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** The graft.scale.approx path of [[sentenceDedupOf]]: the exact
+    * form shuffles every distinct sentence of the corpus as a 32-byte
+    * md5 key — fact-scale distinct state. The sketch twin splits the
+    * two published masses by what each actually needs: the DISTINCT
+    * count folds into a fixed-size HLL per source (rsd 2%, map-side
+    * combinable, no distinct shuffle at all), and the DUP-instance
+    * mass is measured exactly on a deterministic 1/4 sample of the
+    * sentence-KEY space (`pmod(xxhash64(s), 4) = 0` — sampling keys,
+    * not instances, keeps every occurrence of a sampled sentence, so
+    * the within-sample dup structure is the true one and ×4 is an
+    * unbiased scale-up; hash-deterministic, so the pinned oracle
+    * reproduces bit-stably). Total instances stay exact (a plain
+    * combinable count). The only fact-scale distinct-keyed shuffle
+    * left carries 1/4 of the keys at 8 bytes each vs all of them at
+    * 32. ScaleApproxSpec bands both estimates per source. */
+  private def sentenceDedupSketchOf(docs: DataFrame, minChars: Int): DataFrame = {
+    val sent = docs
+      .select(col("source"),
+        explode(split(col("text"), "[.!?]+")).as("raw"))
+      .select(col("source"), trim(col("raw")).as("s"))
+      .filter(length(col("s")) >= minChars)
+      .select(col("source"), xxhash64(col("s")).as("h"))
+    val tot = sent.groupBy("source")
+      .agg(count(lit(1)).as("n_sentences"),
+        approx_count_distinct(col("h"), 0.02).as("n_distinct_sentences"))
+    val dup = sent
+      .filter(pmod(col("h"), lit(4)) === 0)
+      .groupBy("source", "h").agg(count(lit(1)).as("c"))
+      .withColumn("total", sum("c").over(Window.partitionBy("h")))
+      .groupBy("source")
+      .agg((sum(when(col("total") >= 2L, col("c")).otherwise(0L)) * 4L)
+        .as("n_dup_instances"))
+    tot.join(dup, Seq("source"), "left")
+      .select(col("source"), col("n_sentences"), col("n_distinct_sentences"),
+        coalesce(col("n_dup_instances"), lit(0L)).as("n_dup_instances"))
+      .select(col("source"), col("n_sentences"),
+        col("n_distinct_sentences"), col("n_dup_instances"),
+        expr("(n_dup_instances * 1000000) div n_sentences")
+          .as("dup_ppm"))
+      .orderBy("source")
+  }
+
   def sentenceDedup(spark: SparkSession, dir: String): DataFrame =
-    sentenceDedupOf(Tables.documents(spark, dir))
+    sentenceDedupOf(Tables.documents(spark, dir),
+      approx = graft.Scale.approx(spark))
 
   /** Pairwise 8-gram overlap matrix between sources — the provenance
     * read that names WHO shares content with WHOM
@@ -1043,8 +1088,10 @@ object Corpus {
     * per gram — never a gram-keyed self-join; per-source totals ride
     * the SAME frame as a ≤|sources|-row broadcast. Output is
     * ≤ C(|sources|,2) rows. */
-  def sourceOverlapMatrixOf(docs: DataFrame, n: Int = 8): DataFrame = {
+  def sourceOverlapMatrixOf(docs: DataFrame, n: Int = 8,
+                            approx: Boolean = false): DataFrame = {
     require(n > 1, s"n-gram order must be > 1, got $n")
+    if (approx) return sourceOverlapSketchOf(docs, n)
     val grams = explode(graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
       graft.plans.ColumnBridge.expression(col("text")), n, Long.MaxValue,
       strict = true))).as("g")
@@ -1074,6 +1121,54 @@ object Corpus {
       .orderBy("source_a", "source_b")
   }
 
+  /** The graft.scale.approx path of [[sourceOverlapMatrixOf]] — the
+    * r16 ×100 rehearsal's 51× leader, because the exact path's
+    * distinct (gram, source) aggregate shuffles every distinct gram
+    * of a 100 TB corpus. The sketch twin is [[graft.operators.Dedup]]
+    * dupMatrixSketchOf's machinery with the matrix's own output
+    * contract: each source folds its gram stream into ONE
+    * Datasketches HLL (map-side combinable, 256 KB at lgK=18), totals
+    * are per-source estimates and shared mass comes from pairwise
+    * inclusion-exclusion over the |sources|-row sketch frame. The
+    * distinct shuffle AND the per-gram collect_set/pair explode are
+    * GONE — the only pairwise work is |sources|² arithmetic on
+    * kilobyte blobs. Error scales with the pair's UNION (rsd ≈ 0.2%
+    * at lgK=18), so jaccard_ppm for pairs far below that floor drowns
+    * in noise — the provenance signal this matrix triages sits well
+    * above it; non-positive estimates are clamped out, mirroring the
+    * exact path's shared ≥ 1 row contract. ScaleApproxSpec bands
+    * every cell union-relative against the exact matrix. */
+  private def sourceOverlapSketchOf(docs: DataFrame, n: Int): DataFrame = {
+    val grams = explode(graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
+      graft.plans.ColumnBridge.expression(col("text")), n, Long.MaxValue,
+      strict = true))).as("g")
+    val sk = docs.select(col("source"), grams)
+      .groupBy("source")
+      .agg(expr("hll_sketch_agg(g, 18)").as("sk"))
+      .localCheckpoint(false) // both pair sides
+    val pairs = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+      .crossJoin(broadcast(
+        sk.select(col("source").as("source_b"), col("sk").as("sk_b"))))
+      .filter(col("source_a") < col("source_b")) // |sources|² bounded
+    pairs
+      .select(col("source_a"), col("source_b"),
+        round(expr("hll_sketch_estimate(sk_a)")).cast("long").as("tot_a"),
+        round(expr("hll_sketch_estimate(sk_b)")).cast("long").as("tot_b"),
+        greatest(lit(0L),
+          round(expr("hll_sketch_estimate(sk_a)")
+            + expr("hll_sketch_estimate(sk_b)")
+            - expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
+            .cast("long")).as("shared_grams"))
+      .filter(col("shared_grams") > 0L)
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("tot_a"), col("tot_b"),
+        expr("""(shared_grams * 1000000)
+               | div (tot_a + tot_b - shared_grams)""".stripMargin)
+          .as("jaccard_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
   def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame =
-    sourceOverlapMatrixOf(Tables.documents(spark, dir))
+    sourceOverlapMatrixOf(Tables.documents(spark, dir),
+      approx = graft.Scale.approx(spark))
 }

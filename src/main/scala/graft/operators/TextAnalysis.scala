@@ -155,7 +155,7 @@ object TextAnalysis {
     * the only fact-scale shuffles are the (source, print) count and
     * the bounded source rollup. */
   def winnowFingerprintsOf(docs: DataFrame, k: Int = 5,
-                           w: Int = 4): DataFrame = {
+                           w: Int = 4, approx: Boolean = false): DataFrame = {
     require(k >= 1 && w >= 1, s"need k/w positive, got $k/$w")
     val dec = "decimal(38,0)"
     val perDoc = docs
@@ -177,13 +177,33 @@ object TextAnalysis {
     val bySource = perDoc.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_grams").as("n_grams"),
         sum(size(col("prints"))).as("n_prints"))
-    val printStats = perDoc
+    // The graft.scale.approx swap (sentenceDedupSketchOf's recipe):
+    // the exact path shuffles every distinct print as a 32-char md5
+    // string. Sketch twin: distinct-print mass folds into a fixed
+    // HLL per source (rsd 2%, no distinct shuffle); shared-print
+    // mass is measured exactly on a deterministic 1/4 sample of the
+    // print-KEY space and scaled ×4 (sampling keys keeps every doc's
+    // occurrence of a sampled print — unbiased, hash-deterministic).
+    val ps = perDoc
       .select(col("source"), col("doc_id"), explode(col("prints")).as("p"))
-      .groupBy("source", "p")
-      .agg(count(lit(1)).as("nd")) // prints are per-doc distinct already
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_distinct_prints"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_prints"))
+    val printStats =
+      if (!approx)
+        ps.groupBy("source", "p")
+          .agg(count(lit(1)).as("nd")) // prints are per-doc distinct already
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_distinct_prints"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_prints"))
+      else {
+        val dist = ps.groupBy("source")
+          .agg(approx_count_distinct(col("p"), 0.02).as("n_distinct_prints"))
+        val shared = ps
+          .filter(pmod(xxhash64(col("p")), lit(4)) === 0)
+          .groupBy("source", "p").agg(count(lit(1)).as("nd"))
+          .groupBy("source")
+          .agg((sum(when(col("nd") >= 2, 1L).otherwise(0L)) * 4L)
+            .as("n_shared_prints"))
+        dist.join(shared, Seq("source"), "left")
+      }
     bySource.join(printStats, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_grams"), col("n_prints"),
         expr(s"""CAST((CAST(n_prints AS $dec) * 1000000)
@@ -195,7 +215,8 @@ object TextAnalysis {
   }
 
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
-    winnowFingerprintsOf(Tables.documents(spark, dir))
+    winnowFingerprintsOf(Tables.documents(spark, dir),
+      approx = graft.Scale.approx(spark))
 
   /** The composite corpus-cleaning pass an LLM-data pipeline runs
     * before training: quality threshold + length band + language

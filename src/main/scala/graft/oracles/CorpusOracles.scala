@@ -1368,5 +1368,91 @@ private[graft] object CorpusOracles {
         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
         |    - 15.59) * 1e4 + 0.5) / 1e4 AS fk_grade
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    // Round-17 pinned frames: the graft.scale.approx sketch paths of
+    // the round-14+ exact-distinct gram heavies (VERDICT r16 #3).
+    // HLL register maxima are order-blind and the shared/dup masses
+    // ride a deterministic 1/4 hash-sample of the key space, so each
+    // estimate reproduces bit-stably on the fixed sf0.01 corpus;
+    // ScaleApproxSpec bands every estimate against its exact twin on
+    // a twin-heavy fixture (sf0.01 itself has ~no dup mass).
+    "source_overlap_matrix_approx" ->
+      """WITH r(source_a, source_b, shared_grams, tot_a, tot_b, jaccard_ppm) AS (VALUES
+        |  ('src0', 'src12', 29, 1260, 1097, 12457),
+        |  ('src0', 'src13', 73, 1260, 1378, 28460),
+        |  ('src1', 'src5', 137, 1365, 1154, 57514),
+        |  ('src10', 'src12', 18, 1128, 1097, 8155),
+        |  ('src10', 'src18', 86, 1128, 1189, 38547),
+        |  ('src10', 'src7', 86, 1128, 1300, 36720),
+        |  ('src10', 'src9', 20, 1128, 1191, 8699),
+        |  ('src11', 'src3', 36, 1347, 1209, 14285),
+        |  ('src12', 'src17', 35, 1097, 1198, 15486),
+        |  ('src12', 'src18', 31, 1097, 1189, 13747),
+        |  ('src13', 'src18', 64, 1378, 1189, 25569),
+        |  ('src13', 'src5', 72, 1378, 1154, 29268),
+        |  ('src13', 'src7', 71, 1378, 1300, 27234),
+        |  ('src14', 'src15', 24, 1143, 1123, 10704),
+        |  ('src14', 'src7', 16, 1143, 1300, 6592),
+        |  ('src15', 'src6', 28, 1123, 1091, 12808),
+        |  ('src17', 'src6', 29, 1198, 1091, 12831),
+        |  ('src18', 'src2', 52, 1189, 1232, 21950),
+        |  ('src18', 'src4', 1, 1189, 1119, 433),
+        |  ('src3', 'src6', 54, 1209, 1091, 24042),
+        |  ('src4', 'src6', 17, 1119, 1091, 7751),
+        |  ('src5', 'src7', 71, 1154, 1300, 29794),
+        |  ('src5', 'src8', 76, 1154, 961, 37273)
+        |) SELECT CAST(source_a AS VARCHAR) AS source_a, CAST(source_b AS VARCHAR) AS source_b, CAST(shared_grams AS BIGINT) AS shared_grams, CAST(tot_a AS BIGINT) AS tot_a, CAST(tot_b AS BIGINT) AS tot_b, CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm
+        |FROM r""".stripMargin,
+
+    "sentence_dedup_approx" ->
+      """WITH r(source, n_sentences, n_distinct_sentences, n_dup_instances, dup_ppm) AS (VALUES
+        |  ('src0', 25, 25, 0, 0),
+        |  ('src1', 25, 25, 0, 0),
+        |  ('src10', 25, 25, 0, 0),
+        |  ('src11', 25, 25, 0, 0),
+        |  ('src12', 25, 25, 0, 0),
+        |  ('src13', 25, 25, 0, 0),
+        |  ('src14', 25, 25, 0, 0),
+        |  ('src15', 25, 25, 0, 0),
+        |  ('src16', 25, 25, 0, 0),
+        |  ('src17', 25, 25, 0, 0),
+        |  ('src18', 25, 25, 0, 0),
+        |  ('src19', 25, 25, 0, 0),
+        |  ('src2', 25, 25, 0, 0),
+        |  ('src3', 25, 25, 0, 0),
+        |  ('src4', 25, 25, 0, 0),
+        |  ('src5', 25, 25, 0, 0),
+        |  ('src6', 25, 25, 0, 0),
+        |  ('src7', 25, 25, 0, 0),
+        |  ('src8', 25, 25, 0, 0),
+        |  ('src9', 25, 25, 0, 0)
+        |) SELECT CAST(source AS VARCHAR) AS source, CAST(n_sentences AS BIGINT) AS n_sentences, CAST(n_distinct_sentences AS BIGINT) AS n_distinct_sentences, CAST(n_dup_instances AS BIGINT) AS n_dup_instances, CAST(dup_ppm AS BIGINT) AS dup_ppm
+        |FROM r""".stripMargin,
+
+    "winnow_fingerprints_approx" ->
+      """WITH r(source, n_docs, n_grams, n_prints, density_ppm, n_distinct_prints, n_shared_prints) AS (VALUES
+        |  ('src0', 25, 1335, 530, 397003, 522, 0),
+        |  ('src1', 25, 1440, 554, 384722, 553, 0),
+        |  ('src10', 25, 1203, 461, 383208, 458, 0),
+        |  ('src11', 25, 1422, 554, 389592, 554, 0),
+        |  ('src12', 25, 1172, 461, 393344, 463, 0),
+        |  ('src13', 25, 1453, 565, 388850, 556, 0),
+        |  ('src14', 25, 1218, 487, 399835, 487, 0),
+        |  ('src15', 25, 1198, 482, 402337, 477, 0),
+        |  ('src16', 25, 1251, 479, 382893, 480, 0),
+        |  ('src17', 25, 1273, 520, 408483, 523, 0),
+        |  ('src18', 25, 1264, 507, 401107, 508, 0),
+        |  ('src19', 25, 1047, 407, 388729, 409, 0),
+        |  ('src2', 25, 1307, 508, 388676, 512, 0),
+        |  ('src3', 25, 1284, 497, 387071, 496, 0),
+        |  ('src4', 25, 1194, 458, 383584, 464, 0),
+        |  ('src5', 25, 1229, 486, 395443, 494, 0),
+        |  ('src6', 25, 1166, 459, 393653, 458, 0),
+        |  ('src7', 25, 1407, 545, 387348, 532, 12),
+        |  ('src8', 25, 1036, 418, 403474, 413, 0),
+        |  ('src9', 25, 1266, 488, 385466, 490, 0)
+        |) SELECT CAST(source AS VARCHAR) AS source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_prints AS BIGINT) AS n_prints, CAST(density_ppm AS BIGINT) AS density_ppm, CAST(n_distinct_prints AS BIGINT) AS n_distinct_prints, CAST(n_shared_prints AS BIGINT) AS n_shared_prints
+        |FROM r""".stripMargin,
+
   )
 }
