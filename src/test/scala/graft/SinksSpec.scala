@@ -208,4 +208,98 @@ class SinksSpec extends AnyFunSuite with SparkFixture {
       WriteTruncate, Some("day"))
     assert(spark.read.parquet(s"$wh/daily").count() == 1)
   }
+
+  // ── AlertSink: the reference's webhook delivery, sandbox-honest ──
+  // (a loopback JDK HttpServer stands in for the chat endpoint; the
+  // semantics under test are the reference's: JSON {"text": ...}
+  // payload, per-attempt timeout, status-check, log-don't-throw —
+  // plus the bounded-retry hardening)
+
+  private def withHttpServer(handler: com.sun.net.httpserver.HttpExchange => Int)
+      (body: String => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val status = handler(ex)
+      ex.sendResponseHeaders(status, -1)
+      ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/hook")
+    finally server.stop(0)
+  }
+
+  test("AlertSink posts one JSON text payload per alert report and receipts 200") {
+    import graft.sources.AlertSink
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withHttpServer { ex =>
+      bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      200
+    } { url =>
+      val df = Seq(
+        ("app_0", 2L, "- user_3 is above 25% of 7-day avg\n- user_8 is below 25% of 7-day avg"),
+        ("app_1", 1L, "- user_4 is above 25% of 7-day avg"))
+        .toDF("app_name", "alert_count", "report")
+      val d = AlertSink.postAlertReport(df, "2024-01-07", url)
+      assert(d == AlertSink.Delivery(200, 1, ok = true))
+    }
+    assert(bodies.size == 1, "one bounded frame = ONE chat message")
+    val b = bodies.peek()
+    assert(b.startsWith("""{"text": """) && b.endsWith("}"))
+    assert(b.contains("*Native CTR Spike Alert for 2024-01-07*"))
+    assert(b.contains("App name: app_0") && b.contains("App name: app_1"))
+    assert(b.contains("user_3 is above"))
+  }
+
+  test("AlertSink empty frame takes the no-anomaly branch listing watched units") {
+    import graft.sources.AlertSink
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withHttpServer { ex =>
+      bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      200
+    } { url =>
+      val empty = Seq.empty[(String, Long, String)]
+        .toDF("app_name", "alert_count", "report")
+      val d = AlertSink.postAlertReport(empty, "2024-01-07", url,
+        watchedUnits = Seq("unit_a", "unit_b"))
+      assert(d.ok)
+    }
+    val b = bodies.peek()
+    assert(b.contains("No anomalies detected") && b.contains("- unit_a") &&
+      b.contains("- unit_b"))
+  }
+
+  test("AlertSink retries non-200 with bounded attempts and never throws") {
+    import graft.sources.AlertSink
+    // two 500s, then a 200: retry path lands
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    withHttpServer { _ => if (n.incrementAndGet() <= 2) 500 else 200 } { url =>
+      val d = AlertSink.post(url, "msg", maxAttempts = 3, backoffMs = 1)
+      assert(d == AlertSink.Delivery(200, 3, ok = true))
+    }
+    // always-500: exhausts attempts, receipts failure, does NOT throw
+    withHttpServer { _ => 500 } { url =>
+      val d = AlertSink.post(url, "msg", maxAttempts = 2, backoffMs = 1)
+      assert(d == AlertSink.Delivery(500, 2, ok = false))
+    }
+    // connect failure (nothing listening): status 0, still no throw
+    val dead = AlertSink.post("http://127.0.0.1:1/hook", "msg",
+      timeoutMs = 300, maxAttempts = 2, backoffMs = 1)
+    assert(dead == AlertSink.Delivery(0, 2, ok = false))
+  }
+
+  test("AlertSink JSON-escapes control characters and quotes in the blob") {
+    import graft.sources.AlertSink
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withHttpServer { ex =>
+      bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      200
+    } { url =>
+      assert(AlertSink.post(url, "line1\nsay \"hi\" \\ tab\there").ok)
+    }
+    val b = bodies.peek()
+    assert(b.contains("""line1\nsay \"hi\" \\ tab\there"""))
+    // the payload itself must parse as JSON: quick structural check
+    assert(b.count(_ == '{') == 1 && b.count(_ == '}') == 1)
+  }
 }

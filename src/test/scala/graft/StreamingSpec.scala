@@ -1666,4 +1666,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(spark.table("tost_quiet").isEmpty, "needs n ≥ 2 per arm")
     } finally query.stop()
   }
+
+  test("AlertSink.foreachBatchPoster posts one message per non-empty micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (ex: com.sun.net.httpserver.HttpExchange) => {
+      bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+
+    // a streaming alert frame: (app_name, alert_count, report) rows
+    val input = MemoryStream[(String, Long, String)]
+    val alerts = input.toDF().toDF("app_name", "alert_count", "report")
+    val query = alerts.writeStream
+      .foreachBatch(graft.sources.AlertSink.foreachBatchPoster(url))
+      .outputMode("append").start()
+    try {
+      input.addData(("app_0", 1L, "- user_3 is above 25% of 7-day avg"))
+      query.processAllAvailable()
+      input.addData(("app_1", 1L, "- user_4 is below 25% of 7-day avg"))
+      query.processAllAvailable()
+
+      assert(bodies.size == 2, "one message per non-empty batch")
+      val all = bodies.toArray.map(_.toString).mkString("\n")
+      assert(all.contains("App name: app_0") && all.contains("App name: app_1"))
+      assert(all.contains("batch "), "messages are stamped with the batch id")
+    } finally { query.stop(); server.stop(0) }
+  }
 }
