@@ -100,7 +100,11 @@ object StreamingCusum {
             state.update(nxt.copy(openDay = -1L, openPartial = 0L))
             alarm.map(_.copy(event_type = et)).iterator
           } else {
-            val sorted = evs.map(e => (e.ts.getTime, e.value)).toArray.sortBy(_._1)
+            // shared fold-order contract (ts; the value has no
+            // per-event identity — same-ms events fold commutatively
+            // into the day's partial sum)
+            val sorted = SequentialMonitor.ordered(
+              evs.map(e => (e.ts.getTime, e.value)))(p => (p._1, 0L))
             var cur = state.getOption.getOrElse(S(-1L, 0L, Nil, None, 0L, false))
             val out = Vector.newBuilder[Alarm]
             sorted.foreach { case (t, v) =>
@@ -121,7 +125,10 @@ object StreamingCusum {
             }
             state.update(cur)
             if (cur.openDay >= 0L)
-              state.setTimeoutTimestamp((cur.openDay + 1L) * dayMs - 1L, "1 day")
+              // event-time-anchored close (SequentialMonitor leg 3):
+              // the open day's own end, never a watermark offset
+              state.setTimeoutTimestamp(
+                SequentialMonitor.dayCloseTs(cur.openDay, dayMs), "1 day")
             out.result().iterator
           }
       }

@@ -61,30 +61,28 @@ object StreamingPageHinkley {
       .flatMapGroupsWithState[St, Alarm](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (et, obs, state) =>
-          var cur = state.getOption.getOrElse(St(0L, 0L, 0L, 0L, 0L, false))
-          val out = Vector.newBuilder[Alarm]
-          obs.toArray.sortBy(o => (o.ts.getTime, o.event_id))
-            .foreach { o =>
-              if (!cur.fired) {
-                val q = math.floor(o.value * 1e6 + 0.5).toLong
-                val n = cur.n + 1
-                val sum = cur.sum + q
-                val mean = sum / n // trunc-toward-zero running mean
-                val m = cur.m + (q - mean - dq)
-                val minM = math.min(cur.minM, m)
-                val maxM = math.max(cur.maxM, m)
-                cur = St(n, sum, m, minM, maxM, false)
-                if (m - minM > lq) {
-                  cur = cur.copy(fired = true)
-                  out += Alarm(et, "up", n, r4(mean), r4(m - minM))
-                } else if (maxM - m > lq) {
-                  cur = cur.copy(fired = true)
-                  out += Alarm(et, "down", n, r4(mean), r4(maxM - m))
-                }
-              }
-            }
+          // the shared latch + fold-order contract (SequentialMonitor)
+          val (cur, out) = SequentialMonitor.latchedFold[Obs, St, Alarm](
+            obs, state.getOption.getOrElse(St(0L, 0L, 0L, 0L, 0L, false)))(
+            o => (o.ts.getTime, o.event_id))(_.fired) { (st, o) =>
+            val q = math.floor(o.value * 1e6 + 0.5).toLong
+            val n = st.n + 1
+            val sum = st.sum + q
+            val mean = sum / n // trunc-toward-zero running mean
+            val m = st.m + (q - mean - dq)
+            val minM = math.min(st.minM, m)
+            val maxM = math.max(st.maxM, m)
+            val nxt = St(n, sum, m, minM, maxM, false)
+            if (m - minM > lq)
+              (nxt.copy(fired = true),
+                Some(Alarm(et, "up", n, r4(mean), r4(m - minM))))
+            else if (maxM - m > lq)
+              (nxt.copy(fired = true),
+                Some(Alarm(et, "down", n, r4(mean), r4(maxM - m))))
+            else (nxt, None)
+          }
           state.update(cur)
-          out.result().iterator
+          out.iterator
       }
   }
 }

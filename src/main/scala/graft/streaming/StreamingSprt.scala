@@ -65,27 +65,25 @@ object StreamingSprt {
       .flatMapGroupsWithState[St, Decision](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (et, trials, state) =>
-          var cur = state.getOption.getOrElse(St(0L, 0L, 0.0, false))
-          val out = Vector.newBuilder[Decision]
-          trials.toArray.sortBy(t => (t.ts.getTime, t.user_id))
-            .foreach { t =>
-              if (!cur.decided) {
-                val treated = t.arm == 1
-                cur = St(cur.n + 1, cur.nTreated + (if (treated) 1L else 0L),
-                  cur.llr + (if (treated) up else dn), false)
-                if (cur.llr >= bndA) {
-                  cur = cur.copy(decided = true)
-                  out += Decision(et, "accept_h1", cur.n, cur.nTreated,
-                    r4(cur.llr))
-                } else if (cur.llr <= bndB) {
-                  cur = cur.copy(decided = true)
-                  out += Decision(et, "accept_h0", cur.n, cur.nTreated,
-                    r4(cur.llr))
-                }
-              }
-            }
+          // the shared latch + fold-order contract (SequentialMonitor)
+          val (cur, out) = SequentialMonitor.latchedFold[Trial, St, Decision](
+            trials, state.getOption.getOrElse(St(0L, 0L, 0.0, false)))(
+            t => (t.ts.getTime, t.user_id))(_.decided) { (st, t) =>
+            val treated = t.arm == 1
+            val nxt = St(st.n + 1, st.nTreated + (if (treated) 1L else 0L),
+              st.llr + (if (treated) up else dn), false)
+            if (nxt.llr >= bndA)
+              (nxt.copy(decided = true),
+                Some(Decision(et, "accept_h1", nxt.n, nxt.nTreated,
+                  r4(nxt.llr))))
+            else if (nxt.llr <= bndB)
+              (nxt.copy(decided = true),
+                Some(Decision(et, "accept_h0", nxt.n, nxt.nTreated,
+                  r4(nxt.llr))))
+            else (nxt, None)
+          }
           state.update(cur)
-          out.result().iterator
+          out.iterator
       }
   }
 }

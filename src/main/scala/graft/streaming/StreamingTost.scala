@@ -64,7 +64,9 @@ object StreamingTost {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (et, evs, state) =>
           var st = state.getOption.getOrElse(St(0L, 0L, 0L, 0L, 0L, 0L))
-          evs.toArray.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
+          // shared fold-order contract; gauges take no latch by design
+          SequentialMonitor.ordered(evs)(e => (e.ts.getTime, e.user_id))
+            .foreach { e =>
             st =
               if (e.arm == 0)
                 st.copy(n0 = st.n0 + 1, s0 = st.s0 + e.vc,
