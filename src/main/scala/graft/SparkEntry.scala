@@ -653,7 +653,14 @@ object SparkEntry {
     "sentence_dedup_approx" ->
       ((s, d) => Scale.withApprox(s)(Corpus.sentenceDedup(s, d))),
     "winnow_fingerprints_approx" ->
-      ((s, d) => Scale.withApprox(s)(TextAnalysis.winnowFingerprints(s, d)))
+      ((s, d) => Scale.withApprox(s)(TextAnalysis.winnowFingerprints(s, d))),
+    // Round-17 second tranche: experiment integrity (aggregate-vs-
+    // strata contradiction, cluster-robust ratio-metric CI), the
+    // cross-series lead-lag read, and the inventory service-level plan
+    "simpson_reversal"   -> (Behavior.simpsonReversal(_, _)),
+    "jackknife_ratio_se" -> (Behavior.jackknifeRatioSe(_, _)),
+    "ccf_leadlag"        -> (EventAnalytics.ccfLeadlag(_, _)),
+    "reorder_point"      -> (Warehouse.reorderPoint(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -2946,4 +2946,149 @@ object Behavior {
 
   def mdePower(spark: SparkSession, dir: String): DataFrame =
     mdePowerOf(Tables.events(spark, dir))
+
+  /** Simpson's-paradox audit per event type (Simpson '51 / the
+    * Bickel-Berkeley read): does the AGGREGATE arm difference point
+    * the same way as the per-stratum differences, stratified by
+    * weekday — the confounder a time-imbalanced rollout most often
+    * hides behind (one arm over-exposed on high-value days reads as
+    * a treatment effect in the aggregate while losing inside every
+    * weekday)? The audit every flat A/B readout ([[abTestOf]],
+    * [[welchTestOf]]) silently assumes away.
+    *
+    * Determinism: every SIGN is integer-exact — a stratum's mean
+    * difference sign is sign(s1·n0 − s0·n1) on the decimal(38,0)
+    * micro-grid cross-products, never a double subtraction; only the
+    * published overall_diff is a (rounded) double. A stratum is
+    * comparable iff both arms observed it; `strict_reversal` fires
+    * when the aggregate sign is contradicted by EVERY comparable
+    * stratum (zero-sign strata block strictness), `reversed_share`
+    * publishes the weak version.
+    *
+    * Scale: ONE map-side-combinable (type, weekday, arm) aggregate
+    * over the facts — ≤ types×7×2 rows; everything after folds on
+    * that bounded frame. Weekday is plain truncating % (the repo-wide
+    * convention both engines share). */
+  def simpsonReversalOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cell = events
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
+          .as("dow"),
+        arm2(col("user_id")).as("arm"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"))
+      .groupBy("event_type", "dow", "arm")
+      .agg(count(lit(1)).as("n"), sum(col("vq").cast(dec)).as("s"))
+    def pick(c: String, a: Int) = max(when(col("arm") === a, col(c)))
+    val strata = cell.groupBy("event_type", "dow")
+      .agg(coalesce(pick("n", 0), lit(0L)).as("n0"),
+        coalesce(pick("n", 1), lit(0L)).as("n1"),
+        coalesce(pick("s", 0), lit(0L).cast(dec)).as("s0"),
+        coalesce(pick("s", 1), lit(0L).cast(dec)).as("s1"))
+      .withColumn("cmp", col("n0") > 0 && col("n1") > 0)
+      // integer-exact mean-difference sign: m1 > m0 ⇔ s1·n0 > s0·n1
+      .withColumn("sgn", expr(
+        """CASE WHEN s1 * n0 > s0 * n1 THEN 1
+          |     WHEN s1 * n0 < s0 * n1 THEN -1 ELSE 0 END""".stripMargin))
+    val perType = strata.groupBy("event_type").agg(
+      sum("n0").as("n0"), sum("n1").as("n1"),
+      sum("s0").as("s0"), sum("s1").as("s1"),
+      sum(when(col("cmp"), 1L).otherwise(0L)).as("n_strata"),
+      sum(when(col("cmp") && col("sgn") === 1, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("cmp") && col("sgn") === -1, 1L).otherwise(0L)).as("n_neg"))
+    perType.filter(col("n0") > 0 && col("n1") > 0)
+      .withColumn("overall_sign", expr(
+        """CASE WHEN s1 * n0 > s0 * n1 THEN 1
+          |     WHEN s1 * n0 < s0 * n1 THEN -1 ELSE 0 END"""
+          .stripMargin).cast("int"))
+      .select(col("event_type"), col("n_strata"), col("n_pos"), col("n_neg"),
+        graft.functions.TextF.round6HalfUp(expr(
+          """(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            | - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 1e6"""
+            .stripMargin)).as("overall_diff"),
+        col("overall_sign"),
+        (col("n_strata") > 0 &&
+          ((col("overall_sign") === 1 && col("n_neg") === col("n_strata")) ||
+           (col("overall_sign") === -1 && col("n_pos") === col("n_strata"))))
+          .as("strict_reversal"),
+        when(col("n_strata") === 0 || col("overall_sign") === 0,
+          lit(null).cast("double")).otherwise(
+          graft.functions.TextF.round4HalfUp(
+            when(col("overall_sign") === 1, col("n_neg")).otherwise(col("n_pos"))
+              .cast("double") / col("n_strata").cast("double")))
+          .as("reversed_share"))
+      .orderBy("event_type")
+  }
+
+  def simpsonReversal(spark: SparkSession, dir: String): DataFrame =
+    simpsonReversalOf(Tables.events(spark, dir))
+
+  /** Delete-one-group jackknife SE for the ratio metric "mean value
+    * per active user" per event type (Quenouille/Tukey; the
+    * cluster-robust experiment readout): user-level metrics are
+    * ratios of sums, so the i.i.d.-row SE every naive readout
+    * computes is WRONG whenever users contribute multiple events —
+    * the jackknife over user-hash buckets is how production
+    * experiment platforms publish honest CIs for ratio metrics
+    * without a per-user resample.
+    *
+    * θ = Σv / |users|; buckets partition USERS (md5 "jk:" salt, mod
+    * `buckets`), so leave-one-bucket-out totals are exact decimal
+    * subtractions of the bucket row from the type row. Each θ_(b) is
+    * one double division quantized to the 1e-6 value grid (a LONG —
+    * the SE moments then fold integer-exact in decimal(38,0); the
+    * grid's ±5e-7 per-replicate bias is second-order against the
+    * replicate spread and documented here). SE = √((B−1)(B·Σt² −
+    * (Σt)²))/B on nonempty buckets B; B < 2 refuses with NULL se/ci
+    * (jackknife needs replicates). CI is θ ± 1.96·se.
+    *
+    * Scale: ONE (type, bucket) aggregate with a distinct-user count
+    * inside (map-side partial into ≤ types×B groups), then folds on
+    * the ≤ B-row frame. */
+  def jackknifeRatioSeOf(events: DataFrame, buckets: Int = 32): DataFrame = {
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets in [2,1024], got $buckets")
+    val dec = "decimal(38,0)"
+    val per = events
+      .select(col("event_type"), col("user_id"),
+        (conv(substring(md5(concat(lit("jk:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"))
+      .groupBy("event_type", "b")
+      .agg(countDistinct("user_id").as("u"), sum(col("vq").cast(dec)).as("s"))
+    val tot = per.groupBy("event_type")
+      .agg(sum("u").as("uu"), sum("s").as("stot"),
+        count(lit(1)).as("nb"))
+    val reps = per.join(tot, "event_type")
+      .select(col("event_type"),
+        // θ_(b) on the 1e-6 value grid, as a long (micro units/user)
+        floor(expr("CAST(stot - s AS DOUBLE)")
+          / nullif(expr("CAST(uu - u AS DOUBLE)"), lit(0.0)) + lit(0.5))
+          .cast("long").as("t"))
+    val fold = reps.groupBy("event_type")
+      .agg(sum(col("t").cast(dec)).as("st"),
+        sum(expr(s"CAST(t AS $dec) * t")).as("stt"))
+    tot.join(fold, "event_type")
+      .select(col("event_type"), col("uu").as("n_users"),
+        col("nb").as("n_buckets"),
+        graft.functions.TextF.round6HalfUp(
+          expr("CAST(stot AS DOUBLE) / CAST(uu AS DOUBLE) / 1e6"))
+          .as("theta"),
+        when(col("nb") < 2, lit(null).cast("double")).otherwise(
+          graft.functions.TextF.round6HalfUp(expr(
+            """sqrt(CAST((nb - 1) * (nb * stt - st * st) AS DOUBLE))
+              | / CAST(nb AS DOUBLE) / 1e6""".stripMargin)))
+          .as("jk_se"))
+      .withColumn("ci_lo",
+        graft.functions.TextF.round6HalfUp(
+          col("theta") - lit(1.96) * col("jk_se")))
+      .withColumn("ci_hi",
+        graft.functions.TextF.round6HalfUp(
+          col("theta") + lit(1.96) * col("jk_se")))
+      .orderBy("event_type")
+  }
+
+  def jackknifeRatioSe(spark: SparkSession, dir: String): DataFrame =
+    jackknifeRatioSeOf(Tables.events(spark, dir))
 }

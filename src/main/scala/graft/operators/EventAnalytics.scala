@@ -2353,4 +2353,77 @@ object EventAnalytics {
 
   def breuschPagan(spark: SparkSession, dir: String): DataFrame =
     breuschPaganOf(Tables.events(spark, dir))
+
+  /** Cross-correlation lead–lag matrix between event-type daily
+    * series (the CCF beside [[acfDailyOf]]'s ACF — the cross twin):
+    * for every ordered type pair and every lag in [−maxLag, maxLag],
+    * Pearson r between x_a(d) and x_b(d+lag) over the dense shared
+    * calendar — the "do clicks LEAD purchases, and by how many
+    * days?" read that turns two monitoring series into a causal-
+    * ordering hypothesis. Positive best_lag ⇒ a leads b.
+    *
+    * Determinism: both series are integer counts on the zero-filled
+    * global-span grid, so all six moments fold exact in
+    * decimal(38,0); r is one fixed double chain (casts → products →
+    * sqrt, the [[Robust.corrMatrixOf]] convention) and the
+    * per-pair argmax reads QUANTIZED r (1e-6 longs) with
+    * (|r|, −|lag|, −lag) struct order — ties prefer the smaller
+    * absolute lag, then the earlier lag, integer-exact. Constant
+    * series (zero variance) null their r and never win `is_best`.
+    *
+    * Scale: ONE map-combinable (type, day) fact aggregate; the
+    * grid, the (2·maxLag+1)-way lag fan-out and the pair join all
+    * ride the calendar-bounded frame (types² × span rows — tiny at
+    * any corpus size; the fact scan dominates). */
+  def ccfLeadlagOf(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 14, s"maxLag in [1,14], got $maxLag")
+    val dec = "decimal(38,0)"
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val lags = (-maxLag to maxLag).map(lit(_))
+    val a = dense.select(col("event_type").as("type_a"), col("day"),
+        col("x").as("xa"))
+      .withColumn("lag", explode(array(lags: _*)))
+      .withColumn("day_b", date_add(col("day"), col("lag")))
+    val b = dense.select(col("event_type").as("type_b"),
+      col("day").as("day_b"), col("x").as("xb"))
+    val m = a.join(b, Seq("day_b"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa").cast(dec)).as("sx"), sum(col("xb").cast(dec)).as("sy"),
+        sum(expr(s"CAST(xa AS $dec) * xb")).as("sxy"),
+        sum(expr(s"CAST(xa AS $dec) * xa")).as("sxx"),
+        sum(expr(s"CAST(xb AS $dec) * xb")).as("syy"))
+    val withR = m.withColumn("r", expr(
+      """CAST(n * sxy - sx * sy AS DOUBLE)
+        | / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |               * CAST(n * syy - sy * sy AS DOUBLE)), 0.0)"""
+        .stripMargin))
+      .withColumn("rq", floor(col("r") * 1e6 + lit(0.5)).cast("long"))
+    val best = Window.partitionBy("type_a", "type_b")
+    withR
+      .withColumn("key", struct(
+        coalesce(abs(col("rq")), lit(-1L)).as("m"),
+        (-abs(col("lag"))).as("al"), (-col("lag")).as("l")))
+      .withColumn("is_best", col("rq").isNotNull &&
+        col("key") === max(col("key")).over(best))
+      .select(col("type_a"), col("type_b"), col("lag"),
+        col("n").as("n_overlap"),
+        graft.functions.TextF.round6HalfUp(col("r")).as("ccf"),
+        col("is_best"))
+      .orderBy("type_a", "type_b", "lag")
+  }
+
+  def ccfLeadlag(spark: SparkSession, dir: String): DataFrame =
+    ccfLeadlagOf(Tables.events(spark, dir))
 }

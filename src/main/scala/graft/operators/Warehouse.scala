@@ -2362,4 +2362,62 @@ object Warehouse {
     excessShippersOf(Tables.lineitem(spark, dir), Tables.part(spark, dir),
       Tables.supplier(spark, dir), Tables.nation(spark, dir),
       Tables.region(spark, dir))
+
+  /** Reorder-point / safety-stock plan per part brand (the textbook
+    * continuous-review (μ·L + z·σ·√L) service-level calc — the
+    * inventory read DOWNSTREAM of [[EventAnalytics.demandClassesOf]]'s
+    * forecastability classes: classes say WHICH forecasting model,
+    * this says HOW MUCH buffer a 95% cycle-service target needs):
+    * daily shipped demand per brand on the exact centi-quantity grid,
+    * zero-filled over the global ship-date span (a day with no
+    * shipments is demand 0, not a missing sample — σ must see the
+    * quiet days or safety stock undershoots), exact decimal moments
+    * → one fixed double chain with z = 1.645 and `leadDays` = 7.
+    *
+    * Scale: the fact aggregate map-combines into (brand, day) — ≤
+    * brands × span rows; part→brand is a broadcast dim projection;
+    * the grid/moment folds ride the bounded frame. The brand grain
+    * (25 values) keeps the report human-readable; a per-part plan is
+    * the same shape with partkey in the keys. */
+  def reorderPointOf(lineitem: DataFrame, part: DataFrame,
+                     leadDays: Int = 7): DataFrame = {
+    require(leadDays >= 1 && leadDays <= 60,
+      s"leadDays in [1,60], got $leadDays")
+    val dec = "decimal(38,0)"
+    val daily = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), to_date(col("l_shipdate")).as("day"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("qc"))
+      .groupBy("p_brand", "day").agg(sum("qc").as("d"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = daily.select("p_brand").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("p_brand"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = grid.join(daily, Seq("p_brand", "day"), "left")
+      .select(col("p_brand"), coalesce(col("d"), lit(0L)).as("d"))
+    dense.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("d").cast(dec)).as("s"),
+        sum(expr(s"CAST(d AS $dec) * d")).as("ss"))
+      .filter(col("n_days") > 1)
+      .withColumn("mean_c", expr("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)"))
+      .withColumn("sd_c", expr(
+        """sqrt((CAST(ss AS DOUBLE)
+          |  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+          |  / CAST(n_days - 1 AS DOUBLE))""".stripMargin))
+      .select(col("p_brand"), col("n_days"),
+        TextF.round6HalfUp(col("mean_c") / lit(100.0)).as("mean_daily"),
+        TextF.round6HalfUp(col("sd_c") / lit(100.0)).as("sd_daily"),
+        TextF.round6HalfUp(lit(1.645) * col("sd_c")
+          * sqrt(lit(leadDays.toDouble)) / lit(100.0)).as("safety_stock"),
+        TextF.round6HalfUp((col("mean_c") * lit(leadDays.toDouble)
+          + lit(1.645) * col("sd_c") * sqrt(lit(leadDays.toDouble)))
+          / lit(100.0)).as("reorder_point"))
+      .orderBy("p_brand")
+  }
+
+  def reorderPoint(spark: SparkSession, dir: String): DataFrame =
+    reorderPointOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
 }

@@ -3837,5 +3837,135 @@ private[graft] object EventOracles {
         |  CASE WHEN lm_stat IS NULL THEN NULL
         |    ELSE lm_stat > 3.841459 END AS heteroscedastic
         |FROM r ORDER BY event_type""".stripMargin,
+
+    // Simpson's-paradox audit: every sign is an integer cross-product
+    // comparison on the micro grid (HUGEINT here mirrors Spark's
+    // decimal(38,0) exactly — both are lossless at these magnitudes);
+    // only overall_diff is a rounded double.
+    "simpson_reversal" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INT) AS dow,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |cell AS (SELECT event_type, dow, arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(vq AS HUGEINT)) AS HUGEINT) AS s
+        |  FROM e GROUP BY 1, 2, 3),
+        |st AS (SELECT event_type, dow,
+        |    COALESCE(MAX(CASE WHEN arm = 0 THEN n END), 0) AS n0,
+        |    COALESCE(MAX(CASE WHEN arm = 1 THEN n END), 0) AS n1,
+        |    CAST(COALESCE(MAX(CASE WHEN arm = 0 THEN s END), 0) AS HUGEINT) AS s0,
+        |    CAST(COALESCE(MAX(CASE WHEN arm = 1 THEN s END), 0) AS HUGEINT) AS s1
+        |  FROM cell GROUP BY 1, 2),
+        |sg AS (SELECT *, (n0 > 0 AND n1 > 0) AS cmp,
+        |    CASE WHEN s1 * n0 > s0 * n1 THEN 1
+        |         WHEN s1 * n0 < s0 * n1 THEN -1 ELSE 0 END AS sgn
+        |  FROM st),
+        |t AS (SELECT event_type,
+        |    CAST(SUM(n0) AS HUGEINT) AS n0, CAST(SUM(n1) AS HUGEINT) AS n1,
+        |    CAST(SUM(s0) AS HUGEINT) AS s0, CAST(SUM(s1) AS HUGEINT) AS s1,
+        |    CAST(SUM(CASE WHEN cmp THEN 1 ELSE 0 END) AS BIGINT) AS n_strata,
+        |    CAST(SUM(CASE WHEN cmp AND sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(SUM(CASE WHEN cmp AND sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg
+        |  FROM sg GROUP BY 1),
+        |o AS (SELECT *,
+        |    CAST(CASE WHEN s1 * n0 > s0 * n1 THEN 1
+        |              WHEN s1 * n0 < s0 * n1 THEN -1 ELSE 0 END AS INT)
+        |      AS overall_sign
+        |  FROM t WHERE n0 > 0 AND n1 > 0)
+        |SELECT event_type, n_strata, n_pos, n_neg,
+        |  floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |       - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 1e6 * 1e6 + 0.5)
+        |    / 1e6 AS overall_diff,
+        |  overall_sign,
+        |  (n_strata > 0 AND
+        |    ((overall_sign = 1 AND n_neg = n_strata) OR
+        |     (overall_sign = -1 AND n_pos = n_strata))) AS strict_reversal,
+        |  CASE WHEN n_strata = 0 OR overall_sign = 0 THEN NULL
+        |    ELSE floor(CAST(CASE WHEN overall_sign = 1 THEN n_neg ELSE n_pos
+        |                    END AS DOUBLE)
+        |           / CAST(n_strata AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |  END AS reversed_share
+        |FROM o ORDER BY event_type""".stripMargin,
+
+    // Delete-one-bucket jackknife: each replicate is quantized to a
+    // micro-grid BIGINT before the moment fold, so st/stt are exact
+    // integers in both engines; the SE chain is one double sequence.
+    "jackknife_ratio_se" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |    CAST(('0x' || substring(md5('jk:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 32 AS b,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |per AS (SELECT event_type, b,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u,
+        |    CAST(SUM(CAST(vq AS HUGEINT)) AS HUGEINT) AS s
+        |  FROM e GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(u) AS BIGINT) AS uu,
+        |    CAST(SUM(s) AS HUGEINT) AS stot, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM per GROUP BY 1),
+        |reps AS (SELECT p.event_type,
+        |    CAST(floor(CAST(t.stot - p.s AS DOUBLE)
+        |      / NULLIF(CAST(t.uu - p.u AS DOUBLE), 0.0) + 0.5) AS BIGINT) AS t
+        |  FROM per p JOIN tot t USING (event_type)),
+        |fold AS (SELECT event_type,
+        |    CAST(SUM(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+        |    CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt
+        |  FROM reps GROUP BY 1),
+        |r AS (SELECT t.event_type, t.uu AS n_users, t.nb AS n_buckets,
+        |    floor(CAST(t.stot AS DOUBLE) / CAST(t.uu AS DOUBLE) / 1e6
+        |      * 1e6 + 0.5) / 1e6 AS theta,
+        |    CASE WHEN t.nb < 2 THEN NULL
+        |      ELSE floor(sqrt(CAST((t.nb - 1) * (t.nb * f.stt - f.st * f.st)
+        |             AS DOUBLE)) / CAST(t.nb AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+        |    END AS jk_se
+        |  FROM tot t JOIN fold f USING (event_type))
+        |SELECT event_type, n_users, n_buckets, theta, jk_se,
+        |  floor((theta - 1.96 * jk_se) * 1e6 + 0.5) / 1e6 AS ci_lo,
+        |  floor((theta + 1.96 * jk_se) * 1e6 + 0.5) / 1e6 AS ci_hi
+        |FROM r ORDER BY event_type""".stripMargin,
+
+    // CCF lead-lag: the acf_daily dense-grid machinery crossed over
+    // ordered type pairs; argmax reads quantized r with the
+    // (|r|, |lag| asc, lag asc) tie order — integer-exact both sides.
+    "ccf_leadlag" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT t.event_type, CAST(g.gs AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily) t,
+        |       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS gs
+        |        FROM b) g),
+        |dense AS (SELECT grid.event_type, grid.day, COALESCE(daily.x, 0) AS x
+        |  FROM grid LEFT JOIN daily
+        |    ON grid.event_type = daily.event_type AND grid.day = daily.day),
+        |m AS (SELECT a.event_type AS type_a, p.event_type AS type_b,
+        |    l.k AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(a.x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(p.x AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(a.x AS HUGEINT) * p.x) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(a.x AS HUGEINT) * a.x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(p.x AS HUGEINT) * p.x) AS HUGEINT) AS syy
+        |  FROM dense a
+        |  JOIN (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) l(k) ON TRUE
+        |  JOIN dense p ON p.day = a.day + l.k
+        |    AND a.event_type < p.event_type
+        |  GROUP BY 1, 2, 3),
+        |r0 AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                  * CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS r
+        |  FROM m),
+        |rq AS (SELECT *, CAST(floor(r * 1e6 + 0.5) AS BIGINT) AS rqv FROM r0),
+        |rb AS (SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+        |    ORDER BY COALESCE(abs(rqv), -1) DESC, abs(lag) ASC, lag ASC)
+        |    AS rn FROM rq)
+        |SELECT type_a, type_b, CAST(lag AS INT) AS lag, n AS n_overlap,
+        |  floor(r * 1e6 + 0.5) / 1e6 AS ccf,
+        |  (rn = 1 AND rqv IS NOT NULL) AS is_best
+        |FROM rb ORDER BY type_a, type_b, lag""".stripMargin,
   )
 }

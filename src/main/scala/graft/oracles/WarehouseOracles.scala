@@ -1856,5 +1856,41 @@ private[graft] object WarehouseOracles {
         |  AND s.s_suppkey IN (SELECT DISTINCT l_suppkey FROM w
         |    WHERE q * 2 > total_q)
         |ORDER BY s_name""".stripMargin,
+
+    // Reorder point / safety stock per brand: centi-quantity daily
+    // demand zero-filled over the global ship-date span, exact
+    // HUGEINT moments (mirrors Spark's decimal(38,0)), one fixed
+    // double chain with z = 1.645 and L = 7.
+    "reorder_point" ->
+      """WITH daily AS (SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS d
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT t.p_brand, CAST(g.gs AS DATE) AS day
+        |  FROM (SELECT DISTINCT p_brand FROM daily) t,
+        |       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS gs
+        |        FROM b) g),
+        |dense AS (SELECT grid.p_brand, COALESCE(daily.d, 0) AS d
+        |  FROM grid LEFT JOIN daily
+        |    ON grid.p_brand = daily.p_brand AND grid.day = daily.day),
+        |agg AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(CAST(d AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS ss
+        |  FROM dense GROUP BY 1),
+        |c AS (SELECT p_brand, n_days,
+        |    CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_c,
+        |    sqrt((CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |      / CAST(n_days - 1 AS DOUBLE)) AS sd_c
+        |  FROM agg WHERE n_days > 1)
+        |SELECT p_brand, n_days,
+        |  floor(mean_c / 100.0 * 1e6 + 0.5) / 1e6 AS mean_daily,
+        |  floor(sd_c / 100.0 * 1e6 + 0.5) / 1e6 AS sd_daily,
+        |  floor(1.645 * sd_c * sqrt(7.0) / 100.0 * 1e6 + 0.5) / 1e6
+        |    AS safety_stock,
+        |  floor((mean_c * 7.0 + 1.645 * sd_c * sqrt(7.0)) / 100.0 * 1e6 + 0.5)
+        |    / 1e6 AS reorder_point
+        |FROM c ORDER BY p_brand""".stripMargin,
   )
 }

@@ -1382,4 +1382,90 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     val f = Behavior.anovaFOf(ev(rows)).collect().head
     assert(!f.getBoolean(5), s"anova must NOT fire on a spread effect: $f")
   }
+
+  /** arm2 assignments for user ids 1..200, resolved through the real
+    * md5 hash — tests plant paradoxes against ACTUAL arms. */
+  private lazy val armOf: Map[Long, Long] =
+    spark.range(1, 201).select(col("id"),
+      Behavior.arm2(col("id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("simpson reversal: aggregate sign contradicted by every weekday") {
+    val a0 = armOf.collect { case (u, 0L) => u }.take(20).toSeq
+    val a1 = armOf.collect { case (u, 1L) => u }.take(20).toSeq
+    // 1970-01-05 is datediff 4 → dow 4; 1970-01-06 → dow 5.
+    // Stratum dow4 (high-value): arm0 one user at 10.0; arm1 nine
+    // users at 9.0 — arm1 LOSES (9 < 10).
+    // Stratum dow5 (low-value): arm0 nine users at 2.0; arm1 one
+    // user at 1.0 — arm1 LOSES (1 < 2).
+    // Aggregate: arm0 (10+18)/10 = 2.8 < arm1 (81+1)/10 = 8.2 —
+    // arm1 WINS: the strict paradox.
+    val rows =
+      Seq((a0.head, "1970-01-05 10:00:00", 10.0)) ++
+      a1.take(9).map((_, "1970-01-05 11:00:00", 9.0)) ++
+      a0.slice(1, 10).map((_, "1970-01-06 10:00:00", 2.0)) ++
+      Seq((a1(9), "1970-01-06 11:00:00", 1.0))
+    val ev = rows.zipWithIndex.map { case ((u, t, v), i) =>
+        (i.toLong, u, "buy", t, v) }
+      .toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    val r = Behavior.simpsonReversalOf(ev).collect().head
+    assert(r.getString(0) == "buy")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 0L, 2L)),
+      s"both strata comparable, both negative: $r")
+    assert(r.getDouble(4) == 5.4, s"overall diff 8.2 - 2.8: $r")
+    assert(r.getInt(5) == 1 && r.getBoolean(6),
+      s"aggregate up, every stratum down -> strict reversal: $r")
+    assert(r.getDouble(7) == 1.0, s"reversed_share: $r")
+  }
+
+  test("simpson reversal: concordant strata do not flag") {
+    val a0 = armOf.collect { case (u, 0L) => u }.take(5).toSeq
+    val a1 = armOf.collect { case (u, 1L) => u }.take(5).toSeq
+    val rows =
+      a0.map((_, "1970-01-05 10:00:00", 1.0)) ++
+      a1.map((_, "1970-01-05 11:00:00", 2.0)) ++
+      a0.map((_, "1970-01-06 10:00:00", 3.0)) ++
+      a1.map((_, "1970-01-06 11:00:00", 4.0))
+    val ev = rows.zipWithIndex.map { case ((u, t, v), i) =>
+        (i.toLong, u, "buy", t, v) }
+      .toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    val r = Behavior.simpsonReversalOf(ev).collect().head
+    assert(r.getInt(5) == 1 && !r.getBoolean(6) && r.getDouble(7) == 0.0,
+      s"aggregate up, both strata up -> no reversal: $r")
+  }
+
+  test("jackknife ratio SE: constant per-user values collapse to se 0") {
+    // 40 users, one event each, all value 7.0: every leave-one-bucket-
+    // out replicate is exactly 7.0 -> jk_se 0, ci degenerate at theta.
+    val ev = (1L to 40L).zipWithIndex.map { case (u, i) =>
+        (i.toLong, u, "buy", "2024-01-01 10:00:00", 7.0) }
+      .toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    val r = Behavior.jackknifeRatioSeOf(ev).collect().head
+    assert(r.getLong(1) == 40L, s"n_users: $r")
+    assert(r.getLong(2) > 1L, s"40 users spread over >1 bucket: $r")
+    assert((r.getDouble(3), r.getDouble(4)) == ((7.0, 0.0)), s"$r")
+    assert((r.getDouble(5), r.getDouble(6)) == ((7.0, 7.0)), s"ci: $r")
+  }
+
+  test("jackknife ratio SE: theta is value per DISTINCT user; B<2 refuses") {
+    // one user, three events of 2.0 -> theta 6.0/1; a single occupied
+    // bucket cannot jackknife -> NULL se and ci
+    val ev = Seq((1L, 1L, "buy", "2024-01-01 10:00:00", 2.0),
+        (2L, 1L, "buy", "2024-01-02 10:00:00", 2.0),
+        (3L, 1L, "buy", "2024-01-03 10:00:00", 2.0))
+      .toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    val r = Behavior.jackknifeRatioSeOf(ev).collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L, s"$r")
+    assert(r.getDouble(3) == 6.0, s"ratio folds events, divides users: $r")
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6),
+      s"B=1 must refuse, not publish se=0: $r")
+  }
 }

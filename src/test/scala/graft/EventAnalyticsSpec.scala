@@ -1018,4 +1018,41 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert((r.getLong(2), r.getLong(3), r.getBoolean(5)) ==
       ((0L, 0L, false)), s"got $r")
   }
+
+  test("ccf: a planted +2-day shift wins best lag; |lag| breaks the tie") {
+    // type b IS type a moved +2 days: counts a=(3,1,2,0,0) vs
+    // b=(0,0,3,1,2) on the shared Jan1-Jan5 grid. Lag +2 aligns them
+    // exactly → r = 1. Lag +3 also reads |r| = 1 (any TWO distinct
+    // points correlate perfectly: a=(3,1) vs b=(1,2) → r = −1) — the
+    // quantized tie MUST fall to the smaller |lag|.
+    def burst(et: String, day: String, n: Int) =
+      (1 to n).map(i => (et, s"$day 10:0$i:00", 1.0))
+    val ev = dailyEvents(
+      (burst("a", "2024-01-01", 3) ++ burst("a", "2024-01-02", 1) ++
+       burst("a", "2024-01-03", 2) ++
+       burst("b", "2024-01-03", 3) ++ burst("b", "2024-01-04", 1) ++
+       burst("b", "2024-01-05", 2)): _*)
+    val rows = EventAnalytics.ccfLeadlagOf(ev).collect()
+      .map(r => r.getInt(2) ->
+        (r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getBoolean(5))).toMap
+    assert(rows.size == 7, s"7 lags for the one pair: $rows")
+    assert(rows(2) == ((3L, Some(1.0), true)),
+      s"the planted shift: ccf 1 at lag +2, best: ${rows(2)}")
+    assert(rows(3)._2 == Some(-1.0) && !rows(3)._3,
+      s"two-point |r|=1 at lag 3 must LOSE the tie on |lag|: ${rows(3)}")
+    assert(rows(0)._1 == 5L && !rows(0)._3, s"lag 0 spans the grid: ${rows(0)}")
+    assert(rows.values.count(_._3) == 1, s"exactly one best row: $rows")
+  }
+
+  test("ccf: a constant series nulls r at every lag and never wins best") {
+    val ev = dailyEvents(
+      (Seq(("a", "2024-01-01 10:00:00", 1.0),
+        ("a", "2024-01-02 10:00:00", 1.0),
+        ("a", "2024-01-02 11:00:00", 1.0)) ++
+       (1 to 3).map(d => ("c", s"2024-01-0$d 10:00:00", 1.0))): _*)
+    val rows = EventAnalytics.ccfLeadlagOf(ev).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.isNullAt(4) && !r.getBoolean(5)),
+      s"constant c: every r NULL, no best: ${rows.toSeq}")
+  }
 }

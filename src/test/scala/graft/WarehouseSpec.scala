@@ -931,4 +931,43 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
       "Brand#1" -> ((2L, 1L, 500000L, 900000L)),
       "Brand#2" -> ((1L, 0L, 0L, 800000L))), s"got $out")
   }
+
+  test("reorder point: zero-filled sd, hand-computed safety stock") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // Brand#A ships 10 on day 1 and 20 on day 3 — the quiet day 2
+    // MUST enter the moments as demand 0 (n=3), or sd undershoots.
+    // Brand#B ships only on day 2; its grid still spans all 3 days.
+    val li = Seq(
+      (1L, t("2020-01-01"), 10.0),
+      (1L, t("2020-01-03"), 20.0),
+      (2L, t("2020-01-02"), 6.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+    val part = Seq((1L, "Brand#A"), (2L, "Brand#B"))
+      .toDF("p_partkey", "p_brand")
+    val out = Warehouse.reorderPointOf(li, part).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // A: demand (10, 0, 20): mean 10, var (500-300)/2 = 100, sd 10
+    val sfA = r6(1.645 * 1000.0 * math.sqrt(7.0) / 100.0)
+    assert(out("Brand#A") == ((3L, 10.0, 10.0, sfA,
+      r6((1000.0 * 7.0 + 1.645 * 1000.0 * math.sqrt(7.0)) / 100.0))),
+      s"got ${out("Brand#A")} want sd 10, safety $sfA")
+    // B: demand (0, 6, 0): mean 2, var (36-12)/2 = 12, sd sqrt(12)
+    val sdB = math.sqrt((360000.0 - 360000.0 / 3.0) / 2.0)
+    assert(out("Brand#B") == ((3L, 2.0, r6(sdB / 100.0),
+      r6(1.645 * sdB * math.sqrt(7.0) / 100.0),
+      r6((200.0 * 7.0 + 1.645 * sdB * math.sqrt(7.0)) / 100.0))),
+      s"got ${out("Brand#B")}")
+  }
+
+  test("reorder point: single-day history refuses (no variance estimate)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq((1L, t("2020-01-01"), 10.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+    val part = Seq((1L, "Brand#A")).toDF("p_partkey", "p_brand")
+    assert(Warehouse.reorderPointOf(li, part).isEmpty,
+      "n_days = 1 cannot estimate sigma -> no row, not a 0-sd plan")
+  }
 }
