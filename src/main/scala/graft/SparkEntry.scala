@@ -660,7 +660,13 @@ object SparkEntry {
     "simpson_reversal"   -> (Behavior.simpsonReversal(_, _)),
     "jackknife_ratio_se" -> (Behavior.jackknifeRatioSe(_, _)),
     "ccf_leadlag"        -> (EventAnalytics.ccfLeadlag(_, _)),
-    "reorder_point"      -> (Warehouse.reorderPoint(_, _))
+    "reorder_point"      -> (Warehouse.reorderPoint(_, _)),
+    // Round-17 third tranche: training-data governance (split
+    // leakage measurement, per-epoch shuffle decorrelation) and the
+    // A/A null-battery platform-calibration read
+    "split_leakage"  -> (Corpus.splitLeakage(_, _)),
+    "epoch_shuffle"  -> (Corpus.epochShuffleAudit(_, _)),
+    "aa_calibration" -> (Behavior.aaCalibration(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

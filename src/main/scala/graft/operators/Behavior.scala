@@ -3091,4 +3091,70 @@ object Behavior {
 
   def jackknifeRatioSe(spark: SparkSession, dir: String): DataFrame =
     jackknifeRatioSeOf(Tables.events(spark, dir))
+
+  /** A/A calibration battery per event type (the experiment-platform
+    * hygiene run BEFORE trusting any A/B readout: split users into
+    * `cells` md5 cells, pair them into cells/2 disjoint NULL
+    * pseudo-experiments, run the [[welchTestOf]] z on each — a
+    * healthy platform flags ~5% at |z| > 1.96; a fat flag share means
+    * the i.i.d. assumptions are broken for THIS metric and every real
+    * readout's false-positive rate is understated): per type the test
+    * count, flagged count, flag share, and the battery's max |z|
+    * (quantized to the 1e-6 grid before the max — engine-exact).
+    *
+    * Determinism: per-cell moments exact (micro-grid decimal(38,0)),
+    * each z one fixed double chain pivoted to FIXED parity order
+    * ([[welchTestOf]]'s convention); pairs with either side n ≤ 1
+    * drop from the battery (no z exists).
+    *
+    * Scale: ONE (type, cell) map-combinable fact aggregate — ≤
+    * types×cells rows; the pairing, z chain and rollup fold on that
+    * bounded frame. */
+  def aaCalibrationOf(events: DataFrame, cells: Int = 32): DataFrame = {
+    require(cells >= 4 && cells <= 256 && cells % 2 == 0,
+      s"cells even in [4,256], got $cells")
+    val dec = "decimal(38,0)"
+    val per = events
+      .select(col("event_type"),
+        (conv(substring(md5(concat(lit("aa:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % cells).as("cell"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"))
+      .groupBy("event_type", "cell")
+      .agg(count(lit(1)).as("n"), sum(col("vq").cast(dec)).as("s"),
+        sum(expr(s"CAST(vq AS $dec) * vq")).as("ss"))
+      .withColumn("pair", expr("cell div 2"))
+      .withColumn("par", expr("cell % 2"))
+    def pick(c: String, p: Int) = max(when(col("par") === p, col(c)))
+    val z = per.groupBy("event_type", "pair")
+      .agg(pick("n", 0).as("n0"), pick("n", 1).as("n1"),
+        pick("s", 0).as("s0"), pick("s", 1).as("s1"),
+        pick("ss", 0).as("ss0"), pick("ss", 1).as("ss1"))
+      .filter(col("n0") > 1 && col("n1") > 1)
+      .withColumn("zq", floor(abs(expr(
+        """(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          | - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+          |/ NULLIF(sqrt(
+          |   (CAST(ss0 AS DOUBLE)
+          |    - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+          |   / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          | + (CAST(ss1 AS DOUBLE)
+          |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          |   / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 0.0)"""
+          .stripMargin)) * 1e6 + lit(0.5)).cast("long"))
+      .filter(col("zq").isNotNull)
+    z.groupBy("event_type")
+      .agg(count(lit(1)).as("n_tests"),
+        sum(when(col("zq") > 1960000L, 1L).otherwise(0L)).as("n_flagged"),
+        max("zq").as("mzq"))
+      .select(col("event_type"), col("n_tests"), col("n_flagged"),
+        graft.functions.TextF.round4HalfUp(
+          col("n_flagged").cast("double") / col("n_tests").cast("double"))
+          .as("flag_share"),
+        (col("mzq").cast("double") / lit(1e6)).as("max_abs_z"))
+      .orderBy("event_type")
+  }
+
+  def aaCalibration(spark: SparkSession, dir: String): DataFrame =
+    aaCalibrationOf(Tables.events(spark, dir))
 }

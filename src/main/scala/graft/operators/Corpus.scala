@@ -1171,4 +1171,94 @@ object Corpus {
   def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame =
     sourceOverlapMatrixOf(Tables.documents(spark, dir),
       approx = graft.Scale.approx(spark))
+
+  /** Train/val/test split leakage audit — the MEASUREMENT of what
+    * [[trainSplitOf]]'s doc-keyed hash deliberately permits and
+    * [[groupedSplitOf]]'s group key prevents: near-duplicate pairs
+    * straddling split boundaries (a test doc whose near-twin sits in
+    * train is a leaked answer — eval reads memorization as skill).
+    * Composes the exact-Jaccard pair machinery
+    * ([[Dedup.jaccardPairsOf]], Bayardo prefix + PPJoin length
+    * pruning) with the split assignment: per unordered split pair,
+    * the near-dup pair count, its ppm share of all near-dup pairs
+    * (exact integer div), and the cross-split flag. The honest read
+    * of a content-hash split: ~90·5·2 ppm-scale cross mass is
+    * EXPECTED; zero only comes from group- or cluster-keyed splits.
+    *
+    * Scale: the pair generation is the audited [[Dedup.jaccardPairsOf]]
+    * shape (its §6 rehearsals apply verbatim); the split join adds two
+    * hash joins on doc_id and a ≤6-row rollup with a 1-row total
+    * broadcast. */
+  def splitLeakageOf(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.jaccardPairsOf(docs, threshold)
+      .select(col("a_id"), col("b_id"))
+    val splits = trainSplitOf(docs).select(col("doc_id"), col("split"))
+    val tagged = pairs
+      .join(splits.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("split", "sa"), Seq("a_id"))
+      .join(splits.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("split", "sb"), Seq("b_id"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+    val total = tagged.agg(count(lit(1)).as("tot"))
+    tagged.groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        expr("CAST(n_pairs * 1000000 div tot AS BIGINT)").as("share_ppm"),
+        (col("split_a") =!= col("split_b")).as("cross_split"))
+      .orderBy("split_a", "split_b")
+  }
+
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(Tables.documents(spark, dir))
+
+  /** Deterministic per-epoch shuffle order for multi-epoch training
+    * (the data-ordering contract a trainer needs WITHOUT a stateful
+    * random shuffle: every epoch visits every doc once, in an order
+    * that is decorrelated from every other epoch's, reproducible
+    * across runs/engines/partitionings): position = two-phase rank of
+    * md5("ep" ‖ epoch ‖ ":" ‖ doc_id) within the epoch
+    * ([[graft.Scale.groupedTwoPhaseRank]] — range buckets + bounded
+    * offset broadcast, never a single-partition window over the
+    * corpus). Returns (epoch, doc_id, pos). */
+  def epochShuffleOf(docs: DataFrame, epochs: Int = 3): DataFrame = {
+    require(epochs >= 2 && epochs <= 64, s"epochs in [2,64], got $epochs")
+    val tagged = docs.select(col("doc_id"))
+      .withColumn("epoch", explode(array((0 until epochs).map(lit(_)): _*)))
+      .withColumn("key", md5(concat(lit("ep"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+    graft.Scale.groupedTwoPhaseRank(tagged, "epoch",
+      Seq(col("key"), col("doc_id")), snapshotInput = false)
+      .select(col("epoch"), col("doc_id"), col("__rank").as("pos"))
+  }
+
+  /** The registered audit over [[epochShuffleOf]]: per epoch pair,
+    * the mean absolute rank displacement as ppm of n — the
+    * decorrelation read (independent uniform permutations sit near
+    * 333333 ppm = n/3; ~0 would mean the "shuffle" repeats an order
+    * and the trainer sees the same batch neighborhoods every epoch).
+    * Σ|Δpos| folds in decimal(38,0) (it crosses int64 at the ×1000
+    * corpus: n²·1e6/3 ≈ 8·10¹⁸ at 5M docs); the ppm is one exact
+    * integer division. */
+  def epochShuffleAuditOf(docs: DataFrame, epochs: Int = 3): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pos = epochShuffleOf(docs, epochs)
+    val a = pos.select(col("epoch").as("epoch_a"), col("doc_id"),
+      col("pos").as("pa"))
+    val b = pos.select(col("epoch").as("epoch_b"), col("doc_id"),
+      col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("epoch_a") < col("epoch_b"))
+      .groupBy("epoch_a", "epoch_b")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(abs(col("pa") - col("pb")).cast(dec)).as("sd"))
+      .select(col("epoch_a"), col("epoch_b"), col("n_docs"),
+        expr("CAST((sd * 1000000) div (CAST(n_docs AS decimal(38,0)) * n_docs) AS BIGINT)")
+          .as("mean_disp_ppm"))
+      .orderBy("epoch_a", "epoch_b")
+  }
+
+  def epochShuffleAudit(spark: SparkSession, dir: String): DataFrame =
+    epochShuffleAuditOf(Tables.documents(spark, dir))
 }

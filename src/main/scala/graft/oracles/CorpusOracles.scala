@@ -1454,5 +1454,23 @@ private[graft] object CorpusOracles {
         |) SELECT CAST(source AS VARCHAR) AS source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_prints AS BIGINT) AS n_prints, CAST(density_ppm AS BIGINT) AS density_ppm, CAST(n_distinct_prints AS BIGINT) AS n_distinct_prints, CAST(n_shared_prints AS BIGINT) AS n_shared_prints
         |FROM r""".stripMargin,
 
+    // Per-epoch md5 shuffle positions, pairwise mean |Δpos| as exact
+    // integer ppm of n (HUGEINT — n²·1e6/3 crosses int64 at 5M docs).
+    "epoch_shuffle" ->
+      """WITH e(epoch) AS (VALUES (0), (1), (2)),
+        |r AS (SELECT d.doc_id, e.epoch,
+        |    row_number() OVER (PARTITION BY e.epoch
+        |      ORDER BY md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
+        |                   || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS pos
+        |  FROM documents d, e),
+        |p AS (SELECT a.epoch AS epoch_a, b.epoch AS epoch_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CAST(ABS(a.pos - b.pos) AS HUGEINT)) AS HUGEINT) AS sd
+        |  FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.epoch < b.epoch
+        |  GROUP BY 1, 2)
+        |SELECT epoch_a, epoch_b, n_docs,
+        |  CAST((sd * 1000000) // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+        |    AS mean_disp_ppm
+        |FROM p ORDER BY epoch_a, epoch_b""".stripMargin,
   )
 }

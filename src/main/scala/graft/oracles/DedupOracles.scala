@@ -60,6 +60,32 @@ private[graft] object DedupOracles {
         |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // The near-dup pair list tagged with the content-hash split
+    // assignment: per unordered split pair, count + exact-ppm share.
+    "split_leakage" ->
+      s"""WITH $ShingleSetsCte,
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) >= 0.5),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) < 'e6'
+        |           THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) < 'f3'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |pr AS (SELECT least(sa.split, sb.split) AS split_a,
+        |              greatest(sa.split, sb.split) AS split_b
+        |       FROM p JOIN sp sa ON p.a_id = sa.doc_id
+        |              JOIN sp sb ON p.b_id = sb.doc_id),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pr)
+        |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(CAST(COUNT(*) AS BIGINT) * 1000000 // (SELECT t FROM tot)
+        |    AS BIGINT) AS share_ppm,
+        |  (split_a <> split_b) AS cross_split
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Transitive closure of the brute-force pair list via a recursive
     // CTE: (node, lbl) pairs expand along edges until fixpoint; the
     // component id is the min reachable label — exactly what the

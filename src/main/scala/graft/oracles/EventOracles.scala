@@ -3967,5 +3967,50 @@ private[graft] object EventOracles {
         |  floor(r * 1e6 + 0.5) / 1e6 AS ccf,
         |  (rn = 1 AND rqv IS NOT NULL) AS is_best
         |FROM rb ORDER BY type_a, type_b, lag""".stripMargin,
+
+    // A/A null battery: the welch z chain per disjoint md5 cell pair,
+    // |z| quantized to the 1e-6 grid BEFORE the flag compare and the
+    // max — the boundary is integer-exact in both engines.
+    "aa_calibration" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(('0x' || substring(md5('aa:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 32 AS cell,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |pc AS (SELECT event_type, cell, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(vq AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(vq AS DECIMAL(38,0)) * vq) AS ss
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, cell // 2 AS pair,
+        |    MAX(CASE WHEN cell % 2 = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN cell % 2 = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN cell % 2 = 0 THEN s END) AS s0,
+        |    MAX(CASE WHEN cell % 2 = 1 THEN s END) AS s1,
+        |    MAX(CASE WHEN cell % 2 = 0 THEN ss END) AS ss0,
+        |    MAX(CASE WHEN cell % 2 = 1 THEN ss END) AS ss1
+        |  FROM pc GROUP BY 1, 2),
+        |z AS (SELECT event_type,
+        |    CAST(floor(ABS(
+        |      (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |       - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      / NULLIF(sqrt(
+        |         (CAST(ss0 AS DOUBLE)
+        |          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |         / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |       + (CAST(ss1 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |         / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 0.0))
+        |      * 1e6 + 0.5) AS BIGINT) AS zq
+        |  FROM w WHERE n0 > 1 AND n1 > 1),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_tests,
+        |    CAST(SUM(CASE WHEN zq > 1960000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_flagged,
+        |    MAX(zq) AS mzq
+        |  FROM z WHERE zq IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_tests, n_flagged,
+        |  floor(CAST(n_flagged AS DOUBLE) / CAST(n_tests AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS flag_share,
+        |  CAST(mzq AS DOUBLE) / 1e6 AS max_abs_z
+        |FROM g ORDER BY event_type""".stripMargin,
   )
 }

@@ -1468,4 +1468,31 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6),
       s"B=1 must refuse, not publish se=0: $r")
   }
+
+  test("aa calibration: a constant metric yields no tests, a poisoned cell flags") {
+    def ev(rows: Seq[(Long, Double)]) = rows.zipWithIndex.map {
+        case ((u, v), i) => (i.toLong, u, "buy", "2024-01-01 10:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    // constant metric: every pair's pooled variance is 0 → no z
+    // exists → the battery publishes NOTHING (never z = 0)
+    assert(Behavior.aaCalibrationOf(ev((1L to 200L).map((_, 5.0)))).isEmpty)
+    // cells resolved through the real md5 so the poison lands on ONE cell
+    val cellOf = spark.range(1, 201).select(col("id"),
+        (conv(substring(md5(concat(lit("aa:"), col("id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 32).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = (1L to 200L).map { u =>
+      val base = 1.0 + (u % 3) * 0.1 // within-cell spread so z exists
+      (u, if (cellOf(u) == 7L) base + 50.0 else base)
+    }
+    val out = Behavior.aaCalibrationOf(ev(rows)).collect()
+    assert(out.length == 1 && out.head.getString(0) == "buy")
+    val r = out.head
+    assert(r.getLong(1) >= 10L, s"200 users fill most of the 16 pairs: $r")
+    assert(r.getLong(2) >= 1L, s"the poisoned pair (cells 6/7) must flag: $r")
+    assert(r.getDouble(4) > 10.0, s"max |z| carries the 50-unit poison: $r")
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0, s"$r")
+  }
 }

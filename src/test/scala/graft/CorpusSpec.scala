@@ -489,4 +489,51 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
       r.getLong(4), r.getLong(5)) == (("en", 7L, 5L, 1L, 2L, 500000L)),
       s"got $r")
   }
+
+  test("split leakage: the one near-dup pair lands on its REAL splits") {
+    // doc 1 and 2 are byte-identical (J = 1); doc 3 shares nothing.
+    val docs = corpusDf(
+      (1L, "web", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "web", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "web", "one two three four five six seven eight"))
+    val splits = Corpus.trainSplitOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val want = Seq(splits(1L), splits(2L)).sorted
+    val out = Corpus.splitLeakageOf(docs).collect()
+    assert(out.length == 1, s"exactly the (1,2) pair: ${out.toSeq}")
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == ((want(0), want(1))),
+      s"the pair carries its actual split assignment: $r vs $want")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1000000L,
+      s"one pair, 100% of pair mass: $r")
+    assert(r.getBoolean(4) == (want(0) != want(1)),
+      s"cross_split mirrors the assignment: $r")
+  }
+
+  test("epoch shuffle: per-epoch permutations, decorrelated across epochs") {
+    val docs = (1L to 60L).map(i => (i, "src", s"doc number $i"))
+      .toDF("doc_id", "source", "text")
+    val pos = Corpus.epochShuffleOf(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    (0 to 2).foreach { e =>
+      val ps = pos.filter(_._1 == e).map(_._3).sorted
+      assert(ps.toSeq == (1L to 60L), s"epoch $e must be a permutation")
+    }
+    val e0 = pos.filter(_._1 == 0).map(t => t._2 -> t._3).toMap
+    val e1 = pos.filter(_._1 == 1).map(t => t._2 -> t._3).toMap
+    assert((1L to 60L).count(d => e0(d) != e1(d)) > 30,
+      "epochs must reorder, not repeat")
+    // the registered audit equals the positions it summarizes
+    val audit = Corpus.epochShuffleAuditOf(docs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(audit.keySet == Set((0, 1), (0, 2), (1, 2)), s"$audit")
+    val want01 = (1L to 60L).map(d => math.abs(e0(d) - e1(d))).sum
+    assert(audit((0, 1)) == ((60L, want01 * 1000000L / (60L * 60L))),
+      s"audit must equal the hand fold: ${audit((0, 1))} vs $want01")
+    audit.values.foreach { case (n, ppm) =>
+      assert(n == 60L && ppm > 100000L && ppm < 600000L,
+        s"mean displacement in the random-permutation band: $audit")
+    }
+  }
 }

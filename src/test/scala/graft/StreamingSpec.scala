@@ -1698,4 +1698,69 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(all.contains("batch "), "messages are stamped with the batch id")
     } finally { query.stop(); server.stop(0) }
   }
+
+  test("streaming srm: arm parity matches Behavior.arm2 bit-for-bit") {
+    val fromSql = spark.range(1, 101)
+      .select(col("id"), graft.operators.Behavior.arm2(col("id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 100L).foreach { u =>
+      assert(graft.streaming.StreamingSrm.arm(u) == fromSql(u),
+        s"JVM-side md5 parity must equal the SQL arm2 for user $u")
+    }
+  }
+
+  test("streaming srm: an all-one-arm stream latches at the minN crossing") {
+    implicit val sqlCtx = spark.sqlContext
+    val pool = (0L until 600L)
+    val armOf = pool.toDF("user_id")
+      .select(col("user_id"), graft.operators.Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arm0 = pool.filter(armOf(_) == 0L).take(250).toVector
+    val input = MemoryStream[(String, Timestamp, Long, Long)]
+    val events = input.toDF().toDF("event_type", "ts", "event_id", "user_id")
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val query = graft.streaming.StreamingSrm.alarms(events).writeStream
+      .format("memory").queryName("srm_test").outputMode("append").start()
+    try {
+      // 250 arm-0 events: chi2 = n at every step, so the alarm fires
+      // exactly at the 200th observation in (ts, event_id) fold order
+      input.addData(arm0.zipWithIndex.map { case (u, i) =>
+        ("click", t0, i.toLong, u) }: _*)
+      query.processAllAvailable()
+      val got = spark.table("srm_test").collect()
+      assert(got.length == 1, s"one latched alarm: ${got.toSeq}")
+      val a = got.head
+      assert(a.getString(0) == "click" &&
+        (a.getLong(2), a.getLong(3), a.getDouble(4)) == ((200L, 0L, 200.0)),
+        s"crossing pinned at minN with every event on arm 0: $a")
+      // latch: more skewed traffic emits nothing new
+      input.addData(arm0.take(20).zipWithIndex.map { case (u, i) =>
+        ("click", t0, 1000L + i, u) }: _*)
+      query.processAllAvailable()
+      assert(spark.table("srm_test").count() == 1)
+    } finally query.stop()
+  }
+
+  test("streaming srm: balanced traffic never alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    val pool = (0L until 600L)
+    val armOf = pool.toDF("user_id")
+      .select(col("user_id"), graft.operators.Behavior.arm2(col("user_id")).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a0 = pool.filter(armOf(_) == 0L).take(150)
+    val a1 = pool.filter(armOf(_) == 1L).take(150)
+    val interleaved = a0.zip(a1).flatMap { case (x, y) => Seq(x, y) }
+    val input = MemoryStream[(String, Timestamp, Long, Long)]
+    val events = input.toDF().toDF("event_type", "ts", "event_id", "user_id")
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val query = graft.streaming.StreamingSrm.alarms(events).writeStream
+      .format("memory").queryName("srm_balanced").outputMode("append").start()
+    try {
+      input.addData(interleaved.zipWithIndex.map { case (u, i) =>
+        ("click", t0, i.toLong, u) }: _*)
+      query.processAllAvailable()
+      assert(spark.table("srm_balanced").isEmpty,
+        "a 50/50 stream must stay quiet at any n")
+    } finally query.stop()
+  }
 }
