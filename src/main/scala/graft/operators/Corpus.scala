@@ -1192,7 +1192,11 @@ object Corpus {
   def splitLeakageOf(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val pairs = Dedup.jaccardPairsOf(docs, threshold)
       .select(col("a_id"), col("b_id"))
+    // thin (doc_id, split) frame joined on BOTH pair sides; the pair
+    // frame itself feeds the total AND the rollup — checkpoint both
+    // or each reference re-runs its whole upstream pipeline
     val splits = trainSplitOf(docs).select(col("doc_id"), col("split"))
+      .localCheckpoint(false)
     val tagged = pairs
       .join(splits.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("split", "sa"), Seq("a_id"))
@@ -1200,6 +1204,7 @@ object Corpus {
         .withColumnRenamed("split", "sb"), Seq("b_id"))
       .select(least(col("sa"), col("sb")).as("split_a"),
         greatest(col("sa"), col("sb")).as("split_b"))
+      .localCheckpoint(false)
     val total = tagged.agg(count(lit(1)).as("tot"))
     tagged.groupBy("split_a", "split_b")
       .agg(count(lit(1)).as("n_pairs"))
@@ -1243,7 +1248,9 @@ object Corpus {
     * integer division. */
   def epochShuffleAuditOf(docs: DataFrame, epochs: Int = 3): DataFrame = {
     val dec = "decimal(38,0)"
-    val pos = epochShuffleOf(docs, epochs)
+    // referenced as BOTH pair sides — uncheckpointed, the whole
+    // two-phase rank would run twice
+    val pos = epochShuffleOf(docs, epochs).localCheckpoint(false)
     val a = pos.select(col("epoch").as("epoch_a"), col("doc_id"),
       col("pos").as("pa"))
     val b = pos.select(col("epoch").as("epoch_b"), col("doc_id"),

@@ -2101,4 +2101,61 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(bnlj(aq).length <= 1,
       s"arrival_quality_mix: only the 1-row bounds broadcast:\n$aq")
   }
+
+  test("round-17 tranches: new-operator plans bounded as designed") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bnlj(p: SparkPlan) =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    def noCartesian(name: String, p: SparkPlan): Unit =
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name: no cartesian:\n$p")
+    def oneScanNoWindow(name: String, p: SparkPlan): Unit = {
+      noCartesian(name, p)
+      assert(bnlj(p).isEmpty, s"$name: join-free of nested loops:\n$p")
+      // a checkpointed bounded frame hides its (single) upstream scan
+      // from the final plan, so <= 1, never more
+      assert(p.collect { case f: FileSourceScanExec => f }.length <= 1,
+        s"$name: at most the one fact scan:\n$p")
+      assert(p.collect { case w: WindowExec => w }.isEmpty,
+        s"$name: pure aggregate chain, no windows:\n$p")
+    }
+    // one map-combinable fact aggregate each, everything after bounded
+    oneScanNoWindow("simpson_reversal", plan(Behavior.simpsonReversal(spark, Sf)))
+    oneScanNoWindow("jackknife_ratio_se", plan(Behavior.jackknifeRatioSe(spark, Sf)))
+    oneScanNoWindow("aa_calibration", plan(Behavior.aaCalibration(spark, Sf)))
+    // ccf: the only BNLJ is the 1-row bounds broadcast; the best-lag
+    // window is pair-partitioned on the bounded lag frame
+    val cc = plan(EventAnalytics.ccfLeadlag(spark, Sf))
+    noCartesian("ccf_leadlag", cc)
+    assert(bnlj(cc).length <= 1, s"ccf: 1-row bounds broadcast only:\n$cc")
+    assert(cc.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      s"ccf: pair-partitioned windows only:\n$cc")
+    // reorder point: the fact scan + part broadcast live INSIDE the
+    // checkpointed (brand, day) frame, so the visible plan is the
+    // bounded grid fold — 1-row bounds BNLJ at most, no cartesian
+    val rp = plan(Warehouse.reorderPoint(spark, Sf))
+    noCartesian("reorder_point", rp)
+    assert(bnlj(rp).length <= 1, s"reorder_point: bounds broadcast only:\n$rp")
+    assert(rp.collect { case f: FileSourceScanExec => f }.isEmpty,
+      s"reorder_point: the fact is folded once behind the checkpoint:\n$rp")
+    // epoch shuffle: the two-phase rank must leave NO unpartitioned
+    // window (a corpus-wide row_number would be the single-partition
+    // anti-pattern the helper exists to avoid) — asserted on the
+    // ordering op itself; the audit hides it behind its checkpoint
+    val eso = plan(Corpus.epochShuffleOf(
+      graft.sources.Tables.documents(spark, Sf)))
+    val esw = eso.collect { case w: WindowExec => w }
+    assert(esw.nonEmpty && esw.forall(_.partitionSpec.nonEmpty),
+      s"epoch_shuffle: every window partitioned:\n$eso")
+    val es = plan(Corpus.epochShuffleAudit(spark, Sf))
+    noCartesian("epoch_shuffle", es)
+    // split leakage: composes the pinned pair machinery — still no
+    // quadratic join; the 1-row total broadcast is the only BNLJ
+    val sl = plan(Corpus.splitLeakage(spark, Sf))
+    noCartesian("split_leakage", sl)
+    assert(bnlj(sl).length <= 1, s"split_leakage: 1-row total only:\n$sl")
+  }
 }
