@@ -121,4 +121,73 @@ class Round17TrancheSpec extends AnyFunSuite with SparkFixture {
         s"planted doc $id must read its 9+ planted 8-grams as dup")
     }
   }
+
+  // ---- hostile-input edges for the round-17 second/third tranches ----
+
+  private def evFrame(rows: (Long, Long, String, String, Double)*): DataFrame =
+    rows.toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+
+  test("one-arm-only event types drop from simpson/jackknife/aa, never divide by zero") {
+    // user 3 is arm 1, user 4 arm 0 (md5-resolved below) — build a
+    // type whose every event sits on ONE arm
+    val arm = spark.range(1, 50).select(col("id"),
+        graft.operators.Behavior.arm2(col("id")).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneArm = arm.collect { case (u, 0L) => u }.take(3).toSeq
+    val ev = evFrame(oneArm.zipWithIndex.map { case (u, i) =>
+      (i.toLong, u, "solo", "2024-01-01 10:00:00", 1.0) }: _*)
+    assert(graft.operators.Behavior.simpsonReversalOf(ev).isEmpty,
+      "no opposite arm -> no aggregate comparison -> no row")
+    val jk = graft.operators.Behavior.jackknifeRatioSeOf(ev).collect()
+    assert(jk.length == 1 && jk.head.getDouble(3) == 1.0,
+      s"jackknife ignores arms entirely: ${jk.toSeq}")
+    assert(graft.operators.Behavior.aaCalibrationOf(ev).isEmpty,
+      "three users cannot fill a cell pair with n>1 on both sides")
+  }
+
+  test("ccf with a single event type emits nothing (no pair exists)") {
+    val ev = evFrame((1 to 5).map(d =>
+      (d.toLong, d.toLong, "only", f"2024-01-0$d 10:00:00", 1.0)): _*)
+    assert(graft.operators.EventAnalytics.ccfLeadlagOf(ev).isEmpty)
+  }
+
+  test("ccf parameter bounds and reorder/epoch/aa require-guards refuse") {
+    val ev = evFrame((1L, 1L, "a", "2024-01-01 10:00:00", 1.0))
+    val docs = Seq((1L, "s", "t")).toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException](
+      graft.operators.EventAnalytics.ccfLeadlagOf(ev, maxLag = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.EventAnalytics.ccfLeadlagOf(ev, maxLag = 15))
+    intercept[IllegalArgumentException](
+      graft.operators.Warehouse.reorderPointOf(
+        Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 1.0))
+          .toDF("l_partkey", "l_shipdate", "l_quantity"),
+        Seq((1L, "B")).toDF("p_partkey", "p_brand"), leadDays = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Corpus.epochShuffleOf(docs, epochs = 1))
+    intercept[IllegalArgumentException](
+      graft.operators.Behavior.aaCalibrationOf(ev, cells = 7))
+  }
+
+  test("split leakage on a pair-free corpus is empty, not a 0/0 error") {
+    val docs = Seq(
+      (1L, "web", "alpha beta gamma delta epsilon"),
+      (2L, "web", "one two three four five"))
+      .toDF("doc_id", "source", "text")
+    assert(graft.operators.Corpus.splitLeakageOf(docs).isEmpty,
+      "no near-dup pairs -> no rows (the ppm division never runs)")
+  }
+
+  test("epoch shuffle survives a single-doc corpus") {
+    val docs = Seq((7L, "s", "only doc")).toDF("doc_id", "source", "text")
+    val pos = graft.operators.Corpus.epochShuffleOf(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(pos.toSeq == Seq((0, 7L, 1L), (1, 7L, 1L), (2, 7L, 1L)), s"$pos")
+    val audit = graft.operators.Corpus.epochShuffleAuditOf(docs).collect()
+    assert(audit.length == 3 && audit.forall(r =>
+      r.getLong(2) == 1L && r.getLong(3) == 0L),
+      s"one doc: zero displacement in every epoch pair: ${audit.toSeq}")
+  }
 }
