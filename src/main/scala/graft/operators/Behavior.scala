@@ -3057,10 +3057,11 @@ object Behavior {
         floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"))
       .groupBy("event_type", "b")
       .agg(countDistinct("user_id").as("u"), sum(col("vq").cast(dec)).as("s"))
-      // bounded (types × B rows) and referenced THREE ways (totals,
-      // replicates, the final join) — uncheckpointed, each reference
-      // re-plans the fact scan (the §6 r16 scan-pin lesson)
-      .localCheckpoint(false)
+    // NO checkpoint although three consumers reference this frame:
+    // it ends at an exchange, so AQE's ReuseExchange dedupes the
+    // heavy aggregate at runtime (the pre-AQE plan's 3 scans are
+    // cosmetic) — a checkpoint here measured 14.0 → 17.5 s at ×100
+    // (materialization + lost codegen fusion for nothing; §6 r17)
     val tot = per.groupBy("event_type")
       .agg(sum("u").as("uu"), sum("s").as("stot"),
         count(lit(1)).as("nb"))

@@ -2390,9 +2390,9 @@ object Warehouse {
       .select(col("p_brand"), to_date(col("l_shipdate")).as("day"),
         floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("qc"))
       .groupBy("p_brand", "day").agg(sum("qc").as("d"))
-      // bounded (brands × span) with three consumers — checkpoint or
-      // the bounds, grid and fill join each re-scan the fact
-      .localCheckpoint(false)
+    // NO checkpoint despite three consumers: the frame ends at an
+    // exchange — ReuseExchange dedupes the fact aggregate at runtime;
+    // a checkpoint measured 6.2 → 8.5 s at ×100 (§6 r17)
     val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
     val grid = daily.select("p_brand").distinct()
       .crossJoin(broadcast(bounds))
