@@ -3060,8 +3060,9 @@ object Behavior {
     // NO checkpoint although three consumers reference this frame:
     // it ends at an exchange, so AQE's ReuseExchange dedupes the
     // heavy aggregate at runtime (the pre-AQE plan's 3 scans are
-    // cosmetic) — a checkpoint here measured 14.0 → 17.5 s at ×100
-    // (materialization + lost codegen fusion for nothing; §6 r17)
+    // cosmetic) — paired ×100 runs read checkpoint-NEUTRAL here
+    // (within the ±10% ambient band; §6 r17), so the simpler
+    // uncheckpointed form stands
     val tot = per.groupBy("event_type")
       .agg(sum("u").as("uu"), sum("s").as("stot"),
         count(lit(1)).as("nb"))

@@ -2384,7 +2384,8 @@ object EventAnalytics {
     // NO checkpoint despite the multi-reference ([[acfDailyOf]]'s
     // shape): daily ends at an exchange (ReuseExchange dedupes it at
     // runtime) and dense's grid join is calendar-bounded arithmetic —
-    // checkpointing both measured 3.9 → 6.4 s at ×100 (§6 r17)
+    // paired ×100 runs read checkpointing NEUTRAL (±10% ambient band;
+    // §6 r17), so the family keeps its uncheckpointed shape
     val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
     val grid = daily.select("event_type").distinct()
       .crossJoin(broadcast(bounds))

@@ -2392,7 +2392,7 @@ object Warehouse {
       .groupBy("p_brand", "day").agg(sum("qc").as("d"))
     // NO checkpoint despite three consumers: the frame ends at an
     // exchange — ReuseExchange dedupes the fact aggregate at runtime;
-    // a checkpoint measured 6.2 → 8.5 s at ×100 (§6 r17)
+    // paired ×100 runs read a checkpoint NEUTRAL here (§6 r17)
     val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
     val grid = daily.select("p_brand").distinct()
       .crossJoin(broadcast(bounds))
