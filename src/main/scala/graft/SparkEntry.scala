@@ -666,7 +666,12 @@ object SparkEntry {
     // A/A null-battery platform-calibration read
     "split_leakage"  -> (Corpus.splitLeakage(_, _)),
     "epoch_shuffle"  -> (Corpus.epochShuffleAudit(_, _)),
-    "aa_calibration" -> (Behavior.aaCalibration(_, _))
+    "aa_calibration" -> (Behavior.aaCalibration(_, _)),
+    // Round-17 fourth tranche: trust-and-safety (bot heuristics),
+    // calendar completeness, and the trigger-dilution readout
+    "bot_score"        -> (EventAnalytics.botScore(_, _)),
+    "gap_report"       -> (EventAnalytics.gapReport(_, _)),
+    "trigger_dilution" -> (Behavior.triggerDilution(_, _))
   )
 
   /** Split per operator family (round 9): the registry stays one

@@ -3163,4 +3163,89 @@ object Behavior {
 
   def aaCalibration(spark: SparkSession, dir: String): DataFrame =
     aaCalibrationOf(Tables.events(spark, dir))
+
+  /** Trigger-dilution readout (Deng/Microsoft's triggered-analysis
+    * discipline): an ITT effect measured over EVERYONE is diluted by
+    * the users who never hit the feature's trigger — the honest pair
+    * of numbers is the intent-to-treat ATE over the full population
+    * AND the ATE restricted to triggered users (here: users with ≥ 1
+    * `triggerType` event), with the dilution ratio between them. A
+    * ratio ≈ the trigger rate says the effect lives entirely inside
+    * the triggered slice (the standard sanity identity); a ratio
+    * above it says the metric moved on users who never saw the
+    * feature — a red flag for the bucketing or the metric.
+    *
+    * Per event type: population/triggered user counts per arm
+    * (users absent from a type contribute an exact 0 — the ITT
+    * denominator is the POPULATION, not the type's actives), exact
+    * micro-grid sums, both ATEs as fixed double chains, dilution =
+    * ate_all / ate_triggered (NULL when the triggered ATE is zero
+    * or a triggered arm is empty — a refusal, never ±Infinity).
+    *
+    * Scale: one distinct-user pass (the population frame), one
+    * trigger semi-join frame, two (type, arm) sum aggregates — all
+    * map-combinable; the pivots fold on ≤ types×2 rows. The base
+    * projection is re-scanned per aggregate (map-only, column-pruned
+    * — the profile_columns posture, cheaper than materializing a
+    * fact-wide checkpoint). */
+  def triggerDilutionOf(events: DataFrame,
+                        triggerType: String = "view"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = events.select(col("event_type"), col("user_id"),
+      arm2(col("user_id")).as("arm"),
+      floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"))
+    val pop = base.select("user_id", "arm").distinct()
+    val popW = pop.groupBy("arm").agg(count(lit(1)).as("np"))
+      .agg(max(when(col("arm") === 0, col("np"))).as("np0"),
+        max(when(col("arm") === 1, col("np"))).as("np1")) // 1 row
+    val trig = base.filter(col("event_type") === triggerType)
+      .select("user_id").distinct()
+    val trigW = pop.join(trig, "user_id").groupBy("arm")
+      .agg(count(lit(1)).as("nt"))
+      .agg(max(when(col("arm") === 0, col("nt"))).as("nt0"),
+        max(when(col("arm") === 1, col("nt"))).as("nt1")) // 1 row
+    def pick(c: String, a: Int) = max(when(col("arm") === a, col(c)))
+    val sums = base.groupBy("event_type", "arm")
+      .agg(sum(col("vq").cast(dec)).as("s"))
+      .groupBy("event_type")
+      .agg(coalesce(pick("s", 0), lit(0L).cast(dec)).as("s0"),
+        coalesce(pick("s", 1), lit(0L).cast(dec)).as("s1"))
+    val trigSums = base.join(trig, "user_id")
+      .groupBy("event_type", "arm")
+      .agg(sum(col("vq").cast(dec)).as("s"))
+      .groupBy("event_type")
+      .agg(coalesce(pick("s", 0), lit(0L).cast(dec)).as("st0"),
+        coalesce(pick("s", 1), lit(0L).cast(dec)).as("st1"))
+    val r6 = graft.functions.TextF.round6HalfUp _
+    sums.join(trigSums, Seq("event_type"), "left")
+      .crossJoin(broadcast(popW)).crossJoin(broadcast(trigW))
+      .filter(col("np0") > 0 && col("np1") > 0)
+      .withColumn("ate_all_raw", expr(
+        """(CAST(s1 AS DOUBLE) / CAST(np1 AS DOUBLE)
+          | - CAST(s0 AS DOUBLE) / CAST(np0 AS DOUBLE)) / 1e6"""
+          .stripMargin))
+      .withColumn("ate_trig_raw",
+        when(col("nt0").isNull || col("nt1").isNull ||
+             col("nt0") === 0 || col("nt1") === 0 ||
+             col("st0").isNull || col("st1").isNull,
+          lit(null).cast("double")).otherwise(expr(
+          """(CAST(st1 AS DOUBLE) / CAST(nt1 AS DOUBLE)
+            | - CAST(st0 AS DOUBLE) / CAST(nt0 AS DOUBLE)) / 1e6"""
+            .stripMargin)))
+      .select(col("event_type"),
+        (col("np0") + col("np1")).as("n_users"),
+        (coalesce(col("nt0"), lit(0L)) + coalesce(col("nt1"), lit(0L)))
+          .as("n_triggered"),
+        expr("""CAST((COALESCE(nt0, 0) + COALESCE(nt1, 0)) * 1000000
+               |  div (np0 + np1) AS BIGINT)""".stripMargin)
+          .as("trigger_rate_ppm"),
+        r6(col("ate_all_raw")).as("ate_all"),
+        r6(col("ate_trig_raw")).as("ate_triggered"),
+        r6(col("ate_all_raw") /
+          nullif(col("ate_trig_raw"), lit(0.0))).as("dilution_ratio"))
+      .orderBy("event_type")
+  }
+
+  def triggerDilution(spark: SparkSession, dir: String): DataFrame =
+    triggerDilutionOf(Tables.events(spark, dir))
 }

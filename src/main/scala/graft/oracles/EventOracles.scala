@@ -4012,5 +4012,108 @@ private[graft] object EventOracles {
         |    * 1e4 + 0.5) / 1e4 AS flag_share,
         |  CAST(mzq AS DOUBLE) / 1e6 AS max_abs_z
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // Bot heuristics: all-integer µs-grid rationals (HUGEINT mirrors
+    // decimal(38,0)); the only NULL path is the zero-total-gap
+    // degenerate, which the flag's first disjunct absorbs.
+    "bot_score" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |g0 AS (SELECT user_id,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS gap FROM e),
+        |g AS (SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(CAST(gap AS HUGEINT)) AS HUGEINT) AS sg,
+        |    CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sgg
+        |  FROM g0 GROUP BY 1),
+        |t AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(MAX(c) AS BIGINT) AS top_c
+        |  FROM (SELECT user_id, event_type, COUNT(*) AS c FROM e
+        |        GROUP BY 1, 2) GROUP BY 1),
+        |j AS (SELECT t.user_id, t.n_events, g.n_gaps,
+        |    CASE WHEN g.sg = 0 THEN NULL
+        |      ELSE CAST(((g.n_gaps * g.sgg - g.sg * g.sg) * 1000000)
+        |             // (g.sg * g.sg) AS BIGINT) END AS cv2_ppm,
+        |    CAST(t.top_c * 1000000 // t.n_events AS BIGINT)
+        |      AS top_share_ppm,
+        |    g.sg
+        |  FROM t JOIN g USING (user_id) WHERE t.n_events >= 20)
+        |SELECT user_id, n_events, n_gaps, cv2_ppm, top_share_ppm,
+        |  (sg = 0 OR cv2_ppm < 100000
+        |    OR (top_share_ppm = 1000000 AND n_events >= 50)) AS bot_flag
+        |FROM j ORDER BY user_id""".stripMargin,
+
+    // Calendar completeness per type: observed vs own-span days,
+    // longest missing run off the ordered-day lag.
+    "gap_report" ->
+      """WITH d AS (SELECT DISTINCT event_type, ts::DATE AS day FROM events),
+        |l AS (SELECT event_type, day,
+        |    lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM d),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS observed_days,
+        |    CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
+        |    CAST(COALESCE(MAX(day - prev - 1), 0) AS BIGINT) AS longest_gap
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, span_days, observed_days,
+        |  span_days - observed_days AS missing_days,
+        |  CAST(observed_days * 1000000 // span_days AS BIGINT)
+        |    AS completeness_ppm,
+        |  longest_gap
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Trigger dilution: ITT over the POPULATION vs the triggered
+    // slice; the dilution ratio refuses (NULL) on a zero or
+    // empty-arm triggered ATE.
+    "trigger_dilution" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |    CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 AS arm,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |pop AS (SELECT DISTINCT user_id, arm FROM e),
+        |pw AS (SELECT MAX(CASE WHEN arm = 0 THEN np END) AS np0,
+        |    MAX(CASE WHEN arm = 1 THEN np END) AS np1
+        |  FROM (SELECT arm, CAST(COUNT(*) AS BIGINT) AS np FROM pop
+        |        GROUP BY 1)),
+        |tr AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |tw AS (SELECT MAX(CASE WHEN arm = 0 THEN nt END) AS nt0,
+        |    MAX(CASE WHEN arm = 1 THEN nt END) AS nt1
+        |  FROM (SELECT p.arm, CAST(COUNT(*) AS BIGINT) AS nt
+        |        FROM pop p JOIN tr USING (user_id) GROUP BY 1)),
+        |s AS (SELECT event_type,
+        |    CAST(COALESCE(MAX(CASE WHEN arm = 0 THEN sv END), 0) AS HUGEINT)
+        |      AS s0,
+        |    CAST(COALESCE(MAX(CASE WHEN arm = 1 THEN sv END), 0) AS HUGEINT)
+        |      AS s1
+        |  FROM (SELECT event_type, arm, SUM(CAST(vq AS HUGEINT)) AS sv
+        |        FROM e GROUP BY 1, 2) GROUP BY 1),
+        |st AS (SELECT event_type,
+        |    CAST(COALESCE(MAX(CASE WHEN arm = 0 THEN sv END), 0) AS HUGEINT)
+        |      AS st0,
+        |    CAST(COALESCE(MAX(CASE WHEN arm = 1 THEN sv END), 0) AS HUGEINT)
+        |      AS st1
+        |  FROM (SELECT e.event_type, e.arm, SUM(CAST(e.vq AS HUGEINT)) AS sv
+        |        FROM e JOIN tr USING (user_id) GROUP BY 1, 2) GROUP BY 1),
+        |j AS (SELECT s.event_type, s.s0, s.s1, st.st0, st.st1,
+        |    pw.np0, pw.np1, tw.nt0, tw.nt1
+        |  FROM s LEFT JOIN st USING (event_type), pw, tw
+        |  WHERE pw.np0 > 0 AND pw.np1 > 0),
+        |c AS (SELECT *,
+        |    (CAST(s1 AS DOUBLE) / CAST(np1 AS DOUBLE)
+        |     - CAST(s0 AS DOUBLE) / CAST(np0 AS DOUBLE)) / 1e6 AS ar,
+        |    CASE WHEN nt0 IS NULL OR nt1 IS NULL OR nt0 = 0 OR nt1 = 0
+        |           OR st0 IS NULL OR st1 IS NULL THEN NULL
+        |      ELSE (CAST(st1 AS DOUBLE) / CAST(nt1 AS DOUBLE)
+        |            - CAST(st0 AS DOUBLE) / CAST(nt0 AS DOUBLE)) / 1e6
+        |    END AS at
+        |  FROM j)
+        |SELECT event_type, np0 + np1 AS n_users,
+        |  COALESCE(nt0, 0) + COALESCE(nt1, 0) AS n_triggered,
+        |  CAST((COALESCE(nt0, 0) + COALESCE(nt1, 0)) * 1000000
+        |    // (np0 + np1) AS BIGINT) AS trigger_rate_ppm,
+        |  floor(ar * 1e6 + 0.5) / 1e6 AS ate_all,
+        |  floor(at * 1e6 + 0.5) / 1e6 AS ate_triggered,
+        |  floor(ar / NULLIF(at, 0.0) * 1e6 + 0.5) / 1e6 AS dilution_ratio
+        |FROM c ORDER BY event_type""".stripMargin,
   )
 }

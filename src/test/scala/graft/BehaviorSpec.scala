@@ -1495,4 +1495,33 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(4) > 10.0, s"max |z| carries the 50-unit poison: $r")
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0, s"$r")
   }
+
+  test("trigger dilution: ITT over the population vs the triggered slice") {
+    val a0 = armOf.collect { case (u, 0L) => u }.take(4).toSeq
+    val a1 = armOf.collect { case (u, 1L) => u }.take(4).toSeq
+    // population 4+4; triggered (>=1 view): a0(0), a0(1), a1(0), a1(1)
+    // buys: a1(0) 8.0 (triggered), a1(2) 4.0 (UNtriggered), a0(0) 2.0
+    val rows =
+      Seq(a0(0), a0(1), a1(0), a1(1)).map((_, "view", 0.0)) ++
+      Seq(a0(2), a0(3), a1(2), a1(3)).map((_, "signup", 0.0)) ++ // in pop
+      Seq((a1(0), "buy", 8.0), (a1(2), "buy", 4.0), (a0(0), "buy", 2.0))
+    val ev = rows.zipWithIndex.map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 10:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"), col("value"))
+    val out = Behavior.triggerDilutionOf(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val b = out("buy")
+    assert((b.getLong(1), b.getLong(2), b.getLong(3)) ==
+      ((8L, 4L, 500000L)), s"population 8, triggered 4: $b")
+    // ITT: arm1 (8+4)/4 - arm0 2/4 = 2.5; triggered: 8/2 - 2/2 = 3.0
+    assert(b.getDouble(4) == 2.5 && b.getDouble(5) == 3.0, s"$b")
+    assert(b.getDouble(6) == math.floor(2.5 / 3.0 * 1e6 + 0.5) / 1e6,
+      s"dilution 0.833333: $b")
+    // the zero-valued view metric: both ATEs 0 -> dilution refuses
+    val v = out("view")
+    assert(v.getDouble(4) == 0.0 && v.getDouble(5) == 0.0 && v.isNullAt(6),
+      s"0/0 dilution must be NULL, never NaN: $v")
+  }
 }

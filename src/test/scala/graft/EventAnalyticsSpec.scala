@@ -1055,4 +1055,57 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.nonEmpty && rows.forall(r => r.isNullAt(4) && !r.getBoolean(5)),
       s"constant c: every r NULL, no best: ${rows.toSeq}")
   }
+
+  test("bot score: metronome and mono-type script flag, organic traffic does not") {
+    def ev(rows: Seq[(Long, Long, String, Long)]) = // (id, user, type, sec)
+      rows.map { case (i, u, t, s) => (i, u, t, 1700000000L + s) }
+        .toDF("event_id", "user_id", "event_type", "sec")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(col("sec")).as("ts"),
+          (col("sec") * 1000000000L).as("ts_ns"), lit(1.0).as("value"))
+    var id = 0L
+    def next() = { id += 1; id }
+    val rows =
+      // user 1: METRONOME — 25 events exactly 60 s apart, two types
+      (0 until 25).map(i => (next(), 1L, if (i % 2 == 0) "a" else "b",
+        i * 60L)) ++
+      // user 2: organic — alternating 1 s / 1000 s gaps, two types
+      (0 until 25).map(i => (next(), 2L, if (i % 2 == 0) "a" else "b",
+        (i / 2) * 1001L + (i % 2))) ++
+      // user 3: mono-type at volume — 50 'a' events, irregular gaps
+      (0 until 50).map(i => (next(), 3L, "a", i.toLong * i * 7L)) ++
+      // user 4: mono-type but BELOW the volume bar (49 events)
+      (0 until 49).map(i => (next(), 4L, "a", i.toLong * i * 7L)) ++
+      // user 5: machine-gun — 20 events on one microsecond
+      (0 until 20).map(_ => (next(), 5L, "a", 0L)) ++
+      // user 6: below minEvents entirely
+      Seq((next(), 6L, "a", 0L))
+    val out = EventAnalytics.botScoreOf(ev(rows)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L)._2 == Some(0L) && out(1L)._4,
+      s"identical gaps: cv2 exactly 0, flagged: ${out(1L)}")
+    assert(out(2L)._2.get > 100000L && !out(2L)._4,
+      s"bursty organic gaps pass: ${out(2L)}")
+    assert(out(3L)._3 == 1000000L && out(3L)._4,
+      s"50 mono-type events flag on share: ${out(3L)}")
+    assert(!out(4L)._4, s"49 events miss the volume bar: ${out(4L)}")
+    assert(out(5L)._2.isEmpty && out(5L)._4,
+      s"zero total gap: NULL cv2 but flagged: ${out(5L)}")
+    assert(!out.contains(6L), "below minEvents emits nothing")
+  }
+
+  test("gap report: missing days and the longest run, per the type's own span") {
+    val ev = dailyEvents(
+      (Seq(1, 2, 3, 7, 8).map(d => ("a", f"2024-01-$d%02d 10:00:00", 1.0)) :+
+        ("b", "2024-01-05 10:00:00", 1.0)): _*)
+    val out = EventAnalytics.gapReportOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("a") == ((8L, 5L, 3L, 625000L, 3L)),
+      s"span 8, observed 5, longest run = days 4-6: ${out("a")}")
+    assert(out("b") == ((1L, 1L, 0L, 1000000L, 0L)),
+      s"a single day is complete by its own span: ${out("b")}")
+  }
 }

@@ -2160,5 +2160,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val sl = plan(Corpus.splitLeakage(spark, Sf))
     noCartesian("split_leakage", sl)
     assert(bnlj(sl).length <= 1, s"split_leakage: 1-row total only:\n$sl")
+    // bot score: the user-keyed lag window must stay partitioned
+    // (high-card key — the scalable shape); two pruned fact scans
+    // (gaps + type counts, the profile_columns posture)
+    val bs = plan(EventAnalytics.botScore(spark, Sf))
+    noCartesian("bot_score", bs)
+    val bsw = bs.collect { case w: WindowExec => w }
+    assert(bsw.nonEmpty && bsw.forall(_.partitionSpec.nonEmpty),
+      s"bot_score: user-partitioned lag only:\n$bs")
+    assert(bs.collect { case f: FileSourceScanExec => f }.length <= 2,
+      s"bot_score: gaps + type-count scans only:\n$bs")
+    // gap report: the day lag rides boundaryCarryLag — every window
+    // partitioned, never a |types|-parallelism type-keyed window
+    val gr = plan(EventAnalytics.gapReport(spark, Sf))
+    noCartesian("gap_report", gr)
+    val grw = gr.collect { case w: WindowExec => w }
+    assert(grw.forall(_.partitionSpec.nonEmpty),
+      s"gap_report: partitioned windows only:\n$gr")
+    // trigger dilution: the two 1-row count frames broadcast; no
+    // cartesian beyond them, no window at all
+    val td = plan(Behavior.triggerDilution(spark, Sf))
+    noCartesian("trigger_dilution", td)
+    assert(bnlj(td).length <= 2,
+      s"trigger_dilution: two 1-row broadcasts only:\n$td")
+    assert(td.collect { case w: WindowExec => w }.isEmpty,
+      s"trigger_dilution: aggregate chain, no windows:\n$td")
   }
 }
