@@ -907,10 +907,17 @@ object Behavior {
     // minSupport <= 0 would make every pair "frequent" and turn the
     // pruned self-join chain into the full cubic basket expansion.
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    // r17 optimization round: AQE right-sizes the distinct's output by
+    // BYTES (a few MB → 1 partition), but every downstream row fans
+    // out ×basket twice — the cubic expansion then ran as ONE task
+    // (thread-dump verified: 1 RUNNABLE worker, 31 idle). Re-spread
+    // the small frame to the session's parallelism before it becomes
+    // the expansion's probe side; the round-robin shuffle is 36 k rows.
     val items = events.select(col("user_id"),
       coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
         .as("item"))
       .distinct()
+      .repartition(events.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(false) // four consumers (three legs + pairs)
     val freqPairs = items.select(col("user_id"), col("item").as("pa"))
       .join(items.select(col("user_id"), col("item").as("pb")), Seq("user_id"))
@@ -919,18 +926,34 @@ object Behavior {
       .filter(col("c") >= minSupport)
       .select(col("pa"), col("pb"))
       .localCheckpoint(false) // support-bounded; three semi-join consumers
+    // r17 optimization round: the checkpointed freqPairs frame carries
+    // no stats (ExistingRDD → defaultSizeInBytes), so the planner
+    // sort-merge-joined the CUBIC candidate stream against it — three
+    // full shuffles+sorts of the Θ(Σ C(basket,3)) expansion to probe a
+    // support-bounded pair list. Count it (one cheap job on the
+    // already-materialized checkpoint) and broadcast the semi-join
+    // probe when it fits comfortably (≤2M pairs ≈ 32 MB hashed);
+    // beyond that the shuffle path stands — the guard, not a
+    // local-mode constant, is what ships to the cluster.
+    val fpSmall = freqPairs.count() <= 2000000L
     def frequent(a: String, b: String)(df: DataFrame): DataFrame =
-      df.join(freqPairs,
+      df.join(if (fpSmall) broadcast(freqPairs) else freqPairs,
         col(a) === col("pa") && col(b) === col("pb"), "left_semi")
     val ab = items.select(col("user_id"), col("item").as("item_a"))
       .join(items.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
       .filter(col("item_a") < col("item_b"))
       .transform(frequent("item_a", "item_b"))
+    // r17 optimization round: the (a,c)/(b,c) prunes are NOT applied —
+    // they probed every row of the Θ(Σ C(basket,3)) stream (2 × 31M
+    // hash probes ≈ half the query at sf0.1) and only pre-filtered the
+    // aggregate's input: any triple reaching `support >= minSupport`
+    // has all three pairs frequent (downward closure), so the post-agg
+    // support filter subsumes them row-for-row. The LOAD-BEARING prune
+    // — (a,b) frequency gating the third expansion, the one that keeps
+    // sparse-catalog candidate mass bounded — stays.
     val abc = ab
       .join(items.select(col("user_id"), col("item").as("item_c")), Seq("user_id"))
       .filter(col("item_b") < col("item_c"))
-      .transform(frequent("item_a", "item_c"))
-      .transform(frequent("item_b", "item_c"))
       .groupBy("item_a", "item_b", "item_c").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
     abc.orderBy(col("support").desc, col("item_a"), col("item_b"),

@@ -1229,19 +1229,33 @@ object CorpusStats {
     *
     * Shape: three column-pruned scans (text, source only) unioned
     * before ONE (source, n) aggregate; the distinct count shuffles
-    * gram strings once. The tempting one-scan form — concat the three
-    * gram families as (n, gram) structs in one projection, one
-    * explode — MEASURED 2× SLOWER (7.2 s vs 3.9 s at sf0.1): the
-    * struct-building `transform` lambdas evaluate interpreted per
-    * element, while three scans stay whole-stage-codegen'd end to end
-    * (the bigramPairs lesson again). At 100 TB the distinct count
-    * swaps for the HLL sketch (approx_count_distinct) with the same
-    * frame. */
+    * 8-byte gram HASHES once (r17 optimization round: the native
+    * non-deduping [[graft.plans.ShingleHashes]] scan replaced the
+    * interpreted `strictShingles` string pipeline — identical
+    * occurrence counts, and the distinct count is over xxhash64 keys
+    * instead of strings, collision-checked by the oracle replay; the
+    * string form measured 3.4 s vs 1.1 s at sf0.1). The one-scan
+    * concat-of-families form stays rejected (measured 2× slower when
+    * tried with interpreted lambdas; with three native scans the scan
+    * count is not the cost). At 100 TB the distinct count swaps for
+    * the HLL sketch (approx_count_distinct) with the same frame. */
   def distinctNgramDiversityOf(docs: DataFrame,
                                approx: Boolean = false): DataFrame = {
     def grams(n: Int): DataFrame = {
-      val g = if (n == 1) TextF.tokens(col("text"))
-        else TextF.strictShingles(col("text"), n)
+      // n=1 non-strict ≡ whitespace tokens incl. the empty-doc [""]
+      // convention; n≥2 strict ≡ strictShingles (short docs: nothing).
+      // dedup=false keeps every occurrence — total_ngrams needs the
+      // full stream, not the per-doc set. The APPROX path must keep
+      // the STRING stream: approx_count_distinct's estimate is a
+      // deterministic function of the input values and the _approx
+      // twin's output is oracle-pinned — hashing first would move it.
+      val g =
+        if (approx) {
+          if (n == 1) TextF.tokens(col("text"))
+          else TextF.strictShingles(col("text"), n)
+        } else graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
+          graft.plans.ColumnBridge.expression(col("text")), n, 0L,
+          strict = n > 1, dedup = false))
       docs.select(col("source"), lit(n).as("n"), explode(g).as("g"))
     }
     // The graft.scale.approx swap: HLL (rsd 2%) replaces the exact

@@ -469,30 +469,35 @@ object Dedup {
     * sha256 sharing is the degenerate case and [[dedupExact]] already
     * keys it; spans catch the partial-copy mass documents miss.)
     *
-    * Shape: the occurrence stream collapses to the DISTINCT
-    * (gram-hash, source) frame first (a partial-aggregate — duplicate
-    * occurrences of a gram within a source never cross the wire); the
-    * per-gram self-join fans out only sources-per-gram ≤ |sources|,
-    * and the pair aggregate is |sources|²-bounded. The gram key
-    * shuffles as its 64-bit xxhash, not the raw string. (A one-shuffle
-    * collect_set-of-sources variant measured no faster at sf0.1 —
-    * 5.7 s vs 5.4 s — per-gram set buffers on ~9M mostly-singleton
-    * groups cost what the extra hash-key shuffle costs; this form
-    * keeps fixed-width aggregation buffers.) */
+    * Shape (r17 optimization round): gram hashing is the native
+    * one-pass [[graft.plans.ShingleHashes]] scan (per-doc-deduped
+    * 64-bit hashes, no intermediate shingle strings — the same scan
+    * [[graft.operators.Corpus.sourceOverlapMatrixOf]] uses; the old
+    * `explode(strictShingles) → xxhash64(string)` map stage was the
+    * query's dominant cost, 3.5 s vs the overlap matrix's 1.0 s on the
+    * identical gram pass). One (h → sorted source-set) aggregate
+    * replaces the old distinct + per-gram self-join — the pair mass is
+    * a map-side ≤ C(|sources|,2)-per-gram explode, and the gram stream
+    * crosses the wire exactly once. (The 2019-shape footnote about
+    * collect_set measuring no faster predates the native scan: with
+    * string grams the map side dominated either way; with 8-byte
+    * hashes the one-shuffle form wins.) */
   def dupMatrixOf(docs: DataFrame, n: Int = 8,
                   approx: Boolean = false): DataFrame = {
     require(n > 1, s"span length must be > 1, got $n")
     if (approx) return dupMatrixSketchOf(docs, n)
-    val hs = docs
+    docs
       .select(col("source"),
-        explode(graft.functions.TextF.strictShingles(col("text"), n)).as("g"))
-      .select(xxhash64(col("g")).as("h"), col("source"))
-      .distinct()
-      .localCheckpoint(false) // both self-join sides
-    hs.select(col("h"), col("source").as("source_a"))
-      .join(hs.select(col("h"), col("source").as("source_b")), Seq("h"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy("source_a", "source_b")
+        explode(graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
+          graft.plans.ColumnBridge.expression(col("text")), n, 0L,
+          strict = true))).as("h"))
+      .groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b -> struct(a, b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("source_a", "source_b")
   }
@@ -514,10 +519,16 @@ object Dedup {
     * are clamped, not emitted. ScaleApproxSpec bands every estimate
     * union-relative against the exact matrix. */
   private def dupMatrixSketchOf(docs: DataFrame, n: Int): DataFrame = {
+    // ShingleHashes with prime=0 emits the RAW xxhash64 (seed 42) of
+    // each shingle string — byte-identical to the old
+    // `xxhash64(explode(strictShingles))` values, so the HLL sketches
+    // and their oracle-pinned estimates are unchanged; the per-doc
+    // dedup is transparent to HLL (duplicate insertion is idempotent).
     val sk = docs
       .select(col("source"),
-        explode(graft.functions.TextF.strictShingles(col("text"), n)).as("g"))
-      .select(col("source"), xxhash64(col("g")).as("h"))
+        explode(graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
+          graft.plans.ColumnBridge.expression(col("text")), n, 0L,
+          strict = true))).as("h"))
       .groupBy("source")
       .agg(expr("hll_sketch_agg(h, 18)").as("sk"))
       .localCheckpoint(false) // both pair sides

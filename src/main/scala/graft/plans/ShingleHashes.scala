@@ -33,9 +33,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * edge: text starting with non-space whitespace (e.g. a tab) gives
   * the split form a phantom leading empty token, which this scanner
   * correctly does not emit.
+  *
+  * `prime <= 0` skips the modulus: the raw xxhash64 (seed 42) value is
+  * emitted, byte-identical to `xxhash64(shingle_string)` — required
+  * when the hashes feed a sketch whose ESTIMATES are oracle-pinned
+  * (dup_matrix_approx) and values therefore must not move.
+  *
+  * `dedup = false` keeps every occurrence in document order instead of
+  * the per-doc distinct set — for operators that count occurrences
+  * (total n-grams) as well as distincts (ngram_diversity).
   */
 case class ShingleHashes(child: Expression, n: Int, prime: Long,
-                         strict: Boolean = false)
+                         strict: Boolean = false, dedup: Boolean = true)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(StringType)
@@ -60,24 +69,28 @@ case class ShingleHashes(child: Expression, n: Int, prime: Long,
       if (i > s) { starts.add(s); ends.add(i) }
     }
     val nTok = starts.size()
+    // dedup=true: LinkedHashSet semantics; dedup=false: plain append.
     val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val all = if (dedup) null else new java.util.ArrayList[java.lang.Long]()
+    def add(v: Long): Unit =
+      if (dedup) out.add(v) else all.add(v)
     def hashRange(buf: Array[Byte], length: Int): Long = {
       val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, length, 42L)
-      java.lang.Math.floorMod(h, prime)
+      if (prime <= 0L) h else java.lang.Math.floorMod(h, prime)
     }
     if (nTok < n && strict) {
       // strict mode: a doc shorter than the shingle width contributes
       // NOTHING (decontamination semantics — single shared words must
       // not poison the corpus; cf. TextF.strictShingles)
     } else if (nTok == 0) {
-      out.add(hashRange(Array.emptyByteArray, 0))
+      add(hashRange(Array.emptyByteArray, 0))
     } else if (nTok < n) {
       // short-doc fallback: each token is its own shingle
       var t = 0
       while (t < nTok) {
         val s = starts.get(t); val e = ends.get(t)
         val buf = java.util.Arrays.copyOfRange(bytes, s, e)
-        out.add(hashRange(buf, buf.length))
+        add(hashRange(buf, buf.length))
         t += 1
       }
     } else {
@@ -93,12 +106,13 @@ case class ShingleHashes(child: Expression, n: Int, prime: Long,
           pos += e - s
           k += 1
         }
-        out.add(hashRange(buf, pos))
+        add(hashRange(buf, pos))
         first += 1
       }
     }
-    val arr = new Array[Long](out.size())
-    val it = out.iterator(); var j = 0
+    val src: java.util.Collection[java.lang.Long] = if (dedup) out else all
+    val arr = new Array[Long](src.size())
+    val it = src.iterator(); var j = 0
     while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
     new GenericArrayData(arr)
   }

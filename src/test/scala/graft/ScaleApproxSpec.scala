@@ -85,8 +85,13 @@ class ScaleApproxSpec extends AnyFunSuite with SparkFixture {
     val exactPlan = Dedup.dupMatrixOf(docs).queryExecution.sparkPlan
     val sketchPlan = Dedup.dupMatrixOf(docs, approx = true)
       .queryExecution.sparkPlan
-    assert(equiJoins(exactPlan).nonEmpty,
-      "control: the exact path equi-joins on the gram hash")
+    // Control (r17 shape): the exact path aggregates per-gram source
+    // sets (collect_set keyed on the gram hash) — the sketch path must
+    // not carry that per-gram aggregate, only per-source HLL state.
+    assert(exactPlan.toString.contains("collect_set"),
+      "control: the exact path aggregates per-gram source sets")
+    assert(!sketchPlan.toString.contains("collect_set"),
+      "sketch path must not build per-gram source sets")
     assert(equiJoins(sketchPlan).isEmpty,
       s"sketch path must not equi-join grams:\n$sketchPlan")
     assert(sketchPlan.toString.contains("hll_union"),
