@@ -21,6 +21,23 @@ object Scale {
   def approx(spark: SparkSession): Boolean =
     spark.conf.getOption(ApproxKey).exists(_.toBoolean)
 
+  /** Under-parallelized-input guard (r17 optimization round; the
+    * operator-local twin of graft.sources.Tables.spread — see its
+    * scaladoc for the full rationale): when a frame's physical
+    * parallelism is below half the session's cores AND the caller is
+    * about to run compute-dense work on it (decimal moment folds,
+    * full-buffer percentiles, per-row resample vectors), hash-spread
+    * it by `key` first. No-op whenever the input already
+    * parallelizes (a real 100 TB scan, a post-shuffle frame at
+    * session partitioning), so there is nothing to tune at scale;
+    * the hash exchange is deterministic under retries (no
+    * round-robin). Callers pass a high-cardinality key. */
+  def spreadInput(df: DataFrame, key: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target, key: _*)
+  }
+
   /** Build with the approx flag forced ON, restoring the session's
     * prior setting afterwards — the registered `*_approx` twins use
     * this so the 100 TB sketch path is driver-value-checked without

@@ -1256,7 +1256,14 @@ object CorpusStats {
         } else graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
           graft.plans.ColumnBridge.expression(col("text")), n, 0L,
           strict = n > 1, dedup = false))
-      docs.select(col("source"), lit(n).as("n"), explode(g).as("g"))
+      // The approx twin keeps the interpreted string stream (its HLL
+      // estimates are value-pinned) — spreadInput parallelizes that
+      // compute-dense scan instead (no-op on already-parallel input).
+      val in = if (approx)
+        graft.Scale.spreadInput(docs.select(col("source"), col("text")),
+          col("source"), col("text"))
+      else docs
+      in.select(col("source"), lit(n).as("n"), explode(g).as("g"))
     }
     // The graft.scale.approx swap: HLL (rsd 2%) replaces the exact
     // distinct — fixed-size per-group state, no second shuffle of the

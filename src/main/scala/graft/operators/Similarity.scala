@@ -210,8 +210,9 @@ object Similarity {
     val planes = VectorF.hyperplanes(64, nPlanes)
     // Materialized once: both join sides consume it (keyed on probe
     // vs home bucket, so ReuseExchange can't dedupe), and the bucket
-    // assignment is nPlanes interpreted-HOF dot products per row.
-    val emb = embeddings
+    // assignment is nPlanes interpreted-HOF dot products per row —
+    // compute-dense, so spreadInput guards the 1-partition bench scan.
+    val emb = graft.Scale.spreadInput(embeddings, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         VectorF.lshBucket(col("embedding"), planes).as("bucket"))
       .localCheckpoint(false)
@@ -819,7 +820,11 @@ object Similarity {
                    auditLimit: Long = Long.MaxValue): DataFrame = {
     require(k > 0 && maxAgree >= 0 && maxAgree < k,
       s"need 0 <= maxAgree < k, got $maxAgree/$k")
-    val e = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    // spreadInput: e is the O(n²) scored stream's probe side; the
+    // 1-partition bench scan would run every cosine on one task.
+    val e = graft.Scale.spreadInput(
+      embeddings.select(col("vec_id"), col("embedding"), col("label")),
+      col("vec_id"))
     val q = e.filter(col("vec_id") < auditLimit)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("label").as("q_label"))

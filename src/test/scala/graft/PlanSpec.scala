@@ -443,8 +443,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       val k = "spark.sql.adaptive.enabled"
       val prev = spark.conf.get(k)
       spark.conf.set(k, "false")
+      // Count only requirement-driven shuffles (the data-flow shape
+      // under test); Scale.spreadInput's explicit input repartition
+      // (REPARTITION_BY_COL, r17) parallelizes a 1-partition bench
+      // scan and is not a gram/join re-shuffle.
       try df.queryExecution.executedPlan
-        .collect { case e: ShuffleExchangeExec => e }.length
+        .collect { case e: ShuffleExchangeExec
+          if e.shuffleOrigin == org.apache.spark.sql.execution.exchange
+            .ENSURE_REQUIREMENTS => e }.length
       finally spark.conf.set(k, prev)
     }
     // The registered wrapper must force the flag during build and
