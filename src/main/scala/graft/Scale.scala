@@ -21,17 +21,25 @@ object Scale {
   def approx(spark: SparkSession): Boolean =
     spark.conf.getOption(ApproxKey).exists(_.toBoolean)
 
-  /** Under-parallelized-input guard (r17 optimization round; the
-    * operator-local twin of graft.sources.Tables.spread — see its
-    * scaladoc for the full rationale): when a frame's physical
-    * parallelism is below half the session's cores AND the caller is
-    * about to run compute-dense work on it (decimal moment folds,
-    * full-buffer percentiles, per-row resample vectors), hash-spread
-    * it by `key` first. No-op whenever the input already
-    * parallelizes (a real 100 TB scan, a post-shuffle frame at
-    * session partitioning), so there is nothing to tune at scale;
-    * the hash exchange is deterministic under retries (no
-    * round-robin). Callers pass a high-cardinality key. */
+  /** Under-parallelized-input guard (r17 optimization round; a
+    * blanket loader-level spread was measured net-negative and
+    * rejected — this is the operator-local replacement): when a
+    * frame's physical parallelism is below half the session's cores
+    * AND the caller is about to run compute-dense work on it (decimal
+    * moment folds, full-buffer percentiles, per-row resample
+    * vectors), hash-spread it by `key` first. No-op whenever the
+    * input already parallelizes (a real 100 TB scan, a post-shuffle
+    * frame at session partitioning), so there is nothing to tune at
+    * scale; the hash exchange is deterministic under retries (no
+    * round-robin). Callers pass a high-cardinality key.
+    *
+    * CALL-SITE CONTRACT: apply this directly on a scan/project
+    * subtree only. `df.rdd.getNumPartitions` below forces full
+    * physical planning of the subtree at construction time and reads
+    * the PRE-AQE partition count — on a post-shuffle frame AQE would
+    * re-plan (and usually coalesce) at runtime, so the check would
+    * both mis-read the real parallelism and pay a planning pass for
+    * nothing. All current call sites sit on scans. */
   def spreadInput(df: DataFrame, key: Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= target) df

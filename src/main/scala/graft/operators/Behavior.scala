@@ -925,7 +925,13 @@ object Behavior {
       .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minSupport)
       .select(col("pa"), col("pb"))
-      .localCheckpoint(false) // support-bounded; three semi-join consumers
+      // support-bounded; ONE semi-join consumer (the (a,b) gate below)
+      // plus the eager count() sizing the broadcast decision — note
+      // that count makes CONSTRUCTING this query run real jobs (a
+      // plan-only context, e.g. ExplainAudit, executes the checkpoint
+      // + count; accepted and documented, the alternative is a stats
+      // hint the planner can't verify).
+      .localCheckpoint(false)
     // r17 optimization round: the checkpointed freqPairs frame carries
     // no stats (ExistingRDD → defaultSizeInBytes), so the planner
     // sort-merge-joined the CUBIC candidate stream against it — three

@@ -1237,8 +1237,13 @@ object CorpusStats {
     * string form measured 3.4 s vs 1.1 s at sf0.1). The one-scan
     * concat-of-families form stays rejected (measured 2× slower when
     * tried with interpreted lambdas; with three native scans the scan
-    * count is not the cost). At 100 TB the distinct count swaps for
-    * the HLL sketch (approx_count_distinct) with the same frame. */
+    * count is not the cost). r18 hardening: the exact leg's distinct
+    * key is 128-bit (two independent xxhash64 seeds in a struct, same
+    * one-pass scan) — the r17 64-bit key was "exact" only up to
+    * birthday-bound collisions near 10⁹⁺ distinct grams; two seeds
+    * push the bound past any corpus. At 100 TB the distinct count
+    * swaps for the HLL sketch (approx_count_distinct) with the same
+    * frame. */
   def distinctNgramDiversityOf(docs: DataFrame,
                                approx: Boolean = false): DataFrame = {
     def grams(n: Int): DataFrame = {
@@ -1255,7 +1260,13 @@ object CorpusStats {
           else TextF.strictShingles(col("text"), n)
         } else graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
           graft.plans.ColumnBridge.expression(col("text")), n, 0L,
-          strict = n > 1, dedup = false))
+          strict = n > 1, dedup = false,
+          // splitCompat: agree with the split-convention oracle (and
+          // the approx twin) on whitespace-edged text; pairSeed: the
+          // exact leg's distinct runs over a 128-bit (two-seed) gram
+          // key, so "exact" no longer leans on 64-bit injectivity at
+          // 10⁹⁺ grams (r18; VERDICT r17 #6).
+          splitCompat = true, pairSeed = 4242L))
       // The approx twin keeps the interpreted string stream (its HLL
       // estimates are value-pinned) — spreadInput parallelizes that
       // compute-dense scan instead (no-op on already-parallel input).
@@ -2004,9 +2015,15 @@ object CorpusStats {
     val nodes = edgeOut.select(col("src").as("token")).distinct()
       .localCheckpoint(false) // symmetric edges: every node is a src
     val nDf = nodes.agg(count(lit(1)).as("nn")) // 1 row
-    var rank = nodes.crossJoin(broadcast(nDf))
-      .select(col("token"), expr(s"${scale}L div nn").as("rq"))
+    // Loop-invariant teleport hoisted onto one checkpointed base frame
+    // ([[graft.operators.Graph.pagerankOf]]'s r18 shape — one
+    // broadcast job total instead of one per iteration).
+    val base = nodes.crossJoin(broadcast(nDf))
+      .select(col("token"),
+        expr(s"(15 * ${scale}L) div (100 * nn)").as("tele"),
+        expr(s"${scale}L div nn").as("rq"))
       .localCheckpoint(false)
+    var rank = base.select(col("token"), col("rq"))
     for (_ <- 1 to iterations) {
       val inflow = rank
         .join(edgeOut, rank("token") === edgeOut("src"))
@@ -2014,13 +2031,12 @@ object CorpusStats {
           .as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("inflow"))
-      rank = nodes.crossJoin(broadcast(nDf))
+      rank = base
         .join(inflow, col("token") === col("dst"), "left")
-        .select(col("token"), col("nn"),
+        .select(col("token"), col("tele"),
           coalesce(col("inflow"), lit(0L)).as("infl"))
         .select(col("token"),
-          (expr(s"(15 * ${scale}L) div (100 * nn)") +
-            expr("(85 * infl) div 100")).as("rq"))
+          (col("tele") + expr("(85 * infl) div 100")).as("rq"))
         .localCheckpoint(false)
     }
     rank

@@ -488,9 +488,12 @@ object Dedup {
     if (approx) return dupMatrixSketchOf(docs, n)
     docs
       .select(col("source"),
+        // splitCompat: this oracle tokenizes with split(trim(text))
+        // — phantom empty tokens on tab/newline-edged text included
+        // (r18; output-neutral on corpora without such docs).
         explode(graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
           graft.plans.ColumnBridge.expression(col("text")), n, 0L,
-          strict = true))).as("h"))
+          strict = true, splitCompat = true))).as("h"))
       .groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) >= 2)
       .select(explode(expr(
@@ -526,9 +529,12 @@ object Dedup {
     // dedup is transparent to HLL (duplicate insertion is idempotent).
     val sk = docs
       .select(col("source"),
+        // splitCompat keeps the gram definition identical to the
+        // exact twin's (r18) — inserted values unchanged on corpora
+        // without whitespace-edged docs, so the pinned estimates hold.
         explode(graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
           graft.plans.ColumnBridge.expression(col("text")), n, 0L,
-          strict = true))).as("h"))
+          strict = true, splitCompat = true))).as("h"))
       .groupBy("source")
       .agg(expr("hll_sketch_agg(h, 18)").as("sk"))
       .localCheckpoint(false) // both pair sides
@@ -914,9 +920,11 @@ object Dedup {
     * similarity join. */
   private[operators] def ngramNoveltyFrame(docs: DataFrame,
       n: Int = 8): DataFrame = {
+    // splitCompat: the novelty oracles tokenize with split(trim(text))
+    // — phantom-token convention (r18; output-neutral on this corpus).
     val hs = graft.plans.ColumnBridge.column(graft.plans.ShingleHashes(
       graft.plans.ColumnBridge.expression(col("text")), n, Long.MaxValue,
-      strict = true))
+      strict = true, splitCompat = true))
     val hg = docs
       .select(col("doc_id"), col("source"), hs.as("hs"))
       .filter(size(col("hs")) > 0)

@@ -69,9 +69,17 @@ object Graph {
       .distinct()
       .localCheckpoint(false)
     val nDf = nodes.agg(count(lit(1)).as("nn")) // 1 row by construction
-    var rank = nodes.crossJoin(broadcast(nDf))
-      .select(col("item"), expr(s"$Scale div nn").as("rq"))
+    // The teleport term (15·Scale) div (100·nn) is LOOP-INVARIANT:
+    // compute it once per node on a checkpointed base frame instead of
+    // re-broadcasting nDf inside every iteration (r18 optimization
+    // round — each in-loop broadcast(nDf) was its own driver collect
+    // job at DataFrame-construction time, `iterations` scheduling
+    // floors for a constant). Same integers, one broadcast total.
+    val base = nodes.crossJoin(broadcast(nDf))
+      .select(col("item"), expr(s"(15 * $Scale) div (100 * nn)").as("tele"),
+        expr(s"$Scale div nn").as("rq"))
       .localCheckpoint(false)
+    var rank = base.select(col("item"), col("rq"))
     for (_ <- 1 to iterations) {
       val inflow = rank
         .join(edgeOut, rank("item") === edgeOut("src"))
@@ -79,13 +87,12 @@ object Graph {
           .as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("inflow"))
-      rank = nodes.crossJoin(broadcast(nDf))
+      rank = base
         .join(inflow, col("item") === col("dst"), "left")
-        .select(col("item"), col("nn"),
+        .select(col("item"), col("tele"),
           coalesce(col("inflow"), lit(0L)).as("infl"))
         .select(col("item"),
-          (expr(s"(15 * $Scale) div (100 * nn)") +
-            expr("(85 * infl) div 100")).as("rq"))
+          (col("tele") + expr("(85 * infl) div 100")).as("rq"))
         // LAZY checkpoints: one job, lineage truncated at materialize.
         // Eager per-iteration checkpoints measured WORSE (8.1 s vs
         // 6.6 s at sf0.1) — ten scheduling floors beat ten plan reuses.
@@ -133,13 +140,18 @@ object Graph {
       .localCheckpoint(false)
     val nSeed = nodes.filter(col("item") < seedBound)
       .agg(count(lit(1)).as("ns")) // 1 row by construction
-    val base = when(col("item") < seedBound,
-      expr(s"(15 * $Scale) div (100 * ns)")).otherwise(lit(0L))
-    var rank = nodes.crossJoin(broadcast(nSeed))
+    // Seed-restricted teleport is LOOP-INVARIANT ([[pagerankOf]]'s r18
+    // hoist): one checkpointed (item, tele, rq₀) base frame replaces
+    // the per-iteration broadcast(nSeed) crossJoin — same integers,
+    // one broadcast job instead of `iterations`+1.
+    val base = nodes.crossJoin(broadcast(nSeed))
       .select(col("item"),
+        when(col("item") < seedBound,
+          expr(s"(15 * $Scale) div (100 * ns)")).otherwise(lit(0L)).as("tele"),
         when(col("item") < seedBound, expr(s"$Scale div ns"))
           .otherwise(lit(0L)).as("rq"))
       .localCheckpoint(false)
+    var rank = base.select(col("item"), col("rq"))
     for (_ <- 1 to iterations) {
       val inflow = rank
         .join(edgeOut, rank("item") === edgeOut("src"))
@@ -147,12 +159,12 @@ object Graph {
           .as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("inflow"))
-      rank = nodes.crossJoin(broadcast(nSeed))
+      rank = base
         .join(inflow, col("item") === col("dst"), "left")
-        .select(col("item"), col("ns"),
+        .select(col("item"), col("tele"),
           coalesce(col("inflow"), lit(0L)).as("infl"))
         .select(col("item"),
-          (base + expr("(85 * infl) div 100")).as("rq"))
+          (col("tele") + expr("(85 * infl) div 100")).as("rq"))
         .localCheckpoint(false)
     }
     rank.select(col("item"), col("rq"),
@@ -394,7 +406,6 @@ object Graph {
     * per iteration (the PageRank loop's contract).
     */
   def lpaCommunitiesOf(events: DataFrame, iterations: Int = 2): DataFrame = {
-    require(iterations > 0, s"iterations must be positive, got $iterations")
     val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val directed = events
       .select(col("user_id"),
@@ -406,6 +417,19 @@ object Graph {
       .groupBy(least(col("src"), col("item")).as("a"),
         greatest(col("src"), col("item")).as("b"))
       .agg(count(lit(1)).as("w"))
+    lpaCommunitiesFromEdges(directed, iterations)
+  }
+
+  /** [[lpaCommunitiesOf]] from a pre-built weighted undirected edge
+    * frame (a, b, w) — so a caller that already derived that frame
+    * ([[modularityOf]], which needs it for the Q arithmetic anyway)
+    * shares ONE fact scan instead of rebuilding the lag pass (r18
+    * optimization round; within-one-query reuse, not cross-run
+    * caching). Identical label walk: the edge derivation here is
+    * textually the one [[lpaCommunitiesOf]] inlined. */
+  private[operators] def lpaCommunitiesFromEdges(directed: DataFrame,
+                                                 iterations: Int): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
     val adj = directed.select(col("a").as("u"), col("b").as("v"), col("w"))
       .union(directed.select(col("b").as("u"), col("a").as("v"), col("w")))
       .localCheckpoint(false) // static per-iteration frame
@@ -474,22 +498,31 @@ object Graph {
       .groupBy(least(col("src"), col("item")).as("a"),
         greatest(col("src"), col("item")).as("b"))
       .agg(count(lit(1)).as("w"))
-    val adj = und.select(col("a").as("u"), col("b").as("v"), col("w"))
+    val bothDirs = und.select(col("a").as("u"), col("b").as("v"), col("w"))
       .union(und.select(col("b").as("u"), col("a").as("v"), col("w")))
+    // The +I shift folds into a UNIT SELF-LOOP edge (w = 1) on the
+    // static adjacency (r18 optimization round; the same device the
+    // DuckDB oracle uses): s = Σ_adj w·rq + rq ≡ Σ_{adj ∪ self} w·rq,
+    // integer decimal addition is order-free, so the per-iteration
+    // join back to the rank frame — one extra shuffle × `iterations` —
+    // disappears with bit-identical output. No (u,u) collision: the
+    // edge derivation above drops self-transitions (src =!= item).
+    val nodes = bothDirs.select(col("u")).distinct()
+    val adj = bothDirs
+      .union(nodes.select(col("u"), col("u").as("v"), lit(1L).as("w")))
       .localCheckpoint(false) // static per-iteration frame
-    var rank = adj.select(col("u").as("item")).distinct()
-      .select(col("item"), lit(1000000L).as("rq"))
+    // u = v rows ARE the node set (real edges dropped self-transitions
+    // above) — initialize rank off the checkpointed frame, not a
+    // second fact derivation.
+    var rank = adj.filter(col("u") === col("v"))
+      .select(col("u").as("item"), lit(1000000L).as("rq"))
       .localCheckpoint(false)
     for (_ <- 1 to iterations) {
       val inflow = rank
         .join(adj, rank("item") === adj("v"))
         .select(col("u"), expr("CAST(w AS DECIMAL(38,0)) * rq").as("contrib"))
         .groupBy("u")
-        .agg(sum("contrib").as("nsum"))
-        // the +I shift: a node's own mass joins its neighbors'
-        .join(rank.select(col("item").as("u"), col("rq").as("own")), "u")
-        .select(col("u"),
-          (col("nsum") + col("own").cast("decimal(38,0)")).as("s"))
+        .agg(sum("contrib").as("s"))
       val smax = inflow.agg(max("s").as("smax")) // 1 row by construction
       rank = inflow.crossJoin(broadcast(smax))
         .select(col("u").as("item"),
@@ -689,7 +722,11 @@ object Graph {
         greatest(col("src"), col("item")).as("b"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint(false)
-    val labels = lpaCommunitiesOf(events, iterations)
+    // LPA walks the SAME weighted edge frame Q's arithmetic reads —
+    // share the checkpoint instead of re-running the fact scan + lag
+    // window inside [[lpaCommunitiesOf]] (r18; derivations are
+    // textually identical, so the labels cannot differ).
+    val labels = lpaCommunitiesFromEdges(und, iterations)
     val m = und.agg(sum("w").as("m")) // 1 row
     val wIn = und
       .join(labels.select(col("item").as("a"), col("label").as("la")), "a")
@@ -1279,22 +1316,28 @@ object Graph {
       .union(edges.select(col("dst").as("item")))
       .distinct()
       .localCheckpoint(false)
-    var p = nodes.select(col("item"), lit(1L).cast(dec).as("p"))
+    // Path-count p and accumulator acc ride ONE state frame (r18
+    // optimization round): the old separate acc frame re-joined p
+    // every iteration — an extra join + checkpoint × `iterations` for
+    // an update (acc += p·w) both frames' rows already colocate. The
+    // state frame's item set is exactly `nodes` every round (left
+    // join preserves it), so acc_new = acc + coalesce(pin,0)·w is the
+    // same integers in the same order.
+    var state = nodes.select(col("item"), lit(1L).cast(dec).as("p"),
+      lit(0L).cast(dec).as("acc"))
       .localCheckpoint(false)
-    var acc = nodes.select(col("item"), lit(0L).cast(dec).as("acc"))
     for (k <- 1 to iterations) {
-      val inflow = p.join(edges, p("item") === edges("src"))
+      val inflow = state.join(edges, state("item") === edges("src"))
         .groupBy("dst").agg(sum("p").as("pin"))
-      p = nodes
-        .join(inflow, col("item") === col("dst"), "left")
-        .select(col("item"),
-          coalesce(col("pin"), lit(0L).cast(dec)).as("p"))
-        .localCheckpoint(false)
       val w = 1L << (iterations - k)
-      acc = acc.join(p, "item")
-        .select(col("item"), (col("acc") + col("p") * w).as("acc"))
+      state = state
+        .join(inflow, state("item") === col("dst"), "left")
+        .select(state("item"),
+          coalesce(col("pin"), lit(0L).cast(dec)).as("p"),
+          (col("acc") + coalesce(col("pin"), lit(0L).cast(dec)) * w).as("acc"))
         .localCheckpoint(false)
     }
+    val acc = state
     // The integer column is katz·2^iterations (x64 at the default 6);
     // the normalizer must track the parameter or non-default runs are
     // mis-scaled by 2^iterations/64.

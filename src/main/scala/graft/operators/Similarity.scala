@@ -1092,11 +1092,15 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .localCheckpoint(false) // queries + corpus + projection read it
     val signs = rpSigns(64, outDims)
-    val proj = array((0 until outDims).map { j =>
-      (0 until 64).map { i =>
-        element_at(col("emb"), i + 1) * lit(signs(i)(j))
-      }.reduce(_ + _)
-    }: _*)
+    // One native mat-vec call per row ([[graft.plans.MatVecSigns]],
+    // r18 optimization round) replaces the unrolled 16×64 ≈ 1024-node
+    // element_at·literal column tree — same ascending-i left-fold
+    // accumulation, bit-identical output, without the codegen/
+    // classloader churn the r17 profile attributed the query's cost
+    // to.
+    val proj = graft.plans.ColumnBridge.column(graft.plans.MatVecSigns(
+      graft.plans.ColumnBridge.expression(col("emb")),
+      signs.map(_.toIndexedSeq).toIndexedSeq))
     val pemb = emb.select(col("vec_id"), proj.as("pemb"))
     def topk(qs: DataFrame, corpus: DataFrame, embCol: String) = {
       val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))

@@ -151,6 +151,56 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ShingleHashes splitCompat reproduces split(trim(text),'\\s+') exactly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // The REAL split convention: space-only trim, Java split with
+    // limit -1 (keeps leading/trailing empty tokens — the phantom-
+    // token edge on tab/newline-edged text that ADVICE r17 flagged).
+    def splitToks(s: String): Seq[String] = {
+      val t = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      t.split("[ \t\n\f\r]+", -1).toSeq
+    }
+    def refHash(shingle: String): Long = {
+      val b = shingle.getBytes("UTF-8")
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    }
+    // Bias the generator toward the whitespace edges under test.
+    val edgeGen: Gen[String] = for {
+      pre <- Gen.oneOf("", "\t", "\n", " \t", "", " ")
+      mid <- textGen
+      post <- Gen.oneOf("", "\t", "\r\n", "  ", "\f", " \n ")
+    } yield pre + mid + post
+    val compat = ShingleHashes(null, 3, 0L, strict = false, dedup = false,
+      splitCompat = true)
+    val compatStrict = ShingleHashes(null, 3, 0L, strict = true,
+      dedup = false, splitCompat = true)
+    check("occurrence-stream", Prop.forAll(edgeGen) { s =>
+      val t = splitToks(s)
+      val shingles =
+        if (t.length < 3) t // short-doc fallback: whole tokens
+        else t.sliding(3).map(_.mkString(" ")).toSeq
+      compat.shingleHash(UTF8String.fromString(s)).toLongArray().toSeq ==
+        shingles.map(refHash)
+    })
+    check("strict-gate-counts-phantoms", Prop.forAll(edgeGen) { s =>
+      val t = splitToks(s)
+      val n = compatStrict.shingleHash(UTF8String.fromString(s)).numElements()
+      if (t.length < 3) n == 0 else n == t.length - 2
+    })
+    // The 128-bit pair key: h1 is the seed-42 stream, bit-identical to
+    // the single-seed form; h2 differs (independent seed).
+    val pair = ShingleHashes(null, 3, 0L, strict = false, dedup = false,
+      splitCompat = true, pairSeed = 4242L)
+    check("pair-h1-matches", Prop.forAll(edgeGen) { s =>
+      val u = UTF8String.fromString(s)
+      val singles = compat.shingleHash(u).toLongArray().toSeq
+      val pairs = pair.shingleHash(u)
+      (0 until pairs.numElements()).map(i =>
+        pairs.getStruct(i, 2).getLong(0)) == singles
+    })
+  }
+
   test("simhashOf is permutation-invariant (bag-of-tokens semantics)") {
     val tokensGen = Gen.listOf(Gen.identifier.map(_.take(6))).map(_.toArray)
     check("permutation", Prop.forAll(tokensGen, Gen.long) { (ts, seed) =>
