@@ -147,9 +147,25 @@ object Scale {
     val counts = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ buckets rows
     val (offArr, total) = offsetsOf(counts)
-    val w = Window.partitionBy(col("__bkt")).orderBy(order: _*)
-    (b.withColumn("__rank",
-        element_at(offArr, col("__bkt") + 1) + row_number().over(w).cast("long"))
+    // Partition == bucket on the frozen frame (__bkt IS the partition
+    // id), so the within-bucket row number needs NO re-shuffle: the
+    // old `row_number() over (partition by __bkt order by ...)` forced
+    // a full-frame hashpartitioning(__bkt) ENSURE_REQUIREMENTS
+    // exchange onto every consumer (the checkpoint's RangePartitioning
+    // can't satisfy the window's hash requirement even though the
+    // physical grouping already does). Instead: sort each partition in
+    // place (narrow, no exchange) and read the within-partition row
+    // index off monotonically_increasing_id's low 33 bits (its upper
+    // bits are exactly `__bkt << 33`). The projection sits above the
+    // partition-local sort, so ids assign in sorted order; callers
+    // pass totally-ordering keys (unique tiebreaks), same determinism
+    // contract as the window form. One full shuffle of the ranked
+    // frame removed at any scale; ranks are bit-identical.
+    (b.sortWithinPartitions(order: _*)
+      .withColumn("__rank",
+        element_at(offArr, col("__bkt") + 1)
+          + (monotonically_increasing_id()
+             - shiftleft(col("__bkt").cast("long"), 33)) + lit(1L))
       .drop("__bkt"), total)
   }
 

@@ -2060,15 +2060,25 @@ object Behavior {
     * spend). ntile orders carry a user-id tiebreak so bucket edges
     * are deterministic and engine-identical.
     *
-    * Shape: 1-row report-date broadcast, ONE user aggregate, then
-    * three CHAINED two-phase global ranks over the user-level frame
-    * ([[graft.Scale.twoPhaseRank]] per axis + the arithmetic ntile of
+    * Shape: 1-row report-date broadcast, ONE user aggregate, then ONE
+    * melted two-phase global rank over (axis, key, user_id)
+    * ([[graft.Scale.twoPhaseRank]] + the arithmetic ntile of
     * [[graft.Scale.ntileFromRank]] — bit-identical to NTILE(5) under
-    * the unique (axis, user_id) order) — no single-partition window
-    * anywhere, so each axis cut runs `buckets`-way parallel at 10⁹
+    * the unique (axis, user_id) order). The three axis cuts used to
+    * run as three CHAINED ranks (3 range exchanges, 3 bucket collects
+    * — ~22 driver jobs at the bench SF, job-floor bound per the r18
+    * JobLog profile); melting each user into one row per axis with a
+    * uniform ascending long key folds them onto ONE range exchange
+    * and ONE bucket collect. Per-axis equivalence: recency DESC
+    * NULLS LAST ≡ ascending −recency with NULL→Long.MaxValue (recency
+    * ∈ [0, ~10⁴] days, so MaxValue is unreachable); axis blocks are
+    * contiguous and each holds exactly n rows, so the within-axis
+    * rank is __rank − axis·n with no extra count. The pivot back to
+    * one row per user is a plain user aggregate (each axis
+    * contributes exactly one non-null tile). No single-partition
+    * window anywhere, so the cut runs `buckets`-way parallel at 10⁹
     * users instead of funnelling the user frame through one task
-    * three times. The three passes share one total count (the frame
-    * doesn't change size between axes). */
+    * three times. */
   def rfmSegmentsOf(events: DataFrame): DataFrame = {
     val maxDay = events.agg(max(to_date(col("ts"))).as("report_date"))
     val per = events
@@ -2082,22 +2092,30 @@ object Behavior {
         datediff(col("report_date"), col("last_day")).cast("long")
           .as("recency_days"),
         col("frequency"), col("qm"))
-    // DESC recency order → quintile 5 = most recent; ASC for F and M.
-    val (rRank, total) = graft.Scale.twoPhaseRank(per,
-      Seq(col("recency_days").desc, col("user_id")))
-    val withR = rRank
-      .withColumn("r", graft.Scale.ntileFromRank("__rank", 5, total))
-      .drop("__rank")
-    val (fRank, _) = graft.Scale.twoPhaseRank(withR,
-      Seq(col("frequency"), col("user_id")), snapshotInput = false)
-    val withF = fRank
-      .withColumn("f", graft.Scale.ntileFromRank("__rank", 5, total))
-      .drop("__rank")
-    val (mRank, _) = graft.Scale.twoPhaseRank(withF,
-      Seq(col("qm"), col("user_id")), snapshotInput = false)
-    mRank
-      .withColumn("m", graft.Scale.ntileFromRank("__rank", 5, total))
-      .drop("__rank")
+      .localCheckpoint(false) // sampler + exchange share the user agg
+    // Quintile 5 = most recent / most frequent / highest spend: R
+    // rides the negated key, F and M are naturally ascending.
+    val melted = per.select(col("user_id"), col("recency_days"),
+      col("frequency"), col("qm"),
+      explode(array(
+        struct(lit(0).as("axis"),
+          coalesce(-col("recency_days"), lit(Long.MaxValue)).as("k")),
+        struct(lit(1).as("axis"), col("frequency").as("k")),
+        struct(lit(2).as("axis"), col("qm").as("k")))).as("p"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("qm"), col("p.axis").as("axis"), col("p.k").as("k"))
+    val (ranked, total3) = graft.Scale.twoPhaseRank(melted,
+      Seq(col("axis"), col("k"), col("user_id")), snapshotInput = false)
+    val total = total3 / 3
+    ranked
+      .withColumn("__arank", col("__rank") - col("axis") * lit(total))
+      .withColumn("__tile", graft.Scale.ntileFromRank("__arank", 5, total))
+      .groupBy("user_id")
+      .agg(max("recency_days").as("recency_days"),
+        max("frequency").as("frequency"), max("qm").as("qm"),
+        max(when(col("axis") === 0, col("__tile"))).as("r"),
+        max(when(col("axis") === 1, col("__tile"))).as("f"),
+        max(when(col("axis") === 2, col("__tile"))).as("m"))
       .select(col("user_id"), col("recency_days"), col("frequency"),
         graft.functions.TextF.microsTo4dp(col("qm")).as("monetary"),
         col("r"), col("f"), col("m"),

@@ -683,15 +683,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // materialization — no re-scan, no re-derived quality regex.
     assert(p.collect { case s: FileSourceScanExec => s }.isEmpty,
       s"final plan must read the checkpointed triples, not re-scan:\n$p")
-    // rank is the only window function left (ntile derives from rank
-    // arithmetically) and it partitions by the range bucket.
+    // r18: the rank rides the partition-local sort + the within-
+    // partition row index (partition == bucket on the frozen frame) —
+    // no window, and therefore no full-frame hashpartitioning(__bkt)
+    // re-shuffle. Pin both halves.
     val windows = p.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.length == 1 &&
-      windows.head.windowExpression.length == 1 &&
-      windows.head.partitionSpec.exists(_.toString.contains("__bkt")),
-      s"one __bkt-partitioned rank window:\n$p")
+    assert(windows.isEmpty,
+      s"rank must ride the partition-local sort, not a window:\n$p")
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.SortExec if !s.global => s
+    }.nonEmpty, s"partition-local rank sort expected:\n$p")
   }
 
   test("round-10 second wave: stats/graph/training plans stay equijoin + bounded-cross") {
@@ -1032,8 +1035,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val co = plan(Corpus.curriculumOrder(spark, Sf))
     assert(windows(co).forall(_.partitionSpec.nonEmpty),
       s"curriculum_order must have no single-partition window:\n$co")
-    assert(windows(co).exists(_.partitionSpec.exists(_.toString.contains("__bkt"))),
-      s"rank must ride the __bkt-partitioned local window:\n$co")
+    // r18: the rank window is gone entirely (partition-local sort +
+    // within-partition row index — one full-frame re-shuffle removed).
+    assert(co.collect {
+      case s: org.apache.spark.sql.execution.SortExec if !s.global => s
+    }.nonEmpty, s"rank must ride a partition-local sort:\n$co")
 
     val pc = plan(EventAnalytics.peakConcurrency(spark, Sf))
     assert(windows(pc).forall(_.partitionSpec.nonEmpty),
@@ -1045,8 +1051,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // global windows left (grand total + cumulative share) sit ABOVE
     // the 10-row decile aggregate — bounded by construction.
     val lz = plan(Behavior.lorenzCurve(spark, Sf))
-    assert(windows(lz).exists(_.partitionSpec.exists(_.toString.contains("__bkt"))),
-      s"user-scale ntile must decompose through __bkt:\n$lz")
+    // r18: the user-scale rank is a partition-local sort (no window,
+    // no re-shuffle); only the bounded decile-frame globals remain.
+    assert(lz.collect {
+      case s: org.apache.spark.sql.execution.SortExec if !s.global => s
+    }.nonEmpty, s"user-scale rank must ride a partition-local sort:\n$lz")
     windows(lz).filter(_.partitionSpec.isEmpty).foreach { w =>
       assert(w.child.collectFirst {
         case a: HashAggregateExec
@@ -1056,17 +1065,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
 
     // Round-12 closures of the last three weak plans:
-    // rfm_segments — three chained two-phase ranks; every window must
+    // rfm_segments — ONE melted two-phase rank (r18: the three chained
+    // axis ranks folded onto one range exchange); every window must
     // ride a __bkt partition (the user frame never single-tasks).
     val rfm = plan(Behavior.rfmSegments(spark, Sf))
     assert(windows(rfm).forall(_.partitionSpec.nonEmpty),
       s"rfm_segments must have no single-partition window:\n$rfm")
-    // Only the LAST axis's window is visible here — the first two
-    // passes already executed behind their frozen checkpoints (each
-    // `bucketed` materializes eagerly); it must be __bkt-partitioned,
-    // and the forall above pins that no axis regressed to global.
-    assert(windows(rfm).exists(_.partitionSpec.exists(_.toString.contains("__bkt"))),
-      s"the ntile axes must ride __bkt-partitioned windows:\n$rfm")
+    // The melted rank rides the frozen bucketed checkpoint's
+    // partition-local sort (r18: no window, no re-shuffle); the forall
+    // above pins that no axis regressed to a global window.
+    assert(rfm.collect {
+      case s: org.apache.spark.sql.execution.SortExec if !s.global => s
+    }.nonEmpty, s"the melted rank must ride a partition-local sort:\n$rfm")
 
     // coverage_curve — the vocabulary rank+cumsum share ONE frozen
     // range exchange; no global window over the type frame.
