@@ -481,6 +481,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(qn.toString.contains("approx_percentile"))
     assert(exchanges(viaRegistry("quantile_normalize_approx")) <=
       exchanges(CorpusStats.quantileNormalize(spark, Sf)))
+    // ADVICE r17: the ENSURE_REQUIREMENTS filter above would hide a
+    // regression that smuggles EXPLICIT repartition/rebalance shuffles
+    // into these plans — bound those separately (ngram_diversity_approx
+    // carries exactly its one known spreadInput repartition; the rest
+    // carry none).
+    def explicitExchanges(df: => DataFrame): Int = {
+      val k = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(k)
+      spark.conf.set(k, "false")
+      try df.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec
+          if e.shuffleOrigin != org.apache.spark.sql.execution.exchange
+            .ENSURE_REQUIREMENTS => e }.length
+      finally spark.conf.set(k, prev)
+    }
+    assert(explicitExchanges(viaRegistry("dup_matrix_approx")) == 0 &&
+      explicitExchanges(Dedup.dupMatrix(spark, Sf)) == 0,
+      "dup_matrix family must carry no explicit repartition")
+    assert(explicitExchanges(viaRegistry("ngram_diversity_approx")) <= 1 &&
+      explicitExchanges(CorpusStats.distinctNgramDiversity(spark, Sf)) <= 1,
+      "ngram_diversity family: at most the one spreadInput repartition")
     assert(spark.conf.getOption(Scale.ApproxKey) == before,
       "withApprox must restore the session flag")
   }
